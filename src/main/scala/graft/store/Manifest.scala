@@ -1,0 +1,232 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Typed attribute values — the K/V metadata the reference attaches to any
+ * object (`nimhdf5/attributes.nim:207-437`). Supported kinds mirror the
+ * reference: integer, float, string, and sequences thereof. `Boolean` is
+ * deliberately NOT representable — the reference rejects bool attributes
+ * (`nimhdf5/attributes.nim:289-293`).
+ */
+sealed trait AttrValue
+object AttrValue {
+  final case class I64(v: Long)            extends AttrValue
+  final case class F64(v: Double)          extends AttrValue
+  final case class Str(v: String)          extends AttrValue
+  final case class I64Seq(v: Seq[Long])    extends AttrValue
+  final case class F64Seq(v: Seq[Double])  extends AttrValue
+  final case class StrSeq(v: Seq[String])  extends AttrValue
+
+  def of(v: Any): AttrValue = v match {
+    case b: Boolean => throw new UnsupportedOperationException(
+      "bool attributes are not supported (parity with nimhdf5/attributes.nim:289-293)")
+    case i: Int     => I64(i.toLong)
+    case l: Long    => I64(l)
+    case f: Float   => F64(f.toDouble)
+    case d: Double  => F64(d)
+    case s: String  => Str(s)
+    case xs: Seq[_] if xs.isEmpty => I64Seq(Nil)
+    case xs: Seq[_] => xs.head match {
+      case _: Int    => I64Seq(xs.map(_.asInstanceOf[Int].toLong))
+      case _: Long   => I64Seq(xs.map(_.asInstanceOf[Long]))
+      case _: Double => F64Seq(xs.map(_.asInstanceOf[Double]))
+      case _: Float  => F64Seq(xs.map(_.asInstanceOf[Float].toDouble))
+      case _: String => StrSeq(xs.map(_.asInstanceOf[String]))
+      case other => throw new UnsupportedOperationException(s"unsupported attr seq element: $other")
+    }
+    case other => throw new UnsupportedOperationException(s"unsupported attr value: $other")
+  }
+
+  def toJson(a: AttrValue): JValue = a match {
+    case I64(v)    => JObject("t" -> JString("i64"), "v" -> JLong(v))
+    case F64(v)    => JObject("t" -> JString("f64"), "v" -> JDouble(v))
+    case Str(v)    => JObject("t" -> JString("str"), "v" -> JString(v))
+    case I64Seq(v) => JObject("t" -> JString("i64[]"), "v" -> JArray(v.toList.map(JLong(_))))
+    case F64Seq(v) => JObject("t" -> JString("f64[]"), "v" -> JArray(v.toList.map(JDouble(_))))
+    case StrSeq(v) => JObject("t" -> JString("str[]"), "v" -> JArray(v.toList.map(JString(_))))
+  }
+
+  def fromJson(j: JValue): AttrValue = {
+    val JString(t) = j \ "t"
+    val v = j \ "v"
+    (t, v) match {
+      case ("i64", jv)          => I64(num(jv))
+      case ("f64", jv)          => F64(dbl(jv))
+      case ("str", JString(s))  => Str(s)
+      case ("i64[]", JArray(a)) => I64Seq(a.map(num))
+      case ("f64[]", JArray(a)) => F64Seq(a.map(dbl))
+      case ("str[]", JArray(a)) => StrSeq(a.map { case JString(s) => s; case o => o.toString })
+      case other                => throw new IllegalStateException(s"bad attr json: $other")
+    }
+  }
+  private def num(j: JValue): Long = j match {
+    case JLong(l) => l; case JInt(i) => i.toLong; case JDouble(d) => d.toLong
+    case o => throw new IllegalStateException(s"not a number: $o")
+  }
+  private def dbl(j: JValue): Double = j match {
+    case JDouble(d) => d; case JLong(l) => l.toDouble; case JInt(i) => i.toDouble
+    case JDecimal(d) => d.toDouble
+    case o => throw new IllegalStateException(s"not a number: $o")
+  }
+}
+
+/** One immutable run of rows of a table. `rows` is cached (≙ the reference's
+  * cached `nrecords`, `nimtables.nim:128`); `dir` is relative to the store
+  * root. Row-ids inside a segment are local and dense `[0, rows)`; the
+  * global offset of a segment is the prefix sum of preceding segments'
+  * `rows` — so append/delete/insert touch only affected segments and the
+  * rest shift by METADATA only (SURVEY §7.4 item 1). */
+final case class SegmentMeta(dir: String, rows: Long)
+
+/** Catalog entry for one named object in the store. */
+final case class TableMeta(
+    kind: String,                    // "table" | "ndarray"
+    segments: Vector[SegmentMeta],
+    schemaJson: String,              // Spark StructType json of the DATA columns (no _rowid)
+    chunkSize: Option[Long],         // ≙ HDF5 chunk size; maps to maxRecordsPerFile
+    codec: Option[String],           // parquet compression codec
+    aliasOf: Option[String],         // hardlink: name this entry aliases (data shared)
+    shape: Vector[Long] = Vector.empty,    // ndarray only
+    maxShape: Vector[Long] = Vector.empty  // ndarray only; -1 ≙ H5S_UNLIMITED
+) {
+  def rows: Long = segments.map(_.rows).sum
+  /** Global start offset of each segment (prefix sums). */
+  def offsets: Vector[Long] = segments.scanLeft(0L)(_ + _.rows).init
+}
+
+/**
+ * The store catalog: named tables, group namespace, typed attributes —
+ * the Spark-native analog of the HDF5 file structure the reference walks
+ * (`nimtables.nim:40-58`). Persisted as a single JSON document with an
+ * atomic tmp-file + rename swap, so every mutation commits atomically
+ * (SURVEY §7.4 item 2: write-new, commit-pointer).
+ */
+final class Manifest private (
+    var tables: Map[String, TableMeta],
+    var groups: Set[String],
+    var attrs: Map[String, Map[String, AttrValue]],
+    var version: Long) {
+
+  def toJson: JValue = JObject(
+    "version" -> JLong(version),
+    "tables" -> JObject(tables.toList.sortBy(_._1).map { case (name, t) =>
+      name -> JObject(
+        "kind" -> JString(t.kind),
+        "segments" -> JArray(t.segments.toList.map(s =>
+          JObject("dir" -> JString(s.dir), "rows" -> JLong(s.rows)))),
+        "schema" -> JString(t.schemaJson),
+        "chunkSize" -> t.chunkSize.map(JLong(_)).getOrElse(JNull),
+        "codec" -> t.codec.map(JString(_)).getOrElse(JNull),
+        "aliasOf" -> t.aliasOf.map(JString(_)).getOrElse(JNull),
+        "shape" -> JArray(t.shape.toList.map(JLong(_))),
+        "maxShape" -> JArray(t.maxShape.toList.map(JLong(_))))
+    }),
+    "groups" -> JArray(groups.toList.sorted.map(JString(_))),
+    "attrs" -> JObject(attrs.toList.sortBy(_._1).map { case (obj, kv) =>
+      obj -> JObject(kv.toList.sortBy(_._1).map { case (k, v) => k -> AttrValue.toJson(v) })
+    })
+  )
+}
+
+object Manifest {
+  /** Manifests are versioned files under `_manifest/`; readers take the
+    * highest version, writers create the next one. File create+close is
+    * atomic-visibility on HDFS (and on local FS for our write-then-read
+    * pattern), so a catalog swap needs no in-place rename — the same
+    * write-new/commit-pointer scheme Delta-style logs use. */
+  val Dir = "_manifest"
+  private val VersionRe = """v(\d{12})\.json""".r
+  private val Keep = 5 // versions retained after a save
+
+  def empty: Manifest = new Manifest(Map.empty, Set.empty, Map.empty, 0L)
+
+  def exists(fs: FileSystem, root: Path): Boolean =
+    fs.exists(new Path(root, Dir)) && latestFile(fs, root).isDefined
+
+  private def latestFile(fs: FileSystem, root: Path): Option[(Long, Path)] = {
+    val dir = new Path(root, Dir)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case VersionRe(n) => Some((n.toLong, st.getPath))
+        case _            => None
+      }
+    }.sortBy(_._1).lastOption
+  }
+
+  def load(fs: FileSystem, root: Path): Manifest =
+    latestFile(fs, root) match {
+      case None => empty
+      case Some((v, p)) =>
+        val in = fs.open(p)
+        val bytes = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+          out.toByteArray
+        } finally in.close()
+        val m = fromJson(JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8)))
+        m.version = v
+        m
+    }
+
+  def fromJson(j: JValue): Manifest = {
+    val version = j \ "version" match { case JLong(l) => l; case JInt(i) => i.toLong; case _ => 0L }
+    val tables = (j \ "tables") match {
+      case JObject(fields) => fields.map { case (name, t) =>
+        val segs = (t \ "segments") match {
+          case JArray(a) => a.map { s =>
+            val JString(dir) = s \ "dir"
+            val rows = s \ "rows" match { case JLong(l) => l; case JInt(i) => i.toLong; case _ => 0L }
+            SegmentMeta(dir, rows)
+          }.toVector
+          case _ => Vector.empty[SegmentMeta]
+        }
+        def optStr(v: JValue): Option[String] = v match { case JString(s) => Some(s); case _ => None }
+        def optLong(v: JValue): Option[Long] = v match { case JLong(l) => Some(l); case JInt(i) => Some(i.toLong); case _ => None }
+        def longs(v: JValue): Vector[Long] = v match {
+          case JArray(a) => a.map { case JLong(l) => l; case JInt(i) => i.toLong; case _ => 0L }.toVector
+          case _ => Vector.empty
+        }
+        val JString(kind) = t \ "kind"
+        val JString(schema) = t \ "schema"
+        name -> TableMeta(kind, segs, schema, optLong(t \ "chunkSize"), optStr(t \ "codec"),
+          optStr(t \ "aliasOf"), longs(t \ "shape"), longs(t \ "maxShape"))
+      }.toMap
+      case _ => Map.empty[String, TableMeta]
+    }
+    val groups = (j \ "groups") match {
+      case JArray(a) => a.collect { case JString(s) => s }.toSet
+      case _ => Set.empty[String]
+    }
+    val attrs = (j \ "attrs") match {
+      case JObject(fields) => fields.map { case (obj, kv) =>
+        obj -> (kv match {
+          case JObject(ks) => ks.map { case (k, v) => k -> AttrValue.fromJson(v) }.toMap
+          case _ => Map.empty[String, AttrValue]
+        })
+      }.toMap
+      case _ => Map.empty[String, Map[String, AttrValue]]
+    }
+    new Manifest(tables, groups, attrs, version)
+  }
+
+  /** Commit the next catalog version; prune old versions beyond [[Keep]]. */
+  def save(fs: FileSystem, root: Path, m: Manifest): Unit = {
+    m.version += 1
+    val dir = new Path(root, Dir)
+    fs.mkdirs(dir)
+    val target = new Path(dir, f"v${m.version}%012d.json")
+    val out = fs.create(target, true)
+    try out.write(JsonMethods.pretty(JsonMethods.render(m.toJson)).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // prune
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match { case VersionRe(n) => Some((n.toLong, st.getPath)); case _ => None }
+    }.sortBy(_._1).dropRight(Keep).foreach { case (_, p) => fs.delete(p, false) }
+  }
+}

@@ -1,0 +1,345 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.store.{HDFStore, SegmentMeta, TableMeta}
+
+/**
+ * A positional table inside an [[HDFStore]] — the Spark-native
+ * re-expression of the reference's `HDFTable[T]` (`nimtables.nim:20-28`,
+ * operations `:94-236`). Untyped (DataFrame) core; [[TypedTable]] adds the
+ * case-class-typed surface.
+ *
+ * == Positional model ==
+ * A table is an ordered Vector of immutable parquet *segments*; row-ids are
+ * dense and LOCAL inside each segment, and a segment's global offset is the
+ * prefix sum of earlier segments' row counts (all O(#segments) driver-side
+ * metadata). Consequences, by reference operation:
+ *
+ *  - point/slice read (`nimtables.nim:149-171`): only segments overlapping
+ *    the range are read, with a local `_rowid BETWEEN` filter pushed to
+ *    parquet row-group stats — the analog of `H5TBread_records` walking the
+ *    chunk B-tree.
+ *  - append (`nimtables.nim:173-175`): a brand-new segment; zero rewrite.
+ *  - delete/insert (`nimtables.nim:202-233`): only segments intersecting
+ *    the position are rewritten; every later segment shifts by METADATA
+ *    only (its offset is derived). The reference shifts all trailing
+ *    records inside libhdf5 — O(n); this is O(touched data + #segments).
+ *  - update (`nimtables.nim:177-200`): rewrite of intersecting segments,
+ *    counts unchanged.
+ *
+ * All mutations are copy-on-write: new segment dirs + one atomic manifest
+ * swap; concurrent readers keep a consistent snapshot.
+ */
+final class HDFTable private[graft] (val store: HDFStore, val name: String) {
+  import RowIds.Col
+
+  private def spark = store.spark
+
+  private[graft] def baseName: String = {
+    var n = name
+    var meta = store.manifest.tables(n)
+    while (meta.aliasOf.isDefined) { n = meta.aliasOf.get; meta = store.manifest.tables(n) }
+    n
+  }
+  private[graft] def meta: TableMeta = store.resolved(name)
+
+  /** Data schema (no `_rowid`). */
+  def schema: StructType = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+
+  /** O(1) row count from the catalog — ≙ cached `nrecords`
+    * (`nimtables.nim:235-236`); never a `df.count()` scan. */
+  def nrows: Long = meta.rows
+
+  private def segDf(seg: SegmentMeta): DataFrame =
+    spark.read.parquet(new Path(store.rootPath, seg.dir).toString)
+
+  /** Full-table view with the GLOBAL `_rowid` column. Lazy; no I/O here. */
+  def df: DataFrame = {
+    val m = meta
+    val parts = m.segments.zip(m.offsets).map { case (seg, off) =>
+      if (off == 0L) segDf(seg)
+      else segDf(seg).withColumn(Col, col(Col) + lit(off))
+    }
+    if (parts.isEmpty) emptyDf(withRowId = true)
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** Data columns only — ≙ full scan `toSeq` feeding composition. */
+  def dataDf: DataFrame = df.drop(Col)
+
+  private def emptyDf(withRowId: Boolean): DataFrame = {
+    val s = if (withRowId) StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(Col, org.apache.spark.sql.types.LongType, false))
+      else schema
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+  }
+
+  // ------------------------------------------------------------- reads
+
+  private def checkBounds(a: Long, b: Long): Unit = {
+    require(a >= 0 && b >= a, s"bad positional range [$a, $b]")
+    require(b < nrows, s"range [$a, $b] out of bounds for $nrows rows (≙ nimtables.nim bounds assert)")
+  }
+
+  /** Inclusive positional slice `[a, b]` — ≙ `table[a..b]`
+    * (`nimtables.nim:159-171`). Segment pruning happens HERE (driver-side
+    * metadata), then the residual local `BETWEEN` is pushed to parquet. */
+  def slice(a: Long, b: Long): DataFrame = {
+    checkBounds(a, b)
+    val m = meta
+    val parts = m.segments.zip(m.offsets).flatMap { case (seg, off) =>
+      val hi = off + seg.rows - 1
+      if (hi < a || off > b) None
+      else {
+        val la = math.max(a, off) - off
+        val lb = math.min(b, hi) - off
+        val base = segDf(seg)
+        val filtered = if (la == 0 && lb == seg.rows - 1) base
+          else base.filter(col(Col).between(la, lb))
+        Some(if (off == 0L) filtered else filtered.withColumn(Col, col(Col) + lit(off)))
+      }
+    }
+    if (parts.isEmpty) emptyDf(withRowId = true)
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** Point read `table[i]` (`nimtables.nim:149-157`). */
+  def point(i: Long): DataFrame = slice(i, i)
+
+  /** Backwards index `table[^i]` resolves against the cached row count. */
+  def fromEnd(i: Long): DataFrame = point(nrows - i)
+
+  /** Strided positional selection — the 1-D hyperslab
+    * (offset/count/stride/block) of `read_hyperslab`
+    * (`nimhdf5/datasets.nim:1601-1645`) on the record dimension, expressed
+    * as a pure pushdown-friendly predicate (SURVEY §2.2 P4). */
+  def hyperslab(offset: Long, count: Long, stride: Long, block: Long): DataFrame = {
+    require(offset >= 0 && count > 0 && stride >= 1 && block >= 1 && block <= stride,
+      s"bad hyperslab off=$offset count=$count stride=$stride block=$block")
+    val last = offset + (count - 1) * stride + block - 1
+    checkBounds(offset, last)
+    val rel = col(Col) - lit(offset)
+    slice(offset, last)
+      .filter(rel % lit(stride) < lit(block))
+  }
+
+  /** Coordinate-list selection ≙ `select_elements` reads
+    * (`nimhdf5/datasets.nim:806-860`). Small lists inline into an `IN`
+    * predicate (pushed to parquet); large ones become a broadcast
+    * semi-join so the driver never ships a huge literal. */
+  def selectRows(ids: Seq[Long]): DataFrame = {
+    ids.foreach(i => checkBounds(i, i))
+    if (ids.size <= 1000) df.filter(col(Col).isin(ids: _*))
+    else {
+      val idsDf = broadcast(
+        spark.createDataset(ids)(org.apache.spark.sql.Encoders.scalaLong).toDF(Col))
+      df.join(idsDf, Col)
+    }
+  }
+
+  /** Column projection ≙ `H5TBread_fields_name`
+    * (`nimhdf5/hl/H5TBpublic.nim:54-81`) — Catalyst prunes the parquet
+    * scan to exactly these columns. */
+  def select(cols: String*): DataFrame = df.select((Col +: cols).map(col): _*)
+
+  /** Type-converting read ≙ `readAs` (`nimhdf5/datasets.nim:922-971`). */
+  def readAs(colName: String, t: DataType): DataFrame =
+    df.select(col(Col), col(colName).cast(t).as(colName))
+
+  // ------------------------------------------------------------- writes
+
+  private def withLocalIds(data: DataFrame): DataFrame = {
+    val clean = if (data.columns.contains(Col)) data.drop(Col) else data
+    RowIds.attach(clean)
+  }
+
+  private def swapSegments(newSegs: Vector[SegmentMeta]): Unit = {
+    val b = baseName
+    store.manifest.tables += b ->
+      store.manifest.tables(b).copy(segments = newSegs.filter(_.rows > 0))
+    store.commit()
+  }
+
+  private def writeSorted(d: DataFrame): SegmentMeta = {
+    val m = meta
+    store.writeSegment(baseName, d.sort(Col), m.chunkSize, m.codec)
+  }
+
+  /** Append ≙ `append` (`nimtables.nim:173-175`): one new segment, nothing
+    * rewritten, all earlier data untouched. */
+  def append(data: DataFrame): Unit = {
+    store.checkWritable()
+    val seg = store.writeSegment(baseName, withLocalIds(data), meta.chunkSize, meta.codec)
+    swapSegments(meta.segments :+ seg)
+  }
+
+  /** Positional overwrite of `k = data.count` rows starting at `at` —
+    * ≙ `table[i] = rec` / `table[a..b] = recs` (`nimtables.nim:177-200`).
+    * Only segments intersecting `[at, at+k)` are rewritten. */
+  def update(at: Long, data: DataFrame): Unit = {
+    store.checkWritable()
+    val repl = withLocalIds(data).withColumn(Col, col(Col) + lit(at)).cache()
+    val k = repl.count()
+    if (k == 0) { repl.unpersist(); return }
+    val b = at + k - 1
+    checkBounds(at, b)
+    val m = meta
+    val newSegs = m.segments.zip(m.offsets).map { case (seg, off) =>
+      val hi = off + seg.rows - 1
+      if (hi < at || off > b) seg
+      else {
+        val la = math.max(at, off) - off
+        val lb = math.min(b, hi) - off
+        val kept = segDf(seg).filter(!col(Col).between(la, lb))
+        val incoming = repl.filter(col(Col).between(off + la, off + lb))
+          .withColumn(Col, col(Col) - lit(off))
+        writeSorted(kept.unionByName(incoming))
+      }
+    }.toVector
+    repl.unpersist()
+    swapSegments(newSegs)
+  }
+
+  /** Delete positional range `[a, b]` ≙ `delete(table, a..b)`
+    * (`nimtables.nim:202-227`). Segments fully inside vanish (metadata
+    * only); boundary segments are rewritten with a closed-form renumber
+    * (`id > lb → id - removed`); all later segments shift implicitly. */
+  def delete(a: Long, b: Long): Unit = {
+    store.checkWritable()
+    checkBounds(a, b)
+    val m = meta
+    val newSegs = m.segments.zip(m.offsets).flatMap { case (seg, off) =>
+      val hi = off + seg.rows - 1
+      if (hi < a || off > b) Some(seg)
+      else if (off >= a && hi <= b) None // fully deleted, no I/O at all
+      else {
+        val la = math.max(a, off) - off
+        val lb = math.min(b, hi) - off
+        val removed = lb - la + 1
+        val kept = segDf(seg).filter(!col(Col).between(la, lb))
+          .withColumn(Col, when(col(Col) > lb, col(Col) - removed).otherwise(col(Col)))
+        Some(writeSorted(kept))
+      }
+    }.toVector
+    swapSegments(newSegs)
+  }
+
+  def delete(i: Long): Unit = delete(i, i)
+
+  /** Insert rows at position `at` ≙ `insert(table, i, data)`
+    * (`nimtables.nim:229-233`). An insert at a segment boundary (incl. 0
+    * and nrows) is PURE METADATA — a new segment spliced into the list;
+    * mid-segment inserts rewrite exactly one segment. */
+  def insert(at: Long, data: DataFrame): Unit = {
+    store.checkWritable()
+    require(at >= 0 && at <= nrows, s"insert position $at out of [0, $nrows]")
+    val m = meta
+    val newSeg = store.writeSegment(baseName, withLocalIds(data), m.chunkSize, m.codec)
+    if (newSeg.rows == 0) return
+    val offs = m.offsets
+    val boundaryIdx = (0 until m.segments.size).find(i => offs(i) == at)
+      .orElse(if (at == nrows) Some(m.segments.size) else None)
+    boundaryIdx match {
+      case Some(i) =>
+        swapSegments((m.segments.take(i) :+ newSeg) ++ m.segments.drop(i))
+      case None =>
+        val i = m.segments.indices.find(j => offs(j) < at && at <= offs(j) + m.segments(j).rows - 1).get
+        val seg = m.segments(i); val off = offs(i)
+        val local = at - off
+        val k = newSeg.rows
+        val shifted = segDf(seg).withColumn(Col,
+          when(col(Col) >= local, col(Col) + k).otherwise(col(Col)))
+        val incoming = segDf(newSeg).withColumn(Col, col(Col) + lit(local))
+        val rewritten = writeSorted(shifted.unionByName(incoming))
+        swapSegments((m.segments.take(i) :+ rewritten) ++ m.segments.drop(i + 1))
+    }
+  }
+
+  /** Resize ≙ `resize`/`H5Dset_extent` (`nimhdf5/datasets.nim:1299-1336`):
+    * shrink trims (mostly metadata); grow appends zero-filled records
+    * (HDF5 extends with fill values). */
+  def resizeTo(n: Long): Unit = {
+    store.checkWritable()
+    require(n >= 0, s"bad size $n")
+    val cur = nrows
+    if (n < cur) { if (n == 0) swapSegments(Vector.empty) else delete(n, cur - 1) }
+    else if (n > cur) {
+      val k = n - cur
+      val zeros = spark.range(k).select(schema.fields.map { f =>
+        zeroLit(f.dataType).cast(f.dataType).as(f.name)
+      }: _*)
+      append(zeros)
+    }
+  }
+
+  private def zeroLit(t: DataType): Column = t match {
+    case org.apache.spark.sql.types.StringType => lit("")
+    case org.apache.spark.sql.types.BooleanType => lit(false)
+    case org.apache.spark.sql.types.ArrayType(et, _) => array().cast(org.apache.spark.sql.types.ArrayType(et))
+    case st: StructType => struct(st.fields.map(f => zeroLit(f.dataType).cast(f.dataType).as(f.name)): _*)
+    case _: org.apache.spark.sql.types.NumericType => lit(0)
+    case _ => lit(null)
+  }
+
+  /** Merge all segments into one (defragmentation after many mutations).
+    * Not a reference operation; housekeeping for long-lived stores. */
+  def compact(): Unit = {
+    store.checkWritable()
+    if (meta.segments.size > 1) {
+      val all = df.sort(Col)
+      val seg = store.writeSegment(baseName, all, meta.chunkSize, meta.codec)
+      swapSegments(Vector(seg))
+    }
+  }
+}
+
+/**
+ * Case-class-typed surface over [[HDFTable]] — ≙ the reference's
+ * `HDFTable[T]` API (`store[name, T]`, `toSeq`, `table[i]`, `table[a..b]`,
+ * `table[^i]`, append/update/insert/delete, `nrows`). The Encoder schema
+ * was already validated against the stored layout on open.
+ */
+final class TypedTable[T <: Product](val table: HDFTable)(implicit enc: Encoder[T]) {
+  import RowIds.Col
+  private def spark = table.store.spark
+  private val fieldCols = enc.schema.fieldNames.toSeq
+
+  def nrows: Long = table.nrows
+
+  /** Lazy typed dataset in positional order is not guaranteed without a
+    * sort; use [[toSeq]] for ordered driver materialization. */
+  def ds: Dataset[T] = table.dataDf.selectExpr(fieldCols: _*).as[T](enc)
+
+  private def decode(d: DataFrame): Seq[T] =
+    d.sort(Col).selectExpr(fieldCols: _*).as[T](enc).collect().toSeq
+
+  /** Full scan ≙ `toSeq` (`nimtables.nim:140-147`). */
+  def toSeq: Seq[T] = decode(table.df)
+
+  /** `table[i]` */
+  def apply(i: Long): T = decode(table.point(i)).head
+  /** `table[a..b]` (inclusive) */
+  def apply(a: Long, b: Long): Seq[T] = decode(table.slice(a, b))
+  def apply(r: Range): Seq[T] = { require(r.step == 1 && r.isInclusive); apply(r.start.toLong, r.end.toLong) }
+  /** `table[^i]` — i-th from the end, 1-based like Nim's BackwardsIndex. */
+  def fromEnd(i: Long): T = apply(nrows - i)
+  def last: T = fromEnd(1)
+
+  private def toDF(rows: Seq[T]): DataFrame = spark.createDataset(rows)(enc).toDF()
+
+  def append(rows: Seq[T]): Unit = table.append(toDF(rows))
+  /** `table[i] = rec` */
+  def update(i: Long, rec: T): Unit = table.update(i, toDF(Seq(rec)))
+  /** `table[a..] = recs` */
+  def update(a: Long, recs: Seq[T]): Unit = table.update(a, toDF(recs))
+  /** `table[^i] = rec` */
+  def updateFromEnd(i: Long, rec: T): Unit = update(nrows - i, rec)
+  def insert(at: Long, recs: Seq[T]): Unit = table.insert(at, toDF(recs))
+  def delete(i: Long): Unit = table.delete(i)
+  def delete(a: Long, b: Long): Unit = table.delete(a, b)
+  def deleteFromEnd(i: Long): Unit = delete(nrows - i)
+}

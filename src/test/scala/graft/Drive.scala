@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.store.{HDFStore, StoreMode}
+
+/** Manual end-to-end drive of the public library surface against the real
+  * testdata parquet — run with `sbt "Test/runMain graft.Drive"`. */
+object Drive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+
+    val dir = java.nio.file.Files.createTempDirectory("drive-store").toString
+    println(s"== store at $dir")
+    val st = HDFStore.open(spark, dir, StoreMode.Overwrite)
+
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .sort("l_orderkey", "l_linenumber")
+    st.put("tpch/lineitem", li)
+    println(s"== keys: ${st.keys}  nrows=${st.nrows("tpch/lineitem")}")
+
+    val t = st.table("tpch/lineitem")
+    println("== point read [5]:")
+    t.point(5).show(truncate = false)
+    println("== slice [3..10]:")
+    t.slice(3, 10).orderBy("_rowid").show(20, truncate = false)
+    println("== slice plan (expect PushedFilters on _rowid):")
+    t.slice(3, 10).explain("formatted")
+
+    println("== delete [10..19], then read [8..12]")
+    t.delete(10, 19)
+    println(s"nrows after delete = ${t.nrows}")
+    t.slice(8, 12).orderBy("_rowid").select(col("_rowid"), col("l_orderkey"), col("l_linenumber")).show()
+
+    println("== insert 3 rows at 100 (copies of rows 0-2)")
+    t.insert(100, t.slice(0, 2).drop("_rowid"))
+    println(s"nrows after insert = ${t.nrows}, segments = ${st.segmentCount("tpch/lineitem")}")
+    t.slice(99, 104).orderBy("_rowid").select(col("_rowid"), col("l_orderkey"), col("l_linenumber")).show()
+
+    st.setAttr("tpch/lineitem", "source", "sf0.001")
+    st.close()
+
+    println("== reopen read-only; state persisted?")
+    val ro = HDFStore.open(spark, dir, StoreMode.Read)
+    println(s"keys=${ro.keys} nrows=${ro.nrows("tpch/lineitem")} attr=${ro.getAttr("tpch/lineitem", "source")}")
+
+    println("== probes")
+    try ro.table("tpch/lineitem").slice(0, 10_000_000) catch {
+      case e: IllegalArgumentException => println(s"out-of-bounds slice -> ${e.getMessage}")
+    }
+    try ro.drop("tpch/lineitem") catch {
+      case e: UnsupportedOperationException => println(s"write on read-only -> ${e.getMessage}")
+    }
+    try ro.table("nope") catch {
+      case e: NoSuchElementException => println(s"unknown table -> ${e.getMessage}")
+    }
+    ro.close()
+    spark.stop()
+    println("== drive done")
+  }
+}

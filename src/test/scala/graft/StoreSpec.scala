@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{HDFStore, StoreMode}
+
+/** Mirrors the reference suite "HDF Store" (`/root/reference/tests.nim:27-42`):
+  * create / open rw / open read-only / custom chunk size / compressed. */
+class StoreSpec extends AnyFunSuite {
+  import Fixture._
+  private lazy val spark = TestSpark.spark
+
+  test("create a store") {
+    val dir = TestSpark.tmpDir("store-create")
+    val st = HDFStore.open(spark, dir, StoreMode.Overwrite)
+    assert(st.keys.isEmpty)
+    st.close()
+  }
+
+  test("open a store read/write") {
+    val dir = TestSpark.tmpDir("store-rw")
+    HDFStore.open(spark, dir, StoreMode.Overwrite).close()
+    val st = HDFStore.open(spark, dir, StoreMode.ReadWrite)
+    import spark.implicits._
+    st.put("particles", particles)
+    assert(st.keys == Seq("particles"))
+    st.close()
+  }
+
+  test("open a store read-only rejects writes") {
+    val dir = TestSpark.tmpDir("store-ro")
+    HDFStore.open(spark, dir, StoreMode.Overwrite).close()
+    val st = HDFStore.open(spark, dir, StoreMode.Read)
+    import spark.implicits._
+    intercept[UnsupportedOperationException] { st.put("particles", particles) }
+    st.close()
+  }
+
+  test("open a missing store read-only fails (hdRead)") {
+    intercept[java.io.FileNotFoundException] {
+      HDFStore.open(spark, TestSpark.tmpDir("gone") + "/nope", StoreMode.Read)
+    }
+  }
+
+  test("store with custom chunk size") {
+    val dir = TestSpark.tmpDir("store-chunk")
+    val st = HDFStore.open(spark, dir, StoreMode.Overwrite, chunkSize = Some(10))
+    import spark.implicits._
+    st.put("particles", particles)
+    // 13 rows with maxRecordsPerFile=10 → at least 2 parquet files
+    assert(st.typed[Particle]("particles").toSeq == particles)
+    st.close()
+  }
+
+  test("store with compression (gzip ≙ zlib)") {
+    val dir = TestSpark.tmpDir("store-gz")
+    val st = HDFStore.open(spark, dir, StoreMode.Overwrite, compression = true)
+    import spark.implicits._
+    st.put("particles", particles)
+    assert(st.typed[Particle]("particles").toSeq == particles)
+    st.close()
+  }
+
+  test("infer mode opens-or-creates (hdInfer)") {
+    val dir = TestSpark.tmpDir("store-infer") + "/sub"
+    val st = HDFStore.open(spark, dir) // creates
+    import spark.implicits._
+    st.put("p", particles)
+    st.close()
+    val st2 = HDFStore.open(spark, dir) // opens
+    assert(st2.keys == Seq("p"))
+    st2.close()
+  }
+
+  test("drop silently no-ops on unknown name (nimtables.nim:106-109)") {
+    val dir = TestSpark.tmpDir("store-del")
+    val st = HDFStore.open(spark, dir, StoreMode.Overwrite)
+    import spark.implicits._
+    st.put("particles", particles)
+    st.drop("particle2") // the reference test's typo — must not throw
+    assert(st.keys == Seq("particles"))
+    st.drop("particles")
+    assert(st.keys.isEmpty)
+    st.close()
+  }
+
+  test("groups, keys(prefix), contains") {
+    val dir = TestSpark.tmpDir("store-grp")
+    val st = HDFStore.open(spark, dir, StoreMode.Overwrite)
+    import spark.implicits._
+    st.createGroup("/a/b")
+    st.put("a/b/t1", particles)
+    st.put("a/t2", particles)
+    assert(st.isGroup("a") && st.isGroup("a/b"))
+    assert(st.isTable("a/b/t1"))
+    assert(st.contains("/a/b/t1") && st.contains("a"))
+    assert(st.keys == Seq("a/b/t1", "a/t2"))
+    assert(st.keys("a/b", -1) == Seq("a/b/t1"))
+    st.close()
+  }
+
+  test("hardlink aliases share data; copy duplicates it") {
+    val dir = TestSpark.tmpDir("store-link")
+    val st = HDFStore.open(spark, dir, StoreMode.Overwrite)
+    import spark.implicits._
+    st.put("orig", particles)
+    st.hardlink("orig", "alias")
+    assert(st.typed[Particle]("alias").toSeq == particles)
+    // mutation through the alias is visible through the original (shared data)
+    st.typed[Particle]("alias").append(Seq(Particle(14, 1, 100.0, 20.0)))
+    assert(st.nrows("orig") == 14)
+    st.copy("orig", "clone")
+    st.typed[Particle]("clone").delete(0)
+    assert(st.nrows("clone") == 13 && st.nrows("orig") == 14)
+    // dropping one hardlink name keeps the data reachable via the other
+    st.drop("orig")
+    assert(st.typed[Particle]("alias").toSeq.size == 14)
+    st.close()
+  }
+
+  test("typed attributes round-trip; bool rejected (attributes.nim:289-293)") {
+    val dir = TestSpark.tmpDir("store-attr")
+    val st = HDFStore.open(spark, dir, StoreMode.Overwrite)
+    import spark.implicits._
+    st.put("t", particles)
+    st.setAttr("t", "answer", 42L)
+    st.setAttr("t", "pi", 3.14)
+    st.setAttr("t", "note", "hello")
+    st.setAttr("t", "xs", Seq(1L, 2L, 3L))
+    st.setAttr("", "fileLevel", "root attr")
+    assert(st.getAttr("t", "answer") == graft.store.AttrValue.I64(42))
+    assert(st.getAttr("t", "xs") == graft.store.AttrValue.I64Seq(Seq(1, 2, 3)))
+    assert(st.getAttr("", "fileLevel") == graft.store.AttrValue.Str("root attr"))
+    assert(st.hasAttr("t", "pi") && !st.hasAttr("t", "nope"))
+    intercept[UnsupportedOperationException] { st.setAttr("t", "flag", true) }
+    st.setAttr("t", "answer", 43L) // overwrite-by-delete semantics
+    assert(st.getAttr("t", "answer") == graft.store.AttrValue.I64(43))
+    st.deleteAttr("t", "pi")
+    assert(!st.hasAttr("t", "pi"))
+    // copy_attributes
+    st.put("u", particles)
+    st.copyAttrs("t", "u")
+    assert(st.getAttr("u", "note") == graft.store.AttrValue.Str("hello"))
+    // persistence across re-open
+    st.close()
+    val st2 = HDFStore.open(spark, dir, StoreMode.Read)
+    assert(st2.getAttr("t", "answer") == graft.store.AttrValue.I64(43))
+    st2.close()
+  }
+}

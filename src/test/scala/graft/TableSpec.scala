@@ -1,0 +1,198 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{HDFStore, StoreMode}
+
+/** Mirrors the reference suite "HDF Table" (`/root/reference/tests.nim:44-112`)
+  * plus the positional operators SURVEY §2.2/2.3 adds to the surface. */
+class TableSpec extends AnyFunSuite {
+  import Fixture._
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  private def fresh(): HDFStore =
+    HDFStore.open(spark, TestSpark.tmpDir("tbl"), StoreMode.Overwrite)
+
+  test("create table + full round-trip (tests.nim:46-68)") {
+    val st = fresh(); import spark.implicits._
+    st.put("particles", particles)
+    assert(st.typed[Particle]("particles").toSeq == particles)
+    st.close()
+  }
+
+  test("create compressed / custom chunk variants (tests.nim:48-62)") {
+    val st = fresh(); import spark.implicits._
+    st.put("pz", particles, None, Some("gzip"))
+    st.put("pc", particles, Some(10L), Some("gzip"))
+    assert(st.typed[Particle]("pz").toSeq == particles)
+    assert(st.typed[Particle]("pc").toSeq == particles)
+    st.close()
+  }
+
+  test("point reads incl. backwards index (tests.nim:70-77)") {
+    val st = fresh(); import spark.implicits._
+    st.put("particles", particles)
+    val t = st.typed[Particle]("particles")
+    assert(t(0) == particles.head)
+    assert(t.last == particles.last)
+    assert(t.fromEnd(2) == particles(11))
+    intercept[IllegalArgumentException] { t(13L) }
+  }
+
+  test("slice read table[3..10] (tests.nim:75-77)") {
+    val st = fresh(); import spark.implicits._
+    st.put("particles", particles)
+    val t = st.typed[Particle]("particles")
+    assert(t(3L, 10L) == particles.slice(3, 11))
+    assert(t(3 to 10) == particles.slice(3, 11))
+  }
+
+  test("append two rows (tests.nim:79-90)") {
+    val st = fresh(); import spark.implicits._
+    st.put("particles", particles)
+    val t = st.typed[Particle]("particles")
+    val extra = Seq(Particle(14, 1, 100.0, 20.0), Particle(15, 1, 100.0, 20.0))
+    t.append(extra)
+    assert(t.nrows == 15)
+    assert(t.toSeq == particles ++ extra)
+    assert(t.last == extra.last)
+  }
+
+  test("delete a row (tests.nim:92-99)") {
+    val st = fresh(); import spark.implicits._
+    st.put("particles", particles)
+    val t = st.typed[Particle]("particles")
+    t.deleteFromEnd(1)
+    assert(t.nrows == 12)
+    assert(t.last == particles(11))
+    t.delete(0)
+    assert(t.nrows == 11)
+    assert(t.toSeq == particles.slice(1, 12))
+  }
+
+  test("delete a middle slice renumbers densely") {
+    val st = fresh(); import spark.implicits._
+    st.put("particles", particles)
+    val t = st.typed[Particle]("particles")
+    t.delete(3, 5)
+    val expect = particles.take(3) ++ particles.drop(6)
+    assert(t.nrows == 10)
+    assert(t.toSeq == expect)
+    assert(t(3) == particles(6))
+  }
+
+  test("insert rows at position (tests.nim:101-111)") {
+    val st = fresh(); import spark.implicits._
+    st.put("particles", particles)
+    val t = st.typed[Particle]("particles")
+    val ins = Seq(Particle(99, 9, 1.0, 2.0), Particle(98, 9, 1.0, 2.0))
+    t.insert(3, ins)
+    assert(t.nrows == 15)
+    assert(t(3L, 4L) == ins)
+    assert(t.toSeq == (particles.take(3) ++ ins ++ particles.drop(3)))
+  }
+
+  test("insert at 0 and at nrows are metadata-only boundary inserts") {
+    val st = fresh(); import spark.implicits._
+    st.put("particles", particles)
+    val t = st.typed[Particle]("particles")
+    val a = Seq(Particle(0, 0, 0, 0))
+    t.insert(0, a)
+    t.insert(t.nrows, a)
+    assert(t.nrows == 15)
+    assert(t.toSeq == (a ++ particles ++ a))
+  }
+
+  test("positional update point, slice, and from-end (nimtables.nim:177-200)") {
+    val st = fresh(); import spark.implicits._
+    st.put("particles", particles)
+    val t = st.typed[Particle]("particles")
+    val p = Particle(100, 2, 50.0, 10.0)
+    t.update(0, p)
+    t.updateFromEnd(1, p)
+    assert(t(0) == p && t.last == p)
+    val repl = Seq(Particle(201, 1, 1, 1), Particle(202, 1, 1, 1), Particle(203, 1, 1, 1))
+    t.update(5, repl)
+    assert(t(5L, 7L) == repl)
+    assert(t.nrows == 13)
+    intercept[IllegalArgumentException] { t.update(11, repl) } // crosses the end
+  }
+
+  test("update across segment boundary") {
+    val st = fresh(); import spark.implicits._
+    st.put("particles", particles)
+    val t = st.typed[Particle]("particles")
+    t.append(particles.map(p => p.copy(lati = p.lati + 100))) // second segment
+    val repl = (0 until 4).map(i => Particle(300 + i, 3, 3, 3))
+    t.update(11, repl) // rows 11,12 in seg0; 13,14 in seg1
+    assert(t(11L, 14L) == repl)
+    assert(t.nrows == 26)
+  }
+
+  test("resize grow zero-fills, shrink trims (datasets.nim:1299-1336)") {
+    val st = fresh(); import spark.implicits._
+    st.put("particles", particles)
+    val t = st.table("particles")
+    t.resizeTo(15)
+    assert(t.nrows == 15)
+    val typed = st.typed[Particle]("particles")
+    assert(typed.last == Particle(0, 0, 0.0, 0.0))
+    t.resizeTo(5)
+    assert(typed.toSeq == particles.take(5))
+  }
+
+  test("hyperslab strided read (offset/count/stride/block)") {
+    val st = fresh(); import spark.implicits._
+    st.put("particles", particles)
+    val t = st.table("particles")
+    // offset=1, count=4, stride=3, block=2 → ids 1,2, 4,5, 7,8, 10,11
+    val got = t.hyperslab(1, 4, 3, 2).select("_rowid").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 4L, 5L, 7L, 8L, 10L, 11L))
+  }
+
+  test("coordinate-list selection (select_elements)") {
+    val st = fresh(); import spark.implicits._
+    st.put("particles", particles)
+    val t = st.table("particles")
+    val got = t.selectRows(Seq(0L, 5L, 12L)).select("lati").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 6L, 13L))
+  }
+
+  test("projection + cast read (P5/P6)") {
+    val st = fresh(); import spark.implicits._
+    st.put("particles", particles)
+    val t = st.table("particles")
+    assert(t.select("lati", "pressure").columns.toSeq == Seq("_rowid", "lati", "pressure"))
+    val cast = t.readAs("pressure", org.apache.spark.sql.types.IntegerType)
+    assert(cast.schema("pressure").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(cast.orderBy("_rowid").collect().head.getInt(1) == 100)
+  }
+
+  test("schema compatibility check fails fast (nimtables.nim:133-138)") {
+    val st = fresh(); import spark.implicits._
+    st.put("particles", particles)
+    intercept[IllegalStateException] { st.typed[WrongParticle]("particles") }
+  }
+
+  test("compact merges segments, preserving order") {
+    val st = fresh(); import spark.implicits._
+    st.put("particles", particles)
+    val t = st.typed[Particle]("particles")
+    t.append(particles)
+    t.insert(5, particles.take(2))
+    st.table("particles").compact()
+    assert(st.segmentCount("particles") == 1)
+    assert(t.toSeq == (particles.take(5) ++ particles.take(2) ++ particles.drop(5) ++ particles))
+  }
+
+  test("many small appends then mutations (stress, multi-segment)") {
+    val st = fresh(); import spark.implicits._
+    st.put("p", particles.take(1))
+    val t = st.typed[Particle]("p")
+    (1 until 13).foreach(i => t.append(Seq(particles(i))))
+    assert(t.toSeq == particles)
+    t.delete(2, 9)
+    assert(t.toSeq == (particles.take(2) ++ particles.drop(10)))
+  }
+}
