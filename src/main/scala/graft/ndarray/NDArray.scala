@@ -1,0 +1,145 @@
+package graft.ndarray
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+import graft.store.HDFStore
+import graft.table.{HDFTable, RowIds}
+
+/**
+ * N-dimensional dataset facade — the Spark re-expression of nimhdf5's
+ * generic dataset layer (`nimhdf5/datasets.nim`). An N-D array of scalars
+ * is stored as a positional table of `(i0…iN-1, value)` rows in row-major
+ * order, so the table `_rowid` IS the linearized index:
+ * `rowid = i0*stride0 + i1*stride1 + …`. That identity makes every HDF5
+ * selection mode a pushdown-friendly predicate or a positional table op:
+ *
+ *  - hyperslab offset/count/stride/block (`datasets.nim:1371-1645`) →
+ *    per-dimension arithmetic predicates (SURVEY §2.2 P4) — no custom
+ *    Catalyst node, Catalyst pushes them to parquet;
+ *  - coordinate-list select (`datasets.nim:806-920`) → OR-of-points
+ *    predicate (small) or broadcast join (large);
+ *  - coordinate write (`datasets.nim:1167-1275`) → positional
+ *    [[HDFTable.applyUpdates]] on linearized ids;
+ *  - `add` along axis 0 (`datasets.nim:1338-1369`) → pure segment append;
+ *  - `readAs` cast (`datasets.nim:922-971`) → `cast`.
+ *
+ * Scale: the row-major layout range-partitions on `_rowid`, so a
+ * hyperslab over a 100 TB array prunes to the parquet row groups whose
+ * linear-index ranges intersect the slab.
+ */
+final class NDArray private[ndarray] (
+    val store: HDFStore, val name: String, val table: HDFTable) {
+
+  def shape: Vector[Long] = store.resolved(name).shape
+  def maxShape: Vector[Long] = store.resolved(name).maxShape
+  def rank: Int = shape.size
+
+  private def dimCols: Seq[String] = (0 until rank).map(i => s"i$i")
+
+  /** Row-major strides for the current shape. */
+  private def strides: Vector[Long] =
+    shape.scanRight(1L)(_ * _).tail
+
+  def df: DataFrame = table.df
+
+  /** Whole-dataset read ≙ `dset[T]` (`datasets.nim:973-1021`). */
+  def read(): DataFrame = df.orderBy(RowIds.Col)
+    .select((dimCols :+ "value").map(col): _*)
+
+  /** Hyperslab selection: for each dim `d`, take indices
+    * `offset + k*stride + b` for `k < count`, `b < block`. */
+  def hyperslab(offsets: Seq[Long], counts: Seq[Long],
+                strides_ : Seq[Long], blocks: Seq[Long]): DataFrame = {
+    require(Seq(offsets, counts, strides_, blocks).forall(_.size == rank),
+      s"hyperslab args must have rank $rank")
+    val conds = (0 until rank).map { d =>
+      val (off, cnt, str, blk) = (offsets(d), counts(d), strides_(d), blocks(d))
+      require(str >= 1 && blk >= 1 && blk <= str && cnt >= 1 && off >= 0,
+        s"bad hyperslab in dim $d")
+      val last = off + (cnt - 1) * str + blk - 1
+      require(last < shape(d), s"hyperslab exceeds shape in dim $d: $last >= ${shape(d)}")
+      val c = col(s"i$d")
+      c >= off && c <= last && (c - off) % str < blk
+    }
+    df.filter(conds.reduce(_ && _))
+      .orderBy(RowIds.Col)
+      .select((dimCols :+ "value").map(col): _*)
+  }
+
+  /** Coordinate-list read ≙ `select_elements` + `read(dset, coords)`. */
+  def selectPoints(points: Seq[Seq[Long]]): DataFrame = {
+    require(points.nonEmpty && points.forall(_.size == rank))
+    if (points.size <= 1000) {
+      val cond = points.map { p =>
+        (0 until rank).map(d => col(s"i$d") === p(d)).reduce(_ && _)
+      }.reduce(_ || _)
+      df.filter(cond).orderBy(RowIds.Col).select((dimCols :+ "value").map(col): _*)
+    } else {
+      val st = strides
+      val ids = points.map(p => p.zip(st).map { case (x, s) => x * s }.sum)
+      table.selectRows(ids).orderBy(RowIds.Col).select((dimCols :+ "value").map(col): _*)
+    }
+  }
+
+  /** Type-converting read ≙ `readAs`. */
+  def readAs(t: DataType): DataFrame =
+    read().withColumn("value", col("value").cast(t))
+
+  /** Coordinate-list write ≙ element writes (`datasets.nim:1167-1275`):
+    * copy-on-write of only the segments containing the points. */
+  def writePoints(points: Seq[Seq[Long]], value: Long => Any): Unit = {
+    require(points.nonEmpty && points.forall(_.size == rank))
+    val st = strides
+    val rows = points.map { p =>
+      val id = p.zip(st).map { case (x, s) => x * s }.sum
+      org.apache.spark.sql.Row.fromSeq(p :+ value(id) :+ id)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      table.schema.fields :+ org.apache.spark.sql.types.StructField(
+        RowIds.Col, org.apache.spark.sql.types.LongType, false))
+    val updates = store.spark.createDataFrame(
+      store.spark.sparkContext.parallelize(rows.toList), schema)
+    table.applyUpdates(updates)
+  }
+
+  /** Append a block along axis 0 ≙ `add` (`datasets.nim:1338-1369`):
+    * pure segment append + shape bump. `block` must carry `(i0…iN-1,
+    * value)` for the new rows in row-major order with axis-0 indices
+    * starting at the current `shape(0)`. */
+  def add(block: DataFrame, extent: Long): Unit = {
+    val mx = maxShape
+    if (mx.nonEmpty && mx(0) >= 0)
+      require(shape(0) + extent <= mx(0), s"extent exceeds maxshape ${mx(0)}")
+    table.append(block)
+    store.setShape(name, shape.updated(0, shape(0) + extent))
+  }
+}
+
+object NDArray {
+  /** Create ≙ `create_dataset` + full write (`datasets.nim:347-541`).
+    * `data` must have columns `(i0…iN-1, value)`; it is sorted row-major
+    * here so `_rowid` = linearized index. maxShape entries of -1 ≙
+    * `H5S_UNLIMITED` (`dataspaces.nim:31-40`). */
+  def create(store: HDFStore, name: String, data: DataFrame,
+             shape: Seq[Long], maxShape: Seq[Long] = Nil,
+             chunkSize: Option[Long] = None, codec: Option[String] = None): NDArray = {
+    val rank = shape.size
+    val dimCols = (0 until rank).map(i => s"i$i")
+    require(dimCols.forall(data.columns.contains) && data.columns.contains("value"),
+      s"data must have columns ${dimCols.mkString(",")}, value")
+    val sorted = data.select((dimCols :+ "value").map(col): _*)
+      .sort(dimCols.map(col): _*)
+    store.put(name, sorted, chunkSize, codec)
+    store.setNdMeta(name, shape.toVector,
+      if (maxShape.isEmpty) shape.toVector else maxShape.toVector)
+    open(store, name)
+  }
+
+  def open(store: HDFStore, name: String): NDArray = {
+    val meta = store.resolved(name)
+    require(meta.kind == "ndarray", s"$name is not an ndarray (kind=${meta.kind})")
+    new NDArray(store, store.norm(name), store.table(name))
+  }
+}

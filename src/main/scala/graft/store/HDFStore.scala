@@ -118,6 +118,23 @@ final class HDFStore private (
 
   private[graft] def commit(): Unit = Manifest.save(fs, rootPath, manifest)
 
+  /** Mark a table as an N-D dataset with the given shape/maxshape
+    * (≙ dataspace metadata, `nimhdf5/dataspaces.nim`). -1 ≙ unlimited. */
+  private[graft] def setNdMeta(name: String, shape: Vector[Long], maxShape: Vector[Long]): Unit = {
+    checkWritable()
+    val n = norm(name)
+    val m = manifest.tables(n)
+    manifest.tables += n -> m.copy(kind = "ndarray", shape = shape, maxShape = maxShape)
+    commit()
+  }
+
+  private[graft] def setShape(name: String, shape: Vector[Long]): Unit = {
+    checkWritable()
+    val n = norm(name)
+    manifest.tables += n -> manifest.tables(n).copy(shape = shape)
+    commit()
+  }
+
   // ---------------------------------------------------------------- groups
 
   /** Recursive group create ≙ `create_group` mkdir -p semantics

@@ -204,6 +204,40 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
     swapSegments(newSegs)
   }
 
+  /** Scattered positional overwrite: `updates` carries a GLOBAL `_rowid`
+    * plus full replacement data columns for an arbitrary id set — the
+    * coordinate-list write (`H5Sselect_elements` writes,
+    * `nimhdf5/datasets.nim:1167-1275`) generalized. Only segments whose id
+    * range intersects the update set are rewritten (anti-join + union);
+    * row counts are unchanged. */
+  def applyUpdates(updates: DataFrame): Unit = {
+    store.checkWritable()
+    val u = updates.cache()
+    try {
+      val mm = u.agg(min(col(Col)), max(col(Col))).collect()(0)
+      if (mm.isNullAt(0)) return
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      checkBounds(lo, hi)
+      val m = meta
+      val newSegs = m.segments.zip(m.offsets).map { case (seg, off) =>
+        val segHi = off + seg.rows - 1
+        if (segHi < lo || off > hi) seg
+        else {
+          val local = u.filter(col(Col).between(off, segHi))
+            .withColumn(Col, col(Col) - lit(off))
+          val base = segDf(seg)
+          val kept = base.join(local.select(Col), Seq(Col), "left_anti")
+          val rewritten = writeSorted(kept.unionByName(local.select(base.columns.map(col): _*)))
+          if (rewritten.rows != seg.rows)
+            throw new IllegalStateException(
+              s"coordinate update changed segment row count ${seg.rows} -> ${rewritten.rows} (duplicate or out-of-range ids?)")
+          rewritten
+        }
+      }.toVector
+      swapSegments(newSegs)
+    } finally u.unpersist()
+  }
+
   /** Delete positional range `[a, b]` ≙ `delete(table, a..b)`
     * (`nimtables.nim:202-227`). Segments fully inside vanish (metadata
     * only); boundary segments are rewritten with a closed-form renumber
