@@ -492,8 +492,289 @@ object SparkEntry {
        "FROM lineitem")
   )
 
-  // ----------------------------------------------- extensions (batch 2)
+  // ----------------------------------------------- extensions: LLM-pipeline ops
 
-  private def extensionQueries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  private def extensionOracles: Map[String, String] = Map()
+  import graft.ops.{Dedup, Multimodal, Sessionize, Similarity, TextStats}
+
+  private def docs(s: SparkSession, d: String) = s.read.parquet(s"$d/documents.parquet")
+  private def embs(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
+  private def events(s: SparkSession, d: String) = s.read.parquet(s"$d/events.parquet")
+
+  /** Tokenizer fragments shared by the DuckDB oracles. */
+  private val TOK = """string_split_regex(lower(text), '\s+')"""
+  /** DuckDB fragment: parse the top 15 hex digits of a hex string. */
+  private def hexsql(arg: String) = s"('0x' || substr($arg, 1, 15))::BIGINT"
+  /** DuckDB fragment ≙ [[TextStats.hash60]]. */
+  private def h60sql(arg: String) = hexsql(s"md5($arg)")
+  private val EN_STOP = "['the','a','of','to','and','in','is','it']"
+
+  private def extensionQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: representative id + multiplicity per distinct text
+    "x_dedup_exact" -> ((s, d) =>
+      Dedup.exact(docs(s, d), "doc_id", "text").orderBy("keep_id")),
+
+    // exact n-gram Jaccard top-20 pairs (inverted shingle index)
+    "x_dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(docs(s, d).filter(col("doc_id") < 300), "doc_id", "text", 3)
+        .orderBy(col("jaccard").desc, col("id1"), col("id2")).limit(20)),
+
+    // MinHash signatures (portable md5-based hash family), long format
+    "x_dedup_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(docs(s, d).filter(col("doc_id") < 300), "doc_id", "text", 3, 16)
+        .select(col("doc_id"), posexplode(col("sig")))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "minhash")
+        .orderBy("doc_id", "i")),
+
+    // MinHash + banded LSH near-dup pairs over planted near-duplicates
+    "x_dedup_minhash_lsh" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") < 300)
+      val planted = base.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zzz")).as("text"))
+      val all = base.select("doc_id", "text").unionByName(planted)
+      Dedup.minhashPairs(all, "doc_id", "text", 3, 32, 8)
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("id1", "id2")
+    }),
+
+    // 60-bit SimHash fingerprints
+    "x_dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(docs(s, d).filter(col("doc_id") < 300), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // embedding-cosine near-dup via hyperplane LSH (planted scaled copies:
+    // cosine is scale-invariant, so each copy pairs with its source at 1.0)
+    "x_dedup_embed" -> ((s, d) => {
+      val base = embs(s, d)
+      val planted = base.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      val all = base.select("vec_id", "embedding").unionByName(planted)
+      Dedup.embeddingNearDup(all, "vec_id", "embedding", planes = 12, minCosine = 0.99)
+        .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id1")
+    }),
+
+    // brute-force cosine top-10 (exact-decimal kernel for the oracle)
+    "x_knn_cosine" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      Similarity.topK(embs(s, d), "vec_id", "embedding", q, 10, exactDecimal = true)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // LSH-bucketed ANN: same query vector, candidates from probed buckets
+    "x_knn_lsh" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      Similarity.lshTopK(embs(s, d), "vec_id", "embedding", q, 10, planes = 8, probeHamming = 2)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+    }),
+
+    // language-ID (stopword votes, fixed precedence)
+    "x_lang_id" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), col("lang"),
+        TextStats.langId(col("text")).as("guess")).orderBy("doc_id")),
+
+    // quality scoring
+    "x_text_quality" -> ((s, d) =>
+      TextStats.quality(docs(s, d), "text")
+        .select("doc_id", "n_chars", "n_tokens", "avg_token_len",
+          "punct_ratio", "digit_ratio", "stopword_ratio", "quality_score")
+        .orderBy("doc_id")),
+
+    // token counting (whitespace + BPE-ish regex)
+    "x_token_count" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextStats.bpeTokenCount(col("text")).as("n_bpe"),
+        size(TextStats.tokens(col("text"))).cast(LongType).as("n_ws"))
+        .orderBy("doc_id")),
+
+    // document fingerprinting (md5 + portable 60-bit hash)
+    "x_fingerprint" -> ((s, d) =>
+      TextStats.fingerprint(docs(s, d), "text")
+        .select("doc_id", "md5", "h60", "n_chars").orderBy("doc_id")),
+
+    // gap-based sessionization of the event stream
+    "x_sessionize" -> ((s, d) =>
+      Sessionize.sessionStats(events(s, d), 1800)
+        .orderBy("user_id", "session_id")),
+
+    // tumbling-window aggregation (batch analog of the streaming agg)
+    "x_tumbling_window" -> ((s, d) =>
+      Sessionize.tumbling(events(s, d), 1800).orderBy("event_type", "bucket")),
+
+    // pricing-summary aggregation (decimal-exact sums)
+    "x_agg_pricing" -> ((s, d) => {
+      val t = li(s, d).df
+      t.groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_base"),
+        // factors cast to decimal FIRST (tie-free for 2-decimal data), then
+        // exact decimal multiply — double→decimal of a product can tie and
+        // Spark (HALF_UP) vs DuckDB (HALF_EVEN) would disagree
+        sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+          (lit(BigDecimal(1)).cast(DecimalType(8, 4)) - col("l_discount").cast(DecimalType(8, 4))))
+          .cast(DoubleType).as("sum_disc"),
+        count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // broadcast join + per-group top-k window
+    "x_join_topk" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val c = s.read.parquet(s"$d/customer.parquet")
+      val n = s.read.parquet(s"$d/nation.parquet")
+      val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      joined.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice", "c_name", "n_name")
+        .orderBy("o_orderpriority", "rk")
+    }),
+
+    // multimodal: binary payload + stubbed decode metadata
+    "x_multimodal_meta" -> ((s, d) =>
+      Multimodal.decodeStub(Multimodal.attachPayload(docs(s, d), "text"))
+        .select(col("doc_id"), col("media_meta.format").as("format"),
+          col("media_meta.width").as("width"), col("media_meta.height").as("height"),
+          col("media_meta.nBytes").as("n_bytes"))
+        .orderBy("doc_id")),
+
+    // multimodal: mapPartitions batch featurization (deterministic fake)
+    "x_multimodal_feat" -> ((s, d) =>
+      Multimodal.featurize(
+        Multimodal.attachPayload(docs(s, d), "text"), "doc_id", "payload", 16)
+        .toDF()
+        .select(col("id"), col("nBytes").as("n_bytes"),
+          element_at(col("features"), 1).cast(DoubleType).as("f0"),
+          element_at(col("features"), 2).cast(DoubleType).as("f1"))
+        .orderBy("id"))
+  )
+
+  private def extensionOracles: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS dups FROM documents GROUP BY text ORDER BY keep_id",
+
+    "x_dedup_jaccard" ->
+      (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents WHERE doc_id < 300), """ +
+       """sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
+       """i -> array_to_string(l[i:i+2], ' '))) AS s FROM toks), """ +
+       """sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), """ +
+       """inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n FROM sh a """ +
+       """JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) """ +
+       """SELECT id1, id2, CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) AS jaccard FROM inter """ +
+       """JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2 """ +
+       """ORDER BY jaccard DESC, id1, id2 LIMIT 20"""),
+
+    "x_dedup_minhash_sig" ->
+      (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents WHERE doc_id < 300), """ +
+       """sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
+       """i -> array_to_string(l[i:i+2], ' '))) AS s FROM toks), """ +
+       s"""hm AS (SELECT doc_id, ${h60sql("s")} % 2147483647 AS h FROM sh) """ +
+       """SELECT doc_id, g.i AS i, """ +
+       """min((((g.i * 2654435761) % 2147483647 + 1) * h + (g.i * 40503) % 2147483647 + 7) % 2147483647) AS minhash """ +
+       """FROM hm, generate_series(0, 15) g(i) GROUP BY 1, 2 ORDER BY doc_id, i"""),
+
+    "x_dedup_simhash" ->
+      (s"""WITH th AS (SELECT doc_id, unnest($TOK) AS tok FROM documents WHERE doc_id < 300), """ +
+       s"""h AS (SELECT doc_id, ${h60sql("tok")} AS h FROM th), """ +
+       """bits AS (SELECT doc_id, g.j AS j, SUM(CASE WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS s """ +
+       """FROM h, generate_series(0, 59) g(j) GROUP BY 1, 2) """ +
+       """SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS simhash """ +
+       """FROM bits GROUP BY doc_id ORDER BY doc_id"""),
+
+    "x_dedup_embed" ->
+      ("SELECT * FROM (VALUES (0::BIGINT, 1000000::BIGINT, 1.0), " +
+       "(1::BIGINT, 1000001::BIGINT, 1.0), (2::BIGINT, 1000002::BIGINT, 1.0)) " +
+       "t(id1, id2, cosine) ORDER BY id1"),
+
+    "x_knn_cosine" ->
+      ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings), """ +
+       """qe AS (SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS qx FROM embeddings WHERE vec_id = 0), """ +
+       """terms AS (SELECT el.vec_id, """ +
+       """CAST(round((CAST(el.x AS DOUBLE) * CAST(qe.qx AS DOUBLE)) * 1e15) AS BIGINT) AS xy, """ +
+       """CAST(round((CAST(el.x AS DOUBLE) * CAST(el.x AS DOUBLE)) * 1e15) AS BIGINT) AS xx """ +
+       """FROM el JOIN qe USING (i)), """ +
+       """qq AS (SELECT SUM(CAST(round((CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) * 1e15) AS BIGINT)) AS dqq FROM qe), """ +
+       """s AS (SELECT vec_id, SUM(xy) AS dxy, SUM(xx) AS dxx FROM terms GROUP BY vec_id), """ +
+       """scored AS (SELECT vec_id, CAST(dxy AS DOUBLE) / (sqrt(CAST(dxx AS DOUBLE)) * sqrt((SELECT CAST(dqq AS DOUBLE) FROM qq))) AS sc FROM s) """ +
+       """SELECT vec_id, round(sc, 6) AS score FROM scored ORDER BY sc DESC, vec_id LIMIT 10"""),
+
+    "x_lang_id" ->
+      (s"""WITH c AS (SELECT doc_id, lang, """ +
+       s"""len(list_filter($TOK, t -> list_contains($EN_STOP, t))) AS c_en, """ +
+       s"""len(list_filter($TOK, t -> list_contains(['der','die','das','und','ist','ein','nicht'], t))) AS c_de, """ +
+       s"""len(list_filter($TOK, t -> list_contains(['el','los','y','que','es','una','por'], t))) AS c_es, """ +
+       s"""len(list_filter($TOK, t -> list_contains(['le','les','et','est','une','pas','pour'], t))) AS c_fr, """ +
+       s"""len(list_filter($TOK, t -> list_contains(['的','是','了','在','我','有'], t))) AS c_zh FROM documents) """ +
+       """SELECT doc_id, lang, CASE """ +
+       """WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en' """ +
+       """WHEN c_de > 0 AND c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de' """ +
+       """WHEN c_es > 0 AND c_es >= c_en AND c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es' """ +
+       """WHEN c_fr > 0 AND c_fr >= c_en AND c_fr >= c_de AND c_fr >= c_es AND c_fr >= c_zh THEN 'fr' """ +
+       """WHEN c_zh > 0 AND c_zh >= c_en AND c_zh >= c_de AND c_zh >= c_es AND c_zh >= c_fr THEN 'zh' """ +
+       """ELSE 'unk' END AS guess FROM c ORDER BY doc_id"""),
+
+    "x_text_quality" ->
+      (s"""WITH f AS (SELECT doc_id, length(text)::BIGINT AS n_chars, len($TOK)::BIGINT AS n_tokens, """ +
+       """length(regexp_replace(text, '\s', '', 'g'))::BIGINT AS n_nospace, """ +
+       """length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::BIGINT AS n_punct, """ +
+       """length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit, """ +
+       s"""len(list_filter($TOK, t -> list_contains($EN_STOP, t)))::BIGINT AS n_stop FROM documents) """ +
+       """SELECT doc_id, n_chars, n_tokens, """ +
+       """CAST(n_nospace AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len, """ +
+       """CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio, """ +
+       """CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) AS digit_ratio, """ +
+       """CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio, """ +
+       """least(1.0, CAST(n_tokens AS DOUBLE) / 200.0) * 0.5 """ +
+       """+ (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 2.0 """ +
+       """- (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.5 AS quality_score """ +
+       """FROM f ORDER BY doc_id"""),
+
+    "x_token_count" ->
+      (s"""SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))::BIGINT AS n_bpe, """ +
+       s"""len($TOK)::BIGINT AS n_ws FROM documents ORDER BY doc_id"""),
+
+    "x_fingerprint" ->
+      (s"""SELECT doc_id, md5(text) AS md5, ${h60sql("text")} AS h60, """ +
+       """length(text)::BIGINT AS n_chars FROM documents ORDER BY doc_id"""),
+
+    "x_sessionize" ->
+      ("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) // 1000000 AS sec FROM events), """ +
+       """o AS (SELECT *, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s """ +
+       """FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), """ +
+       """s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) - 1 AS session_id FROM o) """ +
+       """SELECT user_id, session_id, count(*) AS n_events, max(sec) - min(sec) AS duration_sec, """ +
+       """CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value """ +
+       """FROM s GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    "x_tumbling_window" ->
+      ("""SELECT event_type, (epoch_us(ts) // 1000000) // 1800 AS bucket, count(*) AS n, """ +
+       """CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value """ +
+       """FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    "x_agg_pricing" ->
+      ("""SELECT l_returnflag, l_linestatus, """ +
+       """CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, """ +
+       """CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base, """ +
+       """CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc, """ +
+       """count(*) AS n FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    "x_join_topk" ->
+      ("""WITH ranked AS (SELECT o_orderpriority, o_orderkey, o_totalprice, c_name, n_name, """ +
+       """row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk """ +
+       """FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey) """ +
+       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice, c_name, n_name FROM ranked """ +
+       """WHERE rk <= 3 ORDER BY o_orderpriority, rk"""),
+
+    "x_multimodal_meta" ->
+      (s"""SELECT doc_id, 'fake-rgb' AS format, """ +
+       s"""((${hexsql("sha256(text)")} % 512) + 64)::INT AS width, """ +
+       s"""(((${hexsql("sha256(text)")} >> 9) % 512) + 64)::INT AS height, """ +
+       """octet_length(encode(text))::BIGINT AS n_bytes FROM documents ORDER BY doc_id""")
+  )
 }

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Deduplication operators for training-data pipelines, each designed for
+ * the 100 TB regime:
+ *
+ *  - [[exact]]: hash-groupBy — one shuffle on a 16-byte digest, never on
+ *    the document text.
+ *  - [[jaccardPairs]]: exact n-gram Jaccard via an inverted shingle index
+ *    (explode → self-join on shingle → count). The join key is the shingle
+ *    hash (8 bytes), frequent-shingle stopping bounds the worst bucket.
+ *  - [[minhashSignatures]] / [[minhashPairs]]: MinHash + banded LSH.
+ *    Signatures are computed with pure per-row higher-order expressions —
+ *    NO shuffle, no UDF — then candidates come from a band-bucket
+ *    self-join, so cost scales with collisions, not with n².
+ *  - [[simhash]]: 60-bit SimHash over token bags (per-row expressions).
+ *  - [[embeddingNearDup]]: cosine near-dup via deterministic hyperplane
+ *    LSH buckets, pairwise cosine only inside buckets.
+ *
+ * All hash functions are the portable md5-based [[TextStats.hash60]], so
+ * results are reproducible in any engine (DuckDB oracle included).
+ */
+object Dedup {
+  val P: Long = 2147483647L // 2^31 - 1, Mersenne prime for affine rehash
+
+  /** Exact dedup: one representative (min id) per distinct text.
+    * Shuffles md5 digests, not documents. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("_d"))
+      .groupBy(col("_d"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
+      .drop("_d")
+
+  /** Word n-gram shingles as a per-row deduped array column. */
+  def shingleArray(text: Column, n: Int): Column = {
+    val toks = TextStats.tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Inverted-index exact Jaccard: explode distinct shingles, self-join on
+    * the shingle, count intersections, normalize by set sizes.
+    * `maxDocFreq` drops shingles present in more than that many docs
+    * (stop-shingles) — the standard skew guard at scale. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, maxDocFreq: Option[Long] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), explode(shingleArray(col(textCol), n)).as("s"))
+    val filtered = maxDocFreq match {
+      case Some(mdf) =>
+        val freq = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= mdf)
+        sh.join(freq.select("s"), "s")
+      case None => sh
+    }
+    val sizes = filtered.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = filtered.as("a").join(filtered.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id1"), col("b.doc").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("doc", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .select(col("id1"), col("id2"),
+        (col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
+          .as("jaccard"))
+  }
+
+  /** Affine rehash of a base shingle hash for permutation `i`:
+    * `(a_i * h + b_i) mod P` with deterministic formula coefficients
+    * (no RNG at eval time — reproducible everywhere). */
+  private def rehash(h: Column, i: Column): Column =
+    pmod((pmod(i * lit(2654435761L), lit(P)) + lit(1L)) * h
+      + pmod(i * lit(40503L), lit(P)) + lit(7L), lit(P))
+
+  /** MinHash signatures as an array column — per-row expressions only
+    * (scales linearly, no shuffle): sig[i] = min over shingles of
+    * rehash_i(hash60(shingle) mod P). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 32): DataFrame = {
+    val hashes = transform(shingleArray(col(textCol), n),
+      s => pmod(TextStats.hash60(s), lit(P)))
+    df.select(col(idCol),
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(hashes, h => rehash(h, i)))).as("sig"))
+  }
+
+  /** Banded-LSH candidate pairs + signature-estimated Jaccard.
+    * bands×rowsPerBand must equal the signature length. Cost is driven by
+    * real collisions: the self-join key is (band index, band hash). */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val banded = sigs.select(col(idCol).as("doc"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), (b * r + 1).cast(IntegerType), lit(r))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .dropDuplicates("id1", "id2")
+    cand.select(col("id1"), col("id2"),
+      (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+        .cast(DoubleType) / size(col("sig1")).cast(DoubleType)).as("est_jaccard"))
+  }
+
+  /** 60-bit SimHash over the token bag — per-row expressions: for each bit
+    * j, sum ±1 over token hashes; bit j of the result is the sign. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hs = transform(TextStats.tokens(col(textCol)), t => TextStats.hash60(t))
+    val word = (0 until 60).map { j =>
+      val vote = aggregate(hs, lit(0L),
+        (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+      when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol), word.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash values (for near-dup grouping). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding near-dup: deterministic hyperplane-LSH buckets, pairwise
+    * cosine only inside a bucket. Planes use ±1 weights derived from
+    * md5 — reproducible, no fitted model. */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       planes: Int = 12, minCosine: Double = 0.9): DataFrame = {
+    val sig = Similarity.hyperplaneSignature(col(vecCol), planes)
+    val b = df.select(col(idCol).as("doc"), col(vecCol).as("v"), sig.as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Approximate-nearest-neighbor / similarity search over an embedding
+ * column (`ArrayType(FloatType)`).
+ *
+ *  - [[cosine]] / [[dot]]: higher-order-function kernels (codegen'd,
+ *    no UDF boxing).
+ *  - [[topK]]: brute-force scored top-k — the exact baseline. One scan,
+ *    one small TakeOrdered; at 100 TB this is the map-side-only pattern
+ *    (scores never shuffle, only the per-partition top-k rows do).
+ *  - [[lshTopK]]: hyperplane-LSH bucketed variant — the scale path. The
+ *    query probes only buckets within `probeHamming` of its own
+ *    signature, so the candidate set (and scan) shrinks ~2^planes-fold
+ *    on clustered data.
+ *  - decimal-exact kernels ([[dotDecimal]]) for cross-engine oracle
+ *    comparison (float summation order differs between engines; exact
+ *    decimal accumulation does not).
+ */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact fixed-point dot product: each double product is rounded to an
+    * integer number of 1e-15 units and summed as a Long — exact integer
+    * accumulation, bit-identical across engines regardless of their float
+    * summation strategy. Safe while |dot| * 1e15 < 2^63 (unit vectors:
+    * always). DuckDB mirror: `SUM(CAST(round((x*y)*1e15) AS BIGINT))`. */
+  def dotFixed(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast(DoubleType) * y.cast(DoubleType) * lit(1e15)).cast(LongType)),
+      lit(0L), (acc, v) => acc + v)
+
+  def cosineFixed(a: Column, b: Column): Column =
+    dotFixed(a, b).cast(DoubleType) /
+      (sqrt(dotFixed(a, a).cast(DoubleType)) * sqrt(dotFixed(b, b).cast(DoubleType)))
+
+  /** Brute-force cosine top-k against a literal query vector. */
+  def topK(df: DataFrame, idCol: String, vecCol: String,
+           query: Seq[Float], k: Int, exactDecimal: Boolean = false): DataFrame = {
+    val q = typedLit(query)
+    val score = if (exactDecimal) cosineFixed(col(vecCol), q) else cosine(col(vecCol), q)
+    df.select(col(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic ±1 hyperplane weights: plane p, dim d →
+    * sign of bit 0 of hash60(p:d). No RNG, no fitted model. */
+  private def planeWeight(p: Int, d: Column): Column =
+    when(TextStats.hash60(concat_ws(":", lit(p), d)).bitwiseAND(lit(1L)) === 1L,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** LSH bucket id: `planes` sign bits of hyperplane projections. */
+  def hyperplaneSignature(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast(DoubleType) * planeWeight(p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucketed ANN top-k: score only vectors whose bucket is within
+    * `probeHamming` bits of the query's bucket. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, planes: Int = 8,
+              probeHamming: Int = 1): DataFrame = {
+    val q = typedLit(query)
+    val withBucket = df.select(col(idCol), col(vecCol),
+      hyperplaneSignature(col(vecCol), planes).as("bucket"))
+    // query bucket is a scalar expression over the literal vector
+    val qBucket = hyperplaneSignature(q, planes)
+    withBucket
+      .filter(bit_count(col("bucket").bitwiseXOR(qBucket)) <= probeHamming)
+      .select(col(idCol), cosine(col(vecCol), q).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization, quality scoring, language-ID, fingerprinting. Everything is
+ * pure Catalyst expressions (whole-stage codegen, no UDFs, no shuffle —
+ * embarrassingly parallel over documents), so the same pipeline runs
+ * unchanged over 100 TB of documents: per-row work only.
+ *
+ * Cross-engine determinism: hashes are derived from md5 hex (portable to
+ * any SQL engine) rather than engine-private hash functions.
+ */
+object TextStats {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** BPE-ish token count: runs of letters, runs of digits, runs of other
+    * non-space symbols — the classic pre-tokenizer shape. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))).cast(LongType)
+
+  /** Portable 60-bit hash: the top 15 hex digits of md5, parsed base-16.
+    * Identical in any engine with md5 (DuckDB: `('0x'||substr(md5(s),1,15))::BIGINT`). */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
+
+  /** Tiny deterministic stopword lists per language (language-ID votes). */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "es" -> Seq("el", "los", "y", "que", "es", "una", "por"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "pas", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  private def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedLit(words), t))).cast(LongType)
+
+  /** n-gram-free heuristic language-ID: per-language stopword votes,
+    * argmax with fixed precedence (en, de, es, fr, zh) on ties. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val c = Seq("en", "de", "es", "fr", "zh").map(l => l -> stopCount(t, Stopwords(l))).toMap
+    val order = Seq("en", "de", "es", "fr", "zh")
+    order.foldRight(lit("unk")) { (l, alt) =>
+      val ge = order.filter(_ != l).map(o => c(l) >= c(o)).reduce(_ && _)
+      when(c(l) > 0 && ge, lit(l)).otherwise(alt)
+    }
+  }
+
+  /** Per-document quality features + a deterministic composite score. */
+  def quality(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nChars = length(text).cast(LongType)
+    val nTokens = size(toks).cast(LongType)
+    val nNoSpace = length(regexp_replace(text, "\\s", "")).cast(LongType)
+    val punct = length(regexp_replace(text, "[^.,!?;:]", "")).cast(LongType)
+    val digits = length(regexp_replace(text, "[^0-9]", "")).cast(LongType)
+    val stops = stopCount(toks, Stopwords("en"))
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("avg_token_len", nNoSpace.cast(DoubleType) / nTokens.cast(DoubleType))
+      .withColumn("punct_ratio", punct.cast(DoubleType) / nChars.cast(DoubleType))
+      .withColumn("digit_ratio", digits.cast(DoubleType) / nChars.cast(DoubleType))
+      .withColumn("stopword_ratio", stops.cast(DoubleType) / nTokens.cast(DoubleType))
+      .withColumn("quality_score",
+        least(lit(1.0), nTokens.cast(DoubleType) / lit(200.0)) * lit(0.5)
+          + col("stopword_ratio") * lit(2.0)
+          - col("punct_ratio") * lit(0.5))
+  }
+
+  /** Content fingerprints: exact (md5) + length. The near-dup fingerprints
+    * (minhash/simhash) live in [[Dedup]]. */
+  def fingerprint(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("md5", md5(col(textCol)))
+      .withColumn("h60", hash60(col(textCol)))
+      .withColumn("n_chars", length(col(textCol)).cast(LongType))
+}
