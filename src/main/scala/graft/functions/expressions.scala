@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the engine's hot paths — full
+ * whole-stage-codegen implementations (a codegen'd `Expression` beats a
+ * Scala UDF by avoiding boxing/serialization per row; see the custom-
+ * expression preference order in the build notes).
+ */
+
+/** Polynomial rolling hash over the UTF-8 bytes of a string:
+  * `h = h * 31 + byte` in wrapping 64-bit arithmetic — the classic
+  * content-defined-chunking / fingerprinting primitive. */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long ${ev.value}Acc = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  ${ev.value}Acc = ${ev.value}Acc * 31L + ($bytes[$i] & 0xffL);
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+/** Primitive float-array dot product accumulated in double — the ANN
+  * scoring kernel without per-element lambda boxing. Null or
+  * length-mismatched inputs yield null. */
+case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      val n = a.numElements()
+      while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+      acc
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatDot =
+    copy(left = l, right = r)
+}
+
+/** Column wrappers + SQL registration for the native expressions. */
+object native {
+  import org.apache.spark.sql.graftx.Bridge
+
+  def rolling_hash(c: Column): Column = Bridge.column(RollingHash(Bridge.expression(c)))
+  def float_dot(a: Column, b: Column): Column =
+    Bridge.column(FloatDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Register `rolling_hash` / `float_dot` for SQL use in this session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "built-in")
+    reg.createOrReplaceTempFunction("float_dot", es => FloatDot(es(0), es(1)), "built-in")
+  }
+}

@@ -23,13 +23,18 @@ import org.apache.spark.sql.types._
  */
 object Similarity {
 
+  /** Reference HOF kernel (kept for parity tests; [[dotFast]] is the
+    * production path). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Native codegen kernel — primitive float loop, no lambda boxing. */
+  def dotFast(a: Column, b: Column): Column = graft.functions.native.float_dot(a, b)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def norm(a: Column): Column = sqrt(dotFast(a, a))
+
+  def cosine(a: Column, b: Column): Column = dotFast(a, b) / (norm(a) * norm(b))
 
   /** Exact fixed-point dot product: each double product is rounded to an
     * integer number of 1e-15 units and summed as a Long — exact integer

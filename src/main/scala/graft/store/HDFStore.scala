@@ -187,8 +187,9 @@ final class HDFStore private (
     codec.orElse(defaultCodec).foreach(c => w = w.option("compression", c))
     w.parquet(segPath.toString)
     // Row count from the committed files' footers (cheap: parquet count(*)
-    // reads footers/row-counts, not column data).
-    val rows = spark.read.parquet(segPath.toString).count()
+    // reads footers/row-counts, not column data). Explicit schema so an
+    // empty segment (0-partition write) still resolves.
+    val rows = spark.read.schema(df.schema).parquet(segPath.toString).count()
     SegmentMeta(segRel, rows)
   }
 

@@ -60,6 +60,28 @@ object Drive {
       case e: NoSuchElementException => println(s"unknown table -> ${e.getMessage}")
     }
     ro.close()
+
+    println("== native expressions through SQL")
+    graft.functions.native.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(3)
+      .createOrReplaceTempView("docs3")
+    spark.sql("SELECT doc_id, rolling_hash(text) AS rh FROM docs3").show()
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(3)
+      .createOrReplaceTempView("emb3")
+    spark.sql("SELECT vec_id, float_dot(embedding, embedding) AS selfdot FROM emb3").show()
+
+    println("== streaming append sink drive")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val sdir = java.nio.file.Files.createTempDirectory("drive-stream").toString
+    val st2 = graft.store.HDFStore.open(spark, sdir + "/store", graft.store.StoreMode.Overwrite)
+    st2.put("events", events.limit(0))
+    events.limit(300).write.mode("append").parquet(sdir + "/in")
+    graft.streaming.EventStream.appendSink(
+      spark.readStream.schema(events.schema).parquet(sdir + "/in"),
+      st2, "events", sdir + "/ckpt").awaitTermination()
+    println(s"streamed rows: ${st2.nrows("events")} (expect 300)")
+    st2.close()
+
     spark.stop()
     println("== drive done")
   }

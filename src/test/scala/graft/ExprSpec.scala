@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.native
+import graft.ops.Similarity
+
+/** Native Catalyst expressions: interpreted vs codegen vs reference. */
+class ExprSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("rolling_hash matches a Scala reference implementation") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+    val df = Seq("", "a", "hello world", "ünïcødé ♞").toDF("s")
+    val got = df.select($"s", native.rolling_hash($"s")).collect()
+    got.foreach(r => assert(r.getLong(1) == ref(r.getString(0))))
+  }
+
+  test("rolling_hash works from SQL after registration") {
+    native.register(spark)
+    val r = spark.sql("SELECT rolling_hash('abc')").collect()(0).getLong(0)
+    assert(r == ("abc".getBytes.foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))))
+  }
+
+  test("float_dot equals the HOF dot kernel and survives codegen") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+      .select($"vec_id", $"embedding")
+    val both = df.select(
+      native.float_dot($"embedding", $"embedding").as("fast"),
+      Similarity.dot($"embedding", $"embedding").as("hof")).collect()
+    both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("float_dot yields null on length mismatch") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+    assert(df.select(native.float_dot($"a", $"b")).collect()(0).isNullAt(0))
+  }
+}

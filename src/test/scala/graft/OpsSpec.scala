@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+/** Behavior tests for the LLM-pipeline operators (planted ground truth —
+  * stronger than the determinism-only oracle checks). */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDf = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (1L, "the quick brown fox jumps over the lazy dog and runs away quickly"), // near-dup of 0
+    (2L, "completely different content about spark engines and parquet files"),
+    (3L, "the quick brown fox jumps over the lazy dog and runs away fast"),    // exact dup of 0
+    (4L, "der hund und die katze sind nicht ein problem und das ist gut"),
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per distinct text") {
+    val out = Dedup.exact(docsDf, "doc_id", "text").orderBy("keep_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 4L, 5L)) // 3 collapses into 0
+    assert(out.find(_.getLong(0) == 0L).get.getLong(1) == 2L)      // multiplicity 2
+  }
+
+  test("n-gram jaccard ranks the near-dup pair highest") {
+    val pairs = Dedup.jaccardPairs(docsDf, "doc_id", "text", 3)
+      .orderBy(col("jaccard").desc).collect()
+    val top = pairs.head
+    // (0,3) identical → jaccard 1.0; (0,1)/(1,3) near-dup next
+    assert((top.getLong(0), top.getLong(1)) == (0L, 3L) && top.getDouble(2) == 1.0)
+    val nd = pairs.filter(r => Set((0L, 1L), (1L, 3L))((r.getLong(0), r.getLong(1))))
+    assert(nd.forall(_.getDouble(2) > 0.7))
+  }
+
+  test("minhash LSH finds exact+near dups, estimates agree with jaccard") {
+    val pairs = Dedup.minhashPairs(docsDf, "doc_id", "text", 3, 32, 8)
+      .filter(col("est_jaccard") >= 0.5).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((0L, 3L)) && found.contains((0L, 1L)) && found.contains((1L, 3L)))
+    assert(pairs.find(r => (r.getLong(0), r.getLong(1)) == (0L, 3L)).get.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical texts equal, near-dups close, unrelated far") {
+    val h = Dedup.simhash(docsDf, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0L) == h(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(1L)) < 12)
+    assert(ham(h(0L), h(2L)) > 15)
+  }
+
+  test("embedding near-dup via hyperplane LSH is scale-invariant") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, -1.0f, 0.5f)),
+      (1L, Array(2.0f, 4.0f, -2.0f, 1.0f)),   // 2× vec 0 → cosine 1
+      (2L, Array(-1.0f, 0.3f, 2.0f, -0.7f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", planes = 8, minCosine = 0.99)
+      .collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1)) == (0L, 1L))
+    assert(math.abs(out(0).getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("brute topK returns self first with score 1") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 7).select("embedding").collect()(0).getSeq[Float](0)
+    val top = Similarity.topK(emb, "vec_id", "embedding", q, 5).collect()
+    assert(top.head.getLong(0) == 7L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-12)
+    // scores non-increasing
+    val scores = top.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("langId picks en for English and de for German stopword text") {
+    val out = docsDf.select($"doc_id", TextStats.langId($"text").as("g")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "en" && out(4L) == "de")
+  }
+
+  test("quality + token stats are sane") {
+    val q = TextStats.quality(docsDf, "text").filter($"doc_id" === 0).collect()(0)
+    assert(q.getAs[Long]("n_tokens") == 13)
+    assert(q.getAs[Double]("stopword_ratio") > 0.1)
+    val t = docsDf.select(TextStats.bpeTokenCount($"text")).collect()(0).getLong(0)
+    assert(t == 13) // no punctuation/digits → equals whitespace tokens
+  }
+
+  test("sessionize splits on gaps > threshold") {
+    val ev = Seq(
+      (1L, 0L, 1000L * 1000000000L, 1.0),
+      (2L, 0L, 1500L * 1000000000L, 1.0),
+      (3L, 0L, 5000L * 1000000000L, 1.0),  // gap 3500s > 1800 → new session
+      (4L, 9L, 100L * 1000000000L, 2.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val s = Sessionize.sessionStats(ev, 1800).orderBy("user_id", "session_id").collect()
+    assert(s.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 0L, 2L), (0L, 1L, 1L), (9L, 0L, 1L)))
+  }
+
+  test("multimodal: payload/meta schema and deterministic featurize") {
+    val df = Multimodal.decodeStub(Multimodal.attachPayload(docsDf, "text"))
+    val m = df.filter($"doc_id" === 0).select("media_meta.*").collect()(0)
+    assert(m.getString(0) == "fake-rgb" && m.getInt(1) >= 64 && m.getInt(1) < 576)
+    val f1 = Multimodal.featurize(Multimodal.attachPayload(docsDf, "text"), "doc_id", "payload", 8)
+      .collect().sortBy(_.id)
+    val f2 = Multimodal.featurize(Multimodal.attachPayload(docsDf, "text"), "doc_id", "payload", 8)
+      .collect().sortBy(_.id)
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq) // deterministic
+    assert(f1.forall(r => math.abs(r.features.sum - 1.0f) < 1e-5))           // normalized histogram
+    val frames = Multimodal.frameSample(Multimodal.attachPayload(docsDf, "text"), 4)
+      .select(size($"frames")).collect()
+    assert(frames.forall(_.getInt(0) == 4))
+  }
+}

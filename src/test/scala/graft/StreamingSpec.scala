@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{HDFStore, StoreMode}
+import graft.streaming.EventStream
+
+/** Structured-Streaming surface: store append sink (exactly-once replay
+  * guard) + watermarked windowed aggregation, driven by a file stream. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val eventsPath = "/root/testdata/sf0.001/events.parquet"
+
+  test("streaming append sink: micro-batches become segments, replays are idempotent") {
+    val events = spark.read.parquet(eventsPath)
+    val schema = events.schema
+    val in = TestSpark.tmpDir("stream-in")
+    val ckpt = TestSpark.tmpDir("stream-ckpt")
+    val storeDir = TestSpark.tmpDir("stream-store")
+
+    val st = HDFStore.open(spark, storeDir, StoreMode.Overwrite)
+    st.put("events", events.limit(0)) // empty table, schema fixed
+
+    // batch 1: first 400 events
+    events.limit(400).write.mode("append").parquet(in)
+    val stream1 = spark.readStream.schema(schema).parquet(in)
+    EventStream.appendSink(stream1, st, "events", ckpt).awaitTermination()
+    assert(st.nrows("events") == 400)
+
+    // batch 2: 100 more — only the delta is appended
+    events.limit(500).except(events.limit(400)).write.mode("append").parquet(in)
+    val stream2 = spark.readStream.schema(schema).parquet(in)
+    EventStream.appendSink(stream2, st, "events", ckpt).awaitTermination()
+    assert(st.nrows("events") == 500)
+
+    // restart with no new data: no duplicate appends
+    val stream3 = spark.readStream.schema(schema).parquet(in)
+    EventStream.appendSink(stream3, st, "events", ckpt).awaitTermination()
+    assert(st.nrows("events") == 500)
+    st.close()
+  }
+
+  test("watermarked windowed counts match the batch computation") {
+    val events = spark.read.parquet(eventsPath)
+    val schema = events.schema
+    val in = TestSpark.tmpDir("streamw-in")
+    val ckpt = TestSpark.tmpDir("streamw-ckpt")
+    events.write.mode("append").parquet(in)
+
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val q = EventStream.windowedCounts(stream, "30 minutes", "1 hour")
+      .writeStream.outputMode("complete").format("memory").queryName("win")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("win")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val batch = EventStream.withEventTime(events)
+      .groupBy(window(col("event_time"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("session windows produce per-user sessions") {
+    val events = spark.read.parquet(eventsPath)
+    val in = TestSpark.tmpDir("streams-in")
+    val ckpt = TestSpark.tmpDir("streams-ckpt")
+    events.write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(events.schema).parquet(in)
+    val q = EventStream.sessionWindows(stream, "30 minutes", "2 hours")
+      .writeStream.outputMode("complete").format("memory").queryName("sess")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val n = spark.table("sess").count()
+    assert(n > 0)
+    // session count per user must match the batch sessionizer
+    val batchSessions = graft.ops.Sessionize.sessionStats(events, 1800).count()
+    assert(spark.table("sess").count() == batchSessions)
+  }
+}
