@@ -75,6 +75,10 @@ object SparkEntry {
   private def li(spark: SparkSession, sfDir: String): HDFTable =
     store(spark, sfDir).table("lineitem")
 
+  /** Build the per-JVM query store up front (used by Bench so the one-time
+    * setup cost isn't attributed to an arbitrary first query). */
+  def warm(spark: SparkSession, sfDir: String): Unit = store(spark, sfDir)
+
   /** A fresh mutable copy of the base lineitem table (file-level copy) so
     * mutation queries never disturb shared state; idempotent per call. */
   private def mutCopy(spark: SparkSession, sfDir: String, name: String)
@@ -521,6 +525,7 @@ object SparkEntry {
     // MinHash signatures (portable md5-based hash family), long format
     "x_dedup_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignatures(docs(s, d).filter(col("doc_id") < 300), "doc_id", "text", 3, 16)
+        .repartition(col("doc_id")) // barrier: don't inline sig into Generate
         .select(col("doc_id"), posexplode(col("sig")))
         .withColumnRenamed("pos", "i").withColumnRenamed("col", "minhash")
         .orderBy("doc_id", "i")),

@@ -78,14 +78,22 @@ object Dedup {
 
   /** MinHash signatures as an array column — per-row expressions only
     * (scales linearly, no shuffle): sig[i] = min over shingles of
-    * rehash_i(hash60(shingle) mod P). */
+    * rehash_i(hash60(shingle) mod P).
+    *
+    * Formulated as ONE `aggregate` over the pre-hashed shingle array so
+    * the md5-based base hash is evaluated exactly once per shingle; the
+    * naive `transform(i → array_min(transform(shingles, …)))` form inlines
+    * (and re-evaluates) the hash `numHashes` times per shingle. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 32): DataFrame = {
-    val hashes = transform(shingleArray(col(textCol), n),
+    val hashed = transform(shingleArray(col(textCol), n),
       s => pmod(TextStats.hash60(s), lit(P)))
-    df.select(col(idCol),
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(hashes, h => rehash(h, i)))).as("sig"))
+    val sig = aggregate(
+      hashed,
+      array_repeat(lit(P), numHashes),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, i) => least(m, rehash(h, i))))
+    df.select(col(idCol), sig.as("sig"))
   }
 
   /** Banded-LSH candidate pairs + signature-estimated Jaccard.
@@ -95,7 +103,12 @@ object Dedup {
                    n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // The repartition is an optimizer barrier, not (just) a distribution
+    // choice: without it, CollapseProject inlines the whole signature
+    // expression into the Generate below and re-evaluates it once per
+    // emitted band row (bands× the cost).
     val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+      .repartition(col(idCol))
     val banded = sigs.select(col(idCol).as("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), (b * r + 1).cast(IntegerType), lit(r))))))
@@ -112,14 +125,20 @@ object Dedup {
   }
 
   /** 60-bit SimHash over the token bag — per-row expressions: for each bit
-    * j, sum ±1 over token hashes; bit j of the result is the sign. */
+    * j, sum ±1 over token hashes; bit j of the result is the sign.
+    * One `aggregate` pass with a 60-counter array accumulator, so each
+    * token is hashed exactly once (not 60×). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pow2 = typedLit((0 until 60).map(j => 1L << j))
     val hs = transform(TextStats.tokens(col(textCol)), t => TextStats.hash60(t))
-    val word = (0 until 60).map { j =>
-      val vote = aggregate(hs, lit(0L),
-        (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
-      when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val votes = aggregate(
+      hs,
+      array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(acc, pow2,
+        (c, p) => c + when(h.bitwiseAND(p) > 0, 1L).otherwise(-1L)))
+    val word = aggregate(
+      zip_with(votes, pow2, (v, p) => when(v > 0, p).otherwise(0L)),
+      lit(0L), (acc, b) => acc + b)
     df.select(col(idCol), word.as("simhash"))
   }
 
@@ -130,8 +149,9 @@ object Dedup {
     * cosine only inside a bucket. Planes use ±1 weights derived from
     * md5 — reproducible, no fitted model. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       planes: Int = 12, minCosine: Double = 0.9): DataFrame = {
-    val sig = Similarity.hyperplaneSignature(col(vecCol), planes)
+                       planes: Int = 12, minCosine: Double = 0.9,
+                       dim: Int = 64): DataFrame = {
+    val sig = Similarity.hyperplaneSignature(col(vecCol), planes, dim)
     val b = df.select(col(idCol).as("doc"), col(vecCol).as("v"), sig.as("bucket"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))

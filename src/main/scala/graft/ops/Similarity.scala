@@ -61,19 +61,21 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic ±1 hyperplane weights: plane p, dim d →
-    * sign of bit 0 of hash60(p:d). No RNG, no fitted model. */
-  private def planeWeight(p: Int, d: Column): Column =
-    when(TextStats.hash60(concat_ws(":", lit(p), d)).bitwiseAND(lit(1L)) === 1L,
-      lit(1.0)).otherwise(lit(-1.0))
+  /** Deterministic ±1 hyperplane weights for plane `p`: sign of bit 0 of
+    * the portable hash of "p:d". Computed DRIVER-SIDE into a literal float
+    * vector — the per-row work is then a single native [[dotFast]] per
+    * plane instead of an md5 per element per plane. No RNG, no model. */
+  private[graft] def planeWeights(p: Int, dim: Int): Seq[Float] =
+    (0 until dim).map { d =>
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if ((java.lang.Long.parseLong(md5hex.take(15), 16) & 1L) == 1L) 1.0f else -1.0f
+    }
 
   /** LSH bucket id: `planes` sign bits of hyperplane projections. */
-  def hyperplaneSignature(vec: Column, planes: Int): Column = {
+  def hyperplaneSignature(vec: Column, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast(DoubleType) * planeWeight(p, d)),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dotFast(vec, typedLit(planeWeights(p, dim)))
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -85,10 +87,11 @@ object Similarity {
               query: Seq[Float], k: Int, planes: Int = 8,
               probeHamming: Int = 1): DataFrame = {
     val q = typedLit(query)
+    val dim = query.size
     val withBucket = df.select(col(idCol), col(vecCol),
-      hyperplaneSignature(col(vecCol), planes).as("bucket"))
+      hyperplaneSignature(col(vecCol), planes, dim).as("bucket"))
     // query bucket is a scalar expression over the literal vector
-    val qBucket = hyperplaneSignature(q, planes)
+    val qBucket = hyperplaneSignature(q, planes, dim)
     withBucket
       .filter(bit_count(col("bucket").bitwiseXOR(qBucket)) <= probeHamming)
       .select(col(idCol), cosine(col(vecCol), q).as("score"))

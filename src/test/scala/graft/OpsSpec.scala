@@ -59,7 +59,7 @@ class OpsSpec extends AnyFunSuite {
       (1L, Array(2.0f, 4.0f, -2.0f, 1.0f)),   // 2× vec 0 → cosine 1
       (2L, Array(-1.0f, 0.3f, 2.0f, -0.7f))
     ).toDF("vec_id", "embedding")
-    val out = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", planes = 8, minCosine = 0.99)
+    val out = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", planes = 8, minCosine = 0.99, dim = 4)
       .collect()
     assert(out.length == 1)
     assert((out(0).getLong(0), out(0).getLong(1)) == (0L, 1L))
