@@ -242,6 +242,26 @@ object SparkEntry {
       }
     }),
 
+    // §1.2: nested-record flattening with `parent-child` names (the
+    // reference stores nested objects as flat `a-b` fields) — store the
+    // flattened table, read back
+    "t1_nested_flatten" -> ((s, d) => {
+      val st = store(s, d)
+      st.synchronized {
+        if (!st.isTable("mut/flat")) {
+          val nested = st.table("lineitem").df
+            .filter(col("_rowid") < 100).orderBy("_rowid")
+            .select(col("_rowid"),
+              struct(col("l_orderkey").as("ok"), col("l_linenumber").as("ln")).as("pos"),
+              col("l_quantity"))
+          st.put("mut/flat", graft.schema.SchemaUtil.flattenDf(nested.drop("_rowid")))
+        }
+        st.table("mut/flat").df
+          .select(col("_rowid"), col("pos-ok"), col("pos-ln"), col("l_quantity"))
+          .orderBy("_rowid")
+      }
+    }),
+
     // ----------------------------------------------- §2 parity: N-D + VLEN
 
     // S7+S8: N-D create + whole read (row-major (i0,i1,value))
@@ -440,6 +460,10 @@ object SparkEntry {
        "FROM generate_series(0, 19) i(g), generate_series(0, 19) j(g)) " +
        "SELECT i0, i1, CASE WHEN (i0, i1) IN ((0, 0), (3, 7), (19, 19)) THEN value + 1000 ELSE value END AS value " +
        "FROM g WHERE i0 IN (0, 3, 19) ORDER BY i0, i1"),
+
+    "t1_nested_flatten" ->
+      (s"$BASE SELECT _rowid, l_orderkey AS \"pos-ok\", l_linenumber AS \"pos-ln\", l_quantity " +
+       "FROM base WHERE _rowid < 100 ORDER BY _rowid"),
 
     "s8_nd_scan" ->
       ("SELECT i.g AS i0, j.g AS i1, CAST(i.g * 20 + j.g AS DOUBLE) AS value " +

@@ -78,6 +78,25 @@ object SchemaUtil {
     }
   }
 
+  /** DataFrame-level flattening: nested struct fields become top-level
+    * `parent-child` columns — the write-side behavior of the reference's
+    * table layer (a nested Nim object is stored as flat offset fields,
+    * `typeinspect.nim:15-25`). */
+  def flattenDf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def refs(prefix: String, outName: String, st: StructType): Seq[(String, String)] =
+      st.fields.toSeq.flatMap { f =>
+        val path = if (prefix.isEmpty) s"`${f.name}`" else s"$prefix.`${f.name}`"
+        val name = if (outName.isEmpty) f.name else outName + NestedSep + f.name
+        f.dataType match {
+          case nested: StructType => refs(path, name, nested)
+          case _                  => Seq((path, name))
+        }
+      }
+    val cols = refs("", "", df.schema).map { case (path, name) => col(path).as(name) }
+    df.select(cols: _*)
+  }
+
   /** Type equality modulo nullability metadata inside arrays/structs. */
   def sameType(a: DataType, b: DataType): Boolean = (a, b) match {
     case (ArrayType(ae, _), ArrayType(be, _)) => sameType(ae, be)
