@@ -186,6 +186,38 @@ class TableSpec extends AnyFunSuite {
     assert(t.toSeq == (particles.take(5) ++ particles.take(2) ++ particles.drop(5) ++ particles))
   }
 
+  test("ndarray add grows along axis 0 within maxshape (datasets.nim:1338-1369)") {
+    val st = fresh(); import spark.implicits._
+    val data = spark.range(12).selectExpr("id div 4 as i0", "id % 4 as i1", "cast(id as double) as value")
+    val nd = graft.ndarray.NDArray.create(st, "g", data, Seq(3L, 4L), Seq(5L, 4L))
+    assert(nd.shape == Vector(3L, 4L))
+    val block = spark.range(12, 16).selectExpr("id div 4 as i0", "id % 4 as i1", "cast(id as double) as value")
+    nd.add(block, 1)
+    assert(nd.shape == Vector(4L, 4L))
+    assert(nd.read().count() == 16)
+    // growth past maxshape rejected (≙ H5S maxdims)
+    intercept[IllegalArgumentException] {
+      nd.add(spark.range(16, 32).selectExpr("id div 4 as i0", "id % 4 as i1", "cast(id as double) as value"), 4)
+    }
+    st.close()
+  }
+
+  test("vacuum reclaims unreferenced copy-on-write segments") {
+    val st = fresh(); import spark.implicits._
+    st.put("particles", particles)
+    val t = st.typed[Particle]("particles")
+    t.delete(0); t.delete(0); t.delete(0) // three rewrites → orphaned dirs
+    def segDirs(): Int = {
+      val root = new java.io.File(st.root, "tables")
+      root.listFiles().flatMap(_.listFiles()).length
+    }
+    assert(segDirs() > st.segmentCount("particles"))
+    st.vacuum()
+    assert(segDirs() == st.segmentCount("particles"))
+    assert(t.toSeq == particles.drop(3)) // data intact after vacuum
+    st.close()
+  }
+
   test("many small appends then mutations (stress, multi-segment)") {
     val st = fresh(); import spark.implicits._
     st.put("p", particles.take(1))
