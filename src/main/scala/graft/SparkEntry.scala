@@ -75,9 +75,18 @@ object SparkEntry {
   private def li(spark: SparkSession, sfDir: String): HDFTable =
     store(spark, sfDir).table("lineitem")
 
-  /** Build the per-JVM query store up front (used by Bench so the one-time
-    * setup cost isn't attributed to an arbitrary first query). */
-  def warm(spark: SparkSession, sfDir: String): Unit = store(spark, sfDir)
+  /** Build the per-JVM query store up front and JIT-warm the expression
+    * kernels (used by Bench so one-time setup/codegen cost isn't
+    * attributed to an arbitrary first query). */
+  def warm(spark: SparkSession, sfDir: String): Unit = {
+    store(spark, sfDir)
+    import graft.ops.{Dedup, Similarity}
+    val tiny = docs(spark, sfDir).filter(col("doc_id") < 4)
+    Dedup.minhashSignatures(tiny, "doc_id", "text", 3, 16).count()
+    Dedup.simhash(tiny, "doc_id", "text").count()
+    val e = embs(spark, sfDir).filter(col("vec_id") < 4)
+    e.select(Similarity.cosine(col("embedding"), col("embedding"))).count()
+  }
 
   /** A fresh mutable copy of the base lineitem table (file-level copy) so
     * mutation queries never disturb shared state; idempotent per call. */

@@ -83,6 +83,54 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** MinHash signature over a shingle array in one native loop: per shingle
+  * md5 → top-60-bits → `mod P`, then `sig[i] = min((a_i·h + b_i) mod P)`
+  * with the same formula coefficients as the SQL oracle
+  * (`graft.ops.Dedup.rehash`). Replaces an interpreted nest of
+  * `aggregate`/`zip_with` lambdas (~13 ms/doc → tight JVM loop).
+  * `CodegenFallback`: the md5 loop is plain JVM code either way. */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  private val P = 2147483647L
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(i => (i * 2654435761L) % P + 1L)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(i => (i * 40503L) % P + 7L)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(P)
+    val digest = md.get()
+    var s = 0
+    val n = arr.numElements()
+    while (s < n) {
+      digest.reset()
+      val b = digest.digest(arr.getUTF8String(s).getBytes)
+      // top 15 hex digits == top 60 bits of the digest
+      var h = 0L
+      var j = 0
+      while (j < 7) { h = (h << 8) | (b(j) & 0xffL); j += 1 }
+      h = (h << 4) | ((b(7) & 0xf0L) >>> 4)
+      val hm = h % P
+      var i = 0
+      while (i < numHashes) {
+        val r = (as(i) * hm + bs(i)) % P
+        if (r < sig(i)) sig(i) = r
+        i += 1
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object native {
   import org.apache.spark.sql.graftx.Bridge
@@ -90,6 +138,8 @@ object native {
   def rolling_hash(c: Column): Column = Bridge.column(RollingHash(Bridge.expression(c)))
   def float_dot(a: Column, b: Column): Column =
     Bridge.column(FloatDot(Bridge.expression(a), Bridge.expression(b)))
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(shingles), numHashes))
 
   /** Register `rolling_hash` / `float_dot` for SQL use in this session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -85,7 +85,14 @@ object Dedup {
     * naive `transform(i → array_min(transform(shingles, …)))` form inlines
     * (and re-evaluates) the hash `numHashes` times per shingle. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, numHashes: Int = 32): DataFrame = {
+                        n: Int = 3, numHashes: Int = 32): DataFrame =
+    df.select(col(idCol),
+      graft.functions.native.minhash_sig(shingleArray(col(textCol), n), numHashes).as("sig"))
+
+  /** Pure-HOF formulation of [[minhashSignatures]] — kept as the
+    * executable specification the native expression is tested against. */
+  private[graft] def minhashSignaturesHof(df: DataFrame, idCol: String, textCol: String,
+                                          n: Int = 3, numHashes: Int = 32): DataFrame = {
     val hashed = transform(shingleArray(col(textCol), n),
       s => pmod(TextStats.hash60(s), lit(P)))
     val sig = aggregate(

@@ -73,14 +73,18 @@ final class HDFStore private (
   def keys: Seq[String] = { checkOpen(); manifest.tables.keys.toSeq.sorted }
 
   /** Keys under a group prefix with optional depth cap — ≙ the nimhdf5
-    * iterators (`nimhdf5/files.nim:469-516`). depth < 0 = unlimited. */
+    * iterators (`nimhdf5/files.nim:469-516`). depth < 0 = unlimited;
+    * depth = 1 lists direct children only. */
   def keys(prefix: String, depth: Int): Seq[String] = {
     checkOpen()
     val p = norm(prefix)
-    val base = if (p.isEmpty) 0 else p.count(_ == '/') + 1
     keys.filter { k =>
-      (p.isEmpty || k == p || k.startsWith(p + "/")) &&
-        (depth < 0 || k.count(_ == '/') - (if (p.isEmpty) -1 else base - 1) < depth + (if (p.isEmpty) 1 else 0))
+      val rel =
+        if (p.isEmpty) Some(k)
+        else if (k == p) Some("")
+        else if (k.startsWith(p + "/")) Some(k.substring(p.length + 1))
+        else None
+      rel.exists(r => depth < 0 || r.isEmpty || r.count(_ == '/') < depth)
     }
   }
 

@@ -34,6 +34,16 @@ class ExprSpec extends AnyFunSuite {
     both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("MinHashSig native expression == HOF executable spec") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    val fast = graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val spec = graft.ops.Dedup.minhashSignaturesHof(docs, "doc_id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast.keySet == spec.keySet)
+    fast.keys.foreach(k => assert(fast(k) == spec(k), s"doc $k"))
+  }
+
   test("float_dot yields null on length mismatch") {
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
     assert(df.select(native.float_dot($"a", $"b")).collect()(0).isNullAt(0))

@@ -96,6 +96,9 @@ class StoreSpec extends AnyFunSuite {
     assert(st.contains("/a/b/t1") && st.contains("a"))
     assert(st.keys == Seq("a/b/t1", "a/t2"))
     assert(st.keys("a/b", -1) == Seq("a/b/t1"))
+    assert(st.keys("a", 1) == Seq("a/t2"))       // depth 1: direct children only
+    assert(st.keys("a", 2) == Seq("a/b/t1", "a/t2"))
+    assert(st.keys("", 1) == Seq())              // tables all nested deeper
     st.close()
   }
 
