@@ -329,6 +329,61 @@ object SparkEntry {
           size(col("embedding")).cast(LongType).as("n"))
         .orderBy("_rowid")),
 
+    // M6 broadcast variant: set an entire row of the 2-D grid (distributed
+    // update-set construction, only intersecting segments rewritten)
+    "m6_broadcast_row" -> ((s, d) => {
+      val st = store(s, d)
+      st.synchronized {
+        if (st.contains("mut/gridrow")) st.drop("mut/gridrow")
+        st.copy("grid", "mut/gridrow")
+        val nd = NDArray.open(st, "mut/gridrow")
+        nd.writeBroadcast(0, 5, j => lit(9000L) + j)
+        nd.df.filter(col("i0").between(4, 6))
+          .select("i0", "i1", "value").orderBy("i0", "i1")
+      }
+    }),
+
+    // S1: the four open modes (create/read-only/read-write/infer) + the
+    // reference's missing-file failure for hdRead
+    "s1_open_modes" -> ((s, d) => {
+      val dir = "/tmp/graft-qstore/modes_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val st1 = HDFStore.open(s, dir, StoreMode.Overwrite)
+      st1.put("r", s.read.parquet(s"$d/region.parquet").sort("r_regionkey"))
+      st1.close()
+      val ro = HDFStore.open(s, dir, StoreMode.Read)
+      val roRejects = try { ro.drop("r"); 0L }
+        catch { case _: UnsupportedOperationException => 1L }
+      ro.close()
+      val rw = HDFStore.open(s, dir, StoreMode.ReadWrite)
+      val rwOpens = if (rw.contains("r")) 1L else 0L; rw.close()
+      val inf = HDFStore.open(s, dir, StoreMode.Infer)
+      val inferOpens = if (inf.contains("r")) 1L else 0L; inf.close()
+      val missingFails = try { HDFStore.open(s, dir + "/nope", StoreMode.Read); 0L }
+        catch { case _: java.io.FileNotFoundException => 1L }
+      s.createDataFrame(Seq((1L, roRejects, rwOpens, inferOpens, missingFails)))
+        .toDF("created", "ro_rejects_writes", "rw_opens", "infer_opens", "missing_read_fails")
+    }),
+
+    // S9: close fences the handle; a reopened store sees committed state
+    "s9_lifecycle" -> ((s, d) => {
+      val dir = "/tmp/graft-qstore/life_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val st1 = HDFStore.open(s, dir, StoreMode.Overwrite)
+      st1.put("r", s.read.parquet(s"$d/region.parquet").sort("r_regionkey"))
+      st1.close()
+      val fenced = try { st1.keys; 0L } catch { case _: IllegalStateException => 1L }
+      val st2 = HDFStore.open(s, dir, StoreMode.Read)
+      val rows = st2.nrows("r"); st2.close()
+      s.createDataFrame(Seq((fenced, rows))).toDF("close_fences", "reopened_nrows")
+    }),
+
+    // P7: dynamic-type dispatch — schema-on-read of an untyped handle
+    // (≙ withDset, nimhdf5/datasets.nim:727-773)
+    "p7_dynamic" -> ((s, d) => {
+      val t = store(s, d).table("lineitem")
+      val rows = t.schema.fields.map(f => (f.name, f.dataType.simpleString))
+      s.createDataFrame(rows.toSeq).toDF("field", "type").orderBy("field")
+    }),
+
     // ----------------------------------------------- §2 parity: attrs/groups/codecs
 
     // A1-A4: typed attribute write/read/exists/delete surfaced as rows
@@ -507,6 +562,26 @@ object SparkEntry {
       ("WITH base AS (SELECT *, row_number() OVER (ORDER BY vec_id) - 1 AS _rowid FROM embeddings) " +
        "SELECT _rowid, vec_id, len(embedding)::BIGINT AS n FROM base " +
        "WHERE _rowid BETWEEN 10 AND 19 ORDER BY _rowid"),
+
+    "m6_broadcast_row" ->
+      ("WITH g AS (SELECT i.g AS i0, j.g AS i1, CAST(i.g * 20 + j.g AS DOUBLE) AS value " +
+       "FROM generate_series(0, 19) i(g), generate_series(0, 19) j(g)) " +
+       "SELECT i0, i1, CASE WHEN i0 = 5 THEN CAST(9000 + i1 AS DOUBLE) ELSE value END AS value " +
+       "FROM g WHERE i0 BETWEEN 4 AND 6 ORDER BY i0, i1"),
+
+    "s1_open_modes" ->
+      ("SELECT 1::BIGINT AS created, 1::BIGINT AS ro_rejects_writes, 1::BIGINT AS rw_opens, " +
+       "1::BIGINT AS infer_opens, 1::BIGINT AS missing_read_fails"),
+
+    "s9_lifecycle" ->
+      "SELECT 1::BIGINT AS close_fences, (SELECT count(*) FROM region) AS reopened_nrows",
+
+    "p7_dynamic" ->
+      ("SELECT * FROM (VALUES ('l_orderkey','bigint'), ('l_partkey','bigint'), " +
+       "('l_suppkey','bigint'), ('l_linenumber','int'), ('l_quantity','double'), " +
+       "('l_extendedprice','double'), ('l_discount','double'), ('l_tax','double'), " +
+       "('l_returnflag','string'), ('l_linestatus','string'), " +
+       "('l_shipdate','timestamp_ntz')) t(field, type) ORDER BY field"),
 
     "a1_attrs" ->
       ("SELECT '' AS obj, 'store_format' AS key, 'graft-parquet-v1' AS val " +

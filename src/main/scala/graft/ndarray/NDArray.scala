@@ -104,6 +104,30 @@ final class NDArray private[ndarray] (
     table.applyUpdates(updates)
   }
 
+  /** Broadcast write along one axis — set every element whose `dim`-index
+    * equals `index` (the row/column broadcast writes of
+    * `nimhdf5/datasets.nim:1208-1275`), rank 2. The update set is built
+    * DISTRIBUTED (`spark.range` over the free axis), so a 10^9-wide row
+    * write never materializes on the driver; only intersecting segments
+    * rewrite. `valueOf` receives the free-axis index column. */
+  def writeBroadcast(dim: Int, index: Long, valueOf: Column => Column): Unit = {
+    require(rank == 2, "writeBroadcast: rank-2 arrays")
+    require(dim == 0 || dim == 1)
+    require(index >= 0 && index < shape(dim), s"index $index out of shape ${shape(dim)}")
+    val st = strides
+    val free = 1 - dim
+    val spark = store.spark
+    val ids = spark.range(shape(free))
+    val (i0, i1) =
+      if (dim == 0) (lit(index), col("id"))
+      else (col("id"), lit(index))
+    val updates = ids.select(
+      i0.as("i0"), i1.as("i1"),
+      valueOf(col("id")).cast(org.apache.spark.sql.types.DoubleType).as("value"),
+      (i0 * st(0) + i1 * st(1)).as(RowIds.Col))
+    table.applyUpdates(updates)
+  }
+
   /** Append a block along axis 0 ≙ `add` (`datasets.nim:1338-1369`):
     * pure segment append + shape bump. `block` must carry `(i0…iN-1,
     * value)` for the new rows in row-major order with axis-0 indices
