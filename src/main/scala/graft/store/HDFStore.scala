@@ -197,18 +197,30 @@ final class HDFStore private (
     SegmentMeta(segRel, rows)
   }
 
-  /** Drop segment directories no longer referenced by any catalog entry
-    * (old copy-on-write versions). Safe any time; readers of the current
-    * manifest never reference them. */
+  /** Drop segment data no longer referenced by any catalog entry (old
+    * copy-on-write versions). Safe any time; readers of the current
+    * manifest never reference it. References may be whole segment dirs or
+    * individual files inside them (file-granular mutations): a dir with
+    * only some files live keeps exactly those files. */
   def vacuum(): Unit = {
     checkWritable()
-    val live: Set[String] = manifest.tables.values.flatMap(_.segments.map(_.dir)).toSet
+    val refs: Set[String] = manifest.tables.values.flatMap(_.segments.map(_.dir)).toSet
     val tablesRoot = new Path(rootPath, "tables")
     if (fs.exists(tablesRoot)) {
       fs.listStatus(tablesRoot).foreach { tdir =>
         fs.listStatus(tdir.getPath).foreach { seg =>
           val rel = "tables/" + tdir.getPath.getName + "/" + seg.getPath.getName
-          if (!live.contains(rel)) fs.delete(seg.getPath, true)
+          if (!refs.contains(rel)) {
+            val liveInside = refs.exists(_.startsWith(rel + "/"))
+            if (!liveInside) fs.delete(seg.getPath, true)
+            else if (fs.getFileStatus(seg.getPath).isDirectory) {
+              fs.listStatus(seg.getPath).foreach { f =>
+                val frel = rel + "/" + f.getPath.getName
+                if (f.isFile && f.getPath.getName.endsWith(".parquet") && !refs.contains(frel))
+                  fs.delete(f.getPath, false)
+              }
+            }
+          }
         }
         if (fs.listStatus(tdir.getPath).isEmpty) fs.delete(tdir.getPath, true)
       }

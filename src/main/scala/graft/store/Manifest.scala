@@ -77,11 +77,14 @@ object AttrValue {
 
 /** One immutable run of rows of a table. `rows` is cached (≙ the reference's
   * cached `nrecords`, `nimtables.nim:128`); `dir` is relative to the store
-  * root. Row-ids inside a segment are local and dense `[0, rows)`; the
-  * global offset of a segment is the prefix sum of preceding segments'
-  * `rows` — so append/delete/insert touch only affected segments and the
-  * rest shift by METADATA only (SURVEY §7.4 item 1). */
-final case class SegmentMeta(dir: String, rows: Long)
+  * root and may point at a segment DIRECTORY or (after file-granular
+  * mutation refinement) a single parquet FILE. Stored row-ids inside the
+  * run are dense `[idBase, idBase + rows)` — `idBase` is nonzero exactly
+  * for file runs carved out of a larger segment, so untouched files keep
+  * their bytes AND their stored ids. The global offset of a run is the
+  * prefix sum of preceding runs' `rows`, so append/delete/insert touch
+  * only affected runs and the rest shift by METADATA only (SURVEY §7.4). */
+final case class SegmentMeta(dir: String, rows: Long, idBase: Long = 0L)
 
 /** Catalog entry for one named object in the store. */
 final case class TableMeta(
@@ -118,7 +121,8 @@ final class Manifest private (
       name -> JObject(
         "kind" -> JString(t.kind),
         "segments" -> JArray(t.segments.toList.map(s =>
-          JObject("dir" -> JString(s.dir), "rows" -> JLong(s.rows)))),
+          JObject("dir" -> JString(s.dir), "rows" -> JLong(s.rows),
+            "idBase" -> JLong(s.idBase)))),
         "schema" -> JString(t.schemaJson),
         "chunkSize" -> t.chunkSize.map(JLong(_)).getOrElse(JNull),
         "codec" -> t.codec.map(JString(_)).getOrElse(JNull),
@@ -181,8 +185,8 @@ object Manifest {
         val segs = (t \ "segments") match {
           case JArray(a) => a.map { s =>
             val JString(dir) = s \ "dir"
-            val rows = s \ "rows" match { case JLong(l) => l; case JInt(i) => i.toLong; case _ => 0L }
-            SegmentMeta(dir, rows)
+            def long(v: JValue): Long = v match { case JLong(l) => l; case JInt(i) => i.toLong; case _ => 0L }
+            SegmentMeta(dir, long(s \ "rows"), long(s \ "idBase"))
           }.toVector
           case _ => Vector.empty[SegmentMeta]
         }

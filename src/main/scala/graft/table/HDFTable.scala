@@ -57,12 +57,61 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
   private def segDf(seg: SegmentMeta): DataFrame =
     spark.read.parquet(new Path(store.rootPath, seg.dir).toString)
 
+  /** Stored ids run `[idBase, idBase+rows)`; global view shifts them to
+    * `[off, off+rows)`. */
+  private def toGlobal(seg: SegmentMeta, off: Long, d: DataFrame): DataFrame =
+    if (off == seg.idBase) d
+    else d.withColumn(Col, col(Col) + lit(off - seg.idBase))
+
+  /** Parquet footer row count — metadata read only, no data pass. */
+  private def parquetRowCount(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Split a directory run into one run PER PARQUET FILE (row counts from
+    * footers, id bases by prefix sum — file name order is partition order
+    * is id order for our sorted writes). This is what makes mutations
+    * file-granular: only files intersecting the mutated range rewrite;
+    * every other file keeps its bytes and its stored ids. Falls back to
+    * the whole run if the footer sum disagrees (safety). */
+  private def fileRuns(seg: SegmentMeta): Vector[SegmentMeta] = {
+    val p = new Path(store.rootPath, seg.dir)
+    if (store.fs.getFileStatus(p).isFile) return Vector(seg)
+    val files = store.fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    if (files.length <= 1) return Vector(seg)
+    var base = seg.idBase
+    val runs = files.toVector.map { f =>
+      val rows = parquetRowCount(f.getPath)
+      val sm = SegmentMeta(seg.dir + "/" + f.getPath.getName, rows, base)
+      base += rows
+      sm
+    }
+    if (base - seg.idBase == seg.rows) runs.filter(_.rows > 0) else Vector(seg)
+  }
+
+  /** Segment list with every run intersecting `[a, b]` refined to file
+    * granularity; untouched runs pass through unchanged. */
+  private def refineIntersecting(a: Long, b: Long): Vector[SegmentMeta] = {
+    val m = meta
+    m.segments.zip(m.offsets).flatMap { case (seg, off) =>
+      val hi = off + seg.rows - 1
+      if (hi < a || off > b) Vector(seg) else fileRuns(seg)
+    }.toVector
+  }
+
+  private def offsetsOf(segs: Vector[SegmentMeta]): Vector[Long] =
+    segs.scanLeft(0L)(_ + _.rows).init
+
   /** Full-table view with the GLOBAL `_rowid` column. Lazy; no I/O here. */
   def df: DataFrame = {
     val m = meta
     val parts = m.segments.zip(m.offsets).map { case (seg, off) =>
-      if (off == 0L) segDf(seg)
-      else segDf(seg).withColumn(Col, col(Col) + lit(off))
+      toGlobal(seg, off, segDf(seg))
     }
     if (parts.isEmpty) emptyDf(withRowId = true)
     else parts.reduce(_ unionByName _)
@@ -95,12 +144,12 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
       val hi = off + seg.rows - 1
       if (hi < a || off > b) None
       else {
-        val la = math.max(a, off) - off
+        val la = math.max(a, off) - off // run-relative range
         val lb = math.min(b, hi) - off
         val base = segDf(seg)
         val filtered = if (la == 0 && lb == seg.rows - 1) base
-          else base.filter(col(Col).between(la, lb))
-        Some(if (off == 0L) filtered else filtered.withColumn(Col, col(Col) + lit(off)))
+          else base.filter(col(Col).between(la + seg.idBase, lb + seg.idBase))
+        Some(toGlobal(seg, off, filtered))
       }
     }
     if (parts.isEmpty) emptyDf(withRowId = true)
@@ -187,14 +236,16 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
     if (k == 0) { repl.unpersist(); return }
     val b = at + k - 1
     checkBounds(at, b)
-    val m = meta
-    val newSegs = m.segments.zip(m.offsets).map { case (seg, off) =>
+    val refined = refineIntersecting(at, b)
+    val newSegs = refined.zip(offsetsOf(refined)).map { case (seg, off) =>
       val hi = off + seg.rows - 1
       if (hi < at || off > b) seg
       else {
         val la = math.max(at, off) - off
         val lb = math.min(b, hi) - off
-        val kept = segDf(seg).filter(!col(Col).between(la, lb))
+        val kept = segDf(seg)
+          .filter(!col(Col).between(la + seg.idBase, lb + seg.idBase))
+          .withColumn(Col, col(Col) - lit(seg.idBase))
         val incoming = repl.filter(col(Col).between(off + la, off + lb))
           .withColumn(Col, col(Col) - lit(off))
         writeSorted(kept.unionByName(incoming))
@@ -218,14 +269,14 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
       if (mm.isNullAt(0)) return
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       checkBounds(lo, hi)
-      val m = meta
-      val newSegs = m.segments.zip(m.offsets).map { case (seg, off) =>
+      val refined = refineIntersecting(lo, hi)
+      val newSegs = refined.zip(offsetsOf(refined)).map { case (seg, off) =>
         val segHi = off + seg.rows - 1
         if (segHi < lo || off > hi) seg
         else {
           val local = u.filter(col(Col).between(off, segHi))
             .withColumn(Col, col(Col) - lit(off))
-          val base = segDf(seg)
+          val base = segDf(seg).withColumn(Col, col(Col) - lit(seg.idBase))
           val kept = base.join(local.select(Col), Seq(Col), "left_anti")
           val rewritten = writeSorted(kept.unionByName(local.select(base.columns.map(col): _*)))
           if (rewritten.rows != seg.rows)
@@ -245,17 +296,18 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
   def delete(a: Long, b: Long): Unit = {
     store.checkWritable()
     checkBounds(a, b)
-    val m = meta
-    val newSegs = m.segments.zip(m.offsets).flatMap { case (seg, off) =>
+    val refined = refineIntersecting(a, b)
+    val newSegs = refined.zip(offsetsOf(refined)).flatMap { case (seg, off) =>
       val hi = off + seg.rows - 1
       if (hi < a || off > b) Some(seg)
-      else if (off >= a && hi <= b) None // fully deleted, no I/O at all
+      else if (off >= a && hi <= b) None // fully deleted FILE: no I/O at all
       else {
-        val la = math.max(a, off) - off
-        val lb = math.min(b, hi) - off
+        val la = math.max(a, off) - off + seg.idBase // stored coordinates
+        val lb = math.min(b, hi) - off + seg.idBase
         val removed = lb - la + 1
         val kept = segDf(seg).filter(!col(Col).between(la, lb))
-          .withColumn(Col, when(col(Col) > lb, col(Col) - removed).otherwise(col(Col)))
+          .withColumn(Col,
+            when(col(Col) > lb, col(Col) - removed).otherwise(col(Col)) - lit(seg.idBase))
         Some(writeSorted(kept))
       }
     }.toVector
@@ -274,22 +326,26 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
     val m = meta
     val newSeg = store.writeSegment(baseName, withLocalIds(data), m.chunkSize, m.codec)
     if (newSeg.rows == 0) return
-    val offs = m.offsets
-    val boundaryIdx = (0 until m.segments.size).find(i => offs(i) == at)
-      .orElse(if (at == nrows) Some(m.segments.size) else None)
+    // refine around the insert point so a mid-SEGMENT insert that lands on
+    // a FILE boundary is still pure metadata
+    val segs = if (at == 0 || at == nrows) m.segments
+      else refineIntersecting(math.max(at - 1, 0), at)
+    val offs = offsetsOf(segs)
+    val boundaryIdx = segs.indices.find(i => offs(i) == at)
+      .orElse(if (at == nrows) Some(segs.size) else None)
     boundaryIdx match {
       case Some(i) =>
-        swapSegments((m.segments.take(i) :+ newSeg) ++ m.segments.drop(i))
+        swapSegments((segs.take(i) :+ newSeg) ++ segs.drop(i))
       case None =>
-        val i = m.segments.indices.find(j => offs(j) < at && at <= offs(j) + m.segments(j).rows - 1).get
-        val seg = m.segments(i); val off = offs(i)
+        val i = segs.indices.find(j => offs(j) < at && at <= offs(j) + segs(j).rows - 1).get
+        val seg = segs(i); val off = offs(i)
         val local = at - off
         val k = newSeg.rows
         val shifted = segDf(seg).withColumn(Col,
-          when(col(Col) >= local, col(Col) + k).otherwise(col(Col)))
+          when(col(Col) >= local + seg.idBase, col(Col) + k).otherwise(col(Col)) - lit(seg.idBase))
         val incoming = segDf(newSeg).withColumn(Col, col(Col) + lit(local))
         val rewritten = writeSorted(shifted.unionByName(incoming))
-        swapSegments((m.segments.take(i) :+ rewritten) ++ m.segments.drop(i + 1))
+        swapSegments((segs.take(i) :+ rewritten) ++ segs.drop(i + 1))
     }
   }
 

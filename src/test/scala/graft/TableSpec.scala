@@ -206,15 +206,48 @@ class TableSpec extends AnyFunSuite {
     val st = fresh(); import spark.implicits._
     st.put("particles", particles)
     val t = st.typed[Particle]("particles")
-    t.delete(0); t.delete(0); t.delete(0) // three rewrites → orphaned dirs
-    def segDirs(): Int = {
-      val root = new java.io.File(st.root, "tables")
-      root.listFiles().flatMap(_.listFiles()).length
+    t.delete(0); t.delete(0); t.delete(0) // three rewrites → orphaned data
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(st.root, "tables")).count(_.getName.endsWith(".parquet"))
     }
-    assert(segDirs() > st.segmentCount("particles"))
+    val before = parquetFiles()
     st.vacuum()
-    assert(segDirs() == st.segmentCount("particles"))
-    assert(t.toSeq == particles.drop(3)) // data intact after vacuum
+    assert(parquetFiles() < before)          // orphans reclaimed
+    assert(t.toSeq == particles.drop(3))     // data intact after vacuum
+    // and a fresh reader sees the same state
+    val st2 = HDFStore.open(spark, st.root, StoreMode.Read)
+    assert(st2.typed[Particle]("particles").toSeq == particles.drop(3))
+    st2.close()
+    st.close()
+  }
+
+  test("mutations are file-granular: untouched files keep their bytes") {
+    val st = fresh(); import spark.implicits._
+    val big = (0 until 100).map(i => Particle(i.toLong, 1, 100.0, 20.0))
+    st.put("big", big, Some(10L), None) // 10-row files
+    val t = st.typed[Particle]("big")
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(st.root, "tables"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = files()
+    t.delete(42, 44) // inside one 10-row file
+    val after = files()
+    val survived = before.keySet.intersect(after.keySet)
+    // all but ~one original file survive byte-identical (same mtime)
+    assert(survived.size >= before.size - 2, s"rewrote too much: ${before.size} -> ${survived.size}")
+    assert(survived.forall(k => before(k) == after(k)))
+    assert(t.toSeq == big.take(42) ++ big.drop(45))
+    // positional reads still exact across the refined runs
+    assert(t(41) == big(41) && t(42) == big(45) && t.nrows == 97)
+    // delete of whole file spans is pure metadata (no new files needed)
+    t.delete(10, 29)
+    assert(t.toSeq == (big.take(10) ++ big.slice(30, 42) ++ big.drop(45)))
     st.close()
   }
 
