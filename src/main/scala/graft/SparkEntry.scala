@@ -630,6 +630,12 @@ object SparkEntry {
       Dedup.jaccardPairs(docs(s, d).filter(col("doc_id") < 300), "doc_id", "text", 3)
         .orderBy(col("jaccard").desc, col("id1"), col("id2")).limit(20)),
 
+    // skew-guarded full-corpus Jaccard: stop-shingles (doc-freq > 100)
+    // dropped before the inverted-index join — the hot-key guard at scale
+    "x_dedup_jaccard_guard" -> ((s, d) =>
+      Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, maxDocFreq = Some(100L))
+        .orderBy(col("jaccard").desc, col("id1"), col("id2")).limit(20)),
+
     // MinHash signatures (portable md5-based hash family), long format
     "x_dedup_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignatures(docs(s, d).filter(col("doc_id") < 300), "doc_id", "text", 3, 16)
@@ -776,6 +782,19 @@ object SparkEntry {
       (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents WHERE doc_id < 300), """ +
        """sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
        """i -> array_to_string(l[i:i+2], ' '))) AS s FROM toks), """ +
+       """sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), """ +
+       """inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n FROM sh a """ +
+       """JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) """ +
+       """SELECT id1, id2, CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) AS jaccard FROM inter """ +
+       """JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2 """ +
+       """ORDER BY jaccard DESC, id1, id2 LIMIT 20"""),
+
+    "x_dedup_jaccard_guard" ->
+      (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents), """ +
+       """sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
+       """i -> array_to_string(l[i:i+2], ' '))) AS s FROM toks), """ +
+       """freq AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100), """ +
+       """sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN freq USING (s)), """ +
        """sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), """ +
        """inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n FROM sh a """ +
        """JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) """ +

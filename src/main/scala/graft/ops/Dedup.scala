@@ -47,13 +47,20 @@ object Dedup {
     * the shingle, count intersections, normalize by set sizes.
     * `maxDocFreq` drops shingles present in more than that many docs
     * (stop-shingles) — the standard skew guard at scale. */
+  /** `cacheIndex` materializes the inverted (doc, shingle) index once —
+    * it feeds the doc-freq filter, both self-join sides, and the size
+    * aggregate (4 evaluations otherwise). On corpora too big to cache,
+    * pass false and rely on Spark's exchange reuse. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, maxDocFreq: Option[Long] = None): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"), explode(shingleArray(col(textCol), n)).as("s"))
+                   n: Int = 3, maxDocFreq: Option[Long] = None,
+                   cacheIndex: Boolean = true): DataFrame = {
+    val sh0 = df.select(col(idCol).as("doc"), explode(shingleArray(col(textCol), n)).as("s"))
+    val sh = if (cacheIndex) sh0.cache() else sh0
     val filtered = maxDocFreq match {
       case Some(mdf) =>
         val freq = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= mdf)
-        sh.join(freq.select("s"), "s")
+        val joined = sh.join(freq.select("s"), "s")
+        if (cacheIndex) joined.cache() else joined
       case None => sh
     }
     val sizes = filtered.groupBy(col("doc")).agg(count(lit(1)).as("sz"))

@@ -149,6 +149,18 @@ object Manifest {
 
   def empty: Manifest = new Manifest(Map.empty, Set.empty, Map.empty, 0L)
 
+  private def parses(fs: FileSystem, p: Path): Boolean =
+    try {
+      val in = fs.open(p)
+      val bytes = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+        out.toByteArray
+      } finally in.close()
+      fromJson(JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8)))
+      true
+    } catch { case _: Exception => false }
+
   def exists(fs: FileSystem, root: Path): Boolean =
     fs.exists(new Path(root, Dir)) && latestFile(fs, root).isDefined
 
@@ -163,10 +175,18 @@ object Manifest {
     }.sortBy(_._1).lastOption
   }
 
-  def load(fs: FileSystem, root: Path): Manifest =
-    latestFile(fs, root) match {
-      case None => empty
-      case Some((v, p)) =>
+  /** Load the highest parseable version (a torn highest file — crashed
+    * writer — falls back to the previous committed version). */
+  def load(fs: FileSystem, root: Path): Manifest = {
+    val dir = new Path(root, Dir)
+    if (!fs.exists(dir)) return empty
+    val versions = fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case VersionRe(n) => Some((n.toLong, st.getPath)); case _ => None
+      }
+    }.sortBy(-_._1)
+    versions.foreach { case (v, p) =>
+      try {
         val in = fs.open(p)
         val bytes = try {
           val out = new java.io.ByteArrayOutputStream()
@@ -175,8 +195,11 @@ object Manifest {
         } finally in.close()
         val m = fromJson(JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8)))
         m.version = v
-        m
+        return m
+      } catch { case _: Exception => () } // torn/corrupt: try the previous one
     }
+    empty
+  }
 
   def fromJson(j: JValue): Manifest = {
     val version = j \ "version" match { case JLong(l) => l; case JInt(i) => i.toLong; case _ => 0L }
@@ -219,15 +242,55 @@ object Manifest {
     new Manifest(tables, groups, attrs, version)
   }
 
-  /** Commit the next catalog version; prune old versions beyond [[Keep]]. */
+  /** Commit the next catalog version with OPTIMISTIC CONCURRENCY: the
+    * version file is created exclusively (`create(overwrite=false)` is an
+    * atomic claim on HDFS/local), so of two racing writers exactly one
+    * wins and the loser gets a `ConcurrentModificationException` to
+    * reload-and-retry on. Prunes versions beyond [[Keep]].
+    * (The reference is single-process and has no analog; this is what a
+    * multi-writer 1000-executor deployment needs.) */
   def save(fs: FileSystem, root: Path, m: Manifest): Unit = {
-    m.version += 1
     val dir = new Path(root, Dir)
     fs.mkdirs(dir)
-    val target = new Path(dir, f"v${m.version}%012d.json")
-    val out = fs.create(target, true)
-    try out.write(JsonMethods.pretty(JsonMethods.render(m.toJson)).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    val newer = fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case VersionRe(n) if n.toLong > m.version => Some((n.toLong, st.getPath))
+        case _ => None
+      }
+    }
+    // newer PARSEABLE versions = a real concurrent commit; torn files from
+    // crashed writers don't count (the claim below reclaims their slot)
+    newer.find { case (_, p) => parses(fs, p) }.foreach { case (v, _) =>
+      throw new java.util.ConcurrentModificationException(
+        s"manifest advanced to v$v behind this handle (at v${m.version}); reload and retry")
+    }
+    val target = new Path(dir, f"v${m.version + 1}%012d.json")
+    def claim(): org.apache.hadoop.fs.FSDataOutputStream =
+      try fs.create(target, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.io.IOException =>
+          // a torn target (crashed writer mid-write) self-heals; a valid
+          // one means we genuinely lost the race
+          if (fs.exists(target) && !parses(fs, target)) {
+            fs.delete(target, false)
+            try fs.create(target, false) catch {
+              case _: Exception => throw new java.util.ConcurrentModificationException(
+                s"lost commit race for ${target.getName}; reload and retry")
+            }
+          } else throw new java.util.ConcurrentModificationException(
+            s"lost commit race for ${target.getName}; reload and retry")
+      }
+    val out = claim()
+    m.version += 1
+    try {
+      try out.write(JsonMethods.pretty(JsonMethods.render(m.toJson)).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case e: Throwable => // never leave a torn latest version behind
+        m.version -= 1
+        try fs.delete(target, false) catch { case _: Throwable => () }
+        throw e
+    }
     // prune
     fs.listStatus(dir).toSeq.flatMap { st =>
       st.getPath.getName match { case VersionRe(n) => Some((n.toLong, st.getPath)); case _ => None }

@@ -121,6 +121,56 @@ class StoreSpec extends AnyFunSuite {
     st.close()
   }
 
+  test("optimistic concurrency: stale handle's commit is rejected; reload wins") {
+    val dir = TestSpark.tmpDir("store-occ")
+    import spark.implicits._
+    val st1 = HDFStore.open(spark, dir, StoreMode.Overwrite)
+    st1.put("t", particles)
+    val st2 = HDFStore.open(spark, dir, StoreMode.ReadWrite) // same catalog, second handle
+    st1.setAttr("t", "k", 1L)                                 // advances the catalog
+    intercept[java.util.ConcurrentModificationException] {
+      st2.setAttr("t", "k", 2L)                               // stale: must not clobber
+    }
+    st1.close(); st2.close()
+    val st3 = HDFStore.open(spark, dir, StoreMode.Read)
+    assert(st3.getAttr("t", "k") == graft.store.AttrValue.I64(1)) // winner's value survived
+    st3.close()
+  }
+
+  test("torn manifest version self-heals: readers fall back, writers reclaim") {
+    val dir = TestSpark.tmpDir("store-torn")
+    import spark.implicits._
+    val st = HDFStore.open(spark, dir, StoreMode.Overwrite)
+    st.put("t", particles)
+    st.close()
+    // simulate a writer that crashed mid-commit: a garbage next-version file
+    val mdir = new java.io.File(dir, "_manifest")
+    val latest = mdir.listFiles().map(_.getName).filter(_.endsWith(".json")).max
+    val v = latest.stripPrefix("v").stripSuffix(".json").toLong
+    val torn = new java.io.File(mdir, f"v${v + 1}%012d.json")
+    java.nio.file.Files.writeString(torn.toPath, "{ not json")
+    // reader ignores the torn file
+    val ro = HDFStore.open(spark, dir, StoreMode.Read)
+    assert(ro.nrows("t") == 13)
+    ro.close()
+    // writer reclaims the torn slot and commits successfully
+    val rw = HDFStore.open(spark, dir, StoreMode.ReadWrite)
+    rw.setAttr("t", "healed", 1L)
+    assert(rw.getAttr("t", "healed") == graft.store.AttrValue.I64(1))
+    rw.close()
+  }
+
+  test("codec matrix: gzip/snappy/zstd/lz4 round-trip (blosc family mapping)") {
+    val dir = TestSpark.tmpDir("store-codec")
+    import spark.implicits._
+    val st = HDFStore.open(spark, dir, StoreMode.Overwrite)
+    Seq("gzip", "snappy", "zstd", "lz4").foreach { c =>
+      st.put(s"t_$c", particles, None, Some(c))
+      assert(st.typed[Particle](s"t_$c").toSeq == particles, s"codec $c")
+    }
+    st.close()
+  }
+
   test("typed attributes round-trip; bool rejected (attributes.nim:289-293)") {
     val dir = TestSpark.tmpDir("store-attr")
     val st = HDFStore.open(spark, dir, StoreMode.Overwrite)
