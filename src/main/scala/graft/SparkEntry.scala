@@ -606,7 +606,7 @@ object SparkEntry {
 
   // ----------------------------------------------- extensions: LLM-pipeline ops
 
-  import graft.ops.{Dedup, Multimodal, Sessionize, Similarity, TextStats}
+  import graft.ops.{AsOfJoin, Dedup, Multimodal, Sessionize, Similarity, TextStats}
 
   private def docs(s: SparkSession, d: String) = s.read.parquet(s"$d/documents.parquet")
   private def embs(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
@@ -737,6 +737,25 @@ object SparkEntry {
           .cast(DoubleType).as("sum_disc"),
         count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // as-of join: each event matched to the user's latest order at or
+    // before the event time (union + last-non-null window, one shuffle)
+    "x_asof_join" -> ((s, d) => {
+      val e = events(s, d).withColumn("sec",
+        expr(if (events(s, d).schema("ts").dataType == LongType) "ts div 1000000000"
+        else "unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"))
+        .select("event_id", "user_id", "sec")
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .withColumn("osec", expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey", "osec").orderBy(col("o_orderkey").desc)
+      val dedup = o.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("o_custkey", "osec", "o_orderkey", "o_totalprice")
+      AsOfJoin.asOf(e, dedup, "user_id", "o_custkey", col("sec"), col("osec"),
+        Seq("o_orderkey", "o_totalprice"))
+        .select("event_id", "user_id", "sec", "o_orderkey", "o_totalprice")
+        .orderBy("event_id")
     }),
 
     // broadcast join + per-group top-k window
@@ -895,6 +914,15 @@ object SparkEntry {
        """CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base, """ +
        """CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc, """ +
        """count(*) AS n FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    "x_asof_join" ->
+      ("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec FROM events), """ +
+       """o AS (SELECT o_custkey, epoch_us(o_orderdate) // 1000000 AS osec, o_orderkey, o_totalprice, """ +
+       """row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn FROM orders), """ +
+       """od AS (SELECT o_custkey, osec, o_orderkey, o_totalprice FROM o WHERE rn = 1) """ +
+       """SELECT ev.event_id, ev.user_id, ev.sec, od.o_orderkey, od.o_totalprice """ +
+       """FROM ev ASOF LEFT JOIN od ON ev.user_id = od.o_custkey AND ev.sec >= od.osec """ +
+       """ORDER BY ev.event_id"""),
 
     "x_join_topk" ->
       ("""WITH ranked AS (SELECT o_orderpriority, o_orderkey, o_totalprice, c_name, n_name, """ +

@@ -103,6 +103,19 @@ class OpsSpec extends AnyFunSuite {
       Seq((0L, 0L, 2L), (0L, 1L, 1L), (9L, 0L, 1L)))
   }
 
+  test("asOf join: latest right row at-or-before, per key; left rows keep nulls") {
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"), (2L, 50L, "e3"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (3L, 1L, "r-other"))
+      .toDF("rk", "rt", "payload")
+    val out = AsOfJoin.asOf(left, right, "k", "rk", col("t"), col("rt"), Seq("payload"))
+      .select("ev", "payload").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("e1") == "r10")  // inclusive: rt == t matches
+    assert(out("e2") == "r15")  // latest at-or-before
+    assert(out("e0") == null)   // nothing before t=5
+    assert(out("e3") == null)   // key 2 has no right rows
+  }
+
   test("multimodal: payload/meta schema and deterministic featurize") {
     val df = Multimodal.decodeStub(Multimodal.attachPayload(docsDf, "text"))
     val m = df.filter($"doc_id" === 0).select("media_meta.*").collect()(0)
