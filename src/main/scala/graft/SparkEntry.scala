@@ -774,6 +774,33 @@ object SparkEntry {
         .orderBy("o_orderpriority", "rk")
     }),
 
+    // end-to-end cleaning pipeline: dedup → quality gate → language tag →
+    // persisted store table → per-source summary (the composed
+    // training-data flow, not an isolated operator)
+    "x_pipeline_clean" -> ((s, d) => {
+      val st = store(s, d)
+      st.synchronized {
+        if (st.isTable("clean/documents")) st.drop("clean/documents")
+        val deduped = Dedup.exact(docs(s, d), "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+          .join(docs(s, d), "doc_id")
+        val scored = TextStats.quality(deduped, "text")
+          .withColumn("lang_guess", TextStats.langId(col("text")))
+        val clean = scored
+          .filter(col("n_tokens") >= 10 && col("stopword_ratio") >= 0.05)
+          .select("doc_id", "source", "lang_guess", "n_tokens", "quality_score")
+          .orderBy("doc_id")
+        st.put("clean/documents", clean)
+        st.table("clean/documents").df
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            min(col("doc_id")).as("min_id"),
+            sum(col("n_tokens")).as("tokens"),
+            sum(col("quality_score").cast(DecimalType(20, 12))).cast(DoubleType).as("sum_quality"))
+          .orderBy("source")
+      }
+    }),
+
     // multimodal: binary payload + stubbed decode metadata
     "x_multimodal_meta" -> ((s, d) =>
       Multimodal.decodeStub(Multimodal.attachPayload(docs(s, d), "text"))
@@ -930,6 +957,22 @@ object SparkEntry {
        """FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey) """ +
        """SELECT o_orderpriority, rk, o_orderkey, o_totalprice, c_name, n_name FROM ranked """ +
        """WHERE rk <= 3 ORDER BY o_orderpriority, rk"""),
+
+    "x_pipeline_clean" ->
+      (s"""WITH dedup AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), """ +
+       s"""f AS (SELECT d.doc_id, d.source, len($TOK)::BIGINT AS n_tokens, """ +
+       s"""len(list_filter($TOK, t -> list_contains($EN_STOP, t)))::BIGINT AS n_stop, """ +
+       """length(text)::BIGINT AS n_chars, """ +
+       """length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::BIGINT AS n_punct """ +
+       """FROM documents d JOIN dedup USING (doc_id)), """ +
+       """q AS (SELECT doc_id, source, n_tokens, """ +
+       """least(1.0, CAST(n_tokens AS DOUBLE) / 200.0) * 0.5 """ +
+       """+ (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 2.0 """ +
+       """- (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.5 AS quality_score, """ +
+       """CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio FROM f) """ +
+       """SELECT source, count(*) AS n, min(doc_id) AS min_id, sum(n_tokens) AS tokens, """ +
+       """CAST(SUM(CAST(quality_score AS DECIMAL(20,12))) AS DOUBLE) AS sum_quality """ +
+       """FROM q WHERE n_tokens >= 10 AND stop_ratio >= 0.05 GROUP BY source ORDER BY source"""),
 
     "x_multimodal_meta" ->
       (s"""SELECT doc_id, 'fake-rgb' AS format, """ +
