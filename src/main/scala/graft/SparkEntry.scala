@@ -158,6 +158,15 @@ object SparkEntry {
       }
     }),
 
+    // S4: the format("hdfstore") connector — open+bind via the DataFrame
+    // reader API, positional predicate pushed through the relation
+    "s4_connector_read" -> ((s, d) => {
+      store(s, d) // ensure the store exists
+      val dir = "/tmp/graft-qstore/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val df = s.read.format("hdfstore").option("table", "lineitem").load(dir)
+      liOut(df.filter(col("_rowid") >= 100 && col("_rowid") <= 149))
+    }),
+
     // P1: positional point read
     "p1_point" -> ((s, d) => liOut(li(s, d).point(41))),
 
@@ -452,6 +461,9 @@ object SparkEntry {
     "s10_copy_hardlink" ->
       ("SELECT 'mut/c' AS name, count(*) + 1 AS nrows, 1::BIGINT AS contained FROM lineitem " +
        "UNION ALL SELECT 'mut/h', count(*) + 1, 1::BIGINT FROM lineitem ORDER BY name"),
+
+    "s4_connector_read" ->
+      s"$BASE SELECT $LI_OUT_SQL FROM base WHERE _rowid BETWEEN 100 AND 149 ORDER BY _rowid",
 
     "p1_point" -> s"$BASE SELECT $LI_OUT_SQL FROM base WHERE _rowid = 41",
 

@@ -397,6 +397,15 @@ final class HDFStore private (
 
   // ---------------------------------------------------------------- close
 
+  /** Register every table as a SQL temp view `<prefix><name>` (slashes →
+    * underscores), so the whole store is queryable via `spark.sql`. */
+  def registerViews(prefix: String = "hdf_"): Unit = {
+    checkOpen()
+    keys.foreach { k =>
+      table(k).df.createOrReplaceTempView(prefix + k.replace('/', '_'))
+    }
+  }
+
   /** ≙ file close discipline (`nimhdf5/files.nim:250-325`). Spark commits
     * on write, so this only fences further use. */
   override def close(): Unit = { closed = true }
