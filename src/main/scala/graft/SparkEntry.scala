@@ -121,10 +121,12 @@ object SparkEntry {
     // S3+S5: create + bulk write + full scan round-trip
     "s3_create_scan" -> ((s, d) => liOut(li(s, d).df)),
 
-    // S2: catalog scan (list tables); mut/* excluded (transient copies)
+    // S2: catalog scan (list tables); tables created by other queries in
+    // the shared store (mut/* copies, clean/* pipeline output) excluded so
+    // the oracle is independent of query execution order
     "s2_keys" -> ((s, d) => {
       val st = store(s, d)
-      val keys = st.keys.filterNot(_.startsWith("mut/"))
+      val keys = st.keys.filterNot(k => k.startsWith("mut/") || k.startsWith("clean/"))
       s.createDataFrame(keys.map(Tuple1(_))).toDF("key").orderBy("key")
     }),
 
@@ -209,7 +211,7 @@ object SparkEntry {
     // M1: append 100 rows (copies of rows 0..99); observe the tail
     "m1_append" -> ((s, d) => {
       val t = mutCopy(s, d, "append") { t =>
-        t.append(t.slice(0, 99).drop("_rowid"))
+        t.append(t.slice(0, 99))
       }
       liOut(t.slice(t.nrows - 150, t.nrows - 1))
     }),
@@ -217,7 +219,7 @@ object SparkEntry {
     // M2: positional update rows [10..14] with copies of rows [0..4]
     "m2_update" -> ((s, d) => {
       val t = mutCopy(s, d, "update") { t =>
-        t.update(10, t.slice(0, 4).drop("_rowid"))
+        t.update(10, t.slice(0, 4))
       }
       t.slice(5, 19).select("_rowid", "l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
         .orderBy("_rowid")
@@ -233,7 +235,7 @@ object SparkEntry {
     // M4: insert copies of rows [0..4] at position 15
     "m4_insert" -> ((s, d) => {
       val t = mutCopy(s, d, "insert") { t =>
-        t.insert(15, t.slice(0, 4).drop("_rowid"))
+        t.insert(15, t.slice(0, 4))
       }
       t.slice(10, 24).select("_rowid", "l_orderkey", "l_partkey", "l_quantity")
         .orderBy("_rowid")
@@ -440,7 +442,7 @@ object SparkEntry {
       val st = store(s, d)
       st.synchronized {
         if (!st.isTable("mut/zstd")) {
-          val src = st.table("lineitem").df.drop("_rowid")
+          val src = st.table("lineitem").df // keeps _rowid: put orders by it
           st.put("mut/zstd", src, Some(4096L), Some("zstd"))
         }
         st.table("mut/zstd").df.agg(

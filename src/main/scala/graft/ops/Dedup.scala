@@ -49,8 +49,11 @@ object Dedup {
     * (stop-shingles) — the standard skew guard at scale. */
   /** `cacheIndex` materializes the inverted (doc, shingle) index once —
     * it feeds the doc-freq filter, both self-join sides, and the size
-    * aggregate (4 evaluations otherwise). On corpora too big to cache,
-    * pass false and rely on Spark's exchange reuse. */
+    * aggregate (4 evaluations otherwise). The cache lives until the
+    * session evicts it (the result is lazy, so this function cannot
+    * unpersist); long-lived sessions processing many corpora should pass
+    * false (relying on Spark's exchange reuse) or unpersist via
+    * `spark.sharedState.cacheManager.clearCache()` between corpora. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, maxDocFreq: Option[Long] = None,
                    cacheIndex: Boolean = true): DataFrame = {

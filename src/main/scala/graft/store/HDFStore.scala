@@ -332,7 +332,9 @@ final class HDFStore private (
       FileUtil.copy(fs, new Path(rootPath, seg.dir),
         dstStore.fs, new Path(dstStore.rootPath, rel),
         false, spark.sparkContext.hadoopConfiguration)
-      SegmentMeta(rel, seg.rows)
+      // idBase MUST survive the copy: file-granular runs carry stored ids
+      // starting at idBase, and the bytes were copied verbatim
+      SegmentMeta(rel, seg.rows, seg.idBase)
     }
     dstStore.ensureParentGroups(d)
     dstStore.manifest.tables += d -> meta.copy(segments = newSegs, aliasOf = None)

@@ -27,29 +27,37 @@ object EventStream {
   def withEventTime(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df.withColumn("event_time",
-        timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        // integer division — `col / 1000` would go through double and lose
+        // precision beyond 2^53 (≈ ±256 ns on 2024 epoch-nanos)
+        timestamp_micros(expr("ts div 1000")))
       case _ => df.withColumn("event_time", col("ts").cast("timestamp"))
     }
 
   /** Streaming append sink into a store table. Exactly-once per batch via
-    * the recorded `lastBatchId` attribute (idempotent replay guard — the
-    * standard foreachBatch discipline). Table must already exist. */
+    * a recorded last-batch-id attribute (idempotent replay guard — the
+    * standard foreachBatch discipline). Batch ids are PER CHECKPOINT, so
+    * the guard attribute is keyed by the checkpoint location: a second
+    * ingestion job with its own checkpoint starts at batch 0 without
+    * having its data silently dropped. Table must already exist. */
   def appendSink(stream: DataFrame, store: HDFStore, table: String,
-                 checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                 checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val guardKey = "lastBatchId:" +
+      java.util.UUID.nameUUIDFromBytes(checkpoint.getBytes("UTF-8")).toString
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val done = store.attr(table, "lastBatchId") match {
+        val done = store.attr(table, guardKey) match {
           case Some(AttrValue.I64(v)) => v
           case _                      => -1L
         }
         if (batchId > done) {
           store.table(table).append(batch)
-          store.setAttr(table, "lastBatchId", batchId)
+          store.setAttr(table, guardKey, batchId)
         }
       }
       .start()
+  }
 
   /** Watermarked tumbling-window counts per event type. */
   def windowedCounts(stream: DataFrame, window: String = "30 minutes",

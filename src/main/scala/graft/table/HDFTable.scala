@@ -201,10 +201,16 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
 
   // ------------------------------------------------------------- writes
 
-  private def withLocalIds(data: DataFrame): DataFrame = {
-    val clean = if (data.columns.contains(Col)) data.drop(Col) else data
-    RowIds.attach(clean)
-  }
+  /** Assign dense local ids to incoming rows. If the data carries a
+    * `_rowid` column (e.g. the output of a positional read), that column
+    * defines the order EXPLICITLY — a multi-file scan's partition order is
+    * NOT file order (Spark packs splits by size), so relying on read
+    * order would scramble positions. Without `_rowid`, the DataFrame's
+    * own deterministic partition order is the contract (createDataset /
+    * freshly sorted inputs). */
+  private def withLocalIds(data: DataFrame): DataFrame =
+    if (data.columns.contains(Col)) RowIds.attach(data.sort(Col).drop(Col))
+    else RowIds.attach(data)
 
   private def swapSegments(newSegs: Vector[SegmentMeta]): Unit = {
     val b = baseName

@@ -251,6 +251,30 @@ class TableSpec extends AnyFunSuite {
     st.close()
   }
 
+  test("copy preserves idBase runs after file-granular mutations") {
+    val st = fresh(); import spark.implicits._
+    val big = (0 until 100).map(i => Particle(i.toLong, 1, 100.0, 20.0))
+    st.put("big", big, Some(10L), None)
+    st.typed[Particle]("big").delete(42, 44) // creates idBase file runs
+    st.copy("big", "c")
+    val c = st.typed[Particle]("c")
+    val expect = big.take(42) ++ big.drop(45)
+    assert(c.toSeq == expect)
+    assert(c(47L, 56L) == expect.slice(47, 57)) // slice across idBase runs
+    st.close()
+  }
+
+  test("append/update of multi-file positional reads keeps _rowid order") {
+    val st = fresh(); import spark.implicits._
+    val big = (0 until 100).map(i => Particle(i.toLong, 1, 100.0, 20.0))
+    st.put("big", big, Some(10L), None) // 10 files — scan order != file order hazard
+    val t = st.typed[Particle]("big")
+    st.table("big").append(st.table("big").slice(5, 94)) // spans 10 files, keeps _rowid
+    assert(t.nrows == 190)
+    assert(t(100L, 189L) == big.slice(5, 95)) // appended tail in positional order
+    st.close()
+  }
+
   test("many small appends then mutations (stress, multi-segment)") {
     val st = fresh(); import spark.implicits._
     st.put("p", particles.take(1))
