@@ -46,13 +46,26 @@ final class HDFStore private (
     val root: String,
     val readOnly: Boolean,
     val defaultChunkSize: Option[Long],
-    val defaultCodec: Option[String]) extends AutoCloseable {
+    val defaultCodec: Option[String],
+    private val pinnedVersion: Option[Long] = None) extends AutoCloseable {
 
   private[graft] val rootPath = new Path(root)
   private[graft] val fs: FileSystem =
     rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private[graft] var manifest: Manifest = Manifest.load(fs, rootPath)
+  private[graft] var manifest: Manifest = Manifest.load(fs, rootPath, pinnedVersion)
   private var closed = false
+
+  /** Current catalog version (monotonic; each commit bumps it). */
+  def version: Long = manifest.version
+
+  /** Time travel: a read-only handle pinned to an earlier catalog version
+    * (within the retained window, and before [[vacuum]] reclaims the
+    * snapshot's files). Snapshot isolation falls out of copy-on-write:
+    * old manifests reference immutable segment files. */
+  def atVersion(v: Long): HDFStore = {
+    checkOpen()
+    new HDFStore(spark, root, readOnly = true, defaultChunkSize, defaultCodec, Some(v))
+  }
 
   // ---------------------------------------------------------------- catalog
 

@@ -176,15 +176,27 @@ object Manifest {
   }
 
   /** Load the highest parseable version (a torn highest file — crashed
-    * writer — falls back to the previous committed version). */
-  def load(fs: FileSystem, root: Path): Manifest = {
+    * writer — falls back to the previous committed version).
+    * `atVersion` pins a historical catalog version instead — time travel
+    * over the retained window ([[Keep]] versions; older data files exist
+    * until [[graft.store.HDFStore.vacuum]]). */
+  def load(fs: FileSystem, root: Path, atVersion: Option[Long] = None): Manifest = {
     val dir = new Path(root, Dir)
     if (!fs.exists(dir)) return empty
     val versions = fs.listStatus(dir).toSeq.flatMap { st =>
       st.getPath.getName match {
         case VersionRe(n) => Some((n.toLong, st.getPath)); case _ => None
       }
-    }.sortBy(-_._1)
+    }.sortBy(-_._1) match {
+      case vs => atVersion match {
+        case Some(want) =>
+          val hit = vs.filter(_._1 == want)
+          if (hit.isEmpty) throw new NoSuchElementException(
+            s"no manifest version $want (retained: ${vs.map(_._1).sorted.mkString(", ")})")
+          hit
+        case None => vs
+      }
+    }
     versions.foreach { case (v, p) =>
       try {
         val in = fs.open(p)

@@ -160,6 +160,24 @@ class StoreSpec extends AnyFunSuite {
     rw.close()
   }
 
+  test("time travel: a pinned version sees the pre-mutation snapshot") {
+    val dir = TestSpark.tmpDir("store-tt")
+    import spark.implicits._
+    val st = HDFStore.open(spark, dir, StoreMode.Overwrite)
+    st.put("t", particles)
+    val v0 = st.version
+    val t = st.typed[Particle]("t")
+    t.delete(0, 4)
+    t.append(Seq(Particle(99, 9, 9.0, 9.0)))
+    assert(st.nrows("t") == 9)
+    val snap = st.atVersion(v0)
+    assert(snap.nrows("t") == 13)                      // pre-mutation row count
+    assert(snap.typed[Particle]("t").toSeq == particles) // full old content
+    intercept[UnsupportedOperationException] { snap.drop("t") } // snapshots are read-only
+    intercept[NoSuchElementException] { st.atVersion(999999) }
+    snap.close(); st.close()
+  }
+
   test("codec matrix: gzip/snappy/zstd/lz4 round-trip (blosc family mapping)") {
     val dir = TestSpark.tmpDir("store-codec")
     import spark.implicits._
