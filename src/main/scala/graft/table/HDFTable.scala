@@ -391,6 +391,39 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
       swapSegments(Vector(seg))
     }
   }
+
+  /** Incremental compaction: bin-pack ADJACENT runs smaller than
+    * `targetRows` into combined segments, leaving every large run's bytes
+    * untouched. This is the maintenance pass for streaming ingest (many
+    * small per-batch segments) — cost is proportional to the small-run
+    * data only, unlike [[compact]] which rewrites the whole table. */
+  def compactSmallRuns(targetRows: Long): Unit = {
+    store.checkWritable()
+    val m = meta
+    // group adjacent small runs; groups of ≥2 get merged
+    val groups = scala.collection.mutable.ArrayBuffer[Vector[SegmentMeta]]()
+    var cur = Vector.empty[SegmentMeta]
+    def flush(): Unit = { if (cur.nonEmpty) { groups += cur; cur = Vector.empty } }
+    m.segments.foreach { seg =>
+      if (seg.rows >= targetRows) { flush(); groups += Vector(seg) }
+      else if (cur.map(_.rows).sum + seg.rows > targetRows) { flush(); cur = Vector(seg) }
+      else cur :+= seg
+    }
+    flush()
+    if (groups.forall(_.size == 1)) return
+    val newSegs = groups.toVector.map { g =>
+      if (g.size == 1) g.head
+      else {
+        // stitch the group with dense group-local ids (prefix sums)
+        val offs = g.scanLeft(0L)(_ + _.rows).init
+        val merged = g.zip(offs).map { case (seg, off) =>
+          segDf(seg).withColumn(Col, col(Col) + lit(off - seg.idBase))
+        }.reduce(_ unionByName _)
+        writeSorted(merged)
+      }
+    }
+    swapSegments(newSegs)
+  }
 }
 
 /**

@@ -251,6 +251,21 @@ class TableSpec extends AnyFunSuite {
     st.close()
   }
 
+  test("compactSmallRuns bin-packs small adjacent runs, leaves big ones alone") {
+    val st = fresh(); import spark.implicits._
+    val big = (0 until 60).map(i => Particle(i.toLong, 1, 100.0, 20.0))
+    st.put("t", big.take(40)) // one big run (40 rows)
+    val t = st.typed[Particle]("t")
+    (40 until 60).foreach(i => t.append(Seq(big(i)))) // 20 one-row runs
+    assert(st.segmentCount("t") == 21)
+    st.table("t").compactSmallRuns(10)
+    // big run untouched; 20 small runs packed into ceil(20/10)=2 segments
+    assert(st.segmentCount("t") == 3, s"got ${st.segmentCount("t")}")
+    assert(t.toSeq == big)
+    assert(t(39L, 45L) == big.slice(39, 46)) // reads exact across the seam
+    st.close()
+  }
+
   test("copy preserves idBase runs after file-granular mutations") {
     val st = fresh(); import spark.implicits._
     val big = (0 until 100).map(i => Particle(i.toLong, 1, 100.0, 20.0))
