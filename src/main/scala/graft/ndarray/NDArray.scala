@@ -121,9 +121,10 @@ final class NDArray private[ndarray] (
     val (i0, i1) =
       if (dim == 0) (lit(index), col("id"))
       else (col("id"), lit(index))
+    val valueType = table.schema("value").dataType // preserve the stored type
     val updates = ids.select(
       i0.as("i0"), i1.as("i1"),
-      valueOf(col("id")).cast(org.apache.spark.sql.types.DoubleType).as("value"),
+      valueOf(col("id")).cast(valueType).as("value"),
       (i0 * st(0) + i1 * st(1)).as(RowIds.Col))
     table.applyUpdates(updates)
   }

@@ -168,6 +168,12 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        planes: Int = 12, minCosine: Double = 0.9,
                        dim: Int = 64): DataFrame = {
+    // a dim mismatch would null every projection → ONE bucket → O(n²)
+    // cross join; fail fast instead (one-row sample)
+    df.select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == dim,
+        s"embeddingNearDup: dim=$dim but vectors have ${r.getInt(0)} elements")
+    }
     val sig = Similarity.hyperplaneSignature(col(vecCol), planes, dim)
     val b = df.select(col(idCol).as("doc"), col(vecCol).as("v"), sig.as("bucket"))
     b.as("a").join(b.as("b"),

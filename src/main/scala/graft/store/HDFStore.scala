@@ -178,12 +178,13 @@ final class HDFStore private (
   private[graft] def tableDir(name: String): Path =
     new Path(rootPath, "tables/" + encode(name))
 
-  /** Bijective, FS-safe encoding of a table name into a directory name. */
+  /** Injective, FS-safe encoding of a table name into a directory name:
+    * every escaped char (incl. '%' itself) becomes a FIXED-WIDTH %XXXX
+    * escape, so distinct names can never collide. */
   private[graft] def encode(name: String): String =
     name.map {
-      case c if c.isLetterOrDigit || c == '.' || c == '-' || c == '_' => c.toString
-      case '/' => "%2F"
-      case c   => f"%%${c.toInt}%02X"
+      case c if (c.isLetterOrDigit && c < 128) || c == '.' || c == '-' || c == '_' => c.toString
+      case c => f"%%${c.toInt}%04X"
     }.mkString
 
   private val segCounter = new java.util.concurrent.atomic.AtomicLong(0)
@@ -251,11 +252,15 @@ final class HDFStore private (
     checkWritable()
     val n = norm(name)
     require(n.nonEmpty, "empty table name")
-    val dataDf = if (df.columns.contains(RowIds.Col)) df.drop(RowIds.Col) else df
-    val withIds = RowIds.attach(dataDf)
+    // an incoming _rowid column defines the order EXPLICITLY (a multi-file
+    // scan's partition order is size-packed, not positional)
+    val withIds =
+      if (df.columns.contains(RowIds.Col)) RowIds.attach(df.sort(RowIds.Col).drop(RowIds.Col))
+      else RowIds.attach(df)
     val seg = writeSegment(n, withIds, chunkSize, codec)
     ensureParentGroups(n)
-    manifest.tables += n -> TableMeta("table", Vector(seg), dataDf.schema.json,
+    val dataSchema = StructType(withIds.schema.fields.filterNot(_.name == RowIds.Col))
+    manifest.tables += n -> TableMeta("table", Vector(seg), dataSchema.json,
       chunkSize.orElse(defaultChunkSize), codec.orElse(defaultCodec), None)
     commit()
   }

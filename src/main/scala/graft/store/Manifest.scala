@@ -149,17 +149,7 @@ object Manifest {
 
   def empty: Manifest = new Manifest(Map.empty, Set.empty, Map.empty, 0L)
 
-  private def parses(fs: FileSystem, p: Path): Boolean =
-    try {
-      val in = fs.open(p)
-      val bytes = try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
-        out.toByteArray
-      } finally in.close()
-      fromJson(JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8)))
-      true
-    } catch { case _: Exception => false }
+  private def parses(fs: FileSystem, p: Path): Boolean = readVersion(fs, p).isDefined
 
   def exists(fs: FileSystem, root: Path): Boolean =
     fs.exists(new Path(root, Dir)) && latestFile(fs, root).isDefined
@@ -198,20 +188,29 @@ object Manifest {
       }
     }
     versions.foreach { case (v, p) =>
-      try {
-        val in = fs.open(p)
-        val bytes = try {
-          val out = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
-          out.toByteArray
-        } finally in.close()
-        val m = fromJson(JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8)))
-        m.version = v
-        return m
-      } catch { case _: Exception => () } // torn/corrupt: try the previous one
+      readVersion(fs, p) match {
+        case Some(m) => m.version = v; return m
+        case None if atVersion.isDefined =>
+          // a PINNED version that exists but won't parse is an error, not
+          // an empty store — silent fallback would mask live data
+          throw new IllegalStateException(s"manifest version ${atVersion.get} is unreadable (torn commit?)")
+        case None => () // unpinned: torn latest, try the previous one
+      }
     }
     empty
   }
+
+  /** Read + parse one manifest file; None if torn/corrupt. */
+  private def readVersion(fs: FileSystem, p: Path): Option[Manifest] =
+    try {
+      val in = fs.open(p)
+      val bytes = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+        out.toByteArray
+      } finally in.close()
+      Some(fromJson(JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8))))
+    } catch { case _: Exception => None }
 
   def fromJson(j: JValue): Manifest = {
     val version = j \ "version" match { case JLong(l) => l; case JInt(i) => i.toLong; case _ => 0L }

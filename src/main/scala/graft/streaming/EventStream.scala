@@ -52,8 +52,9 @@ object EventStream {
           case _                      => -1L
         }
         if (batchId > done) {
-          store.table(table).append(batch)
-          store.setAttr(table, guardKey, batchId)
+          // ONE atomic manifest commit: data + guard watermark together —
+          // a crash between separate commits would re-append on replay
+          store.table(table).appendWithAttr(batch, Some(guardKey -> batchId))
         }
       }
       .start()

@@ -182,10 +182,11 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
     * semi-join so the driver never ships a huge literal. */
   def selectRows(ids: Seq[Long]): DataFrame = {
     ids.foreach(i => checkBounds(i, i))
-    if (ids.size <= 1000) df.filter(col(Col).isin(ids: _*))
+    val distinctIds = ids.distinct // set semantics on BOTH paths
+    if (distinctIds.size <= 1000) df.filter(col(Col).isin(distinctIds: _*))
     else {
       val idsDf = broadcast(
-        spark.createDataset(ids)(org.apache.spark.sql.Encoders.scalaLong).toDF(Col))
+        spark.createDataset(distinctIds)(org.apache.spark.sql.Encoders.scalaLong).toDF(Col))
       df.join(idsDf, Col)
     }
   }
@@ -226,10 +227,22 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
 
   /** Append ≙ `append` (`nimtables.nim:173-175`): one new segment, nothing
     * rewritten, all earlier data untouched. */
-  def append(data: DataFrame): Unit = {
+  def append(data: DataFrame): Unit = appendWithAttr(data, None)
+
+  /** Append + attribute update in ONE atomic manifest commit — the
+    * streaming sink's exactly-once hinge: the data and its replay-guard
+    * watermark become visible together or not at all. */
+  private[graft] def appendWithAttr(data: DataFrame, attr: Option[(String, Any)]): Unit = {
     store.checkWritable()
     val seg = store.writeSegment(baseName, withLocalIds(data), meta.chunkSize, meta.codec)
-    swapSegments(meta.segments :+ seg)
+    val b = baseName
+    store.manifest.tables += b ->
+      store.manifest.tables(b).copy(segments = (meta.segments :+ seg).filter(_.rows > 0))
+    attr.foreach { case (k, v) =>
+      val cur = store.manifest.attrs.getOrElse(name, Map.empty)
+      store.manifest.attrs += name -> (cur + (k -> graft.store.AttrValue.of(v)))
+    }
+    store.commit()
   }
 
   /** Positional overwrite of `k = data.count` rows starting at `at` —
@@ -275,10 +288,25 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
       if (mm.isNullAt(0)) return
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       checkBounds(lo, hi)
+      // Exact per-run touch test when the update set is small (the common
+      // coordinate-write case): a bounding-box test alone would rewrite
+      // every run between min and max id — e.g. updating the two corners
+      // of an array must NOT rewrite the middle.
+      val idSetCap = 100000
+      val sampled = u.select(Col).limit(idSetCap + 1).collect().map(_.getLong(0))
+      val exactIds: Option[Array[Long]] =
+        if (sampled.length <= idSetCap) Some(sampled.sorted) else None
+      def touches(off: Long, segHi: Long): Boolean = exactIds match {
+        case Some(ids) =>
+          val i = java.util.Arrays.binarySearch(ids, off)
+          val from = if (i >= 0) i else -i - 1
+          from < ids.length && ids(from) <= segHi
+        case None => true // fall back to bounding box
+      }
       val refined = refineIntersecting(lo, hi)
       val newSegs = refined.zip(offsetsOf(refined)).map { case (seg, off) =>
         val segHi = off + seg.rows - 1
-        if (segHi < lo || off > hi) seg
+        if (segHi < lo || off > hi || !touches(off, segHi)) seg
         else {
           val local = u.filter(col(Col).between(off, segHi))
             .withColumn(Col, col(Col) - lit(off))
