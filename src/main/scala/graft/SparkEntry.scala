@@ -862,6 +862,24 @@ object SparkEntry {
        """JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2 """ +
        """ORDER BY jaccard DESC, id1, id2 LIMIT 20"""),
 
+    "x_dedup_minhash_lsh" ->
+      (s"""WITH docs2 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300 """ +
+       """UNION ALL SELECT doc_id + 1000000, text || ' zzz' FROM documents WHERE doc_id < 3), """ +
+       s"""toks AS (SELECT doc_id, $TOK AS l FROM docs2), """ +
+       """sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
+       """i -> array_to_string(l[i:i+2], ' '))) AS s FROM toks), """ +
+       s"""hm AS (SELECT doc_id, ${h60sql("s")} % 2147483647 AS h FROM sh), """ +
+       """sig AS (SELECT doc_id, g.i AS i, """ +
+       """min((((g.i * 2654435761) % 2147483647 + 1) * h + (g.i * 40503) % 2147483647 + 7) % 2147483647) AS mh """ +
+       """FROM hm, generate_series(0, 31) g(i) GROUP BY 1, 2), """ +
+       """bands AS (SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS bl FROM sig GROUP BY doc_id, i // 4), """ +
+       """cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a """ +
+       """JOIN bands b ON a.band = b.band AND a.bl = b.bl AND a.doc_id < b.doc_id), """ +
+       """agree AS (SELECT c.id1, c.id2, SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS est """ +
+       """FROM cand c JOIN sig sa ON sa.doc_id = c.id1 JOIN sig sb ON sb.doc_id = c.id2 AND sa.i = sb.i """ +
+       """GROUP BY 1, 2) """ +
+       """SELECT id1, id2, est AS est_jaccard FROM agree WHERE est >= 0.5 ORDER BY id1, id2"""),
+
     "x_dedup_minhash_sig" ->
       (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents WHERE doc_id < 300), """ +
        """sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
