@@ -745,9 +745,12 @@ object SparkEntry {
         sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_base"),
         // factors cast to decimal FIRST (tie-free for 2-decimal data), then
         // exact decimal multiply — double→decimal of a product can tie and
-        // Spark (HALF_UP) vs DuckDB (HALF_EVEN) would disagree
-        sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
-          (lit(BigDecimal(1)).cast(DecimalType(8, 4)) - col("l_discount").cast(DecimalType(8, 4))))
+        // Spark (HALF_UP) vs DuckDB (HALF_EVEN) would disagree. The sum is
+        // ROUNDED to scale 4 before the double cast: at scale 8 the
+        // unscaled value exceeds 2^53 and DuckDB's decimal→double cast is
+        // no longer correctly rounded (observed at sf0.1).
+        round(sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+          (lit(BigDecimal(1)).cast(DecimalType(8, 4)) - col("l_discount").cast(DecimalType(8, 4)))), 4)
           .cast(DoubleType).as("sum_disc"),
         count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -810,7 +813,8 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"),
             min(col("doc_id")).as("min_id"),
             sum(col("n_tokens")).as("tokens"),
-            sum(col("quality_score").cast(DecimalType(20, 12))).cast(DoubleType).as("sum_quality"))
+            round(sum(col("quality_score").cast(DecimalType(20, 12))), 6)
+              .cast(DoubleType).as("sum_quality"))
           .orderBy("source")
       }
     }),
@@ -971,7 +975,7 @@ object SparkEntry {
       ("""SELECT l_returnflag, l_linestatus, """ +
        """CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, """ +
        """CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base, """ +
-       """CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc, """ +
+       """CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4) AS DOUBLE) AS sum_disc, """ +
        """count(*) AS n FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""),
 
     "x_asof_join" ->
@@ -1003,7 +1007,7 @@ object SparkEntry {
        """- (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.5 AS quality_score, """ +
        """CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio FROM f) """ +
        """SELECT source, count(*) AS n, min(doc_id) AS min_id, sum(n_tokens) AS tokens, """ +
-       """CAST(SUM(CAST(quality_score AS DECIMAL(20,12))) AS DOUBLE) AS sum_quality """ +
+       """CAST(ROUND(SUM(CAST(quality_score AS DECIMAL(20,12))), 6) AS DOUBLE) AS sum_quality """ +
        """FROM q WHERE n_tokens >= 10 AND stop_ratio >= 0.05 GROUP BY source ORDER BY source"""),
 
     "x_multimodal_meta" ->
