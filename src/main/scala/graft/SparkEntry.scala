@@ -656,6 +656,7 @@ object SparkEntry {
         .repartition(col("doc_id")) // barrier: don't inline sig into Generate
         .select(col("doc_id"), posexplode(col("sig")))
         .withColumnRenamed("pos", "i").withColumnRenamed("col", "minhash")
+        .withColumn("i", col("i").cast("long"))
         .orderBy("doc_id", "i")),
 
     // MinHash + banded LSH near-dup pairs over planted near-duplicates
@@ -700,8 +701,9 @@ object SparkEntry {
     "x_knn_lsh" -> ((s, d) => {
       val q = embs(s, d).filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0)
-      Similarity.lshTopK(embs(s, d), "vec_id", "embedding", q, 10, planes = 8, probeHamming = 2)
-        .select(col("vec_id"), round(col("score"), 4).as("score"))
+      Similarity.lshTopK(embs(s, d), "vec_id", "embedding", q, 10,
+          planes = 8, probeHamming = 2, exactDecimal = true)
+        .select(col("vec_id"), round(col("score"), 6).as("score"), col("bucket"))
     }),
 
     // language-ID (stopword votes, fixed precedence)
@@ -785,7 +787,7 @@ object SparkEntry {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      joined.withColumn("rk", row_number().over(w))
+      joined.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice", "c_name", "n_name")
         .orderBy("o_orderpriority", "rk")
@@ -898,7 +900,7 @@ object SparkEntry {
        s"""h AS (SELECT doc_id, ${h60sql("tok")} AS h FROM th), """ +
        """bits AS (SELECT doc_id, g.j AS j, SUM(CASE WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS s """ +
        """FROM h, generate_series(0, 59) g(j) GROUP BY 1, 2) """ +
-       """SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS simhash """ +
+       """SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS simhash """ +
        """FROM bits GROUP BY doc_id ORDER BY doc_id"""),
 
     "x_dedup_embed" ->
@@ -917,6 +919,29 @@ object SparkEntry {
        """s AS (SELECT vec_id, SUM(xy) AS dxy, SUM(xx) AS dxx FROM terms GROUP BY vec_id), """ +
        """scored AS (SELECT vec_id, CAST(dxy AS DOUBLE) / (sqrt(CAST(dxx AS DOUBLE)) * sqrt((SELECT CAST(dqq AS DOUBLE) FROM qq))) AS sc FROM s) """ +
        """SELECT vec_id, round(sc, 6) AS score FROM scored ORDER BY sc DESC, vec_id LIMIT 10"""),
+
+    // hyperplane-LSH ANN: plane weights are sign(bit0(md5("p:d"))),
+    // projections in 1e-7 fixed point (mirrors Similarity.hyperplaneSignature),
+    // candidate set = buckets within hamming 2, exact-decimal cosine scoring
+    "x_knn_lsh" ->
+      (s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, unnest(embedding) AS x FROM embeddings), """ +
+       """r AS (SELECT vec_id, d, CAST(floor(CAST(x AS DOUBLE) * 1e7 + 0.5) AS BIGINT) AS rx FROM e), """ +
+       s"""w AS (SELECT p, d, CASE WHEN ${hexsql("md5(p || ':' || d)")} & 1 = 1 THEN 1::BIGINT ELSE -1::BIGINT END AS wv """ +
+       """FROM generate_series(0, 7) gp(p), generate_series(0, 63) gd(d)), """ +
+       """proj AS (SELECT vec_id, p, SUM(rx * wv)::BIGINT AS pr FROM r JOIN w USING (d) GROUP BY 1, 2), """ +
+       """buck AS (SELECT vec_id, SUM(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT AS bucket FROM proj GROUP BY 1), """ +
+       """qb AS (SELECT bucket AS qbucket FROM buck WHERE vec_id = 0), """ +
+       """cand AS (SELECT b.vec_id, b.bucket FROM buck b, qb WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 2), """ +
+       """el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)), """ +
+       """qe AS (SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS qx FROM embeddings WHERE vec_id = 0), """ +
+       """terms AS (SELECT el.vec_id, """ +
+       """CAST(round((CAST(el.x AS DOUBLE) * CAST(qe.qx AS DOUBLE)) * 1e15) AS BIGINT) AS xy, """ +
+       """CAST(round((CAST(el.x AS DOUBLE) * CAST(el.x AS DOUBLE)) * 1e15) AS BIGINT) AS xx """ +
+       """FROM el JOIN qe USING (i)), """ +
+       """qq AS (SELECT SUM(CAST(round((CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) * 1e15) AS BIGINT)) AS dqq FROM qe), """ +
+       """s AS (SELECT vec_id, SUM(xy) AS dxy, SUM(xx) AS dxx FROM terms GROUP BY vec_id), """ +
+       """scored AS (SELECT vec_id, CAST(dxy AS DOUBLE) / (sqrt(CAST(dxx AS DOUBLE)) * sqrt((SELECT CAST(dqq AS DOUBLE) FROM qq))) AS sc FROM s) """ +
+       """SELECT c.vec_id, round(sc, 6) AS score, c.bucket FROM scored JOIN cand c USING (vec_id) ORDER BY sc DESC, c.vec_id LIMIT 10"""),
 
     "x_lang_id" ->
       (s"""WITH c AS (SELECT doc_id, lang, """ +
@@ -961,7 +986,7 @@ object SparkEntry {
       ("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) // 1000000 AS sec FROM events), """ +
        """o AS (SELECT *, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s """ +
        """FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), """ +
-       """s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) - 1 AS session_id FROM o) """ +
+       """s AS (SELECT *, (SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_id FROM o) """ +
        """SELECT user_id, session_id, count(*) AS n_events, max(sec) - min(sec) AS duration_sec, """ +
        """CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value """ +
        """FROM s GROUP BY 1, 2 ORDER BY 1, 2"""),
@@ -1006,7 +1031,7 @@ object SparkEntry {
        """+ (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 2.0 """ +
        """- (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.5 AS quality_score, """ +
        """CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio FROM f) """ +
-       """SELECT source, count(*) AS n, min(doc_id) AS min_id, sum(n_tokens) AS tokens, """ +
+       """SELECT source, count(*) AS n, min(doc_id) AS min_id, sum(n_tokens)::BIGINT AS tokens, """ +
        """CAST(ROUND(SUM(CAST(quality_score AS DECIMAL(20,12))), 6) AS DOUBLE) AS sum_quality """ +
        """FROM q WHERE n_tokens >= 10 AND stop_ratio >= 0.05 GROUP BY source ORDER BY source"""),
 
@@ -1014,6 +1039,20 @@ object SparkEntry {
       (s"""SELECT doc_id, 'fake-rgb' AS format, """ +
        s"""((${hexsql("sha256(text)")} % 512) + 64)::INT AS width, """ +
        s"""(((${hexsql("sha256(text)")} >> 9) % 512) + 64)::INT AS height, """ +
-       """octet_length(encode(text))::BIGINT AS n_bytes FROM documents ORDER BY doc_id""")
+       """octet_length(encode(text))::BIGINT AS n_bytes FROM documents ORDER BY doc_id"""),
+
+    // byte-histogram featurizer mirror: bucket = ubyte % 16 = low hex
+    // nibble of each UTF-8 byte; REAL/REAL division is float32-exact in
+    // both engines (verified), so f0/f1 match Spark's float math bit-for-bit
+    "x_multimodal_feat" ->
+      ("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len FROM documents), """ +
+       """lo AS (SELECT doc_id, unnest(list_transform(generate_series(1, len), i -> substr(hx, 2 * i, 1))) AS nib FROM h), """ +
+       """cnt AS (SELECT doc_id, """ +
+       """SUM(CASE WHEN nib = '0' THEN 1 ELSE 0 END) AS c0, """ +
+       """SUM(CASE WHEN nib = '1' THEN 1 ELSE 0 END) AS c1 FROM lo GROUP BY 1) """ +
+       """SELECT h.doc_id AS id, h.len::BIGINT AS n_bytes, """ +
+       """(coalesce(cnt.c0, 0)::REAL / greatest(h.len, 1)::REAL)::DOUBLE AS f0, """ +
+       """(coalesce(cnt.c1, 0)::REAL / greatest(h.len, 1)::REAL)::DOUBLE AS f1 """ +
+       """FROM h LEFT JOIN cnt USING (doc_id) ORDER BY id""")
   )
 }

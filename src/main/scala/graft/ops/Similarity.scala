@@ -72,29 +72,42 @@ object Similarity {
       if ((java.lang.Long.parseLong(md5hex.take(15), 16) & 1L) == 1L) 1.0f else -1.0f
     }
 
-  /** LSH bucket id: `planes` sign bits of hyperplane projections. */
+  /** LSH bucket id: `planes` sign bits of hyperplane projections.
+    *
+    * The projection is computed in FIXED POINT — each element is rounded
+    * to an integer number of 1e-7 units (`floor(x*1e7 + 0.5)`, identical
+    * IEEE ops in any engine) and the ±1-weighted sum accumulates as a
+    * Long. Integer accumulation is order-independent, so the bucket id is
+    * bit-identical across engines / partitionings — a float dot product's
+    * sign can flip near the hyperplane depending on summation order. */
   def hyperplaneSignature(vec: Column, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val proj = dotFast(vec, typedLit(planeWeights(p, dim)))
+      val w = typedLit(planeWeights(p, dim).map(_.toLong))
+      val proj = aggregate(
+        zip_with(vec, w, (x, wv) =>
+          floor(x.cast(DoubleType) * lit(1e7) + lit(0.5)).cast(LongType) * wv),
+        lit(0L), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
   /** Bucketed ANN top-k: score only vectors whose bucket is within
-    * `probeHamming` bits of the query's bucket. */
+    * `probeHamming` bits of the query's bucket. `exactDecimal` scores
+    * candidates with the fixed-point kernel (cross-engine exact). */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], k: Int, planes: Int = 8,
-              probeHamming: Int = 1): DataFrame = {
+              probeHamming: Int = 1, exactDecimal: Boolean = false): DataFrame = {
     val q = typedLit(query)
     val dim = query.size
     val withBucket = df.select(col(idCol), col(vecCol),
       hyperplaneSignature(col(vecCol), planes, dim).as("bucket"))
     // query bucket is a scalar expression over the literal vector
     val qBucket = hyperplaneSignature(q, planes, dim)
+    val score = if (exactDecimal) cosineFixed(col(vecCol), q) else cosine(col(vecCol), q)
     withBucket
       .filter(bit_count(col("bucket").bitwiseXOR(qBucket)) <= probeHamming)
-      .select(col(idCol), cosine(col(vecCol), q).as("score"))
+      .select(col(idCol), score.as("score"), col("bucket"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

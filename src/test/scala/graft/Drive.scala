@@ -70,6 +70,16 @@ object Drive {
       .createOrReplaceTempView("emb3")
     spark.sql("SELECT vec_id, float_dot(embedding, embedding) AS selfdot FROM emb3").show()
 
+    println("== ANN lshTopK drive (fixed-point buckets + exact scoring)")
+    val embAll = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qv = embAll.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val ann = graft.ops.Similarity.lshTopK(embAll, "vec_id", "embedding", qv, 5,
+      planes = 8, probeHamming = 2, exactDecimal = true).collect()
+    ann.foreach(r => println(s"ann -> id=${r.getLong(0)} score=${r.getDouble(1)} bucket=${r.getLong(2)}"))
+    require(ann.nonEmpty && ann.head.getLong(0) == 0L && math.abs(ann.head.getDouble(1) - 1.0) < 1e-9,
+      "lshTopK: query vector must rank itself first with score 1.0")
+
     println("== streaming append sink drive")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val sdir = java.nio.file.Files.createTempDirectory("drive-stream").toString

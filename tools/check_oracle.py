@@ -47,7 +47,15 @@ def main(sfdir, outdir):
         es = e.sort_values(by=ecols, kind="mergesort").reset_index(drop=True)
         try:
             pd.testing.assert_frame_equal(gs, es, check_dtype=False, check_exact=True)
-            print(f"[ ok ] {name}: rows={len(g)}"); ok += 1
+            # the driver's hash is dtype-sensitive (r1: DuckDB HUGEINT vs
+            # Spark int64) — flag dtype drift even when values match
+            dt = [(c, str(gs[c].dtype), str(es[c].dtype)) for c in gcols
+                  if str(gs[c].dtype) != str(es[c].dtype)]
+            if dt:
+                print(f"[FAIL] {name}: values equal but dtype mismatch {dt}")
+                bad += 1
+            else:
+                print(f"[ ok ] {name}: rows={len(g)}"); ok += 1
         except AssertionError as ex:
             first = str(ex).split("\n")
             print(f"[FAIL] {name}: value mismatch: {' / '.join(first[:4])}")
