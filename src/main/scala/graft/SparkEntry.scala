@@ -292,6 +292,11 @@ object SparkEntry {
       NDArray.open(store(s, d), "grid")
         .hyperslab(Seq(2, 1), Seq(3, 4), Seq(6, 5), Seq(2, 3))),
 
+    // P4 full_output: full-shape read with unselected elements zeroed
+    "p4_full_output" -> ((s, d) =>
+      NDArray.open(store(s, d), "grid")
+        .hyperslabFull(Seq(2, 1), Seq(3, 4), Seq(6, 5), Seq(2, 3))),
+
     // P3 in 2-D: coordinate-list read
     "p3_coords_2d" -> ((s, d) =>
       NDArray.open(store(s, d), "grid")
@@ -351,6 +356,34 @@ object SparkEntry {
         nd.writeBroadcast(0, 5, j => lit(9000L) + j)
         nd.df.filter(col("i0").between(4, 6))
           .select("i0", "i1", "value").orderBy("i0", "i1")
+      }
+    }),
+
+    // M6 strided-slab variant: write 48 values into an off/count/stride/
+    // block selection; observe every touched axis-0 line
+    "m6_hyperslab_write" -> ((s, d) => {
+      val st = store(s, d)
+      st.synchronized {
+        if (st.contains("mut/gridslab")) st.drop("mut/gridslab")
+        st.copy("grid", "mut/gridslab")
+        val nd = NDArray.open(st, "mut/gridslab")
+        nd.writeHyperslab(Seq(0, 2), Seq(4, 3), Seq(5, 6), Seq(2, 2),
+          (0 until 48).map(p => (100000 + p).toDouble))
+        nd.df.filter(col("i0").isin(0, 1, 5, 6, 10, 11, 15, 16))
+          .select("i0", "i1", "value").orderBy("i0", "i1")
+      }
+    }),
+
+    // M5 on N-D: per-axis resize — grow axis 0 to 25 (zero-filled),
+    // shrink axis 1 to 12 (drops columns); full relayout of strides
+    "m5_nd_resize" -> ((s, d) => {
+      val st = store(s, d)
+      st.synchronized {
+        if (st.contains("mut/gridresize")) st.drop("mut/gridresize")
+        st.copy("grid", "mut/gridresize")
+        val nd = NDArray.open(st, "mut/gridresize")
+        nd.resize(Seq(25L, 12L))
+        NDArray.open(st, "mut/gridresize").read()
       }
     }),
 
@@ -553,6 +586,13 @@ object SparkEntry {
        "WHERE i.g >= 2 AND i.g <= 2 + 2*6 + 1 AND (i.g - 2) % 6 < 2 " +
        "AND j.g >= 1 AND j.g <= 1 + 3*5 + 2 AND (j.g - 1) % 5 < 3 ORDER BY i0, i1"),
 
+    "p4_full_output" ->
+      ("SELECT i.g AS i0, j.g AS i1, " +
+       "CASE WHEN i.g >= 2 AND i.g <= 15 AND (i.g - 2) % 6 < 2 " +
+       "AND j.g >= 1 AND j.g <= 18 AND (j.g - 1) % 5 < 3 " +
+       "THEN CAST(i.g * 20 + j.g AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS value " +
+       "FROM generate_series(0, 19) i(g), generate_series(0, 19) j(g) ORDER BY i0, i1"),
+
     "p3_coords_2d" ->
       ("SELECT i.g AS i0, j.g AS i1, CAST(i.g * 20 + j.g AS DOUBLE) AS value " +
        "FROM generate_series(0, 19) i(g), generate_series(0, 19) j(g) " +
@@ -582,6 +622,23 @@ object SparkEntry {
        "FROM generate_series(0, 19) i(g), generate_series(0, 19) j(g)) " +
        "SELECT i0, i1, CASE WHEN i0 = 5 THEN CAST(9000 + i1 AS DOUBLE) ELSE value END AS value " +
        "FROM g WHERE i0 BETWEEN 4 AND 6 ORDER BY i0, i1"),
+
+    // inverse of the slab index math: pos = s0*6 + s1 with
+    // s0 = 2*(i0//5) + i0%5 (valid when i0%5<2), s1 = 2*((i1-2)//6) + (i1-2)%6
+    "m6_hyperslab_write" ->
+      ("WITH g AS (SELECT i.g AS i0, j.g AS i1, CAST(i.g * 20 + j.g AS DOUBLE) AS value " +
+       "FROM generate_series(0, 19) i(g), generate_series(0, 19) j(g)), " +
+       "sel AS (SELECT i0, i1, value, " +
+       "CASE WHEN i0 <= 16 AND i0 % 5 < 2 AND i1 BETWEEN 2 AND 15 AND (i1 - 2) % 6 < 2 " +
+       "THEN ((i0 // 5) * 2 + i0 % 5) * 6 + ((i1 - 2) // 6) * 2 + (i1 - 2) % 6 " +
+       "ELSE NULL END AS pos FROM g) " +
+       "SELECT i0, i1, CASE WHEN pos IS NOT NULL THEN CAST(100000 + pos AS DOUBLE) ELSE value END AS value " +
+       "FROM sel WHERE i0 IN (0, 1, 5, 6, 10, 11, 15, 16) ORDER BY i0, i1"),
+
+    "m5_nd_resize" ->
+      ("SELECT i.g AS i0, j.g AS i1, " +
+       "CASE WHEN i.g < 20 THEN CAST(i.g * 20 + j.g AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS value " +
+       "FROM generate_series(0, 24) i(g), generate_series(0, 11) j(g) ORDER BY i0, i1"),
 
     "s1_open_modes" ->
       ("SELECT 1::BIGINT AS created, 1::BIGINT AS ro_rejects_writes, 1::BIGINT AS rw_opens, " +

@@ -48,13 +48,12 @@ final class NDArray private[ndarray] (
   def read(): DataFrame = df.orderBy(RowIds.Col)
     .select((dimCols :+ "value").map(col): _*)
 
-  /** Hyperslab selection: for each dim `d`, take indices
-    * `offset + k*stride + b` for `k < count`, `b < block`. */
-  def hyperslab(offsets: Seq[Long], counts: Seq[Long],
-                strides_ : Seq[Long], blocks: Seq[Long]): DataFrame = {
+  /** Per-dimension hyperslab predicates (validated). */
+  private def slabConds(offsets: Seq[Long], counts: Seq[Long],
+                        strides_ : Seq[Long], blocks: Seq[Long]): Seq[Column] = {
     require(Seq(offsets, counts, strides_, blocks).forall(_.size == rank),
       s"hyperslab args must have rank $rank")
-    val conds = (0 until rank).map { d =>
+    (0 until rank).map { d =>
       val (off, cnt, str, blk) = (offsets(d), counts(d), strides_(d), blocks(d))
       require(str >= 1 && blk >= 1 && blk <= str && cnt >= 1 && off >= 0,
         s"bad hyperslab in dim $d")
@@ -63,9 +62,108 @@ final class NDArray private[ndarray] (
       val c = col(s"i$d")
       c >= off && c <= last && (c - off) % str < blk
     }
-    df.filter(conds.reduce(_ && _))
+  }
+
+  /** Hyperslab selection: for each dim `d`, take indices
+    * `offset + k*stride + b` for `k < count`, `b < block`. */
+  def hyperslab(offsets: Seq[Long], counts: Seq[Long],
+                strides_ : Seq[Long], blocks: Seq[Long]): DataFrame =
+    df.filter(slabConds(offsets, counts, strides_, blocks).reduce(_ && _))
       .orderBy(RowIds.Col)
       .select((dimCols :+ "value").map(col): _*)
+
+  /** `full_output` hyperslab read ≙ `read_hyperslab(..., full_output=true)`
+    * (`datasets.nim:1556-1599`): the full-shape array with unselected
+    * elements zeroed. The store is dense row-major, so this is a pure
+    * projection — `when(selected, value, 0)` over the whole table, no join. */
+  def hyperslabFull(offsets: Seq[Long], counts: Seq[Long],
+                    strides_ : Seq[Long], blocks: Seq[Long]): DataFrame = {
+    val cond = slabConds(offsets, counts, strides_, blocks).reduce(_ && _)
+    val zero = lit(0).cast(table.schema("value").dataType)
+    df.withColumn("value", when(cond, col("value")).otherwise(zero))
+      .orderBy(RowIds.Col)
+      .select((dimCols :+ "value").map(col): _*)
+  }
+
+  /** Strided hyperslab WRITE ≙ `write_hyperslab` (`datasets.nim:1451-1528`):
+    * `values` holds the new cell values in row-major order of the
+    * SELECTION (position `pos`, column `value`). The update set is built
+    * distributed — `pos` decomposes into per-dim selection coordinates via
+    * mixed-radix arithmetic, never on the driver — then only intersecting
+    * segments rewrite (file-granular copy-on-write). */
+  def writeHyperslabDF(offsets: Seq[Long], counts: Seq[Long],
+                       strides_ : Seq[Long], blocks: Seq[Long],
+                       values: DataFrame): Unit = {
+    slabConds(offsets, counts, strides_, blocks) // validate bounds
+    val selSizes = (0 until rank).map(d => counts(d) * blocks(d))
+    val total = selSizes.product
+    require(values.count() == total,
+      s"writeHyperslab: selection has $total elements")
+    val selRadix = selSizes.scanRight(1L)(_ * _).tail
+    val st = strides
+    val valueType = table.schema("value").dataType
+    val iCols = (0 until rank).map { d =>
+      // selection coordinate s_d, then i_d = off + (s_d div blk)*stride + s_d mod blk
+      val s = s"((pos div ${selRadix(d)}) % ${selSizes(d)})"
+      expr(s"${offsets(d)} + ($s div ${blocks(d)}) * ${strides_(d)} + $s % ${blocks(d)}").as(s"i$d")
+    }
+    val coords = values.select(iCols :+ col("value").cast(valueType).as("value"): _*)
+    val withId = coords.withColumn(RowIds.Col,
+      (0 until rank).map(d => col(s"i$d") * st(d)).reduce(_ + _))
+    table.applyUpdates(withId)
+  }
+
+  /** Driver-side convenience for small slab writes (mirrors the
+    * reference's flat `seq[T]` argument). */
+  def writeHyperslab(offsets: Seq[Long], counts: Seq[Long],
+                     strides_ : Seq[Long], blocks: Seq[Long],
+                     values: Seq[Any]): Unit = {
+    val valuesDf = store.spark.createDataFrame(
+      store.spark.sparkContext.parallelize(
+        values.zipWithIndex.map { case (v, p) =>
+          org.apache.spark.sql.Row(p.toLong, v)
+        }.toList),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("value",
+          table.schema("value").dataType, false))))
+    writeHyperslabDF(offsets, counts, strides_, blocks, valuesDf)
+  }
+
+  /** Per-axis resize ≙ `resize` (`datasets.nim:1299-1336`): shrink drops
+    * out-of-bounds cells, growth zero-fills (the HDF5 default fill value).
+    * Changing any non-trailing extent changes the row-major strides, so
+    * the linear index of every surviving cell moves — this is a full
+    * relayout by construction: one `range ⟕ survivors` join keyed on the
+    * NEW linear index, then a range-partitioned sort back into `_rowid`
+    * order. */
+  def resize(newShape: Seq[Long]): Unit = {
+    require(newShape.size == rank, s"resize needs $rank extents")
+    val mx = maxShape
+    newShape.zipWithIndex.foreach { case (n, d) =>
+      require(n >= 1, s"resize: dim $d extent must be >= 1")
+      if (mx.nonEmpty && mx(d) >= 0)
+        require(n <= mx(d), s"resize: dim $d extent $n exceeds maxshape ${mx(d)}")
+    }
+    val spark = store.spark
+    val meta = store.resolved(name)
+    val newStrides = newShape.scanRight(1L)(_ * _).tail
+    val total = newShape.product
+    val valueType = table.schema("value").dataType
+    val keep = df
+      .filter((0 until rank).map(d => col(s"i$d") < newShape(d)).reduce(_ && _))
+      .select((0 until rank).map(d => col(s"i$d") * newStrides(d)).reduce(_ + _).as("nid"),
+        col("value"))
+    val coords = (0 until rank).map(d =>
+      expr(s"(nid div ${newStrides(d)}) % ${newShape(d)}").as(s"i$d"))
+    val out = spark.range(total).toDF("nid")
+      .join(keep, Seq("nid"), "left")
+      .select(coords :+ coalesce(col("value"), lit(0).cast(valueType)).as("value"): _*)
+      .sort((0 until rank).map(d => col(s"i$d")): _*)
+    store.put(name, out, meta.chunkSize, meta.codec)
+    store.setNdMeta(name, newShape.toVector,
+      if (mx.isEmpty) newShape.toVector else mx)
   }
 
   /** Coordinate-list read ≙ `select_elements` + `read(dset, coords)`. */

@@ -70,6 +70,21 @@ object Drive {
       .createOrReplaceTempView("emb3")
     spark.sql("SELECT vec_id, float_dot(embedding, embedding) AS selfdot FROM emb3").show()
 
+    println("== N-D drive: slab write, full_output read, per-axis resize")
+    val ndDir = java.nio.file.Files.createTempDirectory("drive-nd").toString
+    val ndSt = graft.store.HDFStore.open(spark, ndDir, graft.store.StoreMode.Overwrite)
+    val gridDf = spark.range(24).selectExpr("id div 6 as i0", "id % 6 as i1", "cast(id as double) as value")
+    val gnd = graft.ndarray.NDArray.create(ndSt, "g", gridDf, Seq(4L, 6L), Seq(-1L, -1L))
+    gnd.writeHyperslab(Seq(0, 0), Seq(2, 2), Seq(2, 3), Seq(1, 1), Seq(-1.0, -2.0, -3.0, -4.0))
+    val fo = gnd.hyperslabFull(Seq(0, 0), Seq(2, 2), Seq(2, 3), Seq(1, 1)).collect()
+    println(s"full_output -> ${fo.length} cells, nonzero=${fo.count(_.getDouble(2) != 0.0)} (expect 24/4)")
+    require(fo.length == 24 && fo.count(_.getDouble(2) != 0.0) == 4)
+    gnd.resize(Seq(5L, 3L))
+    val rz = graft.ndarray.NDArray.open(ndSt, "g")
+    println(s"resized shape -> ${rz.shape} rows=${rz.read().count()} (expect Vector(5, 3)/15)")
+    require(rz.shape == Vector(5L, 3L) && rz.read().count() == 15)
+    ndSt.close()
+
     println("== ANN lshTopK drive (fixed-point buckets + exact scoring)")
     val embAll = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qv = embAll.filter(org.apache.spark.sql.functions.col("vec_id") === 0)

@@ -202,6 +202,66 @@ class TableSpec extends AnyFunSuite {
     st.close()
   }
 
+  test("ndarray full_output hyperslab read zero-fills unselected (datasets.nim:1556-1599)") {
+    val st = fresh()
+    val data = spark.range(12).selectExpr("id div 4 as i0", "id % 4 as i1", "cast(id as double) as value")
+    val nd = graft.ndarray.NDArray.create(st, "g", data, Seq(3L, 4L))
+    // select i0=1, i1 in {0, 2}
+    val full = nd.hyperslabFull(Seq(1, 0), Seq(1, 2), Seq(1, 2), Seq(1, 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(full.length == 12) // full shape, row-major
+    val expect = (0L until 3L).flatMap(i0 => (0L until 4L).map { i1 =>
+      val sel = i0 == 1 && (i1 == 0 || i1 == 2)
+      (i0, i1, if (sel) (i0 * 4 + i1).toDouble else 0.0)
+    })
+    assert(full.toSeq == expect)
+    st.close()
+  }
+
+  test("ndarray strided hyperslab write (datasets.nim:1451-1528)") {
+    val st = fresh()
+    val data = spark.range(24).selectExpr("id div 6 as i0", "id % 6 as i1", "cast(id as double) as value")
+    val nd = graft.ndarray.NDArray.create(st, "g", data, Seq(4L, 6L))
+    // dim0: off 0, cnt 2, stride 2, blk 1 → i0 in {0, 2}
+    // dim1: off 1, cnt 2, stride 3, blk 2 → i1 in {1, 2, 4, 5}
+    nd.writeHyperslab(Seq(0, 1), Seq(2, 2), Seq(2, 3), Seq(1, 2),
+      (0 until 8).map(p => (900 + p).toDouble))
+    val got = nd.read().collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val selI1 = Seq(1L, 2L, 4L, 5L)
+    val expect = (0L until 4L).flatMap(i0 => (0L until 6L).map { i1 =>
+      val v = if ((i0 == 0 || i0 == 2) && selI1.contains(i1)) {
+        val s0 = i0 / 2; val s1 = selI1.indexOf(i1).toLong
+        900.0 + (s0 * 4 + s1)
+      } else (i0 * 6 + i1).toDouble
+      (i0, i1, v)
+    })
+    assert(got.toSeq == expect)
+    // wrong element count rejected
+    intercept[IllegalArgumentException] {
+      nd.writeHyperslab(Seq(0, 1), Seq(2, 2), Seq(2, 3), Seq(1, 2), Seq(1.0))
+    }
+    st.close()
+  }
+
+  test("ndarray per-axis resize: shrink drops, grow zero-fills (datasets.nim:1299-1336)") {
+    val st = fresh()
+    val data = spark.range(12).selectExpr("id div 4 as i0", "id % 4 as i1", "cast(id as double) as value")
+    val nd = graft.ndarray.NDArray.create(st, "g", data, Seq(3L, 4L), Seq(5L, -1L))
+    nd.resize(Seq(4L, 2L)) // grow axis 0 (zero fill), shrink axis 1
+    val re = graft.ndarray.NDArray.open(st, "g")
+    assert(re.shape == Vector(4L, 2L))
+    val got = re.read().collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = (0L until 4L).flatMap(i0 => (0L until 2L).map { i1 =>
+      (i0, i1, if (i0 < 3) (i0 * 4 + i1).toDouble else 0.0)
+    })
+    assert(got.toSeq == expect)
+    // rowid = new linear index invariant survives the relayout
+    assert(re.selectPoints(Seq(Seq(3L, 1L))).collect()(0).getDouble(2) == 0.0)
+    // beyond maxshape rejected
+    intercept[IllegalArgumentException] { re.resize(Seq(6L, 2L)) }
+    st.close()
+  }
+
   test("vacuum reclaims unreferenced copy-on-write segments") {
     val st = fresh(); import spark.implicits._
     st.put("particles", particles)
