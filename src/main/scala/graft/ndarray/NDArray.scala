@@ -161,9 +161,9 @@ final class NDArray private[ndarray] (
       .join(keep, Seq("nid"), "left")
       .select(coords :+ coalesce(col("value"), lit(0).cast(valueType)).as("value"): _*)
       .sort((0 until rank).map(d => col(s"i$d")): _*)
-    store.put(name, out, meta.chunkSize, meta.codec)
-    store.setNdMeta(name, newShape.toVector,
-      if (mx.isEmpty) newShape.toVector else mx)
+    store.putWithMeta(name, out, meta.chunkSize, meta.codec,
+      _.copy(kind = "ndarray", shape = newShape.toVector,
+        maxShape = if (mx.isEmpty) newShape.toVector else mx))
   }
 
   /** Coordinate-list read ≙ `select_elements` + `read(dset, coords)`. */
@@ -228,15 +228,21 @@ final class NDArray private[ndarray] (
   }
 
   /** Append a block along axis 0 ≙ `add` (`datasets.nim:1338-1369`):
-    * pure segment append + shape bump. `block` must carry `(i0…iN-1,
-    * value)` for the new rows in row-major order with axis-0 indices
-    * starting at the current `shape(0)`. */
+    * pure segment append + shape bump in ONE atomic manifest commit (a
+    * crash can't expose rows beyond the recorded shape). `block` must
+    * carry `(i0…iN-1, value)` for the new rows in row-major order with
+    * axis-0 indices starting at the current `shape(0)`, and its row count
+    * must equal `extent * shape.tail.product` (the rowid = linear-index
+    * invariant). */
   def add(block: DataFrame, extent: Long): Unit = {
+    require(extent >= 1, s"bad extent $extent")
     val mx = maxShape
+    val cur = shape
     if (mx.nonEmpty && mx(0) >= 0)
-      require(shape(0) + extent <= mx(0), s"extent exceeds maxshape ${mx(0)}")
-    table.append(block)
-    store.setShape(name, shape.updated(0, shape(0) + extent))
+      require(cur(0) + extent <= mx(0), s"extent exceeds maxshape ${mx(0)}")
+    val expected = extent * cur.tail.product
+    table.appendWithMeta(block, Some(expected),
+      m => m.copy(shape = cur.updated(0, cur(0) + extent)))
   }
 }
 
@@ -254,9 +260,9 @@ object NDArray {
       s"data must have columns ${dimCols.mkString(",")}, value")
     val sorted = data.select((dimCols :+ "value").map(col): _*)
       .sort(dimCols.map(col): _*)
-    store.put(name, sorted, chunkSize, codec)
-    store.setNdMeta(name, shape.toVector,
-      if (maxShape.isEmpty) shape.toVector else maxShape.toVector)
+    store.putWithMeta(name, sorted, chunkSize, codec,
+      _.copy(kind = "ndarray", shape = shape.toVector,
+        maxShape = if (maxShape.isEmpty) shape.toVector else maxShape.toVector))
     open(store, name)
   }
 

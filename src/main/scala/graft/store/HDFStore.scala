@@ -204,27 +204,55 @@ final class HDFStore private (
     chunkSize.orElse(defaultChunkSize).foreach(n => w = w.option("maxRecordsPerFile", n))
     codec.orElse(defaultCodec).foreach(c => w = w.option("compression", c))
     w.parquet(segPath.toString)
-    // Row count from the committed files' footers (cheap: parquet count(*)
-    // reads footers/row-counts, not column data). Explicit schema so an
-    // empty segment (0-partition write) still resolves.
-    val rows = spark.read.schema(df.schema).parquet(segPath.toString).count()
-    SegmentMeta(segRel, rows)
+    // Record per-file row counts NOW (footers of the files just written,
+    // read in parallel) so no later mutation ever re-reads a footer: the
+    // manifest carries the counts, refinement needs one dir listing only.
+    val files = fs.listStatus(segPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fileRows = java.util.Arrays.stream(files).parallel().mapToLong { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.toArray.toVector
+    SegmentMeta(segRel, fileRows.sum, 0L,
+      if (fileRows.size > 1) fileRows else Vector.empty)
   }
 
   /** Drop segment data no longer referenced by any catalog entry (old
-    * copy-on-write versions). Safe any time; readers of the current
-    * manifest never reference it. References may be whole segment dirs or
+    * copy-on-write versions). References may be whole segment dirs or
     * individual files inside them (file-granular mutations): a dir with
-    * only some files live keeps exactly those files. */
-  def vacuum(): Unit = {
+    * only some files live keeps exactly those files.
+    *
+    * Safety under the multi-writer optimistic-concurrency model: liveness
+    * is computed from the LATEST committed catalog — a stale handle must
+    * not treat segments committed behind its back as garbage — and the
+    * handle must itself be current (version advance ⇒
+    * `ConcurrentModificationException`, reload and retry). `graceMs`
+    * additionally spares segment dirs younger than the window (their
+    * timestamp is in the dir name), protecting a concurrent writer's
+    * written-but-not-yet-committed segments; 0 reclaims everything
+    * unreferenced (safe when this handle is the only writer). */
+  def vacuum(graceMs: Long = 0L): Unit = {
     checkWritable()
-    val refs: Set[String] = manifest.tables.values.flatMap(_.segments.map(_.dir)).toSet
+    val latest = Manifest.load(fs, rootPath, None)
+    if (latest.version != manifest.version)
+      throw new java.util.ConcurrentModificationException(
+        s"manifest advanced to v${latest.version} behind this handle (at v${manifest.version}); reload before vacuum")
+    val cutoff = System.currentTimeMillis() - graceMs
+    val SegTs = """seg-(\d{13})-\d+.*""".r
+    val refs: Set[String] = latest.tables.values.flatMap(_.segments.map(_.dir)).toSet
     val tablesRoot = new Path(rootPath, "tables")
     if (fs.exists(tablesRoot)) {
       fs.listStatus(tablesRoot).foreach { tdir =>
         fs.listStatus(tdir.getPath).foreach { seg =>
           val rel = "tables/" + tdir.getPath.getName + "/" + seg.getPath.getName
-          if (!refs.contains(rel)) {
+          val young = seg.getPath.getName match {
+            case SegTs(ts) => ts.toLong > cutoff
+            case _         => false
+          }
+          if (!refs.contains(rel) && !young) {
             val liveInside = refs.exists(_.startsWith(rel + "/"))
             if (!liveInside) fs.delete(seg.getPath, true)
             else if (fs.getFileStatus(seg.getPath).isDirectory) {
@@ -248,10 +276,20 @@ final class HDFStore private (
     * order (its partition order is preserved, like the reference preserves
     * seq order). */
   def put(name: String, df: DataFrame,
-          chunkSize: Option[Long] = None, codec: Option[String] = None): Unit = {
+          chunkSize: Option[Long] = None, codec: Option[String] = None): Unit =
+    putWithMeta(name, df, chunkSize, codec, identity)
+
+  /** [[put]] + a catalog-entry transform in the SAME atomic commit (e.g.
+    * N-D kind/shape metadata riding the create, so a crash can't leave a
+    * plain "table" where an ndarray was meant). */
+  private[graft] def putWithMeta(name: String, df: DataFrame,
+          chunkSize: Option[Long], codec: Option[String],
+          metaFn: TableMeta => TableMeta): Unit = {
     checkWritable()
     val n = norm(name)
     require(n.nonEmpty, "empty table name")
+    require(!manifest.groups.contains(n),
+      s"cannot create table '$n': a group with that name exists")
     // an incoming _rowid column defines the order EXPLICITLY (a multi-file
     // scan's partition order is size-packed, not positional)
     val withIds =
@@ -259,9 +297,12 @@ final class HDFStore private (
       else RowIds.attach(df)
     val seg = writeSegment(n, withIds, chunkSize, codec)
     ensureParentGroups(n)
+    // overwriting a base that hardlinks alias: the old data must stay
+    // reachable through them — same heir promotion as drop()
+    manifest.tables.get(n).foreach(old => promoteHeir(n, old))
     val dataSchema = StructType(withIds.schema.fields.filterNot(_.name == RowIds.Col))
-    manifest.tables += n -> TableMeta("table", Vector(seg), dataSchema.json,
-      chunkSize.orElse(defaultChunkSize), codec.orElse(defaultCodec), None)
+    manifest.tables += n -> metaFn(TableMeta("table", Vector(seg), dataSchema.json,
+      chunkSize.orElse(defaultChunkSize), codec.orElse(defaultCodec), None))
     commit()
   }
 
@@ -296,30 +337,43 @@ final class HDFStore private (
     * name) this silently no-ops on unknown names; like HDF5 unlink, data
     * shared with an alias stays until the last name is gone (use
     * [[vacuum]] to reclaim). */
+  /** HDF5 unlink semantics: if other hardlinks point at base `n`, the
+    * object survives — promote one alias to carry the data and repoint
+    * the rest at it. No-op when `meta` is itself an alias. */
+  private def promoteHeir(n: String, meta: TableMeta): Unit = {
+    if (meta.aliasOf.isEmpty) {
+      val aliases = manifest.tables.collect {
+        case (k, v) if v.aliasOf.contains(n) => k
+      }.toSeq.sorted
+      aliases.headOption.foreach { heir =>
+        manifest.tables += heir -> meta
+        aliases.tail.foreach { other =>
+          manifest.tables += other -> manifest.tables(other).copy(aliasOf = Some(heir))
+        }
+      }
+    }
+  }
+
   def drop(name: String): Unit = {
     checkWritable()
     val n = norm(name)
     if (manifest.tables.contains(n) || manifest.groups.contains(n)) {
-      // HDF5 unlink semantics: if other hardlinks point at this name, the
-      // object survives — promote one alias to carry the data and repoint
-      // the rest at it.
-      val dropped = manifest.tables.get(n)
-      manifest.tables -= n
-      dropped.foreach { meta =>
-        if (meta.aliasOf.isEmpty) {
-          val aliases = manifest.tables.collect {
-            case (k, v) if v.aliasOf.contains(n) => k
-          }.toSeq.sorted
-          aliases.headOption.foreach { heir =>
-            manifest.tables += heir -> meta
-            aliases.tail.foreach { other =>
-              manifest.tables += other -> manifest.tables(other).copy(aliasOf = Some(heir))
-            }
-          }
+      // group drop detaches the whole subtree (≙ HDF5 unlink of a group:
+      // descendants become unreachable), tables first so each gets its
+      // heir promotion against hardlinks outside the subtree
+      val victims =
+        if (manifest.groups.contains(n))
+          n +: (manifest.tables.keys ++ manifest.groups)
+            .filter(_.startsWith(n + "/")).toSeq.sorted
+        else Seq(n)
+      victims.foreach { v =>
+        manifest.tables.get(v).foreach { meta =>
+          manifest.tables -= v
+          promoteHeir(v, meta)
         }
+        manifest.groups -= v
+        manifest.attrs -= v
       }
-      manifest.groups -= n
-      manifest.attrs -= n
       commit()
     }
   }
@@ -337,23 +391,30 @@ final class HDFStore private (
     commit()
   }
 
-  /** Copy ≙ nimhdf5 `copy` (`nimhdf5/h5util.nim:159-209`): physical
-    * file-level copy of all segments (fast, no decode) + attrs. Supports
-    * cross-store copy like the reference's cross-file copy. */
+  /** Copy ≙ nimhdf5 `copy` (`nimhdf5/h5util.nim:159-209`): an independent
+    * object with the source's data + attrs. Within one store this is PURE
+    * METADATA — the new entry references the same immutable segments, and
+    * the first mutation of either side diverges through the normal
+    * copy-on-write path (new segment dirs + manifest swap); [[vacuum]]
+    * keeps any segment referenced by ANY catalog entry. A 100 TB table
+    * copy is therefore one catalog commit, not a driver-side byte funnel.
+    * Cross-store copies remain physical file copies (different roots). */
   def copy(src: String, dst: String, dstStore: HDFStore = this): Unit = {
     dstStore.checkWritable()
     val s = norm(src); val d = dstStore.norm(dst)
     val meta = resolved(s)
-    val newSegs = meta.segments.map { seg =>
-      val rel = "tables/" + dstStore.encode(d) +
-        f"/seg-${System.currentTimeMillis()}%013d-${dstStore.segCounter.getAndIncrement()}%04d"
-      FileUtil.copy(fs, new Path(rootPath, seg.dir),
-        dstStore.fs, new Path(dstStore.rootPath, rel),
-        false, spark.sparkContext.hadoopConfiguration)
-      // idBase MUST survive the copy: file-granular runs carry stored ids
-      // starting at idBase, and the bytes were copied verbatim
-      SegmentMeta(rel, seg.rows, seg.idBase)
-    }
+    val newSegs =
+      if (dstStore eq this) meta.segments // shared refs; CoW diverges on mutation
+      else meta.segments.map { seg =>
+        val rel = "tables/" + dstStore.encode(d) +
+          f"/seg-${System.currentTimeMillis()}%013d-${dstStore.segCounter.getAndIncrement()}%04d"
+        FileUtil.copy(fs, new Path(rootPath, seg.dir),
+          dstStore.fs, new Path(dstStore.rootPath, rel),
+          false, spark.sparkContext.hadoopConfiguration)
+        // idBase MUST survive the copy: file-granular runs carry stored ids
+        // starting at idBase, and the bytes were copied verbatim
+        SegmentMeta(rel, seg.rows, seg.idBase, seg.fileRows)
+      }
     dstStore.ensureParentGroups(d)
     dstStore.manifest.tables += d -> meta.copy(segments = newSegs, aliasOf = None)
     manifest.attrs.get(s).foreach { kv =>

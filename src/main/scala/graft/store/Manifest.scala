@@ -22,20 +22,29 @@ object AttrValue {
   final case class F64Seq(v: Seq[Double])  extends AttrValue
   final case class StrSeq(v: Seq[String])  extends AttrValue
 
+  /** Non-finite doubles don't round-trip through the JSON catalog (jackson
+    * emits non-strict tokens that [[fromJson]] would reject, making the
+    * commit look torn) — reject them up front. */
+  private def finite(d: Double): Double = {
+    require(!d.isNaN && !d.isInfinite,
+      s"non-finite attribute value $d cannot round-trip through the JSON catalog")
+    d
+  }
+
   def of(v: Any): AttrValue = v match {
     case b: Boolean => throw new UnsupportedOperationException(
       "bool attributes are not supported (parity with nimhdf5/attributes.nim:289-293)")
     case i: Int     => I64(i.toLong)
     case l: Long    => I64(l)
-    case f: Float   => F64(f.toDouble)
-    case d: Double  => F64(d)
+    case f: Float   => F64(finite(f.toDouble))
+    case d: Double  => F64(finite(d))
     case s: String  => Str(s)
     case xs: Seq[_] if xs.isEmpty => I64Seq(Nil)
     case xs: Seq[_] => xs.head match {
       case _: Int    => I64Seq(xs.map(_.asInstanceOf[Int].toLong))
       case _: Long   => I64Seq(xs.map(_.asInstanceOf[Long]))
-      case _: Double => F64Seq(xs.map(_.asInstanceOf[Double]))
-      case _: Float  => F64Seq(xs.map(_.asInstanceOf[Float].toDouble))
+      case _: Double => F64Seq(xs.map(x => finite(x.asInstanceOf[Double])))
+      case _: Float  => F64Seq(xs.map(x => finite(x.asInstanceOf[Float].toDouble)))
       case _: String => StrSeq(xs.map(_.asInstanceOf[String]))
       case other => throw new UnsupportedOperationException(s"unsupported attr seq element: $other")
     }
@@ -83,8 +92,15 @@ object AttrValue {
   * for file runs carved out of a larger segment, so untouched files keep
   * their bytes AND their stored ids. The global offset of a run is the
   * prefix sum of preceding runs' `rows`, so append/delete/insert touch
-  * only affected runs and the rest shift by METADATA only (SURVEY §7.4). */
-final case class SegmentMeta(dir: String, rows: Long, idBase: Long = 0L)
+  * only affected runs and the rest shift by METADATA only (SURVEY §7.4).
+  *
+  * `fileRows` caches the per-parquet-file row counts of a DIRECTORY run
+  * in file-name order, recorded once at write time — file-granular
+  * mutation refinement then needs one directory listing instead of one
+  * footer read per file (on object storage with 100k files the footer
+  * loop would dominate every mutation). Empty for single-file runs. */
+final case class SegmentMeta(dir: String, rows: Long, idBase: Long = 0L,
+                             fileRows: Vector[Long] = Vector.empty)
 
 /** Catalog entry for one named object in the store. */
 final case class TableMeta(
@@ -120,9 +136,14 @@ final class Manifest private (
     "tables" -> JObject(tables.toList.sortBy(_._1).map { case (name, t) =>
       name -> JObject(
         "kind" -> JString(t.kind),
-        "segments" -> JArray(t.segments.toList.map(s =>
-          JObject("dir" -> JString(s.dir), "rows" -> JLong(s.rows),
-            "idBase" -> JLong(s.idBase)))),
+        "segments" -> JArray(t.segments.toList.map { s =>
+          val fields = List[(String, JValue)](
+            "dir" -> JString(s.dir), "rows" -> JLong(s.rows),
+            "idBase" -> JLong(s.idBase)) ++
+            (if (s.fileRows.isEmpty) Nil
+             else List("fileRows" -> JArray(s.fileRows.toList.map(JLong(_): JValue))))
+          JObject(fields: _*)
+        }),
         "schema" -> JString(t.schemaJson),
         "chunkSize" -> t.chunkSize.map(JLong(_)).getOrElse(JNull),
         "codec" -> t.codec.map(JString(_)).getOrElse(JNull),
@@ -220,7 +241,11 @@ object Manifest {
           case JArray(a) => a.map { s =>
             val JString(dir) = s \ "dir"
             def long(v: JValue): Long = v match { case JLong(l) => l; case JInt(i) => i.toLong; case _ => 0L }
-            SegmentMeta(dir, long(s \ "rows"), long(s \ "idBase"))
+            val fileRows = s \ "fileRows" match {
+              case JArray(fr) => fr.map(long).toVector
+              case _ => Vector.empty[Long]
+            }
+            SegmentMeta(dir, long(s \ "rows"), long(s \ "idBase"), fileRows)
           }.toVector
           case _ => Vector.empty[SegmentMeta]
         }

@@ -63,8 +63,11 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
     if (off == seg.idBase) d
     else d.withColumn(Col, col(Col) + lit(off - seg.idBase))
 
-  /** Parquet footer row count — metadata read only, no data pass. */
+  /** Parquet footer row count — metadata read only, no data pass. This is
+    * the FALLBACK for segments whose manifest predates `fileRows`; the
+    * counter lets tests assert normal mutations never come through here. */
   private def parquetRowCount(p: Path): Long = {
+    HDFTable.footerReads.incrementAndGet()
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(p, spark.sparkContext.hadoopConfiguration)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -72,11 +75,14 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
   }
 
   /** Split a directory run into one run PER PARQUET FILE (row counts from
-    * footers, id bases by prefix sum — file name order is partition order
-    * is id order for our sorted writes). This is what makes mutations
-    * file-granular: only files intersecting the mutated range rewrite;
-    * every other file keeps its bytes and its stored ids. Falls back to
-    * the whole run if the footer sum disagrees (safety). */
+    * the manifest's `fileRows` — recorded at write time — with id bases by
+    * prefix sum; file name order is partition order is id order for our
+    * sorted writes). This is what makes mutations file-granular: only
+    * files intersecting the mutated range rewrite; every other file keeps
+    * its bytes and its stored ids. One directory listing, NO per-file
+    * footer reads; segments predating `fileRows` (e.g. cross-store copies
+    * of old data) fall back to footers once — their rewrite re-records.
+    * Falls back to the whole run if counts disagree with reality (safety). */
   private def fileRuns(seg: SegmentMeta): Vector[SegmentMeta] = {
     val p = new Path(store.rootPath, seg.dir)
     if (store.fs.getFileStatus(p).isFile) return Vector(seg)
@@ -84,9 +90,11 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
     if (files.length <= 1) return Vector(seg)
+    val counts: Vector[Long] =
+      if (seg.fileRows.size == files.length) seg.fileRows
+      else files.toVector.map(f => parquetRowCount(f.getPath))
     var base = seg.idBase
-    val runs = files.toVector.map { f =>
-      val rows = parquetRowCount(f.getPath)
+    val runs = files.toVector.zip(counts).map { case (f, rows) =>
       val sm = SegmentMeta(seg.dir + "/" + f.getPath.getName, rows, base)
       base += rows
       sm
@@ -242,6 +250,24 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
       val cur = store.manifest.attrs.getOrElse(name, Map.empty)
       store.manifest.attrs += name -> (cur + (k -> graft.store.AttrValue.of(v)))
     }
+    store.commit()
+  }
+
+  /** Append + arbitrary catalog-entry update in ONE atomic manifest
+    * commit — e.g. an N-D shape bump rides the same commit as its data, so
+    * a crash can't leave appended rows visible beyond the recorded shape.
+    * `expectRows` validates the block's size BEFORE the commit (a failed
+    * check leaves only an unreferenced segment dir for vacuum). */
+  private[graft] def appendWithMeta(data: DataFrame, expectRows: Option[Long],
+                                    metaFn: TableMeta => TableMeta): Unit = {
+    store.checkWritable()
+    val seg = store.writeSegment(baseName, withLocalIds(data), meta.chunkSize, meta.codec)
+    expectRows.foreach(n => require(seg.rows == n,
+      s"append block has ${seg.rows} rows, expected $n"))
+    val b = baseName
+    store.manifest.tables += b ->
+      metaFn(store.manifest.tables(b).copy(
+        segments = (meta.segments :+ seg).filter(_.rows > 0)))
     store.commit()
   }
 
@@ -452,6 +478,13 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
     }
     swapSegments(newSegs)
   }
+}
+
+object HDFTable {
+  /** Count of driver-side parquet-footer fallback reads (see
+    * `parquetRowCount`) — test instrumentation for the "mutations are
+    * footer-free" invariant. */
+  private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 /**

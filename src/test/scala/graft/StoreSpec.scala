@@ -218,4 +218,94 @@ class StoreSpec extends AnyFunSuite {
     assert(st2.getAttr("t", "answer") == graft.store.AttrValue.I64(43))
     st2.close()
   }
+
+  test("non-finite float attrs rejected (JSON catalog can't round-trip them)") {
+    val dir = TestSpark.tmpDir("store-nan")
+    val st = HDFStore.open(spark, dir, StoreMode.Overwrite)
+    import spark.implicits._
+    st.put("t", particles)
+    intercept[IllegalArgumentException] { st.setAttr("t", "x", Double.NaN) }
+    intercept[IllegalArgumentException] { st.setAttr("t", "x", Double.PositiveInfinity) }
+    intercept[IllegalArgumentException] { st.setAttr("t", "x", Seq(1.0, Double.NegativeInfinity)) }
+    st.setAttr("t", "x", 1.5) // finite still fine
+    st.close()
+    val ro = HDFStore.open(spark, dir, StoreMode.Read) // catalog still parses
+    assert(ro.getAttr("t", "x") == graft.store.AttrValue.F64(1.5))
+    ro.close()
+  }
+
+  test("within-store copy is metadata-only CoW; mutation diverges") {
+    val dir = TestSpark.tmpDir("store-cow")
+    val st = HDFStore.open(spark, dir, StoreMode.Overwrite)
+    import spark.implicits._
+    st.put("orig", particles)
+    val segsBefore = parquetFilesUnder(new java.io.File(dir, "tables"))
+    st.copy("orig", "clone")
+    // no new data files were written by the copy
+    assert(parquetFilesUnder(new java.io.File(dir, "tables")) == segsBefore)
+    assert(st.typed[Particle]("clone").toSeq == particles)
+    // mutating the clone leaves the original untouched (CoW divergence)
+    st.typed[Particle]("clone").delete(0)
+    assert(st.nrows("clone") == 12 && st.nrows("orig") == 13)
+    assert(st.typed[Particle]("orig").toSeq == particles)
+    // dropping the original keeps shared segments alive for the clone
+    st.drop("orig")
+    st.vacuum()
+    assert(st.typed[Particle]("clone").toSeq == particles.drop(1))
+    st.close()
+  }
+
+  test("vacuum on a stale handle is rejected; grace period spares young segments") {
+    val dir = TestSpark.tmpDir("store-vac")
+    import spark.implicits._
+    val st1 = HDFStore.open(spark, dir, StoreMode.Overwrite)
+    st1.put("t", particles)
+    val st2 = HDFStore.open(spark, dir, StoreMode.ReadWrite)
+    st2.setAttr("t", "k", 1L) // advances the catalog behind st1
+    intercept[java.util.ConcurrentModificationException] { st1.vacuum() }
+    // fresh handle: orphan a segment, then a large grace window spares it
+    val st3 = HDFStore.open(spark, dir, StoreMode.ReadWrite)
+    st3.typed[Particle]("t").delete(0) // rewrites → old segment orphaned
+    val before = parquetFilesUnder(new java.io.File(dir, "tables"))
+    st3.vacuum(graceMs = 3600 * 1000L)
+    assert(parquetFilesUnder(new java.io.File(dir, "tables")) == before) // young: kept
+    st3.vacuum()
+    assert(parquetFilesUnder(new java.io.File(dir, "tables")) < before)  // no grace: gone
+    assert(st3.typed[Particle]("t").toSeq == particles.drop(1))
+    st1.close(); st2.close(); st3.close()
+  }
+
+  test("group drop detaches the subtree; table name can't shadow a group") {
+    val dir = TestSpark.tmpDir("store-gdrop")
+    val st = HDFStore.open(spark, dir, StoreMode.Overwrite)
+    import spark.implicits._
+    st.createGroup("geo/raw")
+    st.put("geo/raw/region", particles)
+    st.put("geo/t2", particles)
+    intercept[IllegalArgumentException] { st.put("geo/raw", particles) } // name is a group
+    st.drop("geo")
+    assert(!st.contains("geo") && !st.contains("geo/raw"))
+    assert(!st.isTable("geo/raw/region") && !st.isTable("geo/t2"))
+    st.close()
+  }
+
+  test("put() over an aliased base promotes an heir (overwrite ≙ unlink+create)") {
+    val dir = TestSpark.tmpDir("store-heir")
+    val st = HDFStore.open(spark, dir, StoreMode.Overwrite)
+    import spark.implicits._
+    st.put("base", particles)
+    st.hardlink("base", "link")
+    val fresh = Seq(Particle(1, 1, 1.0, 1.0))
+    st.put("base", fresh) // overwrite the base
+    // the link must still see the OLD data (it aliased the object, not the name)
+    assert(st.typed[Particle]("link").toSeq == particles)
+    assert(st.typed[Particle]("base").toSeq == fresh)
+    st.close()
+  }
+
+  private def parquetFilesUnder(root: java.io.File): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    if (!root.exists) 0 else walk(root).count(_.getName.endsWith(".parquet"))
+  }
 }

@@ -311,6 +311,21 @@ class TableSpec extends AnyFunSuite {
     st.close()
   }
 
+  test("mutations run footer-free: fileRows from the manifest, no fallback reads") {
+    val st = fresh(); import spark.implicits._
+    val big = (0 until 100).map(i => Particle(i.toLong, 1, 100.0, 20.0))
+    st.put("big", big, Some(10L), None) // 10-row files → fileRows recorded
+    val t = st.typed[Particle]("big")
+    val before = graft.table.HDFTable.footerReads.get()
+    t.delete(5)
+    t.update(50, Seq(Particle(999, 9, 9.0, 9.0)))
+    t.insert(20, Seq(Particle(888, 8, 8.0, 8.0)))
+    assert(graft.table.HDFTable.footerReads.get() == before,
+      "mutation path fell back to driver-side parquet footer reads")
+    assert(t.nrows == 100 && t(19L) == big(20) && t(20L) == Particle(888, 8, 8.0, 8.0))
+    st.close()
+  }
+
   test("compactSmallRuns bin-packs small adjacent runs, leaves big ones alone") {
     val st = fresh(); import spark.implicits._
     val big = (0 until 60).map(i => Particle(i.toLong, 1, 100.0, 20.0))
