@@ -80,12 +80,40 @@ object SparkEntry {
     * attributed to an arbitrary first query). */
   def warm(spark: SparkSession, sfDir: String): Unit = {
     store(spark, sfDir)
+    // one-time query fixtures (idempotent; queries guard on existence so
+    // Verify works without warm, but Bench must not time table creation)
+    buildZstdFixture(spark, sfDir)
+    buildFlatFixture(spark, sfDir)
     import graft.ops.{Dedup, Similarity}
     val tiny = docs(spark, sfDir).filter(col("doc_id") < 4)
     Dedup.minhashSignatures(tiny, "doc_id", "text", 3, 16).count()
     Dedup.simhash(tiny, "doc_id", "text").count()
     val e = embs(spark, sfDir).filter(col("vec_id") < 4)
     e.select(Similarity.cosine(col("embedding"), col("embedding"))).count()
+  }
+
+  private def buildZstdFixture(s: SparkSession, d: String): Unit = {
+    val st = store(s, d)
+    st.synchronized {
+      if (!st.isTable("mut/zstd")) {
+        val src = st.table("lineitem").df // keeps _rowid: put orders by it
+        st.put("mut/zstd", src, Some(4096L), Some("zstd"))
+      }
+    }
+  }
+
+  private def buildFlatFixture(s: SparkSession, d: String): Unit = {
+    val st = store(s, d)
+    st.synchronized {
+      if (!st.isTable("mut/flat")) {
+        val nested = st.table("lineitem").df
+          .filter(col("_rowid") < 100).orderBy("_rowid")
+          .select(col("_rowid"),
+            struct(col("l_orderkey").as("ok"), col("l_linenumber").as("ln")).as("pos"),
+            col("l_quantity"))
+        st.put("mut/flat", graft.schema.SchemaUtil.flattenDf(nested.drop("_rowid")))
+      }
+    }
   }
 
   /** A fresh mutable copy of the base lineitem table (file-level copy) so
@@ -266,20 +294,10 @@ object SparkEntry {
     // reference stores nested objects as flat `a-b` fields) — store the
     // flattened table, read back
     "t1_nested_flatten" -> ((s, d) => {
-      val st = store(s, d)
-      st.synchronized {
-        if (!st.isTable("mut/flat")) {
-          val nested = st.table("lineitem").df
-            .filter(col("_rowid") < 100).orderBy("_rowid")
-            .select(col("_rowid"),
-              struct(col("l_orderkey").as("ok"), col("l_linenumber").as("ln")).as("pos"),
-              col("l_quantity"))
-          st.put("mut/flat", graft.schema.SchemaUtil.flattenDf(nested.drop("_rowid")))
-        }
-        st.table("mut/flat").df
-          .select(col("_rowid"), col("pos-ok"), col("pos-ln"), col("l_quantity"))
-          .orderBy("_rowid")
-      }
+      buildFlatFixture(s, d) // no-op when warm() already built it
+      store(s, d).table("mut/flat").df
+        .select(col("_rowid"), col("pos-ok"), col("pos-ln"), col("l_quantity"))
+        .orderBy("_rowid")
     }),
 
     // ----------------------------------------------- §2 parity: N-D + VLEN
@@ -472,16 +490,10 @@ object SparkEntry {
 
     // F1/F3: codec + chunk-size knobs round-trip (zstd, 4k-row files)
     "f1_codec_roundtrip" -> ((s, d) => {
-      val st = store(s, d)
-      st.synchronized {
-        if (!st.isTable("mut/zstd")) {
-          val src = st.table("lineitem").df // keeps _rowid: put orders by it
-          st.put("mut/zstd", src, Some(4096L), Some("zstd"))
-        }
-        st.table("mut/zstd").df.agg(
-          count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_qty"))
-      }
+      buildZstdFixture(s, d) // no-op when warm() already built it
+      store(s, d).table("mut/zstd").df.agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_qty"))
     })
   )
 

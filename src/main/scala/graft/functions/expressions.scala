@@ -98,34 +98,27 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
-/** MinHash signature over a shingle array in one native loop: per shingle
-  * md5 → top-60-bits → `mod P`, then `sig[i] = min((a_i·h + b_i) mod P)`
-  * with the same formula coefficients as the SQL oracle
-  * (`graft.ops.Dedup.rehash`). Replaces an interpreted nest of
-  * `aggregate`/`zip_with` lambdas (~13 ms/doc → tight JVM loop).
-  * `CodegenFallback`: the md5 loop is plain JVM code either way. */
-case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-  private val P = 2147483647L
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(_: StringType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"minhash_sig requires array<string>, got ${other.sql}")
-    }
-  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-  @transient private lazy val as: Array[Long] =
-    Array.tabulate(numHashes)(i => (i * 2654435761L) % P + 1L)
-  @transient private lazy val bs: Array[Long] =
-    Array.tabulate(numHashes)(i => (i * 40503L) % P + 7L)
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+/** Static MinHash kernel shared by the interpreted eval AND generated
+  * code — whole-stage codegen emits a direct static call, so the hot
+  * dedup loop stays inside the generated stage (no per-row virtual
+  * `Expression.eval` dispatch). */
+object MinHashKernel {
+  final val P = 2147483647L
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  // per-signature-width coefficient arrays, built once per JVM
+  private val coeffs =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def coeffsFor(n: Int): (Array[Long], Array[Long]) =
+    coeffs.computeIfAbsent(n, k => (
+      Array.tabulate(k)(i => (i * 2654435761L) % P + 1L),
+      Array.tabulate(k)(i => (i * 40503L) % P + 7L)))
+
+  /** Per shingle md5 → top-60-bits → `mod P`, then
+    * `sig[i] = min((a_i·h + b_i) mod P)` — same formula coefficients as
+    * the SQL oracle (`graft.ops.Dedup.rehash`). */
+  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
+    val (as, bs) = coeffsFor(numHashes)
     val sig = Array.fill(numHashes)(P)
     val digest = md.get()
     var s = 0
@@ -149,6 +142,25 @@ case class MinHashSig(child: Expression, numHashes: Int)
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
   }
+}
+
+/** MinHash signature over a shingle array in one native loop (kernel in
+  * [[MinHashKernel]]); replaces an interpreted nest of
+  * `aggregate`/`zip_with` lambdas (~13 ms/doc → tight JVM loop). */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires array<string>, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    MinHashKernel.compute(v.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashKernel.compute($c, $numHashes);")
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }

@@ -44,6 +44,26 @@ class ExprSpec extends AnyFunSuite {
     fast.keys.foreach(k => assert(fast(k) == spec(k), s"doc $k"))
   }
 
+  test("native expressions generate code (no CodegenFallback)") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.types._
+    // CODEGEN_ONLY-style check: generating a projection over the
+    // expression must succeed without the fallback path
+    val exprs = Seq(
+      graft.functions.MinHashSig(
+        BoundReference(0, ArrayType(StringType), nullable = true), 16),
+      graft.functions.RollingHash(
+        BoundReference(1, StringType, nullable = true)),
+      graft.functions.FloatDot(
+        BoundReference(2, ArrayType(FloatType), nullable = true),
+        BoundReference(2, ArrayType(FloatType), nullable = true)))
+    exprs.foreach { e =>
+      assert(!e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+      GenerateMutableProjection.generate(Seq(e), useSubexprElimination = false)
+    }
+  }
+
   test("float_dot yields null on length mismatch") {
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
     assert(df.select(native.float_dot($"a", $"b")).collect()(0).isNullAt(0))
