@@ -915,8 +915,9 @@ object SparkEntry {
 
     "x_dedup_jaccard" ->
       (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents WHERE doc_id < 300), """ +
-       """sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
-       """i -> array_to_string(l[i:i+2], ' '))) AS s FROM toks), """ +
+       """shr AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
+       """i -> array_to_string(l[i:i+2], ' '))) AS t FROM toks), """ +
+       s"""sh AS (SELECT DISTINCT doc_id, ${h60sql("t")} AS s FROM shr), """ +
        """sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), """ +
        """inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n FROM sh a """ +
        """JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) """ +
@@ -926,8 +927,9 @@ object SparkEntry {
 
     "x_dedup_jaccard_guard" ->
       (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents), """ +
-       """sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
-       """i -> array_to_string(l[i:i+2], ' '))) AS s FROM toks), """ +
+       """shr AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
+       """i -> array_to_string(l[i:i+2], ' '))) AS t FROM toks), """ +
+       s"""sh0 AS (SELECT DISTINCT doc_id, ${h60sql("t")} AS s FROM shr), """ +
        """freq AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100), """ +
        """sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN freq USING (s)), """ +
        """sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), """ +

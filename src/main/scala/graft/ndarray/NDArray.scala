@@ -97,20 +97,26 @@ final class NDArray private[ndarray] (
     slabConds(offsets, counts, strides_, blocks) // validate bounds
     val selSizes = (0 until rank).map(d => counts(d) * blocks(d))
     val total = selSizes.product
-    require(values.count() == total,
-      s"writeHyperslab: selection has $total elements")
-    val selRadix = selSizes.scanRight(1L)(_ * _).tail
-    val st = strides
-    val valueType = table.schema("value").dataType
-    val iCols = (0 until rank).map { d =>
-      // selection coordinate s_d, then i_d = off + (s_d div blk)*stride + s_d mod blk
-      val s = s"((pos div ${selRadix(d)}) % ${selSizes(d)})"
-      expr(s"${offsets(d)} + ($s div ${blocks(d)}) * ${strides_(d)} + $s % ${blocks(d)}").as(s"i$d")
-    }
-    val coords = values.select(iCols :+ col("value").cast(valueType).as("value"): _*)
-    val withId = coords.withColumn(RowIds.Col,
-      (0 until rank).map(d => col(s"i$d") * st(d)).reduce(_ + _))
-    table.applyUpdates(withId)
+    // Pin the input so validation and the update read the SAME evaluation:
+    // a non-deterministic `values` could otherwise pass the count check yet
+    // write different (pos, value) rows in the update pass.
+    val pinned = values.cache()
+    try {
+      require(pinned.count() == total,
+        s"writeHyperslab: selection has $total elements")
+      val selRadix = selSizes.scanRight(1L)(_ * _).tail
+      val st = strides
+      val valueType = table.schema("value").dataType
+      val iCols = (0 until rank).map { d =>
+        // selection coordinate s_d, then i_d = off + (s_d div blk)*stride + s_d mod blk
+        val s = s"((pos div ${selRadix(d)}) % ${selSizes(d)})"
+        expr(s"${offsets(d)} + ($s div ${blocks(d)}) * ${strides_(d)} + $s % ${blocks(d)}").as(s"i$d")
+      }
+      val coords = pinned.select(iCols :+ col("value").cast(valueType).as("value"): _*)
+      val withId = coords.withColumn(RowIds.Col,
+        (0 until rank).map(d => col(s"i$d") * st(d)).reduce(_ + _))
+      table.applyUpdates(withId)
+    } finally pinned.unpersist()
   }
 
   /** Driver-side convenience for small slab writes (mirrors the
@@ -161,9 +167,15 @@ final class NDArray private[ndarray] (
       .join(keep, Seq("nid"), "left")
       .select(coords :+ coalesce(col("value"), lit(0).cast(valueType)).as("value"): _*)
       .sort((0 until rank).map(d => col(s"i$d")): _*)
-    store.putWithMeta(name, out, meta.chunkSize, meta.codec,
-      _.copy(kind = "ndarray", shape = newShape.toVector,
-        maxShape = if (mx.isEmpty) newShape.toVector else mx))
+    // In-place mutation of the SHARED base (HDF5 hardlink semantics: every
+    // name sees the new extents), like all other mutation paths — put()
+    // here would re-create under the OPENED name and strand any alias.
+    val b = table.baseName
+    val seg = store.writeSegment(b, RowIds.attach(out), meta.chunkSize, meta.codec)
+    store.manifest.tables += b -> meta.copy(segments = Vector(seg),
+      shape = newShape.toVector,
+      maxShape = if (mx.isEmpty) newShape.toVector else mx)
+    store.commit()
   }
 
   /** Coordinate-list read ≙ `select_elements` + `read(dset, coords)`. */

@@ -43,29 +43,42 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** Inverted-index exact Jaccard: explode distinct shingles, self-join on
-    * the shingle, count intersections, normalize by set sizes.
+  /** Inverted-index exact Jaccard: explode distinct shingle HASHES,
+    * self-join on the 8-byte hash, count intersections, normalize by set
+    * sizes. The index is keyed by [[TextStats.hash60]] of the shingle, not
+    * the shingle text: two copies of the index go through the self-join
+    * shuffle, so key width (8 bytes vs 20-40-byte word-3-grams) is the
+    * dominant shuffle cost at corpus scale. 60-bit hashing makes a same-doc
+    * collision astronomically unlikely and the DuckDB oracle applies the
+    * identical hash, so results stay engine-exact.
     * `maxDocFreq` drops shingles present in more than that many docs
     * (stop-shingles) — the standard skew guard at scale. */
-  /** `cacheIndex` materializes the inverted (doc, shingle) index once —
-    * it feeds the doc-freq filter, both self-join sides, and the size
-    * aggregate (4 evaluations otherwise). The cache lives until the
-    * session evicts it (the result is lazy, so this function cannot
-    * unpersist); long-lived sessions processing many corpora should pass
-    * false (relying on Spark's exchange reuse) or unpersist via
+  /** `cacheIndex` materializes the (frequency-filtered, when `maxDocFreq`
+    * is set) inverted (doc, hash) index ONCE — it feeds both self-join
+    * sides and the size aggregate. Only that final index is cached (and
+    * materialized eagerly, at call time); the pre-filter index is read
+    * twice (doc-freq agg + join) but both reads shuffle on `s`, so Spark's
+    * ReusedExchange covers it. The cache lives until the session evicts it
+    * (the RESULT is lazy, so this function cannot unpersist); long-lived
+    * sessions processing many corpora should pass false or unpersist via
     * `spark.sharedState.cacheManager.clearCache()` between corpora. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, maxDocFreq: Option[Long] = None,
                    cacheIndex: Boolean = true): DataFrame = {
-    val sh0 = df.select(col(idCol).as("doc"), explode(shingleArray(col(textCol), n)).as("s"))
-    val sh = if (cacheIndex) sh0.cache() else sh0
-    val filtered = maxDocFreq match {
+    val sh0 = df.select(col(idCol).as("doc"),
+      explode(array_distinct(transform(shingleArray(col(textCol), n),
+        s => TextStats.hash60(s)))).as("s"))
+    val filtered0 = maxDocFreq match {
       case Some(mdf) =>
-        val freq = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= mdf)
-        val joined = sh.join(freq.select("s"), "s")
-        if (cacheIndex) joined.cache() else joined
-      case None => sh
+        val freq = sh0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= mdf)
+        sh0.join(freq.select("s"), "s")
+      case None => sh0
     }
+    // Materialize the cache EAGERLY: the size aggregate and the self-join
+    // otherwise race to compute the same cached partitions from parallel
+    // stages (benign "Block already exists" churn in the block manager).
+    val filtered = if (cacheIndex) { val f = filtered0.cache(); f.count(); f }
+                   else filtered0
     val sizes = filtered.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = filtered.as("a").join(filtered.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))

@@ -232,9 +232,11 @@ final class HDFStore private (
     * `ConcurrentModificationException`, reload and retry). `graceMs`
     * additionally spares segment dirs younger than the window (their
     * timestamp is in the dir name), protecting a concurrent writer's
-    * written-but-not-yet-committed segments; 0 reclaims everything
-    * unreferenced (safe when this handle is the only writer). */
-  def vacuum(graceMs: Long = 0L): Unit = {
+    * written-but-not-yet-committed segments. The default (10 min) is
+    * conservative — a writer that staged segments just before this call
+    * can still commit them; pass 0 to reclaim everything unreferenced
+    * (safe ONLY when this handle is provably the sole writer). */
+  def vacuum(graceMs: Long = 600000L): Unit = {
     checkWritable()
     val latest = Manifest.load(fs, rootPath, None)
     if (latest.version != manifest.version)
@@ -415,7 +417,12 @@ final class HDFStore private (
         // starting at idBase, and the bytes were copied verbatim
         SegmentMeta(rel, seg.rows, seg.idBase, seg.fileRows)
       }
+    require(!dstStore.manifest.groups.contains(d),
+      s"cannot copy onto '$d': a group with that name exists")
     dstStore.ensureParentGroups(d)
+    // overwriting an existing dst: hardlinks pointing at it must keep the
+    // OLD data — same heir promotion as put()/drop()
+    dstStore.manifest.tables.get(d).foreach(old => dstStore.promoteHeir(d, old))
     dstStore.manifest.tables += d -> meta.copy(segments = newSegs, aliasOf = None)
     manifest.attrs.get(s).foreach { kv =>
       dstStore.manifest.attrs += d -> kv

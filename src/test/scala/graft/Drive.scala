@@ -83,7 +83,44 @@ object Drive {
     val rz = graft.ndarray.NDArray.open(ndSt, "g")
     println(s"resized shape -> ${rz.shape} rows=${rz.read().count()} (expect Vector(5, 3)/15)")
     require(rz.shape == Vector(5L, 3L) && rz.read().count() == 15)
+
+    println("== r4 drive: resize THROUGH a hardlink mutates the shared base")
+    ndSt.hardlink("g", "galias")
+    graft.ndarray.NDArray.open(ndSt, "galias").resize(Seq(2L, 2L))
+    val viaBase = graft.ndarray.NDArray.open(ndSt, "g")
+    println(s"base after alias-resize -> ${viaBase.shape} (expect Vector(2, 2))")
+    require(viaBase.shape == Vector(2L, 2L))
+
+    println("== r4 drive: copy() onto an aliased base promotes an heir")
+    val pdf = spark.range(5).selectExpr("id as a", "cast(id as double) as b")
+    ndSt.put("cb", pdf)
+    ndSt.hardlink("cb", "cl")
+    ndSt.put("csrc", pdf.withColumn("b", col("b") * 10))
+    ndSt.copy("csrc", "cb")
+    val linkB = ndSt.table("cl").df.agg(sum("b")).collect()(0).getDouble(0)
+    val baseB = ndSt.table("cb").df.agg(sum("b")).collect()(0).getDouble(0)
+    println(s"link sum(b)=$linkB (expect 10.0, old data) base sum(b)=$baseB (expect 100.0)")
+    require(linkB == 10.0 && baseB == 100.0)
+
+    println("== r4 drive: vacuum default grace spares young orphans; 0 reclaims")
+    ndSt.table("cb").update(0, ndSt.table("cb").slice(1, 1).drop("_rowid")) // orphan a segment
+    def pq(root: java.io.File): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).count(_.getName.endsWith(".parquet"))
+    }
+    val tdir = new java.io.File(ndDir, "tables")
+    val b0 = pq(tdir); ndSt.vacuum(); val b1 = pq(tdir); ndSt.vacuum(0L); val b2 = pq(tdir)
+    println(s"parquet files: before=$b0 afterDefault=$b1 afterZero=$b2 (expect b1==b0, b2<b0)")
+    require(b1 == b0 && b2 < b0)
     ndSt.close()
+
+    println("== r4 drive: jaccardPairs on the hash60 inverted index")
+    val docsAll = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val jp = graft.ops.Dedup.jaccardPairs(docsAll, "doc_id", "text", 3, maxDocFreq = Some(100L))
+      .orderBy(col("jaccard").desc, col("id1"), col("id2")).limit(3).collect()
+    jp.foreach(r => println(s"jaccard -> ${r.getLong(0)} ~ ${r.getLong(1)} = ${r.getDouble(2)}"))
+    require(jp.nonEmpty && jp.head.getDouble(2) > 0.0)
 
     println("== ANN lshTopK drive (fixed-point buckets + exact scoring)")
     val embAll = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

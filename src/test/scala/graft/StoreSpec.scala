@@ -250,7 +250,7 @@ class StoreSpec extends AnyFunSuite {
     assert(st.typed[Particle]("orig").toSeq == particles)
     // dropping the original keeps shared segments alive for the clone
     st.drop("orig")
-    st.vacuum()
+    st.vacuum(graceMs = 0L)
     assert(st.typed[Particle]("clone").toSeq == particles.drop(1))
     st.close()
   }
@@ -269,7 +269,9 @@ class StoreSpec extends AnyFunSuite {
     val before = parquetFilesUnder(new java.io.File(dir, "tables"))
     st3.vacuum(graceMs = 3600 * 1000L)
     assert(parquetFilesUnder(new java.io.File(dir, "tables")) == before) // young: kept
-    st3.vacuum()
+    st3.vacuum() // DEFAULT grace is conservative: just-orphaned segments survive
+    assert(parquetFilesUnder(new java.io.File(dir, "tables")) == before)
+    st3.vacuum(graceMs = 0L)
     assert(parquetFilesUnder(new java.io.File(dir, "tables")) < before)  // no grace: gone
     assert(st3.typed[Particle]("t").toSeq == particles.drop(1))
     st1.close(); st2.close(); st3.close()
@@ -300,6 +302,24 @@ class StoreSpec extends AnyFunSuite {
     // the link must still see the OLD data (it aliased the object, not the name)
     assert(st.typed[Particle]("link").toSeq == particles)
     assert(st.typed[Particle]("base").toSeq == fresh)
+    st.close()
+  }
+
+  test("copy() onto an aliased base promotes an heir; group targets rejected") {
+    val dir = TestSpark.tmpDir("store-copyheir")
+    val st = HDFStore.open(spark, dir, StoreMode.Overwrite)
+    import spark.implicits._
+    st.put("base", particles)
+    st.hardlink("base", "link")
+    val other = Seq(Particle(1, 1, 1.0, 1.0))
+    st.put("src", other)
+    st.copy("src", "base") // overwrite the aliased base, like put() over it
+    // the link must still see the OLD data (it aliased the object, not the name)
+    assert(st.typed[Particle]("link").toSeq == particles)
+    assert(st.typed[Particle]("base").toSeq == other)
+    // and a group name can't be shadowed by a copy target, same as put()
+    st.createGroup("grp")
+    intercept[IllegalArgumentException] { st.copy("src", "grp") }
     st.close()
   }
 

@@ -273,7 +273,7 @@ class TableSpec extends AnyFunSuite {
       walk(new java.io.File(st.root, "tables")).count(_.getName.endsWith(".parquet"))
     }
     val before = parquetFiles()
-    st.vacuum()
+    st.vacuum(graceMs = 0L)
     assert(parquetFiles() < before)          // orphans reclaimed
     assert(t.toSeq == particles.drop(3))     // data intact after vacuum
     // and a fresh reader sees the same state
@@ -373,5 +373,38 @@ class TableSpec extends AnyFunSuite {
     assert(t.toSeq == particles)
     t.delete(2, 9)
     assert(t.toSeq == (particles.take(2) ++ particles.drop(10)))
+  }
+
+  test("ndarray resize through a hardlink mutates the SHARED base") {
+    val st = fresh()
+    val data = spark.range(12).selectExpr("id div 4 as i0", "id % 4 as i1", "cast(id as double) as value")
+    graft.ndarray.NDArray.create(st, "nd", data, Seq(3L, 4L), Seq(5L, -1L))
+    st.hardlink("nd", "ndlink")
+    graft.ndarray.NDArray.open(st, "ndlink").resize(Seq(4L, 2L))
+    // both names see the new extents and data (HDF5 hardlink semantics)
+    for (name <- Seq("nd", "ndlink")) {
+      val re = graft.ndarray.NDArray.open(st, name)
+      assert(re.shape == Vector(4L, 2L), name)
+      val got = re.read().collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val expect = (0L until 4L).flatMap(i0 => (0L until 2L).map { i1 =>
+        (i0, i1, if (i0 < 3) (i0 * 4 + i1).toDouble else 0.0)
+      })
+      assert(got.toSeq == expect, name)
+    }
+    st.close()
+  }
+
+  test("hyperslab DF write evaluates its input exactly once") {
+    val st = fresh(); import spark.implicits._
+    val data = spark.range(10).selectExpr("id as i0", "cast(id as double) as value")
+    val nd = graft.ndarray.NDArray.create(st, "v", data, Seq(10L), Seq(10L))
+    val acc = spark.sparkContext.longAccumulator("slab-evals")
+    val vals = spark.range(4).map { p => acc.add(1); (p, p * 100.0) }.toDF("pos", "value")
+    nd.writeHyperslabDF(Seq(0L), Seq(4L), Seq(1L), Seq(1L), vals)
+    // count-validation and the update must read ONE evaluation of the input
+    assert(acc.value == 4L, s"input evaluated ${acc.value / 4.0} times")
+    val got = nd.read().collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq(0.0, 100.0, 200.0, 300.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0))
+    st.close()
   }
 }
