@@ -355,6 +355,30 @@ object SparkEntry {
       }
     }),
 
+    // V3b: VLEN hyperslab write — array-column slab write routed through
+    // applyUpdates (nimhdf5/datasets.nim:1468-1504), same positional path
+    // as scalar coordinate writes; only intersecting segments rewrite
+    "v3_vlen_slab_write" -> ((s, d) => {
+      val st = store(s, d)
+      st.synchronized {
+        if (st.contains("mut/embslab")) st.drop("mut/embslab")
+        st.copy("embeddings", "mut/embslab")
+        val t = st.table("mut/embslab")
+        val vals = s.range(20).select(
+          col("id").as("pos"),
+          (lit(900000L) + col("id")).as("vec_id"),
+          array(col("id").cast("float"), (col("id") + lit(0.5)).cast("float")).as("embedding"),
+          lit(7).as("label"))
+        t.writeHyperslab(5, 10, 3, 2, vals)
+        t.slice(0, 39).select(
+          col("_rowid"), col("vec_id"),
+          size(col("embedding")).cast(LongType).as("n"),
+          element_at(col("embedding"), 1).cast(DoubleType).as("e1"),
+          col("label").cast(LongType).as("lbl")
+        ).orderBy("_rowid")
+      }
+    }),
+
     // V4: VLEN positional slice (hyperslab over the record dim of a
     // VLEN-column table)
     "v4_vlen_slice" -> ((s, d) =>
@@ -623,6 +647,20 @@ object SparkEntry {
       ("SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS e1, CAST(embedding[2] AS DOUBLE) AS e2, " +
        "CAST(embedding[3] AS DOUBLE) AS e3, CAST(embedding[4] AS DOUBLE) AS e4 " +
        "FROM embeddings ORDER BY vec_id"),
+
+    "v3_vlen_slab_write" ->
+      ("WITH base AS (SELECT *, row_number() OVER (ORDER BY vec_id) - 1 AS _rowid FROM embeddings), " +
+       "rep AS (SELECT 5 + (g.p // 2) * 3 + g.p % 2 AS _rowid, 900000 + g.p AS vec_id, " +
+       "[CAST(g.p AS FLOAT), CAST(g.p + 0.5 AS FLOAT)] AS embedding, 7 AS label " +
+       "FROM generate_series(0, 19) g(p)), " +
+       "post AS (SELECT b._rowid, " +
+       "CASE WHEN r._rowid IS NULL THEN b.vec_id ELSE r.vec_id END AS vec_id, " +
+       "CASE WHEN r._rowid IS NULL THEN b.embedding ELSE r.embedding END AS embedding, " +
+       "CASE WHEN r._rowid IS NULL THEN b.label ELSE r.label END AS label " +
+       "FROM base b LEFT JOIN rep r ON b._rowid = r._rowid) " +
+       "SELECT _rowid, vec_id, len(embedding)::BIGINT AS n, " +
+       "CAST(embedding[1] AS DOUBLE) AS e1, label::BIGINT AS lbl " +
+       "FROM post WHERE _rowid <= 39 ORDER BY _rowid"),
 
     "v4_vlen_slice" ->
       ("WITH base AS (SELECT *, row_number() OVER (ORDER BY vec_id) - 1 AS _rowid FROM embeddings) " +

@@ -175,10 +175,26 @@ object native {
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), numHashes))
 
-  /** Register `rolling_hash` / `float_dot` for SQL use in this session. */
+  /** Register `rolling_hash` / `float_dot` / `minhash_sig` for SQL use in
+    * this session. `minhash_sig(shingles, n)` needs a literal signature
+    * width — it sizes the per-JVM coefficient arrays at plan time. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "built-in")
     reg.createOrReplaceTempFunction("float_dot", es => FloatDot(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig", es => {
+      require(es.length == 2, "minhash_sig(shingles, numHashes)")
+      val n = es(1) match {
+        case e if e.foldable => e.eval() match {
+          case i: Int  => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: numHashes must be an integer literal, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig: numHashes must be a literal")
+      }
+      MinHashSig(es(0), n)
+    }, "built-in")
   }
 }

@@ -184,6 +184,35 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
       .filter(rel % lit(stride) < lit(block))
   }
 
+  /** Strided positional WRITE — the record-dimension counterpart of
+    * [[hyperslab]], covering the reference's VLEN hyperslab-write branch
+    * (`nimhdf5/datasets.nim:1468-1504`): VLEN (array) columns ride the
+    * same positional-update path as scalars. `values` carries a 0-based
+    * selection position `pos` (row-major over the slab, `0 until
+    * count*block`) plus FULL replacement data columns; the position
+    * arithmetic maps each pos to its global `_rowid` distributed, then
+    * [[applyUpdates]] rewrites only intersecting segments (file-granular
+    * copy-on-write). The input is pinned so count-validation and the
+    * update read one evaluation. */
+  def writeHyperslab(offset: Long, count: Long, stride: Long, block: Long,
+                     values: DataFrame): Unit = {
+    store.checkWritable()
+    require(offset >= 0 && count > 0 && stride >= 1 && block >= 1 && block <= stride,
+      s"bad hyperslab off=$offset count=$count stride=$stride block=$block")
+    val last = offset + (count - 1) * stride + block - 1
+    checkBounds(offset, last)
+    val total = count * block
+    val pinned = values.cache()
+    try {
+      require(pinned.count() == total, s"writeHyperslab: selection has $total rows")
+      val dataCols = schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name))
+      val withId = pinned.select(
+        (lit(offset) + expr(s"pos div $block") * lit(stride) + expr(s"pos % $block"))
+          .cast(org.apache.spark.sql.types.LongType).as(Col) +: dataCols: _*)
+      applyUpdates(withId)
+    } finally pinned.unpersist()
+  }
+
   /** Coordinate-list selection ≙ `select_elements` reads
     * (`nimhdf5/datasets.nim:806-860`). Small lists inline into an `IN`
     * predicate (pushed to parquet); large ones become a broadcast

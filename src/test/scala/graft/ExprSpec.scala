@@ -44,6 +44,22 @@ class ExprSpec extends AnyFunSuite {
     fast.keys.foreach(k => assert(fast(k) == spec(k), s"doc $k"))
   }
 
+  test("minhash_sig works from SQL after registration") {
+    native.register(spark)
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(array('a b c', 'b c d', 'c d e'), 8) AS sig")
+      .collect()(0).getSeq[Long](0)
+    val viaCol = Seq(Seq("a b c", "b c d", "c d e")).toDF("sh")
+      .select(native.minhash_sig($"sh", 8).as("sig"))
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql == viaCol && viaSql.length == 8)
+    // non-literal signature width is rejected at plan time
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('x'), cast(rand()*4 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("native expressions generate code (no CodegenFallback)") {
     import org.apache.spark.sql.catalyst.expressions.BoundReference
     import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
