@@ -115,14 +115,40 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
   private def offsetsOf(segs: Vector[SegmentMeta]): Vector[Long] =
     segs.scanLeft(0L)(_ + _.rows).init
 
+  /** Above this many segments, [[df]] switches from a per-segment union to
+    * ONE multi-path parquet relation + a broadcast (run → id-shift) join:
+    * a union of N single-dir relations costs O(N) in the analyzer plus N
+    * scan nodes and N listings, which dominates read latency after heavy
+    * micro-append (e.g. streaming) ingest. Below it, the plain union keeps
+    * the simplest possible plan. */
+  private val MultiPathSegments = 32
+
   /** Full-table view with the GLOBAL `_rowid` column. Lazy; no I/O here. */
   def df: DataFrame = {
     val m = meta
-    val parts = m.segments.zip(m.offsets).map { case (seg, off) =>
-      toGlobal(seg, off, segDf(seg))
+    if (m.segments.isEmpty) return emptyDf(withRowId = true)
+    // fast path needs whole-dir runs with distinct dir names: the scanned
+    // file's parent dir identifies its run (stored ids are continuous
+    // across the files of one run, so the shift is per-run)
+    val bases = m.segments.map(s => s.dir.substring(s.dir.lastIndexOf('/') + 1))
+    if (m.segments.size > MultiPathSegments &&
+        m.segments.forall(!_.dir.endsWith(".parquet")) &&
+        bases.distinct.size == bases.size) {
+      val paths = m.segments.map(s => new Path(store.rootPath, s.dir).toString)
+      val raw = spark.read.parquet(paths: _*)
+        .withColumn("_run", regexp_extract(col("_metadata.file_path"), "/([^/]+)/[^/]+$", 1))
+      val shifts = bases.lazyZip(m.segments).lazyZip(m.offsets).map {
+        case (b, seg, off) => (b, off - seg.idBase)
+      }
+      val outCols = (schema.fields.map(_.name) :+ Col).map(col)
+      raw.join(broadcast(spark.createDataFrame(shifts).toDF("_run", "_shift")), "_run")
+        .withColumn(Col, col(Col) + col("_shift"))
+        .select(outCols: _*)
+    } else {
+      m.segments.zip(m.offsets).map { case (seg, off) =>
+        toGlobal(seg, off, segDf(seg))
+      }.reduce(_ unionByName _)
     }
-    if (parts.isEmpty) emptyDf(withRowId = true)
-    else parts.reduce(_ unionByName _)
   }
 
   /** Data columns only — ≙ full scan `toSeq` feeding composition. */

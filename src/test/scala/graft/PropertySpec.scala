@@ -64,6 +64,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("∀ slab params: writeHyperslab then hyperslab reads back the values") {
+    val st = HDFStore.open(spark, TestSpark.tmpDir("prop-w"), StoreMode.Overwrite)
+    var marker = 1000.0
+    // 1-D sweep (150 cases): selection row-major order is monotone in the
+    // linear index (block <= stride), so the ordered read-back must equal
+    // the written sequence exactly — regardless of earlier writes.
+    val n1 = 60L
+    val a1 = graft.ndarray.NDArray.create(st, "w1",
+      spark.range(n1).selectExpr("id as i0", "cast(id as double) as value"), Seq(n1), Seq(n1))
+    (1 to 150).foreach { _ =>
+      val off = rnd.nextInt(20).toLong
+      val stride = (1 + rnd.nextInt(6)).toLong
+      val block = (1 + rnd.nextInt(stride.toInt)).toLong
+      val maxCount = ((n1 - off - block) / stride + 1).toInt
+      val count = (1 + rnd.nextInt(maxCount)).toLong
+      val vals = (0 until (count * block).toInt).map(p => marker + p)
+      a1.writeHyperslab(Seq(off), Seq(count), Seq(stride), Seq(block), vals)
+      val got = a1.hyperslab(Seq(off), Seq(count), Seq(stride), Seq(block))
+        .collect().map(_.getDouble(1)).toSeq
+      assert(got == vals, s"1-D slab($off,$count,$stride,$block)")
+      marker += 10000
+    }
+    // 2-D sweep (60 cases): mixed-radix pos -> (i0, i1) decomposition
+    val (n0, m0) = (6L, 8L)
+    val a2 = graft.ndarray.NDArray.create(st, "w2",
+      spark.range(n0 * m0).selectExpr(s"id div $m0 as i0", s"id % $m0 as i1", "cast(id as double) as value"),
+      Seq(n0, m0), Seq(n0, m0))
+    (1 to 60).foreach { _ =>
+      def dim(n: Long): (Long, Long, Long, Long) = {
+        val off = rnd.nextInt((n / 2).toInt).toLong
+        val stride = (1 + rnd.nextInt(3)).toLong
+        val block = (1 + rnd.nextInt(stride.toInt)).toLong
+        val maxCount = ((n - off - block) / stride + 1).toInt
+        (off, (1 + rnd.nextInt(maxCount)).toLong, stride, block)
+      }
+      val (o0, c0, s0, b0) = dim(n0); val (o1, c1, s1, b1) = dim(m0)
+      val vals = (0 until (c0 * b0 * c1 * b1).toInt).map(p => marker + p)
+      a2.writeHyperslab(Seq(o0, o1), Seq(c0, c1), Seq(s0, s1), Seq(b0, b1), vals)
+      val got = a2.hyperslab(Seq(o0, o1), Seq(c0, c1), Seq(s0, s1), Seq(b0, b1))
+        .collect().map(_.getDouble(2)).toSeq
+      assert(got == vals, s"2-D slab(($o0,$o1),($c0,$c1),($s0,$s1),($b0,$b1))")
+      marker += 10000
+    }
+    st.close()
+  }
+
   test("∀ schemas: flatten idempotent, nested naming, compat laws") {
     import org.apache.spark.sql.types._
     val types = Seq[DataType](LongType, DoubleType, StringType, IntegerType)

@@ -47,6 +47,25 @@ object ScaleDrive {
     }
     time("compactSmallRuns(1M)") { t.compactSmallRuns(1000000) }
     println(s"  final segments=${st.segmentCount("big")} nrows=${t.nrows}")
+
+    // segment-count scaling: heavy micro-append ingest (the streaming-sink
+    // shape) then read-plan latency vs segment count — covered by the
+    // multi-path df above MultiPathSegments, and compaction below it
+    println("== 1000 micro-appends (streaming-ingest shape)")
+    st.put("ticks", spark.range(1000).select(col("id").as("k"), col("id").cast("double").as("v")))
+    val tk = st.table("ticks")
+    time("1000 single-row appends") {
+      (0 until 1000).foreach(i =>
+        tk.append(spark.range(1).select(lit(i).cast("long").as("k"), lit(i.toDouble).as("v"))))
+    }
+    println(s"  segments=${st.segmentCount("ticks")} nrows=${tk.nrows}")
+    time("full-scan count @1001 segments") { assert(tk.df.count() == 2000) }
+    time("full-scan agg sum(v) @1001 segments") { tk.df.agg(sum("v")).collect() }
+    time("slice [500..520] @1001 segments") { assert(tk.slice(500, 520).count() == 21) }
+    time("point read @1001 segments") { assert(tk.point(1500).collect()(0).getLong(0) == 500L) }
+    time("compactSmallRuns(100k)") { tk.compactSmallRuns(100000) }
+    println(s"  segments after compact=${st.segmentCount("ticks")}")
+    time("full-scan count after compact") { assert(tk.df.count() == 2000) }
     st.close()
     spark.stop()
   }

@@ -375,6 +375,23 @@ class TableSpec extends AnyFunSuite {
     assert(t.toSeq == (particles.take(2) ++ particles.drop(10)))
   }
 
+  test("multi-path df above the segment threshold matches the union path") {
+    val st = fresh(); import spark.implicits._
+    st.put("m", particles.take(1))
+    val t = st.typed[Particle]("m")
+    (1 until 13).foreach(i => t.append(Seq(particles(i))))
+    (0 until 30).foreach(i => t.append(Seq(particles(i % 13)))) // 43 runs
+    assert(st.segmentCount("m") > 32) // over MultiPathSegments: fast path on
+    val tail = (0 until 30).map(i => particles(i % 13))
+    assert(t.toSeq == particles ++ tail)
+    // a head delete shifts every later run (off != idBase): shifts must
+    // ride the broadcast join, and file-granular runs fall back cleanly
+    t.delete(0, 0)
+    assert(t.toSeq == particles.drop(1) ++ tail)
+    assert(st.table("m").df.count() == 42)
+    st.close()
+  }
+
   test("ndarray resize through a hardlink mutates the SHARED base") {
     val st = fresh()
     val data = spark.range(12).selectExpr("id div 4 as i0", "id % 4 as i1", "cast(id as double) as value")
