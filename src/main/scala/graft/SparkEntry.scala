@@ -727,7 +727,7 @@ object SparkEntry {
 
   // ----------------------------------------------- extensions: LLM-pipeline ops
 
-  import graft.ops.{AsOfJoin, Dedup, Multimodal, Sessionize, Similarity, TextStats}
+  import graft.ops.{AsOfJoin, Cluster, Dedup, Multimodal, Sessionize, Similarity, TextStats}
 
   private def docs(s: SparkSession, d: String) = s.read.parquet(s"$d/documents.parquet")
   private def embs(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
@@ -778,6 +778,22 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // near-dup CLUSTERING: hash-min connected components over the banded-
+    // LSH pair graph — every member labeled with its cluster's min doc id
+    // (dedup = keep rows where doc_id == cluster afterwards)
+    "x_dedup_cluster" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") < 300)
+      val planted = base.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zzz")).as("text"))
+      val all = base.select("doc_id", "text").unionByName(planted)
+      val pairs = Dedup.minhashPairs(all, "doc_id", "text", 3, 32, 8)
+        .filter(col("est_jaccard") >= 0.5)
+      Cluster.connectedComponents(pairs, "id1", "id2")
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // 60-bit SimHash fingerprints
     "x_dedup_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d).filter(col("doc_id") < 300), "doc_id", "text")
@@ -811,6 +827,16 @@ object SparkEntry {
       Similarity.lshTopK(embs(s, d), "vec_id", "embedding", q, 10,
           planes = 8, probeHamming = 2, exactDecimal = true)
         .select(col("vec_id"), round(col("score"), 6).as("score"), col("bucket"))
+    }),
+
+    // IVF ANN: nlist deterministic centroid lists, nprobe probed — the
+    // classic inverted-file scheme with a fixed codebook
+    "x_knn_ivf" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      Similarity.ivfTopK(embs(s, d), "vec_id", "embedding", q, 10,
+          nlist = 16, nprobe = 4)
+        .select(col("vec_id"), round(col("score"), 6).as("score"), col("list"))
     }),
 
     // language-ID (stopword votes, fixed precedence)
@@ -947,6 +973,27 @@ object SparkEntry {
         .orderBy("id"))
   )
 
+  /** Shared CTE chain: planted near-dups → shingle hashes → 32-hash
+    * MinHash signatures → 8 bands → candidate pairs → signature-agreement
+    * estimate (`agree(id1, id2, est)`). Used by the LSH-pairs oracle and,
+    * under `WITH RECURSIVE`, by the clustering oracle. */
+  private def minhashLshCtes: String =
+    (s"""docs2 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300 """ +
+     """UNION ALL SELECT doc_id + 1000000, text || ' zzz' FROM documents WHERE doc_id < 3), """ +
+     s"""toks AS (SELECT doc_id, $TOK AS l FROM docs2), """ +
+     """sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
+     """i -> array_to_string(l[i:i+2], ' '))) AS s FROM toks), """ +
+     s"""hm AS (SELECT doc_id, ${h60sql("s")} % 2147483647 AS h FROM sh), """ +
+     """sig AS (SELECT doc_id, g.i AS i, """ +
+     """min((((g.i * 2654435761) % 2147483647 + 1) * h + (g.i * 40503) % 2147483647 + 7) % 2147483647) AS mh """ +
+     """FROM hm, generate_series(0, 31) g(i) GROUP BY 1, 2), """ +
+     """bands AS (SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS bl FROM sig GROUP BY doc_id, i // 4), """ +
+     """cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a """ +
+     """JOIN bands b ON a.band = b.band AND a.bl = b.bl AND a.doc_id < b.doc_id), """ +
+     """agree AS (SELECT c.id1, c.id2, SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS est """ +
+     """FROM cand c JOIN sig sa ON sa.doc_id = c.id1 JOIN sig sb ON sb.doc_id = c.id2 AND sa.i = sb.i """ +
+     """GROUP BY 1, 2)""")
+
   private def extensionOracles: Map[String, String] = Map(
     "x_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS dups FROM documents GROUP BY text ORDER BY keep_id",
@@ -978,22 +1025,19 @@ object SparkEntry {
        """ORDER BY jaccard DESC, id1, id2 LIMIT 20"""),
 
     "x_dedup_minhash_lsh" ->
-      (s"""WITH docs2 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300 """ +
-       """UNION ALL SELECT doc_id + 1000000, text || ' zzz' FROM documents WHERE doc_id < 3), """ +
-       s"""toks AS (SELECT doc_id, $TOK AS l FROM docs2), """ +
-       """sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
-       """i -> array_to_string(l[i:i+2], ' '))) AS s FROM toks), """ +
-       s"""hm AS (SELECT doc_id, ${h60sql("s")} % 2147483647 AS h FROM sh), """ +
-       """sig AS (SELECT doc_id, g.i AS i, """ +
-       """min((((g.i * 2654435761) % 2147483647 + 1) * h + (g.i * 40503) % 2147483647 + 7) % 2147483647) AS mh """ +
-       """FROM hm, generate_series(0, 31) g(i) GROUP BY 1, 2), """ +
-       """bands AS (SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS bl FROM sig GROUP BY doc_id, i // 4), """ +
-       """cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a """ +
-       """JOIN bands b ON a.band = b.band AND a.bl = b.bl AND a.doc_id < b.doc_id), """ +
-       """agree AS (SELECT c.id1, c.id2, SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS est """ +
-       """FROM cand c JOIN sig sa ON sa.doc_id = c.id1 JOIN sig sb ON sb.doc_id = c.id2 AND sa.i = sb.i """ +
-       """GROUP BY 1, 2) """ +
+      (s"""WITH $minhashLshCtes """ +
        """SELECT id1, id2, est AS est_jaccard FROM agree WHERE est >= 0.5 ORDER BY id1, id2"""),
+
+    // clustering = recursive reachability over the same LSH pair graph;
+    // cluster label = min doc id reachable (mirrors hash-min convergence)
+    "x_dedup_cluster" ->
+      (s"""WITH RECURSIVE $minhashLshCtes, """ +
+       """pairs AS (SELECT id1, id2 FROM agree WHERE est >= 0.5), """ +
+       """edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2, id1 FROM pairs), """ +
+       """verts AS (SELECT DISTINCT src AS id FROM edges), """ +
+       """reach(id, r) AS (SELECT id, id FROM verts """ +
+       """UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id) """ +
+       """SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY doc_id"""),
 
     "x_dedup_minhash_sig" ->
       (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents WHERE doc_id < 300), """ +
@@ -1051,6 +1095,34 @@ object SparkEntry {
        """s AS (SELECT vec_id, SUM(xy) AS dxy, SUM(xx) AS dxx FROM terms GROUP BY vec_id), """ +
        """scored AS (SELECT vec_id, CAST(dxy AS DOUBLE) / (sqrt(CAST(dxx AS DOUBLE)) * sqrt((SELECT CAST(dqq AS DOUBLE) FROM qq))) AS sc FROM s) """ +
        """SELECT c.vec_id, round(sc, 6) AS score, c.bucket FROM scored JOIN cand c USING (vec_id) ORDER BY sc DESC, c.vec_id LIMIT 10"""),
+
+    // IVF ANN: codebook = the 16 smallest-id vectors; list affinity is
+    // dxy/sqrt(dyy) in 1e-15 fixed point (the row-norm factor is a
+    // positive constant per row, so dropping it preserves the argmax),
+    // ties to the smaller list id; probe = query's top-4 lists; exact
+    // fixed-point cosine over the probed candidates
+    "x_knn_ivf" ->
+      ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings), """ +
+       """norms AS (SELECT vec_id, SUM(CAST(round((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxx FROM el GROUP BY vec_id), """ +
+       """cl AS (SELECT vec_id AS cid, i, x AS cx FROM el WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)), """ +
+       """aff AS (SELECT el.vec_id, cl.cid, """ +
+       """SUM(CAST(round((CAST(el.x AS DOUBLE) * CAST(cl.cx AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxy """ +
+       """FROM el JOIN cl USING (i) GROUP BY 1, 2), """ +
+       """ascore AS (SELECT a.vec_id, a.cid, CAST(a.dxy AS DOUBLE) / sqrt(CAST(n.dxx AS DOUBLE)) AS s """ +
+       """FROM aff a JOIN norms n ON n.vec_id = a.cid), """ +
+       """assign AS (SELECT vec_id, cid AS list FROM (SELECT vec_id, cid, """ +
+       """row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM ascore) WHERE rn = 1), """ +
+       """probes AS (SELECT cid AS list FROM ascore WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 4), """ +
+       """cand AS (SELECT a.vec_id, a.list FROM assign a JOIN probes USING (list)), """ +
+       """qe AS (SELECT i, x AS qx FROM el WHERE vec_id = 0), """ +
+       """terms AS (SELECT el.vec_id, CAST(round((CAST(el.x AS DOUBLE) * CAST(qe.qx AS DOUBLE)) * 1e15) AS BIGINT) AS xy """ +
+       """FROM el JOIN qe USING (i) WHERE el.vec_id IN (SELECT vec_id FROM cand)), """ +
+       """s2 AS (SELECT vec_id, SUM(xy)::BIGINT AS dxy FROM terms GROUP BY 1), """ +
+       """scored AS (SELECT s2.vec_id, CAST(s2.dxy AS DOUBLE) / (sqrt(CAST(n.dxx AS DOUBLE)) * """ +
+       """sqrt((SELECT CAST(dxx AS DOUBLE) FROM norms WHERE vec_id = 0))) AS sc """ +
+       """FROM s2 JOIN norms n ON n.vec_id = s2.vec_id) """ +
+       """SELECT c.vec_id, round(sc, 6) AS score, c.list FROM scored JOIN cand c USING (vec_id) """ +
+       """ORDER BY sc DESC, c.vec_id LIMIT 10"""),
 
     "x_lang_id" ->
       (s"""WITH c AS (SELECT doc_id, lang, """ +

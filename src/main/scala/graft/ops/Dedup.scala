@@ -70,8 +70,15 @@ object Dedup {
         s => TextStats.hash60(s)))).as("s"))
     val filtered0 = maxDocFreq match {
       case Some(mdf) =>
-        val freq = sh0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= mdf)
-        sh0.join(freq.select("s"), "s")
+        // Doc-frequency guard as ONE window count over `s` — a single hash
+        // shuffle on the join key — instead of the groupBy+semi-join
+        // formulation (agg exchange + join exchange over the same index).
+        // Bonus: the window's hash-partitioning and within-partition sort
+        // on `s` survive the cache, so the self-join below needs no further
+        // exchange or sort on either side.
+        sh0.withColumn("_df",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
+          .filter(col("_df") <= mdf).drop("_df")
       case None => sh0
     }
     // Materialize the cache EAGERLY: the size aggregate and the self-join

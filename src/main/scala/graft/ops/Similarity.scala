@@ -92,6 +92,64 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN top-k — the classic nlist/nprobe scheme:
+    * every vector is assigned to its nearest of `nlist` centroid lists;
+    * a query scores only vectors in its `nprobe` best lists.
+    *
+    * The codebook here is the `nlist` smallest-id vectors — a
+    * deterministic stand-in for a trained k-means codebook (a kmeans||
+    * fit would slot into `cents` without touching the assignment/probe
+    * machinery, which is the part that matters at scale).
+    *
+    * Scale shape: the codebook is a driver-side literal (nlist × dim
+    * floats — broadcast-sized); assignment is ONE scan with nlist fused
+    * fixed-point dot products per row and NO shuffle; candidates are the
+    * ~nprobe/nlist fraction of rows whose list is probed; the top-k is a
+    * TakeOrdered (per-partition heads, only k rows reach the driver).
+    *
+    * Cross-engine determinism: list affinity is ranked by
+    * `dxy / sqrt(dyy)` (cosine with the row-norm factor dropped — a
+    * positive per-row constant that cannot change the argmax), computed
+    * from the same 1e-15 fixed-point dots as [[cosineFixed]]; ties break
+    * to the smaller list id. The per-centroid norms `dyy` and the
+    * query's probe ranking are evaluated by Spark itself in one tiny
+    * driver job, so oracle SQL reproduces them term-for-term. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val cents: Seq[(Long, Seq[Float])] = df
+      .select(col(idCol).cast(LongType), col(vecCol))
+      .orderBy(col(idCol)).limit(nlist)
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val qc = typedLit(query)
+    // one tiny Spark job evaluates each centroid's fixed-point self-dot
+    // and the query→centroid affinity with the ENGINE's own arithmetic
+    // (never reimplemented driver-side, so the oracle can mirror it)
+    val centStats = spark.range(1).select(cents.zipWithIndex.flatMap {
+      case ((_, cv), i) =>
+        Seq(dotFixed(typedLit(cv), typedLit(cv)).as(s"dyy_$i"),
+            dotFixed(qc, typedLit(cv)).as(s"dxy_$i"))
+    }: _*).collect()(0)
+    val dyy: Seq[Long] = cents.indices.map(i => centStats.getAs[Long](s"dyy_$i"))
+    val probes: Seq[Long] = cents.indices
+      .map(i => (centStats.getAs[Long](s"dxy_$i").toDouble / math.sqrt(dyy(i).toDouble),
+                 cents(i)._1))
+      .sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2)
+    // per-row argmax over list affinities; struct max compares (score,
+    // -cid) so ties go to the smaller list id
+    val affinities = cents.zipWithIndex.map { case ((cid, cv), i) =>
+      struct((dotFixed(col(vecCol), typedLit(cv)).cast(DoubleType) /
+        sqrt(lit(dyy(i)).cast(DoubleType))).as("s"), lit(-cid).as("n"))
+    }
+    val listId = -array_max(array(affinities: _*)).getField("n")
+    df.select(col(idCol), cosineFixed(col(vecCol), qc).as("score"),
+        listId.as("list"))
+      .filter(col("list").isin(probes: _*))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Bucketed ANN top-k: score only vectors whose bucket is within
     * `probeHamming` bits of the query's bucket. `exactDecimal` scores
     * candidates with the fixed-point kernel (cross-engine exact). */

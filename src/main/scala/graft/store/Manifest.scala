@@ -40,6 +40,9 @@ object AttrValue {
     case d: Double  => F64(finite(d))
     case s: String  => Str(s)
     case xs: Seq[_] if xs.isEmpty => I64Seq(Nil)
+    case xs: Seq[_] if xs.head.isInstanceOf[Boolean] =>
+      throw new UnsupportedOperationException(
+        "bool sequence attributes are not supported (parity with nimhdf5/attributes.nim:289-293)")
     case xs: Seq[_] => xs.head match {
       case _: Int    => I64Seq(xs.map(_.asInstanceOf[Int].toLong))
       case _: Long   => I64Seq(xs.map(_.asInstanceOf[Long]))

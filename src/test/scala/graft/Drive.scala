@@ -132,6 +132,22 @@ object Drive {
     require(ann.nonEmpty && ann.head.getLong(0) == 0L && math.abs(ann.head.getDouble(1) - 1.0) < 1e-9,
       "lshTopK: query vector must rank itself first with score 1.0")
 
+    println("== r5 drive: IVF ANN (nlist=16, nprobe=4)")
+    val ivf = graft.ops.Similarity.ivfTopK(embAll, "vec_id", "embedding", qv, 5,
+      nlist = 16, nprobe = 4).collect()
+    ivf.foreach(r => println(s"ivf -> id=${r.getLong(0)} score=${r.getDouble(1)} list=${r.getLong(2)}"))
+    require(ivf.nonEmpty && ivf.head.getLong(0) == 0L && math.abs(ivf.head.getDouble(1) - 1.0) < 1e-9,
+      "ivfTopK: query vector must rank itself first with score 1.0")
+
+    println("== r5 drive: near-dup clustering (connected components over pair graph)")
+    val ccPairs = graft.ops.Dedup.jaccardPairs(docsAll, "doc_id", "text", 3,
+      maxDocFreq = Some(100L)).filter(col("jaccard") >= 0.5)
+    val cc = graft.ops.Cluster.connectedComponents(ccPairs, "id1", "id2")
+    val groups = cc.groupBy("cluster").count().orderBy(col("count").desc).limit(3).collect()
+    groups.foreach(r => println(s"cluster -> rep=${r.getLong(0)} size=${r.getLong(1)}"))
+    require(cc.filter(col("id") === col("cluster")).count() == cc.select("cluster").distinct().count(),
+      "every cluster label must be a member of its own cluster")
+
     println("== streaming append sink drive")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val sdir = java.nio.file.Files.createTempDirectory("drive-stream").toString

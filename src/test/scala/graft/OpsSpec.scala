@@ -77,6 +77,33 @@ class OpsSpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("ivf topK: query's own list is probed, self ranks first, recall vs brute") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select("embedding").collect()(0).getSeq[Float](0)
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
+      nlist = 16, nprobe = 4).collect()
+    assert(ivf.head.getLong(0) == 0L)                       // self is a centroid & best match
+    assert(math.abs(ivf.head.getDouble(1) - 1.0) < 1e-9)
+    val scores = ivf.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // every returned row sits in a probed list (≤ 4 distinct lists)
+    assert(ivf.map(_.getLong(2)).distinct.length <= 4)
+    // approximate recall: the IVF top-10 shares most of the brute top-10
+    val brute = Similarity.topK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.map(_.getLong(0)).count(brute) >= 5)
+  }
+
+  test("connected components: chains merge, min-id labels, isolated pairs separate") {
+    // components: {1,2,3,9} via chain, {5,6}, {10,11,12} via star
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 6L),
+      (10L, 11L), (10L, 12L)).toDF("id1", "id2")
+    val lab = Cluster.connectedComponents(edges, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("langId picks en for English and de for German stopword text") {
     val out = docsDf.select($"doc_id", TextStats.langId($"text").as("g")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -204,6 +204,10 @@ class StoreSpec extends AnyFunSuite {
     assert(st.getAttr("", "fileLevel") == graft.store.AttrValue.Str("root attr"))
     assert(st.hasAttr("t", "pi") && !st.hasAttr("t", "nope"))
     intercept[UnsupportedOperationException] { st.setAttr("t", "flag", true) }
+    val boolSeqErr = intercept[UnsupportedOperationException] {
+      st.setAttr("t", "flags", Seq(true, false))
+    }
+    assert(boolSeqErr.getMessage.contains("parity with nimhdf5/attributes.nim"))
     st.setAttr("t", "answer", 43L) // overwrite-by-delete semantics
     assert(st.getAttr("t", "answer") == graft.store.AttrValue.I64(43))
     st.deleteAttr("t", "pi")
