@@ -741,6 +741,20 @@ object SparkEntry {
   private def h60sql(arg: String) = hexsql(s"md5($arg)")
   private val EN_STOP = "['the','a','of','to','and','in','is','it']"
 
+  /** Planted-near-dup LSH pair graph shared by the LSH-pairs and
+    * clustering queries — the Spark mirror of [[minhashLshCtes]]: docs
+    * < 300 plus 3 planted " zzz" variants at id+1000000, MinHash(32)
+    * with 8 bands, pairs kept at est_jaccard >= 0.5. */
+  private def plantedLshPairs(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).filter(col("doc_id") < 300)
+    val planted = base.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text"))
+    val all = base.select("doc_id", "text").unionByName(planted)
+    Dedup.minhashPairs(all, "doc_id", "text", 3, 32, 8)
+      .filter(col("est_jaccard") >= 0.5)
+  }
+
   private def extensionQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: representative id + multiplicity per distinct text
     "x_dedup_exact" -> ((s, d) =>
@@ -767,32 +781,16 @@ object SparkEntry {
         .orderBy("doc_id", "i")),
 
     // MinHash + banded LSH near-dup pairs over planted near-duplicates
-    "x_dedup_minhash_lsh" -> ((s, d) => {
-      val base = docs(s, d).filter(col("doc_id") < 300)
-      val planted = base.filter(col("doc_id") < 3)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(col("text"), lit(" zzz")).as("text"))
-      val all = base.select("doc_id", "text").unionByName(planted)
-      Dedup.minhashPairs(all, "doc_id", "text", 3, 32, 8)
-        .filter(col("est_jaccard") >= 0.5)
-        .orderBy("id1", "id2")
-    }),
+    "x_dedup_minhash_lsh" -> ((s, d) =>
+      plantedLshPairs(s, d).orderBy("id1", "id2")),
 
     // near-dup CLUSTERING: hash-min connected components over the banded-
     // LSH pair graph — every member labeled with its cluster's min doc id
     // (dedup = keep rows where doc_id == cluster afterwards)
-    "x_dedup_cluster" -> ((s, d) => {
-      val base = docs(s, d).filter(col("doc_id") < 300)
-      val planted = base.filter(col("doc_id") < 3)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(col("text"), lit(" zzz")).as("text"))
-      val all = base.select("doc_id", "text").unionByName(planted)
-      val pairs = Dedup.minhashPairs(all, "doc_id", "text", 3, 32, 8)
-        .filter(col("est_jaccard") >= 0.5)
-      Cluster.connectedComponents(pairs, "id1", "id2")
+    "x_dedup_cluster" -> ((s, d) =>
+      Cluster.connectedComponents(plantedLshPairs(s, d), "id1", "id2")
         .select(col("id").as("doc_id"), col("cluster"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // 60-bit SimHash fingerprints
     "x_dedup_simhash" -> ((s, d) =>

@@ -31,7 +31,13 @@ object Cluster {
 
   /** Label every vertex of the undirected pair graph with the minimum id
     * in its connected component. Output: (`id`, `cluster`), both Long.
-    * Vertices are exactly the ids appearing in `edges`. */
+    * Vertices are exactly the ids appearing in `edges`.
+    *
+    * The returned labeling is left cached (it was materialized per round
+    * anyway; the result is lazy, so this function cannot unpersist it) —
+    * long-lived sessions clustering many corpora should `unpersist()` the
+    * result when done, same contract as [[Dedup.jaccardPairs]]'s index
+    * cache. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
     val sym = edges
@@ -42,6 +48,9 @@ object Cluster {
 
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).cache()
+    // a pair-free corpus is a legitimate "no duplicates" outcome: the
+    // checksum aggregate below would be null over zero rows, so exit here
+    if (labels.isEmpty) { sym.unpersist(); return labels }
     // sum(cluster) strictly decreases while any label changes (labels are
     // min-monotone); decimal(38,0) so huge id sums can't overflow
     def checksum(df: DataFrame): java.math.BigDecimal =

@@ -132,6 +132,14 @@ object Similarity {
             dotFixed(qc, typedLit(cv)).as(s"dxy_$i"))
     }: _*).collect()(0)
     val dyy: Seq[Long] = cents.indices.map(i => centStats.getAs[Long](s"dyy_$i"))
+    // a zero-norm centroid (empty-document embedding) would make every
+    // row's affinity to it NaN — and Spark ranks NaN above all doubles
+    // while the driver/DuckDB rank it differently, silently emptying the
+    // result. Fail fast: the codebook must contain usable vectors.
+    dyy.zipWithIndex.foreach { case (n, i) =>
+      require(n > 0L, s"ivfTopK: centroid ${cents(i)._1} has zero norm; " +
+        "choose a codebook of non-zero vectors (filter empty embeddings first)")
+    }
     val probes: Seq[Long] = cents.indices
       .map(i => (centStats.getAs[Long](s"dxy_$i").toDouble / math.sqrt(dyy(i).toDouble),
                  cents(i)._1))

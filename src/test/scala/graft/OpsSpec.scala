@@ -104,6 +104,21 @@ class OpsSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("connected components: empty pair list yields empty labeling, no crash") {
+    val edges = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Cluster.connectedComponents(edges, "id1", "id2").count() == 0L)
+  }
+
+  test("ivf topK rejects a zero-norm centroid instead of silently emptying") {
+    val emb = Seq((0L, Seq.fill(4)(0.0f)), (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(emb, "vec_id", "embedding", Seq(1.0f, 0.0f, 0.0f, 0.0f),
+        k = 2, nlist = 2, nprobe = 1)
+    }
+    assert(e.getMessage.contains("zero norm"))
+  }
+
   test("langId picks en for English and de for German stopword text") {
     val out = docsDf.select($"doc_id", TextStats.langId($"text").as("g")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
