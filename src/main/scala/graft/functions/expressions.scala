@@ -98,6 +98,90 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** Static kernel for the portable 60-bit md5 hash — digest bytes → top
+  * 60 bits, identical to `conv(substring(md5(s),1,15),16,10)` but without
+  * materializing the 32-char hex string, the substring copy, or the
+  * base-16 parse (the hash sits on the inverted-index hot path: once per
+  * shingle per document). */
+object Hash60Kernel {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  private val SPACE = Array[Byte](' ')
+
+  private def top60(b: Array[Byte]): Long = {
+    var h = 0L
+    var j = 0
+    while (j < 7) { h = (h << 8) | (b(j) & 0xffL); j += 1 }
+    (h << 4) | ((b(7) & 0xf0L) >>> 4)
+  }
+
+  def compute(s: UTF8String): Long = {
+    val digest = md.get()
+    digest.reset()
+    top60(digest.digest(s.getBytes))
+  }
+
+  /** hash60 of the space-joined token window `[start, end)` — md5 fed
+    * incrementally, byte-identical to hashing `concat_ws(" ", ...)` but
+    * with no joined-string materialization. */
+  def hashWindow(toks: ArrayData, start: Int, end: Int,
+                 digest: java.security.MessageDigest): Long = {
+    digest.reset()
+    var j = start
+    while (j < end) {
+      if (j > start) digest.update(SPACE)
+      digest.update(toks.getUTF8String(j).getBytes)
+      j += 1
+    }
+    top60(digest.digest())
+  }
+
+  /** Distinct hash60 values of all word n-gram shingles of `toks` —
+    * fuses shingle construction + hashing + array_distinct into one
+    * loop. Mirrors `shingleArray` exactly: positions 0 until
+    * max(numToks - n + 1, 1), each window clamped to the array end (so a
+    * short document yields its single full-text shingle, and an empty
+    * one the hash of ""). Output sorted ascending (set semantics — every
+    * consumer aggregates). */
+  def shingleHashes(toks: ArrayData, n: Int): ArrayData = {
+    val digest = md.get()
+    val m = toks.numElements()
+    val positions = math.max(m - n + 1, 1)
+    val hs = new Array[Long](positions)
+    var i = 0
+    while (i < positions) {
+      hs(i) = hashWindow(toks, i, math.min(i + n, m), digest)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var uniq = if (positions > 0) 1 else 0
+    var k = 1
+    while (k < positions) { if (hs(k) != hs(k - 1)) { hs(uniq) = hs(k); uniq += 1 }; k += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(hs, uniq))
+  }
+}
+
+/** Portable 60-bit md5 hash as a native expression (kernel in
+  * [[Hash60Kernel]]); value-identical to the hex-string formulation and
+  * to the DuckDB oracle's `('0x'||substr(md5(s),1,15))::BIGINT`. */
+case class Hash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hash60 requires a string argument, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    Hash60Kernel.compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hash60Kernel.compute($c);")
+  override protected def withNewChildInternal(newChild: Expression): Hash60 =
+    copy(child = newChild)
+}
+
 /** Static MinHash kernel shared by the interpreted eval AND generated
   * code — whole-stage codegen emits a direct static call, so the hot
   * dedup loop stays inside the generated stage (no per-row virtual
@@ -142,6 +226,77 @@ object MinHashKernel {
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
   }
+
+  /** [[compute]] fused over the raw token array: hashes each word n-gram
+    * window incrementally (no shingle-string materialization) and skips
+    * the distinct step — duplicate shingles cannot change a min, so the
+    * signature is value-identical to `compute(shingleArray(...))`. */
+  def computeFromTokens(toks: ArrayData, n: Int, numHashes: Int): ArrayData = {
+    val (as, bs) = coeffsFor(numHashes)
+    val sig = Array.fill(numHashes)(P)
+    val digest = md.get()
+    val m = toks.numElements()
+    val positions = math.max(m - n + 1, 1)
+    var s = 0
+    while (s < positions) {
+      val h = Hash60Kernel.hashWindow(toks, s, math.min(s + n, m), digest)
+      val hm = h % P
+      var i = 0
+      while (i < numHashes) {
+        val r = (as(i) * hm + bs(i)) % P
+        if (r < sig(i)) sig(i) = r
+        i += 1
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
+  }
+}
+
+/** Distinct hash60 values of the word n-gram shingles of a token array —
+  * the inverted-index build in ONE native loop (kernel in
+  * [[Hash60Kernel.shingleHashes]]): no per-position `slice`/`concat_ws`
+  * allocations and no separate `array_distinct` passes. */
+case class ShingleHash60(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_hash60 requires array<string>, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    Hash60Kernel.shingleHashes(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hash60Kernel.shingleHashes($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash60 =
+    copy(child = newChild)
+}
+
+/** MinHash signature straight from the token array (kernel in
+  * [[MinHashKernel.computeFromTokens]]) — fuses shingling, hashing, and
+  * the signature fold; value-identical to `MinHashSig(shingleArray(...))`. */
+case class MinHashSigTokens(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(n >= 1 && numHashes >= 1, "shingle width and signature width must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig_tokens requires array<string>, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    MinHashKernel.computeFromTokens(v.asInstanceOf[ArrayData], n, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashKernel.computeFromTokens($c, $n, $numHashes);")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigTokens =
+    copy(child = newChild)
 }
 
 /** MinHash signature over a shingle array in one native loop (kernel in
@@ -170,17 +325,23 @@ object native {
   import org.apache.spark.sql.graftx.Bridge
 
   def rolling_hash(c: Column): Column = Bridge.column(RollingHash(Bridge.expression(c)))
+  def hash60(c: Column): Column = Bridge.column(Hash60(Bridge.expression(c)))
   def float_dot(a: Column, b: Column): Column =
     Bridge.column(FloatDot(Bridge.expression(a), Bridge.expression(b)))
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), numHashes))
+  def shingle_hash60(tokens: Column, n: Int): Column =
+    Bridge.column(ShingleHash60(Bridge.expression(tokens), n))
+  def minhash_sig_tokens(tokens: Column, n: Int, numHashes: Int): Column =
+    Bridge.column(MinHashSigTokens(Bridge.expression(tokens), n, numHashes))
 
-  /** Register `rolling_hash` / `float_dot` / `minhash_sig` for SQL use in
+  /** Register `rolling_hash` / `hash60` / `float_dot` / `minhash_sig` for SQL use in
     * this session. `minhash_sig(shingles, n)` needs a literal signature
     * width — it sizes the per-JVM coefficient arrays at plan time. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "built-in")
+    reg.createOrReplaceTempFunction("hash60", es => Hash60(es.head), "built-in")
     reg.createOrReplaceTempFunction("float_dot", es => FloatDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig", es => {
       require(es.length == 2, "minhash_sig(shingles, numHashes)")

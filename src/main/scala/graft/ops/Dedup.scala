@@ -66,8 +66,8 @@ object Dedup {
                    n: Int = 3, maxDocFreq: Option[Long] = None,
                    cacheIndex: Boolean = true): DataFrame = {
     val sh0 = df.select(col(idCol).as("doc"),
-      explode(array_distinct(transform(shingleArray(col(textCol), n),
-        s => TextStats.hash60(s)))).as("s"))
+      explode(graft.functions.native.shingle_hash60(
+        TextStats.tokens(col(textCol)), n)).as("s"))
     val filtered0 = maxDocFreq match {
       case Some(mdf) =>
         // Doc-frequency guard as ONE window count over `s` — a single hash
@@ -117,7 +117,8 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 32): DataFrame =
     df.select(col(idCol),
-      graft.functions.native.minhash_sig(shingleArray(col(textCol), n), numHashes).as("sig"))
+      graft.functions.native.minhash_sig_tokens(
+        TextStats.tokens(col(textCol)), n, numHashes).as("sig"))
 
   /** Pure-HOF formulation of [[minhashSignatures]] — kept as the
     * executable specification the native expression is tested against. */

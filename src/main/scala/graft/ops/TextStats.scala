@@ -25,8 +25,13 @@ object TextStats {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))).cast(LongType)
 
   /** Portable 60-bit hash: the top 15 hex digits of md5, parsed base-16.
-    * Identical in any engine with md5 (DuckDB: `('0x'||substr(md5(s),1,15))::BIGINT`). */
-  def hash60(s: Column): Column =
+    * Identical in any engine with md5 (DuckDB: `('0x'||substr(md5(s),1,15))::BIGINT`).
+    * Production path is the native digest-bytes kernel — no hex-string
+    * materialization per shingle; [[hash60Spec]] keeps the built-ins-only
+    * formulation as the executable specification it is tested against. */
+  def hash60(s: Column): Column = graft.functions.native.hash60(s)
+
+  private[graft] def hash60Spec(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
 
   /** Tiny deterministic stopword lists per language (language-ID votes). */

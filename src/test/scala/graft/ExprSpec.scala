@@ -25,6 +25,40 @@ class ExprSpec extends AnyFunSuite {
     assert(r == ("abc".getBytes.foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))))
   }
 
+  test("hash60 native == built-ins spec, incl. unicode and empty; SQL-registered") {
+    val df = Seq("", "a", "the quick brown", "ünïcødé ♞", "zzz").toDF("s")
+    val got = df.select(native.hash60($"s").as("n"),
+      graft.ops.TextStats.hash60Spec($"s").as("spec")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    native.register(spark)
+    val viaSql = spark.sql("SELECT hash60('abc')").collect()(0).getLong(0)
+    val viaSpec = df.sparkSession.range(1)
+      .select(graft.ops.TextStats.hash60Spec(lit("abc"))).collect()(0).getLong(0)
+    assert(viaSql == viaSpec)
+  }
+
+  test("shingle_hash60 == distinct hash60 of shingleArray (set-equal); edge docs") {
+    val df = Seq("the quick brown fox jumps over it", "one two", "solo", "")
+      .toDF("text")
+    val toks = graft.ops.TextStats.tokens($"text")
+    val got = df.select(
+      native.shingle_hash60(toks, 3).as("fused"),
+      array_sort(array_distinct(transform(
+        graft.ops.Dedup.shingleArray($"text", 3),
+        s => graft.ops.TextStats.hash60Spec(s)))).as("spec")).collect()
+    got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("minhash_sig_tokens == minhash_sig over shingleArray") {
+    val df = Seq("the quick brown fox jumps over the lazy dog", "tiny", "")
+      .toDF("text")
+    val got = df.select(
+      native.minhash_sig_tokens(graft.ops.TextStats.tokens($"text"), 3, 16).as("fused"),
+      native.minhash_sig(graft.ops.Dedup.shingleArray($"text", 3), 16).as("spec"))
+      .collect()
+    got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("float_dot equals the HOF dot kernel and survives codegen") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
       .select($"vec_id", $"embedding")
@@ -71,6 +105,12 @@ class ExprSpec extends AnyFunSuite {
         BoundReference(0, ArrayType(StringType), nullable = true), 16),
       graft.functions.RollingHash(
         BoundReference(1, StringType, nullable = true)),
+      graft.functions.Hash60(
+        BoundReference(1, StringType, nullable = true)),
+      graft.functions.ShingleHash60(
+        BoundReference(0, ArrayType(StringType), nullable = true), 3),
+      graft.functions.MinHashSigTokens(
+        BoundReference(0, ArrayType(StringType), nullable = true), 3, 16),
       graft.functions.FloatDot(
         BoundReference(2, ArrayType(FloatType), nullable = true),
         BoundReference(2, ArrayType(FloatType), nullable = true)))
