@@ -98,6 +98,59 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** Exact fixed-point float dot product: each element product rounded to
+  * an integer number of 1e-15 units and summed as a Long — the
+  * cross-engine-exact ANN scoring primitive, as a native loop instead of
+  * an interpreted `aggregate`/`zip_with` nest. Rounding replicates
+  * Spark's `round(double)` exactly (shortest-decimal BigDecimal,
+  * HALF_UP), so values are bit-identical to the HOF formulation and the
+  * DuckDB oracle's `round(...)`. Null or length-mismatched inputs yield
+  * null (mirrors [[FloatDot]]). */
+case class FixedDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fixed_dot requires two array<float> arguments, got ${l.sql} and ${r.sql}")
+    }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) null
+    else FixedDot.kernel(a, b)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.FixedDot.kernel($a, $b);
+         |}
+       """.stripMargin)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FixedDot =
+    copy(left = l, right = r)
+}
+
+object FixedDot {
+  def kernel(a: ArrayData, b: ArrayData): Long = {
+    var acc = 0L
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val q = a.getFloat(i).toDouble * b.getFloat(i).toDouble * 1e15
+      // same double→rounded-double path as Spark's Round(HALF_UP): the
+      // shortest decimal representation, then HALF_UP at scale 0
+      acc += java.math.BigDecimal.valueOf(q)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      i += 1
+    }
+    acc
+  }
+}
+
 /** Static kernel for the portable 60-bit md5 hash — digest bytes → top
   * 60 bits, identical to `conv(substring(md5(s),1,15),16,10)` but without
   * materializing the 32-char hex string, the substring copy, or the
@@ -328,6 +381,8 @@ object native {
   def hash60(c: Column): Column = Bridge.column(Hash60(Bridge.expression(c)))
   def float_dot(a: Column, b: Column): Column =
     Bridge.column(FloatDot(Bridge.expression(a), Bridge.expression(b)))
+  def fixed_dot(a: Column, b: Column): Column =
+    Bridge.column(FixedDot(Bridge.expression(a), Bridge.expression(b)))
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), numHashes))
   def shingle_hash60(tokens: Column, n: Int): Column =

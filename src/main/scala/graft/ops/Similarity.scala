@@ -40,8 +40,13 @@ object Similarity {
     * integer number of 1e-15 units and summed as a Long — exact integer
     * accumulation, bit-identical across engines regardless of their float
     * summation strategy. Safe while |dot| * 1e15 < 2^63 (unit vectors:
-    * always). DuckDB mirror: `SUM(CAST(round((x*y)*1e15) AS BIGINT))`. */
-  def dotFixed(a: Column, b: Column): Column =
+    * always). DuckDB mirror: `SUM(CAST(round((x*y)*1e15) AS BIGINT))`.
+    * Production path is the native [[graft.functions.FixedDot]] kernel;
+    * [[dotFixedSpec]] keeps the HOF formulation as the executable
+    * specification it is parity-tested against. */
+  def dotFixed(a: Column, b: Column): Column = graft.functions.native.fixed_dot(a, b)
+
+  private[graft] def dotFixedSpec(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         round(x.cast(DoubleType) * y.cast(DoubleType) * lit(1e15)).cast(LongType)),

@@ -59,6 +59,23 @@ class ExprSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("fixed_dot == HOF round/sum spec on real embeddings and signed values") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val q = emb.filter($"vec_id" === 0).select("embedding").collect()(0).getSeq[Float](0)
+    val got = emb.select(
+      native.fixed_dot($"embedding", typedLit(q)).as("n"),
+      Similarity.dotFixedSpec($"embedding", typedLit(q)).as("spec")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val signed = Seq((Seq(-0.75f, 0.5f, -0.001f), Seq(0.3f, -0.9f, 0.0001f)))
+      .toDF("a", "b")
+    val s = signed.select(native.fixed_dot($"a", $"b").as("n"),
+      Similarity.dotFixedSpec($"a", $"b").as("spec")).collect()(0)
+    assert(s.getLong(0) == s.getLong(1))
+    // length mismatch -> null, like float_dot
+    val mm = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+    assert(mm.select(native.fixed_dot($"a", $"b")).collect()(0).isNullAt(0))
+  }
+
   test("float_dot equals the HOF dot kernel and survives codegen") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
       .select($"vec_id", $"embedding")
@@ -112,6 +129,9 @@ class ExprSpec extends AnyFunSuite {
       graft.functions.MinHashSigTokens(
         BoundReference(0, ArrayType(StringType), nullable = true), 3, 16),
       graft.functions.FloatDot(
+        BoundReference(2, ArrayType(FloatType), nullable = true),
+        BoundReference(2, ArrayType(FloatType), nullable = true)),
+      graft.functions.FixedDot(
         BoundReference(2, ArrayType(FloatType), nullable = true),
         BoundReference(2, ArrayType(FloatType), nullable = true)))
     exprs.foreach { e =>
