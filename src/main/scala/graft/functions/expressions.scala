@@ -151,6 +151,69 @@ object FixedDot {
   }
 }
 
+/** Hyperplane-LSH bucket id as one native loop: `planes` sign bits of
+  * fixed-point ±1-weighted projections (each element rounded to 1e-7
+  * units via `floor(x*1e7 + 0.5)` — identical IEEE ops in any engine, so
+  * the bucket is bit-identical to the HOF formulation in
+  * `Similarity.hyperplaneSignature` and the DuckDB oracle). Weights are
+  * the same md5-derived ±1 pattern, built once per (planes, dim). */
+case class HyperplaneSig(child: Expression, planes: Int, dim: Int)
+    extends UnaryExpression {
+  require(planes >= 1 && planes <= 62 && dim >= 1, "1 <= planes <= 62, dim >= 1")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_sig requires array<float>, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneSig.kernel(v.asInstanceOf[ArrayData], planes, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HyperplaneSig.kernel($c, $planes, $dim);")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+object HyperplaneSig {
+  // ±1 weight rows per (planes, dim), md5-derived like Similarity.planeWeights
+  private val weights =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Long]]]()
+  private def weightsFor(planes: Int, dim: Int): Array[Array[Long]] =
+    weights.computeIfAbsent((planes, dim), { case (p0, d0) =>
+      Array.tabulate(p0) { p =>
+        Array.tabulate(d0) { d =>
+          val md5hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+          if ((java.lang.Long.parseLong(md5hex.take(15), 16) & 1L) == 1L) 1L else -1L
+        }
+      }
+    })
+  def kernel(vec: ArrayData, planes: Int, dim: Int): Long = {
+    // dim mismatch -> bucket 0, mirroring the HOF spec (zip_with pads the
+    // shorter side with null, nulling every projection, so when(proj > 0)
+    // falls through to 0 on all planes)
+    if (vec.numElements() != dim) return 0L
+    val w = weightsFor(planes, dim)
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val wp = w(p)
+      var acc = 0L
+      var d = 0
+      while (d < dim) {
+        acc += math.floor(vec.getFloat(d).toDouble * 1e7 + 0.5).toLong * wp(d)
+        d += 1
+      }
+      if (acc > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+}
+
 /** Static kernel for the portable 60-bit md5 hash — digest bytes → top
   * 60 bits, identical to `conv(substring(md5(s),1,15),16,10)` but without
   * materializing the 32-char hex string, the substring copy, or the
@@ -383,6 +446,8 @@ object native {
     Bridge.column(FloatDot(Bridge.expression(a), Bridge.expression(b)))
   def fixed_dot(a: Column, b: Column): Column =
     Bridge.column(FixedDot(Bridge.expression(a), Bridge.expression(b)))
+  def hyperplane_sig(vec: Column, planes: Int, dim: Int): Column =
+    Bridge.column(HyperplaneSig(Bridge.expression(vec), planes, dim))
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), numHashes))
   def shingle_hash60(tokens: Column, n: Int): Column =

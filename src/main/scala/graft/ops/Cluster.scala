@@ -26,36 +26,40 @@ import org.apache.spark.sql.types._
  * edge list joined to the label table plus one groupBy on vertex id.
  * Convergence is detected by the monotone sum of labels (labels only
  * decrease), a cheap scalar aggregate instead of a change-count join.
+ * Each round's labeling is `localCheckpoint`ed, not merely cached:
+ * caching keeps the logical plan, so N rounds nest N join plans and both
+ * analysis time and plan size grow without bound (a 50-round chain graph
+ * OOMed the driver stringifying the plan); checkpointing truncates the
+ * lineage to the materialized rows, keeping every round's plan constant-
+ * size. Superseded checkpoints are freed by the context cleaner once the
+ * loop drops its reference.
  */
 object Cluster {
 
   /** Label every vertex of the undirected pair graph with the minimum id
     * in its connected component. Output: (`id`, `cluster`), both Long.
-    * Vertices are exactly the ids appearing in `edges`.
-    *
-    * The returned labeling is left cached (it was materialized per round
-    * anyway; the result is lazy, so this function cannot unpersist it) —
-    * long-lived sessions clustering many corpora should `unpersist()` the
-    * result when done, same contract as [[Dedup.jaccardPairs]]'s index
-    * cache. */
+    * Vertices are exactly the ids appearing in `edges`. The result is a
+    * localCheckpoint (materialized rows, no lineage back to `edges`). */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 100): DataFrame = {
     val sym = edges
       .select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
       .unionByName(edges.select(col(bCol).cast(LongType).as("src"),
                                 col(aCol).cast(LongType).as("dst")))
       .distinct().cache()
 
+    // eager localCheckpoint: materializes AND truncates lineage — the
+    // per-round plan stays constant-size across arbitrarily many rounds
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).cache()
-    // a pair-free corpus is a legitimate "no duplicates" outcome: the
-    // checksum aggregate below would be null over zero rows, so exit here
-    if (labels.isEmpty) { sym.unpersist(); return labels }
+      .withColumn("cluster", col("id")).localCheckpoint(true)
     // sum(cluster) strictly decreases while any label changes (labels are
     // min-monotone); decimal(38,0) so huge id sums can't overflow
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).collect()(0).getDecimal(0)
     var prevSum = checksum(labels)
+    // a pair-free corpus is a legitimate "no duplicates" outcome: null
+    // checksum == zero vertices — return the empty labeling (no extra job)
+    if (prevSum == null) { sym.unpersist(); return labels }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -64,10 +68,9 @@ object Cluster {
       val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .cache()
-      val curSum = checksum(next) // also materializes the cache
-      labels.unpersist()
-      labels = next
+        .localCheckpoint(true)
+      val curSum = checksum(next)
+      labels = next // the superseded checkpoint is freed by the context cleaner
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       iter += 1

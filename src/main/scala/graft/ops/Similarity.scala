@@ -85,7 +85,12 @@ object Similarity {
     * Long. Integer accumulation is order-independent, so the bucket id is
     * bit-identical across engines / partitionings — a float dot product's
     * sign can flip near the hyperplane depending on summation order. */
-  def hyperplaneSignature(vec: Column, planes: Int, dim: Int): Column = {
+  def hyperplaneSignature(vec: Column, planes: Int, dim: Int): Column =
+    graft.functions.native.hyperplane_sig(vec, planes, dim)
+
+  /** Built-ins-only formulation kept as the executable specification the
+    * native [[graft.functions.HyperplaneSig]] kernel is tested against. */
+  private[graft] def hyperplaneSignatureSpec(vec: Column, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
       val w = typedLit(planeWeights(p, dim).map(_.toLong))
       val proj = aggregate(

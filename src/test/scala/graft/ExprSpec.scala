@@ -76,6 +76,18 @@ class ExprSpec extends AnyFunSuite {
     assert(mm.select(native.fixed_dot($"a", $"b")).collect()(0).isNullAt(0))
   }
 
+  test("hyperplane_sig == HOF spec on real embeddings; dim mismatch -> bucket 0") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val got = emb.select(
+      native.hyperplane_sig($"embedding", 8, 64).as("n"),
+      Similarity.hyperplaneSignatureSpec($"embedding", 8, 64).as("spec")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val short = Seq(Seq(1.0f, -2.0f)).toDF("v")
+    val s = short.select(native.hyperplane_sig($"v", 8, 64).as("n"),
+      Similarity.hyperplaneSignatureSpec($"v", 8, 64).as("spec")).collect()(0)
+    assert(s.getLong(0) == 0L && s.getLong(0) == s.getLong(1))
+  }
+
   test("float_dot equals the HOF dot kernel and survives codegen") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
       .select($"vec_id", $"embedding")
@@ -133,7 +145,9 @@ class ExprSpec extends AnyFunSuite {
         BoundReference(2, ArrayType(FloatType), nullable = true)),
       graft.functions.FixedDot(
         BoundReference(2, ArrayType(FloatType), nullable = true),
-        BoundReference(2, ArrayType(FloatType), nullable = true)))
+        BoundReference(2, ArrayType(FloatType), nullable = true)),
+      graft.functions.HyperplaneSig(
+        BoundReference(2, ArrayType(FloatType), nullable = true), 8, 64))
     exprs.foreach { e =>
       assert(!e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
       GenerateMutableProjection.generate(Seq(e), useSubexprElimination = false)

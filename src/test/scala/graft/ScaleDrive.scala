@@ -67,6 +67,25 @@ object ScaleDrive {
     println(s"  segments after compact=${st.segmentCount("ticks")}")
     time("full-scan count after compact") { assert(tk.df.count() == 2000) }
     st.close()
+
+    // connected-components scaling: 1M edges, mixed shape — 10k chains of
+    // length 50 (worst-case diameter for hash-min: rounds ~ chain length)
+    // plus 100k stars of 5 (the realistic near-dup-clique shape). Verifies
+    // convergence and that per-round cost stays flat as labels shrink.
+    println("== connected components over 1M edges (chains of 50 + stars of 5)")
+    val chains = spark.range(500000) // NB: Column./ is double division — use expr div
+      .select((col("id") + expr("id div 49") * 1000000L).as("id1")) // gap per chain
+      .withColumn("id2", col("id1") + 1)
+    val stars = spark.range(500000) // id range disjoint from any chain vertex
+      .select((lit(20_000_000_000L) + expr("id div 5") * 10).as("id1"),
+        (lit(20_000_000_000L) + expr("id div 5") * 10 + (col("id") % 5) + 1).as("id2"))
+    val edges = chains.unionByName(stars)
+    val cc = time("hash-min converge (diameter 50)") {
+      val labels = graft.ops.Cluster.connectedComponents(edges, "id1", "id2")
+      labels.count(); labels
+    }
+    val nClusters = time("distinct clusters") { cc.select("cluster").distinct().count() }
+    println(s"  vertices=${cc.count()} clusters=$nClusters (expect ~10204+100000)")
     spark.stop()
   }
 }
