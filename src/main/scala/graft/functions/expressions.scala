@@ -55,6 +55,8 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   * length-mismatched inputs yield null. */
 case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // null is also produced for non-null inputs (length mismatch)
+  override def nullable: Boolean = true
   // without this, array<double>/array<int> inputs would be reinterpreted
   // through getFloat and yield garbage silently
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -108,6 +110,10 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
   * null (mirrors [[FloatDot]]). */
 case class FixedDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
+  // null is also produced for non-null inputs (length mismatch, null
+  // element) — without this override, non-nullable inputs would coerce
+  // the null result to 0 silently
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
@@ -115,32 +121,38 @@ case class FixedDot(left: Expression, right: Expression) extends BinaryExpressio
       case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"fixed_dot requires two array<float> arguments, got ${l.sql} and ${r.sql}")
     }
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    if (a.numElements() != b.numElements()) null
-    else FixedDot.kernel(a, b)
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    FixedDot.kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
       s"""
-         |if ($a.numElements() != $b.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = graft.functions.FixedDot.kernel($a, $b);
-         |}
-       """.stripMargin)
+         |Object $r = graft.functions.FixedDot.kernel($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) $r).longValue(); }
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FixedDot =
     copy(left = l, right = r)
 }
 
 object FixedDot {
-  def kernel(a: ArrayData, b: ArrayData): Long = {
+  /** Null on length mismatch or any null element — exactly the HOF spec's
+    * behavior (`zip_with` pads/nulls, and one null product nulls the
+    * aggregate). Boxed return so null is representable. */
+  def kernel(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0L
     var i = 0
-    val n = a.numElements()
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val q = a.getFloat(i).toDouble * b.getFloat(i).toDouble * 1e15
+      // non-finite products cannot round-trip the fixed-point contract —
+      // fail loudly (the HOF spec also errors here, via ANSI cast)
+      if (q.isNaN || q.isInfinite)
+        throw new ArithmeticException(
+          s"fixed_dot: non-finite element product at index $i")
       // same double→rounded-double path as Spark's Round(HALF_UP): the
       // shortest decimal representation, then HALF_UP at scale 0
       acc += java.math.BigDecimal.valueOf(q)
@@ -161,6 +173,9 @@ case class HyperplaneSig(child: Expression, planes: Int, dim: Int)
     extends UnaryExpression {
   require(planes >= 1 && planes <= 62 && dim >= 1, "1 <= planes <= 62, dim >= 1")
   override def dataType: DataType = LongType
+  // the HOF spec maps a NULL vector to bucket 0 (null projections fall
+  // through when(proj > 0).otherwise(0)) — so this never returns null
+  override def nullable: Boolean = false
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(FloatType, _) =>
@@ -168,34 +183,47 @@ case class HyperplaneSig(child: Expression, planes: Int, dim: Int)
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"hyperplane_sig requires array<float>, got ${other.sql}")
     }
-  override def nullSafeEval(v: Any): Any =
-    HyperplaneSig.kernel(v.asInstanceOf[ArrayData], planes, dim)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.HyperplaneSig.kernel($c, $planes, $dim);")
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else HyperplaneSig.kernel(v.asInstanceOf[ArrayData], planes, dim)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(isNull = FalseLiteral,
+      code = c.code +
+        code"""
+           |long ${ev.value} = ${c.isNull} ? 0L :
+           |  graft.functions.HyperplaneSig.kernel(${c.value}, $planes, $dim);
+         """)
+  }
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
     copy(child = newChild)
 }
 
 object HyperplaneSig {
-  // ±1 weight rows per (planes, dim), md5-derived like Similarity.planeWeights
+  /** Single source of truth for the md5-derived ±1 plane weight
+    * (`Similarity.planeWeights` delegates here — the derivation is
+    * determinism-critical and must never fork). */
+  def weight(p: Int, d: Int): Long = {
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if ((java.lang.Long.parseLong(md5hex.take(15), 16) & 1L) == 1L) 1L else -1L
+  }
   private val weights =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Long]]]()
   private def weightsFor(planes: Int, dim: Int): Array[Array[Long]] =
     weights.computeIfAbsent((planes, dim), { case (p0, d0) =>
-      Array.tabulate(p0) { p =>
-        Array.tabulate(d0) { d =>
-          val md5hex = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
-          if ((java.lang.Long.parseLong(md5hex.take(15), 16) & 1L) == 1L) 1L else -1L
-        }
-      }
+      Array.tabulate(p0)(p => Array.tabulate(d0)(d => weight(p, d)))
     })
   def kernel(vec: ArrayData, planes: Int, dim: Int): Long = {
-    // dim mismatch -> bucket 0, mirroring the HOF spec (zip_with pads the
-    // shorter side with null, nulling every projection, so when(proj > 0)
-    // falls through to 0 on all planes)
+    // dim mismatch or a null element -> bucket 0, mirroring the HOF spec
+    // (zip_with pads the shorter side with null / a null element nulls
+    // the projection, so when(proj > 0) falls through to 0 on all planes)
     if (vec.numElements() != dim) return 0L
+    var d0 = 0
+    while (d0 < dim) { if (vec.isNullAt(d0)) return 0L; d0 += 1 }
     val w = weightsFor(planes, dim)
     var bucket = 0L
     var p = 0

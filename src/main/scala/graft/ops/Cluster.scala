@@ -31,8 +31,8 @@ import org.apache.spark.sql.types._
  * analysis time and plan size grow without bound (a 50-round chain graph
  * OOMed the driver stringifying the plan); checkpointing truncates the
  * lineage to the materialized rows, keeping every round's plan constant-
- * size. Superseded checkpoints are freed by the context cleaner once the
- * loop drops its reference.
+ * size. The superseded round's blocks are unpersisted explicitly each
+ * round (the context cleaner would only reclaim them at a future GC).
  */
 object Cluster {
 
@@ -48,10 +48,11 @@ object Cluster {
                                 col(aCol).cast(LongType).as("dst")))
       .distinct().cache()
 
-    // eager localCheckpoint: materializes AND truncates lineage — the
-    // per-round plan stays constant-size across arbitrarily many rounds
+    // lazy localCheckpoint: truncates lineage (the per-round plan stays
+    // constant-size across arbitrarily many rounds) and is materialized by
+    // the checksum aggregate — ONE job per round
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint(true)
+      .withColumn("cluster", col("id")).localCheckpoint(false)
     // sum(cluster) strictly decreases while any label changes (labels are
     // min-monotone); decimal(38,0) so huge id sums can't overflow
     def checksum(df: DataFrame): java.math.BigDecimal =
@@ -68,9 +69,12 @@ object Cluster {
       val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
-      val curSum = checksum(next)
-      labels = next // the superseded checkpoint is freed by the context cleaner
+        .localCheckpoint(false)
+      val curSum = checksum(next) // materializes `next`'s checkpoint
+      // free the superseded round's blocks NOW — the ContextCleaner only
+      // reclaims them at some future GC, which may be never mid-loop
+      org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint(labels)
+      labels = next
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       iter += 1

@@ -71,11 +71,7 @@ object Similarity {
     * vector — the per-row work is then a single native [[dotFast]] per
     * plane instead of an md5 per element per plane. No RNG, no model. */
   private[graft] def planeWeights(p: Int, dim: Int): Seq[Float] =
-    (0 until dim).map { d =>
-      val md5hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
-      if ((java.lang.Long.parseLong(md5hex.take(15), 16) & 1L) == 1L) 1.0f else -1.0f
-    }
+    (0 until dim).map(d => graft.functions.HyperplaneSig.weight(p, d).toFloat)
 
   /** LSH bucket id: `planes` sign bits of hyperplane projections.
     *

@@ -71,9 +71,19 @@ class ExprSpec extends AnyFunSuite {
     val s = signed.select(native.fixed_dot($"a", $"b").as("n"),
       Similarity.dotFixedSpec($"a", $"b").as("spec")).collect()(0)
     assert(s.getLong(0) == s.getLong(1))
-    // length mismatch -> null, like float_dot
+    // length mismatch -> null, like float_dot — including over NON-NULLABLE
+    // literal inputs (requires the nullable override, else null -> 0)
     val mm = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
     assert(mm.select(native.fixed_dot($"a", $"b")).collect()(0).isNullAt(0))
+    val lits = spark.range(1)
+      .select(native.fixed_dot(typedLit(Seq(1.0f, 2.0f)), typedLit(Seq(1.0f))).as("d"))
+    assert(lits.schema("d").nullable && lits.collect()(0).isNullAt(0))
+    // a null ELEMENT nulls the product chain in the spec — kernel matches
+    val ne = Seq((Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](1.0f, 1.0f)))
+      .toDF("a", "b")
+    val neR = ne.select(native.fixed_dot($"a", $"b").as("n"),
+      Similarity.dotFixedSpec($"a", $"b").as("spec")).collect()(0)
+    assert(neR.isNullAt(0) && neR.isNullAt(1))
   }
 
   test("hyperplane_sig == HOF spec on real embeddings; dim mismatch -> bucket 0") {
@@ -86,6 +96,14 @@ class ExprSpec extends AnyFunSuite {
     val s = short.select(native.hyperplane_sig($"v", 8, 64).as("n"),
       Similarity.hyperplaneSignatureSpec($"v", 8, 64).as("spec")).collect()(0)
     assert(s.getLong(0) == 0L && s.getLong(0) == s.getLong(1))
+    // NULL vector and null element both -> bucket 0 in the spec (null
+    // projections fall through when().otherwise(0)) — kernel matches
+    val nulls = Seq(null, Seq[java.lang.Float](1.0f, null) ++ Seq.fill(62)(
+      java.lang.Float.valueOf(0.5f))).toDF("v")
+    val nr = nulls.select(native.hyperplane_sig($"v", 8, 64).as("n"),
+      Similarity.hyperplaneSignatureSpec($"v", 8, 64).as("spec")).collect()
+    nr.foreach(r => assert(!r.isNullAt(0) && r.getLong(0) == 0L
+      && r.getLong(0) == r.getLong(1)))
   }
 
   test("float_dot equals the HOF dot kernel and survives codegen") {
