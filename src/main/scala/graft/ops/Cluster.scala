@@ -12,14 +12,15 @@ import org.apache.spark.sql.types._
  * single `filter(id === cluster)` afterwards.
  *
  * Algorithm: hash-min label propagation (each round every vertex takes the
- * min of its own label and its neighbors' labels), a sequence of
- * DataFrame joins — converges in O(component diameter) rounds. Near-dup
- * graphs are piles of small dense cliques, so the diameter is tiny and
- * this beats the asymptotically-better alternatives on constant factors.
- * For adversarial long-chain graphs at 100 TB scale the same loop accepts
- * the large-star/small-star contraction (Kiveris et al., "Connected
- * Components in MapReduce and Beyond", SoCC'14) — O(log n) rounds — but
- * hash-min is the right default for dedup workloads.
+ * min of its own label and its neighbors' labels) PLUS pointer jumping
+ * (each round also takes the label of its current label — label chains
+ * halve per round), a sequence of DataFrame joins. Propagation alone is
+ * O(component diameter) rounds; with the jump it is O(log diameter) —
+ * the union-find path-halving idea in dataflow form, same family as the
+ * large-star/small-star contraction of Kiveris et al. ("Connected
+ * Components in MapReduce and Beyond", SoCC'14). Near-dup graphs are
+ * piles of small dense cliques (diameter 2-3), so both terms are tiny;
+ * the log bound is what survives adversarial chain-shaped graphs.
  *
  * Scale notes: only (id, label) pairs — 16 bytes — ever shuffle; document
  * text/vectors never enter the loop. Each round is one shuffle of the
@@ -66,14 +67,27 @@ object Cluster {
     while (!converged && iter < maxIter) {
       val nbrMin = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nmin"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+      // pointer jumping: also take the label OF the current label (every
+      // label is a vertex id, so the lookup always lands). cluster(v) and
+      // label-of-label are both ids within v's component and
+      // min-monotone, so correctness is unchanged — but label chains now
+      // halve per round: O(log diameter) rounds instead of O(diameter)
+      // (a 50-chain converges in 8 rounds, not 51)
+      val prev = labels
+      val next = stepped.as("a")
+        .join(prev.select(col("id").as("pid"), col("cluster").as("pcluster")),
+          col("a.cluster") === col("pid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.cluster"), coalesce(col("pcluster"), col("a.cluster")))
+            .as("cluster"))
         .localCheckpoint(false)
       val curSum = checksum(next) // materializes `next`'s checkpoint
       // free the superseded round's blocks NOW — the ContextCleaner only
       // reclaims them at some future GC, which may be never mid-loop
-      org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint(labels)
+      org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint(prev)
       labels = next
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum

@@ -69,9 +69,10 @@ object ScaleDrive {
     st.close()
 
     // connected-components scaling: 1M edges, mixed shape — 10k chains of
-    // length 50 (worst-case diameter for hash-min: rounds ~ chain length)
-    // plus 100k stars of 5 (the realistic near-dup-clique shape). Verifies
-    // convergence and that per-round cost stays flat as labels shrink.
+    // length 50 (worst-case diameter; pointer jumping makes rounds
+    // O(log diameter) ≈ 9, was 51 with propagation alone) plus 100k stars
+    // of 5 (the realistic near-dup-clique shape). Verifies convergence
+    // and that per-round cost stays flat as labels shrink.
     println("== connected components over 1M edges (chains of 50 + stars of 5)")
     val chains = spark.range(500000) // NB: Column./ is double division — use expr div
       .select((col("id") + expr("id div 49") * 1000000L).as("id1")) // gap per chain
