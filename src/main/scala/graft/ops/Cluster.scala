@@ -75,15 +75,29 @@ object Cluster {
       // label-of-label are both ids within v's component and
       // min-monotone, so correctness is unchanged — but label chains now
       // halve per round: O(log diameter) rounds instead of O(diameter)
-      // (a 50-chain converges in 8 rounds, not 51)
+      // (a 50-chain converges in 7 rounds incl. the detection round, not
+      // 50). Skipped on round 1, where prev is the identity labeling and
+      // the jump is provably a no-op — the clique-shaped common case
+      // (2-3 rounds total) keeps its cheap first round.
       val prev = labels
-      val next = stepped.as("a")
-        .join(prev.select(col("id").as("pid"), col("cluster").as("pcluster")),
-          col("a.cluster") === col("pid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.cluster"), coalesce(col("pcluster"), col("a.cluster")))
-            .as("cluster"))
-        .localCheckpoint(false)
+      val next = (if (iter == 0) stepped else {
+        // dedupe the lookup to ONE row per distinct label before joining:
+        // as components collapse their labels converge (exactly when a
+        // label-keyed join would skew), so the deduped side shrinks
+        // toward #components and AQE can broadcast it — the big side then
+        // never shuffles on the skewed key. The distinct itself absorbs
+        // the heavy key map-side (partial hash aggregate). Residual SMJ
+        // skew (huge #components AND a huge single component) is AQE
+        // skew-join territory.
+        val jump = stepped.select(col("cluster").as("jc")).distinct()
+          .join(prev.select(col("id").as("pid"), col("cluster").as("pcluster")),
+            col("jc") === col("pid"))
+          .select(col("jc"), col("pcluster"))
+        stepped.as("a").join(jump, col("a.cluster") === col("jc"), "left")
+          .select(col("a.id").as("id"),
+            least(col("a.cluster"), coalesce(col("pcluster"), col("a.cluster")))
+              .as("cluster"))
+      }).localCheckpoint(false)
       val curSum = checksum(next) // materializes `next`'s checkpoint
       // free the superseded round's blocks NOW — the ContextCleaner only
       // reclaims them at some future GC, which may be never mid-loop

@@ -70,7 +70,7 @@ object ScaleDrive {
 
     // connected-components scaling: 1M edges, mixed shape — 10k chains of
     // length 50 (worst-case diameter; pointer jumping makes rounds
-    // O(log diameter) ≈ 9, was 51 with propagation alone) plus 100k stars
+    // O(log diameter) ≈ 7, was 51 with propagation alone) plus 100k stars
     // of 5 (the realistic near-dup-clique shape). Verifies convergence
     // and that per-round cost stays flat as labels shrink.
     println("== connected components over 1M edges (chains of 50 + stars of 5)")
