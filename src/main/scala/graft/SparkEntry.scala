@@ -727,7 +727,7 @@ object SparkEntry {
 
   // ----------------------------------------------- extensions: LLM-pipeline ops
 
-  import graft.ops.{AsOfJoin, Cluster, Dedup, Multimodal, Sessionize, Similarity, TextStats}
+  import graft.ops.{AsOfJoin, Cluster, Contamination, Dedup, Multimodal, Sample, Sessionize, Similarity, TextStats}
 
   private def docs(s: SparkSession, d: String) = s.read.parquet(s"$d/documents.parquet")
   private def embs(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
@@ -860,6 +860,26 @@ object SparkEntry {
     "x_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(docs(s, d), "text")
         .select("doc_id", "md5", "h60", "n_chars").orderBy("doc_id")),
+
+    // benchmark-contamination: corpus docs sharing >= 2 word-3-gram hashes
+    // with a benchmark set (docs < 20); bench side broadcast, ints only
+    "x_contamination" -> ((s, d) => {
+      val bench = docs(s, d).filter(col("doc_id") < 20).select("doc_id", "text")
+      Contamination.ngramOverlap(docs(s, d), "doc_id", "text",
+          bench, "doc_id", "text", n = 3, minShared = 2L)
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // deterministic stratified sampling by language (hash-bucket rule)
+    "x_sample_stratified" -> ((s, d) =>
+      Sample.stratifiedHash(docs(s, d), "lang", "doc_id",
+          rates = Map("en" -> 0.3, "de" -> 0.5, "fr" -> 0.1, "zh" -> 0.0),
+          defaultRate = 0.25)
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
+
+    // corpus vocabulary: top-100 tokens with count >= 5
+    "x_vocab" -> ((s, d) =>
+      TextStats.vocab(docs(s, d), "text", k = 100, minCount = 5L)),
 
     // gap-based sessionization of the event stream
     "x_sessionize" -> ((s, d) =>
@@ -1160,6 +1180,27 @@ object SparkEntry {
     "x_fingerprint" ->
       (s"""SELECT doc_id, md5(text) AS md5, ${h60sql("text")} AS h60, """ +
        """length(text)::BIGINT AS n_chars FROM documents ORDER BY doc_id"""),
+
+    "x_contamination" ->
+      (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents), """ +
+       """shr AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
+       """i -> array_to_string(l[i:i+2], ' '))) AS t FROM toks), """ +
+       s"""sh AS (SELECT DISTINCT doc_id, ${h60sql("t")} AS h FROM shr), """ +
+       """cn AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), """ +
+       """b AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id < 20), """ +
+       """j AS (SELECT s.doc_id, b.bench_id, count(*) AS shared FROM sh s JOIN b ON s.h = b.h GROUP BY 1, 2) """ +
+       """SELECT j.doc_id, j.bench_id, j.shared, cn.n_sh FROM j JOIN cn USING (doc_id) """ +
+       """WHERE j.shared >= 2 ORDER BY doc_id, bench_id"""),
+
+    "x_sample_stratified" ->
+      (s"""SELECT doc_id, lang, source FROM documents """ +
+       s"""WHERE ${h60sql("lang || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 < """ +
+       """CASE lang WHEN 'en' THEN 300000 WHEN 'de' THEN 500000 WHEN 'fr' THEN 100000 """ +
+       """WHEN 'zh' THEN 0 ELSE 250000 END ORDER BY doc_id"""),
+
+    "x_vocab" ->
+      (s"""SELECT t AS token, count(*) AS cnt FROM (SELECT unnest($TOK) AS t FROM documents) """ +
+       """WHERE t <> '' GROUP BY 1 HAVING count(*) >= 5 ORDER BY cnt DESC, token LIMIT 100"""),
 
     "x_sessionize" ->
       ("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) // 1000000 AS sec FROM events), """ +

@@ -85,4 +85,18 @@ object TextStats {
     df.withColumn("md5", md5(col(textCol)))
       .withColumn("h60", hash60(col(textCol)))
       .withColumn("n_chars", length(col(textCol)).cast(LongType))
+
+  /** Corpus vocabulary: the `k` most frequent whitespace tokens with
+    * count >= `minCount`, ordered (count desc, token asc) — the
+    * tokenizer-training / frequency-table step of a data pipeline.
+    * Scale shape: explode + ONE hash shuffle on the token with map-side
+    * partial aggregation (heavy tokens collapse to one row per partition
+    * before the exchange, so token skew never concentrates rows), then a
+    * TakeOrdered top-k — only `k` rows reach the driver. */
+  def vocab(df: DataFrame, textCol: String, k: Int, minCount: Long = 1L): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("token")).limit(k)
 }

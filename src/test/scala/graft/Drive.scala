@@ -148,6 +148,24 @@ object Drive {
     require(cc.filter(col("id") === col("cluster")).count() == cc.select("cluster").distinct().count(),
       "every cluster label must be a member of its own cluster")
 
+    println("== r5 drive: contamination, stratified sample, vocab")
+    val bench = docsAll.filter(col("doc_id") < 5).select("doc_id", "text")
+    val cont = graft.ops.Contamination.ngramOverlap(docsAll, "doc_id", "text",
+      bench, "doc_id", "text", n = 3, minShared = 2L)
+    val selfPairs = cont.filter(col("doc_id") === col("bench_id"))
+      .filter(col("shared") === col("n_sh")).count()
+    println(s"contamination -> rows=${cont.count()} full-self-overlaps=$selfPairs (expect 5)")
+    require(selfPairs == 5, "each bench doc must fully overlap itself in the corpus")
+    val sampled = graft.ops.Sample.stratifiedHash(docsAll, "lang", "doc_id",
+      Map("en" -> 0.5), defaultRate = 0.0)
+    println(s"sample -> ${sampled.count()} of ${docsAll.filter(col("lang") === "en").count()} en docs")
+    require(sampled.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"),
+      "defaultRate=0 must drop all non-en strata")
+    val voc = graft.ops.TextStats.vocab(docsAll, "text", 5, 2L).collect()
+    voc.foreach(r => println(s"vocab -> ${r.getString(0)} x${r.getLong(1)}"))
+    require(voc.length == 5 && voc.map(_.getLong(1)).toSeq == voc.map(_.getLong(1)).toSeq.sorted.reverse,
+      "vocab must return k rows in descending count order")
+
     println("== streaming append sink drive")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val sdir = java.nio.file.Files.createTempDirectory("drive-stream").toString

@@ -119,6 +119,43 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("zero norm"))
   }
 
+  test("contamination: containing doc overlaps fully, disjoint doc is absent") {
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),   // contains bench 0's text
+      (101L, "totally unrelated words about nothing in common"), // disjoint
+      (102L, "alpha beta gamma delta mixed with other words here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("bench_id", "text")
+    val out = Contamination.ngramOverlap(corpus, "doc_id", "text",
+        bench, "bench_id", "text", n = 3, minShared = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(100L) == (6L, 6L))        // all 6 3-grams shared
+    assert(out(102L)._1 == 2L)           // "alpha beta gamma", "beta gamma delta"
+    assert(!out.contains(101L))
+  }
+
+  test("stratified sampling: deterministic, monotone in rate, exact at 0 and 1") {
+    val df = spark.range(1000).select(col("id").as("doc_id"),
+      (when(col("id") % 2 === 0, "en").otherwise("de")).as("lang"))
+    def sample(rEn: Double, rDe: Double) =
+      Sample.stratifiedHash(df, "lang", "doc_id", Map("en" -> rEn, "de" -> rDe))
+        .collect().map(_.getLong(0)).toSet
+    val half = sample(0.5, 0.0)
+    assert(sample(0.5, 0.0) == half)                    // reproducible
+    assert(half.subsetOf(sample(0.8, 0.0)))             // monotone in rate
+    assert(sample(0.0, 1.0) == (1L until 1000L by 2).toSet) // exact: all de, no en
+    assert(half.nonEmpty && half.size < 500)            // a strict, non-empty subsample
+    assert(half.forall(_ % 2 == 0))                     // only the en stratum
+  }
+
+  test("vocab: counts, minCount floor, and (cnt desc, token) order") {
+    val df = Seq("a b b c c c", "c d d", "").toDF("text")
+    val out = TextStats.vocab(df, "text", k = 10, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("c", 4L), ("b", 2L), ("d", 2L)))  // 'a' (1) below floor
+  }
+
   test("langId picks en for English and de for German stopword text") {
     val out = docsDf.select($"doc_id", TextStats.langId($"text").as("g")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
