@@ -837,6 +837,12 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 6).as("score"), col("list"))
     }),
 
+    // spherical k-means (1 Lloyd iteration, fixed-point determinism):
+    // every vector labeled with its trained-codebook list
+    "x_kmeans_assign" -> ((s, d) =>
+      Similarity.kmeansAssign(embs(s, d), "vec_id", "embedding", k = 8, iters = 1)
+        .orderBy("vec_id")),
+
     // language-ID (stopword votes, fixed precedence)
     "x_lang_id" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), col("lang"),
@@ -1141,6 +1147,25 @@ object SparkEntry {
        """FROM s2 JOIN norms n ON n.vec_id = s2.vec_id) """ +
        """SELECT c.vec_id, round(sc, 6) AS score, c.list FROM scored JOIN cand c USING (vec_id) """ +
        """ORDER BY sc DESC, c.vec_id LIMIT 10"""),
+
+    // spherical k-means, 1 Lloyd iteration: seed codebook = 8 smallest-id
+    // vectors; assignment ranks dxy/sqrt(dyy) (row norm dropped — argmax-
+    // invariant) from 1e-15 fixed-point dots; member means accumulate
+    // round(x*1e15) as exact integers; empty lists keep their seed
+    "x_kmeans_assign" ->
+      ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), """ +
+       """cl0 AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)), """ +
+       """c0 AS (SELECT cl0.j, el.i, el.x AS cx FROM el JOIN cl0 USING (vec_id)), """ +
+       """n0 AS (SELECT j, SUM(CAST(round(cx * cx * 1e15) AS BIGINT)) AS dyy FROM c0 GROUP BY 1), """ +
+       """a0 AS (SELECT el.vec_id, c0.j, SUM(CAST(round(el.x * c0.cx * 1e15) AS BIGINT)) AS dxy FROM el JOIN c0 USING (i) GROUP BY 1, 2), """ +
+       """s0 AS (SELECT a0.vec_id, a0.j, CAST(a0.dxy AS DOUBLE) / sqrt(CAST(n0.dyy AS DOUBLE)) AS s FROM a0 JOIN n0 USING (j)), """ +
+       """as0 AS (SELECT vec_id, j AS list FROM (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn FROM s0) WHERE rn = 1), """ +
+       """m1 AS (SELECT a.list, el.i, SUM(CAST(round(el.x * 1e15) AS BIGINT)) AS sf, COUNT(*) AS cnt FROM el JOIN as0 a USING (vec_id) GROUP BY 1, 2), """ +
+       """c1 AS (SELECT c0.j, c0.i, COALESCE(CAST(m1.sf AS DOUBLE) / (m1.cnt * 1e15), c0.cx) AS cx FROM c0 LEFT JOIN m1 ON m1.list = c0.j AND m1.i = c0.i), """ +
+       """n1 AS (SELECT j, SUM(CAST(round(cx * cx * 1e15) AS BIGINT)) AS dyy FROM c1 GROUP BY 1), """ +
+       """a1 AS (SELECT el.vec_id, c1.j, SUM(CAST(round(el.x * c1.cx * 1e15) AS BIGINT)) AS dxy FROM el JOIN c1 USING (i) GROUP BY 1, 2), """ +
+       """s1 AS (SELECT a1.vec_id, a1.j, CAST(a1.dxy AS DOUBLE) / sqrt(CAST(n1.dyy AS DOUBLE)) AS s FROM a1 JOIN n1 USING (j)) """ +
+       """SELECT vec_id, j AS list FROM (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn FROM s1) WHERE rn = 1 ORDER BY vec_id"""),
 
     "x_lang_id" ->
       (s"""WITH c AS (SELECT doc_id, lang, """ +

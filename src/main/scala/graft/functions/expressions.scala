@@ -116,18 +116,28 @@ case class FixedDot(left: Expression, right: Expression) extends BinaryExpressio
   override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"fixed_dot requires two array<float> arguments, got ${l.sql} and ${r.sql}")
+        s"fixed_dot requires two array<float|double> arguments, got ${l.sql} and ${r.sql}")
     }
+  // float elements are widened to double (exact); a double-element side —
+  // e.g. a trained k-means centroid literal — is read as-is, so mixed
+  // float-row × double-codebook dots stay bit-identical to the all-double
+  // formulation the oracle computes
+  private def elemIsDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
   override def nullSafeEval(l: Any, r: Any): Any =
-    FixedDot.kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    FixedDot.kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      elemIsDouble(left), elemIsDouble(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val r = ctx.freshName("r")
       s"""
-         |Object $r = graft.functions.FixedDot.kernel($a, $b);
+         |Object $r = graft.functions.FixedDot.kernel($a, $b,
+         |  ${elemIsDouble(left)}, ${elemIsDouble(right)});
          |if ($r == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = ((java.lang.Long) $r).longValue(); }
        """.stripMargin
@@ -140,14 +150,20 @@ object FixedDot {
   /** Null on length mismatch or any null element — exactly the HOF spec's
     * behavior (`zip_with` pads/nulls, and one null product nulls the
     * aggregate). Boxed return so null is representable. */
-  def kernel(a: ArrayData, b: ArrayData): java.lang.Long = {
+  def kernel(a: ArrayData, b: ArrayData): java.lang.Long =
+    kernel(a, b, aIsDouble = false, bIsDouble = false)
+
+  def kernel(a: ArrayData, b: ArrayData,
+             aIsDouble: Boolean, bIsDouble: Boolean): java.lang.Long = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val q = a.getFloat(i).toDouble * b.getFloat(i).toDouble * 1e15
+      val x = if (aIsDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bIsDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      val q = x * y * 1e15
       // non-finite products cannot round-trip the fixed-point contract —
       // fail loudly (the HOF spec also errors here, via ANSI cast)
       if (q.isNaN || q.isInfinite)

@@ -98,14 +98,100 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Fixed-point self-dots of a driver-side codebook, evaluated by the
+    * ENGINE in one tiny job (never reimplemented driver-side, so oracle
+    * SQL reproduces each term). Fails fast on a zero-norm centroid: its
+    * affinities would be NaN, which Spark ranks above all doubles while
+    * DuckDB ranks it differently — a silent cross-engine divergence. */
+  private def centroidNorms(spark: org.apache.spark.sql.SparkSession,
+                            cents: Seq[Seq[Double]]): Seq[Long] = {
+    val row = spark.range(1).select(cents.zipWithIndex.map { case (c, j) =>
+      dotFixed(typedLit(c), typedLit(c)).as(s"dyy_$j") }: _*).collect()(0)
+    val dyy = cents.indices.map(j => row.getAs[Long](s"dyy_$j"))
+    dyy.zipWithIndex.foreach { case (n, j) =>
+      require(n > 0L, s"centroid $j has zero norm; " +
+        "choose a codebook of non-zero vectors (filter empty embeddings first)") }
+    dyy
+  }
+
+  /** Per-row nearest-centroid index (0-based Long): argmax of
+    * `dxy / sqrt(dyy)` — cosine with the row-norm factor dropped (a
+    * positive per-row constant that cannot change the argmax) — from the
+    * same 1e-15 fixed-point dots as [[cosineFixed]]; ties break to the
+    * smaller index via the (score, -index) struct max. */
+  private def nearestCentroid(vec: Column, cents: Seq[Seq[Double]],
+                              dyy: Seq[Long]): Column = {
+    val affs = cents.zipWithIndex.map { case (c, j) =>
+      struct((dotFixed(vec, typedLit(c)).cast(DoubleType) /
+        sqrt(lit(dyy(j)).cast(DoubleType))).as("s"), lit(-j.toLong).as("n"))
+    }
+    -array_max(array(affs: _*)).getField("n")
+  }
+
+  /** Spherical k-means codebook (Lloyd iterations under cosine affinity),
+    * trained deterministically: init = the `k` smallest-id vectors; each
+    * round reassigns every vector to its nearest centroid and recomputes
+    * centroids as member means. Returns the codebook as `k` double
+    * vectors, ready for [[ivfTopK]]'s `codebook` parameter.
+    *
+    * Scale shape per round: ONE distributed job — a scan with `k` fused
+    * fixed-point dots per row (no shuffle), posexplode by dimension, and
+    * a (list, dim)-keyed partial aggregation that collapses to k×dim
+    * rows map-side before the exchange; only k×dim (sum, count) pairs
+    * reach the driver. Document vectors never shuffle.
+    *
+    * Cross-engine determinism: member sums accumulate
+    * `round(x * 1e15)` as exact integers (float summation order differs
+    * between engines; integer sums do not), and the centroid mean is the
+    * one double division `sum / (count * 1e15)` — so a SQL oracle
+    * reproduces the trained codebook bit-for-bit. A list left empty by a
+    * round keeps its previous centroid. */
+  def kmeansCodebook(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int): Seq[Seq[Double]] = {
+    val spark = df.sparkSession
+    var cents: Seq[Seq[Double]] = df
+      .select(col(idCol).cast(LongType), col(vecCol))
+      .orderBy(col(idCol)).limit(k)
+      .collect().toSeq.map(_.getSeq[Float](1).map(_.toDouble))
+    require(cents.length == k, s"kmeansCodebook: need >= $k vectors, got ${cents.length}")
+    for (_ <- 0 until iters) {
+      val dyy = centroidNorms(spark, cents)
+      val stats = df
+        .select(nearestCentroid(col(vecCol), cents, dyy).as("list"),
+          posexplode(col(vecCol)).as(Seq("i", "x")))
+        .groupBy("list", "i")
+        .agg(sum(round(col("x").cast(DoubleType) * lit(1e15)).cast(LongType)).as("sf"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.map(_.toArray).toArray
+      stats.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) =
+          r.getLong(2).toDouble / (r.getLong(3) * 1e15)
+      }
+      cents = next.map(_.toSeq).toSeq
+    }
+    cents
+  }
+
+  /** Assignment table (`id`, `list`) of every vector to its nearest
+    * centroid of a codebook trained by [[kmeansCodebook]]. */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    val cents = kmeansCodebook(df, idCol, vecCol, k, iters)
+    val dyy = centroidNorms(df.sparkSession, cents)
+    df.select(col(idCol),
+      nearestCentroid(col(vecCol), cents, dyy).as("list"))
+  }
+
   /** IVF (inverted-file) ANN top-k — the classic nlist/nprobe scheme:
     * every vector is assigned to its nearest of `nlist` centroid lists;
     * a query scores only vectors in its `nprobe` best lists.
     *
-    * The codebook here is the `nlist` smallest-id vectors — a
-    * deterministic stand-in for a trained k-means codebook (a kmeans||
-    * fit would slot into `cents` without touching the assignment/probe
-    * machinery, which is the part that matters at scale).
+    * The default codebook is the `nlist` smallest-id vectors — a
+    * deterministic zero-training baseline; pass `codebook =
+    * Some(kmeansCodebook(...))` for a trained one (list ids are then the
+    * codebook indices 0..k-1). The assignment/probe machinery — the part
+    * that matters at scale — is identical either way.
     *
     * Scale shape: the codebook is a driver-side literal (nlist × dim
     * floats — broadcast-sized); assignment is ONE scan with nlist fused
@@ -122,20 +208,24 @@ object Similarity {
     * driver job, so oracle SQL reproduces them term-for-term. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4,
+              codebook: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val spark = df.sparkSession
-    val cents: Seq[(Long, Seq[Float])] = df
-      .select(col(idCol).cast(LongType), col(vecCol))
-      .orderBy(col(idCol)).limit(nlist)
-      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // (list id, centroid literal); float seeds and double trained
+    // centroids dot identically (floats widen exactly in the kernel)
+    val cents: Seq[(Long, Column)] = codebook match {
+      case Some(cb) => cb.zipWithIndex.map { case (c, j) => (j.toLong, typedLit(c)) }
+      case None => df.select(col(idCol).cast(LongType), col(vecCol))
+        .orderBy(col(idCol)).limit(nlist)
+        .collect().toSeq.map(r => (r.getLong(0), typedLit(r.getSeq[Float](1))))
+    }
     val qc = typedLit(query)
     // one tiny Spark job evaluates each centroid's fixed-point self-dot
     // and the query→centroid affinity with the ENGINE's own arithmetic
     // (never reimplemented driver-side, so the oracle can mirror it)
     val centStats = spark.range(1).select(cents.zipWithIndex.flatMap {
       case ((_, cv), i) =>
-        Seq(dotFixed(typedLit(cv), typedLit(cv)).as(s"dyy_$i"),
-            dotFixed(qc, typedLit(cv)).as(s"dxy_$i"))
+        Seq(dotFixed(cv, cv).as(s"dyy_$i"), dotFixed(qc, cv).as(s"dxy_$i"))
     }: _*).collect()(0)
     val dyy: Seq[Long] = cents.indices.map(i => centStats.getAs[Long](s"dyy_$i"))
     // a zero-norm centroid (empty-document embedding) would make every
@@ -153,7 +243,7 @@ object Similarity {
     // per-row argmax over list affinities; struct max compares (score,
     // -cid) so ties go to the smaller list id
     val affinities = cents.zipWithIndex.map { case ((cid, cv), i) =>
-      struct((dotFixed(col(vecCol), typedLit(cv)).cast(DoubleType) /
+      struct((dotFixed(col(vecCol), cv).cast(DoubleType) /
         sqrt(lit(dyy(i)).cast(DoubleType))).as("s"), lit(-cid).as("n"))
     }
     val listId = -array_max(array(affinities: _*)).getField("n")

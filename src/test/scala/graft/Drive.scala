@@ -148,6 +148,18 @@ object Drive {
     require(cc.filter(col("id") === col("cluster")).count() == cc.select("cluster").distinct().count(),
       "every cluster label must be a member of its own cluster")
 
+    println("== r5 drive: spherical k-means codebook -> trained IVF")
+    val cb = graft.ops.Similarity.kmeansCodebook(embAll, "vec_id", "embedding", 8, 2)
+    val sizes = graft.ops.Similarity.kmeansAssign(embAll, "vec_id", "embedding", 8, 2)
+      .groupBy("list").count().orderBy("list").collect()
+    sizes.foreach(r => println(s"kmeans -> list=${r.getLong(0)} size=${r.getLong(1)}"))
+    require(sizes.map(_.getLong(1)).sum == embAll.count(), "every vector must be assigned")
+    val tivf = graft.ops.Similarity.ivfTopK(embAll, "vec_id", "embedding", qv, 5,
+      nprobe = 3, codebook = Some(cb)).collect()
+    tivf.foreach(r => println(s"trained-ivf -> id=${r.getLong(0)} score=${r.getDouble(1)} list=${r.getLong(2)}"))
+    require(tivf.nonEmpty && tivf.head.getLong(0) == 0L && math.abs(tivf.head.getDouble(1) - 1.0) < 1e-9,
+      "trained ivfTopK: query vector must rank itself first with score 1.0")
+
     println("== r5 drive: contamination, stratified sample, vocab")
     val bench = docsAll.filter(col("doc_id") < 5).select("doc_id", "text")
     val cont = graft.ops.Contamination.ngramOverlap(docsAll, "doc_id", "text",

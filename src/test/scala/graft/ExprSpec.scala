@@ -84,6 +84,13 @@ class ExprSpec extends AnyFunSuite {
     val neR = ne.select(native.fixed_dot($"a", $"b").as("n"),
       Similarity.dotFixedSpec($"a", $"b").as("spec")).collect()(0)
     assert(neR.isNullAt(0) && neR.isNullAt(1))
+    // mixed float-row x double-codebook (the trained-kmeans shape): the
+    // kernel reads doubles as-is and must equal the all-double HOF spec
+    val dq: Seq[Double] = Seq(0.25, -0.5000000000000001, 0.1)
+    val mixed = Seq(Tuple1(Seq(0.3f, -0.9f, 0.0001f))).toDF("a")
+    val mr = mixed.select(native.fixed_dot($"a", typedLit(dq)).as("n"),
+      Similarity.dotFixedSpec($"a", typedLit(dq)).as("spec")).collect()(0)
+    assert(mr.getLong(0) == mr.getLong(1))
   }
 
   test("hyperplane_sig == HOF spec on real embeddings; dim mismatch -> bucket 0") {

@@ -119,6 +119,34 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("zero norm"))
   }
 
+  test("kmeans: planted clusters recovered, trained codebook drives ivfTopK") {
+    // 3 tight clusters around orthogonal axes; ids 0,1,2 (the seeds) sit
+    // in distinct clusters so Lloyd converges to the planted partition
+    def v(axis: Int, wiggle: Float): Seq[Float] = {
+      val a = Array.fill(4)(0.05f * wiggle); a(axis) = 1.0f; a.toSeq
+    }
+    val rows = (0 until 30).map { m =>
+      val cl = m % 3 // ids 0,1,2 are one per cluster
+      (m.toLong, v(cl, ((m * 7) % 5 - 2).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val lab = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 3, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every member lands with its planted cluster's seed
+    assert(rows.forall { case (id, _) => lab(id) == lab(id % 3) })
+    assert(lab.values.toSet.size == 3)
+    // trained codebook slots into ivfTopK: self first, high brute recall
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select("embedding").collect()(0).getSeq[Float](0)
+    val cb = Similarity.kmeansCodebook(emb, "vec_id", "embedding", k = 8, iters = 1)
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
+      nprobe = 3, codebook = Some(cb)).collect()
+    assert(ivf.head.getLong(0) == 0L && math.abs(ivf.head.getDouble(1) - 1.0) < 1e-9)
+    val brute = Similarity.topK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.map(_.getLong(0)).count(brute) >= 5)
+  }
+
   test("contamination: containing doc overlaps fully, disjoint doc is absent") {
     val corpus = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta"),   // contains bench 0's text
