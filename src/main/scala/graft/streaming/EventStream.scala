@@ -69,6 +69,23 @@ object EventStream {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming exact dedup — the streaming form of
+    * [[graft.ops.Dedup.exact]]: keep the first document per content
+    * digest, dropping any duplicate that arrives within the watermark
+    * horizon (`dropDuplicatesWithinWatermark`, so state is evicted by
+    * the watermark without forcing event-time into the dedup key).
+    *
+    * Scale: state holds one 16-byte md5 digest per distinct document
+    * seen inside the horizon — documents themselves never enter the
+    * state store or shuffle beyond their digest-keyed exchange — and the
+    * watermark bounds that state regardless of total stream volume. */
+  def dedupStream(stream: DataFrame, textCol: String, eventTimeCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark(eventTimeCol, watermark)
+      .withColumn("_digest", md5(col(textCol)))
+      .dropDuplicatesWithinWatermark("_digest")
+      .drop("_digest")
+
   /** Session windows (gap-based) per user — the streaming form of
     * [[graft.ops.Sessionize.sessions]]. */
   def sessionWindows(stream: DataFrame, gap: String = "30 minutes",

@@ -190,6 +190,23 @@ object Drive {
     println(s"streamed rows: ${st2.nrows("events")} (expect 300)")
     st2.close()
 
+    println("== r5 drive: streaming dedup (watermark-bounded digest state)")
+    val ddocs = docsAll.limit(30).select(col("doc_id"), col("text"))
+      .withColumn("event_time",
+        timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
+    ddocs.unionByName(ddocs.withColumn("doc_id", col("doc_id") + 500L))
+      .write.mode("append").parquet(sdir + "/din")
+    graft.streaming.EventStream.dedupStream(
+        spark.readStream.schema(ddocs.schema).parquet(sdir + "/din"),
+        "text", "event_time")
+      .writeStream.outputMode("append").format("memory").queryName("drive_dedup")
+      .option("checkpointLocation", sdir + "/dckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val dn = spark.table("drive_dedup").count()
+    println(s"stream-dedup -> $dn rows from 60 inputs (expect 30)")
+    require(dn == 30, "streaming dedup must keep one row per digest")
+
     spark.stop()
     println("== drive done")
   }

@@ -85,4 +85,30 @@ class StreamingSpec extends AnyFunSuite {
     val batchSessions = graft.ops.Sessionize.sessionStats(events, 1800).count()
     assert(spark.table("sess").count() == batchSessions)
   }
+
+  test("streaming dedup keeps one row per content digest within the watermark") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).select($"doc_id", $"text")
+    val stamped = docs.withColumn("event_time",
+      timestamp_micros(lit(1700000000000000L) + $"doc_id" * 1000000L))
+    val dups = stamped.withColumn("doc_id", $"doc_id" + 1000L) // same text, new id
+    val extra = stamped.filter($"doc_id" < 10)
+      .withColumn("doc_id", $"doc_id" + 2000L)
+      .withColumn("text", concat($"text", lit(" fresh")))
+    val in = TestSpark.tmpDir("streamd-in")
+    val ckpt = TestSpark.tmpDir("streamd-ckpt")
+    stamped.unionByName(dups).unionByName(extra).write.mode("append").parquet(in)
+
+    val stream = spark.readStream.schema(stamped.schema).parquet(in)
+    val q = EventStream.dedupStream(stream, "text", "event_time", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("dedup")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("dedup")
+    assert(out.count() == 60)                                   // 50 distinct + 10 fresh
+    assert(out.select("text").distinct().count() == 60)         // one per digest
+    assert(out.columns.toSet == Set("doc_id", "text", "event_time")) // digest dropped
+  }
 }
