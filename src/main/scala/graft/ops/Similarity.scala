@@ -135,10 +135,14 @@ object Similarity {
     * vectors, ready for [[ivfTopK]]'s `codebook` parameter.
     *
     * Scale shape per round: ONE distributed job — a scan with `k` fused
-    * fixed-point dots per row (no shuffle), posexplode by dimension, and
-    * a (list, dim)-keyed partial aggregation that collapses to k×dim
-    * rows map-side before the exchange; only k×dim (sum, count) pairs
-    * reach the driver. Document vectors never shuffle.
+    * fixed-point dots per row (no shuffle) feeding a `groupBy(list)`
+    * with one `element_at` sum per dimension, which collapses to k rows
+    * map-side before the exchange; only k×(dim+1) sums reach the driver.
+    * Document vectors never shuffle. Deliberately NOT posexplode +
+    * groupBy(list, dim): a non-generator column in the same select as a
+    * generator is evaluated per GENERATED row, so the k-dot argmax would
+    * run dim× per vector (observed 23 s → 0.9 s at sf0.1); as a grouping
+    * key it runs once per row.
     *
     * Cross-engine determinism: member sums accumulate
     * `round(x * 1e15)` as exact integers (float summation order differs
@@ -154,19 +158,27 @@ object Similarity {
       .orderBy(col(idCol)).limit(k)
       .collect().toSeq.map(_.getSeq[Float](1).map(_.toDouble))
     require(cents.length == k, s"kmeansCodebook: need >= $k vectors, got ${cents.length}")
+    val dim = cents.head.length
     for (_ <- 0 until iters) {
       val dyy = centroidNorms(spark, cents)
+      val perDim = (0 until dim).map(i =>
+        sum(round(element_at(col("v"), i + 1).cast(DoubleType) * lit(1e15))
+          .cast(LongType)).as(s"sf_$i"))
       val stats = df
         .select(nearestCentroid(col(vecCol), cents, dyy).as("list"),
-          posexplode(col(vecCol)).as(Seq("i", "x")))
-        .groupBy("list", "i")
-        .agg(sum(round(col("x").cast(DoubleType) * lit(1e15)).cast(LongType)).as("sf"),
-          count(lit(1)).as("cnt"))
+          col(vecCol).as("v"))
+        .groupBy("list")
+        .agg(count(lit(1)).as("cnt"), perDim: _*)
         .collect()
       val next = cents.map(_.toArray).toArray
       stats.foreach { r =>
-        next(r.getLong(0).toInt)(r.getInt(1)) =
-          r.getLong(2).toDouble / (r.getLong(3) * 1e15)
+        val l = r.getLong(0).toInt
+        val cnt = r.getLong(1)
+        var i = 0
+        while (i < dim) {
+          next(l)(i) = r.getLong(2 + i).toDouble / (cnt * 1e15)
+          i += 1
+        }
       }
       cents = next.map(_.toSeq).toSeq
     }
