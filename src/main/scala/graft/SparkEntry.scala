@@ -1219,7 +1219,7 @@ object SparkEntry {
 
     "x_sample_stratified" ->
       (s"""SELECT doc_id, lang, source FROM documents """ +
-       s"""WHERE ${h60sql("lang || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 < """ +
+       s"""WHERE ${h60sql("COALESCE(lang, '') || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 < """ +
        """CASE lang WHEN 'en' THEN 300000 WHEN 'de' THEN 500000 WHEN 'fr' THEN 100000 """ +
        """WHEN 'zh' THEN 0 ELSE 250000 END ORDER BY doc_id"""),
 

@@ -150,9 +150,6 @@ object FixedDot {
   /** Null on length mismatch or any null element — exactly the HOF spec's
     * behavior (`zip_with` pads/nulls, and one null product nulls the
     * aggregate). Boxed return so null is representable. */
-  def kernel(a: ArrayData, b: ArrayData): java.lang.Long =
-    kernel(a, b, aIsDouble = false, bIsDouble = false)
-
   def kernel(a: ArrayData, b: ArrayData,
              aIsDouble: Boolean, bIsDouble: Boolean): java.lang.Long = {
     val n = a.numElements()

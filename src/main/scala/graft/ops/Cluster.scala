@@ -67,9 +67,14 @@ object Cluster {
     while (!converged && iter < maxIter) {
       val nbrMin = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nmin"))
-      val stepped = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+      val stepped0 = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+      // jump rounds read `stepped` from TWO subtrees (the deduped lookup
+      // and the big side); cache it so the edge-join + min-aggregate above
+      // runs once per round, not twice (ReuseExchange dedupes only the
+      // shuffle writes, not the post-shuffle operators). Freed below.
+      val stepped = if (iter == 0) stepped0 else stepped0.cache()
       // pointer jumping: also take the label OF the current label (every
       // label is a vertex id, so the lookup always lands). cluster(v) and
       // label-of-label are both ids within v's component and
@@ -101,6 +106,7 @@ object Cluster {
       val curSum = checksum(next) // materializes `next`'s checkpoint
       // free the superseded round's blocks NOW — the ContextCleaner only
       // reclaims them at some future GC, which may be never mid-loop
+      if (iter > 0) stepped.unpersist(blocking = false)
       org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint(prev)
       labels = next
       converged = curSum.compareTo(prevSum) == 0

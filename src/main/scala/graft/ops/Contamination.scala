@@ -34,8 +34,9 @@ object Contamination {
                    bench: DataFrame, benchIdCol: String, benchTextCol: String,
                    n: Int = 3, minShared: Long = 1L): DataFrame = {
     def shingled(df: DataFrame, id: String, text: String) =
+      // shingle_hash60 already returns sorted DISTINCT hashes (set semantics)
       df.select(col(id),
-        array_distinct(native.shingle_hash60(TextStats.tokens(col(text)), n)).as("hs"))
+        native.shingle_hash60(TextStats.tokens(col(text)), n).as("hs"))
     val c = shingled(corpus, idCol, textCol)
       .select(col(idCol).as("doc_id"), size(col("hs")).cast("long").as("n_sh"),
         explode(col("hs")).as("h"))

@@ -34,8 +34,14 @@ object Sample {
     val thr = rates.foldLeft(lit(Math.round(defaultRate * 1e6))) {
       case (acc, (k, v)) => when(col(stratumCol) === k, lit(Math.round(v * 1e6))).otherwise(acc)
     }
+    // NULL stratum = unlisted stratum (defaultRate). The hash key must
+    // coalesce first: concat(NULL, ...) nulls the whole key, the bucket
+    // comparison would go NULL, and filter would silently DROP every
+    // null-stratum row whatever the defaultRate. NULL shares buckets
+    // with the empty string — documented, portable (oracle: COALESCE).
     val bucket = pmod(native.hash60(
-      concat(col(stratumCol), lit(":"), col(idCol).cast("string"))), lit(1000000L))
+      concat(coalesce(col(stratumCol), lit("")), lit(":"),
+        col(idCol).cast("string"))), lit(1000000L))
     df.filter(bucket < thr)
   }
 }

@@ -161,9 +161,15 @@ object Similarity {
     val dim = cents.head.length
     for (_ <- 0 until iters) {
       val dyy = centroidNorms(spark, cents)
+      // decimal(38,0) accumulation, NOT a Long sum: a list with ~1e7
+      // members of magnitude ~0.1 accumulates ~1e21 fixed-point units per
+      // dimension — past Long range, where ANSI Spark throws mid-round
+      // while DuckDB's SUM(BIGINT) has already promoted to HUGEINT.
+      // Decimal sums are exact at any member count; BigDecimal→double is
+      // correctly rounded, matching the oracle's integer→double cast.
       val perDim = (0 until dim).map(i =>
         sum(round(element_at(col("v"), i + 1).cast(DoubleType) * lit(1e15))
-          .cast(LongType)).as(s"sf_$i"))
+          .cast(DecimalType(38, 0))).as(s"sf_$i"))
       val stats = df
         .select(nearestCentroid(col(vecCol), cents, dyy).as("list"),
           col(vecCol).as("v"))
@@ -176,7 +182,7 @@ object Similarity {
         val cnt = r.getLong(1)
         var i = 0
         while (i < dim) {
-          next(l)(i) = r.getLong(2 + i).toDouble / (cnt * 1e15)
+          next(l)(i) = r.getDecimal(2 + i).doubleValue() / (cnt * 1e15)
           i += 1
         }
       }
@@ -186,14 +192,20 @@ object Similarity {
   }
 
   /** Assignment table (`id`, `list`) of every vector to its nearest
-    * centroid of a codebook trained by [[kmeansCodebook]]. */
+    * centroid of a PRE-TRAINED codebook — pass the [[kmeansCodebook]]
+    * result here instead of re-training. */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int): DataFrame = {
-    val cents = kmeansCodebook(df, idCol, vecCol, k, iters)
-    val dyy = centroidNorms(df.sparkSession, cents)
+                   codebook: Seq[Seq[Double]]): DataFrame = {
+    val dyy = centroidNorms(df.sparkSession, codebook)
     df.select(col(idCol),
-      nearestCentroid(col(vecCol), cents, dyy).as("list"))
+      nearestCentroid(col(vecCol), codebook, dyy).as("list"))
   }
+
+  /** Train-and-assign convenience: [[kmeansCodebook]] then the
+    * assignment pass. */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame =
+    kmeansAssign(df, idCol, vecCol, kmeansCodebook(df, idCol, vecCol, k, iters))
 
   /** IVF (inverted-file) ANN top-k — the classic nlist/nprobe scheme:
     * every vector is assigned to its nearest of `nlist` centroid lists;

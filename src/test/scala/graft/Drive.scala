@@ -150,7 +150,7 @@ object Drive {
 
     println("== r5 drive: spherical k-means codebook -> trained IVF")
     val cb = graft.ops.Similarity.kmeansCodebook(embAll, "vec_id", "embedding", 8, 2)
-    val sizes = graft.ops.Similarity.kmeansAssign(embAll, "vec_id", "embedding", 8, 2)
+    val sizes = graft.ops.Similarity.kmeansAssign(embAll, "vec_id", "embedding", cb)
       .groupBy("list").count().orderBy("list").collect()
     sizes.foreach(r => println(s"kmeans -> list=${r.getLong(0)} size=${r.getLong(1)}"))
     require(sizes.map(_.getLong(1)).sum == embAll.count(), "every vector must be assigned")
