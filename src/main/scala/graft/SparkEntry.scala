@@ -887,6 +887,12 @@ object SparkEntry {
     "x_vocab" -> ((s, d) =>
       TextStats.vocab(docs(s, d), "text", k = 100, minCount = 5L)),
 
+    // deterministic train/val/test split labels (80/10/10 by hash bucket)
+    "x_sample_split" -> ((s, d) =>
+      Sample.assignSplits(docs(s, d), "lang", "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "lang", "split").orderBy("doc_id")),
+
     // gap-based sessionization of the event stream
     "x_sessionize" -> ((s, d) =>
       Sessionize.sessionStats(events(s, d), 1800)
@@ -1219,13 +1225,19 @@ object SparkEntry {
 
     "x_sample_stratified" ->
       (s"""SELECT doc_id, lang, source FROM documents """ +
-       s"""WHERE ${h60sql("COALESCE(lang, '') || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 < """ +
+       s"""WHERE ${h60sql("'sample:' || COALESCE(lang, '') || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 < """ +
        """CASE lang WHEN 'en' THEN 300000 WHEN 'de' THEN 500000 WHEN 'fr' THEN 100000 """ +
        """WHEN 'zh' THEN 0 ELSE 250000 END ORDER BY doc_id"""),
 
     "x_vocab" ->
       (s"""SELECT t AS token, count(*) AS cnt FROM (SELECT unnest($TOK) AS t FROM documents) """ +
        """WHERE t <> '' GROUP BY 1 HAVING count(*) >= 5 ORDER BY cnt DESC, token LIMIT 100"""),
+
+    "x_sample_split" ->
+      (s"""SELECT doc_id, lang, CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' """ +
+       """WHEN b < 1000000 THEN 'test' ELSE 'rest' END AS split FROM """ +
+       s"""(SELECT doc_id, lang, ${h60sql("'split:' || COALESCE(lang, '') || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 AS b """ +
+       """FROM documents) ORDER BY doc_id"""),
 
     "x_sessionize" ->
       ("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) // 1000000 AS sec FROM events), """ +

@@ -34,14 +34,43 @@ object Sample {
     val thr = rates.foldLeft(lit(Math.round(defaultRate * 1e6))) {
       case (acc, (k, v)) => when(col(stratumCol) === k, lit(Math.round(v * 1e6))).otherwise(acc)
     }
-    // NULL stratum = unlisted stratum (defaultRate). The hash key must
-    // coalesce first: concat(NULL, ...) nulls the whole key, the bucket
-    // comparison would go NULL, and filter would silently DROP every
-    // null-stratum row whatever the defaultRate. NULL shares buckets
-    // with the empty string — documented, portable (oracle: COALESCE).
-    val bucket = pmod(native.hash60(
-      concat(coalesce(col(stratumCol), lit("")), lit(":"),
-        col(idCol).cast("string"))), lit(1000000L))
+    val bucket = hashBucket("sample", stratumCol, idCol)
     df.filter(bucket < thr)
   }
+
+  /** Deterministic train/validation/test split: adds a `split` column
+    * assigning each row to the named fraction, by the same hash-bucket
+    * rule as [[stratifiedHash]] (so splits are reproducible, disjoint,
+    * and stable under corpus growth — a row's split never changes when
+    * other rows are added). `fractions` must sum to <= 1; rows past the
+    * cumulative total get the `rest` label. Pure per-row projection —
+    * no shuffle, no RNG state. */
+  def assignSplits(df: DataFrame, stratumCol: String, idCol: String,
+                   fractions: Seq[(String, Double)],
+                   rest: String = "rest"): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must sum to <= 1")
+    val bucket = hashBucket("split", stratumCol, idCol)
+    // cumulative thresholds: [0, f1), [f1, f1+f2), ...
+    val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val split = fractions.map(_._1).zip(cum.map(c => Math.round(c * 1e6)))
+      .foldRight(lit(rest): org.apache.spark.sql.Column) {
+        case ((name, thr), alt) => when(bucket < thr, lit(name)).otherwise(alt)
+      }
+    df.withColumn("split", split)
+  }
+
+  /** The per-row bucket in [0, 1e6). `salt` decorrelates independent
+    * decisions over the same corpus — without it, a 10% sample would sit
+    * entirely inside the first 10% of every split. NULL stratum = the
+    * unlisted/default stratum; the key must coalesce it first —
+    * concat(NULL, ...) nulls the whole key, the bucket comparison would
+    * go NULL, and a filter would silently DROP every null-stratum row.
+    * NULL shares buckets with the empty string (oracle: COALESCE). */
+  private def hashBucket(salt: String, stratumCol: String,
+                         idCol: String): org.apache.spark.sql.Column =
+    pmod(native.hash60(
+      concat(lit(salt), lit(":"), coalesce(col(stratumCol), lit("")), lit(":"),
+        col(idCol).cast("string"))), lit(1000000L))
+
 }

@@ -177,6 +177,29 @@ class OpsSpec extends AnyFunSuite {
     assert(half.forall(_ % 2 == 0))                     // only the en stratum
   }
 
+  test("splits: partition the corpus, decorrelated from sampling, stable under growth") {
+    val df = spark.range(2000).select(col("id").as("doc_id"), lit("en").as("lang"))
+    val out = Sample.assignSplits(df, "lang", "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byId = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId.size == 2000)                                 // a label for every row
+    val counts = byId.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 100)            // ~80/10/10
+    assert(math.abs(counts("val") - 200) < 60 && math.abs(counts("test") - 200) < 60)
+    // stable under growth: labels of existing rows unchanged with more data
+    val grown = Sample.assignSplits(
+      spark.range(4000).select(col("id").as("doc_id"), lit("en").as("lang")),
+      "lang", "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .filter(col("doc_id") < 2000)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(grown == byId)
+    // decorrelated from sampling: a 10% sample spreads across all splits
+    val sampled = Sample.stratifiedHash(df, "lang", "doc_id", Map("en" -> 0.1))
+      .collect().map(_.getLong(0)).toSet
+    val splitOfSampled = byId.filter { case (id, _) => sampled(id) }.values.toSet
+    assert(splitOfSampled == Set("train", "val", "test"))
+  }
+
   test("vocab: counts, minCount floor, and (cnt desc, token) order") {
     val df = Seq("a b b c c c", "c d d", "").toDF("text")
     val out = TextStats.vocab(df, "text", k = 10, minCount = 2L)
