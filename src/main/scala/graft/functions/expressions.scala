@@ -166,13 +166,31 @@ object FixedDot {
       if (q.isNaN || q.isInfinite)
         throw new ArithmeticException(
           s"fixed_dot: non-finite element product at index $i")
-      // same double→rounded-double path as Spark's Round(HALF_UP): the
-      // shortest decimal representation, then HALF_UP at scale 0
-      acc += java.math.BigDecimal.valueOf(q)
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      acc += roundHalfUp(q)
       i += 1
     }
     acc
+  }
+
+  /** Spark's `Round(HALF_UP)` on a double, with a fast path. The spec
+    * path rounds the SHORTEST-DECIMAL representation of q
+    * (`BigDecimal.valueOf`), which can sit up to ulp(q)/2 away from q —
+    * and `Double.toString` costs ~100 ns, which dominated the kernel
+    * (1e9 products in a 1M×64-dim k-means round). When the fractional
+    * part of q is more than ulp(q) from the .5 boundary, q and its
+    * shortest decimal are provably on the same side, so plain
+    * floor-based rounding gives the identical result for a few ns; only
+    * the boundary band (~1e-16 of inputs at unit scale) pays for
+    * BigDecimal. Parity-tested against the HOF spec in ExprSpec. */
+  def roundHalfUp(q: Double): Long = {
+    val fl = Math.floor(q)
+    val frac = q - fl
+    if (Math.abs(frac - 0.5) > Math.ulp(q)) {
+      if (frac > 0.5) fl.toLong + 1L else fl.toLong
+    } else {
+      java.math.BigDecimal.valueOf(q)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    }
   }
 }
 

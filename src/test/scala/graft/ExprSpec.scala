@@ -93,6 +93,25 @@ class ExprSpec extends AnyFunSuite {
     assert(mr.getLong(0) == mr.getLong(1))
   }
 
+  test("fixed_dot fast-path rounding == spec on a seeded sweep + boundary products") {
+    // 20k seeded random element pairs plus constructed near-half-integer
+    // products, one pair per row so a rounding disagreement is
+    // attributable to its exact product
+    val rnd = new scala.util.Random(42)
+    val rand = (1 to 20000).map(_ =>
+      (Seq(rnd.nextFloat() * 2 - 1), Seq(rnd.nextFloat() * 2 - 1)))
+    // products landing exactly on / near .5 fixed-point boundaries
+    val boundary = Seq(
+      (Seq(0.5f), Seq(1.0e-15f)), (Seq(1.5f), Seq(1.0e-15f)),
+      (Seq(-0.5f), Seq(1.0e-15f)), (Seq(-2.5f), Seq(1.0e-15f)),
+      (Seq(0.4999999f), Seq(1.0e-15f)), (Seq(0.5000001f), Seq(1.0e-15f)),
+      (Seq(0.75f), Seq(0.75f)), (Seq(0.1f), Seq(0.1f)))
+    val got = (rand ++ boundary).toDF("a", "b")
+      .select(native.fixed_dot($"a", $"b").as("n"),
+        Similarity.dotFixedSpec($"a", $"b").as("spec")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("hyperplane_sig == HOF spec on real embeddings; dim mismatch -> bucket 0") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
     val got = emb.select(

@@ -87,6 +87,26 @@ object ScaleDrive {
     }
     val nClusters = time("distinct clusters") { cc.select("cluster").distinct().count() }
     println(s"  vertices=${cc.count()} clusters=$nClusters (expect ~10204+100000)")
+
+    // k-means scaling: 1M synthetic 64-dim vectors. Verifies the per-round
+    // shape holds at volume: one scan with k fused fixed-point dots + a
+    // groupBy(list) of element_at sums (NO posexplode — a generator would
+    // re-evaluate the argmax per dimension), k×(dim+1) sums to the driver.
+    println("== k-means over 1M synthetic 64-dim vectors (k=16, iters=2)")
+    val vecs = spark.range(1000000).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        i => (pmod(hash(col("id") * 64 + i), lit(1000)).cast("float") / lit(500.0f)
+          - lit(1.0f)).cast("float")).as("embedding"))
+      .localCheckpoint(true) // materialize once; train reads it 5x
+    val cb = time("kmeansCodebook (2 Lloyd rounds)") {
+      graft.ops.Similarity.kmeansCodebook(vecs, "vec_id", "embedding", 16, 2)
+    }
+    val assigned = time("assignment pass") {
+      graft.ops.Similarity.kmeansAssign(vecs, "vec_id", "embedding", cb)
+        .groupBy("list").count().collect()
+    }
+    println(s"  lists=${assigned.length} total=${assigned.map(_.getLong(1)).sum} " +
+      s"max=${assigned.map(_.getLong(1)).max} (expect 16 lists, 1000000 total)")
     spark.stop()
   }
 }
