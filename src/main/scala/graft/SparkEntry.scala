@@ -887,6 +887,19 @@ object SparkEntry {
     "x_vocab" -> ((s, d) =>
       TextStats.vocab(docs(s, d), "text", k = 100, minCount = 5L)),
 
+    // KMV distinct-count sketch vs exact, per language (sketch branch
+    // where distinct tokens >= k, exact branch below)
+    "x_sketch_distinct" -> ((s, d) => {
+      val kmv = org.apache.spark.sql.functions.udaf(graft.ops.Sketch.KMV(256))
+      docs(s, d).select(col("lang"), explode(TextStats.tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+        .select(col("lang"), TextStats.hash60(col("t")).as("h"))
+        .groupBy("lang")
+        .agg(kmv(col("h")).as("est_distinct"),
+          countDistinct(col("h")).as("exact_distinct"))
+        .orderBy("lang")
+    }),
+
     // deterministic train/val/test split labels (80/10/10 by hash bucket)
     "x_sample_split" -> ((s, d) =>
       Sample.assignSplits(docs(s, d), "lang", "doc_id",
@@ -1232,6 +1245,15 @@ object SparkEntry {
     "x_vocab" ->
       (s"""SELECT t AS token, count(*) AS cnt FROM (SELECT unnest($TOK) AS t FROM documents) """ +
        """WHERE t <> '' GROUP BY 1 HAVING count(*) >= 5 ORDER BY cnt DESC, token LIMIT 100"""),
+
+    "x_sketch_distinct" ->
+      (s"""WITH t AS (SELECT lang, unnest($TOK) AS tok FROM documents), """ +
+       s"""h AS (SELECT DISTINCT lang, ${h60sql("tok")} AS h FROM t WHERE tok <> ''), """ +
+       """r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h), """ +
+       """x AS (SELECT lang, count(*) AS exact, max(CASE WHEN rn = 256 THEN h END) AS hk FROM r GROUP BY 1) """ +
+       """SELECT lang, CASE WHEN exact < 256 THEN exact """ +
+       """ELSE CAST(floor(255 * 1152921504606846976.0 / hk + 0.5) AS BIGINT) END AS est_distinct, """ +
+       """exact AS exact_distinct FROM x ORDER BY lang"""),
 
     "x_sample_split" ->
       (s"""SELECT doc_id, lang, CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' """ +

@@ -200,6 +200,23 @@ class OpsSpec extends AnyFunSuite {
     assert(splitOfSampled == Set("train", "val", "test"))
   }
 
+  test("KMV sketch: exact below k, within 15% above k, merge == one-pass") {
+    val kmv = org.apache.spark.sql.functions.udaf(Sketch.KMV(64))
+    // below k: exact
+    val small = spark.range(40).select(TextStats.hash60(col("id").cast("string")).as("h"))
+    assert(small.agg(kmv($"h")).collect()(0).getLong(0) == 40L)
+    // above k: a 10k-distinct stream estimates within 15%
+    val big = spark.range(10000).select(TextStats.hash60(col("id").cast("string")).as("h"))
+    val est = big.agg(kmv($"h")).collect()(0).getLong(0)
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.15, s"estimate $est")
+    // partition-merge determinism: 1 partition == 8 partitions
+    val est8 = big.repartition(8).agg(kmv($"h")).collect()(0).getLong(0)
+    assert(est8 == est)
+    // duplicates don't inflate the k-min set
+    val dup = big.unionByName(big)
+    assert(dup.agg(kmv($"h")).collect()(0).getLong(0) == est)
+  }
+
   test("vocab: counts, minCount floor, and (cnt desc, token) order") {
     val df = Seq("a b b c c c", "c d d", "").toDF("text")
     val out = TextStats.vocab(df, "text", k = 10, minCount = 2L)
