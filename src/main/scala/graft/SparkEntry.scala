@@ -890,8 +890,11 @@ object SparkEntry {
     // KMV distinct-count sketch vs exact, per language (sketch branch
     // where distinct tokens >= k, exact branch below)
     "x_sketch_distinct" -> ((s, d) => {
-      val kmv = org.apache.spark.sql.functions.udaf(graft.ops.Sketch.KMV(256))
-      docs(s, d).select(col("lang"), explode(TextStats.tokens(col("text"))).as("t"))
+      val kmv = graft.ops.Sketch.KMV(256).toUdaf
+      // group key coalesced: a NULL lang would order NULLS FIRST in
+      // Spark but NULLS LAST in DuckDB, silently breaking the hash gate
+      docs(s, d).select(coalesce(col("lang"), lit("")).as("lang"),
+          explode(TextStats.tokens(col("text"))).as("t"))
         .filter(col("t") =!= "")
         .select(col("lang"), TextStats.hash60(col("t")).as("h"))
         .groupBy("lang")
@@ -1247,7 +1250,7 @@ object SparkEntry {
        """WHERE t <> '' GROUP BY 1 HAVING count(*) >= 5 ORDER BY cnt DESC, token LIMIT 100"""),
 
     "x_sketch_distinct" ->
-      (s"""WITH t AS (SELECT lang, unnest($TOK) AS tok FROM documents), """ +
+      (s"""WITH t AS (SELECT COALESCE(lang, '') AS lang, unnest($TOK) AS tok FROM documents), """ +
        s"""h AS (SELECT DISTINCT lang, ${h60sql("tok")} AS h FROM t WHERE tok <> ''), """ +
        """r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h), """ +
        """x AS (SELECT lang, count(*) AS exact, max(CASE WHEN rn = 256 THEN h END) AS hk FROM r GROUP BY 1) """ +

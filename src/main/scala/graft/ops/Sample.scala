@@ -48,8 +48,9 @@ object Sample {
   def assignSplits(df: DataFrame, stratumCol: String, idCol: String,
                    fractions: Seq[(String, Double)],
                    rest: String = "rest"): DataFrame = {
-    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9,
-      "split fractions must sum to <= 1")
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0.0) &&
+      fractions.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must be >= 0 and sum to <= 1")
     val bucket = hashBucket("split", stratumCol, idCol)
     // cumulative thresholds: [0, f1), [f1, f1+f2), ...
     val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail

@@ -27,13 +27,17 @@ object Sketch {
   val Two60: Double = 1152921504606846976.0 // 2^60, exact as a double
 
   /** Aggregator over 60-bit hash values; buffer = the sorted distinct
-    * k-min set. Use via `functions.udaf(KMV(k))` on a hash column. */
-  case class KMV(k: Int) extends Aggregator[Long, Array[Long], Long] {
+    * k-min set. Use via `functions.udaf(KMV(k), Encoders.LONG)` on a
+    * hash column. Input is BOXED so a NULL hash is skipped like
+    * `count(DISTINCT x)` skips NULLs — a primitive Long input would
+    * decode NULL as 0 and insert a phantom minimum hash. */
+  case class KMV(k: Int) extends Aggregator[java.lang.Long, Array[Long], Long] {
     require(k >= 2, "KMV needs k >= 2")
 
     override def zero: Array[Long] = Array.empty[Long]
 
-    override def reduce(buf: Array[Long], h: Long): Array[Long] = insert(buf, h)
+    override def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] =
+      if (h == null) buf else insert(buf, h.longValue())
 
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
       b.foldLeft(a)(insert)
@@ -65,5 +69,9 @@ object Sketch {
 
     override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+
+    /** The udaf-wrapped column function with the boxed input encoder. */
+    def toUdaf: org.apache.spark.sql.expressions.UserDefinedFunction =
+      org.apache.spark.sql.functions.udaf(this, Encoders.LONG)
   }
 }

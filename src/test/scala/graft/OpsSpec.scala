@@ -201,10 +201,13 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("KMV sketch: exact below k, within 15% above k, merge == one-pass") {
-    val kmv = org.apache.spark.sql.functions.udaf(Sketch.KMV(64))
-    // below k: exact
+    val kmv = Sketch.KMV(64).toUdaf
+    // below k: exact; NULL hashes skipped like count(DISTINCT)
     val small = spark.range(40).select(TextStats.hash60(col("id").cast("string")).as("h"))
     assert(small.agg(kmv($"h")).collect()(0).getLong(0) == 40L)
+    val withNulls = small.unionByName(
+      spark.range(2).select(lit(null).cast("long").as("h")))
+    assert(withNulls.agg(kmv($"h")).collect()(0).getLong(0) == 40L)
     // above k: a 10k-distinct stream estimates within 15%
     val big = spark.range(10000).select(TextStats.hash60(col("id").cast("string")).as("h"))
     val est = big.agg(kmv($"h")).collect()(0).getLong(0)
