@@ -887,6 +887,11 @@ object SparkEntry {
     "x_vocab" -> ((s, d) =>
       TextStats.vocab(docs(s, d), "text", k = 100, minCount = 5L)),
 
+    // n-gram repetition stats (the repetitive-document quality filter)
+    "x_repetition" -> ((s, d) =>
+      TextStats.repetition(docs(s, d), "doc_id", "text", n = 3)
+        .orderBy("doc_id")),
+
     // KMV distinct-count sketch vs exact, per language (sketch branch
     // where distinct tokens >= k, exact branch below)
     "x_sketch_distinct" -> ((s, d) => {
@@ -1248,6 +1253,15 @@ object SparkEntry {
     "x_vocab" ->
       (s"""SELECT t AS token, count(*) AS cnt FROM (SELECT unnest($TOK) AS t FROM documents) """ +
        """WHERE t <> '' GROUP BY 1 HAVING count(*) >= 5 ORDER BY cnt DESC, token LIMIT 100"""),
+
+    "x_repetition" ->
+      (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents), """ +
+       """g AS (SELECT doc_id, greatest(len(l) - 2, 1)::BIGINT AS n_grams FROM toks), """ +
+       """shr AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
+       """i -> array_to_string(l[i:i+2], ' '))) AS t FROM toks), """ +
+       """m AS (SELECT doc_id, max(c)::BIGINT AS max_rep FROM """ +
+       """(SELECT doc_id, t, count(*) AS c FROM shr GROUP BY 1, 2) GROUP BY 1) """ +
+       """SELECT g.doc_id, g.n_grams, m.max_rep FROM g JOIN m USING (doc_id) ORDER BY doc_id"""),
 
     "x_sketch_distinct" ->
       (s"""WITH t AS (SELECT COALESCE(lang, '') AS lang, unnest($TOK) AS tok FROM documents), """ +

@@ -319,6 +319,18 @@ object Hash60Kernel {
     * one the hash of ""). Output sorted ascending (set semantics — every
     * consumer aggregates). */
   def shingleHashes(toks: ArrayData, n: Int): ArrayData = {
+    val hs = shingleHashesSorted(toks, n)
+    var uniq = if (hs.length > 0) 1 else 0
+    var k = 1
+    while (k < hs.length) { if (hs(k) != hs(k - 1)) { hs(uniq) = hs(k); uniq += 1 }; k += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(hs, uniq))
+  }
+
+  /** ALL window hashes (one per position, duplicates kept), sorted
+    * ascending — the multiset form that frequency-style per-row stats
+    * (n-gram repetition) need. */
+  def shingleHashesSorted(toks: ArrayData, n: Int): Array[Long] = {
     val digest = md.get()
     val m = toks.numElements()
     val positions = math.max(m - n + 1, 1)
@@ -329,11 +341,23 @@ object Hash60Kernel {
       i += 1
     }
     java.util.Arrays.sort(hs)
-    var uniq = if (positions > 0) 1 else 0
+    hs
+  }
+
+  /** Max multiplicity of any window hash — the longest run in the
+    * sorted multiset. One native pass; no array materialization beyond
+    * the hash buffer. */
+  def maxShingleMultiplicity(toks: ArrayData, n: Int): Long = {
+    val hs = shingleHashesSorted(toks, n)
+    var best = 1
+    var run = 1
     var k = 1
-    while (k < positions) { if (hs(k) != hs(k - 1)) { hs(uniq) = hs(k); uniq += 1 }; k += 1 }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-      java.util.Arrays.copyOf(hs, uniq))
+    while (k < hs.length) {
+      if (hs(k) == hs(k - 1)) { run += 1; if (run > best) best = run }
+      else run = 1
+      k += 1
+    }
+    best.toLong
   }
 }
 
@@ -451,6 +475,28 @@ case class ShingleHash60(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Max multiplicity of any word n-gram (kernel in
+  * [[Hash60Kernel.maxShingleMultiplicity]]) — the per-row core of the
+  * n-gram repetition quality filter. */
+case class MaxShingleRun(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"max_shingle_run requires array<string>, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    Hash60Kernel.maxShingleMultiplicity(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hash60Kernel.maxShingleMultiplicity($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): MaxShingleRun =
+    copy(child = newChild)
+}
+
 /** MinHash signature straight from the token array (kernel in
   * [[MinHashKernel.computeFromTokens]]) — fuses shingling, hashing, and
   * the signature fold; value-identical to `MinHashSig(shingleArray(...))`. */
@@ -511,6 +557,8 @@ object native {
     Bridge.column(MinHashSig(Bridge.expression(shingles), numHashes))
   def shingle_hash60(tokens: Column, n: Int): Column =
     Bridge.column(ShingleHash60(Bridge.expression(tokens), n))
+  def max_shingle_run(tokens: Column, n: Int): Column =
+    Bridge.column(MaxShingleRun(Bridge.expression(tokens), n))
   def minhash_sig_tokens(tokens: Column, n: Int, numHashes: Int): Column =
     Bridge.column(MinHashSigTokens(Bridge.expression(tokens), n, numHashes))
 

@@ -86,6 +86,20 @@ object TextStats {
       .withColumn("h60", hash60(col(textCol)))
       .withColumn("n_chars", length(col(textCol)).cast(LongType))
 
+  /** n-gram repetition stats — the classic repetitive-document quality
+    * filter: documents whose most frequent word n-gram covers a large
+    * fraction of all n-gram positions are boilerplate/spam-shaped.
+    * Pure per-row native kernel (no shuffle): `n_grams` = n-gram
+    * positions, `max_rep` = max multiplicity of any single n-gram.
+    * Integer outputs only, so the oracle is engine-exact; threshold on
+    * `max_rep / n_grams` at the call site. */
+  def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(col(idCol),
+      greatest(size(toks) - (n - 1), lit(1)).cast(LongType).as("n_grams"),
+      graft.functions.native.max_shingle_run(toks, n).as("max_rep"))
+  }
+
   /** Corpus vocabulary: the `k` most frequent whitespace tokens with
     * count >= `minCount`, ordered (count desc, token asc) — the
     * tokenizer-training / frequency-table step of a data pipeline.

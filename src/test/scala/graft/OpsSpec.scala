@@ -200,6 +200,19 @@ class OpsSpec extends AnyFunSuite {
     assert(splitOfSampled == Set("train", "val", "test"))
   }
 
+  test("repetition: repeated n-gram multiplicity, clean text scores 1") {
+    val df = Seq(
+      (0L, "spam spam spam spam spam spam"),           // "spam spam spam" x4
+      (1L, "one two three four five six seven"),       // all 3-grams unique
+      (2L, "ab")                                       // shorter than n
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetition(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == (4L, 4L))  // 4 positions, all the same 3-gram
+    assert(out(1L) == (5L, 1L))
+    assert(out(2L) == (1L, 1L))
+  }
+
   test("KMV sketch: exact below k, within 15% above k, merge == one-pass") {
     val kmv = Sketch.KMV(64).toUdaf
     // below k: exact; NULL hashes skipped like count(DISTINCT)
