@@ -178,6 +178,26 @@ object Drive {
     require(voc.length == 5 && voc.map(_.getLong(1)).toSeq == voc.map(_.getLong(1)).toSeq.sorted.reverse,
       "vocab must return k rows in descending count order")
 
+    println("== r5 drive: splits, KMV sketch, repetition")
+    val splits = graft.ops.Sample.assignSplits(docsAll, "lang", "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"splits -> $splits")
+    require(splits.values.sum == docsAll.count() && splits.getOrElse("train", 0L) > 300,
+      "split labels must partition the corpus with train dominant")
+    val kmv = graft.ops.Sketch.KMV(128).toUdaf
+    val sk = docsAll
+      .select(explode(graft.ops.TextStats.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .select(graft.ops.TextStats.hash60(col("t")).as("h"))
+      .agg(kmv(col("h")).as("est"), countDistinct(col("h")).as("exact")).collect()(0)
+    println(s"sketch -> est=${sk.getLong(0)} exact=${sk.getLong(1)}")
+    require(math.abs(sk.getLong(0) - sk.getLong(1)).toDouble / sk.getLong(1) < 0.3,
+      "KMV estimate must be within 30% of exact distinct")
+    val rep = graft.ops.TextStats.repetition(docsAll, "doc_id", "text", 3)
+      .agg(max(col("max_rep")).as("worst")).collect()(0).getLong(0)
+    println(s"repetition -> worst max_rep=$rep")
+
     println("== streaming append sink drive")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val sdir = java.nio.file.Files.createTempDirectory("drive-stream").toString
