@@ -843,6 +843,18 @@ object SparkEntry {
       Similarity.kmeansAssign(embs(s, d), "vec_id", "embedding", k = 8, iters = 1)
         .orderBy("vec_id")),
 
+    // trained-codebook IVF: k-means(8, 1 iter) codebook into the
+    // nlist/nprobe machinery, exact fixed-point rescoring
+    "x_knn_ivf_trained" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      val cb = Similarity.kmeansCodebook(embs(s, d), "vec_id", "embedding",
+        k = 8, iters = 1)
+      Similarity.ivfTopK(embs(s, d), "vec_id", "embedding", q, 10,
+          nprobe = 3, codebook = Some(cb))
+        .select(col("vec_id"), round(col("score"), 6).as("score"), col("list"))
+    }),
+
     // language-ID (stopword votes, fixed precedence)
     "x_lang_id" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), col("lang"),
@@ -1045,6 +1057,26 @@ object SparkEntry {
      """FROM cand c JOIN sig sa ON sa.doc_id = c.id1 JOIN sig sb ON sb.doc_id = c.id2 AND sa.i = sb.i """ +
      """GROUP BY 1, 2)""")
 
+  /** Shared CTE chain: spherical k-means over `embeddings`, 1 Lloyd
+    * iteration (seed = 8 smallest-id vectors) — yields `el` (exploded
+    * elements), `c1`/`n1` (trained codebook + fixed norms), and `s1`
+    * (every vector's affinity to every trained centroid). Used by the
+    * kmeans-assignment oracle and, extended with probe/score CTEs, by
+    * the trained-IVF oracle. */
+  private def kmeansCtes: String =
+    ("""el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), """ +
+     """cl0 AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)), """ +
+     """c0 AS (SELECT cl0.j, el.i, el.x AS cx FROM el JOIN cl0 USING (vec_id)), """ +
+     """n0 AS (SELECT j, SUM(CAST(round(cx * cx * 1e15) AS BIGINT)) AS dyy FROM c0 GROUP BY 1), """ +
+     """a0 AS (SELECT el.vec_id, c0.j, SUM(CAST(round(el.x * c0.cx * 1e15) AS BIGINT)) AS dxy FROM el JOIN c0 USING (i) GROUP BY 1, 2), """ +
+     """s0 AS (SELECT a0.vec_id, a0.j, CAST(a0.dxy AS DOUBLE) / sqrt(CAST(n0.dyy AS DOUBLE)) AS s FROM a0 JOIN n0 USING (j)), """ +
+     """as0 AS (SELECT vec_id, j AS list FROM (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn FROM s0) WHERE rn = 1), """ +
+     """m1 AS (SELECT a.list, el.i, SUM(CAST(round(el.x * 1e15) AS BIGINT)) AS sf, COUNT(*) AS cnt FROM el JOIN as0 a USING (vec_id) GROUP BY 1, 2), """ +
+     """c1 AS (SELECT c0.j, c0.i, COALESCE(CAST(m1.sf AS DOUBLE) / (m1.cnt * 1e15), c0.cx) AS cx FROM c0 LEFT JOIN m1 ON m1.list = c0.j AND m1.i = c0.i), """ +
+     """n1 AS (SELECT j, SUM(CAST(round(cx * cx * 1e15) AS BIGINT)) AS dyy FROM c1 GROUP BY 1), """ +
+     """a1 AS (SELECT el.vec_id, c1.j, SUM(CAST(round(el.x * c1.cx * 1e15) AS BIGINT)) AS dxy FROM el JOIN c1 USING (i) GROUP BY 1, 2), """ +
+     """s1 AS (SELECT a1.vec_id, a1.j, CAST(a1.dxy AS DOUBLE) / sqrt(CAST(n1.dyy AS DOUBLE)) AS s FROM a1 JOIN n1 USING (j))""")
+
   private def extensionOracles: Map[String, String] = Map(
     "x_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS dups FROM documents GROUP BY text ORDER BY keep_id",
@@ -1180,19 +1212,26 @@ object SparkEntry {
     // invariant) from 1e-15 fixed-point dots; member means accumulate
     // round(x*1e15) as exact integers; empty lists keep their seed
     "x_kmeans_assign" ->
-      ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), """ +
-       """cl0 AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)), """ +
-       """c0 AS (SELECT cl0.j, el.i, el.x AS cx FROM el JOIN cl0 USING (vec_id)), """ +
-       """n0 AS (SELECT j, SUM(CAST(round(cx * cx * 1e15) AS BIGINT)) AS dyy FROM c0 GROUP BY 1), """ +
-       """a0 AS (SELECT el.vec_id, c0.j, SUM(CAST(round(el.x * c0.cx * 1e15) AS BIGINT)) AS dxy FROM el JOIN c0 USING (i) GROUP BY 1, 2), """ +
-       """s0 AS (SELECT a0.vec_id, a0.j, CAST(a0.dxy AS DOUBLE) / sqrt(CAST(n0.dyy AS DOUBLE)) AS s FROM a0 JOIN n0 USING (j)), """ +
-       """as0 AS (SELECT vec_id, j AS list FROM (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn FROM s0) WHERE rn = 1), """ +
-       """m1 AS (SELECT a.list, el.i, SUM(CAST(round(el.x * 1e15) AS BIGINT)) AS sf, COUNT(*) AS cnt FROM el JOIN as0 a USING (vec_id) GROUP BY 1, 2), """ +
-       """c1 AS (SELECT c0.j, c0.i, COALESCE(CAST(m1.sf AS DOUBLE) / (m1.cnt * 1e15), c0.cx) AS cx FROM c0 LEFT JOIN m1 ON m1.list = c0.j AND m1.i = c0.i), """ +
-       """n1 AS (SELECT j, SUM(CAST(round(cx * cx * 1e15) AS BIGINT)) AS dyy FROM c1 GROUP BY 1), """ +
-       """a1 AS (SELECT el.vec_id, c1.j, SUM(CAST(round(el.x * c1.cx * 1e15) AS BIGINT)) AS dxy FROM el JOIN c1 USING (i) GROUP BY 1, 2), """ +
-       """s1 AS (SELECT a1.vec_id, a1.j, CAST(a1.dxy AS DOUBLE) / sqrt(CAST(n1.dyy AS DOUBLE)) AS s FROM a1 JOIN n1 USING (j)) """ +
+      (s"""WITH $kmeansCtes """ +
        """SELECT vec_id, j AS list FROM (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn FROM s1) WHERE rn = 1 ORDER BY vec_id"""),
+
+    // trained IVF end-to-end: the 1-Lloyd-iteration codebook above, then
+    // nprobe=3 probing by the query's own list affinities and exact
+    // fixed-point cosine over the probed candidates
+    "x_knn_ivf_trained" ->
+      (s"""WITH $kmeansCtes, """ +
+       """as1 AS (SELECT vec_id, j AS list FROM (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn FROM s1) WHERE rn = 1), """ +
+       """probes AS (SELECT j AS list FROM s1 WHERE vec_id = 0 ORDER BY s DESC, j LIMIT 3), """ +
+       """cand AS (SELECT a.vec_id, a.list FROM as1 a JOIN probes USING (list)), """ +
+       """norms AS (SELECT vec_id, SUM(CAST(round(x * x * 1e15) AS BIGINT))::BIGINT AS dxx FROM el GROUP BY 1), """ +
+       """qe AS (SELECT i, x AS qx FROM el WHERE vec_id = 0), """ +
+       """dots AS (SELECT el.vec_id, SUM(CAST(round(el.x * qe.qx * 1e15) AS BIGINT))::BIGINT AS dxy """ +
+       """FROM el JOIN qe USING (i) WHERE el.vec_id IN (SELECT vec_id FROM cand) GROUP BY 1), """ +
+       """scored AS (SELECT d.vec_id, CAST(d.dxy AS DOUBLE) / (sqrt(CAST(n.dxx AS DOUBLE)) * """ +
+       """sqrt((SELECT CAST(dxx AS DOUBLE) FROM norms WHERE vec_id = 0))) AS sc """ +
+       """FROM dots d JOIN norms n ON n.vec_id = d.vec_id) """ +
+       """SELECT c.vec_id, round(sc, 6) AS score, c.list FROM scored JOIN cand c USING (vec_id) """ +
+       """ORDER BY sc DESC, c.vec_id LIMIT 10"""),
 
     "x_lang_id" ->
       (s"""WITH c AS (SELECT doc_id, lang, """ +
