@@ -94,7 +94,10 @@ object TextStats {
     * Integer outputs only, so the oracle is engine-exact; threshold on
     * `max_rep / n_grams` at the call site. */
   def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val toks = tokens(col(textCol))
+    // NULL text ≡ empty text (one empty window, max_rep 1) — matching
+    // the oracle, where greatest(NULL, 1) already lands on 1; without
+    // the coalesce the kernel null-propagates and the gate would split
+    val toks = tokens(coalesce(col(textCol), lit("")))
     df.select(col(idCol),
       greatest(size(toks) - (n - 1), lit(1)).cast(LongType).as("n_grams"),
       graft.functions.native.max_shingle_run(toks, n).as("max_rep"))

@@ -194,9 +194,12 @@ object Drive {
     println(s"sketch -> est=${sk.getLong(0)} exact=${sk.getLong(1)}")
     require(math.abs(sk.getLong(0) - sk.getLong(1)).toDouble / sk.getLong(1) < 0.3,
       "KMV estimate must be within 30% of exact distinct")
-    val rep = graft.ops.TextStats.repetition(docsAll, "doc_id", "text", 3)
-      .agg(max(col("max_rep")).as("worst")).collect()(0).getLong(0)
-    println(s"repetition -> worst max_rep=$rep")
+    val repStats = graft.ops.TextStats.repetition(docsAll, "doc_id", "text", 3)
+      .agg(count(lit(1)).as("n"), max(col("max_rep")).as("worst"),
+        min(col("max_rep")).as("best")).collect()(0)
+    println(s"repetition -> docs=${repStats.getLong(0)} worst max_rep=${repStats.getLong(1)}")
+    require(repStats.getLong(0) == docsAll.count() && repStats.getLong(2) >= 1L,
+      "repetition must score every doc with max_rep >= 1")
 
     println("== streaming append sink drive")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

@@ -93,6 +93,23 @@ class ExprSpec extends AnyFunSuite {
     assert(mr.getLong(0) == mr.getLong(1))
   }
 
+  test("max_shingle_run == multiplicity of the most frequent 3-gram string") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    def toks = graft.ops.TextStats.tokens($"text")
+    val grams = explode(transform(sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(3))))).as("g")
+    val spec = docs.select($"doc_id", grams)
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(max("count").as("spec"))
+    docs.select($"doc_id", native.max_shingle_run(toks, 3).as("n"))
+      .join(spec, "doc_id").collect()
+      .foreach(r => assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}"))
+    // planted heavy repetition: "x y z" appears at positions 0,3,6,9
+    val rep = Seq(Tuple1("x y z x y z x y z x y z")).toDF("text")
+    assert(rep.select(native.max_shingle_run(
+      graft.ops.TextStats.tokens($"text"), 3)).collect()(0).getLong(0) == 4L)
+  }
+
   test("fixed_dot fast-path rounding == spec on a seeded sweep + boundary products") {
     // 20k seeded random element pairs plus constructed near-half-integer
     // products, one pair per row so a rounding disagreement is
@@ -181,6 +198,8 @@ class ExprSpec extends AnyFunSuite {
       graft.functions.Hash60(
         BoundReference(1, StringType, nullable = true)),
       graft.functions.ShingleHash60(
+        BoundReference(0, ArrayType(StringType), nullable = true), 3),
+      graft.functions.MaxShingleRun(
         BoundReference(0, ArrayType(StringType), nullable = true), 3),
       graft.functions.MinHashSigTokens(
         BoundReference(0, ArrayType(StringType), nullable = true), 3, 16),
