@@ -562,27 +562,46 @@ object native {
   def minhash_sig_tokens(tokens: Column, n: Int, numHashes: Int): Column =
     Bridge.column(MinHashSigTokens(Bridge.expression(tokens), n, numHashes))
 
-  /** Register `rolling_hash` / `hash60` / `float_dot` / `minhash_sig` for SQL use in
-    * this session. `minhash_sig(shingles, n)` needs a literal signature
-    * width — it sizes the per-JVM coefficient arrays at plan time. */
+  /** Register every native kernel for SQL use in this session, so the
+    * SQL surface matches the Column surface. Width/shape parameters
+    * (`n`, `numHashes`, `planes`, `dim`) must be integer literals — they
+    * size per-JVM tables at plan time. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def intLit(e: Expression, fn: String, arg: String): Int = e match {
+      case l if l.foldable => l.eval() match {
+        case i: Int  => i
+        case l2: Long => l2.toInt
+        case other => throw new IllegalArgumentException(
+          s"$fn: $arg must be an integer literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException(s"$fn: $arg must be a literal")
+    }
     reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "built-in")
     reg.createOrReplaceTempFunction("hash60", es => Hash60(es.head), "built-in")
     reg.createOrReplaceTempFunction("float_dot", es => FloatDot(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("fixed_dot", es => FixedDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig", es => {
       require(es.length == 2, "minhash_sig(shingles, numHashes)")
-      val n = es(1) match {
-        case e if e.foldable => e.eval() match {
-          case i: Int  => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"minhash_sig: numHashes must be an integer literal, got $other")
-        }
-        case _ => throw new IllegalArgumentException(
-          "minhash_sig: numHashes must be a literal")
-      }
-      MinHashSig(es(0), n)
+      MinHashSig(es(0), intLit(es(1), "minhash_sig", "numHashes"))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig_tokens", es => {
+      require(es.length == 3, "minhash_sig_tokens(tokens, n, numHashes)")
+      MinHashSigTokens(es(0), intLit(es(1), "minhash_sig_tokens", "n"),
+        intLit(es(2), "minhash_sig_tokens", "numHashes"))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("shingle_hash60", es => {
+      require(es.length == 2, "shingle_hash60(tokens, n)")
+      ShingleHash60(es(0), intLit(es(1), "shingle_hash60", "n"))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("max_shingle_run", es => {
+      require(es.length == 2, "max_shingle_run(tokens, n)")
+      MaxShingleRun(es(0), intLit(es(1), "max_shingle_run", "n"))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_sig", es => {
+      require(es.length == 3, "hyperplane_sig(vec, planes, dim)")
+      HyperplaneSig(es(0), intLit(es(1), "hyperplane_sig", "planes"),
+        intLit(es(2), "hyperplane_sig", "dim"))
     }, "built-in")
   }
 }

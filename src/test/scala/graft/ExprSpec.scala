@@ -184,6 +184,29 @@ class ExprSpec extends AnyFunSuite {
     assert(e.getMessage.contains("literal"))
   }
 
+  test("every native kernel is callable from SQL and matches its Column form") {
+    native.register(spark)
+    val row = spark.sql(
+      """SELECT shingle_hash60(array('a','b','c','d'), 3) AS sh,
+        |       max_shingle_run(array('x','y','x','y','x'), 2) AS mr,
+        |       fixed_dot(array(0.5f, -0.25f), array(0.5f, 0.5f)) AS fd,
+        |       hyperplane_sig(array(0.1f, -0.2f, 0.3f, 0.4f), 8, 4) AS hp,
+        |       minhash_sig_tokens(array('a','b','c','d'), 3, 8) AS mst
+        |""".stripMargin).collect()(0)
+    val colRow = spark.range(1).select(
+      native.shingle_hash60(typedLit(Seq("a", "b", "c", "d")), 3).as("sh"),
+      native.max_shingle_run(typedLit(Seq("x", "y", "x", "y", "x")), 2).as("mr"),
+      native.fixed_dot(typedLit(Seq(0.5f, -0.25f)), typedLit(Seq(0.5f, 0.5f))).as("fd"),
+      native.hyperplane_sig(typedLit(Seq(0.1f, -0.2f, 0.3f, 0.4f)), 8, 4).as("hp"),
+      native.minhash_sig_tokens(typedLit(Seq("a", "b", "c", "d")), 3, 8).as("mst"))
+      .collect()(0)
+    assert(row.getSeq[Long](0) == colRow.getSeq[Long](0))
+    assert(row.getLong(1) == colRow.getLong(1) && row.getLong(1) == 2L)
+    assert(row.getLong(2) == colRow.getLong(2))
+    assert(row.getLong(3) == colRow.getLong(3))
+    assert(row.getSeq[Long](4) == colRow.getSeq[Long](4))
+  }
+
   test("native expressions generate code (no CodegenFallback)") {
     import org.apache.spark.sql.catalyst.expressions.BoundReference
     import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
