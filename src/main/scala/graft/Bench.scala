@@ -47,7 +47,17 @@ object Bench {
     val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val rt = runTotals.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"run_totals":$rt,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"run_totals":$rt,"sf":"$sfDir"}"""
+    // Persist the record BEFORE any shutdown output: a tail-capture of
+    // stdout once clipped the head of this (long) line. Belt and braces:
+    // write bench.json to the working dir, stop Spark (its shutdown logs
+    // land above us), THEN print the metric as the very last stdout line.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    System.out.flush()
+    println(line)
+    System.out.flush()
   }
 }

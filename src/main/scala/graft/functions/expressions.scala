@@ -166,7 +166,9 @@ object FixedDot {
       if (q.isNaN || q.isInfinite)
         throw new ArithmeticException(
           s"fixed_dot: non-finite element product at index $i")
-      acc += roundHalfUp(q)
+      // addExact: outside the documented |dot|*1e15 < 2^63 range the sum
+      // must fail loudly (as ANSI mode would), not wrap silently
+      acc = Math.addExact(acc, roundHalfUp(q))
       i += 1
     }
     acc
@@ -298,14 +300,21 @@ object Hash60Kernel {
 
   /** hash60 of the space-joined token window `[start, end)` — md5 fed
     * incrementally, byte-identical to hashing `concat_ws(" ", ...)` but
-    * with no joined-string materialization. */
+    * with no joined-string materialization. Null elements are SKIPPED
+    * (no token bytes, no separator), exactly as `concat_ws` drops null
+    * arguments — internal callers tokenize first (never null), but the
+    * SQL-registered surface accepts arbitrary `array<string>`. */
   def hashWindow(toks: ArrayData, start: Int, end: Int,
                  digest: java.security.MessageDigest): Long = {
     digest.reset()
     var j = start
+    var emitted = false
     while (j < end) {
-      if (j > start) digest.update(SPACE)
-      digest.update(toks.getUTF8String(j).getBytes)
+      if (!toks.isNullAt(j)) {
+        if (emitted) digest.update(SPACE)
+        digest.update(toks.getUTF8String(j).getBytes)
+        emitted = true
+      }
       j += 1
     }
     top60(digest.digest())
@@ -571,7 +580,13 @@ object native {
     def intLit(e: Expression, fn: String, arg: String): Int = e match {
       case l if l.foldable => l.eval() match {
         case i: Int  => i
-        case l2: Long => l2.toInt
+        case l2: Long =>
+          // toInt alone would wrap silently: minhash_sig(s, 4294967297L)
+          // must error, not become width 1
+          if (l2 < Int.MinValue || l2 > Int.MaxValue)
+            throw new IllegalArgumentException(
+              s"$fn: $arg must fit in an Int, got $l2")
+          l2.toInt
         case other => throw new IllegalArgumentException(
           s"$fn: $arg must be an integer literal, got $other")
       }

@@ -58,13 +58,33 @@ object Dedup {
     * sides and the size aggregate. Only that final index is cached (and
     * materialized eagerly, at call time); the pre-filter index is read
     * twice (doc-freq agg + join) but both reads shuffle on `s`, so Spark's
-    * ReusedExchange covers it. The cache lives until the session evicts it
-    * (the RESULT is lazy, so this function cannot unpersist); long-lived
-    * sessions processing many corpora should pass false or unpersist via
-    * `spark.sharedState.cacheManager.clearCache()` between corpora. */
+    * ReusedExchange covers it. The RESULT is lazy, so this overload cannot
+    * unpersist the cache itself; long-lived sessions processing many
+    * corpora should use [[jaccardPairsWithHandle]] and close the handle
+    * once done with the result (or pass `cacheIndex = false`). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, maxDocFreq: Option[Long] = None,
-                   cacheIndex: Boolean = true): DataFrame = {
+                   cacheIndex: Boolean = true): DataFrame =
+    jaccardPairsWithHandle(df, idCol, textCol, n, maxDocFreq, cacheIndex)._1
+
+  /** Cache-lifetime handle for [[jaccardPairsWithHandle]]: `close()`
+    * unpersists the cached inverted index deterministically (idempotent —
+    * consume the result DataFrame first; closing frees the index it reads
+    * from). `index` is the cached (doc, shingle-hash) DataFrame itself,
+    * exposed so callers can check `index.storageLevel` or probe the index
+    * for other lookups before closing. None when `cacheIndex = false`. */
+  final case class JaccardIndexHandle private[ops] (index: Option[DataFrame])
+      extends AutoCloseable {
+    override def close(): Unit = index.foreach(_.unpersist(blocking = false))
+  }
+
+  /** [[jaccardPairs]] plus the cache-lifetime handle: `close()` frees the
+    * cached inverted index's blocks deterministically instead of leaking
+    * them for the session's lifetime. With `cacheIndex = false` the
+    * handle is a no-op. */
+  def jaccardPairsWithHandle(df: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3, maxDocFreq: Option[Long] = None,
+                             cacheIndex: Boolean = true): (DataFrame, JaccardIndexHandle) = {
     val sh0 = df.select(col(idCol).as("doc"),
       explode(graft.functions.native.shingle_hash60(
         TextStats.tokens(col(textCol)), n)).as("s"))
@@ -86,17 +106,19 @@ object Dedup {
     // stages (benign "Block already exists" churn in the block manager).
     val filtered = if (cacheIndex) { val f = filtered0.cache(); f.count(); f }
                    else filtered0
+    val handle = JaccardIndexHandle(if (cacheIndex) Some(filtered) else None)
     val sizes = filtered.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = filtered.as("a").join(filtered.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id1"), col("b.doc").as("id2"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val result = inter
       .join(sizes.withColumnRenamed("doc", "id1").withColumnRenamed("sz", "sz1"), "id1")
       .join(sizes.withColumnRenamed("doc", "id2").withColumnRenamed("sz", "sz2"), "id2")
       .select(col("id1"), col("id2"),
         (col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
           .as("jaccard"))
+    (result, handle)
   }
 
   /** Affine rehash of a base shingle hash for permutation `i`:
@@ -162,6 +184,45 @@ object Dedup {
         .cast(DoubleType) / size(col("sig1")).cast(DoubleType)).as("est_jaccard"))
   }
 
+  /** End-to-end near-dup GROUPING — the composed dedup flow as one entry
+    * point: MinHash+banded-LSH candidate pairs ([[minhashPairs]], kept at
+    * `est_jaccard >= minEstJaccard`) → connected components
+    * ([[Cluster.connectedComponents]]) → every input document labeled
+    * with its group's minimum id. Documents with no near-dup partner are
+    * their own group, so the output covers the WHOLE corpus:
+    *
+    *  - `cluster`: the group label (min id reachable via the near-dup
+    *    relation; the document's own id for singletons),
+    *  - `keep`: `id == cluster` — "keep one representative per group";
+    *    `result.filter(col("keep"))` IS the deduplicated corpus.
+    *
+    * Example:
+    * {{{
+    * val groups = Dedup.nearDupGroups(corpus, "doc_id", "text")
+    * val deduped = corpus.join(
+    *   groups.filter(col("keep")).select("doc_id"), "doc_id")
+    * }}}
+    *
+    * Scale shape: candidate generation is collision-bounded (banded LSH,
+    * never all-pairs); clustering shuffles 16-byte (id,label) pairs in
+    * O(log diameter) rounds; the final labeling join shuffles only ids —
+    * and the label table holds just the documents that appear in some
+    * pair (near-dup minorities in practice), so AQE broadcasts it when
+    * small. Document text never leaves its scan. */
+  def nearDupGroups(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                    minEstJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, n, numHashes, bands)
+      .filter(col("est_jaccard") >= minEstJaccard)
+    val labels = Cluster.connectedComponents(pairs, "id1", "id2")
+      .withColumnRenamed("id", "_cc_id")
+    df.select(col(idCol).cast(LongType).as(idCol))
+      .join(labels, col(idCol) === col("_cc_id"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol)).as("cluster"),
+        (coalesce(col("cluster"), col(idCol)) === col(idCol)).as("keep"))
+  }
+
   /** 60-bit SimHash over the token bag — per-row expressions: for each bit
     * j, sum ±1 over token hashes; bit j of the result is the sign.
     * One `aggregate` pass with a 60-counter array accumulator, so each
@@ -185,18 +246,24 @@ object Dedup {
 
   /** Embedding near-dup: deterministic hyperplane-LSH buckets, pairwise
     * cosine only inside a bucket. Planes use ±1 weights derived from
-    * md5 — reproducible, no fitted model. */
+    * md5 — reproducible, no fitted model.
+    *
+    * Malformed vectors (wrong length, null, or containing a null
+    * element) are FILTERED OUT inside the signature scan: the hyperplane
+    * kernel maps every such vector to bucket 0 (HOF-spec parity), so a
+    * polluted minority would otherwise pile into one bucket and the
+    * within-bucket pairwise cosine there goes O(m²). The guard is a
+    * codegen'd per-row predicate in the same scan — no extra job, and
+    * unlike a sampled check it catches a malformed minority anywhere in
+    * the corpus. Rows dropped here can never be near-dup evidence anyway
+    * (their cosine against anything is undefined). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        planes: Int = 12, minCosine: Double = 0.9,
                        dim: Int = 64): DataFrame = {
-    // a dim mismatch would null every projection → ONE bucket → O(n²)
-    // cross join; fail fast instead (one-row sample)
-    df.select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
-      require(r.getInt(0) == dim,
-        s"embeddingNearDup: dim=$dim but vectors have ${r.getInt(0)} elements")
-    }
+    val wellFormed = df.filter(
+      size(col(vecCol)) === dim && forall(col(vecCol), x => x.isNotNull))
     val sig = Similarity.hyperplaneSignature(col(vecCol), planes, dim)
-    val b = df.select(col(idCol).as("doc"), col(vecCol).as("v"), sig.as("bucket"))
+    val b = wellFormed.select(col(idCol).as("doc"), col(vecCol).as("v"), sig.as("bucket"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id1"), col("b.doc").as("id2"),

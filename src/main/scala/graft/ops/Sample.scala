@@ -67,7 +67,16 @@ object Sample {
     * unlisted/default stratum; the key must coalesce it first —
     * concat(NULL, ...) nulls the whole key, the bucket comparison would
     * go NULL, and a filter would silently DROP every null-stratum row.
-    * NULL shares buckets with the empty string (oracle: COALESCE). */
+    * NULL shares buckets with the empty string (oracle: COALESCE).
+    *
+    * A NULL id, by contrast, is NOT coalesced — it nulls the key, so
+    * [[stratifiedHash]] drops the row and [[assignSplits]] labels it
+    * `rest`. That is deliberate: ids are the sampling identity, and two
+    * distinct null-id rows coalesced to one key would always land in the
+    * same bucket (correlated fate with no identity to justify it). A SQL
+    * oracle using the raw id behaves identically (NULL comparisons are
+    * falsy there too). Require non-null ids upstream if every row must
+    * be eligible. */
   private def hashBucket(salt: String, stratumCol: String,
                          idCol: String): org.apache.spark.sql.Column =
     pmod(native.hash60(

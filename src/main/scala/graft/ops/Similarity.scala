@@ -278,6 +278,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** Build a PERSISTED IVF index — the build-once/probe-many shape that
+    * 100 TB ANN actually needs. Every vector is assigned to its nearest
+    * centroid of `codebook` (same fixed-point affinity as [[ivfTopK]])
+    * and written as parquet HIVE-PARTITIONED BY `list`: one directory per
+    * inverted list. [[ivfTopKIndexed]] then probes only the `nprobe`
+    * matching directories — partition pruning happens at file-listing
+    * time, so query cost drops from O(corpus × nlist) per query (the
+    * assign-at-query-time [[ivfTopK]]) to O(probed corpus fraction), and
+    * the nlist-dots-per-row assignment cost is paid ONCE at build.
+    * Rows are range-ordered by id within each list so per-list scans
+    * stay min/max-prunable on id too. */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                    codebook: Seq[Seq[Double]], path: String): Unit = {
+    val dyy = centroidNorms(df.sparkSession, codebook)
+    df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"),
+        nearestCentroid(col(vecCol), codebook, dyy).as("list"))
+      .repartition(col("list"))
+      .sortWithinPartitions(col("id"))
+      .write.partitionBy("list").mode("overwrite").parquet(path)
+  }
+
+  /** Probe a [[buildIvfIndex]] index: rank the query's list affinities
+    * (the engine evaluates every term, so oracle SQL reproduces them),
+    * read ONLY the `nprobe` best list partitions, score candidates with
+    * the exact fixed-point cosine, TakeOrdered top-k. Returns
+    * (`id`, `score`, `list`) — identical results to [[ivfTopK]] with the
+    * same codebook/nprobe, at a fraction of the scan. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     codebook: Seq[Seq[Double]], query: Seq[Float],
+                     k: Int, nprobe: Int): DataFrame = {
+    val dyy = centroidNorms(spark, codebook)
+    val qc = typedLit(query)
+    // one tiny engine job for the query→centroid fixed-point dots
+    val row = spark.range(1).select(codebook.zipWithIndex.map { case (c, j) =>
+      dotFixed(qc, typedLit(c)).as(s"dxy_$j") }: _*).collect()(0)
+    val probes: Seq[Long] = codebook.indices
+      .map(j => (row.getAs[Long](s"dxy_$j").toDouble / math.sqrt(dyy(j).toDouble),
+                 j.toLong))
+      .sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2)
+    // the isin filter on the partition column prunes at file listing —
+    // .explain shows PartitionFilters: [list IN (...)], unprobed
+    // directories are never opened
+    spark.read.parquet(path)
+      .filter(col("list").isin(probes: _*))
+      .select(col("id"), cosineFixed(col("vec"), qc).as("score"),
+        col("list").cast(LongType).as("list"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** Bucketed ANN top-k: score only vectors whose bucket is within
     * `probeHamming` bits of the query's bucket. `exactDecimal` scores
     * candidates with the fixed-point kernel (cross-engine exact). */

@@ -39,30 +39,52 @@ object Sketch {
     override def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] =
       if (h == null) buf else insert(buf, h.longValue())
 
-    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
-      b.foldLeft(a)(insert)
+    /** Two-pointer merge of two sorted distinct k-min sets, truncated to
+      * k — O(|a| + |b|) per partial-aggregate merge (the fold-insert
+      * formulation was O(k²) worst-case). Contents are identical to
+      * inserting every element, so the estimator is bit-for-bit
+      * unchanged. */
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.length == 0) return b
+      if (b.length == 0) return a
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < a.length || j < b.length)) {
+        out(n) =
+          if (j >= b.length)      { val v = a(i); i += 1; v }
+          else if (i >= a.length) { val v = b(j); j += 1; v }
+          else if (a(i) < b(j))   { val v = a(i); i += 1; v }
+          else if (a(i) > b(j))   { val v = b(j); j += 1; v }
+          else                    { val v = a(i); i += 1; j += 1; v }
+        n += 1
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
 
     override def finish(buf: Array[Long]): Long =
       if (buf.length < k) buf.length.toLong
       else Math.floor((k - 1).toDouble * Two60 / buf.last + 0.5).toLong
 
-    private def insert(buf: Array[Long], h: Long): Array[Long] = {
+    private[graft] def insert(buf: Array[Long], h: Long): Array[Long] = {
       val pos = java.util.Arrays.binarySearch(buf, h)
       if (pos >= 0) buf                            // already present
       else {
         val ins = -pos - 1
         if (buf.length < k) {
+          // growth phase: at most k allocations over a group's lifetime
           val out = new Array[Long](buf.length + 1)
           System.arraycopy(buf, 0, out, 0, ins)
           out(ins) = h
           System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
           out
-        } else if (ins < k) {                      // displaces the current max
-          val out = new Array[Long](k)
-          System.arraycopy(buf, 0, out, 0, ins)
-          out(ins) = h
-          System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
-          out
+        } else if (ins < k) {
+          // steady state (the 100 TB regime): displace the current max
+          // IN PLACE — zero allocation per insert (the per-insert copy
+          // was real GC churn at corpus scale × k=256). Safe: the
+          // aggregator owns its buffer between encoder round-trips.
+          System.arraycopy(buf, ins, buf, ins + 1, k - ins - 1)
+          buf(ins) = h
+          buf
         } else buf
       }
     }

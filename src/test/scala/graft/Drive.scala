@@ -230,6 +230,35 @@ object Drive {
     println(s"stream-dedup -> $dn rows from 60 inputs (expect 30)")
     require(dn == 30, "streaming dedup must keep one row per digest")
 
+    println("== r6 drive: persisted IVF index (build once, probe partitions)")
+    val idxPath = java.nio.file.Files.createTempDirectory("drive-ivf").toString
+    graft.ops.Similarity.buildIvfIndex(embAll, "vec_id", "embedding", cb, idxPath)
+    val probed = graft.ops.Similarity.ivfTopKIndexed(spark, idxPath, cb, qv, 5, nprobe = 3)
+    val iv2 = probed.collect()
+    iv2.foreach(r => println(s"indexed-ivf -> id=${r.getLong(0)} score=${r.getDouble(1)} list=${r.getLong(2)}"))
+    require(iv2.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      tivf.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq,
+      "indexed probe must return the identical top-k as assign-at-query-time")
+    val planStr = probed.queryExecution.executedPlan.toString
+    require(planStr.contains("PartitionFilters"), "indexed probe must partition-prune")
+    println("indexed-ivf plan partition-prunes: OK")
+
+    println("== r6 drive: nearDupGroups composed entry point")
+    val ndg = graft.ops.Dedup.nearDupGroups(docsAll.select("doc_id", "text"), "doc_id", "text")
+    val nKeep = ndg.filter(col("keep")).count()
+    println(s"nearDupGroups -> ${ndg.count()} docs, $nKeep keepers")
+    require(ndg.count() == docsAll.count(), "groups must cover the whole corpus")
+    require(nKeep == ndg.select("cluster").distinct().count(), "one keeper per group")
+
+    println("== r6 drive: jaccard cache handle frees the index")
+    val (jpH, h) = graft.ops.Dedup.jaccardPairsWithHandle(docsAll, "doc_id", "text", 3,
+      maxDocFreq = Some(100L))
+    println(s"handle-jaccard -> ${jpH.count()} pairs; cached=${h.index.get.storageLevel.useMemory}")
+    h.close()
+    require(h.index.get.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "close() must unpersist the index")
+    println("handle closed, blocks freed: OK")
+
     spark.stop()
     println("== drive done")
   }

@@ -66,6 +66,54 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(out(0).getDouble(2) - 1.0) < 1e-9)
   }
 
+  test("embedding near-dup: malformed vectors are dropped in-scan, no bucket-0 pileup") {
+    // a malformed MINORITY (wrong dim, null element, null vector) beyond
+    // row 1 — the old one-row sample missed these; all would land in
+    // bucket 0 and pair with each other O(m²)
+    val rows: Seq[(Long, Seq[java.lang.Float])] = Seq(
+      0L -> Seq[java.lang.Float](1.0f, 2.0f, -1.0f, 0.5f),
+      1L -> Seq[java.lang.Float](2.0f, 4.0f, -2.0f, 1.0f),  // 2× vec 0 → cosine 1
+      2L -> Seq[java.lang.Float](-1.0f, 0.3f, 2.0f, -0.7f),
+      3L -> Seq[java.lang.Float](1.0f, 2.0f),                // wrong dim
+      4L -> Seq[java.lang.Float](1.0f, 2.0f, null, 0.5f),    // null element
+      5L -> null                                             // null vector
+    )
+    val vecs = rows.toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+      planes = 8, minCosine = 0.99, dim = 4).collect()
+    // only the well-formed near-dup pair survives; no malformed id appears
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1)) == (0L, 1L))
+  }
+
+  test("jaccard handle: close() frees the cached index blocks, result unaffected") {
+    val (pairs, handle) = Dedup.jaccardPairsWithHandle(docsDf, "doc_id", "text", 3)
+    val top = pairs.orderBy(col("jaccard").desc).collect()
+    assert((top.head.getLong(0), top.head.getLong(1)) == (0L, 3L))
+    val idx = handle.index.get
+    assert(idx.storageLevel.useMemory, "index should be cached while the handle is open")
+    handle.close()
+    assert(idx.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "close() must unpersist the cached index")
+    handle.close() // idempotent
+    // the result stays recomputable after the cache is gone
+    assert(pairs.count() == top.length.toLong)
+  }
+
+  test("nearDupGroups: whole-corpus labels, singletons self-labeled, keep == one per group") {
+    val groups = Dedup.nearDupGroups(docsDf, "doc_id", "text", n = 3,
+      numHashes = 32, bands = 8, minEstJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(groups.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))      // covers every input doc
+    assert(groups(0L) == (0L, true) && groups(1L) == (0L, false) &&
+      groups(3L) == (0L, false))                              // {0,1,3} one group, min kept
+    assert(groups(2L) == (2L, true) && groups(4L) == (4L, true) &&
+      groups(5L) == (5L, true))                               // singletons keep themselves
+    // exactly one keeper per cluster label
+    val byCluster = groups.values.groupBy(_._1)
+    assert(byCluster.values.forall(_.count(_._2) == 1))
+  }
+
   test("brute topK returns self first with score 1") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" === 7).select("embedding").collect()(0).getSeq[Float](0)
@@ -92,6 +140,39 @@ class OpsSpec extends AnyFunSuite {
     val brute = Similarity.topK(emb, "vec_id", "embedding", q, 10)
       .collect().map(_.getLong(0)).toSet
     assert(ivf.map(_.getLong(0)).count(brute) >= 5)
+  }
+
+  test("persisted IVF index: probed top-k equals assign-at-query-time ivfTopK, partitions pruned") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select("embedding").collect()(0).getSeq[Float](0)
+    val cb = Similarity.kmeansCodebook(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val path = TestSpark.tmpDir("ivf-idx")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", cb, path)
+    val probe = Similarity.ivfTopKIndexed(spark, path, cb, q, 10, nprobe = 2)
+    val indexed = probe.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val direct = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
+        nprobe = 2, codebook = Some(cb)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(indexed == direct)
+    // the probe must hit the partition-pruning path: the list filter shows
+    // up as a PartitionFilter on the scan, not a post-scan Filter
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("list"),
+      s"expected a partition-pruned scan, got:\n$scan")
+  }
+
+  test("KMV merge: two-pointer merge == element-wise insert (property)") {
+    val kmv = Sketch.KMV(8)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 300) {
+      val a = Array.fill(rnd.nextInt(12))(rnd.nextInt(40).toLong)
+        .distinct.sorted.take(8)
+      val b = Array.fill(rnd.nextInt(12))(rnd.nextInt(40).toLong)
+        .distinct.sorted.take(8)
+      val expect = b.foldLeft(a.clone())((acc, h) => kmv.insert(acc, h)).toSeq
+      assert(kmv.merge(a.clone(), b.clone()).toSeq == expect)
+    }
   }
 
   test("connected components: chains merge, min-id labels, isolated pairs separate") {
