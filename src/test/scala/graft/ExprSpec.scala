@@ -49,6 +49,40 @@ class ExprSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("shingle_hash60 skips null tokens exactly like concat_ws") {
+    // internal callers tokenize first (never null), but the SQL-registered
+    // surface accepts arbitrary array<string>: a null element must be
+    // dropped (no bytes, no separator) exactly as concat_ws drops it
+    val df = Seq(1).toDF("one").select(
+      array(lit("a"), lit(null).cast("string"), lit("b"), lit("c")).as("toks"))
+    val spec = array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(size($"toks") - 2, lit(1))),
+      i => graft.ops.TextStats.hash60Spec(concat_ws(" ", slice($"toks", i, lit(3)))))))
+    val got = df.select(native.shingle_hash60($"toks", 3).as("fused"),
+      spec.as("spec")).collect()
+    got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("SQL width literals reject longs outside Int range") {
+    native.register(spark)
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    val e = intercept[Throwable] {
+      spark.sql("SELECT minhash_sig(array('a'), 4294967297)").collect()
+    }
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("must fit in an Int"))),
+      s"expected a width-overflow error, got: $e")
+  }
+
+  test("fixed_dot fails loudly when the fixed-point sum overflows a Long") {
+    val df = Seq((Seq(3e2f, 3e2f), Seq(3e2f, 3e2f))).toDF("a", "b")
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    val e = intercept[Throwable] { df.select(native.fixed_dot($"a", $"b")).collect() }
+    assert(chain(e).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in the cause chain, got: $e")
+  }
+
   test("minhash_sig_tokens == minhash_sig over shingleArray") {
     val df = Seq("the quick brown fox jumps over the lazy dog", "tiny", "")
       .toDF("text")
