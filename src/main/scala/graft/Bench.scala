@@ -53,8 +53,11 @@ object Bench {
     // stdout once clipped the head of this (long) line. Belt and braces:
     // write bench.json to the working dir, stop Spark (its shutdown logs
     // land above us), THEN print the metric as the very last stdout line.
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+    // The file write is best-effort — it must never eat the stdout line.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
     spark.stop()
     System.out.flush()
     println(line)

@@ -166,8 +166,16 @@ object FixedDot {
       if (q.isNaN || q.isInfinite)
         throw new ArithmeticException(
           s"fixed_dot: non-finite element product at index $i")
-      // addExact: outside the documented |dot|*1e15 < 2^63 range the sum
-      // must fail loudly (as ANSI mode would), not wrap silently
+      // outside the documented |dot|*1e15 < 2^63 range the result must
+      // fail loudly (as ANSI mode would), not wrap or saturate silently:
+      // the range check catches a single huge product (double→long
+      // conversion would CLAMP to Long.MaxValue), addExact catches
+      // overflow of the running sum. 9.223372036854776E18 is 2^63 as a
+      // double; every double strictly below it fits in a Long.
+      if (q >= 9.223372036854776e18 || q < -9.223372036854776e18)
+        throw new ArithmeticException(
+          s"fixed_dot: element product at index $i exceeds the 1e-15 " +
+            "fixed-point range (|x*y| must stay below ~9.2e3)")
       acc = Math.addExact(acc, roundHalfUp(q))
       i += 1
     }
@@ -416,19 +424,24 @@ object MinHashKernel {
     var s = 0
     val n = arr.numElements()
     while (s < n) {
-      digest.reset()
-      val b = digest.digest(arr.getUTF8String(s).getBytes)
-      // top 15 hex digits == top 60 bits of the digest
-      var h = 0L
-      var j = 0
-      while (j < 7) { h = (h << 8) | (b(j) & 0xffL); j += 1 }
-      h = (h << 4) | ((b(7) & 0xf0L) >>> 4)
-      val hm = h % P
-      var i = 0
-      while (i < numHashes) {
-        val r = (as(i) * hm + bs(i)) % P
-        if (r < sig(i)) sig(i) = r
-        i += 1
+      // null shingles are SKIPPED, matching the HOF spec (hash60(null) is
+      // null and `least(m, null)` keeps m) — the SQL-registered surface
+      // accepts arbitrary array<string>, internal callers never pass null
+      if (!arr.isNullAt(s)) {
+        digest.reset()
+        val b = digest.digest(arr.getUTF8String(s).getBytes)
+        // top 15 hex digits == top 60 bits of the digest
+        var h = 0L
+        var j = 0
+        while (j < 7) { h = (h << 8) | (b(j) & 0xffL); j += 1 }
+        h = (h << 4) | ((b(7) & 0xf0L) >>> 4)
+        val hm = h % P
+        var i = 0
+        while (i < numHashes) {
+          val r = (as(i) * hm + bs(i)) % P
+          if (r < sig(i)) sig(i) = r
+          i += 1
+        }
       }
       s += 1
     }

@@ -216,7 +216,15 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
     val labels = Cluster.connectedComponents(pairs, "id1", "id2")
       .withColumnRenamed("id", "_cc_id")
-    df.select(col(idCol).cast(LongType).as(idCol))
+    // ids must cast to Long (the clustering key type). A null or
+    // non-numeric id would cast to null, match nothing in the join, and
+    // leave cluster/keep NULL — filter(keep) would then silently drop
+    // the whole corpus. Fail loudly per offending row instead.
+    val idL = when(col(idCol).cast(LongType).isNotNull, col(idCol).cast(LongType))
+      .otherwise(raise_error(concat(
+        lit(s"nearDupGroups: id column '$idCol' must be non-null and numeric, got: "),
+        coalesce(col(idCol).cast(StringType), lit("NULL")))))
+    df.select(idL.as(idCol))
       .join(labels, col(idCol) === col("_cc_id"), "left")
       .select(col(idCol),
         coalesce(col("cluster"), col(idCol)).as("cluster"),
@@ -256,10 +264,22 @@ object Dedup {
     * codegen'd per-row predicate in the same scan — no extra job, and
     * unlike a sampled check it catches a malformed minority anywhere in
     * the corpus. Rows dropped here can never be near-dup evidence anyway
-    * (their cosine against anything is undefined). */
+    * (their cosine against anything is undefined).
+    *
+    * A one-row sample check is KEPT alongside the filter with the
+    * opposite job: a `dim` argument that mismatches the whole corpus
+    * (config error, not dirty data) fails loudly up front instead of
+    * the filter silently producing zero pairs. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        planes: Int = 12, minCosine: Double = 0.9,
                        dim: Int = 64): DataFrame = {
+    df.select(size(col(vecCol)).as("sz")).filter(col("sz") === dim)
+      .limit(1).collect().headOption.getOrElse {
+        val seen = df.select(size(col(vecCol))).limit(1).collect()
+          .headOption.map(_.get(0)).getOrElse("empty corpus")
+        throw new IllegalArgumentException(
+          s"embeddingNearDup: dim=$dim matches no vector (first row has $seen elements)")
+      }
     val wellFormed = df.filter(
       size(col(vecCol)) === dim && forall(col(vecCol), x => x.isNotNull))
     val sig = Similarity.hyperplaneSignature(col(vecCol), planes, dim)

@@ -75,12 +75,30 @@ class ExprSpec extends AnyFunSuite {
   }
 
   test("fixed_dot fails loudly when the fixed-point sum overflows a Long") {
-    val df = Seq((Seq(3e2f, 3e2f), Seq(3e2f, 3e2f))).toDF("a", "b")
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: chain(t.getCause)
+    // accumulation overflow across elements
+    val df = Seq((Seq(3e2f, 3e2f), Seq(3e2f, 3e2f))).toDF("a", "b")
     val e = intercept[Throwable] { df.select(native.fixed_dot($"a", $"b")).collect() }
     assert(chain(e).exists(_.isInstanceOf[ArithmeticException]),
       s"expected ArithmeticException in the cause chain, got: $e")
+    // a SINGLE huge product must also throw — double→long conversion
+    // would otherwise silently CLAMP to Long.MaxValue
+    val one = Seq((Seq(1e3f), Seq(1e3f))).toDF("a", "b")
+    val e2 = intercept[Throwable] { one.select(native.fixed_dot($"a", $"b")).collect() }
+    assert(chain(e2).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException for a clamped single product, got: $e2")
+  }
+
+  test("minhash_sig skips null shingles like the HOF spec (SQL-surface inputs)") {
+    // HOF spec: hash60(null) is null and least(m, null) keeps m — a null
+    // shingle contributes nothing; the native kernel must not NPE
+    val df = Seq(1).toDF("one").select(
+      array(lit("a"), lit(null).cast("string"), lit("b")).as("sh"),
+      array(lit("a"), lit("b")).as("shClean"))
+    val got = df.select(native.minhash_sig($"sh", 8).as("withNull"),
+      native.minhash_sig($"shClean", 8).as("clean")).collect()(0)
+    assert(got.getSeq[Long](0) == got.getSeq[Long](1))
   }
 
   test("minhash_sig_tokens == minhash_sig over shingleArray") {

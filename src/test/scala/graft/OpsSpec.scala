@@ -162,6 +162,42 @@ class OpsSpec extends AnyFunSuite {
       s"expected a partition-pruned scan, got:\n$scan")
   }
 
+  test("embedding near-dup: a dim argument matching NO vector fails loudly") {
+    val vecs = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(2.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDup(vecs, "vec_id", "embedding", planes = 8,
+        minCosine = 0.9, dim = 64)
+    }
+    assert(e.getMessage.contains("matches no vector"))
+  }
+
+  test("nearDupGroups: null or non-numeric ids raise instead of silently dropping") {
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    def msgs(t: Throwable): String =
+      chain(t).flatMap(c => Option(c.getMessage)).mkString(" | ")
+    // non-numeric string ids: under ANSI (Spark 4 default) the cast itself
+    // throws; under non-ANSI our raise_error guard fires — loud either way
+    val bad = Seq(("doc-1", "some text here for shingles"),
+      ("doc-2", "other text here for shingles")).toDF("doc_id", "text")
+    val e = intercept[Throwable] {
+      Dedup.nearDupGroups(bad, "doc_id", "text").collect()
+    }
+    assert(msgs(e).contains("must be non-null and numeric") ||
+      msgs(e).contains("CAST_INVALID_INPUT"),
+      s"expected a loud id-cast failure, got: $e")
+    // NULL ids pass any cast silently — only the guard catches them
+    val withNull = Seq((java.lang.Long.valueOf(1L), "some text here for shingles"),
+      (null.asInstanceOf[java.lang.Long], "other text here for shingles"))
+      .toDF("doc_id", "text")
+    val e2 = intercept[Throwable] {
+      Dedup.nearDupGroups(withNull, "doc_id", "text").collect()
+    }
+    assert(msgs(e2).contains("must be non-null and numeric"),
+      s"expected the null-id guard to fire, got: $e2")
+  }
+
   test("KMV merge: two-pointer merge == element-wise insert (property)") {
     val kmv = Sketch.KMV(8)
     val rnd = new scala.util.Random(42)
