@@ -812,6 +812,20 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")),
 
+    // corpus-level line dedup (boilerplate stripping): planted banner/
+    // footer lines cross the doc-freq threshold and are removed from
+    // every document; each doc's own text line is unique and kept
+    "x_line_dedup" -> ((s, d) => {
+      val src = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("== COOKIE NOTICE ==\n"), col("text"),
+            lit("\nAll rights reserved")))
+          .otherwise(concat(col("text"), lit("\nAll rights reserved")))
+          .as("text"))
+      Dedup.stripBoilerplate(src, "doc_id", "text", maxDocFreq = 100L)
+        .orderBy("doc_id")
+    }),
+
     // composed near-dup GROUPING entry point: LSH pairs → connected
     // components → keep-min, every doc labeled (singletons keep own id)
     "x_neardup_groups" -> ((s, d) =>
@@ -1215,6 +1229,26 @@ object SparkEntry {
        """reach(id, r) AS (SELECT id, id FROM verts """ +
        """UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id) """ +
        """SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY doc_id"""),
+
+    // line dedup: same planted construction; doc-frequency counts
+    // distinct containing docs per line hash, whitespace-only lines are
+    // exempt, kept lines reassemble in position order
+    "x_line_dedup" ->
+      (s"""WITH src AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 """ +
+       """THEN '== COOKIE NOTICE ==' || chr(10) || text || chr(10) || 'All rights reserved' """ +
+       """ELSE text || chr(10) || 'All rights reserved' END AS text FROM documents), """ +
+       """ln AS (SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1) AS pos, """ +
+       """unnest(string_split(text, chr(10))) AS line FROM src), """ +
+       s"""hl AS (SELECT doc_id, pos, line, ${h60sql("line")} AS h FROM ln), """ +
+       """boiler AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM hl WHERE trim(line) <> '') """ +
+       """GROUP BY h HAVING count(*) > 100), """ +
+       """kept AS (SELECT * FROM hl WHERE h NOT IN (SELECT h FROM boiler)), """ +
+       """agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text, """ +
+       """count(*) AS n_kept FROM kept GROUP BY doc_id) """ +
+       """SELECT s.doc_id, COALESCE(a.clean_text, '') AS clean_text, """ +
+       """COALESCE(a.n_kept, 0) AS n_kept, """ +
+       """len(string_split(s.text, chr(10)))::BIGINT AS n_lines """ +
+       """FROM src s LEFT JOIN agg a USING (doc_id) ORDER BY s.doc_id"""),
 
     // composed grouping = the clustering reachability labels LEFT-joined
     // back onto the whole planted corpus; singletons label themselves

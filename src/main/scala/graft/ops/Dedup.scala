@@ -231,6 +231,49 @@ object Dedup {
         (coalesce(col("cluster"), col(idCol)) === col(idCol)).as("keep"))
   }
 
+  /** Corpus-level LINE dedup (boilerplate stripping, the C4/RefinedWeb
+    * cleaning step): a line occurring in more than `maxDocFreq` DISTINCT
+    * documents (cookie banners, navigation menus, footers) is removed
+    * from every document; all other lines are kept verbatim, in order.
+    * Whitespace-only lines are never counted or removed (they carry
+    * formatting, not boilerplate, and would otherwise always cross any
+    * threshold). Output: (`idCol`, `clean_text`, `n_kept`, `n_lines`) —
+    * one row per input document, documents whose every line was
+    * boilerplate yield `clean_text = ""`.
+    *
+    * Scale shape: doc-frequency is counted over the 8-byte
+    * [[TextStats.hash60]] of each line — the (doc, hash) dedup and the
+    * frequency count partial-aggregate map-side and shuffle hashes, not
+    * line text. The removal is a left-anti join of the exploded lines
+    * against the boilerplate-hash set, which is tiny by construction
+    * (only hashes with df > threshold survive), so AQE broadcasts it and
+    * the lines are not shuffled for the join. The one full-text shuffle
+    * is the per-document reassembly groupBy — unavoidable, since the
+    * output IS the reassembled text. */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       maxDocFreq: Long): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)))
+      .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_line")
+      .withColumn("_h", TextStats.hash60(col("_line")))
+    val boiler = lines.filter(trim(col("_line")) =!= "")
+      .select(col(idCol), col("_h")).distinct()
+      .groupBy("_h").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select("_h")
+    val kept = lines.join(boiler, Seq("_h"), "left_anti")
+    val reassembled = kept.groupBy(col(idCol)).agg(
+      concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("_pos"), col("_line")))),
+        s => s.getField("_line"))).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n", -1)).cast(LongType).as("n_lines"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("n_lines"))
+  }
+
   /** 60-bit SimHash over the token bag — per-row expressions: for each bit
     * j, sum ±1 over token hashes; bit j of the result is the sign.
     * One `aggregate` pass with a 60-counter array accumulator, so each

@@ -250,6 +250,19 @@ object Drive {
     require(ndg.count() == docsAll.count(), "groups must cover the whole corpus")
     require(nKeep == ndg.select("cluster").distinct().count(), "one keeper per group")
 
+    println("== r6 drive: corpus-level line dedup (boilerplate stripping)")
+    val boilSrc = docsAll.select(col("doc_id"),
+      concat(lit("NAVBAR\n"), col("text"), lit("\nFOOTER")).as("text"))
+    val stripped = graft.ops.Dedup.stripBoilerplate(boilSrc, "doc_id", "text", 100L)
+    val sNo = stripped.filter(col("clean_text").contains("NAVBAR") ||
+      col("clean_text").contains("FOOTER")).count()
+    println(s"stripBoilerplate -> ${stripped.count()} docs, $sNo with residual boilerplate (expect 0)")
+    require(sNo == 0, "boilerplate lines above the doc-freq threshold must vanish")
+    require(stripped.agg(min(col("n_kept"))).collect()(0).getLong(0) >= 1L,
+      "every doc keeps its unique text line")
+    val boilPlan = stripped.queryExecution.executedPlan.toString
+    println(s"anti-join broadcasts the boiler set: ${boilPlan.contains("BroadcastHashJoin") || boilPlan.contains("BroadcastNestedLoop")}")
+
     println("== r6 drive: jaccard cache handle frees the index")
     val (jpH, h) = graft.ops.Dedup.jaccardPairsWithHandle(docsAll, "doc_id", "text", 3,
       maxDocFreq = Some(100L))

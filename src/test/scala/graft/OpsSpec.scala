@@ -162,6 +162,26 @@ class OpsSpec extends AnyFunSuite {
       s"expected a partition-pruned scan, got:\n$scan")
   }
 
+  test("stripBoilerplate: frequent lines removed, order kept, blanks exempt, all-boiler docs empty") {
+    val corpus = Seq(
+      (0L, "BANNER\nunique zero\n\nBANNER2"),
+      (1L, "BANNER\nunique one\nBANNER2"),
+      (2L, "BANNER\nunique two\nBANNER2"),
+      (3L, "BANNER\nBANNER2")                      // nothing unique left
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplate(corpus, "doc_id", "text", maxDocFreq = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // BANNER (df 4) and BANNER2 (df 4) removed; blank line in doc 0 kept
+    assert(out(0L) == ("unique zero\n", 2L, 4L))
+    assert(out(1L) == ("unique one", 1L, 3L))
+    assert(out(2L) == ("unique two", 1L, 3L))
+    assert(out(3L) == ("", 0L, 2L))
+    // below the threshold nothing is removed
+    val loose = Dedup.stripBoilerplate(corpus, "doc_id", "text", maxDocFreq = 10L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(1L) == "BANNER\nunique one\nBANNER2")
+  }
+
   test("embedding near-dup: a dim argument matching NO vector fails loudly") {
     val vecs = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(2.0f, 4.0f)))
       .toDF("vec_id", "embedding")
