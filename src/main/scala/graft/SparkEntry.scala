@@ -812,6 +812,22 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")),
 
+    // CROSS-corpus near-dup: a fresh batch (docs 200-299 plus 3 planted
+    // variants of reference docs) deduped against the reference snapshot
+    // (docs < 200) — the banded-LSH join between two corpora
+    "x_dedup_cross" -> ((s, d) => {
+      val ref = docs(s, d).filter(col("doc_id") < 200).select("doc_id", "text")
+      val fresh = docs(s, d)
+        .filter(col("doc_id") >= 200 && col("doc_id") < 300)
+        .select("doc_id", "text")
+        .unionByName(docs(s, d).filter(col("doc_id") < 3)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+      Dedup.minhashPairsAgainst(fresh, ref, "doc_id", "text", 3, 32, 8)
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("id_new", "id_ref")
+    }),
+
     // corpus-level line dedup (boilerplate stripping): planted banner/
     // footer lines cross the doc-freq threshold and are removed from
     // every document; each doc's own text line is unique and kept
@@ -1229,6 +1245,27 @@ object SparkEntry {
        """reach(id, r) AS (SELECT id, id FROM verts """ +
        """UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id) """ +
        """SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY doc_id"""),
+
+    // cross-corpus LSH: one combined side-tagged corpus through the same
+    // sig/band chain, candidates = new-side × ref-side band collisions
+    "x_dedup_cross" ->
+      (s"""WITH docs2 AS (SELECT 0 AS side, doc_id, text FROM documents WHERE doc_id < 200 """ +
+       """UNION ALL SELECT 1, doc_id, text FROM documents WHERE doc_id >= 200 AND doc_id < 300 """ +
+       """UNION ALL SELECT 1, doc_id + 2000000, text || ' zzz' FROM documents WHERE doc_id < 3), """ +
+       s"""toks AS (SELECT side, doc_id, $TOK AS l FROM docs2), """ +
+       """sh AS (SELECT DISTINCT side, doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
+       """i -> array_to_string(l[i:i+2], ' '))) AS s FROM toks), """ +
+       s"""hm AS (SELECT side, doc_id, ${h60sql("s")} % 2147483647 AS h FROM sh), """ +
+       """sig AS (SELECT side, doc_id, g.i AS i, """ +
+       """min((((g.i * 2654435761) % 2147483647 + 1) * h + (g.i * 40503) % 2147483647 + 7) % 2147483647) AS mh """ +
+       """FROM hm, generate_series(0, 31) g(i) GROUP BY 1, 2, 3), """ +
+       """bands AS (SELECT side, doc_id, i // 4 AS band, list(mh ORDER BY i) AS bl FROM sig GROUP BY side, doc_id, i // 4), """ +
+       """cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_ref FROM bands a """ +
+       """JOIN bands b ON a.band = b.band AND a.bl = b.bl AND a.side = 1 AND b.side = 0), """ +
+       """agree AS (SELECT c.id_new, c.id_ref, SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS est """ +
+       """FROM cand c JOIN sig sa ON sa.doc_id = c.id_new AND sa.side = 1 """ +
+       """JOIN sig sb ON sb.doc_id = c.id_ref AND sb.side = 0 AND sa.i = sb.i GROUP BY 1, 2) """ +
+       """SELECT id_new, id_ref, est AS est_jaccard FROM agree WHERE est >= 0.5 ORDER BY id_new, id_ref"""),
 
     // line dedup: same planted construction; doc-frequency counts
     // distinct containing docs per line hash, whitespace-only lines are

@@ -184,6 +184,59 @@ object Dedup {
         .cast(DoubleType) / size(col("sig1")).cast(DoubleType)).as("est_jaccard"))
   }
 
+  /** CROSS-corpus near-dup: banded-LSH candidate pairs between a NEW
+    * corpus and a REFERENCE corpus — the "dedupe this crawl against the
+    * already-cleaned snapshot" step, which the self-join operators can't
+    * express. Both frames must expose `idCol`/`textCol`; ids must be
+    * disjoint across frames only if the caller wants to tell them apart.
+    * Returns (`id_new`, `id_ref`, `est_jaccard`), one row per colliding
+    * pair.
+    *
+    * Scale shape mirrors [[minhashPairs]]: signatures are pure per-row
+    * native kernels (no shuffle), candidates come from a (band, bandHash)
+    * equi-join of the two banded sides — each side shuffles once on the
+    * 12-byte band key, cost tracks real collisions, never |new|×|ref|.
+    * The reference side's banded form can be computed once and reused
+    * across many incoming batches (it is a plain DataFrame — persist it). */
+  def minhashPairsAgainst(dfNew: DataFrame, dfRef: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 3, numHashes: Int = 32,
+                          bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    // same optimizer barrier as minhashPairs: without the repartition,
+    // CollapseProject inlines the signature into the Generate and
+    // re-evaluates it once per emitted band row
+    def banded(df: DataFrame, idOut: String, sigOut: String) =
+      minhashSignatures(df, idCol, textCol, n, numHashes)
+        .repartition(col(idCol))
+        .select(col(idCol).as(idOut), col("sig").as(sigOut),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(col("sig"), (b * r + 1).cast(IntegerType), lit(r))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val cand = banded(dfNew, "id_new", "sig_new")
+      .join(banded(dfRef, "id_ref", "sig_ref"), Seq("band", "bh"))
+      .select(col("id_new"), col("id_ref"), col("sig_new"), col("sig_ref"))
+      .dropDuplicates("id_new", "id_ref")
+    cand.select(col("id_new"), col("id_ref"),
+      (size(filter(zip_with(col("sig_new"), col("sig_ref"), (x, y) => x === y), b => b))
+        .cast(DoubleType) / size(col("sig_new")).cast(DoubleType)).as("est_jaccard"))
+  }
+
+  /** Remove from `dfNew` every document whose estimated Jaccard against
+    * ANY reference document reaches `minEstJaccard` — the one-call form
+    * of cross-corpus dedup. A left-anti join on the matched id set; the
+    * matched set holds only colliding ids (small), so AQE broadcasts it. */
+  def dedupAgainst(dfNew: DataFrame, dfRef: DataFrame,
+                   idCol: String, textCol: String,
+                   n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                   minEstJaccard: Double = 0.5): DataFrame = {
+    val matched = minhashPairsAgainst(dfNew, dfRef, idCol, textCol, n, numHashes, bands)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_new").as(idCol)).distinct()
+    dfNew.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** End-to-end near-dup GROUPING — the composed dedup flow as one entry
     * point: MinHash+banded-LSH candidate pairs ([[minhashPairs]], kept at
     * `est_jaccard >= minEstJaccard`) → connected components

@@ -263,6 +263,16 @@ object Drive {
     val boilPlan = stripped.queryExecution.executedPlan.toString
     println(s"anti-join broadcasts the boiler set: ${boilPlan.contains("BroadcastHashJoin") || boilPlan.contains("BroadcastNestedLoop")}")
 
+    println("== r6 drive: cross-corpus dedup (fresh batch vs reference snapshot)")
+    val refCorpus = docsAll.filter(col("doc_id") < 300).select("doc_id", "text")
+    val freshBatch = docsAll.filter(col("doc_id") >= 300).select("doc_id", "text")
+      .unionByName(refCorpus.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+    val kept = graft.ops.Dedup.dedupAgainst(freshBatch, refCorpus, "doc_id", "text")
+    val planted = kept.filter(col("doc_id") >= 900000L).count()
+    println(s"dedupAgainst -> ${freshBatch.count()} fresh, ${kept.count()} kept, planted copies left=$planted (expect 0)")
+    require(planted == 0, "exact copies of reference docs must be removed")
+
     println("== r6 drive: jaccard cache handle frees the index")
     val (jpH, h) = graft.ops.Dedup.jaccardPairsWithHandle(docsAll, "doc_id", "text", 3,
       maxDocFreq = Some(100L))

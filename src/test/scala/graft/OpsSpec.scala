@@ -162,6 +162,27 @@ class OpsSpec extends AnyFunSuite {
       s"expected a partition-pruned scan, got:\n$scan")
   }
 
+  test("cross-corpus dedup: fresh near-dups of the reference are found and removable") {
+    val ref = docsDf.filter(col("doc_id") < 4)         // ids 0-3
+    val fresh = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and runs away fast"),  // exact copy of ref 0
+      (101L, "the quick brown fox jumps over the lazy dog and runs away swiftly"), // near-dup of ref 0
+      (102L, "entirely novel content nothing like the reference corpus at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsAgainst(fresh, ref, "doc_id", "text", 3, 32, 8)
+      .filter(col("est_jaccard") >= 0.5).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((100L, 0L)) && found.contains((100L, 3L)),
+      s"exact copy must pair with both identical ref docs, got $found")
+    assert(!found.exists(_._1 == 102L), "novel doc must not pair")
+    assert(pairs.find(r => (r.getLong(0), r.getLong(1)) == (100L, 0L))
+      .get.getDouble(2) == 1.0)
+    val surviving = Dedup.dedupAgainst(fresh, ref, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(surviving.contains(102L) && !surviving.contains(100L),
+      s"dedupAgainst must drop matched docs only, got $surviving")
+  }
+
   test("stripBoilerplate: frequent lines removed, order kept, blanks exempt, all-boiler docs empty") {
     val corpus = Seq(
       (0L, "BANNER\nunique zero\n\nBANNER2"),
