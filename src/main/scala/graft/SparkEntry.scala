@@ -991,6 +991,17 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // sequence packing: documents laid out in id order per source and
+    // assigned to contiguous 4096-token packs (training-shard layout)
+    "x_sample_pack" -> ((s, d) => {
+      val counted = docs(s, d).select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"),
+        size(TextStats.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      Sample.packByTokenBudget(counted, "source", "doc_id", "n_tokens", 4096L)
+        .select("doc_id", "source", "n_tokens", "pack_offset", "pack_id")
+        .orderBy("doc_id")
+    }),
+
     // deterministic train/val/test split labels (80/10/10 by hash bucket)
     "x_sample_split" -> ((s, d) =>
       Sample.assignSplits(docs(s, d), "lang", "doc_id",
@@ -1485,6 +1496,13 @@ object SparkEntry {
        """SELECT lang, CASE WHEN exact < 256 THEN exact """ +
        """ELSE CAST(floor(255 * 1152921504606846976.0 / hk + 0.5) AS BIGINT) END AS est_distinct, """ +
        """exact AS exact_distinct FROM x ORDER BY lang"""),
+
+    "x_sample_pack" ->
+      (s"""WITH c AS (SELECT doc_id, COALESCE(source, '') AS source, len($TOK)::BIGINT AS n_tokens FROM documents), """ +
+       """o AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id """ +
+       """ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pack_offset FROM c) """ +
+       """SELECT doc_id, source, n_tokens, pack_offset, pack_offset // 4096 AS pack_id """ +
+       """FROM o ORDER BY doc_id"""),
 
     "x_sample_split" ->
       (s"""SELECT doc_id, lang, CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' """ +

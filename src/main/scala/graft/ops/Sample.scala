@@ -61,6 +61,35 @@ object Sample {
     df.withColumn("split", split)
   }
 
+  /** Deterministic sequence PACKING — the sharding step after sampling
+    * and splitting: documents are laid out in `idCol` order within each
+    * `groupCol` partition (source, language, split...) and assigned to
+    * consecutive packs of `budget` tokens. A document starting before a
+    * pack boundary belongs to the pack its first token falls in
+    * (`pack_id = floor(cumulative_tokens_before / budget)`), so packs
+    * are contiguous, reproducible, and stable: appending new documents
+    * with larger ids never reassigns existing ones. Output adds
+    * `pack_id` and `pack_offset` (the document's first-token offset
+    * within its group's token stream — byte-ranges for shard writers).
+    *
+    * Scale shape: ONE hash shuffle on `groupCol` + a running-sum window
+    * per group — the same plan at 1000 executors; token counts ride the
+    * window, text never does (pass a precomputed count column). Groups
+    * are the parallelism unit: pack within (source × split) rather than
+    * one global group so no single task owns the whole corpus. */
+  def packByTokenBudget(df: DataFrame, groupCol: String, idCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val before = coalesce(sum(col(tokenCol)).over(w), lit(0L))
+    df.withColumn("pack_offset", before)
+      // `div` = exact integer division (a double `/` would round past
+      // 2^53 token offsets); offsets are non-negative so div == floor
+      .withColumn("pack_id", expr(s"pack_offset div ${budget}L"))
+  }
+
   /** The per-row bucket in [0, 1e6). `salt` decorrelates independent
     * decisions over the same corpus — without it, a 10% sample would sit
     * entirely inside the first 10% of every split. NULL stratum = the

@@ -358,6 +358,27 @@ class OpsSpec extends AnyFunSuite {
     assert(splitOfSampled == Set("train", "val", "test"))
   }
 
+  test("packByTokenBudget: contiguous offsets per group, stable under growth") {
+    val df = Seq(
+      (0L, "a", 100L), (1L, "a", 150L), (2L, "a", 300L), (3L, "a", 60L),
+      (4L, "b", 500L), (5L, "b", 10L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val out = Sample.packByTokenBudget(df, "source", "doc_id", "n_tokens", 256L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // group a offsets: 0, 100, 250, 550; doc 2 straddles packs 0-2 but is
+    // assigned where its FIRST token falls (pack 0); doc 3 lands in pack 2
+    assert(out(0L) == (0L, 0L) && out(1L) == (100L, 0L))
+    assert(out(2L) == (250L, 0L) && out(3L) == (550L, 2L))
+    // group b is an independent token stream
+    assert(out(4L) == (0L, 0L) && out(5L) == (500L, 1L))
+    // appending a larger-id doc never reassigns existing ones
+    val grown = df.unionByName(Seq((6L, "a", 999L)).toDF("doc_id", "source", "n_tokens"))
+    val out2 = Sample.packByTokenBudget(grown, "source", "doc_id", "n_tokens", 256L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(df.collect().map(_.getLong(0)).forall(id => out2(id) == out(id)))
+    assert(out2(6L) == (610L, 2L))
+  }
+
   test("repetition: repeated n-gram multiplicity, clean text scores 1") {
     val df = Seq(
       (0L, "spam spam spam spam spam spam"),           // "spam spam spam" x4
