@@ -156,23 +156,40 @@ object Dedup {
     df.select(col(idCol), sig.as("sig"))
   }
 
+  /** Shared banding chain for the self-join and cross-corpus LSH paths:
+    * signatures → `bands` per-band hashes, exploded to one row per
+    * (id, band). NULL signatures (NULL-text documents) are dropped
+    * first — `hash(slice(NULL, ...))` evaluates to the seed constant,
+    * so every NULL-text row would band-collide with every other one and
+    * the candidate join would materialize a |nulls|² cross product of
+    * meaningless NULL-estimate pairs. A NULL document can't be near-dup
+    * evidence; it is simply not indexed.
+    *
+    * The repartition is an optimizer barrier, not (just) a distribution
+    * choice: without it, CollapseProject inlines the whole signature
+    * expression into the Generate below and re-evaluates it once per
+    * emitted band row (bands× the cost). */
+  private def bandedSigs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, numHashes: Int, bands: Int,
+                         idOut: String, sigOut: String): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    minhashSignatures(df, idCol, textCol, n, numHashes)
+      .filter(col("sig").isNotNull)
+      .repartition(col(idCol))
+      .select(col(idCol), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), (b * r + 1).cast(IntegerType), lit(r))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      .withColumnRenamed(idCol, idOut).withColumnRenamed("sig", sigOut)
+  }
+
   /** Banded-LSH candidate pairs + signature-estimated Jaccard.
     * bands×rowsPerBand must equal the signature length. Cost is driven by
     * real collisions: the self-join key is (band index, band hash). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // The repartition is an optimizer barrier, not (just) a distribution
-    // choice: without it, CollapseProject inlines the whole signature
-    // expression into the Generate below and re-evaluates it once per
-    // emitted band row (bands× the cost).
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
-      .repartition(col(idCol))
-    val banded = sigs.select(col(idCol).as("doc"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), (b * r + 1).cast(IntegerType), lit(r))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val banded = bandedSigs(df, idCol, textCol, n, numHashes, bands, "doc", "sig")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc") < col("b.doc"))
@@ -202,20 +219,9 @@ object Dedup {
                           idCol: String, textCol: String,
                           n: Int = 3, numHashes: Int = 32,
                           bands: Int = 8): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // same optimizer barrier as minhashPairs: without the repartition,
-    // CollapseProject inlines the signature into the Generate and
-    // re-evaluates it once per emitted band row
-    def banded(df: DataFrame, idOut: String, sigOut: String) =
-      minhashSignatures(df, idCol, textCol, n, numHashes)
-        .repartition(col(idCol))
-        .select(col(idCol).as(idOut), col("sig").as(sigOut),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => hash(slice(col("sig"), (b * r + 1).cast(IntegerType), lit(r))))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    val cand = banded(dfNew, "id_new", "sig_new")
-      .join(banded(dfRef, "id_ref", "sig_ref"), Seq("band", "bh"))
+    val cand = bandedSigs(dfNew, idCol, textCol, n, numHashes, bands, "id_new", "sig_new")
+      .join(bandedSigs(dfRef, idCol, textCol, n, numHashes, bands, "id_ref", "sig_ref"),
+        Seq("band", "bh"))
       .select(col("id_new"), col("id_ref"), col("sig_new"), col("sig_ref"))
       .dropDuplicates("id_new", "id_ref")
     cand.select(col("id_new"), col("id_ref"),
@@ -291,18 +297,24 @@ object Dedup {
     * Whitespace-only lines are never counted or removed (they carry
     * formatting, not boilerplate, and would otherwise always cross any
     * threshold). Output: (`idCol`, `clean_text`, `n_kept`, `n_lines`) —
-    * one row per input document, documents whose every line was
-    * boilerplate yield `clean_text = ""`.
+    * one row per input document; documents whose every line was
+    * boilerplate yield `clean_text = ""`, documents with NULL text yield
+    * `clean_text = NULL` with `n_kept = n_lines = 0` (the two cases are
+    * distinguishable).
     *
     * Scale shape: doc-frequency is counted over the 8-byte
     * [[TextStats.hash60]] of each line — the (doc, hash) dedup and the
     * frequency count partial-aggregate map-side and shuffle hashes, not
-    * line text. The removal is a left-anti join of the exploded lines
-    * against the boilerplate-hash set, which is tiny by construction
-    * (only hashes with df > threshold survive), so AQE broadcasts it and
-    * the lines are not shuffled for the join. The one full-text shuffle
-    * is the per-document reassembly groupBy — unavoidable, since the
-    * output IS the reassembled text. */
+    * line text. The removal is a LEFT join of the exploded lines against
+    * the boilerplate-hash set, which is tiny by construction (only
+    * hashes with df > threshold survive), so AQE broadcasts it and the
+    * lines are never shuffled for it; kept lines and both counts then
+    * come out of ONE reassembly aggregation (conditional collect_list),
+    * the single full-text shuffle the output requires. The exploded
+    * lines feed two consumers (frequency count and reassembly) and are
+    * deliberately recomputed rather than cached: re-scanning columnar
+    * source beats pinning or shuffling the full exploded text at corpus
+    * scale — `.cache()` the input `df` to change that trade-off. */
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
                        maxDocFreq: Long): DataFrame = {
     val lines = df.select(col(idCol),
@@ -313,18 +325,23 @@ object Dedup {
       .select(col(idCol), col("_h")).distinct()
       .groupBy("_h").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq)
-      .select("_h")
-    val kept = lines.join(boiler, Seq("_h"), "left_anti")
-    val reassembled = kept.groupBy(col(idCol)).agg(
+      .select(col("_h"), lit(true).as("_boil"))
+    val flagged = lines.join(boiler, Seq("_h"), "left")
+    // collect_list drops NULLs, so the when() keeps boilerplate rows out
+    // of the reassembly while count(*) still sees every line
+    val agg = flagged.groupBy(col(idCol)).agg(
       concat_ws("\n", transform(
-        array_sort(collect_list(struct(col("_pos"), col("_line")))),
+        array_sort(collect_list(
+          when(col("_boil").isNull, struct(col("_pos"), col("_line"))))),
         s => s.getField("_line"))).as("clean_text"),
-      count(lit(1)).as("n_kept"))
-    df.select(col(idCol),
-        size(split(col(textCol), "\n", -1)).cast(LongType).as("n_lines"))
-      .join(reassembled, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("n_lines"))
+      count(when(col("_boil").isNull, lit(1))).as("n_kept"),
+      count(lit(1)).as("n_lines"))
+    // NULL-text docs generate no lines at all — restore them with NULL
+    // clean_text (distinct from the all-boilerplate empty string)
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"))
   }
 
   /** 60-bit SimHash over the token bag — per-row expressions: for each bit

@@ -84,7 +84,14 @@ object Sample {
       .partitionBy(groupCol).orderBy(idCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val before = coalesce(sum(col(tokenCol)).over(w), lit(0L))
-    df.withColumn("pack_offset", before)
+    // a NULL token count would be skipped by the window sum — the doc
+    // would get a pack while consuming no budget, silently overflowing
+    // its pack's accounting. Fail loudly per offending row instead.
+    val checked = when(col(tokenCol).isNotNull, before)
+      .otherwise(raise_error(concat(
+        lit(s"packByTokenBudget: null token count ('$tokenCol') for id "),
+        coalesce(col(idCol).cast("string"), lit("NULL")))))
+    df.withColumn("pack_offset", checked)
       // `div` = exact integer division (a double `/` would round past
       // 2^53 token offsets); offsets are non-negative so div == floor
       .withColumn("pack_id", expr(s"pack_offset div ${budget}L"))

@@ -203,6 +203,34 @@ class OpsSpec extends AnyFunSuite {
     assert(loose(1L) == "BANNER\nunique one\nBANNER2")
   }
 
+  test("NULL-text docs are not LSH-indexed; NULL counts/texts surface explicitly") {
+    // cross-corpus: a NULL-text doc on each side must produce ZERO pairs
+    // (hash(slice(NULL,..)) is a constant, so unguarded NULL sigs would
+    // band-collide pairwise into a |nulls|² cross product)
+    val withNulls = Seq((0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, null)).toDF("doc_id", "text")
+    val refNulls = Seq((10L, "completely unrelated reference content here"),
+      (11L, null)).toDF("doc_id", "text")
+    assert(Dedup.minhashPairsAgainst(withNulls, refNulls, "doc_id", "text").count() == 0L)
+    assert(Dedup.minhashPairs(withNulls.unionByName(refNulls), "doc_id", "text").count() == 0L)
+    // line dedup: NULL text yields NULL clean_text (distinct from the
+    // all-boilerplate empty string), zero counts
+    val sb = Dedup.stripBoilerplate(withNulls, "doc_id", "text", 10L)
+      .collect().map(r => r.getLong(0) -> ((r.isNullAt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(sb(1L) == (true, 0L, 0L) && sb(0L)._1 == false)
+    // packing: a NULL token count fails loudly instead of consuming no budget
+    val counts = Seq((0L, "a", java.lang.Long.valueOf(5L)),
+      (1L, "a", null.asInstanceOf[java.lang.Long])).toDF("doc_id", "source", "n_tokens")
+    val e = intercept[Throwable] {
+      Sample.packByTokenBudget(counts, "source", "doc_id", "n_tokens", 100L).collect()
+    }
+    def msgs(t: Throwable): String = {
+      def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
+      chain(e).flatMap(c => Option(c.getMessage)).mkString(" | ")
+    }
+    assert(msgs(e).contains("null token count"), s"expected loud failure, got: $e")
+  }
+
   test("embedding near-dup: a dim argument matching NO vector fails loudly") {
     val vecs = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(2.0f, 4.0f)))
       .toDF("vec_id", "embedding")
