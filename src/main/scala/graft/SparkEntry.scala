@@ -970,6 +970,12 @@ object SparkEntry {
     "x_vocab" -> ((s, d) =>
       TextStats.vocab(docs(s, d), "text", k = 100, minCount = 5L)),
 
+    // overlapping fixed-window chunking (embedding/RAG prep): 32-token
+    // windows sharing 8 tokens, final window clamped to the doc end
+    "x_chunk" -> ((s, d) =>
+      TextStats.chunk(docs(s, d), "doc_id", "text", chunkTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id")),
+
     // n-gram repetition stats (the repetitive-document quality filter)
     "x_repetition" -> ((s, d) =>
       TextStats.repetition(docs(s, d), "doc_id", "text", n = 3)
@@ -1478,6 +1484,17 @@ object SparkEntry {
     "x_vocab" ->
       (s"""SELECT t AS token, count(*) AS cnt FROM (SELECT unnest($TOK) AS t FROM documents) """ +
        """WHERE t <> '' GROUP BY 1 HAVING count(*) >= 5 ORDER BY cnt DESC, token LIMIT 100"""),
+
+    // chunking: window starts are generate_series(1, len-overlap, stride)
+    // zipped with their subscript (DuckDB unnests in lockstep); slices
+    // clamp at the list end exactly like Spark's slice
+    "x_chunk" ->
+      (s"""WITH t AS (SELECT doc_id, $TOK AS l FROM documents), """ +
+       """st AS (SELECT doc_id, l, """ +
+       """unnest(generate_series(1, greatest(len(l) - 8, 1), 24)) AS s, """ +
+       """generate_subscripts(generate_series(1, greatest(len(l) - 8, 1), 24), 1) - 1 AS chunk_id FROM t) """ +
+       """SELECT doc_id, chunk_id::BIGINT AS chunk_id, array_to_string(l[s:s+31], ' ') AS chunk_text, """ +
+       """least(len(l) - s + 1, 32)::BIGINT AS n_tokens FROM st ORDER BY doc_id, chunk_id"""),
 
     "x_repetition" ->
       (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents), """ +

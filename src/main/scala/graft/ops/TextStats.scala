@@ -103,6 +103,35 @@ object TextStats {
       graft.functions.native.max_shingle_run(toks, n).as("max_rep"))
   }
 
+  /** Overlapping fixed-window CHUNKING — the embedding/RAG prep step:
+    * each document becomes consecutive windows of `chunkTokens`
+    * whitespace tokens, adjacent windows sharing `overlap` tokens, the
+    * final window clamped to the document end (so every token is in at
+    * least one chunk and every chunk keeps more than `overlap` tokens).
+    * Output: one row per chunk — (`idCol`, `chunk_id` 0-based,
+    * `chunk_text`, `n_tokens`). A document shorter than one window
+    * yields exactly one chunk of itself.
+    *
+    * Scale shape: pure per-row generation — the window starts, slices,
+    * and joins are ONE generator expression (the token split is
+    * evaluated once per document, not once per chunk), no shuffle, no
+    * state; scales linearly with corpus size like the rest of
+    * [[TextStats]]. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need chunkTokens > 0 and 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val starts = sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(stride))
+    val chunks = transform(starts, s => struct(
+      concat_ws(" ", slice(toks, s, lit(chunkTokens))).as("text"),
+      least(size(toks) - s + 1, lit(chunkTokens)).cast(LongType).as("n")))
+    df.select(col(idCol), posexplode(chunks))
+      .select(col(idCol), col("pos").cast(LongType).as("chunk_id"),
+        col("col.text").as("chunk_text"), col("col.n").as("n_tokens"))
+  }
+
   /** Corpus vocabulary: the `k` most frequent whitespace tokens with
     * count >= `minCount`, ordered (count desc, token asc) — the
     * tokenizer-training / frequency-table step of a data pipeline.

@@ -440,6 +440,23 @@ class OpsSpec extends AnyFunSuite {
     assert(dup.agg(kmv($"h")).collect()(0).getLong(0) == est)
   }
 
+  test("chunk: overlapping windows cover all tokens, short docs yield one chunk") {
+    val df = Seq((0L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),  // 10 tokens
+      (1L, "a b"), (2L, "solo")).toDF("doc_id", "text")
+    val out = TextStats.chunk(df, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3)))).toMap
+    // stride 3, starts 1,4,7 over 10 tokens: [1..4],[4..7],[7..10]
+    assert(out((0L, 0L)) == ("t1 t2 t3 t4", 4L))
+    assert(out((0L, 1L)) == ("t4 t5 t6 t7", 4L))
+    assert(out((0L, 2L)) == ("t7 t8 t9 t10", 4L))
+    assert(out((1L, 0L)) == ("a b", 2L))
+    assert(out((2L, 0L)) == ("solo", 1L))
+    assert(out.size == 5)
+    // every token of doc 0 appears in some chunk
+    val covered = out.collect { case ((0L, _), (t, _)) => t.split(" ") }.flatten.toSet
+    assert((1 to 10).forall(i => covered(s"t$i")))
+  }
+
   test("vocab: counts, minCount floor, and (cnt desc, token) order") {
     val df = Seq("a b b c c c", "c d d", "").toDF("text")
     val out = TextStats.vocab(df, "text", k = 10, minCount = 2L)
