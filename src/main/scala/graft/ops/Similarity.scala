@@ -291,13 +291,35 @@ object Similarity {
     * stay min/max-prunable on id too. */
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                     codebook: Seq[Seq[Double]], path: String): Unit = {
-    val dyy = centroidNorms(df.sparkSession, codebook)
+    val spark = df.sparkSession
+    val dyy = centroidNorms(spark, codebook)
     df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"),
         nearestCentroid(col(vecCol), codebook, dyy).as("list"))
       .repartition(col("list"))
       .sortWithinPartitions(col("id"))
       .write.partitionBy("list").mode("overwrite").parquet(path)
+    // the index is SELF-DESCRIBING: the codebook rides inside the index
+    // tree (an underscore-prefixed subdir is invisible to parquet file
+    // listing, so scans of `path` never see it) — probe-time callers
+    // need only the path
+    import spark.implicits._
+    codebook.zipWithIndex.map { case (c, j) => (j.toLong, c) }
+      .toDF("j", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
   }
+
+  /** The codebook a [[buildIvfIndex]] index was built with, in list-id
+    * order. */
+  def loadIvfCodebook(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/_codebook").orderBy("j")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+
+  /** [[ivfTopKIndexed]] against a self-describing index — the codebook
+    * is read from the index tree. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     query: Seq[Float], k: Int, nprobe: Int): DataFrame =
+    ivfTopKIndexed(spark, path, loadIvfCodebook(spark, path), query, k, nprobe)
 
   /** Probe a [[buildIvfIndex]] index: rank the query's list affinities
     * (the engine evaluates every term, so oracle SQL reproduces them),

@@ -160,6 +160,12 @@ class OpsSpec extends AnyFunSuite {
     val scan = probe.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") && scan.contains("list"),
       s"expected a partition-pruned scan, got:\n$scan")
+    // the index is self-describing: probing by path alone (codebook read
+    // from inside the index tree) returns the identical top-k
+    assert(Similarity.loadIvfCodebook(spark, path) == cb)
+    val selfDesc = Similarity.ivfTopKIndexed(spark, path, q, 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(selfDesc == direct)
   }
 
   test("cross-corpus dedup: fresh near-dups of the reference are found and removable") {
