@@ -1489,7 +1489,7 @@ object SparkEntry {
     // zipped with their subscript (DuckDB unnests in lockstep); slices
     // clamp at the list end exactly like Spark's slice
     "x_chunk" ->
-      (s"""WITH t AS (SELECT doc_id, $TOK AS l FROM documents), """ +
+      (s"""WITH t AS (SELECT doc_id, string_split_regex(lower(COALESCE(text, '')), '\\s+') AS l FROM documents), """ +
        """st AS (SELECT doc_id, l, """ +
        """unnest(generate_series(1, greatest(len(l) - 8, 1), 24)) AS s, """ +
        """generate_subscripts(generate_series(1, greatest(len(l) - 8, 1), 24), 1) - 1 AS chunk_id FROM t) """ +

@@ -174,8 +174,11 @@ object Dedup {
                          idOut: String, sigOut: String): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    minhashSignatures(df, idCol, textCol, n, numHashes)
-      .filter(col("sig").isNotNull)
+    // the null filter sits on the TEXT column, not the signature: a
+    // filter on `sig` gets predicate-pushed below the projection and the
+    // minhash kernel (the dominant per-row cost) would run twice per row
+    // — text IS NULL ⟺ sig IS NULL, and the text check pushes to the scan
+    minhashSignatures(df.filter(col(textCol).isNotNull), idCol, textCol, n, numHashes)
       .repartition(col(idCol))
       .select(col(idCol), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -112,21 +112,27 @@ object TextStats {
     * `chunk_text`, `n_tokens`). A document shorter than one window
     * yields exactly one chunk of itself.
     *
-    * Scale shape: pure per-row generation — the window starts, slices,
-    * and joins are ONE generator expression (the token split is
-    * evaluated once per document, not once per chunk), no shuffle, no
-    * state; scales linearly with corpus size like the rest of
-    * [[TextStats]]. */
+    * Scale shape: pure per-row generation — no shuffle, no state; the
+    * token split is LET-BOUND through a one-element-array `transform`
+    * so it evaluates once per DOCUMENT. Referencing `tokens(text)`
+    * directly from the window lambdas would re-split the document once
+    * per chunk (HOF bodies re-evaluate free expressions per element —
+    * the same trap the MinHash path documents; measured 50× on long
+    * documents, turning the linear op quadratic). As a lambda VARIABLE
+    * the array is computed once and shared by every window.
+    * NULL text ≡ empty text (one empty chunk), mirroring
+    * [[repetition]]'s oracle-parity convention. */
   def chunk(df: DataFrame, idCol: String, textCol: String,
             chunkTokens: Int, overlap: Int = 0): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       "need chunkTokens > 0 and 0 <= overlap < chunkTokens")
     val stride = chunkTokens - overlap
-    val toks = tokens(col(textCol))
-    val starts = sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(stride))
-    val chunks = transform(starts, s => struct(
-      concat_ws(" ", slice(toks, s, lit(chunkTokens))).as("text"),
-      least(size(toks) - s + 1, lit(chunkTokens)).cast(LongType).as("n")))
+    val toks = tokens(coalesce(col(textCol), lit("")))
+    val chunks = element_at(transform(array(toks), tk => transform(
+      sequence(lit(1), greatest(size(tk) - overlap, lit(1)), lit(stride)),
+      s => struct(
+        concat_ws(" ", slice(tk, s, lit(chunkTokens))).as("text"),
+        least(size(tk) - s + 1, lit(chunkTokens)).cast(LongType).as("n")))), 1)
     df.select(col(idCol), posexplode(chunks))
       .select(col(idCol), col("pos").cast(LongType).as("chunk_id"),
         col("col.text").as("chunk_text"), col("col.n").as("n_tokens"))
