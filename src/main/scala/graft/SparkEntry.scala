@@ -970,6 +970,13 @@ object SparkEntry {
     "x_vocab" -> ((s, d) =>
       TextStats.vocab(docs(s, d), "text", k = 100, minCount = 5L)),
 
+    // TF-IDF term table over a sub-corpus; the gate compares the
+    // engine-exact integer columns (the ln score is libm-dependent)
+    "x_tfidf" -> ((s, d) =>
+      TextStats.tfIdf(docs(s, d).filter(col("doc_id") < 100), "doc_id", "text")
+        .select("doc_id", "token", "tf", "df", "n_docs")
+        .orderBy(col("tf").desc, col("token"), col("doc_id")).limit(100)),
+
     // overlapping fixed-window chunking (embedding/RAG prep): 32-token
     // windows sharing 8 tokens, final window clamped to the doc end
     "x_chunk" -> ((s, d) =>
@@ -1484,6 +1491,14 @@ object SparkEntry {
     "x_vocab" ->
       (s"""SELECT t AS token, count(*) AS cnt FROM (SELECT unnest($TOK) AS t FROM documents) """ +
        """WHERE t <> '' GROUP BY 1 HAVING count(*) >= 5 ORDER BY cnt DESC, token LIMIT 100"""),
+
+    "x_tfidf" ->
+      (s"""WITH t AS (SELECT doc_id, unnest($TOK) AS token FROM documents WHERE doc_id < 100), """ +
+       """tf AS (SELECT doc_id, token, count(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2), """ +
+       """dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), """ +
+       """n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 100) """ +
+       """SELECT tf.doc_id, tf.token, tf.tf, dfq.df, (SELECT n_docs FROM n)::BIGINT AS n_docs """ +
+       """FROM tf JOIN dfq USING (token) ORDER BY tf.tf DESC, tf.token, tf.doc_id LIMIT 100"""),
 
     // chunking: window starts are generate_series(1, len-overlap, stride)
     // zipped with their subscript (DuckDB unnests in lockstep); slices

@@ -103,6 +103,35 @@ object TextStats {
       graft.functions.native.max_shingle_run(toks, n).as("max_rep"))
   }
 
+  /** Per-(document, token) term statistics + TF-IDF — the classic
+    * term-weighting table (keyword extraction, tokenizer diagnostics,
+    * relevance features). Output: one row per distinct (doc, token) —
+    * `tf` (occurrences in the doc), `df` (documents containing the
+    * token), `n_docs`, and `tfidf = tf * (ln((n_docs+1)/(df+1)) + 1)`
+    * (smoothed, sklearn-style).
+    *
+    * Scale shape: explode → ONE (doc, token) hash aggregate with
+    * map-side partials (heavy tokens collapse before the exchange);
+    * doc-freq re-aggregates the already-distinct (doc, token) pairs —
+    * narrow rows, not raw tokens; the tf⋈df join shuffles on the token
+    * and the vocab-sized df side broadcasts under AQE. `n_docs` is one
+    * scalar count. The integer columns are engine-exact; the ln-based
+    * score is libm-dependent, so cross-engine gates compare the integer
+    * columns (x_tfidf does). */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nDocs = df.count()
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token")
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        lit(nDocs).as("n_docs"),
+        (col("tf").cast(DoubleType) *
+          (log(lit((nDocs + 1).toDouble) / (col("df") + 1).cast(DoubleType))
+            + lit(1.0))).as("tfidf"))
+  }
+
   /** Overlapping fixed-window CHUNKING — the embedding/RAG prep step:
     * each document becomes consecutive windows of `chunkTokens`
     * whitespace tokens, adjacent windows sharing `overlap` tokens, the

@@ -446,6 +446,21 @@ class OpsSpec extends AnyFunSuite {
     assert(dup.agg(kmv($"h")).collect()(0).getLong(0) == est)
   }
 
+  test("tfIdf: tf counts occurrences, df counts docs, rare terms outscore common ones") {
+    val df = Seq((0L, "alpha alpha beta"), (1L, "beta gamma"), (2L, "beta"))
+      .toDF("doc_id", "text")
+    val out = TextStats.tfIdf(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out((0L, "alpha")) == ((2L, 1L, 3L, out((0L, "alpha"))._4)))
+    assert(out((0L, "beta"))._1 == 1L && out((0L, "beta"))._2 == 3L)
+    assert(out((1L, "gamma"))._2 == 1L)
+    // alpha (tf 2, df 1) must outscore beta (tf 1, df 3) in doc 0
+    assert(out((0L, "alpha"))._4 > out((0L, "beta"))._4)
+    // smoothed idf floor: a token in every doc still scores tf * (ln(1)+1) = tf
+    assert(math.abs(out((2L, "beta"))._4 - 1.0) < 1e-12)
+  }
+
   test("chunk: overlapping windows cover all tokens, short docs yield one chunk") {
     val df = Seq((0L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),  // 10 tokens
       (1L, "a b"), (2L, "solo")).toDF("doc_id", "text")
