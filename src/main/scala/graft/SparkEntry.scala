@@ -970,6 +970,19 @@ object SparkEntry {
     "x_vocab" -> ((s, d) =>
       TextStats.vocab(docs(s, d), "text", k = 100, minCount = 5L)),
 
+    // PII scrubbing over planted emails/URLs/numbers: the redacted TEXT
+    // is gated (patterns match identically under Java regex and RE2),
+    // not just the counts
+    "x_pii_scrub" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact bob@example.com or https://ex.org/a?b=1 tel 5551234567")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("from alice.smith+x@mail.co: "), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextStats.scrubPii(planted, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // TF-IDF term table over a sub-corpus; the gate compares the
     // engine-exact integer columns (the ln score is libm-dependent)
     "x_tfidf" -> ((s, d) =>
@@ -1145,6 +1158,31 @@ object SparkEntry {
         st.table("stream/dedup").df
           .select(md5(col("text")).as("digest")).orderBy("digest")
       }
+    }),
+
+    // streaming windowed aggregation equivalence: windowedCounts under
+    // AvailableNow must reproduce the batch tumbling aggregation
+    // bit-exactly (decimal-exact sums make the equality well-defined);
+    // 30-minute epoch-aligned windows == the oracle's 1800-sec buckets
+    "x_stream_window" -> ((s, d) => {
+      val ev = events(s, d)
+      val run = java.util.UUID.randomUUID().toString.replace("-", "")
+      val in = s"/tmp/graft-stream/$run/in"
+      val ckpt = s"/tmp/graft-stream/$run/ckpt"
+      ev.write.mode("overwrite").parquet(in)
+      val name = s"sw_$run"
+      graft.streaming.EventStream
+        .windowedCounts(s.readStream.schema(ev.schema).parquet(in),
+          "30 minutes", "1 hour")
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.table(name)
+        .select(col("event_type"),
+          expr("cast(window.start as long) div 1800").as("bucket"),
+          col("n"), col("sum_value"))
+        .orderBy("event_type", "bucket")
     }),
 
     // multimodal: binary payload + stubbed decode metadata
@@ -1325,6 +1363,12 @@ object SparkEntry {
        """CASE WHEN COALESCE(lab.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS keep """ +
        """FROM docs2 d LEFT JOIN lab ON lab.id = d.doc_id ORDER BY d.doc_id"""),
 
+    // streaming windows == batch buckets (same SQL as x_tumbling_window)
+    "x_stream_window" ->
+      ("""SELECT event_type, (epoch_us(ts) // 1000000) // 1800 AS bucket, count(*) AS n, """ +
+       """CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value """ +
+       """FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+
     // streaming dedup survivors must carry exactly the distinct-text
     // digest set (planted duplicates dropped, nothing else)
     "x_stream_dedup" ->
@@ -1491,6 +1535,20 @@ object SparkEntry {
     "x_vocab" ->
       (s"""SELECT t AS token, count(*) AS cnt FROM (SELECT unnest($TOK) AS t FROM documents) """ +
        """WHERE t <> '' GROUP BY 1 HAVING count(*) >= 5 ORDER BY cnt DESC, token LIMIT 100"""),
+
+    "x_pii_scrub" ->
+      ("""WITH src AS (SELECT doc_id, CASE """ +
+       """WHEN doc_id % 3 = 0 THEN text || ' contact bob@example.com or https://ex.org/a?b=1 tel 5551234567' """ +
+       """WHEN doc_id % 3 = 1 THEN 'from alice.smith+x@mail.co: ' || text """ +
+       """ELSE text END AS text FROM documents), """ +
+       """s1 AS (SELECT doc_id, text AS t0, regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM src), """ +
+       """s2 AS (SELECT *, regexp_replace(t1, 'https?://[^ \t\n]+', '<URL>', 'g') AS t2 FROM s1) """ +
+       """SELECT doc_id, """ +
+       """len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails, """ +
+       """len(regexp_extract_all(t1, 'https?://[^ \t\n]+'))::BIGINT AS n_urls, """ +
+       """len(regexp_extract_all(t2, '[0-9]{7,}'))::BIGINT AS n_longnums, """ +
+       """regexp_replace(t2, '[0-9]{7,}', '<NUM>', 'g') AS text_clean """ +
+       """FROM s2 ORDER BY doc_id"""),
 
     "x_tfidf" ->
       (s"""WITH t AS (SELECT doc_id, unnest($TOK) AS token FROM documents WHERE doc_id < 100), """ +

@@ -103,6 +103,34 @@ object TextStats {
       graft.functions.native.max_shingle_run(toks, n).as("max_rep"))
   }
 
+  /** PII / pattern scrubbing — the redaction pass of a training-data
+    * pipeline: emails, bare URLs, and long digit runs (phone numbers,
+    * account ids) are replaced with fixed placeholder tokens, and the
+    * match counts are emitted for filtering/auditing. Application order
+    * matters and is fixed: emails first (they contain dots and digits),
+    * then URLs, then 7+-digit runs.
+    *
+    * Pure per-row `regexp_replace`/`regexp_extract_all` chain — codegen,
+    * no shuffle, embarrassingly parallel. The patterns are plain
+    * character-class regexes chosen to parse and match identically under
+    * Java regex and RE2-family engines (no lookarounds, no backrefs), so
+    * the redacted text itself is oracle-gated, not just the counts. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ \\t\\n]+"
+  val LongNumRe = "[0-9]{7,}"
+
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, UrlRe, "<URL>")
+    val t3 = regexp_replace(t2, LongNumRe, "<NUM>")
+    df.select(col(idCol),
+      size(regexp_extract_all(t0, lit(EmailRe), lit(0))).cast(LongType).as("n_emails"),
+      size(regexp_extract_all(t1, lit(UrlRe), lit(0))).cast(LongType).as("n_urls"),
+      size(regexp_extract_all(t2, lit(LongNumRe), lit(0))).cast(LongType).as("n_longnums"),
+      t3.as("text_clean"))
+  }
+
   /** Per-(document, token) term statistics + TF-IDF — the classic
     * term-weighting table (keyword extraction, tokenizer diagnostics,
     * relevance features). Output: one row per distinct (doc, token) —

@@ -60,14 +60,21 @@ object EventStream {
       .start()
   }
 
-  /** Watermarked tumbling-window counts per event type. */
+  /** Watermarked tumbling-window counts per event type. The value sum
+    * accumulates as exact decimal before the double cast — float
+    * summation order differs between micro-batch boundaries, engines,
+    * and partitionings, while decimal sums do not, so the streaming
+    * result is bit-identical to the batch aggregation and a SQL oracle
+    * (the `x_stream_window` gate relies on this). */
   def windowedCounts(stream: DataFrame, window: String = "30 minutes",
                      watermark: String = "1 hour"): DataFrame =
     withEventTime(stream)
       .withWatermark("event_time", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("event_time"), window),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
 
   /** Streaming exact dedup — the streaming form of
     * [[graft.ops.Dedup.exact]]: keep the first document per content

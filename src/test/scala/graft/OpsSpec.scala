@@ -446,6 +446,22 @@ class OpsSpec extends AnyFunSuite {
     assert(dup.agg(kmv($"h")).collect()(0).getLong(0) == est)
   }
 
+  test("scrubPii: emails, urls, digit runs redacted in order; clean text untouched") {
+    val df = Seq(
+      (0L, "mail me at jo.doe+spam@corp.io or visit https://ex.org/x?id=9988776655 now"),
+      (1L, "call 5551234567 twice 5551234567"),
+      (2L, "nothing sensitive here"),
+      (3L, "short num 123456 stays")                       // 6 digits < threshold
+    ).toDF("doc_id", "text")
+    val out = TextStats.scrubPii(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(0L) == ((1L, 1L, 0L, "mail me at <EMAIL> or visit <URL> now")))
+    assert(out(1L) == ((0L, 0L, 2L, "call <NUM> twice <NUM>")))
+    assert(out(2L) == ((0L, 0L, 0L, "nothing sensitive here")))
+    assert(out(3L) == ((0L, 0L, 0L, "short num 123456 stays")))
+  }
+
   test("tfIdf: tf counts occurrences, df counts docs, rare terms outscore common ones") {
     val df = Seq((0L, "alpha alpha beta"), (1L, "beta gamma"), (2L, "beta"))
       .toDF("doc_id", "text")
