@@ -970,6 +970,15 @@ object SparkEntry {
     "x_vocab" -> ((s, d) =>
       TextStats.vocab(docs(s, d), "text", k = 100, minCount = 5L)),
 
+    // per-language token-count distribution profile (rank-based discrete
+    // percentiles — engine-exact, no interpolation arithmetic)
+    "x_profile" -> ((s, d) => {
+      val counted = docs(s, d).select(coalesce(col("lang"), lit("")).as("lang"),
+        size(TextStats.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      TextStats.profile(counted, "lang", "n_tokens", Seq(0.25, 0.5, 0.9))
+        .orderBy("lang")
+    }),
+
     // PII scrubbing over planted emails/URLs/numbers: the redacted TEXT
     // is gated (patterns match identically under Java regex and RE2),
     // not just the counts
@@ -1535,6 +1544,16 @@ object SparkEntry {
     "x_vocab" ->
       (s"""SELECT t AS token, count(*) AS cnt FROM (SELECT unnest($TOK) AS t FROM documents) """ +
        """WHERE t <> '' GROUP BY 1 HAVING count(*) >= 5 ORDER BY cnt DESC, token LIMIT 100"""),
+
+    "x_profile" ->
+      (s"""WITH c AS (SELECT COALESCE(lang, '') AS lang, len($TOK)::BIGINT AS v FROM documents), """ +
+       """r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn, """ +
+       """count(*) OVER (PARTITION BY lang) AS n FROM c) """ +
+       """SELECT lang, count(*) AS n, min(v) AS min, max(v) AS max, """ +
+       """max(CASE WHEN rn = ceil(0.25 * n) THEN v END) AS p25, """ +
+       """max(CASE WHEN rn = ceil(0.5 * n) THEN v END) AS p50, """ +
+       """max(CASE WHEN rn = ceil(0.9 * n) THEN v END) AS p90 """ +
+       """FROM r GROUP BY 1 ORDER BY 1"""),
 
     "x_pii_scrub" ->
       ("""WITH src AS (SELECT doc_id, CASE """ +

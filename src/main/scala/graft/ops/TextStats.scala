@@ -103,6 +103,40 @@ object TextStats {
       graft.functions.native.max_shingle_run(toks, n).as("max_rep"))
   }
 
+  /** Per-group distribution profile — the data-quality dashboard
+    * primitive: count, min, max, and DISCRETE percentiles (the value at
+    * rank `ceil(p*n)`, 1-based) of `valueCol` within each `groupCol`.
+    * Rank-based selection instead of interpolated `percentile`: the
+    * picked value is an actual element, so the result is engine-exact
+    * (interpolation arithmetic is not guaranteed identical across
+    * engines), mirroring how the KMV oracle selects h_k.
+    *
+    * Scale shape: ONE hash shuffle on the group; the rank and the group
+    * size come from the same window pass and the final aggregate is
+    * map-side-combining conditional maxes. Groups are the parallelism
+    * unit — profile by (source, split), not one global group. */
+  def profile(df: DataFrame, groupCol: String, valueCol: String,
+              percentiles: Seq[Double] = Seq(0.25, 0.5, 0.9)): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p > 0.0 && p <= 1.0),
+      "percentiles must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(valueCol)
+    val grp = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    // NULL values are excluded up front: Spark windows order NULLS FIRST
+    // while most SQL engines default NULLS LAST, so a null entering the
+    // rank silently shifts every percentile cross-engine
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(grp))
+    val pCols = percentiles.map { p =>
+      max(when(col("_rn") === ceil(lit(p) * col("_n")), col(valueCol)))
+        .as(s"p${(p * 100).round}")
+    }
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        (min(col(valueCol)).as("min") +: max(col(valueCol)).as("max") +: pCols): _*)
+  }
+
   /** PII / pattern scrubbing — the redaction pass of a training-data
     * pipeline: emails, bare URLs, and long digit runs (phone numbers,
     * account ids) are replaced with fixed placeholder tokens, and the

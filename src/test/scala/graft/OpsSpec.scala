@@ -446,6 +446,20 @@ class OpsSpec extends AnyFunSuite {
     assert(dup.agg(kmv($"h")).collect()(0).getLong(0) == est)
   }
 
+  test("profile: rank-based discrete percentiles, nulls excluded, per-group") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L),
+      ("b", 7L), ("b", 9L)).toDF("g", "v")
+      .unionByName(Seq(("a", null.asInstanceOf[java.lang.Long]))
+        .toDF("g", "v"))
+    val out = TextStats.profile(df, "g", "v", Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // group a (n=4, null excluded): ranks ceil(1)=1, ceil(2)=2, ceil(3.6)=4
+    assert(out("a") == ((4L, 10L, 40L, 10L, 20L, 40L)))
+    // group b (n=2): ranks ceil(0.5)=1, ceil(1)=1, ceil(1.8)=2
+    assert(out("b") == ((2L, 7L, 9L, 7L, 7L, 9L)))
+  }
+
   test("scrubPii: emails, urls, digit runs redacted in order; clean text untouched") {
     val df = Seq(
       (0L, "mail me at jo.doe+spam@corp.io or visit https://ex.org/x?id=9988776655 now"),
