@@ -775,6 +775,44 @@ object SparkEntry {
       (path, cb)
     })
 
+  /** Stage a batch DataFrame as a file-stream source in a fresh run dir
+    * (input parquet + checkpoint), hand `(source, checkpointDir)` to `f`
+    * — which must drive its streaming query to completion — then DELETE
+    * the run dir. The value `f` returns must therefore not read from the
+    * staged files (our gates read from the store / a localized copy).
+    * Shared by every streaming equivalence gate; without the cleanup,
+    * each bench/verify pass leaked a corpus copy under /tmp. */
+  private def withStagedStream[T](s: SparkSession, df: DataFrame)
+                                 (f: (DataFrame, String) => T): T = {
+    val run = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = new java.io.File(s"/tmp/graft-stream/$run")
+    df.write.mode("overwrite").parquet(s"$root/in")
+    try f(s.readStream.schema(df.schema).parquet(s"$root/in"), s"$root/ckpt")
+    finally {
+      def del(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(del))
+        x.delete()
+      }
+      del(root)
+    }
+  }
+
+  /** Run a complete-mode streaming query into a throwaway memory sink,
+    * localize the (small, aggregated) result, and drop the sink's temp
+    * view — repeated gate invocations must not accumulate catalog
+    * entries or pinned sink state. */
+  private def collectMemorySink(s: SparkSession,
+                                start: String => org.apache.spark.sql.streaming.StreamingQuery,
+                                order: Seq[String]): DataFrame = {
+    val name = "g" + java.util.UUID.randomUUID().toString.replace("-", "")
+    start(name).awaitTermination()
+    val out = s.table(name)
+    val local = s.createDataFrame(
+      java.util.Arrays.asList(out.collect(): _*), out.schema)
+    s.catalog.dropTempView(name)
+    local.orderBy(order.map(col): _*)
+  }
+
   private def extensionQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: representative id + multiplicity per distinct text
     "x_dedup_exact" -> ((s, d) =>
@@ -1151,19 +1189,15 @@ object SparkEntry {
             timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000L))
         val dups = base.filter(col("doc_id") < 20)
           .withColumn("doc_id", col("doc_id") + 5000000L)
-        val run = java.util.UUID.randomUUID().toString.replace("-", "")
-        val in = s"/tmp/graft-stream/$run/in"
-        val ckpt = s"/tmp/graft-stream/$run/ckpt"
-        base.unionByName(dups).write.mode("overwrite").parquet(in)
         if (st.isTable("stream/dedup")) st.drop("stream/dedup")
         st.put("stream/dedup", base.select("doc_id", "text").limit(0))
-        val src = s.readStream.schema(base.schema).parquet(in)
-        val deduped = graft.streaming.EventStream
-          .dedupStream(src, "text", "event_time", "1 hour")
-          .select("doc_id", "text")
-        graft.streaming.EventStream
-          .appendSink(deduped, st, "stream/dedup", ckpt)
-          .awaitTermination()
+        withStagedStream(s, base.unionByName(dups)) { (src, ckpt) =>
+          graft.streaming.EventStream
+            .appendSink(graft.streaming.EventStream
+              .dedupStream(src, "text", "event_time", "1 hour")
+              .select("doc_id", "text"), st, "stream/dedup", ckpt)
+            .awaitTermination()
+        }
         st.table("stream/dedup").df
           .select(md5(col("text")).as("digest")).orderBy("digest")
       }
@@ -1173,26 +1207,19 @@ object SparkEntry {
     // AvailableNow must reproduce the batch tumbling aggregation
     // bit-exactly (decimal-exact sums make the equality well-defined);
     // 30-minute epoch-aligned windows == the oracle's 1800-sec buckets
-    "x_stream_window" -> ((s, d) => {
-      val ev = events(s, d)
-      val run = java.util.UUID.randomUUID().toString.replace("-", "")
-      val in = s"/tmp/graft-stream/$run/in"
-      val ckpt = s"/tmp/graft-stream/$run/ckpt"
-      ev.write.mode("overwrite").parquet(in)
-      val name = s"sw_$run"
-      graft.streaming.EventStream
-        .windowedCounts(s.readStream.schema(ev.schema).parquet(in),
-          "30 minutes", "1 hour")
-        .writeStream.outputMode("complete").format("memory").queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
-      s.table(name)
-        .select(col("event_type"),
-          expr("cast(window.start as long) div 1800").as("bucket"),
-          col("n"), col("sum_value"))
-        .orderBy("event_type", "bucket")
-    }),
+    "x_stream_window" -> ((s, d) =>
+      withStagedStream(s, events(s, d)) { (src, ckpt) =>
+        collectMemorySink(s, name =>
+          graft.streaming.EventStream.windowedCounts(src, "30 minutes", "1 hour")
+            .select(col("event_type"),
+              expr("cast(window.start as long) div 1800").as("bucket"),
+              col("n"), col("sum_value"))
+            .writeStream.outputMode("complete").format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(),
+          Seq("event_type", "bucket"))
+      }),
 
     // multimodal: binary payload + stubbed decode metadata
     "x_multimodal_meta" -> ((s, d) =>
@@ -1548,7 +1575,7 @@ object SparkEntry {
     "x_profile" ->
       (s"""WITH c AS (SELECT COALESCE(lang, '') AS lang, len($TOK)::BIGINT AS v FROM documents), """ +
        """r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn, """ +
-       """count(*) OVER (PARTITION BY lang) AS n FROM c) """ +
+       """count(*) OVER (PARTITION BY lang) AS n FROM c WHERE v IS NOT NULL) """ +
        """SELECT lang, count(*) AS n, min(v) AS min, max(v) AS max, """ +
        """max(CASE WHEN rn = ceil(0.25 * n) THEN v END) AS p25, """ +
        """max(CASE WHEN rn = ceil(0.5 * n) THEN v END) AS p50, """ +
@@ -1561,10 +1588,10 @@ object SparkEntry {
        """WHEN doc_id % 3 = 1 THEN 'from alice.smith+x@mail.co: ' || text """ +
        """ELSE text END AS text FROM documents), """ +
        """s1 AS (SELECT doc_id, text AS t0, regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM src), """ +
-       """s2 AS (SELECT *, regexp_replace(t1, 'https?://[^ \t\n]+', '<URL>', 'g') AS t2 FROM s1) """ +
+       """s2 AS (SELECT *, regexp_replace(t1, 'https?://[^ \t\r\n]+', '<URL>', 'g') AS t2 FROM s1) """ +
        """SELECT doc_id, """ +
        """len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails, """ +
-       """len(regexp_extract_all(t1, 'https?://[^ \t\n]+'))::BIGINT AS n_urls, """ +
+       """len(regexp_extract_all(t1, 'https?://[^ \t\r\n]+'))::BIGINT AS n_urls, """ +
        """len(regexp_extract_all(t2, '[0-9]{7,}'))::BIGINT AS n_longnums, """ +
        """regexp_replace(t2, '[0-9]{7,}', '<NUM>', 'g') AS text_clean """ +
        """FROM s2 ORDER BY doc_id"""),

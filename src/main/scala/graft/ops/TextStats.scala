@@ -129,8 +129,16 @@ object TextStats {
       .withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(grp))
     val pCols = percentiles.map { p =>
-      max(when(col("_rn") === ceil(lit(p) * col("_n")), col(valueCol)))
-        .as(s"p${(p * 100).round}")
+      // the rank multiply is EXACT DECIMAL, not double: double 0.07*100
+      // is 7.000000000000001 and ceil lands on the wrong rank, while a
+      // SQL oracle's decimal literal multiplies exactly. The label also
+      // derives from the exact decimal so p=0.125 is "p12_5", never a
+      // rounded collision with p13.
+      val bd = BigDecimal(p.toString)
+      val label = "p" + (bd * 100).bigDecimal.stripTrailingZeros
+        .toPlainString.replace('.', '_')
+      max(when(col("_rn") === ceil(lit(bd) * col("_n")), col(valueCol)))
+        .as(label)
     }
     ranked.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
@@ -150,7 +158,9 @@ object TextStats {
     * Java regex and RE2-family engines (no lookarounds, no backrefs), so
     * the redacted text itself is oracle-gated, not just the counts. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlRe = "https?://[^ \\t\\n]+"
+  // \r in the terminator set: a URL ending a CRLF line must not swallow
+  // the carriage return into the redaction
+  val UrlRe = "https?://[^ \\t\\r\\n]+"
   val LongNumRe = "[0-9]{7,}"
 
   def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -181,16 +191,18 @@ object TextStats {
     * score is libm-dependent, so cross-engine gates compare the integer
     * columns (x_tfidf does). */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val nDocs = df.count()
+    // n_docs joins in as a broadcast one-row aggregate — an eager
+    // df.count() here would scan the input a second time and submit a
+    // job at plan-construction time
+    val nDocs = broadcast(df.agg(count(lit(1)).as("n_docs")))
     val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    tf.join(dfreq, "token")
-      .select(col(idCol), col("token"), col("tf"), col("df"),
-        lit(nDocs).as("n_docs"),
+    tf.join(dfreq, "token").crossJoin(nDocs)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("n_docs"),
         (col("tf").cast(DoubleType) *
-          (log(lit((nDocs + 1).toDouble) / (col("df") + 1).cast(DoubleType))
+          (log((col("n_docs") + 1).cast(DoubleType) / (col("df") + 1).cast(DoubleType))
             + lit(1.0))).as("tfidf"))
   }
 

@@ -465,7 +465,8 @@ class OpsSpec extends AnyFunSuite {
       (0L, "mail me at jo.doe+spam@corp.io or visit https://ex.org/x?id=9988776655 now"),
       (1L, "call 5551234567 twice 5551234567"),
       (2L, "nothing sensitive here"),
-      (3L, "short num 123456 stays")                       // 6 digits < threshold
+      (3L, "short num 123456 stays"),                      // 6 digits < threshold
+      (4L, "see https://x.co/a\r\nnext line")              // CRLF ends the URL
     ).toDF("doc_id", "text")
     val out = TextStats.scrubPii(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
@@ -474,6 +475,7 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L) == ((0L, 0L, 2L, "call <NUM> twice <NUM>")))
     assert(out(2L) == ((0L, 0L, 0L, "nothing sensitive here")))
     assert(out(3L) == ((0L, 0L, 0L, "short num 123456 stays")))
+    assert(out(4L) == ((0L, 1L, 0L, "see <URL>\r\nnext line"))) // \r survives
   }
 
   test("tfIdf: tf counts occurrences, df counts docs, rare terms outscore common ones") {
