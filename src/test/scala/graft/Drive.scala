@@ -282,6 +282,30 @@ object Drive {
       "close() must unpersist the index")
     println("handle closed, blocks freed: OK")
 
+    println("== r6 drive: chunking, TF-IDF, PII scrub, profile")
+    val ch = graft.ops.TextStats.chunk(docsAll, "doc_id", "text", 32, 8)
+    println(s"chunk -> ${ch.count()} chunks from ${docsAll.count()} docs")
+    require(ch.groupBy("doc_id").count().count() == docsAll.count(),
+      "every doc must produce at least one chunk")
+    val ti = graft.ops.TextStats.tfIdf(docsAll, "doc_id", "text")
+    val topTerm = ti.orderBy(col("tfidf").desc).limit(1).collect()(0)
+    println(s"tfidf -> ${ti.count()} (doc,token) rows; top=${topTerm.getString(1)} score=${topTerm.getDouble(5)}")
+    require(ti.filter(col("tf") < 1 || col("df") < 1).count() == 0)
+    val pii = graft.ops.TextStats.scrubPii(
+      docsAll.select(col("doc_id"),
+        concat(col("text"), lit(" ping admin@site.io 9876543210")).as("text")),
+      "doc_id", "text")
+    require(pii.filter(col("text_clean").contains("admin@site.io")).count() == 0 &&
+      pii.agg(min(col("n_emails"))).collect()(0).getLong(0) >= 1L,
+      "planted PII must be redacted everywhere")
+    println(s"scrubPii -> all ${pii.count()} docs redacted")
+    val prof = graft.ops.TextStats.profile(
+      docsAll.select(col("lang"), length(col("text")).cast("long").as("v")),
+      "lang", "v", Seq(0.5, 0.9)).orderBy("lang").collect()
+    prof.foreach(r => println(s"profile -> ${r.getString(0)} n=${r.getLong(1)} p50=${r.getLong(4)} p90=${r.getLong(5)}"))
+    require(prof.forall(r => r.getLong(2) <= r.getLong(4) && r.getLong(4) <= r.getLong(5) && r.getLong(5) <= r.getLong(3)),
+      "min <= p50 <= p90 <= max must hold per group")
+
     spark.stop()
     println("== drive done")
   }
