@@ -107,6 +107,40 @@ object ScaleDrive {
     }
     println(s"  lists=${assigned.length} total=${assigned.map(_.getLong(1)).sum} " +
       s"max=${assigned.map(_.getLong(1)).max} (expect 16 lists, 1000000 total)")
+
+    // persisted IVF at volume: build assigns every vector ONCE; the probe
+    // reads only nprobe/nlist of the corpus via partition pruning.
+    println("== persisted IVF index over 1M vectors: build once, probe cheap")
+    val idxPath = java.nio.file.Files.createTempDirectory("scale-ivf").toString
+    time("buildIvfIndex (16 lists, 1M vectors)") {
+      graft.ops.Similarity.buildIvfIndex(vecs, "vec_id", "embedding", cb, idxPath)
+    }
+    val qv1m = vecs.filter(col("vec_id") === 42)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    time("ivfTopKIndexed probe (nprobe=2 of 16)") {
+      val top = graft.ops.Similarity.ivfTopKIndexed(spark, idxPath, cb, qv1m, 10, 2).collect()
+      assert(top.nonEmpty && top.head.getLong(0) == 42L,
+        "query vector must rank itself first from its own probed list")
+    }
+
+    // banded-LSH dedup at corpus scale: 330k short docs, ~30k planted
+    // near-dups. Signatures are the native fused kernel (no shuffle);
+    // the candidate join's cost tracks collisions (planted pairs), not
+    // the 10^11 cross product.
+    println("== banded-LSH dedup over 330k docs (30k planted near-dups)")
+    val docsBase = spark.range(300000).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 30).map(j =>
+        concat(lit("w"), pmod(hash(col("id") * 31 + j), lit(5000)))): _*).as("text"))
+    val plantedDocs = docsBase.filter(col("doc_id") < 30000)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text"))
+    val corpus = docsBase.unionByName(plantedDocs).localCheckpoint(true)
+    val nPairs = time("minhashPairs(32 hashes, 8 bands) est>=0.5") {
+      graft.ops.Dedup.minhashPairs(corpus, "doc_id", "text", 3, 32, 8)
+        .filter(col("est_jaccard") >= 0.5).count()
+    }
+    println(s"  near-dup pairs=$nPairs (expect ~30k planted recalls)")
+    assert(nPairs >= 25000, s"LSH must recall most planted near-dups, got $nPairs")
     spark.stop()
   }
 }
