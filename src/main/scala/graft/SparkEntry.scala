@@ -866,6 +866,15 @@ object SparkEntry {
         .orderBy("id_new", "id_ref")
     }),
 
+    // intra-doc line dedup: planted repeated lines collapse to their
+    // first occurrence, blank lines survive
+    "x_line_dedup_within" -> ((s, d) => {
+      val src = docs(s, d).select(col("doc_id"),
+        concat(lit("INTRO\n"), col("text"),
+          lit("\nINTRO\n\n\nINTRO\ntail")).as("text"))
+      Dedup.dedupLinesWithin(src, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // corpus-level line dedup (boilerplate stripping): planted banner/
     // footer lines cross the doc-freq threshold and are removed from
     // every document; each doc's own text line is unique and kept
@@ -1364,6 +1373,21 @@ object SparkEntry {
        """FROM cand c JOIN sig sa ON sa.doc_id = c.id_new AND sa.side = 1 """ +
        """JOIN sig sb ON sb.doc_id = c.id_ref AND sb.side = 0 AND sa.i = sb.i GROUP BY 1, 2) """ +
        """SELECT id_new, id_ref, est AS est_jaccard FROM agree WHERE est >= 0.5 ORDER BY id_new, id_ref"""),
+
+    // intra-doc dedup: first occurrence per (doc, line) via a window,
+    // blanks exempt, reassembled in position order
+    "x_line_dedup_within" ->
+      ("""WITH src AS (SELECT doc_id, 'INTRO' || chr(10) || text || chr(10) || 'INTRO' || """ +
+       """chr(10) || chr(10) || chr(10) || 'INTRO' || chr(10) || 'tail' AS text FROM documents), """ +
+       """ln AS (SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1) AS pos, """ +
+       """unnest(string_split(text, chr(10))) AS line FROM src), """ +
+       """f AS (SELECT *, row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS occ FROM ln), """ +
+       """kept AS (SELECT * FROM f WHERE trim(line) = '' OR occ = 1), """ +
+       """agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text, """ +
+       """count(*) AS n_kept FROM kept GROUP BY 1) """ +
+       """SELECT s.doc_id, a.clean_text, a.n_kept, """ +
+       """len(string_split(s.text, chr(10)))::BIGINT AS n_lines """ +
+       """FROM src s JOIN agg a USING (doc_id) ORDER BY s.doc_id"""),
 
     // line dedup: same planted construction; doc-frequency counts
     // distinct containing docs per line hash, whitespace-only lines are

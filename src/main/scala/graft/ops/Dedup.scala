@@ -246,6 +246,33 @@ object Dedup {
     dfNew.join(matched, Seq(idCol), "left_anti")
   }
 
+  /** INTRA-document line dedup — the within-page companion of
+    * [[stripBoilerplate]]: a line repeated inside one document keeps its
+    * FIRST occurrence only (scraped pages repeat nav/footer blocks;
+    * generated text loops). Whitespace-only lines always survive (they
+    * are formatting, not content). Output mirrors [[stripBoilerplate]]:
+    * (`idCol`, `clean_text`, `n_kept`, `n_lines`), NULL text → NULL
+    * clean_text with zero counts.
+    *
+    * Scale shape: a pure PER-ROW expression — no shuffle, no state,
+    * embarrassingly parallel. The line array is let-bound through a
+    * one-element-array `transform` (the [[TextStats.chunk]] idiom) so
+    * the split evaluates once per document; first-occurrence testing is
+    * `array_position` over the position's prefix — O(lines²) worst case
+    * within a single row, which stays trivially small beside any
+    * shuffle-based formulation at corpus scale. */
+  def dedupLinesWithin(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n", -1)
+    val keptArr = element_at(transform(array(lines), ls =>
+      filter(ls, (l, i) => trim(l) === "" ||
+        array_position(slice(ls, lit(1), i + 1), l) === (i + 1).cast(LongType))), 1)
+    df.select(col(idCol),
+      when(col(textCol).isNull, lit(null).cast(StringType))
+        .otherwise(concat_ws("\n", keptArr)).as("clean_text"),
+      coalesce(size(keptArr).cast(LongType), lit(0L)).as("n_kept"),
+      coalesce(size(lines).cast(LongType), lit(0L)).as("n_lines"))
+  }
+
   /** End-to-end near-dup GROUPING — the composed dedup flow as one entry
     * point: MinHash+banded-LSH candidate pairs ([[minhashPairs]], kept at
     * `est_jaccard >= minEstJaccard`) → connected components

@@ -189,6 +189,20 @@ class OpsSpec extends AnyFunSuite {
       s"dedupAgainst must drop matched docs only, got $surviving")
   }
 
+  test("dedupLinesWithin: repeats collapse to first occurrence, blanks survive, null text null") {
+    val df = Seq(
+      (0L, "nav\nbody one\nnav\n\n\nbody two\nnav"),
+      (1L, "unique only"),
+      (2L, null)
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesWithin(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((Some("nav\nbody one\n\n\nbody two"), 5L, 7L)))
+    assert(out(1L) == ((Some("unique only"), 1L, 1L)))
+    assert(out(2L) == ((None, 0L, 0L)))
+  }
+
   test("stripBoilerplate: frequent lines removed, order kept, blanks exempt, all-boiler docs empty") {
     val corpus = Seq(
       (0L, "BANNER\nunique zero\n\nBANNER2"),
