@@ -1385,9 +1385,9 @@ object SparkEntry {
        """kept AS (SELECT * FROM f WHERE trim(line) = '' OR occ = 1), """ +
        """agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text, """ +
        """count(*) AS n_kept FROM kept GROUP BY 1) """ +
-       """SELECT s.doc_id, a.clean_text, a.n_kept, """ +
-       """len(string_split(s.text, chr(10)))::BIGINT AS n_lines """ +
-       """FROM src s JOIN agg a USING (doc_id) ORDER BY s.doc_id"""),
+       """SELECT s.doc_id, a.clean_text, COALESCE(a.n_kept, 0) AS n_kept, """ +
+       """COALESCE(len(string_split(s.text, chr(10)))::BIGINT, 0) AS n_lines """ +
+       """FROM src s LEFT JOIN agg a USING (doc_id) ORDER BY s.doc_id"""),
 
     // line dedup: same planted construction; doc-frequency counts
     // distinct containing docs per line hash, whitespace-only lines are

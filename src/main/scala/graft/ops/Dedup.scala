@@ -257,15 +257,17 @@ object Dedup {
     * Scale shape: a pure PER-ROW expression — no shuffle, no state,
     * embarrassingly parallel. The line array is let-bound through a
     * one-element-array `transform` (the [[TextStats.chunk]] idiom) so
-    * the split evaluates once per document; first-occurrence testing is
-    * `array_position` over the position's prefix — O(lines²) worst case
-    * within a single row, which stays trivially small beside any
-    * shuffle-based formulation at corpus scale. */
+    * the split evaluates once per document; "is this the first
+    * occurrence" is `array_position(ls, l) == i+1` over the FULL array
+    * (the first-occurrence index never exceeds the current position, so
+    * no prefix slice — and no per-line prefix-array allocation — is
+    * needed): O(lines²) comparisons worst case within one row, zero
+    * allocation, trivially small beside any shuffle at corpus scale. */
   def dedupLinesWithin(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = split(col(textCol), "\n", -1)
     val keptArr = element_at(transform(array(lines), ls =>
       filter(ls, (l, i) => trim(l) === "" ||
-        array_position(slice(ls, lit(1), i + 1), l) === (i + 1).cast(LongType))), 1)
+        array_position(ls, l) === (i + 1).cast(LongType))), 1)
     df.select(col(idCol),
       when(col(textCol).isNull, lit(null).cast(StringType))
         .otherwise(concat_ws("\n", keptArr)).as("clean_text"),
