@@ -1017,6 +1017,15 @@ object SparkEntry {
     "x_vocab" -> ((s, d) =>
       TextStats.vocab(docs(s, d), "text", k = 100, minCount = 5L)),
 
+    // whitespace normalization over planted messy spacing: the
+    // normalized text is gated exactly
+    "x_normalize" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextStats.normalizeWhitespace(
+          concat(lit("  lead\t\t mid  \n \n\n\n"), col("text"), lit("  \t")))
+          .as("text_norm"))
+        .orderBy("doc_id")),
+
     // per-language token-count distribution profile (rank-based discrete
     // percentiles — engine-exact, no interpolation arithmetic)
     "x_profile" -> ((s, d) => {
@@ -1595,6 +1604,12 @@ object SparkEntry {
     "x_vocab" ->
       (s"""SELECT t AS token, count(*) AS cnt FROM (SELECT unnest($TOK) AS t FROM documents) """ +
        """WHERE t <> '' GROUP BY 1 HAVING count(*) >= 5 ORDER BY cnt DESC, token LIMIT 100"""),
+
+    "x_normalize" ->
+      ("""SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(""" +
+       """'  lead' || chr(9) || chr(9) || ' mid  ' || chr(10) || ' ' || chr(10) || chr(10) || chr(10) || text || '  ' || chr(9), """ +
+       """'[ \t]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'), '\n{3,}', chr(10) || chr(10), 'g')) AS text_norm """ +
+       """FROM documents ORDER BY doc_id"""),
 
     "x_profile" ->
       (s"""WITH c AS (SELECT COALESCE(lang, '') AS lang, len($TOK)::BIGINT AS v FROM documents), """ +

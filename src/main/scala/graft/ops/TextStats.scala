@@ -145,6 +145,19 @@ object TextStats {
         (min(col(valueCol)).as("min") +: max(col(valueCol)).as("max") +: pCols): _*)
   }
 
+  /** Whitespace normalization — the canonicalization step that runs
+    * before hashing/dedup so formatting noise doesn't defeat exact
+    * matching: runs of spaces/tabs collapse to one space, spaces around
+    * newlines are dropped, 3+ consecutive newlines collapse to 2 (one
+    * blank line), and the result is trimmed. NULL passes through as
+    * NULL. Pure per-row regexp chain (codegen, no shuffle); patterns
+    * are Java/RE2-parity-safe so the normalized text is oracle-exact. */
+  def normalizeWhitespace(text: Column): Column = {
+    val collapsed = regexp_replace(text, "[ \\t]+", " ")
+    val edges = regexp_replace(collapsed, " ?\\n ?", "\n")
+    trim(regexp_replace(edges, "\\n{3,}", "\n\n"))
+  }
+
   /** PII / pattern scrubbing — the redaction pass of a training-data
     * pipeline: emails, bare URLs, and long digit runs (phone numbers,
     * account ids) are replaced with fixed placeholder tokens, and the

@@ -474,6 +474,20 @@ class OpsSpec extends AnyFunSuite {
     assert(out("b") == ((2L, 7L, 9L, 7L, 7L, 9L)))
   }
 
+  test("normalizeWhitespace: collapses runs, trims edges, caps blank lines, keeps NULL") {
+    val df = Seq(
+      (0L, "  a\t\tb  c  "),
+      (1L, "one \n  two\n\n\n\nthree"),
+      (2L, null)
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextStats.normalizeWhitespace(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(0L) == Some("a b c"))
+    assert(out(1L) == Some("one\ntwo\n\nthree"))
+    assert(out(2L) == None)
+  }
+
   test("scrubPii: emails, urls, digit runs redacted in order; clean text untouched") {
     val df = Seq(
       (0L, "mail me at jo.doe+spam@corp.io or visit https://ex.org/x?id=9988776655 now"),
