@@ -45,22 +45,35 @@ object Bench {
     }
     val med = names.map(n => n -> median(samples(n)))
     val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = med.map(_._2).sum
-    val rt = runTotals.mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"run_totals":$rt,"sf":"$sfDir"}"""
-    // Persist the record BEFORE any shutdown output: a tail-capture of
-    // stdout once clipped the head of this (long) line. Belt and braces:
-    // write bench.json to the working dir, stop Spark (its shutdown logs
-    // land above us), THEN print the metric as the very last stdout line.
-    // The file write is best-effort — it must never eat the stdout line.
+    // Structured-streaming gates (`x_stream_*`) carry ~10 s of fixed
+    // checkpoint/micro-batch overhead that is the same at any scale
+    // factor; keep them out of the headline batch number so
+    // round-over-round comparisons track the engine, not the harness.
+    def isStream(n: String) = n.startsWith("x_stream_")
+    val total = med.collect { case (n, v) if !isStream(n) => v }.sum
+    val totalStream = med.collect { case (n, v) if isStream(n) => v }.sum
+    def f3(x: Double) = f"$x%.3f"
+    val rt = runTotals.map(f3).mkString("[", ",", "]")
+    // The full record (per-query medians) goes to bench.json only; the
+    // final stdout line must stay SHORT. The round driver tail-captures
+    // the last 2000 chars of stdout, so a per-query map (~2.8 KB at 84
+    // queries) clips its own head no matter where the line sits. The
+    // summary below is ~170 chars and cannot grow with the query count.
+    val record =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_stream":${f3(totalStream)},"queries":$qs,"runs":$runs,"run_totals":$rt,"sf":"$sfDir"}"""
+    val summary =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_stream":${f3(totalStream)},"runs":$runs,"run_totals":$rt,"sf":"$sfDir"}"""
+    // Persist the record BEFORE any shutdown output, stop Spark (its
+    // shutdown logs land above us), THEN print the summary as the very
+    // last stdout line. The file write is best-effort — it must never
+    // eat the stdout line.
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (record + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
     spark.stop()
     System.out.flush()
-    println(line)
+    println(summary)
     System.out.flush()
   }
 }

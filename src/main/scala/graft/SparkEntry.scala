@@ -766,9 +766,24 @@ object SparkEntry {
     * Returns (index path, codebook). */
   private val ivfIndexes =
     new ConcurrentHashMap[String, (String, Seq[Seq[Double]])]()
+  private lazy val ivfRoot: String = {
+    val root = s"/tmp/graft-ivf-${ProcessHandle.current().pid()}"
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+    root
+  }
   private def ivfIndex(s: SparkSession, d: String): (String, Seq[Seq[Double]]) =
     ivfIndexes.computeIfAbsent(d, { _ =>
-      val path = "/tmp/graft-ivf/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      // per-PROCESS root (no cross-JVM build/probe race on a shared path)
+      // + md5 of the RAW dir (sanitization alone can map distinct sf dirs
+      // to the same name); the root is removed on JVM exit
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val path = s"$ivfRoot/${h}_" + d.replaceAll("[^A-Za-z0-9.]", "_")
       val cb = graft.ops.Similarity.kmeansCodebook(
         embs(s, d), "vec_id", "embedding", k = 8, iters = 1)
       graft.ops.Similarity.buildIvfIndex(embs(s, d), "vec_id", "embedding", cb, path)
@@ -813,21 +828,39 @@ object SparkEntry {
     local.orderBy(order.map(col): _*)
   }
 
+  /** Collect a SMALL, fully-ordered result into a local DataFrame so a
+    * resource backing the plan (here: the cached jaccard inverted index)
+    * can be freed before the caller consumes the result — a lazy result
+    * would otherwise pin the cache until session end (Verify never
+    * clears the SQL cache between queries; Bench does). */
+  private def localized(s: SparkSession, df: DataFrame): DataFrame =
+    s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   private def extensionQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: representative id + multiplicity per distinct text
     "x_dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d), "doc_id", "text").orderBy("keep_id")),
 
-    // exact n-gram Jaccard top-20 pairs (inverted shingle index)
-    "x_dedup_jaccard" -> ((s, d) =>
-      Dedup.jaccardPairs(docs(s, d).filter(col("doc_id") < 300), "doc_id", "text", 3)
-        .orderBy(col("jaccard").desc, col("id1"), col("id2")).limit(20)),
+    // exact n-gram Jaccard top-20 pairs (inverted shingle index); the
+    // handle frees the cached index's blocks once the (tiny) top-20 is
+    // localized, instead of leaking them for the session's lifetime
+    "x_dedup_jaccard" -> ((s, d) => {
+      val (pairs, handle) = Dedup.jaccardPairsWithHandle(
+        docs(s, d).filter(col("doc_id") < 300), "doc_id", "text", 3)
+      try localized(s,
+        pairs.orderBy(col("jaccard").desc, col("id1"), col("id2")).limit(20))
+      finally handle.close()
+    }),
 
     // skew-guarded full-corpus Jaccard: stop-shingles (doc-freq > 100)
     // dropped before the inverted-index join — the hot-key guard at scale
-    "x_dedup_jaccard_guard" -> ((s, d) =>
-      Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, maxDocFreq = Some(100L))
-        .orderBy(col("jaccard").desc, col("id1"), col("id2")).limit(20)),
+    "x_dedup_jaccard_guard" -> ((s, d) => {
+      val (pairs, handle) = Dedup.jaccardPairsWithHandle(
+        docs(s, d), "doc_id", "text", 3, maxDocFreq = Some(100L))
+      try localized(s,
+        pairs.orderBy(col("jaccard").desc, col("id1"), col("id2")).limit(20))
+      finally handle.close()
+    }),
 
     // MinHash signatures (portable md5-based hash family), long format
     "x_dedup_minhash_sig" -> ((s, d) =>
@@ -968,6 +1001,9 @@ object SparkEntry {
       val q = embs(s, d).filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0)
       val (path, cb) = ivfIndex(s, d)
+      // freshness contract: the probe verifies the build stamp against
+      // the live table (id-only count+sum scan) before trusting the index
+      Similarity.requireIvfFresh(s, path, embs(s, d), "vec_id")
       Similarity.ivfTopKIndexed(s, path, cb, q, 10, nprobe = 3)
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"),
           col("list"))
@@ -1005,6 +1041,28 @@ object SparkEntry {
           bench, "doc_id", "text", n = 3, minShared = 2L)
         .orderBy("doc_id", "bench_id")
     }),
+
+    // decontamination at scale: the SAME overlap behind a Bloom prefilter
+    // — no false negatives, so the result (and the oracle) is identical
+    // to x_contamination while clean corpus docs never reach the explode
+    "x_contamination_bloom" -> ((s, d) => {
+      val bench = docs(s, d).filter(col("doc_id") < 20).select("doc_id", "text")
+      Contamination.ngramOverlapBloom(docs(s, d), "doc_id", "text",
+          bench, "doc_id", "text", n = 3, minShared = 2L,
+          expectedGrams = 1L << 16, fpp = 0.01)
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // deterministic FIXED-SIZE sample: bottom-50 by portable hash —
+    // fixed count where x_sample_stratified fixes a rate
+    "x_sample_bottomk" -> ((s, d) =>
+      Sample.bottomK(docs(s, d), "doc_id", k = 50)
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
+
+    // per-group fixed-size sample: bottom-10 by hash within each source
+    "x_sample_bottomk_group" -> ((s, d) =>
+      Sample.bottomKPerGroup(docs(s, d), "source", "doc_id", k = 10)
+        .select("doc_id", "source").orderBy("doc_id")),
 
     // deterministic stratified sampling by language (hash-bucket rule)
     "x_sample_stratified" -> ((s, d) =>
@@ -1162,16 +1220,21 @@ object SparkEntry {
         .orderBy("o_orderpriority", "rk")
     }),
 
-    // end-to-end cleaning pipeline: dedup → quality gate → language tag →
-    // persisted store table → per-source summary (the composed
-    // training-data flow, not an isolated operator)
+    // end-to-end cleaning pipeline: whitespace canonicalization → dedup →
+    // quality gate → language tag → persisted store table → per-source
+    // summary (the composed training-data flow, not an isolated operator)
     "x_pipeline_clean" -> ((s, d) => {
       val st = store(s, d)
       st.synchronized {
         if (st.isTable("clean/documents")) st.drop("clean/documents")
-        val deduped = Dedup.exact(docs(s, d), "doc_id", "text")
+        // canonicalize FIRST: exact dedup must not be defeated by
+        // formatting noise — the precise failure normalizeWhitespace
+        // exists to prevent; all downstream stats score the canonical text
+        val canon = docs(s, d).select(col("doc_id"), col("source"),
+          TextStats.normalizeWhitespace(col("text")).as("text"))
+        val deduped = Dedup.exact(canon, "doc_id", "text")
           .select(col("keep_id").as("doc_id"))
-          .join(docs(s, d), "doc_id")
+          .join(canon, "doc_id")
         val scored = TextStats.quality(deduped, "text")
           .withColumn("lang_guess", TextStats.langId(col("text")))
         val clean = scored
@@ -1298,6 +1361,20 @@ object SparkEntry {
      """n1 AS (SELECT j, SUM(CAST(round(cx * cx * 1e15) AS BIGINT)) AS dyy FROM c1 GROUP BY 1), """ +
      """a1 AS (SELECT el.vec_id, c1.j, SUM(CAST(round(el.x * c1.cx * 1e15) AS BIGINT)) AS dxy FROM el JOIN c1 USING (i) GROUP BY 1, 2), """ +
      """s1 AS (SELECT a1.vec_id, a1.j, CAST(a1.dxy AS DOUBLE) / sqrt(CAST(n1.dyy AS DOUBLE)) AS s FROM a1 JOIN n1 USING (j))""")
+
+  /** Shared by `x_contamination` and `x_contamination_bloom`: the Bloom
+    * prefilter can have no false negatives, so the filtered path must
+    * return exactly the exact-join result. */
+  private def contaminationOracle: String =
+    (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents), """ +
+     """shr AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
+     """i -> array_to_string(l[i:i+2], ' '))) AS t FROM toks), """ +
+     s"""sh AS (SELECT DISTINCT doc_id, ${h60sql("t")} AS h FROM shr), """ +
+     """cn AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), """ +
+     """b AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id < 20), """ +
+     """j AS (SELECT s.doc_id, b.bench_id, count(*) AS shared FROM sh s JOIN b ON s.h = b.h GROUP BY 1, 2) """ +
+     """SELECT j.doc_id, j.bench_id, j.shared, cn.n_sh FROM j JOIN cn USING (doc_id) """ +
+     """WHERE j.shared >= 2 ORDER BY doc_id, bench_id""")
 
   /** Shared by `x_knn_ivf_trained` and `x_knn_ivf_indexed`: the persisted
     * index materializes the same trained assignment the query-time path
@@ -1429,7 +1506,7 @@ object SparkEntry {
        """UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id), """ +
        """lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) """ +
        """SELECT d.doc_id, COALESCE(lab.cluster, d.doc_id) AS cluster, """ +
-       """CASE WHEN COALESCE(lab.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS keep """ +
+       """CAST(CASE WHEN COALESCE(lab.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep """ +
        """FROM docs2 d LEFT JOIN lab ON lab.id = d.doc_id ORDER BY d.doc_id"""),
 
     // streaming windows == batch buckets (same SQL as x_tumbling_window)
@@ -1584,16 +1661,20 @@ object SparkEntry {
       (s"""SELECT doc_id, md5(text) AS md5, ${h60sql("text")} AS h60, """ +
        """length(text)::BIGINT AS n_chars FROM documents ORDER BY doc_id"""),
 
-    "x_contamination" ->
-      (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents), """ +
-       """shr AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
-       """i -> array_to_string(l[i:i+2], ' '))) AS t FROM toks), """ +
-       s"""sh AS (SELECT DISTINCT doc_id, ${h60sql("t")} AS h FROM shr), """ +
-       """cn AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), """ +
-       """b AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id < 20), """ +
-       """j AS (SELECT s.doc_id, b.bench_id, count(*) AS shared FROM sh s JOIN b ON s.h = b.h GROUP BY 1, 2) """ +
-       """SELECT j.doc_id, j.bench_id, j.shared, cn.n_sh FROM j JOIN cn USING (doc_id) """ +
-       """WHERE j.shared >= 2 ORDER BY doc_id, bench_id"""),
+    "x_contamination" -> contaminationOracle,
+
+    // the Bloom prefilter has no false negatives: bit-identical result
+    "x_contamination_bloom" -> contaminationOracle,
+
+    "x_sample_bottomk" ->
+      (s"""SELECT doc_id, lang, source FROM (SELECT doc_id, lang, source, """ +
+       s"""row_number() OVER (ORDER BY ${h60sql("'bottomk::' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn """ +
+       """FROM documents WHERE doc_id IS NOT NULL) WHERE rn <= 50 ORDER BY doc_id"""),
+
+    "x_sample_bottomk_group" ->
+      (s"""SELECT doc_id, source FROM (SELECT doc_id, source, """ +
+       s"""row_number() OVER (PARTITION BY source ORDER BY ${h60sql("'bottomk::' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn """ +
+       """FROM documents WHERE doc_id IS NOT NULL) WHERE rn <= 10 ORDER BY doc_id"""),
 
     "x_sample_stratified" ->
       (s"""SELECT doc_id, lang, source FROM documents """ +
@@ -1723,12 +1804,14 @@ object SparkEntry {
        """WHERE rk <= 3 ORDER BY o_orderpriority, rk"""),
 
     "x_pipeline_clean" ->
-      (s"""WITH dedup AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), """ +
+      (s"""WITH nd AS (SELECT doc_id, source, trim(regexp_replace(regexp_replace(regexp_replace(""" +
+       """text, '[ \t]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'), '\n{3,}', chr(10) || chr(10), 'g')) AS text FROM documents), """ +
+       s"""dedup AS (SELECT min(doc_id) AS doc_id FROM nd GROUP BY text), """ +
        s"""f AS (SELECT d.doc_id, d.source, len($TOK)::BIGINT AS n_tokens, """ +
        s"""len(list_filter($TOK, t -> list_contains($EN_STOP, t)))::BIGINT AS n_stop, """ +
        """length(text)::BIGINT AS n_chars, """ +
        """length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::BIGINT AS n_punct """ +
-       """FROM documents d JOIN dedup USING (doc_id)), """ +
+       """FROM nd d JOIN dedup USING (doc_id)), """ +
        """q AS (SELECT doc_id, source, n_tokens, """ +
        """least(1.0, CAST(n_tokens AS DOUBLE) / 200.0) * 0.5 """ +
        """+ (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 2.0 """ +

@@ -378,6 +378,65 @@ object Hash60Kernel {
   }
 }
 
+/** Static kernel for the first-occurrence line filter — the
+  * intra-document line-dedup core as one native pass: a hash-set
+  * membership test per line instead of the HOF spec's `array_position`
+  * full-array scan, O(lines) total vs O(lines²) (a pathological
+  * million-line document is ~10⁶ set probes, not ~10¹² comparisons).
+  * Semantics mirror the HOF predicate exactly (ExprSpec-tested):
+  * space-only lines (every byte 0x20, including "") are always kept —
+  * Spark's default `trim` strips spaces only; null elements are dropped
+  * (the HOF predicate evaluates to NULL for them). */
+object DedupLinesKernel {
+  private def isSpaceOnly(s: UTF8String): Boolean = {
+    val b = s.getBytes
+    var i = 0
+    while (i < b.length) { if (b(i) != 0x20) return false; i += 1 }
+    true
+  }
+  def firstOccurrences(lines: ArrayData): ArrayData = {
+    val n = lines.numElements()
+    val kept = new java.util.ArrayList[UTF8String](n)
+    val seen = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < n) {
+      if (!lines.isNullAt(i)) {
+        val l = lines.getUTF8String(i)
+        // space-only lines never enter `seen`: the first-occurrence
+        // branch only ever tests non-space-only lines, which cannot
+        // equal a space-only one
+        if (isSpaceOnly(l) || seen.add(l)) kept.add(l)
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      kept.toArray(new Array[UTF8String](kept.size())))
+  }
+}
+
+/** First-occurrence line filter over an array of lines (kernel in
+  * [[DedupLinesKernel]]) — keeps space-only lines unconditionally and
+  * the first occurrence of every other distinct line, dropping null
+  * elements; value-identical to the HOF formulation in
+  * `Dedup.dedupLinesWithinHof`. */
+case class DedupLinesFirst(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dedup_lines_first requires array<string>, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    DedupLinesKernel.firstOccurrences(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DedupLinesKernel.firstOccurrences($c);")
+  override protected def withNewChildInternal(newChild: Expression): DedupLinesFirst =
+    copy(child = newChild)
+}
+
 /** Portable 60-bit md5 hash as a native expression (kernel in
   * [[Hash60Kernel]]); value-identical to the hex-string formulation and
   * to the DuckDB oracle's `('0x'||substr(md5(s),1,15))::BIGINT`. */
@@ -583,6 +642,8 @@ object native {
     Bridge.column(MaxShingleRun(Bridge.expression(tokens), n))
   def minhash_sig_tokens(tokens: Column, n: Int, numHashes: Int): Column =
     Bridge.column(MinHashSigTokens(Bridge.expression(tokens), n, numHashes))
+  def dedup_lines_first(lines: Column): Column =
+    Bridge.column(DedupLinesFirst(Bridge.expression(lines)))
 
   /** Register every native kernel for SQL use in this session, so the
     * SQL surface matches the Column surface. Width/shape parameters
@@ -626,6 +687,8 @@ object native {
       require(es.length == 2, "max_shingle_run(tokens, n)")
       MaxShingleRun(es(0), intLit(es(1), "max_shingle_run", "n"))
     }, "built-in")
+    reg.createOrReplaceTempFunction("dedup_lines_first",
+      es => DedupLinesFirst(es.head), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_sig", es => {
       require(es.length == 3, "hyperplane_sig(vec, planes, dim)")
       HyperplaneSig(es(0), intLit(es(1), "hyperplane_sig", "planes"),

@@ -26,6 +26,18 @@ import graft.functions.native
  */
 object Contamination {
 
+  // shingle_hash60 already returns sorted DISTINCT hashes (set semantics)
+  private def shingled(df: DataFrame, id: String, text: String, n: Int) =
+    df.select(col(id),
+      native.shingle_hash60(TextStats.tokens(col(text)), n).as("hs"))
+
+  // both sides are per-doc distinct, so count(*) = |intersection|
+  private def joinAndCount(c: DataFrame, b: DataFrame, minShared: Long) =
+    c.join(broadcast(b), "h")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared"), max(col("n_sh")).as("n_sh"))
+      .filter(col("shared") >= minShared)
+
   /** Per (corpus doc, benchmark doc) n-gram overlap: distinct shared
     * n-gram hashes (`shared`) and the corpus doc's distinct n-gram count
     * (`n_sh`), for rows with `shared >= minShared`. Output columns:
@@ -33,19 +45,71 @@ object Contamination {
   def ngramOverlap(corpus: DataFrame, idCol: String, textCol: String,
                    bench: DataFrame, benchIdCol: String, benchTextCol: String,
                    n: Int = 3, minShared: Long = 1L): DataFrame = {
-    def shingled(df: DataFrame, id: String, text: String) =
-      // shingle_hash60 already returns sorted DISTINCT hashes (set semantics)
-      df.select(col(id),
-        native.shingle_hash60(TextStats.tokens(col(text)), n).as("hs"))
-    val c = shingled(corpus, idCol, textCol)
+    val c = shingled(corpus, idCol, textCol, n)
       .select(col(idCol).as("doc_id"), size(col("hs")).cast("long").as("n_sh"),
         explode(col("hs")).as("h"))
-    val b = shingled(bench, benchIdCol, benchTextCol)
+    val b = shingled(bench, benchIdCol, benchTextCol, n)
       .select(col(benchIdCol).as("bench_id"), explode(col("hs")).as("h"))
-    c.join(broadcast(b), "h")
-      // both sides are per-doc distinct, so count(*) = |intersection|
-      .groupBy("doc_id", "bench_id")
-      .agg(count(lit(1)).as("shared"), max(col("n_sh")).as("n_sh"))
-      .filter(col("shared") >= minShared)
+    joinAndCount(c, b, minShared)
+  }
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftx.Bridge
+  import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+
+  private def bloomAgg(h: Column, items: Long, bits: Long): Column =
+    Bridge.column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(Bridge.expression(h), Literal(items), Literal(bits))
+      .toAggregateExpression())
+
+  private def mightContain(bloom: Column, h: Column): Column =
+    Bridge.column(BloomFilterMightContain(Bridge.expression(bloom),
+      Bridge.expression(h)))
+
+  /** [[ngramOverlap]] behind a BLOOM PREFILTER on the corpus side — the
+    * decontamination shape that holds at 100 TB. The benchmark's distinct
+    * n-gram hashes fold into ONE Bloom filter (an engine-side aggregate;
+    * the driver holds only the filter bytes — `fpp` 1% over 2^20 grams
+    * ≈ 1.2 MB), and a corpus document whose shingles ALL miss the filter
+    * — the overwhelming majority of a clean corpus — is dropped BEFORE
+    * the explode, so the (doc, hash) inverted index is built only for
+    * suspicious documents. A Bloom filter has NO false negatives, so the
+    * result is row-identical to [[ngramOverlap]] (the gate runs both
+    * against the same oracle); a false positive only costs one wasted
+    * explode and is resolved exactly by the join. Surviving documents'
+    * shingles are pruned again per-hash after the explode, so join-probe
+    * volume tracks true matches plus the fpp floor.
+    *
+    * An empty benchmark delegates to the exact path (Spark's Bloom
+    * aggregate yields NULL over zero rows; the exact join is trivially
+    * empty there anyway). */
+  def ngramOverlapBloom(corpus: DataFrame, idCol: String, textCol: String,
+                        bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                        n: Int = 3, minShared: Long = 1L,
+                        expectedGrams: Long = 1L << 20,
+                        fpp: Double = 0.01): DataFrame = {
+    require(expectedGrams > 0 && fpp > 0.0 && fpp < 1.0,
+      "expectedGrams must be positive and fpp in (0, 1)")
+    val b = shingled(bench, benchIdCol, benchTextCol, n)
+      .select(col(benchIdCol).as("bench_id"), explode(col("hs")).as("h"))
+    // optimal bit count for the target false-positive rate
+    val numBits = math.ceil(
+      -expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bfBytes = b.agg(bloomAgg(col("h"), expectedGrams, numBits).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    if (bfBytes == null)
+      return ngramOverlap(corpus, idCol, textCol,
+        bench, benchIdCol, benchTextCol, n, minShared)
+    val bf = lit(bfBytes)
+    // document-level prune: clean docs never reach the explode (their
+    // shingle array is hashed once, tested, and discarded in the scan)
+    val pre = shingled(corpus, idCol, textCol, n)
+      .filter(exists(col("hs"), h => mightContain(bf, h)))
+    val c = pre
+      .select(col(idCol).as("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+        explode(col("hs")).as("h"))
+      // shingle-level prune: survivors' non-matching grams drop pre-join
+      .filter(mightContain(bf, col("h")))
+    joinAndCount(c, b, minShared)
   }
 }

@@ -249,21 +249,37 @@ object Dedup {
   /** INTRA-document line dedup — the within-page companion of
     * [[stripBoilerplate]]: a line repeated inside one document keeps its
     * FIRST occurrence only (scraped pages repeat nav/footer blocks;
-    * generated text loops). Whitespace-only lines always survive (they
-    * are formatting, not content). Output mirrors [[stripBoilerplate]]:
+    * generated text loops). Space-only lines always survive (they are
+    * formatting, not content; "space-only" is literal — `trim` in both
+    * this engine and the oracle strips 0x20 only, so a tab-only line
+    * counts as content). Output mirrors [[stripBoilerplate]]:
     * (`idCol`, `clean_text`, `n_kept`, `n_lines`), NULL text → NULL
     * clean_text with zero counts.
     *
     * Scale shape: a pure PER-ROW expression — no shuffle, no state,
-    * embarrassingly parallel. The line array is let-bound through a
-    * one-element-array `transform` (the [[TextStats.chunk]] idiom) so
-    * the split evaluates once per document; "is this the first
-    * occurrence" is `array_position(ls, l) == i+1` over the FULL array
-    * (the first-occurrence index never exceeds the current position, so
-    * no prefix slice — and no per-line prefix-array allocation — is
-    * needed): O(lines²) comparisons worst case within one row, zero
-    * allocation, trivially small beside any shuffle at corpus scale. */
+    * embarrassingly parallel. First-occurrence filtering is a native
+    * hash-set kernel ([[graft.functions.DedupLinesKernel]]), ONE pass
+    * over the line array — O(lines) per document, so a pathological
+    * million-line document costs ~10⁶ set probes in one task, not the
+    * ~10¹² comparisons of the `array_position` formulation (kept below
+    * as the executable spec, [[dedupLinesWithinHof]]). */
   def dedupLinesWithin(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n", -1)
+    val keptArr = graft.functions.native.dedup_lines_first(lines)
+    df.select(col(idCol),
+      when(col(textCol).isNull, lit(null).cast(StringType))
+        .otherwise(concat_ws("\n", keptArr)).as("clean_text"),
+      coalesce(size(keptArr).cast(LongType), lit(0L)).as("n_kept"),
+      coalesce(size(lines).cast(LongType), lit(0L)).as("n_lines"))
+  }
+
+  /** Pure-HOF formulation of [[dedupLinesWithin]] — kept as the
+    * executable specification the native kernel is tested against
+    * (the [[minhashSignaturesHof]] discipline): "is this the first
+    * occurrence" is `array_position(ls, l) == i+1` over the FULL array,
+    * O(lines²) per document. */
+  private[graft] def dedupLinesWithinHof(df: DataFrame, idCol: String,
+                                         textCol: String): DataFrame = {
     val lines = split(col(textCol), "\n", -1)
     val keptArr = element_at(transform(array(lines), ls =>
       filter(ls, (l, i) => trim(l) === "" ||
@@ -326,9 +342,11 @@ object Dedup {
     * cleaning step): a line occurring in more than `maxDocFreq` DISTINCT
     * documents (cookie banners, navigation menus, footers) is removed
     * from every document; all other lines are kept verbatim, in order.
-    * Whitespace-only lines are never counted or removed (they carry
+    * Space-only lines are never counted or removed (they carry
     * formatting, not boilerplate, and would otherwise always cross any
-    * threshold). Output: (`idCol`, `clean_text`, `n_kept`, `n_lines`) —
+    * threshold; "space-only" is literal — `trim` here and in the oracle
+    * strips 0x20 only, so a tab-only line is ordinary content).
+    * Output: (`idCol`, `clean_text`, `n_kept`, `n_lines`) —
     * one row per input document; documents whose every line was
     * boilerplate yield `clean_text = ""`, documents with NULL text yield
     * `clean_text = NULL` with `n_kept = n_lines = 0` (the two cases are
@@ -412,19 +430,24 @@ object Dedup {
     * (their cosine against anything is undefined).
     *
     * A one-row sample check is KEPT alongside the filter with the
-    * opposite job: a `dim` argument that mismatches the whole corpus
+    * opposite job: a `dim` argument that mismatches a NON-EMPTY corpus
     * (config error, not dirty data) fails loudly up front instead of
-    * the filter silently producing zero pairs. */
+    * the filter silently producing zero pairs. An EMPTY corpus is not a
+    * config error — it short-circuits to the (empty) result. The happy
+    * path costs one limit-1 job; only the error path runs the second,
+    * also limit-1, sample query. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        planes: Int = 12, minCosine: Double = 0.9,
                        dim: Int = 64): DataFrame = {
-    df.select(size(col(vecCol)).as("sz")).filter(col("sz") === dim)
-      .limit(1).collect().headOption.getOrElse {
-        val seen = df.select(size(col(vecCol))).limit(1).collect()
-          .headOption.map(_.get(0)).getOrElse("empty corpus")
+    val sizes = df.select(size(col(vecCol)).as("sz"))
+    if (sizes.filter(col("sz") === dim).limit(1).collect().isEmpty) {
+      // no row matches: empty corpus → fall through to the empty result;
+      // non-empty corpus → dim is wrong for ALL of it, fail loudly
+      sizes.limit(1).collect().headOption.foreach { r =>
         throw new IllegalArgumentException(
-          s"embeddingNearDup: dim=$dim matches no vector (first row has $seen elements)")
+          s"embeddingNearDup: dim=$dim matches no vector (first row has ${r.get(0)} elements)")
       }
+    }
     val wellFormed = df.filter(
       size(col(vecCol)) === dim && forall(col(vecCol), x => x.isNotNull))
     val sig = Similarity.hyperplaneSignature(col(vecCol), planes, dim)

@@ -86,11 +86,14 @@ object Sample {
     val before = coalesce(sum(col(tokenCol)).over(w), lit(0L))
     // a NULL token count would be skipped by the window sum — the doc
     // would get a pack while consuming no budget, silently overflowing
-    // its pack's accounting. Fail loudly per offending row instead.
-    val checked = when(col(tokenCol).isNotNull, before)
+    // its pack's accounting; a NEGATIVE count would shrink every later
+    // offset and reassign downstream packs. Fail loudly per offending
+    // row instead.
+    val checked = when(col(tokenCol).isNotNull && col(tokenCol) >= 0, before)
       .otherwise(raise_error(concat(
-        lit(s"packByTokenBudget: null token count ('$tokenCol') for id "),
-        coalesce(col(idCol).cast("string"), lit("NULL")))))
+        lit(s"packByTokenBudget: token count ('$tokenCol') must be a non-negative"),
+        lit(" number, got "), coalesce(col(tokenCol).cast("string"), lit("NULL")),
+        lit(" for id "), coalesce(col(idCol).cast("string"), lit("NULL")))))
     df.withColumn("pack_offset", checked)
       // `div` = exact integer division (a double `/` would round past
       // 2^53 token offsets); offsets are non-negative so div == floor
@@ -119,4 +122,48 @@ object Sample {
       concat(lit(salt), lit(":"), coalesce(col(stratumCol), lit("")), lit(":"),
         col(idCol).cast("string"))), lit(1000000L))
 
+  // the bottom-k ranking key: portable hash of ("bottomk", salt, id) —
+  // NULL ids null the key (no identity → not eligible), mirroring
+  // hashBucket's NULL-id rule
+  private def bottomKey(salt: String, idCol: String): org.apache.spark.sql.Column =
+    native.hash60(concat(lit("bottomk:"), lit(salt), lit(":"),
+      col(idCol).cast("string")))
+
+  /** Deterministic FIXED-SIZE uniform sample: the `k` rows with the
+    * smallest portable hash of (salt, id) — bottom-k by hash, the
+    * mergeable fixed-size sampling scheme. Where [[stratifiedHash]]
+    * fixes a RATE, this fixes a COUNT (eval seeds, inspection sets,
+    * codebook training subsets). Growing the corpus only DISPLACES
+    * sampled rows (a new row enters iff its hash beats the current
+    * k-th), never reshuffles survivors, and any engine computing the
+    * same hash agrees on the exact row set. `salt` decorrelates
+    * independent samples; NULL ids are never sampled (no identity).
+    *
+    * Scale shape: `orderBy(key).limit(k)` plans as TakeOrdered —
+    * per-partition k-heaps, only k rows per partition reach the single
+    * merge; no full sort, no full shuffle, text rides only for winners. */
+  def bottomK(df: DataFrame, idCol: String, k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    df.withColumn("_bk", bottomKey(salt, idCol))
+      .filter(col("_bk").isNotNull)
+      .orderBy(col("_bk"), col(idCol))
+      .limit(k)
+      .drop("_bk")
+  }
+
+  /** [[bottomK]] within each `groupCol` value — "k docs per source" for
+    * stratified eval sets and per-stratum inspection. ONE hash shuffle
+    * on the group + a row_number window; groups are the parallelism
+    * unit, no single task sees more than its group. */
+  def bottomKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                      k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("_bk"), col(idCol))
+    df.withColumn("_bk", bottomKey(salt, idCol))
+      .filter(col("_bk").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_bk", "_rn")
+  }
 }

@@ -293,19 +293,75 @@ object Similarity {
                     codebook: Seq[Seq[Double]], path: String): Unit = {
     val spark = df.sparkSession
     val dyy = centroidNorms(spark, codebook)
+    // the build STAMP (source row count + exact-decimal id sum) rides the
+    // write job itself via Observation — no second scan of the source
+    val obs = org.apache.spark.sql.Observation()
     df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"),
         nearestCentroid(col(vecCol), codebook, dyy).as("list"))
+      .observe(obs, stampExprs.head, stampExprs.tail: _*)
       .repartition(col("list"))
       .sortWithinPartitions(col("id"))
       .write.partitionBy("list").mode("overwrite").parquet(path)
-    // the index is SELF-DESCRIBING: the codebook rides inside the index
-    // tree (an underscore-prefixed subdir is invisible to parquet file
-    // listing, so scans of `path` never see it) — probe-time callers
-    // need only the path
+    val stamp = stampOf(obs.get)
+    // the index is SELF-DESCRIBING: the codebook AND the build stamp ride
+    // inside the index tree (an underscore-prefixed subdir is invisible
+    // to parquet file listing, so scans of `path` never see it) —
+    // probe-time callers need only the path
     import spark.implicits._
     codebook.zipWithIndex.map { case (c, j) => (j.toLong, c) }
       .toDF("j", "centroid")
+      .withColumn("n_rows", lit(stamp.nRows))
+      .withColumn("id_sum", lit(stamp.idSum).cast(DecimalType(38, 0)))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
+  }
+
+  /** Build stamp of a persisted IVF index: the source's row count and
+    * the exact-decimal sum of its (Long-cast) ids — a cheap fingerprint
+    * that changes under append, delete, and id remap (it cannot see a
+    * same-id vector UPDATE; treat vectors as immutable or rebuild).
+    * Decimal accumulation so the sum can never overflow at corpus
+    * scale (ANSI Long sum throws past 2^63). */
+  final case class IvfStamp(nRows: Long, idSum: java.math.BigDecimal)
+
+  private def stampExprs: Seq[Column] = Seq(
+    count(lit(1)).as("n_rows"),
+    coalesce(sum(col("id").cast(DecimalType(38, 0))),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))).as("id_sum"))
+
+  private def stampOf(m: Map[String, Any]): IvfStamp =
+    IvfStamp(m("n_rows").asInstanceOf[Long],
+      m("id_sum") match {
+        case d: java.math.BigDecimal => d
+        case d: BigDecimal => d.bigDecimal
+      })
+
+  /** The stamp a [[buildIvfIndex]] index was built with. */
+  def loadIvfStamp(spark: org.apache.spark.sql.SparkSession,
+                   path: String): IvfStamp = {
+    val r = spark.read.parquet(s"$path/_codebook")
+      .select(col("n_rows"), col("id_sum")).head()
+    IvfStamp(r.getLong(0), r.getDecimal(1))
+  }
+
+  /** Freshness contract for build-once/probe-many: recompute the live
+    * source's stamp (a column-pruned count+sum scan — ids only, vectors
+    * never read) and compare it to the one persisted at build time.
+    * Throws `IllegalStateException` on mismatch — a probe against an
+    * index whose corpus has since been appended to / deleted from would
+    * silently serve stale neighbors. Rebuilding clears it. */
+  def requireIvfFresh(spark: org.apache.spark.sql.SparkSession, path: String,
+                      df: DataFrame, idCol: String): Unit = {
+    val built = loadIvfStamp(spark, path)
+    val r = df.select(col(idCol).cast(LongType).as("id")).agg(
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(col("id").cast(DecimalType(38, 0))),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))).as("id_sum")).head()
+    val live = IvfStamp(r.getLong(0), r.getDecimal(1))
+    if (live.nRows != built.nRows || live.idSum.compareTo(built.idSum) != 0)
+      throw new IllegalStateException(
+        s"IVF index at $path is STALE: built over ${built.nRows} rows " +
+          s"(id sum ${built.idSum}) but the live table has ${live.nRows} " +
+          s"(id sum ${live.idSum}); rebuild with buildIvfIndex")
   }
 
   /** The codebook a [[buildIvfIndex]] index was built with, in list-id
@@ -313,13 +369,23 @@ object Similarity {
   def loadIvfCodebook(spark: org.apache.spark.sql.SparkSession,
                       path: String): Seq[Seq[Double]] =
     spark.read.parquet(s"$path/_codebook").orderBy("j")
-      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+      .collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq
 
   /** [[ivfTopKIndexed]] against a self-describing index — the codebook
     * is read from the index tree. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      query: Seq[Float], k: Int, nprobe: Int): DataFrame =
     ivfTopKIndexed(spark, path, loadIvfCodebook(spark, path), query, k, nprobe)
+
+  /** [[ivfTopKIndexed]] with the freshness check: verifies the index's
+    * build stamp against the live source table ([[requireIvfFresh]])
+    * before probing. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     query: Seq[Float], k: Int, nprobe: Int,
+                     verifyAgainst: (DataFrame, String)): DataFrame = {
+    requireIvfFresh(spark, path, verifyAgainst._1, verifyAgainst._2)
+    ivfTopKIndexed(spark, path, query, k, nprobe)
+  }
 
   /** Probe a [[buildIvfIndex]] index: rank the query's list affinities
     * (the engine evaluates every term, so oracle SQL reproduces them),

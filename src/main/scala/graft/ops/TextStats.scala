@@ -119,6 +119,10 @@ object TextStats {
               percentiles: Seq[Double] = Seq(0.25, 0.5, 0.9)): DataFrame = {
     require(percentiles.nonEmpty && percentiles.forall(p => p > 0.0 && p <= 1.0),
       "percentiles must be in (0, 1]")
+    // duplicates would emit two identically-named output columns,
+    // making any later select-by-name ambiguous
+    require(percentiles.distinct.size == percentiles.size,
+      "percentiles must be distinct")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(valueCol)
     val grp = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)

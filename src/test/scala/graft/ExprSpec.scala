@@ -111,6 +111,40 @@ class ExprSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("dedup_lines_first == HOF array_position spec; null elements, SQL registration") {
+    // parity over the tricky line shapes: dups, empty lines, space-only
+    // vs tab-only runs, trailing separators, whole-text edge cases
+    val df = Seq(
+      "a\nb\na\n\n  \n  \nb\nc\n",
+      "\t\n\t",
+      "x",
+      "",
+      " \n \n ",
+      "a a\na  a\na a"
+    ).toDF("text")
+    val lines = split($"text", "\n", -1)
+    val spec = element_at(transform(array(lines), ls =>
+      filter(ls, (l, i) => trim(l) === "" ||
+        array_position(ls, l) === (i + 1).cast("long"))), 1)
+    val got = df.select(native.dedup_lines_first(lines).as("fused"), spec.as("spec"))
+      .collect()
+    got.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // null ELEMENTS (not producible via split, but the registered surface
+    // accepts arbitrary array<string>): dropped, exactly like the spec's
+    // NULL predicate
+    val arr = spark.range(1).select(
+      array(lit("a"), lit(null).cast("string"), lit("a"), lit(" ")).as("ls"))
+    assert(arr.select(native.dedup_lines_first($"ls")).collect()(0)
+      .getSeq[String](0) == Seq("a", " "))
+    // NULL array -> NULL
+    assert(spark.range(1)
+      .select(native.dedup_lines_first(lit(null).cast("array<string>")))
+      .collect()(0).isNullAt(0))
+    native.register(spark)
+    assert(spark.sql("SELECT dedup_lines_first(array('a','a','b'))")
+      .collect()(0).getSeq[String](0) == Seq("a", "b"))
+  }
+
   test("fixed_dot == HOF round/sum spec on real embeddings and signed values") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
     val q = emb.filter($"vec_id" === 0).select("embedding").collect()(0).getSeq[Float](0)

@@ -168,6 +168,36 @@ class OpsSpec extends AnyFunSuite {
     assert(selfDesc == direct)
   }
 
+  test("IVF index freshness: append after build is detected, rebuild clears it") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select("embedding").collect()(0).getSeq[Float](0)
+    val cb = Similarity.kmeansCodebook(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val path = TestSpark.tmpDir("ivf-stale")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", cb, path)
+    // fresh: check passes and the verified probe == the plain probe
+    Similarity.requireIvfFresh(spark, path, emb, "vec_id")
+    val verified = Similarity
+      .ivfTopKIndexed(spark, path, q, 5, 2, verifyAgainst = (emb, "vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val plain = Similarity.ivfTopKIndexed(spark, path, q, 5, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(verified == plain)
+    // append a vector: the live stamp diverges -> the probe must refuse
+    val grown = emb.unionByName(
+      emb.limit(1).withColumn("vec_id", lit(99999999L)))
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfTopKIndexed(spark, path, q, 5, 2, verifyAgainst = (grown, "vec_id"))
+    }
+    assert(e.getMessage.contains("STALE"))
+    // rebuilding over the grown corpus clears the staleness
+    Similarity.buildIvfIndex(grown, "vec_id", "embedding", cb, path)
+    Similarity.requireIvfFresh(spark, path, grown, "vec_id")
+    // ...and the ORIGINAL corpus is now the stale one (delete detection)
+    intercept[IllegalStateException] {
+      Similarity.requireIvfFresh(spark, path, emb, "vec_id")
+    }
+  }
+
   test("cross-corpus dedup: fresh near-dups of the reference are found and removable") {
     val ref = docsDf.filter(col("doc_id") < 4)         // ids 0-3
     val fresh = Seq(
@@ -201,6 +231,30 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0L) == ((Some("nav\nbody one\n\n\nbody two"), 5L, 7L)))
     assert(out(1L) == ((Some("unique only"), 1L, 1L)))
     assert(out(2L) == ((None, 0L, 0L)))
+  }
+
+  test("dedupLinesWithin: native kernel == HOF spec; a pathological long doc stays O(lines)") {
+    // parity on the tricky shapes: space-only vs tab-only lines, dup
+    // blanks, trailing newline, null text, single line
+    val tricky = Seq(
+      (0L, "a\nb\na\n\n  \n  \nb\nc\n"),
+      (1L, "\t\nx\n\t"),            // tab-only lines are CONTENT: second drops
+      (2L, null),
+      (3L, "only")
+    ).toDF("doc_id", "text")
+    val viaKernel = Dedup.dedupLinesWithin(tricky, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaSpec = Dedup.dedupLinesWithinHof(tricky, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaKernel == viaSpec)
+    // 200k lines (1k distinct) in ONE document: the HOF's array_position
+    // formulation is ~2·10^10 comparisons in a single task — minutes; the
+    // hash-set kernel is ~2·10^5 probes and finishes instantly
+    val long = (0 until 200000).map(i => s"line ${i % 1000}").mkString("\n")
+    val big = Dedup.dedupLinesWithin(
+      Seq((0L, long)).toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+    assert(big.getLong(2) == 1000L && big.getLong(3) == 200000L)
+    assert(big.getString(1) == (0 until 1000).map(i => s"line $i").mkString("\n"))
   }
 
   test("stripBoilerplate: frequent lines removed, order kept, blanks exempt, all-boiler docs empty") {
@@ -238,17 +292,25 @@ class OpsSpec extends AnyFunSuite {
     val sb = Dedup.stripBoilerplate(withNulls, "doc_id", "text", 10L)
       .collect().map(r => r.getLong(0) -> ((r.isNullAt(1), r.getLong(2), r.getLong(3)))).toMap
     assert(sb(1L) == (true, 0L, 0L) && sb(0L)._1 == false)
-    // packing: a NULL token count fails loudly instead of consuming no budget
+    // packing: a NULL token count fails loudly instead of consuming no
+    // budget; a NEGATIVE one fails loudly instead of shrinking every
+    // later offset (and reassigning downstream packs)
+    def msgs(t: Throwable): String = {
+      def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
+      chain(t).flatMap(c => Option(c.getMessage)).mkString(" | ")
+    }
     val counts = Seq((0L, "a", java.lang.Long.valueOf(5L)),
       (1L, "a", null.asInstanceOf[java.lang.Long])).toDF("doc_id", "source", "n_tokens")
     val e = intercept[Throwable] {
       Sample.packByTokenBudget(counts, "source", "doc_id", "n_tokens", 100L).collect()
     }
-    def msgs(t: Throwable): String = {
-      def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
-      chain(e).flatMap(c => Option(c.getMessage)).mkString(" | ")
+    assert(msgs(e).contains("must be a non-negative"), s"expected loud failure, got: $e")
+    val negative = Seq((0L, "a", 5L), (1L, "a", -3L)).toDF("doc_id", "source", "n_tokens")
+    val e2 = intercept[Throwable] {
+      Sample.packByTokenBudget(negative, "source", "doc_id", "n_tokens", 100L).collect()
     }
-    assert(msgs(e).contains("null token count"), s"expected loud failure, got: $e")
+    assert(msgs(e2).contains("must be a non-negative") && msgs(e2).contains("-3"),
+      s"expected loud negative-count failure, got: $e2")
   }
 
   test("embedding near-dup: a dim argument matching NO vector fails loudly") {
@@ -259,6 +321,10 @@ class OpsSpec extends AnyFunSuite {
         minCosine = 0.9, dim = 64)
     }
     assert(e.getMessage.contains("matches no vector"))
+    // an EMPTY corpus is not a config error: empty result, no throw
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDup(empty, "vec_id", "embedding", planes = 8,
+      minCosine = 0.9, dim = 4).collect().isEmpty)
   }
 
   test("nearDupGroups: null or non-numeric ids raise instead of silently dropping") {
@@ -298,6 +364,60 @@ class OpsSpec extends AnyFunSuite {
       val expect = b.foldLeft(a.clone())((acc, h) => kmv.insert(acc, h)).toSeq
       assert(kmv.merge(a.clone(), b.clone()).toSeq == expect)
     }
+  }
+
+  test("ngramOverlapBloom == exact ngramOverlap; exact even at saturating fpp; empty bench") {
+    val bench = docsDf.filter(col("doc_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exact = rows(Contamination.ngramOverlap(docsDf, "doc_id", "text",
+      bench, "doc_id", "text", n = 3, minShared = 1L))
+    assert(exact.nonEmpty)
+    val bloom = rows(Contamination.ngramOverlapBloom(docsDf, "doc_id", "text",
+      bench, "doc_id", "text", n = 3, minShared = 1L,
+      expectedGrams = 1024L, fpp = 0.01))
+    assert(bloom == exact)
+    // a deliberately tiny, saturated filter: false positives everywhere,
+    // result STILL exact (the join resolves them) — no false negatives
+    val saturated = rows(Contamination.ngramOverlapBloom(docsDf, "doc_id", "text",
+      bench, "doc_id", "text", n = 3, minShared = 1L,
+      expectedGrams = 8L, fpp = 0.5))
+    assert(saturated == exact)
+    // empty benchmark: no pairs, no crash (Bloom agg yields NULL there)
+    val none = Contamination.ngramOverlapBloom(docsDf, "doc_id", "text",
+      bench.filter(col("doc_id") < 0), "doc_id", "text")
+    assert(none.collect().isEmpty)
+  }
+
+  test("bottomK: deterministic, nested, growth displaces only; per-group == per-slice") {
+    val df = (0L until 100L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val k5 = Sample.bottomK(df, "id", 5).collect().map(_.getLong(0)).toSet
+    assert(k5.size == 5)
+    assert(Sample.bottomK(df, "id", 5).collect().map(_.getLong(0)).toSet == k5)
+    val k10 = Sample.bottomK(df, "id", 10).collect().map(_.getLong(0)).toSet
+    assert(k5.subsetOf(k10))
+    // growing the corpus can only DISPLACE members, never admit a loser
+    val grown = df.unionByName(
+      (100L until 200L).map(i => (i, s"src${i % 3}")).toDF("id", "src"))
+    val g5 = Sample.bottomK(grown, "id", 5).collect().map(_.getLong(0)).toSet
+    assert(g5.subsetOf(k5 ++ (100L until 200L)))
+    // salts decorrelate
+    assert(Sample.bottomK(df, "id", 5, salt = "b").collect()
+      .map(_.getLong(0)).toSet != k5)
+    // NULL ids have no sampling identity: never selected
+    val withNull = df.unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], "src0")).toDF("id", "src"))
+    assert(Sample.bottomK(withNull, "id", 200).collect().forall(!_.isNullAt(0)))
+    // the plan is a TakeOrdered (per-partition heaps), not a global sort
+    assert(Sample.bottomK(df, "id", 5).queryExecution.executedPlan.toString
+      .contains("TakeOrdered"))
+    // per-group picks == bottomK run on that group's slice alone
+    val pg = Sample.bottomKPerGroup(df, "src", "id", 4).collect()
+      .map(r => (r.getString(1), r.getLong(0))).toSeq
+    assert(pg.groupBy(_._1).forall(_._2.size == 4))
+    val src0 = Sample.bottomK(df.filter(col("src") === "src0"), "id", 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(pg.filter(_._1 == "src0").map(_._2).toSet == src0)
   }
 
   test("connected components: chains merge, min-id labels, isolated pairs separate") {
@@ -472,6 +592,12 @@ class OpsSpec extends AnyFunSuite {
     assert(out("a") == ((4L, 10L, 40L, 10L, 20L, 40L)))
     // group b (n=2): ranks ceil(0.5)=1, ceil(1)=1, ceil(1.8)=2
     assert(out("b") == ((2L, 7L, 9L, 7L, 7L, 9L)))
+    // duplicate percentiles would emit two identically-named columns,
+    // making any later select-by-name ambiguous — rejected up front
+    val dup = intercept[IllegalArgumentException] {
+      TextStats.profile(df, "g", "v", Seq(0.5, 0.5))
+    }
+    assert(dup.getMessage.contains("distinct"))
   }
 
   test("normalizeWhitespace: collapses runs, trims edges, caps blank lines, keeps NULL") {
