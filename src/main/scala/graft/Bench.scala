@@ -52,7 +52,10 @@ object Bench {
     def isStream(n: String) = n.startsWith("x_stream_")
     val total = med.collect { case (n, v) if !isStream(n) => v }.sum
     val totalStream = med.collect { case (n, v) if isStream(n) => v }.sum
-    def f3(x: Double) = f"$x%.3f"
+    // Locale.ROOT: a comma-decimal default locale would emit "12,345"
+    // and break the JSON parseability this line exists to guarantee
+    def f3(x: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      java.lang.Double.valueOf(x))
     val rt = runTotals.map(f3).mkString("[", ",", "]")
     // The full record (per-query medians) goes to bench.json only; the
     // final stdout line must stay SHORT. The round driver tail-captures

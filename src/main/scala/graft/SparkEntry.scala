@@ -821,9 +821,7 @@ object SparkEntry {
                                 order: Seq[String]): DataFrame = {
     val name = "g" + java.util.UUID.randomUUID().toString.replace("-", "")
     start(name).awaitTermination()
-    val out = s.table(name)
-    val local = s.createDataFrame(
-      java.util.Arrays.asList(out.collect(): _*), out.schema)
+    val local = localized(s, s.table(name))
     s.catalog.dropTempView(name)
     local.orderBy(order.map(col): _*)
   }
@@ -935,6 +933,21 @@ object SparkEntry {
       Dedup.simhash(docs(s, d).filter(col("doc_id") < 300), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // SimHash PAIRING: pigeonhole-banded hamming join over planted exact
+    // (hamming 0) and near (one-token) duplicates — must equal the
+    // oracle's brute-force all-pairs filter exactly
+    "x_dedup_simhash_pairs" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") < 300).select("doc_id", "text")
+      val near = docs(s, d).filter(col("doc_id") < 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zzz")).as("text"))
+      val exact = docs(s, d).filter(col("doc_id") < 3)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      Dedup.simhashPairs(base.unionByName(near).unionByName(exact),
+          "doc_id", "text", maxHamming = 5)
+        .orderBy("id1", "id2")
+    }),
+
     // embedding-cosine near-dup via hyperplane LSH (planted scaled copies:
     // cosine is scale-invariant, so each copy pairs with its source at 1.0)
     "x_dedup_embed" -> ((s, d) => {
@@ -946,6 +959,22 @@ object SparkEntry {
       Dedup.embeddingNearDup(all, "vec_id", "embedding", planes = 12, minCosine = 0.99)
         .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id1")
+    }),
+
+    // embedding near-dup GROUPS: the composed embedding dedup flow —
+    // LSH-bucketed cosine pairs → connected components → whole-corpus
+    // labeling; planted scaled copies cluster under their source id
+    "x_dedup_embed_groups" -> ((s, d) => {
+      val base = embs(s, d)
+      val planted = base.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      val all = base.select("vec_id", "embedding").unionByName(planted)
+      Dedup.embeddingNearDupGroups(all, "vec_id", "embedding",
+          planes = 12, minCosine = 0.99)
+        .select(col("vec_id"), col("cluster"),
+          col("keep").cast(LongType).as("keep"))
+        .orderBy("vec_id")
     }),
 
     // brute-force cosine top-10 (exact-decimal kernel for the oracle)
@@ -1537,10 +1566,36 @@ object SparkEntry {
        """SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS simhash """ +
        """FROM bits GROUP BY doc_id ORDER BY doc_id"""),
 
+    // simhash pairing: the oracle is the brute-force all-pairs hamming
+    // filter — the engine's pigeonhole banding must return exactly it
+    "x_dedup_simhash_pairs" ->
+      (s"""WITH docs2 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300 """ +
+       """UNION ALL SELECT doc_id + 1000000, text || ' zzz' FROM documents WHERE doc_id < 3 """ +
+       """UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 3), """ +
+       s"""th AS (SELECT doc_id, unnest($TOK) AS tok FROM docs2), """ +
+       s"""h AS (SELECT doc_id, ${h60sql("tok")} AS h FROM th), """ +
+       """bits AS (SELECT doc_id, g.j AS j, SUM(CASE WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS s """ +
+       """FROM h, generate_series(0, 59) g(j) GROUP BY 1, 2), """ +
+       """sh AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS sim """ +
+       """FROM bits GROUP BY doc_id) """ +
+       """SELECT a.doc_id AS id1, b.doc_id AS id2, bit_count(xor(a.sim, b.sim))::BIGINT AS hamming """ +
+       """FROM sh a JOIN sh b ON a.doc_id < b.doc_id """ +
+       """WHERE bit_count(xor(a.sim, b.sim)) <= 5 ORDER BY id1, id2"""),
+
     "x_dedup_embed" ->
       ("SELECT * FROM (VALUES (0::BIGINT, 1000000::BIGINT, 1.0), " +
        "(1::BIGINT, 1000001::BIGINT, 1.0), (2::BIGINT, 1000002::BIGINT, 1.0)) " +
        "t(id1, id2, cosine) ORDER BY id1"),
+
+    // same planted-pair ground truth as x_dedup_embed (the scaled copies
+    // are the only >= 0.99 pairs): each copy clusters under its source,
+    // every other vector is its own singleton group
+    "x_dedup_embed_groups" ->
+      ("""WITH allv AS (SELECT vec_id FROM embeddings """ +
+       """UNION ALL SELECT vec_id + 1000000 FROM embeddings WHERE vec_id < 3) """ +
+       """SELECT vec_id, CASE WHEN vec_id >= 1000000 THEN vec_id - 1000000 ELSE vec_id END AS cluster, """ +
+       """CAST(CASE WHEN vec_id >= 1000000 THEN 0 ELSE 1 END AS BIGINT) AS keep """ +
+       """FROM allv ORDER BY vec_id"""),
 
     "x_knn_cosine" ->
       ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings), """ +

@@ -414,6 +414,49 @@ object DedupLinesKernel {
   }
 }
 
+/** TRUE iff any element of an `array<long>` might be in the Bloom
+  * filter serialized in `bloomBytes` (the `BloomFilterAggregate` wire
+  * format) — the document-level decontamination prefilter as one native
+  * loop. The HOF formulation (`exists(hs, h -> might_contain(...))`)
+  * is semantically identical but runs interpreted with per-element
+  * boxing, which measurably loses to the exact join it is meant to
+  * beat; this kernel stays inside whole-stage codegen. NULL elements
+  * are skipped (a NULL gram is not evidence); a NULL array yields NULL
+  * like any unary null-safe expression. */
+case class BloomContainsAny(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+  require(bloomBytes != null && bloomBytes.nonEmpty, "empty bloom filter")
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_contains_any requires array<bigint>, got ${other.sql}")
+    }
+  @transient private lazy val bf =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+  def anyMatch(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && bf.mightContainLong(a.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+  override def nullSafeEval(v: Any): Any = anyMatch(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference THIS expression instance: the deserialized filter is a
+    // lazy val on it, built once per task and shared with interpreted eval
+    val self = ctx.addReferenceObj("bloomAny", this, classOf[BloomContainsAny].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.anyMatch($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsAny =
+    copy(child = newChild)
+}
+
 /** First-occurrence line filter over an array of lines (kernel in
   * [[DedupLinesKernel]]) — keeps space-only lines unconditionally and
   * the first occurrence of every other distinct line, dropping null
@@ -644,6 +687,8 @@ object native {
     Bridge.column(MinHashSigTokens(Bridge.expression(tokens), n, numHashes))
   def dedup_lines_first(lines: Column): Column =
     Bridge.column(DedupLinesFirst(Bridge.expression(lines)))
+  def bloom_contains_any(hashes: Column, bloomBytes: Array[Byte]): Column =
+    Bridge.column(BloomContainsAny(Bridge.expression(hashes), bloomBytes))
 
   /** Register every native kernel for SQL use in this session, so the
     * SQL surface matches the Column surface. Width/shape parameters

@@ -90,8 +90,14 @@ object Contamination {
                         fpp: Double = 0.01): DataFrame = {
     require(expectedGrams > 0 && fpp > 0.0 && fpp < 1.0,
       "expectedGrams must be positive and fpp in (0, 1)")
-    val b = shingled(bench, benchIdCol, benchTextCol, n)
+    // the benchmark's (bench_id, gram-hash) index is LOCALIZED once: it
+    // is broadcast-sized by contract (it ships to every executor for the
+    // join regardless), so collecting it means the benchmark is tokenized
+    // exactly once and the Bloom build below costs no second source scan
+    val b0 = shingled(bench, benchIdCol, benchTextCol, n)
       .select(col(benchIdCol).as("bench_id"), explode(col("hs")).as("h"))
+    val b = bench.sparkSession.createDataFrame(
+      java.util.Arrays.asList(b0.collect(): _*), b0.schema)
     // optimal bit count for the target false-positive rate
     val numBits = math.ceil(
       -expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
@@ -102,9 +108,12 @@ object Contamination {
         bench, benchIdCol, benchTextCol, n, minShared)
     val bf = lit(bfBytes)
     // document-level prune: clean docs never reach the explode (their
-    // shingle array is hashed once, tested, and discarded in the scan)
+    // shingle array is hashed once, tested, and discarded in the scan).
+    // The test is the native whole-stage-codegen kernel — the equivalent
+    // exists(hs, h -> might_contain(...)) HOF runs interpreted and loses
+    // the race against the exact join it exists to beat
     val pre = shingled(corpus, idCol, textCol, n)
-      .filter(exists(col("hs"), h => mightContain(bf, h)))
+      .filter(native.bloom_contains_any(col("hs"), bfBytes))
     val c = pre
       .select(col(idCol).as("doc_id"), size(col("hs")).cast("long").as("n_sh"),
         explode(col("hs")).as("h"))

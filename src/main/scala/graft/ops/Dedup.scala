@@ -318,9 +318,30 @@ object Dedup {
     * small. Document text never leaves its scan. */
   def nearDupGroups(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                    minEstJaccard: Double = 0.5): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, n, numHashes, bands)
-      .filter(col("est_jaccard") >= minEstJaccard)
+                    minEstJaccard: Double = 0.5): DataFrame =
+    labelGroups(df, idCol,
+      minhashPairs(df, idCol, textCol, n, numHashes, bands)
+        .filter(col("est_jaccard") >= minEstJaccard))
+
+  /** [[nearDupGroups]] over an EMBEDDING column: candidate pairs from
+    * [[embeddingNearDup]] (hyperplane-LSH buckets, within-bucket cosine
+    * at `minCosine`), connected components, whole-corpus labeling —
+    * `filter(col("keep"))` is the semantically-deduplicated corpus.
+    * Same scale shape as the text variant: collision-bounded pairs,
+    * O(log diameter) pointer-jump clustering, id-only labeling join. */
+  def embeddingNearDupGroups(df: DataFrame, idCol: String, vecCol: String,
+                             planes: Int = 12, minCosine: Double = 0.9,
+                             dim: Int = 64): DataFrame =
+    labelGroups(df, idCol,
+      embeddingNearDup(df, idCol, vecCol, planes, minCosine, dim)
+        .select(col("id1"), col("id2")))
+
+  /** Shared labeling step of the `*Groups` entry points: connected
+    * components over the pair relation, then every input id labeled with
+    * its group's minimum id (`cluster`; its own id for singletons) and
+    * `keep = id == cluster`. */
+  private def labelGroups(df: DataFrame, idCol: String,
+                          pairs: DataFrame): DataFrame = {
     val labels = Cluster.connectedComponents(pairs, "id1", "id2")
       .withColumnRenamed("id", "_cc_id")
     // ids must cast to Long (the clustering key type). A null or
@@ -329,7 +350,7 @@ object Dedup {
     // the whole corpus. Fail loudly per offending row instead.
     val idL = when(col(idCol).cast(LongType).isNotNull, col(idCol).cast(LongType))
       .otherwise(raise_error(concat(
-        lit(s"nearDupGroups: id column '$idCol' must be non-null and numeric, got: "),
+        lit(s"labelGroups: id column '$idCol' must be non-null and numeric, got: "),
         coalesce(col(idCol).cast(StringType), lit("NULL")))))
     df.select(idL.as(idCol))
       .join(labels, col(idCol) === col("_cc_id"), "left")
@@ -414,6 +435,44 @@ object Dedup {
 
   /** Hamming distance between two simhash values (for near-dup grouping). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup pairs by SimHash Hamming distance — the PAIRING operator
+    * over [[simhash]]: all (id1, id2, hamming) with
+    * `hamming <= maxHamming`, id1 < id2.
+    *
+    * Scale shape — pigeonhole banding, never all-pairs: the 60-bit
+    * fingerprint splits into `maxHamming + 1` equal bit-blocks; two
+    * fingerprints within the distance bound differ in at most
+    * `maxHamming` bits, so at least ONE block is bit-identical and an
+    * equi-join on (block index, block bits) finds every qualifying pair.
+    * Spurious block collisions are removed by the exact [[hamming]]
+    * filter; join cost tracks real collisions, exactly like the banded
+    * MinHash join. NULL-text documents are dropped up front (their NULL
+    * fingerprint can never be near-dup evidence). The repartition is the
+    * same optimizer barrier as in the MinHash chain: without it the
+    * whole simhash aggregate would inline into the Generate and
+    * re-evaluate once per emitted band row. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(maxHamming >= 0 && 60 % bands == 0,
+      s"maxHamming + 1 must divide 60, got $maxHamming")
+    val width = 60 / bands
+    val banded = simhash(df.filter(col(textCol).isNotNull), idCol, textCol)
+      .repartition(col(idCol))
+      .select(col(idCol).as("doc"), col("simhash"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("simhash"), b * width)
+            .bitwiseAND(lit((1L << width) - 1))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "blk")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.blk") === col("b.blk") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
+        hamming(col("a.simhash"), col("b.simhash")).cast(LongType).as("hamming"))
+      .dropDuplicates("id1", "id2")
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** Embedding near-dup: deterministic hyperplane-LSH buckets, pairwise
     * cosine only inside a bucket. Planes use ±1 weights derived from

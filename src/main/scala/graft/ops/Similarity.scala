@@ -352,10 +352,10 @@ object Similarity {
   def requireIvfFresh(spark: org.apache.spark.sql.SparkSession, path: String,
                       df: DataFrame, idCol: String): Unit = {
     val built = loadIvfStamp(spark, path)
-    val r = df.select(col(idCol).cast(LongType).as("id")).agg(
-      count(lit(1)).as("n_rows"),
-      coalesce(sum(col("id").cast(DecimalType(38, 0))),
-        lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))).as("id_sum")).head()
+    // the SAME stampExprs the build observes — the two sides of the
+    // freshness comparison must never drift apart
+    val r = df.select(col(idCol).cast(LongType).as("id"))
+      .agg(stampExprs.head, stampExprs.tail: _*).head()
     val live = IvfStamp(r.getLong(0), r.getDecimal(1))
     if (live.nRows != built.nRows || live.idSum.compareTo(built.idSum) != 0)
       throw new IllegalStateException(

@@ -111,6 +111,31 @@ class ExprSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("bloom_contains_any == exists(might_contain) HOF; null element/array semantics") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    Seq(1L, 42L, 777L).foreach(bf.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    import org.apache.spark.sql.graftx.Bridge
+    def mc(h: org.apache.spark.sql.Column) = Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Bridge.expression(lit(bytes)), Bridge.expression(h)))
+    val df = Seq(Seq(1L, 2L), Seq(5L, 6L), Seq(777L), Seq.empty[Long]).toDF("hs")
+    val got = df.select(native.bloom_contains_any($"hs", bytes).as("k"),
+      exists($"hs", h => mc(h)).as("spec")).collect()
+    got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+    assert(got.map(_.getBoolean(0)).toSeq == Seq(true, false, true, false))
+    // null ELEMENT skipped; null ARRAY -> null
+    val withNull = spark.range(1).select(
+      array(lit(null).cast("long"), lit(42L)).as("hs"))
+    assert(withNull.select(native.bloom_contains_any($"hs", bytes))
+      .collect()(0).getBoolean(0))
+    assert(spark.range(1)
+      .select(native.bloom_contains_any(lit(null).cast("array<long>"), bytes))
+      .collect()(0).isNullAt(0))
+  }
+
   test("dedup_lines_first == HOF array_position spec; null elements, SQL registration") {
     // parity over the tricky line shapes: dups, empty lines, space-only
     // vs tab-only runs, trailing separators, whole-text edge cases

@@ -366,6 +366,47 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhashPairs: banded join == brute-force hamming pairs; exact dup at distance 0") {
+    // docsDf plants an exact dup (0,3); add a near-dup of 4 so both
+    // distance-0 and small-positive-distance pairs exist
+    val corpus = docsDf.unionByName(Seq(
+      (6L, "der hund und die katze sind nicht ein problem und das ist schlecht")
+    ).toDF("doc_id", "text"))
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the collected fingerprints is the spec
+    val sims = Dedup.simhash(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      hd = java.lang.Long.bitCount(sims(a) ^ sims(b)).toLong if hd <= 5
+    } yield (a, b, hd)).toSet
+    assert(pairs == brute)
+    assert(pairs.contains((0L, 3L, 0L)), s"exact dup must pair at distance 0, got $pairs")
+    // invalid band split rejected; NULL text yields no pairs
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 6)
+    }
+    val withNull = Seq((0L, "same text"), (1L, "same text"),
+      (2L, null), (3L, null)).toDF("doc_id", "text")
+    val np = Dedup.simhashPairs(withNull, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(np == Set((0L, 1L)), s"NULL docs must not pair, got $np")
+  }
+
+  test("embeddingNearDupGroups: scaled copies cluster under their source, rest singleton") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.2f, 0.0f)),
+      (100L, Seq(1.001f, 0.1001f, 0.0f, 0.0f))   // scaled copy of 0
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDupGroups(df, "vec_id", "embedding",
+        planes = 8, minCosine = 0.999, dim = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(100L) == ((0L, false)))
+    assert(out(0L) == ((0L, true)) && out(1L) == ((1L, true)))
+  }
+
   test("ngramOverlapBloom == exact ngramOverlap; exact even at saturating fpp; empty bench") {
     val bench = docsDf.filter(col("doc_id") < 2)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -141,6 +141,49 @@ object ScaleDrive {
     }
     println(s"  near-dup pairs=$nPairs (expect ~30k planted recalls)")
     assert(nPairs >= 25000, s"LSH must recall most planted near-dups, got $nPairs")
+
+    // Bloom-prefiltered decontamination at volume: 330k corpus docs vs a
+    // 500-doc benchmark (200 of them ARE corpus docs). The prefilter
+    // must return the exact path's rows while clean docs skip the explode.
+    println("== decontamination: exact vs bloom-prefiltered, 330k docs vs 500-doc bench")
+    val bench = docsBase.filter(col("doc_id") < 200)
+      .unionByName(spark.range(300).select((col("id") + 20000000L).as("doc_id"),
+        concat_ws(" ", (0 until 30).map(j =>
+          concat(lit("q"), pmod(hash(col("id") * 17 + j), lit(5000)))): _*).as("text")))
+      .localCheckpoint(true)
+    val nExact = time("ngramOverlap exact (minShared=4)") {
+      graft.ops.Contamination.ngramOverlap(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, minShared = 4L).count()
+    }
+    val nBloom = time("ngramOverlapBloom (2^20 grams, fpp 1%)") {
+      graft.ops.Contamination.ngramOverlapBloom(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, minShared = 4L).count()
+    }
+    println(s"  exact=$nExact bloom=$nBloom")
+    assert(nExact == nBloom, s"bloom path must be exact: $nExact vs $nBloom")
+    assert(nExact >= 200, s"planted contamination must be found, got $nExact")
+
+    // SimHash pairing at volume: 30k exact dups planted into 330k docs;
+    // pigeonhole banding (4 x 15-bit blocks at maxHamming=3) bounds the
+    // candidate join by block collisions, never the 10^11 cross product.
+    println("== simhashPairs over 360k docs (30k planted exact dups)")
+    val exactDups = docsBase.filter(col("doc_id") < 30000)
+      .select((col("doc_id") + 30000000L).as("doc_id"), col("text"))
+    val corpusSim = docsBase.unionByName(exactDups).localCheckpoint(true)
+    val nSimPairs = time("simhashPairs(maxHamming=3)") {
+      graft.ops.Dedup.simhashPairs(corpusSim, "doc_id", "text", maxHamming = 3).count()
+    }
+    println(s"  pairs=$nSimPairs (>= 30k planted exact dups at distance 0)")
+    assert(nSimPairs >= 30000, s"exact dups must pair at distance 0, got $nSimPairs")
+
+    // bottom-k sampling over 10M ids: TakeOrdered (per-partition heaps),
+    // no full sort/shuffle
+    val ids10m = spark.range(10000000).select(col("id"))
+    val bk = time("bottomK(k=100) over 10M rows") {
+      graft.ops.Sample.bottomK(ids10m, "id", 100).collect()
+    }
+    assert(bk.length == 100)
+
     spark.stop()
   }
 }
