@@ -418,11 +418,15 @@ object DedupLinesKernel {
   * filter serialized in `bloomBytes` (the `BloomFilterAggregate` wire
   * format) — the document-level decontamination prefilter as one native
   * loop. The HOF formulation (`exists(hs, h -> might_contain(...))`)
-  * is semantically identical but runs interpreted with per-element
-  * boxing, which measurably loses to the exact join it is meant to
-  * beat; this kernel stays inside whole-stage codegen. NULL elements
-  * are skipped (a NULL gram is not evidence); a NULL array yields NULL
-  * like any unary null-safe expression. */
+  * is identical UNDER FILTER SEMANTICS but runs interpreted with
+  * per-element boxing, which measurably loses to the exact join it is
+  * meant to beat; this kernel stays inside whole-stage codegen.
+  * NULL elements are skipped (a NULL gram is not evidence); a NULL
+  * array yields NULL like any unary null-safe expression. Deliberate
+  * spec divergence: for an array holding a NULL element and no match,
+  * the HOF's three-valued OR yields NULL while this returns FALSE —
+  * both drop the row in a filter (the kernel's one call site), but a
+  * projection would see false vs NULL (ExprSpec pins this). */
 case class BloomContainsAny(child: Expression, bloomBytes: Array[Byte])
     extends UnaryExpression {
   require(bloomBytes != null && bloomBytes.nonEmpty, "empty bloom filter")
@@ -734,6 +738,19 @@ object native {
     }, "built-in")
     reg.createOrReplaceTempFunction("dedup_lines_first",
       es => DedupLinesFirst(es.head), "built-in")
+    reg.createOrReplaceTempFunction("bloom_contains_any", es => {
+      require(es.length == 2, "bloom_contains_any(hashes, bloomBytes)")
+      val bytes = es(1) match {
+        case l if l.foldable => l.eval() match {
+          case b: Array[Byte] => b
+          case other => throw new IllegalArgumentException(
+            s"bloom_contains_any: bloomBytes must be a binary literal, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          "bloom_contains_any: bloomBytes must be a literal")
+      }
+      BloomContainsAny(es(0), bytes)
+    }, "built-in")
     reg.createOrReplaceTempFunction("hyperplane_sig", es => {
       require(es.length == 3, "hyperplane_sig(vec, planes, dim)")
       HyperplaneSig(es(0), intLit(es(1), "hyperplane_sig", "planes"),

@@ -455,8 +455,12 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
-    require(maxHamming >= 0 && 60 % bands == 0,
-      s"maxHamming + 1 must divide 60, got $maxHamming")
+    // the cap is a SCALE guard, not just an API check: every value in
+    // 0..5 divides 60 and keeps blocks >= 10 bits; a wider bound (e.g.
+    // maxHamming=29 -> 2-bit blocks with 4 distinct values) degenerates
+    // the equi-join to a near-all-pairs cross product
+    require(maxHamming >= 0 && maxHamming <= 5,
+      s"maxHamming must be in [0, 5], got $maxHamming")
     val width = 60 / bands
     val banded = simhash(df.filter(col(textCol).isNotNull), idCol, textCol)
       .repartition(col(idCol))
@@ -470,8 +474,12 @@ object Dedup {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
         hamming(col("a.simhash"), col("b.simhash")).cast(LongType).as("hamming"))
-      .dropDuplicates("id1", "id2")
+      // exact filter BEFORE the dedup aggregate: hamming is already
+      // computed map-side, so spurious block collisions die before the
+      // dropDuplicates shuffle (hamming is constant per pair — filtering
+      // first is output-identical)
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id1", "id2")
   }
 
   /** Embedding near-dup: deterministic hyperplane-LSH buckets, pairwise

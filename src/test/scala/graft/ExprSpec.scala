@@ -134,6 +134,19 @@ class ExprSpec extends AnyFunSuite {
     assert(spark.range(1)
       .select(native.bloom_contains_any(lit(null).cast("array<long>"), bytes))
       .collect()(0).isNullAt(0))
+    // PINNED spec divergence (documented on the kernel): null element +
+    // NO match — the HOF's three-valued OR yields NULL, the kernel FALSE;
+    // identical under the filter semantics of the one call site
+    val nullNoMatch = spark.range(1).select(
+      array(lit(null).cast("long"), lit(5L)).as("hs"))
+    val d = nullNoMatch.select(native.bloom_contains_any($"hs", bytes).as("k"),
+      exists($"hs", h => mc(h)).as("spec")).collect()(0)
+    assert(!d.getBoolean(0) && d.isNullAt(1))
+    // SQL-registered (binary literal argument)
+    native.register(spark)
+    val hex = bytes.map("%02X".format(_)).mkString
+    assert(spark.sql(
+      s"SELECT bloom_contains_any(array(42L), X'$hex')").collect()(0).getBoolean(0))
   }
 
   test("dedup_lines_first == HOF array_position spec; null elements, SQL registration") {
