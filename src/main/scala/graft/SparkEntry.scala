@@ -1155,6 +1155,22 @@ object SparkEntry {
 
     // KMV distinct-count sketch vs exact, per language (sketch branch
     // where distinct tokens >= k, exact branch below)
+    // Count-Min frequency sketch: corpus token counters (4 x 1024 exact
+    // integer buckets), point-estimated for a fixed probe list — the
+    // sketch AND the estimates are portable, so the oracle reproduces
+    // them bit-for-bit
+    "x_sketch_countmin" -> ((s, d) => {
+      import s.implicits._
+      val toks = docs(s, d)
+        .select(explode(TextStats.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val sketch = graft.ops.Sketch.countMin(toks, "token", depth = 4, width = 1024)
+      val probes = Seq("the", "of", "and", "a", "der", "los", "le", "的",
+        "zzz-never-seen").toDF("token")
+      graft.ops.Sketch.countMinEstimate(sketch, probes, "token", depth = 4, width = 1024)
+        .orderBy("token")
+    }),
+
     "x_sketch_distinct" -> ((s, d) => {
       val kmv = graft.ops.Sketch.KMV(256).toUdaf
       // group key coalesced: a NULL lang would order NULLS FIRST in
@@ -1798,6 +1814,19 @@ object SparkEntry {
        """m AS (SELECT doc_id, max(c)::BIGINT AS max_rep FROM """ +
        """(SELECT doc_id, t, count(*) AS c FROM shr GROUP BY 1, 2) GROUP BY 1) """ +
        """SELECT g.doc_id, g.n_grams, m.max_rep FROM g JOIN m USING (doc_id) ORDER BY doc_id"""),
+
+    // the Count-Min build and lookup mirrored term-for-term: row-salted
+    // portable bucket hash, exact counter sums, min over rows
+    "x_sketch_countmin" ->
+      (s"""WITH tok AS (SELECT unnest($TOK) AS t FROM documents), """ +
+       """tok2 AS (SELECT t FROM tok WHERE t IS NOT NULL AND t <> ''), """ +
+       s"""cm AS (SELECT i, ${h60sql("'cm:' || i::VARCHAR || ':' || t")} % 1024 AS bucket, count(*) AS cnt """ +
+       """FROM tok2, generate_series(0, 3) g(i) GROUP BY 1, 2), """ +
+       """q AS (SELECT unnest(['the','of','and','a','der','los','le','的','zzz-never-seen']) AS token), """ +
+       s"""qb AS (SELECT token, i, ${h60sql("'cm:' || i::VARCHAR || ':' || token")} % 1024 AS bucket """ +
+       """FROM q, generate_series(0, 3) g(i)) """ +
+       """SELECT token, min(COALESCE(cm.cnt, 0))::BIGINT AS est """ +
+       """FROM qb LEFT JOIN cm USING (i, bucket) GROUP BY token ORDER BY token"""),
 
     "x_sketch_distinct" ->
       (s"""WITH t AS (SELECT COALESCE(lang, '') AS lang, unnest($TOK) AS tok FROM documents), """ +

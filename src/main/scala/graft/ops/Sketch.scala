@@ -96,4 +96,68 @@ object Sketch {
     def toUdaf: org.apache.spark.sql.expressions.UserDefinedFunction =
       org.apache.spark.sql.functions.udaf(this, Encoders.LONG)
   }
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  /** Count-Min frequency sketch as a DATAFRAME of (i, bucket, cnt) —
+    * the mergeable approximate-FREQUENCY companion of [[KMV]]: `depth`
+    * hash rows × `width` buckets of exact integer counters, built in
+    * ONE aggregation whose per-partition state is bounded by
+    * depth×width counters regardless of corpus size (map-side partials;
+    * the shuffle moves at most depth×width rows per partition, where an
+    * exact frequency table must shuffle every distinct token). NULL
+    * tokens are skipped.
+    *
+    * Guarantee (Cormode & Muthukrishnan '04): for any token,
+    * `true <= estimate <= true + εN` with ε = e/width at probability
+    * 1 − e^−depth — overestimates only, never undercounts.
+    *
+    * Every term is portable: bucket = `hash60("cm:<i>:" + token) mod
+    * width`, counters are exact sums — so a SQL engine reproduces the
+    * sketch AND every estimate bit-for-bit (`x_sketch_countmin`),
+    * unlike engine-private `count_min_sketch()` binaries. Sketches over
+    * corpus slices merge by adding counters ([[countMinMerge]]). */
+  def countMin(df: DataFrame, tokenCol: String,
+               depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth must be in [1, 16]")
+    require(width >= 2, "width must be >= 2")
+    df.filter(col(tokenCol).isNotNull)
+      .select(posexplode(array((0 until depth).map(i =>
+        cmBucket(col(tokenCol), i, width)): _*)))
+      .select(col("pos").cast("long").as("i"), col("col").as("bucket"))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `queries`' distinct tokens against a
+    * [[countMin]] sketch: `est = min over rows i of counter(i,
+    * bucket_i(token))`, 0 for never-seen buckets. The sketch side is at
+    * most depth×width rows — broadcast — so the lookup never shuffles
+    * the query tokens. Returns (`token`, `est`). */
+  def countMinEstimate(sketch: DataFrame, queries: DataFrame, tokenCol: String,
+                       depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth must be in [1, 16]")
+    require(width >= 2, "width must be >= 2")
+    val qb = queries.filter(col(tokenCol).isNotNull).distinct()
+      .select(col(tokenCol).as("token"),
+        posexplode(array((0 until depth).map(i =>
+          cmBucket(col(tokenCol), i, width)): _*)))
+      .select(col("token"), col("pos").cast("long").as("i"), col("col").as("bucket"))
+    qb.join(broadcast(sketch), Seq("i", "bucket"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Merge two [[countMin]] sketches built with the SAME depth/width:
+    * counters add. (CM has no cross-slice interaction — the merged
+    * table estimates the concatenated corpus exactly as a one-pass
+    * build would.) */
+  def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("i", "bucket").agg(sum(col("cnt")).as("cnt"))
+
+  // bucket_i(token) = hash60("cm:<i>:" + token) mod width — row-salted
+  // portable hashing, reproducible in any engine
+  private def cmBucket(token: org.apache.spark.sql.Column, i: Int,
+                       width: Int): org.apache.spark.sql.Column =
+    pmod(TextStats.hash60(concat(lit(s"cm:$i:"), token)), lit(width.toLong))
 }

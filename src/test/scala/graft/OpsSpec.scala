@@ -353,6 +353,39 @@ class OpsSpec extends AnyFunSuite {
       s"expected the null-id guard to fire, got: $e2")
   }
 
+  test("countMin: exact when collision-free, never undercounts, merge == one-pass build") {
+    val toks = Seq("a", "b", "a", "c", "a", "b", "d").toDF("t")
+    val exact = Map("a" -> 3L, "b" -> 2L, "c" -> 1L, "d" -> 1L, "zz" -> 0L)
+    val probes = exact.keys.toSeq.toDF("t")
+    // wide sketch: no collisions among 4 tokens -> estimates are exact
+    val wide = Sketch.countMin(toks, "t", depth = 4, width = 4096)
+    val estW = Sketch.countMinEstimate(wide, probes, "t", depth = 4, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estW == exact)
+    // deliberately tiny sketch: collisions everywhere, but CM can only
+    // OVERestimate — never undercount
+    val narrow = Sketch.countMin(toks, "t", depth = 2, width = 2)
+    val estN = Sketch.countMinEstimate(narrow, probes, "t", depth = 2, width = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.forall { case (k, v) => estN(k) >= v }, s"undercount: $estN vs $exact")
+    // slice-and-merge equals the one-pass build, counter for counter
+    val sliceA = Seq("a", "b", "a").toDF("t")
+    val sliceB = Seq("c", "a", "b", "d").toDF("t")
+    val merged = Sketch.countMinMerge(
+        Sketch.countMin(sliceA, "t", 4, 4096), Sketch.countMin(sliceB, "t", 4, 4096))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val onePass = wide.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == onePass)
+    // NULL tokens are skipped, not counted under a phantom bucket
+    val withNull = toks.unionByName(
+      Seq(null.asInstanceOf[String]).toDF("t"))
+    val estNull = Sketch.countMinEstimate(
+        Sketch.countMin(withNull, "t", 4, 4096), probes, "t", 4, 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estNull == exact)
+  }
+
   test("KMV merge: two-pointer merge == element-wise insert (property)") {
     val kmv = Sketch.KMV(8)
     val rnd = new scala.util.Random(42)
