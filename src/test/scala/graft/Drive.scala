@@ -306,6 +306,55 @@ object Drive {
     require(prof.forall(r => r.getLong(2) <= r.getLong(4) && r.getLong(4) <= r.getLong(5) && r.getLong(5) <= r.getLong(3)),
       "min <= p50 <= p90 <= max must hold per group")
 
+    println("== r7 drive: bloom decontamination, simhash pairing, bottom-k, count-min")
+    val benchSet = docsAll.filter(col("doc_id") < 5).select("doc_id", "text")
+    val exactOv = graft.ops.Contamination.ngramOverlap(docsAll, "doc_id", "text",
+      benchSet, "doc_id", "text", 3, 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloomOv = graft.ops.Contamination.ngramOverlapBloom(docsAll, "doc_id", "text",
+      benchSet, "doc_id", "text", 3, 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    require(exactOv == bloomOv, "bloom prefilter must be exact")
+    println(s"ngramOverlapBloom -> ${bloomOv.size} pairs, identical to exact: OK")
+
+    val shp = graft.ops.Dedup.simhashPairs(
+      docsAll.select("doc_id", "text").unionByName(
+        docsAll.filter(col("doc_id") < 3)
+          .select((col("doc_id") + 5000L).as("doc_id"), col("text"))),
+      "doc_id", "text", maxHamming = 2)
+    val shPairs = shp.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(shPairs.count(_._3 == 0L) >= 3, "planted exact dups must pair at distance 0")
+    println(s"simhashPairs -> ${shPairs.length} pairs within hamming 2")
+
+    val bk = graft.ops.Sample.bottomK(docsAll, "doc_id", 10)
+    require(bk.count() == 10)
+    val bkPlan = bk.queryExecution.executedPlan.toString
+    require(bkPlan.contains("TakeOrdered"), s"bottomK must plan TakeOrdered:\n$bkPlan")
+    println("bottomK -> 10 rows via TakeOrdered plan: OK")
+
+    val cmToks = docsAll.select(explode(split(lower(col("text")), "\\s+")).as("t"))
+    val cmSketch = graft.ops.Sketch.countMin(cmToks, "t", 4, 2048)
+    require(cmSketch.count() <= 4 * 2048, "sketch table is bounded by depth x width")
+    val cmEst = graft.ops.Sketch.countMinEstimate(cmSketch,
+      cmToks.limit(50).distinct(), "t", 4, 2048)
+    val exactCnt = cmToks.groupBy("t").count()
+    val under = cmEst.join(exactCnt, col("token") === col("t"))
+      .filter(col("est") < col("count")).count()
+    require(under == 0, "count-min must never undercount")
+    println(s"countMin -> ${cmSketch.count()} counters, ${cmEst.count()} probes, 0 undercounts")
+
+    val (ivfPath2, cb2) = (TestSpark.tmpDir("drive-ivf-fresh"),
+      graft.ops.Similarity.kmeansCodebook(embAll, "vec_id", "embedding", 4, 1))
+    graft.ops.Similarity.buildIvfIndex(embAll, "vec_id", "embedding", cb2, ivfPath2)
+    graft.ops.Similarity.requireIvfFresh(spark, ivfPath2, embAll, "vec_id")
+    val stale = embAll.unionByName(embAll.limit(1)
+      .withColumn("vec_id", lit(987654321L)))
+    val staleCaught = try {
+      graft.ops.Similarity.requireIvfFresh(spark, ivfPath2, stale, "vec_id"); false
+    } catch { case _: IllegalStateException => true }
+    require(staleCaught, "appended corpus must be detected as stale")
+    println("IVF freshness stamp -> fresh passes, append detected: OK")
+
     spark.stop()
     println("== drive done")
   }

@@ -128,4 +128,48 @@ class PropertySpec extends AnyFunSuite {
         intercept[IllegalStateException] { SchemaUtil.checkCompatibility(a, b) }
     }
   }
+
+  test("∀ random docs: dedup_lines_first kernel == array_position HOF spec") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // random documents over a tiny line alphabet (forces repeats), with
+    // blank / space-only / tab-only lines and trailing newlines mixed in
+    val alphabet = Vector("alpha", "beta", "gamma", "", " ", "  ", "\t", "x y")
+    val docs = (1 to 120).map { _ =>
+      val n = rnd.nextInt(12)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString("\n")
+    }
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val viaKernel = graft.ops.Dedup.dedupLinesWithin(df, "id", "text")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val viaSpec = graft.ops.Dedup.dedupLinesWithinHof(df, "id", "text")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(viaKernel == viaSpec)
+  }
+
+  test("∀ random corpora: simhashPairs banding == brute-force hamming filter") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // small vocabularies force near-dup fingerprints, so the sweep hits
+    // pairs on BOTH sides of every tested hamming bound
+    (1 to 4).foreach { round =>
+      val vocab = (0 until 12).map(v => s"tok$v")
+      val docs = (0 until 40).map { i =>
+        (i.toLong, (0 until 8 + rnd.nextInt(8))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val sims = graft.ops.Dedup.simhash(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Seq(0, 2, 5).foreach { h =>
+        val got = graft.ops.Dedup.simhashPairs(df, "doc_id", "text", maxHamming = h)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val brute = (for {
+          a <- sims.keys; b <- sims.keys if a < b
+          hd = java.lang.Long.bitCount(sims(a) ^ sims(b)).toLong if hd <= h
+        } yield (a, b, hd)).toSet
+        assert(got == brute, s"round $round maxHamming $h")
+      }
+    }
+  }
 }
