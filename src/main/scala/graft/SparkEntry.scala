@@ -1167,7 +1167,7 @@ object SparkEntry {
       val sketch = graft.ops.Sketch.countMin(toks, "token", depth = 4, width = 1024)
       val probes = Seq("the", "of", "and", "a", "der", "los", "le", "的",
         "zzz-never-seen").toDF("token")
-      graft.ops.Sketch.countMinEstimate(sketch, probes, "token", depth = 4, width = 1024)
+      graft.ops.Sketch.countMinEstimate(sketch, probes, "token")
         .orderBy("token")
     }),
 

@@ -118,15 +118,23 @@ object Sketch {
     * sketch AND every estimate bit-for-bit (`x_sketch_countmin`),
     * unlike engine-private `count_min_sketch()` binaries. Sketches over
     * corpus slices merge by adding counters ([[countMinMerge]]). */
+  /** A built Count-Min sketch: the (i, bucket, cnt) counter table PLUS
+    * the depth/width it was hashed with. The parameters travel with the
+    * table because a lookup or merge against mismatched parameters
+    * would silently break the no-undercount guarantee (wrong buckets
+    * probe unrelated counters); the companions below check them. */
+  final case class CMSketch(table: DataFrame, depth: Int, width: Int)
+
   def countMin(df: DataFrame, tokenCol: String,
-               depth: Int = 4, width: Int = 1024): DataFrame = {
+               depth: Int = 4, width: Int = 1024): CMSketch = {
     require(depth >= 1 && depth <= 16, "depth must be in [1, 16]")
     require(width >= 2, "width must be >= 2")
-    df.filter(col(tokenCol).isNotNull)
+    CMSketch(df.filter(col(tokenCol).isNotNull)
       .select(posexplode(array((0 until depth).map(i =>
         cmBucket(col(tokenCol), i, width)): _*)))
       .select(col("pos").cast("long").as("i"), col("col").as("bucket"))
-      .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("cnt")),
+      depth, width)
   }
 
   /** Point estimates for `queries`' distinct tokens against a
@@ -134,26 +142,31 @@ object Sketch {
     * bucket_i(token))`, 0 for never-seen buckets. The sketch side is at
     * most depth×width rows — broadcast — so the lookup never shuffles
     * the query tokens. Returns (`token`, `est`). */
-  def countMinEstimate(sketch: DataFrame, queries: DataFrame, tokenCol: String,
-                       depth: Int = 4, width: Int = 1024): DataFrame = {
-    require(depth >= 1 && depth <= 16, "depth must be in [1, 16]")
-    require(width >= 2, "width must be >= 2")
+  def countMinEstimate(sketch: CMSketch, queries: DataFrame,
+                       tokenCol: String): DataFrame = {
     val qb = queries.filter(col(tokenCol).isNotNull).distinct()
       .select(col(tokenCol).as("token"),
-        posexplode(array((0 until depth).map(i =>
-          cmBucket(col(tokenCol), i, width)): _*)))
+        posexplode(array((0 until sketch.depth).map(i =>
+          cmBucket(col(tokenCol), i, sketch.width)): _*)))
       .select(col("token"), col("pos").cast("long").as("i"), col("col").as("bucket"))
-    qb.join(broadcast(sketch), Seq("i", "bucket"), "left")
+    qb.join(broadcast(sketch.table), Seq("i", "bucket"), "left")
       .groupBy("token")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
-  /** Merge two [[countMin]] sketches built with the SAME depth/width:
-    * counters add. (CM has no cross-slice interaction — the merged
-    * table estimates the concatenated corpus exactly as a one-pass
-    * build would.) */
-  def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy("i", "bucket").agg(sum(col("cnt")).as("cnt"))
+  /** Merge two [[countMin]] sketches: counters add. (CM has no
+    * cross-slice interaction — the merged table estimates the
+    * concatenated corpus exactly as a one-pass build would.) Refuses
+    * mismatched parameters — adding counters hashed with different
+    * depth/width would silently corrupt every estimate. */
+  def countMinMerge(a: CMSketch, b: CMSketch): CMSketch = {
+    require(a.depth == b.depth && a.width == b.width,
+      s"cannot merge sketches of different shape: " +
+        s"${a.depth}x${a.width} vs ${b.depth}x${b.width}")
+    CMSketch(a.table.unionByName(b.table)
+      .groupBy("i", "bucket").agg(sum(col("cnt")).as("cnt")),
+      a.depth, a.width)
+  }
 
   // bucket_i(token) = hash60("cm:<i>:" + token) mod width — row-salted
   // portable hashing, reproducible in any engine

@@ -334,14 +334,14 @@ object Drive {
 
     val cmToks = docsAll.select(explode(split(lower(col("text")), "\\s+")).as("t"))
     val cmSketch = graft.ops.Sketch.countMin(cmToks, "t", 4, 2048)
-    require(cmSketch.count() <= 4 * 2048, "sketch table is bounded by depth x width")
+    require(cmSketch.table.count() <= 4 * 2048, "sketch table is bounded by depth x width")
     val cmEst = graft.ops.Sketch.countMinEstimate(cmSketch,
-      cmToks.limit(50).distinct(), "t", 4, 2048)
+      cmToks.limit(50).distinct(), "t")
     val exactCnt = cmToks.groupBy("t").count()
     val under = cmEst.join(exactCnt, col("token") === col("t"))
       .filter(col("est") < col("count")).count()
     require(under == 0, "count-min must never undercount")
-    println(s"countMin -> ${cmSketch.count()} counters, ${cmEst.count()} probes, 0 undercounts")
+    println(s"countMin -> ${cmSketch.table.count()} counters, ${cmEst.count()} probes, 0 undercounts")
 
     val (ivfPath2, cb2) = (TestSpark.tmpDir("drive-ivf-fresh"),
       graft.ops.Similarity.kmeansCodebook(embAll, "vec_id", "embedding", 4, 1))

@@ -359,13 +359,13 @@ class OpsSpec extends AnyFunSuite {
     val probes = exact.keys.toSeq.toDF("t")
     // wide sketch: no collisions among 4 tokens -> estimates are exact
     val wide = Sketch.countMin(toks, "t", depth = 4, width = 4096)
-    val estW = Sketch.countMinEstimate(wide, probes, "t", depth = 4, width = 4096)
+    val estW = Sketch.countMinEstimate(wide, probes, "t")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(estW == exact)
     // deliberately tiny sketch: collisions everywhere, but CM can only
     // OVERestimate — never undercount
     val narrow = Sketch.countMin(toks, "t", depth = 2, width = 2)
-    val estN = Sketch.countMinEstimate(narrow, probes, "t", depth = 2, width = 2)
+    val estN = Sketch.countMinEstimate(narrow, probes, "t")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(exact.forall { case (k, v) => estN(k) >= v }, s"undercount: $estN vs $exact")
     // slice-and-merge equals the one-pass build, counter for counter
@@ -373,15 +373,20 @@ class OpsSpec extends AnyFunSuite {
     val sliceB = Seq("c", "a", "b", "d").toDF("t")
     val merged = Sketch.countMinMerge(
         Sketch.countMin(sliceA, "t", 4, 4096), Sketch.countMin(sliceB, "t", 4, 4096))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val onePass = wide.collect()
+      .table.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val onePass = wide.table.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(merged == onePass)
+    // mismatched shapes refuse to merge (adding counters hashed with
+    // different parameters would corrupt every estimate)
+    intercept[IllegalArgumentException] {
+      Sketch.countMinMerge(wide, narrow)
+    }
     // NULL tokens are skipped, not counted under a phantom bucket
     val withNull = toks.unionByName(
       Seq(null.asInstanceOf[String]).toDF("t"))
     val estNull = Sketch.countMinEstimate(
-        Sketch.countMin(withNull, "t", 4, 4096), probes, "t", 4, 4096)
+        Sketch.countMin(withNull, "t", 4, 4096), probes, "t")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(estNull == exact)
   }
