@@ -1153,24 +1153,26 @@ object SparkEntry {
       TextStats.repetition(docs(s, d), "doc_id", "text", n = 3)
         .orderBy("doc_id")),
 
-    // KMV distinct-count sketch vs exact, per language (sketch branch
-    // where distinct tokens >= k, exact branch below)
-    // Count-Min frequency sketch: corpus token counters (4 x 1024 exact
-    // integer buckets), point-estimated for a fixed probe list — the
-    // sketch AND the estimates are portable, so the oracle reproduces
-    // them bit-for-bit
+    // Count-Min frequency sketch: corpus token counters, DELIBERATELY
+    // narrow (4 x 64 buckets vs a ~80-token vocabulary) so buckets
+    // collide and the min-over-rows selection is actually exercised;
+    // probes are real corpus tokens across the frequency range plus one
+    // never-seen. The sketch AND the estimates are portable, so the
+    // oracle reproduces them bit-for-bit.
     "x_sketch_countmin" -> ((s, d) => {
       import s.implicits._
       val toks = docs(s, d)
         .select(explode(TextStats.tokens(col("text"))).as("token"))
         .filter(col("token") =!= "")
-      val sketch = graft.ops.Sketch.countMin(toks, "token", depth = 4, width = 1024)
-      val probes = Seq("the", "of", "and", "a", "der", "los", "le", "的",
-        "zzz-never-seen").toDF("token")
+      val sketch = graft.ops.Sketch.countMin(toks, "token", depth = 4, width = 64)
+      val probes = Seq("join", "hash", "row", "scan", "the", "a", "dup",
+        "fast", "zzz-never-seen").toDF("token")
       graft.ops.Sketch.countMinEstimate(sketch, probes, "token")
         .orderBy("token")
     }),
 
+    // KMV distinct-count sketch vs exact, per language (sketch branch
+    // where distinct tokens >= k, exact branch below)
     "x_sketch_distinct" -> ((s, d) => {
       val kmv = graft.ops.Sketch.KMV(256).toUdaf
       // group key coalesced: a NULL lang would order NULLS FIRST in
@@ -1820,10 +1822,10 @@ object SparkEntry {
     "x_sketch_countmin" ->
       (s"""WITH tok AS (SELECT unnest($TOK) AS t FROM documents), """ +
        """tok2 AS (SELECT t FROM tok WHERE t IS NOT NULL AND t <> ''), """ +
-       s"""cm AS (SELECT i, ${h60sql("'cm:' || i::VARCHAR || ':' || t")} % 1024 AS bucket, count(*) AS cnt """ +
+       s"""cm AS (SELECT i, ${h60sql("'cm:' || i::VARCHAR || ':' || t")} % 64 AS bucket, count(*) AS cnt """ +
        """FROM tok2, generate_series(0, 3) g(i) GROUP BY 1, 2), """ +
-       """q AS (SELECT unnest(['the','of','and','a','der','los','le','的','zzz-never-seen']) AS token), """ +
-       s"""qb AS (SELECT token, i, ${h60sql("'cm:' || i::VARCHAR || ':' || token")} % 1024 AS bucket """ +
+       """q AS (SELECT unnest(['join','hash','row','scan','the','a','dup','fast','zzz-never-seen']) AS token), """ +
+       s"""qb AS (SELECT token, i, ${h60sql("'cm:' || i::VARCHAR || ':' || token")} % 64 AS bucket """ +
        """FROM q, generate_series(0, 3) g(i)) """ +
        """SELECT token, min(COALESCE(cm.cnt, 0))::BIGINT AS est """ +
        """FROM qb LEFT JOIN cm USING (i, bucket) GROUP BY token ORDER BY token"""),

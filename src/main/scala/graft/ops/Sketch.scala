@@ -118,22 +118,30 @@ object Sketch {
     * sketch AND every estimate bit-for-bit (`x_sketch_countmin`),
     * unlike engine-private `count_min_sketch()` binaries. Sketches over
     * corpus slices merge by adding counters ([[countMinMerge]]). */
-  /** A built Count-Min sketch: the (i, bucket, cnt) counter table PLUS
-    * the depth/width it was hashed with. The parameters travel with the
-    * table because a lookup or merge against mismatched parameters
-    * would silently break the no-undercount guarantee (wrong buckets
-    * probe unrelated counters); the companions below check them. */
+  /** A built Count-Min sketch: the (i, bucket, cnt) counter table —
+    * held LOCAL (collected at build, ≤ depth×width rows), so actions
+    * against the sketch never re-scan the corpus — PLUS the depth/width
+    * it was hashed with. The parameters travel with the table because a
+    * lookup or merge against mismatched parameters would silently break
+    * the no-undercount guarantee (wrong buckets probe unrelated
+    * counters); the companions below check them. */
   final case class CMSketch(table: DataFrame, depth: Int, width: Int)
 
   def countMin(df: DataFrame, tokenCol: String,
                depth: Int = 4, width: Int = 1024): CMSketch = {
     require(depth >= 1 && depth <= 16, "depth must be in [1, 16]")
     require(width >= 2, "width must be >= 2")
-    CMSketch(df.filter(col(tokenCol).isNotNull)
+    val agg = df.filter(col(tokenCol).isNotNull)
       .select(posexplode(array((0 until depth).map(i =>
         cmBucket(col(tokenCol), i, width)): _*)))
       .select(col("pos").cast("long").as("i"), col("col").as("bucket"))
-      .groupBy("i", "bucket").agg(count(lit(1)).as("cnt")),
+      .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+    // LOCALIZE the counter table (bounded at depth×width rows by
+    // construction): the corpus pass runs exactly once, here — a lazy
+    // plan would silently re-scan the corpus on every estimate, merge,
+    // or count against the sketch
+    CMSketch(df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(agg.collect(): _*), agg.schema),
       depth, width)
   }
 
@@ -144,10 +152,14 @@ object Sketch {
     * the query tokens. Returns (`token`, `est`). */
   def countMinEstimate(sketch: CMSketch, queries: DataFrame,
                        tokenCol: String): DataFrame = {
-    val qb = queries.filter(col(tokenCol).isNotNull).distinct()
-      .select(col(tokenCol).as("token"),
+    // project to the token column BEFORE distinct: extra query columns
+    // must not keep duplicate tokens alive (each duplicate would cost
+    // `depth` redundant join probes)
+    val qb = queries.select(col(tokenCol).as("token"))
+      .filter(col("token").isNotNull).distinct()
+      .select(col("token"),
         posexplode(array((0 until sketch.depth).map(i =>
-          cmBucket(col(tokenCol), i, sketch.width)): _*)))
+          cmBucket(col("token"), i, sketch.width)): _*)))
       .select(col("token"), col("pos").cast("long").as("i"), col("col").as("bucket"))
     qb.join(broadcast(sketch.table), Seq("i", "bucket"), "left")
       .groupBy("token")
@@ -163,8 +175,12 @@ object Sketch {
     require(a.depth == b.depth && a.width == b.width,
       s"cannot merge sketches of different shape: " +
         s"${a.depth}x${a.width} vs ${b.depth}x${b.width}")
-    CMSketch(a.table.unionByName(b.table)
-      .groupBy("i", "bucket").agg(sum(col("cnt")).as("cnt")),
+    val agg = a.table.unionByName(b.table)
+      .groupBy("i", "bucket").agg(sum(col("cnt")).as("cnt"))
+    // keep the invariant that a CMSketch's table is LOCAL (both inputs
+    // already are, so this folds ≤ 2·depth·width local rows)
+    CMSketch(a.table.sparkSession.createDataFrame(
+      java.util.Arrays.asList(agg.collect(): _*), agg.schema),
       a.depth, a.width)
   }
 
