@@ -100,14 +100,38 @@ object Sketch {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions._
 
-  /** Count-Min frequency sketch as a DATAFRAME of (i, bucket, cnt) —
-    * the mergeable approximate-FREQUENCY companion of [[KMV]]: `depth`
-    * hash rows × `width` buckets of exact integer counters, built in
-    * ONE aggregation whose per-partition state is bounded by
-    * depth×width counters regardless of corpus size (map-side partials;
-    * the shuffle moves at most depth×width rows per partition, where an
-    * exact frequency table must shuffle every distinct token). NULL
-    * tokens are skipped.
+  /** A built Count-Min sketch: the (i, bucket, cnt) counter table —
+    * held LOCAL (collected at build, ≤ depth×width rows), so actions
+    * against the sketch never re-scan the corpus — PLUS the depth/width
+    * it was hashed with. The parameters travel with the table because a
+    * lookup or merge against mismatched parameters would silently break
+    * the no-undercount guarantee (wrong buckets probe unrelated
+    * counters). Validation lives HERE so `copy()`-modified or
+    * hand-rehydrated sketches (e.g. a persisted table read back) obey
+    * the same bounds — a depth of 0 would make every estimate silently
+    * vanish rather than fail. */
+  final case class CMSketch(table: DataFrame, depth: Int, width: Int) {
+    Sketch.validateCmShape(depth, width)
+  }
+
+  private[ops] def validateCmShape(depth: Int, width: Int): Unit = {
+    require(depth >= 1 && depth <= 16, "depth must be in [1, 16]")
+    require(width >= 2, "width must be >= 2")
+    // the always-local invariant needs a table bound: 2^20 counters
+    // (~24 MB of rows) is far beyond any useful CM accuracy (ε = e/width
+    // is already ~1e-5·N at width 2^18) yet safely driver-sized
+    require(depth.toLong * width <= (1L << 20),
+      s"depth*width must be <= 2^20 counters to stay driver-local, " +
+        s"got ${depth}x$width")
+  }
+
+  /** Count-Min frequency sketch — the mergeable approximate-FREQUENCY
+    * companion of [[KMV]]: `depth` hash rows × `width` buckets of exact
+    * integer counters, built in ONE aggregation whose per-partition
+    * state is bounded by depth×width counters regardless of corpus size
+    * (map-side partials; the shuffle moves at most depth×width rows per
+    * partition, where an exact frequency table must shuffle every
+    * distinct token). NULL tokens are skipped.
     *
     * Guarantee (Cormode & Muthukrishnan '04): for any token,
     * `true <= estimate <= true + εN` with ε = e/width at probability
@@ -118,19 +142,9 @@ object Sketch {
     * sketch AND every estimate bit-for-bit (`x_sketch_countmin`),
     * unlike engine-private `count_min_sketch()` binaries. Sketches over
     * corpus slices merge by adding counters ([[countMinMerge]]). */
-  /** A built Count-Min sketch: the (i, bucket, cnt) counter table —
-    * held LOCAL (collected at build, ≤ depth×width rows), so actions
-    * against the sketch never re-scan the corpus — PLUS the depth/width
-    * it was hashed with. The parameters travel with the table because a
-    * lookup or merge against mismatched parameters would silently break
-    * the no-undercount guarantee (wrong buckets probe unrelated
-    * counters); the companions below check them. */
-  final case class CMSketch(table: DataFrame, depth: Int, width: Int)
-
   def countMin(df: DataFrame, tokenCol: String,
                depth: Int = 4, width: Int = 1024): CMSketch = {
-    require(depth >= 1 && depth <= 16, "depth must be in [1, 16]")
-    require(width >= 2, "width must be >= 2")
+    validateCmShape(depth, width) // fail BEFORE the corpus pass
     val agg = df.filter(col(tokenCol).isNotNull)
       .select(posexplode(array((0 until depth).map(i =>
         cmBucket(col(tokenCol), i, width)): _*)))
@@ -175,12 +189,18 @@ object Sketch {
     require(a.depth == b.depth && a.width == b.width,
       s"cannot merge sketches of different shape: " +
         s"${a.depth}x${a.width} vs ${b.depth}x${b.width}")
-    val agg = a.table.unionByName(b.table)
-      .groupBy("i", "bucket").agg(sum(col("cnt")).as("cnt"))
-    // keep the invariant that a CMSketch's table is LOCAL (both inputs
-    // already are, so this folds ≤ 2·depth·width local rows)
+    // both tables are LOCAL by invariant — fold them driver-side (a
+    // distributed union+shuffle would pay a full Spark job to add
+    // kilobytes of counters)
+    val m = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    (a.table.collect() ++ b.table.collect()).foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      m(k) = m.getOrElse(k, 0L) + r.getLong(2)
+    }
+    val rows: Seq[org.apache.spark.sql.Row] = m.toSeq.sortBy(_._1)
+      .map { case ((i, bkt), c) => org.apache.spark.sql.Row(i, bkt, c) }
     CMSketch(a.table.sparkSession.createDataFrame(
-      java.util.Arrays.asList(agg.collect(): _*), agg.schema),
+      java.util.Arrays.asList(rows: _*), a.table.schema),
       a.depth, a.width)
   }
 

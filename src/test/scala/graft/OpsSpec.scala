@@ -382,6 +382,14 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sketch.countMinMerge(wide, narrow)
     }
+    // shape bounds hold everywhere a sketch can be constructed: the
+    // driver-local invariant caps depth*width, and a hand-built /
+    // copy()-modified sketch with a degenerate depth fails loudly
+    // instead of silently estimating nothing
+    intercept[IllegalArgumentException] {
+      Sketch.countMin(toks, "t", depth = 16, width = 1 << 20)
+    }
+    intercept[IllegalArgumentException] { wide.copy(depth = 0) }
     // NULL tokens are skipped, not counted under a phantom bucket
     val withNull = toks.unionByName(
       Seq(null.asInstanceOf[String]).toDF("t"))
