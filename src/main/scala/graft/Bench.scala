@@ -7,10 +7,21 @@ import org.apache.spark.sql.SparkSession
   * Each query is timed `SPARK_GRAFT_BENCH_RUNS` times (default 3, full
   * suite passes) and the reported per-query number is the MEDIAN across
   * passes — a single-run gate proved noise-dominated (a no-change round
-  * moved the total 2×). The Spark SQL cache is cleared between passes so
-  * a `.cache()` inside one query can neither warm nor thrash a later
-  * pass; OS page cache stays warm, which is the steady-state being
-  * measured. `warm()` runs once, outside all timings.
+  * moved the total 2×). ONE untimed warmup pass runs before the timed
+  * passes (skippable via `SPARK_GRAFT_BENCH_WARMUP=0` for quick local
+  * iteration): JIT compilation, codegen caches, and OS page cache all
+  * settle there, so a cold-start or host-contention window at process
+  * start cannot fabricate per-query "regressions" in the medians (r7's
+  * record showed 5× movers in untouched code from exactly that). The
+  * Spark SQL cache is cleared between passes so a `.cache()` inside one
+  * query can neither warm nor thrash a later pass. `warm()` runs once,
+  * outside all timings.
+  *
+  * A query that THROWS is recorded by name in `errs` (first failure
+  * message kept) instead of being silently timed as ~0 s — a bench
+  * record whose total *improves* because a query broke is worse than no
+  * record. `errs` rides both bench.json and the summary line; the
+  * driver's gate can trust `value` only when `errs` is empty.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,19 +37,38 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.warm(spark, sfDir) // one-time store build outside the timings
     val names = SparkEntry.queries.keys.toSeq.sorted
+    def isStream(n: String) = n.startsWith("x_stream_")
     val samples = collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    val runTotals = (1 to runs).map { _ =>
+    // query name -> first failure message; a failing query is recorded,
+    // never silently folded into the totals as a ~0 s success
+    val errs = collection.mutable.LinkedHashMap.empty[String, String]
+    def passOver(record: Boolean): (Double, Double) = {
       spark.sharedState.cacheManager.clearCache()
-      names.map { name =>
+      var batch = 0.0; var stream = 0.0
+      names.foreach { name =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
+        catch { case e: Throwable =>
+          errs.getOrElseUpdate(name,
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
-        samples(name) = samples(name) :+ dt
-        dt
-      }.sum
+        if (record) {
+          samples(name) = samples(name) :+ dt
+          if (isStream(name)) stream += dt else batch += dt
+        }
+      }
+      (batch, stream)
     }
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
+      passOver(record = false) // JIT/codegen/page-cache settle, untimed
+    val passTotals = (1 to runs).map(_ => passOver(record = true))
+    // run_totals tracks the same population as the headline `value`
+    // (batch only) so value ~ median(run_totals) holds; the stream
+    // overhead per pass is its own list
+    val runTotals = passTotals.map(_._1)
+    val runTotalsStream = passTotals.map(_._2)
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -49,7 +79,6 @@ object Bench {
     // checkpoint/micro-batch overhead that is the same at any scale
     // factor; keep them out of the headline batch number so
     // round-over-round comparisons track the engine, not the harness.
-    def isStream(n: String) = n.startsWith("x_stream_")
     val total = med.collect { case (n, v) if !isStream(n) => v }.sum
     val totalStream = med.collect { case (n, v) if isStream(n) => v }.sum
     // Locale.ROOT: a comma-decimal default locale would emit "12,345"
@@ -57,15 +86,25 @@ object Bench {
     def f3(x: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       java.lang.Double.valueOf(x))
     val rt = runTotals.map(f3).mkString("[", ",", "]")
-    // The full record (per-query medians) goes to bench.json only; the
-    // final stdout line must stay SHORT. The round driver tail-captures
-    // the last 2000 chars of stdout, so a per-query map (~2.8 KB at 84
-    // queries) clips its own head no matter where the line sits. The
-    // summary below is ~170 chars and cannot grow with the query count.
+    val rts = runTotalsStream.map(f3).mkString("[", ",", "]")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val errNames = errs.keys.map(jstr).mkString("[", ",", "]")
+    val errMsgs = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    // The full record (per-query medians, error messages) goes to
+    // bench.json only; the final stdout line must stay SHORT. The round
+    // driver tail-captures the last 2000 chars of stdout, so a per-query
+    // map (~2.8 KB at 84 queries) clips its own head no matter where the
+    // line sits. The summary below is ~200 chars when `errs` is empty —
+    // the only state in which its `value` should be trusted anyway.
     val record =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_stream":${f3(totalStream)},"queries":$qs,"runs":$runs,"run_totals":$rt,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_stream":${f3(totalStream)},"queries":$qs,"errs":$errNames,"err_msgs":$errMsgs,"runs":$runs,"run_totals":$rt,"run_totals_stream":$rts,"sf":"$sfDir"}"""
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_stream":${f3(totalStream)},"runs":$runs,"run_totals":$rt,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_stream":${f3(totalStream)},"errs":$errNames,"runs":$runs,"run_totals":$rt,"sf":"$sfDir"}"""
     // Persist the record BEFORE any shutdown output, stop Spark (its
     // shutdown logs land above us), THEN print the summary as the very
     // last stdout line. The file write is best-effort — it must never

@@ -1029,11 +1029,14 @@ object SparkEntry {
     "x_knn_ivf_indexed" -> ((s, d) => {
       val q = embs(s, d).filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0)
-      val (path, cb) = ivfIndex(s, d)
-      // freshness contract: the probe verifies the build stamp against
-      // the live table (id-only count+sum scan) before trusting the index
-      Similarity.requireIvfFresh(s, path, embs(s, d), "vec_id")
-      Similarity.ivfTopKIndexed(s, path, cb, q, 10, nprobe = 3)
+      val (path, _) = ivfIndex(s, d)
+      // freshness contract runs INSIDE the probe call: the verifyAgainst
+      // overload checks the build stamp against the live table (id-only
+      // hashed-count scan) and reads the codebook from the index tree —
+      // the gate exercises the exact build-once/probe-many API a user
+      // would call, every round, under the oracle
+      Similarity.ivfTopKIndexed(s, path, q, 10, nprobe = 3,
+        verifyAgainst = (embs(s, d), "vec_id"))
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"),
           col("list"))
     }),

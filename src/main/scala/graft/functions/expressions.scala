@@ -457,6 +457,16 @@ case class BloomContainsAny(child: Expression, bloomBytes: Array[Byte])
     val self = ctx.addReferenceObj("bloomAny", this, classOf[BloomContainsAny].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.anyMatch($c);")
   }
+  // the case-class defaults compare the byte array by REFERENCE, which
+  // breaks canonicalization/semanticEquals (and thus common-subexpression
+  // elimination) for equal filters built twice; compare contents
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomContainsAny =>
+      child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
   override protected def withNewChildInternal(newChild: Expression): BloomContainsAny =
     copy(child = newChild)
 }

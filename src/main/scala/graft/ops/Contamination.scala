@@ -87,17 +87,31 @@ object Contamination {
                         bench: DataFrame, benchIdCol: String, benchTextCol: String,
                         n: Int = 3, minShared: Long = 1L,
                         expectedGrams: Long = 1L << 20,
-                        fpp: Double = 0.01): DataFrame = {
+                        fpp: Double = 0.01,
+                        maxBenchGrams: Int = 1 << 22): DataFrame = {
     require(expectedGrams > 0 && fpp > 0.0 && fpp < 1.0,
       "expectedGrams must be positive and fpp in (0, 1)")
+    require(maxBenchGrams > 0, "maxBenchGrams must be positive")
     // the benchmark's (bench_id, gram-hash) index is LOCALIZED once: it
     // is broadcast-sized by contract (it ships to every executor for the
     // join regardless), so collecting it means the benchmark is tokenized
-    // exactly once and the Bloom build below costs no second source scan
+    // exactly once and the Bloom build below costs no second source scan.
+    // The contract is ENFORCED, not assumed: the collect fetches at most
+    // maxBenchGrams + 1 rows (a limit, not a separate count job), and one
+    // row past the cap aborts BEFORE the driver holds an unbounded index
+    // — a merely-large benchmark should go through the lazy exact
+    // ngramOverlap path, not OOM the driver here
     val b0 = shingled(bench, benchIdCol, benchTextCol, n)
       .select(col(benchIdCol).as("bench_id"), explode(col("hs")).as("h"))
+    val localized = b0.limit(maxBenchGrams + 1).collect()
+    require(localized.length <= maxBenchGrams,
+      s"ngramOverlapBloom: benchmark explodes past maxBenchGrams=" +
+        s"$maxBenchGrams (bench_id, gram) rows — the Bloom path localizes " +
+        "the benchmark index on the driver and is meant for " +
+        "broadcast-sized benchmarks; use ngramOverlap (lazy exact join) " +
+        "for a benchmark this large, or raise maxBenchGrams deliberately")
     val b = bench.sparkSession.createDataFrame(
-      java.util.Arrays.asList(b0.collect(): _*), b0.schema)
+      java.util.Arrays.asList(localized: _*), b0.schema)
     // optimal bit count for the target false-positive rate
     val numBits = math.ceil(
       -expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong

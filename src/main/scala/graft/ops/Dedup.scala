@@ -440,12 +440,25 @@ object Dedup {
     * over [[simhash]]: all (id1, id2, hamming) with
     * `hamming <= maxHamming`, id1 < id2.
     *
-    * Scale shape — pigeonhole banding, never all-pairs: the 60-bit
-    * fingerprint splits into `maxHamming + 1` equal bit-blocks; two
-    * fingerprints within the distance bound differ in at most
-    * `maxHamming` bits, so at least ONE block is bit-identical and an
-    * equi-join on (block index, block bits) finds every qualifying pair.
-    * Spurious block collisions are removed by the exact [[hamming]]
+    * Scale shape — multi-block pigeonhole banding, never all-pairs: the
+    * 60-bit fingerprint splits into `B` bit-blocks; two fingerprints
+    * within distance `m` differ in at most `m` blocks, so at least
+    * `B − m` blocks are bit-identical — and therefore EVERY
+    * `t = B − m`-subset of those clean blocks matches. An equi-join on
+    * (subset index, concatenated subset bits) over all `C(B, t)`
+    * subsets finds every qualifying pair. The block count scales with
+    * the bound so the JOIN KEY never collapses: `m ≤ 3` uses the
+    * classic single-block split (`m + 1` blocks of `≥ 15` bits, one
+    * block per key); `m = 4` uses 6×10-bit blocks joined on
+    * `C(6,2) = 15` block PAIRS (20-bit keys); `m = 5` uses 8 blocks of
+    * 7–8 bits joined on `C(8,3) = 56` block TRIPLES (~22-bit keys). A
+    * naive single-block split at `m = 5` would join on 10-bit keys —
+    * 1024 distinct values, a guaranteed candidate explosion at corpus
+    * scale; the subset keys keep every bucket collision-bounded at any
+    * corpus size, at the cost of more (but bounded: ≤ 56) band rows
+    * per document.
+    *
+    * Spurious key collisions are removed by the exact [[hamming]]
     * filter; join cost tracks real collisions, exactly like the banded
     * MinHash join. NULL-text documents are dropped up front (their NULL
     * fingerprint can never be near-dup evidence). The repartition is the
@@ -454,20 +467,30 @@ object Dedup {
     * re-evaluate once per emitted band row. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val bands = maxHamming + 1
-    // the cap is a SCALE guard, not just an API check: every value in
-    // 0..5 divides 60 and keeps blocks >= 10 bits; a wider bound (e.g.
-    // maxHamming=29 -> 2-bit blocks with 4 distinct values) degenerates
-    // the equi-join to a near-all-pairs cross product
     require(maxHamming >= 0 && maxHamming <= 5,
       s"maxHamming must be in [0, 5], got $maxHamming")
-    val width = 60 / bands
+    // block layout per bound; every layout sums to 60 bits
+    val blockWidths: Seq[Int] = maxHamming match {
+      case m if m <= 3 => Seq.fill(m + 1)(60 / (m + 1)) // 60/30/20/15-bit
+      case 4           => Seq.fill(6)(10)               // C(6,2) pair keys
+      case 5           => Seq.fill(4)(8) ++ Seq.fill(4)(7) // C(8,3) triples
+    }
+    val subsetSize = blockWidths.size - maxHamming // clean blocks per key
+    val offsets = blockWidths.scanLeft(0)(_ + _)
+    def block(i: Int): Column =
+      shiftrightunsigned(col("simhash"), offsets(i))
+        .bitwiseAND(lit((1L << blockWidths(i)) - 1))
+    // one join key per block subset: member blocks packed into disjoint
+    // 10-bit lanes (every block is <= 10 bits), so equal key <=> every
+    // member block equal
+    val keys: Seq[Column] = blockWidths.indices.combinations(subsetSize)
+      .map(c => c.zipWithIndex
+        .map { case (bi, lane) => shiftleft(block(bi), lane * 10) }
+        .reduce[Column]((a, b) => a.bitwiseOR(b)))
+      .toSeq
     val banded = simhash(df.filter(col(textCol).isNotNull), idCol, textCol)
       .repartition(col(idCol))
-      .select(col(idCol).as("doc"), col("simhash"),
-        posexplode(array((0 until bands).map(b =>
-          shiftrightunsigned(col("simhash"), b * width)
-            .bitwiseAND(lit((1L << width) - 1))): _*)))
+      .select(col(idCol).as("doc"), col("simhash"), posexplode(array(keys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "blk")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.blk") === col("b.blk") &&

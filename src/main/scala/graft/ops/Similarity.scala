@@ -293,7 +293,7 @@ object Similarity {
                     codebook: Seq[Seq[Double]], path: String): Unit = {
     val spark = df.sparkSession
     val dyy = centroidNorms(spark, codebook)
-    // the build STAMP (source row count + exact-decimal id sum) rides the
+    // the build STAMP (source row count + exact-decimal id-hash sum) rides the
     // write job itself via Observation — no second scan of the source
     val obs = org.apache.spark.sql.Observation()
     df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"),
@@ -311,26 +311,31 @@ object Similarity {
     codebook.zipWithIndex.map { case (c, j) => (j.toLong, c) }
       .toDF("j", "centroid")
       .withColumn("n_rows", lit(stamp.nRows))
-      .withColumn("id_sum", lit(stamp.idSum).cast(DecimalType(38, 0)))
+      .withColumn("id_hash_sum", lit(stamp.idHashSum).cast(DecimalType(38, 0)))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
   }
 
   /** Build stamp of a persisted IVF index: the source's row count and
-    * the exact-decimal sum of its (Long-cast) ids — a cheap fingerprint
-    * that changes under append, delete, and id remap (it cannot see a
-    * same-id vector UPDATE; treat vectors as immutable or rebuild).
+    * the exact-decimal sum of `hash60(id)` over its (Long-cast) ids.
+    * Hashing before summing is what makes the fingerprint sensitive to
+    * WHICH ids are present, not just their arithmetic sum — raw-id
+    * summing would pass sum-preserving churn (delete {2,3}, add {1,4})
+    * as fresh. With hashed terms a coincidental pass needs a hash-sum
+    * collision (~2⁻⁶⁰ per churn event). The stamp still cannot see a
+    * same-id vector UPDATE — treat vectors as immutable or rebuild.
     * Decimal accumulation so the sum can never overflow at corpus
     * scale (ANSI Long sum throws past 2^63). */
-  final case class IvfStamp(nRows: Long, idSum: java.math.BigDecimal)
+  final case class IvfStamp(nRows: Long, idHashSum: java.math.BigDecimal)
 
   private def stampExprs: Seq[Column] = Seq(
     count(lit(1)).as("n_rows"),
-    coalesce(sum(col("id").cast(DecimalType(38, 0))),
-      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))).as("id_sum"))
+    coalesce(sum(TextStats.hash60(col("id").cast(StringType))
+        .cast(DecimalType(38, 0))),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))).as("id_hash_sum"))
 
   private def stampOf(m: Map[String, Any]): IvfStamp =
     IvfStamp(m("n_rows").asInstanceOf[Long],
-      m("id_sum") match {
+      m("id_hash_sum") match {
         case d: java.math.BigDecimal => d
         case d: BigDecimal => d.bigDecimal
       })
@@ -339,7 +344,7 @@ object Similarity {
   def loadIvfStamp(spark: org.apache.spark.sql.SparkSession,
                    path: String): IvfStamp = {
     val r = spark.read.parquet(s"$path/_codebook")
-      .select(col("n_rows"), col("id_sum")).head()
+      .select(col("n_rows"), col("id_hash_sum")).head()
     IvfStamp(r.getLong(0), r.getDecimal(1))
   }
 
@@ -357,11 +362,11 @@ object Similarity {
     val r = df.select(col(idCol).cast(LongType).as("id"))
       .agg(stampExprs.head, stampExprs.tail: _*).head()
     val live = IvfStamp(r.getLong(0), r.getDecimal(1))
-    if (live.nRows != built.nRows || live.idSum.compareTo(built.idSum) != 0)
+    if (live.nRows != built.nRows || live.idHashSum.compareTo(built.idHashSum) != 0)
       throw new IllegalStateException(
         s"IVF index at $path is STALE: built over ${built.nRows} rows " +
-          s"(id sum ${built.idSum}) but the live table has ${live.nRows} " +
-          s"(id sum ${live.idSum}); rebuild with buildIvfIndex")
+          s"(id hash sum ${built.idHashSum}) but the live table has " +
+          s"${live.nRows} (id hash sum ${live.idHashSum}); rebuild with buildIvfIndex")
   }
 
   /** The codebook a [[buildIvfIndex]] index was built with, in list-id

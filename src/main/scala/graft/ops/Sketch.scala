@@ -180,6 +180,53 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Persist a [[CMSketch]]: the counter table at `path` plus a one-row
+    * `_meta` sidecar (depth, width) INSIDE the tree — underscore-prefixed
+    * paths are invisible to parquet file listing, so the sketch is
+    * self-describing at a single path, the `_codebook` discipline of the
+    * IVF index. This is what makes the sketch mergeable ACROSS JOBS: each
+    * corpus slice sketches independently, persists, and any later job
+    * [[loadCountMin]]s + [[countMinMerge]]s without ever re-scanning a
+    * slice. The table is ≤ depth×width rows by invariant — the write is
+    * one small file, not a distributed job worth parallelizing. */
+  def saveCountMin(sketch: CMSketch, path: String): Unit = {
+    val spark = sketch.table.sparkSession
+    // table first, then the sidecar: overwrite of `path` wipes the tree,
+    // so the reverse order would delete the fresh _meta
+    sketch.table.coalesce(1).write.mode("overwrite").parquet(path)
+    import spark.implicits._
+    Seq((sketch.depth, sketch.width)).toDF("depth", "width")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** Load a [[saveCountMin]] sketch back through the SAME validation a
+    * fresh build passes: the shape bounds (via the `CMSketch`
+    * constructor) plus a content check — every counter row must sit
+    * inside the declared depth×width grid with a non-negative count and
+    * no duplicate cell. A hand-edited or truncated-width table would
+    * otherwise probe the wrong buckets and silently break the
+    * no-undercount guarantee; better to refuse at load. The table is
+    * localized on load, preserving the actions-never-rescan invariant. */
+  def loadCountMin(spark: org.apache.spark.sql.SparkSession,
+                   path: String): CMSketch = {
+    val m = spark.read.parquet(s"$path/_meta").select("depth", "width").head()
+    val (depth, width) = (m.getInt(0), m.getInt(1))
+    validateCmShape(depth, width) // fail BEFORE reading the table
+    val tbl = spark.read.parquet(path).select("i", "bucket", "cnt")
+    val rows = tbl.collect() // bounded: ≤ depth×width ≤ 2^20 rows
+    val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    rows.foreach { r =>
+      val (i, bkt, cnt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      require(i >= 0 && i < depth && bkt >= 0 && bkt < width && cnt >= 0,
+        s"corrupt CM table at $path: cell ($i, $bkt) cnt=$cnt outside " +
+          s"the declared ${depth}x$width grid")
+      require(seen.add((i, bkt)),
+        s"corrupt CM table at $path: duplicate cell ($i, $bkt)")
+    }
+    CMSketch(spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), tbl.schema), depth, width)
+  }
+
   /** Merge two [[countMin]] sketches: counters add. (CM has no
     * cross-slice interaction — the merged table estimates the
     * concatenated corpus exactly as a one-pass build would.) Refuses

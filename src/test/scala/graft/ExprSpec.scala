@@ -147,6 +147,16 @@ class ExprSpec extends AnyFunSuite {
     val hex = bytes.map("%02X".format(_)).mkString
     assert(spark.sql(
       s"SELECT bloom_contains_any(array(42L), X'$hex')").collect()(0).getBoolean(0))
+    // equality is by filter CONTENT, not array reference — two kernels
+    // built from equal-but-distinct byte arrays must canonicalize as the
+    // same expression (semanticEquals / common-subexpression elimination)
+    def litChild = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq(1L), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+    val ka = graft.functions.BloomContainsAny(litChild, bytes.clone())
+    val kb = graft.functions.BloomContainsAny(litChild, bytes.clone())
+    assert(ka == kb && ka.hashCode == kb.hashCode)
+    assert(ka != graft.functions.BloomContainsAny(litChild, bytes.drop(1)))
   }
 
   test("dedup_lines_first == HOF array_position spec; null elements, SQL registration") {

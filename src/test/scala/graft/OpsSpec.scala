@@ -196,6 +196,18 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       Similarity.requireIvfFresh(spark, path, emb, "vec_id")
     }
+    // sum-preserving churn — drop ids {1,4}, gain {2,3}: identical row
+    // count AND identical raw-id sum — is exactly what a raw-sum stamp
+    // is blind to; the hashed stamp must still flag it
+    val builtIds = emb.filter($"vec_id".isin(0L, 1L, 4L, 5L))
+    val churned = emb.filter($"vec_id".isin(0L, 2L, 3L, 5L))
+    val path2 = TestSpark.tmpDir("ivf-churn")
+    Similarity.buildIvfIndex(builtIds, "vec_id", "embedding", cb, path2)
+    Similarity.requireIvfFresh(spark, path2, builtIds, "vec_id")
+    val e2 = intercept[IllegalStateException] {
+      Similarity.requireIvfFresh(spark, path2, churned, "vec_id")
+    }
+    assert(e2.getMessage.contains("STALE"))
   }
 
   test("cross-corpus dedup: fresh near-dups of the reference are found and removable") {
@@ -399,6 +411,48 @@ class OpsSpec extends AnyFunSuite {
     assert(estNull == exact)
   }
 
+  test("countMin persist: save -> load -> merge is bit-identical; corrupt tables refuse to load") {
+    val toks = Seq("a", "b", "a", "c", "a", "b", "d").toDF("t")
+    val probes = Seq("a", "b", "c", "d", "zz").toDF("t")
+    val built = Sketch.countMin(toks, "t", depth = 4, width = 512)
+    val path = TestSpark.tmpDir("cm-sketch") + "/cm"
+    Sketch.saveCountMin(built, path)
+    val loaded = Sketch.loadCountMin(spark, path)
+    assert(loaded.depth == built.depth && loaded.width == built.width)
+    // the loaded table is cell-for-cell the built one...
+    def cells(s: Sketch.CMSketch) = s.table.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cells(loaded) == cells(built))
+    // ...and estimates THROUGH a cross-job merge are bit-identical to a
+    // one-pass build over the concatenated corpus — the whole point of
+    // persisting: slices sketched by different jobs still add up
+    val sliceB = Seq("c", "a", "e").toDF("t")
+    val merged = Sketch.countMinMerge(loaded, Sketch.countMin(sliceB, "t", 4, 512))
+    val onePass = Sketch.countMin(toks.unionByName(sliceB), "t", 4, 512)
+    def est(s: Sketch.CMSketch) = Sketch.countMinEstimate(s, probes, "t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est(merged) == est(onePass))
+    // a table whose cells sit outside the declared grid refuses to load
+    // (wrong-width probes would silently break the no-undercount bound)
+    val corruptPath = TestSpark.tmpDir("cm-corrupt") + "/cm"
+    Sketch.saveCountMin(built, corruptPath)
+    Seq((2, 128)).toDF("depth", "width") // narrower than the real table
+      .coalesce(1).write.mode("overwrite").parquet(s"$corruptPath/_meta")
+    val e = intercept[IllegalArgumentException] {
+      Sketch.loadCountMin(spark, corruptPath)
+    }
+    assert(e.getMessage.contains("corrupt CM table"), e.getMessage)
+    // duplicate cells refuse too (double-counted counters overestimate
+    // beyond the epsilon*N guarantee with no way to detect it later)
+    val dupPath = TestSpark.tmpDir("cm-dup") + "/cm"
+    Sketch.saveCountMin(built, dupPath)
+    built.table.limit(1).coalesce(1).write.mode("append").parquet(dupPath)
+    val e2 = intercept[IllegalArgumentException] {
+      Sketch.loadCountMin(spark, dupPath)
+    }
+    assert(e2.getMessage.contains("duplicate cell"), e2.getMessage)
+  }
+
   test("KMV merge: two-pointer merge == element-wise insert (property)") {
     val kmv = Sketch.KMV(8)
     val rnd = new scala.util.Random(42)
@@ -429,6 +483,11 @@ class OpsSpec extends AnyFunSuite {
     } yield (a, b, hd)).toSet
     assert(pairs == brute)
     assert(pairs.contains((0L, 3L, 0L)), s"exact dup must pair at distance 0, got $pairs")
+    // maxHamming=4 takes the C(6,2) block-PAIR key layout — its own
+    // branch of the band construction, parity-checked separately
+    val pairs4 = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs4 == brute.filter(_._3 <= 4))
     // invalid band split rejected; NULL text yields no pairs
     intercept[IllegalArgumentException] {
       Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 6)

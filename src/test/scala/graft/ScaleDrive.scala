@@ -176,6 +176,18 @@ object ScaleDrive {
     println(s"  pairs=$nSimPairs (>= 30k planted exact dups at distance 0)")
     assert(nSimPairs >= 30000, s"exact dups must pair at distance 0, got $nSimPairs")
 
+    // the MAXIMUM bound at volume: maxHamming=5 switches to C(8,3)=56
+    // block-triple keys (~22 bits) — a single-block split here would
+    // join on 10-bit keys (1024 values over 360k docs = a candidate
+    // explosion); this case is the evidence the multi-block path stays
+    // collision-bounded at the bound where the naive split degenerates
+    val nSimPairs5 = time("simhashPairs(maxHamming=5)") {
+      graft.ops.Dedup.simhashPairs(corpusSim, "doc_id", "text", maxHamming = 5).count()
+    }
+    println(s"  pairs(h<=5)=$nSimPairs5 (superset of the h<=3 pairs)")
+    assert(nSimPairs5 >= nSimPairs,
+      s"h<=5 pairs must be a superset of h<=3 pairs: $nSimPairs5 vs $nSimPairs")
+
     // bottom-k sampling over 10M ids: TakeOrdered (per-partition heaps),
     // no full sort/shuffle
     val ids10m = spark.range(10000000).select(col("id"))
@@ -183,6 +195,36 @@ object ScaleDrive {
       graft.ops.Sample.bottomK(ids10m, "id", 100).collect()
     }
     assert(bk.length == 100)
+
+    // Count-Min at volume: 10M tokens over 100k distinct values, width
+    // 2^16 — ONE corpus pass whose shuffle moves at most depth×width
+    // counter rows per partition; every estimate must then land inside
+    // the Cormode-Muthukrishnan band [exact, exact + ceil(e/width · N)]
+    // (deterministic here: the token hash is seeded, so this is a fixed
+    // outcome, not a flaky tail-probability assertion)
+    println("== countMin over 10M tokens (depth 4, width 2^16)")
+    val toks10m = spark.range(10000000).select(
+      concat(lit("t"), pmod(hash(col("id")), lit(100000))).as("t"))
+    val cm = time("countMin build (10M tokens)") {
+      graft.ops.Sketch.countMin(toks10m, "t", depth = 4, width = 1 << 16)
+    }
+    val probeToks = (0 until 20).map(i => s"t$i")
+    val probeDf = spark.createDataset(probeToks)(
+      org.apache.spark.sql.Encoders.STRING).toDF("t")
+    val est = time("countMinEstimate (20 probes, broadcast lookup)") {
+      graft.ops.Sketch.countMinEstimate(cm, probeDf, "t")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val exactCnt = toks10m.filter(col("t").isin(probeToks: _*))
+      .groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val epsN = math.ceil(math.E / (1 << 16) * 10000000).toLong // ~415
+    probeToks.foreach { t =>
+      val ex = exactCnt.getOrElse(t, 0L)
+      assert(est(t) >= ex && est(t) <= ex + epsN,
+        s"countMin estimate for $t out of band: est=${est(t)} exact=$ex epsN=$epsN")
+    }
+    println(s"  20/20 probes inside [exact, exact+$epsN]")
 
     spark.stop()
   }
