@@ -1174,6 +1174,19 @@ object SparkEntry {
         .orderBy("token")
     }),
 
+    // exact heavy hitters via Count-Min candidate prefilter: the sketch
+    // is DELIBERATELY narrow (4 x 64) so bucket collisions admit false
+    // candidates — the exact recount must remove every one of them (the
+    // oracle is the plain GROUP BY ... HAVING, blind to the sketch)
+    "x_sketch_heavyhitters" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(explode(TextStats.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      graft.ops.Sketch.heavyHitters(toks, "token", minCount = 100L,
+          depth = 4, width = 64)
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
     // KMV distinct-count sketch vs exact, per language (sketch branch
     // where distinct tokens >= k, exact branch below)
     "x_sketch_distinct" -> ((s, d) => {
@@ -1832,6 +1845,13 @@ object SparkEntry {
        """FROM q, generate_series(0, 3) g(i)) """ +
        """SELECT token, min(COALESCE(cm.cnt, 0))::BIGINT AS est """ +
        """FROM qb LEFT JOIN cm USING (i, bucket) GROUP BY token ORDER BY token"""),
+
+    // heavy hitters: the engine's sketch prefilter is invisible to the
+    // result by construction — the oracle is the plain exact HAVING
+    "x_sketch_heavyhitters" ->
+      (s"""SELECT t AS token, count(*) AS cnt FROM (SELECT unnest($TOK) AS t FROM documents) """ +
+       """WHERE t IS NOT NULL AND t <> '' GROUP BY 1 HAVING count(*) >= 100 """ +
+       """ORDER BY cnt DESC, token"""),
 
     "x_sketch_distinct" ->
       (s"""WITH t AS (SELECT COALESCE(lang, '') AS lang, unnest($TOK) AS tok FROM documents), """ +

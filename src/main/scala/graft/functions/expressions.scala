@@ -471,6 +471,68 @@ case class BloomContainsAny(child: Expression, bloomBytes: Array[Byte])
     copy(child = newChild)
 }
 
+/** Count-Min point estimate of a string token against a driver-local
+  * DENSE counter table: `min over rows i of
+  * counters[i·width + hash60("cm:<i>:" + token) mod width]` — the same
+  * terms as [[graft.ops.Sketch.countMinEstimate]], as one native loop
+  * inside whole-stage codegen. This is what lets a heavy-hitters pass
+  * filter an entire corpus against the sketch BEFORE any shuffle: the
+  * join formulation explodes `depth` rows per input row and shuffles
+  * them, which is right for a handful of probe tokens and wrong as a
+  * corpus-wide per-row filter. Value-identical to `countMinEstimate`
+  * for non-null tokens (ExprSpec pins the parity); a NULL token yields
+  * NULL like any unary null-safe expression. */
+case class CmEstimate(child: Expression, depth: Int, width: Int,
+                      counters: Array[Long]) extends UnaryExpression {
+  require(depth >= 1 && width >= 2 && counters.length == depth.toLong * width,
+    s"counters must be a dense depth*width table: got ${counters.length} " +
+      s"cells for ${depth}x$width")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cm_estimate requires a string argument, got ${other.sql}")
+    }
+  // row-salt prefixes built once per task (they are tiny; the md5 per
+  // row dominates), shared by interpreted eval and generated code
+  @transient private lazy val prefixes: Array[UTF8String] =
+    Array.tabulate(depth)(i => UTF8String.fromString(s"cm:$i:"))
+  def estimate(token: UTF8String): Long = {
+    var m = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      // hash60 is non-negative (top 60 bits of md5), so plain % == pmod
+      val h = Hash60Kernel.compute(UTF8String.concat(prefixes(i), token))
+      val c = counters(i * width + (h % width).toInt)
+      if (c < m) m = c
+      i += 1
+    }
+    m
+  }
+  override def nullSafeEval(v: Any): Any = estimate(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference THIS instance: the prefix table is a lazy val on it,
+    // built once per task and shared with interpreted eval
+    val self = ctx.addReferenceObj("cmEst", this, classOf[CmEstimate].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.estimate($c);")
+  }
+  // the case-class defaults compare the counter array by REFERENCE,
+  // breaking canonicalization/semanticEquals for equal sketches built
+  // twice (same hazard as BloomContainsAny); compare contents
+  override def equals(other: Any): Boolean = other match {
+    case e: CmEstimate =>
+      child == e.child && depth == e.depth && width == e.width &&
+        java.util.Arrays.equals(counters, e.counters)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    ((31 * child.hashCode() + depth) * 31 + width) * 31 +
+      java.util.Arrays.hashCode(counters)
+  override protected def withNewChildInternal(newChild: Expression): CmEstimate =
+    copy(child = newChild)
+}
+
 /** First-occurrence line filter over an array of lines (kernel in
   * [[DedupLinesKernel]]) — keeps space-only lines unconditionally and
   * the first occurrence of every other distinct line, dropping null
@@ -703,6 +765,9 @@ object native {
     Bridge.column(DedupLinesFirst(Bridge.expression(lines)))
   def bloom_contains_any(hashes: Column, bloomBytes: Array[Byte]): Column =
     Bridge.column(BloomContainsAny(Bridge.expression(hashes), bloomBytes))
+  def cm_estimate(token: Column, depth: Int, width: Int,
+                  counters: Array[Long]): Column =
+    Bridge.column(CmEstimate(Bridge.expression(token), depth, width, counters))
 
   /** Register every native kernel for SQL use in this session, so the
     * SQL surface matches the Column surface. Width/shape parameters

@@ -227,6 +227,51 @@ object Sketch {
       java.util.Arrays.asList(rows: _*), tbl.schema), depth, width)
   }
 
+  /** EXACT heavy hitters — every token with frequency `>= minCount`,
+    * with its exact count — in two bounded passes, never a full
+    * distinct-token shuffle. Pass 1 builds a [[countMin]] sketch
+    * (per-partition state bounded by depth×width regardless of corpus
+    * size). Pass 2 filters the corpus against the sketch with the
+    * native [[graft.functions.CmEstimate]] kernel BEFORE the count
+    * shuffle: Count-Min never undercounts, so every true heavy hitter
+    * survives the prefilter (no false negatives), and the exact
+    * recount of the survivors removes the collision-admitted false
+    * positives. The output is therefore EXACTLY
+    * `GROUP BY token HAVING count(*) >= minCount` — deterministic and
+    * independent of the sketch parameters — but the count shuffle only
+    * moves rows whose token's estimate clears `minCount`: with
+    * `width` sized so `εN = e/width · N < minCount`, that is the heavy
+    * tokens plus an εN-bounded fringe, a vanishing fraction of a
+    * 100 TB corpus (where `vocab`'s groupBy shuffles every token
+    * occurrence). Returns (`token`, `cnt`), NULL tokens skipped. */
+  def heavyHitters(df: DataFrame, tokenCol: String, minCount: Long,
+                   depth: Int = 4, width: Int = 1024): DataFrame =
+    heavyHittersWithSketch(countMin(df, tokenCol, depth, width),
+      df, tokenCol, minCount)
+
+  /** [[heavyHitters]] against a PREBUILT sketch (e.g. [[loadCountMin]]
+    * from another job). Contract: the sketch must have been built over
+    * a SUPERSET of `df`'s tokens — CM overestimates only, so a
+    * superset sketch still never misses a heavy hitter; a sketch over
+    * a smaller/different corpus voids the no-false-negative guarantee
+    * (that cannot be validated here — the sketch carries no
+    * provenance). */
+  def heavyHittersWithSketch(sketch: CMSketch, df: DataFrame,
+                             tokenCol: String, minCount: Long): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    // dense depth×width table (bounded <= 2^20 cells by the CMSketch
+    // shape invariant); absent cells are zero-count buckets
+    val dense = new Array[Long](sketch.depth * sketch.width)
+    sketch.table.collect().foreach { r =>
+      dense(r.getLong(0).toInt * sketch.width + r.getLong(1).toInt) = r.getLong(2)
+    }
+    df.select(col(tokenCol).as("token")).filter(col("token").isNotNull)
+      .filter(graft.functions.native.cm_estimate(col("token"),
+        sketch.depth, sketch.width, dense) >= minCount)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** Merge two [[countMin]] sketches: counters add. (CM has no
     * cross-slice interaction — the merged table estimates the
     * concatenated corpus exactly as a one-pass build would.) Refuses

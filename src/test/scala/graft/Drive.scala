@@ -355,6 +355,20 @@ object Drive {
     require(staleCaught, "appended corpus must be detected as stale")
     println("IVF freshness stamp -> fresh passes, append detected: OK")
 
+    println("== r8 drive: heavy hitters (CM prefilter before the count shuffle)")
+    val hhRes = graft.ops.Sketch.heavyHitters(cmToks, "t", minCount = 50L,
+      depth = 4, width = 256)
+    val hhExact = cmToks.filter(col("t").isNotNull).groupBy("t").count()
+      .filter(col("count") >= 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(hhRes.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == hhExact,
+      "heavyHitters must equal the exact HAVING set")
+    // the prefilter must sit under WholeStageCodegen BEFORE the exchange
+    val hhPlan = hhRes.queryExecution.executedPlan.toString
+    require(hhPlan.contains("cmestimate") || hhPlan.contains("CmEstimate"),
+      s"cm_estimate prefilter missing from the plan:\n$hhPlan")
+    println(s"heavyHitters -> ${hhExact.size} tokens >= 50, exact-equal to HAVING: OK")
+
     spark.stop()
     println("== drive done")
   }

@@ -159,6 +159,42 @@ class ExprSpec extends AnyFunSuite {
     assert(ka != graft.functions.BloomContainsAny(litChild, bytes.drop(1)))
   }
 
+  test("cm_estimate == countMinEstimate term-for-term; null token, shape guard, content equality") {
+    import graft.ops.Sketch
+    val toks = Seq("a", "b", "a", "c", "a", "b", "a", "d", "e", "a")
+      .toDF("t")
+    val (depth, width) = (3, 8) // narrow on purpose: collisions exercised
+    val sketch = Sketch.countMin(toks, "t", depth, width)
+    val dense = new Array[Long](depth * width)
+    sketch.table.collect().foreach { r =>
+      dense(r.getLong(0).toInt * width + r.getLong(1).toInt) = r.getLong(2)
+    }
+    // parity with the join formulation over seen AND never-seen tokens
+    val probes = Seq("a", "b", "c", "d", "e", "never-1", "never-2").toDF("t")
+    val viaJoin = Sketch.countMinEstimate(sketch, probes, "t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaKernel = probes
+      .select($"t", native.cm_estimate($"t", depth, width, dense).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaKernel == viaJoin)
+    // NULL token -> NULL (null-safe unary), not zero
+    assert(probes.select(native.cm_estimate(lit(null).cast("string"),
+      depth, width, dense)).collect()(0).isNullAt(0))
+    // a counter table of the wrong shape is rejected at construction
+    intercept[IllegalArgumentException] {
+      native.cm_estimate(lit("x"), depth, width, new Array[Long](depth * width - 1))
+    }
+    // content-based equality: equal-but-distinct counter arrays
+    // canonicalize as the same expression
+    def litTok = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      "x", org.apache.spark.sql.types.StringType)
+    val ea = graft.functions.CmEstimate(litTok, depth, width, dense.clone())
+    val eb = graft.functions.CmEstimate(litTok, depth, width, dense.clone())
+    assert(ea == eb && ea.hashCode == eb.hashCode)
+    val other = dense.clone(); other(0) += 1
+    assert(ea != graft.functions.CmEstimate(litTok, depth, width, other))
+  }
+
   test("dedup_lines_first == HOF array_position spec; null elements, SQL registration") {
     // parity over the tricky line shapes: dups, empty lines, space-only
     // vs tab-only runs, trailing separators, whole-text edge cases

@@ -453,6 +453,38 @@ class OpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("duplicate cell"), e2.getMessage)
   }
 
+  test("heavyHitters: exactly the HAVING set under forced collisions; persisted-sketch path; boundary") {
+    // skewed corpus: 3 planted heavies over a long rare tail, with the
+    // sketch narrow enough (2 x 4 buckets vs ~103 distinct tokens) that
+    // the prefilter ADMITS collision victims — the exact recount must
+    // output the HAVING set regardless
+    val rows = Seq.fill(40)("hh-a") ++ Seq.fill(25)("hh-b") ++
+      Seq.fill(10)("hh-c") ++ (0 until 100).map(i => s"rare-$i")
+    val toks = rows.toDF("t")
+    def having(min: Long): Map[String, Long] = toks.groupBy("t").count()
+      .filter($"count" >= min)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def hh(min: Long, depth: Int, width: Int): Map[String, Long] =
+      Sketch.heavyHitters(toks, "t", min, depth, width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh(25L, 2, 4) == having(25L))   // collision-riddled sketch
+    assert(hh(25L, 4, 1024) == having(25L)) // roomy sketch, same answer
+    // boundary: a token AT the threshold is included (>=, not >)
+    assert(hh(10L, 4, 64).contains("hh-c") && !hh(11L, 4, 64).contains("hh-c"))
+    // nothing clears an impossible threshold
+    assert(hh(1000L, 4, 64).isEmpty)
+    // the cross-job path: a persisted+reloaded sketch prefilters
+    // identically (the superset contract with itself)
+    val path = TestSpark.tmpDir("hh-sketch") + "/cm"
+    Sketch.saveCountMin(Sketch.countMin(toks, "t", 4, 64), path)
+    val loaded = Sketch.loadCountMin(spark, path)
+    assert(Sketch.heavyHittersWithSketch(loaded, toks, "t", 25L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == having(25L))
+    intercept[IllegalArgumentException] {
+      Sketch.heavyHitters(toks, "t", minCount = 0L)
+    }
+  }
+
   test("KMV merge: two-pointer merge == element-wise insert (property)") {
     val kmv = Sketch.KMV(8)
     val rnd = new scala.util.Random(42)

@@ -226,6 +226,28 @@ object ScaleDrive {
     }
     println(s"  20/20 probes inside [exact, exact+$epsN]")
 
+    // heavy hitters over the same 10M-token corpus + 3 planted heavies
+    // (1000 occurrences each vs the ~100/token uniform tail): the CM
+    // prefilter bounds what reaches the count shuffle; the result must
+    // still be EXACTLY the full GROUP BY ... HAVING set (computed here
+    // as the oracle — the full shuffle the operator avoids at scale)
+    println("== heavyHitters over 10M+3k tokens (CM prefilter, exact recount)")
+    val plantedHH = spark.range(3000).select(
+      concat(lit("planted-"), pmod(col("id"), lit(3))).as("t"))
+    val corpusHH = toks10m.unionByName(plantedHH)
+    val hhRes = time("heavyHitters(minCount=150, 4 x 2^16)") {
+      graft.ops.Sketch.heavyHitters(corpusHH, "t", minCount = 150L,
+          depth = 4, width = 1 << 16)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val hhExact = corpusHH.groupBy("t").count().filter(col("count") >= 150)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hhRes == hhExact,
+      s"heavyHitters must equal the exact HAVING set: ${hhRes.size} vs ${hhExact.size}")
+    assert((0 until 3).forall(i => hhRes.get(s"planted-$i").contains(1000L)),
+      s"planted heavies missing/miscounted: $hhRes")
+    println(s"  ${hhRes.size} heavy tokens == exact HAVING set; planted 3/3 at cnt=1000")
+
     spark.stop()
   }
 }
