@@ -465,8 +465,10 @@ case class BloomContainsAny(child: Expression, bloomBytes: Array[Byte])
       child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
     case _ => false
   }
-  override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+  // cache the array walk: TreeNode hashCode runs repeatedly during
+  // analysis/optimization, and the filter bytes can run to megabytes
+  @transient private lazy val bytesHash = java.util.Arrays.hashCode(bloomBytes)
+  override def hashCode(): Int = 31 * child.hashCode() + bytesHash
   override protected def withNewChildInternal(newChild: Expression): BloomContainsAny =
     copy(child = newChild)
 }
@@ -526,9 +528,11 @@ case class CmEstimate(child: Expression, depth: Int, width: Int,
         java.util.Arrays.equals(counters, e.counters)
     case _ => false
   }
+  // cached: the counter table can be 2^20 longs, and TreeNode hashCode
+  // runs repeatedly during analysis/optimization
+  @transient private lazy val countersHash = java.util.Arrays.hashCode(counters)
   override def hashCode(): Int =
-    ((31 * child.hashCode() + depth) * 31 + width) * 31 +
-      java.util.Arrays.hashCode(counters)
+    ((31 * child.hashCode() + depth) * 31 + width) * 31 + countersHash
   override protected def withNewChildInternal(newChild: Expression): CmEstimate =
     copy(child = newChild)
 }

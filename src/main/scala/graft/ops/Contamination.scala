@@ -103,7 +103,11 @@ object Contamination {
     // ngramOverlap path, not OOM the driver here
     val b0 = shingled(bench, benchIdCol, benchTextCol, n)
       .select(col(benchIdCol).as("bench_id"), explode(col("hs")).as("h"))
-    val localized = b0.limit(maxBenchGrams + 1).collect()
+    // cap + 1 would wrap negative at Int.MaxValue (a caller's "no cap");
+    // there the limit is dropped — collect() cannot exceed MaxValue rows
+    val localized =
+      (if (maxBenchGrams < Int.MaxValue) b0.limit(maxBenchGrams + 1) else b0)
+        .collect()
     require(localized.length <= maxBenchGrams,
       s"ngramOverlapBloom: benchmark explodes past maxBenchGrams=" +
         s"$maxBenchGrams (bench_id, gram) rows — the Bloom path localizes " +

@@ -343,8 +343,16 @@ object Similarity {
   /** The stamp a [[buildIvfIndex]] index was built with. */
   def loadIvfStamp(spark: org.apache.spark.sql.SparkSession,
                    path: String): IvfStamp = {
-    val r = spark.read.parquet(s"$path/_codebook")
-      .select(col("n_rows"), col("id_hash_sum")).head()
+    val cb = spark.read.parquet(s"$path/_codebook")
+    // a pre-hashed-stamp index (raw `id_sum` column) is INCOMPATIBLE,
+    // not unresolvable: the probe-many contract spans jobs, so on-disk
+    // indexes outlive code — name the remedy instead of erroring on a
+    // missing column
+    if (!cb.columns.contains("id_hash_sum"))
+      throw new IllegalStateException(
+        s"IVF index at $path predates the hashed freshness stamp " +
+          s"(columns: ${cb.columns.mkString(", ")}); rebuild with buildIvfIndex")
+    val r = cb.select(col("n_rows"), col("id_hash_sum")).head()
     IvfStamp(r.getLong(0), r.getDecimal(1))
   }
 

@@ -245,9 +245,13 @@ object Sketch {
     * 100 TB corpus (where `vocab`'s groupBy shuffles every token
     * occurrence). Returns (`token`, `cnt`), NULL tokens skipped. */
   def heavyHitters(df: DataFrame, tokenCol: String, minCount: Long,
-                   depth: Int = 4, width: Int = 1024): DataFrame =
+                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    // fail BEFORE the sketch build pays a corpus pass (countMin is
+    // eager), same discipline as validateCmShape
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     heavyHittersWithSketch(countMin(df, tokenCol, depth, width),
       df, tokenCol, minCount)
+  }
 
   /** [[heavyHitters]] against a PREBUILT sketch (e.g. [[loadCountMin]]
     * from another job). Contract: the sketch must have been built over

@@ -208,6 +208,21 @@ class OpsSpec extends AnyFunSuite {
       Similarity.requireIvfFresh(spark, path2, churned, "vec_id")
     }
     assert(e2.getMessage.contains("STALE"))
+    // an index persisted BEFORE the hashed stamp (raw id_sum column) is
+    // refused with the rebuild remedy, not an unresolved-column error —
+    // on-disk indexes outlive code versions
+    val legacyPath = TestSpark.tmpDir("ivf-legacy")
+    Similarity.buildIvfIndex(builtIds, "vec_id", "embedding", cb, legacyPath)
+    spark.read.parquet(s"$legacyPath/_codebook")
+      .withColumnRenamed("id_hash_sum", "id_sum")
+      .coalesce(1).write.mode("overwrite").parquet(s"$legacyPath/_codebook2")
+    // overwrite in place via a temp copy (can't read+overwrite one path)
+    val legacy = spark.read.parquet(s"$legacyPath/_codebook2")
+    legacy.coalesce(1).write.mode("overwrite").parquet(s"$legacyPath/_codebook")
+    val e3 = intercept[IllegalStateException] {
+      Similarity.loadIvfStamp(spark, legacyPath)
+    }
+    assert(e3.getMessage.contains("rebuild with buildIvfIndex"), e3.getMessage)
   }
 
   test("cross-corpus dedup: fresh near-dups of the reference are found and removable") {
