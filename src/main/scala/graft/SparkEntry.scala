@@ -1347,6 +1347,35 @@ object SparkEntry {
       }
     }),
 
+    // streaming CUSTOM-STATE gate: per-user inactivity summaries via
+    // flatMapGroupsWithState + event-time timeout. A sentinel event 90
+    // event-time days past the last real event pushes the final
+    // watermark beyond every user's 30-day inactivity deadline, so every
+    // real user's state times out and emits before the AvailableNow
+    // query drains; the order-independent fold (count / decimal sum /
+    // min / max) makes the emitted set EXACTLY the batch GROUP BY
+    "x_stream_user_summary" -> ((s, d) => {
+      val ev = events(s, d)
+      val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+      val sentinel = ev.limit(1).select(
+        lit(-1L).as("event_id"),
+        lit(maxTs + 90L * 86400L * 1000000000L).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("__sentinel").as("event_type"),
+        lit(0.0).as("value"),
+        lit(null).cast(StringType).as("props"))
+      withStagedStream(s, ev.unionByName(sentinel)) { (src, ckpt) =>
+        collectMemorySink(s, name =>
+          graft.streaming.EventStream.userSummaries(src, "30 days", "1 hour")
+            .filter(col("user_id") >= 0)
+            .writeStream.outputMode("append").format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(),
+          Seq("user_id"))
+      }
+    }),
+
     // streaming windowed aggregation equivalence: windowedCounts under
     // AvailableNow must reproduce the batch tumbling aggregation
     // bit-exactly (decimal-exact sums make the equality well-defined);
@@ -1582,6 +1611,13 @@ object SparkEntry {
     // digest set (planted duplicates dropped, nothing else)
     "x_stream_dedup" ->
       """SELECT md5(text) AS digest FROM (SELECT DISTINCT text FROM documents) t ORDER BY digest""",
+
+    // custom-state summaries == the batch GROUP BY, decimal-exact sum
+    "x_stream_user_summary" ->
+      ("""SELECT user_id, count(*) AS n_events, """ +
+       """CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value, """ +
+       """min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us """ +
+       """FROM events GROUP BY 1 ORDER BY 1"""),
 
     "x_dedup_minhash_sig" ->
       (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents WHERE doc_id < 300), """ +

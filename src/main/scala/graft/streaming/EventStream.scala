@@ -101,4 +101,77 @@ object EventStream {
       .withWatermark("event_time", watermark)
       .groupBy(session_window(col("event_time"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  // event_time rides along untouched: the unsupported-operation checker
+  // requires the WATERMARKED column itself in the flatMapGroupsWithState
+  // input (a projection of it does not carry the watermark tag)
+  private[graft] case class UEvent(user_id: Long, v: scala.math.BigDecimal,
+                                   ts_us: Long, event_time: java.sql.Timestamp)
+  private[graft] case class UState(n: Long, sum: scala.math.BigDecimal,
+                                   hasVal: Boolean, minUs: Long, maxUs: Long)
+  private[graft] case class UserSummary(user_id: Long, n_events: Long,
+                                        sum_value: scala.math.BigDecimal,
+                                        first_us: Long, last_us: Long)
+
+  /** Per-user activity summaries via CUSTOM streaming state — the
+    * `flatMapGroupsWithState` surface of the engine. A user's state is
+    * one fixed-size record (count, exact-decimal value sum, first/last
+    * event micros); when the user has been inactive for `gap` of EVENT
+    * time (event-time timeout against the watermark, not wall clock),
+    * the summary is emitted once and the state evicted.
+    *
+    * Scale: state is O(active users within the inactivity horizon),
+    * independent of event volume — events fold into the record and are
+    * gone; nothing buffers. The fold is ORDER-INDEPENDENT (count, sum,
+    * min, max), so the emitted summary is identical under any
+    * micro-batch partitioning of the stream — which is also what makes
+    * the `x_stream_user_summary` gate exact: once every user times out,
+    * the output IS the batch `GROUP BY user_id` (decimal-exact sum, as
+    * in [[windowedCounts]]). Null values are skipped by the sum and
+    * counted by `n_events`, mirroring SQL aggregation. */
+  def userSummaries(stream: DataFrame, gap: String = "30 days",
+                    watermark: String = "1 hour"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ev = withEventTime(stream)
+      .withWatermark("event_time", watermark)
+      .select(col("user_id").cast(LongType).as("user_id"),
+        // decimal BEFORE summing: float accumulation order would differ
+        // across micro-batch boundaries and engines; decimal does not
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("v"),
+        unix_micros(col("event_time")).as("ts_us"),
+        col("event_time"))
+      .as[UEvent]
+    val func = (uid: Long, events: Iterator[UEvent], state: GroupState[UState]) =>
+      if (state.hasTimedOut) {
+        // inactivity deadline passed: emit once, evict
+        val s = state.get
+        state.remove()
+        Iterator.single(UserSummary(uid, s.n,
+          if (s.hasVal) s.sum else null, s.minUs, s.maxUs))
+      } else {
+        var s = state.getOption.getOrElse(
+          UState(0L, scala.math.BigDecimal(0), hasVal = false,
+            Long.MaxValue, Long.MinValue))
+        events.foreach { e =>
+          s = UState(s.n + 1,
+            if (e.v == null) s.sum else s.sum + e.v,
+            s.hasVal || e.v != null,
+            math.min(s.minUs, e.ts_us), math.max(s.maxUs, e.ts_us))
+        }
+        state.update(s)
+        // deadline rides the user's OWN last event time, not the batch:
+        // out-of-order arrivals inside the watermark extend it correctly
+        state.setTimeoutTimestamp(s.maxUs / 1000L, gap)
+        Iterator.empty
+      }
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UState, UserSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(func)
+      .toDF()
+      .select(col("user_id"), col("n_events"),
+        col("sum_value").cast(org.apache.spark.sql.types.DoubleType).as("sum_value"),
+        col("first_us"), col("last_us"))
+  }
 }

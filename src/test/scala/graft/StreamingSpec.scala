@@ -111,4 +111,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("text").distinct().count() == 60)         // one per digest
     assert(out.columns.toSet == Set("doc_id", "text", "event_time")) // digest dropped
   }
+
+  test("custom-state user summaries (flatMapGroupsWithState) == batch GROUP BY after timeout") {
+    val events = spark.read.parquet(eventsPath)
+    val in = TestSpark.tmpDir("streamu-in")
+    val ckpt = TestSpark.tmpDir("streamu-ckpt")
+    // sentinel 90 event-time days past the last real event: the final
+    // watermark lands beyond every user's maxTs + 30d inactivity
+    // deadline, so EVERY real user's state times out and emits before
+    // the AvailableNow query drains
+    val maxTs = events.agg(max(col("ts"))).head().getLong(0)
+    val sentinel = events.limit(1).select(
+      lit(-1L).as("event_id"),
+      lit(maxTs + 90L * 86400L * 1000000000L).as("ts"),
+      lit(-1L).as("user_id"),
+      lit("__sentinel").as("event_type"),
+      lit(0.0).as("value"),
+      lit(null).cast("string").as("props"))
+    val staged = events.unionByName(sentinel)
+    staged.write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(staged.schema).parquet(in)
+    val q = EventStream.userSummaries(stream, "30 days", "1 hour")
+      .filter(col("user_id") >= 0)
+      .writeStream.outputMode("append").format("memory").queryName("usum")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("usum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batch = events.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"),
+        min(expr("ts div 1000")).as("first_us"),
+        max(expr("ts div 1000")).as("last_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size}; " +
+        s"diff=${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
 }
