@@ -1156,6 +1156,19 @@ object SparkEntry {
       TextStats.repetition(docs(s, d), "doc_id", "text", n = 3)
         .orderBy("doc_id")),
 
+    // cross-document repeated n-gram spans (the Lee et al. exact-
+    // substring dedup signal): a 7-token sentence planted into every
+    // 7th document guarantees shared 5-gram windows to count
+    "x_repeated_ngrams" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" shared boilerplate sentence repeated across documents verbatim")))
+          .otherwise(col("text")).as("text"))
+      Dedup.repeatedNgrams(planted, "doc_id", "text", n = 5, minDocs = 2)
+        .orderBy("doc_id")
+    }),
+
     // Count-Min frequency sketch: corpus token counters, DELIBERATELY
     // narrow (4 x 64 buckets vs a ~80-token vocabulary) so buckets
     // collide and the min-over-rows selection is actually exercised;
@@ -1859,6 +1872,25 @@ object SparkEntry {
        """generate_subscripts(generate_series(1, greatest(len(l) - 8, 1), 24), 1) - 1 AS chunk_id FROM t) """ +
        """SELECT doc_id, chunk_id::BIGINT AS chunk_id, array_to_string(l[s:s+31], ' ') AS chunk_text, """ +
        """least(len(l) - s + 1, 32)::BIGINT AS n_tokens FROM st ORDER BY doc_id, chunk_id"""),
+
+    // distinct shingle-hashes per doc, doc-frequency, per-doc rollup —
+    // the same terms as the engine, shingle windows clamped at list end
+    "x_repeated_ngrams" ->
+      ("""WITH src AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 """ +
+       """THEN text || ' shared boilerplate sentence repeated across documents verbatim' """ +
+       """ELSE text END AS text FROM documents), """ +
+       """toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l FROM src), """ +
+       """sh AS (SELECT DISTINCT doc_id, """ +
+       s"""${h60sql("s")} AS h FROM (SELECT doc_id, """ +
+       """unnest(list_transform(generate_series(1, greatest(len(l) - 4, 1)), """ +
+       """i -> array_to_string(l[i:i+4], ' '))) AS s FROM toks) z), """ +
+       """fr AS (SELECT h, count(*) AS df FROM sh GROUP BY 1), """ +
+       """fin AS (SELECT s.doc_id, count(*) AS n_distinct, """ +
+       """SUM(CASE WHEN fr.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_repeated """ +
+       """FROM sh s JOIN fr USING (h) GROUP BY 1) """ +
+       """SELECT d.doc_id, COALESCE(fin.n_distinct, 0)::BIGINT AS n_distinct, """ +
+       """COALESCE(fin.n_repeated, 0)::BIGINT AS n_repeated """ +
+       """FROM documents d LEFT JOIN fin USING (doc_id) ORDER BY d.doc_id"""),
 
     "x_repetition" ->
       (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents), """ +

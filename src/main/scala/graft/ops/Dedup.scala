@@ -415,6 +415,48 @@ object Dedup {
         coalesce(col("n_lines"), lit(0L)).as("n_lines"))
   }
 
+  /** Cross-document repeated n-gram stats — the exact-substring dedup
+    * SIGNAL (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL'22: substrings repeated across training
+    * documents are memorization fuel; reference has no analog — this is
+    * the n-gram generalization of [[corpusLineDedup]] to spans that
+    * cross line boundaries). Per document: the number of DISTINCT
+    * n-token shingles, and how many of them occur in at least `minDocs`
+    * distinct documents. Filtering/stripping policy is the caller's
+    * (e.g. drop documents whose repeated fraction is high, or route
+    * them to [[stripBoilerplate]]).
+    *
+    * Scale shape: documents explode to their distinct 8-byte shingle
+    * hashes ([[graft.functions.native.shingle_hash60]] — one fused
+    * kernel pass per doc, never shingle STRINGS); doc-frequency is a
+    * window count over the hash partitioning, and the per-doc rollup is
+    * the one id-keyed aggregation the output requires. Two hash-only
+    * shuffles total, both partial-aggregated map-side; nothing textual
+    * crosses the wire. NULL-text documents yield (0, 0) like empty
+    * ones: no shingles, nothing repeated.
+    *
+    * Output: (`idCol`, `n_distinct`, `n_repeated`), one row per input
+    * document. */
+  def repeatedNgrams(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
+    // distinct-per-doc by kernel contract (shingle_hash60 is sorted set
+    // semantics), so the window count IS the document frequency
+    val sh = df.select(col(idCol),
+      explode(graft.functions.native.shingle_hash60(
+        TextStats.tokens(col(textCol)), n)).as("_h"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_h")
+    val agg = sh.withColumn("_df", count(lit(1)).over(w))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_distinct"),
+        count(when(col("_df") >= minDocs, lit(1))).as("n_repeated"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
+  }
+
   /** 60-bit SimHash over the token bag — per-row expressions: for each bit
     * j, sum ±1 over token hashes; bit j of the result is the sign.
     * One `aggregate` pass with a 60-counter array accumulator, so each

@@ -468,6 +468,30 @@ class OpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("duplicate cell"), e2.getMessage)
   }
 
+  test("repeatedNgrams: planted cross-doc spans counted, unique docs zero, null text, minDocs threshold") {
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 toks -> 2 shared 5-grams
+    val docs = Seq(
+      (1L, s"unique one $shared"),
+      (2L, s"other text entirely $shared"),
+      (3L, s"third copy here $shared"),
+      (4L, "completely unrelated content with no overlap at all"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    def run(minDocs: Int) = Dedup.repeatedNgrams(docs, "doc_id", "text", 5, minDocs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val r2 = run(2)
+    // 6-token shared suffix -> windows fully inside it: positions 0..1 of
+    // the suffix = 2 shared 5-grams per carrier doc
+    assert(Seq(1L, 2L, 3L).forall(id => r2(id)._2 == 2), r2.toString)
+    assert(r2(4L)._2 == 0 && r2(4L)._1 > 0)
+    assert(r2(5L) == (0L, 0L)) // null text: no shingles at all
+    // the threshold is DISTINCT docs: all three carriers share the grams,
+    // so minDocs=3 still counts them, minDocs=4 does not (via a 4th doc)
+    assert(Seq(1L, 2L, 3L).forall(id => run(3)(id)._2 == 2))
+    assert(Seq(1L, 2L, 3L).forall(id => run(4)(id)._2 == 0))
+    intercept[IllegalArgumentException] { Dedup.repeatedNgrams(docs, "doc_id", "text", 5, 1) }
+    intercept[IllegalArgumentException] { Dedup.repeatedNgrams(docs, "doc_id", "text", 0) }
+  }
+
   test("heavyHitters: exactly the HAVING set under forced collisions; persisted-sketch path; boundary") {
     // skewed corpus: 3 planted heavies over a long rare tail, with the
     // sketch narrow enough (2 x 4 buckets vs ~103 distinct tokens) that
