@@ -928,6 +928,17 @@ object SparkEntry {
           col("keep").cast(LongType).as("keep"))
         .orderBy("doc_id")),
 
+    // retention POLICY over the same clusters: keep the LONGEST member
+    // (token count) instead of the min id — the planted " zzz" variants
+    // are one token longer than their sources, so the kept set visibly
+    // differs from x_neardup_groups' keep-min labels
+    "x_dedup_keep_best" -> ((s, d) =>
+      Dedup.nearDupKeepBest(plantedDocs(s, d), "doc_id", "text",
+          size(TextStats.tokens(col("text"))).cast(LongType), 3, 32, 8, 0.5)
+        .select(col("doc_id"), col("cluster"), col("score"),
+          col("keep").cast(LongType).as("keep"))
+        .orderBy("doc_id")),
+
     // 60-bit SimHash fingerprints
     "x_dedup_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d).filter(col("doc_id") < 300), "doc_id", "text")
@@ -1613,6 +1624,23 @@ object SparkEntry {
        """SELECT d.doc_id, COALESCE(lab.cluster, d.doc_id) AS cluster, """ +
        """CAST(CASE WHEN COALESCE(lab.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep """ +
        """FROM docs2 d LEFT JOIN lab ON lab.id = d.doc_id ORDER BY d.doc_id"""),
+
+    // keep-best = the same reachability labels + token-count score +
+    // per-cluster argmax (row_number over score desc, id)
+    "x_dedup_keep_best" ->
+      (s"""WITH RECURSIVE $minhashLshCtes, """ +
+       """pairs AS (SELECT id1, id2 FROM agree WHERE est >= 0.5), """ +
+       """edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2, id1 FROM pairs), """ +
+       """verts AS (SELECT DISTINCT src AS id FROM edges), """ +
+       """reach(id, r) AS (SELECT id, id FROM verts """ +
+       """UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id), """ +
+       """lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id), """ +
+       """scored AS (SELECT d.doc_id, COALESCE(lab.cluster, d.doc_id) AS cluster, """ +
+       """len(string_split_regex(lower(d.text), '\s+'))::BIGINT AS score """ +
+       """FROM docs2 d LEFT JOIN lab ON lab.id = d.doc_id), """ +
+       """rn AS (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) AS rn FROM scored) """ +
+       """SELECT doc_id, cluster, score, CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep """ +
+       """FROM rn ORDER BY doc_id"""),
 
     // streaming windows == batch buckets (same SQL as x_tumbling_window)
     "x_stream_window" ->

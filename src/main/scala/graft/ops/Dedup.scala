@@ -336,6 +336,36 @@ object Dedup {
       embeddingNearDup(df, idCol, vecCol, planes, minCosine, dim)
         .select(col("id1"), col("id2")))
 
+  /** Retention POLICY composed over [[nearDupGroups]]: keep the
+    * best-scoring member of each near-dup cluster instead of the min-id
+    * one — the production dedup policy ("of these near-identical
+    * documents, retain the longest / highest-quality copy, drop the
+    * rest"). `score` is any deterministic per-document expression over
+    * `df`'s columns (token count, [[TextStats.quality]]'s score, ...);
+    * it must be non-null — a NULL score would order engine-dependently.
+    * Ties break to the smallest id, so the result is total.
+    *
+    * Scale: [[nearDupGroups]]' shape (collision-bounded LSH pairs,
+    * O(log diameter) clustering, id-only labeling) plus ONE
+    * cluster-keyed window for the argmax — near-dup clusters are small
+    * by nature, so the window partitions are tiny; scores are computed
+    * per-row in the scan, never shuffled with text.
+    *
+    * Output: (`idCol`, `cluster`, `score`, `keep`), one row per doc. */
+  def nearDupKeepBest(df: DataFrame, idCol: String, textCol: String,
+                      score: Column, n: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8, minEstJaccard: Double = 0.5): DataFrame = {
+    val groups = nearDupGroups(df, idCol, textCol, n, numHashes, bands,
+      minEstJaccard).select(col(idCol), col("cluster"))
+    val scored = df.select(col(idCol).cast(LongType).as(idCol),
+      score.as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("score").desc, col(idCol))
+    groups.join(scored, Seq(idCol))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster"), col("score"), col("keep"))
+  }
+
   /** Shared labeling step of the `*Groups` entry points: connected
     * components over the pair relation, then every input id labeled with
     * its group's minimum id (`cluster`; its own id for singletons) and

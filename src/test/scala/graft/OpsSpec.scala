@@ -468,6 +468,33 @@ class OpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("duplicate cell"), e2.getMessage)
   }
 
+  test("nearDupKeepBest: longest member kept per cluster, ties to min id, singletons keep") {
+    import org.apache.spark.sql.types.LongType
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),                       // cluster with 2, 3
+      (2L, base + " extended"),         // longest -> kept
+      (3L, base),                       // same length as 1 -> loses to it
+      (10L, "a completely different document about storage engines and parquet files"),
+      (11L, "a completely different document about storage engines and parquet files"),
+      (20L, "singleton text that resembles nothing else in this tiny corpus at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupKeepBest(docs, "doc_id", "text",
+        size(split(lower($"text"), "\\s+")).cast(LongType),
+        n = 3, numHashes = 32, bands = 8, minEstJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.size == 6)
+    // {1,2,3} cluster to min id 1; the LONGER doc 2 is kept, not doc 1
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L)
+    assert(out(2L)._3 && !out(1L)._3 && !out(3L)._3)
+    // exact dups {10,11}: tie on score -> smaller id kept
+    assert(out(10L)._3 && !out(11L)._3 && out(11L)._1 == 10L)
+    // singleton keeps itself
+    assert(out(20L)._3 && out(20L)._1 == 20L)
+    // exactly one keeper per cluster
+    assert(out.values.groupBy(_._1).forall(_._2.count(_._3) == 1))
+  }
+
   test("repeatedNgrams: planted cross-doc spans counted, unique docs zero, null text, minDocs threshold") {
     val shared = "alpha beta gamma delta epsilon zeta" // 6 toks -> 2 shared 5-grams
     val docs = Seq(

@@ -188,6 +188,17 @@ object ScaleDrive {
     assert(nSimPairs5 >= nSimPairs,
       s"h<=5 pairs must be a superset of h<=3 pairs: $nSimPairs5 vs $nSimPairs")
 
+    // cross-doc repeated n-grams over the same corpus: hash-only
+    // shuffles (distinct shingle hashes -> window doc-freq -> per-doc
+    // rollup); every planted exact-dup doc AND its source must show
+    // repeated shingles
+    val nRep = time("repeatedNgrams(n=5) over 360k docs") {
+      graft.ops.Dedup.repeatedNgrams(corpusSim, "doc_id", "text", 5, 2)
+        .filter(col("n_repeated") > 0).count()
+    }
+    println(s"  docs with cross-doc repeated 5-grams=$nRep (>= 60k from 30k dup pairs)")
+    assert(nRep >= 60000, s"expected >= 60k docs with repeated shingles, got $nRep")
+
     // bottom-k sampling over 10M ids: TakeOrdered (per-partition heaps),
     // no full sort/shuffle
     val ids10m = spark.range(10000000).select(col("id"))
