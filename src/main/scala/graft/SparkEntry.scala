@@ -735,6 +735,25 @@ object SparkEntry {
   private def embs(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
   private def events(s: SparkSession, d: String) = s.read.parquet(s"$d/events.parquet")
 
+  /** A single far-future event over the events-fixture schema (Long-nano
+    * `ts`): pushes the final watermark past every user's inactivity
+    * deadline so timeout-emitted state drains under AvailableNow. The
+    * invariant lives HERE, once: the 90-day advance must exceed the
+    * userSummaries gap (30 d) + watermark delay (1 h) used by the
+    * `x_stream_user_summary` gate and the StreamingSpec mirror. The
+    * sentinel's own user never emits (and is filtered by user_id < 0
+    * regardless). */
+  private[graft] def sentinelEvent(ev: DataFrame): DataFrame = {
+    val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+    ev.limit(1).select(
+      lit(-1L).as("event_id"),
+      lit(maxTs + 90L * 86400L * 1000000000L).as("ts"),
+      lit(-1L).as("user_id"),
+      lit("__sentinel").as("event_type"),
+      lit(0.0).as("value"),
+      lit(null).cast(StringType).as("props"))
+  }
+
   /** Tokenizer fragments shared by the DuckDB oracles. */
   private val TOK = """string_split_regex(lower(text), '\s+')"""
   /** DuckDB fragment: parse the top 15 hex digits of a hex string. */
@@ -812,10 +831,10 @@ object SparkEntry {
     }
   }
 
-  /** Run a complete-mode streaming query into a throwaway memory sink,
-    * localize the (small, aggregated) result, and drop the sink's temp
-    * view — repeated gate invocations must not accumulate catalog
-    * entries or pinned sink state. */
+  /** Run a streaming query (complete OR append mode — the caller sets
+    * it) into a throwaway memory sink, localize the (small, aggregated)
+    * result, and drop the sink's temp view — repeated gate invocations
+    * must not accumulate catalog entries or pinned sink state. */
   private def collectMemorySink(s: SparkSession,
                                 start: String => org.apache.spark.sql.streaming.StreamingQuery,
                                 order: Seq[String]): DataFrame = {
@@ -1380,15 +1399,7 @@ object SparkEntry {
     // min / max) makes the emitted set EXACTLY the batch GROUP BY
     "x_stream_user_summary" -> ((s, d) => {
       val ev = events(s, d)
-      val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
-      val sentinel = ev.limit(1).select(
-        lit(-1L).as("event_id"),
-        lit(maxTs + 90L * 86400L * 1000000000L).as("ts"),
-        lit(-1L).as("user_id"),
-        lit("__sentinel").as("event_type"),
-        lit(0.0).as("value"),
-        lit(null).cast(StringType).as("props"))
-      withStagedStream(s, ev.unionByName(sentinel)) { (src, ckpt) =>
+      withStagedStream(s, ev.unionByName(sentinelEvent(ev))) { (src, ckpt) =>
         collectMemorySink(s, name =>
           graft.streaming.EventStream.userSummaries(src, "30 days", "1 hour")
             .filter(col("user_id") >= 0)
@@ -1457,6 +1468,18 @@ object SparkEntry {
      """agree AS (SELECT c.id1, c.id2, SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS est """ +
      """FROM cand c JOIN sig sa ON sa.doc_id = c.id1 JOIN sig sb ON sb.doc_id = c.id2 AND sa.i = sb.i """ +
      """GROUP BY 1, 2)""")
+
+  /** Recursive reachability over the LSH candidate pairs (builds on
+    * [[minhashLshCtes]]' `agree`): kept pairs → undirected edges →
+    * per-vertex reachable set `reach(id, r)`. ONE definition shared by
+    * the clustering / grouping / keep-best oracles so the three gates
+    * cannot silently diverge. */
+  private def reachCtes: String =
+    ("""pairs AS (SELECT id1, id2 FROM agree WHERE est >= 0.5), """ +
+     """edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2, id1 FROM pairs), """ +
+     """verts AS (SELECT DISTINCT src AS id FROM edges), """ +
+     """reach(id, r) AS (SELECT id, id FROM verts """ +
+     """UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)""")
 
   /** Shared CTE chain: spherical k-means over `embeddings`, 1 Lloyd
     * iteration (seed = 8 smallest-id vectors) — yields `el` (exploded
@@ -1547,12 +1570,7 @@ object SparkEntry {
     // clustering = recursive reachability over the same LSH pair graph;
     // cluster label = min doc id reachable (mirrors hash-min convergence)
     "x_dedup_cluster" ->
-      (s"""WITH RECURSIVE $minhashLshCtes, """ +
-       """pairs AS (SELECT id1, id2 FROM agree WHERE est >= 0.5), """ +
-       """edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2, id1 FROM pairs), """ +
-       """verts AS (SELECT DISTINCT src AS id FROM edges), """ +
-       """reach(id, r) AS (SELECT id, id FROM verts """ +
-       """UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id) """ +
+      (s"""WITH RECURSIVE $minhashLshCtes, $reachCtes """ +
        """SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY doc_id"""),
 
     // cross-corpus LSH: one combined side-tagged corpus through the same
@@ -1614,12 +1632,7 @@ object SparkEntry {
     // composed grouping = the clustering reachability labels LEFT-joined
     // back onto the whole planted corpus; singletons label themselves
     "x_neardup_groups" ->
-      (s"""WITH RECURSIVE $minhashLshCtes, """ +
-       """pairs AS (SELECT id1, id2 FROM agree WHERE est >= 0.5), """ +
-       """edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2, id1 FROM pairs), """ +
-       """verts AS (SELECT DISTINCT src AS id FROM edges), """ +
-       """reach(id, r) AS (SELECT id, id FROM verts """ +
-       """UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id), """ +
+      (s"""WITH RECURSIVE $minhashLshCtes, $reachCtes, """ +
        """lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) """ +
        """SELECT d.doc_id, COALESCE(lab.cluster, d.doc_id) AS cluster, """ +
        """CAST(CASE WHEN COALESCE(lab.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep """ +
@@ -1628,12 +1641,7 @@ object SparkEntry {
     // keep-best = the same reachability labels + token-count score +
     // per-cluster argmax (row_number over score desc, id)
     "x_dedup_keep_best" ->
-      (s"""WITH RECURSIVE $minhashLshCtes, """ +
-       """pairs AS (SELECT id1, id2 FROM agree WHERE est >= 0.5), """ +
-       """edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2, id1 FROM pairs), """ +
-       """verts AS (SELECT DISTINCT src AS id FROM edges), """ +
-       """reach(id, r) AS (SELECT id, id FROM verts """ +
-       """UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id), """ +
+      (s"""WITH RECURSIVE $minhashLshCtes, $reachCtes, """ +
        """lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id), """ +
        """scored AS (SELECT d.doc_id, COALESCE(lab.cluster, d.doc_id) AS cluster, """ +
        """len(string_split_regex(lower(d.text), '\s+'))::BIGINT AS score """ +

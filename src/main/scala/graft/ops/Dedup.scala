@@ -449,21 +449,27 @@ object Dedup {
     * SIGNAL (Lee et al., "Deduplicating Training Data Makes Language
     * Models Better", ACL'22: substrings repeated across training
     * documents are memorization fuel; reference has no analog — this is
-    * the n-gram generalization of [[corpusLineDedup]] to spans that
-    * cross line boundaries). Per document: the number of DISTINCT
+    * the n-gram generalization of [[stripBoilerplate]]'s corpus line
+    * dedup to spans that cross line boundaries). Per document: the number of DISTINCT
     * n-token shingles, and how many of them occur in at least `minDocs`
     * distinct documents. Filtering/stripping policy is the caller's
     * (e.g. drop documents whose repeated fraction is high, or route
     * them to [[stripBoilerplate]]).
     *
-    * Scale shape: documents explode to their distinct 8-byte shingle
-    * hashes ([[graft.functions.native.shingle_hash60]] — one fused
-    * kernel pass per doc, never shingle STRINGS); doc-frequency is a
-    * window count over the hash partitioning, and the per-doc rollup is
-    * the one id-keyed aggregation the output requires. Two hash-only
-    * shuffles total, both partial-aggregated map-side; nothing textual
-    * crosses the wire. NULL-text documents yield (0, 0) like empty
-    * ones: no shingles, nothing repeated.
+    * Scale shape: `n_distinct` is per-row (the size of the fused
+    * [[graft.functions.native.shingle_hash60]] kernel's distinct-hash
+    * array — never shingle STRINGS, no shuffle at all). Doc-frequency
+    * is a `groupBy` over the 8-byte hashes — partial-aggregated
+    * map-side, unlike a window count, whose single unsplittable
+    * partition per hash would make exactly the high-frequency
+    * boilerplate shingles this operator hunts into straggler tasks —
+    * and only hashes CLEARING `minDocs` survive into the semi-join that
+    * counts repeats per doc (AQE can skew-split a hot join key; it
+    * cannot split a window partition). NULL-text documents yield
+    * (0, 0) like empty ones: no shingles, nothing repeated. The
+    * exploded hashes feed the frequency count and the semi-join and are
+    * deliberately recomputed rather than cached — the same trade-off as
+    * [[stripBoilerplate]].
     *
     * Output: (`idCol`, `n_distinct`, `n_repeated`), one row per input
     * document. */
@@ -472,18 +478,20 @@ object Dedup {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
     // distinct-per-doc by kernel contract (shingle_hash60 is sorted set
-    // semantics), so the window count IS the document frequency
-    val sh = df.select(col(idCol),
-      explode(graft.functions.native.shingle_hash60(
-        TextStats.tokens(col(textCol)), n)).as("_h"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("_h")
-    val agg = sh.withColumn("_df", count(lit(1)).over(w))
-      .groupBy(col(idCol)).agg(
-        count(lit(1)).as("n_distinct"),
-        count(when(col("_df") >= minDocs, lit(1))).as("n_repeated"))
-    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+    // semantics), so counting (doc, hash) rows per hash IS doc-frequency
+    def hs = graft.functions.native.shingle_hash60(
+      TextStats.tokens(col(textCol)), n)
+    def sh = df.select(col(idCol), explode(hs).as("_h"))
+    val repeatedHashes = sh.groupBy("_h")
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs).select("_h")
+    val repPerDoc = sh.join(repeatedHashes, Seq("_h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_repeated"))
+    df.select(col(idCol), size(hs).cast(LongType).as("_nd"))
+      .join(repPerDoc, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        // size(NULL array) is NULL (not -1) under Spark 3+ defaults
+        coalesce(col("_nd"), lit(0L)).as("n_distinct"),
         coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
   }
 

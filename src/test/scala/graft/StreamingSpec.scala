@@ -116,19 +116,9 @@ class StreamingSpec extends AnyFunSuite {
     val events = spark.read.parquet(eventsPath)
     val in = TestSpark.tmpDir("streamu-in")
     val ckpt = TestSpark.tmpDir("streamu-ckpt")
-    // sentinel 90 event-time days past the last real event: the final
-    // watermark lands beyond every user's maxTs + 30d inactivity
-    // deadline, so EVERY real user's state times out and emits before
-    // the AvailableNow query drains
-    val maxTs = events.agg(max(col("ts"))).head().getLong(0)
-    val sentinel = events.limit(1).select(
-      lit(-1L).as("event_id"),
-      lit(maxTs + 90L * 86400L * 1000000000L).as("ts"),
-      lit(-1L).as("user_id"),
-      lit("__sentinel").as("event_type"),
-      lit(0.0).as("value"),
-      lit(null).cast("string").as("props"))
-    val staged = events.unionByName(sentinel)
+    // shared sentinel construction (SparkEntry.sentinelEvent carries the
+    // 90d > gap + watermark invariant, once)
+    val staged = events.unionByName(SparkEntry.sentinelEvent(events))
     staged.write.mode("append").parquet(in)
     val stream = spark.readStream.schema(staged.schema).parquet(in)
     val q = EventStream.userSummaries(stream, "30 days", "1 hour")
