@@ -369,6 +369,27 @@ object Drive {
       s"cm_estimate prefilter missing from the plan:\n$hhPlan")
     println(s"heavyHitters -> ${hhExact.size} tokens >= 50, exact-equal to HAVING: OK")
 
+    val rep = graft.ops.Dedup.repeatedNgrams(docsAll, "doc_id", "text", 5, 2)
+    val repN = rep.filter(col("n_repeated") > 0).count()
+    require(rep.count() == docsAll.count(), "one row per input document")
+    println(s"repeatedNgrams -> $repN/${docsAll.count()} docs share a 5-gram with another doc")
+
+    val kb = graft.ops.Dedup.nearDupKeepBest(
+      docsAll.select("doc_id", "text").unionByName(
+        docsAll.filter(col("doc_id") < 3)
+          .select((col("doc_id") + 7000L).as("doc_id"),
+            concat(col("text"), lit(" extra trailing tokens")).as("text"))),
+      "doc_id", "text",
+      size(split(lower(col("text")), "\\s+")).cast("long"))
+    val kbRows = kb.collect()
+    require(kbRows.count(_.getBoolean(3)) == kbRows.map(_.getLong(1)).distinct.length,
+      "exactly one keeper per cluster")
+    // the 3 planted LONGER variants must displace their shorter sources
+    val longer = kbRows.filter(r => r.getLong(0) >= 7000L && r.getLong(0) < 7003L)
+    require(longer.length == 3 && longer.forall(_.getBoolean(3)),
+      "longer planted variants must be the keepers")
+    println(s"nearDupKeepBest -> ${kbRows.count(_.getBoolean(3))} keepers; 3/3 planted longer variants kept")
+
     spark.stop()
     println("== drive done")
   }
