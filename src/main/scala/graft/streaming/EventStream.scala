@@ -128,7 +128,15 @@ object EventStream {
     * the `x_stream_user_summary` gate exact: once every user times out,
     * the output IS the batch `GROUP BY user_id` (decimal-exact sum, as
     * in [[windowedCounts]]). Null values are skipped by the sum and
-    * counted by `n_events`, mirroring SQL aggregation. */
+    * counted by `n_events`, mirroring SQL aggregation.
+    *
+    * Standard watermark semantics apply: input rows older than the
+    * current watermark are DROPPED before reaching the state function
+    * (as in every watermarked stateful operator) — size `watermark` to
+    * the stream's real disorder. Batch-equality therefore holds when
+    * cross-batch arrival respects the watermark (StreamingSpec
+    * exercises an event-time-ordered multi-batch run; its sibling
+    * comment documents the adversarial case). */
   def userSummaries(stream: DataFrame, gap: String = "30 days",
                     watermark: String = "1 hour"): DataFrame = {
     val spark = stream.sparkSession

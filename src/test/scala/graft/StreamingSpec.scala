@@ -112,6 +112,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("doc_id", "text", "event_time")) // digest dropped
   }
 
+  // shared mirror of userSummaries' contract: the batch GROUP BY with
+  // the same decimal-exact sum, as a comparable row set
+  private def userSummaryBatch(events: org.apache.spark.sql.DataFrame) =
+    events.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"),
+        min(expr("ts div 1000")).as("first_us"),
+        max(expr("ts div 1000")).as("last_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+  private def collectSummaries(table: String) = spark.table(table)
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getLong(3), r.getLong(4))).toSet
+
   test("custom-state user summaries (flatMapGroupsWithState) == batch GROUP BY after timeout") {
     val events = spark.read.parquet(eventsPath)
     val in = TestSpark.tmpDir("streamu-in")
@@ -128,20 +144,52 @@ class StreamingSpec extends AnyFunSuite {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val streamed = spark.table("usum")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-        r.getLong(3), r.getLong(4))).toSet
-    val batch = events.groupBy("user_id").agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .cast("double").as("sum_value"),
-        min(expr("ts div 1000")).as("first_us"),
-        max(expr("ts div 1000")).as("last_us"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-        r.getLong(3), r.getLong(4))).toSet
+    val streamed = collectSummaries("usum")
+    val batch = userSummaryBatch(events)
     assert(streamed == batch,
       s"streamed ${streamed.size} vs batch ${batch.size}; " +
         s"diff=${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
     assert(streamed.nonEmpty)
+  }
+
+  test("custom-state summaries identical under forced multi-batch processing") {
+    // the order-independence claim, EXERCISED across batches: the month
+    // of events is staged as 4 event-TIME slices, one file each with
+    // strictly increasing mtime, consumed one per micro-batch
+    // (maxFilesPerTrigger=1; the file source processes oldest first).
+    // In-order slices are the operator's contract — a RANDOM 8-way
+    // split here loses most rows instead, because each batch advances
+    // the watermark past the next batch's older events and watermarked
+    // stateful operators DROP late input (verified; that is standard
+    // semantics, documented on userSummaries, not a bug this test
+    // should assert against.)
+    val events = spark.read.parquet(eventsPath)
+    val in = TestSpark.tmpDir("streamm-in")
+    val ckpt = TestSpark.tmpDir("streamm-ckpt")
+    val (tsMin, tsMax) = {
+      val r = events.agg(min(col("ts")), max(col("ts"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val sliceW = (tsMax - tsMin) / 4 + 1
+    (0 until 4).foreach { i =>
+      events.filter(col("ts") >= tsMin + i * sliceW &&
+          col("ts") < tsMin + (i + 1) * sliceW)
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(1100) // mtime orders slice i before slice i+1
+    }
+    SparkEntry.sentinelEvent(events).write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = EventStream.userSummaries(stream, "30 days", "1 hour")
+      .filter(col("user_id") >= 0)
+      .writeStream.outputMode("append").format("memory").queryName("usumm")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = collectSummaries("usumm")
+    val batch = userSummaryBatch(events)
+    assert(streamed == batch,
+      s"multi-batch streamed ${streamed.size} vs batch ${batch.size}")
   }
 }
