@@ -795,6 +795,19 @@ object SparkEntry {
     }
     root
   }
+  private val textIndexes = new ConcurrentHashMap[String, String]()
+  /** Build-once text index per sf dir (same per-process root + raw-dir
+    * md5 discipline as [[ivfIndex]]). */
+  private def textIndex(s: SparkSession, d: String): String =
+    textIndexes.computeIfAbsent(d, { _ =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val path = s"$ivfRoot/ti_${h}_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.ops.TextIndex.buildTextIndex(docs(s, d), "doc_id", "text", path,
+        nBuckets = 64)
+      path
+    })
+
   private def ivfIndex(s: SparkSession, d: String): (String, Seq[Seq[Double]]) =
     ivfIndexes.computeIfAbsent(d, { _ =>
       // per-PROCESS root (no cross-JVM build/probe race on a shared path)
@@ -1056,6 +1069,18 @@ object SparkEntry {
     // ONCE into a list-partitioned parquet index; the query reads only
     // the 3 probed list directories (partition pruning) — the
     // build-once/probe-many shape, returning the identical top-k
+    // persisted inverted TEXT index: build once (hive-partitioned by
+    // token bucket), probe through the freshness contract reading only
+    // the query tokens' buckets; integer overlap scoring so the oracle
+    // reproduces the ranking exactly
+    "x_text_index" -> ((s, d) => {
+      val path = textIndex(s, d)
+      graft.ops.TextIndex.searchIndex(s, path,
+          "the data quick join hash never-in-corpus", 10,
+          verifyAgainst = (docs(s, d), "doc_id"))
+        .select(col("id").as("doc_id"), col("overlap"))
+    }),
+
     "x_knn_ivf_indexed" -> ((s, d) => {
       val q = embs(s, d).filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0)
@@ -1795,6 +1820,15 @@ object SparkEntry {
     // the persisted index materializes the identical assignment, so the
     // probed top-k must equal the assign-at-query-time result exactly
     "x_knn_ivf_indexed" -> ivfTrainedOracle,
+
+    // overlap = distinct shared tokens between the fixed query and each
+    // document; the index layout is invisible to the result
+    "x_text_index" ->
+      (s"""WITH q AS (SELECT unnest(['the','data','quick','join','hash','never-in-corpus']) AS token), """ +
+       s"""post AS (SELECT DISTINCT doc_id, unnest($TOK) AS token FROM documents) """ +
+       """SELECT p.doc_id, count(*)::BIGINT AS overlap """ +
+       """FROM post p JOIN q USING (token) WHERE p.token <> '' """ +
+       """GROUP BY 1 ORDER BY overlap DESC, p.doc_id LIMIT 10"""),
 
     "x_lang_id" ->
       (s"""WITH c AS (SELECT doc_id, lang, """ +

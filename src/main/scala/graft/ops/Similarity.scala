@@ -362,14 +362,20 @@ object Similarity {
     * Throws `IllegalStateException` on mismatch — a probe against an
     * index whose corpus has since been appended to / deleted from would
     * silently serve stale neighbors. Rebuilding clears it. */
+  /** The (row count, id-hash-sum) stamp of a live source table — the
+    * SAME stampExprs the builds observe, as a column-pruned id-only
+    * scan. Shared by the IVF and text-index freshness contracts so the
+    * two sides of either comparison can never drift apart. */
+  private[ops] def sourceStamp(df: DataFrame, idCol: String): IvfStamp = {
+    val r = df.select(col(idCol).cast(LongType).as("id"))
+      .agg(stampExprs.head, stampExprs.tail: _*).head()
+    IvfStamp(r.getLong(0), r.getDecimal(1))
+  }
+
   def requireIvfFresh(spark: org.apache.spark.sql.SparkSession, path: String,
                       df: DataFrame, idCol: String): Unit = {
     val built = loadIvfStamp(spark, path)
-    // the SAME stampExprs the build observes — the two sides of the
-    // freshness comparison must never drift apart
-    val r = df.select(col(idCol).cast(LongType).as("id"))
-      .agg(stampExprs.head, stampExprs.tail: _*).head()
-    val live = IvfStamp(r.getLong(0), r.getDecimal(1))
+    val live = sourceStamp(df, idCol)
     if (live.nRows != built.nRows || live.idHashSum.compareTo(built.idHashSum) != 0)
       throw new IllegalStateException(
         s"IVF index at $path is STALE: built over ${built.nRows} rows " +

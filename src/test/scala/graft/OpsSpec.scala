@@ -468,6 +468,49 @@ class OpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("duplicate cell"), e2.getMessage)
   }
 
+  test("text index: overlap ranking, partition-pruned probe, freshness contract") {
+    import graft.ops.TextIndex
+    val docs = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "data data data everywhere"),            // dup tokens count ONCE
+      (3L, "spark reads parquet data fast"),
+      (4L, "unrelated text about nothing"),
+      (5L, "fast spark data shuffles")).toDF("doc_id", "text")
+    val path = TestSpark.tmpDir("text-index") + "/ti"
+    TextIndex.buildTextIndex(docs, "doc_id", "text", path, nBuckets = 8)
+    val res = TextIndex.searchIndex(spark, path, "spark data fast", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // overlaps: 3,5 -> 3; 1 -> 2; 2 -> 1; 4 -> 0 (absent)
+    assert(res.toSeq == Seq(3L -> 3L, 5L -> 3L, 1L -> 2L, 2L -> 1L), res.toSeq)
+    // query token repetition and case are normalized away
+    val resDup = TextIndex.searchIndex(spark, path, "SPARK spark Data data FAST", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(resDup.toSeq == res.toSeq)
+    // the probe is partition-pruned: only the query tokens' buckets are
+    // listed (PartitionFilters on bucket), and k cuts deterministically
+    val plan = TextIndex.searchIndex(spark, path, "spark", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    assert(TextIndex.searchIndex(spark, path, "spark data fast", 2)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 5L))
+    // freshness: verified probe passes on the build corpus, append trips
+    val ok = TextIndex.searchIndex(spark, path, "spark", 10,
+      verifyAgainst = (docs, "doc_id"))
+    assert(ok.count() > 0)
+    val churned = docs.unionByName(Seq((99L, "extra doc")).toDF("doc_id", "text"))
+    val e = intercept[IllegalStateException] {
+      TextIndex.searchIndex(spark, path, "spark", 10,
+        verifyAgainst = (churned, "doc_id"))
+    }
+    assert(e.getMessage.contains("STALE"))
+    // no-token queries and bad params refuse loudly
+    intercept[IllegalArgumentException] { TextIndex.searchIndex(spark, path, "   ", 10) }
+    intercept[IllegalArgumentException] { TextIndex.searchIndex(spark, path, "spark", 0) }
+    intercept[IllegalArgumentException] {
+      TextIndex.buildTextIndex(docs, "doc_id", "text", path, nBuckets = 0)
+    }
+  }
+
   test("nearDupKeepBest: longest member kept per cluster, ties to min id, singletons keep") {
     import org.apache.spark.sql.types.LongType
     val base = "the quick brown fox jumps over the lazy dog again and again"

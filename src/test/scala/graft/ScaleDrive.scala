@@ -207,6 +207,21 @@ object ScaleDrive {
     }
     assert(bk.length == 100)
 
+    // persisted inverted text index over the 360k-doc corpus: build is
+    // one distinct-postings shuffle; probes read ONLY the query tokens'
+    // bucket directories (PartitionFilters), so probe cost tracks
+    // matched postings, not corpus size
+    println("== persisted text index over 360k docs: build once, pruned probes")
+    val tiPath = java.nio.file.Files.createTempDirectory("scale-ti").toString + "/ti"
+    time("buildTextIndex (360k docs, 256 buckets)") {
+      graft.ops.TextIndex.buildTextIndex(corpusSim, "doc_id", "text", tiPath, 256)
+    }
+    val tiHits = time("searchIndex probe (3-token query)") {
+      graft.ops.TextIndex.searchIndex(spark, tiPath, "the data quick", 10).collect()
+    }
+    assert(tiHits.length == 10, s"expected 10 hits, got ${tiHits.length}")
+    assert(tiHits.map(_.getLong(1)).forall(o => o >= 1 && o <= 3))
+
     // Count-Min at volume: 10M tokens over 100k distinct values, width
     // 2^16 — ONE corpus pass whose shuffle moves at most depth×width
     // counter rows per partition; every estimate must then land inside
