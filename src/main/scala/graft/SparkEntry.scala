@@ -795,14 +795,22 @@ object SparkEntry {
     }
     root
   }
+  /** Per-process on-disk index path for sf dir `d`: the per-PROCESS
+    * root avoids cross-JVM build/probe races on a shared path, and the
+    * md5 of the RAW dir disambiguates (sanitization alone can map
+    * distinct sf dirs to the same name); the root is removed on JVM
+    * exit. Shared by the IVF and text indexes. */
+  private def indexPath(prefix: String, d: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"$ivfRoot/$prefix${h}_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+  }
+
   private val textIndexes = new ConcurrentHashMap[String, String]()
-  /** Build-once text index per sf dir (same per-process root + raw-dir
-    * md5 discipline as [[ivfIndex]]). */
+  /** Build-once text index per sf dir (same discipline as [[ivfIndex]]). */
   private def textIndex(s: SparkSession, d: String): String =
     textIndexes.computeIfAbsent(d, { _ =>
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val path = s"$ivfRoot/ti_${h}_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = indexPath("ti_", d)
       graft.ops.TextIndex.buildTextIndex(docs(s, d), "doc_id", "text", path,
         nBuckets = 64)
       path
@@ -810,12 +818,7 @@ object SparkEntry {
 
   private def ivfIndex(s: SparkSession, d: String): (String, Seq[Seq[Double]]) =
     ivfIndexes.computeIfAbsent(d, { _ =>
-      // per-PROCESS root (no cross-JVM build/probe race on a shared path)
-      // + md5 of the RAW dir (sanitization alone can map distinct sf dirs
-      // to the same name); the root is removed on JVM exit
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val path = s"$ivfRoot/${h}_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = indexPath("", d)
       val cb = graft.ops.Similarity.kmeansCodebook(
         embs(s, d), "vec_id", "embedding", k = 8, iters = 1)
       graft.ops.Similarity.buildIvfIndex(embs(s, d), "vec_id", "embedding", cb, path)
@@ -1065,10 +1068,6 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 6).as("score"), col("list"))
     }),
 
-    // PERSISTED IVF: the same trained codebook, but assignment is built
-    // ONCE into a list-partitioned parquet index; the query reads only
-    // the 3 probed list directories (partition pruning) — the
-    // build-once/probe-many shape, returning the identical top-k
     // persisted inverted TEXT index: build once (hive-partitioned by
     // token bucket), probe through the freshness contract reading only
     // the query tokens' buckets; integer overlap scoring so the oracle
@@ -1081,6 +1080,10 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("overlap"))
     }),
 
+    // PERSISTED IVF: the same trained codebook, but assignment is built
+    // ONCE into a list-partitioned parquet index; the query reads only
+    // the 3 probed list directories (partition pruning) — the
+    // build-once/probe-many shape, returning the identical top-k
     "x_knn_ivf_indexed" -> ((s, d) => {
       val q = embs(s, d).filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0)

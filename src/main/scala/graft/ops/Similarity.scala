@@ -300,7 +300,10 @@ object Similarity {
         nearestCentroid(col(vecCol), codebook, dyy).as("list"))
       .observe(obs, stampExprs.head, stampExprs.tail: _*)
       .repartition(col("list"))
-      .sortWithinPartitions(col("id"))
+      // list leads the sort: it satisfies the partitionBy writer's
+      // required ordering, so no second writer-side sort and the id
+      // order inside each list directory is guaranteed
+      .sortWithinPartitions(col("list"), col("id"))
       .write.partitionBy("list").mode("overwrite").parquet(path)
     val stamp = stampOf(obs.get)
     // the index is SELF-DESCRIBING: the codebook AND the build stamp ride
@@ -327,13 +330,13 @@ object Similarity {
     * scale (ANSI Long sum throws past 2^63). */
   final case class IvfStamp(nRows: Long, idHashSum: java.math.BigDecimal)
 
-  private def stampExprs: Seq[Column] = Seq(
+  private[ops] def stampExprs: Seq[Column] = Seq(
     count(lit(1)).as("n_rows"),
     coalesce(sum(TextStats.hash60(col("id").cast(StringType))
         .cast(DecimalType(38, 0))),
       lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))).as("id_hash_sum"))
 
-  private def stampOf(m: Map[String, Any]): IvfStamp =
+  private[ops] def stampOf(m: Map[String, Any]): IvfStamp =
     IvfStamp(m("n_rows").asInstanceOf[Long],
       m("id_hash_sum") match {
         case d: java.math.BigDecimal => d
@@ -356,12 +359,6 @@ object Similarity {
     IvfStamp(r.getLong(0), r.getDecimal(1))
   }
 
-  /** Freshness contract for build-once/probe-many: recompute the live
-    * source's stamp (a column-pruned count+sum scan — ids only, vectors
-    * never read) and compare it to the one persisted at build time.
-    * Throws `IllegalStateException` on mismatch — a probe against an
-    * index whose corpus has since been appended to / deleted from would
-    * silently serve stale neighbors. Rebuilding clears it. */
   /** The (row count, id-hash-sum) stamp of a live source table — the
     * SAME stampExprs the builds observe, as a column-pruned id-only
     * scan. Shared by the IVF and text-index freshness contracts so the
@@ -372,16 +369,28 @@ object Similarity {
     IvfStamp(r.getLong(0), r.getDecimal(1))
   }
 
+  /** Freshness contract for build-once/probe-many: recompute the live
+    * source's stamp (a column-pruned count+sum scan — ids only, vectors
+    * never read) and compare it to the one persisted at build time.
+    * Throws `IllegalStateException` on mismatch — a probe against an
+    * index whose corpus has since been appended to / deleted from would
+    * silently serve stale neighbors. Rebuilding clears it. */
   def requireIvfFresh(spark: org.apache.spark.sql.SparkSession, path: String,
-                      df: DataFrame, idCol: String): Unit = {
-    val built = loadIvfStamp(spark, path)
-    val live = sourceStamp(df, idCol)
-    if (live.nRows != built.nRows || live.idHashSum.compareTo(built.idHashSum) != 0)
+                      df: DataFrame, idCol: String): Unit =
+    requireStampFresh("IVF index", path, loadIvfStamp(spark, path),
+      sourceStamp(df, idCol), "buildIvfIndex")
+
+  /** The staleness comparison shared by every persisted-index freshness
+    * contract (IVF, text) — one message shape, one compare. */
+  private[ops] def requireStampFresh(kind: String, path: String,
+                                     built: IvfStamp, live: IvfStamp,
+                                     rebuild: String): Unit =
+    if (live.nRows != built.nRows ||
+        live.idHashSum.compareTo(built.idHashSum) != 0)
       throw new IllegalStateException(
-        s"IVF index at $path is STALE: built over ${built.nRows} rows " +
+        s"$kind at $path is STALE: built over ${built.nRows} rows " +
           s"(id hash sum ${built.idHashSum}) but the live table has " +
-          s"${live.nRows} (id hash sum ${live.idHashSum}); rebuild with buildIvfIndex")
-  }
+          s"${live.nRows} (id hash sum ${live.idHashSum}); rebuild with $rebuild")
 
   /** The codebook a [[buildIvfIndex]] index was built with, in list-id
     * order. */

@@ -42,16 +42,29 @@ object TextIndex {
     require(nBuckets >= 1 && nBuckets <= (1 << 16),
       s"nBuckets must be in [1, 65536], got $nBuckets")
     val spark = df.sparkSession
-    val postings = df.select(col(idCol).cast(LongType).as("id"),
-        explode(TextStats.tokens(col(textCol))).as("token"))
+    // the build stamp rides the write job itself (Observation on the
+    // source rows BEFORE the explode) so it describes exactly the
+    // snapshot the postings came from — a post-write re-scan could
+    // stamp a corpus that churned between write and stamp, and the
+    // freshness check would then pass against an index missing those
+    // rows (the buildIvfIndex discipline)
+    val obs = org.apache.spark.sql.Observation()
+    val postings = df
+      .select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
+      .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
+      .select(col("id"), explode(TextStats.tokens(col("text"))).as("token"))
       .filter(col("token").isNotNull && col("token") =!= "")
       .distinct()
       .withColumn("bucket",
         pmod(TextStats.hash60(col("token")), lit(nBuckets.toLong)))
+    // bucket leads the sort: it satisfies the partitionBy writer's
+    // required ordering, so the writer inserts NO second sort and the
+    // (token, id) order inside each bucket is guaranteed (a writer-side
+    // re-sort by bucket alone is not stable once spilled runs merge)
     postings.repartition(col("bucket"))
-      .sortWithinPartitions("token", "id")
+      .sortWithinPartitions("bucket", "token", "id")
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
-    val stamp = Similarity.sourceStamp(df, idCol)
+    val stamp = Similarity.stampOf(obs.get)
     // _meta INSIDE the tree (underscore paths are invisible to parquet
     // listing) — the index is self-describing at one path, the
     // _codebook discipline of the IVF index
@@ -64,11 +77,23 @@ object TextIndex {
 
   /** Query tokens, mirroring [[TextStats.tokens]] + the build's
     * non-empty filter + set semantics (each distinct token counts
-    * once). Locale.ROOT: query casing must not depend on the JVM's
-    * default locale where the corpus side used Spark's `lower`. */
+    * once). Lowercasing goes through `UTF8String.toLowerCase` — the
+    * EXACT routine Spark's `lower` ran on the corpus side — so query
+    * and index casing agree byte-for-byte under any JVM default locale
+    * (a `Locale.ROOT` String.toLowerCase would diverge from Spark's
+    * slow path on non-ASCII text under special-casing locales). */
   private[ops] def queryTokens(query: String): Seq[String] =
-    query.toLowerCase(java.util.Locale.ROOT)
+    org.apache.spark.unsafe.types.UTF8String.fromString(query)
+      .toLowerCase.toString
       .split("\\s+").toSeq.filter(_.nonEmpty).distinct
+
+  /** The `_meta` sidecar: (nBuckets, build stamp) in ONE driver read. */
+  private def loadMeta(spark: org.apache.spark.sql.SparkSession,
+                       path: String): (Int, Similarity.IvfStamp) = {
+    val r = spark.read.parquet(s"$path/_meta")
+      .select("n_buckets", "n_rows", "id_hash_sum").head()
+    (r.getInt(0), Similarity.IvfStamp(r.getLong(1), r.getDecimal(2)))
+  }
 
   /** Probe: top-`k` documents by distinct-query-token overlap,
     * (`id`, `overlap`), ordered by (overlap desc, id) so the cut is
@@ -76,10 +101,26 @@ object TextIndex {
     * `.explain` shows `PartitionFilters: [bucket IN (...)]` — then
     * one small aggregation over the matched postings. */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                  query: String, k: Int): DataFrame = {
+                  query: String, k: Int): DataFrame =
+    searchWith(spark, path, loadMeta(spark, path)._1, query, k)
+
+  /** [[searchIndex]] through the freshness contract: verifies the
+    * build stamp against the live source before probing (one `_meta`
+    * read serves both the check and the bucket count). */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  query: String, k: Int,
+                  verifyAgainst: (DataFrame, String)): DataFrame = {
+    val (nBuckets, built) = loadMeta(spark, path)
+    Similarity.requireStampFresh("text index", path, built,
+      Similarity.sourceStamp(verifyAgainst._1, verifyAgainst._2),
+      "buildTextIndex")
+    searchWith(spark, path, nBuckets, query, k)
+  }
+
+  private def searchWith(spark: org.apache.spark.sql.SparkSession,
+                         path: String, nBuckets: Int, query: String,
+                         k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val nBuckets = spark.read.parquet(s"$path/_meta")
-      .select("n_buckets").head().getInt(0)
     val toks = queryTokens(query)
     require(toks.nonEmpty, "query contains no tokens")
     // driver-side bucket set via the SAME portable hash the build used
@@ -95,32 +136,14 @@ object TextIndex {
       .limit(k)
   }
 
-  /** [[searchIndex]] through the freshness contract: verifies the
-    * build stamp against the live source before probing. */
-  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                  query: String, k: Int,
-                  verifyAgainst: (DataFrame, String)): DataFrame = {
-    requireTextIndexFresh(spark, path, verifyAgainst._1, verifyAgainst._2)
-    searchIndex(spark, path, query, k)
-  }
-
   /** Same contract as [[Similarity.requireIvfFresh]]: recompute the
     * live source's hashed stamp (ids only) and compare to the one
     * persisted at build; a probe against an index whose corpus has
     * since churned would silently serve stale candidates. */
   def requireTextIndexFresh(spark: org.apache.spark.sql.SparkSession,
                             path: String, df: DataFrame,
-                            idCol: String): Unit = {
-    val r = spark.read.parquet(s"$path/_meta")
-      .select("n_rows", "id_hash_sum").head()
-    val built = Similarity.IvfStamp(r.getLong(0), r.getDecimal(1))
-    val live = Similarity.sourceStamp(df, idCol)
-    if (live.nRows != built.nRows ||
-        live.idHashSum.compareTo(built.idHashSum) != 0)
-      throw new IllegalStateException(
-        s"text index at $path is STALE: built over ${built.nRows} rows " +
-          s"(id hash sum ${built.idHashSum}) but the live table has " +
-          s"${live.nRows} (id hash sum ${live.idHashSum}); rebuild with " +
-          "buildTextIndex")
-  }
+                            idCol: String): Unit =
+    Similarity.requireStampFresh("text index", path,
+      loadMeta(spark, path)._2, Similarity.sourceStamp(df, idCol),
+      "buildTextIndex")
 }

@@ -240,7 +240,11 @@ object Drive {
       tivf.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq,
       "indexed probe must return the identical top-k as assign-at-query-time")
     val planStr = probed.queryExecution.executedPlan.toString
-    require(planStr.contains("PartitionFilters"), "indexed probe must partition-prune")
+    // the list predicate must sit INSIDE the PartitionFilters bracket —
+    // the label alone prints on every partitioned scan, pruned or not
+    require("PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(planStr)
+        .exists(_.contains("list")),
+      "indexed probe must partition-prune on list")
     println("indexed-ivf plan partition-prunes: OK")
 
     println("== r6 drive: nearDupGroups composed entry point")
@@ -384,10 +388,15 @@ object Drive {
     val kbRows = kb.collect()
     require(kbRows.count(_.getBoolean(3)) == kbRows.map(_.getLong(1)).distinct.length,
       "exactly one keeper per cluster")
-    // the 3 planted LONGER variants must displace their shorter sources
+    // the 3 planted LONGER variants must displace their shorter sources:
+    // both directions asserted — keepers alone would also pass if
+    // clustering broke into all-singletons (every row keep=true)
     val longer = kbRows.filter(r => r.getLong(0) >= 7000L && r.getLong(0) < 7003L)
     require(longer.length == 3 && longer.forall(_.getBoolean(3)),
       "longer planted variants must be the keepers")
+    val displaced = kbRows.filter(r => r.getLong(0) < 3L)
+    require(displaced.length == 3 && displaced.forall(!_.getBoolean(3)),
+      "the shorter source docs must be displaced (keep=false)")
     println(s"nearDupKeepBest -> ${kbRows.count(_.getBoolean(3))} keepers; 3/3 planted longer variants kept")
 
     spark.stop()

@@ -11,6 +11,14 @@ class OpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** The `PartitionFilters: [...]` bracket of a physical plan string.
+    * Pruning asserts must look INSIDE it — the label prints on every
+    * partitioned-table scan (even `PartitionFilters: []`), and a failed
+    * pushdown leaves the predicate in a post-scan Filter, so substring
+    * checks over the whole plan cannot catch a pruning regression. */
+  private def partitionFilters(plan: String): String =
+    "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+
   private def docsDf = Seq(
     (0L, "the quick brown fox jumps over the lazy dog and runs away fast"),
     (1L, "the quick brown fox jumps over the lazy dog and runs away quickly"), // near-dup of 0
@@ -158,8 +166,8 @@ class OpsSpec extends AnyFunSuite {
     // the probe must hit the partition-pruning path: the list filter shows
     // up as a PartitionFilter on the scan, not a post-scan Filter
     val scan = probe.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("list"),
-      s"expected a partition-pruned scan, got:\n$scan")
+    assert(partitionFilters(scan).contains("list"),
+      s"expected the list predicate inside PartitionFilters, got:\n$scan")
     // the index is self-describing: probing by path alone (codebook read
     // from inside the index tree) returns the identical top-k
     assert(Similarity.loadIvfCodebook(spark, path) == cb)
@@ -490,7 +498,7 @@ class OpsSpec extends AnyFunSuite {
     // listed (PartitionFilters on bucket), and k cuts deterministically
     val plan = TextIndex.searchIndex(spark, path, "spark", 2)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    assert(partitionFilters(plan).contains("bucket"), plan)
     assert(TextIndex.searchIndex(spark, path, "spark data fast", 2)
       .collect().map(_.getLong(0)).toSeq == Seq(3L, 5L))
     // freshness: verified probe passes on the build corpus, append trips
