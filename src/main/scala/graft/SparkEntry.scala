@@ -1080,6 +1080,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("overlap"))
     }),
 
+    // BM25 over the same persisted index: tf and doc_len ride each
+    // posting and (N, total tokens) ride _meta, so the scored probe is
+    // as pruned as the overlap one — no corpus-sized join at query time
+    "x_text_bm25" -> ((s, d) => {
+      val path = textIndex(s, d)
+      graft.ops.TextIndex.searchIndexBM25(s, path,
+          "the data quick join hash never-in-corpus", 10,
+          verifyAgainst = Some((docs(s, d), "doc_id")))
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+    }),
+
     // PERSISTED IVF: the same trained codebook, but assignment is built
     // ONCE into a list-partitioned parquet index; the query reads only
     // the 3 probed list directories (partition pruning) — the
@@ -1832,6 +1843,22 @@ object SparkEntry {
        """SELECT p.doc_id, count(*)::BIGINT AS overlap """ +
        """FROM post p JOIN q USING (token) WHERE p.token <> '' """ +
        """GROUP BY 1 ORDER BY overlap DESC, p.doc_id LIMIT 10"""),
+
+    // BM25 recomputed from the raw corpus: ln(1+(N-df+0.5)/(df+0.5)) idf,
+    // k1=1.2, b=0.75, N = ALL documents, avgdl over all documents
+    "x_text_bm25" ->
+      (s"""WITH q AS (SELECT unnest(['the','data','quick','join','hash','never-in-corpus']) AS token), """ +
+       s"""toks AS (SELECT doc_id, list_filter($TOK, t -> t <> '') AS l FROM documents), """ +
+       """stats AS (SELECT count(*)::DOUBLE AS n, sum(len(l))::DOUBLE / count(*) AS avgdl FROM toks), """ +
+       """post AS (SELECT doc_id, len(l)::BIGINT AS doc_len, unnest(l) AS token FROM toks), """ +
+       """tft AS (SELECT doc_id, token, doc_len, count(*)::BIGINT AS tf FROM post GROUP BY 1, 2, 3), """ +
+       """m AS (SELECT t.doc_id, t.token, t.doc_len, t.tf FROM tft t JOIN q USING (token)), """ +
+       """dfreq AS (SELECT token, count(*)::BIGINT AS dfq FROM m GROUP BY 1), """ +
+       """sc AS (SELECT m.doc_id, sum(ln(1 + (s.n - d.dfq + 0.5) / (d.dfq + 0.5)) * """ +
+       """m.tf * 2.2 / (m.tf + 1.2 * (0.25 + 0.75 * m.doc_len / s.avgdl))) AS score """ +
+       """FROM m JOIN dfreq d USING (token), stats s GROUP BY 1) """ +
+       """SELECT doc_id, round(score, 6) AS score FROM sc """ +
+       """ORDER BY score DESC, doc_id LIMIT 10"""),
 
     "x_lang_id" ->
       (s"""WITH c AS (SELECT doc_id, lang, """ +

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,34 +10,46 @@ import org.apache.spark.sql.types._
  * vector index ([[Similarity.buildIvfIndex]]): build once, probe many,
  * with every probe reading only the token buckets it needs.
  *
- * Build writes the distinct (token, doc) posting pairs hive-partitioned
- * by `bucket = hash60(token) mod nBuckets`; a query computes its
- * tokens' buckets DRIVER-SIDE (same portable hash) and scans only those
- * directories — the `bucket IN (...)` predicate lands in
- * `PartitionFilters` (pruned at file listing, unprobed buckets never
- * opened) and the `token IN (...)` predicate pushes into the parquet
- * scan. Query cost is O(matched postings), independent of corpus size
- * for fixed token frequencies — the candidate-generation primitive a
- * retrieval stack needs at 100 TB, where "grep the corpus per query"
- * is a non-starter.
+ * Build writes one posting row per distinct (token, doc) pair — with
+ * the pair's term frequency and the document's token count denormalized
+ * onto it — hive-partitioned by `bucket = hash60(token) mod nBuckets`;
+ * a query computes its tokens' buckets DRIVER-SIDE (same portable hash)
+ * and scans only those directories — the `bucket IN (...)` predicate
+ * lands in `PartitionFilters` (pruned at file listing, unprobed buckets
+ * never opened) and the `token IN (...)` predicate pushes into the
+ * parquet scan. Query cost is O(matched postings), independent of
+ * corpus size for fixed token frequencies — the candidate-generation
+ * primitive a retrieval stack needs at 100 TB, where "grep the corpus
+ * per query" is a non-starter.
  *
- * Scoring is the integer OVERLAP (number of distinct query tokens a
- * document contains), ties broken by id — deliberately no floats
- * (tf-idf/BM25 weighting can sit on top), so probes are oracle-exact
- * in any engine. The same hashed freshness contract as the IVF index
- * guards staleness ([[requireTextIndexFresh]]).
+ * Two scorers over the same pruned scan:
+ *  - [[searchIndex]]: integer OVERLAP (number of distinct query tokens
+ *    a document contains), ties broken by id — no floats, so probes
+ *    are oracle-exact in any engine;
+ *  - [[searchIndexBM25]]: Okapi BM25 (Robertson/Spärck Jones idf with
+ *    the Lucene +1 floor) — possible WITHOUT any corpus-sized join at
+ *    probe time precisely because `tf` and `doc_len` ride each posting
+ *    and (N, total token count) ride `_meta`: document frequencies of
+ *    the query tokens fall out of the matched postings themselves.
+ *
+ * The same hashed freshness contract as the IVF index guards staleness
+ * ([[requireTextIndexFresh]]).
  */
 object TextIndex {
 
-  /** Build the index at `path`: one distinct pass over the (doc, token)
-    * pairs (map-side partial dedup — only distinct 8-byte-hash-keyed
-    * postings shuffle, not every token occurrence), bucketed and
-    * written one hive directory per bucket, postings sorted by
-    * (token, id) within each so per-bucket scans stay min/max-prunable
-    * on token. The `_meta` sidecar carries `nBuckets` plus the source
-    * stamp (row count, id-hash sum — [[Similarity.sourceStamp]], a
-    * column-pruned id-only scan). NULL/empty tokens are never indexed;
-    * ids must cast to Long (the posting key type). */
+  /** Build the index at `path`: tokenize, count each (doc, token)
+    * pair's occurrences (map-side partial aggregation — only distinct
+    * 8-byte-hash-keyed postings shuffle, not every token occurrence),
+    * attach the per-document token count (`doc_len = sum(tf)` over the
+    * doc's postings — ONE id-keyed shuffle at build so probes never
+    * join a corpus-sized length table), then bucket and write one hive
+    * directory per bucket, postings sorted by (token, id) within each
+    * so per-bucket scans stay min/max-prunable on token. The `_meta`
+    * sidecar carries `nBuckets`, the source stamp (row count, id-hash
+    * sum — [[Similarity.sourceStamp]]), and the corpus token total
+    * (for BM25's avgdl); stamp and token total both ride the write job
+    * itself via `Observation` — no second scan. NULL/empty tokens are
+    * never indexed; ids must cast to Long (the posting key type). */
   def buildTextIndex(df: DataFrame, idCol: String, textCol: String,
                      path: String, nBuckets: Int = 256): Unit = {
     require(nBuckets >= 1 && nBuckets <= (1 << 16),
@@ -49,12 +62,21 @@ object TextIndex {
     // freshness check would then pass against an index missing those
     // rows (the buildIvfIndex discipline)
     val obs = org.apache.spark.sql.Observation()
+    val tokObs = org.apache.spark.sql.Observation()
     val postings = df
       .select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
       .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
       .select(col("id"), explode(TextStats.tokens(col("text"))).as("token"))
       .filter(col("token").isNotNull && col("token") =!= "")
-      .distinct()
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+      // doc_len denormalized onto every posting: redundant per token but
+      // columnar-compressed on disk, and it is what makes a BM25 probe
+      // self-contained under partition pruning (no join back to the
+      // corpus for lengths)
+      .withColumn("doc_len", sum(col("tf")).over(Window.partitionBy("id")))
+      // total corpus tokens for avgdl — observed on the posting rows of
+      // the same write job (sum(tf) == token count), not a second scan
+      .observe(tokObs, coalesce(sum(col("tf")), lit(0L)).as("total_tokens"))
       .withColumn("bucket",
         pmod(TextStats.hash60(col("token")), lit(nBuckets.toLong)))
     // bucket leads the sort: it satisfies the partitionBy writer's
@@ -65,13 +87,15 @@ object TextIndex {
       .sortWithinPartitions("bucket", "token", "id")
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
     val stamp = Similarity.stampOf(obs.get)
+    val totalTokens = tokObs.get("total_tokens").asInstanceOf[Long]
     // _meta INSIDE the tree (underscore paths are invisible to parquet
     // listing) — the index is self-describing at one path, the
     // _codebook discipline of the IVF index
     spark.range(1).select(
         lit(nBuckets).as("n_buckets"),
         lit(stamp.nRows).as("n_rows"),
-        lit(stamp.idHashSum).cast(DecimalType(38, 0)).as("id_hash_sum"))
+        lit(stamp.idHashSum).cast(DecimalType(38, 0)).as("id_hash_sum"),
+        lit(totalTokens).as("total_tokens"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
   }
 
@@ -87,12 +111,22 @@ object TextIndex {
       .toLowerCase.toString
       .split("\\s+").toSeq.filter(_.nonEmpty).distinct
 
-  /** The `_meta` sidecar: (nBuckets, build stamp) in ONE driver read. */
+  private final case class TiMeta(nBuckets: Int, stamp: Similarity.IvfStamp,
+                                  totalTokens: Option[Long])
+
+  /** The `_meta` sidecar in ONE driver read. `total_tokens` is absent
+    * on indexes built before the BM25 columns existed — the overlap
+    * probe still serves them; [[searchIndexBM25]] refuses them loudly
+    * (on-disk indexes outlive code). */
   private def loadMeta(spark: org.apache.spark.sql.SparkSession,
-                       path: String): (Int, Similarity.IvfStamp) = {
-    val r = spark.read.parquet(s"$path/_meta")
-      .select("n_buckets", "n_rows", "id_hash_sum").head()
-    (r.getInt(0), Similarity.IvfStamp(r.getLong(1), r.getDecimal(2)))
+                       path: String): TiMeta = {
+    val meta = spark.read.parquet(s"$path/_meta")
+    val hasTok = meta.columns.contains("total_tokens")
+    val cols = Seq("n_buckets", "n_rows", "id_hash_sum") ++
+      (if (hasTok) Seq("total_tokens") else Nil)
+    val r = meta.select(cols.head, cols.tail: _*).head()
+    TiMeta(r.getInt(0), Similarity.IvfStamp(r.getLong(1), r.getDecimal(2)),
+      if (hasTok) Some(r.getLong(3)) else None)
   }
 
   /** Probe: top-`k` documents by distinct-query-token overlap,
@@ -101,8 +135,14 @@ object TextIndex {
     * `.explain` shows `PartitionFilters: [bucket IN (...)]` — then
     * one small aggregation over the matched postings. */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                  query: String, k: Int): DataFrame =
-    searchWith(spark, path, loadMeta(spark, path)._1, query, k)
+                  query: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    matchedPostings(spark, path, loadMeta(spark, path).nBuckets, query)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("overlap"))
+      .orderBy(col("overlap").desc, col("id"))
+      .limit(k)
+  }
 
   /** [[searchIndex]] through the freshness contract: verifies the
     * build stamp against the live source before probing (one `_meta`
@@ -110,30 +150,87 @@ object TextIndex {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                   query: String, k: Int,
                   verifyAgainst: (DataFrame, String)): DataFrame = {
-    val (nBuckets, built) = loadMeta(spark, path)
-    Similarity.requireStampFresh("text index", path, built,
-      Similarity.sourceStamp(verifyAgainst._1, verifyAgainst._2),
-      "buildTextIndex")
-    searchWith(spark, path, nBuckets, query, k)
+    require(k >= 1, s"k must be >= 1, got $k")
+    val meta = verifiedMeta(spark, path, verifyAgainst)
+    matchedPostings(spark, path, meta.nBuckets, query)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("overlap"))
+      .orderBy(col("overlap").desc, col("id"))
+      .limit(k)
   }
 
-  private def searchWith(spark: org.apache.spark.sql.SparkSession,
-                         path: String, nBuckets: Int, query: String,
-                         k: Int): DataFrame = {
+  /** Okapi BM25 over the SAME pruned probe scan: top-`k` documents as
+    * (`id`, `score`), score desc then id. Per query token t with
+    * document frequency df(t) (counted from the matched postings —
+    * every posting of a probed token is in its pruned bucket, so the
+    * count is the true corpus df):
+    *
+    *   idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+    *   w(t, d)    = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len(d)/avgdl))
+    *   score(d)   = Σ_t w(t, d)
+    *
+    * with N and avgdl from `_meta`. The df side of the join is one row
+    * per query token — broadcast — so probe cost stays O(matched
+    * postings) with no corpus-sized side anywhere. */
+  def searchIndexBM25(spark: org.apache.spark.sql.SparkSession,
+                      path: String, query: String, k: Int,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      verifyAgainst: Option[(DataFrame, String)] = None)
+      : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0.0 && b >= 0.0 && b <= 1.0,
+      s"BM25 parameters out of range: k1=$k1 (>=0), b=$b ([0,1])")
+    val meta = verifyAgainst match {
+      case Some(va) => verifiedMeta(spark, path, va)
+      case None     => loadMeta(spark, path)
+    }
+    val totalTokens = meta.totalTokens.getOrElse(throw new IllegalStateException(
+      s"text index at $path predates the BM25 posting columns " +
+        "(no total_tokens in _meta); rebuild with buildTextIndex"))
+    val n = meta.stamp.nRows
+    require(n > 0, s"text index at $path was built over an empty corpus")
+    val avgdl = totalTokens.toDouble / n
+    val matched = matchedPostings(spark, path, meta.nBuckets, query)
+    // df per probed token from the matched postings themselves: one row
+    // per (id, token), so count(*) per token IS the document frequency
+    val dfreq = matched.groupBy("token").agg(count(lit(1)).as("dfq"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("dfq") + lit(0.5)) / (col("dfq") + lit(0.5)))
+    val tfNorm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("doc_len") / lit(avgdl)))
+    matched.join(broadcast(dfreq), "token")
+      .groupBy(col("id"))
+      .agg(sum(idf * tfNorm).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  /** The pruned probe scan shared by both scorers: only the query
+    * tokens' bucket directories are listed (driver-side bucket set via
+    * the SAME portable hash the build used), `token IN (...)` pushes
+    * into parquet. */
+  private def matchedPostings(spark: org.apache.spark.sql.SparkSession,
+                              path: String, nBuckets: Int,
+                              query: String): DataFrame = {
     val toks = queryTokens(query)
     require(toks.nonEmpty, "query contains no tokens")
-    // driver-side bucket set via the SAME portable hash the build used
     val buckets = toks.map(t => graft.functions.Hash60Kernel.compute(
         org.apache.spark.unsafe.types.UTF8String.fromString(t)) % nBuckets)
       .distinct
     spark.read.parquet(path)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("token").isin(toks: _*))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("overlap"))
-      .orderBy(col("overlap").desc, col("id"))
-      .limit(k)
+  }
+
+  /** One `_meta` read + the freshness check against a live source. */
+  private def verifiedMeta(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           verifyAgainst: (DataFrame, String)): TiMeta = {
+    val meta = loadMeta(spark, path)
+    Similarity.requireStampFresh("text index", path, meta.stamp,
+      Similarity.sourceStamp(verifyAgainst._1, verifyAgainst._2),
+      "buildTextIndex")
+    meta
   }
 
   /** Same contract as [[Similarity.requireIvfFresh]]: recompute the
@@ -144,6 +241,6 @@ object TextIndex {
                             path: String, df: DataFrame,
                             idCol: String): Unit =
     Similarity.requireStampFresh("text index", path,
-      loadMeta(spark, path)._2, Similarity.sourceStamp(df, idCol),
+      loadMeta(spark, path).stamp, Similarity.sourceStamp(df, idCol),
       "buildTextIndex")
 }

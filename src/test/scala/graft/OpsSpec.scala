@@ -519,6 +519,66 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text index BM25: hand-computed scores, tf saturation, legacy-index refusal") {
+    import graft.ops.TextIndex
+    val docs = Seq(
+      (1L, "spark shuffles data across executors"),  // len 5
+      (2L, "data data data everywhere"),             // len 4, tf(data)=3
+      (3L, "spark reads parquet data fast"),         // len 5
+      (4L, "unrelated text about nothing"),          // len 4
+      (5L, "fast spark data shuffles")               // len 4
+    ).toDF("doc_id", "text")
+    val path = TestSpark.tmpDir("text-bm25") + "/ti"
+    TextIndex.buildTextIndex(docs, "doc_id", "text", path, nBuckets = 8)
+    // query {data, fast}: df(data)=4, df(fast)=2, N=5, avgdl=22/5.
+    // BM25's tf saturation is the point of the assertion: doc 2's
+    // tf(data)=3 must NOT outrank docs 5 and 3, which match BOTH tokens
+    // (the rarer 'fast' carries more idf than two extra 'data's).
+    val res = TextIndex.searchIndexBM25(spark, path, "data data fast", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(res.map(_._1).toSeq == Seq(5L, 3L, 2L, 1L), res.toSeq)
+    // doc 5 spot-checked against the formula computed directly
+    val avgdl = 22.0 / 5
+    def idf(df: Long) = math.log(1 + (5 - df + 0.5) / (df + 0.5))
+    def tfn(tf: Long, len: Long) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avgdl))
+    val exp5 = (idf(4) + idf(2)) * tfn(1, 4)
+    assert(math.abs(res.head._2 - exp5) < 1e-9, s"${res.head._2} vs $exp5")
+    // verified BM25 probe: fresh passes, churn trips
+    val ok = TextIndex.searchIndexBM25(spark, path, "data", 10,
+      verifyAgainst = Some((docs, "doc_id"))).count()
+    assert(ok == 4)
+    val churned = docs.unionByName(Seq((99L, "extra doc")).toDF("doc_id", "text"))
+    val e = intercept[IllegalStateException] {
+      TextIndex.searchIndexBM25(spark, path, "data", 10,
+        verifyAgainst = Some((churned, "doc_id")))
+    }
+    assert(e.getMessage.contains("STALE"))
+    // a pre-BM25 index (no total_tokens in _meta) refuses BM25 with the
+    // rebuild remedy but still serves the overlap probe
+    val legacy = TestSpark.tmpDir("text-bm25-legacy") + "/ti"
+    TextIndex.buildTextIndex(docs, "doc_id", "text", legacy, nBuckets = 8)
+    val m = spark.read.parquet(s"$legacy/_meta")
+      .select("n_buckets", "n_rows", "id_hash_sum").collect()(0)
+    spark.range(1).select(
+        lit(m.getInt(0)).as("n_buckets"), lit(m.getLong(1)).as("n_rows"),
+        lit(m.getDecimal(2)).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("id_hash_sum"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$legacy/_meta")
+    val e2 = intercept[IllegalStateException] {
+      TextIndex.searchIndexBM25(spark, legacy, "data", 10)
+    }
+    assert(e2.getMessage.contains("predates"), e2.getMessage)
+    assert(TextIndex.searchIndex(spark, legacy, "data", 10).count() == 4)
+    // parameter range refusals
+    intercept[IllegalArgumentException] {
+      TextIndex.searchIndexBM25(spark, path, "data", 10, b = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      TextIndex.searchIndexBM25(spark, path, "data", 10, k1 = -0.1)
+    }
+  }
+
   test("nearDupKeepBest: longest member kept per cluster, ties to min id, singletons keep") {
     import org.apache.spark.sql.types.LongType
     val base = "the quick brown fox jumps over the lazy dog again and again"
