@@ -1468,6 +1468,36 @@ object SparkEntry {
           Seq("event_type", "bucket"))
       }),
 
+    // stream-static ENRICHMENT join: each micro-batch broadcast-joins
+    // the customer dimension (stateless — no watermark, no state
+    // store). The dim is restricted to c_custkey < 100 while user_ids
+    // run higher, so the gate also proves LEFT semantics: unmatched
+    // facts survive with a null segment. The per-segment rollup below
+    // is gate-side batch over the sink — the streaming surface under
+    // test is the join itself; decimal-exact sum keeps it oracle-exact
+    "x_stream_enrich" -> ((s, d) => {
+      val dim = s.read.parquet(s"$d/customer.parquet")
+        .filter(col("c_custkey") < 100)
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      withStagedStream(s, events(s, d)) { (src, ckpt) =>
+        collectMemorySink(s, name =>
+          graft.streaming.EventStream.enrich(src, dim, "user_id")
+            .select("event_id", "user_id", "segment", "value")
+            .writeStream.outputMode("append").format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(),
+          Seq("event_id"))
+      }
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value").cast(DecimalType(18, 6))), 6)
+            .cast(DoubleType).as("sum_value"))
+        .orderBy("segment")
+    }),
+
     // multimodal: binary payload + stubbed decode metadata
     "x_multimodal_meta" -> ((s, d) =>
       Multimodal.decodeStub(Multimodal.attachPayload(docs(s, d), "text"))
@@ -1706,6 +1736,15 @@ object SparkEntry {
        """CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value, """ +
        """min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us """ +
        """FROM events GROUP BY 1 ORDER BY 1"""),
+
+    // stream-static enrichment == the batch LEFT join + rollup
+    "x_stream_enrich" ->
+      ("""WITH e AS (SELECT ev.event_id, ev.user_id, c.c_mktsegment AS segment, ev.value """ +
+       """FROM events ev LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 100) c """ +
+       """ON ev.user_id = c.c_custkey) """ +
+       """SELECT segment, count(*)::BIGINT AS n, count(DISTINCT user_id)::BIGINT AS n_users, """ +
+       """CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value """ +
+       """FROM e GROUP BY 1 ORDER BY 1"""),
 
     "x_dedup_minhash_sig" ->
       (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents WHERE doc_id < 300), """ +

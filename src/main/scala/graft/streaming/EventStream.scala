@@ -93,6 +93,21 @@ object EventStream {
       .dropDuplicatesWithinWatermark("_digest")
       .drop("_digest")
 
+  /** Stream-static ENRICHMENT join — the fact-stream × dimension-table
+    * shape of an ingestion pipeline (attach user / source / license
+    * attributes to events in flight). Stateless: no watermark and no
+    * state store; every micro-batch plans a broadcast hash join against
+    * the static side, which is re-resolved per batch — dimension
+    * updates are picked up from the next micro-batch on. LEFT join:
+    * facts must not be dropped because their dimension row is missing
+    * or late; unmatched events carry nulls for the dim columns.
+    *
+    * Scale: the dim side is broadcast to every executor, so it must be
+    * broadcast-sized (dimensions usually are); a corpus-sized "dim"
+    * belongs in a batch join after landing, not on the hot stream. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Session windows (gap-based) per user — the streaming form of
     * [[graft.ops.Sessionize.sessions]]. */
   def sessionWindows(stream: DataFrame, gap: String = "30 minutes",

@@ -67,6 +67,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("stream-static enrichment join == batch left join; unmatched facts survive") {
+    val events = spark.read.parquet(eventsPath)
+    val schema = events.schema
+    val in = TestSpark.tmpDir("streame-in")
+    val ckpt = TestSpark.tmpDir("streame-ckpt")
+    events.write.mode("append").parquet(in)
+
+    // dim covers only HALF the user ids: the other half must still
+    // flow through (left join) with a null attribute
+    val dim = Seq.tabulate(15)(i => (i.toLong * 2, s"seg${i % 3}"))
+      .toDF("user_id", "segment")
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val q = EventStream.enrich(stream, dim, "user_id")
+      .select("event_id", "user_id", "segment")
+      .writeStream.outputMode("append").format("memory").queryName("enr")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("enr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    val batch = events.join(dim, Seq("user_id"), "left")
+      .select("event_id", "user_id", "segment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(streamed == batch)
+    // every fact survived — enrichment must never drop events
+    assert(streamed.size == events.count())
+    // both matched and unmatched facts are present
+    assert(streamed.exists(_._3.isDefined) && streamed.exists(_._3.isEmpty))
+    spark.catalog.dropTempView("enr")
+  }
+
   test("session windows produce per-user sessions") {
     val events = spark.read.parquet(eventsPath)
     val in = TestSpark.tmpDir("streams-in")
