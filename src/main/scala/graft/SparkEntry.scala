@@ -1214,6 +1214,15 @@ object SparkEntry {
         .select("doc_id", "token", "tf", "df", "n_docs")
         .orderBy(col("tf").desc, col("token"), col("doc_id")).limit(100)),
 
+    // unigram LM scoring: mean add-one-smoothed log-prob per document
+    // under the corpus's own unigram model — the cheap perplexity-style
+    // quality axis; decimal-exact term sum keeps the 6th decimal stable
+    "x_lm_score" -> ((s, d) =>
+      TextStats.lmScore(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("lm_score"), 6).as("lm_score"))
+        .orderBy("doc_id")),
+
     // overlapping fixed-window chunking (embedding/RAG prep): 32-token
     // windows sharing 8 tokens, final window clamped to the doc end
     "x_chunk" -> ((s, d) =>
@@ -2000,6 +2009,20 @@ object SparkEntry {
        """n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 100) """ +
        """SELECT tf.doc_id, tf.token, tf.tf, dfq.df, (SELECT n_docs FROM n)::BIGINT AS n_docs """ +
        """FROM tf JOIN dfq USING (token) ORDER BY tf.tf DESC, tf.token, tf.doc_id LIMIT 100"""),
+
+    // unigram LM scores recomputed from scratch: identical smoothing,
+    // identical DECIMAL(28,12) term sum (order-free), double division
+    "x_lm_score" ->
+      (s"""WITH toks AS (SELECT doc_id, unnest(list_filter($TOK, t -> t <> '')) AS token FROM documents), """ +
+       """tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2), """ +
+       """vocab AS (SELECT token, sum(tf)::BIGINT AS c FROM tf GROUP BY 1), """ +
+       """tot AS (SELECT coalesce(sum(c), 0)::BIGINT AS t_total, count(*)::BIGINT AS v_size FROM vocab), """ +
+       """sc AS (SELECT tf.doc_id, """ +
+       """sum(CAST(tf.tf * ln((v.c + 1)::DOUBLE / (tot.t_total + tot.v_size)::DOUBLE) AS DECIMAL(28,12))) AS s, """ +
+       """sum(tf.tf)::BIGINT AS len FROM tf JOIN vocab v USING (token), tot GROUP BY 1) """ +
+       """SELECT d.doc_id, coalesce(sc.len, 0)::BIGINT AS n_tokens, """ +
+       """round(CAST(sc.s AS DOUBLE) / sc.len, 6) AS lm_score """ +
+       """FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""),
 
     // chunking: window starts are generate_series(1, len-overlap, stride)
     // zipped with their subscript (DuckDB unnests in lockstep); slices

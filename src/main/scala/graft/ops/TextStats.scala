@@ -258,6 +258,52 @@ object TextStats {
         col("col.text").as("chunk_text"), col("col.n").as("n_tokens"))
   }
 
+  /** Unigram language-model scoring — the KenLM-style perplexity
+    * signal at unigram order: each document's mean log-probability
+    * under the corpus's own add-one-smoothed unigram model,
+    *
+    *   p(t) = (c(t) + 1) / (T + V)      (T = corpus tokens, V = vocab)
+    *   lm_score(d) = Σ_t tf(d,t)·ln p(t) / len(d)
+    *
+    * More negative = rarer vocabulary; boilerplate and common-word spam
+    * score high (close to 0), gibberish scores low — the standard cheap
+    * quality-filter axis next to [[quality]]'s surface ratios. Output:
+    * one row per INPUT document (`idCol`, `n_tokens`, `lm_score`);
+    * tokenless documents (null/empty text) keep `n_tokens` 0 and a null
+    * score.
+    *
+    * Scale shape: one (id, token) aggregation with map-side partial
+    * combine (token counts collapse before the exchange), one token-
+    * keyed join of postings against the vocabulary (skew AQE-splittable
+    * — both sides are pre-aggregated, so no hot-row explosion), and the
+    * (T, V) totals ride a broadcast one-row aggregate, never a driver
+    * action. Per-term values cast to exact DECIMAL before the per-doc
+    * sum: decimal addition is associative, so the score is independent
+    * of aggregation order (a raw double sum would wobble at the last
+    * ulp between partitionings — enough to flip a rounded 6th decimal).
+    * The final divide happens in DOUBLE on exact inputs: IEEE division
+    * is correctly rounded, so any engine computes the identical bits. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("token").agg(sum(col("tf")).as("c"))
+    val totals = broadcast(vocab.agg(
+      coalesce(sum(col("c")), lit(0L)).as("t_total"),
+      count(lit(1)).as("v_size")))
+    val lnP = log((col("c") + lit(1L)).cast(DoubleType) /
+      (col("t_total") + col("v_size")).cast(DoubleType))
+    val scored = tf.join(vocab, "token").crossJoin(totals)
+      .select(col(idCol), col("tf"),
+        (col("tf").cast(DoubleType) * lnP).cast(DecimalType(28, 12)).as("term"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("len"),
+        (sum(col("term")).cast(DoubleType) / sum(col("tf"))).as("lm_score"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("len"), lit(0L)).as("n_tokens"),
+        col("lm_score"))
+  }
+
   /** Corpus vocabulary: the `k` most frequent whitespace tokens with
     * count >= `minCount`, ordered (count desc, token asc) — the
     * tokenizer-training / frequency-table step of a data pipeline.

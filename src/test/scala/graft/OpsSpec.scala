@@ -1002,6 +1002,22 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(out((2L, "beta"))._4 - 1.0) < 1e-12)
   }
 
+  test("lmScore: hand-computed add-one unigram log-probs; tokenless docs score null") {
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
+    val out = TextStats.lmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    // counts a=3 b=1 c=1, T=5, V=3 → p(a)=4/8, p(b)=p(c)=2/8
+    val exp1 = (2 * math.log(0.5) + math.log(0.25)) / 3
+    val exp2 = (math.log(0.5) + math.log(0.25)) / 2
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2.get - exp1) < 1e-9)
+    assert(out(2L)._1 == 2L && math.abs(out(2L)._2.get - exp2) < 1e-9)
+    assert(out(3L) == ((0L, None)))
+    // common-vocab docs score HIGHER (closer to 0) than rare-vocab docs
+    assert(out(1L)._2.get > out(2L)._2.get)
+    assert(out.size == 3)
+  }
+
   test("chunk: overlapping windows cover all tokens, short docs yield one chunk") {
     val df = Seq((0L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),  // 10 tokens
       (1L, "a b"), (2L, "solo")).toDF("doc_id", "text")
