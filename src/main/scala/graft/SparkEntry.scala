@@ -1214,6 +1214,19 @@ object SparkEntry {
         .select("doc_id", "token", "tf", "df", "n_docs")
         .orderBy(col("tf").desc, col("token"), col("doc_id")).limit(100)),
 
+    // DSIR importance weights: every document scored by the log ratio
+    // of a target-corpus hashed-bigram model (docs < 100) over the
+    // full-corpus model — the published data-selection recipe; both
+    // models are bucket-bounded and broadcast
+    "x_dsir_weights" -> ((s, d) => {
+      val raw = docs(s, d)
+      graft.ops.Importance.importanceWeights(raw,
+          raw.filter(col("doc_id") < 100), "doc_id", "text", nBuckets = 8192)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("log_weight"), 6).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
     // unigram LM scoring: mean add-one-smoothed log-prob per document
     // under the corpus's own unigram model — the cheap perplexity-style
     // quality axis; decimal-exact term sum keeps the 6th decimal stable
@@ -2009,6 +2022,27 @@ object SparkEntry {
        """n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 100) """ +
        """SELECT tf.doc_id, tf.token, tf.tf, dfq.df, (SELECT n_docs FROM n)::BIGINT AS n_docs """ +
        """FROM tf JOIN dfq USING (token) ORDER BY tf.tf DESC, tf.token, tf.doc_id LIMIT 100"""),
+
+    // DSIR log weights recomputed from scratch: hashed-bigram buckets,
+    // add-one over the FIXED bucket space, decimal term sum
+    "x_dsir_weights" ->
+      (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents), """ +
+       """grams AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 1, 1)), """ +
+       """i -> array_to_string(l[i:i+1], ' '))) AS g FROM toks), """ +
+       s"""feats AS (SELECT doc_id, ${h60sql("g")} % 8192 AS b FROM grams WHERE g <> ''), """ +
+       """dtf AS (SELECT doc_id, b, count(*)::BIGINT AS tf FROM feats GROUP BY 1, 2), """ +
+       """rawm AS (SELECT b, sum(tf)::BIGINT AS c_raw FROM dtf GROUP BY 1), """ +
+       """rawt AS (SELECT coalesce(sum(c_raw), 0)::BIGINT AS t_raw FROM rawm), """ +
+       """tgtm AS (SELECT b, count(*)::BIGINT AS c_tgt FROM feats WHERE doc_id < 100 GROUP BY 1), """ +
+       """tgtt AS (SELECT coalesce(sum(c_tgt), 0)::BIGINT AS t_tgt FROM tgtm), """ +
+       """sc AS (SELECT d.doc_id, sum(CAST(d.tf * """ +
+       """(ln((coalesce(tm.c_tgt, 0) + 1)::DOUBLE / (tt.t_tgt + 8192)::DOUBLE) """ +
+       """- ln((rm.c_raw + 1)::DOUBLE / (rt.t_raw + 8192)::DOUBLE)) AS DECIMAL(28,12))) AS s, """ +
+       """sum(d.tf)::BIGINT AS nf """ +
+       """FROM dtf d JOIN rawm rm USING (b) LEFT JOIN tgtm tm USING (b), rawt rt, tgtt tt GROUP BY 1) """ +
+       """SELECT doc.doc_id, coalesce(sc.nf, 0)::BIGINT AS n_feats, """ +
+       """round(CAST(sc.s AS DOUBLE), 6) AS log_weight """ +
+       """FROM documents doc LEFT JOIN sc USING (doc_id) ORDER BY doc.doc_id"""),
 
     // unigram LM scores recomputed from scratch: identical smoothing,
     // identical DECIMAL(28,12) term sum (order-free), double division

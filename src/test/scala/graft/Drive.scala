@@ -399,6 +399,20 @@ object Drive {
       "the shorter source docs must be displaced (keep=false)")
     println(s"nearDupKeepBest -> ${kbRows.count(_.getBoolean(3))} keepers; 3/3 planted longer variants kept")
 
+    println("== r8 drive: DSIR importance weights (target = short docs)")
+    val target = docsAll.filter(length(col("text")) < 400)
+    val iw = graft.ops.Importance.importanceWeights(
+      docsAll, target, "doc_id", "text", nBuckets = 4096)
+    val iwRows = iw.collect()
+    require(iwRows.length == docsAll.count(), "one weight row per raw document")
+    val tgtIds = target.select("doc_id").collect().map(_.getLong(0)).toSet
+    val (inT, outT) = iwRows.filter(!_.isNullAt(2)).partition(r => tgtIds(r.getLong(0)))
+    val meanIn = inT.map(_.getDouble(2)).sum / inT.length
+    val meanOut = outT.map(_.getDouble(2)).sum / outT.length
+    require(meanIn > meanOut,
+      s"target-distribution docs must outscore the rest ($meanIn <= $meanOut)")
+    println(f"importanceWeights -> ${inT.length} target-ish docs mean $meanIn%.3f vs rest $meanOut%.3f")
+
     spark.stop()
     println("== drive done")
   }

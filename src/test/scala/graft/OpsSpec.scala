@@ -1018,6 +1018,49 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("importanceWeights: matches an independent driver-side mirror; target-like docs rank higher") {
+    import graft.ops.Importance
+    val raw = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "quantum flux capacitor overload overload"),
+      (4L, "")).toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" <= 2) // cat-sentence distribution
+    val nB = 1 << 14
+    val out = Importance.importanceWeights(raw, target, "doc_id", "text", nB)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+
+    // independent mirror: same formula computed driver-side from raw
+    // strings through the SAME public hash — no Spark plan shared
+    def grams(text: String): Seq[Long] = {
+      val t = text.toLowerCase.split("\\s+").toSeq
+      val gs = if (t.size <= 1) Seq(t.mkString(" "))
+               else t.sliding(2).map(_.mkString(" ")).toSeq
+      gs.filter(_.nonEmpty).map(g => graft.functions.Hash60Kernel.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(g)) % nB)
+    }
+    val rawDocs = Map(1L -> "the cat sat on the mat", 2L -> "the cat sat on the rug",
+      3L -> "quantum flux capacitor overload overload", 4L -> "")
+    val rawCnt = rawDocs.values.flatMap(grams).groupBy(identity).map { case (k, v) => k -> v.size }
+    val tgtCnt = (1L to 2L).flatMap(id => grams(rawDocs(id))).groupBy(identity).map { case (k, v) => k -> v.size }
+    val tRaw = rawCnt.values.sum; val tTgt = tgtCnt.values.sum
+    def logw(id: Long): Double = grams(rawDocs(id)).groupBy(identity).map { case (b, occ) =>
+      occ.size * (math.log((tgtCnt.getOrElse(b, 0) + 1).toDouble / (tTgt + nB)) -
+        math.log((rawCnt(b) + 1).toDouble / (tRaw + nB)))
+    }.sum
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(out(id)._1 == grams(rawDocs(id)).size)
+      assert(math.abs(out(id)._2.get - logw(id)) < 1e-9, s"doc $id")
+    }
+    assert(out(4L) == ((0L, None)))
+    // the target-distribution docs must outrank the off-target one
+    assert(out(1L)._2.get > out(3L)._2.get && out(2L)._2.get > out(3L)._2.get)
+    intercept[IllegalArgumentException] {
+      Importance.importanceWeights(raw, target, "doc_id", "text", nBuckets = 1)
+    }
+  }
+
   test("chunk: overlapping windows cover all tokens, short docs yield one chunk") {
     val df = Seq((0L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),  // 10 tokens
       (1L, "a b"), (2L, "solo")).toDF("doc_id", "text")
