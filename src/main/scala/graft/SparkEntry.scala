@@ -762,6 +762,27 @@ object SparkEntry {
   private def h60sql(arg: String) = hexsql(s"md5($arg)")
   private val EN_STOP = "['the','a','of','to','and','in','is','it']"
 
+  /** Shared DuckDB CTE chain for the DSIR oracles: hashed word-bigram
+    * buckets → per-(doc, bucket) tf → raw/target unigram-over-bucket
+    * models (target = doc_id < 100) → per-doc decimal log-ratio sum
+    * `sc(doc_id, s, nf)`. Ends with `...GROUP BY 1) ` so callers either
+    * append the final SELECT or strip the blank and chain another CTE. */
+  private lazy val dsirCtes: String =
+    s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents), """ +
+    """grams AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 1, 1)), """ +
+    """i -> array_to_string(l[i:i+1], ' '))) AS g FROM toks), """ +
+    s"""feats AS (SELECT doc_id, ${h60sql("g")} % 8192 AS b FROM grams WHERE g <> ''), """ +
+    """dtf AS (SELECT doc_id, b, count(*)::BIGINT AS tf FROM feats GROUP BY 1, 2), """ +
+    """rawm AS (SELECT b, sum(tf)::BIGINT AS c_raw FROM dtf GROUP BY 1), """ +
+    """rawt AS (SELECT coalesce(sum(c_raw), 0)::BIGINT AS t_raw FROM rawm), """ +
+    """tgtm AS (SELECT b, count(*)::BIGINT AS c_tgt FROM feats WHERE doc_id < 100 GROUP BY 1), """ +
+    """tgtt AS (SELECT coalesce(sum(c_tgt), 0)::BIGINT AS t_tgt FROM tgtm), """ +
+    """sc AS (SELECT d.doc_id, sum(CAST(d.tf * """ +
+    """(ln((coalesce(tm.c_tgt, 0) + 1)::DOUBLE / (tt.t_tgt + 8192)::DOUBLE) """ +
+    """- ln((rm.c_raw + 1)::DOUBLE / (rt.t_raw + 8192)::DOUBLE)) AS DECIMAL(28,12))) AS s, """ +
+    """sum(d.tf)::BIGINT AS nf """ +
+    """FROM dtf d JOIN rawm rm USING (b) LEFT JOIN tgtm tm USING (b), rawt rt, tgtt tt GROUP BY 1) """
+
   /** Planted-near-dup corpus shared by the LSH-pairs / clustering /
     * grouping queries — the Spark mirror of [[minhashLshCtes]]' `docs2`:
     * docs < 300 plus 3 planted " zzz" variants at id+1000000. */
@@ -1165,12 +1186,32 @@ object SparkEntry {
       Sample.bottomKPerGroup(docs(s, d), "source", "doc_id", k = 10)
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // quantile estimation from the deterministic 201-row hash sample —
+    // k=201 makes p*(k-1) integral for the probed quartiles, so both
+    // engines read exact sample elements (no interpolation wobble)
+    "x_quantile_sample" -> ((s, d) =>
+      Sample.sampleQuantiles(docs(s, d), "doc_id", "n_chars",
+          probs = Seq(0.25, 0.5, 0.75, 0.9), k = 201)
+        .select(col("p"), round(col("value"), 6).as("value"))
+        .orderBy("p")),
+
     // deterministic stratified sampling by language (hash-bucket rule)
     "x_sample_stratified" -> ((s, d) =>
       Sample.stratifiedHash(docs(s, d), "lang", "doc_id",
           rates = Map("en" -> 0.3, "de" -> 0.5, "fr" -> 0.1, "zh" -> 0.0),
           defaultRate = 0.25)
         .select("doc_id", "lang", "source").orderBy("doc_id")),
+
+    // domain-mixture sampling: 50/30/20 target mix over three sources
+    // at nOut=60 — src0's quota (30) exceeds its 25 rows so its rate
+    // caps at 1.0 (all kept), the others draw fractionally; rates are
+    // fixed by a tiny count agg and the coin is the same hash-bucket
+    // rule the oracle replays
+    "x_sample_mixture" -> ((s, d) =>
+      Sample.mixtureSample(docs(s, d), "source", "doc_id",
+          targetFracs = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          nOut = 60L)
+        .select("doc_id", "source").orderBy("doc_id")),
 
     // corpus vocabulary: top-100 tokens with count >= 5
     "x_vocab" -> ((s, d) =>
@@ -1224,6 +1265,19 @@ object SparkEntry {
           raw.filter(col("doc_id") < 100), "doc_id", "text", nBuckets = 8192)
         .select(col("doc_id"), col("n_feats"),
           round(col("log_weight"), 6).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR resampling: 50 docs drawn without replacement proportional
+    // to exp(log_weight) via deterministic Gumbel top-k — the draw is
+    // a pure function of (doc_id, seed), so the oracle replays it
+    "x_dsir_resample" -> ((s, d) => {
+      val raw = docs(s, d)
+      val w = graft.ops.Importance.importanceWeights(raw,
+        raw.filter(col("doc_id") < 100), "doc_id", "text", nBuckets = 8192)
+      graft.ops.Importance.resampleByWeight(w, "doc_id", "log_weight", 50)
+        .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight"),
+          round(col("gumbel_key"), 6).as("gumbel_key"))
         .orderBy("doc_id")
     }),
 
@@ -1981,6 +2035,28 @@ object SparkEntry {
        """CASE lang WHEN 'en' THEN 300000 WHEN 'de' THEN 500000 WHEN 'fr' THEN 100000 """ +
        """WHEN 'zh' THEN 0 ELSE 250000 END ORDER BY doc_id"""),
 
+    // the same 201-row bottom-k-by-hash sample, DuckDB's interpolated
+    // quantile over it; probs cast to DOUBLE[] to match Spark's dtype
+    "x_quantile_sample" ->
+      (s"""WITH smp AS (SELECT n_chars FROM documents WHERE doc_id IS NOT NULL """ +
+       s"""ORDER BY ${h60sql("'bottomk::' || CAST(doc_id AS VARCHAR)")}, doc_id LIMIT 201) """ +
+       """SELECT p, round(v, 6) AS value FROM (SELECT """ +
+       """unnest([0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS p, """ +
+       """unnest(quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9])) AS v FROM smp) ORDER BY p"""),
+
+    // mixture thresholds recomputed in SQL: per-domain counts -> rate =
+    // min(1, frac*nOut/c) -> the same round(rate*1e6) integer threshold
+    // (all arithmetic forced to DOUBLE to mirror the Scala driver side)
+    "x_sample_mixture" ->
+      ("""WITH cnt AS (SELECT source AS dm, count(*)::BIGINT AS c FROM documents """ +
+       """WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1), """ +
+       """thr AS (SELECT dm, CAST(round(least(1.0::DOUBLE, """ +
+       """((CASE dm WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 ELSE 0.2 END)::DOUBLE * 60.0) """ +
+       """/ c::DOUBLE) * 1000000.0) AS BIGINT) AS t FROM cnt) """ +
+       """SELECT doc_id, source FROM documents JOIN thr ON source = dm """ +
+       s"""WHERE ${h60sql("'sample:' || COALESCE(source, '') || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 < t """ +
+       """ORDER BY doc_id"""),
+
     "x_vocab" ->
       (s"""SELECT t AS token, count(*) AS cnt FROM (SELECT unnest($TOK) AS t FROM documents) """ +
        """WHERE t <> '' GROUP BY 1 HAVING count(*) >= 5 ORDER BY cnt DESC, token LIMIT 100"""),
@@ -2026,23 +2102,21 @@ object SparkEntry {
     // DSIR log weights recomputed from scratch: hashed-bigram buckets,
     // add-one over the FIXED bucket space, decimal term sum
     "x_dsir_weights" ->
-      (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents), """ +
-       """grams AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 1, 1)), """ +
-       """i -> array_to_string(l[i:i+1], ' '))) AS g FROM toks), """ +
-       s"""feats AS (SELECT doc_id, ${h60sql("g")} % 8192 AS b FROM grams WHERE g <> ''), """ +
-       """dtf AS (SELECT doc_id, b, count(*)::BIGINT AS tf FROM feats GROUP BY 1, 2), """ +
-       """rawm AS (SELECT b, sum(tf)::BIGINT AS c_raw FROM dtf GROUP BY 1), """ +
-       """rawt AS (SELECT coalesce(sum(c_raw), 0)::BIGINT AS t_raw FROM rawm), """ +
-       """tgtm AS (SELECT b, count(*)::BIGINT AS c_tgt FROM feats WHERE doc_id < 100 GROUP BY 1), """ +
-       """tgtt AS (SELECT coalesce(sum(c_tgt), 0)::BIGINT AS t_tgt FROM tgtm), """ +
-       """sc AS (SELECT d.doc_id, sum(CAST(d.tf * """ +
-       """(ln((coalesce(tm.c_tgt, 0) + 1)::DOUBLE / (tt.t_tgt + 8192)::DOUBLE) """ +
-       """- ln((rm.c_raw + 1)::DOUBLE / (rt.t_raw + 8192)::DOUBLE)) AS DECIMAL(28,12))) AS s, """ +
-       """sum(d.tf)::BIGINT AS nf """ +
-       """FROM dtf d JOIN rawm rm USING (b) LEFT JOIN tgtm tm USING (b), rawt rt, tgtt tt GROUP BY 1) """ +
+      (dsirCtes +
        """SELECT doc.doc_id, coalesce(sc.nf, 0)::BIGINT AS n_feats, """ +
        """round(CAST(sc.s AS DOUBLE), 6) AS log_weight """ +
        """FROM documents doc LEFT JOIN sc USING (doc_id) ORDER BY doc.doc_id"""),
+
+    // DSIR resampling replayed: the Gumbel noise is a pure function of
+    // (doc_id, seed) through the same public hash, so the oracle draws
+    // the identical 50-document sample
+    "x_dsir_resample" ->
+      (dsirCtes.stripSuffix(" ") + ", " +
+       s"""sel AS (SELECT doc_id, CAST(s AS DOUBLE) AS lw, CAST(s AS DOUBLE) """ +
+       s"""+ -ln(-ln((${h60sql("doc_id::VARCHAR || ':0'")}::DOUBLE + 0.5) / 1152921504606848000.0)) AS key """ +
+       """FROM sc ORDER BY key DESC, doc_id LIMIT 50) """ +
+       """SELECT doc_id, round(lw, 6) AS log_weight, round(key, 6) AS gumbel_key """ +
+       """FROM sel ORDER BY doc_id"""),
 
     // unigram LM scores recomputed from scratch: identical smoothing,
     // identical DECIMAL(28,12) term sum (order-free), double division

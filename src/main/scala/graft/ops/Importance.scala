@@ -91,4 +91,41 @@ object Importance {
       .select(col(idCol), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         col("log_weight"))
   }
+
+  /** Denominator that keeps the hash-derived uniform strictly below 1:
+    * 2^60 + 1024 (exactly representable as a double; hash60 < 2^60, and
+    * doubles within 128 of 2^60 round UP to it, so a bare 2^60
+    * denominator could yield u = 1.0 and an infinite Gumbel). */
+  private val UniformDenom = 1152921504606848000.0d
+
+  /** Sample `k` documents without replacement with probability
+    * proportional to `exp(logWeightCol)` — the resampling half of the
+    * DSIR recipe — via the Gumbel top-k trick: each document's key is
+    * `log w + G` where `G = -ln(-ln(u))` and `u` is derived
+    * DETERMINISTICALLY from `hash60(id ":" seed)`, so the "random"
+    * draw is reproducible across runs, engines, and retries (the
+    * [[Sample]] discipline: re-runs of a 100 TB selection job must pick
+    * the same documents). Rows with a null log-weight (featureless
+    * documents) are never selected. Output: the weight row plus its
+    * `gumbel_key`, the `k` largest keys.
+    *
+    * Scale shape: the key is one codegen'd expression per row and the
+    * top-k plans as TakeOrdered (per-partition heaps, no global sort) —
+    * but the k winners land on the driver, so k is a SAMPLE size
+    * (bounded by contract like [[Sample.bottomK]]), not a corpus-sized
+    * retention filter; for "keep half the corpus" selection, filter on
+    * a key threshold instead. */
+  def resampleByWeight(weights: DataFrame, idCol: String,
+                       logWeightCol: String, k: Int,
+                       seed: Long = 0L): DataFrame = {
+    require(k >= 1 && k <= 10000000,
+      s"k must be in [1, 10000000] (driver-sized sample), got $k")
+    val h = TextStats.hash60(
+      concat(col(idCol).cast(StringType), lit(":"), lit(seed.toString)))
+    val u = (h.cast(DoubleType) + lit(0.5d)) / lit(UniformDenom)
+    weights.filter(col(logWeightCol).isNotNull)
+      .withColumn("gumbel_key", col(logWeightCol) + -log(-log(u)))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+  }
 }

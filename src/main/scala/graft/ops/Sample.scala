@@ -38,6 +38,45 @@ object Sample {
     df.filter(bucket < thr)
   }
 
+  /** Domain-MIXTURE sampling: draw ~`nOut` rows whose composition
+    * steers toward `targetFracs` (domain → share of the output, each in
+    * [0, 1], summing to <= 1). Each listed domain `d` with `c_d`
+    * available rows is sampled at `rate_d = min(1, frac_d·nOut / c_d)`
+    * through [[stratifiedHash]]'s hash-bucket coin, so the draw is
+    * deterministic and per-domain independent. An UNDERSUPPLIED domain
+    * (quota > availability) contributes everything it has — the
+    * realized total then falls short of `nOut` rather than silently
+    * re-weighting other domains (the caller chose those shares; don't
+    * second-guess them). Unlisted and NULL domains are dropped.
+    *
+    * Scale shape: one tiny groupBy(domain) count over the listed
+    * domains (driver-localized, bounded by `maxDomains` — domain
+    * columns are sources/languages, not ids) to fix the rates, then a
+    * pure per-row hash filter: the corpus itself never shuffles and
+    * the scan prunes to the listed domains. */
+  def mixtureSample(df: DataFrame, domainCol: String, idCol: String,
+                    targetFracs: Map[String, Double], nOut: Long,
+                    maxDomains: Int = 100000): DataFrame = {
+    require(nOut > 0, s"nOut must be positive, got $nOut")
+    require(targetFracs.nonEmpty &&
+      targetFracs.values.forall(f => f >= 0.0 && f <= 1.0) &&
+      targetFracs.values.sum <= 1.0 + 1e-9,
+      "target fractions must be in [0, 1] and sum to <= 1")
+    require(maxDomains > 0 && targetFracs.size <= maxDomains,
+      s"at most $maxDomains listed domains, got ${targetFracs.size}")
+    val counts = df
+      .filter(col(domainCol).isin(targetFracs.keys.toSeq: _*))
+      .groupBy(col(domainCol).cast("string").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect() // bounded: one row per LISTED domain (<= maxDomains)
+    val rates = counts.map { r =>
+      val d = r.getString(0)
+      d -> math.min(1.0, (targetFracs(d) * nOut) / r.getLong(1))
+    }.toMap
+    stratifiedHash(df.filter(col(domainCol).isin(targetFracs.keys.toSeq: _*)),
+      domainCol, idCol, rates, defaultRate = 0.0)
+  }
+
   /** Deterministic train/validation/test split: adds a `split` column
     * assigning each row to the named fraction, by the same hash-bucket
     * rule as [[stratifiedHash]] (so splits are reproducible, disjoint,
@@ -149,6 +188,31 @@ object Sample {
       .orderBy(col("_bk"), col(idCol))
       .limit(k)
       .drop("_bk")
+  }
+
+  /** Quantile ESTIMATION from a deterministic fixed-size sample: exact
+    * linear-interpolation (type-7) percentiles of `valueCol` over the
+    * [[bottomK]] hash sample. Completes the sketch family ([[Sketch]]
+    * covers distinct counts and frequencies) with a quantile estimator
+    * whose single corpus pass is the TakeOrdered sample — no global
+    * sort ever happens; the k winners (id + value only, never text)
+    * reach one task and the percentile runs over k rows. Error is the
+    * classic sample-quantile bound (±O(1/√k) in rank), and because the
+    * sample is keyed on the portable id hash, two runs — or two
+    * engines — estimate from the SAME rows. NULL values inside the
+    * sample are ignored by the percentile aggregate (but still consumed
+    * sample slots — filter upstream if `valueCol` is sparse).
+    * Output: one row per requested probability — (`p`, `value`). */
+  def sampleQuantiles(df: DataFrame, idCol: String, valueCol: String,
+                      probs: Seq[Double], k: Int,
+                      salt: String = ""): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      "probabilities must be in [0, 1]")
+    val ps = probs.toArray
+    bottomK(df.select(col(idCol), col(valueCol)), idCol, k, salt)
+      .agg(percentile(col(valueCol), lit(ps)).as("qs"))
+      .select(posexplode(col("qs")).as(Seq("i", "value")))
+      .select(element_at(lit(ps), col("i") + 1).as("p"), col("value"))
   }
 
   /** [[bottomK]] within each `groupCol` value — "k docs per source" for

@@ -413,6 +413,27 @@ object Drive {
       s"target-distribution docs must outscore the rest ($meanIn <= $meanOut)")
     println(f"importanceWeights -> ${inT.length} target-ish docs mean $meanIn%.3f vs rest $meanOut%.3f")
 
+    println("== r8 drive: DSIR resample, mixture sample, sample quantiles")
+    val sel = graft.ops.Importance.resampleByWeight(iw, "doc_id", "log_weight", 25)
+      .collect()
+    require(sel.length == 25, "resample must return exactly k rows")
+    val selInTarget = sel.count(r => tgtIds(r.getLong(0)))
+    println(s"resampleByWeight -> $selInTarget/25 selected docs are target-ish")
+
+    val mix = graft.ops.Sample.mixtureSample(docsAll, "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), nOut = 40L)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(mix.keySet.subsetOf(Set("src0", "src1", "src2")), s"unlisted domain leaked: $mix")
+    println(s"mixtureSample(nOut=40) -> per-source draw $mix")
+
+    val qs = graft.ops.Sample.sampleQuantiles(docsAll, "doc_id", "n_chars",
+        Seq(0.25, 0.5, 0.75, 0.9), k = 201).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    require(qs.size == 4 && qs(0.25) <= qs(0.5) && qs(0.5) <= qs(0.75) && qs(0.75) <= qs(0.9),
+      s"quantiles must be monotone: $qs")
+    println(s"sampleQuantiles(n_chars) -> $qs")
+
     spark.stop()
     println("== drive done")
   }

@@ -1061,6 +1061,114 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleByWeight: deterministic Gumbel top-k == driver mirror; weight-proportional; nulls excluded") {
+    import graft.ops.Importance
+    // heavy half (log w = 5) ids 0-49, light half (log w = -5) ids 50-99,
+    // one featureless doc with a null weight
+    val w = spark.range(100).select(col("id").as("doc_id"),
+        when(col("id") < 50, lit(5.0)).otherwise(lit(-5.0)).as("log_weight"))
+      .unionByName(Seq((100L, Option.empty[Double])).toDF("doc_id", "log_weight"))
+    val sel = Importance.resampleByWeight(w, "doc_id", "log_weight", 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(sel.length == 20 && !sel.exists(_._1 == 100L))
+    // exp(10) odds ratio: the heavy half must dominate the draw
+    assert(sel.count(_._1 < 50) >= 18)
+
+    // driver-side mirror through the same public hash: the selection and
+    // its order must replay exactly
+    def key(id: Long, lw: Double, seed: Long): Double = {
+      val h = graft.functions.Hash60Kernel.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$id:$seed"))
+      lw + -math.log(-math.log((h.toDouble + 0.5d) / 1152921504606848000.0d))
+    }
+    val mirror = ((0L until 50L).map(id => (id, 5.0)) ++
+        (50L until 100L).map(id => (id, -5.0)))
+      .map { case (id, lw) => (id, lw, key(id, lw, 0L)) }
+      .sortBy { case (id, _, k) => (-k, id) }.take(20)
+    assert(sel.map(_._1).toSeq == mirror.map(_._1))
+    sel.zip(mirror).foreach { case ((_, _, kSpark), (_, _, kMirror)) =>
+      assert(math.abs(kSpark - kMirror) < 1e-9) }
+
+    // a different seed redraws the noise (same heavy pool, new subset)
+    val sel1 = Importance.resampleByWeight(w, "doc_id", "log_weight", 20, seed = 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel1 != sel.map(_._1).toSet)
+    intercept[IllegalArgumentException] {
+      Importance.resampleByWeight(w, "doc_id", "log_weight", 0)
+    }
+  }
+
+  test("mixtureSample: capped + fractional rates, unlisted/null domains dropped, mirror-exact") {
+    import graft.ops.Sample
+    val listed = (0 until 10).map(i => (i.toLong, "a")) ++
+      (100 until 200).map(i => (i.toLong, "b")) ++
+      (300 until 305).map(i => (i.toLong, "c"))
+    val df = (listed ++ Seq((400L, "unlisted"), (401L, null.asInstanceOf[String])))
+      .toDF("doc_id", "dom")
+    val out = Sample.mixtureSample(df, "dom", "doc_id",
+        Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), nOut = 20L)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // quota_a = 0.5*20 = 10 over 10 rows -> rate caps at 1.0: all kept
+    assert(out.count(_._2 == "a") == 10)
+    assert(out.forall(p => Set("a", "b", "c")(p._2)))
+
+    // driver mirror: same rates, same coin, exact set equality
+    def bucket(dom: String, id: Long): Long =
+      graft.functions.Hash60Kernel.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"sample:$dom:$id")) % 1000000L
+    val rates = Map("a" -> 1.0,
+      "b" -> math.min(1.0, (0.3 * 20L) / 100L),
+      "c" -> math.min(1.0, (0.2 * 20L) / 5L))
+    val expected = listed.filter { case (id, d) =>
+      bucket(d, id) < Math.round(rates(d) * 1e6) }
+    assert(out.toSet == expected.toSet)
+    assert(out.exists(_._2 == "b") && out.count(_._2 == "b") < 50,
+      "fractional domain must be thinned, not emptied (sanity of the fixture)")
+
+    intercept[IllegalArgumentException] {
+      Sample.mixtureSample(df, "dom", "doc_id", Map("a" -> 0.6, "b" -> 0.6), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Sample.mixtureSample(df, "dom", "doc_id", Map("a" -> 0.5), 0L)
+    }
+  }
+
+  test("sampleQuantiles: whole-set sample == hand percentiles; subsample mirrors bottomK; nulls ignored") {
+    import graft.ops.Sample
+    // k >= n: the sample is the whole set -> exact type-7 percentiles
+    val df = (1 to 101).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "v")
+    val out = Sample.sampleQuantiles(df, "doc_id", "v", Seq(0.0, 0.25, 0.5, 1.0), 200)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(out(0.0) == 1.0 && out(0.25) == 26.0 &&
+      out(0.5) == 51.0 && out(1.0) == 101.0)
+
+    // k < n: the probed rows are exactly the bottom-k hash sample,
+    // mirrored driver-side through the same public hash + type-7 formula
+    def bk(id: Long): Long = graft.functions.Hash60Kernel.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"bottomk::$id"))
+    val sampleVals = (1L to 101L).sortBy(id => (bk(id), id)).take(50)
+      .map(_.toDouble).sorted
+    def q7(sorted: Seq[Double], p: Double): Double = {
+      val pos = p * (sorted.size - 1)
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      if (lo == hi) sorted(lo)
+      else sorted(lo) * (hi - pos) + sorted(hi) * (pos - lo)
+    }
+    val out2 = Sample.sampleQuantiles(df, "doc_id", "v", Seq(0.1, 0.5, 0.9), 50)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    for (p <- Seq(0.1, 0.5, 0.9))
+      assert(math.abs(out2(p) - q7(sampleVals, p)) < 1e-9, s"p=$p")
+
+    // a null value consumes a sample slot but is ignored by the agg
+    val dfN = df.unionByName(Seq((500L, Option.empty[Double])).toDF("doc_id", "v"))
+    val outN = Sample.sampleQuantiles(dfN, "doc_id", "v", Seq(0.5), 200)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(outN(0.5) == 51.0)
+    intercept[IllegalArgumentException] {
+      Sample.sampleQuantiles(df, "doc_id", "v", Seq(1.5), 10)
+    }
+  }
+
   test("chunk: overlapping windows cover all tokens, short docs yield one chunk") {
     val df = Seq((0L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),  // 10 tokens
       (1L, "a b"), (2L, "solo")).toDF("doc_id", "text")

@@ -216,11 +216,18 @@ object ScaleDrive {
     time("buildTextIndex (360k docs, 256 buckets)") {
       graft.ops.TextIndex.buildTextIndex(corpusSim, "doc_id", "text", tiPath, 256)
     }
+    // probe with real corpus tokens (the synthetic vocab is w<0..4999>);
+    // doc 0 must surface with overlap == the probe's distinct-token count
+    val tiProbe = corpusSim.filter(col("doc_id") === 0)
+      .select(split(col("text"), " ").as("t")).collect()(0)
+      .getSeq[String](0).take(3)
     val tiHits = time("searchIndex probe (3-token query)") {
-      graft.ops.TextIndex.searchIndex(spark, tiPath, "the data quick", 10).collect()
+      graft.ops.TextIndex.searchIndex(spark, tiPath, tiProbe.mkString(" "), 10).collect()
     }
     assert(tiHits.length == 10, s"expected 10 hits, got ${tiHits.length}")
     assert(tiHits.map(_.getLong(1)).forall(o => o >= 1 && o <= 3))
+    assert(tiHits.head.getLong(1) == tiProbe.distinct.length.toLong,
+      s"top hit must match every distinct probe token: ${tiHits.head}")
 
     // Count-Min at volume: 10M tokens over 100k distinct values, width
     // 2^16 — ONE corpus pass whose shuffle moves at most depth×width
@@ -273,6 +280,37 @@ object ScaleDrive {
     assert((0 until 3).forall(i => hhRes.get(s"planted-$i").contains(1000L)),
       s"planted heavies missing/miscounted: $hhRes")
     println(s"  ${hhRes.size} heavy tokens == exact HAVING set; planted 3/3 at cnt=1000")
+
+    // DSIR importance weighting at volume: 300k broad-vocab docs + 10k
+    // planted narrow-vocab docs, target = 5k distinct narrow-vocab docs.
+    // Both models stay bucket-bounded (8192 rows) regardless of corpus
+    // size and ride broadcast joins — the only corpus-sized shuffle is
+    // the per-(doc, bucket) tf aggregation. The narrow vocab (50 words
+    // -> <=2500 distinct bigrams < 8192 buckets) is what makes the
+    // hashed target model non-uniform; a vocab >> bucket count would
+    // wash out to uniform under the modulus and separate nothing.
+    println("== DSIR importance weights over 310k docs (10k target-like planted)")
+    val targetLikeIw = spark.range(10000).select(
+      (col("id") + 40000000L).as("doc_id"),
+      concat_ws(" ", (0 until 30).map(j =>
+        concat(lit("n"), pmod(hash(col("id") * 13 + j), lit(50)))): _*).as("text"))
+    val corpusIw = docsBase.unionByName(targetLikeIw).localCheckpoint(true)
+    val targetIw = spark.range(5000).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 30).map(j =>
+        concat(lit("n"), pmod(hash((col("id") + 77L) * 13 + j), lit(50)))): _*).as("text"))
+    val iwMeans = time("importanceWeights (310k raw, 5k target)") {
+      graft.ops.Importance.importanceWeights(corpusIw, targetIw, "doc_id", "text", 8192)
+        .filter(col("log_weight").isNotNull)
+        .groupBy((col("doc_id") >= 40000000L).as("planted"))
+        .agg(avg(col("log_weight")).as("m"), count(lit(1)).as("n")).collect()
+        .map(r => r.getBoolean(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    }
+    println(f"  planted mean=${iwMeans(true)._1}%.2f (n=${iwMeans(true)._2}) " +
+      f"vs broad mean=${iwMeans(false)._1}%.2f (n=${iwMeans(false)._2})")
+    assert(iwMeans(true)._2 == 10000L && iwMeans(false)._2 == 300000L,
+      "every document must be scored")
+    assert(iwMeans(true)._1 > iwMeans(false)._1 + 10.0,
+      s"target-like docs must clearly outscore broad-vocab docs: $iwMeans")
 
     spark.stop()
   }
