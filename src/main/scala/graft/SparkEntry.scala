@@ -2049,7 +2049,7 @@ object SparkEntry {
     // (all arithmetic forced to DOUBLE to mirror the Scala driver side)
     "x_sample_mixture" ->
       ("""WITH cnt AS (SELECT source AS dm, count(*)::BIGINT AS c FROM documents """ +
-       """WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1), """ +
+       """WHERE source IN ('src0', 'src1', 'src2') AND doc_id IS NOT NULL GROUP BY 1), """ +
        """thr AS (SELECT dm, CAST(round(least(1.0::DOUBLE, """ +
        """((CASE dm WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 ELSE 0.2 END)::DOUBLE * 60.0) """ +
        """/ c::DOUBLE) * 1000000.0) AS BIGINT) AS t FROM cnt) """ +

@@ -35,13 +35,22 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
       .drop("_d")
 
-  /** Word n-gram shingles as a per-row deduped array column. */
-  def shingleArray(text: Column, n: Int): Column = {
+  /** Word n-gram window stream (with repeats): documents shorter than
+    * the gram length contribute their whole token run as the single
+    * gram (the `greatest(..., 1)` clamp — mirrored by every oracle's
+    * `greatest(len - n + 1, 1)`). The one definition of "n-gram" shared
+    * by dedup shingling and [[Importance]]'s features, so the clamp and
+    * join semantics cannot drift apart. */
+  private[ops] def ngramArray(text: Column, n: Int): Column = {
     val toks = TextStats.tokens(text)
-    array_distinct(transform(
+    transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
+      i => concat_ws(" ", slice(toks, i, lit(n))))
   }
+
+  /** Word n-gram shingles as a per-row deduped array column. */
+  def shingleArray(text: Column, n: Int): Column =
+    array_distinct(ngramArray(text, n))
 
   /** Inverted-index exact Jaccard: explode distinct shingle HASHES,
     * self-join on the 8-byte hash, count intersections, normalize by set

@@ -33,17 +33,13 @@ import org.apache.spark.sql.types._
  */
 object Importance {
 
-  /** Word-bigram stream of `textCol` as (id?, bucket) rows — documents
-    * shorter than the gram length contribute their whole token run as
-    * the single gram, mirroring [[Dedup.shingleArray]]'s clamp (and the
-    * oracle's `greatest(len-1, 1)`); whitespace-only documents
-    * contribute nothing. */
+  /** Word-bigram stream of `textCol` as (id?, bucket) rows — the gram
+    * window is [[Dedup.ngramArray]] (WITH repeats: these are term
+    * frequencies, not shingle sets), so the short-doc clamp is the one
+    * shared definition; whitespace-only documents contribute nothing. */
   private def bucketed(df: DataFrame, idCol: Option[String],
                        textCol: String, nBuckets: Int): DataFrame = {
-    val toks = TextStats.tokens(col(textCol))
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val grams = Dedup.ngramArray(col(textCol), 2)
     val idCols: Seq[Column] = idCol.map(c => col(c)).toSeq
     df.select(idCols :+ explode(grams).as("g"): _*)
       .filter(col("g") =!= "")

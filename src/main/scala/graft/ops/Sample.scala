@@ -64,8 +64,12 @@ object Sample {
       "target fractions must be in [0, 1] and sum to <= 1")
     require(maxDomains > 0 && targetFracs.size <= maxDomains,
       s"at most $maxDomains listed domains, got ${targetFracs.size}")
+    // count only rows the coin can actually select: NULL-id rows have
+    // no sampling identity (hashBucket nulls their key), so counting
+    // them would silently deflate every rate below its quota
     val counts = df
-      .filter(col(domainCol).isin(targetFracs.keys.toSeq: _*))
+      .filter(col(domainCol).isin(targetFracs.keys.toSeq: _*) &&
+        col(idCol).isNotNull)
       .groupBy(col(domainCol).cast("string").as("d"))
       .agg(count(lit(1)).as("c"))
       .collect() // bounded: one row per LISTED domain (<= maxDomains)
@@ -209,9 +213,13 @@ object Sample {
     require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
       "probabilities must be in [0, 1]")
     val ps = probs.toArray
+    // an all-NULL (or empty) sample makes the percentile agg NULL —
+    // posexplode(NULL) would emit ZERO rows and break the one-row-per-
+    // probability contract; pad to an array of null estimates instead
+    val nullQs = array(ps.map(_ => lit(null).cast("double")).toSeq: _*)
     bottomK(df.select(col(idCol), col(valueCol)), idCol, k, salt)
       .agg(percentile(col(valueCol), lit(ps)).as("qs"))
-      .select(posexplode(col("qs")).as(Seq("i", "value")))
+      .select(posexplode(coalesce(col("qs"), nullQs)).as(Seq("i", "value")))
       .select(element_at(lit(ps), col("i") + 1).as("p"), col("value"))
   }
 

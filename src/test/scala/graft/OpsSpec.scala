@@ -1125,6 +1125,15 @@ class OpsSpec extends AnyFunSuite {
     assert(out.exists(_._2 == "b") && out.count(_._2 == "b") < 50,
       "fractional domain must be thinned, not emptied (sanity of the fixture)")
 
+    // NULL-id rows have no sampling identity: they are never drawn AND
+    // never counted toward a domain's supply (rates must not deflate)
+    val withNullIds = df.unionByName(
+      Seq((Option.empty[Long], "b"), (Option.empty[Long], "b")).toDF("doc_id", "dom"))
+    val out2 = Sample.mixtureSample(withNullIds, "dom", "doc_id",
+        Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), nOut = 20L)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(out2.toSet == out.toSet)
+
     intercept[IllegalArgumentException] {
       Sample.mixtureSample(df, "dom", "doc_id", Map("a" -> 0.6, "b" -> 0.6), 10L)
     }
@@ -1164,6 +1173,12 @@ class OpsSpec extends AnyFunSuite {
     val outN = Sample.sampleQuantiles(dfN, "doc_id", "v", Seq(0.5), 200)
       .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     assert(outN(0.5) == 51.0)
+
+    // empty sample: still one row per probability, null estimates
+    val empty = Sample.sampleQuantiles(df.filter(lit(false)), "doc_id", "v",
+      Seq(0.25, 0.75), 10).collect()
+    assert(empty.length == 2 && empty.forall(_.isNullAt(1)))
+
     intercept[IllegalArgumentException] {
       Sample.sampleQuantiles(df, "doc_id", "v", Seq(1.5), 10)
     }
