@@ -906,6 +906,16 @@ object SparkEntry {
       finally handle.close()
     }),
 
+    // directional containment over the planted corpus: the " zzz"
+    // variants contain their sources nearly whole (the subset signal
+    // jaccard understates); both directions fall out of ONE join
+    "x_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(plantedDocs(s, d), "doc_id", "text", 3,
+          minContainment = 0.6)
+        .select(col("src_id"), col("dst_id"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("src_id", "dst_id")),
+
     // skew-guarded full-corpus Jaccard: stop-shingles (doc-freq > 100)
     // dropped before the inverted-index join — the hot-key guard at scale
     "x_dedup_jaccard_guard" -> ((s, d) => {
@@ -1076,6 +1086,15 @@ object SparkEntry {
     "x_kmeans_assign" -> ((s, d) =>
       Similarity.kmeansAssign(embs(s, d), "vec_id", "embedding", k = 8, iters = 1)
         .orderBy("vec_id")),
+
+    // per-label embedding centroids, flat (label, dim, value) rows —
+    // fixed-point decimal sums make the means order-free and engine-
+    // exact; one partial-agg shuffle, never an exploded corpus
+    "x_embed_centroids" -> ((s, d) =>
+      Similarity.groupCentroids(embs(s, d), "label", "embedding", dim = 64)
+        .select(col("label"), col("dim"),
+          round(col("centroid"), 6).as("centroid"))
+        .orderBy("label", "dim")),
 
     // trained-codebook IVF: k-means(8, 1 iter) codebook into the
     // nlist/nprobe machinery, exact fixed-point rescoring
@@ -1526,6 +1545,24 @@ object SparkEntry {
       }
     }),
 
+    // native session_window streaming state: gap-based sessions per
+    // user (complete mode — every closed-over session is emitted); the
+    // oracle re-derives sessions with the window's exact break rule
+    // (a gap of EXACTLY 30 min starts a new session: ends exclusive)
+    "x_stream_session" -> ((s, d) =>
+      withStagedStream(s, events(s, d)) { (src, ckpt) =>
+        collectMemorySink(s, name =>
+          graft.streaming.EventStream.sessionWindows(src, "30 minutes", "2 hours")
+            .select(col("user_id"),
+              col("session_window.start").cast("long").as("sess_start"),
+              col("n_events"), col("sum_value"))
+            .writeStream.outputMode("complete").format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(),
+          Seq("user_id", "sess_start"))
+      }),
+
     // streaming windowed aggregation equivalence: windowedCounts under
     // AvailableNow must reproduce the batch tumbling aggregation
     // bit-exactly (decimal-exact sums make the equality well-defined);
@@ -1694,6 +1731,26 @@ object SparkEntry {
        """JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2 """ +
        """ORDER BY jaccard DESC, id1, id2 LIMIT 20"""),
 
+    // containment re-derived over the planted corpus: one undirected
+    // intersection, both directions normalized by their OWN set size,
+    // thresholded before rounding (as the operator does)
+    "x_dedup_containment" ->
+      ("""WITH docs2 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300 """ +
+       """UNION ALL SELECT doc_id + 1000000, text || ' zzz' FROM documents WHERE doc_id < 3), """ +
+       s"""toks AS (SELECT doc_id, $TOK AS l FROM docs2), """ +
+       """shr AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
+       """i -> array_to_string(l[i:i+2], ' '))) AS t FROM toks), """ +
+       s"""shc AS (SELECT DISTINCT doc_id, ${h60sql("t")} AS s FROM shr), """ +
+       """sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1), """ +
+       """inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n FROM shc a """ +
+       """JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), """ +
+       """dirs AS (SELECT id1 AS src_id, id2 AS dst_id, CAST(n AS DOUBLE) / sa.sz AS c """ +
+       """FROM inter JOIN sizes sa ON sa.doc_id = id1 """ +
+       """UNION ALL SELECT id2, id1, CAST(n AS DOUBLE) / sb.sz """ +
+       """FROM inter JOIN sizes sb ON sb.doc_id = id2) """ +
+       """SELECT src_id, dst_id, round(c, 6) AS containment FROM dirs """ +
+       """WHERE c >= 0.6 ORDER BY src_id, dst_id"""),
+
     "x_dedup_jaccard_guard" ->
       (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents), """ +
        """shr AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
@@ -1800,6 +1857,17 @@ object SparkEntry {
       ("""SELECT event_type, (epoch_us(ts) // 1000000) // 1800 AS bucket, count(*) AS n, """ +
        """CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value """ +
        """FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    // gap-rule sessions re-derived in SQL with session_window's exact
+    // break semantics (diff >= gap splits; window ends are exclusive)
+    "x_stream_session" ->
+      ("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events), """ +
+       """o AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s """ +
+       """FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)), """ +
+       """s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM o) """ +
+       """SELECT user_id, (min(us) // 1000000)::BIGINT AS sess_start, count(*) AS n_events, """ +
+       """CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value """ +
+       """FROM s GROUP BY user_id, sid ORDER BY 1, 2"""),
 
     // streaming dedup survivors must carry exactly the distinct-text
     // digest set (planted duplicates dropped, nothing else)
@@ -1937,6 +2005,20 @@ object SparkEntry {
     // vectors; assignment ranks dxy/sqrt(dyy) (row norm dropped — argmax-
     // invariant) from 1e-15 fixed-point dots; member means accumulate
     // round(x*1e15) as exact integers; empty lists keep their seed
+    // centroids re-derived in integer arithmetic: BIGINT sums of the
+    // same round(x*1e15) fixed-point elements (DuckDB promotes to
+    // HUGEINT on overflow), double division last, 1-based subscripts
+    // shifted to the 0-based dim
+    "x_embed_centroids" ->
+      ("""WITH f AS (SELECT label, embedding FROM embeddings WHERE len(embedding) = 64 """ +
+       """AND len(list_filter(embedding, x -> x IS NULL)) = 0), """ +
+       """el AS (SELECT label, generate_subscripts(embedding, 1) AS i, """ +
+       """CAST(unnest(embedding) AS DOUBLE) AS x FROM f), """ +
+       """g AS (SELECT label, i, SUM(CAST(round(x * 1e15) AS BIGINT)) AS sf, COUNT(*) AS cnt FROM el GROUP BY 1, 2) """ +
+       """SELECT label, (i - 1)::BIGINT AS dim, """ +
+       """round(CAST(sf AS DOUBLE) / (cnt * 1e15), 6) AS centroid """ +
+       """FROM g ORDER BY label, dim"""),
+
     "x_kmeans_assign" ->
       (s"""WITH $kmeansCtes """ +
        """SELECT vec_id, j AS list FROM (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn FROM s1) WHERE rn = 1 ORDER BY vec_id"""),

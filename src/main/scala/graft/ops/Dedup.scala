@@ -94,6 +94,21 @@ object Dedup {
   def jaccardPairsWithHandle(df: DataFrame, idCol: String, textCol: String,
                              n: Int = 3, maxDocFreq: Option[Long] = None,
                              cacheIndex: Boolean = true): (DataFrame, JaccardIndexHandle) = {
+    val (pairs, handle) = jaccardIntersections(df, idCol, textCol, n,
+      maxDocFreq, cacheIndex)
+    val result = pairs.select(col("id1"), col("id2"),
+      (col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
+        .as("jaccard"))
+    (result, handle)
+  }
+
+  /** Shared core of [[jaccardPairsWithHandle]] and [[containmentPairs]]:
+    * undirected shingle-set intersections with both set sizes —
+    * (`id1` < `id2`, `inter`, `sz1`, `sz2`) — from ONE hash-keyed
+    * inverted-index self-join. */
+  private def jaccardIntersections(df: DataFrame, idCol: String, textCol: String,
+                                   n: Int, maxDocFreq: Option[Long],
+                                   cacheIndex: Boolean): (DataFrame, JaccardIndexHandle) = {
     val sh0 = df.select(col(idCol).as("doc"),
       explode(graft.functions.native.shingle_hash60(
         TextStats.tokens(col(textCol)), n)).as("s"))
@@ -121,13 +136,42 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id1"), col("b.doc").as("id2"))
       .agg(count(lit(1)).as("inter"))
-    val result = inter
+    val withSizes = inter
       .join(sizes.withColumnRenamed("doc", "id1").withColumnRenamed("sz", "sz1"), "id1")
       .join(sizes.withColumnRenamed("doc", "id2").withColumnRenamed("sz", "sz2"), "id2")
-      .select(col("id1"), col("id2"),
-        (col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
-          .as("jaccard"))
-    (result, handle)
+    (withSizes, handle)
+  }
+
+  /** Directional n-gram CONTAINMENT — `|S_src ∩ S_dst| / |S_src|` for
+    * every ordered pair at or above `minContainment` — the quote /
+    * subset detector Jaccard misses: a short document copied whole into
+    * a long one scores near-zero Jaccard but containment 1.0 (Broder's
+    * containment measure, the resemblance/containment split). Output:
+    * (`src_id`, `dst_id`, `containment`).
+    *
+    * Scale shape: the identical hash-keyed inverted-index self-join as
+    * [[jaccardPairs]] — the undirected intersection is computed ONCE
+    * per pair and both directions are emitted from it by a 2-element
+    * generator, so containment costs the same shuffle as Jaccard, never
+    * a second pass. `maxDocFreq` is the same stop-shingle skew guard
+    * (at corpus scale ALWAYS set it — boilerplate shingles are exactly
+    * the keys that explode this join). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minContainment: Double = 0.5,
+                       maxDocFreq: Option[Long] = None): DataFrame = {
+    require(minContainment >= 0.0 && minContainment <= 1.0,
+      s"minContainment must be in [0, 1], got $minContainment")
+    val (pairs, _) = jaccardIntersections(df, idCol, textCol, n, maxDocFreq,
+      cacheIndex = false)
+    pairs.select(explode(array(
+        struct(col("id1").as("src_id"), col("id2").as("dst_id"),
+          (col("inter").cast(DoubleType) / col("sz1")).as("containment")),
+        struct(col("id2").as("src_id"), col("id1").as("dst_id"),
+          (col("inter").cast(DoubleType) / col("sz2")).as("containment"))))
+        .as("e"))
+      .select(col("e.src_id").as("src_id"), col("e.dst_id").as("dst_id"),
+        col("e.containment").as("containment"))
+      .filter(col("containment") >= minContainment)
   }
 
   /** Affine rehash of a base shingle hash for permutation `i`:

@@ -201,6 +201,44 @@ object Similarity {
       nearestCentroid(col(vecCol), codebook, dyy).as("list"))
   }
 
+  /** Per-group element-wise centroid of an embedding column — domain /
+    * language / cluster prototypes for mixture balancing, drift checks,
+    * and codebook seeding. Output is FLAT — one row per (`groupCol`,
+    * `dim`, `centroid`) — so downstream joins and the SQL oracle never
+    * compare float arrays structurally.
+    *
+    * Numerics: per-dimension sums accumulate as `round(x·1e15)` in
+    * DECIMAL(38,0) — the [[kmeansCodebook]] discipline — so the sum is
+    * exact and order-free at any member count (a Long would overflow
+    * past ~1e7 members; float sums would drift with partitioning), and
+    * the final double division matches an integer-arithmetic oracle
+    * bit-for-bit. Malformed vectors (wrong length, or any NULL element
+    * — those would silently skip the sum while still counting toward
+    * the divisor) are dropped up front, mirroring [[Dedup]]'s
+    * malformed-embedding filter.
+    *
+    * Scale shape: ONE hash shuffle on `groupCol` with map-side partial
+    * aggregation — `dim` decimal accumulators per group per partition,
+    * never an exploded (rows × dim) shuffle; a group with 10^9 members
+    * still folds locally before the exchange. `dim` is capped so the
+    * accumulator row stays executor-friendly. */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String,
+                     dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    val clean = df.filter(size(col(vecCol)) === dim &&
+      !exists(col(vecCol), x => x.isNull))
+    val perDim = (0 until dim).map(i =>
+      sum(round(element_at(col(vecCol), i + 1).cast(DoubleType) * lit(1e15))
+        .cast(DecimalType(38, 0))).as(s"s_$i"))
+    clean.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), perDim: _*)
+      .select(col(groupCol), col("n"),
+        posexplode(array((0 until dim).map(i => col(s"s_$i")): _*))
+          .as(Seq("d", "s")))
+      .select(col(groupCol), col("d").cast(LongType).as("dim"),
+        (col("s").cast(DoubleType) / (col("n") * lit(1e15))).as("centroid"))
+  }
+
   /** Train-and-assign convenience: [[kmeansCodebook]] then the
     * assignment pass. */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,

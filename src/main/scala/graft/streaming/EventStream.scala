@@ -109,13 +109,19 @@ object EventStream {
     stream.join(broadcast(dim), Seq(key), "left")
 
   /** Session windows (gap-based) per user — the streaming form of
-    * [[graft.ops.Sessionize.sessions]]. */
+    * [[graft.ops.Sessionize.sessions]], on the native `session_window`
+    * state (sessions merge while event gaps stay BELOW the gap; an
+    * exactly-gap-sized pause starts a new session — window ends are
+    * exclusive). The value sum rides the [[windowedCounts]] decimal
+    * discipline so the result is micro-batch- and engine-exact. */
   def sessionWindows(stream: DataFrame, gap: String = "30 minutes",
                      watermark: String = "2 hours"): DataFrame =
     withEventTime(stream)
       .withWatermark("event_time", watermark)
       .groupBy(session_window(col("event_time"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
 
   // event_time rides along untouched: the unsupported-operation checker
   // requires the WATERMARKED column itself in the flatMapGroupsWithState

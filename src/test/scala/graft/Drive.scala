@@ -434,6 +434,25 @@ object Drive {
       s"quantiles must be monotone: $qs")
     println(s"sampleQuantiles(n_chars) -> $qs")
 
+    println("== r8 drive: containment pairs, group centroids")
+    val withSubset = docsAll.select("doc_id", "text").unionByName(
+      docsAll.filter(col("doc_id") === 7)
+        .select(lit(8000L).as("doc_id"),
+          concat(col("text"), lit(" tail tokens beyond the source"))
+            .as("text")))
+    val contPairs = graft.ops.Dedup.containmentPairs(withSubset, "doc_id", "text", 3,
+        minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    require(contPairs.get((7L, 8000L)).exists(_ >= 0.99),
+      s"planted superset must contain doc 7: $contPairs")
+    println(s"containmentPairs -> ${contPairs.size} directed pairs >= 0.9; planted containment found")
+
+    val cents = graft.ops.Similarity.groupCentroids(embAll, "label", "embedding", 64)
+      .collect()
+    val nLabels = cents.map(_.getInt(0)).distinct.length
+    require(cents.length == nLabels * 64, "one row per (label, dim)")
+    println(s"groupCentroids -> $nLabels labels x 64 dims, flat rows OK")
+
     spark.stop()
     println("== drive done")
   }

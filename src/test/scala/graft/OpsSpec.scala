@@ -1184,6 +1184,51 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairs: subset scores 1.0 toward its superset, directional, thresholded") {
+    val df = Seq(
+      (1L, "a b c d e f"),     // 4 distinct 3-shingles
+      (2L, "a b c d e f g h"), // those 4 plus 2 more
+      (3L, "x y z w")).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text", 3, minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0)                       // doc1 fully inside doc2
+    assert(math.abs(out((2L, 1L)) - 4.0 / 6.0) < 1e-12) // reverse is partial
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // the subset signal jaccard understates: same pair, lower score
+    val j = Dedup.jaccardPairs(df, "doc_id", "text", 3, cacheIndex = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) < out((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(df, "doc_id", "text", 3, minContainment = 1.5)
+    }
+  }
+
+  test("groupCentroids: exact flat means; wrong-length and null-element vectors dropped whole") {
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 2.0f)),
+      (2L, 0, Seq(3.0f, 4.0f)),
+      (3L, 1, Seq(10.0f, -2.0f)),
+      (4L, 1, Seq(2.0f, 2.0f, 9.9f))) // wrong length -> dropped
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.groupCentroids(df, "label", "embedding", 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 4)
+    assert(out((0, 0L)) == 2.0 && out((0, 1L)) == 3.0)
+    assert(out((1, 0L)) == 10.0 && out((1, 1L)) == -2.0)
+
+    // a null ELEMENT drops the vector whole — it must not skip the sum
+    // while still counting toward the divisor
+    val dfN = Seq((1L, 0, Seq(Option(1.0f), Option.empty[Float])),
+        (2L, 0, Seq(Option(5.0f), Option(7.0f))))
+      .toDF("vec_id", "label", "embedding")
+    val outN = Similarity.groupCentroids(dfN, "label", "embedding", 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(outN((0, 0L)) == 5.0 && outN((0, 1L)) == 7.0)
+    intercept[IllegalArgumentException] {
+      Similarity.groupCentroids(df, "label", "embedding", 0)
+    }
+  }
+
   test("chunk: overlapping windows cover all tokens, short docs yield one chunk") {
     val df = Seq((0L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),  // 10 tokens
       (1L, "a b"), (2L, "solo")).toDF("doc_id", "text")
