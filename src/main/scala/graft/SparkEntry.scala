@@ -2,7 +2,7 @@ package graft
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -735,19 +735,27 @@ object SparkEntry {
   private def embs(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
   private def events(s: SparkSession, d: String) = s.read.parquet(s"$d/events.parquet")
 
-  /** A single far-future event over the events-fixture schema (Long-nano
-    * `ts`): pushes the final watermark past every user's inactivity
-    * deadline so timeout-emitted state drains under AvailableNow. The
-    * invariant lives HERE, once: the 90-day advance must exceed the
-    * userSummaries gap (30 d) + watermark delay (1 h) used by the
-    * `x_stream_user_summary` gate and the StreamingSpec mirror. The
-    * sentinel's own user never emits (and is filtered by user_id < 0
-    * regardless). */
+  /** A single far-future event over the events-fixture schema: pushes
+    * the final watermark past every user's inactivity deadline so
+    * timeout-emitted state drains under AvailableNow. `ts` is advanced
+    * in whichever representation the fixture reads as (Long nanos under
+    * nanosAsLong, a timestamp otherwise — the
+    * [[graft.streaming.EventStream.withEventTime]] split), so the
+    * sentinel unions/writes cleanly against either. The invariant lives
+    * HERE, once: the 90-day advance must exceed the userSummaries gap
+    * (30 d) + watermark delay (1 h) used by the `x_stream_user_summary`
+    * gate and the StreamingSpec mirror. The sentinel's own user never
+    * emits (and is filtered by user_id < 0 regardless). */
   private[graft] def sentinelEvent(ev: DataFrame): DataFrame = {
-    val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
-    ev.limit(1).select(
+    val bumped: Column = ev.schema("ts").dataType match {
+      case LongType => max(col("ts")) + lit(90L * 86400L * 1000000000L)
+      case _        => max(col("ts")) + expr("INTERVAL 90 DAY")
+    }
+    // built FROM the aggregate row (not a driver-side getLong) so the
+    // timestamp never round-trips through an external JVM type
+    ev.agg(bumped.as("ts")).select(
       lit(-1L).as("event_id"),
-      lit(maxTs + 90L * 86400L * 1000000000L).as("ts"),
+      col("ts"),
       lit(-1L).as("user_id"),
       lit("__sentinel").as("event_type"),
       lit(0.0).as("value"),

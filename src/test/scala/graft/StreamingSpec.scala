@@ -145,6 +145,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("doc_id", "text", "event_time")) // digest dropped
   }
 
+  // epoch-µs of `ts` in either fixture representation (Long nanos under
+  // nanosAsLong, a timestamp otherwise — the EventStream.withEventTime
+  // split)
+  private def tsUs(events: org.apache.spark.sql.DataFrame) =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
   // shared mirror of userSummaries' contract: the batch GROUP BY with
   // the same decimal-exact sum, as a comparable row set
   private def userSummaryBatch(events: org.apache.spark.sql.DataFrame) =
@@ -152,8 +161,8 @@ class StreamingSpec extends AnyFunSuite {
         count(lit(1)).as("n_events"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           .cast("double").as("sum_value"),
-        min(expr("ts div 1000")).as("first_us"),
-        max(expr("ts div 1000")).as("last_us"))
+        min(tsUs(events)).as("first_us"),
+        max(tsUs(events)).as("last_us"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getLong(3), r.getLong(4))).toSet
 
@@ -199,14 +208,16 @@ class StreamingSpec extends AnyFunSuite {
     val events = spark.read.parquet(eventsPath)
     val in = TestSpark.tmpDir("streamm-in")
     val ckpt = TestSpark.tmpDir("streamm-ckpt")
+    // slice bounds in epoch-µs so the split works over either ts
+    // representation (the filter re-derives the same µs expression)
     val (tsMin, tsMax) = {
-      val r = events.agg(min(col("ts")), max(col("ts"))).head()
+      val r = events.agg(min(tsUs(events)), max(tsUs(events))).head()
       (r.getLong(0), r.getLong(1))
     }
     val sliceW = (tsMax - tsMin) / 4 + 1
     (0 until 4).foreach { i =>
-      events.filter(col("ts") >= tsMin + i * sliceW &&
-          col("ts") < tsMin + (i + 1) * sliceW)
+      events.filter(tsUs(events) >= tsMin + i * sliceW &&
+          tsUs(events) < tsMin + (i + 1) * sliceW)
         .coalesce(1).write.mode("append").parquet(in)
       Thread.sleep(1100) // mtime orders slice i before slice i+1
     }
