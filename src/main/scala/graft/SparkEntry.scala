@@ -729,7 +729,7 @@ object SparkEntry {
 
   // ----------------------------------------------- extensions: LLM-pipeline ops
 
-  import graft.ops.{AsOfJoin, Cluster, Contamination, Dedup, Multimodal, Sample, Sessionize, Similarity, TextStats}
+  import graft.ops.{AsOfJoin, Cluster, Contamination, Dedup, Multimodal, RangeJoin, Sample, Sessionize, Similarity, TextStats}
 
   private def docs(s: SparkSession, d: String) = s.read.parquet(s"$d/documents.parquet")
   private def embs(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
@@ -1450,6 +1450,50 @@ object SparkEntry {
         Seq("o_orderkey", "o_totalprice"))
         .select("event_id", "user_id", "sec", "o_orderkey", "o_totalprice")
         .orderBy("event_id")
+    }),
+
+    // bucketed range join: each user's first-2h activity window against
+    // ALL events (cross-user — no equi key, the case Spark would plan as
+    // a nested-loop join); RangeJoin rewrites it to an equi join on 2h
+    // time buckets
+    "x_range_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val sec = expr(
+        if (ev.schema("ts").dataType == LongType) "ts div 1000000000"
+        else "unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
+      val p = ev.select(col("event_id"), sec.as("t"), col("value"))
+      val w = ev.groupBy(col("user_id").as("owner"))
+        .agg(min(sec).as("lo"))
+        .withColumn("hi", col("lo") + 7200L - 1L)
+      RangeJoin.pointInInterval(p, col("t"), w, col("lo"), col("hi"), 7200L)
+        .groupBy("owner")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6)))
+            .cast(DoubleType).as("sum_value"))
+        .orderBy("owner")
+    }),
+
+    // bucketed interval-overlap join: 14-day order-date windows over an
+    // orderkey sample, overlapping pairs found via canonical-bucket
+    // banding (no dedup shuffle), top-100 by overlap length
+    "x_range_overlap" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .filter(pmod(col("o_orderkey"), lit(29L)) === 0)
+        .select(col("o_orderkey"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000").as("lo"))
+        .withColumn("hi", col("lo") + 14L * 86400L - 1L)
+      val l = o.select(col("o_orderkey").as("l_key"), col("lo").as("l_lo"),
+        col("hi").as("l_hi"))
+      val r = o.select(col("o_orderkey").as("r_key"), col("lo").as("r_lo"),
+        col("hi").as("r_hi"))
+      RangeJoin.intervalOverlap(l, col("l_lo"), col("l_hi"),
+          r, col("r_lo"), col("r_hi"), 14L * 86400L)
+        .filter(col("l_key") < col("r_key"))
+        .select(col("l_key"), col("r_key"),
+          (least(col("l_hi"), col("r_hi")) -
+            greatest(col("l_lo"), col("r_lo")) + 1L).as("overlap_sec"))
+        .orderBy(col("overlap_sec").desc, col("l_key"), col("r_key"))
+        .limit(100)
     }),
 
     // broadcast join + per-group top-k window
@@ -2332,6 +2376,24 @@ object SparkEntry {
        """SELECT ev.event_id, ev.user_id, ev.sec, od.o_orderkey, od.o_totalprice """ +
        """FROM ev ASOF LEFT JOIN od ON ev.user_id = od.o_custkey AND ev.sec >= od.osec """ +
        """ORDER BY ev.event_id"""),
+
+    "x_range_join" ->
+      ("""WITH p AS (SELECT event_id, epoch_us(ts) // 1000000 AS t, value FROM events), """ +
+       """w AS (SELECT user_id AS owner, min(epoch_us(ts) // 1000000) AS lo, """ +
+       """min(epoch_us(ts) // 1000000) + 7199 AS hi FROM events GROUP BY 1) """ +
+       """SELECT owner, count(*) AS n_events, """ +
+       """CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value """ +
+       """FROM w JOIN p ON p.t >= w.lo AND p.t <= w.hi """ +
+       """GROUP BY 1 ORDER BY 1"""),
+
+    "x_range_overlap" ->
+      ("""WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) // 1000000 AS lo, """ +
+       """epoch_us(o_orderdate) // 1000000 + 14*86400 - 1 AS hi FROM orders WHERE o_orderkey % 29 = 0) """ +
+       """SELECT a.o_orderkey AS l_key, b.o_orderkey AS r_key, """ +
+       """least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS overlap_sec """ +
+       """FROM o a JOIN o b ON a.o_orderkey < b.o_orderkey """ +
+       """AND greatest(a.lo, b.lo) <= least(a.hi, b.hi) """ +
+       """ORDER BY overlap_sec DESC, l_key, r_key LIMIT 100"""),
 
     "x_join_topk" ->
       ("""WITH ranked AS (SELECT o_orderpriority, o_orderkey, o_totalprice, c_name, n_name, """ +

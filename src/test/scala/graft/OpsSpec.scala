@@ -1292,6 +1292,82 @@ class OpsSpec extends AnyFunSuite {
     assert(out("e3") == null)   // key 2 has no right rows
   }
 
+  test("range join: bucketed pointInInterval == naive non-equi join; no nested-loop plan") {
+    // negatives, bucket-boundary values, inclusive endpoints, NULLs
+    val points = Seq((1L, java.lang.Long.valueOf(-25L)),
+      (2L, java.lang.Long.valueOf(-10L)), (3L, java.lang.Long.valueOf(0L)),
+      (4L, java.lang.Long.valueOf(9L)), (5L, java.lang.Long.valueOf(10L)),
+      (6L, java.lang.Long.valueOf(37L)), (7L, java.lang.Long.valueOf(100L)),
+      (8L, null.asInstanceOf[java.lang.Long]))
+      .toDF("pid", "t")
+    val ivs = Seq((10L, java.lang.Long.valueOf(-30L), java.lang.Long.valueOf(-20L)),
+      (11L, java.lang.Long.valueOf(-10L), java.lang.Long.valueOf(10L)),
+      (12L, java.lang.Long.valueOf(0L), java.lang.Long.valueOf(0L)),
+      (13L, java.lang.Long.valueOf(9L), java.lang.Long.valueOf(37L)),
+      (14L, java.lang.Long.valueOf(90L), java.lang.Long.valueOf(99L)),
+      (15L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5L)))
+      .toDF("ik", "lo", "hi")
+    for (w <- Seq(1L, 7L, 10L, 1000L)) {
+      val got = RangeJoin.pointInInterval(points, col("t"), ivs,
+          col("lo"), col("hi"), w)
+        .select("pid", "ik").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = points.as("p").join(ivs.as("i"),
+          col("t") >= col("lo") && col("t") <= col("hi"))
+        .select("pid", "ik").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"bucketWidth=$w")
+      assert(want.contains((3L, 12L)) && want.contains((4L, 13L)) &&
+        want.contains((6L, 13L)) && want.contains((1L, 10L)))  // sanity: non-trivial
+      assert(!want.exists(_._1 == 8L) && !want.exists(_._2 == 15L)) // NULLs drop
+    }
+    val plan = RangeJoin.pointInInterval(points, col("t"), ivs,
+      col("lo"), col("hi"), 10L).queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join must plan as an equi join, got:\n$plan")
+  }
+
+  test("range join: intervalOverlap == naive, touching endpoints overlap, emitted once") {
+    val mk = (rows: Seq[(Long, Long, Long)], p: String) =>
+      rows.toDF(s"${p}k", s"${p}lo", s"${p}hi")
+    val left = mk(Seq((1L, 0L, 10L), (2L, 25L, 40L), (3L, -15L, -5L), (4L, 100L, 100L)), "l")
+    val right = mk(Seq((10L, 10L, 20L), (11L, 41L, 50L), (12L, -100L, 0L), (13L, 5L, 30L)), "r")
+    for (w <- Seq(1L, 8L, 64L)) {
+      val out = RangeJoin.intervalOverlap(left, col("llo"), col("lhi"),
+          right, col("rlo"), col("rhi"), w)
+        .select("lk", "rk").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = left.join(right,
+          greatest(col("llo"), col("rlo")) <= least(col("lhi"), col("rhi")))
+        .select("lk", "rk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out.toSet == want, s"bucketWidth=$w")
+      assert(out.length == out.toSet.size, s"pair emitted twice at bucketWidth=$w")
+      assert(want.contains((1L, 10L)))   // touching endpoints (10 == 10) overlap
+      assert(want.contains((3L, 12L)))   // negative ranges
+      assert(!want.contains((2L, 11L)))  // gap of 1 does not
+    }
+  }
+
+  test("range join: reversed interval and bucket explosion raise; zero/neg width rejected") {
+    val points = Seq((1L, 5L)).toDF("pid", "t")
+    val bad = Seq((1L, 20L, 10L)).toDF("ik", "lo", "hi")
+    val e1 = intercept[Exception] {
+      RangeJoin.pointInInterval(points, col("t"), bad, col("lo"), col("hi"), 10L)
+        .collect()
+    }
+    assert(e1.getMessage.contains("reversed interval"))
+    val wide = Seq((1L, 0L, Long.MaxValue / 4)).toDF("ik", "lo", "hi")
+    val e2 = intercept[Exception] {
+      RangeJoin.pointInInterval(points, col("t"), wide, col("lo"), col("hi"), 10L)
+        .collect()
+    }
+    assert(e2.getMessage.contains("buckets"))
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, col("t"), bad, col("lo"), col("hi"), 0L)
+    }
+    intercept[IllegalArgumentException] { // overlapping column names refused
+      RangeJoin.pointInInterval(points.withColumnRenamed("pid", "ik"), col("t"),
+        bad, col("lo"), col("hi"), 10L)
+    }
+  }
+
   test("multimodal: payload/meta schema and deterministic featurize") {
     val df = Multimodal.decodeStub(Multimodal.attachPayload(docsDf, "text"))
     val m = df.filter($"doc_id" === 0).select("media_meta.*").collect()(0)
