@@ -770,6 +770,28 @@ object SparkEntry {
   private def h60sql(arg: String) = hexsql(s"md5($arg)")
   private val EN_STOP = "['the','a','of','to','and','in','is','it']"
 
+  /** Cross-corpus LSH oracle, shared by `x_dedup_cross` (direct join)
+    * and `x_dedup_cross_indexed` (persisted-index probe) — the index is
+    * a materialization detail invisible to the result. */
+  private lazy val crossDedupOracle: String =
+    s"""WITH docs2 AS (SELECT 0 AS side, doc_id, text FROM documents WHERE doc_id < 200 """ +
+    """UNION ALL SELECT 1, doc_id, text FROM documents WHERE doc_id >= 200 AND doc_id < 300 """ +
+    """UNION ALL SELECT 1, doc_id + 2000000, text || ' zzz' FROM documents WHERE doc_id < 3), """ +
+    s"""toks AS (SELECT side, doc_id, $TOK AS l FROM docs2), """ +
+    """sh AS (SELECT DISTINCT side, doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
+    """i -> array_to_string(l[i:i+2], ' '))) AS s FROM toks), """ +
+    s"""hm AS (SELECT side, doc_id, ${h60sql("s")} % 2147483647 AS h FROM sh), """ +
+    """sig AS (SELECT side, doc_id, g.i AS i, """ +
+    """min((((g.i * 2654435761) % 2147483647 + 1) * h + (g.i * 40503) % 2147483647 + 7) % 2147483647) AS mh """ +
+    """FROM hm, generate_series(0, 31) g(i) GROUP BY 1, 2, 3), """ +
+    """bands AS (SELECT side, doc_id, i // 4 AS band, list(mh ORDER BY i) AS bl FROM sig GROUP BY side, doc_id, i // 4), """ +
+    """cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_ref FROM bands a """ +
+    """JOIN bands b ON a.band = b.band AND a.bl = b.bl AND a.side = 1 AND b.side = 0), """ +
+    """agree AS (SELECT c.id_new, c.id_ref, SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS est """ +
+    """FROM cand c JOIN sig sa ON sa.doc_id = c.id_new AND sa.side = 1 """ +
+    """JOIN sig sb ON sb.doc_id = c.id_ref AND sb.side = 0 AND sa.i = sb.i GROUP BY 1, 2) """ +
+    """SELECT id_new, id_ref, est AS est_jaccard FROM agree WHERE est >= 0.5 ORDER BY id_new, id_ref"""
+
   /** Shared DuckDB CTE chain for the DSIR oracles: hashed word-bigram
     * buckets → per-(doc, bucket) tf → raw/target unigram-over-bucket
     * models (target = doc_id < 100) → per-doc decimal log-ratio sum
@@ -842,6 +864,31 @@ object SparkEntry {
       val path = indexPath("ti_", d)
       graft.ops.TextIndex.buildTextIndex(docs(s, d), "doc_id", "text", path,
         nBuckets = 64)
+      path
+    })
+
+  /** The two sides of the cross-corpus dedup gates: the reference
+    * snapshot (docs < 200) and the fresh batch (docs 200-299 plus 3
+    * planted variants of reference docs) — shared by the direct-join
+    * and persisted-index forms so both compare against the SAME oracle. */
+  private def crossRefCorpus(s: SparkSession, d: String) =
+    docs(s, d).filter(col("doc_id") < 200).select("doc_id", "text")
+  private def crossFreshBatch(s: SparkSession, d: String) =
+    docs(s, d)
+      .filter(col("doc_id") >= 200 && col("doc_id") < 300)
+      .select("doc_id", "text")
+      .unionByName(docs(s, d).filter(col("doc_id") < 3)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zzz")).as("text")))
+
+  private val dedupIndexes = new ConcurrentHashMap[String, String]()
+  /** Build-once dedup index over the cross-corpus reference snapshot
+    * (same discipline as [[ivfIndex]]/[[textIndex]]). */
+  private def dedupIndex(s: SparkSession, d: String): String =
+    dedupIndexes.computeIfAbsent(d, { _ =>
+      val path = indexPath("di_", d)
+      graft.ops.DedupIndex.buildDedupIndex(crossRefCorpus(s, d),
+        "doc_id", "text", path, 3, 32, 8)
       path
     })
 
@@ -958,18 +1005,22 @@ object SparkEntry {
     // CROSS-corpus near-dup: a fresh batch (docs 200-299 plus 3 planted
     // variants of reference docs) deduped against the reference snapshot
     // (docs < 200) — the banded-LSH join between two corpora
-    "x_dedup_cross" -> ((s, d) => {
-      val ref = docs(s, d).filter(col("doc_id") < 200).select("doc_id", "text")
-      val fresh = docs(s, d)
-        .filter(col("doc_id") >= 200 && col("doc_id") < 300)
-        .select("doc_id", "text")
-        .unionByName(docs(s, d).filter(col("doc_id") < 3)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
-            concat(col("text"), lit(" zzz")).as("text")))
-      Dedup.minhashPairsAgainst(fresh, ref, "doc_id", "text", 3, 32, 8)
+    "x_dedup_cross" -> ((s, d) =>
+      Dedup.minhashPairsAgainst(crossFreshBatch(s, d), crossRefCorpus(s, d),
+          "doc_id", "text", 3, 32, 8)
         .filter(col("est_jaccard") >= 0.5)
-        .orderBy("id_new", "id_ref")
-    }),
+        .orderBy("id_new", "id_ref")),
+
+    // the same cross-corpus dedup served from the PERSISTED index: the
+    // reference snapshot's signatures/bands are built once per process
+    // and the probe runs through the freshness contract — text of the
+    // reference corpus is never re-read at probe time
+    "x_dedup_cross_indexed" -> ((s, d) =>
+      graft.ops.DedupIndex.pairsAgainstIndex(s, dedupIndex(s, d),
+          crossFreshBatch(s, d), "doc_id", "text",
+          verifyAgainst = Some((crossRefCorpus(s, d), "doc_id")))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("id_new", "id_ref")),
 
     // intra-doc line dedup: planted repeated lines collapse to their
     // first occurrence, blank lines survive
@@ -1829,24 +1880,12 @@ object SparkEntry {
 
     // cross-corpus LSH: one combined side-tagged corpus through the same
     // sig/band chain, candidates = new-side × ref-side band collisions
-    "x_dedup_cross" ->
-      (s"""WITH docs2 AS (SELECT 0 AS side, doc_id, text FROM documents WHERE doc_id < 200 """ +
-       """UNION ALL SELECT 1, doc_id, text FROM documents WHERE doc_id >= 200 AND doc_id < 300 """ +
-       """UNION ALL SELECT 1, doc_id + 2000000, text || ' zzz' FROM documents WHERE doc_id < 3), """ +
-       s"""toks AS (SELECT side, doc_id, $TOK AS l FROM docs2), """ +
-       """sh AS (SELECT DISTINCT side, doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
-       """i -> array_to_string(l[i:i+2], ' '))) AS s FROM toks), """ +
-       s"""hm AS (SELECT side, doc_id, ${h60sql("s")} % 2147483647 AS h FROM sh), """ +
-       """sig AS (SELECT side, doc_id, g.i AS i, """ +
-       """min((((g.i * 2654435761) % 2147483647 + 1) * h + (g.i * 40503) % 2147483647 + 7) % 2147483647) AS mh """ +
-       """FROM hm, generate_series(0, 31) g(i) GROUP BY 1, 2, 3), """ +
-       """bands AS (SELECT side, doc_id, i // 4 AS band, list(mh ORDER BY i) AS bl FROM sig GROUP BY side, doc_id, i // 4), """ +
-       """cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_ref FROM bands a """ +
-       """JOIN bands b ON a.band = b.band AND a.bl = b.bl AND a.side = 1 AND b.side = 0), """ +
-       """agree AS (SELECT c.id_new, c.id_ref, SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS est """ +
-       """FROM cand c JOIN sig sa ON sa.doc_id = c.id_new AND sa.side = 1 """ +
-       """JOIN sig sb ON sb.doc_id = c.id_ref AND sb.side = 0 AND sa.i = sb.i GROUP BY 1, 2) """ +
-       """SELECT id_new, id_ref, est AS est_jaccard FROM agree WHERE est >= 0.5 ORDER BY id_new, id_ref"""),
+    "x_dedup_cross" -> crossDedupOracle,
+
+    // the persisted index materializes the ref side's signatures/bands;
+    // the probe result is identical to the direct cross-corpus join, so
+    // the oracle is shared verbatim
+    "x_dedup_cross_indexed" -> crossDedupOracle,
 
     // intra-doc dedup: first occurrence per (doc, line) via a window,
     // blanks exempt, reassembled in position order

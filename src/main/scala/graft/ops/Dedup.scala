@@ -222,16 +222,26 @@ object Dedup {
     * choice: without it, CollapseProject inlines the whole signature
     * expression into the Generate below and re-evaluates it once per
     * emitted band row (bands× the cost). */
-  private def bandedSigs(df: DataFrame, idCol: String, textCol: String,
-                         n: Int, numHashes: Int, bands: Int,
-                         idOut: String, sigOut: String): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
+  private[ops] def bandedSigs(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, numHashes: Int, bands: Int,
+                              idOut: String, sigOut: String): DataFrame =
     // the null filter sits on the TEXT column, not the signature: a
     // filter on `sig` gets predicate-pushed below the projection and the
     // minhash kernel (the dominant per-row cost) would run twice per row
     // — text IS NULL ⟺ sig IS NULL, and the text check pushes to the scan
-    minhashSignatures(df.filter(col(textCol).isNotNull), idCol, textCol, n, numHashes)
+    bandedFromSigs(
+      minhashSignatures(df.filter(col(textCol).isNotNull), idCol, textCol, n, numHashes),
+      idCol, numHashes, bands, idOut, sigOut)
+
+  /** The banding half of [[bandedSigs]], over an EXISTING signature frame
+    * (`idCol`, `sig`) — shared with [[DedupIndex]], whose probe bands
+    * signatures loaded back from disk. */
+  private[ops] def bandedFromSigs(sigs: DataFrame, idCol: String,
+                                  numHashes: Int, bands: Int,
+                                  idOut: String, sigOut: String): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    sigs
       .repartition(col(idCol))
       .select(col(idCol), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -239,6 +249,12 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
       .withColumnRenamed(idCol, idOut).withColumnRenamed("sig", sigOut)
   }
+
+  /** Fraction of agreeing positions between two equal-length signatures —
+    * the unbiased MinHash Jaccard estimate. */
+  private[ops] def estJaccard(sig1: Column, sig2: Column): Column =
+    size(filter(zip_with(sig1, sig2, (x, y) => x === y), b => b))
+      .cast(DoubleType) / size(sig1).cast(DoubleType)
 
   /** Banded-LSH candidate pairs + signature-estimated Jaccard.
     * bands×rowsPerBand must equal the signature length. Cost is driven by
@@ -253,8 +269,7 @@ object Dedup {
         col("a.sig").as("sig1"), col("b.sig").as("sig2"))
       .dropDuplicates("id1", "id2")
     cand.select(col("id1"), col("id2"),
-      (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
-        .cast(DoubleType) / size(col("sig1")).cast(DoubleType)).as("est_jaccard"))
+      estJaccard(col("sig1"), col("sig2")).as("est_jaccard"))
   }
 
   /** CROSS-corpus near-dup: banded-LSH candidate pairs between a NEW
@@ -281,8 +296,7 @@ object Dedup {
       .select(col("id_new"), col("id_ref"), col("sig_new"), col("sig_ref"))
       .dropDuplicates("id_new", "id_ref")
     cand.select(col("id_new"), col("id_ref"),
-      (size(filter(zip_with(col("sig_new"), col("sig_ref"), (x, y) => x === y), b => b))
-        .cast(DoubleType) / size(col("sig_new")).cast(DoubleType)).as("est_jaccard"))
+      estJaccard(col("sig_new"), col("sig_ref")).as("est_jaccard"))
   }
 
   /** Remove from `dfNew` every document whose estimated Jaccard against

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Persisted MinHash/LSH dedup index — the incremental form of
+ * [[Dedup.minhashPairsAgainst]]: tokenize + minhash the cleaned corpus
+ * ONCE, persist its banded fingerprints, and dedupe every incoming crawl
+ * batch against the index without ever re-reading the corpus text. The
+ * third member of the build-once/probe-many family
+ * ([[Similarity.buildIvfIndex]] vectors, [[TextIndex.buildTextIndex]]
+ * tokens — same `_meta` sidecar + hashed freshness-stamp discipline).
+ *
+ * Layout at `path`:
+ *  - `sigs/`  — one row per indexed document: (`id`, `sig`) where `sig`
+ *    is the numHashes-long MinHash signature;
+ *  - `bands/` — the banded LSH form: (`band`, `bh`, `id`), one row per
+ *    (document, band), sorted by (band, bh) within files;
+ *  - `_meta`  — shingle width `n`, `num_hashes`, `bands`, and the build
+ *    stamp (row count + id-hash sum, observed on the build's own write
+ *    job — the [[Similarity.stampExprs]] contract).
+ *
+ * Probe parameters (n / numHashes / bands) come FROM the index, never
+ * from the caller — a probe hashed with different parameters than the
+ * build would silently find nothing, so the drift is made impossible
+ * rather than documented.
+ *
+ * Scale shape of a probe: the incoming batch is minhashed per-row
+ * (native kernel, no shuffle) and banded; candidates come from a
+ * (band, bh) equi-join of the batch's bands against `bands/` — the
+ * index side streams 16-byte rows into the join, TEXT IS NEVER RE-READ
+ * (that re-tokenize + re-minhash of the full reference corpus per batch
+ * is exactly what [[Dedup.minhashPairsAgainst]] costs and this index
+ * amortizes). The candidate set (real collisions only) is then joined
+ * to `sigs/` on id for the Jaccard estimate; it is collision-sized, so
+ * AQE broadcasts it and the signature table is scanned once without a
+ * shuffle. Nothing in any stage is |batch|×|corpus|.
+ */
+object DedupIndex {
+
+  /** Build the index at `path` over `df` (the reference corpus). NULL
+    * ids fail loudly per row (an unkeyed fingerprint could never be
+    * matched back); NULL-text rows are not indexed (matching
+    * [[Dedup.minhashPairsAgainst]], where they can never be near-dup
+    * evidence) but still count into the freshness stamp, which covers
+    * the WHOLE source frame exactly like the IVF/text builds. */
+  def buildDedupIndex(df: DataFrame, idCol: String, textCol: String,
+                      path: String, n: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8): Unit = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val spark = df.sparkSession
+    val idL = when(col(idCol).cast(LongType).isNotNull, col(idCol).cast(LongType))
+      .otherwise(raise_error(concat(
+        lit(s"buildDedupIndex: id column '$idCol' must be non-null and numeric, got: "),
+        coalesce(col(idCol).cast(StringType), lit("NULL")))))
+    val obs = org.apache.spark.sql.Observation()
+    // stamp observed on the source rows BEFORE the text filter, so it
+    // describes the exact frame a later requireDedupIndexFresh re-scans
+    val base = df
+      .select(idL.as("id"), col(textCol).as("text"))
+      .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
+    val sigs = base.filter(col("text").isNotNull)
+      .select(col("id"),
+        graft.functions.native.minhash_sig_tokens(
+          TextStats.tokens(col("text")), n, numHashes).as("sig"))
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    val stamp = Similarity.stampOf(obs.get)
+    // bands are derived from the PERSISTED signatures — the minhash
+    // kernel (the dominant build cost) runs once, and the banded form
+    // can never drift from the signatures it summarizes
+    Dedup.bandedFromSigs(spark.read.parquet(s"$path/sigs"), "id",
+        numHashes, bands, "id", "sig")
+      .select(col("band"), col("bh"), col("id"))
+      .repartition(col("band"), col("bh"))
+      .sortWithinPartitions("band", "bh", "id")
+      .write.mode("overwrite").parquet(s"$path/bands")
+    spark.range(1).select(
+        lit(n).as("n"),
+        lit(numHashes).as("num_hashes"),
+        lit(bands).as("bands"),
+        lit(stamp.nRows).as("n_rows"),
+        lit(stamp.idHashSum).cast(DecimalType(38, 0)).as("id_hash_sum"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  private final case class DiMeta(n: Int, numHashes: Int, bands: Int,
+                                  stamp: Similarity.IvfStamp)
+
+  private def loadMeta(spark: SparkSession, path: String): DiMeta = {
+    val r = spark.read.parquet(s"$path/_meta")
+      .select("n", "num_hashes", "bands", "n_rows", "id_hash_sum").head()
+    DiMeta(r.getInt(0), r.getInt(1), r.getInt(2),
+      Similarity.IvfStamp(r.getLong(3), r.getDecimal(4)))
+  }
+
+  /** Freshness contract: the index's build stamp vs the live reference
+    * table (a column-pruned ids-only scan — text never read). Throws
+    * `IllegalStateException` on mismatch; rebuilding clears it. */
+  def requireDedupIndexFresh(spark: SparkSession, path: String,
+                             ref: DataFrame, idCol: String): Unit =
+    Similarity.requireStampFresh("dedup index", path,
+      loadMeta(spark, path).stamp, Similarity.sourceStamp(ref, idCol),
+      "buildDedupIndex")
+
+  /** Candidate near-dup pairs between `dfNew` (an incoming batch) and
+    * the indexed corpus: (`id_new`, `id_ref`, `est_jaccard`), one row
+    * per colliding pair — identical to
+    * `Dedup.minhashPairsAgainst(dfNew, ref, …)` with the index's build
+    * parameters, with the reference side served entirely from the index.
+    *
+    * @param verifyAgainst when set (live reference frame, id column),
+    *                      the freshness contract runs before the probe —
+    *                      the build-once/probe-many API shape a pipeline
+    *                      should call. */
+  def pairsAgainstIndex(spark: SparkSession, path: String,
+                        dfNew: DataFrame, idCol: String, textCol: String,
+                        verifyAgainst: Option[(DataFrame, String)] = None)
+      : DataFrame = {
+    val meta = loadMeta(spark, path)
+    verifyAgainst.foreach { case (ref, refId) =>
+      requireDedupIndexFresh(spark, path, ref, refId) }
+    val newBanded = Dedup.bandedSigs(dfNew, idCol, textCol,
+      meta.n, meta.numHashes, meta.bands, "id_new", "sig_new")
+    val idx = spark.read.parquet(s"$path/bands")
+      .select(col("band"), col("bh"), col("id").as("id_ref"))
+    val cand = newBanded.join(idx, Seq("band", "bh"))
+      .select(col("id_new"), col("id_ref"), col("sig_new"))
+      .dropDuplicates("id_new", "id_ref")
+    val sigs = spark.read.parquet(s"$path/sigs")
+      .select(col("id").as("id_ref"), col("sig").as("sig_ref"))
+    cand.join(sigs, "id_ref")
+      .select(col("id_new"), col("id_ref"),
+        Dedup.estJaccard(col("sig_new"), col("sig_ref")).as("est_jaccard"))
+  }
+
+  /** Remove from `dfNew` every document whose estimated Jaccard against
+    * ANY indexed document reaches `minEstJaccard` — the incremental
+    * [[Dedup.dedupAgainst]]. The matched id set holds only colliding
+    * ids (small), so AQE broadcasts the anti-join. */
+  def dedupAgainstIndex(spark: SparkSession, path: String,
+                        dfNew: DataFrame, idCol: String, textCol: String,
+                        minEstJaccard: Double = 0.5,
+                        verifyAgainst: Option[(DataFrame, String)] = None)
+      : DataFrame = {
+    val matched = pairsAgainstIndex(spark, path, dfNew, idCol, textCol,
+        verifyAgainst)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_new").as(idCol)).distinct()
+    dfNew.join(matched, Seq(idCol), "left_anti")
+  }
+}

@@ -1292,6 +1292,51 @@ class OpsSpec extends AnyFunSuite {
     assert(out("e3") == null)   // key 2 has no right rows
   }
 
+  test("dedup index: persisted probe == direct cross-corpus join; params ride the index") {
+    val ref = docsDf.filter($"doc_id" < 4)
+    val batch = docsDf.filter($"doc_id" >= 4)
+      .unionByName(docsDf.filter($"doc_id" === 0)
+        .select(($"doc_id" + 100L).as("doc_id"),
+          concat($"text", lit(" zzz")).as("text")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_new", "id_ref", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // bands=4 ≠ the build default of 8: a probe that fell back to its own
+    // defaults instead of the persisted parameters would find a different
+    // candidate set
+    val path = TestSpark.tmpDir("dedup-idx")
+    DedupIndex.buildDedupIndex(ref, "doc_id", "text", path,
+      n = 3, numHashes = 16, bands = 4)
+    val direct = rows(Dedup.minhashPairsAgainst(batch, ref, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4))
+    val probed = rows(DedupIndex.pairsAgainstIndex(spark, path, batch,
+      "doc_id", "text", verifyAgainst = Some((ref, "doc_id"))))
+    assert(probed == direct)
+    assert(probed.exists { case (idNew, idRef, est) =>
+      idNew == 100L && idRef == 0L && est > 0.5 })  // planted near-dup found
+    // the one-call anti-join form drops exactly the matched batch ids
+    val kept = DedupIndex.dedupAgainstIndex(spark, path, batch,
+        "doc_id", "text", minEstJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val matchedIds = probed.collect { case (idNew, _, est) if est >= 0.5 => idNew }
+    assert(kept == batch.select("doc_id").collect().map(_.getLong(0)).toSet -- matchedIds)
+  }
+
+  test("dedup index: stale index refused, rebuild clears it") {
+    val ref = docsDf.filter($"doc_id" < 4)
+    val path = TestSpark.tmpDir("dedup-idx-stale")
+    DedupIndex.buildDedupIndex(ref, "doc_id", "text", path)
+    DedupIndex.requireDedupIndexFresh(spark, path, ref, "doc_id") // fresh passes
+    val churned = ref.unionByName(Seq((99L, "a brand new document")).toDF("doc_id", "text"))
+    val e = intercept[IllegalStateException] {
+      DedupIndex.pairsAgainstIndex(spark, path, churned, "doc_id", "text",
+        verifyAgainst = Some((churned, "doc_id"))).collect()
+    }
+    assert(e.getMessage.contains("STALE") && e.getMessage.contains("buildDedupIndex"))
+    DedupIndex.buildDedupIndex(churned, "doc_id", "text", path)
+    DedupIndex.requireDedupIndexFresh(spark, path, churned, "doc_id")
+  }
+
   test("range join: bucketed pointInInterval == naive non-equi join; no nested-loop plan") {
     // negatives, bucket-boundary values, inclusive endpoints, NULLs
     val points = Seq((1L, java.lang.Long.valueOf(-25L)),
