@@ -312,6 +312,48 @@ object ScaleDrive {
     assert(iwMeans(true)._1 > iwMeans(false)._1 + 10.0,
       s"target-like docs must clearly outscore broad-vocab docs: $iwMeans")
 
+    // persisted dedup index at corpus scale: the 300k-doc reference is
+    // tokenized + minhashed ONCE at build; each probe batch (30k
+    // planted near-dups + 10k novel docs) joins its bands against the
+    // persisted 16-byte band rows — the reference text is never re-read.
+    // The direct join is timed alongside for the amortization story.
+    println("== persisted dedup index: 300k-doc build, 40k-doc probes")
+    val diPath = java.nio.file.Files.createTempDirectory("scale-di").toString + "/di"
+    time("buildDedupIndex (300k docs, 32 hashes, 8 bands)") {
+      graft.ops.DedupIndex.buildDedupIndex(docsBase, "doc_id", "text", diPath)
+    }
+    val novelDocs = spark.range(10000).select(
+      (col("id") + 20000000L).as("doc_id"),
+      concat_ws(" ", (0 until 30).map(j =>
+        concat(lit("x"), pmod(hash(col("id") * 17 + j), lit(5000)))): _*).as("text"))
+    val probeBatch = plantedDocs.unionByName(novelDocs).localCheckpoint(true)
+    val nIdx = time("pairsAgainstIndex (40k batch, est>=0.5)") {
+      graft.ops.DedupIndex.pairsAgainstIndex(spark, diPath, probeBatch,
+          "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5).count()
+    }
+    val nDirect = time("minhashPairsAgainst direct (same batch, re-reads ref)") {
+      graft.ops.Dedup.minhashPairsAgainst(probeBatch, docsBase, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5).count()
+    }
+    assert(nIdx == nDirect, s"indexed probe must equal direct join: $nIdx vs $nDirect")
+    assert(nIdx >= 25000, s"index must recall most planted near-dups, got $nIdx")
+    println(s"  matched pairs=$nIdx (== direct join)")
+
+    // bucketed range join at volume: 10M points vs 10k width-100
+    // intervals — naively 10^11 comparisons (a nested-loop join Spark
+    // would actually plan for the non-equi condition); bucketed it is
+    // one hash join whose output is exactly the 1M real containments
+    println("== bucketed range join: 10M points x 10k intervals")
+    val pts10m = spark.range(10000000).select(col("id").as("pid"), col("id").as("t"))
+    val ivs10k = spark.range(10000).select(col("id").as("ik"),
+      (col("id") * 1000L).as("lo"), (col("id") * 1000L + 99L).as("hi"))
+    val nRj = time("pointInInterval (bucketWidth=100)") {
+      graft.ops.RangeJoin.pointInInterval(pts10m, col("t"), ivs10k,
+        col("lo"), col("hi"), 100L).count()
+    }
+    assert(nRj == 1000000L, s"each width-100 interval holds exactly 100 points, got $nRj")
+
     spark.stop()
   }
 }
