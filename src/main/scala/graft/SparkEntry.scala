@@ -770,11 +770,14 @@ object SparkEntry {
   private def h60sql(arg: String) = hexsql(s"md5($arg)")
   private val EN_STOP = "['the','a','of','to','and','in','is','it']"
 
-  /** Cross-corpus LSH oracle, shared by `x_dedup_cross` (direct join)
-    * and `x_dedup_cross_indexed` (persisted-index probe) — the index is
-    * a materialization detail invisible to the result. */
-  private lazy val crossDedupOracle: String =
-    s"""WITH docs2 AS (SELECT 0 AS side, doc_id, text FROM documents WHERE doc_id < 200 """ +
+  /** Cross-corpus LSH oracle CTE chain (side-tagged corpus → sig → band
+    * → candidate → `agree(id_new, id_ref, est)`), shared by
+    * `x_dedup_cross` / `x_dedup_cross_indexed` (pair output) and
+    * `x_stream_dedup_index` (survivor output) — direct join, persisted
+    * index, and streaming sink are materialization details invisible to
+    * the result. */
+  private lazy val crossDedupCtes: String =
+    s"""docs2 AS (SELECT 0 AS side, doc_id, text FROM documents WHERE doc_id < 200 """ +
     """UNION ALL SELECT 1, doc_id, text FROM documents WHERE doc_id >= 200 AND doc_id < 300 """ +
     """UNION ALL SELECT 1, doc_id + 2000000, text || ' zzz' FROM documents WHERE doc_id < 3), """ +
     s"""toks AS (SELECT side, doc_id, $TOK AS l FROM docs2), """ +
@@ -789,7 +792,10 @@ object SparkEntry {
     """JOIN bands b ON a.band = b.band AND a.bl = b.bl AND a.side = 1 AND b.side = 0), """ +
     """agree AS (SELECT c.id_new, c.id_ref, SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS est """ +
     """FROM cand c JOIN sig sa ON sa.doc_id = c.id_new AND sa.side = 1 """ +
-    """JOIN sig sb ON sb.doc_id = c.id_ref AND sb.side = 0 AND sa.i = sb.i GROUP BY 1, 2) """ +
+    """JOIN sig sb ON sb.doc_id = c.id_ref AND sb.side = 0 AND sa.i = sb.i GROUP BY 1, 2)"""
+
+  private lazy val crossDedupOracle: String =
+    s"""WITH $crossDedupCtes """ +
     """SELECT id_new, id_ref, est AS est_jaccard FROM agree WHERE est >= 0.5 ORDER BY id_new, id_ref"""
 
   /** Shared DuckDB CTE chain for the DSIR oracles: hashed word-bigram
@@ -1627,6 +1633,24 @@ object SparkEntry {
       }
     }),
 
+    // continuous-ingest dedup: the fresh cross-corpus batch streams
+    // through the index-deduped PRODUCTION sink — documents near-
+    // duplicating the persisted reference snapshot are dropped in
+    // flight, survivors land in the store under the exactly-once guard
+    "x_stream_dedup_index" -> ((s, d) => {
+      val st = store(s, d)
+      st.synchronized {
+        if (st.isTable("stream/dedup_idx")) st.drop("stream/dedup_idx")
+        st.put("stream/dedup_idx", crossFreshBatch(s, d).limit(0))
+        withStagedStream(s, crossFreshBatch(s, d)) { (src, ckpt) =>
+          graft.streaming.EventStream.dedupAgainstIndexSink(src, st,
+            "stream/dedup_idx", ckpt, dedupIndex(s, d), "doc_id", "text", 0.5)
+            .awaitTermination()
+        }
+        st.table("stream/dedup_idx").df.select("doc_id").orderBy("doc_id")
+      }
+    }),
+
     // streaming CUSTOM-STATE gate: per-user inactivity summaries via
     // flatMapGroupsWithState + event-time timeout. A sentinel event 90
     // event-time days past the last real event pushes the final
@@ -1964,6 +1988,13 @@ object SparkEntry {
     // digest set (planted duplicates dropped, nothing else)
     "x_stream_dedup" ->
       """SELECT md5(text) AS digest FROM (SELECT DISTINCT text FROM documents) t ORDER BY digest""",
+
+    // streaming index-dedup survivors == the fresh batch minus every
+    // document the cross-corpus LSH matches against the indexed snapshot
+    "x_stream_dedup_index" ->
+      (s"""WITH $crossDedupCtes """ +
+       """SELECT doc_id FROM docs2 WHERE side = 1 AND doc_id NOT IN """ +
+       """(SELECT id_new FROM agree WHERE est >= 0.5) ORDER BY doc_id"""),
 
     // custom-state summaries == the batch GROUP BY, decimal-exact sum
     "x_stream_user_summary" ->

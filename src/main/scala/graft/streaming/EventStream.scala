@@ -40,7 +40,8 @@ object EventStream {
     * ingestion job with its own checkpoint starts at batch 0 without
     * having its data silently dropped. Table must already exist. */
   def appendSink(stream: DataFrame, store: HDFStore, table: String,
-                 checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                 checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
+                 transform: DataFrame => DataFrame = identity): StreamingQuery = {
     val guardKey = "lastBatchId:" +
       java.util.UUID.nameUUIDFromBytes(checkpoint.getBytes("UTF-8")).toString
     stream.writeStream
@@ -53,12 +54,42 @@ object EventStream {
         }
         if (batchId > done) {
           // ONE atomic manifest commit: data + guard watermark together —
-          // a crash between separate commits would re-append on replay
-          store.table(table).appendWithAttr(batch, Some(guardKey -> batchId))
+          // a crash between separate commits would re-append on replay.
+          // The transform runs INSIDE the replayed region: a replayed
+          // batch re-transforms and is then dropped by the guard, so a
+          // non-deterministic transform still cannot double-append.
+          store.table(table).appendWithAttr(transform(batch), Some(guardKey -> batchId))
         }
       }
       .start()
   }
+
+  /** [[appendSink]] with each micro-batch deduped against a persisted
+    * [[graft.ops.DedupIndex]] before it lands — the continuous-ingest
+    * shape: crawl batches stream in, documents near-duplicating the
+    * indexed corpus snapshot are dropped in flight, survivors append to
+    * the store table under the same exactly-once batch guard.
+    *
+    * Batch semantics, deliberately: each micro-batch probes the index as
+    * a plain batch job (the collision-sized candidate join of
+    * [[graft.ops.DedupIndex.pairsAgainstIndex]]), so no streaming state
+    * accumulates here at all — the index IS the state, sized to the
+    * corpus, not to the stream. Duplicates WITHIN the stream are a
+    * different contract: compose [[dedupStream]] upstream for that
+    * (watermark-bounded digest state), or re-index between batches.
+    *
+    * At 100 TB: the per-batch cost is the batch's own minhash (per-row
+    * kernel) + one equi-join against the persisted 16-byte band rows —
+    * per-batch work tracks batch size; the corpus text is never re-read
+    * while the snapshot stands. */
+  def dedupAgainstIndexSink(stream: DataFrame, store: HDFStore, table: String,
+                            checkpoint: String, indexPath: String,
+                            idCol: String, textCol: String,
+                            minEstJaccard: Double = 0.5,
+                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    appendSink(stream, store, table, checkpoint, trigger,
+      transform = batch => graft.ops.DedupIndex.dedupAgainstIndex(
+        batch.sparkSession, indexPath, batch, idCol, textCol, minEstJaccard))
 
   /** Watermarked tumbling-window counts per event type. The value sum
     * accumulates as exact decimal before the double cast — float

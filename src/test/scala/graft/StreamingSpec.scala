@@ -145,6 +145,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("doc_id", "text", "event_time")) // digest dropped
   }
 
+  test("index-deduped append sink drops snapshot near-dups in flight, multi-batch") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val ref = docs.filter($"doc_id" < 100)
+    // incoming: 50 novel docs + 20 near-dup variants of indexed docs
+    val batch = docs.filter($"doc_id" >= 100 && $"doc_id" < 150)
+      .unionByName(docs.filter($"doc_id" < 20)
+        .select(($"doc_id" + 9000L).as("doc_id"),
+          concat($"text", lit(" zzz")).as("text")))
+    val idxPath = TestSpark.tmpDir("streamdi-idx") + "/di"
+    graft.ops.DedupIndex.buildDedupIndex(ref, "doc_id", "text", idxPath)
+    val in = TestSpark.tmpDir("streamdi-in")
+    val ckpt = TestSpark.tmpDir("streamdi-ckpt")
+    val storeDir = TestSpark.tmpDir("streamdi-store")
+    // two files, consumed one per micro-batch: the per-batch probe must
+    // dedupe each independently against the index
+    batch.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+    batch.filter($"doc_id" % 2 =!= 0).coalesce(1).write.mode("append").parquet(in)
+    val st = HDFStore.open(spark, storeDir, StoreMode.Overwrite)
+    st.put("kept", batch.limit(0))
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    EventStream.dedupAgainstIndexSink(stream, st, "kept", ckpt,
+      idxPath, "doc_id", "text", 0.5).awaitTermination()
+    val streamed = st.table("kept").df.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val batchKept = graft.ops.DedupIndex.dedupAgainstIndex(spark, idxPath,
+        batch, "doc_id", "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batchKept,
+      s"stream ${streamed.size} vs batch ${batchKept.size}")
+    assert(streamed.count(_ >= 9000L) < 20, "some planted near-dups must drop")
+    // survivors = exactly the batch ids the DIRECT cross-corpus join
+    // leaves unmatched (the fixture itself contains genuine near-dups
+    // across the 100 split, so "all novel survive" would be wrong)
+    val matched = graft.ops.Dedup.minhashPairsAgainst(batch, ref, "doc_id", "text")
+      .filter($"est_jaccard" >= 0.5)
+      .select("id_new").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch.select("doc_id").collect().map(_.getLong(0)).toSet -- matched)
+  }
+
   // epoch-µs of `ts` in either fixture representation (Long nanos under
   // nanosAsLong, a timestamp otherwise — the EventStream.withEventTime
   // split)
