@@ -139,4 +139,125 @@ object Contamination {
       .filter(mightContain(bf, col("h")))
     joinAndCount(c, b, minShared)
   }
+
+  // ------------------------------------------------ persisted bench index
+
+  /** Build a PERSISTED decontamination index for a benchmark suite at
+    * `path` — the build-once/probe-many form of [[ngramOverlapBloom]]:
+    * benchmark suites change rarely while corpus slices arrive forever,
+    * so the suite's (bench_id, gram-hash) postings and its Bloom filter
+    * are computed once and every future corpus batch decontaminates
+    * against the files ([[Similarity.buildIvfIndex]] /
+    * [[DedupIndex.buildDedupIndex]] discipline: `_meta` sidecar, hashed
+    * freshness stamp observed on the build's own write job).
+    *
+    * Layout: `postings/` (`bench_id`, `h`) — distinct per pair, small by
+    * the same enforced `maxBenchGrams` contract as the Bloom path; and
+    * `_meta` (one row: `n`, `num_bits`, `expected_grams`, `bloom` bytes,
+    * `n_rows`, `id_hash_sum`). An empty benchmark persists NULL bloom
+    * bytes and zero postings — probes of it return no rows.
+    *
+    * Benchmark ids must cast to Long (the stamp's key type); NULL ids
+    * fail loudly per row. */
+  def buildBenchIndex(bench: DataFrame, benchIdCol: String,
+                      benchTextCol: String, path: String, n: Int = 3,
+                      expectedGrams: Long = 1L << 20, fpp: Double = 0.01,
+                      maxBenchGrams: Int = 1 << 22): Unit = {
+    require(expectedGrams > 0 && fpp > 0.0 && fpp < 1.0,
+      "expectedGrams must be positive and fpp in (0, 1)")
+    require(maxBenchGrams > 0, "maxBenchGrams must be positive")
+    val spark = bench.sparkSession
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType}
+    val idL = when(col(benchIdCol).cast(LongType).isNotNull,
+        col(benchIdCol).cast(LongType))
+      .otherwise(raise_error(concat(
+        lit(s"buildBenchIndex: id column '$benchIdCol' must be non-null and numeric, got: "),
+        coalesce(col(benchIdCol).cast(StringType), lit("NULL")))))
+    val obs = org.apache.spark.sql.Observation()
+    val postings = bench
+      .select(idL.as("id"), col(benchTextCol).as("text"))
+      .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
+      .select(col("id").as("bench_id"),
+        explode(native.shingle_hash60(TextStats.tokens(col("text")), n)).as("h"))
+    postings.write.mode("overwrite").parquet(s"$path/postings")
+    val stamp = Similarity.stampOf(obs.get)
+    // the cap guards the PROBE-side localization contract (the postings
+    // broadcast to every executor per probe); enforced at build so an
+    // oversized suite fails here, once, not in every probe job
+    val nPostings = spark.read.parquet(s"$path/postings").count()
+    require(nPostings <= maxBenchGrams,
+      s"buildBenchIndex: benchmark explodes to $nPostings (bench_id, gram) " +
+        s"rows past maxBenchGrams=$maxBenchGrams — the index broadcasts its " +
+        "postings per probe and is meant for broadcast-sized benchmark " +
+        "suites; use ngramOverlap (lazy exact join) for a suite this large, " +
+        "or raise maxBenchGrams deliberately")
+    val numBits = math.ceil(
+      -expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // bloom over the persisted postings — the shingle kernel ran once
+    val bfBytes = spark.read.parquet(s"$path/postings")
+      .agg(bloomAgg(col("h"), expectedGrams, numBits).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    spark.range(1).select(
+        lit(n).as("n"),
+        lit(numBits).as("num_bits"),
+        lit(expectedGrams).as("expected_grams"),
+        lit(bfBytes).as("bloom"),
+        lit(stamp.nRows).as("n_rows"),
+        lit(stamp.idHashSum).cast(DecimalType(38, 0)).as("id_hash_sum"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  private final case class BenchMeta(n: Int, bloom: Array[Byte],
+                                     stamp: Similarity.IvfStamp)
+
+  private def loadBenchMeta(spark: org.apache.spark.sql.SparkSession,
+                            path: String): BenchMeta = {
+    val r = spark.read.parquet(s"$path/_meta")
+      .select("n", "bloom", "n_rows", "id_hash_sum").head()
+    BenchMeta(r.getInt(0),
+      if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1),
+      Similarity.IvfStamp(r.getLong(2), r.getDecimal(3)))
+  }
+
+  /** Freshness contract: the index's build stamp vs the live benchmark
+    * suite (ids-only scan). A stale decontamination index is the
+    * DANGEROUS kind of stale — new benchmark documents would silently
+    * pass into training data — so probes should verify. Throws
+    * `IllegalStateException` on mismatch; rebuilding clears it. */
+  def requireBenchIndexFresh(spark: org.apache.spark.sql.SparkSession,
+                             path: String, bench: DataFrame,
+                             benchIdCol: String): Unit =
+    Similarity.requireStampFresh("bench index", path,
+      loadBenchMeta(spark, path).stamp,
+      Similarity.sourceStamp(bench, benchIdCol), "buildBenchIndex")
+
+  /** [[ngramOverlapBloom]] served from a persisted [[buildBenchIndex]]
+    * tree: identical output (`doc_id`, `bench_id`, `shared`, `n_sh`),
+    * with the benchmark never re-tokenized — the Bloom bytes prune
+    * clean documents in the scan and the persisted postings resolve
+    * survivors exactly via the broadcast join. The shingle width rides
+    * the index; `minShared` is a probe-time choice. */
+  def ngramOverlapIndexed(spark: org.apache.spark.sql.SparkSession,
+                          path: String, corpus: DataFrame, idCol: String,
+                          textCol: String, minShared: Long = 1L,
+                          verifyAgainst: Option[(DataFrame, String)] = None)
+      : DataFrame = {
+    val meta = loadBenchMeta(spark, path)
+    verifyAgainst.foreach { case (bench, benchId) =>
+      requireBenchIndexFresh(spark, path, bench, benchId) }
+    val b = spark.read.parquet(s"$path/postings")
+    if (meta.bloom == null)  // empty suite: zero postings — same schema,
+      return joinAndCount(   // no corpus scan (limit(0) prunes it)
+        shingled(corpus.limit(0), idCol, textCol, meta.n)
+          .select(col(idCol).as("doc_id"),
+            size(col("hs")).cast("long").as("n_sh"), explode(col("hs")).as("h")),
+        b, minShared)
+    val bf = lit(meta.bloom)
+    val c = shingled(corpus, idCol, textCol, meta.n)
+      .filter(native.bloom_contains_any(col("hs"), meta.bloom))
+      .select(col(idCol).as("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+        explode(col("hs")).as("h"))
+      .filter(mightContain(bf, col("h")))
+    joinAndCount(c, b, minShared)
+  }
 }

@@ -744,6 +744,44 @@ class OpsSpec extends AnyFunSuite {
     assert(none.collect().isEmpty)
   }
 
+  test("persisted bench index: probe == exact overlap; stale refused; empty suite") {
+    val bench = docsDf.filter(col("doc_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exact = rows(Contamination.ngramOverlap(docsDf, "doc_id", "text",
+      bench, "doc_id", "text", n = 3, minShared = 1L))
+    val path = TestSpark.tmpDir("bench-idx") + "/bi"
+    Contamination.buildBenchIndex(bench, "doc_id", "text", path,
+      n = 3, expectedGrams = 1024L, fpp = 0.01)
+    val probed = rows(Contamination.ngramOverlapIndexed(spark, path, docsDf,
+      "doc_id", "text", minShared = 1L, verifyAgainst = Some((bench, "doc_id"))))
+    assert(probed == exact)
+    // minShared is a probe-time knob over the same index
+    val exact2 = rows(Contamination.ngramOverlap(docsDf, "doc_id", "text",
+      bench, "doc_id", "text", n = 3, minShared = 5L))
+    assert(rows(Contamination.ngramOverlapIndexed(spark, path, docsDf,
+      "doc_id", "text", minShared = 5L)) == exact2)
+    // a grown suite makes the index stale — dangerous-stale, refused loudly
+    val grown = bench.unionByName(docsDf.filter(col("doc_id") === 4))
+    val e = intercept[IllegalStateException] {
+      Contamination.ngramOverlapIndexed(spark, path, docsDf, "doc_id", "text",
+        verifyAgainst = Some((grown, "doc_id"))).collect()
+    }
+    assert(e.getMessage.contains("STALE") && e.getMessage.contains("buildBenchIndex"))
+    // empty suite persists + probes to zero rows without scanning the corpus
+    val emptyPath = TestSpark.tmpDir("bench-idx-empty") + "/bi"
+    Contamination.buildBenchIndex(bench.filter(col("doc_id") < 0),
+      "doc_id", "text", emptyPath)
+    assert(Contamination.ngramOverlapIndexed(spark, emptyPath, docsDf,
+      "doc_id", "text").collect().isEmpty)
+    // oversized suite refused at build, pointing at the lazy exact path
+    val e2 = intercept[IllegalArgumentException] {
+      Contamination.buildBenchIndex(bench, "doc_id", "text",
+        TestSpark.tmpDir("bench-idx-big") + "/bi", maxBenchGrams = 3)
+    }
+    assert(e2.getMessage.contains("ngramOverlap"))
+  }
+
   test("bottomK: deterministic, nested, growth displaces only; per-group == per-slice") {
     val df = (0L until 100L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
     val k5 = Sample.bottomK(df, "id", 5).collect().map(_.getLong(0)).toSet
