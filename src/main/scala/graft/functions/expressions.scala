@@ -361,6 +361,51 @@ object Hash60Kernel {
     hs
   }
 
+  /** Hashed-feature buckets of ALL word n-gram windows (repeats kept,
+    * document order): `hash60(joined window) mod nBuckets` per
+    * position, SKIPPING windows whose joined string is empty — fuses
+    * `explode(ngramArray) → filter(g ≠ '') → pmod(hash60(g), nBuckets)`
+    * into one loop with no gram-string or gram-row materialization
+    * (the [[graft.ops.Importance]] feature hot path: one md5 per gram
+    * is already the floor; this removes the per-gram UTF8String concat
+    * and the pre-hash row explosion). Window and join semantics are
+    * [[hashWindow]]'s (null tokens skipped like `concat_ws`; the window
+    * clamp mirrors `ngramArray`), so the output is value-identical to
+    * the composed form. */
+  def gramBuckets(toks: ArrayData, n: Int, nBuckets: Long): ArrayData = {
+    val digest = md.get()
+    val m = toks.numElements()
+    val positions = math.max(m - n + 1, 1)
+    val out = new Array[Long](positions)
+    var cnt = 0
+    var i = 0
+    while (i < positions) {
+      val end = math.min(i + n, m)
+      digest.reset()
+      var joinedLen = 0
+      var emitted = false
+      var j = i
+      while (j < end) {
+        if (!toks.isNullAt(j)) {
+          if (emitted) { digest.update(SPACE); joinedLen += 1 }
+          val b = toks.getUTF8String(j).getBytes
+          digest.update(b)
+          joinedLen += b.length
+          emitted = true
+        }
+        j += 1
+      }
+      if (joinedLen > 0) {
+        // hash60 is non-negative (top 60 bits), so % == pmod
+        out(cnt) = top60(digest.digest()) % nBuckets
+        cnt += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(out, cnt))
+  }
+
   /** Max multiplicity of any window hash — the longest run in the
     * sorted multiset. One native pass; no array materialization beyond
     * the hash buffer. */
@@ -679,6 +724,31 @@ case class ShingleHash60(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Hashed n-gram feature buckets, repeats kept (kernel in
+  * [[Hash60Kernel.gramBuckets]]) — the fused per-row form of
+  * `transform(ngrams, g -> pmod(hash60(g), nBuckets))` minus empty
+  * grams, for feature-hashing consumers ([[graft.ops.Importance]]). */
+case class GramBuckets(child: Expression, n: Int, nBuckets: Long)
+    extends UnaryExpression {
+  require(n >= 1, "gram width must be >= 1")
+  require(nBuckets >= 1, "nBuckets must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"gram_buckets requires array<string>, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    Hash60Kernel.gramBuckets(v.asInstanceOf[ArrayData], n, nBuckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hash60Kernel.gramBuckets($c, $n, ${nBuckets}L);")
+  override protected def withNewChildInternal(newChild: Expression): GramBuckets =
+    copy(child = newChild)
+}
+
 /** Max multiplicity of any word n-gram (kernel in
   * [[Hash60Kernel.maxShingleMultiplicity]]) — the per-row core of the
   * n-gram repetition quality filter. */
@@ -763,6 +833,8 @@ object native {
     Bridge.column(ShingleHash60(Bridge.expression(tokens), n))
   def max_shingle_run(tokens: Column, n: Int): Column =
     Bridge.column(MaxShingleRun(Bridge.expression(tokens), n))
+  def gram_buckets(tokens: Column, n: Int, nBuckets: Long): Column =
+    Bridge.column(GramBuckets(Bridge.expression(tokens), n, nBuckets))
   def minhash_sig_tokens(tokens: Column, n: Int, numHashes: Int): Column =
     Bridge.column(MinHashSigTokens(Bridge.expression(tokens), n, numHashes))
   def dedup_lines_first(lines: Column): Column =
@@ -814,6 +886,11 @@ object native {
     reg.createOrReplaceTempFunction("max_shingle_run", es => {
       require(es.length == 2, "max_shingle_run(tokens, n)")
       MaxShingleRun(es(0), intLit(es(1), "max_shingle_run", "n"))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("gram_buckets", es => {
+      require(es.length == 3, "gram_buckets(tokens, n, nBuckets)")
+      GramBuckets(es(0), intLit(es(1), "gram_buckets", "n"),
+        intLit(es(2), "gram_buckets", "nBuckets").toLong)
     }, "built-in")
     reg.createOrReplaceTempFunction("dedup_lines_first",
       es => DedupLinesFirst(es.head), "built-in")

@@ -21,11 +21,12 @@ import org.apache.spark.sql.types._
  * toward a quality/domain target without training a classifier.
  *
  * Why this shape scales: hashing the grams bounds BOTH model tables at
- * `nBuckets` rows regardless of corpus size, so the models and their
- * totals ride broadcast joins — per-(doc, bucket) aggregation gets
- * map-side combine, and nothing corpus-sized is ever joined. The plan
- * tokenizes raw twice (model estimation + scoring) and target once; a
- * caller scoring one raw corpus against MANY targets should persist the
+ * `nBuckets` rows regardless of corpus size, so the models LOCALIZE
+ * (the CMSketch counter-table discipline) and scoring is one broadcast
+ * lookup join — per-(doc, bucket) aggregation gets map-side combine,
+ * and nothing corpus-sized is ever joined. Raw is tokenized twice (one
+ * model-estimation job + the scoring query) and target once; a caller
+ * scoring one raw corpus against MANY targets should persist the
  * (id, bucket, tf) feature table and reuse it. Per-term products are
  * cast to exact DECIMAL before the per-doc sum (associative —
  * aggregation order cannot wobble the rounded score; the
@@ -34,11 +35,24 @@ import org.apache.spark.sql.types._
 object Importance {
 
   /** Word-bigram stream of `textCol` as (id?, bucket) rows — the gram
-    * window is [[Dedup.ngramArray]] (WITH repeats: these are term
-    * frequencies, not shingle sets), so the short-doc clamp is the one
-    * shared definition; whitespace-only documents contribute nothing. */
-  private def bucketed(df: DataFrame, idCol: Option[String],
-                       textCol: String, nBuckets: Int): DataFrame = {
+    * window is [[Dedup.ngramArray]]'s (WITH repeats: these are term
+    * frequencies, not shingle sets; whitespace-only documents contribute
+    * nothing), fused into the native
+    * [[graft.functions.native.gram_buckets]] kernel: the explode happens
+    * on the per-document bucket-id LONG array, so no gram string and no
+    * pre-hash gram row is ever materialized ([[bucketedSpec]] keeps the
+    * composed built-ins form as the executable specification). */
+  private[graft] def bucketed(df: DataFrame, idCol: Option[String],
+                              textCol: String, nBuckets: Int): DataFrame = {
+    val idCols: Seq[Column] = idCol.map(c => col(c)).toSeq
+    df.select(idCols :+ explode(graft.functions.native.gram_buckets(
+      TextStats.tokens(col(textCol)), 2, nBuckets.toLong)).as("b"): _*)
+  }
+
+  /** Pure built-ins formulation of [[bucketed]] — ExprSpec parity-tests
+    * the kernel against it. */
+  private[graft] def bucketedSpec(df: DataFrame, idCol: Option[String],
+                                  textCol: String, nBuckets: Int): DataFrame = {
     val grams = Dedup.ngramArray(col(textCol), 2)
     val idCols: Seq[Column] = idCol.map(c => col(c)).toSeq
     df.select(idCols :+ explode(grams).as("g"): _*)
@@ -57,28 +71,40 @@ object Importance {
                         textCol: String, nBuckets: Int = 8192): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= (1 << 20),
       s"nBuckets must be in [2, ${1 << 20}], got $nBuckets")
-    // raw doc features once; the raw MODEL folds out of the same rows
+    val spark = raw.sparkSession
     val dtf = bucketed(raw, Some(idCol), textCol, nBuckets)
       .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("tf"))
-    val rawModel = dtf.groupBy("b").agg(sum(col("tf")).as("c_raw"))
+    // Both models are bucket-bounded (≤ nBuckets ≤ 2^20 rows by the
+    // require above), so they are LOCALIZED — one job each — and the
+    // per-bucket log ratio is computed driver-side into one broadcast
+    // lookup frame. Leaving the models as lazy lineage instead re-runs
+    // the tokenize+hash scan (the dominant per-row cost) once per model
+    // and once per TOTAL — raw three times, target twice — because the
+    // differing projections around each aggregation defeat exchange
+    // reuse (measured 20× on the resample query). With localization
+    // the final scoring query tokenizes raw exactly once.
+    val rawModel = dtf.groupBy("b").agg(sum(col("tf")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val tgtModel = bucketed(target, None, textCol, nBuckets)
-      .groupBy("b").agg(count(lit(1)).as("c_tgt"))
-    val rawTot = broadcast(rawModel.agg(
-      coalesce(sum(col("c_raw")), lit(0L)).as("t_raw")))
-    val tgtTot = broadcast(tgtModel.agg(
-      coalesce(sum(col("c_tgt")), lit(0L)).as("t_tgt")))
-    // a bucket unseen in the target still has add-one mass; every raw
-    // doc bucket exists in the raw model by construction (inner join)
-    val lnT = log((coalesce(col("c_tgt"), lit(0L)) + lit(1L)).cast(DoubleType) /
-      (col("t_tgt") + lit(nBuckets.toLong)).cast(DoubleType))
-    val lnR = log((col("c_raw") + lit(1L)).cast(DoubleType) /
-      (col("t_raw") + lit(nBuckets.toLong)).cast(DoubleType))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tRaw = rawModel.valuesIterator.sum
+    val tTgt = tgtModel.valuesIterator.sum
+    // identical arithmetic to the executor-side formulation (same
+    // divisions, same java.lang.Math.log), so scores are bit-stable
+    // across the refactor; a bucket unseen in the target still has
+    // add-one mass, and every raw doc bucket exists in the raw model
+    // by construction (inner join below)
+    def lnP(c: Long, t: Long): Double =
+      math.log((c + 1L).toDouble / (t + nBuckets.toLong).toDouble)
+    val ratios = rawModel.iterator.map { case (b, cRaw) =>
+      (b, lnP(tgtModel.getOrElse(b, 0L), tTgt) - lnP(cRaw, tRaw))
+    }.toSeq
+    val ratioDf = broadcast(spark.createDataFrame(ratios).toDF("b", "lr"))
     val scored = dtf
-      .join(broadcast(rawModel), "b")
-      .join(broadcast(tgtModel), Seq("b"), "left")
-      .crossJoin(rawTot).crossJoin(tgtTot)
+      .join(ratioDf, "b")
       .select(col(idCol), col("tf"),
-        (col("tf").cast(DoubleType) * (lnT - lnR))
+        (col("tf").cast(DoubleType) * col("lr"))
           .cast(DecimalType(28, 12)).as("term"))
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_feats"),

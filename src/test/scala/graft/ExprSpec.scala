@@ -63,6 +63,34 @@ class ExprSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("gram_buckets == composed explode/filter/pmod spec; edge docs, null tokens, SQL") {
+    // order AND multiplicity must match (term frequencies, not sets)
+    val docs = Seq(
+      (1L, "the quick brown fox the quick brown fox"),
+      (2L, "one two"), (3L, "solo"), (4L, ""), (5L, "   "),
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val fused = graft.ops.Importance.bucketed(docs, Some("id"), "text", 8192)
+      .groupBy("id", "b").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val spec = graft.ops.Importance.bucketedSpec(docs, Some("id"), "text", 8192)
+      .groupBy("id", "b").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fused == spec)
+    assert(fused.exists(_._3 > 1))  // repeated bigram kept with multiplicity
+    // null tokens dropped like concat_ws (SQL-surface input)
+    native.register(spark)
+    val viaSql = spark.sql(
+      "SELECT gram_buckets(array('a', CAST(NULL AS STRING), 'b'), 2, 64) AS b")
+      .collect()(0).getSeq[Long](0)
+    val viaSpec = spark.range(1).select(
+      transform(sequence(lit(1), lit(2)),
+        i => pmod(graft.ops.TextStats.hash60Spec(
+          concat_ws(" ", slice(typedLit(Seq[String]("a", null, "b")), i, lit(2)))),
+          lit(64L))).as("b")).collect()(0).getSeq[Long](0)
+    assert(viaSql == viaSpec)
+  }
+
   test("SQL width literals reject longs outside Int range") {
     native.register(spark)
     def chain(t: Throwable): Seq[Throwable] =
