@@ -340,6 +340,31 @@ object ScaleDrive {
     assert(nIdx >= 25000, s"index must recall most planted near-dups, got $nIdx")
     println(s"  matched pairs=$nIdx (== direct join)")
 
+    // persisted decontamination index at volume: the 500-doc benchmark's
+    // postings + Bloom build once; the 330k-doc corpus probes from the
+    // files with the same scan-level prune as the inline Bloom path,
+    // and the result must match it row-for-row
+    println("== persisted bench index: 500-doc build, 330k-doc probes")
+    val biPath = java.nio.file.Files.createTempDirectory("scale-bi").toString + "/bi"
+    val benchScale = corpus.filter(col("doc_id") < 300)
+      .unionByName(corpus.filter(col("doc_id") >= 10000000L && col("doc_id") < 10000200L))
+    time("buildBenchIndex (500 bench docs)") {
+      graft.ops.Contamination.buildBenchIndex(benchScale, "doc_id", "text", biPath,
+        n = 3, expectedGrams = 1L << 16, fpp = 0.01)
+    }
+    val nBloomContam = time("ngramOverlapBloom inline (330k corpus)") {
+      graft.ops.Contamination.ngramOverlapBloom(corpus, "doc_id", "text",
+        benchScale, "doc_id", "text", n = 3, minShared = 5L,
+        expectedGrams = 1L << 16, fpp = 0.01).count()
+    }
+    val nIdxContam = time("ngramOverlapIndexed (330k corpus)") {
+      graft.ops.Contamination.ngramOverlapIndexed(spark, biPath, corpus,
+        "doc_id", "text", minShared = 5L).count()
+    }
+    assert(nIdxContam == nBloomContam,
+      s"indexed probe must equal inline bloom path: $nIdxContam vs $nBloomContam")
+    println(s"  contaminated pairs=$nIdxContam (== inline bloom path)")
+
     // bucketed range join at volume: 10M points vs 10k width-100
     // intervals — naively 10^11 comparisons (a nested-loop join Spark
     // would actually plan for the non-equi condition); bucketed it is
