@@ -41,6 +41,15 @@ import org.apache.spark.sql.types._
  */
 object RangeJoin {
 
+  /** Working-column guard: the join temporaries are `_rj_*`-named, and
+    * `withColumn` would silently REPLACE a same-named input column and
+    * feed the corrupted value back through the final select. */
+  private def requireNoReserved(df: DataFrame, side: String): Unit = {
+    val clash = df.columns.filter(_.startsWith("_rj_"))
+    require(clash.isEmpty,
+      s"$side columns may not use the reserved _rj_ prefix: ${clash.mkString(", ")}")
+  }
+
   /** Exact floor-division bucket of `x` (works for negative values —
     * `pmod` is non-negative, so the numerator is exactly divisible and
     * truncation equals floor; the subtraction runs in DECIMAL so
@@ -95,6 +104,7 @@ object RangeJoin {
     require(overlap.isEmpty,
       s"points and intervals must have disjoint column names, both have: " +
         overlap.toSeq.sorted.mkString(", "))
+    requireNoReserved(points, "points"); requireNoReserved(intervals, "intervals")
     val pCols = points.columns.map(col).toSeq
     val iCols = intervals.columns.map(col).toSeq
     val p = points
@@ -133,6 +143,7 @@ object RangeJoin {
     require(overlap.isEmpty,
       s"left and right must have disjoint column names, both have: " +
         overlap.toSeq.sorted.mkString(", "))
+    requireNoReserved(left, "left"); requireNoReserved(right, "right")
     val lCols = left.columns.map(col).toSeq
     val rCols = right.columns.map(col).toSeq
     def banded(df: DataFrame, lo: Column, hi: Column,

@@ -1449,6 +1449,10 @@ class OpsSpec extends AnyFunSuite {
       RangeJoin.pointInInterval(points.withColumnRenamed("pid", "ik"), col("t"),
         bad, col("lo"), col("hi"), 10L)
     }
+    intercept[IllegalArgumentException] { // reserved working prefix refused
+      RangeJoin.pointInInterval(points.withColumnRenamed("pid", "_rj_b"), col("t"),
+        bad, col("lo"), col("hi"), 10L)
+    }
   }
 
   test("multimodal: payload/meta schema and deterministic featurize") {
