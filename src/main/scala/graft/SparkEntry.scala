@@ -1390,6 +1390,15 @@ object SparkEntry {
     // unigram LM scoring: mean add-one-smoothed log-prob per document
     // under the corpus's own unigram model — the cheap perplexity-style
     // quality axis; decimal-exact term sum keeps the 6th decimal stable
+    // bigram conditional LM: mean add-one log p(w|v) under the corpus's
+    // own bigram model — separates word salad from fluent text where
+    // the unigram score cannot
+    "x_lm_bigram" -> ((s, d) =>
+      TextStats.lmScoreBigram(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("lm2_score"), 6).as("lm2_score"))
+        .orderBy("doc_id")),
+
     "x_lm_score" -> ((s, d) =>
       TextStats.lmScore(docs(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"),
@@ -2350,6 +2359,24 @@ object SparkEntry {
 
     // unigram LM scores recomputed from scratch: identical smoothing,
     // identical DECIMAL(28,12) term sum (order-free), double division
+    // bigram LM recomputed from scratch: add-one over (context count +
+    // unigram vocab size), same decimal term-sum discipline
+    "x_lm_bigram" ->
+      (s"""WITH toks AS (SELECT doc_id, list_filter($TOK, t -> t <> '') AS l FROM documents), """ +
+       """pz AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1), """ +
+       """i -> struct_pack(v := l[i], w := l[i+1]))) AS bg FROM toks), """ +
+       """pairs AS (SELECT doc_id, bg.v AS v, bg.w AS w FROM pz), """ +
+       """dtf AS (SELECT doc_id, v, w, count(*)::BIGINT AS tf FROM pairs GROUP BY 1, 2, 3), """ +
+       """bg AS (SELECT v, w, sum(tf)::BIGINT AS c_bg FROM dtf GROUP BY 1, 2), """ +
+       """ug AS (SELECT t, count(*)::BIGINT AS c_ug FROM (SELECT unnest(l) AS t FROM toks) GROUP BY 1), """ +
+       """tot AS (SELECT count(*)::BIGINT AS v_size FROM ug), """ +
+       """sc AS (SELECT dtf.doc_id, """ +
+       """sum(CAST(dtf.tf * ln((bg.c_bg + 1)::DOUBLE / (ug.c_ug + tot.v_size)::DOUBLE) AS DECIMAL(28,12))) AS s, """ +
+       """sum(dtf.tf)::BIGINT AS n FROM dtf JOIN bg USING (v, w) JOIN ug ON ug.t = dtf.v, tot GROUP BY 1) """ +
+       """SELECT d.doc_id, coalesce(sc.n, 0)::BIGINT AS n_bigrams, """ +
+       """round(CAST(sc.s AS DOUBLE) / sc.n, 6) AS lm2_score """ +
+       """FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""),
+
     "x_lm_score" ->
       (s"""WITH toks AS (SELECT doc_id, unnest(list_filter($TOK, t -> t <> '')) AS token FROM documents), """ +
        """tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2), """ +

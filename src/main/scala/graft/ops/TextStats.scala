@@ -304,6 +304,61 @@ object TextStats {
         col("lm_score"))
   }
 
+  /** Bigram conditional LM score — the second-order sibling of
+    * [[lmScore]]: mean add-one-smoothed log conditional probability of
+    * each token given its predecessor, under the corpus's own bigram
+    * model:
+    *
+    *   p(w | v)       = (c(v,w) + 1) / (c(v) + V)
+    *   lm2_score(d)   = Σ_(v,w) tf_d(v,w)·ln p(w|v) / Σ tf_d
+    *
+    * where `c(v,w)` is the corpus bigram count, `c(v)` the unigram
+    * count of the context, and `V` the unigram vocabulary size. A
+    * bigram LM separates shuffled-word salad from fluent text where
+    * the unigram score cannot (same words, same unigram product), at
+    * one corpus pass more. Empty tokens are dropped BEFORE pairing, so
+    * runs of whitespace never bridge a gap. Output: one row per input
+    * document (`idCol`, `n_bigrams`, `lm2_score`); documents with
+    * fewer than two tokens keep `n_bigrams` 0 and a null score.
+    *
+    * Scale shape: the pair stream aggregates per (doc, v, w) with
+    * map-side combine; the bigram and unigram models are pre-aggregated
+    * before their joins (AQE-splittable, no hot-row explosion), totals
+    * ride a broadcast one-row aggregate, and the per-term products go
+    * through the exact-DECIMAL sum discipline of [[lmScore]] so
+    * aggregation order cannot wobble the rounded score. */
+  def lmScoreBigram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(tokens(col(textCol)), t => t =!= "")
+    // sequence(1, 0) would generate DESCENDING [1, 0] and index 0 is an
+    // error — short docs get an explicit empty index array instead
+    val idxs = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+      .otherwise(array().cast("array<int>"))
+    val pairs = df.select(col(idCol), explode(transform(idxs,
+        i => struct(element_at(toks, i).as("v"), element_at(toks, i + 1).as("w"))))
+        .as("bg"))
+      .select(col(idCol), col("bg.v").as("v"), col("bg.w").as("w"))
+    val dtf = pairs.groupBy(col(idCol), col("v"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val bgModel = dtf.groupBy("v", "w").agg(sum(col("tf")).as("c_bg"))
+    val ugModel = df.select(explode(toks).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c_ug"))
+    val totals = broadcast(ugModel.agg(count(lit(1)).as("v_size")))
+    val lnP = log((col("c_bg") + lit(1L)).cast(DoubleType) /
+      (col("c_ug") + col("v_size")).cast(DoubleType))
+    val scored = dtf
+      .join(bgModel, Seq("v", "w"))
+      .join(ugModel.withColumnRenamed("t", "v"), "v")
+      .crossJoin(totals)
+      .select(col(idCol), col("tf"),
+        (col("tf").cast(DoubleType) * lnP).cast(DecimalType(28, 12)).as("term"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n"),
+        (sum(col("term")).cast(DoubleType) / sum(col("tf"))).as("lm2_score"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n"), lit(0L)).as("n_bigrams"),
+        col("lm2_score"))
+  }
+
   /** Corpus vocabulary: the `k` most frequent whitespace tokens with
     * count >= `minCount`, ordered (count desc, token asc) — the
     * tokenizer-training / frequency-table step of a data pipeline.

@@ -744,6 +744,31 @@ class OpsSpec extends AnyFunSuite {
     assert(none.collect().isEmpty)
   }
 
+  test("lmScoreBigram: hand-computed conditional log-probs; short docs null; salad scores lower") {
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"), (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextStats.lmScoreBigram(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    // ug: a=3 b=3 x=1, V=3; bg: (a,b)=3, (b,a)=1
+    // p(b|a) = 4/6, p(a|b) = 2/6
+    val d1 = (2 * math.log(4.0 / 6) + math.log(2.0 / 6)) / 3
+    val d2 = math.log(4.0 / 6)
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - d1) < 1e-9)
+    assert(out(2L)._1 == 1L && math.abs(out(2L)._2 - d2) < 1e-9)
+    Seq(3L, 4L, 5L).foreach { id =>
+      assert(out(id)._1 == 0L && out(id)._2.isNaN) }
+    // the discriminating case unigram LM cannot see: same words, one
+    // doc shuffled — the bigram model scores the salad lower
+    val fluent = (0L until 10L).map(i => (i, "the cat sat on the mat"))
+    val salad = Seq((99L, "mat the on sat cat the"))
+    val df2 = (fluent ++ salad).toDF("doc_id", "text")
+    val s2 = TextStats.lmScoreBigram(df2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s2(99L) < s2(0L) - 0.5,
+      s"shuffled doc must score clearly lower: ${s2(99L)} vs ${s2(0L)}")
+  }
+
   test("persisted bench index: probe == exact overlap; stale refused; empty suite") {
     val bench = docsDf.filter(col("doc_id") < 2)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
