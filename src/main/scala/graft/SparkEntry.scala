@@ -1584,6 +1584,18 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // fuzzy key self-join: customer-name pairs at edit distance <= 1 via
+    // deletion-neighborhood equi-join (hash-keyed) + exact levenshtein
+    // verify — the naive form is an O(n^2) cross product
+    "x_fuzzy_join" -> ((s, d) => {
+      val c = s.read.parquet(s"$d/customer.parquet")
+      val l = c.select(col("c_custkey").as("lid"), col("c_name").as("lname"))
+      val r = c.select(col("c_custkey").as("rid"), col("c_name").as("rname"))
+      graft.ops.FuzzyJoin.editDistance1Pairs(l, "lid", "lname", r, "rid", "rname")
+        .filter(col("lid") < col("rid"))
+        .orderBy("lid", "rid")
+    }),
+
     // broadcast join + per-group top-k window
     "x_join_topk" -> ((s, d) => {
       val o = s.read.parquet(s"$d/orders.parquet")
@@ -2517,6 +2529,14 @@ object SparkEntry {
        """FROM o a JOIN o b ON a.o_orderkey < b.o_orderkey """ +
        """AND greatest(a.lo, b.lo) <= least(a.hi, b.hi) """ +
        """ORDER BY overlap_sec DESC, l_key, r_key LIMIT 100"""),
+
+    // the oracle affords the quadratic join at gate scale; the engine
+    // side must reproduce it from the deletion-neighborhood index
+    "x_fuzzy_join" ->
+      ("""SELECT a.c_custkey AS lid, b.c_custkey AS rid, """ +
+       """CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist """ +
+       """FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey """ +
+       """AND levenshtein(a.c_name, b.c_name) <= 1 ORDER BY lid, rid"""),
 
     "x_join_topk" ->
       ("""WITH ranked AS (SELECT o_orderpriority, o_orderkey, o_totalprice, c_name, n_name, """ +

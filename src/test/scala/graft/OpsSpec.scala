@@ -1400,6 +1400,44 @@ class OpsSpec extends AnyFunSuite {
     DedupIndex.requireDedupIndexFresh(spark, path, churned, "doc_id")
   }
 
+  test("fuzzy join: deletion-neighborhood pairs == naive levenshtein<=1; planted edits") {
+    val left = Seq((1L, "spark"), (2L, "spa"), (3L, "hello"), (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("lid", "lkey")
+    val right = Seq(
+      (10L, "spark"),   // equal          -> dist 0
+      (11L, "spork"),   // substitution   -> dist 1
+      (12L, "sparks"),  // insertion      -> dist 1
+      (13L, "spak"),    // deletion       -> dist 1
+      (14L, "spoon"),   // dist 3, shares no variant semantics
+      (15L, "spar"),    // deletion       -> dist 1
+      (16L, "sprak"),   // transposition  -> dist 2, must NOT match
+      (17L, "spa"),     // matches 2 at 0
+      (18L, ""))        // matches 4 at 0
+      .toDF("rid", "rkey")
+    val got = FuzzyJoin.editDistance1Pairs(left, "lid", "lkey",
+        right, "rid", "rkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = left.join(right, levenshtein(col("lkey"), col("rkey")) <= 1)
+      .select(col("lid"), col("rid"),
+        levenshtein(col("lkey"), col("rkey")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.contains((1L, 11L, 1L)) && got.contains((1L, 12L, 1L)) &&
+      got.contains((1L, 13L, 1L)) && got.contains((1L, 10L, 0L)) &&
+      got.contains((4L, 18L, 0L)))
+    assert(!got.exists(p => p._2 == 16L || p._2 == 14L)) // dist >= 2 excluded
+    assert(!got.exists(_._1 == 5L))                      // null key matches nothing
+    intercept[IllegalArgumentException] {                // same id name refused
+      FuzzyJoin.editDistance1Pairs(left, "lid", "lkey", right, "lid", "rkey")
+    }
+    val long = Seq((1L, "x" * 300)).toDF("kid", "key")
+    val e = intercept[Exception] {
+      FuzzyJoin.editDistance1Pairs(long, "kid", "key",
+        right, "rid", "rkey", maxKeyLen = 256).collect()
+    }
+    assert(e.getMessage.contains("maxKeyLen"))
+  }
+
   test("range join: bucketed pointInInterval == naive non-equi join; no nested-loop plan") {
     // negatives, bucket-boundary values, inclusive endpoints, NULLs
     val points = Seq((1L, java.lang.Long.valueOf(-25L)),
