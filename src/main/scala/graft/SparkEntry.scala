@@ -887,6 +887,22 @@ object SparkEntry {
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(col("text"), lit(" zzz")).as("text")))
 
+  private val textIndexesApp = new ConcurrentHashMap[String, String]()
+  /** Incrementally-grown text index: built over the even docs, the odd
+    * docs APPENDED — exercises [[graft.ops.TextIndex.appendTextIndex]]
+    * under the same oracle as the one-shot build. */
+  private def textIndexAppended(s: SparkSession, d: String): String =
+    textIndexesApp.computeIfAbsent(d, { _ =>
+      val path = indexPath("tia_", d)
+      graft.ops.TextIndex.buildTextIndex(
+        docs(s, d).filter(pmod(col("doc_id"), lit(2L)) === 0), "doc_id", "text",
+        path, nBuckets = 64)
+      graft.ops.TextIndex.appendTextIndex(
+        docs(s, d).filter(pmod(col("doc_id"), lit(2L)) === 1), "doc_id", "text",
+        path)
+      path
+    })
+
   private val benchIndexes = new ConcurrentHashMap[String, String]()
   /** Build-once decontamination index over the benchmark fixture
     * (docs < 20) — same discipline as [[dedupIndex]]. */
@@ -1191,6 +1207,19 @@ object SparkEntry {
     // reproduces the ranking exactly
     "x_text_index" -> ((s, d) => {
       val path = textIndex(s, d)
+      graft.ops.TextIndex.searchIndex(s, path,
+          "the data quick join hash never-in-corpus", 10,
+          verifyAgainst = (docs(s, d), "doc_id"))
+        .select(col("id").as("doc_id"), col("overlap"))
+    }),
+
+    // the same probe against an index grown INCREMENTALLY (build on the
+    // even docs, append the odd docs): every _meta quantity is additive,
+    // so the grown index is indistinguishable from a one-shot build and
+    // shares its oracle; the probe still runs the freshness contract
+    // against the full corpus
+    "x_text_index_append" -> ((s, d) => {
+      val path = textIndexAppended(s, d)
       graft.ops.TextIndex.searchIndex(s, path,
           "the data quick join hash never-in-corpus", 10,
           verifyAgainst = (docs(s, d), "doc_id"))
@@ -2200,6 +2229,14 @@ object SparkEntry {
     // overlap = distinct shared tokens between the fixed query and each
     // document; the index layout is invisible to the result
     "x_text_index" ->
+      (s"""WITH q AS (SELECT unnest(['the','data','quick','join','hash','never-in-corpus']) AS token), """ +
+       s"""post AS (SELECT DISTINCT doc_id, unnest($TOK) AS token FROM documents) """ +
+       """SELECT p.doc_id, count(*)::BIGINT AS overlap """ +
+       """FROM post p JOIN q USING (token) WHERE p.token <> '' """ +
+       """GROUP BY 1 ORDER BY overlap DESC, p.doc_id LIMIT 10"""),
+
+    // the incrementally-grown index serves the identical result
+    "x_text_index_append" ->
       (s"""WITH q AS (SELECT unnest(['the','data','quick','join','hash','never-in-corpus']) AS token), """ +
        s"""post AS (SELECT DISTINCT doc_id, unnest($TOK) AS token FROM documents) """ +
        """SELECT p.doc_id, count(*)::BIGINT AS overlap """ +

@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
  * a substitution meets at the common deletion, an insertion/deletion
  * meets at the shorter string, equality at the strings themselves. Each
  * side explodes into its ≤ `len+1` variants, candidates come from an
- * equi-join on the variant's 8-byte [[TextStats.hash60]] (strings never
- * shuffle beyond their own row), and the exact `levenshtein` predicate
+ * equi-join on the variant's 8-byte `xxhash64` (strings never shuffle
+ * beyond their own row; the hash is INTERNAL — never oracle-compared —
+ * so the cheap codegen hash beats the portable md5 family here, and a
+ * collision only costs one extra verify), and the exact `levenshtein` predicate
  * resolves both hash collisions and the neighborhood's false positives
  * (e.g. two different deletions of different characters can collide at
  * distance 2). A pair can meet on several variants, so candidates
@@ -63,7 +65,7 @@ object FuzzyJoin {
         .select(col(id).as(idOut), guarded.as(keyOut))
         .select(col(idOut), col(keyOut),
           explode(neighborhood(col(keyOut))).as("_v"))
-        .withColumn("_vh", TextStats.hash60(col("_v")))
+        .withColumn("_vh", xxhash64(col("_v")))
         .drop("_v")
     }
     val l = side(left, leftId, leftKey, "_fz_lid", "_fz_lkey")

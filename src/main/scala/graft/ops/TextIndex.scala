@@ -99,6 +99,73 @@ object TextIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
   }
 
+  /** INCREMENTAL build: append NEW documents' postings to an existing
+    * index — the "daily crawl lands in the retrieval index without a
+    * rebuild" step. The new documents run the exact build pipeline
+    * (same bucket hash from `_meta`, same per-posting denormalization)
+    * and land as additional files inside the same bucket directories
+    * (hive append — probes are layout-blind); `_meta` is then rewritten
+    * with the SUMMED stamp and token total, which works because every
+    * `_meta` quantity is additive: row count, `hash60(id)` sum, token
+    * count. After the append, the freshness contract holds against the
+    * base⊕new source — an index grown this way is indistinguishable
+    * from one built in one shot.
+    *
+    * Appended ids must be NEW: a re-indexed id would double its
+    * postings and corrupt tf/overlap silently, so by default the
+    * append refuses any id already present (a column-pruned id scan of
+    * the index — skippable via `skipIdCheck` when the caller
+    * guarantees novelty, e.g. monotonically assigned crawl ids).
+    *
+    * Crash window, documented: postings append and the `_meta` rewrite
+    * are two steps; a crash between them leaves the stamp behind the
+    * postings, which the freshness contract then REFUSES (stale vs the
+    * combined source) — fail-loud, but recovery is a rebuild, not a
+    * re-append (re-appending would double-post). */
+  def appendTextIndex(df: DataFrame, idCol: String, textCol: String,
+                      path: String, skipIdCheck: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val meta = loadMeta(spark, path)
+    val totalTokens0 = meta.totalTokens.getOrElse(throw new IllegalStateException(
+      s"text index at $path predates the BM25 posting columns " +
+        "(no total_tokens in _meta); rebuild with buildTextIndex"))
+    if (!skipIdCheck) {
+      val dup = spark.read.parquet(path).select("id")
+        .join(df.select(col(idCol).cast(LongType).as("id")).distinct(), Seq("id"),
+          "left_semi")
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"appendTextIndex: id ${if (dup.nonEmpty) dup(0).getLong(0) else ""} is " +
+          s"already indexed at $path — re-appending would double its " +
+          "postings; rebuild with buildTextIndex (or pass skipIdCheck " +
+          "only when ids are guaranteed new)")
+    }
+    val obs = org.apache.spark.sql.Observation()
+    val tokObs = org.apache.spark.sql.Observation()
+    val postings = df
+      .select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
+      .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
+      .select(col("id"), explode(TextStats.tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("doc_len", sum(col("tf")).over(Window.partitionBy("id")))
+      .observe(tokObs, coalesce(sum(col("tf")), lit(0L)).as("total_tokens"))
+      .withColumn("bucket",
+        pmod(TextStats.hash60(col("token")), lit(meta.nBuckets.toLong)))
+    postings.repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "token", "id")
+      .write.partitionBy("bucket").mode("append").parquet(path)
+    val delta = Similarity.stampOf(obs.get)
+    val deltaTokens = tokObs.get("total_tokens").asInstanceOf[Long]
+    spark.range(1).select(
+        lit(meta.nBuckets).as("n_buckets"),
+        lit(meta.stamp.nRows + delta.nRows).as("n_rows"),
+        lit(meta.stamp.idHashSum.add(delta.idHashSum))
+          .cast(DecimalType(38, 0)).as("id_hash_sum"),
+        lit(totalTokens0 + deltaTokens).as("total_tokens"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
   /** Query tokens, mirroring [[TextStats.tokens]] + the build's
     * non-empty filter + set semantics (each distinct token counts
     * once). Lowercasing goes through `UTF8String.toLowerCase` — the

@@ -519,6 +519,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text index append: grown index == one-shot build; duplicate id refused; fresh after") {
+    import graft.ops.TextIndex
+    val docs = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "data data data everywhere"),
+      (3L, "spark reads parquet data fast"),
+      (4L, "unrelated text about nothing"),
+      (5L, "fast spark data shuffles")).toDF("doc_id", "text")
+    val oneShot = TestSpark.tmpDir("ti-oneshot") + "/ti"
+    val grown = TestSpark.tmpDir("ti-grown") + "/ti"
+    TextIndex.buildTextIndex(docs, "doc_id", "text", oneShot, nBuckets = 8)
+    TextIndex.buildTextIndex(docs.filter($"doc_id" <= 2), "doc_id", "text",
+      grown, nBuckets = 8)
+    TextIndex.appendTextIndex(docs.filter($"doc_id" > 2), "doc_id", "text", grown)
+    def probe(p: String) = TextIndex.searchIndex(spark, p, "spark data fast", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(probe(grown) == probe(oneShot))
+    def bm25(p: String) = TextIndex.searchIndexBM25(spark, p, "spark data fast", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(bm25(grown) == bm25(oneShot))  // N/avgdl/df all additive-exact
+    // the grown index is FRESH against the combined source
+    TextIndex.requireTextIndexFresh(spark, grown, docs, "doc_id")
+    // re-appending an indexed id would double its postings — refused
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.appendTextIndex(docs.filter($"doc_id" === 3), "doc_id", "text", grown)
+    }
+    assert(e.getMessage.contains("already indexed"))
+    // ... and the refusal left the index untouched
+    assert(probe(grown) == probe(oneShot))
+    TextIndex.requireTextIndexFresh(spark, grown, docs, "doc_id")
+  }
+
   test("text index BM25: hand-computed scores, tf saturation, legacy-index refusal") {
     import graft.ops.TextIndex
     val docs = Seq(

@@ -365,6 +365,27 @@ object ScaleDrive {
       s"indexed probe must equal inline bloom path: $nIdxContam vs $nBloomContam")
     println(s"  contaminated pairs=$nIdxContam (== inline bloom path)")
 
+    // fuzzy key join at volume: 1M random-hex keys (32 chars -> 33
+    // variants each, ~33M variant rows through the hash join) + 10k
+    // planted single-char substitutions. Random keys make accidental
+    // distance-1 pairs vanishingly unlikely, so the result is EXACTLY
+    // the planted set — while the naive plan is 10^12 levenshteins.
+    println("== fuzzy join: 1M keys + 10k planted substitutions")
+    val fzBase = spark.range(1000000).select(col("id").as("kid"),
+      md5(col("id").cast("string")).as("key"))
+    val fzPlanted = fzBase.filter(col("kid") < 10000)
+      .select((col("kid") + 5000000L).as("kid"),
+        concat(lit("z"), substring(col("key"), 2, 31)).as("key"))
+    val fzAll = fzBase.unionByName(fzPlanted).localCheckpoint(true)
+    val l = fzAll.select(col("kid").as("lid"), col("key").as("lkey"))
+    val r = fzAll.select(col("kid").as("rid"), col("key").as("rkey"))
+    val nFz = time("editDistance1Pairs (1.01M x 1.01M, self)") {
+      graft.ops.FuzzyJoin.editDistance1Pairs(l, "lid", "lkey", r, "rid", "rkey")
+        .filter(col("lid") < col("rid")).count()
+    }
+    assert(nFz == 10000L,
+      s"exactly the planted substitution pairs must match, got $nFz")
+
     // bucketed range join at volume: 10M points vs 10k width-100
     // intervals — naively 10^11 comparisons (a nested-loop join Spark
     // would actually plan for the non-equi condition); bucketed it is
