@@ -926,6 +926,22 @@ object SparkEntry {
       path
     })
 
+  private val dedupIndexesApp = new ConcurrentHashMap[String, String]()
+  /** Incrementally-grown dedup index: built over docs < 100, docs
+    * 100-199 APPENDED — fingerprints are per-row, so the grown index
+    * equals the one-shot build over the full reference snapshot. */
+  private def dedupIndexAppended(s: SparkSession, d: String): String =
+    dedupIndexesApp.computeIfAbsent(d, { _ =>
+      val path = indexPath("dia_", d)
+      graft.ops.DedupIndex.buildDedupIndex(
+        crossRefCorpus(s, d).filter(col("doc_id") < 100),
+        "doc_id", "text", path, 3, 32, 8)
+      graft.ops.DedupIndex.appendDedupIndex(
+        crossRefCorpus(s, d).filter(col("doc_id") >= 100),
+        "doc_id", "text", path)
+      path
+    })
+
   private def ivfIndex(s: SparkSession, d: String): (String, Seq[Seq[Double]]) =
     ivfIndexes.computeIfAbsent(d, { _ =>
       val path = indexPath("", d)
@@ -933,6 +949,24 @@ object SparkEntry {
         embs(s, d), "vec_id", "embedding", k = 8, iters = 1)
       graft.ops.Similarity.buildIvfIndex(embs(s, d), "vec_id", "embedding", cb, path)
       (path, cb)
+    })
+
+  private val ivfIndexesApp = new ConcurrentHashMap[String, String]()
+  /** Incrementally-grown IVF index: built over the even vec_ids (same
+    * full-corpus codebook), the odd vec_ids APPENDED — per-row
+    * assignment is batch-independent, so the grown index serves the
+    * one-shot gate's oracle. */
+  private def ivfIndexAppended(s: SparkSession, d: String): String =
+    ivfIndexesApp.computeIfAbsent(d, { _ =>
+      val path = indexPath("iva_", d)
+      val cb = ivfIndex(s, d)._2
+      graft.ops.Similarity.buildIvfIndex(
+        embs(s, d).filter(pmod(col("vec_id"), lit(2L)) === 0),
+        "vec_id", "embedding", cb, path)
+      graft.ops.Similarity.appendIvfIndex(
+        embs(s, d).filter(pmod(col("vec_id"), lit(2L)) === 1),
+        "vec_id", "embedding", path)
+      path
     })
 
   /** Stage a batch DataFrame as a file-stream source in a fresh run dir
@@ -1042,6 +1076,17 @@ object SparkEntry {
     "x_dedup_cross" -> ((s, d) =>
       Dedup.minhashPairsAgainst(crossFreshBatch(s, d), crossRefCorpus(s, d),
           "doc_id", "text", 3, 32, 8)
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("id_new", "id_ref")),
+
+    // the same probe against a dedup index grown INCREMENTALLY (built
+    // on docs < 100, docs 100-199 appended): fingerprints are per-row,
+    // so the grown index shares the one-shot oracle; the probe still
+    // verifies freshness against the full reference
+    "x_dedup_cross_append" -> ((s, d) =>
+      graft.ops.DedupIndex.pairsAgainstIndex(s, dedupIndexAppended(s, d),
+          crossFreshBatch(s, d), "doc_id", "text",
+          verifyAgainst = Some((crossRefCorpus(s, d), "doc_id")))
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("id_new", "id_ref")),
 
@@ -1251,6 +1296,19 @@ object SparkEntry {
       // the gate exercises the exact build-once/probe-many API a user
       // would call, every round, under the oracle
       Similarity.ivfTopKIndexed(s, path, q, 10, nprobe = 3,
+        verifyAgainst = (embs(s, d), "vec_id"))
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"),
+          col("list"))
+    }),
+
+    // the same probe against an IVF index grown INCREMENTALLY (built on
+    // the even vec_ids, odd vec_ids appended against the index's own
+    // codebook): per-row assignment is batch-independent, so the grown
+    // index serves the identical top-k and shares the oracle
+    "x_knn_ivf_append" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      Similarity.ivfTopKIndexed(s, ivfIndexAppended(s, d), q, 10, nprobe = 3,
         verifyAgainst = (embs(s, d), "vec_id"))
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"),
           col("list"))
@@ -1983,6 +2041,9 @@ object SparkEntry {
     // the oracle is shared verbatim
     "x_dedup_cross_indexed" -> crossDedupOracle,
 
+    // the incrementally-grown dedup index serves the identical pairs
+    "x_dedup_cross_append" -> crossDedupOracle,
+
     // intra-doc dedup: first occurrence per (doc, line) via a window,
     // blanks exempt, reassembled in position order
     "x_line_dedup_within" ->
@@ -2225,6 +2286,9 @@ object SparkEntry {
     // the persisted index materializes the identical assignment, so the
     // probed top-k must equal the assign-at-query-time result exactly
     "x_knn_ivf_indexed" -> ivfTrainedOracle,
+
+    // the incrementally-grown index serves the identical top-k
+    "x_knn_ivf_append" -> ivfTrainedOracle,
 
     // overlap = distinct shared tokens between the fixed query and each
     // document; the index layout is invisible to the result

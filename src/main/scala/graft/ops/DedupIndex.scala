@@ -86,6 +86,76 @@ object DedupIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
   }
 
+  /** INCREMENTAL build: append a NEW batch's fingerprints to an
+    * existing index — after each crawl batch is deduped and accepted,
+    * its signatures join the snapshot so the NEXT batch dedupes against
+    * it too ([[TextIndex.appendTextIndex]] discipline). Banding
+    * parameters come from `_meta` (no drift); the delta's signatures
+    * are staged once under an underscore dir (invisible to parquet
+    * listings) so the minhash kernel — the dominant cost — runs exactly
+    * once for both the `sigs/` and `bands/` appends; `_meta` then
+    * rewrites with the SUMMED stamp, after which the freshness contract
+    * holds against the base⊕new reference.
+    *
+    * Appended ids must be NEW (a duplicate id would double its band
+    * rows and pair twice); refused by default via an ids-only scan of
+    * `sigs/`. Crash between appends and the `_meta` rewrite leaves the
+    * stamp behind the data — the freshness contract refuses, recover
+    * by rebuild. */
+  def appendDedupIndex(df: DataFrame, idCol: String, textCol: String,
+                       path: String, skipIdCheck: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val meta = loadMeta(spark, path)
+    if (!skipIdCheck) {
+      val dup = spark.read.parquet(s"$path/sigs").select("id")
+        .join(df.select(col(idCol).cast(LongType).as("id")).distinct(),
+          Seq("id"), "left_semi")
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"appendDedupIndex: id ${if (dup.nonEmpty) dup(0).getLong(0) else ""} is " +
+          s"already indexed at $path — re-appending would double its band " +
+          "rows; rebuild with buildDedupIndex (or pass skipIdCheck only " +
+          "when ids are guaranteed new)")
+    }
+    val idL = when(col(idCol).cast(LongType).isNotNull, col(idCol).cast(LongType))
+      .otherwise(raise_error(concat(
+        lit(s"appendDedupIndex: id column '$idCol' must be non-null and numeric, got: "),
+        coalesce(col(idCol).cast(StringType), lit("NULL")))))
+    val obs = org.apache.spark.sql.Observation()
+    val base = df
+      .select(idL.as("id"), col(textCol).as("text"))
+      .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
+    val staging = s"$path/_staging-${java.util.UUID.randomUUID().toString.take(8)}"
+    base.filter(col("text").isNotNull)
+      .select(col("id"),
+        graft.functions.native.minhash_sig_tokens(
+          TextStats.tokens(col("text")), meta.n, meta.numHashes).as("sig"))
+      .write.mode("overwrite").parquet(staging)
+    val delta = Similarity.stampOf(obs.get)
+    val staged = spark.read.parquet(staging)
+    staged.write.mode("append").parquet(s"$path/sigs")
+    Dedup.bandedFromSigs(staged, "id", meta.numHashes, meta.bands, "id", "sig")
+      .select(col("band"), col("bh"), col("id"))
+      .repartition(col("band"), col("bh"))
+      .sortWithinPartitions("band", "bh", "id")
+      .write.mode("append").parquet(s"$path/bands")
+    spark.range(1).select(
+        lit(meta.n).as("n"),
+        lit(meta.numHashes).as("num_hashes"),
+        lit(meta.bands).as("bands"),
+        lit(meta.stamp.nRows + delta.nRows).as("n_rows"),
+        lit(meta.stamp.idHashSum.add(delta.idHashSum))
+          .cast(DecimalType(38, 0)).as("id_hash_sum"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    // staging cleanup is best-effort: an underscore dir is invisible to
+    // parquet listings, so a leftover can never corrupt a probe
+    try {
+      val p = new org.apache.hadoop.fs.Path(staging)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true); ()
+    } catch { case _: Exception => () }
+  }
+
   private final case class DiMeta(n: Int, numHashes: Int, bands: Int,
                                   stamp: Similarity.IvfStamp)
 

@@ -356,6 +356,57 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
   }
 
+  /** INCREMENTAL build: append NEW vectors to an existing
+    * [[buildIvfIndex]] tree — the "today's embeddings land in the ANN
+    * index without a rebuild" step (the [[TextIndex.appendTextIndex]]
+    * discipline). The new vectors are assigned against the index's OWN
+    * codebook (read from `_codebook`, so build/append assignment can
+    * never drift) and land as additional files inside the same list
+    * directories — probes are layout-blind; the `_codebook` sidecar is
+    * then rewritten with the SUMMED stamp (row count and id-hash sum
+    * are both additive), after which the freshness contract holds
+    * against the base⊕new source.
+    *
+    * Appended ids must be NEW (a duplicate id would appear in two
+    * lists' candidates and double-serve); refused by default via a
+    * column-pruned ids-only scan, skippable when the caller guarantees
+    * novelty. Crash window: a crash between the postings append and
+    * the sidecar rewrite leaves the stamp behind the data, which the
+    * freshness contract then refuses — fail-loud; recover by rebuild. */
+  def appendIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                     path: String, skipIdCheck: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val codebook = loadIvfCodebook(spark, path)
+    val stamp0 = loadIvfStamp(spark, path)
+    if (!skipIdCheck) {
+      val dup = spark.read.parquet(path).select("id")
+        .join(df.select(col(idCol).cast(LongType).as("id")).distinct(),
+          Seq("id"), "left_semi")
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"appendIvfIndex: id ${if (dup.nonEmpty) dup(0).getLong(0) else ""} is " +
+          s"already indexed at $path — re-appending would double-serve it; " +
+          "rebuild with buildIvfIndex (or pass skipIdCheck only when ids " +
+          "are guaranteed new)")
+    }
+    val dyy = centroidNorms(spark, codebook)
+    val obs = org.apache.spark.sql.Observation()
+    df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"),
+        nearestCentroid(col(vecCol), codebook, dyy).as("list"))
+      .observe(obs, stampExprs.head, stampExprs.tail: _*)
+      .repartition(col("list"))
+      .sortWithinPartitions(col("list"), col("id"))
+      .write.partitionBy("list").mode("append").parquet(path)
+    val delta = stampOf(obs.get)
+    import spark.implicits._
+    codebook.zipWithIndex.map { case (c, j) => (j.toLong, c) }
+      .toDF("j", "centroid")
+      .withColumn("n_rows", lit(stamp0.nRows + delta.nRows))
+      .withColumn("id_hash_sum",
+        lit(stamp0.idHashSum.add(delta.idHashSum)).cast(DecimalType(38, 0)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
+  }
+
   /** Build stamp of a persisted IVF index: the source's row count and
     * the exact-decimal sum of `hash60(id)` over its (Long-cast) ids.
     * Hashing before summing is what makes the fingerprint sensitive to

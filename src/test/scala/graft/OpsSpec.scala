@@ -1417,6 +1417,53 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == batch.select("doc_id").collect().map(_.getLong(0)).toSet -- matchedIds)
   }
 
+  test("dedup index append: grown == one-shot; duplicate id refused; fresh after") {
+    val ref = docsDf.filter($"doc_id" < 4)
+    val batch = docsDf.filter($"doc_id" >= 4)
+      .unionByName(docsDf.filter($"doc_id" === 0)
+        .select(($"doc_id" + 100L).as("doc_id"),
+          concat($"text", lit(" zzz")).as("text")))
+    def rows(p: String) = DedupIndex.pairsAgainstIndex(spark, p, batch,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = TestSpark.tmpDir("di-oneshot") + "/di"
+    val grown = TestSpark.tmpDir("di-grown") + "/di"
+    DedupIndex.buildDedupIndex(ref, "doc_id", "text", oneShot)
+    DedupIndex.buildDedupIndex(ref.filter($"doc_id" < 2), "doc_id", "text", grown)
+    DedupIndex.appendDedupIndex(ref.filter($"doc_id" >= 2), "doc_id", "text", grown)
+    assert(rows(grown) == rows(oneShot) && rows(grown).nonEmpty)
+    DedupIndex.requireDedupIndexFresh(spark, grown, ref, "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.appendDedupIndex(ref.filter($"doc_id" === 1), "doc_id", "text", grown)
+    }
+    assert(e.getMessage.contains("already indexed"))
+    assert(rows(grown) == rows(oneShot)) // refusal left the index untouched
+  }
+
+  test("ivf index append: grown == one-shot probe; duplicate id refused; fresh after") {
+    val embsDf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.kmeansCodebook(embsDf, "vec_id", "embedding", k = 4, iters = 1)
+    val q = embsDf.filter($"vec_id" === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    def probe(p: String) = Similarity.ivfTopKIndexed(spark, p, q, 10, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val oneShot = TestSpark.tmpDir("ivf-oneshot") + "/ivf"
+    val grown = TestSpark.tmpDir("ivf-grown") + "/ivf"
+    Similarity.buildIvfIndex(embsDf, "vec_id", "embedding", cb, oneShot)
+    Similarity.buildIvfIndex(embsDf.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", cb, grown)
+    Similarity.appendIvfIndex(embsDf.filter($"vec_id" % 2 =!= 0),
+      "vec_id", "embedding", grown)
+    assert(probe(grown) == probe(oneShot) && probe(grown).nonEmpty)
+    Similarity.requireIvfFresh(spark, grown, embsDf, "vec_id")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(embsDf.filter($"vec_id" === 1),
+        "vec_id", "embedding", grown)
+    }
+    assert(e.getMessage.contains("already indexed"))
+    assert(probe(grown) == probe(oneShot))
+  }
+
   test("dedup index: stale index refused, rebuild clears it") {
     val ref = docsDf.filter($"doc_id" < 4)
     val path = TestSpark.tmpDir("dedup-idx-stale")
