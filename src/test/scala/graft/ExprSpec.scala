@@ -431,7 +431,9 @@ class ExprSpec extends AnyFunSuite {
         BoundReference(2, ArrayType(FloatType), nullable = true),
         BoundReference(2, ArrayType(FloatType), nullable = true)),
       graft.functions.HyperplaneSig(
-        BoundReference(2, ArrayType(FloatType), nullable = true), 8, 64))
+        BoundReference(2, ArrayType(FloatType), nullable = true), 8, 64),
+      graft.functions.GramBuckets(
+        BoundReference(0, ArrayType(StringType), nullable = true), 2, 8192L))
     exprs.foreach { e =>
       assert(!e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
       GenerateMutableProjection.generate(Seq(e), useSubexprElimination = false)
