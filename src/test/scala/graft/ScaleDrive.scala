@@ -228,6 +228,27 @@ object ScaleDrive {
     assert(tiHits.map(_.getLong(1)).forall(o => o >= 1 && o <= 3))
     assert(tiHits.head.getLong(1) == tiProbe.distinct.length.toLong,
       s"top hit must match every distinct probe token: ${tiHits.head}")
+    // incremental growth at volume: 30k new docs (disjoint vocab m<...>,
+    // fresh ids) append into the same tree; the original probe must be
+    // untouched and a new-vocab probe must land in the appended postings
+    val tiNew = spark.range(30000).select((col("id") + 50000000L).as("doc_id"),
+      concat_ws(" ", (0 until 30).map(j =>
+        concat(lit("m"), pmod(hash(col("id") * 23 + j), lit(5000)))): _*).as("text"))
+    time("appendTextIndex (30k docs into 360k-doc index)") {
+      graft.ops.TextIndex.appendTextIndex(tiNew, "doc_id", "text", tiPath)
+    }
+    val tiHits2 = graft.ops.TextIndex.searchIndex(
+      spark, tiPath, tiProbe.mkString(" "), 10).collect()
+    assert(tiHits2.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      tiHits.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "pre-append probe results must be untouched by the append")
+    val newProbe = tiNew.filter(col("doc_id") === 50000000L)
+      .select(split(col("text"), " ").as("t")).collect()(0)
+      .getSeq[String](0).take(3)
+    val newHits = graft.ops.TextIndex.searchIndex(
+      spark, tiPath, newProbe.mkString(" "), 5).collect()
+    assert(newHits.nonEmpty && newHits.head.getLong(0) == 50000000L,
+      s"appended doc must surface for its own vocabulary: ${newHits.toSeq}")
 
     // Count-Min at volume: 10M tokens over 100k distinct values, width
     // 2^16 — ONE corpus pass whose shuffle moves at most depth×width
