@@ -1477,6 +1477,14 @@ object SparkEntry {
     // unigram LM scoring: mean add-one-smoothed log-prob per document
     // under the corpus's own unigram model — the cheap perplexity-style
     // quality axis; decimal-exact term sum keeps the 6th decimal stable
+    // token entropy: lexical-diversity quality axis (low = repetitive
+    // spam; ln(n) = all-distinct)
+    "x_entropy" -> ((s, d) =>
+      TextStats.tokenEntropy(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("entropy"), 6).as("entropy"))
+        .orderBy("doc_id")),
+
     // bigram conditional LM: mean add-one log p(w|v) under the corpus's
     // own bigram model — separates word salad from fluent text where
     // the unigram score cannot
@@ -2472,6 +2480,17 @@ object SparkEntry {
 
     // unigram LM scores recomputed from scratch: identical smoothing,
     // identical DECIMAL(28,12) term sum (order-free), double division
+    // entropy recomputed from per-doc token frequencies: ln(n) - s/n
+    // with the same decimal term-sum discipline
+    "x_entropy" ->
+      (s"""WITH toks AS (SELECT doc_id, unnest(list_filter($TOK, t -> t <> '')) AS token FROM documents), """ +
+       """tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2), """ +
+       """sc AS (SELECT doc_id, sum(tf)::BIGINT AS n, """ +
+       """sum(CAST(tf * ln(tf::DOUBLE) AS DECIMAL(28,12))) AS s FROM tf GROUP BY 1) """ +
+       """SELECT d.doc_id, coalesce(sc.n, 0)::BIGINT AS n_tokens, """ +
+       """round(ln(sc.n::DOUBLE) - CAST(sc.s AS DOUBLE) / sc.n, 6) AS entropy """ +
+       """FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""),
+
     // bigram LM recomputed from scratch: add-one over (context count +
     // unigram vocab size), same decimal term-sum discipline
     "x_lm_bigram" ->

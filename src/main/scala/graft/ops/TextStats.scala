@@ -304,6 +304,38 @@ object TextStats {
         col("lm_score"))
   }
 
+  /** Per-document Shannon token entropy — the lexical-diversity quality
+    * axis: `H(d) = −Σ_t (tf/n)·ln(tf/n) = ln(n) − (Σ_t tf·ln tf)/n`
+    * over the document's own token distribution. Low entropy flags
+    * repetitive spam (keyword stuffing, generated boilerplate) that
+    * length/punctuation ratios miss; maximal entropy (`ln n`) means
+    * every token distinct. Output: one row per input document
+    * (`idCol`, `n_tokens`, `entropy`); tokenless documents keep
+    * `n_tokens` 0 and a null entropy.
+    *
+    * Scale shape: ONE (id, token) aggregation with map-side combine
+    * then a per-id rollup — no joins, nothing corpus-wide (the model
+    * is each document itself). The `tf·ln tf` terms go through the
+    * exact-DECIMAL sum ([[lmScore]] discipline) so aggregation order
+    * cannot wobble the rounded value; the closing `ln(n) − s/n` runs
+    * in correctly-rounded double arithmetic, identical in any engine. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n"),
+        sum((col("tf").cast(DoubleType) * log(col("tf").cast(DoubleType)))
+          .cast(DecimalType(28, 12))).as("s"))
+      .select(col(idCol), col("n"),
+        (log(col("n").cast(DoubleType)) -
+          col("s").cast(DoubleType) / col("n").cast(DoubleType)).as("entropy"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n"), lit(0L)).as("n_tokens"),
+        col("entropy"))
+  }
+
   /** Bigram conditional LM score — the second-order sibling of
     * [[lmScore]]: mean add-one-smoothed log conditional probability of
     * each token given its predecessor, under the corpus's own bigram

@@ -776,6 +776,25 @@ class OpsSpec extends AnyFunSuite {
     assert(none.collect().isEmpty)
   }
 
+  test("tokenEntropy: hand-computed; uniform=ln n, repeated=0, nulls; spam below prose") {
+    val df = Seq((1L, "a b c d"), (2L, "a a a a"), (3L, "a a b b"),
+      (4L, ""), (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextStats.tokenEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 4L && math.abs(out(1L)._2 - math.log(4)) < 1e-9)
+    assert(out(2L)._1 == 4L && math.abs(out(2L)._2) < 1e-9)
+    assert(out(3L)._1 == 4L && math.abs(out(3L)._2 - math.log(2)) < 1e-9)
+    assert(out(4L)._1 == 0L && out(4L)._2.isNaN)
+    assert(out(5L)._1 == 0L && out(5L)._2.isNaN)
+    // keyword-stuffed spam scores below same-length prose
+    val df2 = Seq((1L, "buy cheap pills buy cheap pills buy cheap pills"),
+      (2L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val s2 = TextStats.tokenEntropy(df2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s2(1L) < s2(2L) - 0.5)
+  }
+
   test("lmScoreBigram: hand-computed conditional log-probs; short docs null; salad scores lower") {
     val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"), (4L, ""),
       (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
