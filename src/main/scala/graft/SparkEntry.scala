@@ -762,6 +762,16 @@ object SparkEntry {
       lit(null).cast(StringType).as("props"))
   }
 
+  /** Spark SQL fragment: FLOOR division `x // d` for integral `x` —
+    * the engine-side twin of the DuckDB oracles' `//`. A plain `div`
+    * truncates toward zero and diverges from floor for pre-epoch
+    * (negative) timestamps; `pmod` is non-negative, so the adjusted
+    * numerator is exactly divisible (truncation == floor) and the
+    * DECIMAL subtraction cannot overflow at Long.MinValue (the
+    * [[graft.ops.RangeJoin]] bucketOf discipline). */
+  private def floorDivSql(x: String, d: Long): String =
+    s"CAST((CAST(($x) AS DECIMAL(38,0)) - pmod($x, ${d}L)) / ${d}L AS BIGINT)"
+
   /** Tokenizer fragments shared by the DuckDB oracles. */
   private val TOK = """string_split_regex(lower(text), '\s+')"""
   /** DuckDB fragment: parse the top 15 hex digits of a hex string. */
@@ -1620,11 +1630,13 @@ object SparkEntry {
     // before the event time (union + last-non-null window, one shuffle)
     "x_asof_join" -> ((s, d) => {
       val e = events(s, d).withColumn("sec",
-        expr(if (events(s, d).schema("ts").dataType == LongType) "ts div 1000000000"
-        else "unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"))
+        expr(if (events(s, d).schema("ts").dataType == LongType)
+          floorDivSql("ts", 1000000000L)
+        else floorDivSql("unix_micros(CAST(ts AS TIMESTAMP))", 1000000L)))
         .select("event_id", "user_id", "sec")
       val o = s.read.parquet(s"$d/orders.parquet")
-        .withColumn("osec", expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000"))
+        .withColumn("osec",
+          expr(floorDivSql("unix_micros(CAST(o_orderdate AS TIMESTAMP))", 1000000L)))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey", "osec").orderBy(col("o_orderkey").desc)
       val dedup = o.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -1642,8 +1654,8 @@ object SparkEntry {
     "x_range_join" -> ((s, d) => {
       val ev = events(s, d)
       val sec = expr(
-        if (ev.schema("ts").dataType == LongType) "ts div 1000000000"
-        else "unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
+        if (ev.schema("ts").dataType == LongType) floorDivSql("ts", 1000000000L)
+        else floorDivSql("unix_micros(CAST(ts AS TIMESTAMP))", 1000000L))
       val p = ev.select(col("event_id"), sec.as("t"), col("value"))
       val w = ev.groupBy(col("user_id").as("owner"))
         .agg(min(sec).as("lo"))
@@ -1663,7 +1675,8 @@ object SparkEntry {
       val o = s.read.parquet(s"$d/orders.parquet")
         .filter(pmod(col("o_orderkey"), lit(29L)) === 0)
         .select(col("o_orderkey"),
-          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000").as("lo"))
+          expr(floorDivSql("unix_micros(CAST(o_orderdate AS TIMESTAMP))", 1000000L))
+            .as("lo"))
         .withColumn("hi", col("lo") + 14L * 86400L - 1L)
       val l = o.select(col("o_orderkey").as("l_key"), col("lo").as("l_lo"),
         col("hi").as("l_hi"))
@@ -1687,6 +1700,22 @@ object SparkEntry {
       val l = c.select(col("c_custkey").as("lid"), col("c_name").as("lname"))
       val r = c.select(col("c_custkey").as("rid"), col("c_name").as("rname"))
       graft.ops.FuzzyJoin.editDistance1Pairs(l, "lid", "lname", r, "rid", "rname")
+        .filter(col("lid") < col("rid"))
+        .orderBy("lid", "rid")
+    }),
+
+    // the radius-2 form (FastSS k=2, ~len²/2 deletion variants per key):
+    // zero-padded customer names make distance-2 pairs dense, so the
+    // gate samples c_custkey <= 3000 to keep the pair count bounded at
+    // any sf (sf0.01's 1500 customers all pass — verify is full-corpus);
+    // the oracle affords the quadratic join at that size
+    "x_fuzzy_join2" -> ((s, d) => {
+      val c = s.read.parquet(s"$d/customer.parquet")
+        .filter(col("c_custkey") <= 3000)
+      val l = c.select(col("c_custkey").as("lid"), col("c_name").as("lname"))
+      val r = c.select(col("c_custkey").as("rid"), col("c_name").as("rname"))
+      graft.ops.FuzzyJoin.editDistancePairs(l, "lid", "lname",
+          r, "rid", "rname", maxDist = 2)
         .filter(col("lid") < col("rid"))
         .orderBy("lid", "rid")
     }),
@@ -2657,6 +2686,13 @@ object SparkEntry {
        """CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist """ +
        """FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey """ +
        """AND levenshtein(a.c_name, b.c_name) <= 1 ORDER BY lid, rid"""),
+
+    "x_fuzzy_join2" ->
+      ("""SELECT a.c_custkey AS lid, b.c_custkey AS rid, """ +
+       """CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist """ +
+       """FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey """ +
+       """AND a.c_custkey <= 3000 AND b.c_custkey <= 3000 """ +
+       """AND levenshtein(a.c_name, b.c_name) <= 2 ORDER BY lid, rid"""),
 
     "x_join_topk" ->
       ("""WITH ranked AS (SELECT o_orderpriority, o_orderkey, o_totalprice, c_name, n_name, """ +

@@ -67,7 +67,12 @@ object RangeJoin {
                         maxBuckets: Long): Column = {
     val bLo = bucketOf(lo, w)
     val bHi = bucketOf(hi, w)
-    val n = bHi - bLo + 1
+    // the count runs in DECIMAL (like bucketOf's subtraction): a Long
+    // `bHi - bLo + 1` can wrap negative when an interval spans more than
+    // 2^63 buckets (lo near Long.MinValue, hi near Long.MaxValue, small
+    // w) and a wrapped-negative n would sail past the maxBuckets guard
+    // this expression exists to enforce
+    val n = bHi.cast(DecimalType(38, 0)) - bLo.cast(DecimalType(38, 0)) + 1
     when(hi < lo, raise_error(concat(
         lit("RangeJoin: reversed interval [lo, hi]: ["),
         lo.cast(StringType), lit(", "), hi.cast(StringType), lit("]"))))

@@ -1536,6 +1536,40 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxKeyLen"))
   }
 
+  test("fuzzy join k=2: pairs == naive levenshtein<=2; transpositions in, dist-3 out") {
+    val left = Seq((1L, "spark"), (2L, "spa"), (3L, "hello"), (4L, ""),
+      (5L, null.asInstanceOf[String]), (6L, "ab")).toDF("lid", "lkey")
+    val right = Seq(
+      (10L, "spark"),   // dist 0
+      (11L, "sprak"),   // transposition  -> dist 2, must now match
+      (12L, "sperk"),   // substitution   -> dist 1
+      (13L, "spk"),     // two deletions  -> dist 2
+      (14L, "sparkle"), // two insertions -> dist 2
+      (15L, "spoon"),   // dist 3, must NOT match
+      (16L, "sporky"),  // sub+ins        -> dist 2
+      (17L, "ba"),      // transposition of "ab" -> dist 2
+      (18L, ""),        // dist <= 2 of "", "ab", "spa"
+      (19L, "help"))    // dist 2 of "hello"? l-l-o vs l-p: hello->help is del 'l', sub 'o'->'p' = 2
+      .toDF("rid", "rkey")
+    val got = FuzzyJoin.editDistancePairs(left, "lid", "lkey",
+        right, "rid", "rkey", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = left.join(right, levenshtein(col("lkey"), col("rkey")) <= 2)
+      .select(col("lid"), col("rid"),
+        levenshtein(col("lkey"), col("rkey")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.contains((1L, 11L, 2L)) && got.contains((1L, 13L, 2L)) &&
+      got.contains((1L, 14L, 2L)) && got.contains((1L, 16L, 2L)) &&
+      got.contains((6L, 17L, 2L)) && got.contains((3L, 19L, 2L)))
+    assert(!got.exists(_._2 == 15L)) // dist 3 excluded
+    assert(!got.exists(_._1 == 5L))  // null key matches nothing
+    intercept[IllegalArgumentException] { // unsupported radius refused
+      FuzzyJoin.editDistancePairs(left, "lid", "lkey", right, "rid", "rkey",
+        maxDist = 3)
+    }
+  }
+
   test("range join: bucketed pointInInterval == naive non-equi join; no nested-loop plan") {
     // negatives, bucket-boundary values, inclusive endpoints, NULLs
     val points = Seq((1L, java.lang.Long.valueOf(-25L)),

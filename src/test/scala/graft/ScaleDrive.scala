@@ -407,6 +407,28 @@ object ScaleDrive {
     assert(nFz == 10000L,
       s"exactly the planted substitution pairs must match, got $nFz")
 
+    // radius-2 at volume: 200k random-hex keys (32 chars -> ~530
+    // distinct variants each, ~106M variant rows) + 5k planted
+    // DOUBLE-substitutions — invisible to the k=1 join, found exactly
+    // by k=2; random keys keep accidental distance-2 pairs at ~0
+    println("== fuzzy join k=2: 200k keys + 5k planted double-substitutions")
+    val fz2Base = spark.range(200000).select(col("id").as("kid"),
+      md5(col("id").cast("string")).as("key"))
+    val fz2Planted = fz2Base.filter(col("kid") < 5000)
+      .select((col("kid") + 5000000L).as("kid"),
+        concat(lit("z"), substring(col("key"), 2, 15),
+          lit("z"), substring(col("key"), 18, 15)).as("key"))
+    val fz2All = fz2Base.unionByName(fz2Planted).localCheckpoint(true)
+    val l2 = fz2All.select(col("kid").as("lid"), col("key").as("lkey"))
+    val r2 = fz2All.select(col("kid").as("rid"), col("key").as("rkey"))
+    val nFz2 = time("editDistancePairs k=2 (205k x 205k, self)") {
+      graft.ops.FuzzyJoin.editDistancePairs(l2, "lid", "lkey",
+          r2, "rid", "rkey", maxDist = 2)
+        .filter(col("lid") < col("rid")).count()
+    }
+    assert(nFz2 == 5000L,
+      s"exactly the planted double-substitution pairs must match, got $nFz2")
+
     // bucketed range join at volume: 10M points vs 10k width-100
     // intervals — naively 10^11 comparisons (a nested-loop join Spark
     // would actually plan for the non-equi condition); bucketed it is
