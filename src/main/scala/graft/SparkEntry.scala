@@ -925,6 +925,44 @@ object SparkEntry {
       path
     })
 
+  private val textIndexesCpt = new ConcurrentHashMap[String, String]()
+  /** Append-grown text index COMPACTED in place: probe results must be
+    * byte-identical to the one-shot build (shared oracle), with the
+    * append-accumulated small files rewritten to ~1 per bucket. */
+  private def textIndexCompacted(s: SparkSession, d: String): String =
+    textIndexesCpt.computeIfAbsent(d, { _ =>
+      val path = indexPath("tic_", d)
+      graft.ops.TextIndex.buildTextIndex(
+        docs(s, d).filter(pmod(col("doc_id"), lit(2L)) === 0), "doc_id", "text",
+        path, nBuckets = 64)
+      graft.ops.TextIndex.appendTextIndex(
+        docs(s, d).filter(pmod(col("doc_id"), lit(2L)) === 1), "doc_id", "text",
+        path)
+      graft.ops.IndexMaintenance.compactTextIndex(s, path)
+      path
+    })
+
+  private val textIndexesDel = new ConcurrentHashMap[String, String]()
+  /** Text index built over the corpus PLUS 3 planted docs made of the
+    * probe's own query tokens (guaranteed top-overlap hits), then
+    * tombstone-DELETED — the probe must match the plain-corpus oracle,
+    * which it can only do if the tombstones really filter and the
+    * subtractive stamp really verifies against the planted-free
+    * corpus. */
+  private def textIndexDeleted(s: SparkSession, d: String): String =
+    textIndexesDel.computeIfAbsent(d, { _ =>
+      val path = indexPath("tid_", d)
+      val planted = s.range(3).select((col("id") + 3000000L).as("doc_id"),
+        lit("the data quick join hash never-in-corpus the data quick join")
+          .as("text"))
+      graft.ops.TextIndex.buildTextIndex(
+        docs(s, d).select("doc_id", "text").unionByName(planted),
+        "doc_id", "text", path, nBuckets = 64)
+      graft.ops.IndexMaintenance.deleteFromTextIndex(s, path,
+        Seq(3000000L, 3000001L, 3000002L))
+      path
+    })
+
   private val dedupIndexes = new ConcurrentHashMap[String, String]()
   /** Build-once dedup index over the cross-corpus reference snapshot
     * (same discipline as [[ivfIndex]]/[[textIndex]]). */
@@ -952,6 +990,41 @@ object SparkEntry {
       path
     })
 
+  private val dedupIndexesCpt = new ConcurrentHashMap[String, String]()
+  /** Append-grown dedup index COMPACTED in place (shared oracle with
+    * the one-shot build). */
+  private def dedupIndexCompacted(s: SparkSession, d: String): String =
+    dedupIndexesCpt.computeIfAbsent(d, { _ =>
+      val path = indexPath("dic_", d)
+      graft.ops.DedupIndex.buildDedupIndex(
+        crossRefCorpus(s, d).filter(col("doc_id") < 100),
+        "doc_id", "text", path, 3, 32, 8)
+      graft.ops.DedupIndex.appendDedupIndex(
+        crossRefCorpus(s, d).filter(col("doc_id") >= 100),
+        "doc_id", "text", path)
+      graft.ops.IndexMaintenance.compactDedupIndex(s, path)
+      path
+    })
+
+  private val dedupIndexesDel = new ConcurrentHashMap[String, String]()
+  /** Dedup index over the reference snapshot PLUS 3 planted copies of
+    * the fresh batch's own planted variants (guaranteed est=1.0
+    * collisions), tombstone-DELETED — the probe matches the plain
+    * cross-corpus oracle only if deleted docs stop pairing. */
+  private def dedupIndexDeleted(s: SparkSession, d: String): String =
+    dedupIndexesDel.computeIfAbsent(d, { _ =>
+      val path = indexPath("did_", d)
+      val planted = docs(s, d).filter(col("doc_id") < 3)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          concat(col("text"), lit(" zzz")).as("text"))
+      graft.ops.DedupIndex.buildDedupIndex(
+        crossRefCorpus(s, d).unionByName(planted), "doc_id", "text", path,
+        3, 32, 8)
+      graft.ops.IndexMaintenance.deleteFromDedupIndex(s, path,
+        Seq(7000000L, 7000001L, 7000002L))
+      path
+    })
+
   private def ivfIndex(s: SparkSession, d: String): (String, Seq[Seq[Double]]) =
     ivfIndexes.computeIfAbsent(d, { _ =>
       val path = indexPath("", d)
@@ -976,6 +1049,42 @@ object SparkEntry {
       graft.ops.Similarity.appendIvfIndex(
         embs(s, d).filter(pmod(col("vec_id"), lit(2L)) === 1),
         "vec_id", "embedding", path)
+      path
+    })
+
+  private val ivfIndexesCpt = new ConcurrentHashMap[String, String]()
+  /** Append-grown IVF index COMPACTED in place (shared oracle). */
+  private def ivfIndexCompacted(s: SparkSession, d: String): String =
+    ivfIndexesCpt.computeIfAbsent(d, { _ =>
+      val path = indexPath("ivc_", d)
+      val cb = ivfIndex(s, d)._2
+      graft.ops.Similarity.buildIvfIndex(
+        embs(s, d).filter(pmod(col("vec_id"), lit(2L)) === 0),
+        "vec_id", "embedding", cb, path)
+      graft.ops.Similarity.appendIvfIndex(
+        embs(s, d).filter(pmod(col("vec_id"), lit(2L)) === 1),
+        "vec_id", "embedding", path)
+      graft.ops.IndexMaintenance.compactIvfIndex(s, path)
+      path
+    })
+
+  private val ivfIndexesDel = new ConcurrentHashMap[String, String]()
+  /** IVF index over the corpus PLUS 3 planted scaled copies of the
+    * query vector (cosine 1.0 — guaranteed top-k entrants),
+    * tombstone-DELETED — the probe matches the plain-corpus oracle
+    * only if deleted vectors stop serving. */
+  private def ivfIndexDeleted(s: SparkSession, d: String): String =
+    ivfIndexesDel.computeIfAbsent(d, { _ =>
+      val path = indexPath("ivd_", d)
+      val cb = ivfIndex(s, d)._2
+      val planted = embs(s, d).filter(col("vec_id") < 3)
+        .select((col("vec_id") + 7000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      graft.ops.Similarity.buildIvfIndex(
+        embs(s, d).select("vec_id", "embedding").unionByName(planted),
+        "vec_id", "embedding", cb, path)
+      graft.ops.IndexMaintenance.deleteFromIvfIndex(s, path,
+        Seq(7000000L, 7000001L, 7000002L))
       path
     })
 
@@ -1106,6 +1215,25 @@ object SparkEntry {
     // reference corpus is never re-read at probe time
     "x_dedup_cross_indexed" -> ((s, d) =>
       graft.ops.DedupIndex.pairsAgainstIndex(s, dedupIndex(s, d),
+          crossFreshBatch(s, d), "doc_id", "text",
+          verifyAgainst = Some((crossRefCorpus(s, d), "doc_id")))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("id_new", "id_ref")),
+
+    // the same cross-corpus probe against a grown-then-COMPACTED index
+    "x_dedup_cross_compact" -> ((s, d) =>
+      graft.ops.DedupIndex.pairsAgainstIndex(s, dedupIndexCompacted(s, d),
+          crossFreshBatch(s, d), "doc_id", "text",
+          verifyAgainst = Some((crossRefCorpus(s, d), "doc_id")))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("id_new", "id_ref")),
+
+    // the same probe with 3 planted reference-side copies of the fresh
+    // batch's variants tombstone-DELETED: the est=1.0 pairs they would
+    // generate vanish only if deleted docs stop pairing, and the
+    // subtractive stamp verifies against the planted-free snapshot
+    "x_dedup_cross_delete" -> ((s, d) =>
+      graft.ops.DedupIndex.pairsAgainstIndex(s, dedupIndexDeleted(s, d),
           crossFreshBatch(s, d), "doc_id", "text",
           verifyAgainst = Some((crossRefCorpus(s, d), "doc_id")))
         .filter(col("est_jaccard") >= 0.5)
@@ -1281,6 +1409,29 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("overlap"))
     }),
 
+    // the same probe against a grown-then-COMPACTED index: compaction
+    // (file coalescing + staging/swap) must be invisible to results
+    "x_text_index_compact" -> ((s, d) => {
+      val path = textIndexCompacted(s, d)
+      graft.ops.TextIndex.searchIndex(s, path,
+          "the data quick join hash never-in-corpus", 10,
+          verifyAgainst = (docs(s, d), "doc_id"))
+        .select(col("id").as("doc_id"), col("overlap"))
+    }),
+
+    // the same probe against an index with 3 planted all-query-token
+    // docs tombstone-DELETED: matches the plain-corpus oracle only if
+    // deletion really filters (the planted docs would otherwise be the
+    // top 3 hits) and the subtractive stamp verifies against the
+    // planted-free corpus
+    "x_text_index_delete" -> ((s, d) => {
+      val path = textIndexDeleted(s, d)
+      graft.ops.TextIndex.searchIndex(s, path,
+          "the data quick join hash never-in-corpus", 10,
+          verifyAgainst = (docs(s, d), "doc_id"))
+        .select(col("id").as("doc_id"), col("overlap"))
+    }),
+
     // BM25 over the same persisted index: tf and doc_len ride each
     // posting and (N, total tokens) ride _meta, so the scored probe is
     // as pruned as the overlap one — no corpus-sized join at query time
@@ -1319,6 +1470,29 @@ object SparkEntry {
       val q = embs(s, d).filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0)
       Similarity.ivfTopKIndexed(s, ivfIndexAppended(s, d), q, 10, nprobe = 3,
+        verifyAgainst = (embs(s, d), "vec_id"))
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"),
+          col("list"))
+    }),
+
+    // the same probe against a grown-then-COMPACTED IVF tree
+    "x_knn_ivf_compact" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      Similarity.ivfTopKIndexed(s, ivfIndexCompacted(s, d), q, 10, nprobe = 3,
+        verifyAgainst = (embs(s, d), "vec_id"))
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"),
+          col("list"))
+    }),
+
+    // the same probe with 3 planted copies of the query vector
+    // tombstone-DELETED: cosine-1.0 entrants vanish from the top-k only
+    // if deletion filters, and the subtractive stamp verifies against
+    // the planted-free corpus
+    "x_knn_ivf_delete" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      Similarity.ivfTopKIndexed(s, ivfIndexDeleted(s, d), q, 10, nprobe = 3,
         verifyAgainst = (embs(s, d), "vec_id"))
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"),
           col("list"))
@@ -2081,6 +2255,13 @@ object SparkEntry {
     // the incrementally-grown dedup index serves the identical pairs
     "x_dedup_cross_append" -> crossDedupOracle,
 
+    // compaction is a physical rewrite, invisible to the pair set
+    "x_dedup_cross_compact" -> crossDedupOracle,
+
+    // tombstone-deleted planted docs stop pairing: the result equals
+    // the oracle over the never-planted snapshot
+    "x_dedup_cross_delete" -> crossDedupOracle,
+
     // intra-doc dedup: first occurrence per (doc, line) via a window,
     // blanks exempt, reassembled in position order
     "x_line_dedup_within" ->
@@ -2327,6 +2508,13 @@ object SparkEntry {
     // the incrementally-grown index serves the identical top-k
     "x_knn_ivf_append" -> ivfTrainedOracle,
 
+    // compaction is a physical rewrite, invisible to the top-k
+    "x_knn_ivf_compact" -> ivfTrainedOracle,
+
+    // tombstone-deleted planted query-vector copies leave the top-k:
+    // the result equals the oracle over the never-planted corpus
+    "x_knn_ivf_delete" -> ivfTrainedOracle,
+
     // overlap = distinct shared tokens between the fixed query and each
     // document; the index layout is invisible to the result
     "x_text_index" ->
@@ -2338,6 +2526,23 @@ object SparkEntry {
 
     // the incrementally-grown index serves the identical result
     "x_text_index_append" ->
+      (s"""WITH q AS (SELECT unnest(['the','data','quick','join','hash','never-in-corpus']) AS token), """ +
+       s"""post AS (SELECT DISTINCT doc_id, unnest($TOK) AS token FROM documents) """ +
+       """SELECT p.doc_id, count(*)::BIGINT AS overlap """ +
+       """FROM post p JOIN q USING (token) WHERE p.token <> '' """ +
+       """GROUP BY 1 ORDER BY overlap DESC, p.doc_id LIMIT 10"""),
+
+    // compaction is a physical rewrite, invisible to the ranking
+    "x_text_index_compact" ->
+      (s"""WITH q AS (SELECT unnest(['the','data','quick','join','hash','never-in-corpus']) AS token), """ +
+       s"""post AS (SELECT DISTINCT doc_id, unnest($TOK) AS token FROM documents) """ +
+       """SELECT p.doc_id, count(*)::BIGINT AS overlap """ +
+       """FROM post p JOIN q USING (token) WHERE p.token <> '' """ +
+       """GROUP BY 1 ORDER BY overlap DESC, p.doc_id LIMIT 10"""),
+
+    // tombstone-deleted planted all-query-token docs leave the ranking:
+    // the result equals the oracle over the never-planted corpus
+    "x_text_index_delete" ->
       (s"""WITH q AS (SELECT unnest(['the','data','quick','join','hash','never-in-corpus']) AS token), """ +
        s"""post AS (SELECT DISTINCT doc_id, unnest($TOK) AS token FROM documents) """ +
        """SELECT p.doc_id, count(*)::BIGINT AS overlap """ +

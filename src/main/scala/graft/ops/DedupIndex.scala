@@ -48,7 +48,9 @@ object DedupIndex {
     * the WHOLE source frame exactly like the IVF/text builds. */
   def buildDedupIndex(df: DataFrame, idCol: String, textCol: String,
                       path: String, n: Int = 3, numHashes: Int = 32,
-                      bands: Int = 8): Unit = {
+                      bands: Int = 8,
+                      expectedIds: Long = IndexIds.DefaultExpectedIds,
+                      idFpp: Double = IndexIds.DefaultFpp): Unit = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val spark = df.sparkSession
@@ -84,6 +86,11 @@ object DedupIndex {
         lit(stamp.nRows).as("n_rows"),
         lit(stamp.idHashSum).cast(DecimalType(38, 0)).as("id_hash_sum"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    // id-membership Bloom sidecar: makes appendDedupIndex's novelty
+    // guard O(delta) instead of an O(index) sigs-id scan
+    IndexIds.writeFresh(spark, path,
+      df.select(col(idCol).cast(LongType).as("id")), stamp.nRows,
+      expectedIds, idFpp)
   }
 
   /** INCREMENTAL build: append a NEW batch's fingerprints to an
@@ -98,25 +105,25 @@ object DedupIndex {
     * holds against the base⊕new reference.
     *
     * Appended ids must be NEW (a duplicate id would double its band
-    * rows and pair twice); refused by default via an ids-only scan of
-    * `sigs/`. Crash between appends and the `_meta` rewrite leaves the
-    * stamp behind the data — the freshness contract refuses, recover
-    * by rebuild. */
+    * rows and pair twice) — and unique WITHIN the batch; refused by
+    * default in O(delta) via the [[IndexIds]] Bloom sidecar (zero
+    * index reads when every id is novel; precise fallback on Bloom
+    * hits). The Bloom merge lands BEFORE the data appends (a crash in
+    * between only over-approximates); crash between the appends and
+    * the `_meta` rewrite leaves the stamp behind the data — the
+    * freshness contract refuses, recover with
+    * [[IndexMaintenance.compactDedupIndex]] or a rebuild. */
   def appendDedupIndex(df: DataFrame, idCol: String, textCol: String,
                        path: String, skipIdCheck: Boolean = false): Unit = {
     val spark = df.sparkSession
     val meta = loadMeta(spark, path)
-    if (!skipIdCheck) {
-      val dup = spark.read.parquet(s"$path/sigs").select("id")
-        .join(df.select(col(idCol).cast(LongType).as("id")).distinct(),
-          Seq("id"), "left_semi")
-        .limit(1).collect()
-      require(dup.isEmpty,
-        s"appendDedupIndex: id ${if (dup.nonEmpty) dup(0).getLong(0) else ""} is " +
-          s"already indexed at $path — re-appending would double its band " +
-          "rows; rebuild with buildDedupIndex (or pass skipIdCheck only " +
-          "when ids are guaranteed new)")
-    }
+    val deltaIds = df.select(col(idCol).cast(LongType).as("id"))
+    val deltaCount =
+      if (!skipIdCheck)
+        IndexIds.guardAppend(spark, path, "appendDedupIndex",
+          spark.read.parquet(s"$path/sigs").select("id"), deltaIds)
+      else deltaIds.filter(col("id").isNotNull).distinct().count()
+    IndexIds.mergeAppend(spark, path, deltaIds, deltaCount)
     val idL = when(col(idCol).cast(LongType).isNotNull, col(idCol).cast(LongType))
       .otherwise(raise_error(concat(
         lit(s"appendDedupIndex: id column '$idCol' must be non-null and numeric, got: "),
@@ -156,10 +163,10 @@ object DedupIndex {
     } catch { case _: Exception => () }
   }
 
-  private final case class DiMeta(n: Int, numHashes: Int, bands: Int,
+  private[ops] final case class DiMeta(n: Int, numHashes: Int, bands: Int,
                                   stamp: Similarity.IvfStamp)
 
-  private def loadMeta(spark: SparkSession, path: String): DiMeta = {
+  private[ops] def loadMeta(spark: SparkSession, path: String): DiMeta = {
     val r = spark.read.parquet(s"$path/_meta")
       .select("n", "num_hashes", "bands", "n_rows", "id_hash_sum").head()
     DiMeta(r.getInt(0), r.getInt(1), r.getInt(2),
@@ -194,7 +201,11 @@ object DedupIndex {
       requireDedupIndexFresh(spark, path, ref, refId) }
     val newBanded = Dedup.bandedSigs(dfNew, idCol, textCol,
       meta.n, meta.numHashes, meta.bands, "id_new", "sig_new")
-    val idx = spark.read.parquet(s"$path/bands")
+    // tombstoned documents (IndexMaintenance.deleteFromDedupIndex) are
+    // filtered on the bands side, so they can never generate a
+    // candidate pair — the sigs join below then never sees them either
+    val idx = IndexMaintenance.minusTombstones(spark, path,
+        spark.read.parquet(s"$path/bands"), "id")
       .select(col("band"), col("bh"), col("id").as("id_ref"))
     val cand = newBanded.join(idx, Seq("band", "bh"))
       .select(col("id_new"), col("id_ref"), col("sig_new"))

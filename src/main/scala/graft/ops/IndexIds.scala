@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/**
+ * Additive id-membership sidecar shared by the persisted-index family
+ * ([[TextIndex]], [[Similarity.buildIvfIndex]], [[DedupIndex]]) — the
+ * structure that makes the append-path "ids must be NEW" guard O(delta)
+ * instead of O(index).
+ *
+ * The guard's contract is unchanged: an append whose ids are already
+ * indexed is refused loudly (a re-appended id would double its
+ * postings / band rows / list entries). What changes is the COST: the
+ * old guard verified novelty with a column-pruned scan of the whole
+ * index per append — at corpus scale, a daily append paid a full-index
+ * id scan to admit a sliver of new rows. Now a Bloom filter over every
+ * indexed id rides the index tree at `_idbloom/` (underscore paths are
+ * invisible to parquet listings, the `_meta` discipline):
+ *
+ *  - the default check probes each delta id against the broadcast Bloom
+ *    — O(delta) work, ZERO index reads in the all-novel common case
+ *    (Blooms have no false negatives, so a clean pass is proof);
+ *  - a Bloom hit falls back to a precise left-semi verify of just the
+ *    suspect ids against the index — paid only on real duplicates
+ *    (which are about to be refused anyway) and on the ~fpp fraction of
+ *    false positives;
+ *  - appends grow the sidecar by UNION: a delta Bloom built with the
+ *    SAME (expectedIds, fpp) sizing is bit-or-merged into the stored
+ *    one (`mergeInPlace` — sizes match by construction, so the merge
+ *    can never be refused), keeping the maintenance additive like every
+ *    other `_meta` quantity.
+ *
+ * Crash ordering, deliberate: the merged Bloom is written BEFORE the
+ * index data append. A crash in between leaves the Bloom
+ * over-approximating (ids marked present that never landed) — the next
+ * append of the same batch Bloom-hits, precise-verifies, finds the ids
+ * absent, and proceeds; cost, not corruption. The reverse order would
+ * leave appended ids missing from the Bloom, and the guard would wave a
+ * re-append of the same batch straight through — silent double-posting,
+ * the exact corruption the guard exists to refuse.
+ *
+ * Sizing: `expectedIds` fixes the Bloom's bit count FOREVER (merges
+ * require identical sizing), so size it for the index's target id
+ * count, not the build batch — overfilling past it degrades fpp (more
+ * fallback verifies), never correctness. At the default (4M ids, 1%)
+ * the sidecar is ~5 MB; a billion-id index wants `expectedIds` ~1e9
+ * (~1.2 GB broadcast) — beyond that, prefer `skipIdCheck` with
+ * upstream id discipline (e.g. monotonically assigned crawl ids).
+ *
+ * Legacy indexes (built before this sidecar) self-heal: their first
+ * guarded append falls back to the old full-index scan, then builds and
+ * writes the Bloom from the index's own ids — one extra pass, after
+ * which every later append is O(delta).
+ */
+private[graft] object IndexIds {
+
+  /** Default Bloom sizing: 4M ids at 1% false-positive rate (~5 MB). */
+  val DefaultExpectedIds: Long = 4L * 1024 * 1024
+  val DefaultFpp: Double = 0.01
+
+  private def sidecar(indexPath: String): String = s"$indexPath/_idbloom"
+
+  final case class IdBloom(bloom: BloomFilter, expected: Long, fpp: Double,
+                           nIds: Long)
+
+  /** Serialize + write the sidecar (one binary row). */
+  private def write(spark: SparkSession, indexPath: String, bloom: BloomFilter,
+                    expected: Long, fpp: Double, nIds: Long): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    import spark.implicits._
+    Seq((bos.toByteArray, expected, fpp, nIds))
+      .toDF("bloom", "expected", "fpp", "n_ids")
+      .coalesce(1).write.mode("overwrite").parquet(sidecar(indexPath))
+  }
+
+  /** Load the sidecar; `None` when missing OR unreadable — an
+    * unreadable Bloom (e.g. a crash mid-overwrite) degrades the guard
+    * to the precise full scan, never to a wrong answer. */
+  def load(spark: SparkSession, indexPath: String): Option[IdBloom] =
+    try {
+      val r = spark.read.parquet(sidecar(indexPath))
+        .select("bloom", "expected", "fpp", "n_ids").head()
+      Some(IdBloom(
+        BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))),
+        r.getLong(1), r.getDouble(2), r.getLong(3)))
+    } catch { case _: Exception => None }
+
+  /** Distributed Bloom build over `ids` (a single LongType `id`
+    * column) with fixed sizing — `DataFrameStatFunctions.bloomFilter`
+    * aggregates per-partition filters, no driver-side row loop. */
+  private def bloomOf(ids: DataFrame, expected: Long, fpp: Double): BloomFilter =
+    ids.stat.bloomFilter("id", expected, fpp)
+
+  /** Build + write the sidecar at index-build time. `ids` may be a
+    * SUPERSET of the ids the index physically contains (e.g. a text
+    * corpus's null-text rows index no postings): extra ids only add
+    * fallback verifies for those ids, never a wrong refusal — the
+    * precise verify against the index itself stays authoritative. */
+  def writeFresh(spark: SparkSession, indexPath: String, ids: DataFrame,
+                 nIds: Long, expected: Long = DefaultExpectedIds,
+                 fpp: Double = DefaultFpp): Unit =
+    write(spark, indexPath, bloomOf(ids, expected, fpp), expected, fpp, nIds)
+
+  /** The append-path novelty guard. Throws `IllegalArgumentException`
+    * naming the offending id on violation; returns the delta's
+    * (non-null) id count on success so callers can fold it into their
+    * additive stamps without a second scan.
+    *
+    * Checks, in order:
+    *  1. duplicate ids WITHIN the batch itself (one O(delta) agg —
+    *     count vs distinct): a batch that repeats an id would double
+    *     its rows just as surely as a re-append of old ids, and the
+    *     ids-vs-index scan alone cannot see it;
+    *  2. delta ids vs the index: Bloom probe (O(delta), zero index
+    *     reads on a clean pass) with precise fallback on suspects;
+    *     without a sidecar, the legacy full `indexIds` scan.
+    *
+    * `indexIds` is by-name: the Bloom fast path never evaluates it. */
+  def guardAppend(spark: SparkSession, indexPath: String, op: String,
+                  indexIds: => DataFrame, deltaIds: DataFrame): Long = {
+    val agg = deltaIds.agg(
+      count(col("id")).as("n"), count_distinct(col("id")).as("nd")).head()
+    val (n, nd) = (agg.getLong(0), agg.getLong(1))
+    require(n == nd,
+      s"$op: the batch itself contains duplicate ids ($n rows, $nd " +
+        "distinct) — appending it would double their entries exactly " +
+        "like a re-append of already-indexed ids; de-duplicate the " +
+        "batch first")
+    def refuse(dupId: Long): Nothing = throw new IllegalArgumentException(
+      s"$op: id $dupId is already indexed at $indexPath — re-appending " +
+        "would double its entries; rebuild the index (or pass " +
+        "skipIdCheck only when ids are guaranteed new)")
+    load(spark, indexPath) match {
+      case Some(ib) =>
+        val bc = spark.sparkContext.broadcast(ib.bloom)
+        try {
+          val mightContain = udf((id: java.lang.Long) =>
+            id != null && bc.value.mightContainLong(id))
+          val suspects = deltaIds.filter(mightContain(col("id"))).distinct()
+          // emptiness probe first: in the all-novel common case this is
+          // the ONLY work — the index is never opened
+          if (suspects.limit(1).collect().nonEmpty) {
+            val dup = indexIds.join(suspects, Seq("id"), "left_semi")
+              .limit(1).collect()
+            if (dup.nonEmpty) refuse(dup(0).getLong(0))
+          }
+        } finally bc.destroy()
+      case None =>
+        // legacy / unreadable sidecar: the old precise full scan, then
+        // SELF-HEAL — write a Bloom of the index's CURRENT ids (the
+        // caller's mergeAppend folds the delta in, same as every other
+        // append), making every later append O(delta)
+        val dup = indexIds.join(deltaIds.distinct(), Seq("id"), "left_semi")
+          .limit(1).collect()
+        if (dup.nonEmpty) refuse(dup(0).getLong(0))
+        val cur = indexIds.select(col("id")).distinct()
+        write(spark, indexPath, bloomOf(cur, DefaultExpectedIds, DefaultFpp),
+          DefaultExpectedIds, DefaultFpp, cur.count())
+    }
+    nd
+  }
+
+  /** Fold a delta's ids into the sidecar (call BEFORE the data append —
+    * see the crash-ordering note in the class doc). A missing sidecar
+    * stays missing: without one the guard's legacy scan is still
+    * correct, and [[guardAppend]]'s self-heal (or the next rebuild)
+    * creates it with the index's full id set. */
+  def mergeAppend(spark: SparkSession, indexPath: String,
+                  deltaIds: DataFrame, deltaCount: Long): Unit =
+    load(spark, indexPath).foreach { ib =>
+      val add = bloomOf(deltaIds, ib.expected, ib.fpp)
+      ib.bloom.mergeInPlace(add)
+      write(spark, indexPath, ib.bloom, ib.expected, ib.fpp,
+        ib.nIds + deltaCount)
+    }
+}

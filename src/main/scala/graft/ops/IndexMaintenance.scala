@@ -1,0 +1,311 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Maintenance for the persisted-index family ([[TextIndex]],
+ * [[Similarity.buildIvfIndex]], [[DedupIndex]]): DELETE and COMPACT —
+ * the two operations that let an index live for months of appends
+ * instead of being rebuilt whenever the corpus shrinks or the file
+ * count grows.
+ *
+ * == Delete (tombstones) ==
+ *
+ * `deleteFrom*Index(ids)` removes documents/vectors LOGICALLY: the ids
+ * land in a `_tombstones/` sidecar (underscore — invisible to parquet
+ * listings) that every probe anti-joins away (broadcast — a takedown
+ * list is small), and the freshness stamp is updated SUBTRACTIVELY
+ * (row count and `hash60(id)` sum are additive in both directions), so
+ * after the delete the index verifies fresh against the post-delete
+ * source and probes behave exactly as if the ids had never been
+ * indexed. No data files are rewritten — a right-to-erasure pass over
+ * a 100 TB index is a sidecar append plus a meta rewrite, not an
+ * index-sized job. Physical removal happens at the next compaction.
+ *
+ * Contracts, fail-loud: every requested id must actually be indexed
+ * (subtracting a never-indexed id would corrupt the stamp) and not
+ * already tombstoned (a double delete would subtract twice). A
+ * tombstoned id can NOT be re-appended until a compaction physically
+ * purges it — its rows still exist, so the append guard's precise
+ * verify refuses it (and a probe-side tombstone would otherwise
+ * suppress the re-appended rows too).
+ *
+ * == Compact (staging + swap) ==
+ *
+ * Repeated appends leave ≥1 parquet file per touched partition
+ * directory per batch — months of daily appends degrade listing and
+ * scan cost even though pruning still works — and tombstones make
+ * probes pay an anti-join. `compact*Index` rewrites the tree:
+ * one pass re-reads the index MINUS tombstones, writes a fresh tree
+ * (same layout, same within-partition sort, ~1 file per partition)
+ * into a staging sibling `<path>.graft-compact-tmp`, carries `_meta` /
+ * `_codebook` unchanged (deletes already adjusted the stamp), rebuilds
+ * the [[IndexIds]] Bloom EXACTLY from the surviving ids (shedding
+ * tombstoned ids and accumulated false-positive mass), drops
+ * `_tombstones`, then swaps:
+ *
+ *   rename(path -> path.graft-compact-old); rename(tmp -> path);
+ *   delete(old)
+ *
+ * Probes are byte-identical before/after (the gates re-run their
+ * oracles against a compacted tree). A crash between the two renames
+ * leaves no live tree but both halves intact — the next compact (or
+ * probe) of that path should call the recovery rename documented on
+ * [[restoreAfterCrash]]; compact runs it automatically on entry. This
+ * is also the recovery path for an append that crashed between its
+ * data and meta writes: compact rebuilds sidecars from what actually
+ * landed — EXCEPT the stamp, which intentionally stays whatever `_meta`
+ * says (if the stamp is behind the data, rebuild; compact must never
+ * bless a half-appended tree as fresh).
+ */
+object IndexMaintenance {
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tombstones(path: String) = s"$path/_tombstones"
+
+  /** Probe-side tombstone filter: anti-join `df` (column `idCol`)
+    * against the sidecar when it exists — broadcast, takedown-sized.
+    * Zero cost (no filesystem data read, no join) when no delete has
+    * ever run. */
+  private[ops] def minusTombstones(spark: SparkSession, indexPath: String,
+                                   df: DataFrame, idCol: String): DataFrame =
+    if (!fsOf(spark, indexPath).exists(new Path(tombstones(indexPath)))) df
+    else df.join(
+      broadcast(spark.read.parquet(tombstones(indexPath))
+        .select(col("id").as(idCol))),
+      Seq(idCol), "left_anti")
+
+  /** Normalize + validate a delete request: distinct non-null Long ids,
+    * none already tombstoned, all present in `indexIds`. Returns the
+    * validated id frame (cached) plus its count and hash-sum for the
+    * subtractive stamp. */
+  private def validatedDeleteIds(spark: SparkSession, indexPath: String,
+                                 op: String, ids: DataFrame,
+                                 indexIds: DataFrame): (DataFrame, Long,
+                                                        java.math.BigDecimal) = {
+    val del = ids.select(col(ids.columns.head).cast(LongType).as("id"))
+      .filter(col("id").isNotNull).distinct()
+    val already = minusTombstones(spark, indexPath, del, "id")
+    // ids already tombstoned = del minus (del minus tombstones)
+    val dupTomb = del.join(already, Seq("id"), "left_anti").limit(1).collect()
+    require(dupTomb.isEmpty,
+      s"$op: id ${if (dupTomb.nonEmpty) dupTomb(0).getLong(0) else ""} is " +
+        s"already deleted from $indexPath — a second delete would subtract " +
+        "its stamp twice")
+    val missing = del.join(indexIds, Seq("id"), "left_semi")
+    val absent = del.join(missing, Seq("id"), "left_anti").limit(1).collect()
+    require(absent.isEmpty,
+      s"$op: id ${if (absent.nonEmpty) absent(0).getLong(0) else ""} is not " +
+        s"indexed at $indexPath — deleting it would corrupt the freshness " +
+        "stamp")
+    // one agg for the subtractive stamp terms (same hash60-of-string
+    // discipline as Similarity.stampExprs, so subtraction is exact)
+    val r = del.agg(count(lit(1)).as("n"),
+      coalesce(sum(TextStats.hash60(col("id").cast(StringType))
+          .cast(DecimalType(38, 0))),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))).as("h")).head()
+    (del, r.getLong(0), r.getDecimal(1))
+  }
+
+  /** Append the validated ids to the tombstone sidecar. */
+  private def writeTombstones(spark: SparkSession, indexPath: String,
+                              del: DataFrame): Unit =
+    del.coalesce(1).write.mode("append").parquet(tombstones(indexPath))
+
+  /** Logically delete documents from a [[TextIndex]] tree: tombstones +
+    * subtractive `_meta` (row count, id-hash sum, AND the deleted
+    * postings' token mass, so BM25's N/avgdl track the post-delete
+    * corpus). The token mass needs one postings scan restricted to the
+    * deleted ids — the only index-sized read in the operation, and it
+    * doubles as the existence check. */
+  def deleteFromTextIndex(spark: SparkSession, path: String,
+                          ids: DataFrame): Unit = {
+    val meta = TextIndex.loadMeta(spark, path)
+    val totalTokens0 = meta.totalTokens.getOrElse(throw new IllegalStateException(
+      s"text index at $path predates the BM25 posting columns " +
+        "(no total_tokens in _meta); rebuild with buildTextIndex"))
+    val postings = spark.read.parquet(path)
+    val (del, n, h) = validatedDeleteIds(spark, path, "deleteFromTextIndex",
+      ids, postings.select("id"))
+    // token mass of the deleted docs: sum tf over their postings
+    val delTokens = postings.join(del, Seq("id"), "left_semi")
+      .agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+    writeTombstones(spark, path, del)
+    spark.range(1).select(
+        lit(meta.nBuckets).as("n_buckets"),
+        lit(meta.stamp.nRows - n).as("n_rows"),
+        lit(meta.stamp.idHashSum.subtract(h))
+          .cast(DecimalType(38, 0)).as("id_hash_sum"),
+        lit(totalTokens0 - delTokens).as("total_tokens"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** Convenience overload: delete by literal id list. */
+  def deleteFromTextIndex(spark: SparkSession, path: String,
+                          ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromTextIndex(spark, path, ids.toDF("id"))
+  }
+
+  /** Logically delete vectors from a [[Similarity.buildIvfIndex]] tree:
+    * tombstones + subtractive stamp in `_codebook` (centroids
+    * unchanged — deletion never retrains). */
+  def deleteFromIvfIndex(spark: SparkSession, path: String,
+                         ids: DataFrame): Unit = {
+    val stamp0 = Similarity.loadIvfStamp(spark, path)
+    val codebook = Similarity.loadIvfCodebook(spark, path)
+    val (del, n, h) = validatedDeleteIds(spark, path, "deleteFromIvfIndex",
+      ids, spark.read.parquet(path).select("id"))
+    writeTombstones(spark, path, del)
+    import spark.implicits._
+    codebook.zipWithIndex.map { case (c, j) => (j.toLong, c) }
+      .toDF("j", "centroid")
+      .withColumn("n_rows", lit(stamp0.nRows - n))
+      .withColumn("id_hash_sum",
+        lit(stamp0.idHashSum.subtract(h)).cast(DecimalType(38, 0)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
+  }
+
+  def deleteFromIvfIndex(spark: SparkSession, path: String,
+                         ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromIvfIndex(spark, path, ids.toDF("id"))
+  }
+
+  /** Logically delete documents from a [[DedupIndex]] tree: tombstones
+    * + subtractive `_meta` stamp. Probes filter the `bands/` side, so a
+    * tombstoned document can never generate a candidate pair. */
+  def deleteFromDedupIndex(spark: SparkSession, path: String,
+                           ids: DataFrame): Unit = {
+    val meta = DedupIndex.loadMeta(spark, path)
+    val (del, n, h) = validatedDeleteIds(spark, path, "deleteFromDedupIndex",
+      ids, spark.read.parquet(s"$path/sigs").select("id"))
+    writeTombstones(spark, path, del)
+    spark.range(1).select(
+        lit(meta.n).as("n"),
+        lit(meta.numHashes).as("num_hashes"),
+        lit(meta.bands).as("bands"),
+        lit(meta.stamp.nRows - n).as("n_rows"),
+        lit(meta.stamp.idHashSum.subtract(h))
+          .cast(DecimalType(38, 0)).as("id_hash_sum"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  def deleteFromDedupIndex(spark: SparkSession, path: String,
+                           ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromDedupIndex(spark, path, ids.toDF("id"))
+  }
+
+  /** Recovery for a crash between compact's two swap renames: the live
+    * tree is gone but `<path>.graft-compact-old` (and possibly the
+    * fully-written tmp) survive. Restores the OLD tree — the
+    * conservative choice: the compacted tmp may or may not be complete,
+    * the old tree certainly is; re-run compact afterwards. No-op when
+    * the live tree exists. */
+  def restoreAfterCrash(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val live = new Path(path)
+    val old = new Path(path + ".graft-compact-old")
+    if (!fs.exists(live) && fs.exists(old)) {
+      require(fs.rename(old, live),
+        s"restoreAfterCrash: rename $old -> $live failed")
+    }
+  }
+
+  /** The staging + swap shell shared by the three compacts:
+    * `writeStaged(tmpPath)` must produce a complete, self-describing
+    * index tree at `tmpPath`; the swap then makes it live. Reads of the
+    * old tree all happen inside `writeStaged`, before any rename. */
+  private def stagedSwap(spark: SparkSession, path: String)
+                        (writeStaged: String => Unit): Unit = {
+    restoreAfterCrash(spark, path)
+    val fs = fsOf(spark, path)
+    val tmp = new Path(path + ".graft-compact-tmp")
+    val old = new Path(path + ".graft-compact-old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    writeStaged(tmp.toString)
+    require(fs.rename(new Path(path), old),
+      s"compact: rename $path -> $old failed")
+    require(fs.rename(tmp, new Path(path)),
+      s"compact: rename $tmp -> $path failed (RECOVER: rename $old back " +
+        s"to $path, then re-run)")
+    fs.delete(old, true); ()
+  }
+
+  /** Rebuild the [[IndexIds]] Bloom sidecar at `tmpPath` from the
+    * surviving ids, keeping the live sidecar's sizing (or defaults for
+    * legacy trees). */
+  private def rebuildBloom(spark: SparkSession, livePath: String,
+                           tmpPath: String, survivingIds: DataFrame): Unit = {
+    val (expected, fpp) = IndexIds.load(spark, livePath)
+      .map(ib => (ib.expected, ib.fpp))
+      .getOrElse((IndexIds.DefaultExpectedIds, IndexIds.DefaultFpp))
+    val distinctIds = survivingIds.distinct()
+    IndexIds.writeFresh(spark, tmpPath, distinctIds, distinctIds.count(),
+      expected, fpp)
+  }
+
+  /** Compact a [[TextIndex]] tree (see class doc): tombstoned postings
+    * physically purged, ~1 file per bucket directory, same
+    * (bucket, token, id) order, `_meta` carried unchanged, Bloom
+    * rebuilt exact, tombstones dropped. */
+  def compactTextIndex(spark: SparkSession, path: String): Unit =
+    stagedSwap(spark, path) { tmp =>
+      val meta = spark.read.parquet(s"$path/_meta")
+      val live = minusTombstones(spark, path,
+        spark.read.parquet(path), "id")
+      live.repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "token", "id")
+        .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+      meta.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
+      rebuildBloom(spark, path, tmp,
+        minusTombstones(spark, path,
+          spark.read.parquet(path).select("id"), "id"))
+    }
+
+  /** Compact a [[Similarity.buildIvfIndex]] tree: tombstoned vectors
+    * purged, ~1 file per list directory, same (list, id) order,
+    * `_codebook` carried unchanged, Bloom rebuilt, tombstones
+    * dropped. */
+  def compactIvfIndex(spark: SparkSession, path: String): Unit =
+    stagedSwap(spark, path) { tmp =>
+      val codebook = spark.read.parquet(s"$path/_codebook")
+      val live = minusTombstones(spark, path,
+        spark.read.parquet(path), "id")
+      live.repartition(col("list"))
+        .sortWithinPartitions("list", "id")
+        .write.partitionBy("list").mode("overwrite").parquet(tmp)
+      codebook.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_codebook")
+      rebuildBloom(spark, path, tmp,
+        minusTombstones(spark, path,
+          spark.read.parquet(path).select("id"), "id"))
+    }
+
+  /** Compact a [[DedupIndex]] tree: tombstoned signatures and band
+    * rows purged, both subtrees rewritten at ~shuffle-partition file
+    * counts with their build-time sort, `_meta` carried unchanged,
+    * Bloom rebuilt, tombstones dropped. */
+  def compactDedupIndex(spark: SparkSession, path: String): Unit =
+    stagedSwap(spark, path) { tmp =>
+      val meta = spark.read.parquet(s"$path/_meta")
+      val sigs = minusTombstones(spark, path,
+        spark.read.parquet(s"$path/sigs"), "id")
+      sigs.repartition(col("id")).sortWithinPartitions("id")
+        .write.mode("overwrite").parquet(s"$tmp/sigs")
+      val bands = minusTombstones(spark, path,
+        spark.read.parquet(s"$path/bands"), "id")
+      bands.repartition(col("band"), col("bh"))
+        .sortWithinPartitions("band", "bh", "id")
+        .write.mode("overwrite").parquet(s"$tmp/bands")
+      meta.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
+      rebuildBloom(spark, path, tmp,
+        minusTombstones(spark, path,
+          spark.read.parquet(s"$path/sigs").select("id"), "id"))
+    }
+}

@@ -328,7 +328,9 @@ object Similarity {
     * Rows are range-ordered by id within each list so per-list scans
     * stay min/max-prunable on id too. */
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
-                    codebook: Seq[Seq[Double]], path: String): Unit = {
+                    codebook: Seq[Seq[Double]], path: String,
+                    expectedIds: Long = IndexIds.DefaultExpectedIds,
+                    idFpp: Double = IndexIds.DefaultFpp): Unit = {
     val spark = df.sparkSession
     val dyy = centroidNorms(spark, codebook)
     // the build STAMP (source row count + exact-decimal id-hash sum) rides the
@@ -354,6 +356,11 @@ object Similarity {
       .withColumn("n_rows", lit(stamp.nRows))
       .withColumn("id_hash_sum", lit(stamp.idHashSum).cast(DecimalType(38, 0)))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
+    // id-membership Bloom sidecar: makes appendIvfIndex's novelty
+    // guard O(delta) instead of an O(index) id scan
+    IndexIds.writeFresh(spark, path,
+      df.select(col(idCol).cast(LongType).as("id")), stamp.nRows,
+      expectedIds, idFpp)
   }
 
   /** INCREMENTAL build: append NEW vectors to an existing
@@ -368,27 +375,27 @@ object Similarity {
     * against the base⊕new source.
     *
     * Appended ids must be NEW (a duplicate id would appear in two
-    * lists' candidates and double-serve); refused by default via a
-    * column-pruned ids-only scan, skippable when the caller guarantees
-    * novelty. Crash window: a crash between the postings append and
-    * the sidecar rewrite leaves the stamp behind the data, which the
-    * freshness contract then refuses — fail-loud; recover by rebuild. */
+    * lists' candidates and double-serve) — and unique WITHIN the batch;
+    * refused by default in O(delta) via the [[IndexIds]] Bloom sidecar
+    * (zero index reads when every id is novel), skippable when the
+    * caller guarantees novelty. Crash windows: the Bloom merge lands
+    * BEFORE the vector append (in between = over-approximation, the
+    * next attempt precise-verifies and proceeds); a crash between the
+    * vector append and the `_codebook` rewrite leaves the stamp behind
+    * the data, which the freshness contract then refuses — fail-loud;
+    * recover with [[IndexMaintenance.compactIvfIndex]] or a rebuild. */
   def appendIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                      path: String, skipIdCheck: Boolean = false): Unit = {
     val spark = df.sparkSession
     val codebook = loadIvfCodebook(spark, path)
     val stamp0 = loadIvfStamp(spark, path)
-    if (!skipIdCheck) {
-      val dup = spark.read.parquet(path).select("id")
-        .join(df.select(col(idCol).cast(LongType).as("id")).distinct(),
-          Seq("id"), "left_semi")
-        .limit(1).collect()
-      require(dup.isEmpty,
-        s"appendIvfIndex: id ${if (dup.nonEmpty) dup(0).getLong(0) else ""} is " +
-          s"already indexed at $path — re-appending would double-serve it; " +
-          "rebuild with buildIvfIndex (or pass skipIdCheck only when ids " +
-          "are guaranteed new)")
-    }
+    val deltaIds = df.select(col(idCol).cast(LongType).as("id"))
+    val deltaCount =
+      if (!skipIdCheck)
+        IndexIds.guardAppend(spark, path, "appendIvfIndex",
+          spark.read.parquet(path).select("id"), deltaIds)
+      else deltaIds.filter(col("id").isNotNull).distinct().count()
+    IndexIds.mergeAppend(spark, path, deltaIds, deltaCount)
     val dyy = centroidNorms(spark, codebook)
     val obs = org.apache.spark.sql.Observation()
     df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"),
@@ -524,9 +531,11 @@ object Similarity {
       .sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2)
     // the isin filter on the partition column prunes at file listing —
     // .explain shows PartitionFilters: [list IN (...)], unprobed
-    // directories are never opened
-    spark.read.parquet(path)
-      .filter(col("list").isin(probes: _*))
+    // directories are never opened; tombstoned vectors
+    // (IndexMaintenance.deleteFromIvfIndex) are anti-joined away over
+    // the probed candidates only
+    IndexMaintenance.minusTombstones(spark, path,
+        spark.read.parquet(path).filter(col("list").isin(probes: _*)), "id")
       .select(col("id"), cosineFixed(col("vec"), qc).as("score"),
         col("list").cast(LongType).as("list"))
       .orderBy(col("score").desc, col("id"))

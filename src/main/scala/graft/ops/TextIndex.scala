@@ -51,7 +51,9 @@ object TextIndex {
     * itself via `Observation` — no second scan. NULL/empty tokens are
     * never indexed; ids must cast to Long (the posting key type). */
   def buildTextIndex(df: DataFrame, idCol: String, textCol: String,
-                     path: String, nBuckets: Int = 256): Unit = {
+                     path: String, nBuckets: Int = 256,
+                     expectedIds: Long = IndexIds.DefaultExpectedIds,
+                     idFpp: Double = IndexIds.DefaultFpp): Unit = {
     require(nBuckets >= 1 && nBuckets <= (1 << 16),
       s"nBuckets must be in [1, 65536], got $nBuckets")
     val spark = df.sparkSession
@@ -97,6 +99,11 @@ object TextIndex {
         lit(stamp.idHashSum).cast(DecimalType(38, 0)).as("id_hash_sum"),
         lit(totalTokens).as("total_tokens"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    // id-membership Bloom sidecar: makes appendTextIndex's novelty
+    // guard O(delta) instead of an O(index) posting-id scan
+    IndexIds.writeFresh(spark, path,
+      df.select(col(idCol).cast(LongType).as("id")), stamp.nRows,
+      expectedIds, idFpp)
   }
 
   /** INCREMENTAL build: append NEW documents' postings to an existing
@@ -113,15 +120,21 @@ object TextIndex {
     *
     * Appended ids must be NEW: a re-indexed id would double its
     * postings and corrupt tf/overlap silently, so by default the
-    * append refuses any id already present (a column-pruned id scan of
-    * the index — skippable via `skipIdCheck` when the caller
-    * guarantees novelty, e.g. monotonically assigned crawl ids).
+    * append refuses any id already present — and any id repeated
+    * WITHIN the batch itself. The check is O(delta) via the
+    * [[IndexIds]] Bloom sidecar (zero index reads when every id is
+    * novel; precise fallback verify on Bloom hits); `skipIdCheck`
+    * skips the check (not the Bloom bookkeeping) when the caller
+    * guarantees novelty, e.g. monotonically assigned crawl ids.
     *
-    * Crash window, documented: postings append and the `_meta` rewrite
-    * are two steps; a crash between them leaves the stamp behind the
-    * postings, which the freshness contract then REFUSES (stale vs the
-    * combined source) — fail-loud, but recovery is a rebuild, not a
-    * re-append (re-appending would double-post). */
+    * Crash windows, documented: the Bloom merge lands BEFORE the
+    * postings append (a crash between them only over-approximates —
+    * the next attempt pays a precise verify and proceeds); postings
+    * append and the `_meta` rewrite are two steps, and a crash between
+    * THEM leaves the stamp behind the postings, which the freshness
+    * contract then REFUSES (stale vs the combined source) — fail-loud;
+    * recover with [[IndexMaintenance.compactTextIndex]] (rebuilds the
+    * tree and sidecars from the surviving postings) or a rebuild. */
   def appendTextIndex(df: DataFrame, idCol: String, textCol: String,
                       path: String, skipIdCheck: Boolean = false): Unit = {
     val spark = df.sparkSession
@@ -129,17 +142,13 @@ object TextIndex {
     val totalTokens0 = meta.totalTokens.getOrElse(throw new IllegalStateException(
       s"text index at $path predates the BM25 posting columns " +
         "(no total_tokens in _meta); rebuild with buildTextIndex"))
-    if (!skipIdCheck) {
-      val dup = spark.read.parquet(path).select("id")
-        .join(df.select(col(idCol).cast(LongType).as("id")).distinct(), Seq("id"),
-          "left_semi")
-        .limit(1).collect()
-      require(dup.isEmpty,
-        s"appendTextIndex: id ${if (dup.nonEmpty) dup(0).getLong(0) else ""} is " +
-          s"already indexed at $path — re-appending would double its " +
-          "postings; rebuild with buildTextIndex (or pass skipIdCheck " +
-          "only when ids are guaranteed new)")
-    }
+    val deltaIds = df.select(col(idCol).cast(LongType).as("id"))
+    val deltaCount =
+      if (!skipIdCheck)
+        IndexIds.guardAppend(spark, path, "appendTextIndex",
+          spark.read.parquet(path).select("id"), deltaIds)
+      else deltaIds.filter(col("id").isNotNull).distinct().count()
+    IndexIds.mergeAppend(spark, path, deltaIds, deltaCount)
     val obs = org.apache.spark.sql.Observation()
     val tokObs = org.apache.spark.sql.Observation()
     val postings = df
@@ -178,14 +187,14 @@ object TextIndex {
       .toLowerCase.toString
       .split("\\s+").toSeq.filter(_.nonEmpty).distinct
 
-  private final case class TiMeta(nBuckets: Int, stamp: Similarity.IvfStamp,
+  private[ops] final case class TiMeta(nBuckets: Int, stamp: Similarity.IvfStamp,
                                   totalTokens: Option[Long])
 
   /** The `_meta` sidecar in ONE driver read. `total_tokens` is absent
     * on indexes built before the BM25 columns existed — the overlap
     * probe still serves them; [[searchIndexBM25]] refuses them loudly
     * (on-disk indexes outlive code). */
-  private def loadMeta(spark: org.apache.spark.sql.SparkSession,
+  private[ops] def loadMeta(spark: org.apache.spark.sql.SparkSession,
                        path: String): TiMeta = {
     val meta = spark.read.parquet(s"$path/_meta")
     val hasTok = meta.columns.contains("total_tokens")
@@ -275,7 +284,10 @@ object TextIndex {
   /** The pruned probe scan shared by both scorers: only the query
     * tokens' bucket directories are listed (driver-side bucket set via
     * the SAME portable hash the build used), `token IN (...)` pushes
-    * into parquet. */
+    * into parquet. Tombstoned documents
+    * ([[IndexMaintenance.deleteFromTextIndex]]) are anti-joined away —
+    * broadcast over the matched postings only, zero cost when no
+    * delete has ever run. */
   private def matchedPostings(spark: org.apache.spark.sql.SparkSession,
                               path: String, nBuckets: Int,
                               query: String): DataFrame = {
@@ -284,9 +296,11 @@ object TextIndex {
     val buckets = toks.map(t => graft.functions.Hash60Kernel.compute(
         org.apache.spark.unsafe.types.UTF8String.fromString(t)) % nBuckets)
       .distinct
-    spark.read.parquet(path)
-      .filter(col("bucket").isin(buckets: _*))
-      .filter(col("token").isin(toks: _*))
+    IndexMaintenance.minusTombstones(spark, path,
+      spark.read.parquet(path)
+        .filter(col("bucket").isin(buckets: _*))
+        .filter(col("token").isin(toks: _*)),
+      "id")
   }
 
   /** One `_meta` read + the freshness check against a live source. */

@@ -551,6 +551,197 @@ class OpsSpec extends AnyFunSuite {
     TextIndex.requireTextIndexFresh(spark, grown, docs, "doc_id")
   }
 
+  test("append id-guard: O(delta) Bloom path, within-batch dups, legacy self-heal") {
+    import graft.ops.TextIndex
+    val docs = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "data data data everywhere"),
+      (3L, "spark reads parquet data fast")).toDF("doc_id", "text")
+    val path = TestSpark.tmpDir("ti-guard") + "/ti"
+    TextIndex.buildTextIndex(docs, "doc_id", "text", path, nBuckets = 8)
+    // build wrote the Bloom sidecar; the guard catches a duplicate
+    // through the Bloom-hit -> precise-verify path
+    assert(graft.ops.IndexIds.load(spark, path).nonEmpty)
+    val dup = intercept[IllegalArgumentException] {
+      TextIndex.appendTextIndex(Seq((2L, "again")).toDF("doc_id", "text"),
+        "doc_id", "text", path)
+    }
+    assert(dup.getMessage.contains("already indexed"))
+    // a batch that repeats an id WITHIN itself is the same corruption
+    val within = intercept[IllegalArgumentException] {
+      TextIndex.appendTextIndex(
+        Seq((7L, "seven"), (7L, "seven again")).toDF("doc_id", "text"),
+        "doc_id", "text", path)
+    }
+    assert(within.getMessage.contains("duplicate ids"))
+    // legacy index (no sidecar): guard falls back to the full scan,
+    // still refuses, and SELF-HEALS by writing the Bloom
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$path/_idbloom"))
+    assert(graft.ops.IndexIds.load(spark, path).isEmpty)
+    val legacyDup = intercept[IllegalArgumentException] {
+      TextIndex.appendTextIndex(Seq((3L, "again")).toDF("doc_id", "text"),
+        "doc_id", "text", path)
+    }
+    assert(legacyDup.getMessage.contains("already indexed"))
+    rm(new java.io.File(s"$path/_idbloom")) // refusal may have healed; reset
+    TextIndex.appendTextIndex(Seq((4L, "a brand new doc about spark"))
+      .toDF("doc_id", "text"), "doc_id", "text", path)
+    val healed = graft.ops.IndexIds.load(spark, path)
+    assert(healed.nonEmpty) // self-heal wrote it...
+    assert(healed.get.bloom.mightContainLong(4L)) // ...delta merged in
+    assert(healed.get.bloom.mightContainLong(1L)) // ...with the old ids
+    // the grown index answers and stays fresh against the full source
+    val all = docs.unionByName(
+      Seq((4L, "a brand new doc about spark")).toDF("doc_id", "text"))
+    TextIndex.requireTextIndexFresh(spark, path, all, "doc_id")
+    assert(TextIndex.searchIndex(spark, path, "spark", 10).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+  }
+
+  test("text index delete + compact: probes == never-indexed; purge re-admits ids") {
+    import graft.ops.{IndexMaintenance, TextIndex}
+    val keep = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "data data data everywhere"),
+      (3L, "spark reads parquet data fast")).toDF("doc_id", "text")
+    val planted = Seq(
+      (7L, "spark data fast spark data fast"),
+      (8L, "fast data spark")).toDF("doc_id", "text")
+    val path = TestSpark.tmpDir("ti-del") + "/ti"
+    val clean = TestSpark.tmpDir("ti-del-clean") + "/ti"
+    TextIndex.buildTextIndex(keep.unionByName(planted), "doc_id", "text",
+      path, nBuckets = 8)
+    TextIndex.buildTextIndex(keep, "doc_id", "text", clean, nBuckets = 8)
+    def overlap(p: String) = TextIndex.searchIndex(spark, p, "spark data fast", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    def bm25(p: String) = TextIndex.searchIndexBM25(spark, p, "spark data fast", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(overlap(path) != overlap(clean)) // planted docs rank before delete
+    IndexMaintenance.deleteFromTextIndex(spark, path, Seq(7L, 8L))
+    // logical delete == never indexed: overlap AND BM25 (N, avgdl, df
+    // all track the post-delete corpus via the subtractive _meta)
+    assert(overlap(path) == overlap(clean))
+    assert(bm25(path) == bm25(clean))
+    // ... and the stamp verifies fresh against the post-delete source
+    TextIndex.requireTextIndexFresh(spark, path, keep, "doc_id")
+    // fail-loud contracts: double delete, never-indexed id, re-append
+    val dd = intercept[IllegalArgumentException] {
+      IndexMaintenance.deleteFromTextIndex(spark, path, Seq(7L)) }
+    assert(dd.getMessage.contains("already deleted"))
+    val na = intercept[IllegalArgumentException] {
+      IndexMaintenance.deleteFromTextIndex(spark, path, Seq(99L)) }
+    assert(na.getMessage.contains("not indexed"))
+    val ra = intercept[IllegalArgumentException] {
+      TextIndex.appendTextIndex(Seq((7L, "back again")).toDF("doc_id", "text"),
+        "doc_id", "text", path) }
+    assert(ra.getMessage.contains("already indexed"))
+    // compact: physical purge — probes identical, tombstones gone,
+    // Bloom rebuilt without the deleted ids, deleted id re-admittable
+    IndexMaintenance.compactTextIndex(spark, path)
+    assert(overlap(path) == overlap(clean) && bm25(path) == bm25(clean))
+    assert(!new java.io.File(s"$path/_tombstones").exists())
+    TextIndex.requireTextIndexFresh(spark, path, keep, "doc_id")
+    TextIndex.appendTextIndex(
+      Seq((7L, "spark data fast spark data fast")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    assert(overlap(path) != overlap(clean)) // 7 serves again
+    TextIndex.requireTextIndexFresh(spark, path,
+      keep.unionByName(planted.filter($"doc_id" === 7L)), "doc_id")
+  }
+
+  test("compact coalesces append-accumulated files; probe results byte-identical") {
+    import graft.ops.{IndexMaintenance, TextIndex}
+    val path = TestSpark.tmpDir("ti-compact") + "/ti"
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("doc_id"),
+        concat(lit("tok"), pmod(col("id"), lit(40)), lit(" shared word")).as("text"))
+    TextIndex.buildTextIndex(mk(0L, 200L), "doc_id", "text", path, nBuckets = 4)
+    (1 to 5).foreach(i => TextIndex.appendTextIndex(
+      mk(i * 200L, i * 200L + 200L), "doc_id", "text", path))
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p))
+        .count(f => f.getName.endsWith(".parquet") &&
+          !f.getPath.substring(p.length).matches(".*/_[^/]*/.*"))
+    }
+    val before = parquetFiles(path)
+    val probeBefore = TextIndex.searchIndex(spark, path, "shared word tok7", 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    IndexMaintenance.compactTextIndex(spark, path)
+    val after = parquetFiles(path)
+    assert(after < before,
+      s"compaction must reduce data file count: $before -> $after")
+    val probeAfter = TextIndex.searchIndex(spark, path, "shared word tok7", 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probeAfter == probeBefore)
+    TextIndex.requireTextIndexFresh(spark, path, mk(0L, 1200L), "doc_id")
+    // appends keep working on the compacted tree
+    TextIndex.appendTextIndex(mk(1200L, 1300L), "doc_id", "text", path)
+    TextIndex.requireTextIndexFresh(spark, path, mk(0L, 1300L), "doc_id")
+  }
+
+  test("IVF delete + compact: planted near-copies vanish from top-k; purge re-admits") {
+    import graft.ops.{IndexMaintenance, Similarity}
+    val dim = 8
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until dim).map(j =>
+        math.sin(i * 31 + j * 7).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    // planted: exact scaled copies of vector 0 — cosine 1.0 with the
+    // query below, guaranteed top-k entrants until deleted
+    val planted = base.filter($"vec_id" === 0L)
+      .select(lit(900L).as("vec_id"),
+        transform($"embedding", x => x * lit(1.001f)).as("embedding"))
+    val all = base.unionByName(planted)
+    val cb = Similarity.kmeansCodebook(all, "vec_id", "embedding", k = 4, iters = 1)
+    val path = TestSpark.tmpDir("ivf-del") + "/ivf"
+    val clean = TestSpark.tmpDir("ivf-del-clean") + "/ivf"
+    Similarity.buildIvfIndex(all, "vec_id", "embedding", cb, path)
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", cb, clean)
+    val q = (0 until dim).map(j => math.sin(j * 7).toFloat)
+    def topk(p: String) = Similarity.ivfTopKIndexed(spark, p, q, 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(topk(path).map(_._1).contains(900L))
+    IndexMaintenance.deleteFromIvfIndex(spark, path, Seq(900L))
+    assert(topk(path) == topk(clean)) // == never indexed
+    Similarity.requireIvfFresh(spark, path, base, "vec_id")
+    IndexMaintenance.compactIvfIndex(spark, path)
+    assert(topk(path) == topk(clean))
+    Similarity.requireIvfFresh(spark, path, base, "vec_id")
+    Similarity.appendIvfIndex(planted, "vec_id", "embedding", path)
+    assert(topk(path).map(_._1).contains(900L)) // re-admitted after purge
+  }
+
+  test("dedup index delete + compact: tombstoned doc stops pairing; purge re-admits") {
+    import graft.ops.{DedupIndex, IndexMaintenance}
+    val ref = docsDf.filter($"doc_id" < 5)
+    val path = TestSpark.tmpDir("di-del") + "/di"
+    DedupIndex.buildDedupIndex(ref, "doc_id", "text", path)
+    val batch = Seq((100L, "the quick brown fox jumps over the lazy dog and runs away fast"))
+      .toDF("doc_id", "text") // exact text of ref docs 0 and 3
+    def pairs() = DedupIndex.pairsAgainstIndex(spark, path, batch, "doc_id", "text")
+      .filter($"est_jaccard" >= 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs() == Set((100L, 0L), (100L, 1L), (100L, 3L))) // 1 is a near-dup of 0
+    IndexMaintenance.deleteFromDedupIndex(spark, path, Seq(3L))
+    assert(pairs() == Set((100L, 0L), (100L, 1L))) // 3 no longer pairs
+    DedupIndex.requireDedupIndexFresh(spark, path,
+      ref.filter($"doc_id" =!= 3L), "doc_id")
+    IndexMaintenance.compactDedupIndex(spark, path)
+    assert(pairs() == Set((100L, 0L), (100L, 1L)))
+    DedupIndex.requireDedupIndexFresh(spark, path,
+      ref.filter($"doc_id" =!= 3L), "doc_id")
+    // purge re-admits: the deleted doc can be re-appended and pairs again
+    DedupIndex.appendDedupIndex(ref.filter($"doc_id" === 3L), "doc_id", "text", path)
+    assert(pairs() == Set((100L, 0L), (100L, 1L), (100L, 3L)))
+    DedupIndex.requireDedupIndexFresh(spark, path, ref, "doc_id")
+  }
+
   test("text index BM25: hand-computed scores, tf saturation, legacy-index refusal") {
     import graft.ops.TextIndex
     val docs = Seq(

@@ -249,6 +249,24 @@ object ScaleDrive {
       spark, tiPath, newProbe.mkString(" "), 5).collect()
     assert(newHits.nonEmpty && newHits.head.getLong(0) == 50000000L,
       s"appended doc must surface for its own vocabulary: ${newHits.toSeq}")
+    // O(delta) id-guard evidence: a TINY (1k-doc) append into the now-
+    // 390k-doc index — the novelty check is Bloom probes over the delta
+    // (zero postings reads on a clean pass), so this time tracks the
+    // delta, not the index; compare against the 30k append above
+    val tiTiny = spark.range(1000).select((col("id") + 90000000L).as("doc_id"),
+      concat_ws(" ", (0 until 30).map(j =>
+        concat(lit("q"), pmod(hash(col("id") * 31 + j), lit(5000)))): _*).as("text"))
+    time("appendTextIndex (1k docs into 390k-doc index, Bloom guard)") {
+      graft.ops.TextIndex.appendTextIndex(tiTiny, "doc_id", "text", tiPath)
+    }
+    // ... and the guard still catches a planted duplicate at volume
+    val dupCaught = try {
+      graft.ops.TextIndex.appendTextIndex(
+        tiTiny.filter(col("doc_id") === 90000000L), "doc_id", "text", tiPath)
+      false
+    } catch { case e: IllegalArgumentException =>
+      e.getMessage.contains("already indexed") }
+    assert(dupCaught, "planted duplicate id must be refused at volume")
 
     // Count-Min at volume: 10M tokens over 100k distinct values, width
     // 2^16 — ONE corpus pass whose shuffle moves at most depth×width
