@@ -1443,6 +1443,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
     }),
 
+    // exact-phrase probe over the SAME persisted index: adjacency
+    // verified from per-posting position arrays (no corpus access, no
+    // n-gram explode) — occurrence counts must match a full positional
+    // scan of the raw text
+    "x_text_phrase" -> ((s, d) => {
+      val path = textIndex(s, d)
+      graft.ops.TextIndex.searchPhrase(s, path, "table hash", 10,
+          verifyAgainst = Some((docs(s, d), "doc_id")))
+        .select(col("id").as("doc_id"), col("n_phrase"))
+    }),
+
     // PERSISTED IVF: the same trained codebook, but assignment is built
     // ONCE into a list-partitioned parquet index; the query reads only
     // the 3 probed list directories (partition pruning) — the
@@ -2564,6 +2575,16 @@ object SparkEntry {
        """FROM m JOIN dfreq d USING (token), stats s GROUP BY 1) """ +
        """SELECT doc_id, round(score, 6) AS score FROM sc """ +
        """ORDER BY score DESC, doc_id LIMIT 10"""),
+
+    // exact-phrase occurrence counts from the raw text: sliding-window
+    // scan over the filtered token list (overlapping matches counted,
+    // same as the index-side position alignment)
+    "x_text_phrase" ->
+      (s"""WITH toks AS (SELECT doc_id, list_filter($TOK, t -> t <> '') AS l FROM documents), """ +
+       """c AS (SELECT doc_id, len(list_filter(generate_series(1, len(l) - 1), """ +
+       """i -> l[i] = 'table' AND l[i+1] = 'hash')) AS n_phrase FROM toks) """ +
+       """SELECT doc_id, n_phrase::BIGINT AS n_phrase FROM c WHERE n_phrase > 0 """ +
+       """ORDER BY n_phrase DESC, doc_id LIMIT 10"""),
 
     "x_lang_id" ->
       (s"""WITH c AS (SELECT doc_id, lang, """ +

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -37,6 +37,15 @@ import org.apache.spark.sql.types._
  */
 object TextIndex {
 
+  /** The non-empty token sequence a posting's positions index:
+    * [[TextStats.tokens]] with empties dropped INSIDE the array (order
+    * preserved), so position p means "the p-th token a probe-side
+    * tokenization of this document would see". A NULL text filters to
+    * NULL and `posexplode` emits nothing — NULL docs index no
+    * postings, as before. */
+  private def postingTokens(text: Column): Column =
+    filter(TextStats.tokens(text), t => t =!= "")
+
   /** Build the index at `path`: tokenize, count each (doc, token)
     * pair's occurrences (map-side partial aggregation — only distinct
     * 8-byte-hash-keyed postings shuffle, not every token occurrence),
@@ -68,9 +77,15 @@ object TextIndex {
     val postings = df
       .select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
       .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
-      .select(col("id"), explode(TextStats.tokens(col("text"))).as("token"))
-      .filter(col("token").isNotNull && col("token") =!= "")
-      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+      .select(col("id"), posexplode(postingTokens(col("text"))))
+      .withColumnRenamed("col", "token")
+      // positions are indexes into the doc's NON-EMPTY token sequence
+      // (the sequence queryTokens/phraseTokens see), collected per
+      // posting so [[searchPhrase]] can verify adjacency without ever
+      // touching the corpus; tf stays a plain column (cheap, and the
+      // overlap/BM25 probes keep pruning positions out of their scans)
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       // doc_len denormalized onto every posting: redundant per token but
       // columnar-compressed on disk, and it is what makes a BM25 probe
       // self-contained under partition pruning (no join back to the
@@ -154,9 +169,10 @@ object TextIndex {
     val postings = df
       .select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
       .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
-      .select(col("id"), explode(TextStats.tokens(col("text"))).as("token"))
-      .filter(col("token").isNotNull && col("token") =!= "")
-      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+      .select(col("id"), posexplode(postingTokens(col("text"))))
+      .withColumnRenamed("col", "token")
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("doc_len", sum(col("tf")).over(Window.partitionBy("id")))
       .observe(tokObs, coalesce(sum(col("tf")), lit(0L)).as("total_tokens"))
       .withColumn("bucket",
@@ -278,6 +294,70 @@ object TextIndex {
       .groupBy(col("id"))
       .agg(sum(idf * tfNorm).as("score"))
       .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Ordered phrase tokens: [[queryTokens]] WITHOUT the distinct —
+    * order and repetition are the whole point of a phrase. */
+  private[ops] def phraseTokens(phrase: String): Seq[String] =
+    org.apache.spark.unsafe.types.UTF8String.fromString(phrase)
+      .toLowerCase.toString
+      .split("\\s+").toSeq.filter(_.nonEmpty)
+
+  /** EXACT-PHRASE probe: top-`k` documents containing the query tokens
+    * CONSECUTIVELY, as (`id`, `n_phrase`) — occurrence count (sliding
+    * window, overlaps counted), ordered (count desc, id), zero-count
+    * docs excluded. Runs over the SAME pruned scan as the other
+    * scorers (only the phrase tokens' buckets are listed), then
+    * verifies adjacency from the per-posting position arrays: an
+    * occurrence is a position p of the first token with token i found
+    * at p+i for every following i. No corpus access, no n-gram
+    * materialization — this is what makes exact-phrase
+    * decontamination/search affordable at corpus scale, where the
+    * n-gram fallback pays an explode of every document.
+    *
+    * Indexes built before positional postings are refused loudly —
+    * on-disk indexes outlive code; rebuild with [[buildTextIndex]]. */
+  def searchPhrase(spark: org.apache.spark.sql.SparkSession, path: String,
+                   phrase: String, k: Int,
+                   verifyAgainst: Option[(DataFrame, String)] = None)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val meta = verifyAgainst match {
+      case Some(va) => verifiedMeta(spark, path, va)
+      case None     => loadMeta(spark, path)
+    }
+    val toks = phraseTokens(phrase)
+    require(toks.nonEmpty, "phrase contains no tokens")
+    val matched = matchedPostings(spark, path, meta.nBuckets, phrase)
+    if (!matched.columns.contains("positions"))
+      throw new IllegalStateException(
+        s"text index at $path predates positional postings (no " +
+          "'positions' column); rebuild with buildTextIndex to enable " +
+          "phrase probes")
+    // one row per candidate doc: token -> positions map over the
+    // matched postings (bounded by the phrase's distinct-token count),
+    // docs missing any phrase token drop out here
+    val nDistinct = toks.distinct.size
+    val grouped = matched
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(
+          struct(col("token"), col("positions")))).as("tp"),
+        count(lit(1)).as("ntok"))
+      .filter(col("ntok") === lit(nDistinct))
+    // occurrences = positions p of toks(0) with toks(i) at p+i for all
+    // following i — array_contains over the (sorted, small) per-doc
+    // position lists; a repeated phrase token just probes its own list
+    // at two offsets
+    def aligned(p: Column): Column = toks.zipWithIndex.tail
+      .foldLeft(lit(true)) { case (acc, (t, i)) =>
+        acc && array_contains(element_at(col("tp"), lit(t)), p + lit(i)) }
+    grouped
+      .select(col("id"),
+        size(filter(element_at(col("tp"), lit(toks.head)), aligned(_)))
+          .cast(LongType).as("n_phrase"))
+      .filter(col("n_phrase") > 0)
+      .orderBy(col("n_phrase").desc, col("id"))
       .limit(k)
   }
 

@@ -601,6 +601,44 @@ class OpsSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
   }
 
+  test("phrase probe: adjacency from positions — overlaps, repeats, 3-token, pruned scan") {
+    import graft.ops.TextIndex
+    val docs = Seq(
+      (1L, "a b a b a"),         // "a b a": starts at 0 and 2 (overlap) -> 2
+      (2L, "a b c a b"),         // tokens present, never "a b a" -> 0
+      (3L, "x a b a y"),         // one occurrence -> 1
+      (4L, "a a a"),             // "a" at 0,1,2 but no "b" -> drops at ntok
+      (5L, "  a   b a "),        // whitespace noise: positions index the
+                                 // FILTERED sequence -> "a b a" at 0 -> 1
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val path = TestSpark.tmpDir("ti-phrase") + "/ti"
+    TextIndex.buildTextIndex(docs, "doc_id", "text", path, nBuckets = 8)
+    def phrase(p: String) = TextIndex.searchPhrase(spark, path, p, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(phrase("a b a") == Seq((1L, 2L), (3L, 1L), (5L, 1L)))
+    assert(phrase("a b c a b") == Seq((2L, 1L)))       // 5-token phrase
+    assert(phrase("a") == Seq((4L, 3L), (1L, 3L), (5L, 2L), (2L, 2L), (3L, 2L))
+      .sortBy { case (id, n) => (-n, id) })            // 1-token == tf
+    assert(phrase("b a b") == Seq((1L, 1L)))           // repeated token
+    assert(phrase("c x") == Seq.empty)                 // tokens never adjacent
+    // the probe scans only the phrase tokens' buckets (partition-pruned)
+    val plan = TextIndex.searchPhrase(spark, path, "a b a", 10)
+      .queryExecution.executedPlan.toString
+    val pf = partitionFilters(plan)
+    assert(pf.contains("bucket") && (pf.contains("IN") || pf.contains("isin")
+      || pf.contains("EqualTo") || pf.contains("=")), s"not pruned: $pf")
+    // grown + compacted trees serve identical phrase results
+    val grown = TestSpark.tmpDir("ti-phrase-grown") + "/ti"
+    TextIndex.buildTextIndex(docs.filter($"doc_id" <= 2), "doc_id", "text",
+      grown, nBuckets = 8)
+    TextIndex.appendTextIndex(docs.filter($"doc_id" > 2), "doc_id", "text", grown)
+    def phraseAt(p: String, q: String) = TextIndex.searchPhrase(spark, p, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(phraseAt(grown, "a b a") == phrase("a b a"))
+    graft.ops.IndexMaintenance.compactTextIndex(spark, grown)
+    assert(phraseAt(grown, "a b a") == phrase("a b a"))
+  }
+
   test("text index delete + compact: probes == never-indexed; purge re-admits ids") {
     import graft.ops.{IndexMaintenance, TextIndex}
     val keep = Seq(
