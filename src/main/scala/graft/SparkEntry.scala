@@ -808,6 +808,43 @@ object SparkEntry {
     s"""WITH $crossDedupCtes """ +
     """SELECT id_new, id_ref, est AS est_jaccard FROM agree WHERE est >= 0.5 ORDER BY id_new, id_ref"""
 
+  /** Sequential-ingest oracle: side 0 = the indexed reference snapshot,
+    * side 1 = micro-batch 1, side 2 = micro-batch 2 (same sig/band
+    * kernel as [[crossDedupCtes]]). Survivors1 = side-1 docs with no
+    * est≥0.5 match into side 0; survivors2 = side-2 docs with no match
+    * into side 0 NOR into a side-1 SURVIVOR (batch 1's survivors were
+    * appended to the index before batch 2 ran — a side-1 doc that was
+    * itself dropped never entered the index, so matching IT does not
+    * drop a side-2 doc). Output: survivors1 ∪ survivors2. */
+  private lazy val ingestDedupOracle: String =
+    """WITH docs3 AS (SELECT 0 AS side, doc_id, text FROM documents WHERE doc_id < 200 """ +
+    """UNION ALL SELECT 1, doc_id, text FROM documents WHERE doc_id >= 200 AND doc_id < 250 """ +
+    """UNION ALL SELECT 1, doc_id + 2000000, text || ' zzz' FROM documents WHERE doc_id < 3 """ +
+    """UNION ALL SELECT 2, doc_id, text FROM documents WHERE doc_id >= 250 AND doc_id < 300 """ +
+    """UNION ALL SELECT 2, doc_id + 4000000, text || ' zzz' FROM documents WHERE doc_id >= 200 AND doc_id < 203 """ +
+    """UNION ALL SELECT 2, doc_id + 5000000, text || ' zzz' FROM documents WHERE doc_id >= 3 AND doc_id < 6), """ +
+    s"""toks AS (SELECT side, doc_id, $TOK AS l FROM docs3), """ +
+    """sh AS (SELECT DISTINCT side, doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
+    """i -> array_to_string(l[i:i+2], ' '))) AS s FROM toks), """ +
+    s"""hm AS (SELECT side, doc_id, ${h60sql("s")} % 2147483647 AS h FROM sh), """ +
+    """sig AS (SELECT side, doc_id, g.i AS i, """ +
+    """min((((g.i * 2654435761) % 2147483647 + 1) * h + (g.i * 40503) % 2147483647 + 7) % 2147483647) AS mh """ +
+    """FROM hm, generate_series(0, 31) g(i) GROUP BY 1, 2, 3), """ +
+    """bands AS (SELECT side, doc_id, i // 4 AS band, list(mh ORDER BY i) AS bl FROM sig GROUP BY side, doc_id, i // 4), """ +
+    """cand AS (SELECT DISTINCT a.side AS sa, a.doc_id AS ida, b.side AS sb, b.doc_id AS idb FROM bands a """ +
+    """JOIN bands b ON a.band = b.band AND a.bl = b.bl AND a.side > b.side), """ +
+    """agree AS (SELECT c.sa, c.ida, c.sb, c.idb, """ +
+    """SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 32.0 AS est """ +
+    """FROM cand c JOIN sig x ON x.side = c.sa AND x.doc_id = c.ida """ +
+    """JOIN sig y ON y.side = c.sb AND y.doc_id = c.idb AND x.i = y.i GROUP BY 1, 2, 3, 4), """ +
+    """s1 AS (SELECT doc_id FROM docs3 WHERE side = 1 AND doc_id NOT IN """ +
+    """(SELECT ida FROM agree WHERE sa = 1 AND sb = 0 AND est >= 0.5)), """ +
+    """s2 AS (SELECT doc_id FROM docs3 WHERE side = 2 AND doc_id NOT IN """ +
+    """(SELECT ida FROM agree WHERE sa = 2 AND sb = 0 AND est >= 0.5 """ +
+    """UNION SELECT ida FROM agree WHERE sa = 2 AND sb = 1 AND est >= 0.5 """ +
+    """AND idb IN (SELECT doc_id FROM s1))) """ +
+    """SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2 ORDER BY doc_id"""
+
   /** Shared DuckDB CTE chain for the DSIR oracles: hashed word-bigram
     * buckets → per-(doc, bucket) tf → raw/target unigram-over-bucket
     * models (target = doc_id < 100) → per-doc decimal log-ratio sum
@@ -1101,6 +1138,40 @@ object SparkEntry {
     val root = new java.io.File(s"/tmp/graft-stream/$run")
     df.write.mode("overwrite").parquet(s"$root/in")
     try f(s.readStream.schema(df.schema).parquet(s"$root/in"), s"$root/ckpt")
+    finally {
+      def del(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(del))
+        x.delete()
+      }
+      del(root)
+    }
+  }
+
+  /** [[withStagedStream]] with CONTROLLED micro-batch boundaries: each
+    * frame lands as exactly one parquet file with strictly increasing
+    * modification times, and the source reads with
+    * `maxFilesPerTrigger=1`, so under `AvailableNow` batch i contains
+    * exactly `batches(i)` — the shape sequential-ingest gates need
+    * (batch N+1's behavior depends on what batch N appended). */
+  private def withStagedBatches[T](s: SparkSession, batches: Seq[DataFrame])
+                                  (f: (DataFrame, String) => T): T = {
+    require(batches.nonEmpty)
+    val run = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = new java.io.File(s"/tmp/graft-stream/$run")
+    val inDir = new java.io.File(root, "in"); inDir.mkdirs()
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val stage = s"$root/stage$i"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(inDir, f"b$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      // FileStreamSource orders by (mtime, path): pin both
+      dest.setLastModified(1700000000000L + i * 60000L); ()
+    }
+    try f(s.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString),
+      s"$root/ckpt")
     finally {
       def del(x: java.io.File): Unit = {
         if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(del))
@@ -1985,6 +2056,55 @@ object SparkEntry {
       }
     }),
 
+    // continuous ingest with the index TRACKING the stream: two
+    // controlled micro-batches through the index-appending sink —
+    // batch 1's survivors are appended into the dedup index before
+    // batch 2 arrives, so batch 2's planted variants OF BATCH-1 DOCS
+    // are dropped (invisible to the probe-only sink) alongside its
+    // ref-corpus variants; the index is rebuilt fresh per invocation
+    // (the sink mutates it) and deleted after
+    "x_stream_index_ingest" -> ((s, d) => {
+      val st = store(s, d)
+      st.synchronized {
+        val idxPath = indexPath("ing_", d) +
+          "-" + java.util.UUID.randomUUID().toString.take(8)
+        graft.ops.DedupIndex.buildDedupIndex(crossRefCorpus(s, d),
+          "doc_id", "text", idxPath, 3, 32, 8)
+        val b1 = docs(s, d)
+          .filter(col("doc_id") >= 200 && col("doc_id") < 250)
+          .select("doc_id", "text")
+          .unionByName(docs(s, d).filter(col("doc_id") < 3)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(col("text"), lit(" zzz")).as("text")))
+        val b2 = docs(s, d)
+          .filter(col("doc_id") >= 250 && col("doc_id") < 300)
+          .select("doc_id", "text")
+          // variants of BATCH-1 docs: dropped only if the index grew
+          .unionByName(docs(s, d)
+            .filter(col("doc_id") >= 200 && col("doc_id") < 203)
+            .select((col("doc_id") + 4000000L).as("doc_id"),
+              concat(col("text"), lit(" zzz")).as("text")))
+          // variants of REF docs: dropped by the base snapshot
+          .unionByName(docs(s, d).filter(col("doc_id") >= 3 && col("doc_id") < 6)
+            .select((col("doc_id") + 5000000L).as("doc_id"),
+              concat(col("text"), lit(" zzz")).as("text")))
+        if (st.isTable("stream/ingest_idx")) st.drop("stream/ingest_idx")
+        st.put("stream/ingest_idx", b1.limit(0))
+        withStagedBatches(s, Seq(b1, b2)) { (src, ckpt) =>
+          graft.streaming.EventStream.dedupIndexIngestSink(src, st,
+            "stream/ingest_idx", ckpt, idxPath, "doc_id", "text", 0.5)
+            .awaitTermination()
+        }
+        val out = localized(s,
+          st.table("stream/ingest_idx").df.select("doc_id").orderBy("doc_id"))
+        try {
+          val p = new org.apache.hadoop.fs.Path(idxPath)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true); ()
+        } catch { case _: Exception => () }
+        out
+      }
+    }),
+
     // continuous-ingest dedup: the fresh cross-corpus batch streams
     // through the index-deduped PRODUCTION sink — documents near-
     // duplicating the persisted reference snapshot are dropped in
@@ -2350,6 +2470,10 @@ object SparkEntry {
     // digest set (planted duplicates dropped, nothing else)
     "x_stream_dedup" ->
       """SELECT md5(text) AS digest FROM (SELECT DISTINCT text FROM documents) t ORDER BY digest""",
+
+    // sequential ingest: batch-2 survivors depend on what batch 1
+    // appended — the full two-step LSH cascade recomputed from scratch
+    "x_stream_index_ingest" -> ingestDedupOracle,
 
     // streaming index-dedup survivors == the fresh batch minus every
     // document the cross-corpus LSH matches against the indexed snapshot

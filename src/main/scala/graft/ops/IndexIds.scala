@@ -164,6 +164,27 @@ private[graft] object IndexIds {
     nd
   }
 
+  /** The subset of `ids` (single LongType `id` column) already present
+    * in the index — the membership QUERY twin of [[guardAppend]]'s
+    * refusal, used by the streaming ingest sink to detect a replayed
+    * batch. Bloom-prefiltered: when no id hits the Bloom the answer is
+    * the empty frame with ZERO index reads (no false negatives);
+    * suspects are verified precisely against `indexIds`. Without a
+    * sidecar, one precise semi-join. */
+  def presentIds(spark: SparkSession, indexPath: String, ids: DataFrame,
+                 indexIds: => DataFrame): DataFrame =
+    load(spark, indexPath) match {
+      case Some(ib) =>
+        val bc = spark.sparkContext.broadcast(ib.bloom)
+        val mightContain = udf((id: java.lang.Long) =>
+          id != null && bc.value.mightContainLong(id))
+        val suspects = ids.filter(mightContain(col("id"))).distinct()
+        if (suspects.limit(1).collect().isEmpty) ids.limit(0)
+        else suspects.join(indexIds, Seq("id"), "left_semi")
+      case None =>
+        ids.distinct().join(indexIds, Seq("id"), "left_semi")
+    }
+
   /** Fold a delta's ids into the sidecar (call BEFORE the data append —
     * see the crash-ordering note in the class doc). A missing sidecar
     * stays missing: without one the guard's legacy scan is still

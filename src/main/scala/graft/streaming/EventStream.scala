@@ -91,6 +91,68 @@ object EventStream {
       transform = batch => graft.ops.DedupIndex.dedupAgainstIndex(
         batch.sparkSession, indexPath, batch, idCol, textCol, minEstJaccard))
 
+  /** [[dedupAgainstIndexSink]] with the missing half of continuous
+    * ingest: each micro-batch's SURVIVORS are appended INTO the dedup
+    * index before the batch commits, so batch N+1 dedupes against
+    * batch N's survivors — the snapshot tracks the stream with no
+    * manual re-indexing and no streaming state (the index IS the
+    * state, sized to the corpus).
+    *
+    * Exactly-once shape: the whole per-batch pipeline (dedup → index
+    * append → store append) runs inside [[appendSink]]'s replay-guarded
+    * region, with the store commit LAST and atomic. A replay after the
+    * index append but before the store commit is detected from the
+    * index itself — some batch ids are already indexed
+    * ([[graft.ops.IndexIds.presentIds]], Bloom-fast) — and the
+    * survivors are RECOVERED as exactly those ids rather than
+    * recomputed: recomputing would dedup the batch against its own
+    * appended fingerprints and drop every survivor (est 1.0 with
+    * itself), silently losing the batch. Requires stream ids globally
+    * NEW vs the index (the [[graft.ops.DedupIndex.appendDedupIndex]]
+    * contract — monotone crawl ids); a crash in the middle of the
+    * index append itself remains that op's documented fail-loud
+    * window (rebuild the index).
+    *
+    * Duplicates WITHIN a batch are refused by the append's id guard;
+    * near-dups within a batch are a different contract — compose
+    * [[dedupStream]] upstream for exact intra-stream dedup, or accept
+    * that two near-dup docs arriving in ONE batch both land (each
+    * later batch sees both).
+    *
+    * At 100 TB: per batch, one minhash pass over the batch (per-row
+    * kernel), one equi-join against the persisted band rows, one
+    * O(delta) index append — nothing corpus-sized moves while the
+    * snapshot stands. */
+  def dedupIndexIngestSink(stream: DataFrame, store: HDFStore, table: String,
+                           checkpoint: String, indexPath: String,
+                           idCol: String, textCol: String,
+                           minEstJaccard: Double = 0.5,
+                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    appendSink(stream, store, table, checkpoint, trigger,
+      transform = batch => {
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.types.LongType
+        val ids = batch.select(col(idCol).cast(LongType).as("id"))
+        val present = graft.ops.IndexIds.presentIds(spark, indexPath, ids,
+          spark.read.parquet(s"$indexPath/sigs").select("id"))
+        if (present.limit(1).collect().nonEmpty) {
+          // replayed batch: its survivors already live in the index —
+          // recover them from membership instead of re-deduping
+          batch.join(present.select(col("id").cast(LongType).as(idCol)),
+            Seq(idCol), "left_semi")
+        } else {
+          // localCheckpoint pins the survivor set: it feeds two jobs
+          // (index append, store append) and must not be recomputed
+          // after the index append changes what a recompute would see
+          val survivors = graft.ops.DedupIndex.dedupAgainstIndex(
+            spark, indexPath, batch, idCol, textCol, minEstJaccard)
+            .localCheckpoint(true)
+          graft.ops.DedupIndex.appendDedupIndex(survivors, idCol, textCol,
+            indexPath)
+          survivors
+        }
+      })
+
   /** Watermarked tumbling-window counts per event type. The value sum
     * accumulates as exact decimal before the double cast — float
     * summation order differs between micro-batch boundaries, engines,

@@ -186,6 +186,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch.select("doc_id").collect().map(_.getLong(0)).toSet -- matched)
   }
 
+  test("index-appending ingest sink: batch 2 dedupes against batch 1 survivors; restart idempotent") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val ref = docs.filter($"doc_id" < 100)
+    val b1 = docs.filter($"doc_id" >= 100 && $"doc_id" < 130)
+      .unionByName(docs.filter($"doc_id" < 10)
+        .select(($"doc_id" + 9000L).as("doc_id"),
+          concat($"text", lit(" zzz")).as("text")))
+    val b2 = docs.filter($"doc_id" >= 130 && $"doc_id" < 160)
+      .unionByName(docs.filter($"doc_id" >= 100 && $"doc_id" < 105)
+        .select(($"doc_id" + 8000L).as("doc_id"),
+          concat($"text", lit(" zzz")).as("text")))
+    val idxPath = TestSpark.tmpDir("streaming-idx") + "/di"
+    graft.ops.DedupIndex.buildDedupIndex(ref, "doc_id", "text", idxPath)
+    // EXPECTED via the batch ops on a second, independent index copy
+    // (the sink mutates the real one): sequential two-step dedup
+    val idx2 = TestSpark.tmpDir("streaming-idx2") + "/di"
+    graft.ops.DedupIndex.buildDedupIndex(ref, "doc_id", "text", idx2)
+    val s1 = graft.ops.DedupIndex.dedupAgainstIndex(spark, idx2, b1,
+      "doc_id", "text", 0.5).localCheckpoint(true)
+    graft.ops.DedupIndex.appendDedupIndex(s1, "doc_id", "text", idx2)
+    val s2 = graft.ops.DedupIndex.dedupAgainstIndex(spark, idx2, b2,
+      "doc_id", "text", 0.5)
+    val expected = s1.select("doc_id").collect().map(_.getLong(0)).toSet ++
+      s2.select("doc_id").collect().map(_.getLong(0)).toSet
+    // sharpness: at least one b2 variant of a b1 SURVIVOR must be
+    // dropped — that drop can only come from the index having grown
+    val s1ids = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val grownDrops = (100L until 105L).filter(id =>
+      s1ids.contains(id) && !expected.contains(id + 8000L))
+    assert(grownDrops.nonEmpty,
+      "fixture must contain a variant of a batch-1 survivor")
+    // controlled batches: one file each, mtime-ordered, 1 file/trigger
+    val in = new java.io.File(TestSpark.tmpDir("streaming-ing-in"))
+    Seq(b1, b2).zipWithIndex.foreach { case (df, i) =>
+      val stage = TestSpark.tmpDir(s"streaming-ing-stage$i")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(in, f"b$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + i * 60000L)
+    }
+    val ckpt = TestSpark.tmpDir("streaming-ing-ckpt")
+    val st = HDFStore.open(spark,
+      TestSpark.tmpDir("streaming-ing-store"), StoreMode.Overwrite)
+    st.put("kept", b1.limit(0))
+    def run(): Unit = EventStream.dedupIndexIngestSink(
+      spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in.toString),
+      st, "kept", ckpt, idxPath, "doc_id", "text", 0.5).awaitTermination()
+    run()
+    val streamed = st.table("kept").df.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == expected,
+      s"stream ${streamed.size} vs sequential-batch ${expected.size}")
+    // the index grew to ref ∪ survivors and verifies FRESH against it
+    graft.ops.DedupIndex.requireDedupIndexFresh(spark, idxPath,
+      ref.unionByName(b1.unionByName(b2)
+        .filter($"doc_id".isin(expected.toSeq: _*))), "doc_id")
+    // restart with no new data: no re-append to store OR index
+    run()
+    assert(st.table("kept").df.count() == expected.size)
+    graft.ops.DedupIndex.requireDedupIndexFresh(spark, idxPath,
+      ref.unionByName(b1.unionByName(b2)
+        .filter($"doc_id".isin(expected.toSeq: _*))), "doc_id")
+  }
+
   // epoch-µs of `ts` in either fixture representation (Long nanos under
   // nanosAsLong, a timestamp otherwise — the EventStream.withEventTime
   // split)
