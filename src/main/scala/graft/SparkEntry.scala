@@ -2105,6 +2105,52 @@ object SparkEntry {
       }
     }),
 
+    // streaming ingest into the persisted TEXT index: two controlled
+    // micro-batches append into index + store through the production
+    // sink; batch 2 plants 3 all-query-token docs that MUST dominate
+    // the post-stream probe — a sink that fails to index its batches
+    // cannot rank them, and the probe's freshness contract verifies
+    // the additive stamp against base ∪ batch1 ∪ batch2
+    "x_stream_text_ingest" -> ((s, d) => {
+      val st = store(s, d)
+      st.synchronized {
+        val idxPath = indexPath("sti_", d) +
+          "-" + java.util.UUID.randomUUID().toString.take(8)
+        graft.ops.TextIndex.buildTextIndex(
+          docs(s, d).filter(col("doc_id") < 200).select("doc_id", "text"),
+          "doc_id", "text", idxPath, nBuckets = 64)
+        val b1 = docs(s, d)
+          .filter(col("doc_id") >= 200 && col("doc_id") < 250)
+          .select("doc_id", "text")
+        val planted = s.range(3).select((col("id") + 3000000L).as("doc_id"),
+          lit("the data quick join hash never-in-corpus the data quick join")
+            .as("text"))
+        val b2 = docs(s, d)
+          .filter(col("doc_id") >= 250 && col("doc_id") < 300)
+          .select("doc_id", "text")
+          .unionByName(planted)
+        if (st.isTable("stream/text_ingest")) st.drop("stream/text_ingest")
+        st.put("stream/text_ingest", b1.limit(0))
+        withStagedBatches(s, Seq(b1, b2)) { (src, ckpt) =>
+          graft.streaming.EventStream.textIndexIngestSink(src, st,
+            "stream/text_ingest", ckpt, idxPath, "doc_id", "text")
+            .awaitTermination()
+        }
+        val corpus = docs(s, d).filter(col("doc_id") < 300)
+          .select("doc_id", "text").unionByName(planted)
+        val out = localized(s,
+          graft.ops.TextIndex.searchIndex(s, idxPath,
+              "the data quick join hash never-in-corpus", 10,
+              verifyAgainst = (corpus, "doc_id"))
+            .select(col("id").as("doc_id"), col("overlap")))
+        try {
+          val p = new org.apache.hadoop.fs.Path(idxPath)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true); ()
+        } catch { case _: Exception => () }
+        out
+      }
+    }),
+
     // continuous-ingest dedup: the fresh cross-corpus batch streams
     // through the index-deduped PRODUCTION sink — documents near-
     // duplicating the persisted reference snapshot are dropped in
@@ -2474,6 +2520,19 @@ object SparkEntry {
     // sequential ingest: batch-2 survivors depend on what batch 1
     // appended — the full two-step LSH cascade recomputed from scratch
     "x_stream_index_ingest" -> ingestDedupOracle,
+
+    // post-stream text-index probe == overlap ranking over base corpus
+    // ∪ both streamed batches (incl. the planted all-query-token docs,
+    // which must take the top 3 slots)
+    "x_stream_text_ingest" ->
+      (s"""WITH q AS (SELECT unnest(['the','data','quick','join','hash','never-in-corpus']) AS token), """ +
+       """corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300 """ +
+       """UNION ALL SELECT (3000000 + r)::BIGINT AS doc_id, """ +
+       """'the data quick join hash never-in-corpus the data quick join' AS text FROM range(3) t(r)), """ +
+       s"""post AS (SELECT DISTINCT doc_id, unnest($TOK) AS token FROM corpus) """ +
+       """SELECT p.doc_id, count(*)::BIGINT AS overlap """ +
+       """FROM post p JOIN q USING (token) WHERE p.token <> '' """ +
+       """GROUP BY 1 ORDER BY overlap DESC, p.doc_id LIMIT 10"""),
 
     // streaming index-dedup survivors == the fresh batch minus every
     // document the cross-corpus LSH matches against the indexed snapshot

@@ -153,6 +153,53 @@ object EventStream {
         }
       })
 
+  /** Streaming ingest into a persisted [[graft.ops.TextIndex]]: each
+    * micro-batch's documents are appended INTO the text index (postings,
+    * BM25 columns, positions, additive `_meta`) and then into the store
+    * table under [[appendSink]]'s exactly-once batch guard — the
+    * search/decontamination twin of [[dedupIndexIngestSink]]. Documents
+    * become searchable ([[graft.ops.TextIndex.searchIndex]]/`BM25`/
+    * `searchPhrase`) as soon as their batch commits, with no manual
+    * re-index and no streaming state: the index is the state, sized to
+    * the corpus, not the stream.
+    *
+    * Replay shape: a crash after the index append but before the store
+    * commit re-delivers the batch; its ids are then already indexed
+    * ([[graft.ops.IndexIds.presentIds]], Bloom-fast, zero index reads in
+    * the common all-novel case), so the index append is SKIPPED and the
+    * batch proceeds to the (idempotent) store commit — re-appending
+    * would double its postings, the corruption the append guard exists
+    * to refuse. Ids must be globally new versus the index (the
+    * [[graft.ops.TextIndex.appendTextIndex]] contract — monotone crawl
+    * ids); a batch of only token-free documents indexes no postings and
+    * so cannot be recovered by membership on replay — its second append
+    * then fails closed on the freshness stamp rather than silently
+    * double-counting `_meta`.
+    *
+    * At 100 TB: per batch, one tokenize+explode over the batch's own
+    * text, one bucket-partitioned O(delta) write, one Bloom merge —
+    * nothing corpus-sized moves; probes stay partition-pruned while the
+    * stream runs. */
+  def textIndexIngestSink(stream: DataFrame, store: HDFStore, table: String,
+                          checkpoint: String, indexPath: String,
+                          idCol: String, textCol: String,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    appendSink(stream, store, table, checkpoint, trigger,
+      transform = batch => {
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.types.LongType
+        val ids = batch.select(col(idCol).cast(LongType).as("id"))
+        val present = graft.ops.IndexIds.presentIds(spark, indexPath, ids,
+          spark.read.parquet(indexPath).select("id"))
+        // all-or-nothing per batch: any indexed id marks the whole batch
+        // as a replay of a completed index append (appendTextIndex is one
+        // job over the batch), so only the store commit remains
+        if (present.limit(1).collect().isEmpty)
+          graft.ops.TextIndex.appendTextIndex(batch, idCol, textCol,
+            indexPath)
+        batch
+      })
+
   /** Watermarked tumbling-window counts per event type. The value sum
     * accumulates as exact decimal before the double cast — float
     * summation order differs between micro-batch boundaries, engines,

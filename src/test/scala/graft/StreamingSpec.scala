@@ -254,6 +254,64 @@ class StreamingSpec extends AnyFunSuite {
         .filter($"doc_id".isin(expected.toSeq: _*))), "doc_id")
   }
 
+  test("text-index ingest sink: streamed docs become searchable; restart appends nothing") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val base = docs.filter($"doc_id" < 100)
+    val b1 = docs.filter($"doc_id" >= 100 && $"doc_id" < 130)
+    // batch 2 plants a doc made of the probe's own query tokens: it can
+    // only win the ranking if the sink really indexed batch 2
+    val planted = spark.range(1).select(lit(77777L).as("doc_id"),
+      lit("zz-probe-alpha zz-probe-beta zz-probe-alpha").as("text"))
+    val b2 = docs.filter($"doc_id" >= 130 && $"doc_id" < 160)
+      .unionByName(planted)
+    val idxPath = TestSpark.tmpDir("streaming-tidx") + "/ti"
+    graft.ops.TextIndex.buildTextIndex(base, "doc_id", "text", idxPath,
+      nBuckets = 16)
+    val in = new java.io.File(TestSpark.tmpDir("streaming-ti-in"))
+    Seq(b1, b2).zipWithIndex.foreach { case (df, i) =>
+      val stage = TestSpark.tmpDir(s"streaming-ti-stage$i")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(in, f"b$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + i * 60000L)
+    }
+    val ckpt = TestSpark.tmpDir("streaming-ti-ckpt")
+    val st = HDFStore.open(spark,
+      TestSpark.tmpDir("streaming-ti-store"), StoreMode.Overwrite)
+    st.put("landed", b1.limit(0))
+    def run(): Unit = EventStream.textIndexIngestSink(
+      spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in.toString),
+      st, "landed", ckpt, idxPath, "doc_id", "text").awaitTermination()
+    run()
+    // every streamed doc landed in the store exactly once
+    val landed = st.table("landed").df.select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val expectedIds = (b1.select("doc_id").collect() ++
+      b2.select("doc_id").collect()).map(_.getLong(0)).sorted
+    assert(landed.toSeq == expectedIds.toSeq)
+    // the index grew to base ∪ b1 ∪ b2 and verifies FRESH against it
+    val full = base.unionByName(b1).unionByName(b2)
+    graft.ops.TextIndex.requireTextIndexFresh(spark, idxPath, full, "doc_id")
+    // the planted batch-2 doc tops the probe for its own tokens
+    val hits = graft.ops.TextIndex.searchIndex(spark, idxPath,
+      "zz-probe-alpha zz-probe-beta", 3).collect()
+    assert(hits.nonEmpty && hits.head.getLong(0) == 77777L &&
+      hits.head.getLong(1) == 2L, s"probe ranked ${hits.toSeq}")
+    // and the phrase probe sees its adjacency from the appended postings
+    val ph = graft.ops.TextIndex.searchPhrase(spark, idxPath,
+      "zz-probe-beta zz-probe-alpha", 3).collect()
+    assert(ph.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((77777L, 1L)))
+    // restart with no new data: nothing re-appends to store or index
+    run()
+    assert(st.table("landed").df.count() == expectedIds.length)
+    graft.ops.TextIndex.requireTextIndexFresh(spark, idxPath, full, "doc_id")
+  }
+
   // epoch-µs of `ts` in either fixture representation (Long nanos under
   // nanosAsLong, a timestamp otherwise — the EventStream.withEventTime
   // split)
