@@ -1514,6 +1514,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
     }),
 
+    // conjunctive (AND) probe over the same persisted index: only docs
+    // containing EVERY query token rank, scored by total query-token
+    // occurrences — a 3-of-4 match must be absent, not lower
+    "x_text_search_all" -> ((s, d) => {
+      val path = textIndex(s, d)
+      graft.ops.TextIndex.searchAllTokens(s, path,
+          "the data join hash", 15,
+          verifyAgainst = Some((docs(s, d), "doc_id")))
+        .select(col("id").as("doc_id"), col("hits"))
+    }),
+
     // exact-phrase probe over the SAME persisted index: adjacency
     // verified from per-posting position arrays (no corpus access, no
     // n-gram explode) — occurrence counts must match a full positional
@@ -2762,6 +2773,16 @@ object SparkEntry {
     // exact-phrase occurrence counts from the raw text: sliding-window
     // scan over the filtered token list (overlapping matches counted,
     // same as the index-side position alignment)
+    // conjunctive: docs holding ALL four tokens, by total occurrences
+    "x_text_search_all" ->
+      (s"""WITH q AS (SELECT unnest(['the','data','join','hash']) AS token), """ +
+       s"""post AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM """ +
+       s"""(SELECT doc_id, unnest($TOK) AS token FROM documents) WHERE token <> '' GROUP BY 1, 2), """ +
+       """m AS (SELECT p.doc_id, sum(p.tf)::BIGINT AS hits, count(DISTINCT p.token) AS ntok """ +
+       """FROM post p JOIN q USING (token) GROUP BY 1) """ +
+       """SELECT doc_id, hits FROM m WHERE ntok = 4 """ +
+       """ORDER BY hits DESC, doc_id LIMIT 15"""),
+
     "x_text_phrase" ->
       (s"""WITH toks AS (SELECT doc_id, list_filter($TOK, t -> t <> '') AS l FROM documents), """ +
        """c AS (SELECT doc_id, len(list_filter(generate_series(1, len(l) - 1), """ +

@@ -251,6 +251,39 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Conjunctive (AND-semantics) probe: top-`k` documents containing
+    * EVERY distinct query token, as (`id`, `hits`) where `hits` is the
+    * total occurrence count of the query tokens in the document
+    * (Σ tf), ordered (hits desc, id) so the cut is total. The
+    * filter-style twin of [[searchIndex]]'s overlap ranking — "docs
+    * mentioning all of these terms" is the decontamination /
+    * targeted-subset shape, where a doc matching 5 of 6 tokens must
+    * NOT appear at all rather than rank lower.
+    *
+    * Same pruned scan as every other probe (bucket partition filter +
+    * token filter); the AND is one `count_distinct(token) == |query|`
+    * predicate on the per-doc aggregate, so cost stays O(matched
+    * postings) with no corpus access. */
+  def searchAllTokens(spark: org.apache.spark.sql.SparkSession,
+                      path: String, query: String, k: Int,
+                      verifyAgainst: Option[(DataFrame, String)] = None)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val meta = verifyAgainst match {
+      case Some(va) => verifiedMeta(spark, path, va)
+      case None     => loadMeta(spark, path)
+    }
+    val nDistinct = queryTokens(query).distinct.size
+    matchedPostings(spark, path, meta.nBuckets, query)
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).cast(LongType).as("hits"),
+        count_distinct(col("token")).as("ntok"))
+      .filter(col("ntok") === lit(nDistinct))
+      .select(col("id"), col("hits"))
+      .orderBy(col("hits").desc, col("id"))
+      .limit(k)
+  }
+
   /** Okapi BM25 over the SAME pruned probe scan: top-`k` documents as
     * (`id`, `score`), score desc then id. Per query token t with
     * document frequency df(t) (counted from the matched postings —

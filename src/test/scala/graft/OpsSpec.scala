@@ -517,6 +517,17 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextIndex.buildTextIndex(docs, "doc_id", "text", path, nBuckets = 0)
     }
+    // conjunctive probe: only docs with ALL tokens rank, by Σ tf —
+    // doc 1 matches 2 of 3 tokens and must be ABSENT, not lower
+    val allOf = TextIndex.searchAllTokens(spark, path, "spark data fast", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(allOf.toSeq == Seq(3L -> 3L, 5L -> 3L), allOf.toSeq)
+    // repeated occurrences raise hits (doc 2 has data×3) once every
+    // token is present; repeated QUERY tokens do not change the bar
+    val allOne = TextIndex.searchAllTokens(spark, path, "data DATA", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(allOne.toSeq == Seq(2L -> 3L, 1L -> 1L, 3L -> 1L, 5L -> 1L),
+      allOne.toSeq)
   }
 
   test("text index append: grown index == one-shot build; duplicate id refused; fresh after") {
