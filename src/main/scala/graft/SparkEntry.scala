@@ -1071,6 +1071,41 @@ object SparkEntry {
       (path, cb)
     })
 
+  private val pqCodebooks = new ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
+  /** Seeded PQ codebooks (m=8 subspaces, ksub=16, iters=0 — the fully
+    * oracle-mirrorable quantizer), trained once per sf dir. */
+  private def pqCbs(s: SparkSession, d: String): Seq[Seq[Seq[Double]]] =
+    pqCodebooks.computeIfAbsent(d, { _ =>
+      graft.ops.Quantize.pqCodebooks(embs(s, d), "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 0)
+    })
+
+  private val pqIndexes = new ConcurrentHashMap[String, String]()
+  /** Build-once persisted PQ code table over the full fixture. */
+  private def pqIndex(s: SparkSession, d: String): String =
+    pqIndexes.computeIfAbsent(d, { _ =>
+      val path = indexPath("pq_", d)
+      graft.ops.Quantize.buildPqIndex(embs(s, d), "vec_id", "embedding",
+        pqCbs(s, d), path)
+      path
+    })
+
+  private val pqIndexesApp = new ConcurrentHashMap[String, String]()
+  /** Incrementally-grown PQ index: built over the even vec_ids, the odd
+    * vec_ids APPENDED (encoded with the index's own codebooks) — codes
+    * are per-row, so the grown index equals the one-shot build. */
+  private def pqIndexAppended(s: SparkSession, d: String): String =
+    pqIndexesApp.computeIfAbsent(d, { _ =>
+      val path = indexPath("pqa_", d)
+      graft.ops.Quantize.buildPqIndex(
+        embs(s, d).filter(pmod(col("vec_id"), lit(2L)) === 0),
+        "vec_id", "embedding", pqCbs(s, d), path)
+      graft.ops.Quantize.appendPqIndex(
+        embs(s, d).filter(pmod(col("vec_id"), lit(2L)) === 1),
+        "vec_id", "embedding", path)
+      path
+    })
+
   private val ivfIndexesApp = new ConcurrentHashMap[String, String]()
   /** Incrementally-grown IVF index: built over the even vec_ids (same
     * full-corpus codebook), the odd vec_ids APPENDED — per-row
@@ -1566,6 +1601,43 @@ object SparkEntry {
         verifyAgainst = (embs(s, d), "vec_id"))
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"),
           col("list"))
+    }),
+
+    // product quantization (Jégou et al., TPAMI 2011): 64-dim floats
+    // become 8 codeword indices (32× compression); ADC scores cosine
+    // against the QUANTIZED vector via per-subspace lookup tables —
+    // the memory side of billion-scale ANN, mirrored algorithmically
+    // by the oracle (seeded codebooks, fixed-point L2 assignment)
+    "x_knn_pq" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      graft.ops.Quantize.pqTopK(embs(s, d), "vec_id", "embedding", q, 10,
+          pqCbs(s, d))
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // the same ADC probe against the PERSISTED code table: the scan
+    // reads (id, codes) rows only — never the float vectors — and the
+    // freshness contract verifies the build stamp against the live
+    // table; shares the one-shot oracle
+    "x_knn_pq_indexed" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      graft.ops.Quantize.pqTopKIndexed(s, pqIndex(s, d), q, 10,
+          verifyAgainst = Some((embs(s, d), "vec_id")))
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // the same probe against a PQ index grown INCREMENTALLY (built on
+    // the even vec_ids, odd vec_ids encoded with the index's own
+    // codebooks and appended): per-row encoding is batch-independent,
+    // so the grown index serves the identical top-k
+    "x_knn_pq_append" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      graft.ops.Quantize.pqTopKIndexed(s, pqIndexAppended(s, d), q, 10,
+          verifyAgainst = Some((embs(s, d), "vec_id")))
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
     }),
 
     // the same probe against a grown-then-COMPACTED IVF tree
@@ -2353,6 +2425,29 @@ object SparkEntry {
      """SELECT j.doc_id, j.bench_id, j.shared, cn.n_sh FROM j JOIN cn USING (doc_id) """ +
      """WHERE j.shared >= 2 ORDER BY doc_id, bench_id""")
 
+  /** Shared by the three PQ gates: the algorithmic mirror of the seeded
+    * product quantizer — codebooks = sub-vectors of the 16 smallest-id
+    * vectors over 8 subspaces of 8 dims, assignment by fixed-point L2
+    * (argmax of `2·⟨x,c⟩ − ‖c‖²`, ties to the smaller codeword), ADC
+    * score = Σ lut / (√qq · √Σ‖c‖²) — every product rounded to 1e-15
+    * units exactly as the engine computes it. */
+  private def pqOracle: String =
+    ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings), """ +
+     """els AS (SELECT vec_id, CAST((i-1)//8 AS INT) AS s, CAST((i-1)%8 AS INT) AS w, CAST(x AS DOUBLE) AS x FROM el), """ +
+     """cb AS (SELECT s, vec_id AS c, w, x AS cx FROM els WHERE vec_id < 16), """ +
+     """cc AS (SELECT s, c, SUM(CAST(round((cx*cx)*1e15) AS BIGINT))::BIGINT AS cc FROM cb GROUP BY 1, 2), """ +
+     """xc AS (SELECT e.vec_id, e.s, b.c, SUM(CAST(round((e.x*b.cx)*1e15) AS BIGINT))::BIGINT AS xc """ +
+     """FROM els e JOIN cb b ON b.s = e.s AND b.w = e.w GROUP BY 1, 2, 3), """ +
+     """codek AS (SELECT x.vec_id, x.s, x.c, 2*x.xc - c2.cc AS key FROM xc x JOIN cc c2 ON c2.s = x.s AND c2.c = x.c), """ +
+     """code AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY key DESC, c) AS rn FROM codek) WHERE rn = 1), """ +
+     """q AS (SELECT s, w, x AS qx FROM els WHERE vec_id = 0), """ +
+     """lut AS (SELECT b.s, b.c, SUM(CAST(round((q2.qx*b.cx)*1e15) AS BIGINT))::BIGINT AS dt FROM cb b JOIN q q2 ON q2.s = b.s AND q2.w = b.w GROUP BY 1, 2), """ +
+     """qq AS (SELECT SUM(CAST(round((qx*qx)*1e15) AS BIGINT))::BIGINT AS v FROM q), """ +
+     """adc AS (SELECT code.vec_id, SUM(l.dt)::BIGINT AS dt, SUM(c2.cc)::BIGINT AS nn """ +
+     """FROM code JOIN lut l ON l.s = code.s AND l.c = code.c JOIN cc c2 ON c2.s = code.s AND c2.c = code.c GROUP BY 1), """ +
+     """scored AS (SELECT vec_id, CAST(dt AS DOUBLE) / (sqrt((SELECT CAST(v AS DOUBLE) FROM qq)) * sqrt(CAST(nn AS DOUBLE))) AS sc FROM adc) """ +
+     """SELECT vec_id, round(sc, 6) AS score FROM scored ORDER BY sc DESC, vec_id LIMIT 10""")
+
   /** Shared by `x_knn_ivf_trained` and `x_knn_ivf_indexed`: the persisted
     * index materializes the same trained assignment the query-time path
     * computes, so both must return this exact top-k. */
@@ -2715,6 +2810,16 @@ object SparkEntry {
 
     // compaction is a physical rewrite, invisible to the top-k
     "x_knn_ivf_compact" -> ivfTrainedOracle,
+
+    // seeded product quantization, mirrored algorithmically: codes from
+    // fixed-point L2 assignment, ADC cosine against the quantized vector
+    "x_knn_pq" -> pqOracle,
+
+    // the persisted code table serves the identical ADC top-k
+    "x_knn_pq_indexed" -> pqOracle,
+
+    // the incrementally-grown code table serves the identical top-k
+    "x_knn_pq_append" -> pqOracle,
 
     // tombstone-deleted planted query-vector copies leave the top-k:
     // the result equals the oracle over the never-planted corpus

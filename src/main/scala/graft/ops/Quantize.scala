@@ -1,0 +1,339 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Product quantization (PQ) for embedding columns — the memory side of
+ * ANN at 100 TB, complementing [[Similarity.ivfTopK]]'s pruning side
+ * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+ * Search", IEEE TPAMI 2011).
+ *
+ * A `d`-dim float vector (4·d bytes) is split into `m` subspaces of
+ * `d/m` dims; each sub-vector is replaced by the index of its nearest
+ * codeword from a per-subspace codebook of `ksub` entries. The vector
+ * becomes `m` small integers — at the usual ksub ≤ 256 that is m bytes,
+ * a 4·d/m-fold compression (64-dim floats, m=8: 32×). Query scoring is
+ * asymmetric distance computation (ADC): the query stays exact, each
+ * subspace contributes a table lookup `dot(q_s, codeword)`, so scanning
+ * a billion codes needs no float vectors at all — the scan reads
+ * `m` bytes per row and the codebooks are a driver-side literal.
+ *
+ * Approximation contract: ADC scores cosine against the QUANTIZED
+ * vector — `dot(q, x̂) / (‖q‖·‖x̂‖)` with `x̂` the concatenated
+ * codewords. The oracle mirrors that algorithm (assignment, lookup,
+ * norm) rather than comparing to exact brute force, the
+ * [[Similarity.ivfTopK]] gate discipline.
+ *
+ * Cross-engine determinism, throughout: every dot/norm accumulates
+ * `round(term·1e15)` as exact integers (the [[Similarity.dotFixed]]
+ * fixed-point discipline), L2 assignment compares `2·⟨x,c⟩ − ‖c‖²` in
+ * those integer units (‖x‖² is constant per sub-vector and cannot
+ * change the argmin), ties break to the smaller codeword index, and
+ * trained codewords are the one double division `sum / (count·1e15)`
+ * of decimal-exact member sums — so a SQL oracle reproduces codes and
+ * scores bit-for-bit.
+ *
+ * Scale shape: training is `iters` rounds of ONE distributed job each
+ * (the m per-subspace argmins run in a single scan; member sums
+ * collapse map-side to m·ksub rows before the exchange); encoding is a
+ * per-row expression (no shuffle); the persisted index stores
+ * `(id, codes)` rows only — probes scan codes and never touch float
+ * vectors. Codebooks are m·ksub·(d/m) doubles — driver-literal at any
+ * corpus size.
+ */
+object Quantize {
+
+  /** Per-subspace squared codeword norms in 1e-15 fixed-point units,
+    * evaluated by the ENGINE in one tiny job (the
+    * [[Similarity]] centroid-norm discipline — never reimplemented
+    * driver-side, so oracle SQL reproduces each term). A zero-norm
+    * codeword is refused: it would zero its subspace's contribution to
+    * the reconstructed norm and, on a fully-zero code row, divide the
+    * ADC score by zero — NaN ranks differently across engines. */
+  private def codewordNorms(spark: org.apache.spark.sql.SparkSession,
+                            cbs: Seq[Seq[Seq[Double]]]): Seq[Seq[Long]] = {
+    val cols = for {
+      (cb, s) <- cbs.zipWithIndex; (c, j) <- cb.zipWithIndex
+    } yield Similarity.dotFixed(typedLit(c), typedLit(c)).as(s"cc_${s}_$j")
+    val row = spark.range(1).select(cols: _*).collect()(0)
+    cbs.zipWithIndex.map { case (cb, s) =>
+      cb.indices.map { j =>
+        val n = row.getAs[Long](s"cc_${s}_$j")
+        require(n > 0L, s"PQ codeword ($s, $j) has zero norm; train on " +
+          "non-degenerate vectors (filter empty embeddings first)")
+        n
+      }
+    }
+  }
+
+  /** The s-th sub-vector (1-based slice; `dsub` elements). */
+  private def subVec(vec: Column, s: Int, dsub: Int): Column =
+    slice(vec, s * dsub + 1, dsub)
+
+  /** Per-row nearest-codeword index (0-based Long) for subspace `s`:
+    * argmin of the fixed-point L2 key `‖c‖² − 2·⟨x,c⟩` — evaluated as
+    * argmax of its negation via the (key, -index) struct-max, ties to
+    * the smaller codeword index (the [[Similarity]] argmax
+    * discipline). */
+  private def nearestCode(vec: Column, s: Int, dsub: Int,
+                          cb: Seq[Seq[Double]], cc: Seq[Long]): Column = {
+    val keys = cb.zipWithIndex.map { case (c, j) =>
+      struct(
+        (lit(2L) * Similarity.dotFixed(subVec(vec, s, dsub), typedLit(c)) -
+          lit(cc(j))).as("s"),
+        lit(-j.toLong).as("n"))
+    }
+    -array_max(array(keys: _*)).getField("n")
+  }
+
+  /** Train per-subspace PQ codebooks deterministically: the seed for
+    * codeword `j` of every subspace is the j-th sub-vector of the
+    * `ksub` smallest-id vectors; each of the `iters` Lloyd rounds
+    * reassigns every sub-vector (fixed-point L2) and recomputes
+    * codewords as member means (decimal-exact sums, one double
+    * division). `iters = 0` is the pure seeded quantizer — the fully
+    * oracle-mirrorable form the gates use.
+    *
+    * Returns `m` codebooks of `ksub` codewords of `dim/m` doubles,
+    * ready for [[pqTopK]] / [[buildPqIndex]].
+    *
+    * Scale shape per round: ONE distributed job — a scan computing the
+    * m argmins per row, exploding to m small (subspace, code,
+    * sub-vector) rows that collapse map-side to m·ksub partial sums
+    * before the exchange. Vectors never shuffle whole. A cell left
+    * empty by a round keeps its previous codeword. */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ksub: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && ksub >= 1 && iters >= 0,
+      s"pqCodebooks: need m >= 1, ksub >= 1, iters >= 0; got ($m, $ksub, $iters)")
+    val spark = df.sparkSession
+    val seeds = df
+      .select(col(idCol).cast(LongType), col(vecCol))
+      .orderBy(col(idCol)).limit(ksub)
+      .collect().toSeq.map(_.getSeq[Float](1).map(_.toDouble))
+    require(seeds.length == ksub,
+      s"pqCodebooks: need >= $ksub vectors, got ${seeds.length}")
+    val dim = seeds.head.length
+    require(dim % m == 0,
+      s"pqCodebooks: dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    var cbs: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => seeds.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+    for (_ <- 0 until iters) {
+      val cc = codewordNorms(spark, cbs)
+      // one generator, nothing alongside it: a non-generator column in
+      // the same select would re-evaluate per generated row (the
+      // kmeansCodebook pitfall) — everything rides inside the structs
+      val parts = (0 until m).map(s => struct(
+        lit(s).as("s"),
+        nearestCode(col("v"), s, dsub, cbs(s), cc(s)).as("c"),
+        subVec(col("v"), s, dsub).as("sub")))
+      val perDim = (0 until dsub).map(i =>
+        sum(round(element_at(col("p.sub"), i + 1).cast(DoubleType) * lit(1e15))
+          .cast(DecimalType(38, 0))).as(s"sf_$i"))
+      val stats = df.select(col(vecCol).as("v"))
+        .select(explode(array(parts: _*)).as("p"))
+        .groupBy(col("p.s").as("s"), col("p.c").as("c"))
+        .agg(count(lit(1)).as("cnt"), perDim: _*)
+        .collect()
+      val next = cbs.map(_.map(_.toArray).toArray).toArray
+      stats.foreach { r =>
+        val s = r.getInt(0); val cIdx = r.getLong(1).toInt
+        val cnt = r.getLong(2)
+        var i = 0
+        while (i < dsub) {
+          next(s)(cIdx)(i) = r.getDecimal(3 + i).doubleValue() / (cnt * 1e15)
+          i += 1
+        }
+      }
+      cbs = next.map(_.map(_.toSeq).toSeq).toSeq
+    }
+    cbs
+  }
+
+  /** Encode every vector to its `m` codeword indices:
+    * (`id`, `codes` array&lt;short&gt;). Pure per-row expressions — no
+    * shuffle, no driver data path; this is the map stage a 100 TB
+    * encode job runs as-is. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val cc = codewordNorms(df.sparkSession, cbs)
+    val dsub = cbs.head.head.length
+    val codes = cbs.indices.map(s =>
+      nearestCode(col(vecCol), s, dsub, cbs(s), cc(s)).cast(ShortType))
+    df.select(col(idCol).cast(LongType).as("id"),
+      array(codes: _*).as("codes"))
+  }
+
+  /** Query-side ADC tables, computed by the ENGINE in one tiny job:
+    * `lut(s)(j) = ⟨q_s, codeword⟩` and `qq = ⟨q, q⟩`, all in 1e-15
+    * fixed-point units. */
+  private def adcTables(spark: org.apache.spark.sql.SparkSession,
+                        query: Seq[Float], cbs: Seq[Seq[Seq[Double]]])
+      : (Seq[Seq[Long]], Long) = {
+    val q = query.map(_.toDouble)
+    val dsub = cbs.head.head.length
+    require(q.length == cbs.length * dsub,
+      s"query dim ${q.length} != codebook dim ${cbs.length * dsub}")
+    val lutCols = for {
+      (cb, s) <- cbs.zipWithIndex; (c, j) <- cb.zipWithIndex
+    } yield Similarity.dotFixed(
+      typedLit(q.slice(s * dsub, (s + 1) * dsub).toSeq), typedLit(c))
+      .as(s"lut_${s}_$j")
+    val row = spark.range(1)
+      .select(lutCols :+ Similarity.dotFixed(typedLit(q), typedLit(q)).as("qq"): _*)
+      .collect()(0)
+    val lut = cbs.zipWithIndex.map { case (cb, s) =>
+      cb.indices.map(j => row.getAs[Long](s"lut_${s}_$j")) }
+    (lut, row.getAs[Long]("qq"))
+  }
+
+  /** ADC score over a `codes` column: Σ_s lut(s)(code_s) over
+    * √(qq · Σ_s cc(s)(code_s)) — cosine of the query against the
+    * reconstructed vector, every term a literal-array lookup. */
+  private def adcScore(codesCol: Column, lut: Seq[Seq[Long]],
+                       cc: Seq[Seq[Long]], qq: Long): Column = {
+    def at(tab: Seq[Long], s: Int): Column =
+      element_at(typedLit(tab), element_at(codesCol, s + 1).cast(IntegerType) + 1)
+    val dotSum = lut.indices.map(s => at(lut(s), s)).reduce(_ + _)
+    val nnSum = lut.indices.map(s => at(cc(s), s)).reduce(_ + _)
+    dotSum.cast(DoubleType) /
+      (sqrt(lit(qq).cast(DoubleType)) * sqrt(nnSum.cast(DoubleType)))
+  }
+
+  /** One-shot PQ top-k: encode + ADC in a single scan of the raw
+    * vectors — the exactness gate for the persisted form, and the
+    * "quantize on the fly" shape when codes are not (yet) materialized.
+    * Output (`id`, `score`), score desc then id; TakeOrdered — scores
+    * never shuffle, only per-partition top-k rows do. */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+             query: Seq[Float], k: Int, cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val cc = codewordNorms(spark, cbs)
+    val (lut, qq) = adcTables(spark, query, cbs)
+    pqEncode(df, idCol, vecCol, cbs)
+      .select(col("id"), adcScore(col("codes"), lut, cc, qq).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------- //
+  // persisted form: build / append / probe                           //
+  // ---------------------------------------------------------------- //
+
+  /** Build a persisted PQ index at `path`: a `(id, codes)` parquet
+    * table plus a self-describing `_codebook` sidecar (flattened
+    * codewords + the build stamp — the [[Similarity.buildIvfIndex]]
+    * discipline) and the [[IndexIds]] Bloom sidecar for O(delta)
+    * append guards. Codes are sorted by id for locality; the table is
+    * 10 bytes + m·2 per row — the whole point at 100 TB is that probes
+    * scan THIS, never the float vectors. */
+  def buildPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                   cbs: Seq[Seq[Seq[Double]]], path: String,
+                   expectedIds: Long = IndexIds.DefaultExpectedIds,
+                   idFpp: Double = IndexIds.DefaultFpp): Unit = {
+    val spark = df.sparkSession
+    val obs = org.apache.spark.sql.Observation()
+    pqEncode(df, idCol, vecCol, cbs)
+      .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
+      .sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(path)
+    val stamp = Similarity.stampOf(obs.get)
+    writeCodebook(spark, path, cbs, stamp)
+    IndexIds.writeFresh(spark, path,
+      df.select(col(idCol).cast(LongType).as("id")), stamp.nRows,
+      expectedIds, idFpp)
+  }
+
+  private def writeCodebook(spark: org.apache.spark.sql.SparkSession,
+                            path: String, cbs: Seq[Seq[Seq[Double]]],
+                            stamp: Similarity.IvfStamp): Unit = {
+    import spark.implicits._
+    (for { (cb, s) <- cbs.zipWithIndex; (c, j) <- cb.zipWithIndex }
+      yield (s.toLong, j.toLong, c))
+      .toDF("s", "j", "codeword")
+      .withColumn("n_rows", lit(stamp.nRows))
+      .withColumn("id_hash_sum", lit(stamp.idHashSum).cast(DecimalType(38, 0)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
+  }
+
+  /** The codebooks a [[buildPqIndex]] index was built with. */
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Seq[Seq[Seq[Double]]] = {
+    val rows = spark.read.parquet(s"$path/_codebook")
+      .select("s", "j", "codeword").orderBy("s", "j").collect()
+    rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getLong(1)).map(_.getSeq[Double](2).toSeq).toSeq }
+  }
+
+  /** The stamp a [[buildPqIndex]] index was built with. */
+  def loadPqStamp(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Similarity.IvfStamp = {
+    val r = spark.read.parquet(s"$path/_codebook")
+      .select(col("n_rows"), col("id_hash_sum")).head()
+    Similarity.IvfStamp(r.getLong(0), r.getDecimal(1))
+  }
+
+  /** Freshness contract ([[Similarity.requireIvfFresh]] shape): the
+    * live source's id-only stamp must equal the one built. */
+  def requirePqFresh(spark: org.apache.spark.sql.SparkSession, path: String,
+                     df: DataFrame, idCol: String): Unit =
+    Similarity.requireStampFresh("PQ index", path, loadPqStamp(spark, path),
+      Similarity.sourceStamp(df, idCol), "buildPqIndex")
+
+  /** INCREMENTAL build: encode NEW vectors with the index's OWN
+    * codebooks (read from `_codebook` — build/append assignment can
+    * never drift) and append their code rows; the stamp is rewritten
+    * additively. Appended ids must be new and unique within the batch —
+    * refused in O(delta) via the [[IndexIds]] Bloom sidecar. Crash
+    * windows match [[Similarity.appendIvfIndex]]: Bloom-merge-first
+    * over-approximates (next attempt precise-verifies and proceeds); a
+    * crash between the data append and the stamp rewrite fails closed
+    * at the freshness check — rebuild to recover. */
+  def appendPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                    path: String, skipIdCheck: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val cbs = loadPqCodebooks(spark, path)
+    val stamp0 = loadPqStamp(spark, path)
+    val deltaIds = df.select(col(idCol).cast(LongType).as("id"))
+    val deltaCount =
+      if (!skipIdCheck)
+        IndexIds.guardAppend(spark, path, "appendPqIndex",
+          spark.read.parquet(path).select("id"), deltaIds)
+      else deltaIds.filter(col("id").isNotNull).distinct().count()
+    IndexIds.mergeAppend(spark, path, deltaIds, deltaCount)
+    val obs = org.apache.spark.sql.Observation()
+    pqEncode(df, idCol, vecCol, cbs)
+      .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
+      .sortWithinPartitions(col("id"))
+      .write.mode("append").parquet(path)
+    val delta = Similarity.stampOf(obs.get)
+    writeCodebook(spark, path, cbs, Similarity.IvfStamp(
+      stamp0.nRows + delta.nRows, stamp0.idHashSum.add(delta.idHashSum)))
+  }
+
+  /** Top-k ADC probe against a persisted index: reads ONLY the
+    * `(id, codes)` rows — m·2 bytes of code per row, zero float-vector
+    * I/O — scores each through the driver-literal lookup tables, and
+    * TakeOrdereds the result. Output (`id`, `score`), score desc then
+    * id. Optionally verifies the build stamp against a live source
+    * first. */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                    query: Seq[Float], k: Int,
+                    verifyAgainst: Option[(DataFrame, String)] = None)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    verifyAgainst.foreach { case (df, idCol) =>
+      requirePqFresh(spark, path, df, idCol) }
+    val cbs = loadPqCodebooks(spark, path)
+    val cc = codewordNorms(spark, cbs)
+    val (lut, qq) = adcTables(spark, query, cbs)
+    spark.read.parquet(path)
+      .select(col("id"), adcScore(col("codes"), lut, cc, qq).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+}

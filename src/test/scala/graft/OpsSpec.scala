@@ -1723,6 +1723,48 @@ class OpsSpec extends AnyFunSuite {
     assert(probe(grown) == probe(oneShot))
   }
 
+  test("pq index: grown == one-shot probe == on-the-fly; duplicate id refused; stale refused") {
+    import graft.ops.Quantize
+    val embsDf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val cbs = Quantize.pqCodebooks(embsDf, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 1)
+    val q = embsDf.filter($"vec_id" === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    def probe(p: String) = Quantize.pqTopKIndexed(spark, p, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val oneShot = TestSpark.tmpDir("pq-oneshot") + "/pq"
+    val grown = TestSpark.tmpDir("pq-grown") + "/pq"
+    Quantize.buildPqIndex(embsDf, "vec_id", "embedding", cbs, oneShot)
+    Quantize.buildPqIndex(embsDf.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", cbs, grown)
+    Quantize.appendPqIndex(embsDf.filter($"vec_id" % 2 =!= 0),
+      "vec_id", "embedding", grown)
+    val direct = Quantize.pqTopK(embsDf, "vec_id", "embedding", q, 10, cbs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe(grown) == probe(oneShot) && probe(oneShot) == direct &&
+      direct.nonEmpty)
+    Quantize.requirePqFresh(spark, grown, embsDf, "vec_id")
+    // the probe scan must read codes only, never the embedding column
+    val plan = Quantize.pqTopKIndexed(spark, oneShot, q, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("codes") && !plan.contains("embedding"), plan)
+    val e = intercept[IllegalArgumentException] {
+      Quantize.appendPqIndex(embsDf.filter($"vec_id" === 1),
+        "vec_id", "embedding", grown)
+    }
+    assert(e.getMessage.contains("already indexed"))
+    assert(probe(grown) == probe(oneShot))
+    // stale: probing after the source churns is refused
+    val churned = embsDf.unionByName(embsDf.limit(1)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding"))
+    val e2 = intercept[IllegalStateException] {
+      Quantize.pqTopKIndexed(spark, oneShot, q, 10,
+        verifyAgainst = Some((churned, "vec_id"))).collect()
+    }
+    assert(e2.getMessage.contains("STALE") && e2.getMessage.contains("buildPqIndex"))
+  }
+
   test("dedup index: stale index refused, rebuild clears it") {
     val ref = docsDf.filter($"doc_id" < 4)
     val path = TestSpark.tmpDir("dedup-idx-stale")
@@ -1903,5 +1945,75 @@ class OpsSpec extends AnyFunSuite {
     val frames = Multimodal.frameSample(Multimodal.attachPayload(docsDf, "text"), 4)
       .select(size($"frames")).collect()
     assert(frames.forall(_.getInt(0) == 4))
+  }
+
+  test("product quantization: codes, ADC ranking, trained codebooks, brute-force spec parity") {
+    import graft.ops.Quantize
+    // 4-dim vectors, m=2 subspaces of 2 dims, ksub=2 seeded codewords
+    // (sub-vectors of ids 0 and 1) — assignments are hand-checkable
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.1f, 0.9f)),  // near id 0 in both subspaces
+      (3L, Array(0.1f, 0.9f, 0.9f, 0.1f)),  // near id 1 in both subspaces
+      (4L, Array(1.0f, 0.0f, 1.0f, 0.0f))   // mixed: sub0 -> 0, sub1 -> 1
+    ).toDF("vec_id", "embedding")
+    val cbs = Quantize.pqCodebooks(vecs, "vec_id", "embedding",
+      m = 2, ksub = 2, iters = 0)
+    assert(cbs.length == 2 && cbs.forall(_.length == 2))
+    assert(cbs(0)(0) == Seq(1.0, 0.0) && cbs(1)(1) == Seq(1.0, 0.0))
+    val codes = Quantize.pqEncode(vecs, "vec_id", "embedding", cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Short](1).toSeq).toMap
+    assert(codes(0L) == Seq(0, 0) && codes(1L) == Seq(1, 1))
+    assert(codes(2L) == Seq(0, 0) && codes(3L) == Seq(1, 1))
+    assert(codes(4L) == Seq(0, 1))
+    // ADC against query = vec 0: ids coded (0,0) reconstruct to vec 0
+    // itself (cosine 1), the mixed code scores 0.5, code (1,1) scores 0
+    val q = Seq(1.0f, 0.0f, 0.0f, 1.0f)
+    val top = Quantize.pqTopK(vecs, "vec_id", "embedding", q, 5, cbs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(top.map(_._1).toSeq == Seq(0L, 2L, 4L, 1L, 3L), top.toSeq)
+    assert(math.abs(top(0)._2 - 1.0) < 1e-9 &&
+      math.abs(top(2)._2 - 0.5) < 1e-9 && math.abs(top(3)._2) < 1e-9)
+    // one Lloyd round pulls codewords to member means: subspace-0 cell 0
+    // holds sub-vectors (1,0), (.9,.1), (1,0) -> mean (29/30, 1/30)
+    val trained = Quantize.pqCodebooks(vecs, "vec_id", "embedding",
+      m = 2, ksub = 2, iters = 1)
+    // tolerance is float-literal noise: the member values are Float
+    // (0.9f != 0.9), so the exact mean differs from 29/30 by ~1e-8
+    assert(math.abs(trained(0)(0)(0) - 29.0 / 30.0) < 1e-6 &&
+      math.abs(trained(0)(0)(1) - 1.0 / 30.0) < 1e-6, trained(0)(0))
+    // spec parity on the real fixture: engine ADC top-10 == a driver
+    // brute-force reimplementation of the same quantizer
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val cbs8 = Quantize.pqCodebooks(embs, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 0)
+    val qv = embs.filter($"vec_id" === 0).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val got = Quantize.pqTopK(embs, "vec_id", "embedding", qv, 10, cbs8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val all = embs.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def fxdot(a: Seq[Double], b: Seq[Double]): Long =
+      a.zip(b).map { case (x, y) => math.round(x * y * 1e15) }.sum
+    val dsub = 8
+    def code(v: Array[Double], s: Int): Int =
+      (0 until 16).minBy { j =>
+        val c = cbs8(s)(j)
+        val sub = v.slice(s * dsub, (s + 1) * dsub).toSeq
+        (fxdot(c, c) - 2 * fxdot(sub, c), j)
+      }
+    val qd = qv.map(_.toDouble).toSeq
+    val qq = fxdot(qd, qd)
+    val exp = all.map { case (id, v) =>
+      val (dot, nn) = (0 until 8).map { s =>
+        val c = cbs8(s)(code(v, s))
+        (fxdot(qd.slice(s * dsub, (s + 1) * dsub), c), fxdot(c, c))
+      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      (id, dot.toDouble / (math.sqrt(qq.toDouble) * math.sqrt(nn.toDouble)))
+    }.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    assert(got.toSeq == exp.toSeq,
+      s"engine ${got.toSeq} vs spec ${exp.toSeq}")
   }
 }
