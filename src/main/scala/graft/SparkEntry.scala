@@ -1106,6 +1106,40 @@ object SparkEntry {
       path
     })
 
+  /** Seed coarse codebook for the IVF+PQ gates: the 16 smallest-id
+    * vectors verbatim (the `x_knn_ivf` seeding, fully oracle-mirrorable
+    * as `vec_id < 16`). */
+  private def seedCoarse(s: SparkSession, d: String): Seq[Seq[Double]] =
+    embs(s, d).select(col("vec_id").cast(org.apache.spark.sql.types.LongType),
+        col("embedding"))
+      .orderBy("vec_id").limit(16)
+      .collect().toSeq.map(_.getSeq[Float](1).map(_.toDouble).toSeq)
+
+  private val ivfPqIndexes = new ConcurrentHashMap[String, String]()
+  /** Build-once IVF+PQ index: coarse seed lists × seeded PQ codes. */
+  private def ivfPqIndex(s: SparkSession, d: String): String =
+    ivfPqIndexes.computeIfAbsent(d, { _ =>
+      val path = indexPath("ipq_", d)
+      graft.ops.Quantize.buildIvfPqIndex(embs(s, d), "vec_id", "embedding",
+        seedCoarse(s, d), pqCbs(s, d), path)
+      path
+    })
+
+  private val ivfPqIndexesApp = new ConcurrentHashMap[String, String]()
+  /** Incrementally-grown IVF+PQ index (evens built, odds appended with
+    * the index's own coarse + PQ codebooks). */
+  private def ivfPqIndexAppended(s: SparkSession, d: String): String =
+    ivfPqIndexesApp.computeIfAbsent(d, { _ =>
+      val path = indexPath("ipa_", d)
+      graft.ops.Quantize.buildIvfPqIndex(
+        embs(s, d).filter(pmod(col("vec_id"), lit(2L)) === 0),
+        "vec_id", "embedding", seedCoarse(s, d), pqCbs(s, d), path)
+      graft.ops.Quantize.appendIvfPqIndex(
+        embs(s, d).filter(pmod(col("vec_id"), lit(2L)) === 1),
+        "vec_id", "embedding", path)
+      path
+    })
+
   private val ivfIndexesApp = new ConcurrentHashMap[String, String]()
   /** Incrementally-grown IVF index: built over the even vec_ids (same
     * full-corpus codebook), the odd vec_ids APPENDED — per-row
@@ -1638,6 +1672,30 @@ object SparkEntry {
       graft.ops.Quantize.pqTopKIndexed(s, pqIndexAppended(s, d), q, 10,
           verifyAgainst = Some((embs(s, d), "vec_id")))
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // IVF + PQ composed (IVFADC): coarse-list partition pruning over
+    // the compressed code table — the probe reads 4 of 16 list dirs
+    // AND only (id, codes) rows; scores are plain ADC, so the ranking
+    // restricted to probed lists mirrors exactly
+    "x_knn_ivfpq" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      graft.ops.Quantize.ivfPqTopKIndexed(s, ivfPqIndex(s, d), q, 10,
+          nprobe = 4, verifyAgainst = Some((embs(s, d), "vec_id")))
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"),
+          col("list"))
+    }),
+
+    // the same probe against an IVF+PQ index grown incrementally with
+    // the index's own coarse and PQ codebooks
+    "x_knn_ivfpq_append" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      graft.ops.Quantize.ivfPqTopKIndexed(s, ivfPqIndexAppended(s, d), q, 10,
+          nprobe = 4, verifyAgainst = Some((embs(s, d), "vec_id")))
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"),
+          col("list"))
     }),
 
     // the same probe against a grown-then-COMPACTED IVF tree
@@ -2448,6 +2506,39 @@ object SparkEntry {
      """scored AS (SELECT vec_id, CAST(dt AS DOUBLE) / (sqrt((SELECT CAST(v AS DOUBLE) FROM qq)) * sqrt(CAST(nn AS DOUBLE))) AS sc FROM adc) """ +
      """SELECT vec_id, round(sc, 6) AS score FROM scored ORDER BY sc DESC, vec_id LIMIT 10""")
 
+  /** Shared by the IVF+PQ gates: the `x_knn_ivf` seeded coarse
+    * assignment/probing CTEs composed with [[pqOracle]]'s quantizer —
+    * candidates come from the 4 probed lists, scores are plain ADC. */
+  private def ivfPqOracle: String =
+    ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings), """ +
+     """norms AS (SELECT vec_id, SUM(CAST(round((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxx FROM el GROUP BY vec_id), """ +
+     """cl AS (SELECT vec_id AS cid, i, x AS cx FROM el WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)), """ +
+     """aff AS (SELECT el.vec_id, cl.cid, """ +
+     """SUM(CAST(round((CAST(el.x AS DOUBLE) * CAST(cl.cx AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxy """ +
+     """FROM el JOIN cl USING (i) GROUP BY 1, 2), """ +
+     """ascore AS (SELECT a.vec_id, a.cid, CAST(a.dxy AS DOUBLE) / sqrt(CAST(n.dxx AS DOUBLE)) AS s """ +
+     """FROM aff a JOIN norms n ON n.vec_id = a.cid), """ +
+     """assign AS (SELECT vec_id, cid AS list FROM (SELECT vec_id, cid, """ +
+     """row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM ascore) WHERE rn = 1), """ +
+     """probes AS (SELECT cid AS list FROM ascore WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 4), """ +
+     """cand AS (SELECT a.vec_id, a.list FROM assign a JOIN probes USING (list)), """ +
+     """els AS (SELECT vec_id, CAST((i-1)//8 AS INT) AS s, CAST((i-1)%8 AS INT) AS w, CAST(x AS DOUBLE) AS x FROM el), """ +
+     """cb AS (SELECT s, vec_id AS c, w, x AS cx FROM els WHERE vec_id < 16), """ +
+     """cc AS (SELECT s, c, SUM(CAST(round((cx*cx)*1e15) AS BIGINT))::BIGINT AS cc FROM cb GROUP BY 1, 2), """ +
+     """xc AS (SELECT e.vec_id, e.s, b.c, SUM(CAST(round((e.x*b.cx)*1e15) AS BIGINT))::BIGINT AS xc """ +
+     """FROM els e JOIN cb b ON b.s = e.s AND b.w = e.w GROUP BY 1, 2, 3), """ +
+     """codek AS (SELECT x.vec_id, x.s, x.c, 2*x.xc - c2.cc AS key FROM xc x JOIN cc c2 ON c2.s = x.s AND c2.c = x.c), """ +
+     """code AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY key DESC, c) AS rn FROM codek) WHERE rn = 1), """ +
+     """q AS (SELECT s, w, x AS qx FROM els WHERE vec_id = 0), """ +
+     """lut AS (SELECT b.s, b.c, SUM(CAST(round((q2.qx*b.cx)*1e15) AS BIGINT))::BIGINT AS dt FROM cb b JOIN q q2 ON q2.s = b.s AND q2.w = b.w GROUP BY 1, 2), """ +
+     """qq AS (SELECT SUM(CAST(round((qx*qx)*1e15) AS BIGINT))::BIGINT AS v FROM q), """ +
+     """adc AS (SELECT code.vec_id, SUM(l.dt)::BIGINT AS dt, SUM(c2.cc)::BIGINT AS nn """ +
+     """FROM code JOIN cand USING (vec_id) JOIN lut l ON l.s = code.s AND l.c = code.c """ +
+     """JOIN cc c2 ON c2.s = code.s AND c2.c = code.c GROUP BY 1), """ +
+     """scored AS (SELECT vec_id, CAST(dt AS DOUBLE) / (sqrt((SELECT CAST(v AS DOUBLE) FROM qq)) * sqrt(CAST(nn AS DOUBLE))) AS sc FROM adc) """ +
+     """SELECT c.vec_id, round(sc, 6) AS score, c.list FROM scored JOIN cand c ON c.vec_id = scored.vec_id """ +
+     """ORDER BY sc DESC, c.vec_id LIMIT 10""")
+
   /** Shared by `x_knn_ivf_trained` and `x_knn_ivf_indexed`: the persisted
     * index materializes the same trained assignment the query-time path
     * computes, so both must return this exact top-k. */
@@ -2820,6 +2911,13 @@ object SparkEntry {
 
     // the incrementally-grown code table serves the identical top-k
     "x_knn_pq_append" -> pqOracle,
+
+    // IVF+PQ composed: candidates from the 4 probed seed lists, plain
+    // ADC scores over their codes
+    "x_knn_ivfpq" -> ivfPqOracle,
+
+    // the incrementally-grown composed index serves the identical top-k
+    "x_knn_ivfpq_append" -> ivfPqOracle,
 
     // tombstone-deleted planted query-vector copies leave the top-k:
     // the result equals the oracle over the never-planted corpus

@@ -315,6 +315,174 @@ object Quantize {
       stamp0.nRows + delta.nRows, stamp0.idHashSum.add(delta.idHashSum)))
   }
 
+  // ---------------------------------------------------------------- //
+  // IVF + PQ: coarse-list partition pruning over compressed codes     //
+  // ---------------------------------------------------------------- //
+
+  /** Build a persisted IVF+PQ index — the canonical billion-scale ANN
+    * layout (IVFADC, Jégou et al. §IV): rows `(id, codes)` hive-
+    * partitioned by coarse `list` ([[Similarity.buildIvfIndex]]'s
+    * nearest-centroid assignment), codes from [[pqCodebooks]]. A probe
+    * composes BOTH prunings: the `list IN (probes)` partition filter
+    * skips unprobed directories at file listing, and the surviving scan
+    * reads m·2-byte code rows, never float vectors — at 100 TB of
+    * embeddings the probe I/O is `nprobe/nlist × m/(4·d)` of the
+    * corpus (nlist=1024, m=8, d=64: ~0.01%).
+    *
+    * Self-describing tree: `_coarse` holds the coarse codebook + the
+    * build stamp; `_pqcb` holds the PQ codebooks; the [[IndexIds]]
+    * Bloom sidecar guards appends. Scoring is plain ADC — the coarse
+    * residual is deliberately NOT subtracted (scores match [[pqTopK]]
+    * exactly, so the one-shot and composed forms share oracles; a
+    * residual variant would couple code meaning to list assignment and
+    * block list-local re-clustering). */
+  def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                      coarseCb: Seq[Seq[Double]], cbs: Seq[Seq[Seq[Double]]],
+                      path: String,
+                      expectedIds: Long = IndexIds.DefaultExpectedIds,
+                      idFpp: Double = IndexIds.DefaultFpp): Unit = {
+    val spark = df.sparkSession
+    val dyy = Similarity.centroidNorms(spark, coarseCb)
+    val cc = codewordNorms(spark, cbs)
+    val dsub = cbs.head.head.length
+    val codes = cbs.indices.map(s =>
+      nearestCode(col(vecCol), s, dsub, cbs(s), cc(s)).cast(ShortType))
+    val obs = org.apache.spark.sql.Observation()
+    df.select(col(idCol).cast(LongType).as("id"),
+        array(codes: _*).as("codes"),
+        Similarity.nearestCentroid(col(vecCol), coarseCb, dyy).as("list"))
+      .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
+      .repartition(col("list"))
+      .sortWithinPartitions(col("list"), col("id"))
+      .write.partitionBy("list").mode("overwrite").parquet(path)
+    val stamp = Similarity.stampOf(obs.get)
+    writeCoarse(spark, path, coarseCb, stamp)
+    writePqcb(spark, path, cbs)
+    IndexIds.writeFresh(spark, path,
+      df.select(col(idCol).cast(LongType).as("id")), stamp.nRows,
+      expectedIds, idFpp)
+  }
+
+  private def writeCoarse(spark: org.apache.spark.sql.SparkSession,
+                          path: String, coarseCb: Seq[Seq[Double]],
+                          stamp: Similarity.IvfStamp): Unit = {
+    import spark.implicits._
+    coarseCb.zipWithIndex.map { case (c, j) => (j.toLong, c) }
+      .toDF("j", "centroid")
+      .withColumn("n_rows", lit(stamp.nRows))
+      .withColumn("id_hash_sum", lit(stamp.idHashSum).cast(DecimalType(38, 0)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_coarse")
+  }
+
+  private def writePqcb(spark: org.apache.spark.sql.SparkSession,
+                        path: String, cbs: Seq[Seq[Seq[Double]]]): Unit = {
+    import spark.implicits._
+    (for { (cb, s) <- cbs.zipWithIndex; (c, j) <- cb.zipWithIndex }
+      yield (s.toLong, j.toLong, c))
+      .toDF("s", "j", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_pqcb")
+  }
+
+  /** The coarse codebook an IVF+PQ index was built with, in list order. */
+  def loadIvfPqCoarse(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/_coarse").orderBy("j")
+      .collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq
+
+  /** The PQ codebooks an IVF+PQ index was built with. */
+  def loadIvfPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Seq[Seq[Seq[Double]]] = {
+    val rows = spark.read.parquet(s"$path/_pqcb")
+      .select("s", "j", "codeword").orderBy("s", "j").collect()
+    rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getLong(1)).map(_.getSeq[Double](2).toSeq).toSeq }
+  }
+
+  /** The stamp an IVF+PQ index was built with (rides `_coarse`). */
+  def loadIvfPqStamp(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Similarity.IvfStamp = {
+    val r = spark.read.parquet(s"$path/_coarse")
+      .select(col("n_rows"), col("id_hash_sum")).head()
+    Similarity.IvfStamp(r.getLong(0), r.getDecimal(1))
+  }
+
+  /** Freshness contract for the composed index. */
+  def requireIvfPqFresh(spark: org.apache.spark.sql.SparkSession,
+                        path: String, df: DataFrame, idCol: String): Unit =
+    Similarity.requireStampFresh("IVF+PQ index", path,
+      loadIvfPqStamp(spark, path), Similarity.sourceStamp(df, idCol),
+      "buildIvfPqIndex")
+
+  /** INCREMENTAL build for the composed index: NEW vectors are assigned
+    * with the index's OWN coarse codebook and encoded with its OWN PQ
+    * codebooks (no drift on either axis), landing as extra files inside
+    * the same list directories; the stamp rewrites additively. Same
+    * guard and crash windows as [[appendPqIndex]]. */
+  def appendIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                       path: String, skipIdCheck: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val coarseCb = loadIvfPqCoarse(spark, path)
+    val cbs = loadIvfPqCodebooks(spark, path)
+    val stamp0 = loadIvfPqStamp(spark, path)
+    val deltaIds = df.select(col(idCol).cast(LongType).as("id"))
+    val deltaCount =
+      if (!skipIdCheck)
+        IndexIds.guardAppend(spark, path, "appendIvfPqIndex",
+          spark.read.parquet(path).select("id"), deltaIds)
+      else deltaIds.filter(col("id").isNotNull).distinct().count()
+    IndexIds.mergeAppend(spark, path, deltaIds, deltaCount)
+    val dyy = Similarity.centroidNorms(spark, coarseCb)
+    val cc = codewordNorms(spark, cbs)
+    val dsub = cbs.head.head.length
+    val codes = cbs.indices.map(s =>
+      nearestCode(col(vecCol), s, dsub, cbs(s), cc(s)).cast(ShortType))
+    val obs = org.apache.spark.sql.Observation()
+    df.select(col(idCol).cast(LongType).as("id"),
+        array(codes: _*).as("codes"),
+        Similarity.nearestCentroid(col(vecCol), coarseCb, dyy).as("list"))
+      .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
+      .repartition(col("list"))
+      .sortWithinPartitions(col("list"), col("id"))
+      .write.partitionBy("list").mode("append").parquet(path)
+    val delta = Similarity.stampOf(obs.get)
+    writeCoarse(spark, path, coarseCb, Similarity.IvfStamp(
+      stamp0.nRows + delta.nRows, stamp0.idHashSum.add(delta.idHashSum)))
+  }
+
+  /** Top-k over the composed index: rank coarse lists by the query's
+    * centroid affinities (one tiny engine job — the
+    * [[Similarity.ivfTopKIndexed]] discipline), scan ONLY the `nprobe`
+    * probed list directories (`PartitionFilters: [list IN (...)]`),
+    * ADC-score their code rows, TakeOrdered. Output
+    * (`id`, `score`, `list`), score desc then id. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                       path: String, query: Seq[Float], k: Int, nprobe: Int,
+                       verifyAgainst: Option[(DataFrame, String)] = None)
+      : DataFrame = {
+    require(k >= 1 && nprobe >= 1,
+      s"k and nprobe must be >= 1, got ($k, $nprobe)")
+    verifyAgainst.foreach { case (df, idCol) =>
+      requireIvfPqFresh(spark, path, df, idCol) }
+    val coarseCb = loadIvfPqCoarse(spark, path)
+    val cbs = loadIvfPqCodebooks(spark, path)
+    val dyy = Similarity.centroidNorms(spark, coarseCb)
+    val qc = typedLit(query)
+    val row = spark.range(1).select(coarseCb.zipWithIndex.map { case (c, j) =>
+      Similarity.dotFixed(qc, typedLit(c)).as(s"dxy_$j") }: _*).collect()(0)
+    val probes: Seq[Long] = coarseCb.indices
+      .map(j => (row.getAs[Long](s"dxy_$j").toDouble / math.sqrt(dyy(j).toDouble),
+                 j.toLong))
+      .sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2)
+    val cc = codewordNorms(spark, cbs)
+    val (lut, qq) = adcTables(spark, query, cbs)
+    IndexMaintenance.minusTombstones(spark, path,
+        spark.read.parquet(path).filter(col("list").isin(probes: _*)), "id")
+      .select(col("id"), adcScore(col("codes"), lut, cc, qq).as("score"),
+        col("list").cast(LongType).as("list"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** Top-k ADC probe against a persisted index: reads ONLY the
     * `(id, codes)` rows — m·2 bytes of code per row, zero float-vector
     * I/O — scores each through the driver-literal lookup tables, and

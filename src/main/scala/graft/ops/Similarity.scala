@@ -103,7 +103,7 @@ object Similarity {
     * SQL reproduces each term). Fails fast on a zero-norm centroid: its
     * affinities would be NaN, which Spark ranks above all doubles while
     * DuckDB ranks it differently — a silent cross-engine divergence. */
-  private def centroidNorms(spark: org.apache.spark.sql.SparkSession,
+  private[ops] def centroidNorms(spark: org.apache.spark.sql.SparkSession,
                             cents: Seq[Seq[Double]]): Seq[Long] = {
     val row = spark.range(1).select(cents.zipWithIndex.map { case (c, j) =>
       dotFixed(typedLit(c), typedLit(c)).as(s"dyy_$j") }: _*).collect()(0)
@@ -119,7 +119,7 @@ object Similarity {
     * positive per-row constant that cannot change the argmax) — from the
     * same 1e-15 fixed-point dots as [[cosineFixed]]; ties break to the
     * smaller index via the (score, -index) struct max. */
-  private def nearestCentroid(vec: Column, cents: Seq[Seq[Double]],
+  private[ops] def nearestCentroid(vec: Column, cents: Seq[Seq[Double]],
                               dyy: Seq[Long]): Column = {
     val affs = cents.zipWithIndex.map { case (c, j) =>
       struct((dotFixed(vec, typedLit(c)).cast(DoubleType) /

@@ -1765,6 +1765,48 @@ class OpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("STALE") && e2.getMessage.contains("buildPqIndex"))
   }
 
+  test("ivfpq index: probed lists prune partitions; grown == one-shot; ADC matches flat PQ") {
+    import graft.ops.Quantize
+    val embsDf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val coarse = embsDf.orderBy("vec_id").limit(8)
+      .collect().toSeq.map(_.getSeq[Float](1).map(_.toDouble).toSeq)
+    val cbs = Quantize.pqCodebooks(embsDf, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 0)
+    val q = embsDf.filter($"vec_id" === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val oneShot = TestSpark.tmpDir("ivfpq-oneshot") + "/ipq"
+    val grown = TestSpark.tmpDir("ivfpq-grown") + "/ipq"
+    Quantize.buildIvfPqIndex(embsDf, "vec_id", "embedding", coarse, cbs, oneShot)
+    Quantize.buildIvfPqIndex(embsDf.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", coarse, cbs, grown)
+    Quantize.appendIvfPqIndex(embsDf.filter($"vec_id" % 2 =!= 0),
+      "vec_id", "embedding", grown)
+    def probe(p: String) = Quantize.ivfPqTopKIndexed(spark, p, q, 10, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(probe(grown) == probe(oneShot) && probe(grown).nonEmpty)
+    Quantize.requireIvfPqFresh(spark, grown, embsDf, "vec_id")
+    // partition pruning: the probe plan carries a PartitionFilters
+    // list IN (...) and reads codes, never the embedding column
+    val plan = Quantize.ivfPqTopKIndexed(spark, oneShot, q, 10, 3)
+      .queryExecution.executedPlan.toString
+    assert(partitionFilters(plan).contains("list"), plan)
+    assert(!plan.contains("embedding"), plan)
+    // scores are PLAIN ADC: each probed hit carries the same score the
+    // flat PQ ranking assigns that id (restricted-candidate semantics)
+    val flat = Quantize.pqTopK(embsDf, "vec_id", "embedding", q,
+        embsDf.count().toInt, cbs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    probe(oneShot).foreach { case (id, sc, _) =>
+      assert(math.abs(flat(id) - sc) < 1e-12, s"id $id: $sc vs ${flat(id)}") }
+    // nprobe = all lists recovers the flat PQ top-k exactly
+    val allProbe = Quantize.ivfPqTopKIndexed(spark, oneShot, q, 10, 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val flatTop = Quantize.pqTopK(embsDf, "vec_id", "embedding", q, 10, cbs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(allProbe == flatTop)
+  }
+
   test("dedup index: stale index refused, rebuild clears it") {
     val ref = docsDf.filter($"doc_id" < 4)
     val path = TestSpark.tmpDir("dedup-idx-stale")
