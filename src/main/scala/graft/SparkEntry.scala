@@ -1106,6 +1106,76 @@ object SparkEntry {
       path
     })
 
+  private val pqIndexesCpt = new ConcurrentHashMap[String, String]()
+  /** Append-grown PQ code table COMPACTED in place (shared oracle). */
+  private def pqIndexCompacted(s: SparkSession, d: String): String =
+    pqIndexesCpt.computeIfAbsent(d, { _ =>
+      val path = indexPath("pqc_", d)
+      graft.ops.Quantize.buildPqIndex(
+        embs(s, d).filter(pmod(col("vec_id"), lit(2L)) === 0),
+        "vec_id", "embedding", pqCbs(s, d), path)
+      graft.ops.Quantize.appendPqIndex(
+        embs(s, d).filter(pmod(col("vec_id"), lit(2L)) === 1),
+        "vec_id", "embedding", path)
+      graft.ops.IndexMaintenance.compactPqIndex(s, path)
+      path
+    })
+
+  private val pqIndexesDel = new ConcurrentHashMap[String, String]()
+  /** PQ code table over the corpus PLUS 3 planted 1.001-scaled copies
+    * of the query vector — each plant's sub-vectors sit within 0.1% of
+    * the query's own codewords (the query is PQ seed 0), so they take
+    * its codes and tie its ADC score of 1.0 (top-k entrants) — then
+    * tombstone-DELETED: the probe matches the plain-corpus oracle only
+    * if tombstones really filter. */
+  private def pqIndexDeleted(s: SparkSession, d: String): String =
+    pqIndexesDel.computeIfAbsent(d, { _ =>
+      val path = indexPath("pqd_", d)
+      val planted = embs(s, d).filter(col("vec_id") < 3)
+        .select((col("vec_id") + 7000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      graft.ops.Quantize.buildPqIndex(
+        embs(s, d).select("vec_id", "embedding").unionByName(planted),
+        "vec_id", "embedding", pqCbs(s, d), path)
+      graft.ops.IndexMaintenance.deleteFromPqIndex(s, path,
+        Seq(7000000L, 7000001L, 7000002L))
+      path
+    })
+
+  private val ivfPqIndexesCpt = new ConcurrentHashMap[String, String]()
+  /** Append-grown IVF+PQ tree COMPACTED in place (shared oracle). */
+  private def ivfPqIndexCompacted(s: SparkSession, d: String): String =
+    ivfPqIndexesCpt.computeIfAbsent(d, { _ =>
+      val path = indexPath("ipc_", d)
+      graft.ops.Quantize.buildIvfPqIndex(
+        embs(s, d).filter(pmod(col("vec_id"), lit(2L)) === 0),
+        "vec_id", "embedding", seedCoarse(s, d), pqCbs(s, d), path)
+      graft.ops.Quantize.appendIvfPqIndex(
+        embs(s, d).filter(pmod(col("vec_id"), lit(2L)) === 1),
+        "vec_id", "embedding", path)
+      graft.ops.IndexMaintenance.compactIvfPqIndex(s, path)
+      path
+    })
+
+  private val ivfPqIndexesDel = new ConcurrentHashMap[String, String]()
+  /** IVF+PQ tree with 3 planted 1.001-scaled query-vector copies (the
+    * cosine coarse assignment is scale-invariant, so they share the
+    * query's list; their sub-vectors take its codes as above)
+    * tombstone-DELETED. */
+  private def ivfPqIndexDeleted(s: SparkSession, d: String): String =
+    ivfPqIndexesDel.computeIfAbsent(d, { _ =>
+      val path = indexPath("ipd_", d)
+      val planted = embs(s, d).filter(col("vec_id") < 3)
+        .select((col("vec_id") + 7000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      graft.ops.Quantize.buildIvfPqIndex(
+        embs(s, d).select("vec_id", "embedding").unionByName(planted),
+        "vec_id", "embedding", seedCoarse(s, d), pqCbs(s, d), path)
+      graft.ops.IndexMaintenance.deleteFromIvfPqIndex(s, path,
+        Seq(7000000L, 7000001L, 7000002L))
+      path
+    })
+
   /** Seed coarse codebook for the IVF+PQ gates: the 16 smallest-id
     * vectors verbatim (the `x_knn_ivf` seeding, fully oracle-mirrorable
     * as `vec_id < 16`). */
@@ -1674,6 +1744,27 @@ object SparkEntry {
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // the same probe against a grown-then-COMPACTED PQ code table
+    "x_knn_pq_compact" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      graft.ops.Quantize.pqTopKIndexed(s, pqIndexCompacted(s, d), q, 10,
+          verifyAgainst = Some((embs(s, d), "vec_id")))
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // the same probe with 3 planted near-copies of the query vector
+    // (ADC score 1.0 — guaranteed entrants) tombstone-DELETED: matches
+    // the plain-corpus oracle only if deletion filters and the
+    // subtractive stamp verifies
+    "x_knn_pq_delete" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      graft.ops.Quantize.pqTopKIndexed(s, pqIndexDeleted(s, d), q, 10,
+          verifyAgainst = Some((embs(s, d), "vec_id")))
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     // IVF + PQ composed (IVFADC): coarse-list partition pruning over
     // the compressed code table — the probe reads 4 of 16 list dirs
     // AND only (id, codes) rows; scores are plain ADC, so the ranking
@@ -1693,6 +1784,27 @@ object SparkEntry {
       val q = embs(s, d).filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0)
       graft.ops.Quantize.ivfPqTopKIndexed(s, ivfPqIndexAppended(s, d), q, 10,
+          nprobe = 4, verifyAgainst = Some((embs(s, d), "vec_id")))
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"),
+          col("list"))
+    }),
+
+    // the same probe against a grown-then-COMPACTED IVF+PQ tree
+    "x_knn_ivfpq_compact" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      graft.ops.Quantize.ivfPqTopKIndexed(s, ivfPqIndexCompacted(s, d), q, 10,
+          nprobe = 4, verifyAgainst = Some((embs(s, d), "vec_id")))
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"),
+          col("list"))
+    }),
+
+    // the same probe with 3 planted same-list near-copies of the query
+    // vector tombstone-DELETED from the composed tree
+    "x_knn_ivfpq_delete" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      graft.ops.Quantize.ivfPqTopKIndexed(s, ivfPqIndexDeleted(s, d), q, 10,
           nprobe = 4, verifyAgainst = Some((embs(s, d), "vec_id")))
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"),
           col("list"))
@@ -2912,12 +3024,25 @@ object SparkEntry {
     // the incrementally-grown code table serves the identical top-k
     "x_knn_pq_append" -> pqOracle,
 
+    // compaction is a physical rewrite, invisible to the ADC top-k
+    "x_knn_pq_compact" -> pqOracle,
+
+    // tombstone-deleted planted query-vector near-copies leave the
+    // top-k: the result equals the oracle over the never-planted corpus
+    "x_knn_pq_delete" -> pqOracle,
+
     // IVF+PQ composed: candidates from the 4 probed seed lists, plain
     // ADC scores over their codes
     "x_knn_ivfpq" -> ivfPqOracle,
 
     // the incrementally-grown composed index serves the identical top-k
     "x_knn_ivfpq_append" -> ivfPqOracle,
+
+    // compaction is a physical rewrite, invisible to the composed top-k
+    "x_knn_ivfpq_compact" -> ivfPqOracle,
+
+    // tombstone-deleted planted copies leave the composed top-k
+    "x_knn_ivfpq_delete" -> ivfPqOracle,
 
     // tombstone-deleted planted query-vector copies leave the top-k:
     // the result equals the oracle over the never-planted corpus

@@ -202,6 +202,46 @@ object IndexMaintenance {
     deleteFromDedupIndex(spark, path, ids.toDF("id"))
   }
 
+  /** Logically delete vectors from a [[Quantize.buildPqIndex]] code
+    * table: tombstones + subtractive stamp in `_codebook` (PQ
+    * codebooks unchanged — deletion never retrains). */
+  def deleteFromPqIndex(spark: SparkSession, path: String,
+                        ids: DataFrame): Unit = {
+    val stamp0 = Quantize.loadPqStamp(spark, path)
+    val cbs = Quantize.loadPqCodebooks(spark, path)
+    val (del, n, h) = validatedDeleteIds(spark, path, "deleteFromPqIndex",
+      ids, spark.read.parquet(path).select("id"))
+    writeTombstones(spark, path, del)
+    Quantize.writeCodebook(spark, path, cbs, Similarity.IvfStamp(
+      stamp0.nRows - n, stamp0.idHashSum.subtract(h)))
+  }
+
+  def deleteFromPqIndex(spark: SparkSession, path: String,
+                        ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromPqIndex(spark, path, ids.toDF("id"))
+  }
+
+  /** Logically delete vectors from a [[Quantize.buildIvfPqIndex]]
+    * tree: tombstones + subtractive stamp in `_coarse` (both codebooks
+    * unchanged). */
+  def deleteFromIvfPqIndex(spark: SparkSession, path: String,
+                           ids: DataFrame): Unit = {
+    val stamp0 = Quantize.loadIvfPqStamp(spark, path)
+    val coarse = Quantize.loadIvfPqCoarse(spark, path)
+    val (del, n, h) = validatedDeleteIds(spark, path, "deleteFromIvfPqIndex",
+      ids, spark.read.parquet(path).select("id"))
+    writeTombstones(spark, path, del)
+    Quantize.writeCoarse(spark, path, coarse, Similarity.IvfStamp(
+      stamp0.nRows - n, stamp0.idHashSum.subtract(h)))
+  }
+
+  def deleteFromIvfPqIndex(spark: SparkSession, path: String,
+                           ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromIvfPqIndex(spark, path, ids.toDF("id"))
+  }
+
   /** Recovery for a crash between compact's two swap renames: the live
     * tree is gone but `<path>.graft-compact-old` (and possibly the
     * fully-written tmp) survive. Restores the OLD tree — the
@@ -282,6 +322,43 @@ object IndexMaintenance {
         .sortWithinPartitions("list", "id")
         .write.partitionBy("list").mode("overwrite").parquet(tmp)
       codebook.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_codebook")
+      rebuildBloom(spark, path, tmp,
+        minusTombstones(spark, path,
+          spark.read.parquet(path).select("id"), "id"))
+    }
+
+  /** Compact a [[Quantize.buildPqIndex]] code table: tombstoned rows
+    * purged, files coalesced into an id-range layout with the
+    * build-time id sort, `_codebook` carried unchanged, Bloom rebuilt,
+    * tombstones dropped. */
+  def compactPqIndex(spark: SparkSession, path: String): Unit =
+    stagedSwap(spark, path) { tmp =>
+      val codebook = spark.read.parquet(s"$path/_codebook")
+      val live = minusTombstones(spark, path,
+        spark.read.parquet(path), "id")
+      live.repartitionByRange(col("id")).sortWithinPartitions("id")
+        .write.mode("overwrite").parquet(tmp)
+      codebook.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_codebook")
+      rebuildBloom(spark, path, tmp,
+        minusTombstones(spark, path,
+          spark.read.parquet(path).select("id"), "id"))
+    }
+
+  /** Compact a [[Quantize.buildIvfPqIndex]] tree: tombstoned rows
+    * purged, ~1 file per list directory, same (list, id) order, both
+    * codebook sidecars carried unchanged, Bloom rebuilt, tombstones
+    * dropped. */
+  def compactIvfPqIndex(spark: SparkSession, path: String): Unit =
+    stagedSwap(spark, path) { tmp =>
+      val coarse = spark.read.parquet(s"$path/_coarse")
+      val pqcb = spark.read.parquet(s"$path/_pqcb")
+      val live = minusTombstones(spark, path,
+        spark.read.parquet(path), "id")
+      live.repartition(col("list"))
+        .sortWithinPartitions("list", "id")
+        .write.partitionBy("list").mode("overwrite").parquet(tmp)
+      coarse.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_coarse")
+      pqcb.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_pqcb")
       rebuildBloom(spark, path, tmp,
         minusTombstones(spark, path,
           spark.read.parquet(path).select("id"), "id"))

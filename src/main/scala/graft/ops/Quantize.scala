@@ -248,9 +248,9 @@ object Quantize {
       expectedIds, idFpp)
   }
 
-  private def writeCodebook(spark: org.apache.spark.sql.SparkSession,
-                            path: String, cbs: Seq[Seq[Seq[Double]]],
-                            stamp: Similarity.IvfStamp): Unit = {
+  private[ops] def writeCodebook(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, cbs: Seq[Seq[Seq[Double]]],
+                                 stamp: Similarity.IvfStamp): Unit = {
     import spark.implicits._
     (for { (cb, s) <- cbs.zipWithIndex; (c, j) <- cb.zipWithIndex }
       yield (s.toLong, j.toLong, c))
@@ -363,9 +363,9 @@ object Quantize {
       expectedIds, idFpp)
   }
 
-  private def writeCoarse(spark: org.apache.spark.sql.SparkSession,
-                          path: String, coarseCb: Seq[Seq[Double]],
-                          stamp: Similarity.IvfStamp): Unit = {
+  private[ops] def writeCoarse(spark: org.apache.spark.sql.SparkSession,
+                               path: String, coarseCb: Seq[Seq[Double]],
+                               stamp: Similarity.IvfStamp): Unit = {
     import spark.implicits._
     coarseCb.zipWithIndex.map { case (c, j) => (j.toLong, c) }
       .toDF("j", "centroid")
@@ -499,7 +499,8 @@ object Quantize {
     val cbs = loadPqCodebooks(spark, path)
     val cc = codewordNorms(spark, cbs)
     val (lut, qq) = adcTables(spark, query, cbs)
-    spark.read.parquet(path)
+    IndexMaintenance.minusTombstones(spark, path,
+        spark.read.parquet(path), "id")
       .select(col("id"), adcScore(col("codes"), lut, cc, qq).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)

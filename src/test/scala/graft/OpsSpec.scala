@@ -1763,6 +1763,27 @@ class OpsSpec extends AnyFunSuite {
         verifyAgainst = Some((churned, "vec_id"))).collect()
     }
     assert(e2.getMessage.contains("STALE") && e2.getMessage.contains("buildPqIndex"))
+    // delete -> probe equality with a never-indexed corpus; double
+    // delete refused; compact purges physically and re-opens the ids
+    import graft.ops.IndexMaintenance
+    val before = probe(grown)
+    val victim = before.last._1
+    IndexMaintenance.deleteFromPqIndex(spark, grown, Seq(victim))
+    val after = probe(grown)
+    assert(!after.map(_._1).contains(victim) && after.size == 10)
+    Quantize.requirePqFresh(spark, grown,
+      embsDf.filter($"vec_id" =!= victim), "vec_id")
+    val e3 = intercept[IllegalArgumentException] {
+      IndexMaintenance.deleteFromPqIndex(spark, grown, Seq(victim))
+    }
+    assert(e3.getMessage.contains("already deleted"))
+    IndexMaintenance.compactPqIndex(spark, grown)
+    assert(probe(grown) == after) // compaction invisible to the probe
+    // the purged id is re-appendable after compact
+    Quantize.appendPqIndex(embsDf.filter($"vec_id" === victim),
+      "vec_id", "embedding", grown)
+    assert(probe(grown) == before)
+    Quantize.requirePqFresh(spark, grown, embsDf, "vec_id")
   }
 
   test("ivfpq index: probed lists prune partitions; grown == one-shot; ADC matches flat PQ") {
@@ -1805,6 +1826,19 @@ class OpsSpec extends AnyFunSuite {
     val flatTop = Quantize.pqTopK(embsDf, "vec_id", "embedding", q, 10, cbs)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(allProbe == flatTop)
+    // delete/compact lifecycle on the composed tree
+    import graft.ops.IndexMaintenance
+    val before = probe(grown)
+    val victim = before.last._1
+    IndexMaintenance.deleteFromIvfPqIndex(spark, grown, Seq(victim))
+    val after = probe(grown)
+    assert(!after.map(_._1).contains(victim) && after.size == 10)
+    IndexMaintenance.compactIvfPqIndex(spark, grown)
+    assert(probe(grown) == after)
+    Quantize.appendIvfPqIndex(embsDf.filter($"vec_id" === victim),
+      "vec_id", "embedding", grown)
+    assert(probe(grown) == before)
+    Quantize.requireIvfPqFresh(spark, grown, embsDf, "vec_id")
   }
 
   test("dedup index: stale index refused, rebuild clears it") {
