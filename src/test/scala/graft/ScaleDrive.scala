@@ -123,6 +123,43 @@ object ScaleDrive {
         "query vector must rank itself first from its own probed list")
     }
 
+    // PQ at volume: 1M 64-dim float vectors (~256 MB of vector data)
+    // become 1M x 8 codeword indices; the composed IVF+PQ probe reads
+    // 2/16 list directories AND only code rows — no float-vector I/O.
+    // 3 planted near-copies of the query vector (shared codes, tied ADC
+    // score) must surface in the probed top-k — the near-dup-retrieval
+    // use case the compression must not break.
+    println("== IVF+PQ over 1M vectors: 32x-compressed codes, pruned ADC probe")
+    val pqcbs = time("pqCodebooks (m=8, ksub=16, 1 Lloyd round, 1M vectors)") {
+      graft.ops.Quantize.pqCodebooks(vecs, "vec_id", "embedding", 8, 16, 1)
+    }
+    val v42 = vecs.filter(col("vec_id") === 42)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val vecsPlus = vecs.unionByName(spark.range(3)
+      .select((col("id") + 5000000L).as("vec_id"),
+        typedLit(v42.map(x => x * 1.0005f)).as("embedding")))
+    val ipqPath = java.nio.file.Files.createTempDirectory("scale-ivfpq").toString
+    time("buildIvfPqIndex (16 lists, 1M+3 codes)") {
+      graft.ops.Quantize.buildIvfPqIndex(vecsPlus, "vec_id", "embedding",
+        cb, pqcbs, ipqPath)
+    }
+    time("ivfPqTopKIndexed probe (nprobe=2 of 16, codes only)") {
+      val top = graft.ops.Quantize.ivfPqTopKIndexed(spark, ipqPath, v42, 10, 2)
+        .collect().map(_.getLong(0)).toSeq
+      assert(top.contains(42L) &&
+        Seq(5000000L, 5000001L, 5000002L).forall(top.contains),
+        s"query vector and its 3 planted near-copies must surface, got $top")
+    }
+    val codeBytes = {
+      val d = new java.io.File(ipqPath)
+      def sz(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(sz).sum).getOrElse(0L)
+        else f.length()
+      sz(d)
+    }
+    println(f"  on-disk IVF+PQ tree: ${codeBytes / 1e6}%.1f MB for 1M vectors " +
+      "(raw float vectors: ~256 MB)")
+
     // banded-LSH dedup at corpus scale: 330k short docs, ~30k planted
     // near-dups. Signatures are the native fused kernel (no shuffle);
     // the candidate join's cost tracks collisions (planted pairs), not
