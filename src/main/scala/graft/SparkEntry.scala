@@ -1653,6 +1653,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
     }),
 
+    // BATCH phrase probe: a 4-phrase decontamination suite (one never
+    // matching) checked in ONE pruned scan — the full contaminated set
+    // per phrase, not a top-k
+    "x_text_phrases" -> ((s, d) => {
+      val path = textIndex(s, d)
+      graft.ops.TextIndex.searchPhrases(s, path,
+          Seq("table hash", "merge group", "slow key", "zz-never matches"),
+          verifyAgainst = Some((docs(s, d), "doc_id")))
+        .select(col("phrase_idx"), col("id").as("doc_id"), col("n_phrase"))
+    }),
+
     // conjunctive (AND) probe over the same persisted index: only docs
     // containing EVERY query token rank, scored by total query-token
     // occurrences — a 3-of-4 match must be absent, not lower
@@ -3101,6 +3112,19 @@ object SparkEntry {
     // exact-phrase occurrence counts from the raw text: sliding-window
     // scan over the filtered token list (overlapping matches counted,
     // same as the index-side position alignment)
+    // batch phrase suite: per-phrase sliding-window occurrence counts
+    // over the raw text, full matching set (never-matching phrase
+    // contributes nothing)
+    "x_text_phrases" ->
+      (s"""WITH toks AS (SELECT doc_id, list_filter($TOK, t -> t <> '') AS l FROM documents), """ +
+       """p0 AS (SELECT 0::BIGINT AS phrase_idx, doc_id, len(list_filter(generate_series(1, len(l) - 1), i -> l[i] = 'table' AND l[i+1] = 'hash'))::BIGINT AS n_phrase FROM toks), """ +
+       """p1 AS (SELECT 1::BIGINT AS phrase_idx, doc_id, len(list_filter(generate_series(1, len(l) - 1), i -> l[i] = 'merge' AND l[i+1] = 'group'))::BIGINT AS n_phrase FROM toks), """ +
+       """p2 AS (SELECT 2::BIGINT AS phrase_idx, doc_id, len(list_filter(generate_series(1, len(l) - 1), i -> l[i] = 'slow' AND l[i+1] = 'key'))::BIGINT AS n_phrase FROM toks), """ +
+       """p3 AS (SELECT 3::BIGINT AS phrase_idx, doc_id, len(list_filter(generate_series(1, len(l) - 1), i -> l[i] = 'zz-never' AND l[i+1] = 'matches'))::BIGINT AS n_phrase FROM toks) """ +
+       """SELECT phrase_idx, doc_id, n_phrase FROM """ +
+       """(SELECT * FROM p0 UNION ALL SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3) """ +
+       """WHERE n_phrase > 0 ORDER BY phrase_idx, doc_id"""),
+
     // conjunctive: docs holding ALL four tokens, by total occurrences
     "x_text_search_all" ->
       (s"""WITH q AS (SELECT unnest(['the','data','join','hash']) AS token), """ +

@@ -394,6 +394,62 @@ object TextIndex {
       .limit(k)
   }
 
+  /** BATCH phrase probe — the realistic decontamination shape: a whole
+    * benchmark suite of exact phrases checked against the corpus in
+    * ONE pruned scan (the union of every phrase's token buckets),
+    * instead of one [[searchPhrase]] job per phrase. Returns ALL
+    * matches — (`phrase_idx` into the input seq, `id`, `n_phrase` > 0)
+    * ordered (phrase_idx, id) — because decontamination wants the full
+    * contaminated set, not a top-k.
+    *
+    * Per candidate doc the per-phrase occurrence counts are evaluated
+    * from one token→positions map (bounded by the suite's distinct
+    * token count); a doc missing any token of a phrase scores 0 for it
+    * via the three-valued-logic null path (`element_at` on the absent
+    * key → null → filter keeps nothing / `size(null)` → null →
+    * coalesce 0). Cost stays O(matched postings) + one small explode
+    * of `|phrases|` counters per candidate doc — no corpus access, no
+    * per-phrase rescans. */
+  def searchPhrases(spark: org.apache.spark.sql.SparkSession, path: String,
+                    phrases: Seq[String],
+                    verifyAgainst: Option[(DataFrame, String)] = None)
+      : DataFrame = {
+    require(phrases.nonEmpty, "searchPhrases: empty phrase suite")
+    val meta = verifyAgainst match {
+      case Some(va) => verifiedMeta(spark, path, va)
+      case None     => loadMeta(spark, path)
+    }
+    val tokLists = phrases.map(phraseTokens)
+    tokLists.zipWithIndex.foreach { case (t, i) =>
+      require(t.nonEmpty, s"phrase $i contains no tokens") }
+    val allToks = tokLists.flatten.distinct
+    val matched = matchedPostingsFor(spark, path, meta.nBuckets, allToks)
+    if (!matched.columns.contains("positions"))
+      throw new IllegalStateException(
+        s"text index at $path predates positional postings (no " +
+          "'positions' column); rebuild with buildTextIndex to enable " +
+          "phrase probes")
+    val grouped = matched
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(
+          struct(col("token"), col("positions")))).as("tp"))
+    def nPhrase(toks: Seq[String]): Column = {
+      def aligned(p: Column): Column = toks.zipWithIndex.tail
+        .foldLeft(lit(true)) { case (acc, (t, i)) =>
+          acc && array_contains(element_at(col("tp"), lit(t)), p + lit(i)) }
+      coalesce(
+        size(filter(element_at(col("tp"), lit(toks.head)), aligned(_))),
+        lit(0)).cast(LongType)
+    }
+    grouped
+      .select(col("id"),
+        posexplode(array(tokLists.map(nPhrase): _*)))
+      .select(col("pos").cast(LongType).as("phrase_idx"), col("id"),
+        col("col").as("n_phrase"))
+      .filter(col("n_phrase") > 0)
+      .orderBy(col("phrase_idx"), col("id"))
+  }
+
   /** The pruned probe scan shared by both scorers: only the query
     * tokens' bucket directories are listed (driver-side bucket set via
     * the SAME portable hash the build used), `token IN (...)` pushes
@@ -406,6 +462,16 @@ object TextIndex {
                               query: String): DataFrame = {
     val toks = queryTokens(query)
     require(toks.nonEmpty, "query contains no tokens")
+    matchedPostingsFor(spark, path, nBuckets, toks)
+  }
+
+  /** The pruned-scan core shared by every probe: postings restricted
+    * to `toks` via the bucket partition filter (driver-side, SAME
+    * portable hash as the writer) + the token filter, minus
+    * tombstones. */
+  private def matchedPostingsFor(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, nBuckets: Int,
+                                 toks: Seq[String]): DataFrame = {
     val buckets = toks.map(t => graft.functions.Hash60Kernel.compute(
         org.apache.spark.unsafe.types.UTF8String.fromString(t)) % nBuckets)
       .distinct

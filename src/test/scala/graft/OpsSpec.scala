@@ -648,6 +648,23 @@ class OpsSpec extends AnyFunSuite {
     assert(phraseAt(grown, "a b a") == phrase("a b a"))
     graft.ops.IndexMaintenance.compactTextIndex(spark, grown)
     assert(phraseAt(grown, "a b a") == phrase("a b a"))
+    // BATCH suite: one pruned scan answers every phrase — per-phrase
+    // results equal the one-at-a-time probe (full set, not top-k),
+    // shared tokens between phrases don't cross-contaminate, and a
+    // never-matching phrase contributes nothing
+    val suite = Seq("a b a", "b a b", "c x", "a b c a b")
+    val batch = TextIndex.searchPhrases(spark, path, suite)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = suite.zipWithIndex.flatMap { case (p, i) =>
+      phrase(p).map { case (id, n) => (i.toLong, id, n) }
+    }.sortBy { case (i, id, _) => (i, id) }
+    assert(batch == expected, s"batch $batch vs per-phrase $expected")
+    intercept[IllegalArgumentException] {
+      TextIndex.searchPhrases(spark, path, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextIndex.searchPhrases(spark, path, Seq("a b", "   "))
+    }
   }
 
   test("text index delete + compact: probes == never-indexed; purge re-admits ids") {
