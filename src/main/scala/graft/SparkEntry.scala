@@ -2054,6 +2054,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Duplicated-SPAN removal (Lee et al. ExactSubstr at shingle
+    // granularity): same planted cross-doc boilerplate as
+    // x_repeated_ngrams, but the gate checks the REWRITE — covered
+    // tokens dropped, untouched documents byte-identical, and the
+    // removed-token count per doc. The oracle rebuilds each document
+    // token-by-token in SQL (position explode → covered-position
+    // anti-join → ordered string_agg).
+    "x_substr_dedup" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" shared boilerplate sentence repeated across documents verbatim")))
+          .otherwise(col("text")).as("text"))
+      Dedup.stripRepeatedSpans(planted, "doc_id", "text", n = 5, minDocs = 2)
+        .orderBy("doc_id")
+    }),
+
+    // Naive Bayes quality classifier (fastText-style hashed-unigram
+    // filter): label-1 training docs carry a planted "curated" suffix;
+    // the held-out odd docs with the same suffix must be recovered by
+    // the trained model. The oracle re-derives the whole chain — class
+    // counts, add-one log-ratios, prior, decimal term sums — from
+    // scratch in SQL, so model estimation AND scoring are both gated
+    // bit-for-bit.
+    "x_classify_nb" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" premium curated encyclopedic exemplar prose")))
+          .otherwise(col("text")).as("text"))
+      val train = planted.filter(col("doc_id") % 2 === 0)
+        .withColumn("label",
+          when(col("doc_id") % 3 === 0, 1L).otherwise(0L))
+      val model = graft.ops.Classifier.trainNaiveBayes(
+        train, "label", "text", nBuckets = 4096)
+      graft.ops.Classifier.scoreNaiveBayes(
+          planted.filter(col("doc_id") % 2 === 1), model, "doc_id", "text")
+        .select(col("doc_id"), col("n_feats"),
+          round(col("nb_score"), 6).as("nb_score"), col("nb_pred"))
+        .orderBy("doc_id")
+    }),
+
     // Count-Min frequency sketch: corpus token counters, DELIBERATELY
     // narrow (4 x 64 buckets vs a ~80-token vocabulary) so buckets
     // collide and the min-over-rows selection is actually exercised;
@@ -3361,6 +3403,63 @@ object SparkEntry {
        """SELECT d.doc_id, COALESCE(fin.n_distinct, 0)::BIGINT AS n_distinct, """ +
        """COALESCE(fin.n_repeated, 0)::BIGINT AS n_repeated """ +
        """FROM documents d LEFT JOIN fin USING (doc_id) ORDER BY d.doc_id"""),
+
+    // duplicated-SPAN removal: rebuild every document token-by-token —
+    // positional shingle hashes, cross-doc doc-frequency, covered
+    // positions (each dup occurrence spreads over its n tokens), then
+    // an ordered string_agg of the surviving tokens; untouched docs
+    // keep their raw text verbatim through the cd-null branch
+    "x_substr_dedup" ->
+      ("""WITH src AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 """ +
+       """THEN text || ' shared boilerplate sentence repeated across documents verbatim' """ +
+       """ELSE text END AS text FROM documents), """ +
+       """toks AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS l FROM src), """ +
+       s"""occ AS (SELECT doc_id, i - 1 AS pos, ${h60sql("lower(array_to_string(l[i:i+4], ' '))")} AS h """ +
+       """FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 4)) AS i FROM toks) z), """ +
+       """fr AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM occ GROUP BY 1) WHERE df >= 2), """ +
+       """cov AS (SELECT DISTINCT o.doc_id, o.pos + g.g AS cp FROM occ o JOIN fr USING (h) """ +
+       """CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS g) g), """ +
+       """tok AS (SELECT doc_id, i - 1 AS pos, l[i] AS t """ +
+       """FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM toks) z2), """ +
+       """kept AS (SELECT tk.doc_id, tk.pos, tk.t FROM tok tk LEFT JOIN cov c """ +
+       """ON c.doc_id = tk.doc_id AND c.cp = tk.pos WHERE c.doc_id IS NULL), """ +
+       """reb AS (SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS nt, count(*) AS kc FROM kept GROUP BY 1), """ +
+       """cd AS (SELECT DISTINCT doc_id FROM cov) """ +
+       """SELECT s.doc_id, CASE WHEN cd.doc_id IS NULL THEN s.text ELSE coalesce(r.nt, '') END AS text, """ +
+       """(CASE WHEN cd.doc_id IS NULL THEN 0 ELSE len(string_split_regex(s.text, '\s+')) - coalesce(r.kc, 0) END)::BIGINT AS removed_tokens """ +
+       """FROM src s LEFT JOIN cd USING (doc_id) LEFT JOIN reb r USING (doc_id) ORDER BY s.doc_id"""),
+
+    // Naive Bayes classifier replayed end-to-end: class/bucket counts,
+    // add-one log-likelihood ratios (seen-bucket table + the smoothed
+    // default), document-count prior, decimal term sums — the exact
+    // arithmetic of Classifier.trainNaiveBayes/scoreNaiveBayes
+    "x_classify_nb" ->
+      ("""WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 """ +
+       """THEN text || ' premium curated encyclopedic exemplar prose' """ +
+       """ELSE text END AS text FROM documents), """ +
+       """tr AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y, text FROM planted WHERE doc_id % 2 = 0), """ +
+       s"""trf AS (SELECT y, ${h60sql("t")} % 4096 AS b FROM """ +
+       """(SELECT y, unnest(string_split_regex(lower(text), '\s+')) AS t FROM tr) z WHERE t <> ''), """ +
+       """cnt AS (SELECT y, b, count(*)::BIGINT AS c FROM trf GROUP BY 1, 2), """ +
+       """tot AS (SELECT coalesce(sum(CASE WHEN y = 1 THEN c END), 0)::BIGINT AS t1, """ +
+       """coalesce(sum(CASE WHEN y = 0 THEN c END), 0)::BIGINT AS t0 FROM cnt), """ +
+       """pri AS (SELECT ln(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::DOUBLE / """ +
+       """sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::DOUBLE) AS lp FROM tr), """ +
+       """lr AS (SELECT b, ln((coalesce(max(CASE WHEN y = 1 THEN c END), 0) + 1)::DOUBLE / (tot.t1 + 4096)::DOUBLE) """ +
+       """- ln((coalesce(max(CASE WHEN y = 0 THEN c END), 0) + 1)::DOUBLE / (tot.t0 + 4096)::DOUBLE) AS lr """ +
+       """FROM cnt CROSS JOIN tot GROUP BY b, tot.t1, tot.t0), """ +
+       """dflt AS (SELECT ln(1::DOUBLE / (t1 + 4096)::DOUBLE) - ln(1::DOUBLE / (t0 + 4096)::DOUBLE) AS d FROM tot), """ +
+       """te AS (SELECT doc_id, text FROM planted WHERE doc_id % 2 = 1), """ +
+       s"""tef AS (SELECT doc_id, ${h60sql("t")} % 4096 AS b FROM """ +
+       """(SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t FROM te) w WHERE t <> ''), """ +
+       """tfq AS (SELECT doc_id, b, count(*)::BIGINT AS tf FROM tef GROUP BY 1, 2), """ +
+       """terms AS (SELECT t.doc_id, t.tf, CAST(t.tf * coalesce(lr.lr, dflt.d) AS DECIMAL(28,12)) AS term """ +
+       """FROM tfq t LEFT JOIN lr USING (b) CROSS JOIN dflt), """ +
+       """sc AS (SELECT doc_id, sum(tf)::BIGINT AS nf, (sum(term)::DOUBLE + pri.lp) AS s """ +
+       """FROM terms CROSS JOIN pri GROUP BY doc_id, pri.lp) """ +
+       """SELECT te.doc_id, coalesce(sc.nf, 0)::BIGINT AS n_feats, round(sc.s, 6) AS nb_score, """ +
+       """(CASE WHEN sc.s IS NULL THEN NULL WHEN sc.s > 0 THEN 1 ELSE 0 END)::BIGINT AS nb_pred """ +
+       """FROM te LEFT JOIN sc USING (doc_id) ORDER BY te.doc_id"""),
 
     "x_repetition" ->
       (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents), """ +

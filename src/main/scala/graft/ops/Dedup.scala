@@ -562,6 +562,68 @@ object Dedup {
         coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
   }
 
+  /** Cross-document duplicated-SPAN removal — the REWRITE counterpart of
+    * [[repeatedNgrams]] (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022: removing the duplicated
+    * substrings beats dropping whole near-dup documents), at n-token
+    * shingle granularity. A token position is COVERED when some n-token
+    * window containing it occurs (lowercased) in at least `minDocs`
+    * DISTINCT documents; covered tokens are dropped and the survivors
+    * rejoin with single spaces. Documents with no covered position pass
+    * through with their text byte-identical — no gratuitous whitespace
+    * renormalization of untouched rows. Within-doc-only repetition
+    * (doc-frequency 1) is out of scope by construction; that axis
+    * belongs to [[repeatedNgrams]] / [[stripBoilerplate]].
+    *
+    * Scale shape: every shuffled relation carries (id, position, 8-byte
+    * hash) — never shingle strings, never document text. Doc-frequency
+    * is a map-side-combinable `groupBy` over each document's DISTINCT
+    * hash set (per-row `array_distinct`, so within-doc repeats cannot
+    * inflate the count and no (h, doc) pre-distinct shuffle is needed);
+    * only hashes clearing `minDocs` — the boilerplate tail, a tiny
+    * fraction of all shingles — flow into the left-semi join that marks
+    * covered occurrences. The rewrite itself is one per-row
+    * higher-order filter of the token array against the document's
+    * (doc-length-bounded) covered-position list, and untouched
+    * documents skip the rebuild entirely through the null branch of the
+    * final left join.
+    *
+    * Output: (`idCol`, `textCol` rewritten, `removed_tokens`), one row
+    * per input document; NULL text passes through with 0 removed. */
+  def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
+    require(!idCol.startsWith("_") && !textCol.startsWith("_"),
+      s"column names starting with _ are reserved here, got ($idCol, $textCol)")
+    // ORIGINAL-case tokens drive the rebuild (the rewrite must preserve
+    // the surviving text); the hash lowercases per shingle, so matching
+    // is case-insensitive like every other dedup operator in this file
+    val toks = split(col(textCol), "\\s+")
+    def posHashes = when(col(textCol).isNotNull && size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => TextStats.hash60(lower(concat_ws(" ", slice(toks, i + 1, lit(n)))))))
+      .otherwise(array().cast(ArrayType(LongType)))
+    val occ = df.select(col(idCol), posexplode(posHashes).as(Seq("_pos", "_h")))
+    val dupHashes = df
+      .select(explode(array_distinct(posHashes)).as("_h"))
+      .groupBy("_h").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs).select("_h")
+    val covered = occ.join(dupHashes, Seq("_h"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("_pos")).as("_dup"))
+    df.join(covered, Seq(idCol), "left")
+      .select(col(idCol), col(textCol), col("_dup"),
+        size(toks).cast(LongType).as("_m"),
+        filter(toks, (_, i) =>
+          !exists(col("_dup"), p => p <= i && i <= p + (n - 1))).as("_keep"))
+      .select(col(idCol),
+        when(col("_dup").isNull, col(textCol))
+          .otherwise(concat_ws(" ", col("_keep"))).as(textCol),
+        when(col("_dup").isNull, lit(0L))
+          .otherwise(col("_m") - size(col("_keep")).cast(LongType))
+          .as("removed_tokens"))
+  }
+
   /** 60-bit SimHash over the token bag — per-row expressions: for each bit
     * j, sum ±1 over token hashes; bit j of the result is the sign.
     * One `aggregate` pass with a 60-counter array accumulator, so each

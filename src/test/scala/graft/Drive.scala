@@ -453,6 +453,44 @@ object Drive {
     require(cents.length == nLabels * 64, "one row per (label, dim)")
     println(s"groupCentroids -> $nLabels labels x 64 dims, flat rows OK")
 
+    println("== r9 drive: duplicated-span removal, naive bayes classifier")
+    val withBoiler = docsAll.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" common legal footer apply terms conditions now")))
+        .otherwise(col("text")).as("text"))
+    val sRows = graft.ops.Dedup.stripRepeatedSpans(withBoiler, "doc_id", "text")
+      .collect()
+    val carriers = sRows.filter(_.getLong(0) % 5 == 0)
+    require(carriers.nonEmpty && carriers.forall(_.getLong(2) >= 7L),
+      "every planted footer carrier must lose at least the 7 footer tokens")
+    val untouched = sRows.filter(r => r.getLong(0) % 5 != 0 && r.getLong(2) == 0L)
+    val orig = docsAll.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    require(untouched.forall(r => r.getString(1) == orig(r.getLong(0))),
+      "untouched docs must keep their text byte-identical")
+    require(sRows.forall(r => !r.getString(1).toLowerCase
+        .contains("common legal footer apply terms")),
+      "no doc may retain the shared footer span")
+    println(s"stripRepeatedSpans -> ${carriers.length} carriers cleaned, " +
+      s"${untouched.length} docs untouched byte-identical")
+
+    val nbPlanted = docsAll.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" premium curated encyclopedic exemplar prose")))
+        .otherwise(col("text")).as("text"))
+    val nbTrain = nbPlanted.filter(col("doc_id") % 2 === 0)
+      .withColumn("label", when(col("doc_id") % 3 === 0, 1L).otherwise(0L))
+    val nbModel = graft.ops.Classifier.trainNaiveBayes(nbTrain, "label", "text", 2048)
+    val nbOut = graft.ops.Classifier.scoreNaiveBayes(
+        nbPlanted.filter(col("doc_id") % 2 === 1), nbModel, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val pos = nbOut.filter(_._1 % 3 == 0); val neg = nbOut.filter(_._1 % 3 != 0)
+    val tpr = pos.count(_._2 == 1L).toDouble / pos.size
+    val tnr = neg.count(_._2 == 0L).toDouble / neg.size
+    require(tpr >= 0.9 && tnr >= 0.9,
+      s"held-out planted signal must separate: tpr=$tpr tnr=$tnr")
+    println(f"naive bayes -> held-out tpr=$tpr%.3f tnr=$tnr%.3f over ${nbOut.size} docs")
+
     spark.stop()
     println("== drive done")
   }

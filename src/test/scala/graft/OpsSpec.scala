@@ -919,6 +919,103 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Dedup.repeatedNgrams(docs, "doc_id", "text", 0) }
   }
 
+  test("stripRepeatedSpans: covered tokens dropped, untouched docs byte-identical, case preserved") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two ALPHA Beta gamma delta epsilon other"), // case-insensitive match
+      (3L, "completely  unrelated   content with no overlap here at all"), // odd spacing preserved
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toMap
+    // doc1: windows [alpha..epsilon] and [beta..zeta]; only the first is
+    // shared with doc2, so alpha..epsilon are covered — zeta survives
+    // UNLESS covered by the second window... the second window is df=1,
+    // so exactly tokens 0..4 go: "zeta" remains
+    assert(out(1L) == ("zeta", 5L), out.toString)
+    // doc2: original CASE of surviving tokens kept, removed span is the
+    // lowercase-matched one
+    assert(out(2L) == ("one two other", 5L), out.toString)
+    // untouched doc: byte-identical including the double/triple spaces
+    assert(out(3L) == ("completely  unrelated   content with no overlap here at all", 0L))
+    assert(out(4L) == (null, 0L)) // null text passes through
+  }
+
+  test("stripRepeatedSpans: within-doc-only repeats kept, overlapping spans union, full wipe, guards") {
+    val rep = "red orange yellow green blue"
+    val solo = "lion tiger bear wolf fox"
+    val docs = Seq(
+      (1L, s"$solo intermezzo $solo"),         // same 5-gram twice in ONE doc: df=1, kept
+      (2L, s"$rep"),                           // shared with 3: whole doc covered
+      (3L, s"$rep indigo violet"),
+      (4L, s"start marker $rep indigo violet tail")) // overlapping covered spans union
+      .toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._2 == 0L && out(1L)._1.contains("intermezzo")) // df=1 -> untouched
+    assert(out(2L) == ("", 5L))                                   // full wipe -> empty text
+    // docs 3 and 4 share BOTH "red..blue" and windows through "indigo
+    // violet"; their covered spans overlap and union per position
+    assert(out(3L) == ("", 7L), out.toString)
+    assert(out(4L) == ("start marker tail", 7L), out.toString)
+    intercept[IllegalArgumentException] { Dedup.stripRepeatedSpans(docs, "doc_id", "text", 0) }
+    intercept[IllegalArgumentException] { Dedup.stripRepeatedSpans(docs, "doc_id", "text", 5, 1) }
+    intercept[IllegalArgumentException] {
+      Dedup.stripRepeatedSpans(docs.withColumnRenamed("text", "_text"), "doc_id", "_text") }
+  }
+
+  test("naive bayes: driver-mirror parity, planted-signal recovery, featureless nulls, label guards") {
+    val B = 64
+    val train = Seq(
+      (0L, 1L, "curated premium encyclopedic prose sample"),
+      (1L, 1L, "premium curated reference prose material"),
+      (2L, 0L, "buy now cheap pills click here"),
+      (3L, 0L, "click buy cheap now free offer"),
+      (4L, 0L, "unrelated neutral words about weather")).toDF("doc_id", "label", "text")
+    val model = Classifier.trainNaiveBayes(train, "label", "text", nBuckets = B)
+    val test_ = Seq(
+      (10L, "curated encyclopedic prose"),
+      (11L, "cheap pills click now"),
+      (12L, ""),                         // featureless
+      (13L, null.asInstanceOf[String])). // featureless
+      toDF("doc_id", "text")
+    val out = Classifier.scoreNaiveBayes(test_, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1),
+         if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+         if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // driver-side mirror of the exact arithmetic for doc 10
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val trainToks = train.collect().map(r =>
+      (r.getLong(1), r.getString(2).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq))
+    val cnt = trainToks.flatMap { case (y, ts) => ts.map(t => (y, h60(t) % B)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val t1 = cnt.collect { case ((1L, _), c) => c }.sum
+    val t0 = cnt.collect { case ((0L, _), c) => c }.sum
+    def lnP(c: Long, t: Long) = math.log((c + 1L).toDouble / (t + B.toLong).toDouble)
+    val toks10 = Seq("curated", "encyclopedic", "prose")
+    val expTerms = toks10.groupBy(t => h60(t) % B).map { case (b, g) =>
+      BigDecimal(g.size.toDouble *
+        (lnP(cnt.getOrElse((1L, b), 0L), t1) - lnP(cnt.getOrElse((0L, b), 0L), t0)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val expScore = expTerms.toDouble + math.log(2.0 / 3.0)
+    assert(out(10L)._1 == 3L && out(10L)._2.contains(expScore), out.toString)
+    assert(out(10L)._3.contains(1L) && out(11L)._3.contains(0L)) // planted signal separates
+    assert(out(12L) == ((0L, None, None)) && out(13L) == ((0L, None, None)))
+    intercept[IllegalArgumentException] { // non-binary label refused
+      Classifier.trainNaiveBayes(
+        train.withColumn("label", col("label") + 1), "label", "text", B) }
+    intercept[IllegalArgumentException] { // single-class training refused
+      Classifier.trainNaiveBayes(train.filter(col("label") === 0), "label", "text", B) }
+    intercept[IllegalArgumentException] {
+      Classifier.trainNaiveBayes(train, "label", "text", nBuckets = 1) }
+  }
+
   test("heavyHitters: exactly the HAVING set under forced collisions; persisted-sketch path; boundary") {
     // skewed corpus: 3 planted heavies over a long rare tail, with the
     // sketch narrow enough (2 x 4 buckets vs ~103 distinct tokens) that
