@@ -1071,6 +1071,21 @@ object SparkEntry {
       (path, cb)
     })
 
+  private val ivfIndexesSeeded = new ConcurrentHashMap[String, String]()
+  /** IVF tree whose codebook is knnJoin's DEFAULT (the 16 smallest-id
+    * corpus vectors — their vec_ids 0..15 coincide with codebook
+    * indices, and floats widen exactly in the fixed-point kernel), so
+    * the indexed batch probe shares x_knn_join's oracle verbatim. */
+  private def ivfIndexSeeded(s: SparkSession, d: String): String =
+    ivfIndexesSeeded.computeIfAbsent(d, { _ =>
+      val path = indexPath("ivfseed_", d)
+      val cb = embs(s, d).select(col("vec_id"), col("embedding"))
+        .orderBy("vec_id").limit(16).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      graft.ops.Similarity.buildIvfIndex(embs(s, d), "vec_id", "embedding", cb, path)
+      path
+    })
+
   private val pqCodebooks = new ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
   /** Seeded PQ codebooks (m=8 subspaces, ksub=16, iters=0 — the fully
     * oracle-mirrorable quantizer), trained once per sf dir. */
@@ -1565,6 +1580,33 @@ object SparkEntry {
       Similarity.ivfTopK(embs(s, d), "vec_id", "embedding", q, 10,
           nlist = 16, nprobe = 4)
         .select(col("vec_id"), round(col("score"), 6).as("score"), col("list"))
+    }),
+
+    // batch kNN JOIN: per-query top-5 for 5 query vectors in one
+    // IVF-pruned job — corpus rows meet only queries probing their
+    // list; the oracle replays assignment, per-query probe selection,
+    // and pair scores from the same fixed-point dots
+    "x_knn_join" -> ((s, d) => {
+      val emb = embs(s, d)
+      Similarity.knnJoin(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 6).as("score"), col("list"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // the same batch probe against a PERSISTED IVF tree (assignment
+    // paid at build; probed-list union pruned at file listing; probe
+    // runs through the freshness stamp check) — identical per-query
+    // top-k, shared oracle
+    "x_knn_join_indexed" -> ((s, d) => {
+      val emb = embs(s, d)
+      Similarity.knnJoinIndexed(s, ivfIndexSeeded(s, d),
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 5, nprobe = 4, verifyAgainst = Some((emb, "vec_id")))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 6).as("score"), col("list"))
+        .orderBy("query_id", "neighbor_id")
     }),
 
     // spherical k-means (1 Lloyd iteration, fixed-point determinism):
@@ -2707,6 +2749,31 @@ object SparkEntry {
   /** Shared by `x_knn_ivf_trained` and `x_knn_ivf_indexed`: the persisted
     * index materializes the same trained assignment the query-time path
     * computes, so both must return this exact top-k. */
+  private def knnJoinOracle: String =
+    ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings), """ +
+       """norms AS (SELECT vec_id, SUM(CAST(round((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxx FROM el GROUP BY vec_id), """ +
+       """cl AS (SELECT vec_id AS cid, i, x AS cx FROM el WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)), """ +
+       """aff AS (SELECT el.vec_id, cl.cid, """ +
+       """SUM(CAST(round((CAST(el.x AS DOUBLE) * CAST(cl.cx AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxy """ +
+       """FROM el JOIN cl USING (i) GROUP BY 1, 2), """ +
+       """ascore AS (SELECT a.vec_id, a.cid, CAST(a.dxy AS DOUBLE) / sqrt(CAST(n.dxx AS DOUBLE)) AS s """ +
+       """FROM aff a JOIN norms n ON n.vec_id = a.cid), """ +
+       """ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM ascore), """ +
+       """assign AS (SELECT vec_id, cid AS list FROM ranked WHERE rn = 1), """ +
+       """probes AS (SELECT vec_id AS qid, cid AS list FROM ranked WHERE rn <= 4 AND vec_id < 5), """ +
+       """cand AS (SELECT p.qid, a.vec_id AS nid, a.list FROM probes p JOIN assign a USING (list)), """ +
+       """pt AS (SELECT c.qid, c.nid, """ +
+       """SUM(CAST(round((CAST(q.x AS DOUBLE) * CAST(n.x AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxy """ +
+       """FROM cand c JOIN el q ON q.vec_id = c.qid JOIN el n ON n.vec_id = c.nid AND n.i = q.i GROUP BY 1, 2), """ +
+       """scored AS (SELECT pt.qid, pt.nid, CAST(pt.dxy AS DOUBLE) / """ +
+       """(sqrt(CAST(nq.dxx AS DOUBLE)) * sqrt(CAST(nn.dxx AS DOUBLE))) AS sc """ +
+       """FROM pt JOIN norms nq ON nq.vec_id = pt.qid JOIN norms nn ON nn.vec_id = pt.nid), """ +
+       """topk AS (SELECT qid, nid, sc, list FROM (SELECT s.qid, s.nid, s.sc, c.list, """ +
+       """row_number() OVER (PARTITION BY s.qid ORDER BY s.sc DESC, s.nid) AS rn """ +
+       """FROM scored s JOIN cand c ON c.qid = s.qid AND c.nid = s.nid) WHERE rn <= 5) """ +
+       """SELECT qid AS query_id, nid AS neighbor_id, round(sc, 6) AS score, list """ +
+       """FROM topk ORDER BY query_id, neighbor_id""")
+
   private def ivfTrainedOracle: String =
     (s"""WITH $kmeansCtes, """ +
      """as1 AS (SELECT vec_id, j AS list FROM (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn FROM s1) WHERE rn = 1), """ +
@@ -3029,6 +3096,16 @@ object SparkEntry {
        """FROM s2 JOIN norms n ON n.vec_id = s2.vec_id) """ +
        """SELECT c.vec_id, round(sc, 6) AS score, c.list FROM scored JOIN cand c USING (vec_id) """ +
        """ORDER BY sc DESC, c.vec_id LIMIT 10"""),
+
+    // batch kNN join: x_knn_ivf generalized to 5 simultaneous queries —
+    // probe selection becomes a per-query window, candidates a
+    // probes⋈assignment join, and the top-k a per-query row_number
+    "x_knn_join" -> knnJoinOracle,
+
+    // the persisted-index batch probe serves the identical per-query
+    // top-k (assignment was paid at build; same codebook, same
+    // fixed-point arithmetic), so it shares the oracle
+    "x_knn_join_indexed" -> knnJoinOracle,
 
     // spherical k-means, 1 Lloyd iteration: seed codebook = 8 smallest-id
     // vectors; assignment ranks dxy/sqrt(dyy) (row norm dropped — argmax-

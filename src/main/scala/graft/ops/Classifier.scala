@@ -78,6 +78,47 @@ object Classifier {
       lnP(0L, t1) - lnP(0L, t0), llr)
   }
 
+  /** Persist a model for reuse across scoring runs: (b, lr) rows plus a
+    * `_meta` sidecar with (nBuckets, logPrior, defaultLlr). Table first,
+    * then the sidecar — overwrite of `path` wipes the tree, so the
+    * reverse order would delete the fresh `_meta` (the [[Sketch]]
+    * discipline). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: NbModel,
+                path: String): Unit = {
+    spark.createDataFrame(model.llr.toSeq).toDF("b", "lr")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    spark.createDataFrame(Seq((model.nBuckets, model.logPrior, model.defaultLlr)))
+      .toDF("n_buckets", "log_prior", "default_llr")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** Load a [[saveModel]] tree back through the SAME validation a fresh
+    * train passes: the bucket bound, every ratio row inside
+    * [0, nBuckets) with a finite value, no duplicate bucket. A
+    * hand-edited table would silently mis-score a 100 TB crawl; refuse
+    * at load instead. Driver-side is bounded by the grid check
+    * (≤ nBuckets ≤ 2^20 rows). */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): NbModel = {
+    val m = spark.read.parquet(s"$path/_meta")
+      .select("n_buckets", "log_prior", "default_llr").head()
+    val (nb, lp, dl) = (m.getInt(0), m.getDouble(1), m.getDouble(2))
+    require(nb >= 2 && nb <= (1 << 20),
+      s"corrupt model at $path: nBuckets=$nb outside [2, 2^20]")
+    require(java.lang.Double.isFinite(lp) && java.lang.Double.isFinite(dl),
+      s"corrupt model at $path: non-finite prior/default ratio")
+    val rows = spark.read.parquet(path).select("b", "lr").collect()
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    val llr = rows.map { r =>
+      val (b, lr) = (r.getLong(0), r.getDouble(1))
+      require(b >= 0 && b < nb && java.lang.Double.isFinite(lr),
+        s"corrupt model at $path: bucket $b (lr=$lr) outside the declared grid")
+      require(seen.add(b), s"corrupt model at $path: duplicate bucket $b")
+      b -> lr
+    }.toMap
+    NbModel(nb, lp, dl, llr)
+  }
+
   /** Score every document of `df` under `model`: one row per input —
     * (`idCol`, `n_feats`, `nb_score`, `nb_pred`), where `n_feats` is
     * the document's (non-empty) token count and `nb_pred` the hard 0/1

@@ -105,7 +105,16 @@ object FuzzyJoin {
     }
     val l = side(left, leftId, leftKey, "_fz_lid", "_fz_lkey")
     val r = side(right, rightId, rightKey, "_fz_rid", "_fz_rkey")
-    l.join(r, "_vh")
+    // pin the SHUFFLE hash join: the planner's size estimate for a
+    // Generate keeps the child's stats — it cannot see the ~len (k=1) /
+    // ~len² (k=2) explode factor — so a modest key table can look
+    // broadcastable while its neighborhood relation is GBs; a broadcast
+    // pick then collects the whole exploded side to the driver
+    // (observed: >1 GiB task results at 200k keys, k=2). Both sides are
+    // equi-keyed on the 8-byte variant hash, which is exactly what a
+    // shuffle hash join partitions on — the only plan shape that holds
+    // at corpus scale.
+    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), "_vh")
       .select(col("_fz_lid"), col("_fz_lkey"), col("_fz_rid"), col("_fz_rkey"))
       .dropDuplicates("_fz_lid", "_fz_rid")
       // ONE levenshtein per surviving pair: computed in this projection,

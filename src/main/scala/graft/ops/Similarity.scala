@@ -316,6 +316,145 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch kNN JOIN — the per-query cosine top-k of `corpus` for EVERY
+    * row of `queries` in ONE job, IVF-pruned: single-query probes
+    * ([[ivfTopK]]) don't scale to "match a day's crawl against the
+    * corpus", where the query side is itself millions of rows.
+    *
+    * Both sides share one driver-literal codebook (default: the `nlist`
+    * smallest-id corpus vectors, or pass a [[kmeansCodebook]]): each
+    * corpus row is assigned its single nearest list (argmax over
+    * fixed-point affinities, ties to the smaller id — one scan, no
+    * shuffle); each query row EXPLODES to its `nprobe` best lists. The
+    * candidate set is then a plain equi-join on `list` — each corpus
+    * row meets each query at most once (assignment is unique), so no
+    * pair-dedup shuffle — followed by a per-query top-k window.
+    *
+    * Scale shape: cost is |corpus|·nlist dots for assignment plus the
+    * probed-fraction join (~nprobe/nlist of |queries|·|corpus| when
+    * lists balance), never the full cross product. The join key has
+    * only `nlist` distinct values by design — size `nlist` to spread
+    * the cluster (≥ executor count) and let AQE split residual hot
+    * lists; norms are computed ONCE per row before the join, so the
+    * join itself does a single fused dot per candidate. Per-query
+    * ranking shuffles (query id, k candidates) — never vectors — after
+    * the projection drops them.
+    *
+    * Determinism: the [[ivfTopK]] contract per query — identical
+    * fixed-point affinities, probe ties to the smaller list id, result
+    * ties to the smaller neighbor id. Zero-norm vectors score NaN (like
+    * every cosine operator here): filter malformed rows first.
+    *
+    * Output: (`query_id`, `neighbor_id`, `score`, `list`), ≤ k rows per
+    * query (fewer when the probed lists hold fewer candidates). */
+  def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+              corpus: DataFrame, cIdCol: String, cVecCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              codebook: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
+    val spark = corpus.sparkSession
+    val cents: Seq[(Long, Column)] = codebook match {
+      case Some(cb) => cb.zipWithIndex.map { case (c, j) => (j.toLong, typedLit(c)) }
+      case None => corpus.select(col(cIdCol).cast(LongType), col(cVecCol))
+        .orderBy(col(cIdCol)).limit(nlist)
+        .collect().toSeq.map(r => (r.getLong(0), typedLit(r.getSeq[Float](1))))
+    }
+    val centStats = spark.range(1).select(cents.zipWithIndex.map {
+      case ((_, cv), i) => dotFixed(cv, cv).as(s"dyy_$i") }: _*).collect()(0)
+    val dyy: Seq[Long] = cents.indices.map(i => centStats.getAs[Long](s"dyy_$i"))
+    dyy.zipWithIndex.foreach { case (n, i) =>
+      require(n > 0L, s"knnJoin: centroid ${cents(i)._1} has zero norm; " +
+        "choose a codebook of non-zero vectors (filter empty embeddings first)")
+    }
+    def affinity(vec: Column, i: Int): Column =
+      dotFixed(vec, cents(i)._2).cast(DoubleType) /
+        sqrt(lit(dyy(i)).cast(DoubleType))
+    // corpus: single nearest list per row (struct max on (s, -cid))
+    val listId = -array_max(array(cents.zipWithIndex.map { case ((cid, _), i) =>
+      struct(affinity(col(cVecCol), i).as("s"), lit(-cid).as("n")) }: _*))
+      .getField("n")
+    // queries: nprobe best lists per row (struct sort on (-s, cid))
+    val probeArr = transform(
+      slice(array_sort(array(cents.zipWithIndex.map { case ((cid, _), i) =>
+        struct((-affinity(col(qVecCol), i)).as("ns"), lit(cid).as("cid")) }: _*)),
+        1, nprobe),
+      s => s.getField("cid"))
+    val corpusSide = corpus.select(col(cIdCol).as("_nid"),
+      col(cVecCol).as("_nvec"),
+      dotFixed(col(cVecCol), col(cVecCol)).as("_nn"), listId.as("_list"))
+    val querySide = queries.select(col(qIdCol).as("_qid"),
+      col(qVecCol).as("_qvec"),
+      dotFixed(col(qVecCol), col(qVecCol)).as("_qq"),
+      explode(probeArr).as("_list"))
+    val scored = querySide.join(corpusSide, "_list")
+      .select(col("_qid"), col("_nid"), col("_list"),
+        (dotFixed(col("_qvec"), col("_nvec")).cast(DoubleType) /
+          (sqrt(col("_qq").cast(DoubleType)) *
+           sqrt(col("_nn").cast(DoubleType)))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("score").desc, col("_nid"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_qid").as("query_id"), col("_nid").as("neighbor_id"),
+        col("score"), col("_list").as("list"))
+  }
+
+  /** [[knnJoin]] against a persisted [[buildIvfIndex]] tree — the
+    * batch-probe counterpart of [[ivfTopKIndexed]]: corpus assignment
+    * was paid ONCE at build, so the join skips the |corpus|·nlist
+    * per-row assignment dots entirely and reads vectors straight from
+    * the list-partitioned layout. The query batch still explodes to its
+    * per-query `nprobe` best lists; the driver collects the probed-list
+    * UNION (bounded by nlist — one tiny distinct) into an `isin` on the
+    * partition column, so a small or clustered query batch prunes
+    * unprobed directories at file listing, and a broad batch degrades
+    * gracefully to a full (but assignment-free) scan. Tombstoned ids
+    * ([[IndexMaintenance.deleteFromIvfIndex]]) are anti-joined away;
+    * results are IDENTICAL to [[knnJoin]] with the index's codebook.
+    * Pass `verifyAgainst = Some((liveDf, idCol))` to run the freshness
+    * stamp check before probing. */
+  def knnJoinIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     k: Int, nprobe: Int,
+                     verifyAgainst: Option[(DataFrame, String)] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    verifyAgainst.foreach { case (df, idc) => requireIvfFresh(spark, path, df, idc) }
+    val codebook = loadIvfCodebook(spark, path)
+    require(nprobe >= 1 && nprobe <= codebook.size,
+      s"need 1 <= nprobe <= nlist=${codebook.size}, got $nprobe")
+    val dyy = centroidNorms(spark, codebook)
+    val probeArr = transform(
+      slice(array_sort(array(codebook.zipWithIndex.map { case (c, j) =>
+        struct((-(dotFixed(col(qVecCol), typedLit(c)).cast(DoubleType) /
+          sqrt(lit(dyy(j)).cast(DoubleType)))).as("ns"), lit(j.toLong).as("cid"))
+      }: _*)), 1, nprobe),
+      s => s.getField("cid"))
+    val querySide = queries.select(col(qIdCol).as("_qid"),
+      col(qVecCol).as("_qvec"),
+      dotFixed(col(qVecCol), col(qVecCol)).as("_qq"),
+      explode(probeArr).as("_list"))
+    val usedLists = querySide.select(col("_list")).distinct()
+      .collect().map(_.getLong(0)) // ≤ nlist values by construction
+    val corpusSide = IndexMaintenance.minusTombstones(spark, path,
+        spark.read.parquet(path).filter(col("list").isin(usedLists: _*)), "id")
+      .select(col("id").as("_nid"), col("vec").as("_nvec"),
+        dotFixed(col("vec"), col("vec")).as("_nn"),
+        col("list").cast(LongType).as("_list"))
+    val scored = querySide.join(corpusSide, "_list")
+      .select(col("_qid"), col("_nid"), col("_list"),
+        (dotFixed(col("_qvec"), col("_nvec")).cast(DoubleType) /
+          (sqrt(col("_qq").cast(DoubleType)) *
+           sqrt(col("_nn").cast(DoubleType)))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("score").desc, col("_nid"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_qid").as("query_id"), col("_nid").as("neighbor_id"),
+        col("score"), col("_list").as("list"))
+  }
+
   /** Build a PERSISTED IVF index — the build-once/probe-many shape that
     * 100 TB ANN actually needs. Every vector is assigned to its nearest
     * centroid of `codebook` (same fixed-point affinity as [[ivfTopK]])

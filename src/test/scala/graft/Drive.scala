@@ -491,6 +491,15 @@ object Drive {
       s"held-out planted signal must separate: tpr=$tpr tnr=$tnr")
     println(f"naive bayes -> held-out tpr=$tpr%.3f tnr=$tnr%.3f over ${nbOut.size} docs")
 
+    val kj = graft.ops.Similarity.knnJoin(
+        embAll.filter(col("vec_id") < 8), "vec_id", "embedding",
+        embAll, "vec_id", "embedding", k = 3)
+      .collect().groupBy(_.getLong(0))
+    require(kj.size == 8 && kj.forall { case (q, rows) =>
+      rows.sortBy(r => (-r.getDouble(2), r.getLong(1))).head.getLong(1) == q },
+      "knnJoin: every query must rank itself first")
+    println(s"knnJoin -> 8 queries x top-3, self-first everywhere")
+
     spark.stop()
     println("== drive done")
   }

@@ -150,6 +150,41 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.map(_.getLong(0)).count(brute) >= 5)
   }
 
+  test("knnJoin: per-query self top-1, nprobe=nlist recovers brute force, single list per pair, guards") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val out = Similarity.knnJoin(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      .collect().groupBy(_.getLong(0))
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L)) // every query answered
+    out.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+      assert(sorted.head.getLong(1) == qid, s"query $qid must rank itself first")
+      assert(math.abs(sorted.head.getDouble(2) - 1.0) < 1e-9)
+      assert(rows.map(r => r.getLong(1)).distinct.length == rows.length,
+        "a neighbor may appear at most once per query")
+    }
+    // nprobe = nlist probes every list -> per-query result == brute top-k
+    val full = Similarity.knnJoin(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 16)
+      .collect().groupBy(_.getLong(0))
+    (0L to 4L).foreach { qid =>
+      val q = emb.filter($"vec_id" === qid).select("embedding")
+        .collect()(0).getSeq[Float](0)
+      val brute = Similarity.topK(emb, "vec_id", "embedding", q, 5,
+        exactDecimal = true).collect().map(_.getLong(0)).toSeq
+      val got = full(qid).sortBy(r => (-r.getDouble(2), r.getLong(1)))
+        .map(_.getLong(1)).toSeq
+      assert(got == brute, s"query $qid: all-list probe must equal brute force")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.knnJoin(queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k = 0) }
+    intercept[IllegalArgumentException] {
+      Similarity.knnJoin(queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k = 5, nlist = 4, nprobe = 8) }
+  }
+
   test("persisted IVF index: probed top-k equals assign-at-query-time ivfTopK, partitions pruned") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" === 0).select("embedding").collect()(0).getSeq[Float](0)
@@ -174,6 +209,35 @@ class OpsSpec extends AnyFunSuite {
     val selfDesc = Similarity.ivfTopKIndexed(spark, path, q, 10, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
     assert(selfDesc == direct)
+  }
+
+  test("knnJoinIndexed: identical to query-time knnJoin, probed-list union pruned, nprobe guard") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = emb.select($"vec_id", $"embedding").orderBy("vec_id").limit(8)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val path = TestSpark.tmpDir("knnjoin-idx")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", cb, path)
+    val queries = emb.filter($"vec_id".isin(3L, 17L, 42L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val viaIndex = Similarity.knnJoinIndexed(spark, path, queries,
+      "vec_id", "embedding", k = 4, nprobe = 2)
+    val direct = Similarity.knnJoin(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 4, nlist = 8, nprobe = 2,
+      codebook = Some(cb))
+    assert(rows(viaIndex) == rows(direct),
+      "index probe must serve the identical per-query top-k")
+    // the probed-list union lands in PartitionFilters (file-listing
+    // pruning), not a post-scan Filter — the plan holds TWO scans (the
+    // plain query side first), so check every bracket, not the first
+    val scan = viaIndex.queryExecution.executedPlan.toString
+    val pfs = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(scan).toList
+    assert(pfs.exists(_.contains("list")),
+      s"expected the list predicate inside some PartitionFilters, got $pfs in:\n$scan")
+    intercept[IllegalArgumentException] {
+      Similarity.knnJoinIndexed(spark, path, queries, "vec_id", "embedding",
+        k = 4, nprobe = 99) }
   }
 
   test("IVF index freshness: append after build is detected, rebuild clears it") {
@@ -1014,6 +1078,20 @@ class OpsSpec extends AnyFunSuite {
       Classifier.trainNaiveBayes(train.filter(col("label") === 0), "label", "text", B) }
     intercept[IllegalArgumentException] {
       Classifier.trainNaiveBayes(train, "label", "text", nBuckets = 1) }
+    // persistence: save -> load -> score must be indistinguishable from
+    // scoring with the in-memory model; corrupt trees are refused at load
+    val dir = java.nio.file.Files.createTempDirectory("nb-model").toString
+    Classifier.saveModel(spark, model, dir)
+    val reloaded = Classifier.loadModel(spark, dir)
+    assert(reloaded == model, "load must reproduce the exact model")
+    val rescored = Classifier.scoreNaiveBayes(test_, reloaded, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rescored(10L) == out(10L)._2 && rescored(11L) == out(11L)._2)
+    val bad = model.copy(llr = model.llr + ((B + 5L) -> 0.0)) // out-of-grid bucket
+    val badDir = java.nio.file.Files.createTempDirectory("nb-bad").toString
+    Classifier.saveModel(spark, bad, badDir)
+    intercept[IllegalArgumentException] { Classifier.loadModel(spark, badDir) }
   }
 
   test("heavyHitters: exactly the HAVING set under forced collisions; persisted-sketch path; boundary") {

@@ -498,6 +498,40 @@ object ScaleDrive {
     }
     assert(nRj == 1000000L, s"each width-100 interval holds exactly 100 points, got $nRj")
 
+    // Duplicated-span removal at volume: 30k of 300k docs carry a shared
+    // 11-token footer. The footer's interior windows clear minDocs in
+    // every carrier (all 30k share them) so at least the 11 footer
+    // tokens go; boundary windows need two carriers agreeing on their
+    // last prefix token(s) (mod-5000 birthday collisions), which may
+    // shave a token or two more from SOME carriers — bounded by 4 (a
+    // window is 5 tokens). Non-carrier windows are 5 draws from a
+    // 5000-token vocabulary (~3e18 combos vs ~9M windows): never
+    // duplicated, so non-carriers must come back byte-identical. Only
+    // (id, pos, hash60) rows ever shuffle.
+    println("== stripRepeatedSpans over 300k docs (30k planted 11-token footers)")
+    val footer = "terms of service apply all rights reserved contact legal team today"
+    val spanCorpus = docsBase.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, concat(col("text"), lit(" " + footer)))
+        .otherwise(col("text")).as("text")).localCheckpoint(true)
+    val spanOut = time("stripRepeatedSpans(n=5)") {
+      graft.ops.Dedup.stripRepeatedSpans(spanCorpus, "doc_id", "text")
+        .localCheckpoint(true)
+    }
+    val carrierStats = spanOut.filter(col("doc_id") % 10 === 0)
+      .agg(count(lit(1)),
+        sum(when(col("removed_tokens").between(11L, 15L), 1L).otherwise(0L)),
+        sum(when(col("text").contains("rights reserved"), 1L).otherwise(0L)),
+        sum(col("removed_tokens"))).collect()(0)
+    println(s"  carriers=${carrierStats.getLong(0)} removed-in-[11,15]=${carrierStats.getLong(1)} " +
+      s"footer-remnants=${carrierStats.getLong(2)} mean-removed=${carrierStats.getLong(3) / 30000.0}")
+    assert(carrierStats.getLong(0) == 30000L && carrierStats.getLong(1) == 30000L,
+      "every carrier must lose its 11 footer tokens (+<=4 collision-boundary tokens)")
+    assert(carrierStats.getLong(2) == 0L, "no footer text may survive")
+    val nonCarrierTouched = spanOut.filter(col("doc_id") % 10 =!= 0)
+      .filter(col("removed_tokens") =!= 0L).count()
+    println(s"  non-carriers touched=$nonCarrierTouched (expect 0: random 5-grams never collide)")
+    assert(nonCarrierTouched == 0L, s"non-carriers must be untouched, got $nonCarrierTouched")
+
     spark.stop()
   }
 }
