@@ -2156,6 +2156,41 @@ object SparkEntry {
         .orderBy("token")
     }),
 
+    // streaming corpus statistics: the SAME token stream split into two
+    // controlled micro-batches through countMinIngestSink — the
+    // persisted tree after the stream estimates exactly like the
+    // one-shot batch sketch (CM merge is cell-exact counter addition),
+    // probed with the same suite under the shared oracle
+    "x_stream_countmin" -> ((s, d) => {
+      import s.implicits._
+      def toks(df: DataFrame) = df
+        .select(explode(TextStats.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val path = s"/tmp/graft-cmstream-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      try {
+        withStagedBatches(s, Seq(
+          toks(docs(s, d).filter(col("doc_id") % 2 === 0)),
+          toks(docs(s, d).filter(col("doc_id") % 2 =!= 0)))) { (src, ckpt) =>
+          graft.streaming.EventStream.countMinIngestSink(src, "token", path,
+            ckpt, depth = 4, width = 64).awaitTermination()
+        }
+        // the sketch localizes on load, so the estimate below owes the
+        // tree nothing and the finally-delete is safe
+        val sk = graft.ops.Sketch.loadCountMin(s, path)
+        val probes = Seq("join", "hash", "row", "scan", "the", "a", "dup",
+          "fast", "zzz-never-seen").toDF("token")
+        graft.ops.Sketch.countMinEstimate(sk, probes, "token")
+          .orderBy("token")
+      } finally {
+        def del(x: java.io.File): Unit = {
+          if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(del))
+          x.delete(); ()
+        }
+        del(new java.io.File(path))
+      }
+    }),
+
     // exact heavy hitters via Count-Min candidate prefilter: the sketch
     // is DELIBERATELY narrow (4 x 64) so bucket collisions admit false
     // candidates — the exact recount must remove every one of them (the
@@ -2749,6 +2784,20 @@ object SparkEntry {
   /** Shared by `x_knn_ivf_trained` and `x_knn_ivf_indexed`: the persisted
     * index materializes the same trained assignment the query-time path
     * computes, so both must return this exact top-k. */
+  /** Shared by x_sketch_countmin (one-shot) and x_stream_countmin (the
+    * streamed two-batch merge — CM merge is exact counter addition, so
+    * the grown sketch is cell-identical to the one-shot build). */
+  private def countMinOracle: String =
+      (s"""WITH tok AS (SELECT unnest($TOK) AS t FROM documents), """ +
+       """tok2 AS (SELECT t FROM tok WHERE t IS NOT NULL AND t <> ''), """ +
+       s"""cm AS (SELECT i, ${h60sql("'cm:' || i::VARCHAR || ':' || t")} % 64 AS bucket, count(*) AS cnt """ +
+       """FROM tok2, generate_series(0, 3) g(i) GROUP BY 1, 2), """ +
+       """q AS (SELECT unnest(['join','hash','row','scan','the','a','dup','fast','zzz-never-seen']) AS token), """ +
+       s"""qb AS (SELECT token, i, ${h60sql("'cm:' || i::VARCHAR || ':' || token")} % 64 AS bucket """ +
+       """FROM q, generate_series(0, 3) g(i)) """ +
+       """SELECT token, min(COALESCE(cm.cnt, 0))::BIGINT AS est """ +
+       """FROM qb LEFT JOIN cm USING (i, bucket) GROUP BY token ORDER BY token""")
+
   private def knnJoinOracle: String =
     ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings), """ +
        """norms AS (SELECT vec_id, SUM(CAST(round((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxx FROM el GROUP BY vec_id), """ +
@@ -3549,16 +3598,11 @@ object SparkEntry {
 
     // the Count-Min build and lookup mirrored term-for-term: row-salted
     // portable bucket hash, exact counter sums, min over rows
-    "x_sketch_countmin" ->
-      (s"""WITH tok AS (SELECT unnest($TOK) AS t FROM documents), """ +
-       """tok2 AS (SELECT t FROM tok WHERE t IS NOT NULL AND t <> ''), """ +
-       s"""cm AS (SELECT i, ${h60sql("'cm:' || i::VARCHAR || ':' || t")} % 64 AS bucket, count(*) AS cnt """ +
-       """FROM tok2, generate_series(0, 3) g(i) GROUP BY 1, 2), """ +
-       """q AS (SELECT unnest(['join','hash','row','scan','the','a','dup','fast','zzz-never-seen']) AS token), """ +
-       s"""qb AS (SELECT token, i, ${h60sql("'cm:' || i::VARCHAR || ':' || token")} % 64 AS bucket """ +
-       """FROM q, generate_series(0, 3) g(i)) """ +
-       """SELECT token, min(COALESCE(cm.cnt, 0))::BIGINT AS est """ +
-       """FROM qb LEFT JOIN cm USING (i, bucket) GROUP BY token ORDER BY token"""),
+    "x_sketch_countmin" -> countMinOracle,
+
+    // the streamed sketch merges to the cell-identical table, so the
+    // probe estimates share the one-shot oracle verbatim
+    "x_stream_countmin" -> countMinOracle,
 
     // heavy hitters: the engine's sketch prefilter is invisible to the
     // result by construction — the oracle is the plain exact HAVING

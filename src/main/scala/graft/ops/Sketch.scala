@@ -300,6 +300,78 @@ object Sketch {
       a.depth, a.width)
   }
 
+  /** Recover a [[countMinMergeInto]] tree from the between-renames crash
+    * window: if the live path is missing but the `.graft-cm-old` backup
+    * exists, the backup is restored (the previous state — whose guard
+    * does NOT record the interrupted batch, so the replay re-merges it
+    * and nothing is lost or doubled). */
+  def restoreCountMinAfterCrash(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new org.apache.hadoop.fs.Path(path + ".graft-cm-old")
+    if (!fs.exists(hp) && fs.exists(old))
+      require(fs.rename(old, hp),
+        s"restoreCountMinAfterCrash: rename $old -> $path failed")
+  }
+
+  /** One guarded merge step of the streaming statistics sink
+    * ([[graft.streaming.EventStream.countMinIngestSink]]): fold the
+    * batch's Count-Min sketch into the persisted tree at `path`,
+    * exactly once per (checkpoint guard, batchId). Returns false (and
+    * does nothing) for a replayed batch the tree already records.
+    *
+    * The guard rides the tree's own `_meta` (guard key + last merged
+    * batch id), and the merged tree lands via staged write + two-rename
+    * swap — the [[graft.ops.IndexMaintenance]] compaction discipline —
+    * so a crash leaves the OLD tree (guard unbumped: the replay
+    * re-merges, nothing doubles) or the NEW one (guard bumped: the
+    * replay skips), never a torn mix. A tree maintained under a
+    * DIFFERENT checkpoint, or written by plain [[saveCountMin]]
+    * (no guard — merging a stream into it cannot be exactly-once), is
+    * refused loudly rather than silently double-counted. */
+  def countMinMergeInto(spark: org.apache.spark.sql.SparkSession,
+                        path: String, batch: DataFrame, tokenCol: String,
+                        depth: Int, width: Int, guardKey: String,
+                        batchId: Long): Boolean = {
+    validateCmShape(depth, width)
+    restoreCountMinAfterCrash(spark, path)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$path/_meta"))
+    val done: Long = if (!exists) -1L else {
+      val m = spark.read.parquet(s"$path/_meta")
+      require(m.columns.contains("guard_key"),
+        s"sketch at $path was not written by the ingest sink (no batch " +
+          "guard): merging a stream into it cannot be made exactly-once")
+      val r = m.select("guard_key", "last_batch").head()
+      require(r.getString(0) == guardKey,
+        s"sketch at $path is maintained under a different checkpoint " +
+          "(guard mismatch): each sink needs its own tree")
+      r.getLong(1)
+    }
+    if (batchId <= done) return false
+    val bs = countMin(batch, tokenCol, depth, width)
+    val merged =
+      if (exists) countMinMerge(loadCountMin(spark, path), bs) else bs
+    val tmp = new org.apache.hadoop.fs.Path(path + ".graft-cm-tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".graft-cm-old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    // both sketch tables are local by invariant, so these writes read
+    // nothing from the live tree — safe to swap immediately after
+    merged.table.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    spark.createDataFrame(Seq((merged.depth, merged.width, guardKey, batchId)))
+      .toDF("depth", "width", "guard_key", "last_batch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
+    if (fs.exists(hp))
+      require(fs.rename(hp, old), s"countMinMergeInto: rename $path aside failed")
+    require(fs.rename(tmp, hp),
+      s"countMinMergeInto: rename $tmp -> $path failed (RECOVER: " +
+        s"restoreCountMinAfterCrash, then re-run the stream)")
+    fs.delete(old, true)
+    true
+  }
+
   // bucket_i(token) = hash60("cm:<i>:" + token) mod width — row-salted
   // portable hashing, reproducible in any engine
   private def cmBucket(token: org.apache.spark.sql.Column, i: Int,

@@ -200,6 +200,38 @@ object EventStream {
         batch
       })
 
+  /** Continuously-maintained corpus token statistics: each micro-batch's
+    * Count-Min sketch merges into the persisted tree at `path` —
+    * cell-for-cell identical to a one-shot batch sketch over everything
+    * ingested so far (CM merge is exact counter addition), while the
+    * tree stays depth×width-bounded regardless of stream volume. The
+    * stream supplies one row per token occurrence in `tokenCol`
+    * (explode upstream); probe the tree any time with
+    * [[graft.ops.Sketch.loadCountMin]] + `countMinEstimate`.
+    *
+    * Exactly-once: [[graft.ops.Sketch.countMinMergeInto]] — the batch
+    * guard rides the tree's `_meta` (replays skip; a tree maintained
+    * under a different checkpoint or without a guard is refused), and
+    * each merge lands via staged write + two-rename swap, with
+    * `restoreCountMinAfterCrash` covering the between-renames window.
+    * No streaming state: the SKETCH is the state, bounded by shape, so
+    * this runs forever over an unbounded stream. */
+  def countMinIngestSink(stream: DataFrame, tokenCol: String, path: String,
+                         checkpoint: String, depth: Int = 4,
+                         width: Int = 1 << 16,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val guardKey = "cmIngest:" +
+      java.util.UUID.nameUUIDFromBytes(checkpoint.getBytes("UTF-8")).toString
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Sketch.countMinMergeInto(batch.sparkSession, path, batch,
+          tokenCol, depth, width, guardKey, batchId); ()
+      }
+      .start()
+  }
+
   /** Watermarked tumbling-window counts per event type. The value sum
     * accumulates as exact decimal before the double cast — float
     * summation order differs between micro-batch boundaries, engines,

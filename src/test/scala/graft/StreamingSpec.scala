@@ -403,4 +403,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"multi-batch streamed ${streamed.size} vs batch ${batch.size}")
   }
+
+  test("countMin ingest sink: streamed merge == one-shot sketch, restart no-op, guard refusals") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def toks(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(graft.ops.TextStats.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val in = TestSpark.tmpDir("cmsink-in")
+    val ckpt = TestSpark.tmpDir("cmsink-ckpt")
+    val path = TestSpark.tmpDir("cmsink-tree") + "/cm"
+    toks(docs.filter($"doc_id" % 2 === 0)).coalesce(1)
+      .write.mode("append").parquet(in)
+    Thread.sleep(1100)
+    toks(docs.filter($"doc_id" % 2 =!= 0)).coalesce(1)
+      .write.mode("append").parquet(in)
+    def stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    EventStream.countMinIngestSink(stream, "token", path, ckpt,
+      depth = 4, width = 32).awaitTermination()
+    def cells(sk: graft.ops.Sketch.CMSketch) = sk.table.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = graft.ops.Sketch.loadCountMin(spark, path)
+    val oneShot = graft.ops.Sketch.countMin(toks(docs), "token",
+      depth = 4, width = 32)
+    assert(cells(streamed) == cells(oneShot),
+      "multi-batch merged tree must be cell-identical to the one-shot sketch")
+    // restart with no new data: the guard skips every replayed batch
+    EventStream.countMinIngestSink(stream, "token", path, ckpt,
+      depth = 4, width = 32).awaitTermination()
+    assert(cells(graft.ops.Sketch.loadCountMin(spark, path)) == cells(oneShot),
+      "a restart must merge nothing")
+    // a DIFFERENT checkpoint against the same tree is refused (would
+    // double-count), as is a plain saveCountMin tree (no guard at all)
+    val ckpt2 = TestSpark.tmpDir("cmsink-ckpt2")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStream.countMinIngestSink(stream, "token", path, ckpt2,
+        depth = 4, width = 32).awaitTermination()
+    }
+    val plain = TestSpark.tmpDir("cmsink-plain") + "/cm"
+    graft.ops.Sketch.saveCountMin(oneShot, plain)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStream.countMinIngestSink(stream, "token", plain,
+        TestSpark.tmpDir("cmsink-ckpt3"), depth = 4, width = 32)
+        .awaitTermination()
+    }
+  }
 }
