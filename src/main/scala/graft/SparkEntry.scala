@@ -1071,6 +1071,21 @@ object SparkEntry {
       (path, cb)
     })
 
+  private val ivfIndexesCross = new ConcurrentHashMap[String, String]()
+  /** IVF tree over the CORPUS side of the embedding cross-dedup gate
+    * (vec_id >= 100), codebook = its 16 smallest-id vectors — list ids
+    * are row_number-1 in vec_id order, which the oracle reproduces. */
+  private def ivfIndexCross(s: SparkSession, d: String): String =
+    ivfIndexesCross.computeIfAbsent(d, { _ =>
+      val path = indexPath("ivfcross_", d)
+      val corpus = embs(s, d).filter(col("vec_id") >= 100)
+      val cb = corpus.select(col("vec_id"), col("embedding"))
+        .orderBy("vec_id").limit(16).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      graft.ops.Similarity.buildIvfIndex(corpus, "vec_id", "embedding", cb, path)
+      path
+    })
+
   private val ivfIndexesSeeded = new ConcurrentHashMap[String, String]()
   /** IVF tree whose codebook is knnJoin's DEFAULT (the 16 smallest-id
     * corpus vectors — their vec_ids 0..15 coincide with codebook
@@ -1593,6 +1608,24 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(col("score"), 6).as("score"), col("list"))
         .orderBy("query_id", "neighbor_id")
+    }),
+
+    // cross-corpus embedding dedup against the persisted IVF tree:
+    // 20 planted 1.5×-scaled copies of corpus vectors (cosine exactly
+    // 1.0, scale-invariant) ride a 50-vector "new" batch — every copy
+    // must drop, and the oracle replays assignment, per-row probes, and
+    // pair cosines to decide exactly who survives
+    "x_dedup_embed_cross" -> ((s, d) => {
+      val emb = embs(s, d)
+      val planted = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+        .select((col("vec_id") + 20000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      val newSide = emb.filter(col("vec_id") < 50)
+        .select("vec_id", "embedding").unionByName(planted)
+      Similarity.embeddingDedupAgainstIndex(s, ivfIndexCross(s, d), newSide,
+          "vec_id", "embedding", minCosine = 0.99, nprobe = 4,
+          verifyAgainst = Some((emb.filter(col("vec_id") >= 100), "vec_id")))
+        .select("vec_id").orderBy("vec_id")
     }),
 
     // the same batch probe against a PERSISTED IVF tree (assignment
@@ -2488,6 +2521,53 @@ object SparkEntry {
       }
     }),
 
+    // streaming EMBEDDING ingest with the IVF index tracking the
+    // stream: two controlled micro-batches through the ANN sink —
+    // batch 2 plants scaled copies of BATCH-1 vectors (dropped only
+    // because batch 1's survivors joined the index) and of CORPUS
+    // vectors (dropped by the base snapshot); the oracle replays the
+    // sequential two-stage cosine cascade with the grown assignment set
+    "x_stream_embed_ingest" -> ((s, d) => {
+      val st = store(s, d)
+      st.synchronized {
+        val emb = embs(s, d)
+        val idxPath = indexPath("eing_", d) +
+          "-" + java.util.UUID.randomUUID().toString.take(8)
+        val corpus = emb.filter(col("vec_id") >= 100)
+        val cb = corpus.select(col("vec_id"), col("embedding"))
+          .orderBy("vec_id").limit(16).collect()
+          .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+        graft.ops.Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+          cb, idxPath)
+        val b1 = emb.filter(col("vec_id") < 25).select("vec_id", "embedding")
+          .unionByName(emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+            .select((col("vec_id") + 30000L).as("vec_id"),
+              transform(col("embedding"), x => x * lit(1.5f)).as("embedding")))
+        val b2 = emb.filter(col("vec_id") >= 25 && col("vec_id") < 50)
+          .select("vec_id", "embedding")
+          .unionByName(emb.filter(col("vec_id") < 5)
+            .select((col("vec_id") + 40000L).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+          .unionByName(emb.filter(col("vec_id") >= 110 && col("vec_id") < 115)
+            .select((col("vec_id") + 50000L).as("vec_id"),
+              transform(col("embedding"), x => x * lit(1.25f)).as("embedding")))
+        if (st.isTable("stream/ingest_emb")) st.drop("stream/ingest_emb")
+        st.put("stream/ingest_emb", b1.limit(0))
+        withStagedBatches(s, Seq(b1, b2)) { (src, ckpt) =>
+          graft.streaming.EventStream.embedDedupIngestSink(src, st,
+            "stream/ingest_emb", ckpt, idxPath, "vec_id", "embedding",
+            0.99, 4).awaitTermination()
+        }
+        val out = localized(s,
+          st.table("stream/ingest_emb").df.select("vec_id").orderBy("vec_id"))
+        try {
+          val p = new org.apache.hadoop.fs.Path(idxPath)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true); ()
+        } catch { case _: Exception => () }
+        out
+      }
+    }),
+
     // streaming ingest into the persisted TEXT index: two controlled
     // micro-batches append into index + store through the production
     // sink; batch 2 plants 3 all-query-token docs that MUST dominate
@@ -2797,6 +2877,67 @@ object SparkEntry {
        """FROM q, generate_series(0, 3) g(i)) """ +
        """SELECT token, min(COALESCE(cm.cnt, 0))::BIGINT AS est """ +
        """FROM qb LEFT JOIN cm USING (i, bucket) GROUP BY token ORDER BY token""")
+
+  /** x_stream_embed_ingest replayed: the [[knnJoinOracle]] chain run
+    * TWICE sequentially — stage 1 matches batch 1 against the corpus
+    * assignment set; stage 2 matches batch 2 against the corpus GROWN
+    * by stage 1's survivors (assignment recomputed over the grown set
+    * with the unchanged codebook — identical for corpus rows, and the
+    * engine appends with the index's own codebook, so the recompute is
+    * exact). Matched = any probed-list candidate's fixed-point cosine
+    * ≥ 0.99. */
+  private def embedIngestOracle: String = {
+    def fx(a: String, b: String) =
+      s"CAST(round((CAST($a AS DOUBLE) * CAST($b AS DOUBLE)) * 1e15) AS BIGINT)"
+    def scaleSel(shift: Int, f: String, lo: String, hi: String) =
+      s"SELECT vec_id + $shift, list_transform(embedding, x -> " +
+      s"CAST(x * CAST($f AS FLOAT) AS FLOAT)) FROM embeddings WHERE $lo AND $hi"
+    // (affinity → argmax assignment, affinity → top-4 probes) for a
+    // given exploded relation vs the codebook
+    def aff(src: String, out: String) =
+      s"$out AS (SELECT $src.vec_id, cl.cid, SUM(${fx(s"$src.x", "cl.cx")})::BIGINT AS dxy " +
+      s"FROM $src JOIN cl USING (i) GROUP BY 1, 2), " +
+      s"${out}s AS (SELECT f.vec_id, f.cid, CAST(f.dxy AS DOUBLE) / sqrt(CAST(y.dyy AS DOUBLE)) AS s " +
+      s"FROM $out f JOIN cyy y USING (cid)), "
+    def stage(n: Int, batchE: String, corpusE: String, corpusN: String,
+              assignSrc: String) =
+      aff(corpusE, s"caf$n") +
+      s"a$n AS (SELECT vec_id, cid AS list FROM (SELECT vec_id, cid, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM caf${n}s) WHERE rn = 1), " +
+      aff(batchE, s"baf$n") +
+      s"p$n AS (SELECT vec_id AS qid, cid AS list FROM (SELECT vec_id, cid, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM baf${n}s) WHERE rn <= 4), " +
+      s"c$n AS (SELECT p.qid, a.vec_id AS nid FROM p$n p JOIN a$n a USING (list)), " +
+      s"t$n AS (SELECT c.qid, c.nid, SUM(${fx("q.x", "t.x")})::BIGINT AS dxy " +
+      s"FROM c$n c JOIN $batchE q ON q.vec_id = c.qid JOIN $corpusE t ON t.vec_id = c.nid AND t.i = q.i GROUP BY 1, 2), " +
+      s"m$n AS (SELECT DISTINCT t$n.qid FROM t$n JOIN bn$n ON bn$n.vec_id = t$n.qid " +
+      s"JOIN $corpusN cx ON cx.vec_id = t$n.nid " +
+      s"WHERE CAST(t$n.dxy AS DOUBLE) / (sqrt(CAST(bn$n.dxx AS DOUBLE)) * sqrt(CAST(cx.dxx AS DOUBLE))) >= 0.99), " +
+      s"s$n AS (SELECT ${assignSrc}.vec_id FROM $assignSrc LEFT JOIN m$n ON m$n.qid = ${assignSrc}.vec_id WHERE m$n.qid IS NULL), "
+    "WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings), " +
+    "ce AS (SELECT vec_id, i, x FROM el WHERE vec_id >= 100), " +
+    "b1v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 25 " +
+    "UNION ALL " + scaleSel(30000, "1.5", "vec_id >= 100", "vec_id < 110") + "), " +
+    "b2v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 25 AND vec_id < 50 " +
+    "UNION ALL " + scaleSel(40000, "2.0", "vec_id >= 0", "vec_id < 5") + " " +
+    "UNION ALL " + scaleSel(50000, "1.25", "vec_id >= 110", "vec_id < 115") + "), " +
+    "b1e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM b1v), " +
+    "b2e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM b2v), " +
+    "cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id AS cvid " +
+    "FROM (SELECT DISTINCT vec_id FROM ce ORDER BY vec_id LIMIT 16)), " +
+    "cl AS (SELECT cb.cid, ce.i, ce.x AS cx FROM cb JOIN ce ON ce.vec_id = cb.cvid), " +
+    s"cyy AS (SELECT cid, SUM(${fx("cx", "cx")})::BIGINT AS dyy FROM cl GROUP BY 1), " +
+    s"cn AS (SELECT vec_id, SUM(${fx("x", "x")})::BIGINT AS dxx FROM ce GROUP BY 1), " +
+    s"bn1 AS (SELECT vec_id, SUM(${fx("x", "x")})::BIGINT AS dxx FROM b1e GROUP BY 1), " +
+    s"bn2 AS (SELECT vec_id, SUM(${fx("x", "x")})::BIGINT AS dxx FROM b2e GROUP BY 1), " +
+    stage(1, "b1e", "ce", "cn", "b1v") +
+    "ge AS (SELECT ce.vec_id, ce.i, ce.x FROM ce " +
+    "UNION ALL SELECT b1e.vec_id, b1e.i, b1e.x FROM b1e JOIN s1 USING (vec_id)), " +
+    s"gn AS (SELECT vec_id, SUM(${fx("x", "x")})::BIGINT AS dxx FROM ge GROUP BY 1), " +
+    stage(2, "b2e", "ge", "gn", "b2v") +
+    "fin AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2) " +
+    "SELECT vec_id FROM fin ORDER BY vec_id"
+  }
 
   private def knnJoinOracle: String =
     ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings), """ +
@@ -3155,6 +3296,44 @@ object SparkEntry {
     // top-k (assignment was paid at build; same codebook, same
     // fixed-point arithmetic), so it shares the oracle
     "x_knn_join_indexed" -> knnJoinOracle,
+
+    // embedding cross-dedup: the knn-join chain over a split corpus —
+    // codebook list ids are row_number-1 in vec_id order over the
+    // corpus side; a new row is matched (dropped) iff any probed-list
+    // candidate's fixed-point cosine clears the threshold
+    "x_dedup_embed_cross" ->
+      ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings), """ +
+       """ns AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50 """ +
+       """UNION ALL SELECT vec_id + 20000, list_transform(embedding, x -> CAST(x * CAST(1.5 AS FLOAT) AS FLOAT)) """ +
+       """FROM embeddings WHERE vec_id >= 100 AND vec_id < 120), """ +
+       """ne AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM ns), """ +
+       """ce AS (SELECT vec_id, i, x FROM el WHERE vec_id >= 100), """ +
+       """cn AS (SELECT vec_id, SUM(CAST(round((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxx FROM ce GROUP BY 1), """ +
+       """nnr AS (SELECT vec_id, SUM(CAST(round((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxx FROM ne GROUP BY 1), """ +
+       """cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id AS cvid """ +
+       """FROM (SELECT DISTINCT vec_id FROM ce ORDER BY vec_id LIMIT 16)), """ +
+       """cl AS (SELECT cb.cid, ce.i, ce.x AS cx FROM cb JOIN ce ON ce.vec_id = cb.cvid), """ +
+       """cyy AS (SELECT cid, SUM(CAST(round((CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dyy FROM cl GROUP BY 1), """ +
+       """caff AS (SELECT ce.vec_id, cl.cid, SUM(CAST(round((CAST(ce.x AS DOUBLE) * CAST(cl.cx AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxy """ +
+       """FROM ce JOIN cl USING (i) GROUP BY 1, 2), """ +
+       """cascore AS (SELECT a.vec_id, a.cid, CAST(a.dxy AS DOUBLE) / sqrt(CAST(y.dyy AS DOUBLE)) AS s FROM caff a JOIN cyy y USING (cid)), """ +
+       """assign AS (SELECT vec_id, cid AS list FROM (SELECT vec_id, cid, """ +
+       """row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM cascore) WHERE rn = 1), """ +
+       """naff AS (SELECT ne.vec_id, cl.cid, SUM(CAST(round((CAST(ne.x AS DOUBLE) * CAST(cl.cx AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxy """ +
+       """FROM ne JOIN cl USING (i) GROUP BY 1, 2), """ +
+       """nascore AS (SELECT a.vec_id, a.cid, CAST(a.dxy AS DOUBLE) / sqrt(CAST(y.dyy AS DOUBLE)) AS s FROM naff a JOIN cyy y USING (cid)), """ +
+       """probes AS (SELECT vec_id AS qid, cid AS list FROM (SELECT vec_id, cid, """ +
+       """row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM nascore) WHERE rn <= 4), """ +
+       """cand AS (SELECT p.qid, a.vec_id AS nid FROM probes p JOIN assign a USING (list)), """ +
+       """pt AS (SELECT c.qid, c.nid, SUM(CAST(round((CAST(q.x AS DOUBLE) * CAST(t.x AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxy """ +
+       """FROM cand c JOIN ne q ON q.vec_id = c.qid JOIN ce t ON t.vec_id = c.nid AND t.i = q.i GROUP BY 1, 2), """ +
+       """matched AS (SELECT DISTINCT pt.qid FROM pt JOIN nnr ON nnr.vec_id = pt.qid JOIN cn ON cn.vec_id = pt.nid """ +
+       """WHERE CAST(pt.dxy AS DOUBLE) / (sqrt(CAST(nnr.dxx AS DOUBLE)) * sqrt(CAST(cn.dxx AS DOUBLE))) >= 0.99) """ +
+       """SELECT ns.vec_id FROM ns LEFT JOIN matched m ON m.qid = ns.vec_id """ +
+       """WHERE m.qid IS NULL ORDER BY ns.vec_id"""),
+
+    // sequential two-batch ANN ingest replayed (see embedIngestOracle)
+    "x_stream_embed_ingest" -> embedIngestOracle,
 
     // spherical k-means, 1 Lloyd iteration: seed codebook = 8 smallest-id
     // vectors; assignment ranks dxy/sqrt(dyy) (row norm dropped — argmax-

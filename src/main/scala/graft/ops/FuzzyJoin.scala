@@ -105,16 +105,17 @@ object FuzzyJoin {
     }
     val l = side(left, leftId, leftKey, "_fz_lid", "_fz_lkey")
     val r = side(right, rightId, rightKey, "_fz_rid", "_fz_rkey")
-    // pin the SHUFFLE hash join: the planner's size estimate for a
+    // pin the sort-MERGE join: the planner's size estimate for a
     // Generate keeps the child's stats — it cannot see the ~len (k=1) /
     // ~len² (k=2) explode factor — so a modest key table can look
     // broadcastable while its neighborhood relation is GBs; a broadcast
     // pick then collects the whole exploded side to the driver
-    // (observed: >1 GiB task results at 200k keys, k=2). Both sides are
-    // equi-keyed on the 8-byte variant hash, which is exactly what a
-    // shuffle hash join partitions on — the only plan shape that holds
-    // at corpus scale.
-    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), "_vh")
+    // (observed: >1 GiB task results at 200k keys, k=2). Of the
+    // non-broadcast strategies, SMJ (not shuffle-hash) is the one that
+    // SPILLS: a shuffle-hash build of a 17M-row neighborhood partition
+    // wants the whole hash relation in task memory and dies where the
+    // sort spills to disk and finishes (observed at 1M keys, k=1).
+    l.hint("merge").join(r.hint("merge"), "_vh")
       .select(col("_fz_lid"), col("_fz_lkey"), col("_fz_rid"), col("_fz_rkey"))
       .dropDuplicates("_fz_lid", "_fz_rid")
       // ONE levenshtein per surviving pair: computed in this projection,

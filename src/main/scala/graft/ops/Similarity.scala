@@ -455,6 +455,32 @@ object Similarity {
         col("score"), col("_list").as("list"))
   }
 
+  /** Cross-corpus EMBEDDING dedup against a persisted [[buildIvfIndex]]
+    * tree — the ANN counterpart of
+    * [[graft.ops.DedupIndex.dedupAgainstIndex]]: drop every `batch` row
+    * whose best probed corpus cosine clears `minCosine`, return the
+    * survivors with their full rows. One [[knnJoinIndexed]] at k = 1
+    * (top-1 ≥ τ iff ANY candidate is — no need to rank deeper) feeds a
+    * left-anti join on id; scale-invariant by construction (cosine), so
+    * rescaled copies of indexed vectors cannot sneak through. The probe
+    * honors the tree's freshness stamp and tombstones via
+    * [[knnJoinIndexed]]; per-batch cost tracks batch size × the probed
+    * corpus fraction — the corpus embeddings are never re-read beyond
+    * the probed lists while the snapshot stands. */
+  def embeddingDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, batch: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 minCosine: Double = 0.99, nprobe: Int = 4,
+                                 verifyAgainst: Option[(DataFrame, String)] = None): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0,
+      s"minCosine must be in (0, 1], got $minCosine")
+    val matched = knnJoinIndexed(spark, path, batch, idCol, vecCol,
+        k = 1, nprobe = nprobe, verifyAgainst = verifyAgainst)
+      .filter(col("score") >= minCosine)
+      .select(col("query_id").as("_m_qid"))
+    batch.join(matched, batch(idCol) === col("_m_qid"), "left_anti")
+  }
+
   /** Build a PERSISTED IVF index — the build-once/probe-many shape that
     * 100 TB ANN actually needs. Every vector is assigned to its nearest
     * centroid of `codebook` (same fixed-point affinity as [[ivfTopK]])

@@ -153,6 +153,55 @@ object EventStream {
         }
       })
 
+  /** Streaming EMBEDDING ingest with the IVF index tracking the
+    * stream — the ANN twin of [[dedupIndexIngestSink]]: each
+    * micro-batch is cosine-deduped against the persisted IVF tree
+    * ([[graft.ops.Similarity.embeddingDedupAgainstIndex]]), its
+    * survivors' vectors are APPENDED into the index
+    * ([[graft.ops.Similarity.appendIvfIndex]] — assignment from the
+    * index's OWN codebook, so probe semantics never drift), and the
+    * survivor rows land in the store table under [[appendSink]]'s
+    * exactly-once batch guard. Batch N+1 thus drops near-copies
+    * (cosine ≥ `minCosine`, scale-invariant) of batch N's survivors
+    * with no manual re-indexing and no streaming state — the index IS
+    * the state, sized to the corpus.
+    *
+    * Replays after a completed index append are detected from index
+    * membership ([[graft.ops.IndexIds.presentIds]], Bloom-fast) and the
+    * survivor set is RECOVERED from it rather than recomputed — a
+    * recompute would match each survivor against its own appended
+    * vector at cosine 1.0 and silently drop the whole batch. Same
+    * contracts as the text/dedup twins: stream ids globally NEW and
+    * monotone vs the index, within-batch duplicate ids refused by the
+    * append's id guard; near-dups WITHIN one batch both land (each
+    * later batch sees both). Per batch at 100 TB: one probe join over
+    * the batch × probed lists, one O(delta) index append — nothing
+    * corpus-sized moves while the snapshot stands. */
+  def embedDedupIngestSink(stream: DataFrame, store: HDFStore, table: String,
+                           checkpoint: String, indexPath: String,
+                           idCol: String, vecCol: String,
+                           minCosine: Double = 0.99, nprobe: Int = 4,
+                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    appendSink(stream, store, table, checkpoint, trigger,
+      transform = batch => {
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.types.LongType
+        val ids = batch.select(col(idCol).cast(LongType).as("id"))
+        val present = graft.ops.IndexIds.presentIds(spark, indexPath, ids,
+          spark.read.parquet(indexPath).select("id"))
+        if (present.limit(1).collect().nonEmpty) {
+          batch.join(present.select(col("id").cast(LongType).as(idCol)),
+            Seq(idCol), "left_semi")
+        } else {
+          val survivors = graft.ops.Similarity.embeddingDedupAgainstIndex(
+            spark, indexPath, batch, idCol, vecCol, minCosine, nprobe)
+            .localCheckpoint(true)
+          graft.ops.Similarity.appendIvfIndex(survivors, idCol, vecCol,
+            indexPath)
+          survivors
+        }
+      })
+
   /** Streaming ingest into a persisted [[graft.ops.TextIndex]]: each
     * micro-batch's documents are appended INTO the text index (postings,
     * BM25 columns, positions, additive `_meta`) and then into the store

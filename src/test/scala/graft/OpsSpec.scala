@@ -240,6 +240,30 @@ class OpsSpec extends AnyFunSuite {
         k = 4, nprobe = 99) }
   }
 
+  test("embeddingDedupAgainstIndex: scaled copy dropped, negated vector survives, threshold guard") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" >= 50)
+    val cb = corpus.select($"vec_id", $"embedding").orderBy("vec_id").limit(8)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val path = TestSpark.tmpDir("embdedup-idx")
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", cb, path)
+    val batch = corpus.filter($"vec_id" === 60)
+      .select(lit(9001L).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+      .unionByName(corpus.filter($"vec_id" === 60)
+        .select(lit(9002L).as("vec_id"),
+          transform($"embedding", x => -x).as("embedding")))
+    val out = Similarity.embeddingDedupAgainstIndex(spark, path, batch,
+        "vec_id", "embedding", minCosine = 0.99, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    // the 2x copy has cosine exactly 1.0 with its source (and probes the
+    // source's own list first); the negation has cosine -1.0 everywhere
+    assert(out == Set(9002L), s"copy must drop, negation must survive: $out")
+    intercept[IllegalArgumentException] {
+      Similarity.embeddingDedupAgainstIndex(spark, path, batch,
+        "vec_id", "embedding", minCosine = 0.0) }
+  }
+
   test("IVF index freshness: append after build is detected, rebuild clears it") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" === 0).select("embedding").collect()(0).getSeq[Float](0)

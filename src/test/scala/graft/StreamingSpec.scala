@@ -404,6 +404,66 @@ class StreamingSpec extends AnyFunSuite {
       s"multi-batch streamed ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("embed ingest sink: batch-2 copy of a batch-1 survivor drops; restart appends nothing") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" >= 100)
+    val cbk = corpus.select($"vec_id", $"embedding").orderBy("vec_id").limit(8)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val idxPath = TestSpark.tmpDir("embing-idx") + "/ivf"
+    graft.ops.Similarity.buildIvfIndex(corpus, "vec_id", "embedding", cbk, idxPath)
+    // b1: 10 genuinely new vectors; b2: 10 more + a 2x copy of a b1
+    // vector — droppable ONLY because b1's survivors joined the index
+    val b1 = emb.filter($"vec_id" < 10).select("vec_id", "embedding")
+    val b2 = emb.filter($"vec_id" >= 10 && $"vec_id" < 20)
+      .select("vec_id", "embedding")
+      .unionByName(emb.filter($"vec_id" === 0)
+        .select(lit(7000L).as("vec_id"),
+          transform($"embedding", x => x * lit(2.0f)).as("embedding")))
+    // expected via the batch ops on an independent index copy
+    val idx2 = TestSpark.tmpDir("embing-idx2") + "/ivf"
+    graft.ops.Similarity.buildIvfIndex(corpus, "vec_id", "embedding", cbk, idx2)
+    val s1 = graft.ops.Similarity.embeddingDedupAgainstIndex(spark, idx2, b1,
+      "vec_id", "embedding", 0.99, 4).localCheckpoint(true)
+    graft.ops.Similarity.appendIvfIndex(s1, "vec_id", "embedding", idx2)
+    val s2 = graft.ops.Similarity.embeddingDedupAgainstIndex(spark, idx2, b2,
+      "vec_id", "embedding", 0.99, 4)
+    val expected = s1.select("vec_id").collect().map(_.getLong(0)).toSet ++
+      s2.select("vec_id").collect().map(_.getLong(0)).toSet
+    val s1ids = s1.select("vec_id").collect().map(_.getLong(0)).toSet
+    // sharpness: the copy drops only through the grown index
+    assert(s1ids.contains(0L) && !expected.contains(7000L),
+      "the 2x copy of surviving vec 0 must be dropped by the GROWN index")
+    val in = new java.io.File(TestSpark.tmpDir("embing-in"))
+    Seq(b1, b2).zipWithIndex.foreach { case (df, i) =>
+      val stage = TestSpark.tmpDir(s"embing-stage$i")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(in, f"b$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + i * 60000L)
+    }
+    val ckpt = TestSpark.tmpDir("embing-ckpt")
+    val st = HDFStore.open(spark,
+      TestSpark.tmpDir("embing-store"), StoreMode.Overwrite)
+    st.put("kept", b1.limit(0))
+    def run(): Unit = EventStream.embedDedupIngestSink(
+      spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in.toString),
+      st, "kept", ckpt, idxPath, "vec_id", "embedding", 0.99, 4)
+      .awaitTermination()
+    run()
+    val streamed = st.table("kept").df.select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == expected,
+      s"stream ${streamed.size} vs sequential-batch ${expected.size}")
+    val indexRows = spark.read.parquet(idxPath).count()
+    // restart with no new data: nothing re-appends to store OR index
+    run()
+    assert(st.table("kept").df.count() == expected.size)
+    assert(spark.read.parquet(idxPath).count() == indexRows)
+  }
+
   test("countMin ingest sink: streamed merge == one-shot sketch, restart no-op, guard refusals") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def toks(df: org.apache.spark.sql.DataFrame) = df
