@@ -1864,6 +1864,19 @@ object SparkEntry {
           col("list"))
     }),
 
+    // batch ADC join over the composed tree: per-query top-10 for 5
+    // simultaneous queries — LUTs computed once per query AS COLUMNS,
+    // candidates from each query's own probed lists, codes-only scan
+    "x_knn_ivfpq_join" -> ((s, d) => {
+      val emb = embs(s, d)
+      graft.ops.Quantize.ivfPqKnnJoin(s, ivfPqIndex(s, d),
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 4, verifyAgainst = Some((emb, "vec_id")))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 6).as("score"), col("list"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // the same probe against an IVF+PQ index grown incrementally with
     // the index's own coarse and PQ codebooks
     "x_knn_ivfpq_append" -> ((s, d) => {
@@ -2861,6 +2874,44 @@ object SparkEntry {
      """SELECT c.vec_id, round(sc, 6) AS score, c.list FROM scored JOIN cand c ON c.vec_id = scored.vec_id """ +
      """ORDER BY sc DESC, c.vec_id LIMIT 10""")
 
+  /** [[ivfPqOracle]] generalized to 5 simultaneous queries — LUT and qq
+    * gain a qid dimension, probes/candidates/ADC group per (qid, vec),
+    * the top-k becomes a per-qid window. */
+  private def ivfPqJoinOracle: String =
+    ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings), """ +
+     """norms AS (SELECT vec_id, SUM(CAST(round((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxx FROM el GROUP BY vec_id), """ +
+     """cl AS (SELECT vec_id AS cid, i, x AS cx FROM el WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)), """ +
+     """aff AS (SELECT el.vec_id, cl.cid, """ +
+     """SUM(CAST(round((CAST(el.x AS DOUBLE) * CAST(cl.cx AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxy """ +
+     """FROM el JOIN cl USING (i) GROUP BY 1, 2), """ +
+     """ascore AS (SELECT a.vec_id, a.cid, CAST(a.dxy AS DOUBLE) / sqrt(CAST(n.dxx AS DOUBLE)) AS s """ +
+     """FROM aff a JOIN norms n ON n.vec_id = a.cid), """ +
+     """ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM ascore), """ +
+     """assign AS (SELECT vec_id, cid AS list FROM ranked WHERE rn = 1), """ +
+     """probes AS (SELECT vec_id AS qid, cid AS list FROM ranked WHERE rn <= 4 AND vec_id < 5), """ +
+     """cand AS (SELECT p.qid, a.vec_id, a.list FROM assign a JOIN probes p USING (list)), """ +
+     """els AS (SELECT vec_id, CAST((i-1)//8 AS INT) AS s, CAST((i-1)%8 AS INT) AS w, CAST(x AS DOUBLE) AS x FROM el), """ +
+     """cb AS (SELECT s, vec_id AS c, w, x AS cx FROM els WHERE vec_id < 16), """ +
+     """cc AS (SELECT s, c, SUM(CAST(round((cx*cx)*1e15) AS BIGINT))::BIGINT AS cc FROM cb GROUP BY 1, 2), """ +
+     """xc AS (SELECT e.vec_id, e.s, b.c, SUM(CAST(round((e.x*b.cx)*1e15) AS BIGINT))::BIGINT AS xc """ +
+     """FROM els e JOIN cb b ON b.s = e.s AND b.w = e.w GROUP BY 1, 2, 3), """ +
+     """codek AS (SELECT x.vec_id, x.s, x.c, 2*x.xc - c2.cc AS key FROM xc x JOIN cc c2 ON c2.s = x.s AND c2.c = x.c), """ +
+     """code AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY key DESC, c) AS rn FROM codek) WHERE rn = 1), """ +
+     """q AS (SELECT vec_id AS qid, s, w, x AS qx FROM els WHERE vec_id < 5), """ +
+     """lut AS (SELECT q2.qid, b.s, b.c, SUM(CAST(round((q2.qx*b.cx)*1e15) AS BIGINT))::BIGINT AS dt """ +
+     """FROM cb b JOIN q q2 ON q2.s = b.s AND q2.w = b.w GROUP BY 1, 2, 3), """ +
+     """qq AS (SELECT qid, SUM(CAST(round((qx*qx)*1e15) AS BIGINT))::BIGINT AS v FROM q GROUP BY 1), """ +
+     """adc AS (SELECT cand.qid, code.vec_id, cand.list, SUM(l.dt)::BIGINT AS dt, SUM(c2.cc)::BIGINT AS nn """ +
+     """FROM code JOIN cand ON cand.vec_id = code.vec_id """ +
+     """JOIN lut l ON l.qid = cand.qid AND l.s = code.s AND l.c = code.c """ +
+     """JOIN cc c2 ON c2.s = code.s AND c2.c = code.c GROUP BY 1, 2, 3), """ +
+     """scored AS (SELECT a.qid, a.vec_id, a.list, CAST(a.dt AS DOUBLE) / """ +
+     """(sqrt(CAST(qq.v AS DOUBLE)) * sqrt(CAST(a.nn AS DOUBLE))) AS sc FROM adc a JOIN qq USING (qid)), """ +
+     """topk AS (SELECT qid, vec_id, sc, list FROM (SELECT qid, vec_id, sc, list, """ +
+     """row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rn FROM scored) WHERE rn <= 10) """ +
+     """SELECT qid AS query_id, vec_id AS neighbor_id, round(sc, 6) AS score, list """ +
+     """FROM topk ORDER BY query_id, neighbor_id""")
+
   /** Shared by `x_knn_ivf_trained` and `x_knn_ivf_indexed`: the persisted
     * index materializes the same trained assignment the query-time path
     * computes, so both must return this exact top-k. */
@@ -3392,6 +3443,9 @@ object SparkEntry {
     // IVF+PQ composed: candidates from the 4 probed seed lists, plain
     // ADC scores over their codes
     "x_knn_ivfpq" -> ivfPqOracle,
+
+    // the batch ADC join: per-query probes/LUTs/top-k over 5 queries
+    "x_knn_ivfpq_join" -> ivfPqJoinOracle,
 
     // the incrementally-grown composed index serves the identical top-k
     "x_knn_ivfpq_append" -> ivfPqOracle,

@@ -483,6 +483,85 @@ object Quantize {
       .limit(k)
   }
 
+  /** [[adcScore]] with PER-ROW lookup tables: `lutCol` is an
+    * `array<array<long>>` column (m × ksub) carried on the joined row,
+    * `qqCol` the query's fixed-point self-dot — the batch-join form
+    * where the query is a COLUMN, not a literal. Codeword self-norms
+    * stay literal (they belong to the index, not the query). */
+  private def adcScoreCols(codesCol: Column, lutCol: Column,
+                           cc: Seq[Seq[Long]], qqCol: Column): Column = {
+    def lutAt(s: Int): Column = element_at(element_at(lutCol, s + 1),
+      element_at(codesCol, s + 1).cast(IntegerType) + 1)
+    def ccAt(s: Int): Column = element_at(typedLit(cc(s)),
+      element_at(codesCol, s + 1).cast(IntegerType) + 1)
+    val dotSum = cc.indices.map(lutAt).reduce(_ + _)
+    val nnSum = cc.indices.map(ccAt).reduce(_ + _)
+    dotSum.cast(DoubleType) /
+      (sqrt(qqCol.cast(DoubleType)) * sqrt(nnSum.cast(DoubleType)))
+  }
+
+  /** Batch ADC kNN JOIN against a persisted [[buildIvfPqIndex]] tree —
+    * [[Similarity.knnJoinIndexed]] over COMPRESSED codes: the per-query
+    * top-k for EVERY row of `queries` in one job, reading only
+    * `(id, codes, list)` (m·2 bytes per corpus row — zero float-vector
+    * I/O, the whole point at 100 TB).
+    *
+    * Per query row, the m×ksub ADC lookup table is computed ONCE as a
+    * COLUMN (ksub fixed-point sub-dots per subspace — ~ksub full-dot
+    * cost, amortized over every candidate it meets) and rides the
+    * nprobe-exploded probe rows through the coarse-list equi-join;
+    * each (query, candidate) pair then costs m array lookups. The
+    * probed-list union prunes unprobed directories at file listing
+    * (bounded by nlist — one tiny distinct); tombstones are anti-joined
+    * away; per-query/candidate scores are IDENTICAL to
+    * [[ivfPqTopKIndexed]] with the same tree and nprobe. Output:
+    * (`query_id`, `neighbor_id`, `score`, `list`), ≤ k rows per query,
+    * ties to the smaller neighbor id. */
+  def ivfPqKnnJoin(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, qIdCol: String, qVecCol: String,
+                   k: Int, nprobe: Int,
+                   verifyAgainst: Option[(DataFrame, String)] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    verifyAgainst.foreach { case (df, idCol) =>
+      requireIvfPqFresh(spark, path, df, idCol) }
+    val coarseCb = loadIvfPqCoarse(spark, path)
+    val cbs = loadIvfPqCodebooks(spark, path)
+    require(nprobe >= 1 && nprobe <= coarseCb.size,
+      s"need 1 <= nprobe <= nlist=${coarseCb.size}, got $nprobe")
+    val dyy = Similarity.centroidNorms(spark, coarseCb)
+    val cc = codewordNorms(spark, cbs)
+    val dsub = cbs.head.head.length
+    val qv = col(qVecCol)
+    val probeArr = transform(
+      slice(array_sort(array(coarseCb.zipWithIndex.map { case (c, j) =>
+        struct((-(Similarity.dotFixed(qv, typedLit(c)).cast(DoubleType) /
+          sqrt(lit(dyy(j)).cast(DoubleType)))).as("ns"),
+          lit(j.toLong).as("cid"))
+      }: _*)), 1, nprobe),
+      s => s.getField("cid"))
+    val lutCol = array(cbs.zipWithIndex.map { case (cb, s) =>
+      array(cb.map(c =>
+        Similarity.dotFixed(subVec(qv, s, dsub), typedLit(c))): _*)
+    }: _*)
+    val querySide = queries.select(col(qIdCol).as("_qid"), lutCol.as("_lut"),
+      Similarity.dotFixed(qv, qv).as("_qq"), explode(probeArr).as("_list"))
+    val usedLists = querySide.select(col("_list")).distinct()
+      .collect().map(_.getLong(0)) // ≤ nlist values by construction
+    val corpusSide = IndexMaintenance.minusTombstones(spark, path,
+        spark.read.parquet(path).filter(col("list").isin(usedLists: _*)), "id")
+      .select(col("id").as("_nid"), col("codes").as("_codes"),
+        col("list").cast(LongType).as("_list"))
+    val scored = querySide.join(corpusSide, "_list")
+      .select(col("_qid"), col("_nid"), col("_list"),
+        adcScoreCols(col("_codes"), col("_lut"), cc, col("_qq")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("score").desc, col("_nid"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_qid").as("query_id"), col("_nid").as("neighbor_id"),
+        col("score"), col("_list").as("list"))
+  }
+
   /** Top-k ADC probe against a persisted index: reads ONLY the
     * `(id, codes)` rows — m·2 bytes of code per row, zero float-vector
     * I/O — scores each through the driver-literal lookup tables, and

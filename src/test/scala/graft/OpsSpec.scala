@@ -2057,6 +2057,45 @@ class OpsSpec extends AnyFunSuite {
     Quantize.requireIvfPqFresh(spark, grown, embsDf, "vec_id")
   }
 
+  test("ivfPqKnnJoin: per-query results equal single-query probes, codes-only pruned scan, guards") {
+    import graft.ops.Quantize
+    val embsDf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val coarse = embsDf.orderBy("vec_id").limit(8)
+      .collect().toSeq.map(_.getSeq[Float](1).map(_.toDouble).toSeq)
+    val cbs = Quantize.pqCodebooks(embsDf, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 0)
+    val path = TestSpark.tmpDir("ivfpq-join") + "/ipq"
+    Quantize.buildIvfPqIndex(embsDf, "vec_id", "embedding", coarse, cbs, path)
+    val queries = embsDf.filter($"vec_id".isin(2L, 11L, 29L))
+    val joined = Quantize.ivfPqKnnJoin(spark, path, queries,
+      "vec_id", "embedding", k = 6, nprobe = 3)
+    val byQuery = joined.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    // the batch join must serve, per query, exactly the single-query probe
+    Seq(2L, 11L, 29L).foreach { qid =>
+      val q = embsDf.filter($"vec_id" === qid)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      val single = Quantize.ivfPqTopKIndexed(spark, path, q, 6, 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      val got = byQuery(qid).sortBy(t => (-t._3, t._2))
+        .map(t => (t._2, t._3, t._4)).toSeq
+      assert(got == single, s"query $qid: batch join != single-query probe")
+    }
+    // codes-only, pruned: some scan prunes on list; no embedding column
+    // is read from the INDEX (the query side necessarily reads its own)
+    val plan = joined.queryExecution.executedPlan.toString
+    val pfs = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toList
+    assert(pfs.exists(_.contains("list")), plan)
+    intercept[IllegalArgumentException] {
+      Quantize.ivfPqKnnJoin(spark, path, queries, "vec_id", "embedding",
+        k = 0, nprobe = 3) }
+    intercept[IllegalArgumentException] {
+      Quantize.ivfPqKnnJoin(spark, path, queries, "vec_id", "embedding",
+        k = 5, nprobe = 99) }
+  }
+
   test("dedup index: stale index refused, rebuild clears it") {
     val ref = docsDf.filter($"doc_id" < 4)
     val path = TestSpark.tmpDir("dedup-idx-stale")
