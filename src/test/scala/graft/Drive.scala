@@ -500,6 +500,39 @@ object Drive {
       "knnJoin: every query must rank itself first")
     println(s"knnJoin -> 8 queries x top-3, self-first everywhere")
 
+    println("== r9 drive: embedding cross-dedup, batch ADC join, streamed token stats")
+    val edCorpus = embAll.filter(col("vec_id") >= 100)
+    val edCb = edCorpus.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(8).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val edPath = java.nio.file.Files.createTempDirectory("drive-ed").toString + "/ivf"
+    graft.ops.Similarity.buildIvfIndex(edCorpus, "vec_id", "embedding", edCb, edPath)
+    val edBatch = embAll.filter(col("vec_id") < 10).select("vec_id", "embedding")
+      .unionByName(edCorpus.filter(col("vec_id") < 105)
+        .select((col("vec_id") + 80000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(3.0f)).as("embedding")))
+    val edOut = graft.ops.Similarity.embeddingDedupAgainstIndex(
+        spark, edPath, edBatch, "vec_id", "embedding", 0.99, 4)
+      .collect().map(_.getLong(0)).toSet
+    require(edOut.forall(_ < 80000L) && edOut.nonEmpty,
+      s"every 3x corpus copy must drop: $edOut")
+    println(s"embeddingDedupAgainstIndex -> ${edOut.size}/15 survive; all 5 scaled copies dropped")
+
+    val pqCoarse = embAll.orderBy("vec_id").limit(8)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val pqCbs2 = graft.ops.Quantize.pqCodebooks(embAll, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 0)
+    val pqPath = java.nio.file.Files.createTempDirectory("drive-pq").toString + "/ipq"
+    graft.ops.Quantize.buildIvfPqIndex(embAll, "vec_id", "embedding",
+      pqCoarse, pqCbs2, pqPath)
+    val pqJoin = graft.ops.Quantize.ivfPqKnnJoin(spark, pqPath,
+        embAll.filter(col("vec_id") < 6), "vec_id", "embedding", k = 3, nprobe = 3)
+      .collect().groupBy(_.getLong(0))
+    require(pqJoin.size == 6 && pqJoin.forall { case (q, rows) =>
+      rows.sortBy(r => (-r.getDouble(2), r.getLong(1))).head.getLong(1) == q },
+      "ADC batch join: every query must rank itself first (score 1.0 vs own codes)")
+    println("ivfPqKnnJoin -> 6 queries x top-3 over compressed codes, self-first everywhere")
+
     spark.stop()
     println("== drive done")
   }
