@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Per-query bench regression diff between two committed bench records.
+
+Usage: python3 tools/bench_diff.py bench_r08.json bench_r09.json [min_delta_sec]
+
+Prints queries present in both (sorted by delta, worst first), then
+queries only in one record (added/removed). Medians are already
+warmed-up per-query medians, so a delta here is a plan change, not
+noise — but treat sub-0.3 s deltas as within host jitter anyway.
+"""
+import json
+import sys
+
+
+def main(old_path, new_path, min_delta=0.3):
+    old = json.load(open(old_path))["queries"]
+    new = json.load(open(new_path))["queries"]
+    both = sorted(set(old) & set(new), key=lambda q: new[q] - old[q],
+                  reverse=True)
+    moved = [(q, old[q], new[q]) for q in both
+             if abs(new[q] - old[q]) >= min_delta]
+    print(f"# {old_path} -> {new_path}")
+    print(f"shared={len(both)} added={len(set(new) - set(old))} "
+          f"removed={len(set(old) - set(new))} "
+          f"total {sum(old.values()):.2f}s -> {sum(new.values()):.2f}s")
+    if moved:
+        print(f"\n## movers (|delta| >= {min_delta}s)")
+        for q, a, b in moved:
+            print(f"{b - a:+7.2f}s  {a:7.2f} -> {b:7.2f}  {q}")
+    added = sorted(set(new) - set(old), key=lambda q: -new[q])
+    if added:
+        print("\n## added")
+        for q in added:
+            print(f"         {new[q]:7.2f}           {q}")
+    removed = sorted(set(old) - set(new))
+    if removed:
+        print("\n## removed")
+        for q in removed:
+            print(f"         {old[q]:7.2f}           {q}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2],
+         float(sys.argv[3]) if len(sys.argv) > 3 else 0.3)
