@@ -2748,7 +2748,31 @@ object SparkEntry {
         .select(col("id"), col("nBytes").as("n_bytes"),
           element_at(col("features"), 1).cast(DoubleType).as("f0"),
           element_at(col("features"), 2).cast(DoubleType).as("f1"))
-        .orderBy("id"))
+        .orderBy("id")),
+
+    // multimodal resize plumbing: decoded dims clamped to 128x128, the
+    // payload cropped to the byte budget, the meta struct rewritten —
+    // the resized BYTES are gated (hex digest column), not just shapes
+    "x_multimodal_resize" -> ((s, d) =>
+      Multimodal.resizeStub(
+          Multimodal.decodeStub(Multimodal.attachPayload(docs(s, d), "text")),
+          maxW = 128, maxH = 128)
+        .select(col("doc_id"),
+          col("resized_meta.width").as("width"),
+          col("resized_meta.height").as("height"),
+          col("resized_meta.nBytes").as("n_resized"),
+          lower(hex(col("resized"))).as("payload_hex"))
+        .orderBy("doc_id")),
+
+    // multimodal frame sampling (video analog): n byte-slice "frames"
+    // per payload, exploded to (doc, frame_idx, frame bytes) rows
+    "x_multimodal_frames" -> ((s, d) =>
+      Multimodal.frameSample(
+          Multimodal.attachPayload(docs(s, d), "text"), n = 4)
+        .select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_idx", "f")))
+        .select(col("doc_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+          lower(hex(col("f"))).as("frame_hex"))
+        .orderBy("doc_id", "frame_idx"))
   )
 
   /** Shared CTE chain: planted near-dups → shingle hashes → 32-hash
@@ -3972,6 +3996,31 @@ object SparkEntry {
        """SELECT h.doc_id AS id, h.len::BIGINT AS n_bytes, """ +
        """(coalesce(cnt.c0, 0)::REAL / greatest(h.len, 1)::REAL)::DOUBLE AS f0, """ +
        """(coalesce(cnt.c1, 0)::REAL / greatest(h.len, 1)::REAL)::DOUBLE AS f1 """ +
-       """FROM h LEFT JOIN cnt USING (doc_id) ORDER BY id""")
+       """FROM h LEFT JOIN cnt USING (doc_id) ORDER BY id"""),
+
+    // resize mirror: decode-stub dims from sha256 clamped at 128, the
+    // byte slice mirrored on the HEX string (2 chars per byte — DuckDB
+    // has no BLOB substring; VARCHAR substring clamps like Spark's)
+    "x_multimodal_resize" ->
+      (s"""WITH m AS (SELECT doc_id, encode(text) AS pl, """ +
+       s"""least(((${hexsql("sha256(text)")} % 512) + 64), 128)::INT AS w, """ +
+       s"""least((((${hexsql("sha256(text)")} >> 9) % 512) + 64), 128)::INT AS h FROM documents) """ +
+       """SELECT doc_id, w AS width, h AS height, """ +
+       """least(octet_length(pl), w * h)::BIGINT AS n_resized, """ +
+       """lower(substring(hex(pl), 1, 2 * w * h)) AS payload_hex """ +
+       """FROM m ORDER BY doc_id"""),
+
+    // frame-sampling mirror on the hex string: Spark's
+    // cast(double -> int) truncates and every position here is
+    // positive, so trunc() reproduces it; byte pos p, len L map to hex
+    // (2p-1, 2L)
+    "x_multimodal_frames" ->
+      ("""WITH p AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len FROM documents), """ +
+       """g AS (SELECT doc_id, hx, greatest(len / 4, 1) AS fl FROM p), """ +
+       """f AS (SELECT doc_id, i, """ +
+       """substring(hx, 2 * CAST(trunc(i * fl + 1) AS INT) - 1, 2 * CAST(trunc(fl) AS INT)) AS fr """ +
+       """FROM g CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) s) """ +
+       """SELECT doc_id, i::BIGINT AS frame_idx, lower(fr) AS frame_hex """ +
+       """FROM f ORDER BY doc_id, frame_idx""")
   )
 }

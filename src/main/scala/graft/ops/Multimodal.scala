@@ -53,6 +53,27 @@ object Multimodal {
           greatest(len / n, lit(1)).cast(IntegerType))))
   }
 
+  /** Resize (image analog): deterministic fake that CROPS the payload to
+    * the clamped `width × height` byte budget and rewrites the metadata
+    * struct beside it — the plumbing contract (payload + decoded meta
+    * in, `resized` payload + `resized_meta` out, pure map-side
+    * expressions, no shuffle) is real; a production deployment swaps the
+    * crop for a real scaler behind the same signature. Requires
+    * [[decodeStub]]'s `media_meta` upstream. */
+  def resizeStub(df: DataFrame, maxW: Int, maxH: Int,
+                 payloadCol: String = "payload"): DataFrame = {
+    require(maxW > 0 && maxH > 0, s"target dims must be positive, got ($maxW, $maxH)")
+    val meta = col("media_meta")
+    val w = least(meta.getField("width"), lit(maxW))
+    val h = least(meta.getField("height"), lit(maxH))
+    df.withColumn("resized",
+        col(payloadCol).substr(lit(1), (w * h).cast(IntegerType)))
+      .withColumn("resized_meta", struct(
+        meta.getField("format").as("format"),
+        w.as("width"), h.as("height"),
+        length(col("resized")).cast(LongType).as("nBytes")))
+  }
+
   /** Batch featurization via `mapPartitions` — the real-decoder batch
     * contract: one iterator per partition, reusable per-partition context,
     * fixed-dim `Array[Float]` out. The fake featurizer is a deterministic

@@ -2276,6 +2276,20 @@ class OpsSpec extends AnyFunSuite {
     val frames = Multimodal.frameSample(Multimodal.attachPayload(docsDf, "text"), 4)
       .select(size($"frames")).collect()
     assert(frames.forall(_.getInt(0) == 4))
+    // resize plumbing: dims clamp at the target, the resized payload is
+    // the w*h-byte crop, and the meta struct tracks the actual bytes
+    val rz = Multimodal.resizeStub(df, maxW = 80, maxH = 80)
+      .select($"doc_id", $"media_meta.width", $"media_meta.height",
+        $"resized_meta.width", $"resized_meta.height",
+        length($"payload"), length($"resized"), $"resized_meta.nBytes")
+      .collect()
+    rz.foreach { r =>
+      val (w0, h0, w1, h1) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(w1 == math.min(w0, 80) && h1 == math.min(h0, 80))
+      assert(r.getInt(6) == math.min(r.getInt(5), w1 * h1)) // crop length
+      assert(r.getLong(7) == r.getInt(6).toLong)            // meta tracks bytes
+    }
+    intercept[IllegalArgumentException] { Multimodal.resizeStub(df, 0, 10) }
   }
 
   test("product quantization: codes, ADC ranking, trained codebooks, brute-force spec parity") {
