@@ -1864,6 +1864,18 @@ object SparkEntry {
           col("list"))
     }),
 
+    // SQ8 scalar quantization: per-dim affine byte codes (4x), query
+    // full-precision, corpus scored against its dequantized codes —
+    // params, codes, dequant, and fixed-point scores all replayed
+    "x_knn_sq" -> ((s, d) => {
+      val emb = embs(s, d)
+      val (mins, maxs) = graft.ops.Quantize.sqParams(emb, "embedding", 64)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      graft.ops.Quantize.sqTopK(emb, "vec_id", "embedding", q, 10, mins, maxs)
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     // batch ADC join over the composed tree: per-query top-10 for 5
     // simultaneous queries — LUTs computed once per query AS COLUMNS,
     // candidates from each query's own probed lists, codes-only scan
@@ -3470,6 +3482,22 @@ object SparkEntry {
 
     // the batch ADC join: per-query probes/LUTs/top-k over 5 queries
     "x_knn_ivfpq_join" -> ivfPqJoinOracle,
+
+    // SQ8: per-dim min/max params, affine byte codes, dequantized
+    // fixed-point cosine — the whole chain recomputed from scratch
+    "x_knn_sq" ->
+      ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings), """ +
+       """mm AS (SELECT i, min(x)::DOUBLE AS mn, max(x)::DOUBLE AS mx FROM el GROUP BY 1), """ +
+       """cd AS (SELECT el.vec_id, el.i, """ +
+       """CASE WHEN (mm.mx - mm.mn) > 0 THEN least(greatest(floor(((CAST(el.x AS DOUBLE) - mm.mn) * 255) / (mm.mx - mm.mn)), 0), 255) ELSE 0 END AS c, """ +
+       """mm.mn AS mn, mm.mx - mm.mn AS rng FROM el JOIN mm USING (i)), """ +
+       """dq AS (SELECT vec_id, i, mn + ((c * rng) / 255) AS v FROM cd), """ +
+       """q AS (SELECT i, CAST(x AS DOUBLE) AS qx FROM el WHERE vec_id = 0), """ +
+       """qq AS (SELECT SUM(CAST(round((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS v FROM el WHERE vec_id = 0), """ +
+       """sc AS (SELECT dq.vec_id, SUM(CAST(round((q.qx * dq.v) * 1e15) AS BIGINT))::BIGINT AS dt, """ +
+       """SUM(CAST(round((dq.v * dq.v) * 1e15) AS BIGINT))::BIGINT AS nn FROM dq JOIN q USING (i) GROUP BY 1), """ +
+       """fin AS (SELECT vec_id, CAST(dt AS DOUBLE) / (sqrt((SELECT CAST(v AS DOUBLE) FROM qq)) * sqrt(CAST(nn AS DOUBLE))) AS s FROM sc) """ +
+       """SELECT vec_id, round(s, 6) AS score FROM fin ORDER BY s DESC, vec_id LIMIT 10"""),
 
     // the incrementally-grown composed index serves the identical top-k
     "x_knn_ivfpq_append" -> ivfPqOracle,

@@ -2057,6 +2057,41 @@ class OpsSpec extends AnyFunSuite {
     Quantize.requireIvfPqFresh(spark, grown, embsDf, "vec_id")
   }
 
+  test("SQ8: hand-checkable codes, degenerate dims, near-lossless self rank, brute recall") {
+    import graft.ops.Quantize
+    // dim0 spans [0,2], dim1 is constant (degenerate -> code 0), dim2 spans [-1,1]
+    val vecs = Seq(
+      (0L, Array(0.0f, 5.0f, -1.0f)),
+      (1L, Array(2.0f, 5.0f, 1.0f)),
+      (2L, Array(1.0f, 5.0f, 0.0f))).toDF("vec_id", "embedding")
+    val (mins, maxs) = Quantize.sqParams(vecs, "embedding", 3)
+    assert(mins == Seq(0.0, 5.0, -1.0) && maxs == Seq(2.0, 5.0, 1.0))
+    val codes = Quantize.sqEncode(vecs, "vec_id", "embedding", mins, maxs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // floor((x-min)*255/range): 0->0, 2->255, 1->127; constant dim -> 0
+    assert(codes(0L) == Seq(0, 0, 0), codes.toString)
+    assert(codes(1L) == Seq(255, 0, 255), codes.toString)
+    assert(codes(2L) == Seq(127, 0, 127), codes.toString)
+    // real fixture: the query ranks itself first with a near-1 score
+    // (quantization error only), and SQ8's top-10 overlaps brute cosine
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (m2, x2) = Quantize.sqParams(emb, "embedding", 64)
+    val q = emb.filter($"vec_id" === 7)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val top = Quantize.sqTopK(emb, "vec_id", "embedding", q, 10, m2, x2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.head._1 == 7L && top.head._2 > 0.999,
+      s"self must rank first near-losslessly: ${top.head}")
+    val brute = Similarity.topK(emb, "vec_id", "embedding", q, 10,
+      exactDecimal = true).collect().map(_.getLong(0)).toSet
+    assert(top.map(_._1).count(brute) >= 8,
+      s"SQ8 top-10 must agree with brute on >= 8/10: ${top.map(_._1).toSeq}")
+    intercept[IllegalArgumentException] {
+      Quantize.sqTopK(emb, "vec_id", "embedding", q, 0, m2, x2) }
+    intercept[IllegalArgumentException] {
+      Quantize.sqTopK(emb, "vec_id", "embedding", q.take(10), 5, m2, x2) }
+  }
+
   test("ivfPqKnnJoin: per-query results equal single-query probes, codes-only pruned scan, guards") {
     import graft.ops.Quantize
     val embsDf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
