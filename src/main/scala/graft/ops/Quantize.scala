@@ -520,7 +520,8 @@ object Quantize {
   def ivfPqKnnJoin(spark: org.apache.spark.sql.SparkSession, path: String,
                    queries: DataFrame, qIdCol: String, qVecCol: String,
                    k: Int, nprobe: Int,
-                   verifyAgainst: Option[(DataFrame, String)] = None): DataFrame = {
+                   verifyAgainst: Option[(DataFrame, String)] = None,
+                   pruneLists: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     verifyAgainst.foreach { case (df, idCol) =>
       requireIvfPqFresh(spark, path, df, idCol) }
@@ -545,10 +546,17 @@ object Quantize {
     }: _*)
     val querySide = queries.select(col(qIdCol).as("_qid"), lutCol.as("_lut"),
       Similarity.dotFixed(qv, qv).as("_qq"), explode(probeArr).as("_list"))
-    val usedLists = querySide.select(col("_list")).distinct()
-      .collect().map(_.getLong(0)) // ≤ nlist values by construction
-    val corpusSide = IndexMaintenance.minusTombstones(spark, path,
-        spark.read.parquet(path).filter(col("list").isin(usedLists: _*)), "id")
+    // pruning pays one extra query-side pass (the distinct re-evaluates
+    // the probe ranking + LUT projection): right for small/clustered
+    // batches, skippable (pruneLists = false) for batches that would
+    // probe most lists anyway
+    val base = spark.read.parquet(path)
+    val pruned = if (pruneLists) {
+      val usedLists = querySide.select(col("_list")).distinct()
+        .collect().map(_.getLong(0)) // ≤ nlist values by construction
+      base.filter(col("list").isin(usedLists: _*))
+    } else base
+    val corpusSide = IndexMaintenance.minusTombstones(spark, path, pruned, "id")
       .select(col("id").as("_nid"), col("codes").as("_codes"),
         col("list").cast(LongType).as("_list"))
     val scored = querySide.join(corpusSide, "_list")

@@ -418,7 +418,8 @@ object Similarity {
   def knnJoinIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, qIdCol: String, qVecCol: String,
                      k: Int, nprobe: Int,
-                     verifyAgainst: Option[(DataFrame, String)] = None): DataFrame = {
+                     verifyAgainst: Option[(DataFrame, String)] = None,
+                     pruneLists: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     verifyAgainst.foreach { case (df, idc) => requireIvfFresh(spark, path, df, idc) }
     val codebook = loadIvfCodebook(spark, path)
@@ -435,10 +436,17 @@ object Similarity {
       col(qVecCol).as("_qvec"),
       dotFixed(col(qVecCol), col(qVecCol)).as("_qq"),
       explode(probeArr).as("_list"))
-    val usedLists = querySide.select(col("_list")).distinct()
-      .collect().map(_.getLong(0)) // ≤ nlist values by construction
-    val corpusSide = IndexMaintenance.minusTombstones(spark, path,
-        spark.read.parquet(path).filter(col("list").isin(usedLists: _*)), "id")
+    // file-listing pruning costs one extra query-side pass (the distinct
+    // re-evaluates the per-row probe ranking) — a win for small or
+    // clustered batches; a batch probing most lists anyway should pass
+    // pruneLists = false and pay one scan of every list instead
+    val base = spark.read.parquet(path)
+    val pruned = if (pruneLists) {
+      val usedLists = querySide.select(col("_list")).distinct()
+        .collect().map(_.getLong(0)) // ≤ nlist values by construction
+      base.filter(col("list").isin(usedLists: _*))
+    } else base
+    val corpusSide = IndexMaintenance.minusTombstones(spark, path, pruned, "id")
       .select(col("id").as("_nid"), col("vec").as("_nvec"),
         dotFixed(col("vec"), col("vec")).as("_nn"),
         col("list").cast(LongType).as("_list"))
