@@ -2546,6 +2546,39 @@ object SparkEntry {
       }
     }),
 
+    // quality-filtered ingest: the NB model trained on the (planted)
+    // even docs gates the odd-doc stream — two controlled batches
+    // through the production sink, survivors = exactly the docs the
+    // model scores positive, replayed end-to-end by the shared oracle
+    "x_stream_classify" -> ((s, d) => {
+      val st = store(s, d)
+      st.synchronized {
+        val planted = docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"),
+              lit(" premium curated encyclopedic exemplar prose")))
+            .otherwise(col("text")).as("text"))
+        val train = planted.filter(col("doc_id") % 2 === 0)
+          .withColumn("label",
+            when(col("doc_id") % 3 === 0, 1L).otherwise(0L))
+        val model = graft.ops.Classifier.trainNaiveBayes(
+          train, "label", "text", nBuckets = 4096)
+        val odd = planted.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "text")
+        if (st.isTable("stream/quality")) st.drop("stream/quality")
+        st.put("stream/quality", odd.limit(0))
+        withStagedBatches(s, Seq(
+          odd.filter(col("doc_id") < 250),
+          odd.filter(col("doc_id") >= 250))) { (src, ckpt) =>
+          graft.streaming.EventStream.classifierFilterSink(src, st,
+            "stream/quality", ckpt, model, "doc_id", "text")
+            .awaitTermination()
+        }
+        localized(s,
+          st.table("stream/quality").df.select("doc_id").orderBy("doc_id"))
+      }
+    }),
+
     // streaming EMBEDDING ingest with the IVF index tracking the
     // stream: two controlled micro-batches through the ANN sink —
     // batch 2 plants scaled copies of BATCH-1 vectors (dropped only
@@ -3025,6 +3058,34 @@ object SparkEntry {
     "fin AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2) " +
     "SELECT vec_id FROM fin ORDER BY vec_id"
   }
+
+  /** Naive-Bayes chain (planted labels, class counts, log-ratios,
+    * prior, decimal term sums) shared by x_classify_nb and the
+    * classifier-filtered ingest gate. */
+  private def nbOracleCtes: String =
+    ("""WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 """ +
+       """THEN text || ' premium curated encyclopedic exemplar prose' """ +
+       """ELSE text END AS text FROM documents), """ +
+       """tr AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y, text FROM planted WHERE doc_id % 2 = 0), """ +
+       s"""trf AS (SELECT y, ${h60sql("t")} % 4096 AS b FROM """ +
+       """(SELECT y, unnest(string_split_regex(lower(text), '\s+')) AS t FROM tr) z WHERE t <> ''), """ +
+       """cnt AS (SELECT y, b, count(*)::BIGINT AS c FROM trf GROUP BY 1, 2), """ +
+       """tot AS (SELECT coalesce(sum(CASE WHEN y = 1 THEN c END), 0)::BIGINT AS t1, """ +
+       """coalesce(sum(CASE WHEN y = 0 THEN c END), 0)::BIGINT AS t0 FROM cnt), """ +
+       """pri AS (SELECT ln(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::DOUBLE / """ +
+       """sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::DOUBLE) AS lp FROM tr), """ +
+       """lr AS (SELECT b, ln((coalesce(max(CASE WHEN y = 1 THEN c END), 0) + 1)::DOUBLE / (tot.t1 + 4096)::DOUBLE) """ +
+       """- ln((coalesce(max(CASE WHEN y = 0 THEN c END), 0) + 1)::DOUBLE / (tot.t0 + 4096)::DOUBLE) AS lr """ +
+       """FROM cnt CROSS JOIN tot GROUP BY b, tot.t1, tot.t0), """ +
+       """dflt AS (SELECT ln(1::DOUBLE / (t1 + 4096)::DOUBLE) - ln(1::DOUBLE / (t0 + 4096)::DOUBLE) AS d FROM tot), """ +
+       """te AS (SELECT doc_id, text FROM planted WHERE doc_id % 2 = 1), """ +
+       s"""tef AS (SELECT doc_id, ${h60sql("t")} % 4096 AS b FROM """ +
+       """(SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t FROM te) w WHERE t <> ''), """ +
+       """tfq AS (SELECT doc_id, b, count(*)::BIGINT AS tf FROM tef GROUP BY 1, 2), """ +
+       """terms AS (SELECT t.doc_id, t.tf, CAST(t.tf * coalesce(lr.lr, dflt.d) AS DECIMAL(28,12)) AS term """ +
+       """FROM tfq t LEFT JOIN lr USING (b) CROSS JOIN dflt), """ +
+       """sc AS (SELECT doc_id, sum(tf)::BIGINT AS nf, (sum(term)::DOUBLE + pri.lp) AS s """ +
+       """FROM terms CROSS JOIN pri GROUP BY doc_id, pri.lp) """)
 
   private def knnJoinOracle: String =
     ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings), """ +
@@ -3845,32 +3906,16 @@ object SparkEntry {
     // default), document-count prior, decimal term sums — the exact
     // arithmetic of Classifier.trainNaiveBayes/scoreNaiveBayes
     "x_classify_nb" ->
-      ("""WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 """ +
-       """THEN text || ' premium curated encyclopedic exemplar prose' """ +
-       """ELSE text END AS text FROM documents), """ +
-       """tr AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y, text FROM planted WHERE doc_id % 2 = 0), """ +
-       s"""trf AS (SELECT y, ${h60sql("t")} % 4096 AS b FROM """ +
-       """(SELECT y, unnest(string_split_regex(lower(text), '\s+')) AS t FROM tr) z WHERE t <> ''), """ +
-       """cnt AS (SELECT y, b, count(*)::BIGINT AS c FROM trf GROUP BY 1, 2), """ +
-       """tot AS (SELECT coalesce(sum(CASE WHEN y = 1 THEN c END), 0)::BIGINT AS t1, """ +
-       """coalesce(sum(CASE WHEN y = 0 THEN c END), 0)::BIGINT AS t0 FROM cnt), """ +
-       """pri AS (SELECT ln(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::DOUBLE / """ +
-       """sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::DOUBLE) AS lp FROM tr), """ +
-       """lr AS (SELECT b, ln((coalesce(max(CASE WHEN y = 1 THEN c END), 0) + 1)::DOUBLE / (tot.t1 + 4096)::DOUBLE) """ +
-       """- ln((coalesce(max(CASE WHEN y = 0 THEN c END), 0) + 1)::DOUBLE / (tot.t0 + 4096)::DOUBLE) AS lr """ +
-       """FROM cnt CROSS JOIN tot GROUP BY b, tot.t1, tot.t0), """ +
-       """dflt AS (SELECT ln(1::DOUBLE / (t1 + 4096)::DOUBLE) - ln(1::DOUBLE / (t0 + 4096)::DOUBLE) AS d FROM tot), """ +
-       """te AS (SELECT doc_id, text FROM planted WHERE doc_id % 2 = 1), """ +
-       s"""tef AS (SELECT doc_id, ${h60sql("t")} % 4096 AS b FROM """ +
-       """(SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t FROM te) w WHERE t <> ''), """ +
-       """tfq AS (SELECT doc_id, b, count(*)::BIGINT AS tf FROM tef GROUP BY 1, 2), """ +
-       """terms AS (SELECT t.doc_id, t.tf, CAST(t.tf * coalesce(lr.lr, dflt.d) AS DECIMAL(28,12)) AS term """ +
-       """FROM tfq t LEFT JOIN lr USING (b) CROSS JOIN dflt), """ +
-       """sc AS (SELECT doc_id, sum(tf)::BIGINT AS nf, (sum(term)::DOUBLE + pri.lp) AS s """ +
-       """FROM terms CROSS JOIN pri GROUP BY doc_id, pri.lp) """ +
+      (nbOracleCtes +
        """SELECT te.doc_id, coalesce(sc.nf, 0)::BIGINT AS n_feats, round(sc.s, 6) AS nb_score, """ +
        """(CASE WHEN sc.s IS NULL THEN NULL WHEN sc.s > 0 THEN 1 ELSE 0 END)::BIGINT AS nb_pred """ +
        """FROM te LEFT JOIN sc USING (doc_id) ORDER BY te.doc_id"""),
+
+    // the classifier-filtered ingest sink stores exactly the docs the
+    // trained model scores positive — same CTE chain, filtered final
+    "x_stream_classify" ->
+      (nbOracleCtes +
+       """SELECT te.doc_id FROM te JOIN sc USING (doc_id) WHERE sc.s > 0 ORDER BY te.doc_id"""),
 
     "x_repetition" ->
       (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents), """ +

@@ -249,6 +249,31 @@ object EventStream {
         batch
       })
 
+  /** Quality-filtered ingest: each micro-batch is scored by a TRAINED
+    * [[graft.ops.Classifier.NbModel]] (the fastText-style NB quality
+    * filter — train offline on a labeled sample, [[graft.ops.Classifier.loadModel]]
+    * it here) and only rows with `nb_score > minScore` land in the
+    * store table, under [[appendSink]]'s exactly-once batch guard. The
+    * model rides the closure as a broadcast-sized constant; scoring is
+    * one broadcast-join pass per batch, so the sink is stateless —
+    * per-row decisions, no cross-batch coupling, replay-safe by the
+    * guard alone. Featureless documents score NULL and are DROPPED
+    * (NULL > x is never true): route empties to their own sink if they
+    * must be kept. */
+  def classifierFilterSink(stream: DataFrame, store: HDFStore, table: String,
+                           checkpoint: String,
+                           model: graft.ops.Classifier.NbModel,
+                           idCol: String, textCol: String,
+                           minScore: Double = 0.0,
+                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    appendSink(stream, store, table, checkpoint, trigger,
+      transform = batch => {
+        val keep = graft.ops.Classifier
+          .scoreNaiveBayes(batch, model, idCol, textCol)
+          .filter(col("nb_score") > minScore).select(col(idCol))
+        batch.join(keep, Seq(idCol), "left_semi")
+      })
+
   /** Continuously-maintained corpus token statistics: each micro-batch's
     * Count-Min sketch merges into the persisted tree at `path` —
     * cell-for-cell identical to a one-shot batch sketch over everything

@@ -464,6 +464,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(idxPath).count() == indexRows)
   }
 
+  test("classifier filter sink: stream == batch filter, planted spam dropped, restart no-op") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val planted = docs.select($"doc_id",
+      when($"doc_id" % 3 === 0,
+        concat($"text", lit(" premium curated exemplar prose sample")))
+        .otherwise($"text").as("text"))
+    val train = planted.filter($"doc_id" % 2 === 0)
+      .withColumn("label", when($"doc_id" % 3 === 0, 1L).otherwise(0L))
+    val model = graft.ops.Classifier.trainNaiveBayes(train, "label", "text", 2048)
+    val odd = planted.filter($"doc_id" % 2 === 1).select("doc_id", "text")
+    val expected = graft.ops.Classifier
+      .scoreNaiveBayes(odd, model, "doc_id", "text")
+      .filter($"nb_score" > 0.0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val pos = odd.filter($"doc_id" % 3 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(pos.subsetOf(expected) && expected.size < odd.count(),
+      "the planted curated docs must pass and at least one plain doc must not")
+    val in = TestSpark.tmpDir("clsink-in")
+    odd.filter($"doc_id" < 250).coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1100)
+    odd.filter($"doc_id" >= 250).coalesce(1).write.mode("append").parquet(in)
+    val ckpt = TestSpark.tmpDir("clsink-ckpt")
+    val st = HDFStore.open(spark,
+      TestSpark.tmpDir("clsink-store"), StoreMode.Overwrite)
+    st.put("kept", odd.limit(0))
+    def run(): Unit = EventStream.classifierFilterSink(
+      spark.readStream.schema(odd.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in), st, "kept", ckpt, model, "doc_id", "text")
+      .awaitTermination()
+    run()
+    val streamed = st.table("kept").df.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == expected, s"stream ${streamed.size} vs batch ${expected.size}")
+    run() // restart with no new data: guard blocks any re-append
+    assert(st.table("kept").df.count() == expected.size)
+  }
+
   test("countMin ingest sink: streamed merge == one-shot sketch, restart no-op, guard refusals") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def toks(df: org.apache.spark.sql.DataFrame) = df
