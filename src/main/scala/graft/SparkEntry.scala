@@ -1570,6 +1570,17 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup: spherical k-means clusters (1 Lloyd iteration — the
+    // x_kmeans_assign assignment), then pairwise fixed-point cosine
+    // ONLY within a cluster; a row is dropped iff some lower-id
+    // same-cluster row clears the threshold. τ=0.4 sits in the natural
+    // tail of the fixture's within-cluster cosine distribution, so the
+    // gate exercises real semantic drops, not planted copies
+    "x_dedup_semantic" -> ((s, d) =>
+      Dedup.semanticDedup(embs(s, d), "vec_id", "embedding",
+          k = 8, iters = 1, minCosine = 0.4)
+        .orderBy("vec_id")),
+
     // brute-force cosine top-10 (exact-decimal kernel for the oracle)
     "x_knn_cosine" -> ((s, d) => {
       val q = embs(s, d).filter(col("vec_id") === 0)
@@ -3371,6 +3382,23 @@ object SparkEntry {
        """SELECT vec_id, CASE WHEN vec_id >= 1000000 THEN vec_id - 1000000 ELSE vec_id END AS cluster, """ +
        """CAST(CASE WHEN vec_id >= 1000000 THEN 0 ELSE 1 END AS BIGINT) AS keep """ +
        """FROM allv ORDER BY vec_id"""),
+
+    // SemDeDup replayed from scratch: the x_kmeans_assign CTEs give the
+    // cluster labels, then every within-cluster (lower-id, higher-id)
+    // pair is scored with the identical 1e-15 fixed-point cosine —
+    // integer dot sums, one sqrt/multiply/divide chain — so each
+    // keep/drop decision (threshold comparison included) is bit-exact
+    "x_dedup_semantic" ->
+      (s"""WITH $kmeansCtes, """ +
+       """asg AS (SELECT vec_id, j AS list FROM (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn FROM s1) WHERE rn = 1), """ +
+       """nrm AS (SELECT vec_id, SUM(CAST(round(x * x * 1e15) AS BIGINT))::BIGINT AS dxx FROM el GROUP BY 1), """ +
+       """pe AS (SELECT a.vec_id AS id1, b.vec_id AS id2 FROM asg a JOIN asg b ON a.list = b.list AND a.vec_id < b.vec_id), """ +
+       """dt AS (SELECT p.id1, p.id2, SUM(CAST(round(e1.x * e2.x * 1e15) AS BIGINT))::BIGINT AS dxy """ +
+       """FROM pe p JOIN el e1 ON e1.vec_id = p.id1 JOIN el e2 ON e2.vec_id = p.id2 AND e2.i = e1.i GROUP BY 1, 2), """ +
+       """dup AS (SELECT DISTINCT d.id2 AS vec_id FROM dt d JOIN nrm n1 ON n1.vec_id = d.id1 JOIN nrm n2 ON n2.vec_id = d.id2 """ +
+       """WHERE CAST(d.dxy AS DOUBLE) / (sqrt(CAST(n1.dxx AS DOUBLE)) * sqrt(CAST(n2.dxx AS DOUBLE))) >= 0.4) """ +
+       """SELECT a.vec_id, a.list AS cluster, CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep """ +
+       """FROM asg a LEFT JOIN dup USING (vec_id) ORDER BY a.vec_id"""),
 
     "x_knn_cosine" ->
       ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings), """ +

@@ -757,4 +757,60 @@ object Dedup {
         Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by spherical k-means clustering, then pairwise cosine
+    * ONLY within a cluster. Where [[embeddingNearDup]]'s LSH buckets
+    * catch NEAR-copies (cosine ≈ 1, same hyperplane signature), the
+    * cluster pass casts a wider net — semantically-redundant documents
+    * at moderate cosine that hash to different LSH buckets — which is
+    * exactly the regime the paper showed prunes web-scale corpora
+    * without hurting model quality.
+    *
+    * Retention is the paper's upper-triangular rule made total by the
+    * id order: a row is dropped iff SOME lower-id row in its cluster
+    * clears `minCosine` (whether or not that row itself survives).
+    * Output: one row per well-formed input — (`idCol`, `cluster`,
+    * `keep`), `keep` ∈ {0, 1}; `filter(col("keep") === 1)` is the
+    * semantically-deduplicated corpus.
+    *
+    * Scale shape: clustering is [[Similarity.kmeansCodebook]]'s one
+    * scan-with-k-fused-dots per Lloyd round (vectors never shuffle);
+    * the pair stage is a self-equi-join on the cluster id, so the
+    * quadratic term is Σ|cluster|² — `k` is the cost dial, sized so the
+    * expected cluster (n/k rows) fits a task (the paper runs k ≈ 10⁵
+    * for 10⁸ docs); AQE splits residual hot clusters since the key is a
+    * plain equi key. Row norms are computed ONCE per row before the
+    * join — the join itself does a single fused fixed-point dot per
+    * candidate pair, and only (id, cluster) survive past it.
+    *
+    * Cross-engine determinism: assignment is [[Similarity.kmeansAssign]]
+    * (1e-15 fixed-point affinities, ties to the smaller list), and the
+    * pair cosine is [[Similarity.cosineFixed]] term-for-term — integer
+    * dot sums, then one sqrt/multiply/divide chain in correctly-rounded
+    * doubles — so a SQL oracle reproduces every keep/drop decision
+    * bit-for-bit, threshold comparisons included. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 8, iters: Int = 1, minCosine: Double = 0.9,
+                    dim: Int = 64): DataFrame = {
+    val wellFormed = df.filter(
+      size(col(vecCol)) === dim && forall(col(vecCol), x => x.isNotNull))
+    val cb = Similarity.kmeansCodebook(wellFormed, idCol, vecCol, k, iters)
+    val dyy = Similarity.centroidNorms(df.sparkSession, cb)
+    val assigned = wellFormed.select(col(idCol).as("doc"), col(vecCol).as("v"),
+      Similarity.nearestCentroid(col(vecCol), cb, dyy).as("cluster"),
+      sqrt(Similarity.dotFixed(col(vecCol), col(vecCol)).cast(DoubleType))
+        .as("nrm"))
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.doc") < col("b.doc"))
+      // identical arithmetic to cosineFixed, with the self-dot factors
+      // hoisted out of the join as the per-row `nrm`
+      .filter(Similarity.dotFixed(col("a.v"), col("b.v")).cast(DoubleType) /
+        (col("a.nrm") * col("b.nrm")) >= minCosine)
+      .select(col("b.doc").as("doc")).distinct()
+    assigned.select(col("doc"), col("cluster"))
+      .join(dups.withColumn("dup", lit(1L)), Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("cluster"),
+        col("dup").isNull.cast(LongType).as("keep"))
+  }
 }

@@ -1209,6 +1209,62 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0L) == ((0L, true)) && out(1L) == ((1L, true)))
   }
 
+  test("semanticDedup: keep-first within planted clusters, cross-cluster pairs never compared") {
+    // two tight clusters on orthogonal axes; ids 0,1 are the k=2 seeds.
+    // cluster A holds three mutual near-dups (0, 2, 10): keep-first
+    // retains only 0 — 2 drops against 0, 10 drops against 0 AND 2
+    // (dropping against an already-dropped row is the paper's
+    // upper-triangular rule). cluster B's pair (1, 3) sits at cosine
+    // ~0.71 — kept at τ=0.9 even though a cross-cluster comparison
+    // would never have been made for it anyway.
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.05f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.05f)),
+      (2L, Seq(1.001f, 0.0f, 0.0501f, 0.0f)),  // scaled copy of 0
+      (3L, Seq(0.05f, 1.0f, 0.0f, 1.0f)),      // same cluster as 1, far
+      (10L, Seq(0.999f, 0.0f, 0.05f, 0.0f))    // near-copy of 0 and 2
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+        k = 2, iters = 1, minCosine = 0.9, dim = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 10L))
+    assert(out(0L)._2 == 1L && out(1L)._2 == 1L && out(3L)._2 == 1L)
+    assert(out(2L)._2 == 0L && out(10L)._2 == 0L)
+    assert(out(0L)._1 == out(2L)._1 && out(0L)._1 == out(10L)._1)
+    assert(out(1L)._1 == out(3L)._1 && out(0L)._1 != out(1L)._1)
+  }
+
+  test("semanticDedup: driver-side brute-force parity on the fixture") {
+    // mirror the whole decision procedure in plain Scala: the gated
+    // kmeansAssign labels, then within-cluster pairwise fixed-point
+    // cosine with keep-first — every keep/drop bit must match
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tau = 0.35 // in the fixture's natural tail: some drops, most kept
+    val got = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        k = 8, iters = 1, minCosine = tau)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val lab = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dotFixed(a: Array[Double], b: Array[Double]): Long =
+      a.indices.map(i => math.rint(a(i) * b(i) * 1e15).toLong).sum
+    val ids = vecs.keys.toSeq.sorted
+    val nrm = ids.map(id => id -> math.sqrt(dotFixed(vecs(id), vecs(id)).toDouble)).toMap
+    val dropped = (for {
+      i <- ids; j <- ids
+      if i < j && lab(i) == lab(j) &&
+        dotFixed(vecs(i), vecs(j)).toDouble / (nrm(i) * nrm(j)) >= tau
+    } yield j).toSet
+    assert(got.keySet == ids.toSet)
+    ids.foreach { id =>
+      assert(got(id)._1 == lab(id), s"cluster mismatch at $id")
+      assert(got(id)._2 == (if (dropped(id)) 0L else 1L), s"keep mismatch at $id")
+    }
+    assert(dropped.nonEmpty, "fixture + tau must exercise real drops")
+    assert(dropped.size < ids.size / 2, "most of the corpus must survive")
+  }
+
   test("ngramOverlapBloom == exact ngramOverlap; exact even at saturating fpp; empty bench") {
     val bench = docsDf.filter(col("doc_id") < 2)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
