@@ -332,13 +332,16 @@ object Similarity {
     *
     * Scale shape: cost is |corpus|·nlist dots for assignment plus the
     * probed-fraction join (~nprobe/nlist of |queries|·|corpus| when
-    * lists balance), never the full cross product. The join key has
-    * only `nlist` distinct values by design — size `nlist` to spread
-    * the cluster (≥ executor count) and let AQE split residual hot
-    * lists; norms are computed ONCE per row before the join, so the
-    * join itself does a single fused dot per candidate. Per-query
-    * ranking shuffles (query id, k candidates) — never vectors — after
-    * the projection drops them.
+    * lists balance), never the full cross product. That fraction IS the
+    * cost dial: size `nlist` ≈ √|corpus| (the standard IVF rule) so a
+    * batch of Q queries scores ~Q·nprobe·√N candidates, not Q·N/16 —
+    * and it also spreads the join across the cluster (the key has only
+    * nlist distinct values; AQE splits residual hot lists). Norms are
+    * computed ONCE per row before the join, so the join itself does a
+    * single fused dot per candidate ([[Quantize.ivfPqKnnJoin]] replaces
+    * even that with m table lookups). Per-query ranking shuffles
+    * (query id, k candidates) — never vectors — after the projection
+    * drops them.
     *
     * Determinism: the [[ivfTopK]] contract per query — identical
     * fixed-point affinities, probe ties to the smaller list id, result

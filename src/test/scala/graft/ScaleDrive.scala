@@ -123,6 +123,40 @@ object ScaleDrive {
         "query vector must rank itself first from its own probed list")
     }
 
+    // batch probe at volume: 250 query rows (125 corpus members + 125
+    // 2x-scaled corpus copies at shifted ids) against the 1M-vector
+    // tree in ONE job — every query's top-1 must be its (source)
+    // corpus vector at cosine 1.0. Cost truth: candidate pairs =
+    // |Q| · nprobe/nlist · |corpus| exact dots; this drive's nlist=16
+    // makes the probed fraction a deliberately pessimistic 1/8 (250
+    // queries → 31M pairs; a measured 2k-query run scored its 250M
+    // pairs correctly in ~550 s — the per-pair cost is real, which is
+    // exactly why a production 1M-vector tree sizes nlist ≈ √N ≈ 1000,
+    // cutting the fraction 60×, and why huge batches move to the
+    // compressed ivfPqKnnJoin where the dot becomes m lookups). The
+    // assertion here is plan shape + exactness: ONE equi-join + window
+    // instead of |Q| separate probe jobs, zero wrong top-1s.
+    println("== batch kNN join: 250 queries x 1M-vector persisted index")
+    val qBatch = vecs.filter(col("vec_id") < 125)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(vecs.filter(col("vec_id") >= 125 && col("vec_id") < 250)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      .localCheckpoint(true)
+    time("knnJoinIndexed (k=1, nprobe=2, 250 queries)") {
+      val top1 = graft.ops.Similarity.knnJoinIndexed(spark, idxPath, qBatch,
+          "vec_id", "embedding", k = 1, nprobe = 2)
+        .collect()
+      assert(top1.length == 250, s"every query answered, got ${top1.length}")
+      val self = top1.count(r => r.getLong(1) == r.getLong(0))
+      val copies = top1.count(r => r.getLong(0) >= 10000000L &&
+        r.getLong(1) == r.getLong(0) - 10000000L &&
+        math.abs(r.getDouble(2) - 1.0) < 1e-9)
+      assert(self == 125, s"corpus members must self-match, got $self")
+      assert(copies == 125,
+        s"every scaled copy must find its source at cosine 1.0, got $copies")
+    }
+
     // PQ at volume: 1M 64-dim float vectors (~256 MB of vector data)
     // become 1M x 8 codeword indices; the composed IVF+PQ probe reads
     // 2/16 list directories AND only code rows — no float-vector I/O.
