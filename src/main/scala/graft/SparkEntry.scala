@@ -2289,6 +2289,20 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // KMV corpus-overlap: 3-gram shingle Jaccard between the even- and
+    // odd-id halves of the corpus from two bounded k-min sketches —
+    // ~16k distinct union shingles sampled by k=256, nothing
+    // corpus-sized moves, yet every output value is exact arithmetic
+    // over the deterministic k-min sets
+    "x_sketch_overlap" -> ((s, d) => {
+      val sh = docs(s, d).select(col("doc_id"),
+          explode(Dedup.shingleArray(col("text"), 3)).as("t"))
+        .select(col("doc_id"), TextStats.hash60(col("t")).as("h"))
+      graft.ops.Sketch.kmvOverlap(
+        sh.filter(col("doc_id") % 2 === 0), "h",
+        sh.filter(col("doc_id") % 2 === 1), "h", 256)
+    }),
+
     // sequence packing: documents laid out in id order per source and
     // assigned to contiguous 4096-token packs (training-shard layout)
     "x_sample_pack" -> ((s, d) => {
@@ -3977,6 +3991,29 @@ object SparkEntry {
        """SELECT lang, CASE WHEN exact < 256 THEN exact """ +
        """ELSE CAST(floor(255 * 1152921504606846976.0 / hk + 0.5) AS BIGINT) END AS est_distinct, """ +
        """exact AS exact_distinct FROM x ORDER BY lang"""),
+
+    // KMV overlap replayed exactly: the union k-min via a row_number
+    // window with per-side membership flags, then the same floor(·+0.5)
+    // estimator arithmetic — all six values bit-for-bit
+    "x_sketch_overlap" ->
+      (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents), """ +
+       """shr AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
+       """i -> array_to_string(l[i:i+2], ' '))) AS t FROM toks), """ +
+       s"""ha AS (SELECT DISTINCT ${h60sql("t")} AS h FROM shr WHERE doc_id % 2 = 0), """ +
+       s"""hb AS (SELECT DISTINCT ${h60sql("t")} AS h FROM shr WHERE doc_id % 2 = 1), """ +
+       """un AS (SELECT h, max(a) AS in_a, max(b) AS in_b FROM """ +
+       """(SELECT h, 1 AS a, 0 AS b FROM ha UNION ALL SELECT h, 0 AS a, 1 AS b FROM hb) u GROUP BY 1), """ +
+       """r AS (SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rn FROM un), """ +
+       """ag AS (SELECT count(*) AS total, least(count(*), 256) AS nk, """ +
+       """count(*) FILTER (WHERE rn <= 256 AND in_a = 1 AND in_b = 1) AS inter, """ +
+       """max(CASE WHEN rn = 256 THEN h END) AS hk FROM r), """ +
+       """ue AS (SELECT *, CASE WHEN total < 256 THEN total """ +
+       """ELSE CAST(floor(255 * 1152921504606846976.0 / hk + 0.5) AS BIGINT) END AS union_est FROM ag) """ +
+       """SELECT 256::BIGINT AS k, nk::BIGINT AS n_kmin, union_est::BIGINT AS union_est, """ +
+       """inter::BIGINT AS inter_kmin, """ +
+       """CAST(inter AS DOUBLE) / CAST(nk AS DOUBLE) AS jaccard_est, """ +
+       """CAST(floor(CAST(inter AS DOUBLE) / CAST(nk AS DOUBLE) * CAST(union_est AS DOUBLE) + 0.5) AS BIGINT) AS inter_est """ +
+       """FROM ue"""),
 
     "x_sample_pack" ->
       (s"""WITH c AS (SELECT doc_id, COALESCE(source, '') AS source, len($TOK)::BIGINT AS n_tokens FROM documents), """ +

@@ -97,6 +97,26 @@ object Sketch {
       org.apache.spark.sql.functions.udaf(this, Encoders.LONG)
   }
 
+  /** [[KMV]] with the raw k-min set as the OUTPUT instead of the
+    * estimate — the composable form: two corpora's k-min sets support
+    * union/intersection estimates ([[kmvOverlap]]) that a scalar
+    * estimate cannot. Same buffer, same merge, so the retained set is
+    * bit-identical to [[KMV]]'s. */
+  case class KMVSet(k: Int)
+      extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+    private val base = KMV(k)
+    override def zero: Array[Long] = base.zero
+    override def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] =
+      base.reduce(buf, h)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      base.merge(a, b)
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def toUdaf: org.apache.spark.sql.expressions.UserDefinedFunction =
+      org.apache.spark.sql.functions.udaf(this, Encoders.LONG)
+  }
+
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions._
 
@@ -374,6 +394,59 @@ object Sketch {
 
   // bucket_i(token) = hash60("cm:<i>:" + token) mod width — row-salted
   // portable hashing, reproducible in any engine
+  /** Corpus-overlap estimate from two KMV sketches (Beyer et al.,
+    * SIGMOD'07 set-operation estimators): how much does corpus B's
+    * vocabulary / shingle set overlap corpus A's? The question behind
+    * "is this new crawl snapshot worth ingesting" and "how redundant
+    * are these two sources", answered WITHOUT a distinct-join between
+    * corpora.
+    *
+    * Method: the k smallest distinct hashes of A ∪ B are a uniform
+    * sample of the union, and they are fully contained in
+    * kmin(A) ∪ kmin(B) — moreover membership of each union-k-min hash
+    * in A (resp. B) is decidable from A's (resp. B's) own k-min set
+    * alone (a union k-min hash that belongs to A must be among A's k
+    * smallest). So two bounded single-pass aggregations suffice:
+    * Jaccard ≈ |{h ∈ kmin(A∪B) : h ∈ A ∧ h ∈ B}| / |kmin(A∪B)|, the
+    * union size by the [[KMV]] estimator, and the intersection size as
+    * their product. Below k distinct union hashes everything is exact.
+    *
+    * Scale shape: one bounded-state aggregation per side (map-side
+    * combined, k 8-byte values per partition cross the shuffle); only
+    * 2k longs reach the driver, where the merge is a 2k two-pointer
+    * pass. Nothing corpus-sized moves — compare an exact overlap, which
+    * shuffles every distinct hash of both corpora.
+    *
+    * Determinism: hashes are the caller's (use [[TextStats.hash60]]),
+    * the union k-min is [[KMV]]'s merge, and every estimate is the
+    * portable floor(·+0.5) arithmetic — a SQL engine reproduces all six
+    * output values bit-for-bit.
+    *
+    * Output (one row): `k`, `n_kmin` (union k-min size, < k iff exact),
+    * `union_est`, `inter_kmin` (intersection hits inside the k-min
+    * sample), `jaccard_est`, `inter_est`. */
+  def kmvOverlap(a: DataFrame, hashColA: String,
+                 b: DataFrame, hashColB: String, k: Int = 256): DataFrame = {
+    val agg = KMVSet(k).toUdaf
+    def kmin(df: DataFrame, c: String): Array[Long] =
+      df.agg(agg(col(c))).collect()(0).getSeq[Long](0).toArray
+    val (sa, sb) = (kmin(a, hashColA), kmin(b, hashColB))
+    val merged = KMV(k).merge(sa, sb)
+    val (inA, inB) = (sa.toSet, sb.toSet)
+    val nk = merged.length
+    val inter = merged.count(h => inA(h) && inB(h))
+    val unionEst =
+      if (nk < k) nk.toLong
+      else Math.floor((k - 1).toDouble * Two60 / merged.last + 0.5).toLong
+    val jaccard = if (nk == 0) 0.0 else inter.toDouble / nk.toDouble
+    val interEst = Math.floor(jaccard * unionEst.toDouble + 0.5).toLong
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((k.toLong, nk.toLong, unionEst, inter.toLong, jaccard, interEst))
+      .toDF("k", "n_kmin", "union_est", "inter_kmin", "jaccard_est",
+        "inter_est")
+  }
+
   private def cmBucket(token: org.apache.spark.sql.Column, i: Int,
                        width: Int): org.apache.spark.sql.Column =
     pmod(TextStats.hash60(concat(lit(s"cm:$i:"), token)), lit(width.toLong))

@@ -1561,6 +1561,40 @@ class OpsSpec extends AnyFunSuite {
     assert(dup.agg(kmv($"h")).collect()(0).getLong(0) == est)
   }
 
+  test("kmvOverlap: exact below k, driver-mirror exact above k, partition-invariant") {
+    // exact regime: 15 distinct union hashes, 5 shared — every output
+    // value is the true one
+    val a = spark.range(1, 11).select($"id".as("h"))     // 1..10
+    val b = spark.range(6, 16).select($"id".as("h"))     // 6..15
+    val ex = Sketch.kmvOverlap(a, "h", b, "h", k = 64).collect()(0)
+    assert((ex.getLong(0), ex.getLong(1), ex.getLong(2), ex.getLong(3)) ==
+      ((64L, 15L, 15L, 5L)))
+    assert(math.abs(ex.getDouble(4) - 5.0 / 15.0) < 1e-15)
+    assert(ex.getLong(5) == 5L)
+    // sketch regime: 6k-distinct sides with 2k shared, k=64 — mirror
+    // the whole estimator from the raw hashes and require bit-equality
+    def hs(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(TextStats.hash60($"id".cast("string")).as("h"))
+    val (bigA, bigB) = (hs(0, 4000), hs(2000, 6000))
+    val got = Sketch.kmvOverlap(bigA, "h", bigB, "h", k = 64).collect()(0)
+    val rawA = bigA.collect().map(_.getLong(0)).toSet
+    val rawB = bigB.collect().map(_.getLong(0)).toSet
+    val kmin = (rawA ++ rawB).toSeq.sorted.take(64)
+    val inter = kmin.count(h => rawA(h) && rawB(h))
+    val uEst = Math.floor(63.0 * Sketch.Two60 / kmin.last + 0.5).toLong
+    val j = inter.toDouble / 64.0
+    assert(got.getLong(1) == 64L && got.getLong(2) == uEst)
+    assert(got.getLong(3) == inter.toLong && got.getDouble(4) == j)
+    assert(got.getLong(5) == Math.floor(j * uEst.toDouble + 0.5).toLong)
+    // and the estimates are actually good: truth is union 6000, J = 1/3
+    assert(math.abs(uEst - 6000.0) / 6000.0 < 0.25)
+    assert(math.abs(j - 1.0 / 3.0) < 0.15)
+    // partition layout cannot change a deterministic sketch
+    val got8 = Sketch.kmvOverlap(bigA.repartition(8), "h",
+      bigB.repartition(5), "h", k = 64).collect()(0)
+    assert(got8.getLong(2) == got.getLong(2) && got8.getDouble(4) == got.getDouble(4))
+  }
+
   test("profile: rank-based discrete percentiles, nulls excluded, per-group") {
     val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L),
       ("b", 7L), ("b", 9L)).toDF("g", "v")
