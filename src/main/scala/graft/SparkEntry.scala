@@ -2141,6 +2141,14 @@ object SparkEntry {
           round(col("lm_score"), 6).as("lm_score"))
         .orderBy("doc_id")),
 
+    // trigram conditional LM: mean add-one log p(w|u,v) with the bigram
+    // context count as the denominator — the next fluency axis up
+    "x_lm_trigram" -> ((s, d) =>
+      TextStats.lmScoreTrigram(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("lm3_score"), 6).as("lm3_score"))
+        .orderBy("doc_id")),
+
     // overlapping fixed-window chunking (embedding/RAG prep): 32-token
     // windows sharing 8 tokens, final window clamped to the doc end
     "x_chunk" -> ((s, d) =>
@@ -3874,6 +3882,24 @@ object SparkEntry {
        """sum(dtf.tf)::BIGINT AS n FROM dtf JOIN bg USING (v, w) JOIN ug ON ug.t = dtf.v, tot GROUP BY 1) """ +
        """SELECT d.doc_id, coalesce(sc.n, 0)::BIGINT AS n_bigrams, """ +
        """round(CAST(sc.s AS DOUBLE) / sc.n, 6) AS lm2_score """ +
+       """FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""),
+
+    "x_lm_trigram" ->
+      (s"""WITH toks AS (SELECT doc_id, list_filter($TOK, t -> t <> '') AS l FROM documents), """ +
+       """tz AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 2), """ +
+       """i -> struct_pack(u := l[i], v := l[i+1], w := l[i+2]))) AS tg FROM toks), """ +
+       """tri AS (SELECT doc_id, tg.u AS u, tg.v AS v, tg.w AS w FROM tz), """ +
+       """dtf AS (SELECT doc_id, u, v, w, count(*)::BIGINT AS tf FROM tri GROUP BY 1, 2, 3, 4), """ +
+       """tg AS (SELECT u, v, w, sum(tf)::BIGINT AS c_tg FROM dtf GROUP BY 1, 2, 3), """ +
+       """bz AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1), """ +
+       """i -> struct_pack(u := l[i], v := l[i+1]))) AS bg FROM toks), """ +
+       """bg AS (SELECT bg.u AS u, bg.v AS v, count(*)::BIGINT AS c_bg FROM bz GROUP BY 1, 2), """ +
+       """ug AS (SELECT count(DISTINCT t)::BIGINT AS v_size FROM (SELECT unnest(l) AS t FROM toks)), """ +
+       """sc AS (SELECT dtf.doc_id, """ +
+       """sum(CAST(dtf.tf * ln((tg.c_tg + 1)::DOUBLE / (bg.c_bg + ug.v_size)::DOUBLE) AS DECIMAL(28,12))) AS s, """ +
+       """sum(dtf.tf)::BIGINT AS n FROM dtf JOIN tg USING (u, v, w) JOIN bg ON bg.u = dtf.u AND bg.v = dtf.v, ug GROUP BY 1) """ +
+       """SELECT d.doc_id, coalesce(sc.n, 0)::BIGINT AS n_trigrams, """ +
+       """round(CAST(sc.s AS DOUBLE) / sc.n, 6) AS lm3_score """ +
        """FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""),
 
     "x_lm_score" ->

@@ -391,6 +391,64 @@ object TextStats {
         col("lm2_score"))
   }
 
+  /** Trigram conditional LM score — the third-order member of the
+    * [[lmScore]] family: mean add-one-smoothed log conditional
+    * probability of each token given its two predecessors, under the
+    * corpus's own trigram model:
+    *
+    *   p(w | u,v)     = (c(u,v,w) + 1) / (c(u,v) + V)
+    *   lm3_score(d)   = Σ_(u,v,w) tf_d(u,v,w)·ln p(w|u,v) / Σ tf_d
+    *
+    * where `c(u,v,w)` is the corpus trigram count, `c(u,v)` the bigram
+    * count of the context (ALL bigram windows, including each document's
+    * final pair — the standard raw-count conditional), and `V` the
+    * unigram vocabulary size. The longer context sharpens the
+    * fluency/perplexity axis further than [[lmScoreBigram]]: locally
+    * plausible word pairs in a globally scrambled document score low.
+    * Empty tokens are dropped BEFORE windowing. Output: one row per
+    * input document (`idCol`, `n_trigrams`, `lm3_score`); documents
+    * with fewer than three tokens keep `n_trigrams` 0 and a null score.
+    *
+    * Scale shape: identical to [[lmScoreBigram]] one order up — per-doc
+    * window aggregation with map-side combine, pre-aggregated trigram /
+    * bigram models before their joins (AQE-splittable), a broadcast
+    * one-row vocabulary total, and exact-DECIMAL term sums so
+    * aggregation order cannot wobble the rounded score. */
+  def lmScoreTrigram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(tokens(col(textCol)), t => t =!= "")
+    // sequence(1, 0) would generate DESCENDING — explicit empty instead
+    def windows(n: Int) = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val tri = df.select(col(idCol), explode(transform(windows(3),
+        i => struct(element_at(toks, i).as("u"), element_at(toks, i + 1).as("v"),
+          element_at(toks, i + 2).as("w")))).as("tg"))
+      .select(col(idCol), col("tg.u").as("u"), col("tg.v").as("v"), col("tg.w").as("w"))
+    val dtf = tri.groupBy(col(idCol), col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val tgModel = dtf.groupBy("u", "v", "w").agg(sum(col("tf")).as("c_tg"))
+    val bgModel = df.select(explode(transform(windows(2),
+        i => struct(element_at(toks, i).as("u"), element_at(toks, i + 1).as("v"))))
+        .as("bg"))
+      .groupBy(col("bg.u").as("u"), col("bg.v").as("v"))
+      .agg(count(lit(1)).as("c_bg"))
+    val totals = broadcast(df.select(explode(toks).as("t"))
+      .agg(countDistinct(col("t")).as("v_size")))
+    val lnP = log((col("c_tg") + lit(1L)).cast(DoubleType) /
+      (col("c_bg") + col("v_size")).cast(DoubleType))
+    val scored = dtf
+      .join(tgModel, Seq("u", "v", "w"))
+      .join(bgModel, Seq("u", "v"))
+      .crossJoin(totals)
+      .select(col(idCol), col("tf"),
+        (col("tf").cast(DoubleType) * lnP).cast(DecimalType(28, 12)).as("term"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n"),
+        (sum(col("term")).cast(DoubleType) / sum(col("tf"))).as("lm3_score"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n"), lit(0L)).as("n_trigrams"),
+        col("lm3_score"))
+  }
+
   /** Corpus vocabulary: the `k` most frequent whitespace tokens with
     * count >= `minCount`, ordered (count desc, token asc) — the
     * tokenizer-training / frequency-table step of a data pipeline.

@@ -1332,6 +1332,33 @@ class OpsSpec extends AnyFunSuite {
       s"shuffled doc must score clearly lower: ${s2(99L)} vs ${s2(0L)}")
   }
 
+  test("lmScoreTrigram: hand-computed conditionals; <3-token docs null; locally-plausible scramble caught") {
+    val df = Seq((1L, "a b c a b c"), (2L, "a b c"), (3L, "a b"), (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextStats.lmScoreTrigram(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    // V=3; tg: (a,b,c)=2+1=3, (b,c,a)=1, (c,a,b)=1
+    // bg contexts (all windows): (a,b)=4, (b,c)=3, (c,a)=1
+    // p(c|a,b)=4/7, p(a|b,c)=2/6, p(b|c,a)=2/4
+    val d1 = (2 * math.log(4.0 / 7) + math.log(2.0 / 6) + math.log(2.0 / 4)) / 4
+    val d2 = math.log(4.0 / 7)
+    assert(out(1L)._1 == 4L && math.abs(out(1L)._2 - d1) < 1e-9)
+    assert(out(2L)._1 == 1L && math.abs(out(2L)._2 - d2) < 1e-9)
+    Seq(3L, 4L, 5L).foreach { id =>
+      assert(out(id)._1 == 0L && out(id)._2.isNaN) }
+    // the case the BIGRAM model cannot see: every adjacent pair of the
+    // scramble exists in the fluent corpus, but the 3-token windows
+    // don't — only the trigram score separates them
+    val fluent = (0L until 10L).map(i => (i, "the cat sat on the mat"))
+    val scramble = Seq((99L, "on the cat sat on the"))
+    val df2 = (fluent ++ scramble).toDF("doc_id", "text")
+    val s3 = TextStats.lmScoreTrigram(df2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s3(99L) < s3(0L) - 0.3,
+      s"scrambled doc must score clearly lower: ${s3(99L)} vs ${s3(0L)}")
+  }
+
   test("persisted bench index: probe == exact overlap; stale refused; empty suite") {
     val bench = docsDf.filter(col("doc_id") < 2)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
