@@ -1772,6 +1772,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_phrase"))
     }),
 
+    // proximity probe: docs holding ALL of the query tokens ranked by
+    // minimal cover span (shortest run of consecutive tokens containing
+    // the three, any order) — adjacency-to-anywhere middle ground,
+    // served entirely from the positional postings' pruned scan
+    "x_text_near" -> ((s, d) => {
+      val path = textIndex(s, d)
+      graft.ops.TextIndex.searchProximity(s, path, "table hash merge", 10,
+          verifyAgainst = Some((docs(s, d), "doc_id")))
+        .select(col("id").as("doc_id"), col("min_span"))
+    }),
+
     // PERSISTED IVF: the same trained codebook, but assignment is built
     // ONCE into a list-partitioned parquet index; the query reads only
     // the 3 probed list directories (partition pruning) — the
@@ -3705,6 +3716,24 @@ object SparkEntry {
        """i -> l[i] = 'table' AND l[i+1] = 'hash')) AS n_phrase FROM toks) """ +
        """SELECT doc_id, n_phrase::BIGINT AS n_phrase FROM c WHERE n_phrase > 0 """ +
        """ORDER BY n_phrase DESC, doc_id LIMIT 10"""),
+
+    // minimal cover span replayed from the raw token sequence: every
+    // occurrence position is tried as a window start; the window must
+    // reach the earliest at-or-after occurrence of each token
+    "x_text_near" ->
+      (s"""WITH toks AS (SELECT doc_id, list_filter($TOK, t -> t <> '') AS l FROM documents), """ +
+       """c AS (SELECT doc_id, """ +
+       """list_filter(generate_series(1, len(l)), i -> l[i] = 'table') AS p1, """ +
+       """list_filter(generate_series(1, len(l)), i -> l[i] = 'hash') AS p2, """ +
+       """list_filter(generate_series(1, len(l)), i -> l[i] = 'merge') AS p3 FROM toks), """ +
+       """ok AS (SELECT doc_id, p1, p2, p3 FROM c WHERE len(p1) > 0 AND len(p2) > 0 AND len(p3) > 0), """ +
+       """sp AS (SELECT doc_id, list_min(list_transform(list_concat(list_concat(p1, p2), p3), s -> """ +
+       """CASE WHEN len(list_filter(p1, p -> p >= s)) > 0 AND len(list_filter(p2, p -> p >= s)) > 0 """ +
+       """AND len(list_filter(p3, p -> p >= s)) > 0 """ +
+       """THEN greatest(list_min(list_filter(p1, p -> p >= s)), list_min(list_filter(p2, p -> p >= s)), """ +
+       """list_min(list_filter(p3, p -> p >= s))) - s + 1 ELSE NULL END)) AS min_span FROM ok) """ +
+       """SELECT doc_id, min_span::BIGINT AS min_span FROM sp """ +
+       """ORDER BY min_span, doc_id LIMIT 10"""),
 
     "x_lang_id" ->
       (s"""WITH c AS (SELECT doc_id, lang, """ +

@@ -394,6 +394,72 @@ object TextIndex {
       .limit(k)
   }
 
+  /** PROXIMITY probe: top-`k` documents containing every distinct
+    * query token, ranked by MINIMAL COVER SPAN — the length of the
+    * shortest run of consecutive tokens containing all query tokens in
+    * ANY order — as (`id`, `min_span`), ordered (span asc, id). The
+    * middle ground between [[searchAllTokens]] (AND anywhere in the
+    * document) and [[searchPhrase]] (exact adjacency): "these terms
+    * discussed TOGETHER", the topical-search / near-verbatim-
+    * contamination shape. A span of `|query|` means the tokens are
+    * adjacent in some order.
+    *
+    * Algorithm (per candidate doc, from the same positional postings
+    * as the phrase probe — no corpus access): the minimal window's
+    * first token is an occurrence of SOME query token, so try every
+    * occurrence position `s` as a window start; the window must reach
+    * `max_t min{p ∈ positions(t) : p ≥ s}`, and the answer is the
+    * minimum over starts. Only position DIFFERENCES matter, so the
+    * postings' position base never shows. Cost is
+    * O(occurrences² · |query|) per candidate in the worst case —
+    * per-document work over already-pruned postings, embarrassingly
+    * parallel, nothing corpus-sized.
+    *
+    * Same pruned scan, tombstone filter, freshness contract, and
+    * pre-positional-index refusal as [[searchPhrase]]. */
+  def searchProximity(spark: org.apache.spark.sql.SparkSession, path: String,
+                      query: String, k: Int,
+                      verifyAgainst: Option[(DataFrame, String)] = None)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val meta = verifyAgainst match {
+      case Some(va) => verifiedMeta(spark, path, va)
+      case None     => loadMeta(spark, path)
+    }
+    val toks = queryTokens(query) // distinct by construction
+    require(toks.nonEmpty, "query contains no tokens")
+    val matched = matchedPostings(spark, path, meta.nBuckets, query)
+    if (!matched.columns.contains("positions"))
+      throw new IllegalStateException(
+        s"text index at $path predates positional postings (no " +
+          "'positions' column); rebuild with buildTextIndex to enable " +
+          "proximity probes")
+    val grouped = matched
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(
+          struct(col("token"), col("positions")))).as("tp"),
+        count(lit(1)).as("ntok"))
+      .filter(col("ntok") === lit(toks.size))
+    val starts = array_distinct(flatten(
+      array(toks.map(t => element_at(col("tp"), lit(t))): _*)))
+    def minGe(t: String, s: Column): Column =
+      array_min(filter(element_at(col("tp"), lit(t)), p => p >= s))
+    def spanAt(s: Column): Column = {
+      val ends = toks.map(t => minGe(t, s))
+      // a window starting at s exists only if every token occurs at or
+      // after s (Spark's `greatest` skips nulls, so guard explicitly)
+      when(ends.map(_.isNotNull).reduce(_ && _),
+        greatest(ends :+ s: _*) - s + lit(1))
+    }
+    grouped
+      .select(col("id"),
+        array_min(filter(transform(starts, spanAt(_)), x => x.isNotNull))
+          .cast(LongType).as("min_span"))
+      .filter(col("min_span").isNotNull)
+      .orderBy(col("min_span").asc, col("id"))
+      .limit(k)
+  }
+
   /** BATCH phrase probe — the realistic decontamination shape: a whole
     * benchmark suite of exact phrases checked against the corpus in
     * ONE pruned scan (the union of every phrase's token buckets),

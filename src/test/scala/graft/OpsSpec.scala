@@ -755,6 +755,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("proximity probe: minimal cover span from positions — order-free, ties, missing tokens") {
+    import graft.ops.TextIndex
+    val docs = Seq(
+      (1L, "a x x b x c"),       // cover a..c -> span 6
+      (2L, "c b a"),             // adjacent in reverse order -> 3
+      (3L, "a b x x x x c a b"), // best window is c a b at the end -> 3
+      (4L, "a b a b"),           // no c -> absent
+      (5L, "a x b c x a"),       // windows: a..c = 4 (pos 0) or b c..a = 4; min 4
+      (6L, "c a x x b"),         // c a..b -> 5
+      (7L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val path = TestSpark.tmpDir("ti-near") + "/ti"
+    TextIndex.buildTextIndex(docs, "doc_id", "text", path, nBuckets = 8)
+    def near(q: String, k: Int = 10) = TextIndex.searchProximity(spark, path, q, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(near("a b c") == Seq((2L, 3L), (3L, 3L), (5L, 4L), (6L, 5L), (1L, 6L)))
+    // query order is irrelevant; repeated query tokens collapse
+    assert(near("c B a") == near("a b c"))
+    assert(near("a a b c c") == near("a b c"))
+    // a single-token query's span is 1 for every doc holding it
+    assert(near("c").forall(_._2 == 1L) && near("c").map(_._1) == Seq(1L, 2L, 3L, 5L, 6L))
+    // adjacency in SOME order == span |query|: doc 1 covers "x c" at
+    // its tail (x then c), doc 5 as "c x" — order-free both ways
+    assert(near("x c") == Seq((1L, 2L), (3L, 2L), (5L, 2L), (6L, 3L)))
+    // k cuts on the (span, id) total order
+    assert(near("a b c", k = 2) == Seq((2L, 3L), (3L, 3L)))
+    // the probe scans only the query tokens' buckets
+    val plan = TextIndex.searchProximity(spark, path, "a b c", 10)
+      .queryExecution.executedPlan.toString
+    assert(partitionFilters(plan).contains("bucket"), plan)
+  }
+
   test("text index delete + compact: probes == never-indexed; purge re-admits ids") {
     import graft.ops.{IndexMaintenance, TextIndex}
     val keep = Seq(
