@@ -1570,6 +1570,15 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // TF-IDF sparse-cosine near-dup pairs: shared RARE terms dominate
+    // the pairing; idf snapped to 1e-6 integer units makes the 0.8
+    // threshold decision engine-exact
+    "x_dedup_tfidf" -> ((s, d) =>
+      Dedup.tfidfCosinePairs(docs(s, d).filter(col("doc_id") < 100),
+          "doc_id", "text", minCosine = 0.8)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id1", "id2")),
+
     // SemDeDup: spherical k-means clusters (1 Lloyd iteration — the
     // x_kmeans_assign assignment), then pairwise fixed-point cosine
     // ONLY within a cluster; a row is dropped iff some lower-id
@@ -3415,6 +3424,25 @@ object SparkEntry {
        """SELECT vec_id, CASE WHEN vec_id >= 1000000 THEN vec_id - 1000000 ELSE vec_id END AS cluster, """ +
        """CAST(CASE WHEN vec_id >= 1000000 THEN 0 ELSE 1 END AS BIGINT) AS keep """ +
        """FROM allv ORDER BY vec_id"""),
+
+    // TF-IDF cosine pairs replayed exactly: integer idf units, decimal
+    // dot/norm sums, one sqrt/divide chain — pairs AND the threshold
+    // decisions are bit-exact
+    "x_dedup_tfidf" ->
+      (s"""WITH t AS (SELECT doc_id, unnest($TOK) AS token FROM documents WHERE doc_id < 100), """ +
+       """tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM t WHERE token <> '' GROUP BY 1, 2), """ +
+       """dfq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1), """ +
+       """n AS (SELECT count(*)::BIGINT AS n_docs FROM documents WHERE doc_id < 100), """ +
+       s"""w AS (SELECT tf.doc_id, ${h60sql("tf.token")} AS h, """ +
+       """CAST(tf.tf * CAST(round((ln((n.n_docs + 1)::DOUBLE / (dfq.df + 1)::DOUBLE) + 1.0) * 1e6) AS BIGINT) AS DECIMAL(38,0)) AS w """ +
+       """FROM tf JOIN dfq USING (token), n), """ +
+       """nrm AS (SELECT doc_id, SUM(w * w) AS dxx FROM w GROUP BY 1), """ +
+       """dt AS (SELECT a.doc_id AS id1, b.doc_id AS id2, SUM(a.w * b.w) AS dxy """ +
+       """FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2), """ +
+       """sc AS (SELECT dt.id1, dt.id2, CAST(dt.dxy AS DOUBLE) / """ +
+       """(sqrt(CAST(n1.dxx AS DOUBLE)) * sqrt(CAST(n2.dxx AS DOUBLE))) AS cosine """ +
+       """FROM dt JOIN nrm n1 ON n1.doc_id = dt.id1 JOIN nrm n2 ON n2.doc_id = dt.id2) """ +
+       """SELECT id1, id2, round(cosine, 6) AS cosine FROM sc WHERE cosine >= 0.8 ORDER BY id1, id2"""),
 
     // SemDeDup replayed from scratch: the x_kmeans_assign CTEs give the
     // cluster labels, then every within-cluster (lower-id, higher-id)

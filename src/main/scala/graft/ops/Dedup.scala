@@ -758,6 +758,64 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** TF-IDF sparse-cosine near-dup pairs — the weighted complement of
+    * [[jaccardPairs]]: documents pair by the cosine of their TF-IDF
+    * term-weight vectors, so shared RARE terms dominate and ubiquitous
+    * glue words barely register — catching reworded near-dups whose
+    * shingle sets (and hence Jaccard) diverge. Weights follow
+    * [[TextStats.tfIdf]]'s smoothed convention,
+    * `w(d,t) = tf · (ln((N+1)/(df+1)) + 1)`.
+    *
+    * Output: (`id1`, `id2`, `cosine`), id1 < id2, `cosine >= minCosine`
+    * — only pairs sharing at least one (surviving) term can appear.
+    *
+    * Scale shape: the [[jaccardPairs]] discipline — one (doc, token)
+    * aggregate, pre-aggregated doc frequencies, then an inverted-index
+    * self-join keyed by the 8-byte [[TextStats.hash60]] of the token
+    * (narrow shuffle rows: doc id, hash, one Long weight);
+    * `maxDocFreq` drops stop-tokens so the worst posting list is
+    * bounded — without it a glue word present in every document makes
+    * the self-join quadratic. Norms are per-doc aggregates computed
+    * BEFORE the join; per-pair work after it is one sum of products.
+    *
+    * Cross-engine determinism: `ln` is libm-dependent, so the idf
+    * factor is snapped to integer 1e-6 units (the hyperplane-projection
+    * discipline) — weights become exact integers, dot/norm sums
+    * accumulate in DECIMAL(38,0), and the closing sqrt/divide chain is
+    * correctly-rounded double arithmetic, so a SQL oracle reproduces
+    * every pair and threshold decision bit-for-bit. */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                       minCosine: Double = 0.8,
+                       maxDocFreq: Option[Long] = None): DataFrame = {
+    val nDocs = broadcast(df.agg(count(lit(1)).as("n_docs")))
+    val tf = df.select(col(idCol).as("doc"),
+        explode(TextStats.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq0 = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val dfreq = maxDocFreq.map(m => dfreq0.filter(col("df") <= m))
+      .getOrElse(dfreq0)
+    val idf6 = round((log((col("n_docs") + 1).cast(DoubleType) /
+      (col("df") + 1).cast(DoubleType)) + lit(1.0)) * lit(1e6)).cast(LongType)
+    val w = tf.join(dfreq, "token").crossJoin(nDocs)
+      .select(col("doc"), TextStats.hash60(col("token")).as("h"),
+        (col("tf") * idf6).cast(DecimalType(38, 0)).as("w"))
+    val nrm = w.groupBy("doc")
+      .agg(sum(col("w") * col("w")).cast(DecimalType(38, 0)).as("dxx"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id1"), col("b.doc").as("id2"))
+      .agg(sum(col("a.w") * col("b.w")).cast(DecimalType(38, 0)).as("dxy"))
+    dots
+      .join(nrm.select(col("doc").as("id1"), col("dxx").as("n1")), "id1")
+      .join(nrm.select(col("doc").as("id2"), col("dxx").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("dxy").cast(DoubleType) /
+          (sqrt(col("n1").cast(DoubleType)) * sqrt(col("n2").cast(DoubleType))))
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by spherical k-means clustering, then pairwise cosine
     * ONLY within a cluster. Where [[embeddingNearDup]]'s LSH buckets

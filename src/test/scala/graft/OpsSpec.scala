@@ -1240,6 +1240,39 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0L) == ((0L, true)) && out(1L) == ((1L, true)))
   }
 
+  test("tfidfCosinePairs: hand-computed weights, identical docs at 1.0, stop-token guard") {
+    val df = Seq(
+      (1L, "apple banana"),
+      (2L, "apple banana"),
+      (3L, "cherry banana")).toDF("doc_id", "text")
+    // N=3; df: apple=2, banana=3, cherry=1; idf6 = round((ln(4/(df+1))+1)*1e6)
+    val iApple = math.rint((math.log(4.0 / 3) + 1) * 1e6)
+    val iBanana = math.rint((math.log(4.0 / 4) + 1) * 1e6)
+    val iCherry = math.rint((math.log(4.0 / 2) + 1) * 1e6)
+    val cos13 = iBanana * iBanana /
+      (math.sqrt(iApple * iApple + iBanana * iBanana) *
+        math.sqrt(iCherry * iCherry + iBanana * iBanana))
+    val all = Dedup.tfidfCosinePairs(df, "doc_id", "text", minCosine = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(all.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // S/(√S·√S) is one ulp off 1.0 — deterministically so in any engine
+    assert(math.abs(all((1L, 2L)) - 1.0) < 1e-12,
+      "identical docs must pair at ~1.0")
+    assert(math.abs(all((1L, 3L)) - cos13) < 1e-12 &&
+      math.abs(all((2L, 3L)) - cos13) < 1e-12)
+    // threshold: cos13 ~ 0.31 is out at 0.9
+    val strict = Dedup.tfidfCosinePairs(df, "doc_id", "text", minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((1L, 2L)))
+    // stop-token guard: banana (df=3) dropped at maxDocFreq=2 — doc 3
+    // then shares nothing with 1/2; the identical pair still scores 1.0
+    val guarded = Dedup.tfidfCosinePairs(df, "doc_id", "text",
+        minCosine = 0.25, maxDocFreq = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(guarded.keySet == Set((1L, 2L)) &&
+      math.abs(guarded((1L, 2L)) - 1.0) < 1e-12)
+  }
+
   test("semanticDedup: keep-first within planted clusters, cross-cluster pairs never compared") {
     // two tight clusters on orthogonal axes; ids 0,1 are the k=2 seeds.
     // cluster A holds three mutual near-dups (0, 2, 10): keep-first
