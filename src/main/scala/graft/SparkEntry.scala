@@ -1748,6 +1748,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
     }),
 
+    // BATCH BM25: a 2-query suite answered from ONE pruned scan (df
+    // counted once over the union's matched postings, per-query
+    // ranking windows) — per-query results equal to one-at-a-time
+    "x_text_bm25_batch" -> ((s, d) => {
+      val path = textIndex(s, d)
+      graft.ops.TextIndex.searchBM25Batch(s, path,
+          Seq("the data quick join hash never-in-corpus", "table hash merge"),
+          10, verifyAgainst = Some((docs(s, d), "doc_id")))
+        .select(col("query_idx"), col("id").as("doc_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // BATCH phrase probe: a 4-phrase decontamination suite (one never
     // matching) checked in ONE pruned scan — the full contaminated set
     // per phrase, not a top-k
@@ -3711,6 +3723,26 @@ object SparkEntry {
        """FROM m JOIN dfreq d USING (token), stats s GROUP BY 1) """ +
        """SELECT doc_id, round(score, 6) AS score FROM sc """ +
        """ORDER BY score DESC, doc_id LIMIT 10"""),
+
+    // batch BM25 replayed with a query_idx dimension: df per token over
+    // the UNION's matched postings (same posting set whichever query
+    // asked), per-query scoring and ranking windows
+    "x_text_bm25_batch" ->
+      (s"""WITH q AS (SELECT 0::BIGINT AS query_idx, unnest(['the','data','quick','join','hash','never-in-corpus']) AS token """ +
+       """UNION ALL SELECT 1::BIGINT, unnest(['table','hash','merge'])), """ +
+       s"""toks AS (SELECT doc_id, list_filter($TOK, t -> t <> '') AS l FROM documents), """ +
+       """stats AS (SELECT count(*)::DOUBLE AS n, sum(len(l))::DOUBLE / count(*) AS avgdl FROM toks), """ +
+       """post AS (SELECT doc_id, len(l)::BIGINT AS doc_len, unnest(l) AS token FROM toks), """ +
+       """tft AS (SELECT doc_id, token, doc_len, count(*)::BIGINT AS tf FROM post GROUP BY 1, 2, 3), """ +
+       """qt AS (SELECT DISTINCT token FROM q), """ +
+       """m AS (SELECT t.doc_id, t.token, t.doc_len, t.tf FROM tft t JOIN qt USING (token)), """ +
+       """dfreq AS (SELECT token, count(*)::BIGINT AS dfq FROM m GROUP BY 1), """ +
+       """sc AS (SELECT q.query_idx, m.doc_id, sum(ln(1 + (s.n - d.dfq + 0.5) / (d.dfq + 0.5)) * """ +
+       """m.tf * 2.2 / (m.tf + 1.2 * (0.25 + 0.75 * m.doc_len / s.avgdl))) AS score """ +
+       """FROM m JOIN q ON q.token = m.token JOIN dfreq d ON d.token = m.token, stats s GROUP BY 1, 2), """ +
+       """r AS (SELECT *, row_number() OVER (PARTITION BY query_idx ORDER BY score DESC, doc_id) AS rn FROM sc) """ +
+       """SELECT query_idx, doc_id, round(score, 6) AS score FROM r WHERE rn <= 10 """ +
+       """ORDER BY query_idx, score DESC, doc_id"""),
 
     // exact-phrase occurrence counts from the raw text: sliding-window
     // scan over the filtered token list (overlapping matches counted,

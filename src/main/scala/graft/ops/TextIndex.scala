@@ -330,6 +330,61 @@ object TextIndex {
       .limit(k)
   }
 
+  /** BATCH BM25 — [[searchIndexBM25]] over a whole query suite in ONE
+    * pruned scan (the union of every query's token buckets): per-query
+    * top-`k` as (`query_idx` into the input suite, `id`, `score`),
+    * ordered (query_idx, score desc, id). The retrieval-evaluation /
+    * "score a day's queries against the corpus" shape — Q separate
+    * probe jobs collapse into one scan + one per-query window.
+    *
+    * df per token is counted once from the union's matched postings
+    * (each token's posting set is the same whichever query asked), the
+    * query→token relation is a driver literal joined broadcast, and
+    * the per-query ranking windows on (query_idx) — only scored
+    * candidates shuffle, never postings the suite didn't touch. */
+  def searchBM25Batch(spark: org.apache.spark.sql.SparkSession,
+                      path: String, queries: Seq[String], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      verifyAgainst: Option[(DataFrame, String)] = None)
+      : DataFrame = {
+    require(queries.nonEmpty, "searchBM25Batch: empty query suite")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0.0 && b >= 0.0 && b <= 1.0,
+      s"BM25 parameters out of range: k1=$k1 (>=0), b=$b ([0,1])")
+    val meta = verifyAgainst match {
+      case Some(va) => verifiedMeta(spark, path, va)
+      case None     => loadMeta(spark, path)
+    }
+    val totalTokens = meta.totalTokens.getOrElse(throw new IllegalStateException(
+      s"text index at $path predates the BM25 posting columns " +
+        "(no total_tokens in _meta); rebuild with buildTextIndex"))
+    val n = meta.stamp.nRows
+    require(n > 0, s"text index at $path was built over an empty corpus")
+    val avgdl = totalTokens.toDouble / n
+    val tokLists = queries.map(q => queryTokens(q))
+    tokLists.zipWithIndex.foreach { case (t, i) =>
+      require(t.nonEmpty, s"query $i contains no tokens") }
+    val allToks = tokLists.flatten.distinct
+    val matched = matchedPostingsFor(spark, path, meta.nBuckets, allToks)
+    val dfreq = matched.groupBy("token").agg(count(lit(1)).as("dfq"))
+    import spark.implicits._
+    val qrel = tokLists.zipWithIndex
+      .flatMap { case (ts, i) => ts.map(t => (i.toLong, t)) }
+      .toDF("query_idx", "token")
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("dfq") + lit(0.5)) / (col("dfq") + lit(0.5)))
+    val tfNorm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("doc_len") / lit(avgdl)))
+    matched.join(broadcast(dfreq), "token")
+      .join(broadcast(qrel), "token")
+      .groupBy(col("query_idx"), col("id"))
+      .agg(sum(idf * tfNorm).as("score"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_idx"))
+        .orderBy(col("score").desc, col("id"))))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy(col("query_idx"), col("score").desc, col("id"))
+  }
+
   /** Ordered phrase tokens: [[queryTokens]] WITHOUT the distinct —
     * order and repetition are the whole point of a phrase. */
   private[ops] def phraseTokens(phrase: String): Seq[String] =
@@ -514,6 +569,66 @@ object TextIndex {
         col("col").as("n_phrase"))
       .filter(col("n_phrase") > 0)
       .orderBy(col("phrase_idx"), col("id"))
+  }
+
+  /** BATCH proximity probe — [[searchProximity]] over a whole query
+    * suite in ONE pruned scan (the union of every query's token
+    * buckets), the same economics as [[searchPhrases]] vs one
+    * [[searchPhrase]] job per phrase. Returns ALL matches per query —
+    * (`query_idx` into the input suite, `id`, `min_span`), ordered
+    * (query_idx, min_span, id) — optionally capped at `maxSpan`, the
+    * "terms within a W-token window" decontamination / co-mention
+    * filter. A document missing any of a query's tokens contributes no
+    * row for that query (the per-token position lookups null out and
+    * the span never materializes). */
+  def searchProximities(spark: org.apache.spark.sql.SparkSession,
+                        path: String, queries: Seq[String],
+                        maxSpan: Option[Long] = None,
+                        verifyAgainst: Option[(DataFrame, String)] = None)
+      : DataFrame = {
+    require(queries.nonEmpty, "searchProximities: empty query suite")
+    maxSpan.foreach(m => require(m >= 1, s"maxSpan must be >= 1, got $m"))
+    val meta = verifyAgainst match {
+      case Some(va) => verifiedMeta(spark, path, va)
+      case None     => loadMeta(spark, path)
+    }
+    val tokLists = queries.map(q => queryTokens(q))
+    tokLists.zipWithIndex.foreach { case (t, i) =>
+      require(t.nonEmpty, s"query $i contains no tokens") }
+    val allToks = tokLists.flatten.distinct
+    val matched = matchedPostingsFor(spark, path, meta.nBuckets, allToks)
+    if (!matched.columns.contains("positions"))
+      throw new IllegalStateException(
+        s"text index at $path predates positional postings (no " +
+          "'positions' column); rebuild with buildTextIndex to enable " +
+          "proximity probes")
+    val grouped = matched
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(
+          struct(col("token"), col("positions")))).as("tp"))
+    def minSpan(toks: Seq[String]): Column = {
+      // a missing token nulls its position list, the null propagates
+      // through flatten/transform, and the whole span stays null — the
+      // "doc lacks a query token" case needs no explicit guard
+      val starts = array_distinct(flatten(
+        array(toks.map(t => element_at(col("tp"), lit(t))): _*)))
+      def minGe(t: String, s: Column): Column =
+        array_min(filter(element_at(col("tp"), lit(t)), p => p >= s))
+      def spanAt(s: Column): Column = {
+        val ends = toks.map(t => minGe(t, s))
+        when(ends.map(_.isNotNull).reduce(_ && _),
+          greatest(ends :+ s: _*) - s + lit(1))
+      }
+      array_min(filter(transform(starts, spanAt(_)), x => x.isNotNull))
+        .cast(LongType)
+    }
+    val spans = grouped
+      .select(col("id"), posexplode(array(tokLists.map(minSpan): _*)))
+      .select(col("pos").cast(LongType).as("query_idx"), col("id"),
+        col("col").as("min_span"))
+      .filter(col("min_span").isNotNull)
+    maxSpan.fold(spans)(m => spans.filter(col("min_span") <= m))
+      .orderBy(col("query_idx"), col("min_span"), col("id"))
   }
 
   /** The pruned probe scan shared by both scorers: only the query

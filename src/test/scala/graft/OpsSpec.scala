@@ -755,6 +755,40 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("searchBM25Batch: one pruned scan == per-query BM25; refusals") {
+    import graft.ops.TextIndex
+    val docs = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "data data data everywhere"),
+      (3L, "spark reads parquet data fast"),
+      (4L, "unrelated text about nothing"),
+      (5L, "fast spark data shuffles")).toDF("doc_id", "text")
+    val path = TestSpark.tmpDir("ti-bm25-batch") + "/ti"
+    TextIndex.buildTextIndex(docs, "doc_id", "text", path, nBuckets = 8)
+    val suite = Seq("spark data fast", "data everywhere", "nothing")
+    val batch = TextIndex.searchBM25Batch(spark, path, suite, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expected = suite.zipWithIndex.flatMap { case (q, i) =>
+      TextIndex.searchIndexBM25(spark, path, q, 10)
+        .collect().map(r => (i.toLong, r.getLong(0), r.getDouble(1)))
+    }
+    assert(batch == expected, s"batch $batch vs per-query $expected")
+    // per-query k cuts independently
+    val top1 = TextIndex.searchBM25Batch(spark, path, suite, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top1 == expected.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.head).map(t => (t._1, t._2)))
+    intercept[IllegalArgumentException] {
+      TextIndex.searchBM25Batch(spark, path, Seq.empty, 10)
+    }
+    intercept[IllegalArgumentException] {
+      TextIndex.searchBM25Batch(spark, path, Seq("spark", " "), 10)
+    }
+    intercept[IllegalArgumentException] {
+      TextIndex.searchBM25Batch(spark, path, suite, 0)
+    }
+  }
+
   test("proximity probe: minimal cover span from positions — order-free, ties, missing tokens") {
     import graft.ops.TextIndex
     val docs = Seq(
@@ -784,6 +818,28 @@ class OpsSpec extends AnyFunSuite {
     val plan = TextIndex.searchProximity(spark, path, "a b c", 10)
       .queryExecution.executedPlan.toString
     assert(partitionFilters(plan).contains("bucket"), plan)
+    // BATCH suite: one pruned scan answers every query, full match sets
+    // equal to the one-at-a-time probe; a query with an absent token
+    // contributes nothing; maxSpan caps to the co-mention window
+    val suite = Seq("a b c", "x c", "c", "a q")
+    val batch = TextIndex.searchProximities(spark, path, suite)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = suite.zipWithIndex.flatMap { case (q, i) =>
+      near(q, k = 100).map { case (id, sp) => (i.toLong, id, sp) }
+    }.sortBy { case (i, id, sp) => (i, sp, id) }
+    assert(batch == expected, s"batch $batch vs per-query $expected")
+    val capped = TextIndex.searchProximities(spark, path, suite, maxSpan = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(capped == expected.filter(_._3 <= 3L), s"capped $capped")
+    intercept[IllegalArgumentException] {
+      TextIndex.searchProximities(spark, path, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextIndex.searchProximities(spark, path, Seq("a b", "  "))
+    }
+    intercept[IllegalArgumentException] {
+      TextIndex.searchProximities(spark, path, suite, maxSpan = Some(0L))
+    }
   }
 
   test("text index delete + compact: probes == never-indexed; purge re-admits ids") {

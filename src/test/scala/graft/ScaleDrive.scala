@@ -566,6 +566,79 @@ object ScaleDrive {
     println(s"  non-carriers touched=$nonCarrierTouched (expect 0: random 5-grams never collide)")
     assert(nonCarrierTouched == 0L, s"non-carriers must be untouched, got $nonCarrierTouched")
 
+    // SemDeDup at volume: 100k random 64-dim vectors + 5k planted
+    // 1.5x-scaled copies (ids +10M). k=64 is the cost dial — clusters
+    // land ~1.6k rows, so the within-cluster pair stage does ~80M fused
+    // fixed-point dots instead of the 5.5e9 all-pairs cross product
+    // (and at 100 TB, k scales with the corpus: k ~ N/[rows that fit a
+    // task]). Assignment is scale-invariant, so every copy lands with
+    // its source and drops against it at cosine ~1; random originals
+    // never reach 0.99, so the drop set must be EXACTLY the copies.
+    println("== SemDeDup over 105k vectors (5k planted scaled copies, k=64)")
+    val semBase = spark.range(100000).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        i => (pmod(hash(col("id") * 64 + i), lit(1000)).cast("float") / lit(500.0f)
+          - lit(1.0f)).cast("float")).as("embedding"))
+    val semCopies = semBase.filter(col("vec_id") < 5000)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+    val semAll = semBase.unionByName(semCopies).localCheckpoint(true)
+    time("semanticDedup(k=64, iters=1, minCosine=0.99)") {
+      val out = graft.ops.Dedup.semanticDedup(semAll, "vec_id", "embedding",
+          k = 64, iters = 1, minCosine = 0.99).localCheckpoint(true)
+      val dropped = out.filter(col("keep") === 0)
+      assert(dropped.count() == 5000L, "exactly the planted copies drop")
+      assert(dropped.filter(col("vec_id") < 10000000L).count() == 0L,
+        "no original may drop")
+      assert(out.count() == 105000L, "one verdict row per vector")
+    }
+
+    // TF-IDF cosine dedup at volume: 310k docs of 18 rare tokens (5M
+    // space) + 4 glue tokens (20 space); 10k planted twins share their
+    // source's RARE tokens under different glue — the reworded-near-dup
+    // shape where shingle Jaccard collapses. maxDocFreq drops the glue
+    // at the doc-frequency aggregate, so the self-join sees only rare
+    // postings (df<=~2 plus chance collisions), never the 310k-doc glue
+    // lists that would make it quadratic.
+    println("== tfidfCosinePairs over 310k docs (10k planted reworded twins)")
+    val rare = (0 until 18).map(j =>
+      concat(lit("r"), pmod(hash(col("id") * 131 + j), lit(5000000))))
+    def glue(off: Int) = (0 until 4).map(j =>
+      concat(lit("g"), pmod(hash(col("id") * 7 + j + off), lit(20))))
+    val tfBase = spark.range(300000)
+      .select(col("id").as("doc_id"), concat_ws(" ", rare ++ glue(0): _*).as("text"))
+    val tfTwins = spark.range(10000)
+      .select((col("id") + 10000000L).as("doc_id"),
+        concat_ws(" ", rare ++ glue(1000): _*).as("text"))
+    val tfCorpus = tfBase.unionByName(tfTwins).localCheckpoint(true)
+    time("tfidfCosinePairs(minCosine=0.8, maxDocFreq=1000)") {
+      val pairs = graft.ops.Dedup.tfidfCosinePairs(tfCorpus, "doc_id", "text",
+          minCosine = 0.8, maxDocFreq = Some(1000L))
+        .localCheckpoint(true)
+      val planted = pairs.filter(col("id2") === col("id1") + 10000000L).count()
+      val total = pairs.count()
+      println(s"  pairs=$total planted-recalled=$planted (expect 10k, 10k)")
+      assert(planted == 10000L, s"every twin must pair with its source, got $planted")
+      assert(total == planted, s"chance rare-token collisions stay far below 0.8, got $total")
+    }
+
+    // KMV overlap at volume: 5M hashes per side, 50% overlap — two
+    // bounded aggregations (k longs per partition cross the shuffle),
+    // 2k longs to the driver, estimates within sketch error of the
+    // J=1/3, union=7.5M truth.
+    println("== kmvOverlap: 5M x 5M hashed ids, 2.5M shared (k=1024)")
+    time("kmvOverlap(k=1024)") {
+      val ha = spark.range(5000000).select(
+        graft.ops.TextStats.hash60(col("id").cast("string")).as("h"))
+      val hb = spark.range(2500000, 7500000).select(
+        graft.ops.TextStats.hash60(col("id").cast("string")).as("h"))
+      val r = graft.ops.Sketch.kmvOverlap(ha, "h", hb, "h", k = 1024).collect()(0)
+      val (uEst, j) = (r.getLong(2), r.getDouble(4))
+      println(s"  union_est=$uEst jaccard_est=$j inter_est=${r.getLong(5)}")
+      assert(math.abs(uEst - 7500000.0) / 7500000.0 < 0.15, s"union est $uEst")
+      assert(math.abs(j - 1.0 / 3.0) < 0.1, s"jaccard est $j")
+    }
+
     spark.stop()
   }
 }
