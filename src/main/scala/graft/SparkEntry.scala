@@ -2335,12 +2335,13 @@ object SparkEntry {
     // corpus-sized moves, yet every output value is exact arithmetic
     // over the deterministic k-min sets
     "x_sketch_overlap" -> ((s, d) => {
-      val sh = docs(s, d).select(col("doc_id"),
-          explode(Dedup.shingleArray(col("text"), 3)).as("t"))
-        .select(col("doc_id"), TextStats.hash60(col("t")).as("h"))
-      graft.ops.Sketch.kmvOverlap(
-        sh.filter(col("doc_id") % 2 === 0), "h",
-        sh.filter(col("doc_id") % 2 === 1), "h", 256)
+      // the tagged single-pass form over the fused shingle-hash kernel:
+      // both sketches from ONE scan, hashes identical to
+      // hash60(concat_ws(' ', window)) so the oracle replays them
+      val sh = docs(s, d).select((col("doc_id") % 2).as("side"),
+        explode(graft.functions.native.shingle_hash60(
+          TextStats.tokens(col("text")), 3)).as("h"))
+      graft.ops.Sketch.kmvOverlapTagged(sh, "side", "h", 256)
     }),
 
     // sequence packing: documents laid out in id order per source and

@@ -430,7 +430,35 @@ object Sketch {
     val agg = KMVSet(k).toUdaf
     def kmin(df: DataFrame, c: String): Array[Long] =
       df.agg(agg(col(c))).collect()(0).getSeq[Long](0).toArray
-    val (sa, sb) = (kmin(a, hashColA), kmin(b, hashColB))
+    overlapOf(a.sparkSession, k, kmin(a, hashColA), kmin(b, hashColB))
+  }
+
+  /** [[kmvOverlap]] when both corpora live in ONE relation under a
+    * side tag (0 = A, 1 = B) — e.g. two partitions of the same table,
+    * or a crawl snapshot with a batch column. A single pass builds both
+    * sketches (one grouped aggregation, bounded state per side), where
+    * the two-DataFrame form evaluates each side's input subtree
+    * separately — at corpus scale that halves the scan/tokenize/hash
+    * work whenever both sides derive from the same source. Rows with a
+    * side other than 0/1 are rejected up front. */
+  def kmvOverlapTagged(df: DataFrame, sideCol: String, hashCol: String,
+                       k: Int = 256): DataFrame = {
+    val agg = KMVSet(k).toUdaf
+    val rows = df.groupBy(col(sideCol).cast("int").as("side"))
+      .agg(agg(col(hashCol)).as("kmin"))
+      .collect()
+    val bad = rows.map(_.getInt(0)).filterNot(s => s == 0 || s == 1)
+    require(bad.isEmpty,
+      s"kmvOverlapTagged: side column must be 0 or 1, got ${bad.mkString(",")}")
+    def sideOf(s: Int): Array[Long] = rows.find(_.getInt(0) == s)
+      .map(_.getSeq[Long](1).toArray).getOrElse(Array.empty[Long])
+    overlapOf(df.sparkSession, k, sideOf(0), sideOf(1))
+  }
+
+  /** The shared estimator tail: merge the per-side k-min sets, decide
+    * membership, emit the one-row estimate table. */
+  private def overlapOf(spark: org.apache.spark.sql.SparkSession, k: Int,
+                        sa: Array[Long], sb: Array[Long]): DataFrame = {
     val merged = KMV(k).merge(sa, sb)
     val (inA, inB) = (sa.toSet, sb.toSet)
     val nk = merged.length
@@ -440,7 +468,6 @@ object Sketch {
       else Math.floor((k - 1).toDouble * Two60 / merged.last + 0.5).toLong
     val jaccard = if (nk == 0) 0.0 else inter.toDouble / nk.toDouble
     val interEst = Math.floor(jaccard * unionEst.toDouble + 0.5).toLong
-    val spark = a.sparkSession
     import spark.implicits._
     Seq((k.toLong, nk.toLong, unionEst, inter.toLong, jaccard, interEst))
       .toDF("k", "n_kmin", "union_est", "inter_kmin", "jaccard_est",

@@ -1740,6 +1740,20 @@ class OpsSpec extends AnyFunSuite {
     val got8 = Sketch.kmvOverlap(bigA.repartition(8), "h",
       bigB.repartition(5), "h", k = 64).collect()(0)
     assert(got8.getLong(2) == got.getLong(2) && got8.getDouble(4) == got.getDouble(4))
+    // the tagged single-pass form builds the identical sketches
+    val tagged = bigA.select(lit(0L).as("side"), $"h")
+      .unionByName(bigB.select(lit(1L).as("side"), $"h"))
+    val gotT = Sketch.kmvOverlapTagged(tagged, "side", "h", k = 64).collect()(0)
+    assert((0 until 6).forall(i => gotT.get(i) == got.get(i)), s"$gotT vs $got")
+    // an empty side is exact-zero overlap, not an error
+    val oneSide = Sketch.kmvOverlapTagged(
+      bigA.select(lit(0L).as("side"), $"h"), "side", "h", k = 64).collect()(0)
+    assert(oneSide.getLong(3) == 0L && oneSide.getDouble(4) == 0.0)
+    // a side other than 0/1 is a caller bug — refused loudly
+    intercept[IllegalArgumentException] {
+      Sketch.kmvOverlapTagged(
+        bigA.select(lit(2L).as("side"), $"h"), "side", "h", k = 64)
+    }
   }
 
   test("profile: rank-based discrete percentiles, nulls excluded, per-group") {
