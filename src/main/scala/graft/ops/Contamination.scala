@@ -180,7 +180,7 @@ object Contamination {
       .select(col("id").as("bench_id"),
         explode(native.shingle_hash60(TextStats.tokens(col("text")), n)).as("h"))
     postings.write.mode("overwrite").parquet(s"$path/postings")
-    val stamp = Similarity.stampOf(obs.get)
+    val stamp = Similarity.stampObserved(obs.get, bench, benchIdCol)
     // the cap guards the PROBE-side localization contract (the postings
     // broadcast to every executor per probe); enforced at build so an
     // oversized suite fails here, once, not in every probe job

@@ -69,7 +69,7 @@ object DedupIndex {
         graft.functions.native.minhash_sig_tokens(
           TextStats.tokens(col("text")), n, numHashes).as("sig"))
     sigs.write.mode("overwrite").parquet(s"$path/sigs")
-    val stamp = Similarity.stampOf(obs.get)
+    val stamp = Similarity.stampObserved(obs.get, df, idCol)
     // bands are derived from the PERSISTED signatures — the minhash
     // kernel (the dominant build cost) runs once, and the banded form
     // can never drift from the signatures it summarizes
@@ -138,7 +138,7 @@ object DedupIndex {
         graft.functions.native.minhash_sig_tokens(
           TextStats.tokens(col("text")), meta.n, meta.numHashes).as("sig"))
       .write.mode("overwrite").parquet(staging)
-    val delta = Similarity.stampOf(obs.get)
+    val delta = Similarity.stampObserved(obs.get, df, idCol)
     val staged = spark.read.parquet(staging)
     staged.write.mode("append").parquet(s"$path/sigs")
     Dedup.bandedFromSigs(staged, "id", meta.numHashes, meta.bands, "id", "sig")

@@ -185,6 +185,31 @@ private[graft] object IndexIds {
         ids.distinct().join(indexIds, Seq("id"), "left_semi")
     }
 
+  /** True iff EVERY (non-null) id in `ids` hits the Bloom sidecar —
+    * the replay signal for an append whose data footprint may be EMPTY
+    * (a token-free document batch indexes no postings, so membership
+    * against the index itself cannot see its replay). Sound in one
+    * direction: Blooms have no false negatives, and [[mergeAppend]]
+    * runs BEFORE the data append, so a batch whose append ever STARTED
+    * has all its ids in the Bloom — a `false` here proves the batch
+    * was never appended. A `true` over-approximates (all-ids-false-
+    * positive probability fpp^n), so callers must only consult it when
+    * the precise check is structurally blind. `false` when no sidecar
+    * exists. */
+  def allPresentInBloom(spark: SparkSession, indexPath: String,
+                        ids: DataFrame): Boolean =
+    load(spark, indexPath) match {
+      case Some(ib) =>
+        val bc = spark.sparkContext.broadcast(ib.bloom)
+        try {
+          val mightContain = udf((id: java.lang.Long) =>
+            id != null && bc.value.mightContainLong(id))
+          ids.filter(col("id").isNotNull)
+            .filter(!mightContain(col("id"))).limit(1).collect().isEmpty
+        } finally bc.destroy()
+      case None => false
+    }
+
   /** Fold a delta's ids into the sidecar (call BEFORE the data append —
     * see the crash-ordering note in the class doc). A missing sidecar
     * stays missing: without one the guard's legacy scan is still

@@ -88,8 +88,15 @@ object IndexMaintenance {
                                  op: String, ids: DataFrame,
                                  indexIds: DataFrame): (DataFrame, Long,
                                                         java.math.BigDecimal) = {
+    // materialized EAGERLY: the validated frame feeds four separate
+    // jobs (already-tombstoned check, membership check, stamp
+    // aggregation, tombstone write) — a non-deterministic `ids` input
+    // (a sample, a limit) re-evaluated per job could tombstone a
+    // different id set than was validated and stamped, permanently
+    // corrupting the subtractive freshness stamp
     val del = ids.select(col(ids.columns.head).cast(LongType).as("id"))
       .filter(col("id").isNotNull).distinct()
+      .localCheckpoint(true)
     val already = minusTombstones(spark, indexPath, del, "id")
     // ids already tombstoned = del minus (del minus tombstones)
     val dupTomb = del.join(already, Seq("id"), "left_anti").limit(1).collect()

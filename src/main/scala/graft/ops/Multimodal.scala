@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -59,15 +59,31 @@ object Multimodal {
     * in, `resized` payload + `resized_meta` out, pure map-side
     * expressions, no shuffle) is real; a production deployment swaps the
     * crop for a real scaler behind the same signature. Requires
-    * [[decodeStub]]'s `media_meta` upstream. */
+    * [[decodeStub]]'s `media_meta` upstream.
+    *
+    * Null handling, explicit: a row whose decoded dims are NULL (a
+    * failed decode) gets a NULL `resized` payload and NULL dims in
+    * `resized_meta` — the row survives so the pipeline can route or
+    * count failures, rather than dropping them silently. The byte
+    * budget multiplies in LONG (two clamped ints can overflow 32-bit:
+    * 65536×65536 is negative in int) and is capped at Int.MaxValue,
+    * the JVM byte-array bound `substr` can address. */
   def resizeStub(df: DataFrame, maxW: Int, maxH: Int,
                  payloadCol: String = "payload"): DataFrame = {
     require(maxW > 0 && maxH > 0, s"target dims must be positive, got ($maxW, $maxH)")
     val meta = col("media_meta")
-    val w = least(meta.getField("width"), lit(maxW))
-    val h = least(meta.getField("height"), lit(maxH))
+    val anyNull = meta.getField("width").isNull || meta.getField("height").isNull
+    // `least` SKIPS nulls (a missing dim would silently clamp to the
+    // target) — null dims must null the clamped dims explicitly
+    def clamp(f: Column, m: Int): Column =
+      when(anyNull, lit(null).cast(IntegerType)).otherwise(least(f, lit(m)))
+    val w = clamp(meta.getField("width"), maxW)
+    val h = clamp(meta.getField("height"), maxH)
+    val budget = least(w.cast(LongType) * h.cast(LongType),
+      lit(Int.MaxValue.toLong)).cast(IntegerType)
     df.withColumn("resized",
-        col(payloadCol).substr(lit(1), (w * h).cast(IntegerType)))
+        when(anyNull, lit(null).cast(BinaryType))
+          .otherwise(col(payloadCol).substr(lit(1), budget)))
       .withColumn("resized_meta", struct(
         meta.getField("format").as("format"),
         w.as("width"), h.as("height"),

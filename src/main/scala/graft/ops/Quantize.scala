@@ -241,7 +241,7 @@ object Quantize {
       .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
       .sortWithinPartitions(col("id"))
       .write.mode("overwrite").parquet(path)
-    val stamp = Similarity.stampOf(obs.get)
+    val stamp = Similarity.stampObserved(obs.get, df, idCol)
     writeCodebook(spark, path, cbs, stamp)
     IndexIds.writeFresh(spark, path,
       df.select(col(idCol).cast(LongType).as("id")), stamp.nRows,
@@ -310,7 +310,7 @@ object Quantize {
       .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
       .sortWithinPartitions(col("id"))
       .write.mode("append").parquet(path)
-    val delta = Similarity.stampOf(obs.get)
+    val delta = Similarity.stampObserved(obs.get, df, idCol)
     writeCodebook(spark, path, cbs, Similarity.IvfStamp(
       stamp0.nRows + delta.nRows, stamp0.idHashSum.add(delta.idHashSum)))
   }
@@ -355,7 +355,7 @@ object Quantize {
       .repartition(col("list"))
       .sortWithinPartitions(col("list"), col("id"))
       .write.partitionBy("list").mode("overwrite").parquet(path)
-    val stamp = Similarity.stampOf(obs.get)
+    val stamp = Similarity.stampObserved(obs.get, df, idCol)
     writeCoarse(spark, path, coarseCb, stamp)
     writePqcb(spark, path, cbs)
     IndexIds.writeFresh(spark, path,
@@ -444,7 +444,7 @@ object Quantize {
       .repartition(col("list"))
       .sortWithinPartitions(col("list"), col("id"))
       .write.partitionBy("list").mode("append").parquet(path)
-    val delta = Similarity.stampOf(obs.get)
+    val delta = Similarity.stampObserved(obs.get, df, idCol)
     writeCoarse(spark, path, coarseCb, Similarity.IvfStamp(
       stamp0.nRows + delta.nRows, stamp0.idHashSum.add(delta.idHashSum)))
   }
@@ -584,6 +584,12 @@ object Quantize {
       min(element_at(col(vecCol), i + 1)).as(s"mn_$i"),
       max(element_at(col(vecCol), i + 1)).as(s"mx_$i")))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // fail-fast on a degenerate corpus: min/max of zero (non-null)
+    // values is NULL, and getAs[Float] would silently unbox it to 0.0f
+    // — all-zero params would then "train" on nothing
+    require((0 until 2 * dim).forall(i => !row.isNullAt(i)),
+      s"sqParams: no values to train on for some dimension — empty " +
+        s"corpus, all-null $vecCol, or vectors shorter than dim=$dim")
     ((0 until dim).map(i => row.getAs[Float](s"mn_$i").toDouble),
      (0 until dim).map(i => row.getAs[Float](s"mx_$i").toDouble))
   }

@@ -521,7 +521,7 @@ object Similarity {
       // order inside each list directory is guaranteed
       .sortWithinPartitions(col("list"), col("id"))
       .write.partitionBy("list").mode("overwrite").parquet(path)
-    val stamp = stampOf(obs.get)
+    val stamp = stampObserved(obs.get, df, idCol)
     // the index is SELF-DESCRIBING: the codebook AND the build stamp ride
     // inside the index tree (an underscore-prefixed subdir is invisible
     // to parquet file listing, so scans of `path` never see it) —
@@ -580,7 +580,7 @@ object Similarity {
       .repartition(col("list"))
       .sortWithinPartitions(col("list"), col("id"))
       .write.partitionBy("list").mode("append").parquet(path)
-    val delta = stampOf(obs.get)
+    val delta = stampObserved(obs.get, df, idCol)
     import spark.implicits._
     codebook.zipWithIndex.map { case (c, j) => (j.toLong, c) }
       .toDF("j", "centroid")
@@ -607,6 +607,21 @@ object Similarity {
     coalesce(sum(TextStats.hash60(col("id").cast(StringType))
         .cast(DecimalType(38, 0))),
       lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))).as("id_hash_sum"))
+
+  /** The build/append delta stamp from a write job's `Observation`, with
+    * a recompute fallback: when the written frame turns out EMPTY (an
+    * all-duplicates-dropped micro-batch, a token-free document batch
+    * whose postings explode to nothing), AQE's empty-relation
+    * propagation can replace the subtree INCLUDING the CollectMetrics
+    * node, and the observed map comes back empty — previously a
+    * NoSuchElementException that left the index stamp permanently
+    * behind the Bloom merge. The fallback aggregates the delta source
+    * directly; it is delta-sized and runs ONLY in that degenerate
+    * case (the stamp rides the source rows, which exist even when the
+    * derived write is empty). */
+  private[graft] def stampObserved(metrics: Map[String, Any], df: DataFrame,
+                                   idCol: String): IvfStamp =
+    if (metrics.nonEmpty) stampOf(metrics) else sourceStamp(df, idCol)
 
   private[ops] def stampOf(m: Map[String, Any]): IvfStamp =
     IvfStamp(m("n_rows").asInstanceOf[Long],

@@ -447,9 +447,14 @@ object Sketch {
     val rows = df.groupBy(col(sideCol).cast("int").as("side"))
       .agg(agg(col(hashCol)).as("kmin"))
       .collect()
-    val bad = rows.map(_.getInt(0)).filterNot(s => s == 0 || s == 1)
+    // NULL forms its own group — surface it through the same require
+    // instead of an opaque NPE from getInt
+    val bad = rows.filter(r => r.isNullAt(0) ||
+      (r.getInt(0) != 0 && r.getInt(0) != 1))
     require(bad.isEmpty,
-      s"kmvOverlapTagged: side column must be 0 or 1, got ${bad.mkString(",")}")
+      "kmvOverlapTagged: side column must be 0 or 1, got " +
+        bad.map(r => if (r.isNullAt(0)) "NULL" else r.getInt(0).toString)
+          .mkString(","))
     def sideOf(s: Int): Array[Long] = rows.find(_.getInt(0) == s)
       .map(_.getSeq[Long](1).toArray).getOrElse(Array.empty[Long])
     overlapOf(df.sparkSession, k, sideOf(0), sideOf(1))

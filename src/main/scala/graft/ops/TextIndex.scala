@@ -43,7 +43,7 @@ object TextIndex {
     * tokenization of this document would see". A NULL text filters to
     * NULL and `posexplode` emits nothing — NULL docs index no
     * postings, as before. */
-  private def postingTokens(text: Column): Column =
+  private[graft] def postingTokens(text: Column): Column =
     filter(TextStats.tokens(text), t => t =!= "")
 
   /** Build the index at `path`: tokenize, count each (doc, token)
@@ -103,8 +103,11 @@ object TextIndex {
     postings.repartition(col("bucket"))
       .sortWithinPartitions("bucket", "token", "id")
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
-    val stamp = Similarity.stampOf(obs.get)
-    val totalTokens = tokObs.get("total_tokens").asInstanceOf[Long]
+    val stamp = Similarity.stampObserved(obs.get, df, idCol)
+    // getOrElse: an all-token-free corpus writes zero postings and AQE
+    // empty-relation propagation can drop the CollectMetrics node (the
+    // stampObserved hazard) — zero tokens is then the true total
+    val totalTokens = tokObs.get.getOrElse("total_tokens", 0L).asInstanceOf[Long]
     // _meta INSIDE the tree (underscore paths are invisible to parquet
     // listing) — the index is self-describing at one path, the
     // _codebook discipline of the IVF index
@@ -180,8 +183,10 @@ object TextIndex {
     postings.repartition(col("bucket"))
       .sortWithinPartitions("bucket", "token", "id")
       .write.partitionBy("bucket").mode("append").parquet(path)
-    val delta = Similarity.stampOf(obs.get)
-    val deltaTokens = tokObs.get("total_tokens").asInstanceOf[Long]
+    val delta = Similarity.stampObserved(obs.get, df, idCol)
+    // getOrElse: see the stampObserved note — an empty postings write
+    // can lose the metrics node; zero delta tokens is then correct
+    val deltaTokens = tokObs.get.getOrElse("total_tokens", 0L).asInstanceOf[Long]
     spark.range(1).select(
         lit(meta.nBuckets).as("n_buckets"),
         lit(meta.stamp.nRows + delta.nRows).as("n_rows"),

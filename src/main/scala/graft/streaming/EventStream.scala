@@ -220,10 +220,21 @@ object EventStream {
     * would double its postings, the corruption the append guard exists
     * to refuse. Ids must be globally new versus the index (the
     * [[graft.ops.TextIndex.appendTextIndex]] contract — monotone crawl
-    * ids); a batch of only token-free documents indexes no postings and
-    * so cannot be recovered by membership on replay — its second append
-    * then fails closed on the freshness stamp rather than silently
-    * double-counting `_meta`.
+    * ids).
+    *
+    * A batch of ONLY token-free documents indexes no postings, so
+    * posting membership is structurally blind to its replay; for that
+    * case (and ONLY that case — when the batch has any token, absent
+    * postings prove the append never completed) the replay decision
+    * falls back to the Bloom sidecar, which [[graft.ops.IndexIds
+    * .mergeAppend]] writes BEFORE any data lands: all-ids-in-Bloom ⇒
+    * replayed, skip. Residual windows, both bounded to `_meta`'s
+    * `n_rows`/BM25 statistics (token-free docs are unsearchable either
+    * way): a fresh token-free batch whose every id false-positives
+    * (probability fpp^batch) is skipped, and a token-free batch whose
+    * first append crashed between the Bloom merge and the `_meta` write
+    * is treated as complete on replay — in both, `n_rows` misses the
+    * batch instead of double-counting it.
     *
     * At 100 TB: per batch, one tokenize+explode over the batch's own
     * text, one bucket-partitioned O(delta) write, one Bloom merge —
@@ -235,19 +246,35 @@ object EventStream {
                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     appendSink(stream, store, table, checkpoint, trigger,
       transform = batch => {
-        val spark = batch.sparkSession
-        import org.apache.spark.sql.types.LongType
-        val ids = batch.select(col(idCol).cast(LongType).as("id"))
-        val present = graft.ops.IndexIds.presentIds(spark, indexPath, ids,
-          spark.read.parquet(indexPath).select("id"))
-        // all-or-nothing per batch: any indexed id marks the whole batch
-        // as a replay of a completed index append (appendTextIndex is one
-        // job over the batch), so only the store commit remains
-        if (present.limit(1).collect().isEmpty)
+        if (!textBatchReplayed(batch.sparkSession, indexPath, batch,
+            idCol, textCol))
           graft.ops.TextIndex.appendTextIndex(batch, idCol, textCol,
             indexPath)
         batch
       })
+
+  /** [[textIndexIngestSink]]'s replay decision, separated for direct
+    * testing: true iff `batch` is a re-delivery of a batch whose index
+    * append already completed. All-or-nothing per batch: any indexed id
+    * marks the whole batch as replayed (appendTextIndex is one job over
+    * the batch). Token-free batches decide by Bloom membership — see
+    * the sink doc for the exact soundness argument and the two bounded
+    * residual windows. */
+  private[graft] def textBatchReplayed(spark: SparkSession, indexPath: String,
+                                       batch: DataFrame, idCol: String,
+                                       textCol: String): Boolean = {
+    val ids = batch.select(col(idCol).cast(LongType).as("id"))
+    val present = graft.ops.IndexIds.presentIds(spark, indexPath, ids,
+      spark.read.parquet(indexPath).select("id"))
+    if (present.limit(1).collect().nonEmpty) true
+    else {
+      val tokenFree = batch
+        .select(explode(graft.ops.TextIndex.postingTokens(col(textCol)))
+          .as("_t"))
+        .limit(1).collect().isEmpty
+      tokenFree && graft.ops.IndexIds.allPresentInBloom(spark, indexPath, ids)
+    }
+  }
 
   /** Quality-filtered ingest: each micro-batch is scored by a TRAINED
     * [[graft.ops.Classifier.NbModel]] (the fastText-style NB quality

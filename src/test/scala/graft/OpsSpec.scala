@@ -2578,6 +2578,41 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.resizeStub(df, 0, 10) }
   }
 
+  test("degenerate-input guards: sqParams empty corpus, kmv null side, resize overflow/null dims") {
+    // sqParams on an empty corpus fails loudly instead of silently
+    // unboxing NULL min/max to all-zero params
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Quantize.sqParams(emptyVecs, "embedding", 4) }
+    assert(e1.getMessage.contains("sqParams"))
+    // kmvOverlapTagged: a NULL side surfaces in the require message, not
+    // as an opaque NPE from the row accessor
+    val tagged = Seq((Some(0), 1L), (Some(1), 2L), (Option.empty[Int], 3L))
+      .toDF("side", "h")
+    val e2 = intercept[IllegalArgumentException] {
+      Sketch.kmvOverlapTagged(tagged, "side", "h") }
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+    // resize: 65536x65536 decoded dims would overflow a 32-bit byte
+    // budget (2^32 wraps to a 0-length crop); the long-math budget keeps
+    // the payload intact
+    val big = Seq((1L, "payload-bytes-here")).toDF("id", "text")
+    val payload = Multimodal.attachPayload(big, "text")
+    val bigMeta = payload.withColumn("media_meta",
+      struct(lit("fake-rgb").as("format"), lit(65536).as("width"),
+        lit(65536).as("height"), lit(18L).as("nBytes")))
+    val r = Multimodal.resizeStub(bigMeta, 65536, 65536)
+      .select(length($"resized")).collect()(0)
+    assert(r.getInt(0) == "payload-bytes-here".length, r.toSeq)
+    // NULL decode dims (failed decode): explicit NULL payload out, row
+    // survives for failure routing
+    val nullMeta = payload.withColumn("media_meta",
+      struct(lit("fake-rgb").as("format"), lit(null).cast("int").as("width"),
+        lit(7).as("height"), lit(18L).as("nBytes")))
+    val rn = Multimodal.resizeStub(nullMeta, 80, 80)
+      .select($"resized", $"resized_meta.nBytes").collect()(0)
+    assert(rn.isNullAt(0) && rn.isNullAt(1))
+  }
+
   test("product quantization: codes, ADC ranking, trained codebooks, brute-force spec parity") {
     import graft.ops.Quantize
     // 4-dim vectors, m=2 subspaces of 2 dims, ksub=2 seeded codewords

@@ -312,6 +312,36 @@ class StreamingSpec extends AnyFunSuite {
     graft.ops.TextIndex.requireTextIndexFresh(spark, idxPath, full, "doc_id")
   }
 
+  test("text-index replay decision: token-free batches recovered via the Bloom sidecar") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val idxPath = TestSpark.tmpDir("streaming-tfb") + "/ti"
+    graft.ops.TextIndex.buildTextIndex(docs.filter($"doc_id" < 50),
+      "doc_id", "text", idxPath, nBuckets = 16)
+    // a tokened batch not yet appended: absent postings prove no replay
+    val tokened = docs.filter($"doc_id" >= 100 && $"doc_id" < 110)
+    assert(!EventStream.textBatchReplayed(spark, idxPath, tokened,
+      "doc_id", "text"))
+    // a token-free batch with novel ids: not in the Bloom -> no replay
+    val tf = spark.range(3).select((col("id") + 900000L).as("doc_id"),
+      lit("   ").as("text"))
+    assert(!EventStream.textBatchReplayed(spark, idxPath, tf,
+      "doc_id", "text"))
+    // after its append (zero postings — only the _meta bump and the
+    // Bloom merge land), the SAME batch is recognized as a replay even
+    // though posting membership is structurally blind to it
+    graft.ops.TextIndex.appendTextIndex(tf, "doc_id", "text", idxPath)
+    assert(graft.ops.IndexIds.presentIds(spark, idxPath,
+      tf.select($"doc_id".as("id")),
+      spark.read.parquet(idxPath).select("id")).limit(1).collect().isEmpty)
+    assert(EventStream.textBatchReplayed(spark, idxPath, tf,
+      "doc_id", "text"))
+    // a tokened appended batch replays via precise posting membership
+    graft.ops.TextIndex.appendTextIndex(tokened, "doc_id", "text", idxPath)
+    assert(EventStream.textBatchReplayed(spark, idxPath, tokened,
+      "doc_id", "text"))
+  }
+
   // epoch-µs of `ts` in either fixture representation (Long nanos under
   // nanosAsLong, a timestamp otherwise — the EventStream.withEventTime
   // split)
