@@ -860,10 +860,31 @@ object Dedup {
     * pair cosine is [[Similarity.cosineFixed]] term-for-term — integer
     * dot sums, then one sqrt/multiply/divide chain in correctly-rounded
     * doubles — so a SQL oracle reproduces every keep/drop decision
-    * bit-for-bit, threshold comparisons included. */
+    * bit-for-bit, threshold comparisons included.
+    *
+    * == Skew guard ==
+    *
+    * k sizes the EXPECTED cluster, but nothing makes the actual ones
+    * balanced: a redundancy-heavy corpus (the exact input semantic
+    * dedup is for) can collapse into one giant cluster, and the pair
+    * join then degrades to an effectively quadratic join on a single
+    * skewed key — running "forever" rather than erroring. So the
+    * assignment counts are checked BEFORE the join (one extra
+    * assignment-only pass — count per cluster, vectors never shuffle):
+    * any cluster over `maxClusterRows` fails loudly naming the cluster
+    * and the dials, unless `subSplit` is set, in which case oversized
+    * clusters are deterministically salted by `hash60(id)` into
+    * `ceil(n / maxClusterRows)` sub-clusters and pairs are checked only
+    * WITHIN a sub-cluster — a strictly tighter scope of the same
+    * cluster-scoped approximation the paper makes (and
+    * oracle-replayable: the salt is the portable id-hash mod). The
+    * output `cluster` column always carries the ORIGINAL cluster id. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     k: Int = 8, iters: Int = 1, minCosine: Double = 0.9,
-                    dim: Int = 64): DataFrame = {
+                    dim: Int = 64, maxClusterRows: Long = 1L << 16,
+                    subSplit: Boolean = false): DataFrame = {
+    require(maxClusterRows >= 1,
+      s"maxClusterRows must be >= 1, got $maxClusterRows")
     val wellFormed = df.filter(
       size(col(vecCol)) === dim && forall(col(vecCol), x => x.isNotNull))
     val cb = Similarity.kmeansCodebook(wellFormed, idCol, vecCol, k, iters)
@@ -872,8 +893,37 @@ object Dedup {
       Similarity.nearestCentroid(col(vecCol), cb, dyy).as("cluster"),
       sqrt(Similarity.dotFixed(col(vecCol), col(vecCol)).cast(DoubleType))
         .as("nrm"))
-    val dups = assigned.as("a").join(assigned.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.doc") < col("b.doc"))
+    // skew guard: k rows to the driver, checked before any pair work
+    val oversized = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxClusterRows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (oversized.nonEmpty && !subSplit) {
+      val (worstC, worstN) = oversized.maxBy(_._2)
+      throw new IllegalArgumentException(
+        s"semanticDedup: cluster $worstC holds $worstN rows" +
+          s" (maxClusterRows=$maxClusterRows" +
+          (if (oversized.size > 1) s"; ${oversized.size} clusters oversized)"
+           else ")") +
+          " — the within-cluster self-join would put ~n^2/2 candidate " +
+          "pairs on one skewed key. Raise k (expected cluster = n/k), " +
+          "raise maxClusterRows if the quadratic cost is intended, or " +
+          "pass subSplit = true to deterministically sub-cluster " +
+          "oversized clusters.")
+    }
+    val salted =
+      if (oversized.isEmpty) assigned.withColumn("salt", lit(0L))
+      else assigned.withColumn("salt",
+        // bounded when-chain: one branch per OVERSIZED cluster (driver
+        // already holds them); everything else keeps salt 0
+        oversized.foldLeft(lit(0L)) { case (acc, (c, n)) =>
+          val splits = (n + maxClusterRows - 1) / maxClusterRows
+          when(col("cluster") === c,
+            pmod(TextStats.hash60(col("doc").cast(StringType)),
+              lit(splits))).otherwise(acc)
+        })
+    val dups = salted.as("a").join(salted.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.salt") === col("b.salt") && col("a.doc") < col("b.doc"))
       // identical arithmetic to cosineFixed, with the self-dot factors
       // hoisted out of the join as the per-row `nrm`
       .filter(Similarity.dotFixed(col("a.v"), col("b.v")).cast(DoubleType) /

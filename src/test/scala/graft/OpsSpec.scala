@@ -1385,6 +1385,38 @@ class OpsSpec extends AnyFunSuite {
     assert(dropped.size < ids.size / 2, "most of the corpus must survive")
   }
 
+  test("semanticDedup: degenerate cluster refused loudly; subSplit sub-clusters deterministically") {
+    // 40 IDENTICAL vectors: seeds (ids 0, 1) coincide, ties go to the
+    // smaller centroid, so every row lands in cluster 0 — the planted
+    // collapse the skew guard exists for
+    val n = 40
+    val df = (0 until n).map(i => (i.toLong, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(df, "vec_id", "embedding",
+        k = 2, iters = 1, minCosine = 0.9, dim = 4, maxClusterRows = 8)
+    }
+    assert(e.getMessage.contains("semanticDedup") &&
+      e.getMessage.contains("subSplit"), e.getMessage)
+    // subSplit: ceil(40/8) = 5 salted sub-clusters; identical vectors
+    // are mutual dups, so each sub-cluster keeps exactly its min id —
+    // mirrored by recomputing the engine's own salt assignment
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+        k = 2, iters = 1, minCosine = 0.9, dim = 4, maxClusterRows = 8,
+        subSplit = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == n && out.forall(_._2 == 0L)) // original cluster id kept
+    val salts = df.select(col("vec_id"),
+        pmod(TextStats.hash60(col("vec_id").cast("string")), lit(5L)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedKeeps = salts.groupBy(_._2).values.map(_.keys.min).toSet
+    assert(out.filter(_._3 == 1L).map(_._1).toSet == expectedKeeps)
+    // an in-bounds corpus is untouched by the guard parameters
+    val small = Dedup.semanticDedup(df.limit(5), "vec_id", "embedding",
+      k = 2, iters = 1, minCosine = 0.9, dim = 4, maxClusterRows = 8)
+    assert(small.filter(col("keep") === 1).count() == 1L)
+  }
+
   test("ngramOverlapBloom == exact ngramOverlap; exact even at saturating fpp; empty bench") {
     val bench = docsDf.filter(col("doc_id") < 2)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()

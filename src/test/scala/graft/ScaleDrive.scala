@@ -593,6 +593,50 @@ object ScaleDrive {
       assert(out.count() == 105000L, "one verdict row per vector")
     }
 
+    // SemDeDup SKEW: a redundancy-heavy corpus — 50k scaled copies of
+    // ONE vector — collapses into a single cluster. The guard must
+    // refuse it FAST (assignment-count check, before any pair work),
+    // and subSplit must complete it: 50k rows salt into ceil(50k/1024)
+    // = 49 sub-clusters, ~1024²/2 pairs each (~2.6e7 fused dots) where
+    // the unguarded join would have done 1.25e9 on one hot key.
+    println("== SemDeDup skew guard: 50k-copy degenerate cluster (+5k random)")
+    val skewRandom = semBase.filter(col("vec_id") < 5000)
+    val v0 = semBase.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val skewCopies = spark.range(50000)
+      .select((col("id") + 10000000L).as("vec_id"),
+        transform(typedLit(v0),
+          x => x * (lit(1.0f) + col("id").cast("float") / lit(1e9f)))
+          .as("embedding"))
+    val skewAll = skewRandom.unionByName(skewCopies).localCheckpoint(true)
+    time("semanticDedup REFUSES the degenerate cluster (fail-loud, no pair work)") {
+      val refused = try {
+        graft.ops.Dedup.semanticDedup(skewAll, "vec_id", "embedding",
+          k = 8, iters = 1, minCosine = 0.99, maxClusterRows = 1024)
+          .count()
+        false
+      } catch { case e: IllegalArgumentException =>
+        assert(e.getMessage.contains("subSplit"), e.getMessage); true }
+      assert(refused, "degenerate cluster must be refused")
+    }
+    time("semanticDedup(subSplit, maxClusterRows=1024) completes the skewed corpus") {
+      val out = graft.ops.Dedup.semanticDedup(skewAll, "vec_id", "embedding",
+          k = 8, iters = 1, minCosine = 0.99, maxClusterRows = 1024,
+          subSplit = true).localCheckpoint(true)
+      assert(out.count() == 55000L, "one verdict row per vector")
+      val droppedCopies = out.filter(col("keep") === 0)
+        .filter(col("vec_id") >= 10000000L).count()
+      val droppedRandom = out.filter(col("keep") === 0)
+        .filter(col("vec_id") < 10000000L).count()
+      println(s"  dropped copies=$droppedCopies (expect >= ${50000 - 49}) " +
+        s"dropped random=$droppedRandom (expect 0)")
+      // each of the <=49 sub-clusters keeps at most its min-id copy;
+      // random vectors never clear 0.99 against anything
+      assert(droppedCopies >= 50000L - 49L && droppedCopies < 50000L,
+        s"per-sub-cluster keep-first, got $droppedCopies")
+      assert(droppedRandom == 0L, s"random originals must survive, got $droppedRandom")
+    }
+
     // TF-IDF cosine dedup at volume: 310k docs of 18 rare tokens (5M
     // space) + 4 glue tokens (20 space); 10k planted twins share their
     // source's RARE tokens under different glue — the reworded-near-dup
