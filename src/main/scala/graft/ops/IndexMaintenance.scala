@@ -44,8 +44,10 @@ import org.apache.spark.sql.types._
  * into a staging sibling `<path>.graft-compact-tmp`, carries `_meta` /
  * `_codebook` unchanged (deletes already adjusted the stamp), rebuilds
  * the [[IndexIds]] Bloom EXACTLY from the surviving ids (shedding
- * tombstoned ids and accumulated false-positive mass), drops
- * `_tombstones`, then swaps:
+ * tombstoned ids and accumulated false-positive mass — read back from
+ * the STAGED tree's id column, so the old tree is scanned exactly
+ * once; `bloomResize` adopts new sizing at this natural resize point),
+ * drops `_tombstones`, then swaps:
  *
  *   rename(path -> path.graft-compact-old); rename(tmp -> path);
  *   delete(old)
@@ -68,17 +70,69 @@ object IndexMaintenance {
 
   private def tombstones(path: String) = s"$path/_tombstones"
 
+  /** Tombstone bytes past which probes stop BROADCASTING the sidecar:
+    * repeated deletes accumulate until compaction, and a forced
+    * broadcast of an overgrown set dies on the broadcast limit instead
+    * of degrading. 64 MB of parquet'd ids (~tens of millions of
+    * tombstones) is far past "takedown-sized" — at that point the
+    * shuffle anti-join is the right plan anyway and compaction is
+    * overdue ([[indexHealth]] says so). */
+  private[ops] val TombstoneBroadcastBytes: Long = 64L << 20
+
   /** Probe-side tombstone filter: anti-join `df` (column `idCol`)
-    * against the sidecar when it exists — broadcast, takedown-sized.
-    * Zero cost (no filesystem data read, no join) when no delete has
-    * ever run. */
-  private[ops] def minusTombstones(spark: SparkSession, indexPath: String,
-                                   df: DataFrame, idCol: String): DataFrame =
-    if (!fsOf(spark, indexPath).exists(new Path(tombstones(indexPath)))) df
-    else df.join(
-      broadcast(spark.read.parquet(tombstones(indexPath))
-        .select(col("id").as(idCol))),
-      Seq(idCol), "left_anti")
+    * against the sidecar when it exists — broadcast while the sidecar
+    * is takedown-sized, plain (shuffle) anti-join past
+    * `maxBroadcastBytes` (the size check is one namenode summary call,
+    * no data read). Zero cost (no filesystem data read, no join) when
+    * no delete has ever run. */
+  private[graft] def minusTombstones(spark: SparkSession, indexPath: String,
+                                     df: DataFrame, idCol: String,
+                                     maxBroadcastBytes: Long =
+                                       TombstoneBroadcastBytes): DataFrame = {
+    val fs = fsOf(spark, indexPath)
+    val p = new Path(tombstones(indexPath))
+    if (!fs.exists(p)) df
+    else {
+      val ts = spark.read.parquet(tombstones(indexPath))
+        .select(col("id").as(idCol))
+      val side =
+        if (fs.getContentSummary(p).getLength <= maxBroadcastBytes)
+          broadcast(ts)
+        else ts
+      df.join(side, Seq(idCol), "left_anti")
+    }
+  }
+
+  /** One-row health report for any persisted index tree — the
+    * "compaction overdue?" signal the delete path cannot raise itself
+    * (deletes are sidecar appends; nothing ever fails until a probe
+    * pays for the accumulation). Columns:
+    * `n_tombstones` / `tombstone_bytes` (0 when no delete ever ran),
+    * `n_files` (data files in the tree — append count proxy),
+    * `bloom_ids` / `bloom_expected` / `bloom_fill` (id-sidecar fill;
+    * fill > 1 means fpp has degraded past its design point; nulls when
+    * no sidecar), and `compaction_overdue` — true when the tombstone
+    * set has outgrown the probe broadcast valve or the Bloom is
+    * overfull. Cost: namenode metadata plus one takedown-sized
+    * tombstone count; the index data is never read. */
+  def indexHealth(spark: SparkSession, path: String): DataFrame = {
+    val fs = fsOf(spark, path)
+    val tp = new Path(tombstones(path))
+    val (nTomb, tombBytes) =
+      if (!fs.exists(tp)) (0L, 0L)
+      else (spark.read.parquet(tombstones(path)).count(),
+        fs.getContentSummary(tp).getLength)
+    val nFiles = fs.getContentSummary(new Path(path)).getFileCount
+    val bloom = IndexIds.load(spark, path)
+    val fill = bloom.map(b => b.nIds.toDouble / b.expected.toDouble)
+    val overdue = tombBytes > TombstoneBroadcastBytes ||
+      fill.exists(_ > 1.0)
+    import spark.implicits._
+    Seq((nTomb, tombBytes, nFiles, bloom.map(_.nIds), bloom.map(_.expected),
+        fill, overdue))
+      .toDF("n_tombstones", "tombstone_bytes", "n_files", "bloom_ids",
+        "bloom_expected", "bloom_fill", "compaction_overdue")
+  }
 
   /** Normalize + validate a delete request: distinct non-null Long ids,
     * none already tombstoned, all present in `indexIds`. Returns the
@@ -285,15 +339,31 @@ object IndexMaintenance {
     fs.delete(old, true); ()
   }
 
-  /** Rebuild the [[IndexIds]] Bloom sidecar at `tmpPath` from the
-    * surviving ids, keeping the live sidecar's sizing (or defaults for
-    * legacy trees). */
+  /** Rebuild the [[IndexIds]] Bloom sidecar at `tmpPath` from the ids
+    * of the STAGED tree itself: the data rewrite already purged the
+    * tombstones, so the surviving id set is a column-pruned scan of the
+    * compacted output — NOT a second pass over the old tree, which
+    * would re-pay the tombstone anti-join and double the compaction's
+    * read I/O (id column of the fresh ~1-file-per-partition tree vs a
+    * full re-read of the append-fragmented old one).
+    *
+    * Compaction is also the natural RESIZE point: `resize` adopts new
+    * `(expectedIds, fpp)` sizing. Appends merge Blooms bit-for-bit, so
+    * sizing is otherwise fixed at build time forever — an index that
+    * outgrows its original `expectedIds` degrades fpp permanently
+    * until a compact re-sizes it. Default keeps the live sidecar's
+    * sizing (or the defaults for legacy trees). */
   private def rebuildBloom(spark: SparkSession, livePath: String,
-                           tmpPath: String, survivingIds: DataFrame): Unit = {
-    val (expected, fpp) = IndexIds.load(spark, livePath)
-      .map(ib => (ib.expected, ib.fpp))
-      .getOrElse((IndexIds.DefaultExpectedIds, IndexIds.DefaultFpp))
-    val distinctIds = survivingIds.distinct()
+                           stagedIds: DataFrame, tmpPath: String,
+                           resize: Option[(Long, Double)]): Unit = {
+    val (expected, fpp) = resize.getOrElse(
+      IndexIds.load(spark, livePath)
+        .map(ib => (ib.expected, ib.fpp))
+        .getOrElse((IndexIds.DefaultExpectedIds, IndexIds.DefaultFpp)))
+    require(expected >= 1 && fpp > 0.0 && fpp < 1.0,
+      s"compact: Bloom resize needs expectedIds >= 1 and fpp in (0, 1), " +
+        s"got ($expected, $fpp)")
+    val distinctIds = stagedIds.distinct()
     IndexIds.writeFresh(spark, tmpPath, distinctIds, distinctIds.count(),
       expected, fpp)
   }
@@ -302,7 +372,8 @@ object IndexMaintenance {
     * physically purged, ~1 file per bucket directory, same
     * (bucket, token, id) order, `_meta` carried unchanged, Bloom
     * rebuilt exact, tombstones dropped. */
-  def compactTextIndex(spark: SparkSession, path: String): Unit =
+  def compactTextIndex(spark: SparkSession, path: String,
+                       bloomResize: Option[(Long, Double)] = None): Unit =
     stagedSwap(spark, path) { tmp =>
       val meta = spark.read.parquet(s"$path/_meta")
       val live = minusTombstones(spark, path,
@@ -311,16 +382,16 @@ object IndexMaintenance {
         .sortWithinPartitions("bucket", "token", "id")
         .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
       meta.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
-      rebuildBloom(spark, path, tmp,
-        minusTombstones(spark, path,
-          spark.read.parquet(path).select("id"), "id"))
+      rebuildBloom(spark, path,
+        spark.read.parquet(tmp).select("id"), tmp, bloomResize)
     }
 
   /** Compact a [[Similarity.buildIvfIndex]] tree: tombstoned vectors
     * purged, ~1 file per list directory, same (list, id) order,
     * `_codebook` carried unchanged, Bloom rebuilt, tombstones
     * dropped. */
-  def compactIvfIndex(spark: SparkSession, path: String): Unit =
+  def compactIvfIndex(spark: SparkSession, path: String,
+                      bloomResize: Option[(Long, Double)] = None): Unit =
     stagedSwap(spark, path) { tmp =>
       val codebook = spark.read.parquet(s"$path/_codebook")
       val live = minusTombstones(spark, path,
@@ -329,16 +400,16 @@ object IndexMaintenance {
         .sortWithinPartitions("list", "id")
         .write.partitionBy("list").mode("overwrite").parquet(tmp)
       codebook.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_codebook")
-      rebuildBloom(spark, path, tmp,
-        minusTombstones(spark, path,
-          spark.read.parquet(path).select("id"), "id"))
+      rebuildBloom(spark, path,
+        spark.read.parquet(tmp).select("id"), tmp, bloomResize)
     }
 
   /** Compact a [[Quantize.buildPqIndex]] code table: tombstoned rows
     * purged, files coalesced into an id-range layout with the
     * build-time id sort, `_codebook` carried unchanged, Bloom rebuilt,
     * tombstones dropped. */
-  def compactPqIndex(spark: SparkSession, path: String): Unit =
+  def compactPqIndex(spark: SparkSession, path: String,
+                     bloomResize: Option[(Long, Double)] = None): Unit =
     stagedSwap(spark, path) { tmp =>
       val codebook = spark.read.parquet(s"$path/_codebook")
       val live = minusTombstones(spark, path,
@@ -346,16 +417,16 @@ object IndexMaintenance {
       live.repartitionByRange(col("id")).sortWithinPartitions("id")
         .write.mode("overwrite").parquet(tmp)
       codebook.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_codebook")
-      rebuildBloom(spark, path, tmp,
-        minusTombstones(spark, path,
-          spark.read.parquet(path).select("id"), "id"))
+      rebuildBloom(spark, path,
+        spark.read.parquet(tmp).select("id"), tmp, bloomResize)
     }
 
   /** Compact a [[Quantize.buildIvfPqIndex]] tree: tombstoned rows
     * purged, ~1 file per list directory, same (list, id) order, both
     * codebook sidecars carried unchanged, Bloom rebuilt, tombstones
     * dropped. */
-  def compactIvfPqIndex(spark: SparkSession, path: String): Unit =
+  def compactIvfPqIndex(spark: SparkSession, path: String,
+                        bloomResize: Option[(Long, Double)] = None): Unit =
     stagedSwap(spark, path) { tmp =>
       val coarse = spark.read.parquet(s"$path/_coarse")
       val pqcb = spark.read.parquet(s"$path/_pqcb")
@@ -366,16 +437,16 @@ object IndexMaintenance {
         .write.partitionBy("list").mode("overwrite").parquet(tmp)
       coarse.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_coarse")
       pqcb.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_pqcb")
-      rebuildBloom(spark, path, tmp,
-        minusTombstones(spark, path,
-          spark.read.parquet(path).select("id"), "id"))
+      rebuildBloom(spark, path,
+        spark.read.parquet(tmp).select("id"), tmp, bloomResize)
     }
 
   /** Compact a [[DedupIndex]] tree: tombstoned signatures and band
     * rows purged, both subtrees rewritten at ~shuffle-partition file
     * counts with their build-time sort, `_meta` carried unchanged,
     * Bloom rebuilt, tombstones dropped. */
-  def compactDedupIndex(spark: SparkSession, path: String): Unit =
+  def compactDedupIndex(spark: SparkSession, path: String,
+                        bloomResize: Option[(Long, Double)] = None): Unit =
     stagedSwap(spark, path) { tmp =>
       val meta = spark.read.parquet(s"$path/_meta")
       val sigs = minusTombstones(spark, path,
@@ -388,8 +459,7 @@ object IndexMaintenance {
         .sortWithinPartitions("band", "bh", "id")
         .write.mode("overwrite").parquet(s"$tmp/bands")
       meta.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
-      rebuildBloom(spark, path, tmp,
-        minusTombstones(spark, path,
-          spark.read.parquet(s"$path/sigs").select("id"), "id"))
+      rebuildBloom(spark, path,
+        spark.read.parquet(s"$tmp/sigs").select("id"), tmp, bloomResize)
     }
 }

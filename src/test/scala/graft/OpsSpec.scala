@@ -2610,6 +2610,53 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.resizeStub(df, 0, 10) }
   }
 
+  test("tombstone valve + indexHealth + compact Bloom resize from the staged tree") {
+    val path = TestSpark.tmpDir("cpt-resize") + "/ti"
+    TextIndex.buildTextIndex(docsDf, "doc_id", "text", path, nBuckets = 4,
+      expectedIds = 64, idFpp = 0.1)
+    IndexMaintenance.deleteFromTextIndex(spark, path, Seq(3L))
+    // valve: the forced broadcast hint is dropped past maxBroadcastBytes
+    // (threshold 0 here) — with auto-broadcast off the plan must fall
+    // back to a shuffle anti-join, with identical results
+    val postings = spark.read.parquet(path)
+    val bcPlan = IndexMaintenance.minusTombstones(spark, path, postings, "id")
+    val autoBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val nbPlan = IndexMaintenance.minusTombstones(spark, path, postings,
+        "id", maxBroadcastBytes = 0)
+      assert(bcPlan.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(!nbPlan.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(bcPlan.collect().map(_.getLong(0)).sorted.toSeq ==
+        nbPlan.collect().map(_.getLong(0)).sorted.toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", autoBc)
+    // health: tombstones visible, small set not overdue, Bloom fill sane
+    val h = IndexMaintenance.indexHealth(spark, path).collect()(0)
+    assert(h.getAs[Long]("n_tombstones") == 1L)
+    assert(!h.getAs[Boolean]("compaction_overdue"))
+    assert(h.getAs[Double]("bloom_fill") > 0.0)
+    // compact WITH a Bloom resize: new sizing lands (from the staged
+    // tree's own ids), tombstones purge, probes exclude the deleted doc
+    IndexMaintenance.compactTextIndex(spark, path,
+      bloomResize = Some((1024L, 0.01)))
+    val ib = IndexIds.load(spark, path).get
+    assert(ib.expected == 1024L && ib.fpp == 0.01, (ib.expected, ib.fpp))
+    val h2 = IndexMaintenance.indexHealth(spark, path).collect()(0)
+    assert(h2.getAs[Long]("n_tombstones") == 0L)
+    val hits = TextIndex.searchIndex(spark, path, "the quick brown", 10)
+      .collect().map(_.getLong(0))
+    assert(hits.nonEmpty && !hits.contains(3L), hits.toSeq)
+    // appends keep working against the resized sidecar (merge sizing
+    // must match what compact wrote)
+    TextIndex.appendTextIndex(
+      Seq((100L, "zz-fresh tokens")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    val ib2 = IndexIds.load(spark, path).get
+    assert(ib2.expected == 1024L && ib2.nIds == ib.nIds + 1)
+  }
+
   test("degenerate-input guards: sqParams empty corpus, kmv null side, resize overflow/null dims") {
     // sqParams on an empty corpus fails loudly instead of silently
     // unboxing NULL min/max to all-zero params
