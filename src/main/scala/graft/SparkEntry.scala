@@ -1907,6 +1907,20 @@ object SparkEntry {
           col("list"))
     }),
 
+    // IVFADC refinement: the composed probe's top-30 codes-only
+    // candidates re-scored by EXACT cosine against their raw vectors,
+    // top-10 of the re-ranking returned — the standard two-stage
+    // retrieval shape (compressed candidate scan, r-row exact re-rank);
+    // both the candidate cut and the re-scores replay bit-for-bit
+    "x_knn_ivfpq_rerank" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      graft.ops.Quantize.ivfPqTopKRefined(s, ivfPqIndex(s, d), embs(s, d),
+          "vec_id", "embedding", q, k = 10, r = 30, nprobe = 4,
+          verifyAgainst = Some((embs(s, d), "vec_id")))
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     // SQ8 scalar quantization: per-dim affine byte codes (4x), query
     // full-precision, corpus scored against its dequantized codes —
     // params, codes, dequant, and fixed-point scores all replayed
@@ -2980,6 +2994,16 @@ object SparkEntry {
     * assignment/probing CTEs composed with [[pqOracle]]'s quantizer —
     * candidates come from the 4 probed lists, scores are plain ADC. */
   private def ivfPqOracle: String =
+    ivfPqChain +
+      ("""SELECT c.vec_id, round(sc, 6) AS score, c.list FROM scored JOIN cand c ON c.vec_id = scored.vec_id """ +
+       """ORDER BY sc DESC, c.vec_id LIMIT 10""")
+
+  /** The WITH-chain shared by [[ivfPqOracle]] and
+    * [[ivfPqRerankOracle]]: seeded coarse assignment + probing, PQ
+    * quantizer, ADC scoring over the probed candidates — everything up
+    * to (and including) `scored`, ready for a final SELECT or more
+    * CTEs. */
+  private def ivfPqChain: String =
     ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings), """ +
      """norms AS (SELECT vec_id, SUM(CAST(round((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxx FROM el GROUP BY vec_id), """ +
      """cl AS (SELECT vec_id AS cid, i, x AS cx FROM el WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)), """ +
@@ -3005,9 +3029,21 @@ object SparkEntry {
      """adc AS (SELECT code.vec_id, SUM(l.dt)::BIGINT AS dt, SUM(c2.cc)::BIGINT AS nn """ +
      """FROM code JOIN cand USING (vec_id) JOIN lut l ON l.s = code.s AND l.c = code.c """ +
      """JOIN cc c2 ON c2.s = code.s AND c2.c = code.c GROUP BY 1), """ +
-     """scored AS (SELECT vec_id, CAST(dt AS DOUBLE) / (sqrt((SELECT CAST(v AS DOUBLE) FROM qq)) * sqrt(CAST(nn AS DOUBLE))) AS sc FROM adc) """ +
-     """SELECT c.vec_id, round(sc, 6) AS score, c.list FROM scored JOIN cand c ON c.vec_id = scored.vec_id """ +
-     """ORDER BY sc DESC, c.vec_id LIMIT 10""")
+     """scored AS (SELECT vec_id, CAST(dt AS DOUBLE) / (sqrt((SELECT CAST(v AS DOUBLE) FROM qq)) * sqrt(CAST(nn AS DOUBLE))) AS sc FROM adc) """)
+
+  /** [[ivfPqOracle]]'s chain with the exact re-rank tail: the ADC
+    * top-30 candidate cut (same window discipline), then each
+    * candidate's EXACT fixed-point cosine against query vec 0 from the
+    * raw embeddings (`el`/`norms` are already in the chain), top-10 of
+    * the re-ranking. */
+  private def ivfPqRerankOracle: String =
+    (ivfPqChain +
+     """, cand30 AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER (ORDER BY sc DESC, vec_id) AS rn FROM scored) WHERE rn <= 30), """ +
+     """rr AS (SELECT e.vec_id, SUM(CAST(round((CAST(e.x AS DOUBLE) * CAST(q2.x AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxy """ +
+     """FROM el e JOIN cand30 USING (vec_id) JOIN el q2 ON q2.vec_id = 0 AND q2.i = e.i GROUP BY 1), """ +
+     """rscore AS (SELECT r2.vec_id, CAST(r2.dxy AS DOUBLE) / (sqrt(CAST(nq.dxx AS DOUBLE)) * sqrt(CAST(nc.dxx AS DOUBLE))) AS sc """ +
+     """FROM rr r2 JOIN norms nq ON nq.vec_id = 0 JOIN norms nc ON nc.vec_id = r2.vec_id) """ +
+     """SELECT vec_id, round(sc, 6) AS score FROM rscore ORDER BY sc DESC, vec_id LIMIT 10""")
 
   /** [[ivfPqOracle]] generalized to 5 simultaneous queries — LUT and qq
     * gain a qid dimension, probes/candidates/ADC group per (qid, vec),
@@ -3644,6 +3680,8 @@ object SparkEntry {
     "x_knn_ivfpq" -> ivfPqOracle,
 
     // the batch ADC join: per-query probes/LUTs/top-k over 5 queries
+    "x_knn_ivfpq_rerank" -> ivfPqRerankOracle,
+
     "x_knn_ivfpq_join" -> ivfPqJoinOracle,
 
     // SQ8: per-dim min/max params, affine byte codes, dequantized

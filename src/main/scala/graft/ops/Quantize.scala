@@ -483,6 +483,45 @@ object Quantize {
       .limit(k)
   }
 
+  /** IVFADC with the standard exact REFINEMENT stage: the ADC top-`r`
+    * candidates are re-scored by EXACT cosine against their raw
+    * vectors, and the top-`k` of that re-ranking is returned. ADC
+    * orders by the quantized reconstruction — good enough to SURFACE
+    * neighbors, coarse for ordering them (m·2 bytes per vector); re-
+    * scoring r ≈ 2–10× k raw vectors closes most of the recall gap at
+    * a cost independent of corpus size, which is what makes the PQ
+    * tree usable as the FIRST stage of a retrieval stack instead of a
+    * lossy endpoint.
+    *
+    * Scale shape: stage 1 is [[ivfPqTopKIndexed]] verbatim (codes-only
+    * scan of the nprobe pruned list directories); stage 2 collects the
+    * r candidate ids (bounded by `r` — driver-tiny) and reads exactly
+    * those rows from the RAW corpus via an `id IN (...)` literal
+    * pushdown — parquet row-group pruned on an id-sorted corpus
+    * layout, r float vectors total, nothing corpus-sized. Re-scores
+    * are [[Similarity.cosineFixed]] (1e-15 fixed-point dots), so a SQL
+    * oracle replays the candidate cut AND the exact re-ranking
+    * bit-for-bit. Output (`id`, `score` = exact cosine), score desc
+    * then id. */
+  def ivfPqTopKRefined(spark: org.apache.spark.sql.SparkSession,
+                       path: String, corpus: DataFrame, idCol: String,
+                       vecCol: String, query: Seq[Float], k: Int, r: Int,
+                       nprobe: Int,
+                       verifyAgainst: Option[(DataFrame, String)] = None)
+      : DataFrame = {
+    require(r >= k, s"need r >= k (re-rank pool must cover the cut), " +
+      s"got (k=$k, r=$r)")
+    val cand = ivfPqTopKIndexed(spark, path, query, r, nprobe, verifyAgainst)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    corpus
+      .select(col(idCol).cast(LongType).as("id"), col(vecCol).as("_v"))
+      .filter(col("id").isin(cand: _*))
+      .select(col("id"),
+        Similarity.cosineFixed(col("_v"), typedLit(query)).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** [[adcScore]] with PER-ROW lookup tables: `lutCol` is an
     * `array<array<long>>` column (m × ksub) carried on the joined row,
     * `qqCol` the query's fixed-point self-dot — the batch-join form

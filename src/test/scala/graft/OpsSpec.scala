@@ -2340,6 +2340,51 @@ class OpsSpec extends AnyFunSuite {
     Quantize.requireIvfPqFresh(spark, grown, embsDf, "vec_id")
   }
 
+  test("ivfPqTopKRefined: exact-cosine re-rank of the ADC pool == driver mirror; r >= k enforced") {
+    import graft.ops.Quantize
+    val embsDf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val coarse = embsDf.orderBy("vec_id").limit(8)
+      .collect().toSeq.map(_.getSeq[Float](1).map(_.toDouble).toSeq)
+    val cbs = Quantize.pqCodebooks(embsDf, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 0)
+    val q = embsDf.filter($"vec_id" === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val path = TestSpark.tmpDir("ivfpq-rerank") + "/ipq"
+    Quantize.buildIvfPqIndex(embsDf, "vec_id", "embedding", coarse, cbs, path)
+    val got = Quantize.ivfPqTopKRefined(spark, path, embsDf,
+        "vec_id", "embedding", q, k = 5, r = 20, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // mirror: the gated ADC probe supplies the candidate pool; exact
+    // fixed-point cosine re-ranks it driver-side
+    val pool = Quantize.ivfPqTopKIndexed(spark, path, q, 20, 3)
+      .collect().map(_.getLong(0)).toSet
+    val vecs = embsDf.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // the kernel's exact rounding: Spark Round(HALF_UP) over the
+    // shortest-decimal representation (math.rint/round differ in the
+    // boundary band)
+    def fxdot(a: Seq[Double], b: Seq[Double]): Long =
+      a.zip(b).map { case (x, y) =>
+        java.math.BigDecimal.valueOf(x * y * 1e15)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      }.sum
+    val qd = q.map(_.toDouble).toSeq
+    val qn = math.sqrt(fxdot(qd, qd).toDouble)
+    val exp = pool.toSeq.map { id =>
+      val v = vecs(id).toSeq
+      (id, fxdot(v, qd).toDouble / (math.sqrt(fxdot(v, v).toDouble) * qn))
+    }.sortBy { case (id, sc) => (-sc, id) }.take(5)
+    assert(got == exp, s"engine $got vs mirror $exp")
+    // the refinement must contain the TRUE nearest neighbor (vec 0
+    // itself at cosine 1) at full precision — ADC can only approximate
+    assert(got.head._1 == 0L && math.abs(got.head._2 - 1.0) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Quantize.ivfPqTopKRefined(spark, path, embsDf, "vec_id", "embedding",
+        q, k = 10, r = 5, nprobe = 3)
+    }
+  }
+
   test("SQ8: hand-checkable codes, degenerate dims, near-lossless self rank, brute recall") {
     import graft.ops.Quantize
     // dim0 spans [0,2], dim1 is constant (degenerate -> code 0), dim2 spans [-1,1]
