@@ -920,6 +920,58 @@ object SparkEntry {
       path
     })
 
+  /** Byte-for-byte clone of an index tree to a fresh path — the
+    * mutable-ingest stream gates' amortization: their base snapshot
+    * index is built ONCE per process (the build-once discipline of
+    * every other fixture index) and each invocation mutates a CLONE,
+    * so repeated bench passes pay a local file copy instead of a
+    * distributed rebuild. Oracle-safe by construction (identical
+    * bytes). */
+  private def cloneTree(s: SparkSession, src: String, dst: String): String = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(src)
+    val dp = new org.apache.hadoop.fs.Path(dst)
+    org.apache.hadoop.fs.FileUtil.copy(
+      sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp, false, conf)
+    dst
+  }
+
+  private val ingBaseDedupIdx = new ConcurrentHashMap[String, String]()
+  /** Build-once BASE dedup index for `x_stream_index_ingest` (each
+    * invocation clones it before the sink mutates the clone). */
+  private def ingBaseDedupIndex(s: SparkSession, d: String): String =
+    ingBaseDedupIdx.computeIfAbsent(d, { _ =>
+      val path = indexPath("ingb_", d)
+      graft.ops.DedupIndex.buildDedupIndex(crossRefCorpus(s, d),
+        "doc_id", "text", path, 3, 32, 8)
+      path
+    })
+
+  private val ingBaseTextIdx = new ConcurrentHashMap[String, String]()
+  /** Build-once BASE text index for `x_stream_text_ingest`. */
+  private def ingBaseTextIndex(s: SparkSession, d: String): String =
+    ingBaseTextIdx.computeIfAbsent(d, { _ =>
+      val path = indexPath("stib_", d)
+      graft.ops.TextIndex.buildTextIndex(
+        docs(s, d).filter(col("doc_id") < 200).select("doc_id", "text"),
+        "doc_id", "text", path, nBuckets = 64)
+      path
+    })
+
+  private val ingBaseIvfIdx = new ConcurrentHashMap[String, String]()
+  /** Build-once BASE IVF index for `x_stream_embed_ingest`. */
+  private def ingBaseIvfIndex(s: SparkSession, d: String): String =
+    ingBaseIvfIdx.computeIfAbsent(d, { _ =>
+      val path = indexPath("eingb_", d)
+      val corpus = embs(s, d).filter(col("vec_id") >= 100)
+      val cb = corpus.select(col("vec_id"), col("embedding"))
+        .orderBy("vec_id").limit(16).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      graft.ops.Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+        cb, path)
+      path
+    })
+
   /** The two sides of the cross-corpus dedup gates: the reference
     * snapshot (docs < 200) and the fresh batch (docs 200-299 plus 3
     * planted variants of reference docs) — shared by the direct-join
@@ -1946,6 +1998,22 @@ object SparkEntry {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // batch two-stage retrieval: per-query ADC top-20 candidates from
+    // the codes-only pruned join, exact-cosine re-rank of every
+    // (query, candidate) pair against raw vectors fetched by id
+    // pushdown, per-query top-10 — the production shape for serving a
+    // query batch off the compressed tree
+    "x_knn_ivfpq_join_rerank" -> ((s, d) => {
+      val emb = embs(s, d)
+      graft.ops.Quantize.ivfPqKnnJoinRefined(s, ivfPqIndex(s, d),
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, r = 20, nprobe = 4,
+          verifyAgainst = Some((emb, "vec_id")))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // the same probe against an IVF+PQ index grown incrementally with
     // the index's own coarse and PQ codebooks
     "x_knn_ivfpq_append" -> ((s, d) => {
@@ -2582,15 +2650,15 @@ object SparkEntry {
     // batch 1's survivors are appended into the dedup index before
     // batch 2 arrives, so batch 2's planted variants OF BATCH-1 DOCS
     // are dropped (invisible to the probe-only sink) alongside its
-    // ref-corpus variants; the index is rebuilt fresh per invocation
-    // (the sink mutates it) and deleted after
+    // ref-corpus variants; the sink mutates the index, so each
+    // invocation CLONES the build-once base snapshot (file copy, not a
+    // rebuild) and deletes the clone after
     "x_stream_index_ingest" -> ((s, d) => {
       val st = store(s, d)
       st.synchronized {
-        val idxPath = indexPath("ing_", d) +
-          "-" + java.util.UUID.randomUUID().toString.take(8)
-        graft.ops.DedupIndex.buildDedupIndex(crossRefCorpus(s, d),
-          "doc_id", "text", idxPath, 3, 32, 8)
+        val idxPath = cloneTree(s, ingBaseDedupIndex(s, d),
+          indexPath("ing_", d) +
+            "-" + java.util.UUID.randomUUID().toString.take(8))
         val b1 = docs(s, d)
           .filter(col("doc_id") >= 200 && col("doc_id") < 250)
           .select("doc_id", "text")
@@ -2669,14 +2737,9 @@ object SparkEntry {
       val st = store(s, d)
       st.synchronized {
         val emb = embs(s, d)
-        val idxPath = indexPath("eing_", d) +
-          "-" + java.util.UUID.randomUUID().toString.take(8)
-        val corpus = emb.filter(col("vec_id") >= 100)
-        val cb = corpus.select(col("vec_id"), col("embedding"))
-          .orderBy("vec_id").limit(16).collect()
-          .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
-        graft.ops.Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
-          cb, idxPath)
+        val idxPath = cloneTree(s, ingBaseIvfIndex(s, d),
+          indexPath("eing_", d) +
+            "-" + java.util.UUID.randomUUID().toString.take(8))
         val b1 = emb.filter(col("vec_id") < 25).select("vec_id", "embedding")
           .unionByName(emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
             .select((col("vec_id") + 30000L).as("vec_id"),
@@ -2715,11 +2778,9 @@ object SparkEntry {
     "x_stream_text_ingest" -> ((s, d) => {
       val st = store(s, d)
       st.synchronized {
-        val idxPath = indexPath("sti_", d) +
-          "-" + java.util.UUID.randomUUID().toString.take(8)
-        graft.ops.TextIndex.buildTextIndex(
-          docs(s, d).filter(col("doc_id") < 200).select("doc_id", "text"),
-          "doc_id", "text", idxPath, nBuckets = 64)
+        val idxPath = cloneTree(s, ingBaseTextIndex(s, d),
+          indexPath("sti_", d) +
+            "-" + java.util.UUID.randomUUID().toString.take(8))
         val b1 = docs(s, d)
           .filter(col("doc_id") >= 200 && col("doc_id") < 250)
           .select("doc_id", "text")
@@ -3049,6 +3110,34 @@ object SparkEntry {
     * gain a qid dimension, probes/candidates/ADC group per (qid, vec),
     * the top-k becomes a per-qid window. */
   private def ivfPqJoinOracle: String =
+    ivfPqJoinChain +
+      ("""topk AS (SELECT qid, vec_id, sc, list FROM (SELECT qid, vec_id, sc, list, """ +
+       """row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rn FROM scored) WHERE rn <= 10) """ +
+       """SELECT qid AS query_id, vec_id AS neighbor_id, round(sc, 6) AS score, list """ +
+       """FROM topk ORDER BY query_id, neighbor_id""")
+
+  /** [[ivfPqJoinOracle]]'s chain with the exact re-rank tail — the
+    * batch twin of [[ivfPqRerankOracle]]: per-qid ADC top-20 candidate
+    * cut, exact fixed-point cosine of each (query, candidate) pair from
+    * the raw embeddings, per-qid top-10 of the re-ranking. */
+  private def ivfPqJoinRerankOracle: String =
+    (ivfPqJoinChain +
+     """cand20 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, """ +
+     """row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rn FROM scored) WHERE rn <= 20), """ +
+     """rr AS (SELECT c.qid, e.vec_id, SUM(CAST(round((CAST(e.x AS DOUBLE) * CAST(qe.x AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxy """ +
+     """FROM cand20 c JOIN el e ON e.vec_id = c.vec_id JOIN el qe ON qe.vec_id = c.qid AND qe.i = e.i GROUP BY 1, 2), """ +
+     """rscore AS (SELECT r2.qid, r2.vec_id, CAST(r2.dxy AS DOUBLE) / (sqrt(CAST(nq.dxx AS DOUBLE)) * sqrt(CAST(nc.dxx AS DOUBLE))) AS sc """ +
+     """FROM rr r2 JOIN norms nq ON nq.vec_id = r2.qid JOIN norms nc ON nc.vec_id = r2.vec_id), """ +
+     """rtop AS (SELECT qid, vec_id, sc FROM (SELECT qid, vec_id, sc, """ +
+     """row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rn FROM rscore) WHERE rn <= 10) """ +
+     """SELECT qid AS query_id, vec_id AS neighbor_id, round(sc, 6) AS score """ +
+     """FROM rtop ORDER BY query_id, neighbor_id""")
+
+  /** The WITH-chain shared by [[ivfPqJoinOracle]] and
+    * [[ivfPqJoinRerankOracle]] — everything through the per-(qid, vec)
+    * ADC `scored`, ending mid-WITH (callers append their own CTEs /
+    * final SELECT). */
+  private def ivfPqJoinChain: String =
     ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings), """ +
      """norms AS (SELECT vec_id, SUM(CAST(round((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxx FROM el GROUP BY vec_id), """ +
      """cl AS (SELECT vec_id AS cid, i, x AS cx FROM el WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)), """ +
@@ -3077,11 +3166,7 @@ object SparkEntry {
      """JOIN lut l ON l.qid = cand.qid AND l.s = code.s AND l.c = code.c """ +
      """JOIN cc c2 ON c2.s = code.s AND c2.c = code.c GROUP BY 1, 2, 3), """ +
      """scored AS (SELECT a.qid, a.vec_id, a.list, CAST(a.dt AS DOUBLE) / """ +
-     """(sqrt(CAST(qq.v AS DOUBLE)) * sqrt(CAST(a.nn AS DOUBLE))) AS sc FROM adc a JOIN qq USING (qid)), """ +
-     """topk AS (SELECT qid, vec_id, sc, list FROM (SELECT qid, vec_id, sc, list, """ +
-     """row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rn FROM scored) WHERE rn <= 10) """ +
-     """SELECT qid AS query_id, vec_id AS neighbor_id, round(sc, 6) AS score, list """ +
-     """FROM topk ORDER BY query_id, neighbor_id""")
+     """(sqrt(CAST(qq.v AS DOUBLE)) * sqrt(CAST(a.nn AS DOUBLE))) AS sc FROM adc a JOIN qq USING (qid)), """)
 
   /** Shared by `x_knn_ivf_trained` and `x_knn_ivf_indexed`: the persisted
     * index materializes the same trained assignment the query-time path
@@ -3681,6 +3766,8 @@ object SparkEntry {
 
     // the batch ADC join: per-query probes/LUTs/top-k over 5 queries
     "x_knn_ivfpq_rerank" -> ivfPqRerankOracle,
+
+    "x_knn_ivfpq_join_rerank" -> ivfPqJoinRerankOracle,
 
     "x_knn_ivfpq_join" -> ivfPqJoinOracle,
 

@@ -522,6 +522,68 @@ object Quantize {
       .limit(k)
   }
 
+  /** Candidate-id count up to which stage 2 of a batch refinement
+    * collects the ids and pushes them into the corpus scan as an
+    * `id IN (...)` literal (row-group pruning — reads ~candidate rows);
+    * past it the candidates broadcast-join into the scan instead (no
+    * pruning, but no corpus shuffle and no driver blow-up). 64k ids is
+    * ~0.5 MB on the driver and well inside literal-plan sanity. */
+  private val MaxRerankPushdownIds: Int = 1 << 16
+
+  /** [[ivfPqTopKRefined]] for a BATCH of queries — two-stage retrieval
+    * over the composed tree: [[ivfPqKnnJoin]] surfaces each query's ADC
+    * top-`r` from the codes-only pruned scan, then every candidate is
+    * re-scored by EXACT fixed-point cosine against its raw vector and
+    * the per-query top-`k` of the re-ranking is returned.
+    *
+    * Scale shape: the candidate relation is ≤ r·|queries| id pairs.
+    * Stage 2 fetches raw vectors for the DISTINCT candidate ids — as an
+    * `id IN (...)` literal pushdown while they fit
+    * [[MaxRerankPushdownIds]] (row-group pruned, ~candidate-count rows
+    * of float I/O), else as a broadcast semi-join into the corpus scan
+    * (one corpus-column scan, still no corpus shuffle). Each candidate
+    * then joins its query's vector and pays ONE exact dot. Scores are
+    * [[Similarity.cosineFixed]] — oracle-replayable bit-for-bit.
+    * Output (`query_id`, `neighbor_id`, `score` = exact cosine), ≤ k
+    * rows per query, ties to the smaller neighbor id. */
+  def ivfPqKnnJoinRefined(spark: org.apache.spark.sql.SparkSession,
+                          path: String, queries: DataFrame, qIdCol: String,
+                          qVecCol: String, corpus: DataFrame, cIdCol: String,
+                          cVecCol: String, k: Int, r: Int, nprobe: Int,
+                          verifyAgainst: Option[(DataFrame, String)] = None,
+                          pruneLists: Boolean = true): DataFrame = {
+    require(r >= k, s"need r >= k (re-rank pool must cover the cut), " +
+      s"got (k=$k, r=$r)")
+    val cand = ivfPqKnnJoin(spark, path, queries, qIdCol, qVecCol, r, nprobe,
+        verifyAgainst, pruneLists)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // one ADC pass feeds both the id fetch and the pair join
+    val probeIds = cand.select(col("neighbor_id")).distinct()
+      .limit(MaxRerankPushdownIds + 1).collect().map(_.getLong(0))
+    val corpusIds = corpus
+      .select(col(cIdCol).cast(LongType).as("neighbor_id"),
+        col(cVecCol).as("_nv"))
+    val nbrVecs =
+      if (probeIds.length <= MaxRerankPushdownIds)
+        corpusIds.filter(col("neighbor_id").isin(probeIds.map(Long.box): _*))
+          .join(broadcast(cand), "neighbor_id")
+      // past the pushdown bound the candidate relation may be past
+      // broadcast sanity too — no forced hint; AQE sees the
+      // checkpointed size and picks broadcast iff it actually fits
+      else corpusIds.join(cand, "neighbor_id")
+    val scored = nbrVecs
+      .join(queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("_qv")),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosineFixed(col("_nv"), col("_qv")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+  }
+
   /** [[adcScore]] with PER-ROW lookup tables: `lutCol` is an
     * `array<array<long>>` column (m × ksub) carried on the joined row,
     * `qqCol` the query's fixed-point self-dot — the batch-join form

@@ -2383,6 +2383,22 @@ class OpsSpec extends AnyFunSuite {
       Quantize.ivfPqTopKRefined(spark, path, embsDf, "vec_id", "embedding",
         q, k = 10, r = 5, nprobe = 3)
     }
+    // batch form == the single-query refinement, per query
+    val joined = Quantize.ivfPqKnnJoinRefined(spark, path,
+        embsDf.filter($"vec_id" < 3), "vec_id", "embedding",
+        embsDf, "vec_id", "embedding", k = 5, r = 20, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val fvecs = embsDf.filter($"vec_id" < 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    (0L to 2L).foreach { qid =>
+      val single = Quantize.ivfPqTopKRefined(spark, path, embsDf,
+          "vec_id", "embedding", fvecs(qid), k = 5, r = 20, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = joined(qid).sortBy(t => (-t._3, t._2))
+        .map(t => (t._2, t._3)).toSeq
+      assert(batch == single, s"query $qid: batch refine != single refine")
+    }
   }
 
   test("SQ8: hand-checkable codes, degenerate dims, near-lossless self rank, brute recall") {

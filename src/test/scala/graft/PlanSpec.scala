@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+/** Plan-SHAPE regression suite. The repo's scale guarantees — partition
+  * pruning on every persisted-index probe, codes-only scans on the PQ
+  * trees, the fuzzy join's sort-merge pin — live in physical-plan
+  * structure, not in result values: a Spark upgrade or a refactor can
+  * silently un-prune a probe (full index scan per query) while every
+  * value-level oracle gate stays green. These tests pin the plans
+  * themselves, consolidated in one place so the contract is auditable
+  * (individual operator specs keep their own inline asserts too).
+  *
+  * Note on the BroadcastNestedLoopJoin asserts: probe plans must never
+  * contain one — a BNLJ over an index-sized side is the quadratic
+  * disaster shape. (Some non-probe operators legitimately `crossJoin` a
+  * ONE-ROW aggregate, e.g. tfidfCosinePairs' corpus count; those are
+  * not probe plans and are not asserted here.) */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Every `PartitionFilters: [...]` bracket in the plan — pruning
+    * asserts must look INSIDE one (the label prints on every
+    * partitioned scan, even when empty). */
+  private def partitionFilters(p: String): Seq[String] =
+    "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(p).toSeq
+
+  private def docsDf = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select($"doc_id", $"text")
+  private def embsDf = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select($"vec_id", $"embedding")
+
+  private lazy val textIdx: String = {
+    val path = TestSpark.tmpDir("planspec-ti") + "/ti"
+    TextIndex.buildTextIndex(docsDf, "doc_id", "text", path, nBuckets = 16)
+    path
+  }
+  private lazy val ivfIdx: String = {
+    val path = TestSpark.tmpDir("planspec-ivf") + "/ivf"
+    val cb = embsDf.orderBy("vec_id").limit(8)
+      .collect().toSeq.map(_.getSeq[Float](1).map(_.toDouble).toSeq)
+    Similarity.buildIvfIndex(embsDf, "vec_id", "embedding", cb, path)
+    path
+  }
+  private lazy val ivfPqIdx: String = {
+    val path = TestSpark.tmpDir("planspec-ivfpq") + "/ipq"
+    val coarse = embsDf.orderBy("vec_id").limit(8)
+      .collect().toSeq.map(_.getSeq[Float](1).map(_.toDouble).toSeq)
+    val cbs = Quantize.pqCodebooks(embsDf, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 0)
+    Quantize.buildIvfPqIndex(embsDf, "vec_id", "embedding", coarse, cbs, path)
+    path
+  }
+  private lazy val q: Seq[Float] = embsDf.filter($"vec_id" === 0)
+    .select("embedding").collect()(0).getSeq[Float](0)
+
+  test("text probes prune to the query tokens' buckets; no nested-loop join") {
+    val probes = Seq(
+      "overlap"   -> TextIndex.searchIndex(spark, textIdx, "spark data", 5),
+      "bm25"      -> TextIndex.searchIndexBM25(spark, textIdx, "spark data", 5),
+      "bm25Batch" -> TextIndex.searchBM25Batch(spark, textIdx,
+        Seq("spark data", "fast join"), 5),
+      "proximity" -> TextIndex.searchProximity(spark, textIdx, "spark data", 5),
+      "phrase"    -> TextIndex.searchPhrase(spark, textIdx, "spark data", 5))
+    probes.foreach { case (name, df) =>
+      val p = plan(df)
+      assert(partitionFilters(p).exists(_.contains("bucket")),
+        s"$name probe not bucket-pruned:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name probe has a BNLJ:\n$p")
+    }
+  }
+
+  test("IVF probes and the batch knn join prune list directories; no nested-loop join") {
+    val top = Similarity.ivfTopKIndexed(spark, ivfIdx, q, 5, 2)
+    val tp = plan(top)
+    assert(partitionFilters(tp).exists(_.contains("list")), tp)
+    val join = Similarity.knnJoinIndexed(spark, ivfIdx,
+      embsDf.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, nprobe = 2)
+    val jp = plan(join)
+    assert(partitionFilters(jp).exists(_.contains("list")), jp)
+    assert(!tp.contains("BroadcastNestedLoopJoin") &&
+      !jp.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("IVFPQ probes: pruned lists AND codes-only scans (no float vectors off the index)") {
+    val p1 = plan(Quantize.ivfPqTopKIndexed(spark, ivfPqIdx, q, 5, 2))
+    assert(partitionFilters(p1).exists(_.contains("list")), p1)
+    assert(!p1.contains("embedding"), s"index probe reads float vectors:\n$p1")
+    val pj = plan(Quantize.ivfPqKnnJoin(spark, ivfPqIdx,
+      embsDf.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, nprobe = 2))
+    assert(partitionFilters(pj).exists(_.contains("list")), pj)
+    assert(!pj.contains("BroadcastNestedLoopJoin"), pj)
+  }
+
+  test("fuzzy join keeps its sort-merge pin on the neighborhood equi-join") {
+    // the pin exists because the planner cannot see the explode factor
+    // of the deletion neighborhoods (Generate keeps child stats): a
+    // broadcast pick collects the exploded side, a shuffled-hash build
+    // cannot spill — SortMergeJoin is the only strategy that survives
+    // at volume (FuzzyJoin.scala documents both observed failures)
+    val keys = spark.range(200)
+      .select($"id".as("kid"), concat(lit("name-"), $"id").as("key"))
+    val p = plan(FuzzyJoin.editDistancePairs(keys, "kid", "key",
+      keys.select($"kid".as("kid2"), $"key".as("key2")), "kid2", "key2",
+      maxDist = 1))
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), s"neighborhood join broadcast:\n$p")
+    assert(!p.contains("ShuffledHashJoin"), s"neighborhood join hash-built:\n$p")
+  }
+
+  test("IVFADC re-rank stage 2 pushes the candidate ids into the corpus scan") {
+    val refined = Quantize.ivfPqTopKRefined(spark, ivfPqIdx, embsDf,
+      "vec_id", "embedding", q, k = 3, r = 10, nprobe = 2)
+    val p = plan(refined)
+    // the r-candidate filter must reach the parquet scan as a pushed
+    // id IN (...) predicate — r rows of float I/O, not a corpus scan
+    assert(p.contains("PushedFilters: [In(vec_id"), p)
+  }
+}
