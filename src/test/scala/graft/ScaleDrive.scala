@@ -605,8 +605,11 @@ object ScaleDrive {
       .select("embedding").collect()(0).getSeq[Float](0)
     val skewCopies = spark.range(50000)
       .select((col("id") + 10000000L).as("vec_id"),
+        // float division promotes to double — cast the array back so
+        // the union keeps the corpus-wide array<float> element type
         transform(typedLit(v0),
-          x => x * (lit(1.0f) + col("id").cast("float") / lit(1e9f)))
+          x => (x * (lit(1.0f) + col("id").cast("float") / lit(1e9f)))
+            .cast("float"))
           .as("embedding"))
     val skewAll = skewRandom.unionByName(skewCopies).localCheckpoint(true)
     time("semanticDedup REFUSES the degenerate cluster (fail-loud, no pair work)") {
