@@ -972,6 +972,30 @@ object SparkEntry {
       path
     })
 
+  /** The planted quality corpus shared by the NB classifier gates:
+    * every doc_id % 3 == 0 document carries an appended "premium"
+    * marker phrase, giving the trainer a learnable signal the oracle
+    * re-derives. */
+  private def plantedQualityDocs(s: SparkSession, d: String) =
+    docs(s, d).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit(" premium curated encyclopedic exemplar prose")))
+        .otherwise(col("text")).as("text"))
+
+  private val nbModels = new ConcurrentHashMap[String, graft.ops.Classifier.NbModel]()
+  /** Build-once NB quality model over the planted even-doc training
+    * set — shared by `x_classify_nb` and `x_stream_classify` (training
+    * is deterministic, so per-process caching is oracle-invisible). */
+  private def nbModel(s: SparkSession, d: String): graft.ops.Classifier.NbModel =
+    nbModels.computeIfAbsent(d, { _ =>
+      val train = plantedQualityDocs(s, d).filter(col("doc_id") % 2 === 0)
+        .withColumn("label",
+          when(col("doc_id") % 3 === 0, 1L).otherwise(0L))
+      graft.ops.Classifier.trainNaiveBayes(train, "label", "text",
+        nBuckets = 4096)
+    })
+
   /** The two sides of the cross-corpus dedup gates: the reference
     * snapshot (docs < 200) and the fresh batch (docs 200-299 plus 3
     * planted variants of reference docs) — shared by the direct-join
@@ -2311,23 +2335,13 @@ object SparkEntry {
     // counts, add-one log-ratios, prior, decimal term sums — from
     // scratch in SQL, so model estimation AND scoring are both gated
     // bit-for-bit.
-    "x_classify_nb" -> ((s, d) => {
-      val planted = docs(s, d).select(col("doc_id"),
-        when(col("doc_id") % 3 === 0,
-          concat(col("text"),
-            lit(" premium curated encyclopedic exemplar prose")))
-          .otherwise(col("text")).as("text"))
-      val train = planted.filter(col("doc_id") % 2 === 0)
-        .withColumn("label",
-          when(col("doc_id") % 3 === 0, 1L).otherwise(0L))
-      val model = graft.ops.Classifier.trainNaiveBayes(
-        train, "label", "text", nBuckets = 4096)
+    "x_classify_nb" -> ((s, d) =>
       graft.ops.Classifier.scoreNaiveBayes(
-          planted.filter(col("doc_id") % 2 === 1), model, "doc_id", "text")
+          plantedQualityDocs(s, d).filter(col("doc_id") % 2 === 1),
+          nbModel(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_feats"),
           round(col("nb_score"), 6).as("nb_score"), col("nb_pred"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Count-Min frequency sketch: corpus token counters, DELIBERATELY
     // narrow (4 x 64 buckets vs a ~80-token vocabulary) so buckets
@@ -2701,17 +2715,8 @@ object SparkEntry {
     "x_stream_classify" -> ((s, d) => {
       val st = store(s, d)
       st.synchronized {
-        val planted = docs(s, d).select(col("doc_id"),
-          when(col("doc_id") % 3 === 0,
-            concat(col("text"),
-              lit(" premium curated encyclopedic exemplar prose")))
-            .otherwise(col("text")).as("text"))
-        val train = planted.filter(col("doc_id") % 2 === 0)
-          .withColumn("label",
-            when(col("doc_id") % 3 === 0, 1L).otherwise(0L))
-        val model = graft.ops.Classifier.trainNaiveBayes(
-          train, "label", "text", nBuckets = 4096)
-        val odd = planted.filter(col("doc_id") % 2 === 1)
+        val model = nbModel(s, d)
+        val odd = plantedQualityDocs(s, d).filter(col("doc_id") % 2 === 1)
           .select("doc_id", "text")
         if (st.isTable("stream/quality")) st.drop("stream/quality")
         st.put("stream/quality", odd.limit(0))
@@ -3764,11 +3769,13 @@ object SparkEntry {
     // ADC scores over their codes
     "x_knn_ivfpq" -> ivfPqOracle,
 
-    // the batch ADC join: per-query probes/LUTs/top-k over 5 queries
+    // IVFADC refinement: ADC top-30 cut + exact-cosine re-rank tail
     "x_knn_ivfpq_rerank" -> ivfPqRerankOracle,
 
+    // the batch refinement: per-qid ADC top-20 cuts + pair-cosine tail
     "x_knn_ivfpq_join_rerank" -> ivfPqJoinRerankOracle,
 
+    // the batch ADC join: per-query probes/LUTs/top-k over 5 queries
     "x_knn_ivfpq_join" -> ivfPqJoinOracle,
 
     // SQ8: per-dim min/max params, affine byte codes, dequantized

@@ -70,6 +70,7 @@ object DedupIndex {
           TextStats.tokens(col("text")), n, numHashes).as("sig"))
     sigs.write.mode("overwrite").parquet(s"$path/sigs")
     val stamp = Similarity.stampObserved(obs.get, df, idCol)
+    Similarity.requireIndexNonEmpty(spark, path, "buildDedupIndex", stamp.nRows)
     // bands are derived from the PERSISTED signatures — the minhash
     // kernel (the dominant build cost) runs once, and the banded form
     // can never drift from the signatures it summarizes

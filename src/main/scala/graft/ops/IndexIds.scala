@@ -185,6 +185,32 @@ private[graft] object IndexIds {
         ids.distinct().join(indexIds, Seq("id"), "left_semi")
     }
 
+  /** Compaction-path sidecar rebuild for an index whose id set is NOT
+    * fully enumerable from its data rows (a text index holding
+    * token-free documents: their ids were appended — counted in
+    * `_meta`, merged into the Bloom — but index zero postings). An
+    * exact rebuild from the staged rows would DROP those ids,
+    * reintroducing false negatives and breaking [[allPresentInBloom]]'s
+    * soundness (a replayed token-free batch would re-append and
+    * double-count `_meta`). Instead, union the LIVE sidecar's bit set
+    * with a fresh Bloom of the enumerable staged ids — sound (no id
+    * ever leaves the filter), at the cost of not shedding tombstoned
+    * ids' false-positive mass this cycle. Returns false when no live
+    * sidecar exists (caller falls back to the exact fresh build —
+    * legacy trees predate token-free appends, which crashed before the
+    * stamp fallback existed). */
+  def rebuildKeepingLive(spark: SparkSession, livePath: String,
+                         tmpPath: String, stagedIds: DataFrame,
+                         nIds: Long): Boolean =
+    load(spark, livePath) match {
+      case Some(ib) =>
+        val add = bloomOf(stagedIds, ib.expected, ib.fpp)
+        ib.bloom.mergeInPlace(add)
+        write(spark, tmpPath, ib.bloom, ib.expected, ib.fpp, nIds)
+        true
+      case None => false
+    }
+
   /** True iff EVERY (non-null) id in `ids` hits the Bloom sidecar —
     * the replay signal for an append whose data footprint may be EMPTY
     * (a token-free document batch indexes no postings, so membership

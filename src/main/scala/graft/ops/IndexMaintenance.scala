@@ -108,7 +108,9 @@ object IndexMaintenance {
     * (deletes are sidecar appends; nothing ever fails until a probe
     * pays for the accumulation). Columns:
     * `n_tombstones` / `tombstone_bytes` (0 when no delete ever ran),
-    * `n_files` (data files in the tree — append count proxy),
+    * `n_files` (DATA files only — underscore sidecars, `_SUCCESS`
+    * markers and hidden files excluded, so the number is a real
+    * append-fragmentation proxy that deletes cannot inflate),
     * `bloom_ids` / `bloom_expected` / `bloom_fill` (id-sidecar fill;
     * fill > 1 means fpp has degraded past its design point; nulls when
     * no sidecar), and `compaction_overdue` — true when the tombstone
@@ -122,7 +124,12 @@ object IndexMaintenance {
       if (!fs.exists(tp)) (0L, 0L)
       else (spark.read.parquet(tombstones(path)).count(),
         fs.getContentSummary(tp).getLength)
-    val nFiles = fs.getContentSummary(new Path(path)).getFileCount
+    def dataFiles(p: Path): Long =
+      fs.listStatus(p).iterator.filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }.map(st => if (st.isDirectory) dataFiles(st.getPath) else 1L).sum
+    val nFiles = dataFiles(new Path(path))
     val bloom = IndexIds.load(spark, path)
     val fill = bloom.map(b => b.nIds.toDouble / b.expected.toDouble)
     val overdue = tombBytes > TombstoneBroadcastBytes ||
@@ -376,14 +383,34 @@ object IndexMaintenance {
                        bloomResize: Option[(Long, Double)] = None): Unit =
     stagedSwap(spark, path) { tmp =>
       val meta = spark.read.parquet(s"$path/_meta")
+      val nRows = meta.select("n_rows").head().getLong(0)
       val live = minusTombstones(spark, path,
         spark.read.parquet(path), "id")
       live.repartition(col("bucket"))
         .sortWithinPartitions("bucket", "token", "id")
         .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
       meta.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
-      rebuildBloom(spark, path,
-        spark.read.parquet(tmp).select("id"), tmp, bloomResize)
+      // TOKEN-FREE documents are counted in _meta and present in the
+      // Bloom but index zero postings — their ids are NOT enumerable
+      // from the staged rows. When the staged distinct-id count falls
+      // short of n_rows, an exact rebuild would drop them (breaking the
+      // Bloom's no-false-negative soundness and the ingest sink's
+      // replay recovery), so the live sidecar's bit set is unioned in
+      // instead — and a resize is refused, since resizing cannot carry
+      // unenumerable ids across.
+      val stagedIds = spark.read.parquet(tmp).select("id").distinct()
+      val nStaged = stagedIds.count()
+      if (nStaged == nRows)
+        rebuildBloom(spark, path, stagedIds, tmp, bloomResize)
+      else {
+        require(bloomResize.isEmpty,
+          s"compactTextIndex: $path indexes ${nRows - nStaged} token-free " +
+            "document(s) whose ids exist only in the Bloom sidecar — a " +
+            "resized rebuild would lose them. Compact without bloomResize, " +
+            "or rebuild the index from source.")
+        if (!IndexIds.rebuildKeepingLive(spark, path, tmp, stagedIds, nRows))
+          rebuildBloom(spark, path, stagedIds, tmp, bloomResize)
+      }
     }
 
   /** Compact a [[Similarity.buildIvfIndex]] tree: tombstoned vectors

@@ -242,6 +242,7 @@ object Quantize {
       .sortWithinPartitions(col("id"))
       .write.mode("overwrite").parquet(path)
     val stamp = Similarity.stampObserved(obs.get, df, idCol)
+    Similarity.requireIndexNonEmpty(spark, path, "buildPqIndex", stamp.nRows)
     writeCodebook(spark, path, cbs, stamp)
     IndexIds.writeFresh(spark, path,
       df.select(col(idCol).cast(LongType).as("id")), stamp.nRows,
@@ -356,6 +357,7 @@ object Quantize {
       .sortWithinPartitions(col("list"), col("id"))
       .write.partitionBy("list").mode("overwrite").parquet(path)
     val stamp = Similarity.stampObserved(obs.get, df, idCol)
+    Similarity.requireIndexNonEmpty(spark, path, "buildIvfPqIndex", stamp.nRows)
     writeCoarse(spark, path, coarseCb, stamp)
     writePqcb(spark, path, cbs)
     IndexIds.writeFresh(spark, path,
@@ -530,6 +532,16 @@ object Quantize {
     * ~0.5 MB on the driver and well inside literal-plan sanity. */
   private val MaxRerankPushdownIds: Int = 1 << 16
 
+  /** Candidate-PAIR rows past which stage 2 stops force-broadcasting
+    * the (query_id, neighbor_id) relation: the pushdown guard bounds
+    * DISTINCT neighbor ids, but the pair relation itself is
+    * r·|queries| rows — a large query batch over a clustered corpus
+    * can hold few distinct neighbors yet tens of millions of pairs,
+    * and a forced broadcast hint is one AQE cannot veto. 4M pairs is
+    * ~64 MB broadcast-side; past it the planner decides from the
+    * checkpointed size. */
+  private val MaxRerankBroadcastPairs: Long = 1L << 22
+
   /** [[ivfPqTopKRefined]] for a BATCH of queries — two-stage retrieval
     * over the composed tree: [[ivfPqKnnJoin]] surfaces each query's ADC
     * top-`r` from the codes-only pruned scan, then every candidate is
@@ -560,17 +572,19 @@ object Quantize {
       .localCheckpoint(true) // one ADC pass feeds both the id fetch and the pair join
     val probeIds = cand.select(col("neighbor_id")).distinct()
       .limit(MaxRerankPushdownIds + 1).collect().map(_.getLong(0))
+    // checkpointed, so the count is a metadata read, not a recompute;
+    // past the bound no forced hint — AQE sees the checkpointed size
+    // and picks broadcast iff it actually fits
+    val candSide =
+      if (cand.count() <= MaxRerankBroadcastPairs) broadcast(cand) else cand
     val corpusIds = corpus
       .select(col(cIdCol).cast(LongType).as("neighbor_id"),
         col(cVecCol).as("_nv"))
     val nbrVecs =
       if (probeIds.length <= MaxRerankPushdownIds)
         corpusIds.filter(col("neighbor_id").isin(probeIds.map(Long.box): _*))
-          .join(broadcast(cand), "neighbor_id")
-      // past the pushdown bound the candidate relation may be past
-      // broadcast sanity too — no forced hint; AQE sees the
-      // checkpointed size and picks broadcast iff it actually fits
-      else corpusIds.join(cand, "neighbor_id")
+          .join(candSide, "neighbor_id")
+      else corpusIds.join(candSide, "neighbor_id")
     val scored = nbrVecs
       .join(queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("_qv")),
         "query_id")

@@ -522,6 +522,7 @@ object Similarity {
       .sortWithinPartitions(col("list"), col("id"))
       .write.partitionBy("list").mode("overwrite").parquet(path)
     val stamp = stampObserved(obs.get, df, idCol)
+    requireIndexNonEmpty(spark, path, "buildIvfIndex", stamp.nRows)
     // the index is SELF-DESCRIBING: the codebook AND the build stamp ride
     // inside the index tree (an underscore-prefixed subdir is invisible
     // to parquet file listing, so scans of `path` never see it) —
@@ -622,6 +623,23 @@ object Similarity {
   private[graft] def stampObserved(metrics: Map[String, Any], df: DataFrame,
                                    idCol: String): IvfStamp =
     if (metrics.nonEmpty) stampOf(metrics) else sourceStamp(df, idCol)
+
+  /** Refuse an index BUILD whose corpus turned out empty: the write
+    * leaves no data files (partitioned writers emit none; AQE can
+    * reduce even unpartitioned empty writes to nothing), so the tree
+    * would throw "unable to infer schema" on every later read — fail
+    * here instead, and remove the stillborn tree. Appends are exempt:
+    * an existing tree already has readable files. */
+  private[ops] def requireIndexNonEmpty(spark: org.apache.spark.sql.SparkSession,
+                                        path: String, op: String,
+                                        nRows: Long): Unit =
+    if (nRows == 0L) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      throw new IllegalArgumentException(
+        s"$op: the corpus is empty — an index with zero rows has no " +
+          "data files and cannot be read back; build from a non-empty corpus")
+    }
 
   private[ops] def stampOf(m: Map[String, Any]): IvfStamp =
     IvfStamp(m("n_rows").asInstanceOf[Long],

@@ -108,6 +108,21 @@ object TextIndex {
     // empty-relation propagation can drop the CollectMetrics node (the
     // stampObserved hazard) — zero tokens is then the true total
     val totalTokens = tokObs.get.getOrElse("total_tokens", 0L).asInstanceOf[Long]
+    if (totalTokens == 0L) {
+      // a zero-posting build (empty corpus, or every document
+      // token-free) leaves the partitionBy writer with NO data files —
+      // the tree would throw 'unable to infer schema' on every later
+      // read. Refuse at build time and remove the stillborn tree.
+      // (Token-free documents are fine as an append DELTA — the tree
+      // already has readable files then.)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      throw new IllegalArgumentException(
+        s"buildTextIndex: the corpus produced ZERO postings (empty, or " +
+          "all documents token-free) — an index with no data files " +
+          "cannot be read back; validate/filter the corpus upstream")
+    }
     // _meta INSIDE the tree (underscore paths are invisible to parquet
     // listing) — the index is self-describing at one path, the
     // _codebook discipline of the IVF index

@@ -2751,6 +2751,21 @@ class OpsSpec extends AnyFunSuite {
     val rn = Multimodal.resizeStub(nullMeta, 80, 80)
       .select($"resized", $"resized_meta.nBytes").collect()(0)
     assert(rn.isNullAt(0) && rn.isNullAt(1))
+    // a zero-posting text-index BUILD (all docs token-free) would leave
+    // a tree with no data files — refused loudly and removed
+    val tfCorpus = Seq((1L, "   "), (2L, "  ")).toDF("doc_id", "text")
+    val deadPath = TestSpark.tmpDir("guards-ti") + "/ti"
+    val e3 = intercept[IllegalArgumentException] {
+      TextIndex.buildTextIndex(tfCorpus, "doc_id", "text", deadPath,
+        nBuckets = 4) }
+    assert(e3.getMessage.contains("ZERO postings"), e3.getMessage)
+    assert(!new java.io.File(deadPath).exists())
+    // an empty-corpus vector index build: same refusal shape
+    val e4 = intercept[IllegalArgumentException] {
+      Similarity.buildIvfIndex(emptyVecs, "vec_id", "embedding",
+        Seq(Seq(1.0, 0.0, 0.0, 0.0)),
+        TestSpark.tmpDir("guards-ivf") + "/ivf") }
+    assert(e4.getMessage.contains("empty"), e4.getMessage)
   }
 
   test("product quantization: codes, ADC ranking, trained codebooks, brute-force spec parity") {

@@ -340,6 +340,20 @@ class StreamingSpec extends AnyFunSuite {
     graft.ops.TextIndex.appendTextIndex(tokened, "doc_id", "text", idxPath)
     assert(EventStream.textBatchReplayed(spark, idxPath, tokened,
       "doc_id", "text"))
+    // compaction cannot re-enumerate token-free ids from postings — the
+    // Bloom rebuild detects the gap (n_rows > staged ids) and unions the
+    // live sidecar's bit set, so replay detection SURVIVES a compact
+    graft.ops.IndexMaintenance.compactTextIndex(spark, idxPath)
+    assert(graft.ops.IndexIds.allPresentInBloom(spark, idxPath,
+      tf.select($"doc_id".as("id"))))
+    assert(EventStream.textBatchReplayed(spark, idxPath, tf,
+      "doc_id", "text"))
+    // a resized rebuild would lose the unenumerable ids — refused
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.IndexMaintenance.compactTextIndex(spark, idxPath,
+        bloomResize = Some((2048L, 0.01)))
+    }
+    assert(e.getMessage.contains("token-free"), e.getMessage)
   }
 
   // epoch-µs of `ts` in either fixture representation (Long nanos under
