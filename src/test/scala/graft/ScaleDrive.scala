@@ -184,6 +184,21 @@ object ScaleDrive {
         Seq(5000000L, 5000001L, 5000002L).forall(top.contains),
         s"query vector and its 3 planted near-copies must surface, got $top")
     }
+    // two-stage retrieval at volume: the ADC top-50 pool (codes-only,
+    // corpus-size-independent re-rank cost) re-scored by exact cosine —
+    // at full precision the query itself must rank FIRST with score 1
+    // (ADC can only approximate that), and the 1.0005x planted copies
+    // must sit at the top at exact cosine ~1
+    time("ivfPqTopKRefined (r=50 exact re-rank of the ADC pool)") {
+      val top = graft.ops.Quantize.ivfPqTopKRefined(spark, ipqPath, vecsPlus,
+          "vec_id", "embedding", v42, k = 5, r = 50, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(top.head._1 == 42L && math.abs(top.head._2 - 1.0) < 1e-12,
+        s"exact re-rank must put the query itself first at 1.0, got ${top.toSeq}")
+      assert(Seq(5000000L, 5000001L, 5000002L)
+        .forall(id => top.map(_._1).contains(id)),
+        s"planted near-copies must survive the re-rank cut, got ${top.toSeq}")
+    }
     val codeBytes = {
       val d = new java.io.File(ipqPath)
       def sz(f: java.io.File): Long =
