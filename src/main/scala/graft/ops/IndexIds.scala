@@ -185,28 +185,26 @@ private[graft] object IndexIds {
         ids.distinct().join(indexIds, Seq("id"), "left_semi")
     }
 
-  /** Compaction-path sidecar rebuild for an index whose id set is NOT
+  /** Compaction-path sidecar carry for an index whose id set is NOT
     * fully enumerable from its data rows (a text index holding
     * token-free documents: their ids were appended — counted in
     * `_meta`, merged into the Bloom — but index zero postings). An
     * exact rebuild from the staged rows would DROP those ids,
     * reintroducing false negatives and breaking [[allPresentInBloom]]'s
     * soundness (a replayed token-free batch would re-append and
-    * double-count `_meta`). Instead, union the LIVE sidecar's bit set
-    * with a fresh Bloom of the enumerable staged ids — sound (no id
-    * ever leaves the filter), at the cost of not shedding tombstoned
-    * ids' false-positive mass this cycle. Returns false when no live
-    * sidecar exists (caller falls back to the exact fresh build —
-    * legacy trees predate token-free appends, which crashed before the
-    * stamp fallback existed). */
-  def rebuildKeepingLive(spark: SparkSession, livePath: String,
-                         tmpPath: String, stagedIds: DataFrame,
-                         nIds: Long): Boolean =
+    * double-count `_meta`). The LIVE sidecar is carried over UNCHANGED:
+    * every staged id is already in it (no-false-negative invariant), so
+    * a union could never set a new bit — the carry is bit-identical and
+    * costs no scan. `nIds` keeps the sidecar's own running count: it
+    * tracks the BITS in the filter (what fill/fpp health measures),
+    * which a carry — unlike an exact rebuild — cannot shed. Returns
+    * false when no live sidecar exists (the caller must then fail: a
+    * fresh exact build would silently drop the unenumerable ids). */
+  def carryLive(spark: SparkSession, livePath: String,
+                tmpPath: String): Boolean =
     load(spark, livePath) match {
       case Some(ib) =>
-        val add = bloomOf(stagedIds, ib.expected, ib.fpp)
-        ib.bloom.mergeInPlace(add)
-        write(spark, tmpPath, ib.bloom, ib.expected, ib.fpp, nIds)
+        write(spark, tmpPath, ib.bloom, ib.expected, ib.fpp, ib.nIds)
         true
       case None => false
     }

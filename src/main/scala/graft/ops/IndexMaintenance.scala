@@ -46,8 +46,10 @@ import org.apache.spark.sql.types._
  * the [[IndexIds]] Bloom EXACTLY from the surviving ids (shedding
  * tombstoned ids and accumulated false-positive mass — read back from
  * the STAGED tree's id column, so the old tree is scanned exactly
- * once; `bloomResize` adopts new sizing at this natural resize point),
- * drops `_tombstones`, then swaps:
+ * once; `bloomResize` adopts new sizing at this natural resize point;
+ * a text index holding token-free documents instead CARRIES the live
+ * sidecar — their ids are not enumerable from postings, see
+ * [[IndexIds.carryLive]]), drops `_tombstones`, then swaps:
  *
  *   rename(path -> path.graft-compact-old); rename(tmp -> path);
  *   delete(old)
@@ -69,6 +71,42 @@ object IndexMaintenance {
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def tombstones(path: String) = s"$path/_tombstones"
+
+  /** DATA files under `root` — underscore sidecars (`_meta`,
+    * `_idbloom`, `_tombstones`), `_SUCCESS` markers and hidden files
+    * excluded, wherever they sit in the tree. ONE recursive listing
+    * call (a single RemoteIterator stream), not one RPC per partition
+    * directory — a text index can have 2^16 bucket dirs. */
+  private def dataFileCount(fs: org.apache.hadoop.fs.FileSystem,
+                            root: String): Long = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return 0L
+    val rootUri = rootPath.toUri.getPath
+    val it = fs.listFiles(rootPath, true)
+    var n = 0L
+    while (it.hasNext) {
+      val rel = it.next().getPath.toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
+      if (!rel.split("/").exists(s => s.startsWith("_") || s.startsWith(".")))
+        n += 1
+    }
+    n
+  }
+
+  /** Refuse to install a staged tree that holds NO data files — it
+    * would throw "unable to infer schema" on every later read, turning
+    * a still-working index (whose live files the probes anti-join
+    * down to zero rows) into an unreadable one. Reached when every
+    * remaining data row is tombstoned; the remedy is a rebuild or a
+    * drop, not a compact. */
+  private def requireStagedReadable(fs: org.apache.hadoop.fs.FileSystem,
+                                    op: String, path: String,
+                                    stagedData: String): Unit =
+    require(dataFileCount(fs, stagedData) > 0L,
+      s"$op: every data row of $path is tombstoned — the compacted tree " +
+        "would hold no data files and be unreadable. The live tree still " +
+        "serves probes (tombstones filter everything); rebuild from source " +
+        "or drop the index instead of compacting.")
 
   /** Tombstone bytes past which probes stop BROADCASTING the sidecar:
     * repeated deletes accumulate until compaction, and a forced
@@ -124,12 +162,7 @@ object IndexMaintenance {
       if (!fs.exists(tp)) (0L, 0L)
       else (spark.read.parquet(tombstones(path)).count(),
         fs.getContentSummary(tp).getLength)
-    def dataFiles(p: Path): Long =
-      fs.listStatus(p).iterator.filterNot { st =>
-        val n = st.getPath.getName
-        n.startsWith("_") || n.startsWith(".")
-      }.map(st => if (st.isDirectory) dataFiles(st.getPath) else 1L).sum
-    val nFiles = dataFiles(new Path(path))
+    val nFiles = dataFileCount(fs, path)
     val bloom = IndexIds.load(spark, path)
     val fill = bloom.map(b => b.nIds.toDouble / b.expected.toDouble)
     val overdue = tombBytes > TombstoneBroadcastBytes ||
@@ -389,16 +422,21 @@ object IndexMaintenance {
       live.repartition(col("bucket"))
         .sortWithinPartitions("bucket", "token", "id")
         .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+      requireStagedReadable(fsOf(spark, path), "compactTextIndex", path, tmp)
       meta.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
       // TOKEN-FREE documents are counted in _meta and present in the
       // Bloom but index zero postings — their ids are NOT enumerable
       // from the staged rows. When the staged distinct-id count falls
       // short of n_rows, an exact rebuild would drop them (breaking the
       // Bloom's no-false-negative soundness and the ingest sink's
-      // replay recovery), so the live sidecar's bit set is unioned in
-      // instead — and a resize is refused, since resizing cannot carry
-      // unenumerable ids across.
+      // replay recovery): the live sidecar is carried over unchanged
+      // instead, a resize is refused (resizing cannot carry
+      // unenumerable ids into a fresh filter), and a MISSING sidecar
+      // fails loudly rather than silently shedding the ids.
+      // localCheckpoint: the distinct id set feeds the count here and
+      // the Bloom build inside rebuildBloom — one real scan, not three.
       val stagedIds = spark.read.parquet(tmp).select("id").distinct()
+        .localCheckpoint(true)
       val nStaged = stagedIds.count()
       if (nStaged == nRows)
         rebuildBloom(spark, path, stagedIds, tmp, bloomResize)
@@ -408,8 +446,13 @@ object IndexMaintenance {
             "document(s) whose ids exist only in the Bloom sidecar — a " +
             "resized rebuild would lose them. Compact without bloomResize, " +
             "or rebuild the index from source.")
-        if (!IndexIds.rebuildKeepingLive(spark, path, tmp, stagedIds, nRows))
-          rebuildBloom(spark, path, stagedIds, tmp, bloomResize)
+        if (!IndexIds.carryLive(spark, path, tmp))
+          throw new IllegalStateException(
+            s"compactTextIndex: $path indexes ${nRows - nStaged} " +
+              "token-free document(s) whose ids are recorded ONLY in the " +
+              "_idbloom sidecar, which is missing or unreadable — an exact " +
+              "rebuild would drop them and re-open the double-append replay " +
+              "window. Rebuild the index from source.")
       }
     }
 
@@ -426,6 +469,7 @@ object IndexMaintenance {
       live.repartition(col("list"))
         .sortWithinPartitions("list", "id")
         .write.partitionBy("list").mode("overwrite").parquet(tmp)
+      requireStagedReadable(fsOf(spark, path), "compactIvfIndex", path, tmp)
       codebook.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_codebook")
       rebuildBloom(spark, path,
         spark.read.parquet(tmp).select("id"), tmp, bloomResize)
@@ -443,6 +487,7 @@ object IndexMaintenance {
         spark.read.parquet(path), "id")
       live.repartitionByRange(col("id")).sortWithinPartitions("id")
         .write.mode("overwrite").parquet(tmp)
+      requireStagedReadable(fsOf(spark, path), "compactPqIndex", path, tmp)
       codebook.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_codebook")
       rebuildBloom(spark, path,
         spark.read.parquet(tmp).select("id"), tmp, bloomResize)
@@ -462,6 +507,7 @@ object IndexMaintenance {
       live.repartition(col("list"))
         .sortWithinPartitions("list", "id")
         .write.partitionBy("list").mode("overwrite").parquet(tmp)
+      requireStagedReadable(fsOf(spark, path), "compactIvfPqIndex", path, tmp)
       coarse.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_coarse")
       pqcb.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_pqcb")
       rebuildBloom(spark, path,
@@ -485,6 +531,8 @@ object IndexMaintenance {
       bands.repartition(col("band"), col("bh"))
         .sortWithinPartitions("band", "bh", "id")
         .write.mode("overwrite").parquet(s"$tmp/bands")
+      requireStagedReadable(fsOf(spark, path), "compactDedupIndex", path,
+        s"$tmp/sigs")
       meta.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
       rebuildBloom(spark, path,
         spark.read.parquet(s"$tmp/sigs").select("id"), tmp, bloomResize)

@@ -2716,6 +2716,18 @@ class OpsSpec extends AnyFunSuite {
       "doc_id", "text", path)
     val ib2 = IndexIds.load(spark, path).get
     assert(ib2.expected == 1024L && ib2.nIds == ib.nIds + 1)
+    // compacting an index whose EVERY data row is tombstoned is refused
+    // (the staged tree would hold no data files and be unreadable); the
+    // live tree keeps serving probes, which anti-join down to empty
+    val path2 = TestSpark.tmpDir("cpt-empty") + "/ti"
+    TextIndex.buildTextIndex(docsDf, "doc_id", "text", path2, nBuckets = 4)
+    IndexMaintenance.deleteFromTextIndex(spark, path2,
+      Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    val eAll = intercept[IllegalArgumentException] {
+      IndexMaintenance.compactTextIndex(spark, path2) }
+    assert(eAll.getMessage.contains("tombstoned"), eAll.getMessage)
+    assert(TextIndex.searchIndex(spark, path2, "the quick", 5)
+      .collect().isEmpty)
   }
 
   test("degenerate-input guards: sqParams empty corpus, kmv null side, resize overflow/null dims") {
