@@ -79,7 +79,10 @@ object IndexMaintenance {
     * directory — a text index can have 2^16 bucket dirs. */
   private def dataFileCount(fs: org.apache.hadoop.fs.FileSystem,
                             root: String): Long = {
-    val rootPath = new Path(root)
+    // qualified BEFORE taking the URI path: a relative root would fail
+    // to prefix-strip the fully-qualified listing paths, and ancestor
+    // directory names would leak into the hidden-segment filter
+    val rootPath = fs.makeQualified(new Path(root))
     if (!fs.exists(rootPath)) return 0L
     val rootUri = rootPath.toUri.getPath
     val it = fs.listFiles(rootPath, true)
@@ -97,16 +100,21 @@ object IndexMaintenance {
     * would throw "unable to infer schema" on every later read, turning
     * a still-working index (whose live files the probes anti-join
     * down to zero rows) into an unreadable one. Reached when every
-    * remaining data row is tombstoned; the remedy is a rebuild or a
-    * drop, not a compact. */
-  private def requireStagedReadable(fs: org.apache.hadoop.fs.FileSystem,
-                                    op: String, path: String,
+    * DATA-bearing row is tombstoned (for a text index, token-free
+    * documents may still be live in `_meta`/Bloom — they have no rows
+    * to compact); the remedy is a rebuild from source, not a
+    * compact. */
+  private def requireStagedReadable(spark: SparkSession, op: String,
+                                    path: String,
                                     stagedData: String): Unit =
-    require(dataFileCount(fs, stagedData) > 0L,
-      s"$op: every data row of $path is tombstoned — the compacted tree " +
-        "would hold no data files and be unreadable. The live tree still " +
-        "serves probes (tombstones filter everything); rebuild from source " +
-        "or drop the index instead of compacting.")
+    require(dataFileCount(fsOf(spark, stagedData), stagedData) > 0L,
+      s"$op: every data-bearing row of $path is tombstoned — the " +
+        "compacted tree would hold no data files and be unreadable. The " +
+        "live tree still serves probes (tombstones filter everything); " +
+        "rebuild the index from source instead of compacting. (A text " +
+        "index may still count live token-free documents in _meta — a " +
+        "rebuild from source preserves them; this refusal loses " +
+        "nothing.)")
 
   /** Tombstone bytes past which probes stop BROADCASTING the sidecar:
     * repeated deletes accumulate until compaction, and a forced
@@ -157,6 +165,11 @@ object IndexMaintenance {
     * tombstone count; the index data is never read. */
   def indexHealth(spark: SparkSession, path: String): DataFrame = {
     val fs = fsOf(spark, path)
+    // a missing tree must not read as a healthy all-zero row — a
+    // monitor watching a deleted or misspelled path would report it
+    // fine forever
+    require(fs.exists(new Path(path)),
+      s"indexHealth: no index tree at $path")
     val tp = new Path(tombstones(path))
     val (nTomb, tombBytes) =
       if (!fs.exists(tp)) (0L, 0L)
@@ -393,9 +406,10 @@ object IndexMaintenance {
     * outgrows its original `expectedIds` degrades fpp permanently
     * until a compact re-sizes it. Default keeps the live sidecar's
     * sizing (or the defaults for legacy trees). */
-  private def rebuildBloom(spark: SparkSession, livePath: String,
-                           stagedIds: DataFrame, tmpPath: String,
-                           resize: Option[(Long, Double)]): Unit = {
+  /** The sidecar sizing a compact should write: the requested resize,
+    * else the live sidecar's, else the defaults (legacy tree). */
+  private def resolveBloomSizing(spark: SparkSession, livePath: String,
+                                 resize: Option[(Long, Double)]): (Long, Double) = {
     val (expected, fpp) = resize.getOrElse(
       IndexIds.load(spark, livePath)
         .map(ib => (ib.expected, ib.fpp))
@@ -403,7 +417,16 @@ object IndexMaintenance {
     require(expected >= 1 && fpp > 0.0 && fpp < 1.0,
       s"compact: Bloom resize needs expectedIds >= 1 and fpp in (0, 1), " +
         s"got ($expected, $fpp)")
-    val distinctIds = stagedIds.distinct()
+    (expected, fpp)
+  }
+
+  private def rebuildBloom(spark: SparkSession, livePath: String,
+                           stagedIds: DataFrame, tmpPath: String,
+                           resize: Option[(Long, Double)]): Unit = {
+    val (expected, fpp) = resolveBloomSizing(spark, livePath, resize)
+    // materialized once: the distinct set feeds the count AND the Bloom
+    // aggregation — without the checkpoint each would rescan the tree
+    val distinctIds = stagedIds.distinct().localCheckpoint(true)
     IndexIds.writeFresh(spark, tmpPath, distinctIds, distinctIds.count(),
       expected, fpp)
   }
@@ -422,7 +445,7 @@ object IndexMaintenance {
       live.repartition(col("bucket"))
         .sortWithinPartitions("bucket", "token", "id")
         .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-      requireStagedReadable(fsOf(spark, path), "compactTextIndex", path, tmp)
+      requireStagedReadable(spark, "compactTextIndex", path, tmp)
       meta.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
       // TOKEN-FREE documents are counted in _meta and present in the
       // Bloom but index zero postings — their ids are NOT enumerable
@@ -433,26 +456,26 @@ object IndexMaintenance {
       // instead, a resize is refused (resizing cannot carry
       // unenumerable ids into a fresh filter), and a MISSING sidecar
       // fails loudly rather than silently shedding the ids.
-      // localCheckpoint: the distinct id set feeds the count here and
-      // the Bloom build inside rebuildBloom — one real scan, not three.
+      // localCheckpoint: the distinct id set feeds the gap count AND
+      // the Bloom aggregation — one real scan of the staged tree.
       val stagedIds = spark.read.parquet(tmp).select("id").distinct()
         .localCheckpoint(true)
       val nStaged = stagedIds.count()
-      if (nStaged == nRows)
-        rebuildBloom(spark, path, stagedIds, tmp, bloomResize)
-      else {
+      if (nStaged == nRows) {
+        val (expected, fpp) = resolveBloomSizing(spark, path, bloomResize)
+        IndexIds.writeFresh(spark, tmp, stagedIds, nStaged, expected, fpp)
+      } else {
         require(bloomResize.isEmpty,
           s"compactTextIndex: $path indexes ${nRows - nStaged} token-free " +
             "document(s) whose ids exist only in the Bloom sidecar — a " +
             "resized rebuild would lose them. Compact without bloomResize, " +
             "or rebuild the index from source.")
-        if (!IndexIds.carryLive(spark, path, tmp))
-          throw new IllegalStateException(
-            s"compactTextIndex: $path indexes ${nRows - nStaged} " +
-              "token-free document(s) whose ids are recorded ONLY in the " +
-              "_idbloom sidecar, which is missing or unreadable — an exact " +
-              "rebuild would drop them and re-open the double-append replay " +
-              "window. Rebuild the index from source.")
+        require(IndexIds.carryLive(spark, path, tmp),
+          s"compactTextIndex: $path indexes ${nRows - nStaged} " +
+            "token-free document(s) whose ids are recorded ONLY in the " +
+            "_idbloom sidecar, which is missing or unreadable — an exact " +
+            "rebuild would drop them and re-open the double-append replay " +
+            "window. Rebuild the index from source.")
       }
     }
 
@@ -469,7 +492,7 @@ object IndexMaintenance {
       live.repartition(col("list"))
         .sortWithinPartitions("list", "id")
         .write.partitionBy("list").mode("overwrite").parquet(tmp)
-      requireStagedReadable(fsOf(spark, path), "compactIvfIndex", path, tmp)
+      requireStagedReadable(spark, "compactIvfIndex", path, tmp)
       codebook.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_codebook")
       rebuildBloom(spark, path,
         spark.read.parquet(tmp).select("id"), tmp, bloomResize)
@@ -487,7 +510,7 @@ object IndexMaintenance {
         spark.read.parquet(path), "id")
       live.repartitionByRange(col("id")).sortWithinPartitions("id")
         .write.mode("overwrite").parquet(tmp)
-      requireStagedReadable(fsOf(spark, path), "compactPqIndex", path, tmp)
+      requireStagedReadable(spark, "compactPqIndex", path, tmp)
       codebook.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_codebook")
       rebuildBloom(spark, path,
         spark.read.parquet(tmp).select("id"), tmp, bloomResize)
@@ -507,7 +530,7 @@ object IndexMaintenance {
       live.repartition(col("list"))
         .sortWithinPartitions("list", "id")
         .write.partitionBy("list").mode("overwrite").parquet(tmp)
-      requireStagedReadable(fsOf(spark, path), "compactIvfPqIndex", path, tmp)
+      requireStagedReadable(spark, "compactIvfPqIndex", path, tmp)
       coarse.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_coarse")
       pqcb.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_pqcb")
       rebuildBloom(spark, path,
@@ -531,7 +554,7 @@ object IndexMaintenance {
       bands.repartition(col("band"), col("bh"))
         .sortWithinPartitions("band", "bh", "id")
         .write.mode("overwrite").parquet(s"$tmp/bands")
-      requireStagedReadable(fsOf(spark, path), "compactDedupIndex", path,
+      requireStagedReadable(spark, "compactDedupIndex", path,
         s"$tmp/sigs")
       meta.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
       rebuildBloom(spark, path,

@@ -572,9 +572,9 @@ object Quantize {
       .localCheckpoint(true) // one ADC pass feeds both the id fetch and the pair join
     val probeIds = cand.select(col("neighbor_id")).distinct()
       .limit(MaxRerankPushdownIds + 1).collect().map(_.getLong(0))
-    // checkpointed, so the count is a metadata read, not a recompute;
-    // past the bound no forced hint — AQE sees the checkpointed size
-    // and picks broadcast iff it actually fits
+    // checkpointed, so the count runs over block-local cached rows,
+    // not a recompute of the ADC join; past the bound no forced hint —
+    // AQE sees the checkpointed size and picks broadcast iff it fits
     val candSide =
       if (cand.count() <= MaxRerankBroadcastPairs) broadcast(cand) else cand
     val corpusIds = corpus
