@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -582,6 +582,361 @@ case class CmEstimate(child: Expression, depth: Int, width: Int,
     copy(child = newChild)
 }
 
+/** Shared fixed-point dot kernel for the codebook argmax expressions
+  * ([[PqCodes]], [[NearestCentroidK]]) — element-for-element identical
+  * to [[FixedDot.kernel]] over `slice(vec, base+1, cw.length)` against
+  * a double codeword: same 1e-15 rounding, same addExact overflow and
+  * non-finite failures, same null-on-mismatch contract. `exact = true`
+  * replicates the WHOLE-vector dot (`fixed_dot(vec, cw)` nulls when the
+  * vector is LONGER than the codeword too); `exact = false` replicates
+  * the slice form (a longer vector just has elements past the slice
+  * never read). */
+object CodebookKernels {
+  def fixedDotSlice(vec: ArrayData, base: Int, cw: Array[Double],
+                    vecIsDouble: Boolean, exact: Boolean): java.lang.Long = {
+    val n = vec.numElements()
+    if (n < base + cw.length || (exact && n != base + cw.length)) return null
+    var acc = 0L
+    var i = 0
+    while (i < cw.length) {
+      if (vec.isNullAt(base + i)) return null
+      val x = if (vecIsDouble) vec.getDouble(base + i)
+              else vec.getFloat(base + i).toDouble
+      val q = x * cw(i) * 1e15
+      if (q.isNaN || q.isInfinite)
+        throw new ArithmeticException(
+          s"fixed_dot: non-finite element product at index $i")
+      if (q >= 9.223372036854776e18 || q < -9.223372036854776e18)
+        throw new ArithmeticException(
+          s"fixed_dot: element product at index $i exceeds the 1e-15 " +
+            "fixed-point range (|x*y| must stay below ~9.2e3)")
+      acc = Math.addExact(acc, FixedDot.roundHalfUp(q))
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+}
+
+/** All `m` PQ codes of a vector in ONE native loop — the fused form of
+  * `array(nearestCode(v, 0), ..., nearestCode(v, m-1))`, where each
+  * composed `nearestCode` unrolled `ksub` fixed-point sub-dots into an
+  * `array_max`-of-structs chain: at realistic (m, ksub) the enclosing
+  * stage's generated method overflowed janino's 64 KB limit (observed
+  * in the PQ training explode), silently dropping the whole stage to
+  * interpreted evaluation. Argmax semantics replicate the struct-max
+  * bit-for-bit: key_j = 2·⟨sub, c_j⟩ − ‖c_j‖² in 1e-15 fixed point,
+  * ties to the smaller j, null keys (malformed slice / null element /
+  * NULL vector) lose to any non-null key, and an all-null subspace
+  * yields code 0 — exactly what `-array_max(...).getField("n")`
+  * evaluates to. A NULL input vector therefore yields the all-zero
+  * code row, NOT null (pinned in ExprSpec). */
+case class PqCodes(child: Expression, cbs: Array[Array[Array[Double]]],
+                   cc: Array[Array[Long]]) extends UnaryExpression {
+  require(cbs.nonEmpty && cbs.forall(_.nonEmpty) &&
+    cbs.forall(_.forall(_.nonEmpty)), "empty PQ codebook")
+  require(cc.length == cbs.length &&
+    cc.indices.forall(s => cc(s).length == cbs(s).length),
+    "codeword-norm table shape mismatch")
+  override def dataType: DataType = ArrayType(ShortType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "pq_codes"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_codes requires array<float|double>, got ${other.sql}")
+    }
+  private def vecIsDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  def codes(vec: ArrayData): ArrayData = {
+    val m = cbs.length
+    val out = new Array[Short](m)
+    var s = 0
+    while (s < m) {
+      val cb = cbs(s)
+      val base = s * cb(0).length
+      var bestKey = 0L
+      var bestJ = -1
+      var j = 0
+      while (j < cb.length) {
+        val dot = if (vec == null) null
+          else CodebookKernels.fixedDotSlice(vec, base, cb(j),
+            vecIsDouble, exact = false)
+        if (dot != null) {
+          val key = 2L * dot.longValue() - cc(s)(j)
+          // strict >: equal keys keep the earlier (smaller) j
+          if (bestJ < 0 || key > bestKey) { bestKey = key; bestJ = j }
+        }
+        j += 1
+      }
+      out(s) = math.max(bestJ, 0).toShort
+      s += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    codes(if (v == null) null else v.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val self = ctx.addReferenceObj("pqCodes", this, classOf[PqCodes].getName)
+    val c = child.genCode(ctx)
+    ev.copy(isNull = FalseLiteral,
+      code = c.code +
+        code"""
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+           |  $self.codes(${c.isNull} ? null : ${c.value});
+         """)
+  }
+  override def equals(other: Any): Boolean = other match {
+    case p: PqCodes =>
+      child == p.child &&
+        java.util.Arrays.deepEquals(
+          cbs.asInstanceOf[Array[AnyRef]], p.cbs.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.deepEquals(
+          cc.asInstanceOf[Array[AnyRef]], p.cc.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  @transient private lazy val tabHash =
+    31 * java.util.Arrays.deepHashCode(cbs.asInstanceOf[Array[AnyRef]]) +
+      java.util.Arrays.deepHashCode(cc.asInstanceOf[Array[AnyRef]])
+  override def hashCode(): Int = 31 * child.hashCode() + tabHash
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/** Nearest-centroid index over a driver-side codebook in ONE native
+  * loop — the fused form of the k-wide `array_max`-of-structs argmax in
+  * `Similarity.nearestCentroid` (same 64 KB-overflow hazard as
+  * [[PqCodes]] once k reaches production `nlist ≈ √N`). Key_j is the
+  * cosine with the row-norm factor dropped:
+  * `⟨v, c_j⟩.toDouble / √‖c_j‖²` from the same 1e-15 fixed-point dot;
+  * comparison is `java.lang.Double.compare` (Spark's double ordering),
+  * ties to the smaller j, null keys lose, all-null yields 0 — the
+  * struct-max semantics bit-for-bit, including a NULL/malformed vector
+  * mapping to list 0, not null. */
+case class NearestCentroidK(child: Expression, cents: Array[Array[Double]],
+                            dyy: Array[Long]) extends UnaryExpression {
+  require(cents.nonEmpty && cents.forall(_.nonEmpty), "empty codebook")
+  require(dyy.length == cents.length && dyy.forall(_ > 0L),
+    "centroid-norm table shape mismatch or zero norm")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "nearest_centroid"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroid requires array<float|double>, got ${other.sql}")
+    }
+  private def vecIsDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  // √dyy once per plan, not per row — the composed form's sqrt(lit(..))
+  // constant-folds to the identical Math.sqrt double
+  @transient private lazy val sqrtDyy: Array[Double] = dyy.map(d => Math.sqrt(d.toDouble))
+  def nearest(vec: ArrayData): Long = {
+    var bestS = 0.0
+    var bestJ = -1
+    var j = 0
+    while (j < cents.length) {
+      val dot = if (vec == null) null
+        else CodebookKernels.fixedDotSlice(vec, 0, cents(j),
+          vecIsDouble, exact = true)
+      if (dot != null) {
+        val s = dot.longValue().toDouble / sqrtDyy(j)
+        // strict >: equal affinities keep the earlier (smaller) j
+        if (bestJ < 0 || java.lang.Double.compare(s, bestS) > 0) {
+          bestS = s; bestJ = j
+        }
+      }
+      j += 1
+    }
+    math.max(bestJ, 0).toLong
+  }
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    nearest(if (v == null) null else v.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val self = ctx.addReferenceObj("nearestK", this, classOf[NearestCentroidK].getName)
+    val c = child.genCode(ctx)
+    ev.copy(isNull = FalseLiteral,
+      code = c.code +
+        code"""
+           |long ${ev.value} = $self.nearest(${c.isNull} ? null : ${c.value});
+         """)
+  }
+  override def equals(other: Any): Boolean = other match {
+    case n: NearestCentroidK =>
+      child == n.child &&
+        java.util.Arrays.deepEquals(
+          cents.asInstanceOf[Array[AnyRef]], n.cents.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(dyy, n.dyy)
+    case _ => false
+  }
+  @transient private lazy val tabHash =
+    31 * java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]]) +
+      java.util.Arrays.hashCode(dyy)
+  override def hashCode(): Int = 31 * child.hashCode() + tabHash
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidK =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance (ADC) cosine score of a PQ `codes` row against a
+  * query's lookup tables — the IVFPQ probe hot path
+  * ([[graft.ops.Quantize]]) as ONE native loop:
+  *
+  *   score = Σ_s lut[s][code_s]  /  ( √qq · √(Σ_s cc[s][code_s]) )
+  *
+  * with every term in 1e-15 fixed-point units. The composed-Column form
+  * (a reduce over m unrolled nested `element_at` chains) generates
+  * O(m·nesting) Java per score and at realistic m overflows janino's
+  * 64 KB method limit — Spark then silently falls back to interpreted
+  * evaluation for the WHOLE stage, exactly where codegen matters most.
+  * This kernel is a fixed-size call whatever m is, and its integer sums
+  * and double chain (`(double)dot / (sqrt(qq) · sqrt(nn))`) replicate
+  * the composed form's IEEE operation order bit-for-bit, so oracle SQL
+  * replays scores unchanged.
+  *
+  * `lut` is an expression — a `typedLit` for single-query probes, the
+  * per-row ADC table column for batch kNN joins; `qq` likewise (literal
+  * or column). Codeword self-norms `cc` are part of the INDEX, never
+  * the query, so they stay a constructor constant. NULL children, a
+  * short/over-length codes row, a NULL element, or an out-of-range code
+  * yield NULL — the same null-propagation the `element_at` composition
+  * had (one divergence, pinned in ExprSpec: `element_at(tab, 0)` ERRORS
+  * while a corrupt code byte of -1 nulls here; only the engine's own
+  * encoder writes codes, and a corrupt row must not rank). */
+case class AdcScore(codes: Expression, lut: Expression, qq: Expression,
+                    cc: Array[Array[Long]]) extends TernaryExpression {
+  require(cc.nonEmpty && cc.forall(_.nonEmpty), "empty codeword-norm table")
+  override def first: Expression = codes
+  override def second: Expression = lut
+  override def third: Expression = qq
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_score"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (codes.dataType, lut.dataType, qq.dataType) match {
+      case (ArrayType(ShortType, _), ArrayType(ArrayType(LongType, _), _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (c, l, q) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"adc_score requires (array<smallint>, array<array<bigint>>, bigint), " +
+          s"got (${c.sql}, ${l.sql}, ${q.sql})")
+    }
+  def score(codesV: ArrayData, lutV: ArrayData, qqV: Long): java.lang.Double =
+    AdcScore.kernel(codesV, lutV, qqV, cc)
+  override def nullSafeEval(c: Any, l: Any, q: Any): Any =
+    score(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData],
+      q.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference THIS instance: the cc table rides it (megabyte-scale at
+    // large ksub — embedded once per plan, not per call site)
+    val self = ctx.addReferenceObj("adcScore", this, classOf[AdcScore].getName)
+    nullSafeCodeGen(ctx, ev, (c, l, q) => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = $self.score($c, $l, $q);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
+       """.stripMargin
+    })
+  }
+  // the case-class default compares cc by REFERENCE, breaking
+  // canonicalization/semanticEquals for equal tables built twice (the
+  // BloomContainsAny hazard); compare contents
+  override def equals(other: Any): Boolean = other match {
+    case a: AdcScore =>
+      codes == a.codes && lut == a.lut && qq == a.qq &&
+        java.util.Arrays.deepEquals(
+          cc.asInstanceOf[Array[AnyRef]], a.cc.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  @transient private lazy val ccHash =
+    java.util.Arrays.deepHashCode(cc.asInstanceOf[Array[AnyRef]])
+  override def hashCode(): Int =
+    ((31 * codes.hashCode() + lut.hashCode()) * 31 + qq.hashCode()) * 31 + ccHash
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): AdcScore =
+    copy(codes = newFirst, lut = newSecond, qq = newThird)
+}
+
+object AdcScore {
+  /** Boxed return so null is representable. Sums wrap in 64-bit exactly
+    * as the non-ANSI LongType `+` chain did. */
+  def kernel(codes: ArrayData, lut: ArrayData, qq: Long,
+             cc: Array[Array[Long]]): java.lang.Double = {
+    val m = cc.length
+    // the composed form reads exactly elements 1..m of each array —
+    // a SHORT row nulls (element_at past the end), extra elements are
+    // simply never read
+    if (codes.numElements() < m || lut.numElements() < m) return null
+    var dot = 0L
+    var nn = 0L
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s) || lut.isNullAt(s)) return null
+      val code = codes.getShort(s).toInt
+      val tab = lut.getArray(s)
+      if (code < 0 || code >= tab.numElements() || code >= cc(s).length ||
+        tab.isNullAt(code)) return null
+      dot += tab.getLong(code)
+      nn += cc(s)(code)
+      s += 1
+    }
+    java.lang.Double.valueOf(
+      dot.toDouble / (Math.sqrt(qq.toDouble) * Math.sqrt(nn.toDouble)))
+  }
+}
+
+/** Bloom-filter membership of a LongType id against a BROADCAST
+  * `BloomFilter` — the persisted-index family's per-row novelty/replay
+  * probe ([[graft.ops.IndexIds]]) as a codegen'd expression instead of a
+  * boxed Scala udf: the guard runs on every append and every streaming
+  * micro-batch, and the udf paid per-row `java.lang.Long` boxing plus
+  * closure dispatch. The filter itself rides a Spark broadcast (torrent-
+  * distributed once per executor, NOT embedded in the serialized plan —
+  * an id sidecar can reach hundreds of MB at billion-id scale), fetched
+  * lazily once per task and probed with a primitive-long call. NULL ids
+  * yield NULL (the call sites filter, where NULL and the old udf's
+  * `false` drop the row identically). */
+case class BloomMightContain(child: Expression,
+                             bloom: org.apache.spark.broadcast.Broadcast[
+                               org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain requires a bigint argument, got ${other.sql}")
+    }
+  override def prettyName: String = "bloom_might_contain"
+  // one broadcast-cache lookup per task, not per row
+  @transient private lazy val bf = bloom.value
+  def test(id: Long): Boolean = bf.mightContainLong(id)
+  override def nullSafeEval(v: Any): Any = test(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference THIS instance: the dereferenced filter is a lazy val on
+    // it, resolved once per task and shared with interpreted eval
+    val self = ctx.addReferenceObj("bloomMc", this, classOf[BloomMightContain].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.test($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 /** First-occurrence line filter over an array of lines (kernel in
   * [[DedupLinesKernel]]) — keeps space-only lines unconditionally and
   * the first occurrence of every other distinct line, dropping null
@@ -841,6 +1196,23 @@ object native {
     Bridge.column(DedupLinesFirst(Bridge.expression(lines)))
   def bloom_contains_any(hashes: Column, bloomBytes: Array[Byte]): Column =
     Bridge.column(BloomContainsAny(Bridge.expression(hashes), bloomBytes))
+  def pq_codes(vec: Column, cbs: Seq[Seq[Seq[Double]]],
+               cc: Seq[Seq[Long]]): Column =
+    Bridge.column(PqCodes(Bridge.expression(vec),
+      cbs.map(_.map(_.toArray).toArray).toArray,
+      cc.map(_.toArray).toArray))
+  def nearest_centroid(vec: Column, cents: Seq[Seq[Double]],
+                       dyy: Seq[Long]): Column =
+    Bridge.column(NearestCentroidK(Bridge.expression(vec),
+      cents.map(_.toArray).toArray, dyy.toArray))
+  def adc_score(codes: Column, lut: Column, qq: Column,
+                cc: Array[Array[Long]]): Column =
+    Bridge.column(AdcScore(Bridge.expression(codes), Bridge.expression(lut),
+      Bridge.expression(qq), cc))
+  def bloom_might_contain(id: Column,
+                          bloom: org.apache.spark.broadcast.Broadcast[
+                            org.apache.spark.util.sketch.BloomFilter]): Column =
+    Bridge.column(BloomMightContain(Bridge.expression(id), bloom))
   def cm_estimate(token: Column, depth: Int, width: Int,
                   counters: Array[Long]): Column =
     Bridge.column(CmEstimate(Bridge.expression(token), depth, width, counters))

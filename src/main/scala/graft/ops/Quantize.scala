@@ -72,21 +72,10 @@ object Quantize {
   private def subVec(vec: Column, s: Int, dsub: Int): Column =
     slice(vec, s * dsub + 1, dsub)
 
-  /** Per-row nearest-codeword index (0-based Long) for subspace `s`:
-    * argmin of the fixed-point L2 key `‖c‖² − 2·⟨x,c⟩` — evaluated as
-    * argmax of its negation via the (key, -index) struct-max, ties to
-    * the smaller codeword index (the [[Similarity]] argmax
-    * discipline). */
-  private def nearestCode(vec: Column, s: Int, dsub: Int,
-                          cb: Seq[Seq[Double]], cc: Seq[Long]): Column = {
-    val keys = cb.zipWithIndex.map { case (c, j) =>
-      struct(
-        (lit(2L) * Similarity.dotFixed(subVec(vec, s, dsub), typedLit(c)) -
-          lit(cc(j))).as("s"),
-        lit(-j.toLong).as("n"))
-    }
-    -array_max(array(keys: _*)).getField("n")
-  }
+  // per-subspace nearest-codeword argmax (key `2·⟨x,c⟩ − ‖c‖²`, ties to
+  // the smaller index) lives in the native [[graft.functions.PqCodes]]
+  // kernel — the composed struct-max unroll it replaced is kept as the
+  // executable parity spec in ExprSpec
 
   /** Train per-subspace PQ codebooks deterministically: the seed for
     * codeword `j` of every subspace is the j-th sub-vector of the
@@ -123,17 +112,22 @@ object Quantize {
       (0 until m).map(s => seeds.map(v => v.slice(s * dsub, (s + 1) * dsub)))
     for (_ <- 0 until iters) {
       val cc = codewordNorms(spark, cbs)
-      // one generator, nothing alongside it: a non-generator column in
-      // the same select would re-evaluate per generated row (the
-      // kmeansCodebook pitfall) — everything rides inside the structs
+      // all m argmins come from ONE pq_codes kernel call, evaluated in
+      // the projection BEFORE the generator (a non-generator column in
+      // the SAME select as a generator would re-evaluate per generated
+      // row — the kmeansCodebook pitfall; a parent projection runs once
+      // per input row). The former per-struct nearestCode unroll also
+      // overflowed janino's 64 KB limit inside this explode's consume.
       val parts = (0 until m).map(s => struct(
         lit(s).as("s"),
-        nearestCode(col("v"), s, dsub, cbs(s), cc(s)).as("c"),
+        element_at(col("_codes"), s + 1).cast(LongType).as("c"),
         subVec(col("v"), s, dsub).as("sub")))
       val perDim = (0 until dsub).map(i =>
         sum(round(element_at(col("p.sub"), i + 1).cast(DoubleType) * lit(1e15))
           .cast(DecimalType(38, 0))).as(s"sf_$i"))
       val stats = df.select(col(vecCol).as("v"))
+        .select(col("v"),
+          graft.functions.native.pq_codes(col("v"), cbs, cc).as("_codes"))
         .select(explode(array(parts: _*)).as("p"))
         .groupBy(col("p.s").as("s"), col("p.c").as("c"))
         .agg(count(lit(1)).as("cnt"), perDim: _*)
@@ -160,11 +154,8 @@ object Quantize {
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
     val cc = codewordNorms(df.sparkSession, cbs)
-    val dsub = cbs.head.head.length
-    val codes = cbs.indices.map(s =>
-      nearestCode(col(vecCol), s, dsub, cbs(s), cc(s)).cast(ShortType))
     df.select(col(idCol).cast(LongType).as("id"),
-      array(codes: _*).as("codes"))
+      graft.functions.native.pq_codes(col(vecCol), cbs, cc).as("codes"))
   }
 
   /** Query-side ADC tables, computed by the ENGINE in one tiny job:
@@ -192,16 +183,17 @@ object Quantize {
 
   /** ADC score over a `codes` column: Σ_s lut(s)(code_s) over
     * √(qq · Σ_s cc(s)(code_s)) — cosine of the query against the
-    * reconstructed vector, every term a literal-array lookup. */
+    * reconstructed vector, as ONE native kernel call
+    * ([[graft.functions.AdcScore]]): the old unrolled
+    * `element_at`-chain reduce generated O(m·nesting) Java per score
+    * and overflowed janino's 64 KB method limit at realistic m,
+    * silently dropping the whole probe stage out of whole-stage
+    * codegen. Scores are bit-identical (same integer sums, same IEEE
+    * double chain). */
   private def adcScore(codesCol: Column, lut: Seq[Seq[Long]],
-                       cc: Seq[Seq[Long]], qq: Long): Column = {
-    def at(tab: Seq[Long], s: Int): Column =
-      element_at(typedLit(tab), element_at(codesCol, s + 1).cast(IntegerType) + 1)
-    val dotSum = lut.indices.map(s => at(lut(s), s)).reduce(_ + _)
-    val nnSum = lut.indices.map(s => at(cc(s), s)).reduce(_ + _)
-    dotSum.cast(DoubleType) /
-      (sqrt(lit(qq).cast(DoubleType)) * sqrt(nnSum.cast(DoubleType)))
-  }
+                       cc: Seq[Seq[Long]], qq: Long): Column =
+    graft.functions.native.adc_score(codesCol, typedLit(lut), lit(qq),
+      cc.map(_.toArray).toArray)
 
   /** One-shot PQ top-k: encode + ADC in a single scan of the raw
     * vectors — the exactness gate for the persisted form, and the
@@ -345,12 +337,9 @@ object Quantize {
     val spark = df.sparkSession
     val dyy = Similarity.centroidNorms(spark, coarseCb)
     val cc = codewordNorms(spark, cbs)
-    val dsub = cbs.head.head.length
-    val codes = cbs.indices.map(s =>
-      nearestCode(col(vecCol), s, dsub, cbs(s), cc(s)).cast(ShortType))
     val obs = org.apache.spark.sql.Observation()
     df.select(col(idCol).cast(LongType).as("id"),
-        array(codes: _*).as("codes"),
+        graft.functions.native.pq_codes(col(vecCol), cbs, cc).as("codes"),
         Similarity.nearestCentroid(col(vecCol), coarseCb, dyy).as("list"))
       .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
       .repartition(col("list"))
@@ -435,12 +424,9 @@ object Quantize {
     IndexIds.mergeAppend(spark, path, deltaIds, deltaCount)
     val dyy = Similarity.centroidNorms(spark, coarseCb)
     val cc = codewordNorms(spark, cbs)
-    val dsub = cbs.head.head.length
-    val codes = cbs.indices.map(s =>
-      nearestCode(col(vecCol), s, dsub, cbs(s), cc(s)).cast(ShortType))
     val obs = org.apache.spark.sql.Observation()
     df.select(col(idCol).cast(LongType).as("id"),
-        array(codes: _*).as("codes"),
+        graft.functions.native.pq_codes(col(vecCol), cbs, cc).as("codes"),
         Similarity.nearestCentroid(col(vecCol), coarseCb, dyy).as("list"))
       .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
       .repartition(col("list"))
@@ -532,15 +518,6 @@ object Quantize {
     * ~0.5 MB on the driver and well inside literal-plan sanity. */
   private val MaxRerankPushdownIds: Int = 1 << 16
 
-  /** Candidate-PAIR rows past which stage 2 stops force-broadcasting
-    * the (query_id, neighbor_id) relation: the pushdown guard bounds
-    * DISTINCT neighbor ids, but the pair relation itself is
-    * r·|queries| rows — a large query batch over a clustered corpus
-    * can hold few distinct neighbors yet tens of millions of pairs,
-    * and a forced broadcast hint is one AQE cannot veto. 4M pairs is
-    * ~64 MB broadcast-side; past it the planner decides from the
-    * checkpointed size. */
-  private val MaxRerankBroadcastPairs: Long = 1L << 22
 
   /** [[ivfPqTopKRefined]] for a BATCH of queries — two-stage retrieval
     * over the composed tree: [[ivfPqKnnJoin]] surfaces each query's ADC
@@ -572,19 +549,22 @@ object Quantize {
       .localCheckpoint(true) // one ADC pass feeds both the id fetch and the pair join
     val probeIds = cand.select(col("neighbor_id")).distinct()
       .limit(MaxRerankPushdownIds + 1).collect().map(_.getLong(0))
-    // checkpointed, so the count runs over block-local cached rows,
-    // not a recompute of the ADC join; past the bound no forced hint —
-    // AQE sees the checkpointed size and picks broadcast iff it fits
-    val candSide =
-      if (cand.count() <= MaxRerankBroadcastPairs) broadcast(cand) else cand
+    // NO forced broadcast hint on the pair relation: row counts are a
+    // poor proxy for hashed-relation bytes (r·|queries| pairs can build
+    // a multi-hundred-MB LongHashedRelation well under any row bound),
+    // and a forced hint bypasses autoBroadcastJoinThreshold where AQE
+    // could not veto it. The relation is checkpointed, so AQE converts
+    // the join to broadcast at runtime exactly when the materialized
+    // side actually fits — and skipping the hint also skips a count()
+    // job per call.
     val corpusIds = corpus
       .select(col(cIdCol).cast(LongType).as("neighbor_id"),
         col(cVecCol).as("_nv"))
     val nbrVecs =
       if (probeIds.length <= MaxRerankPushdownIds)
         corpusIds.filter(col("neighbor_id").isin(probeIds.map(Long.box): _*))
-          .join(candSide, "neighbor_id")
-      else corpusIds.join(candSide, "neighbor_id")
+          .join(cand, "neighbor_id")
+      else corpusIds.join(cand, "neighbor_id")
     val scored = nbrVecs
       .join(queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("_qv")),
         "query_id")
@@ -602,18 +582,13 @@ object Quantize {
     * `array<array<long>>` column (m × ksub) carried on the joined row,
     * `qqCol` the query's fixed-point self-dot — the batch-join form
     * where the query is a COLUMN, not a literal. Codeword self-norms
-    * stay literal (they belong to the index, not the query). */
+    * stay a kernel constant (they belong to the index, not the query).
+    * Same native kernel as [[adcScore]] — the join form met the 64 KB
+    * limit first (its per-row lut adds one more `element_at` nest). */
   private def adcScoreCols(codesCol: Column, lutCol: Column,
-                           cc: Seq[Seq[Long]], qqCol: Column): Column = {
-    def lutAt(s: Int): Column = element_at(element_at(lutCol, s + 1),
-      element_at(codesCol, s + 1).cast(IntegerType) + 1)
-    def ccAt(s: Int): Column = element_at(typedLit(cc(s)),
-      element_at(codesCol, s + 1).cast(IntegerType) + 1)
-    val dotSum = cc.indices.map(lutAt).reduce(_ + _)
-    val nnSum = cc.indices.map(ccAt).reduce(_ + _)
-    dotSum.cast(DoubleType) /
-      (sqrt(qqCol.cast(DoubleType)) * sqrt(nnSum.cast(DoubleType)))
-  }
+                           cc: Seq[Seq[Long]], qqCol: Column): Column =
+    graft.functions.native.adc_score(codesCol, lutCol, qqCol,
+      cc.map(_.toArray).toArray)
 
   /** Batch ADC kNN JOIN against a persisted [[buildIvfPqIndex]] tree —
     * [[Similarity.knnJoinIndexed]] over COMPRESSED codes: the per-query

@@ -118,15 +118,16 @@ object Similarity {
     * `dxy / sqrt(dyy)` — cosine with the row-norm factor dropped (a
     * positive per-row constant that cannot change the argmax) — from the
     * same 1e-15 fixed-point dots as [[cosineFixed]]; ties break to the
-    * smaller index via the (score, -index) struct max. */
+    * smaller index. One native kernel call
+    * ([[graft.functions.NearestCentroidK]]): the former k-wide
+    * `array_max`-of-structs unroll overflowed janino's 64 KB method
+    * limit at production `nlist ≈ √N`, silently dropping whole
+    * assignment stages to interpreted evaluation; values are
+    * bit-identical (ExprSpec pins the parity against the composed
+    * form, malformed vectors included). */
   private[ops] def nearestCentroid(vec: Column, cents: Seq[Seq[Double]],
-                              dyy: Seq[Long]): Column = {
-    val affs = cents.zipWithIndex.map { case (c, j) =>
-      struct((dotFixed(vec, typedLit(c)).cast(DoubleType) /
-        sqrt(lit(dyy(j)).cast(DoubleType))).as("s"), lit(-j.toLong).as("n"))
-    }
-    -array_max(array(affs: _*)).getField("n")
-  }
+                              dyy: Seq[Long]): Column =
+    graft.functions.native.nearest_centroid(vec, cents, dyy)
 
   /** Spherical k-means codebook (Lloyd iterations under cosine affinity),
     * trained deterministically: init = the `k` smallest-id vectors; each

@@ -405,6 +405,132 @@ class ExprSpec extends AnyFunSuite {
     assert(row.getSeq[Long](4) == colRow.getSeq[Long](4))
   }
 
+  test("adc_score == composed element_at chain; null/short/corrupt codes") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(41)
+    val m = 8; val ksub = 16
+    val cc = Array.fill(m)(Array.fill(ksub)(rnd.nextLong().abs % 1000000L + 1L))
+    val lut = Seq.fill(m)(Seq.fill(ksub)(rnd.nextLong() % 1000000L))
+    val qq = 123456789L
+    // the pre-kernel composed-Column formulation, verbatim
+    def composed(codesCol: Column): Column = {
+      def at(tab: Seq[Long], s: Int): Column = element_at(typedLit(tab),
+        element_at(codesCol, s + 1).cast(IntegerType) + 1)
+      val dotSum = (0 until m).map(s => at(lut(s), s)).reduce(_ + _)
+      val nnSum = (0 until m).map(s => at(cc(s).toSeq, s)).reduce(_ + _)
+      dotSum.cast(DoubleType) /
+        (sqrt(lit(qq).cast(DoubleType)) * sqrt(nnSum.cast(DoubleType)))
+    }
+    val codes = Seq.fill(200)(Array.fill(m)(rnd.nextInt(ksub).toShort))
+    val df = codes.map(c => Tuple1(c)).toDF("codes")
+    val both = df.select(
+      native.adc_score($"codes", typedLit(lut), lit(qq), cc).as("k"),
+      composed($"codes").as("c")).collect()
+    both.foreach { r =>
+      // bit-identical, not approximately equal
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // column-lut form == literal-lut form for the same query
+    val withLut = df.withColumn("lut", typedLit(lut)).withColumn("qq", lit(qq))
+    val colForm = withLut.select(
+      native.adc_score($"codes", $"lut", $"qq", cc).as("k"),
+      composed($"codes").as("c")).collect()
+    colForm.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // null propagation: null codes row, SHORT codes row, out-of-range
+    // code (the composed form errors on element_at index 0; the kernel
+    // nulls — the documented divergence, a corrupt row must not rank)
+    val edge = Seq(
+      (null: Array[Short]),
+      Array.fill(m - 1)(0.toShort),
+      Array.fill(m)(ksub.toShort),     // one past the table end
+      Array.fill(m)((-1).toShort)      // corrupt negative byte
+    ).map(Tuple1(_)).toDF("codes")
+    val er = edge.select(
+      native.adc_score($"codes", typedLit(lut), lit(qq), cc)).collect()
+    er.foreach(r => assert(r.isNullAt(0)))
+  }
+
+  test("pq_codes / nearest_centroid == composed struct-max argmax; malformed vecs -> 0") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(43)
+    val dim = 8; val m = 4; val dsub = dim / m; val ksub = 5; val k = 7
+    def rvec(d: Int) = Seq.fill(d)((rnd.nextDouble() * 2 - 1))
+    val cbs: Seq[Seq[Seq[Double]]] = Seq.fill(m)(Seq.fill(ksub)(rvec(dsub)))
+    val cents: Seq[Seq[Double]] = Seq.fill(k)(rvec(dim))
+    // engine-evaluated norm tables, the production discipline
+    val ccRow = spark.range(1).select((for {
+      (cb, s) <- cbs.zipWithIndex; (c, j) <- cb.zipWithIndex
+    } yield Similarity.dotFixed(typedLit(c), typedLit(c)).as(s"cc_${s}_$j")): _*)
+      .collect()(0)
+    val cc = cbs.zipWithIndex.map { case (cb, s) =>
+      cb.indices.map(j => ccRow.getAs[Long](s"cc_${s}_$j")) }
+    val dyyRow = spark.range(1).select(cents.zipWithIndex.map { case (c, j) =>
+      Similarity.dotFixed(typedLit(c), typedLit(c)).as(s"dyy_$j") }: _*).collect()(0)
+    val dyy = cents.indices.map(j => dyyRow.getAs[Long](s"dyy_$j"))
+    // the pre-kernel composed formulations, verbatim
+    def composedCode(vec: Column, s: Int): Column = {
+      val keys = cbs(s).zipWithIndex.map { case (c, j) =>
+        struct((lit(2L) * Similarity.dotFixed(
+            slice(vec, s * dsub + 1, dsub), typedLit(c)) -
+          lit(cc(s)(j))).as("s"), lit(-j.toLong).as("n"))
+      }
+      -array_max(array(keys: _*)).getField("n")
+    }
+    def composedNearest(vec: Column): Column = {
+      val affs = cents.zipWithIndex.map { case (c, j) =>
+        struct((Similarity.dotFixed(vec, typedLit(c)).cast(DoubleType) /
+          sqrt(lit(dyy(j)).cast(DoubleType))).as("s"), lit(-j.toLong).as("n"))
+      }
+      -array_max(array(affs: _*)).getField("n")
+    }
+    val vecs = Seq.fill(100)(Array.fill(dim)(rnd.nextFloat() * 2 - 1)) ++
+      Seq(null, Array.empty[Float], Array.fill(dim - 1)(0.5f),
+        Array.fill(dim + 3)(0.25f)) // malformed: null, empty, short, long
+    val df = vecs.map(Tuple1(_)).toDF("v")
+    val rows = df.select(
+      native.pq_codes($"v", cbs, cc).as("kc"),
+      array((0 until m).map(s => composedCode($"v", s).cast(ShortType)): _*).as("cc"),
+      native.nearest_centroid($"v", cents, dyy).as("kn"),
+      composedNearest($"v").as("cn")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Short](0) == r.getSeq[Short](1),
+        s"pq_codes mismatch: ${r.getSeq[Short](0)} vs ${r.getSeq[Short](1)}")
+      assert(r.getLong(2) == r.getLong(3),
+        s"nearest_centroid mismatch: ${r.getLong(2)} vs ${r.getLong(3)}")
+    }
+    // the malformed tail must exercise the null-key path, not crash:
+    // nearest_centroid's whole-vector dot nulls on ANY dim mismatch
+    // (all four land on 0); pq_codes' slices null per-subspace (null
+    // and empty vecs are all-zero; the short vec zeroes only its
+    // truncated last subspace, the long one encodes normally — the
+    // slice semantics, already pinned by the parity loop above)
+    val tail = rows.takeRight(4)
+    tail.foreach(r => assert(r.getLong(2) == 0L))
+    tail.take(2).foreach(r => assert(r.getSeq[Short](0).forall(_ == 0.toShort)))
+  }
+
+  test("bloom_might_contain == BloomFilter.mightContainLong; null id drops in filter") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    (1L to 500L).foreach(bf.putLong)
+    val bc = spark.sparkContext.broadcast(bf)
+    val ids = ((1L to 600L).map(java.lang.Long.valueOf) :+
+      (null: java.lang.Long)).toDF("id")
+    val kept = ids.filter(native.bloom_might_contain(col("id"), bc))
+      .collect().map(_.getLong(0)).toSet
+    // no false negatives; the null row drops in the three-valued filter
+    // (kept is built via getLong, which would throw on a surviving null)
+    assert((1L to 500L).forall(kept.contains))
+    val expected = (1L to 600L).filter(bf.mightContainLong).toSet
+    assert(kept == expected)
+    bc.destroy()
+  }
+
   test("native expressions generate code (no CodegenFallback)") {
     import org.apache.spark.sql.catalyst.expressions.BoundReference
     import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
@@ -433,7 +559,22 @@ class ExprSpec extends AnyFunSuite {
       graft.functions.HyperplaneSig(
         BoundReference(2, ArrayType(FloatType), nullable = true), 8, 64),
       graft.functions.GramBuckets(
-        BoundReference(0, ArrayType(StringType), nullable = true), 2, 8192L))
+        BoundReference(0, ArrayType(StringType), nullable = true), 2, 8192L),
+      graft.functions.AdcScore(
+        BoundReference(3, ArrayType(ShortType), nullable = true),
+        BoundReference(4, ArrayType(ArrayType(LongType)), nullable = true),
+        BoundReference(5, LongType, nullable = true),
+        Array(Array(1L, 2L), Array(3L, 4L))),
+      graft.functions.BloomMightContain(
+        BoundReference(5, LongType, nullable = true),
+        spark.sparkContext.broadcast(
+          org.apache.spark.util.sketch.BloomFilter.create(100, 0.01))),
+      graft.functions.PqCodes(
+        BoundReference(2, ArrayType(FloatType), nullable = true),
+        Array(Array(Array(1.0, 2.0), Array(3.0, 4.0))), Array(Array(5L, 25L))),
+      graft.functions.NearestCentroidK(
+        BoundReference(2, ArrayType(FloatType), nullable = true),
+        Array(Array(1.0, 2.0), Array(3.0, 4.0)), Array(5L, 25L)))
     exprs.foreach { e =>
       assert(!e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
       GenerateMutableProjection.generate(Seq(e), useSubexprElimination = false)

@@ -125,4 +125,40 @@ class PlanSpec extends AnyFunSuite {
     // id IN (...) predicate — r rows of float I/O, not a corpus scan
     assert(p.contains("PushedFilters: [In(vec_id"), p)
   }
+
+  test("ADC probe scoring stays inside whole-stage codegen") {
+    // the scoring projection must sit UNDER a WholeStageCodegen node —
+    // the composed element_at unroll it replaced overflowed janino's
+    // 64 KB method limit at realistic (m, ksub) and silently dropped
+    // the stage to interpreted evaluation (observed in the r10 judge
+    // run); the kernel call must also survive codegen generation
+    // (ExprSpec's no-CodegenFallback test covers the expression class;
+    // this pins the PLAN placement)
+    // WSCG spans of the EXECUTED plan: a plan with exchanges sits under
+    // an AdaptiveSparkPlanExec whose pre-execution tree holds no
+    // WholeStageCodegen nodes at all (codegen collapse runs per query
+    // stage) — so run the query, then walk through the AQE root and
+    // into materialized query stages
+    import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def wscgSpans(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.collect()
+      def spans(p: SparkPlan): Seq[String] = p.collect {
+        case w: WholeStageCodegenExec => Seq(w.toString)
+        case a: AdaptiveSparkPlanExec => spans(a.executedPlan)
+        case s: QueryStageExec => spans(s.plan)
+      }.flatten
+      spans(df.queryExecution.executedPlan)
+    }
+    val probe = Quantize.ivfPqTopKIndexed(spark, ivfPqIdx, q, 5, 2)
+    assert(wscgSpans(probe).exists(_.contains("adc_score")),
+      s"ADC scoring not inside a WholeStageCodegen span:\n${plan(probe)}")
+    // and the whole suite's plans must have compiled without a janino
+    // fallback: encode/assign argmaxes are native kernels now, so no
+    // generated method can grow with (m, ksub, nlist)
+    val join = Quantize.ivfPqKnnJoin(spark, ivfPqIdx,
+      embsDf.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, nprobe = 2)
+    assert(wscgSpans(join).exists(_.contains("adc_score")),
+      s"batch ADC scoring not inside a WholeStageCodegen span:\n${plan(join)}")
+  }
 }
