@@ -138,9 +138,11 @@ private[graft] object IndexIds {
       case Some(ib) =>
         val bc = spark.sparkContext.broadcast(ib.bloom)
         try {
-          val mightContain = udf((id: java.lang.Long) =>
-            id != null && bc.value.mightContainLong(id))
-          val suspects = deltaIds.filter(mightContain(col("id"))).distinct()
+          // codegen'd primitive-long probe (graft.functions
+          // .BloomMightContain) — no per-row boxing on the hot guard
+          val suspects = deltaIds
+            .filter(graft.functions.native.bloom_might_contain(col("id"), bc))
+            .distinct()
           // emptiness probe first: in the all-novel common case this is
           // the ONLY work — the index is never opened
           if (suspects.limit(1).collect().nonEmpty) {
@@ -176,9 +178,9 @@ private[graft] object IndexIds {
     load(spark, indexPath) match {
       case Some(ib) =>
         val bc = spark.sparkContext.broadcast(ib.bloom)
-        val mightContain = udf((id: java.lang.Long) =>
-          id != null && bc.value.mightContainLong(id))
-        val suspects = ids.filter(mightContain(col("id"))).distinct()
+        val suspects = ids
+          .filter(graft.functions.native.bloom_might_contain(col("id"), bc))
+          .distinct()
         if (suspects.limit(1).collect().isEmpty) ids.limit(0)
         else suspects.join(indexIds, Seq("id"), "left_semi")
       case None =>
@@ -226,10 +228,9 @@ private[graft] object IndexIds {
       case Some(ib) =>
         val bc = spark.sparkContext.broadcast(ib.bloom)
         try {
-          val mightContain = udf((id: java.lang.Long) =>
-            id != null && bc.value.mightContainLong(id))
           ids.filter(col("id").isNotNull)
-            .filter(!mightContain(col("id"))).limit(1).collect().isEmpty
+            .filter(!graft.functions.native.bloom_might_contain(col("id"), bc))
+            .limit(1).collect().isEmpty
         } finally bc.destroy()
       case None => false
     }
