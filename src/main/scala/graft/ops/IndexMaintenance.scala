@@ -47,8 +47,9 @@ import org.apache.spark.sql.types._
  * tombstoned ids and accumulated false-positive mass — read back from
  * the STAGED tree's id column, so the old tree is scanned exactly
  * once; `bloomResize` adopts new sizing at this natural resize point;
- * a text index holding token-free documents instead CARRIES the live
- * sidecar — their ids are not enumerable from postings, see
+ * a text index holding token-free documents unions in the
+ * `_tokenfree` sidecar's live ids — only a LEGACY tree without that
+ * sidecar falls back to carrying the live Bloom verbatim, see
  * [[IndexIds.carryLive]]), drops `_tombstones`, then swaps:
  *
  *   rename(path -> path.graft-compact-old); rename(tmp -> path);
@@ -187,6 +188,70 @@ object IndexMaintenance {
         "bloom_expected", "bloom_fill", "compaction_overdue")
   }
 
+  /** The index family at `path`, detected from the tree's own shape —
+    * every family is self-describing by construction (`_coarse` only on
+    * IVFPQ, `sigs/` only on dedup trees, `n_buckets` only in a text
+    * `_meta`, and the two `_codebook` schemas differ in their key
+    * columns). Fails loudly on anything unrecognized. */
+  private[graft] def indexFamily(spark: SparkSession, path: String): String = {
+    val fs = fsOf(spark, path)
+    def has(p: String) = fs.exists(new Path(s"$path/$p"))
+    if (has("_coarse")) "ivfpq"
+    else if (has("sigs")) "dedup"
+    else if (has("_meta") &&
+      spark.read.parquet(s"$path/_meta").columns.contains("n_buckets")) "text"
+    else if (has("_codebook")) {
+      val cols = spark.read.parquet(s"$path/_codebook").columns.toSet
+      if (cols.contains("s")) "pq"
+      else if (cols.contains("centroid")) "ivf"
+      else throw new IllegalArgumentException(
+        s"indexFamily: $path/_codebook matches neither the PQ (s, j, " +
+          "codeword) nor the IVF (j, centroid) schema")
+    } else throw new IllegalArgumentException(
+      s"indexFamily: $path is not a recognized graft index tree")
+  }
+
+  /** Close the maintenance loop [[indexHealth]] can only report on:
+    * compact `path` iff its health has crossed a threshold — the
+    * tombstone sidecar outgrew the probe broadcast valve
+    * (`maxTombstoneBytes`, default the valve itself) or the id Bloom
+    * overfilled (`maxBloomFill`, default 1.0 = design fill). Returns
+    * true iff a compaction ran; a healthy index costs one health check
+    * (namenode metadata + a takedown-sized count — cheap enough to
+    * call from an ingest sink every N batches).
+    *
+    * When the BLOOM is what tripped and no explicit `bloomResize` was
+    * given, compacting at the old sizing would restore nothing — the
+    * sidecar is resized automatically to twice its live id count at
+    * its existing fpp (never below the original `expected`). The
+    * family is auto-detected ([[indexFamily]]); a legacy text tree
+    * whose token-free ids exist only in the Bloom still refuses the
+    * resize loudly (rebuild is the only sound reset there — trees with
+    * the `_tokenfree` sidecar resize fine). */
+  def compactIfOverdue(spark: SparkSession, path: String,
+                       bloomResize: Option[(Long, Double)] = None,
+                       maxTombstoneBytes: Long = TombstoneBroadcastBytes,
+                       maxBloomFill: Double = 1.0): Boolean = {
+    val h = indexHealth(spark, path).head()
+    val tombOver = h.getAs[Long]("tombstone_bytes") > maxTombstoneBytes
+    val fillOver = Option(h.getAs[java.lang.Double]("bloom_fill"))
+      .exists(_.doubleValue() > maxBloomFill)
+    if (!tombOver && !fillOver) return false
+    val resize = bloomResize.orElse {
+      if (!fillOver) None
+      else IndexIds.load(spark, path).map { ib =>
+        (math.max(2L * ib.nIds, ib.expected), ib.fpp) }
+    }
+    indexFamily(spark, path) match {
+      case "text"  => compactTextIndex(spark, path, resize)
+      case "ivf"   => compactIvfIndex(spark, path, resize)
+      case "pq"    => compactPqIndex(spark, path, resize)
+      case "ivfpq" => compactIvfPqIndex(spark, path, resize)
+      case "dedup" => compactDedupIndex(spark, path, resize)
+    }
+    true
+  }
+
   /** Normalize + validate a delete request: distinct non-null Long ids,
     * none already tombstoned, all present in `indexIds`. Returns the
     * validated id frame (cached) plus its count and hash-sum for the
@@ -244,8 +309,11 @@ object IndexMaintenance {
       s"text index at $path predates the BM25 posting columns " +
         "(no total_tokens in _meta); rebuild with buildTextIndex"))
     val postings = spark.read.parquet(path)
+    // membership = posting ids ∪ the token-free sidecar, so a
+    // token-free document is deletable too (its token mass is zero —
+    // the postings semi-join below naturally contributes nothing)
     val (del, n, h) = validatedDeleteIds(spark, path, "deleteFromTextIndex",
-      ids, postings.select("id"))
+      ids, TextIndex.indexedIds(spark, path))
     // token mass of the deleted docs: sum tf over their postings
     val delTokens = postings.join(del, Seq("id"), "left_semi")
       .agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
@@ -383,7 +451,12 @@ object IndexMaintenance {
     val tmp = new Path(path + ".graft-compact-tmp")
     val old = new Path(path + ".graft-compact-old")
     fs.delete(tmp, true); fs.delete(old, true)
-    writeStaged(tmp.toString)
+    // a REFUSED compaction (all rows tombstoned, token-free carry
+    // failure, ...) must not leave the full staged tree behind: the
+    // refusal explicitly tells the user NOT to retry compacting, so
+    // nothing would ever reclaim an index-sized tmp directory
+    try writeStaged(tmp.toString)
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
     require(fs.rename(new Path(path), old),
       s"compact: rename $path -> $old failed")
     require(fs.rename(tmp, new Path(path)),
@@ -448,16 +521,19 @@ object IndexMaintenance {
       requireStagedReadable(spark, "compactTextIndex", path, tmp)
       meta.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
       // TOKEN-FREE documents are counted in _meta and present in the
-      // Bloom but index zero postings — their ids are NOT enumerable
-      // from the staged rows. When the staged distinct-id count falls
-      // short of n_rows, an exact rebuild would drop them (breaking the
-      // Bloom's no-false-negative soundness and the ingest sink's
-      // replay recovery): the live sidecar is carried over unchanged
-      // instead, a resize is refused (resizing cannot carry
-      // unenumerable ids into a fresh filter), and a MISSING sidecar
-      // fails loudly rather than silently shedding the ids.
-      // localCheckpoint: the distinct id set feeds the gap count AND
-      // the Bloom aggregation — one real scan of the staged tree.
+      // Bloom but index zero postings — their ids live in the
+      // `_tokenfree` sidecar ([[TextIndex.loadTokenFreeIds]]). When the
+      // staged distinct-id count falls short of n_rows, the sidecar
+      // (minus tombstones — token-free docs are deletable) closes the
+      // gap: the union is the complete live id set, so the Bloom is
+      // rebuilt EXACTLY (tombstoned bits shed, resize allowed) and the
+      // surviving token-free ids carry forward as a fresh sidecar.
+      // Only a LEGACY tree (token-free docs but no sidecar) still falls
+      // back to carrying the live Bloom verbatim — there a resize is
+      // refused (unenumerable ids cannot enter a fresh filter) and a
+      // missing Bloom fails loudly rather than silently shedding ids.
+      // localCheckpoint: each distinct id set feeds a count AND the
+      // Bloom aggregation — one real scan per source.
       val stagedIds = spark.read.parquet(tmp).select("id").distinct()
         .localCheckpoint(true)
       val nStaged = stagedIds.count()
@@ -465,17 +541,39 @@ object IndexMaintenance {
         val (expected, fpp) = resolveBloomSizing(spark, path, bloomResize)
         IndexIds.writeFresh(spark, tmp, stagedIds, nStaged, expected, fpp)
       } else {
-        require(bloomResize.isEmpty,
-          s"compactTextIndex: $path indexes ${nRows - nStaged} token-free " +
-            "document(s) whose ids exist only in the Bloom sidecar — a " +
-            "resized rebuild would lose them. Compact without bloomResize, " +
-            "or rebuild the index from source.")
-        require(IndexIds.carryLive(spark, path, tmp),
-          s"compactTextIndex: $path indexes ${nRows - nStaged} " +
-            "token-free document(s) whose ids are recorded ONLY in the " +
-            "_idbloom sidecar, which is missing or unreadable — an exact " +
-            "rebuild would drop them and re-open the double-append replay " +
-            "window. Rebuild the index from source.")
+        val tfLive = TextIndex.loadTokenFreeIds(spark, path)
+          .map(tf => minusTombstones(spark, path, tf, "id")
+            .localCheckpoint(true))
+        val union = tfLive.map(tf => stagedIds.union(tf).distinct()
+          .localCheckpoint(true))
+        val nUnion = union.map(_.count()).getOrElse(nStaged)
+        // >= not ==: a crashed append can leave the sidecar
+        // over-approximating (ids recorded, _meta never bumped) — a
+        // SUPERSET Bloom stays sound (extra bits, never a false
+        // negative), the same tolerance writeFresh documents
+        if (nUnion >= nRows) {
+          val (expected, fpp) = resolveBloomSizing(spark, path, bloomResize)
+          IndexIds.writeFresh(spark, tmp, union.get, nUnion, expected, fpp)
+          if (tfLive.get.limit(1).collect().nonEmpty)
+            tfLive.get.coalesce(1).write.mode("overwrite")
+              .parquet(TextIndex.tokenFreePath(tmp))
+        } else {
+          require(bloomResize.isEmpty,
+            s"compactTextIndex: $path indexes ${nRows - nUnion} token-free " +
+              "document(s) with no _tokenfree sidecar record (a pre-sidecar " +
+              "tree) — their ids exist only in the Bloom, and a resized " +
+              "rebuild would lose them. Compact without bloomResize, or " +
+              "rebuild the index from source.")
+          require(IndexIds.carryLive(spark, path, tmp),
+            s"compactTextIndex: $path indexes ${nRows - nUnion} " +
+              "token-free document(s) whose ids are recorded ONLY in the " +
+              "_idbloom sidecar, which is missing or unreadable — an exact " +
+              "rebuild would drop them and re-open the double-append replay " +
+              "window. Rebuild the index from source.")
+          tfLive.filter(_.limit(1).collect().nonEmpty).foreach(tf =>
+            tf.coalesce(1).write.mode("overwrite")
+              .parquet(TextIndex.tokenFreePath(tmp)))
+        }
       }
     }
 

@@ -37,6 +37,43 @@ import org.apache.spark.sql.types._
  */
 object TextIndex {
 
+  /** TOKEN-FREE documents (empty/NULL text, or nothing but whitespace)
+    * index zero postings yet still count in `_meta` and the id Bloom —
+    * without a durable record of their ids, the index's id set is not
+    * enumerable from its data rows, which forced compaction to carry
+    * the Bloom sidecar verbatim forever (tombstoned bits never shed,
+    * resize impossible, `bloom_fill` permanently inflated) and let a
+    * re-append of a token-free id slip the precise verify. The
+    * `_tokenfree/` sidecar (underscore — invisible to parquet
+    * listings) persists those ids: one Long `id` column, appended
+    * per batch that contains any, read back distinct (a crash between
+    * sidecar write and `_meta` rewrite can leave duplicate rows —
+    * over-approximation, handled by `distinct`, never corruption). */
+  private[ops] def tokenFreePath(indexPath: String): String =
+    s"$indexPath/_tokenfree"
+
+  /** The token-free id sidecar, distinct; `None` when absent (an index
+    * that never appended a token-free document, or a legacy tree). */
+  private[ops] def loadTokenFreeIds(spark: org.apache.spark.sql.SparkSession,
+                                    path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tokenFreePath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(tokenFreePath(path))
+      .select(col("id")).distinct())
+    else None
+  }
+
+  /** EVERY indexed id — posting ids plus the token-free sidecar. This
+    * is the authoritative membership relation for the append guard, the
+    * ingest sink's replay detection, and delete validation; posting ids
+    * alone under-approximate exactly when token-free documents exist
+    * (the [[graft.ops.IndexIds]] class doc's enumeration caveat). */
+  private[graft] def indexedIds(spark: org.apache.spark.sql.SparkSession,
+                                path: String): DataFrame = {
+    val postings = spark.read.parquet(path).select(col("id"))
+    loadTokenFreeIds(spark, path).fold(postings)(tf => postings.union(tf))
+  }
+
   /** The non-empty token sequence a posting's positions index:
     * [[TextStats.tokens]] with empties dropped INSIDE the array (order
     * preserved), so position p means "the p-th token a probe-side
@@ -123,6 +160,17 @@ object TextIndex {
           "all documents token-free) — an index with no data files " +
           "cannot be read back; validate/filter the corpus upstream")
     }
+    // token-free ids (counted in the stamp, zero postings) — recorded
+    // BEFORE _meta so a complete `_meta` implies a complete sidecar.
+    // Computed as an anti-join of the corpus ids against the id column
+    // of the tree just written (column-pruned) rather than a second
+    // tokenize pass over the corpus.
+    val tokenFree = df.select(col(idCol).cast(LongType).as("id"))
+      .filter(col("id").isNotNull).distinct()
+      .join(spark.read.parquet(path).select("id"), Seq("id"), "left_anti")
+    if (tokenFree.limit(1).collect().nonEmpty)
+      tokenFree.coalesce(1).write.mode("overwrite")
+        .parquet(tokenFreePath(path))
     // _meta INSIDE the tree (underscore paths are invisible to parquet
     // listing) — the index is self-describing at one path, the
     // _codebook discipline of the IVF index
@@ -178,8 +226,11 @@ object TextIndex {
     val deltaIds = df.select(col(idCol).cast(LongType).as("id"))
     val deltaCount =
       if (!skipIdCheck)
+        // precise verify against posting ids PLUS the token-free
+        // sidecar: posting membership alone would re-admit a token-free
+        // id and double-count it in `_meta`
         IndexIds.guardAppend(spark, path, "appendTextIndex",
-          spark.read.parquet(path).select("id"), deltaIds)
+          indexedIds(spark, path), deltaIds)
       else deltaIds.filter(col("id").isNotNull).distinct().count()
     IndexIds.mergeAppend(spark, path, deltaIds, deltaCount)
     val obs = org.apache.spark.sql.Observation()
@@ -198,6 +249,20 @@ object TextIndex {
     postings.repartition(col("bucket"))
       .sortWithinPartitions("bucket", "token", "id")
       .write.partitionBy("bucket").mode("append").parquet(path)
+    // the delta's token-free ids land AFTER the postings append (a
+    // sidecar id must never precede its batch's postings — a mixed
+    // batch's replay detection keys on posting membership) and BEFORE
+    // the _meta rewrite (complete `_meta` implies complete sidecar).
+    // Delta-sized predicate, no index reads; size(null) is -1 so the
+    // <= 0 test covers NULL text.
+    val tokenFree = df
+      .select(col(idCol).cast(LongType).as("id"),
+        size(postingTokens(col(textCol))).as("_ntok"))
+      .filter(col("id").isNotNull && col("_ntok") <= 0)
+      .select("id").distinct()
+    if (tokenFree.limit(1).collect().nonEmpty)
+      tokenFree.coalesce(1).write.mode("append")
+        .parquet(tokenFreePath(path))
     val delta = Similarity.stampObserved(obs.get, df, idCol)
     // getOrElse: see the stampObserved note — an empty postings write
     // can lose the metrics node; zero delta tokens is then correct

@@ -264,8 +264,13 @@ object EventStream {
                                        batch: DataFrame, idCol: String,
                                        textCol: String): Boolean = {
     val ids = batch.select(col(idCol).cast(LongType).as("id"))
+    // membership against posting ids PLUS the _tokenfree sidecar — a
+    // completed token-free append is visible here PRECISELY, so the
+    // Bloom fallback below only ever decides for trees with no sidecar
+    // (legacy, or the bounded crash window between the Bloom merge and
+    // the sidecar write)
     val present = graft.ops.IndexIds.presentIds(spark, indexPath, ids,
-      spark.read.parquet(indexPath).select("id"))
+      graft.ops.TextIndex.indexedIds(spark, indexPath))
     if (present.limit(1).collect().nonEmpty) true
     else {
       val tokenFree = batch

@@ -340,20 +340,40 @@ class StreamingSpec extends AnyFunSuite {
     graft.ops.TextIndex.appendTextIndex(tokened, "doc_id", "text", idxPath)
     assert(EventStream.textBatchReplayed(spark, idxPath, tokened,
       "doc_id", "text"))
-    // compaction cannot re-enumerate token-free ids from postings — the
-    // Bloom rebuild detects the gap (n_rows > staged ids) and unions the
-    // live sidecar's bit set, so replay detection SURVIVES a compact
+    // token-free ids are not enumerable from postings — the compact
+    // detects the gap (n_rows > staged ids) and closes it from the
+    // _tokenfree sidecar, so replay detection SURVIVES a compact
     graft.ops.IndexMaintenance.compactTextIndex(spark, idxPath)
     assert(graft.ops.IndexIds.allPresentInBloom(spark, idxPath,
       tf.select($"doc_id".as("id"))))
     assert(EventStream.textBatchReplayed(spark, idxPath, tf,
       "doc_id", "text"))
-    // a resized rebuild would lose the unenumerable ids — refused
-    val e = intercept[IllegalArgumentException] {
-      graft.ops.IndexMaintenance.compactTextIndex(spark, idxPath,
-        bloomResize = Some((2048L, 0.01)))
-    }
-    assert(e.getMessage.contains("token-free"), e.getMessage)
+    // the sidecar makes the id set fully enumerable, so a RESIZED
+    // rebuild is sound too (pre-sidecar trees refused it — their
+    // token-free ids existed only as Bloom bits); replay detection and
+    // the sidecar itself survive the resize
+    graft.ops.IndexMaintenance.compactTextIndex(spark, idxPath,
+      bloomResize = Some((2048L, 0.01)))
+    val ib = graft.ops.IndexIds.load(spark, idxPath).get
+    assert(ib.expected == 2048L)
+    assert(EventStream.textBatchReplayed(spark, idxPath, tf,
+      "doc_id", "text"))
+    // and precisely: the token-free ids are now MEMBERS, not just bits
+    assert(graft.ops.IndexIds.presentIds(spark, idxPath,
+        tf.select($"doc_id".as("id")),
+        graft.ops.TextIndex.indexedIds(spark, idxPath))
+      .count() == 3L)
+    // a token-free id is deletable, and the next compact sheds it from
+    // both the sidecar and the Bloom so it can be re-appended
+    graft.ops.IndexMaintenance.deleteFromTextIndex(spark, idxPath,
+      Seq(900000L))
+    graft.ops.IndexMaintenance.compactTextIndex(spark, idxPath)
+    assert(!EventStream.textBatchReplayed(spark, idxPath,
+      tf.filter($"doc_id" === 900000L), "doc_id", "text"))
+    graft.ops.TextIndex.appendTextIndex(
+      tf.filter($"doc_id" === 900000L), "doc_id", "text", idxPath)
+    assert(EventStream.textBatchReplayed(spark, idxPath,
+      tf.filter($"doc_id" === 900000L), "doc_id", "text"))
   }
 
   // epoch-µs of `ts` in either fixture representation (Long nanos under
