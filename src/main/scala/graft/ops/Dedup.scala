@@ -874,15 +874,36 @@ object Dedup {
     * any cluster over `maxClusterRows` fails loudly naming the cluster
     * and the dials, unless `subSplit` is set, in which case oversized
     * clusters are deterministically salted by `hash60(id)` into
-    * `ceil(n / maxClusterRows)` sub-clusters and pairs are checked only
-    * WITHIN a sub-cluster — a strictly tighter scope of the same
-    * cluster-scoped approximation the paper makes (and
-    * oracle-replayable: the salt is the portable id-hash mod). The
-    * output `cluster` column always carries the ORIGINAL cluster id. */
+    * sub-clusters and pairs are checked only WITHIN a sub-cluster — a
+    * strictly tighter scope of the same cluster-scoped approximation
+    * the paper makes (and oracle-replayable: the salt is the portable
+    * id-hash mod). The split count starts at `ceil(n / maxClusterRows)`
+    * and is then VERIFIED against the actual `(cluster, salt)` counts —
+    * the hash multinomial only bounds sub-cluster sizes in expectation,
+    * and at expected fill 1.0 roughly half the buckets overflow — with
+    * any still-oversized cluster's split count doubled and re-checked
+    * (deterministic: the final splits are a pure function of the id
+    * multiset), so the quadratic-skew bound is HARD, not probabilistic.
+    * The output `cluster` column always carries the ORIGINAL cluster id.
+    *
+    * `refine` closes the one approximation `subSplit` adds: a duplicate
+    * pair STRADDLING a salt boundary survives the within-sub-cluster
+    * pass (both rows keep). With `refine = true` a second, bounded pass
+    * re-checks pairs among the sub-cluster SURVIVORS of each salted
+    * cluster — survivors ≪ cluster after within-sub-cluster dedup, and
+    * the pass fails loudly if a cluster's survivor set still exceeds
+    * `maxClusterRows` (the corpus is genuinely diverse there; raise k).
+    * Only CROSS-salt survivor pairs are checked: a same-salt pair over
+    * `minCosine` cannot have two survivors (the lower id would have
+    * dropped the higher in the first pass). The composite rule stays
+    * deterministic and oracle-replayable: a row is dropped iff some
+    * lower-id row in its sub-cluster clears `minCosine`, or — refine —
+    * some lower-id first-pass SURVIVOR elsewhere in its cluster does. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     k: Int = 8, iters: Int = 1, minCosine: Double = 0.9,
                     dim: Int = 64, maxClusterRows: Long = 1L << 16,
-                    subSplit: Boolean = false): DataFrame = {
+                    subSplit: Boolean = false,
+                    refine: Boolean = false): DataFrame = {
     require(maxClusterRows >= 1,
       s"maxClusterRows must be >= 1, got $maxClusterRows")
     val wellFormed = df.filter(
@@ -910,17 +931,49 @@ object Dedup {
           "pass subSplit = true to deterministically sub-cluster " +
           "oversized clusters.")
     }
+    // bounded when-chain: one branch per OVERSIZED cluster (driver
+    // already holds them); everything else keeps salt 0. Entries are
+    // sorted so the generated plan is deterministic.
+    def saltCol(splits: Map[Long, Long]): Column =
+      splits.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (c, s)) =>
+        when(col("cluster") === c,
+          pmod(TextStats.hash60(col("doc").cast(StringType)),
+            lit(s))).otherwise(acc)
+      }
+    // split sizing is VERIFIED, not assumed: start at ceil(n/max) and
+    // re-count the actual (cluster, salt) buckets — only offending
+    // (cluster, salt) rows come to the driver — doubling any cluster
+    // whose buckets still overflow. Hash-uniform buckets at fill <= 0.5
+    // overflow with negligible probability, so this converges in a
+    // round or two; 16 doublings past ceil(n/max) means the id hash is
+    // adversarially degenerate, which deserves the loud failure.
+    var splits: Map[Long, Long] = oversized.map { case (c, n) =>
+      c -> ((n + maxClusterRows - 1) / maxClusterRows) }
+    if (oversized.nonEmpty) {
+      val overKeys = oversized.keys.toSeq.sorted
+      var rounds = 0
+      var offenders = Seq.empty[Long]
+      while ({
+        offenders = assigned
+          .filter(col("cluster").isin(overKeys: _*))
+          .select(col("cluster"), saltCol(splits).as("salt"))
+          .groupBy("cluster", "salt").agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxClusterRows)
+          .select("cluster").distinct().collect().map(_.getLong(0)).toSeq
+        offenders.nonEmpty && rounds < 16
+      }) {
+        splits = splits ++ offenders.map(c => c -> splits(c) * 2)
+        rounds += 1
+      }
+      require(offenders.isEmpty,
+        s"semanticDedup: sub-splitting cluster ${offenders.head} cannot " +
+          s"get every sub-cluster under maxClusterRows=$maxClusterRows " +
+          "after 16 doublings — the id hash distribution is degenerate " +
+          "for this corpus; raise maxClusterRows or k")
+    }
     val salted =
       if (oversized.isEmpty) assigned.withColumn("salt", lit(0L))
-      else assigned.withColumn("salt",
-        // bounded when-chain: one branch per OVERSIZED cluster (driver
-        // already holds them); everything else keeps salt 0
-        oversized.foldLeft(lit(0L)) { case (acc, (c, n)) =>
-          val splits = (n + maxClusterRows - 1) / maxClusterRows
-          when(col("cluster") === c,
-            pmod(TextStats.hash60(col("doc").cast(StringType)),
-              lit(splits))).otherwise(acc)
-        })
+      else assigned.withColumn("salt", saltCol(splits))
     val dups = salted.as("a").join(salted.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.salt") === col("b.salt") && col("a.doc") < col("b.doc"))
@@ -929,8 +982,38 @@ object Dedup {
       .filter(Similarity.dotFixed(col("a.v"), col("b.v")).cast(DoubleType) /
         (col("a.nrm") * col("b.nrm")) >= minCosine)
       .select(col("b.doc").as("doc")).distinct()
+    val allDups =
+      if (!refine || oversized.isEmpty) dups
+      else {
+        // survivor-refine: only SALTED clusters can hold a duplicate
+        // pair straddling a salt boundary. Survivors are the first
+        // pass's keeps; re-checked cross-salt within the original
+        // cluster — bounded because within-sub-cluster dedup already
+        // collapsed each sub-cluster's redundancy (and guarded below
+        // in case it did not).
+        val surv = salted.filter(col("cluster").isin(
+            oversized.keys.toSeq.sorted: _*))
+          .join(dups, Seq("doc"), "left_anti")
+          .localCheckpoint(true) // feeds the guard count AND the pair join
+        val survOver = surv.groupBy("cluster").agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxClusterRows).limit(1).collect()
+        require(survOver.isEmpty,
+          s"semanticDedup: refine pass — cluster " +
+            s"${if (survOver.nonEmpty) survOver(0).getLong(0) else ""} still " +
+            s"holds ${if (survOver.nonEmpty) survOver(0).getLong(1) else 0} " +
+            s"first-pass survivors (> maxClusterRows=$maxClusterRows): the " +
+            "cluster is genuinely diverse, not redundant — raise k so " +
+            "clustering separates it, or raise maxClusterRows")
+        val refineDrops = surv.as("a").join(surv.as("b"),
+            col("a.cluster") === col("b.cluster") &&
+              col("a.salt") =!= col("b.salt") && col("a.doc") < col("b.doc"))
+          .filter(Similarity.dotFixed(col("a.v"), col("b.v")).cast(DoubleType) /
+            (col("a.nrm") * col("b.nrm")) >= minCosine)
+          .select(col("b.doc").as("doc")).distinct()
+        dups.union(refineDrops).distinct()
+      }
     assigned.select(col("doc"), col("cluster"))
-      .join(dups.withColumn("dup", lit(1L)), Seq("doc"), "left")
+      .join(allDups.withColumn("dup", lit(1L)), Seq("doc"), "left")
       .select(col("doc").as(idCol), col("cluster"),
         col("dup").isNull.cast(LongType).as("keep"))
   }

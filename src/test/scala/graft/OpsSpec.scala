@@ -1398,19 +1398,51 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("semanticDedup") &&
       e.getMessage.contains("subSplit"), e.getMessage)
-    // subSplit: ceil(40/8) = 5 salted sub-clusters; identical vectors
-    // are mutual dups, so each sub-cluster keeps exactly its min id —
-    // mirrored by recomputing the engine's own salt assignment
+    // subSplit: splits start at ceil(40/8) = 5 and are then VERIFIED
+    // against the actual bucket counts, doubling while any bucket
+    // exceeds maxClusterRows (the hash multinomial overflows ~half its
+    // buckets at expected fill 1.0); identical vectors are mutual dups,
+    // so each final sub-cluster keeps exactly its min id — mirrored by
+    // replaying the engine's own split-doubling loop driver-side
     val out = Dedup.semanticDedup(df, "vec_id", "embedding",
         k = 2, iters = 1, minCosine = 0.9, dim = 4, maxClusterRows = 8,
         subSplit = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.length == n && out.forall(_._2 == 0L)) // original cluster id kept
-    val salts = df.select(col("vec_id"),
-        pmod(TextStats.hash60(col("vec_id").cast("string")), lit(5L)).as("s"))
+    def saltsFor(splits: Long): Map[Long, Long] = df.select(col("vec_id"),
+        pmod(TextStats.hash60(col("vec_id").cast("string")), lit(splits)).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var splits = (n + 8 - 1) / 8L // ceil(n / maxClusterRows)
+    while (saltsFor(splits).groupBy(_._2).values.exists(_.size > 8))
+      splits *= 2
+    val salts = saltsFor(splits)
+    assert(splits > 5L, "fixture must exercise the verified re-split")
     val expectedKeeps = salts.groupBy(_._2).values.map(_.keys.min).toSet
     assert(out.filter(_._3 == 1L).map(_._1).toSet == expectedKeeps)
+    // refine: the per-sub-cluster survivors are themselves mutual
+    // duplicates straddling every salt boundary — the optional second
+    // pass re-checks cross-salt survivor pairs and collapses the
+    // cluster to its single min id (what an unsalted pass would keep).
+    // maxClusterRows = 16 here: a FULLY degenerate cluster keeps one
+    // survivor per sub-cluster, so the refine pass's survivor bound
+    // needs splits <= maxClusterRows (n <= max²/2) — at 8 the guard
+    // correctly refuses, which the intercept below pins
+    val refined = Dedup.semanticDedup(df, "vec_id", "embedding",
+        k = 2, iters = 1, minCosine = 0.9, dim = 4, maxClusterRows = 16,
+        subSplit = true, refine = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(refined.length == n)
+    // the global min id is a first-pass survivor (min of its own
+    // sub-cluster) and nothing can drop it — the one refined keep
+    assert(refined.filter(_._2 == 1L).map(_._1).toSeq == Seq(0L))
+    // the refine survivor guard fails loudly when sub-splitting left
+    // more survivors than a single pair join may hold
+    val eRef = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(df, "vec_id", "embedding",
+        k = 2, iters = 1, minCosine = 0.9, dim = 4, maxClusterRows = 8,
+        subSplit = true, refine = true).collect()
+    }
+    assert(eRef.getMessage.contains("refine"), eRef.getMessage)
     // an in-bounds corpus is untouched by the guard parameters
     val small = Dedup.semanticDedup(df.limit(5), "vec_id", "embedding",
       k = 2, iters = 1, minCosine = 0.9, dim = 4, maxClusterRows = 8)
@@ -2283,6 +2315,57 @@ class OpsSpec extends AnyFunSuite {
       "vec_id", "embedding", grown)
     assert(probe(grown) == before)
     Quantize.requirePqFresh(spark, grown, embsDf, "vec_id")
+  }
+
+  test("compactIfOverdue: closes the health loop on both thresholds; healthy no-op; probes identical") {
+    import graft.ops.{IndexMaintenance, Quantize}
+    val embsDf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val n = embsDf.count()
+    val cbs = Quantize.pqCodebooks(embsDf, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 0)
+    val q = embsDf.filter($"vec_id" === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val p = TestSpark.tmpDir("pq-overdue") + "/pq"
+    // Bloom sized for 4 ids — the corpus overfills it immediately
+    Quantize.buildPqIndex(embsDf, "vec_id", "embedding", cbs, p,
+      expectedIds = 4)
+    def probe() = Quantize.pqTopKIndexed(spark, p, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def health() = IndexMaintenance.indexHealth(spark, p).head()
+    val before = probe()
+    assert(health().getAs[Boolean]("compaction_overdue"))
+    // threshold 1 (bloom fill): compact runs, auto-resizes to 2x live
+    // ids at the old fpp, and the health row comes back clean
+    assert(IndexMaintenance.compactIfOverdue(spark, p))
+    val h1 = health()
+    assert(!h1.getAs[Boolean]("compaction_overdue"))
+    assert(h1.getAs[Double]("bloom_fill") <= 1.0 &&
+      h1.getAs[Long]("bloom_expected") == math.max(2L * n, 4L))
+    assert(probe() == before, "compaction must be invisible to probes")
+    // restored health: the maintenance call is a cheap no-op
+    assert(!IndexMaintenance.compactIfOverdue(spark, p))
+    // threshold 2 (tombstone valve, tiny override): a delete trips it,
+    // compact purges the tombstones physically
+    IndexMaintenance.deleteFromPqIndex(spark, p, Seq(before.last._1))
+    val after = probe()
+    assert(IndexMaintenance.compactIfOverdue(spark, p, maxTombstoneBytes = 1L))
+    val h2 = health()
+    assert(h2.getAs[Long]("n_tombstones") == 0L && probe() == after)
+    // the resized sidecar still guards appends (re-append refused)
+    val e = intercept[IllegalArgumentException] {
+      Quantize.appendPqIndex(embsDf.filter($"vec_id" === 0),
+        "vec_id", "embedding", p)
+    }
+    assert(e.getMessage.contains("already indexed"))
+    // an unrecognizable tree fails loudly at family detection
+    val junk = TestSpark.tmpDir("overdue-junk")
+    Seq((1L, "x")).toDF("id", "t").write.mode("overwrite")
+      .parquet(s"$junk/_stuff")
+    val e2 = intercept[IllegalArgumentException] {
+      IndexMaintenance.compactIfOverdue(spark, junk, maxTombstoneBytes = -1L)
+    }
+    assert(e2.getMessage.contains("not a recognized"))
   }
 
   test("ivfpq index: probed lists prune partitions; grown == one-shot; ADC matches flat PQ") {
