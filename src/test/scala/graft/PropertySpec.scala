@@ -172,4 +172,199 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------------------------------------------------------ //
+  // persisted-index lifecycle properties: random append/delete/compact //
+  // sequences on all three index families, probes compared against a   //
+  // scratch index rebuilt from the live corpus AFTER EVERY op — the    //
+  // edge space (token-free carries, stamp subtraction, Bloom resize,   //
+  // tombstone purge ordering) is exactly where hand-picked sequences   //
+  // have historically missed bugs                                      //
+  // ------------------------------------------------------------------ //
+
+  private val lcWords = (0 until 24).map(i => s"w$i")
+  private def lcText(r: scala.util.Random, tokenFreeOk: Boolean): String =
+    if (tokenFreeOk && r.nextInt(8) == 0) "   " // whitespace-only: token-free
+    else Seq.fill(3 + r.nextInt(4))(lcWords(r.nextInt(lcWords.size)))
+      .mkString(" ")
+  private def hasTokens(t: String) = t.trim.nonEmpty
+
+  test("∀ random op sequences: text index probes == scratch rebuild (incl. token-free)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.{IndexMaintenance, TextIndex}
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    for (seed <- 0 until 8) {
+      val r = new scala.util.Random(7000 + seed)
+      var nextId = seed * 100000L
+      def fresh(n: Int): Seq[(Long, String)] = (0 until n).map { _ =>
+        val id = nextId; nextId += 1; (id, lcText(r, tokenFreeOk = true)) }
+      val live = scala.collection.mutable.Map[Long, String]()
+      val path = TestSpark.tmpDir(s"prop-ti-$seed") + "/ti"
+      val scratch = TestSpark.tmpDir(s"prop-ti-s-$seed") + "/ti"
+      val init = fresh(5) :+ { val id = nextId; nextId += 1
+        (id, "w0 w1 w2") } // >= one tokened doc, always
+      TextIndex.buildTextIndex(df(init), "doc_id", "text", path, nBuckets = 8)
+      live ++= init
+      val q = s"${lcWords(r.nextInt(lcWords.size))} ${lcWords(r.nextInt(lcWords.size))}"
+      def probes(p: String) = (
+        TextIndex.searchIndexBM25(spark, p, q, 10)
+          .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq,
+        TextIndex.searchIndex(spark, p, q, 10)
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq)
+      def check(op: String): Unit = {
+        TextIndex.buildTextIndex(df(live.toSeq), "doc_id", "text", scratch,
+          nBuckets = 8)
+        assert(probes(path) == probes(scratch),
+          s"seed $seed after $op: live=${live.keys.toSeq.sorted}")
+      }
+      check("build")
+      for (step <- 0 until 4) {
+        r.nextInt(4) match {
+          case 0 | 1 =>
+            val d = fresh(1 + r.nextInt(3))
+            TextIndex.appendTextIndex(df(d), "doc_id", "text", path)
+            live ++= d
+            check(s"append#$step")
+          case 2 =>
+            // at most one victim per step, and a tokened doc only while
+            // >2 tokened remain — the scratch build (and a later
+            // compact) must never hit the all-token-free refusal
+            val tokened = live.filter(kv => hasTokens(kv._2)).keys.toSet
+            val victim = r.shuffle(live.keys.toSeq.sorted).headOption
+              .filter(id => !tokened(id) || tokened.size > 2)
+            victim.foreach { id =>
+              IndexMaintenance.deleteFromTextIndex(spark, path, Seq(id))
+              live -= id
+              check(s"delete#$step")
+            }
+          case 3 =>
+            if (r.nextBoolean())
+              IndexMaintenance.compactTextIndex(spark, path)
+            else
+              IndexMaintenance.compactTextIndex(spark, path,
+                bloomResize = Some((512L + r.nextInt(512), 0.01)))
+            check(s"compact#$step")
+        }
+      }
+    }
+  }
+
+  test("∀ random op sequences: dedup index pair probes == scratch rebuild") {
+    import spark.implicits._
+    import graft.ops.{DedupIndex, IndexMaintenance}
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    for (seed <- 0 until 8) {
+      val r = new scala.util.Random(8000 + seed)
+      var nextId = seed * 100000L
+      def fresh(n: Int): Seq[(Long, String)] = (0 until n).map { _ =>
+        val id = nextId; nextId += 1; (id, lcText(r, tokenFreeOk = false)) }
+      val live = scala.collection.mutable.Map[Long, String]()
+      val path = TestSpark.tmpDir(s"prop-di-$seed") + "/di"
+      val scratch = TestSpark.tmpDir(s"prop-di-s-$seed") + "/di"
+      val init = fresh(6)
+      DedupIndex.buildDedupIndex(df(init), "doc_id", "text", path,
+        n = 2, numHashes = 16, bands = 4)
+      live ++= init
+      // a fixed probe batch per sequence, drawn from the same tight
+      // vocabulary so banding collisions actually happen
+      val probeBatch = df((0 until 4).map(i =>
+        (900000L + i, lcText(r, tokenFreeOk = false))))
+      def probes(p: String) = DedupIndex.pairsAgainstIndex(spark, p,
+          probeBatch, "doc_id", "text")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+        .toSet
+      def check(op: String): Unit = {
+        DedupIndex.buildDedupIndex(df(live.toSeq), "doc_id", "text",
+          scratch, n = 2, numHashes = 16, bands = 4)
+        assert(probes(path) == probes(scratch),
+          s"seed $seed after $op: live=${live.keys.toSeq.sorted}")
+      }
+      check("build")
+      for (step <- 0 until 4) {
+        r.nextInt(4) match {
+          case 0 | 1 =>
+            val d = fresh(1 + r.nextInt(3))
+            DedupIndex.appendDedupIndex(df(d), "doc_id", "text", path)
+            live ++= d
+            check(s"append#$step")
+          case 2 if live.size > 2 =>
+            val id = r.shuffle(live.keys.toSeq.sorted).head
+            IndexMaintenance.deleteFromDedupIndex(spark, path, Seq(id))
+            live -= id
+            check(s"delete#$step")
+          case 2 => // too small to delete — grow instead
+            val d = fresh(2)
+            DedupIndex.appendDedupIndex(df(d), "doc_id", "text", path)
+            live ++= d
+            check(s"append2#$step")
+          case 3 =>
+            IndexMaintenance.compactDedupIndex(spark, path)
+            check(s"compact#$step")
+        }
+      }
+    }
+  }
+
+  test("∀ random op sequences: IVFPQ probes == scratch rebuild (same codebooks)") {
+    import spark.implicits._
+    import graft.ops.{IndexMaintenance, Quantize}
+    def vecOf(r: scala.util.Random): Seq[Float] =
+      Seq.fill(8)(r.nextFloat() * 2f - 1f)
+    def df(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+    for (seed <- 0 until 8) {
+      val r = new scala.util.Random(9000 + seed)
+      var nextId = seed * 100000L
+      def fresh(n: Int): Seq[(Long, Seq[Float])] = (0 until n).map { _ =>
+        val id = nextId; nextId += 1; (id, vecOf(r)) }
+      val live = scala.collection.mutable.Map[Long, Seq[Float]]()
+      val path = TestSpark.tmpDir(s"prop-ipq-$seed") + "/ipq"
+      val scratch = TestSpark.tmpDir(s"prop-ipq-s-$seed") + "/ipq"
+      val init = fresh(12)
+      val initDf = df(init)
+      // codebooks are trained ONCE and shared by every rebuild — the
+      // property is about index MAINTENANCE, not retraining
+      val coarse = init.sortBy(_._1).take(4).map(_._2.map(_.toDouble))
+      val cbs = Quantize.pqCodebooks(initDf, "vec_id", "embedding",
+        m = 4, ksub = 4, iters = 0)
+      Quantize.buildIvfPqIndex(initDf, "vec_id", "embedding", coarse, cbs, path)
+      live ++= init
+      val q = init.head._2
+      def probes(p: String) = Quantize.ivfPqTopKIndexed(spark, p, q, 6, 2)
+        .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+      def check(op: String): Unit = {
+        Quantize.buildIvfPqIndex(df(live.toSeq), "vec_id", "embedding",
+          coarse, cbs, scratch)
+        assert(probes(path) == probes(scratch),
+          s"seed $seed after $op: live=${live.keys.toSeq.sorted}")
+      }
+      check("build")
+      for (step <- 0 until 4) {
+        r.nextInt(4) match {
+          case 0 | 1 =>
+            val d = fresh(1 + r.nextInt(3))
+            Quantize.appendIvfPqIndex(df(d), "vec_id", "embedding", path)
+            live ++= d
+            check(s"append#$step")
+          case 2 if live.size > 2 =>
+            val id = r.shuffle(live.keys.toSeq.sorted).head
+            IndexMaintenance.deleteFromIvfPqIndex(spark, path, Seq(id))
+            live -= id
+            check(s"delete#$step")
+          case 2 =>
+            val d = fresh(2)
+            Quantize.appendIvfPqIndex(df(d), "vec_id", "embedding", path)
+            live ++= d
+            check(s"append2#$step")
+          case 3 =>
+            if (r.nextBoolean())
+              IndexMaintenance.compactIvfPqIndex(spark, path)
+            else
+              IndexMaintenance.compactIfOverdue(spark, path,
+                maxTombstoneBytes = 0L)
+            check(s"compact#$step")
+        }
+      }
+    }
+  }
 }
