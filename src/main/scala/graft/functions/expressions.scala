@@ -615,6 +615,28 @@ object CodebookKernels {
     }
     java.lang.Long.valueOf(acc)
   }
+
+  /** [[FixedDot.kernel]] invoked DIRECTLY on driver-side constants —
+    * the engine's own arithmetic (same static kernel the codegen'd
+    * expression calls), without routing two literal arrays through a
+    * one-row Spark projection. The old `spark.range(1).select(...)`
+    * idiom generated one projection COLUMN per constant dot; at
+    * production shapes (nlist ≈ 1000 centroid norms, m·ksub ≈ 2048 ADC
+    * table cells) the single generated class overflowed janino's 64 KB
+    * method limit — an ERROR-logged compile failure and interpreted
+    * fallback on every probe call, plus one scheduled job per table.
+    * Floats must be widened by the CALLER (exact) — mixed float×double
+    * dots are bit-identical either way because the kernel widens floats
+    * to double before multiplying. Fails loudly on length mismatch (the
+    * projection form returned SQL NULL; every call site immediately
+    * `require`d it away). */
+  def fixedDotDriver(a: Seq[Double], b: Seq[Double]): Long = {
+    val r = FixedDot.kernel(
+      ArrayData.toArrayData(a.toArray), ArrayData.toArrayData(b.toArray),
+      aIsDouble = true, bIsDouble = true)
+    require(r != null, s"fixed_dot: length mismatch ${a.length} vs ${b.length}")
+    r.longValue()
+  }
 }
 
 /** All `m` PQ codes of a vector in ONE native loop — the fused form of
@@ -898,6 +920,191 @@ object AdcScore {
     java.lang.Double.valueOf(
       dot.toDouble / (Math.sqrt(qq.toDouble) * Math.sqrt(nn.toDouble)))
   }
+}
+
+/** The full m×ksub ADC lookup table of a query VECTOR COLUMN in ONE
+  * native loop — the batch-kNN-join counterpart of the driver-side
+  * [[CodebookKernels.fixedDotDriver]] tables: `lut[s][j] =
+  * fixed_dot(sub_s(vec), codeword_sj)`. The composed form (an `array`
+  * of m `array`s of ksub inline [[FixedDot]] calls) generated O(m·ksub)
+  * Java in the query-side projection and overflowed janino's 64 KB
+  * method limit at production ksub = 256 (observed: every
+  * `ivfPqKnnJoin` probe logged a compile ERROR and ran interpreted).
+  * Cell semantics replicate `fixed_dot(slice(vec, s·dsub+1, dsub), c)`
+  * exactly: a NULL vector, a vector too short for the slice, or a NULL
+  * element nulls THAT CELL (not the row), extra trailing elements are
+  * never read. */
+case class PqLut(child: Expression, cbs: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(cbs.nonEmpty && cbs.forall(_.nonEmpty) &&
+    cbs.forall(_.forall(_.nonEmpty)), "empty PQ codebook")
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = true), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "pq_lut"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_lut requires array<float|double>, got ${other.sql}")
+    }
+  private def vecIsDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  def lut(vec: ArrayData): ArrayData = {
+    val m = cbs.length
+    val out = new Array[ArrayData](m)
+    var s = 0
+    while (s < m) {
+      val cb = cbs(s)
+      val base = s * cb(0).length
+      val row = new Array[Any](cb.length)
+      var j = 0
+      while (j < cb.length) {
+        row(j) = if (vec == null) null
+          else CodebookKernels.fixedDotSlice(vec, base, cb(j),
+            vecIsDouble, exact = false)
+        j += 1
+      }
+      out(s) = new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.asInstanceOf[Array[Any]])
+  }
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    lut(if (v == null) null else v.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val self = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+    val c = child.genCode(ctx)
+    ev.copy(isNull = FalseLiteral,
+      code = c.code +
+        code"""
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+           |  $self.lut(${c.isNull} ? null : ${c.value});
+         """)
+  }
+  override def equals(other: Any): Boolean = other match {
+    case p: PqLut =>
+      child == p.child && java.util.Arrays.deepEquals(
+        cbs.asInstanceOf[Array[AnyRef]], p.cbs.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  @transient private lazy val tabHash =
+    java.util.Arrays.deepHashCode(cbs.asInstanceOf[Array[AnyRef]])
+  override def hashCode(): Int = 31 * child.hashCode() + tabHash
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+/** The `nprobe` best list ids for a query VECTOR COLUMN in ONE native
+  * loop — the fused form of the nlist-wide
+  * `transform(slice(array_sort(array(struct(-affinity, cid), ...)), 1,
+  * nprobe), _.cid)` probe ranking used by every batch kNN join: at
+  * production `nlist ≈ √N ≈ 1000` the composed array generated O(nlist)
+  * Java per query row and overflowed janino's 64 KB method limit.
+  * Ordering replicates the struct sort bit-for-bit: key_j =
+  * `-(⟨vec, c_j⟩.toDouble / √‖c_j‖²)` (1e-15 fixed-point dot), sorted
+  * ascending with a NULL key FIRST (Catalyst's ascending struct
+  * ordering is null-first per FIELD — a malformed/NULL vector probes
+  * the smallest cids), ties to the smaller cid, first `nprobe` taken.
+  * `cids` carries the caller's list ids (arbitrary, e.g. corpus-seed
+  * row ids) so the output is the final probe list, not indices. */
+case class TopListsK(child: Expression, cents: Array[Array[Double]],
+                     cids: Array[Long], dyy: Array[Long], nprobe: Int)
+    extends UnaryExpression {
+  require(cents.nonEmpty && cents.forall(_.nonEmpty), "empty codebook")
+  require(cids.length == cents.length, "list-id table shape mismatch")
+  require(dyy.length == cents.length && dyy.forall(_ > 0L),
+    "centroid-norm table shape mismatch or zero norm")
+  require(nprobe >= 1 && nprobe <= cents.length,
+    s"need 1 <= nprobe <= ${cents.length}, got $nprobe")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_lists"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_lists requires array<float|double>, got ${other.sql}")
+    }
+  private def vecIsDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  @transient private lazy val sqrtDyy: Array[Double] = dyy.map(d => Math.sqrt(d.toDouble))
+  def probes(vec: ArrayData): ArrayData = {
+    val n = cents.length
+    // (negated affinity, null flag) per centroid; then an index sort
+    val ns = new Array[Double](n)
+    val isNull = new Array[Boolean](n)
+    var j = 0
+    while (j < n) {
+      val dot = if (vec == null) null
+        else CodebookKernels.fixedDotSlice(vec, 0, cents(j),
+          vecIsDouble, exact = true)
+      if (dot == null) isNull(j) = true
+      else ns(j) = -(dot.longValue().toDouble / sqrtDyy(j))
+      j += 1
+    }
+    val order = Array.range(0, n).map(Integer.valueOf)
+    java.util.Arrays.sort(order, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val (i1, i2) = (a.intValue(), b.intValue())
+        if (isNull(i1) || isNull(i2)) {
+          // ascending struct ordering: a null field sorts FIRST
+          if (isNull(i1) && isNull(i2)) java.lang.Long.compare(cids(i1), cids(i2))
+          else if (isNull(i1)) -1 else 1
+        } else {
+          val c = java.lang.Double.compare(ns(i1), ns(i2))
+          if (c != 0) c else java.lang.Long.compare(cids(i1), cids(i2))
+        }
+      }
+    })
+    val out = new Array[Long](nprobe)
+    var i = 0
+    while (i < nprobe) { out(i) = cids(order(i).intValue()); i += 1 }
+    ArrayData.toArrayData(out)
+  }
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    probes(if (v == null) null else v.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val self = ctx.addReferenceObj("topLists", this, classOf[TopListsK].getName)
+    val c = child.genCode(ctx)
+    ev.copy(isNull = FalseLiteral,
+      code = c.code +
+        code"""
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+           |  $self.probes(${c.isNull} ? null : ${c.value});
+         """)
+  }
+  override def equals(other: Any): Boolean = other match {
+    case t: TopListsK =>
+      child == t.child && nprobe == t.nprobe &&
+        java.util.Arrays.deepEquals(
+          cents.asInstanceOf[Array[AnyRef]], t.cents.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(cids, t.cids) &&
+        java.util.Arrays.equals(dyy, t.dyy)
+    case _ => false
+  }
+  @transient private lazy val tabHash =
+    (31 * java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]]) +
+      java.util.Arrays.hashCode(cids)) * 31 + java.util.Arrays.hashCode(dyy)
+  override def hashCode(): Int =
+    (31 * child.hashCode() + tabHash) * 31 + nprobe
+  override protected def withNewChildInternal(newChild: Expression): TopListsK =
+    copy(child = newChild)
 }
 
 /** Bloom-filter membership of a LongType id against a BROADCAST
@@ -1209,6 +1416,13 @@ object native {
                 cc: Array[Array[Long]]): Column =
     Bridge.column(AdcScore(Bridge.expression(codes), Bridge.expression(lut),
       Bridge.expression(qq), cc))
+  def pq_lut(vec: Column, cbs: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqLut(Bridge.expression(vec),
+      cbs.map(_.map(_.toArray).toArray).toArray))
+  def top_lists(vec: Column, cents: Seq[Seq[Double]], cids: Seq[Long],
+                dyy: Seq[Long], nprobe: Int): Column =
+    Bridge.column(TopListsK(Bridge.expression(vec),
+      cents.map(_.toArray).toArray, cids.toArray, dyy.toArray, nprobe))
   def bloom_might_contain(id: Column,
                           bloom: org.apache.spark.broadcast.Broadcast[
                             org.apache.spark.util.sketch.BloomFilter]): Column =

@@ -54,13 +54,12 @@ object Quantize {
     * ADC score by zero — NaN ranks differently across engines. */
   private def codewordNorms(spark: org.apache.spark.sql.SparkSession,
                             cbs: Seq[Seq[Seq[Double]]]): Seq[Seq[Long]] = {
-    val cols = for {
-      (cb, s) <- cbs.zipWithIndex; (c, j) <- cb.zipWithIndex
-    } yield Similarity.dotFixed(typedLit(c), typedLit(c)).as(s"cc_${s}_$j")
-    val row = spark.range(1).select(cols: _*).collect()(0)
+    // engine kernel on the driver constants — the m·ksub-column one-row
+    // projection this replaces overflowed codegen's 64 KB limit at
+    // production ksub = 256 (ERROR-logged fallback on every probe call)
     cbs.zipWithIndex.map { case (cb, s) =>
-      cb.indices.map { j =>
-        val n = row.getAs[Long](s"cc_${s}_$j")
+      cb.zipWithIndex.map { case (c, j) =>
+        val n = graft.functions.CodebookKernels.fixedDotDriver(c, c)
         require(n > 0L, s"PQ codeword ($s, $j) has zero norm; train on " +
           "non-degenerate vectors (filter empty embeddings first)")
         n
@@ -158,9 +157,12 @@ object Quantize {
       graft.functions.native.pq_codes(col(vecCol), cbs, cc).as("codes"))
   }
 
-  /** Query-side ADC tables, computed by the ENGINE in one tiny job:
-    * `lut(s)(j) = ⟨q_s, codeword⟩` and `qq = ⟨q, q⟩`, all in 1e-15
-    * fixed-point units. */
+  /** Query-side ADC tables, computed by the engine's own fixed-dot
+    * kernel invoked directly on the constants: `lut(s)(j) =
+    * ⟨q_s, codeword⟩` and `qq = ⟨q, q⟩`, all in 1e-15 fixed-point units
+    * (the m·ksub-column one-row projection this replaces overflowed
+    * codegen's 64 KB limit at production ksub and scheduled a Spark job
+    * per probe call). */
   private def adcTables(spark: org.apache.spark.sql.SparkSession,
                         query: Seq[Float], cbs: Seq[Seq[Seq[Double]]])
       : (Seq[Seq[Long]], Long) = {
@@ -168,17 +170,11 @@ object Quantize {
     val dsub = cbs.head.head.length
     require(q.length == cbs.length * dsub,
       s"query dim ${q.length} != codebook dim ${cbs.length * dsub}")
-    val lutCols = for {
-      (cb, s) <- cbs.zipWithIndex; (c, j) <- cb.zipWithIndex
-    } yield Similarity.dotFixed(
-      typedLit(q.slice(s * dsub, (s + 1) * dsub).toSeq), typedLit(c))
-      .as(s"lut_${s}_$j")
-    val row = spark.range(1)
-      .select(lutCols :+ Similarity.dotFixed(typedLit(q), typedLit(q)).as("qq"): _*)
-      .collect()(0)
     val lut = cbs.zipWithIndex.map { case (cb, s) =>
-      cb.indices.map(j => row.getAs[Long](s"lut_${s}_$j")) }
-    (lut, row.getAs[Long]("qq"))
+      val sub = q.slice(s * dsub, (s + 1) * dsub)
+      cb.map(c => graft.functions.CodebookKernels.fixedDotDriver(sub, c))
+    }
+    (lut, graft.functions.CodebookKernels.fixedDotDriver(q, q))
   }
 
   /** ADC score over a `codes` column: Σ_s lut(s)(code_s) over
@@ -454,12 +450,14 @@ object Quantize {
     val coarseCb = loadIvfPqCoarse(spark, path)
     val cbs = loadIvfPqCodebooks(spark, path)
     val dyy = Similarity.centroidNorms(spark, coarseCb)
-    val qc = typedLit(query)
-    val row = spark.range(1).select(coarseCb.zipWithIndex.map { case (c, j) =>
-      Similarity.dotFixed(qc, typedLit(c)).as(s"dxy_$j") }: _*).collect()(0)
+    // query→centroid dots via the engine's kernel on driver constants
+    // (fixedDotDriver — identical values, no 64 KB projection, no job)
+    val qd = query.map(_.toDouble)
     val probes: Seq[Long] = coarseCb.indices
-      .map(j => (row.getAs[Long](s"dxy_$j").toDouble / math.sqrt(dyy(j).toDouble),
-                 j.toLong))
+      .map { j =>
+        val dxy = graft.functions.CodebookKernels.fixedDotDriver(qd, coarseCb(j))
+        (dxy.toDouble / math.sqrt(dyy(j).toDouble), j.toLong)
+      }
       .sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2)
     val cc = codewordNorms(spark, cbs)
     val (lut, qq) = adcTables(spark, query, cbs)
@@ -623,17 +621,15 @@ object Quantize {
     val cc = codewordNorms(spark, cbs)
     val dsub = cbs.head.head.length
     val qv = col(qVecCol)
-    val probeArr = transform(
-      slice(array_sort(array(coarseCb.zipWithIndex.map { case (c, j) =>
-        struct((-(Similarity.dotFixed(qv, typedLit(c)).cast(DoubleType) /
-          sqrt(lit(dyy(j)).cast(DoubleType)))).as("ns"),
-          lit(j.toLong).as("cid"))
-      }: _*)), 1, nprobe),
-      s => s.getField("cid"))
-    val lutCol = array(cbs.zipWithIndex.map { case (cb, s) =>
-      array(cb.map(c =>
-        Similarity.dotFixed(subVec(qv, s, dsub), typedLit(c))): _*)
-    }: _*)
+    // probe ranking and the m×ksub ADC table are each ONE native kernel
+    // call per query row — the composed forms (an nlist-wide struct-sort
+    // array; m·ksub inline fixed-dots) overflowed codegen's 64 KB limit
+    // at production nlist/ksub, ERROR-logging and dropping the whole
+    // query-side projection to interpreted eval on every probe. Parity
+    // (values, tie order, null cells) is pinned in ExprSpec.
+    val probeArr = graft.functions.native.top_lists(
+      qv, coarseCb, coarseCb.indices.map(_.toLong), dyy, nprobe)
+    val lutCol = graft.functions.native.pq_lut(qv, cbs)
     val querySide = queries.select(col(qIdCol).as("_qid"), lutCol.as("_lut"),
       Similarity.dotFixed(qv, qv).as("_qq"), explode(probeArr).as("_list"))
     // pruning pays one extra query-side pass (the distinct re-evaluates
@@ -724,10 +720,9 @@ object Quantize {
     val qd = query.map(_.toDouble)
     val consts = typedLit(qd.indices.map(i =>
       (qd(i), mins(i), maxs(i) - mins(i))))
-    // engine-evaluated qq (one tiny job), like every fixed-point oracle
-    val qq = spark.range(1)
-      .select(Similarity.dotFixed(typedLit(query), typedLit(query)).as("qq"))
-      .collect()(0).getLong(0)
+    // the engine's fixed-dot kernel on the driver constant (identical
+    // value to the old one-row projection, without the scheduled job)
+    val qq = graft.functions.CodebookKernels.fixedDotDriver(qd, qd)
     def dequant(c: Column, s: Column): Column =
       s.getField("_2") + ((c.cast(DoubleType) * s.getField("_3")) / lit(255d))
     val scored = sqEncode(df, idCol, vecCol, mins, maxs).select(col("id"),

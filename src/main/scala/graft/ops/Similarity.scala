@@ -98,16 +98,17 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Fixed-point self-dots of a driver-side codebook, evaluated by the
-    * ENGINE in one tiny job (never reimplemented driver-side, so oracle
-    * SQL reproduces each term). Fails fast on a zero-norm centroid: its
-    * affinities would be NaN, which Spark ranks above all doubles while
-    * DuckDB ranks it differently — a silent cross-engine divergence. */
+  /** Fixed-point self-dots of a driver-side codebook, computed by the
+    * engine's own [[graft.functions.FixedDot]] kernel invoked directly
+    * on the constants ([[graft.functions.CodebookKernels.fixedDotDriver]]
+    * — the one-row-projection form overflowed codegen's 64 KB limit at
+    * production nlist and scheduled a job per call). Fails fast on a
+    * zero-norm centroid: its affinities would be NaN, which Spark ranks
+    * above all doubles while DuckDB ranks it differently — a silent
+    * cross-engine divergence. */
   private[ops] def centroidNorms(spark: org.apache.spark.sql.SparkSession,
                             cents: Seq[Seq[Double]]): Seq[Long] = {
-    val row = spark.range(1).select(cents.zipWithIndex.map { case (c, j) =>
-      dotFixed(typedLit(c), typedLit(c)).as(s"dyy_$j") }: _*).collect()(0)
-    val dyy = cents.indices.map(j => row.getAs[Long](s"dyy_$j"))
+    val dyy = cents.map(c => graft.functions.CodebookKernels.fixedDotDriver(c, c))
     dyy.zipWithIndex.foreach { case (n, j) =>
       require(n > 0L, s"centroid $j has zero norm; " +
         "choose a codebook of non-zero vectors (filter empty embeddings first)") }
@@ -273,24 +274,23 @@ object Similarity {
               query: Seq[Float], k: Int,
               nlist: Int = 16, nprobe: Int = 4,
               codebook: Option[Seq[Seq[Double]]] = None): DataFrame = {
-    val spark = df.sparkSession
-    // (list id, centroid literal); float seeds and double trained
-    // centroids dot identically (floats widen exactly in the kernel)
-    val cents: Seq[(Long, Column)] = codebook match {
-      case Some(cb) => cb.zipWithIndex.map { case (c, j) => (j.toLong, typedLit(c)) }
+    // (list id, centroid values widened to double — exact, so the
+    // kernel's float×double dots are bit-identical to the float form)
+    val cents: Seq[(Long, Seq[Double])] = codebook match {
+      case Some(cb) => cb.zipWithIndex.map { case (c, j) => (j.toLong, c) }
       case None => df.select(col(idCol).cast(LongType), col(vecCol))
         .orderBy(col(idCol)).limit(nlist)
-        .collect().toSeq.map(r => (r.getLong(0), typedLit(r.getSeq[Float](1))))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
     }
     val qc = typedLit(query)
-    // one tiny Spark job evaluates each centroid's fixed-point self-dot
-    // and the query→centroid affinity with the ENGINE's own arithmetic
-    // (never reimplemented driver-side, so the oracle can mirror it)
-    val centStats = spark.range(1).select(cents.zipWithIndex.flatMap {
-      case ((_, cv), i) =>
-        Seq(dotFixed(cv, cv).as(s"dyy_$i"), dotFixed(qc, cv).as(s"dxy_$i"))
-    }: _*).collect()(0)
-    val dyy: Seq[Long] = cents.indices.map(i => centStats.getAs[Long](s"dyy_$i"))
+    val qd = query.map(_.toDouble)
+    // each centroid's fixed-point self-dot and the query→centroid
+    // affinity, via the ENGINE's own kernel invoked on the constants
+    // (fixedDotDriver — same arithmetic the oracle mirrors; the old
+    // one-row projection overflowed codegen at production nlist)
+    val dyy: Seq[Long] = cents.map { case (_, c) =>
+      graft.functions.CodebookKernels.fixedDotDriver(c, c) }
     // a zero-norm centroid (empty-document embedding) would make every
     // row's affinity to it NaN — and Spark ranks NaN above all doubles
     // while the driver/DuckDB rank it differently, silently emptying the
@@ -300,16 +300,18 @@ object Similarity {
         "choose a codebook of non-zero vectors (filter empty embeddings first)")
     }
     val probes: Seq[Long] = cents.indices
-      .map(i => (centStats.getAs[Long](s"dxy_$i").toDouble / math.sqrt(dyy(i).toDouble),
-                 cents(i)._1))
+      .map { i =>
+        val dxy = graft.functions.CodebookKernels.fixedDotDriver(qd, cents(i)._2)
+        (dxy.toDouble / math.sqrt(dyy(i).toDouble), cents(i)._1)
+      }
       .sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2)
-    // per-row argmax over list affinities; struct max compares (score,
-    // -cid) so ties go to the smaller list id
-    val affinities = cents.zipWithIndex.map { case ((cid, cv), i) =>
-      struct((dotFixed(col(vecCol), cv).cast(DoubleType) /
-        sqrt(lit(dyy(i)).cast(DoubleType))).as("s"), lit(-cid).as("n"))
-    }
-    val listId = -array_max(array(affinities: _*)).getField("n")
+    // per-row argmax over list affinities — one native kernel call
+    // (struct-max parity incl. ties to the smaller index is pinned in
+    // ExprSpec; cids ascend with the index by construction, so index
+    // ties ARE cid ties), then an index→cid literal lookup
+    val listId = element_at(typedLit(cents.map(_._1)),
+      (graft.functions.native.nearest_centroid(col(vecCol),
+        cents.map(_._2), dyy) + 1L).cast(IntegerType))
     df.select(col(idCol), cosineFixed(col(vecCol), qc).as("score"),
         listId.as("list"))
       .filter(col("list").isin(probes: _*))
@@ -358,33 +360,33 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
       s"need 1 <= nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
-    val spark = corpus.sparkSession
-    val cents: Seq[(Long, Column)] = codebook match {
-      case Some(cb) => cb.zipWithIndex.map { case (c, j) => (j.toLong, typedLit(c)) }
+    // centroid values widened to double (exact — kernel dots identical)
+    val cents: Seq[(Long, Seq[Double])] = codebook match {
+      case Some(cb) => cb.zipWithIndex.map { case (c, j) => (j.toLong, c) }
       case None => corpus.select(col(cIdCol).cast(LongType), col(cVecCol))
         .orderBy(col(cIdCol)).limit(nlist)
-        .collect().toSeq.map(r => (r.getLong(0), typedLit(r.getSeq[Float](1))))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
     }
-    val centStats = spark.range(1).select(cents.zipWithIndex.map {
-      case ((_, cv), i) => dotFixed(cv, cv).as(s"dyy_$i") }: _*).collect()(0)
-    val dyy: Seq[Long] = cents.indices.map(i => centStats.getAs[Long](s"dyy_$i"))
+    val cids = cents.map(_._1)
+    val cvals = cents.map(_._2)
+    val dyy: Seq[Long] = cvals.map(c =>
+      graft.functions.CodebookKernels.fixedDotDriver(c, c))
     dyy.zipWithIndex.foreach { case (n, i) =>
-      require(n > 0L, s"knnJoin: centroid ${cents(i)._1} has zero norm; " +
+      require(n > 0L, s"knnJoin: centroid ${cids(i)} has zero norm; " +
         "choose a codebook of non-zero vectors (filter empty embeddings first)")
     }
-    def affinity(vec: Column, i: Int): Column =
-      dotFixed(vec, cents(i)._2).cast(DoubleType) /
-        sqrt(lit(dyy(i)).cast(DoubleType))
-    // corpus: single nearest list per row (struct max on (s, -cid))
-    val listId = -array_max(array(cents.zipWithIndex.map { case ((cid, _), i) =>
-      struct(affinity(col(cVecCol), i).as("s"), lit(-cid).as("n")) }: _*))
-      .getField("n")
-    // queries: nprobe best lists per row (struct sort on (-s, cid))
-    val probeArr = transform(
-      slice(array_sort(array(cents.zipWithIndex.map { case ((cid, _), i) =>
-        struct((-affinity(col(qVecCol), i)).as("ns"), lit(cid).as("cid")) }: _*)),
-        1, nprobe),
-      s => s.getField("cid"))
+    // corpus: single nearest list per row; queries: nprobe best lists
+    // per row — both as ONE native kernel call each (the composed
+    // struct-max / struct-sort arrays generated O(nlist) Java per row
+    // and overflowed codegen's 64 KB limit at production nlist; parity
+    // incl. tie and null ordering is pinned in ExprSpec). cids ascend
+    // with the index by construction, so index ties ARE cid ties.
+    val listId = element_at(typedLit(cids),
+      (graft.functions.native.nearest_centroid(col(cVecCol), cvals, dyy) + 1L)
+        .cast(IntegerType))
+    val probeArr = graft.functions.native.top_lists(
+      col(qVecCol), cvals, cids, dyy, nprobe)
     val corpusSide = corpus.select(col(cIdCol).as("_nid"),
       col(cVecCol).as("_nvec"),
       dotFixed(col(cVecCol), col(cVecCol)).as("_nn"), listId.as("_list"))
@@ -430,12 +432,11 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= codebook.size,
       s"need 1 <= nprobe <= nlist=${codebook.size}, got $nprobe")
     val dyy = centroidNorms(spark, codebook)
-    val probeArr = transform(
-      slice(array_sort(array(codebook.zipWithIndex.map { case (c, j) =>
-        struct((-(dotFixed(col(qVecCol), typedLit(c)).cast(DoubleType) /
-          sqrt(lit(dyy(j)).cast(DoubleType)))).as("ns"), lit(j.toLong).as("cid"))
-      }: _*)), 1, nprobe),
-      s => s.getField("cid"))
+    // per-query probe ranking as ONE native kernel call (the composed
+    // struct-sort array overflowed codegen's 64 KB limit at production
+    // nlist; ordering parity pinned in ExprSpec)
+    val probeArr = graft.functions.native.top_lists(
+      col(qVecCol), codebook, codebook.indices.map(_.toLong), dyy, nprobe)
     val querySide = queries.select(col(qIdCol).as("_qid"),
       col(qVecCol).as("_qvec"),
       dotFixed(col(qVecCol), col(qVecCol)).as("_qq"),
@@ -732,12 +733,15 @@ object Similarity {
                      k: Int, nprobe: Int): DataFrame = {
     val dyy = centroidNorms(spark, codebook)
     val qc = typedLit(query)
-    // one tiny engine job for the query→centroid fixed-point dots
-    val row = spark.range(1).select(codebook.zipWithIndex.map { case (c, j) =>
-      dotFixed(qc, typedLit(c)).as(s"dxy_$j") }: _*).collect()(0)
+    // query→centroid fixed-point dots via the engine's kernel on the
+    // driver constants (fixedDotDriver — identical arithmetic, no
+    // 64 KB-overflowing one-row projection, no scheduled job)
+    val qd = query.map(_.toDouble)
     val probes: Seq[Long] = codebook.indices
-      .map(j => (row.getAs[Long](s"dxy_$j").toDouble / math.sqrt(dyy(j).toDouble),
-                 j.toLong))
+      .map { j =>
+        val dxy = graft.functions.CodebookKernels.fixedDotDriver(qd, codebook(j))
+        (dxy.toDouble / math.sqrt(dyy(j).toDouble), j.toLong)
+      }
       .sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2)
     // the isin filter on the partition column prunes at file listing —
     // .explain shows PartitionFilters: [list IN (...)], unprobed

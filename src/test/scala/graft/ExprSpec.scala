@@ -515,6 +515,64 @@ class ExprSpec extends AnyFunSuite {
     tail.take(2).foreach(r => assert(r.getSeq[Short](0).forall(_ == 0.toShort)))
   }
 
+  test("pq_lut / top_lists / fixedDotDriver == composed forms; ties and malformed vecs") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(47)
+    val dim = 8; val m = 4; val dsub = dim / m; val ksub = 5
+    def rvec(d: Int) = Seq.fill(d)((rnd.nextDouble() * 2 - 1))
+    val cbs: Seq[Seq[Seq[Double]]] = Seq.fill(m)(Seq.fill(ksub)(rvec(dsub)))
+    // duplicate centroid values at two cids to force an exact affinity
+    // tie — the composed struct sort resolves it by the smaller cid
+    val base = Seq.fill(5)(rvec(dim))
+    val cents: Seq[Seq[Double]] = base :+ base(2)
+    val cids: Seq[Long] = Seq(10L, 3L, 7L, 42L, 5L, 8L) // arbitrary, non-sorted
+    // fixedDotDriver must equal the engine's own projection evaluation
+    val dyyRow = spark.range(1).select(cents.zipWithIndex.map { case (c, j) =>
+      Similarity.dotFixed(typedLit(c), typedLit(c)).as(s"dyy_$j") }: _*).collect()(0)
+    val dyy = cents.indices.map { j =>
+      val driver = graft.functions.CodebookKernels.fixedDotDriver(cents(j), cents(j))
+      assert(driver == dyyRow.getAs[Long](s"dyy_$j"),
+        s"fixedDotDriver != engine projection for centroid $j")
+      driver
+    }
+    val nprobe = 4
+    // the pre-kernel composed formulations, verbatim
+    def composedLut(vec: Column): Column = array(cbs.zipWithIndex.map {
+      case (cb, s) => array(cb.map(c => Similarity.dotFixed(
+        slice(vec, s * dsub + 1, dsub), typedLit(c))): _*) }: _*)
+    def composedProbes(vec: Column): Column = transform(
+      slice(array_sort(array(cents.zipWithIndex.map { case (c, j) =>
+        struct((-(Similarity.dotFixed(vec, typedLit(c)).cast(DoubleType) /
+          sqrt(lit(dyy(j)).cast(DoubleType)))).as("ns"), lit(cids(j)).as("cid"))
+      }: _*)), 1, nprobe),
+      s => s.getField("cid"))
+    val vecs = Seq.fill(100)(Array.fill(dim)(rnd.nextFloat() * 2 - 1)) ++
+      Seq(null, Array.empty[Float], Array.fill(dim - 1)(0.5f),
+        Array.fill(dim + 3)(0.25f)) // malformed: null, empty, short, long
+    val df = vecs.map(Tuple1(_)).toDF("v")
+    val rows = df.select(
+      native.pq_lut($"v", cbs).as("kl"),
+      composedLut($"v").as("cl"),
+      native.top_lists($"v", cents, cids, dyy, nprobe).as("kp"),
+      composedProbes($"v").as("cp")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Seq[java.lang.Long]](0) == r.getSeq[Seq[java.lang.Long]](1),
+        s"pq_lut mismatch: ${r.getSeq[Any](0)} vs ${r.getSeq[Any](1)}")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3),
+        s"top_lists mismatch: ${r.getSeq[Long](2)} vs ${r.getSeq[Long](3)}")
+    }
+    // the duplicated centroid pair (cids 7 and 8, identical values) must
+    // appear in ascending-cid order whenever both are probed — the
+    // composed sort's tie rule, held by construction above; and the
+    // malformed tail (whole-vector dots all null) must probe the
+    // nprobe SMALLEST cids in ascending order (null keys sort first)
+    rows.takeRight(4).foreach { r =>
+      assert(r.getSeq[Long](2) == Seq(3L, 5L, 7L, 8L),
+        s"null-key probe order: ${r.getSeq[Long](2)}")
+    }
+  }
+
   test("bloom_might_contain == BloomFilter.mightContainLong; null id drops in filter") {
     val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
     (1L to 500L).foreach(bf.putLong)
