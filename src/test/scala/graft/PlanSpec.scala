@@ -160,5 +160,14 @@ class PlanSpec extends AnyFunSuite {
       embsDf.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, nprobe = 2)
     assert(wscgSpans(join).exists(_.contains("adc_score")),
       s"batch ADC scoring not inside a WholeStageCodegen span:\n${plan(join)}")
+    // the query-side projection — probe ranking (top_lists) and the
+    // m×ksub ADC table (pq_lut), the two expressions whose composed
+    // forms GREW with nlist/ksub and overflowed at production width —
+    // must also stay inside a codegen span
+    val js = wscgSpans(join)
+    assert(js.exists(_.contains("top_lists")),
+      s"probe ranking not inside a WholeStageCodegen span:\n${plan(join)}")
+    assert(js.exists(_.contains("pq_lut")),
+      s"ADC table projection not inside a WholeStageCodegen span:\n${plan(join)}")
   }
 }

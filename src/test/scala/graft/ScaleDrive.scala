@@ -701,6 +701,18 @@ object ScaleDrive {
       assert(math.abs(j - 1.0 / 3.0) < 0.1, s"jaccard est $j")
     }
 
+    // ANN retrieval QUALITY canary: recall@10 vs exact brute force with
+    // hard floors — every x_knn_* gate pins determinism (the oracle
+    // replays the engine's own approximation), so only THIS catches a
+    // codebook-training regression that craters recall. The 100k shape
+    // fits the local[8] budget; the production-shaped 1M gate is
+    // `Test/runMain graft.RecallDrive full` (same floors, nlist=1000).
+    println("== ANN recall canary: 100k vectors, floors ivf/adc/refined")
+    RecallDrive.run(spark, n = 100000L, nQueries = 50, nTopics = 100,
+      nlist = 200, m = 16, ksub = 256, tau = 1.5, k = 10, r = 100,
+      nprobes = Seq(1, 14), floorsAtNprobe = 14,
+      floors = Some(RecallDrive.ProductionFloors), pqIters = 2)
+
     spark.stop()
   }
 }
