@@ -41,7 +41,8 @@ object EventStream {
     * having its data silently dropped. Table must already exist. */
   def appendSink(stream: DataFrame, store: HDFStore, table: String,
                  checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
-                 transform: DataFrame => DataFrame = identity): StreamingQuery = {
+                 transform: DataFrame => DataFrame = identity,
+                 afterBatch: Long => Unit = _ => ()): StreamingQuery = {
     val guardKey = "lastBatchId:" +
       java.util.UUID.nameUUIDFromBytes(checkpoint.getBytes("UTF-8")).toString
     stream.writeStream
@@ -59,10 +60,37 @@ object EventStream {
           // batch re-transforms and is then dropped by the guard, so a
           // non-deterministic transform still cannot double-append.
           store.table(table).appendWithAttr(transform(batch), Some(guardKey -> batchId))
+          // post-commit hook (index maintenance): runs AFTER the batch
+          // landed, and only for fresh batches — a crash inside it
+          // replays the batch into the guard's skip path and the hook
+          // fires again, so it must be idempotent (compactIfOverdue is:
+          // staged swap, health-gated)
+          afterBatch(batchId)
         }
       }
       .start()
   }
+
+  /** Post-commit auto-maintenance for the index-ingest sinks: every
+    * `maintainEvery` fresh batches, run
+    * [[graft.ops.IndexMaintenance.compactIfOverdue]] on the tracked
+    * index — the loop [[graft.ops.IndexMaintenance.indexHealth]] can
+    * otherwise only report on. A pure-append stream never trips the
+    * tombstone valve, but it DOES outgrow its id-Bloom sidecar; the
+    * overdue check then compacts with an automatic Bloom resize (2× the
+    * live ids at the original fpp), keeping the append guard's
+    * false-positive mass bounded over an unbounded stream. A healthy
+    * index costs one metadata-sized health check per trip; `0` (the
+    * default) disables the hook. Runs AFTER the batch's atomic store
+    * commit, so a crash mid-compaction replays into the guard's skip
+    * path and simply re-attempts (staged-swap idempotent). */
+  private def maintenanceHook(spark: SparkSession, indexPath: String,
+                              maintainEvery: Int): Long => Unit =
+    batchId =>
+      if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
+        graft.ops.IndexMaintenance.compactIfOverdue(spark, indexPath)
+        ()
+      }
 
   /** [[appendSink]] with each micro-batch deduped against a persisted
     * [[graft.ops.DedupIndex]] before it lands — the continuous-ingest
@@ -127,8 +155,11 @@ object EventStream {
                            checkpoint: String, indexPath: String,
                            idCol: String, textCol: String,
                            minEstJaccard: Double = 0.5,
-                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                           trigger: Trigger = Trigger.AvailableNow(),
+                           maintainEvery: Int = 0): StreamingQuery =
     appendSink(stream, store, table, checkpoint, trigger,
+      afterBatch = maintenanceHook(stream.sparkSession, indexPath,
+        maintainEvery),
       transform = batch => {
         val spark = batch.sparkSession
         import org.apache.spark.sql.types.LongType
@@ -181,8 +212,11 @@ object EventStream {
                            checkpoint: String, indexPath: String,
                            idCol: String, vecCol: String,
                            minCosine: Double = 0.99, nprobe: Int = 4,
-                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                           trigger: Trigger = Trigger.AvailableNow(),
+                           maintainEvery: Int = 0): StreamingQuery =
     appendSink(stream, store, table, checkpoint, trigger,
+      afterBatch = maintenanceHook(stream.sparkSession, indexPath,
+        maintainEvery),
       transform = batch => {
         val spark = batch.sparkSession
         import org.apache.spark.sql.types.LongType
@@ -243,8 +277,11 @@ object EventStream {
   def textIndexIngestSink(stream: DataFrame, store: HDFStore, table: String,
                           checkpoint: String, indexPath: String,
                           idCol: String, textCol: String,
-                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                          trigger: Trigger = Trigger.AvailableNow(),
+                          maintainEvery: Int = 0): StreamingQuery =
     appendSink(stream, store, table, checkpoint, trigger,
+      afterBatch = maintenanceHook(stream.sparkSession, indexPath,
+        maintainEvery),
       transform = batch => {
         if (!textBatchReplayed(batch.sparkSession, indexPath, batch,
             idCol, textCol))

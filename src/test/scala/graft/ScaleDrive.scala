@@ -646,12 +646,33 @@ object ScaleDrive {
         .filter(col("vec_id") >= 10000000L).count()
       val droppedRandom = out.filter(col("keep") === 0)
         .filter(col("vec_id") < 10000000L).count()
-      println(s"  dropped copies=$droppedCopies (expect >= ${50000 - 49}) " +
+      println(s"  dropped copies=$droppedCopies (expect >= ${50000 - 200}) " +
         s"dropped random=$droppedRandom (expect 0)")
-      // each of the <=49 sub-clusters keeps at most its min-id copy;
-      // random vectors never clear 0.99 against anything
-      assert(droppedCopies >= 50000L - 49L && droppedCopies < 50000L,
+      // sub-split sizing is VERIFIED with doubling: ceil(50000/1024)=49
+      // initial salts run at fill ~1.0, so the re-count doubles to 98
+      // (fill 0.5) — each sub-cluster keeps at most its min-id member,
+      // bounding survivors by the FINAL salt count (<= 200 leaves room
+      // for one further doubling); random vectors never clear 0.99
+      assert(droppedCopies >= 50000L - 200L && droppedCopies < 50000L,
         s"per-sub-cluster keep-first, got $droppedCopies")
+      assert(droppedRandom == 0L, s"random originals must survive, got $droppedRandom")
+    }
+    time("semanticDedup(subSplit, refine) collapses cross-salt survivors") {
+      val out = graft.ops.Dedup.semanticDedup(skewAll, "vec_id", "embedding",
+          k = 8, iters = 1, minCosine = 0.99, maxClusterRows = 1024,
+          subSplit = true, refine = true).localCheckpoint(true)
+      // survivors are one per salt after pass 1; the refine pass
+      // cross-salt-joins those ~98 rows (bounded: survivors << cluster)
+      // and keeps only the global minimum — vec_id 0 itself, every
+      // scaled copy dropped exactly
+      val droppedCopies = out.filter(col("keep") === 0)
+        .filter(col("vec_id") >= 10000000L).count()
+      val droppedRandom = out.filter(col("keep") === 0)
+        .filter(col("vec_id") < 10000000L).count()
+      println(s"  dropped copies=$droppedCopies (expect 50000) " +
+        s"dropped random=$droppedRandom (expect 0)")
+      assert(droppedCopies == 50000L,
+        s"refine must drop every cross-salt copy, got $droppedCopies")
       assert(droppedRandom == 0L, s"random originals must survive, got $droppedRandom")
     }
 

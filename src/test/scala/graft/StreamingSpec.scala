@@ -254,6 +254,84 @@ class StreamingSpec extends AnyFunSuite {
         .filter($"doc_id".isin(expected.toSeq: _*))), "doc_id")
   }
 
+  test("ingest sink auto-maintenance: overfilled Bloom compacts+resizes in flight; probes unchanged") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val ref = docs.filter($"doc_id" < 40)
+    val b1 = docs.filter($"doc_id" >= 100 && $"doc_id" < 130)
+    val b2 = docs.filter($"doc_id" >= 130 && $"doc_id" < 160)
+    // Bloom sized for 50 ids: ref(40) + b1(30) overfills after batch 1,
+    // so the maintainEvery=1 hook must compact WITH the automatic
+    // resize (2x live ids) mid-stream; batch 2 then appends healthily
+    val idxPath = TestSpark.tmpDir("streaming-maint-idx") + "/di"
+    graft.ops.DedupIndex.buildDedupIndex(ref, "doc_id", "text", idxPath,
+      expectedIds = 50L)
+    // maintenance-free twin fed by the same sequential appends — the
+    // compacted tree must probe IDENTICALLY to the never-compacted one
+    val idx2 = TestSpark.tmpDir("streaming-maint-idx2") + "/di"
+    graft.ops.DedupIndex.buildDedupIndex(ref, "doc_id", "text", idx2,
+      expectedIds = 50L)
+    val expected = Seq(b1, b2).flatMap { b =>
+      val s = graft.ops.DedupIndex.dedupAgainstIndex(spark, idx2, b,
+        "doc_id", "text", 0.5).localCheckpoint(true)
+      graft.ops.DedupIndex.appendDedupIndex(s, "doc_id", "text", idx2)
+      s.select("doc_id").collect().map(_.getLong(0))
+    }.toSet
+    val in = new java.io.File(TestSpark.tmpDir("streaming-maint-in"))
+    Seq(b1, b2).zipWithIndex.foreach { case (df, i) =>
+      val stage = TestSpark.tmpDir(s"streaming-maint-stage$i")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(in, f"b$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + i * 60000L)
+    }
+    val ckpt = TestSpark.tmpDir("streaming-maint-ckpt")
+    val st = HDFStore.open(spark,
+      TestSpark.tmpDir("streaming-maint-store"), StoreMode.Overwrite)
+    st.put("kept", b1.limit(0))
+    def run(): Unit = EventStream.dedupIndexIngestSink(
+      spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in.toString),
+      st, "kept", ckpt, idxPath, "doc_id", "text", 0.5,
+      maintainEvery = 1).awaitTermination()
+    run()
+    // survivors match the sequential-batch twin exactly
+    val streamed = st.table("kept").df.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == expected,
+      s"stream ${streamed.size} vs sequential-batch ${expected.size}")
+    def live = ref.unionByName(b1.unionByName(b2)
+      .filter($"doc_id".isin(expected.toSeq: _*)))
+    graft.ops.DedupIndex.requireDedupIndexFresh(spark, idxPath, live, "doc_id")
+    // the hook closed the health loop: the 50-id sidecar would sit at
+    // fill 2.0 by now; the mid-stream auto-resize restored headroom
+    val h = graft.ops.IndexMaintenance.indexHealth(spark, idxPath).head()
+    val fill = h.getAs[java.lang.Double]("bloom_fill")
+    assert(fill != null && fill.doubleValue() <= 1.0,
+      s"auto-maintenance must resize the overfilled Bloom, fill=$fill")
+    assert(!h.getAs[Boolean]("compaction_overdue"))
+    // probe parity vs the never-compacted twin on unseen variants
+    val probe = docs.filter($"doc_id" >= 100 && $"doc_id" < 110)
+      .select(($"doc_id" + 7000L).as("doc_id"), $"text")
+      .unionByName(docs.filter($"doc_id" >= 300 && $"doc_id" < 310))
+    val kept1 = graft.ops.DedupIndex.dedupAgainstIndex(spark, idxPath,
+      probe, "doc_id", "text", 0.5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val kept2 = graft.ops.DedupIndex.dedupAgainstIndex(spark, idx2,
+      probe, "doc_id", "text", 0.5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept1 == kept2, s"compacted tree diverged: $kept1 vs $kept2")
+    // exact copies of indexed docs must drop (the probe is sharp)
+    assert(!kept1.contains(7000L + 100L))
+    // restart with no new data: batches replay into the guard's skip
+    // path, the maintenance hook stays silent, nothing changes
+    run()
+    assert(st.table("kept").df.count() == expected.size.toLong)
+    graft.ops.DedupIndex.requireDedupIndexFresh(spark, idxPath, live, "doc_id")
+  }
+
   test("text-index ingest sink: streamed docs become searchable; restart appends nothing") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")
