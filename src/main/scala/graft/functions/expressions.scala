@@ -656,6 +656,10 @@ case class PqCodes(child: Expression, cbs: Array[Array[Array[Double]]],
                    cc: Array[Array[Long]]) extends UnaryExpression {
   require(cbs.nonEmpty && cbs.forall(_.nonEmpty) &&
     cbs.forall(_.forall(_.nonEmpty)), "empty PQ codebook")
+  // subspace offsets assume one shared sub-dimension — a heterogeneous
+  // codebook would silently slice the wrong elements
+  require(cbs.forall(_.forall(_.length == cbs(0)(0).length)),
+    "PQ codebook subspaces must share one sub-dimension")
   require(cc.length == cbs.length &&
     cc.indices.forall(s => cc(s).length == cbs(s).length),
     "codeword-norm table shape mismatch")
@@ -938,6 +942,10 @@ case class PqLut(child: Expression, cbs: Array[Array[Array[Double]]])
     extends UnaryExpression {
   require(cbs.nonEmpty && cbs.forall(_.nonEmpty) &&
     cbs.forall(_.forall(_.nonEmpty)), "empty PQ codebook")
+  // subspace offsets assume one shared sub-dimension — a heterogeneous
+  // codebook would silently slice the wrong elements
+  require(cbs.forall(_.forall(_.length == cbs(0)(0).length)),
+    "PQ codebook subspaces must share one sub-dimension")
   override def dataType: DataType =
     ArrayType(ArrayType(LongType, containsNull = true), containsNull = false)
   override def nullable: Boolean = false

@@ -910,14 +910,22 @@ object Dedup {
       size(col(vecCol)) === dim && forall(col(vecCol), x => x.isNotNull))
     val cb = Similarity.kmeansCodebook(wellFormed, idCol, vecCol, k, iters)
     val dyy = Similarity.centroidNorms(df.sparkSession, cb)
-    val assigned = wellFormed.select(col(idCol).as("doc"), col(vecCol).as("v"),
+    val assignedLazy = wellFormed.select(col(idCol).as("doc"), col(vecCol).as("v"),
       Similarity.nearestCentroid(col(vecCol), cb, dyy).as("cluster"),
       sqrt(Similarity.dotFixed(col(vecCol), col(vecCol)).cast(DoubleType))
         .as("nrm"))
     // skew guard: k rows to the driver, checked before any pair work
-    val oversized = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+    val oversized = assignedLazy.groupBy("cluster").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxClusterRows).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the sub-split verification loop, the pair join, the optional
+    // refine pass AND the final verdict join all re-read the assignment;
+    // without pinning it each re-read repeats the full O(N·k·dim)
+    // assignment scan (up to 17× under the doubling loop). Deterministic
+    // by construction, so pinning changes nothing but the job count.
+    // The well-formed fast path keeps the single-pass lazy pipeline.
+    val assigned =
+      if (oversized.isEmpty) assignedLazy else assignedLazy.localCheckpoint(true)
     if (oversized.nonEmpty && !subSplit) {
       val (worstC, worstN) = oversized.maxBy(_._2)
       throw new IllegalArgumentException(

@@ -89,6 +89,20 @@ private[graft] object IndexIds {
         r.getLong(1), r.getDouble(2), r.getLong(3)))
     } catch { case _: Exception => None }
 
+  /** The sidecar's SCALAR columns without deserializing the Bloom
+    * binary — the health/maintenance read path. A billion-id sidecar is
+    * GBs of filter bits; a health check wired into a streaming hook
+    * must stay metadata-sized, and parquet column pruning makes this
+    * exactly that (the `bloom` column is never read). */
+  final case class IdBloomStats(expected: Long, fpp: Double, nIds: Long)
+  def loadStats(spark: SparkSession,
+                indexPath: String): Option[IdBloomStats] =
+    try {
+      val r = spark.read.parquet(sidecar(indexPath))
+        .select("expected", "fpp", "n_ids").head()
+      Some(IdBloomStats(r.getLong(0), r.getDouble(1), r.getLong(2)))
+    } catch { case _: Exception => None }
+
   /** Distributed Bloom build over `ids` (a single LongType `id`
     * column) with fixed sizing — `DataFrameStatFunctions.bloomFilter`
     * aggregates per-partition filters, no driver-side row loop. */

@@ -177,7 +177,9 @@ object IndexMaintenance {
       else (spark.read.parquet(tombstones(path)).count(),
         fs.getContentSummary(tp).getLength)
     val nFiles = dataFileCount(fs, path)
-    val bloom = IndexIds.load(spark, path)
+    // scalar sidecar stats only — never the Bloom binary (GBs at
+    // billion-id scale; this runs from streaming maintenance hooks)
+    val bloom = IndexIds.loadStats(spark, path)
     val fill = bloom.map(b => b.nIds.toDouble / b.expected.toDouble)
     val overdue = tombBytes > TombstoneBroadcastBytes ||
       fill.exists(_ > 1.0)
@@ -224,10 +226,14 @@ object IndexMaintenance {
     * given, compacting at the old sizing would restore nothing — the
     * sidecar is resized automatically to twice its live id count at
     * its existing fpp (never below the original `expected`). The
-    * family is auto-detected ([[indexFamily]]); a legacy text tree
-    * whose token-free ids exist only in the Bloom still refuses the
-    * resize loudly (rebuild is the only sound reset there — trees with
-    * the `_tokenfree` sidecar resize fine). */
+    * family is auto-detected ([[indexFamily]]). A legacy text tree
+    * whose token-free ids exist only in the Bloom cannot resize; the
+    * AUTO path detects that upfront (before any staged write) and —
+    * when the fill trip was the only reason to compact — returns false
+    * rather than rewrite the index every trip for no benefit
+    * (indexHealth keeps reporting the overfill; rebuild is the
+    * documented reset). An EXPLICIT `bloomResize` on such a tree still
+    * fails loudly downstream. */
   def compactIfOverdue(spark: SparkSession, path: String,
                        bloomResize: Option[(Long, Double)] = None,
                        maxTombstoneBytes: Long = TombstoneBroadcastBytes,
@@ -237,12 +243,37 @@ object IndexMaintenance {
     val fillOver = Option(h.getAs[java.lang.Double]("bloom_fill"))
       .exists(_.doubleValue() > maxBloomFill)
     if (!tombOver && !fillOver) return false
-    val resize = bloomResize.orElse {
+    val autoResize = bloomResize.orElse {
       if (!fillOver) None
-      else IndexIds.load(spark, path).map { ib =>
+      else IndexIds.loadStats(spark, path).map { ib =>
         (math.max(2L * ib.nIds, ib.expected), ib.fpp) }
     }
-    indexFamily(spark, path) match {
+    val family = indexFamily(spark, path)
+    // An AUTO-derived resize on a pre-`_tokenfree` text tree that
+    // indexes token-free docs is unsound (their ids exist only in the
+    // Bloom; a resized rebuild would drop them) — and compactTextIndex
+    // can only refuse it AFTER the staged write, an index-rewrite-sized
+    // cost a maintenance hook would then pay on EVERY trip. Detect
+    // upfront with the same arithmetic (one pruned id-column count,
+    // only on this rare legacy path) and drop the resize; an explicit
+    // caller-passed bloomResize still fails loudly downstream.
+    val resize =
+      if (family != "text" || autoResize.isEmpty || bloomResize.isDefined ||
+          fsOf(spark, path).exists(
+            new Path(TextIndex.tokenFreePath(path)))) autoResize
+      else {
+        val live = minusTombstones(spark, path,
+          spark.read.parquet(path).select("id").distinct(), "id").count()
+        if (TextIndex.loadMeta(spark, path).stamp.nRows <= live) autoResize
+        else None
+      }
+    // the resize was dropped and the Bloom trip was the only reason to
+    // be here: compacting cannot lower the fill (the sidecar carries
+    // verbatim), so running it every trip would be a full-rewrite loop
+    // with no benefit — leave the index alone; indexHealth keeps
+    // reporting the overfill, and a rebuild is the documented reset
+    if (!tombOver && resize.isEmpty) return false
+    family match {
       case "text"  => compactTextIndex(spark, path, resize)
       case "ivf"   => compactIvfIndex(spark, path, resize)
       case "pq"    => compactPqIndex(spark, path, resize)

@@ -516,6 +516,13 @@ object Quantize {
     * ~0.5 MB on the driver and well inside literal-plan sanity. */
   private val MaxRerankPushdownIds: Int = 1 << 16
 
+  /** Checkpointed-bytes bound under which the batch re-rank's pair
+    * relation is broadcast-hinted: 256 MB of materialized rows builds a
+    * hashed relation comfortably inside executor memory, and shipping
+    * it beats shuffling a corpus that can be six orders of magnitude
+    * larger. Byte-gated, never row-gated. */
+  private val RerankBroadcastBytes: Long = 256L << 20
+
 
   /** [[ivfPqTopKRefined]] for a BATCH of queries — two-stage retrieval
     * over the composed tree: [[ivfPqKnnJoin]] surfaces each query's ADC
@@ -547,22 +554,26 @@ object Quantize {
       .localCheckpoint(true) // one ADC pass feeds both the id fetch and the pair join
     val probeIds = cand.select(col("neighbor_id")).distinct()
       .limit(MaxRerankPushdownIds + 1).collect().map(_.getLong(0))
-    // NO forced broadcast hint on the pair relation: row counts are a
-    // poor proxy for hashed-relation bytes (r·|queries| pairs can build
-    // a multi-hundred-MB LongHashedRelation well under any row bound),
-    // and a forced hint bypasses autoBroadcastJoinThreshold where AQE
-    // could not veto it. The relation is checkpointed, so AQE converts
-    // the join to broadcast at runtime exactly when the materialized
-    // side actually fits — and skipping the hint also skips a count()
-    // job per call.
+    // broadcast of the pair relation is gated on its MATERIALIZED byte
+    // size (known exactly — it is checkpointed), never on a row count:
+    // r·|queries| pairs can build a multi-hundred-MB LongHashedRelation
+    // under any row bound. The hint matters most in the >64k-distinct
+    // branch, where the probe-id pushdown is off and the corpus scan is
+    // full-width: AQE alone only converts to broadcast under
+    // autoBroadcastJoinThreshold (10 MB by default), so a 30 MB pair
+    // relation would otherwise SHUFFLE the whole corpus for the
+    // re-rank. Past the bound the shuffle join is the sound choice.
+    val candBytes = cand.queryExecution.optimizedPlan.stats.sizeInBytes
+    val candRel =
+      if (candBytes <= BigInt(RerankBroadcastBytes)) broadcast(cand) else cand
     val corpusIds = corpus
       .select(col(cIdCol).cast(LongType).as("neighbor_id"),
         col(cVecCol).as("_nv"))
     val nbrVecs =
       if (probeIds.length <= MaxRerankPushdownIds)
         corpusIds.filter(col("neighbor_id").isin(probeIds.map(Long.box): _*))
-          .join(cand, "neighbor_id")
-      else corpusIds.join(cand, "neighbor_id")
+          .join(candRel, "neighbor_id")
+      else corpusIds.join(candRel, "neighbor_id")
     val scored = nbrVecs
       .join(queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("_qv")),
         "query_id")

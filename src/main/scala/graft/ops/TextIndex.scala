@@ -235,9 +235,20 @@ object TextIndex {
     IndexIds.mergeAppend(spark, path, deltaIds, deltaCount)
     val obs = org.apache.spark.sql.Observation()
     val tokObs = org.apache.spark.sql.Observation()
+    val tfObs = org.apache.spark.sql.Observation()
     val postings = df
       .select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
       .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
+      // token-free presence rides the postings pass (one extra per-row
+      // tokenization in a stage that tokenizes anyway) so the common
+      // all-tokened batch skips the separate detection scan below;
+      // size(null) is -1, so <= 0 covers NULL text, and the id-notnull
+      // guard makes this the EXACT predicate of the sidecar frame (a
+      // null-id token-free row must not trigger a pointless write)
+      .observe(tfObs, coalesce(sum(
+          when(col("id").isNotNull &&
+              size(postingTokens(col("text"))) <= 0, lit(1L))
+            .otherwise(lit(0L))), lit(0L)).as("n_tokenfree"))
       .select(col("id"), posexplode(postingTokens(col("text"))))
       .withColumnRenamed("col", "token")
       .groupBy("id", "token").agg(count(lit(1)).as("tf"),
@@ -253,16 +264,23 @@ object TextIndex {
     // sidecar id must never precede its batch's postings — a mixed
     // batch's replay detection keys on posting membership) and BEFORE
     // the _meta rewrite (complete `_meta` implies complete sidecar).
-    // Delta-sized predicate, no index reads; size(null) is -1 so the
-    // <= 0 test covers NULL text.
-    val tokenFree = df
-      .select(col(idCol).cast(LongType).as("id"),
-        size(postingTokens(col(textCol))).as("_ntok"))
-      .filter(col("id").isNotNull && col("_ntok") <= 0)
-      .select("id").distinct()
-    if (tokenFree.limit(1).collect().nonEmpty)
-      tokenFree.coalesce(1).write.mode("append")
-        .parquet(tokenFreePath(path))
+    // The observed count decides whether the delta-sized detection
+    // scan runs at all; a LOST metrics node (an empty postings write —
+    // exactly the all-token-free batch, see the stampObserved note)
+    // must fall back to the scan, never to "none": skipping the
+    // sidecar there would break that batch's replay detection.
+    val nTokenFree = tfObs.get.getOrElse("n_tokenfree", -1L)
+      .asInstanceOf[Long]
+    if (nTokenFree != 0L) {
+      val tokenFree = df
+        .select(col(idCol).cast(LongType).as("id"),
+          size(postingTokens(col(textCol))).as("_ntok"))
+        .filter(col("id").isNotNull && col("_ntok") <= 0)
+        .select("id").distinct()
+      if (nTokenFree > 0L || tokenFree.limit(1).collect().nonEmpty)
+        tokenFree.coalesce(1).write.mode("append")
+          .parquet(tokenFreePath(path))
+    }
     val delta = Similarity.stampObserved(obs.get, df, idCol)
     // getOrElse: see the stampObserved note — an empty postings write
     // can lose the metrics node; zero delta tokens is then correct

@@ -60,13 +60,15 @@ object EventStream {
           // batch re-transforms and is then dropped by the guard, so a
           // non-deterministic transform still cannot double-append.
           store.table(table).appendWithAttr(transform(batch), Some(guardKey -> batchId))
-          // post-commit hook (index maintenance): runs AFTER the batch
-          // landed, and only for fresh batches — a crash inside it
-          // replays the batch into the guard's skip path and the hook
-          // fires again, so it must be idempotent (compactIfOverdue is:
-          // staged swap, health-gated)
-          afterBatch(batchId)
         }
+        // post-commit hook (index maintenance): runs AFTER the batch
+        // landed — and deliberately OUTSIDE the freshness guard, so a
+        // crash inside the hook (the batch is already committed at that
+        // point) re-fires it on the replayed batch instead of silently
+        // dropping the maintenance until the next trip. The hook must
+        // therefore be idempotent (compactIfOverdue is: health-gated,
+        // staged-swap) and cheap when healthy.
+        afterBatch(batchId)
       }
       .start()
   }
@@ -82,8 +84,9 @@ object EventStream {
     * false-positive mass bounded over an unbounded stream. A healthy
     * index costs one metadata-sized health check per trip; `0` (the
     * default) disables the hook. Runs AFTER the batch's atomic store
-    * commit, so a crash mid-compaction replays into the guard's skip
-    * path and simply re-attempts (staged-swap idempotent). */
+    * commit and outside the freshness guard, so a crash mid-compaction
+    * re-fires on the replayed (guard-skipped) batch and simply
+    * re-attempts (health-gated, staged-swap idempotent). */
   private def maintenanceHook(spark: SparkSession, indexPath: String,
                               maintainEvery: Int): Long => Unit =
     batchId =>

@@ -326,7 +326,8 @@ class StreamingSpec extends AnyFunSuite {
     // exact copies of indexed docs must drop (the probe is sharp)
     assert(!kept1.contains(7000L + 100L))
     // restart with no new data: batches replay into the guard's skip
-    // path, the maintenance hook stays silent, nothing changes
+    // path; the hook re-fires (crash-recovery contract) but the
+    // health-gate makes it a no-op — nothing changes
     run()
     assert(st.table("kept").df.count() == expected.size.toLong)
     graft.ops.DedupIndex.requireDedupIndexFresh(spark, idxPath, live, "doc_id")
