@@ -939,14 +939,21 @@ object Dedup {
           "pass subSplit = true to deterministically sub-cluster " +
           "oversized clusters.")
     }
-    // bounded when-chain: one branch per OVERSIZED cluster (driver
-    // already holds them); everything else keeps salt 0. Entries are
-    // sorted so the generated plan is deterministic.
+    // one map-literal lookup, whatever the oversized-cluster count: a
+    // when-chain with one branch per oversized cluster would generate
+    // O(#oversized) Java per row — at production k (√N clusters) with
+    // hundreds of oversized clusters that re-opens the 64 KB codegen
+    // overflow this repo just closed elsewhere. Missing clusters keep
+    // salt 0; a NULL doc id under a split cluster stays NULL (pmod of a
+    // null hash), exactly the when-chain's semantics — such rows never
+    // pair anyway (`doc < doc` is never true against NULL).
     def saltCol(splits: Map[Long, Long]): Column =
-      splits.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (c, s)) =>
-        when(col("cluster") === c,
-          pmod(TextStats.hash60(col("doc").cast(StringType)),
-            lit(s))).otherwise(acc)
+      if (splits.isEmpty) lit(0L)
+      else {
+        val s = element_at(typedLit(splits), col("cluster"))
+        when(s.isNotNull,
+          pmod(TextStats.hash60(col("doc").cast(StringType)), s))
+          .otherwise(lit(0L))
       }
     // split sizing is VERIFIED, not assumed: start at ceil(n/max) and
     // re-count the actual (cluster, salt) buckets — only offending

@@ -523,6 +523,23 @@ object Quantize {
     * larger. Byte-gated, never row-gated. */
   private val RerankBroadcastBytes: Long = 256L << 20
 
+  /** Materialized byte size of an eagerly [[org.apache.spark.sql.Dataset
+    * .localCheckpoint]]ed frame, read from the block manager (mem +
+    * spilled disk across all cached partitions). `None` when the plan
+    * is not a bare checkpoint or its blocks are not reported — callers
+    * must treat that conservatively. This is the ONLY sound byte gate
+    * for a checkpointed relation: the LogicalRDD's Catalyst stats carry
+    * the origin plan's pre-checkpoint ESTIMATE, not the materialized
+    * size. */
+  private[ops] def checkpointedBytes(df: DataFrame): Option[Long] =
+    df.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          .filter(_.numCachedPartitions > 0)
+          .map(i => i.memSize + i.diskSize)
+      case _ => None
+    }
 
   /** [[ivfPqTopKRefined]] for a BATCH of queries — two-stage retrieval
     * over the composed tree: [[ivfPqKnnJoin]] surfaces each query's ADC
@@ -555,17 +572,24 @@ object Quantize {
     val probeIds = cand.select(col("neighbor_id")).distinct()
       .limit(MaxRerankPushdownIds + 1).collect().map(_.getLong(0))
     // broadcast of the pair relation is gated on its MATERIALIZED byte
-    // size (known exactly — it is checkpointed), never on a row count:
-    // r·|queries| pairs can build a multi-hundred-MB LongHashedRelation
-    // under any row bound. The hint matters most in the >64k-distinct
-    // branch, where the probe-id pushdown is off and the corpus scan is
-    // full-width: AQE alone only converts to broadcast under
+    // size, never on a row count: r·|queries| pairs can build a
+    // multi-hundred-MB LongHashedRelation under any row bound. The size
+    // comes from the BLOCK MANAGER for the checkpointed RDD — the
+    // eager localCheckpoint just cached every partition, so the block
+    // sizes are the relation's true deserialized footprint. (The
+    // LogicalRDD's Catalyst stats are NOT that: they carry the ORIGIN
+    // plan's pre-checkpoint estimate, and a join-output estimate can be
+    // off by orders of magnitude either way — verified on this Spark.)
+    // The hint matters most in the >64k-distinct branch, where the
+    // probe-id pushdown is off and the corpus scan is full-width: AQE
+    // alone only converts to broadcast under
     // autoBroadcastJoinThreshold (10 MB by default), so a 30 MB pair
     // relation would otherwise SHUFFLE the whole corpus for the
-    // re-rank. Past the bound the shuffle join is the sound choice.
-    val candBytes = cand.queryExecution.optimizedPlan.stats.sizeInBytes
+    // re-rank. Past the bound — or if the blocks are unexpectedly not
+    // reported — the shuffle join is the sound choice.
+    val candBytes = checkpointedBytes(cand).getOrElse(Long.MaxValue)
     val candRel =
-      if (candBytes <= BigInt(RerankBroadcastBytes)) broadcast(cand) else cand
+      if (candBytes <= RerankBroadcastBytes) broadcast(cand) else cand
     val corpusIds = corpus
       .select(col(cIdCol).cast(LongType).as("neighbor_id"),
         col(cVecCol).as("_nv"))

@@ -28,12 +28,19 @@ object Sample {
                      defaultRate: Double = 0.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
       "sampling rates must be in [0, 1]")
-    // per-stratum integer thresholds, constant-folded into the row filter.
+    // per-stratum integer thresholds as ONE map-literal lookup — a
+    // when-chain branch per stratum generates O(|rates|) Java per row,
+    // which at a production rate table (thousands of domains) re-opens
+    // the 64 KB codegen overflow; a NULL or unlisted stratum falls to
+    // the default, exactly the chain's semantics.
     // Math.round, not toLong: 0.3*1e6 is 299999.99999999994 in binary —
     // truncation would shift the threshold off its decimal value
-    val thr = rates.foldLeft(lit(Math.round(defaultRate * 1e6))) {
-      case (acc, (k, v)) => when(col(stratumCol) === k, lit(Math.round(v * 1e6))).otherwise(acc)
-    }
+    val thr =
+      if (rates.isEmpty) lit(Math.round(defaultRate * 1e6))
+      else coalesce(
+        element_at(typedLit(rates.map { case (k, v) => k -> Math.round(v * 1e6) }),
+          col(stratumCol)),
+        lit(Math.round(defaultRate * 1e6)))
     val bucket = hashBucket("sample", stratumCol, idCol)
     df.filter(bucket < thr)
   }
