@@ -729,7 +729,7 @@ object SparkEntry {
 
   // ----------------------------------------------- extensions: LLM-pipeline ops
 
-  import graft.ops.{AsOfJoin, Cluster, Contamination, Dedup, Multimodal, RangeJoin, Sample, Sessionize, Similarity, TextStats}
+  import graft.ops.{AsOfJoin, Bpe, Cluster, Contamination, Dedup, Multimodal, RangeJoin, Sample, Sessionize, Similarity, TextStats}
 
   private def docs(s: SparkSession, d: String) = s.read.parquet(s"$d/documents.parquet")
   private def embs(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
@@ -779,6 +779,36 @@ object SparkEntry {
   /** DuckDB fragment ≙ [[TextStats.hash60]]. */
   private def h60sql(arg: String) = hexsql(s"md5($arg)")
   private val EN_STOP = "['the','a','of','to','and','in','is','it']"
+
+  /** Fixed rank-ordered merge table for `x_bpe_encode` — literal on
+    * BOTH sides, chosen to exercise chained merges ((th,e) after (t,h);
+    * (jo,in) after (j,o) and (i,n)) and rank-priority conflicts on the
+    * fixture vocabulary ("join" must merge (i,n) at rank 2 BEFORE (j,o)
+    * at rank 12, or the (jo,in) chain never fires). */
+  private val bpeGateMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("o", "r"), ("i", "n"), ("t", "h"), ("th", "e"),
+    ("s", "t"), ("a", "st"), ("or", "d"), ("a", "t"), ("b", "at"),
+    ("in", "d"), ("o", "w"), ("j", "o"), ("jo", "in"), ("m", "er"),
+    ("in", "e"), ("l", "ine"), ("q", "u"), ("e", "y"), ("k", "ey"))
+
+  /** DuckDB MAP literal of [[bpeGateMerges]]: `l || chr(1) || r` → rank
+    * (chr(1) never occurs in the fixture text, so keys cannot collide;
+    * the engine kernel itself uses exact pair equality). */
+  private val bpeMergesSqlMap: String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val keys = bpeGateMerges
+      .map { case (l, r) => s"${q(l)} || chr(1) || ${q(r)}" }.mkString(", ")
+    s"MAP([$keys], [${bpeGateMerges.indices.mkString(", ")}])"
+  }
+
+  /** Shared oracle CTE chain for the BPE gates: word-frequency dict and
+    * its adjacent char-pair counts — iteration 0 of the merge loop. */
+  private val bpePairCtes =
+    s"""wf AS (SELECT w AS word, count(*) AS cnt FROM """ +
+    s"""(SELECT unnest($TOK) AS w FROM documents) WHERE w <> '' GROUP BY 1), """ +
+    """pp AS (SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r, cnt """ +
+    """FROM (SELECT word, cnt, unnest(generate_series(1, len(word) - 1)) AS i """ +
+    """FROM wf WHERE len(word) >= 2))"""
 
   /** Cross-corpus LSH oracle CTE chain (side-tagged corpus → sig → band
     * → candidate → `agree(id_new, id_ref, est)`), shared by
@@ -2111,6 +2141,32 @@ object SparkEntry {
         TextStats.bpeTokenCount(col("text")).as("n_bpe"),
         size(TextStats.tokens(col("text"))).cast(LongType).as("n_ws"))
         .orderBy("doc_id")),
+
+    // BPE tokenizer, iteration 0: adjacent char-pair counts weighted by
+    // word frequency — the distributed inner loop of the merge trainer
+    "x_bpe_pairs" -> ((s, d) =>
+      Bpe.pairCounts(docs(s, d), "text", top = 30)),
+
+    // BPE trainer through the REAL learn path at nMerges = 1: the one
+    // merge is the pair-count argmax (count desc, then (l, r) in binary
+    // order) — the only depth SQL can replay (deeper merges recount
+    // over re-segmented words)
+    "x_bpe_learn1" -> ((s, d) => {
+      import s.implicits._
+      Bpe.learnBpe(docs(s, d), "text", nMerges = 1).merges.zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l, r) }
+        .toDF("rank", "l", "r")
+    }),
+
+    // BPE apply: rank-greedy subword segmentation under a fixed merge
+    // table (chained merges included), exploded to one row per token so
+    // the oracle's recursive-CTE replay compares rows, not list syntax
+    "x_bpe_encode" -> ((s, d) =>
+      Bpe.encode(docs(s, d), "doc_id", "text", bpeGateMerges)
+        .select(col("doc_id"), posexplode(col("tokens")))
+        .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("tpos"),
+          col("col").as("token"))
+        .orderBy("doc_id", "tpos")),
 
     // document fingerprinting (md5 + portable 60-bit hash)
     "x_fingerprint" -> ((s, d) =>
@@ -3962,6 +4018,35 @@ object SparkEntry {
     "x_token_count" ->
       (s"""SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))::BIGINT AS n_bpe, """ +
        s"""len($TOK)::BIGINT AS n_ws FROM documents ORDER BY doc_id"""),
+
+    "x_bpe_pairs" ->
+      (s"""WITH $bpePairCtes """ +
+       """SELECT l, r, sum(cnt)::BIGINT AS cnt FROM pp GROUP BY 1, 2 """ +
+       """ORDER BY cnt DESC, l, r LIMIT 30"""),
+
+    "x_bpe_learn1" ->
+      (s"""WITH $bpePairCtes """ +
+       """SELECT CAST(0 AS BIGINT) AS rank, l, r FROM pp GROUP BY l, r """ +
+       """ORDER BY sum(cnt) DESC, l, r LIMIT 1"""),
+
+    // rank-greedy BPE apply replayed as a recursive CTE: each word's
+    // symbol list merges its minimum-rank adjacent pair (leftmost on
+    // equal rank — list_position finds the first minimum) one step per
+    // recursion level until no pair is in the merge map; the final
+    // segmentation per word is the deepest step
+    "x_bpe_encode" ->
+      (s"""WITH RECURSIVE words AS (SELECT doc_id, widx, w FROM """ +
+       s"""(SELECT doc_id, unnest($TOK) AS w, generate_subscripts($TOK, 1) AS widx FROM documents) WHERE w <> ''), """ +
+       """bpe AS (SELECT doc_id, widx, [substr(w, i, 1) FOR i IN generate_series(1, len(w))] AS syms, 0 AS step FROM words """ +
+       """UNION ALL SELECT doc_id, widx, syms[1:bp-1] || [syms[bp] || syms[bp+1]] || syms[bp+2:] AS syms, step + 1 """ +
+       """FROM (SELECT doc_id, widx, syms, step, """ +
+       """list_position(rks, list_aggregate(list_filter(rks, x -> x IS NOT NULL), 'min')) AS bp """ +
+       s"""FROM (SELECT doc_id, widx, syms, step, [map_extract($bpeMergesSqlMap, syms[i] || chr(1) || syms[i+1])[1] """ +
+       """FOR i IN generate_series(1, len(syms) - 1)] AS rks FROM bpe)) WHERE bp IS NOT NULL), """ +
+       """final AS (SELECT doc_id, widx, syms FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, widx ORDER BY step DESC) AS rn FROM bpe) WHERE rn = 1), """ +
+       """toks AS (SELECT doc_id, widx, generate_subscripts(syms, 1) AS spos, unnest(syms) AS token FROM final) """ +
+       """SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY widx, spos) AS tpos, token """ +
+       """FROM toks ORDER BY doc_id, tpos"""),
 
     "x_fingerprint" ->
       (s"""SELECT doc_id, md5(text) AS md5, ${h60sql("text")} AS h60, """ +

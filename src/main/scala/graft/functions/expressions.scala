@@ -1152,6 +1152,129 @@ case class BloomMightContain(child: Expression,
     copy(child = newChild)
 }
 
+/** BPE subword segmentation of an `array<string>` of WORDS against a
+  * rank-ordered merge table (Sennrich et al. 2016, ACL: "Neural Machine
+  * Translation of Rare Words with Subword Units") — the tokenizer-apply
+  * side of [[graft.ops.Bpe]] as one native loop per row. Each non-null,
+  * non-empty word splits into Unicode CODE POINTS, then the lowest-RANK
+  * adjacent pair present in the table is merged repeatedly (leftmost
+  * occurrence first on equal rank) until no adjacent pair remains in
+  * the table — the standard rank-greedy application, which replays the
+  * learn-time merge order exactly. Output concatenates every word's
+  * subword tokens in word order; token concatenation per word equals
+  * the word (no end-of-word marker — a presentation divergence from
+  * Sennrich's `</w>`, documented in [[graft.ops.Bpe]]). NULL input
+  * yields NULL; NULL/empty words are skipped (the `tokens()` discipline:
+  * `split` never yields nulls, but the kernel must not depend on it).
+  *
+  * Words repeat zipfianly, so segmentations are memoized per task
+  * (bounded; the expression instance is deserialized per task, so the
+  * map is single-threaded). */
+case class BpeEncode(child: Expression, merges: Array[Array[String]])
+    extends UnaryExpression {
+  require(merges.forall(m => m.length == 2 && m(0) != null && m(1) != null &&
+    m(0).nonEmpty && m(1).nonEmpty), "merges must be non-empty [l, r] pairs")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode requires array<string>, got ${other.sql}")
+    }
+  // boxed Integer values: a primitive-Int value type would make the
+  // missing-key `get` unbox null to 0 — rank 0, the BEST merge
+  @transient private lazy val ranks: java.util.HashMap[(String, String), java.lang.Integer] = {
+    val m = new java.util.HashMap[(String, String), java.lang.Integer](merges.length * 2)
+    merges.zipWithIndex.foreach { case (p, i) =>
+      val prev = m.putIfAbsent((p(0), p(1)), java.lang.Integer.valueOf(i))
+      require(prev == null, s"duplicate merge pair (${p(0)}, ${p(1)})")
+    }
+    m
+  }
+  @transient private lazy val memo =
+    new java.util.HashMap[String, Array[UTF8String]]()
+  private def segment(word: String): Array[UTF8String] = {
+    // code-point split (a surrogate pair is ONE symbol, matching
+    // code-point string semantics in Spark's and DuckDB's substr)
+    var syms = {
+      val out = new java.util.ArrayList[String](word.length)
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        val n = Character.charCount(cp)
+        out.add(word.substring(i, i + n))
+        i += n
+      }
+      out
+    }
+    var done = false
+    while (!done && syms.size() > 1) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var i = 0
+      while (i < syms.size() - 1) {
+        val r = ranks.get((syms.get(i), syms.get(i + 1)))
+        // strict <: equal ranks keep the earlier (leftmost) position
+        if (r != null && r.intValue() < bestRank) {
+          bestRank = r.intValue(); bestPos = i
+        }
+        i += 1
+      }
+      if (bestPos < 0) done = true
+      else {
+        syms.set(bestPos, syms.get(bestPos) + syms.get(bestPos + 1))
+        syms.remove(bestPos + 1)
+      }
+    }
+    val out = new Array[UTF8String](syms.size())
+    var j = 0
+    while (j < out.length) { out(j) = UTF8String.fromString(syms.get(j)); j += 1 }
+    out
+  }
+  def encode(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val toks = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        if (w.numBytes() > 0) {
+          val key = w.toString
+          var seg = memo.get(key)
+          if (seg == null) {
+            seg = segment(key)
+            if (memo.size() < (1 << 16)) memo.put(key, seg)
+          }
+          var j = 0
+          while (j < seg.length) { toks.add(seg(j)); j += 1 }
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(toks.toArray(new Array[UTF8String](toks.size())))
+  }
+  override def nullSafeEval(v: Any): Any = encode(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bpeEnc", this, classOf[BpeEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.encode($c);")
+  }
+  // case-class default compares merges by reference (the AdcScore
+  // hazard); compare contents so semanticEquals holds for equal tables
+  override def equals(other: Any): Boolean = other match {
+    case b: BpeEncode =>
+      child == b.child && java.util.Arrays.deepEquals(
+        merges.asInstanceOf[Array[AnyRef]], b.merges.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  @transient private lazy val tabHash =
+    java.util.Arrays.deepHashCode(merges.asInstanceOf[Array[AnyRef]])
+  override def hashCode(): Int = 31 * child.hashCode() + tabHash
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
 /** First-occurrence line filter over an array of lines (kernel in
   * [[DedupLinesKernel]]) — keeps space-only lines unconditionally and
   * the first occurrence of every other distinct line, dropping null
@@ -1435,6 +1558,9 @@ object native {
                           bloom: org.apache.spark.broadcast.Broadcast[
                             org.apache.spark.util.sketch.BloomFilter]): Column =
     Bridge.column(BloomMightContain(Bridge.expression(id), bloom))
+  def bpe_encode(words: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncode(Bridge.expression(words),
+      merges.map(p => Array(p._1, p._2)).toArray))
   def cm_estimate(token: Column, depth: Int, width: Int,
                   counters: Array[Long]): Column =
     Bridge.column(CmEstimate(Bridge.expression(token), depth, width, counters))

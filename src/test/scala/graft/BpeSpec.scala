@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Bpe
+
+/** BPE tokenizer: trainer semantics (Sennrich et al. 2016), rank-greedy
+  * apply kernel, model persistence, and the greedy-equivalence law the
+  * oracle's recursive CTE relies on. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference apply: replay merges IN LEARN ORDER, each applied
+    * left-to-right with skip — the textbook formulation. The kernel
+    * instead repeatedly merges the minimum-rank adjacent pair (leftmost
+    * first); the two are equivalent for any rank-ordered table, which
+    * the property test below pins. */
+  private def refApply(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val n = Character.charCount(word.codePointAt(i))
+        b += word.substring(i, i + n); i += n
+      }
+      b.result()
+    }
+    for ((l, r) <- merges) {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  private def kernelApply(words: Seq[String],
+                          merges: Seq[(String, String)]): Seq[String] = {
+    val df = Seq(Tuple1(words)).toDF("w")
+    df.select(graft.functions.native.bpe_encode($"w", merges))
+      .collect()(0).getSeq[String](0)
+  }
+
+  test("learnBpe replays Sennrich's merge dynamics on a planted dictionary") {
+    // 'low' x5, 'lower' x2, 'newest' x6, 'widest' x3 — the paper's
+    // running example (without </w>): first merges are (e,s) 9,
+    // (es,t) 9, then 'lo' from low/lower (7), then 'low' (7), ...
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+      ).zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "text")
+    val m = Bpe.learnBpe(docs, "text", nMerges = 4)
+    assert(m.merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    assert(m.totalMass == 16L && m.coveredMass == 16L)
+  }
+
+  test("learnBpe tie-break: equal counts pick the byte-order-smaller pair") {
+    // 'ba' and 'ab' both occur twice; (a,b) < (b,a)
+    val docs = Seq("ab ab ba ba").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val m = Bpe.learnBpe(docs, "text", nMerges = 1)
+    assert(m.merges == Seq(("a", "b")))
+  }
+
+  test("learnBpe stops at minPairCount and honors the maxWords cap mass") {
+    val docs = Seq((0L, "xy qqqq qqqq zz")).toDF("id", "text")
+    // (q,q) count 4 via two words... one merge lands; the singleton
+    // pairs (x,y)/(z,z) are below minPairCount = 2
+    val m = Bpe.learnBpe(docs, "text", nMerges = 10)
+    assert(m.merges.head == ("q", "q"))
+    // qq qq after merge -> (qq,qq) count 2 continues; (x,y) count 1 never merges
+    assert(!m.merges.contains(("x", "y")) && !m.merges.contains(("z", "z")))
+    val capped = Bpe.learnBpe(docs, "text", nMerges = 1, maxWords = 1)
+    // dict keeps only 'qqqq' (count 2 beats count-1 words)
+    assert(capped.coveredMass == 2L && capped.totalMass == 4L)
+    assert(capped.merges == Seq(("q", "q")))
+  }
+
+  test("kernel rank-greedy == learn-order replay on random words and tables") {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcd"
+    def randWord() =
+      (0 until (1 + rnd.nextInt(10))).map(_ => alpha(rnd.nextInt(4))).mkString
+    for (_ <- 0 until 200) {
+      // random merge table over the alphabet and its one-step merges,
+      // rank order = generation order, no duplicates
+      val seen = scala.collection.mutable.LinkedHashSet[(String, String)]()
+      val pool = for (a <- alpha.map(_.toString); b <- alpha.map(_.toString))
+        yield (a, b)
+      val firsts = rnd.shuffle(pool).take(1 + rnd.nextInt(6))
+      firsts.foreach(seen += _)
+      // chain a few second-level merges of already-merged symbols
+      for (_ <- 0 until rnd.nextInt(4)) {
+        val merged = seen.toSeq.map { case (l, r) => l + r }
+        val l = merged(rnd.nextInt(merged.size))
+        val r = alpha(rnd.nextInt(4)).toString
+        if (!seen.contains((l, r))) seen += ((l, r))
+      }
+      val merges = seen.toSeq
+      val words = (0 until (1 + rnd.nextInt(5))).map(_ => randWord())
+      val expect = words.flatMap(w => refApply(w, merges))
+      assert(kernelApply(words, merges) == expect,
+        s"words=$words merges=$merges")
+    }
+  }
+
+  test("kernel edges: null text, empty words, single char, code points") {
+    val df = Seq(
+      (1L, "ab a  b"), (2L, null.asInstanceOf[String]), (3L, ""),
+      (4L, "😀ab x😀")).toDF("id", "text")
+    val merges = Seq(("a", "b"))
+    val got = Bpe.encode(df, "id", "text", merges).orderBy("id").collect()
+    assert(got(0).getSeq[String](1) == Seq("ab", "a", "b"))
+    assert(got(1).isNullAt(1)) // NULL text -> NULL tokens
+    assert(got(2).getSeq[String](1) == Seq.empty) // '' tokenizes to nothing
+    // the emoji (a surrogate pair) is ONE symbol: never split, never
+    // merged into its ascii neighbors
+    assert(got(3).getSeq[String](1) == Seq("😀", "ab", "x", "😀"))
+  }
+
+  test("duplicate merge pairs are refused") {
+    val e = intercept[Exception] {
+      kernelApply(Seq("ab"), Seq(("a", "b"), ("a", "b")))
+    }
+    assert(e.getMessage.contains("duplicate merge pair"))
+  }
+
+  test("model save/load round-trips merges in rank order plus mass stats") {
+    val path = TestSpark.tmpDir("bpe-model") + "/m"
+    val m = Bpe.BpeModel(Seq(("e", "r"), ("er", "s"), ("a", "n")), 77L, 99L)
+    Bpe.saveBpeModel(spark, m, path)
+    assert(Bpe.loadBpeModel(spark, path) == m)
+  }
+
+  test("learn -> encode: concatenation law and compression on a zipfian corpus") {
+    val docs = spark.range(500).select($"id",
+      concat_ws(" ",
+        lit("the"), lit("merge"), lit("window"),
+        concat(lit("w"), ($"id" % 7).cast("string")),
+        lit("the"), lit("stream")).as("text"))
+    val m = Bpe.learnBpe(docs, "text", nMerges = 20)
+    assert(m.merges.nonEmpty && m.coveredMass == m.totalMass)
+    val enc = Bpe.encode(docs, "id", "text", m.merges)
+      .select(concat_ws("", col("tokens")).as("glued"),
+        size(col("tokens")).as("n"))
+      .collect()
+    // tokens concatenate back to the whitespace-stripped lowercased text
+    enc.foreach { r =>
+      assert(r.getString(0).matches("themergewindoww\\dthestream"))
+      // trained merges compress: far fewer tokens than characters
+      assert(r.getInt(1) < r.getString(0).length)
+    }
+  }
+}

@@ -632,7 +632,10 @@ class ExprSpec extends AnyFunSuite {
         Array(Array(Array(1.0, 2.0), Array(3.0, 4.0))), Array(Array(5L, 25L))),
       graft.functions.NearestCentroidK(
         BoundReference(2, ArrayType(FloatType), nullable = true),
-        Array(Array(1.0, 2.0), Array(3.0, 4.0)), Array(5L, 25L)))
+        Array(Array(1.0, 2.0), Array(3.0, 4.0)), Array(5L, 25L)),
+      graft.functions.BpeEncode(
+        BoundReference(0, ArrayType(StringType), nullable = true),
+        Array(Array("a", "b"), Array("ab", "c"))))
     exprs.foreach { e =>
       assert(!e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
       GenerateMutableProjection.generate(Seq(e), useSubexprElimination = false)

@@ -722,6 +722,47 @@ object ScaleDrive {
       assert(math.abs(j - 1.0 / 3.0) < 0.1, s"jaccard est $j")
     }
 
+    // BPE tokenizer at corpus scale: training cost is ONE word-count
+    // shuffle over 2M docs (the merge loop itself runs on the bounded
+    // word DICTIONARY — vocabulary-sized, not corpus-sized), and
+    // encoding is a kernel projection with no shuffle. The synthetic
+    // vocabulary is 1600 distinct words (400 hash-bucketed stems x 4
+    // suffix families), so the maxWords cap is NOT hit and coverage
+    // must be total; the "ing"/"est"/"er"/"ly" morphology is the
+    // corpus-wide regularity and must surface as the earliest merges.
+    println("== BPE: train on 2M docs (one dict shuffle), kernel encode")
+    val bpeDocs = spark.range(2000000).select(col("id"),
+      concat_ws(" ",
+        (0 until 8).map(j => concat(
+          // zipf-ish stem: hash-bucketed base-26 pair + a suffix family
+          lpad(conv(pmod(hash(col("id") * 8 + lit(j)), lit(400)).cast("string"), 10, 26), 2, "a"),
+          element_at(typedLit(Seq("ing", "est", "er", "ly")),
+            (pmod(hash(col("id") + lit(j * 31)), lit(4)) + 1).cast("int")))): _*
+      ).as("text"))
+    val bpeModel = time("learnBpe (600 merges, 2M docs, 64k-word cap)") {
+      graft.ops.Bpe.learnBpe(bpeDocs, "text", nMerges = 600)
+    }
+    assert(bpeModel.merges.length == 600, s"got ${bpeModel.merges.length}")
+    assert(bpeModel.coveredMass == bpeModel.totalMass,
+      s"dict cap unexpectedly hit: ${bpeModel.coveredMass} of ${bpeModel.totalMass}")
+    assert(bpeModel.totalMass == 16000000L, s"mass ${bpeModel.totalMass}")
+    // the suffix families are the corpus-wide regularities: their pair
+    // chains must be among the first merges
+    assert(bpeModel.merges.take(8).contains(("i", "n")) ||
+      bpeModel.merges.take(8).contains(("n", "g")),
+      s"suffix morphology not in early merges: ${bpeModel.merges.take(8)}")
+    val bpeStats = time("kernel encode + token stats (2M docs)") {
+      graft.ops.Bpe.encode(bpeDocs, "id", "text", bpeModel.merges)
+        .agg(sum(size(col("tokens"))).as("n_tok"),
+          sum(length(concat_ws("", col("tokens")))).as("n_chars"))
+        .collect()(0)
+    }
+    val (nTok, nChars) = (bpeStats.getLong(0), bpeStats.getLong(1))
+    println(s"  tokens=$nTok chars=$nChars compression=${nChars.toDouble / nTok}")
+    // 600 merges over the 1600-word vocabulary merge every stem and the
+    // frequent whole words: at least 2 chars/token on average
+    assert(nTok * 2 <= nChars, s"no compression: $nTok tokens, $nChars chars")
+
     // ANN retrieval QUALITY canary: recall@10 vs exact brute force with
     // hard floors — every x_knn_* gate pins determinism (the oracle
     // replays the engine's own approximation), so only THIS catches a
