@@ -169,5 +169,17 @@ class PlanSpec extends AnyFunSuite {
       s"probe ranking not inside a WholeStageCodegen span:\n${plan(join)}")
     assert(js.exists(_.contains("pq_lut")),
       s"ADC table projection not inside a WholeStageCodegen span:\n${plan(join)}")
+    // the BPE apply kernel is the same discipline — a per-row scan-side
+    // projection that must neither fall back to interpreted eval nor
+    // widen the scan: only `text` (plus the id) may reach the parquet
+    // read
+    val enc = Bpe.encode(docsDf, "doc_id", "text",
+      Seq(("t", "h"), ("th", "e")))
+    assert(wscgSpans(enc).exists(_.contains("bpe_encode")),
+      s"BPE apply not inside a WholeStageCodegen span:\n${plan(enc)}")
+    val encScan = plan(enc)
+    assert("ReadSchema: [^\\n]*".r.findFirstIn(encScan)
+      .exists(s => s.contains("text") && !s.contains("lang")),
+      s"BPE encode scan not pruned to (doc_id, text):\n$encScan")
   }
 }
