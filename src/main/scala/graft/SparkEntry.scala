@@ -4024,10 +4024,19 @@ object SparkEntry {
        """SELECT l, r, sum(cnt)::BIGINT AS cnt FROM pp GROUP BY 1, 2 """ +
        """ORDER BY cnt DESC, l, r LIMIT 30"""),
 
+    // mirrors BOTH learnBpe dials, not just the argmax: the dictionary
+    // cap (top-65536 words by count desc, word asc) and the
+    // minPairCount >= 2 stop — so the gate stays exact at any scale
+    // factor, not only while the corpus vocabulary is under the cap
     "x_bpe_learn1" ->
-      (s"""WITH $bpePairCtes """ +
+      (s"""WITH wf0 AS (SELECT w AS word, count(*) AS cnt FROM """ +
+       s"""(SELECT unnest($TOK) AS w FROM documents) WHERE w <> '' GROUP BY 1), """ +
+       """wf AS (SELECT word, cnt FROM wf0 ORDER BY cnt DESC, word LIMIT 65536), """ +
+       """pp AS (SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r, cnt """ +
+       """FROM (SELECT word, cnt, unnest(generate_series(1, len(word) - 1)) AS i """ +
+       """FROM wf WHERE len(word) >= 2)) """ +
        """SELECT CAST(0 AS BIGINT) AS rank, l, r FROM pp GROUP BY l, r """ +
-       """ORDER BY sum(cnt) DESC, l, r LIMIT 1"""),
+       """HAVING sum(cnt) >= 2 ORDER BY sum(cnt) DESC, l, r LIMIT 1"""),
 
     // rank-greedy BPE apply replayed as a recursive CTE: each word's
     // symbol list merges its minimum-rank adjacent pair (leftmost on

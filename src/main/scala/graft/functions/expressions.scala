@@ -1152,6 +1152,25 @@ case class BloomMightContain(child: Expression,
     copy(child = newChild)
 }
 
+/** Code-point segmentation shared by the BPE kernel and the trainer
+  * ([[graft.ops.Bpe]]) — ONE definition so the apply-side symbols can
+  * never drift from the dictionary symbols the merges were learned
+  * over. A surrogate pair is ONE symbol, matching code-point string
+  * semantics in Spark's and DuckDB's substr. (The test suite keeps its
+  * own independent splitter as the executable reference.) */
+object CodePoints {
+  def split(word: String): Array[String] = {
+    val out = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out.add(word.substring(i, i + n))
+      i += n
+    }
+    out.toArray(new Array[String](out.size()))
+  }
+}
+
 /** BPE subword segmentation of an `array<string>` of WORDS against a
   * rank-ordered merge table (Sennrich et al. 2016, ACL: "Neural Machine
   * Translation of Rare Words with Subword Units") — the tokenizer-apply
@@ -1174,6 +1193,11 @@ case class BpeEncode(child: Expression, merges: Array[Array[String]])
     extends UnaryExpression {
   require(merges.forall(m => m.length == 2 && m(0) != null && m(1) != null &&
     m(0).nonEmpty && m(1).nonEmpty), "merges must be non-empty [l, r] pairs")
+  // validated HERE, not in the lazy rank map: a lazy-val require would
+  // pass analysis and only throw inside executor tasks (4x retries,
+  // the failure buried in executor logs)
+  require(merges.map(m => (m(0), m(1))).distinct.length == merges.length,
+    "duplicate merge pair in the table")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_encode"
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -1188,25 +1212,18 @@ case class BpeEncode(child: Expression, merges: Array[Array[String]])
   @transient private lazy val ranks: java.util.HashMap[(String, String), java.lang.Integer] = {
     val m = new java.util.HashMap[(String, String), java.lang.Integer](merges.length * 2)
     merges.zipWithIndex.foreach { case (p, i) =>
-      val prev = m.putIfAbsent((p(0), p(1)), java.lang.Integer.valueOf(i))
-      require(prev == null, s"duplicate merge pair (${p(0)}, ${p(1)})")
+      m.put((p(0), p(1)), java.lang.Integer.valueOf(i))
     }
     m
   }
   @transient private lazy val memo =
     new java.util.HashMap[String, Array[UTF8String]]()
   private def segment(word: String): Array[UTF8String] = {
-    // code-point split (a surrogate pair is ONE symbol, matching
-    // code-point string semantics in Spark's and DuckDB's substr)
-    var syms = {
-      val out = new java.util.ArrayList[String](word.length)
+    val syms = {
+      val cps = CodePoints.split(word)
+      val out = new java.util.ArrayList[String](cps.length)
       var i = 0
-      while (i < word.length) {
-        val cp = word.codePointAt(i)
-        val n = Character.charCount(cp)
-        out.add(word.substring(i, i + n))
-        i += n
-      }
+      while (i < cps.length) { out.add(cps(i)); i += 1 }
       out
     }
     var done = false

@@ -93,15 +93,10 @@ object Bpe {
     x.length < y.length
   }
 
-  private def cpSplit(word: String): Array[String] = {
-    val out = new java.util.ArrayList[String](word.length)
-    var i = 0
-    while (i < word.length) {
-      val n = Character.charCount(word.codePointAt(i))
-      out.add(word.substring(i, i + n)); i += n
-    }
-    out.toArray(new Array[String](out.size()))
-  }
+  // ONE splitter definition with the apply kernel — dictionary symbols
+  // and kernel symbols can never drift
+  private def cpSplit(word: String): Array[String] =
+    graft.functions.CodePoints.split(word)
 
   /** Learn `nMerges` BPE merges from the corpus. The distributed part
     * is ONE [[wordFreqs]] pass; the dictionary is capped at `maxWords`
@@ -122,6 +117,10 @@ object Bpe {
       .head().getLong(0)
     val dict = wf.orderBy(col("cnt").desc, col("word")).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    // both consumers are done — release the checkpoint's blocks now
+    // rather than at session end (a training sweep would otherwise pin
+    // one vocabulary-sized cache per call)
+    wf.unpersist()
     val coveredMass = dict.map(_._2).sum
     val words: Array[(Array[String], Long)] =
       dict.map { case (w, c) => (cpSplit(w), c) }
@@ -177,11 +176,14 @@ object Bpe {
 
   /** Persist a model as one parquet: `(rank, l, r)` plus the constant
     * mass columns — the saved-model discipline of
-    * [[Classifier.saveNaiveBayes]]. */
+    * [[Classifier.saveNaiveBayes]]. A rank = -1 sentinel row (NULL
+    * pair) always carries the mass stats, so a legitimately EMPTY model
+    * (a corpus whose every pair count falls under `minPairCount`)
+    * round-trips instead of losing its stats in a zero-row file. */
   def saveBpeModel(spark: SparkSession, model: BpeModel, path: String): Unit = {
     import spark.implicits._
-    model.merges.zipWithIndex
-      .map { case ((l, r), i) => (i.toLong, l, r) }
+    ((-1L, null: String, null: String) +: model.merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) })
       .toDF("rank", "l", "r")
       .withColumn("covered_mass", lit(model.coveredMass))
       .withColumn("total_mass", lit(model.totalMass))
@@ -193,8 +195,9 @@ object Bpe {
     val rows = spark.read.parquet(path)
       .select("rank", "l", "r", "covered_mass", "total_mass")
       .orderBy("rank").collect()
-    require(rows.nonEmpty, s"loadBpeModel: empty model at $path")
-    BpeModel(rows.map(r => (r.getString(1), r.getString(2))).toSeq,
+    require(rows.nonEmpty && rows.head.getLong(0) == -1L,
+      s"loadBpeModel: $path is not a saved BPE model (no sentinel row)")
+    BpeModel(rows.tail.map(r => (r.getString(1), r.getString(2))).toSeq,
       rows.head.getLong(3), rows.head.getLong(4))
   }
 

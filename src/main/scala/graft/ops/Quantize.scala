@@ -531,7 +531,7 @@ object Quantize {
     * for a checkpointed relation: the LogicalRDD's Catalyst stats carry
     * the origin plan's pre-checkpoint ESTIMATE, not the materialized
     * size. */
-  private[ops] def checkpointedBytes(df: DataFrame): Option[Long] =
+  private[graft] def checkpointedBytes(df: DataFrame): Option[Long] =
     df.queryExecution.optimizedPlan match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         df.sparkSession.sparkContext.getRDDStorageInfo

@@ -137,6 +137,11 @@ class BpeSpec extends AnyFunSuite {
     val m = Bpe.BpeModel(Seq(("e", "r"), ("er", "s"), ("a", "n")), 77L, 99L)
     Bpe.saveBpeModel(spark, m, path)
     assert(Bpe.loadBpeModel(spark, path) == m)
+    // a legitimately EMPTY model (every pair under minPairCount) keeps
+    // its mass stats through the sentinel row
+    val empty = Bpe.BpeModel(Seq.empty, 5L, 9L)
+    Bpe.saveBpeModel(spark, empty, path)
+    assert(Bpe.loadBpeModel(spark, path) == empty)
   }
 
   test("learn -> encode: concatenation law and compression on a zipfian corpus") {

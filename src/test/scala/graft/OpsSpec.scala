@@ -2484,6 +2484,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpointedBytes: true block-manager size for a checkpoint, None otherwise") {
+    import graft.ops.Quantize
+    // the broadcast gate of the batch re-rank reads the MATERIALIZED
+    // size of the checkpointed pair relation from the block manager —
+    // the LogicalRDD's Catalyst stats carry the origin plan's
+    // pre-checkpoint ESTIMATE (verified: identical before/after on a
+    // filtered plan whose materialized size differs), so a gate on them
+    // would mis-size join outputs by orders of magnitude either way
+    val df = spark.range(100000)
+      .selectExpr("id", "repeat('x', 100) AS pad").filter("id % 3 = 0")
+    assert(Quantize.checkpointedBytes(df).isEmpty,
+      "non-checkpointed plan must report None (conservative: no hint)")
+    val cp = df.localCheckpoint(true)
+    val est = cp.queryExecution.optimizedPlan.stats.sizeInBytes
+    val got = Quantize.checkpointedBytes(cp)
+    assert(got.exists(_ > 0L), s"checkpointed blocks not reported: $got")
+    // ~33k rows x (8 B id + 100 B pad) >= 3 MB materialized, whatever
+    // the row-object overhead; the Catalyst estimate is NOT that number
+    // (it never consulted the blocks)
+    assert(got.exists(_ >= (3L << 20)), s"implausibly small: $got (est=$est)")
+  }
+
   test("SQ8: hand-checkable codes, degenerate dims, near-lossless self rank, brute recall") {
     import graft.ops.Quantize
     // dim0 spans [0,2], dim1 is constant (degenerate -> code 0), dim2 spans [-1,1]

@@ -209,6 +209,36 @@ object ScaleDrive {
     println(f"  on-disk IVF+PQ tree: ${codeBytes / 1e6}%.1f MB for 1M vectors " +
       "(raw float vectors: ~256 MB)")
 
+    // batch re-rank past the id-pushdown bound: 1000 queries x r=100
+    // over near-non-overlapping random neighbors yields ~100k DISTINCT
+    // candidate ids (> the 64k IN-literal bound), forcing the branch no
+    // other drive reaches — the full-width corpus scan joined against
+    // the pair relation, whose broadcast is gated on the TRUE
+    // block-manager byte size of the checkpoint (~100k id pairs, a few
+    // MB: the hint must fire, so the corpus is scanned once and never
+    // shuffled). Every query is a corpus member, so its exact re-rank
+    // top-1 must be itself at cosine 1.
+    println("== batch re-rank, >64k distinct candidates (no-pushdown branch)")
+    val rrQueries = vecs.filter(col("vec_id") % 1000L === 7L) // 1000 spread ids
+    val rrTop = time("ivfPqKnnJoinRefined (1000 queries, r=100, nprobe=1)") {
+      graft.ops.Quantize.ivfPqKnnJoinRefined(spark, ipqPath,
+        rrQueries, "vec_id", "embedding", vecsPlus, "vec_id", "embedding",
+        k = 1, r = 100, nprobe = 1)
+    }
+    val rrRows = rrTop.collect()
+    val rrSelf = rrRows.count(r => r.getLong(0) == r.getLong(1) &&
+      math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    // a query whose list is not its nprobe=1 probe list can miss itself
+    // (coarse quantization, not a bug) — but the overwhelming majority
+    // must self-retrieve at exact cosine 1 through the no-pushdown path
+    println(s"  self-at-top ${rrSelf}/${rrRows.length}")
+    assert(rrRows.length == 1000, s"expected 1000 top-1 rows, got ${rrRows.length}")
+    assert(rrSelf >= 990, s"self-retrieval through the no-pushdown branch: $rrSelf/1000")
+    val rrPlan = rrTop.queryExecution.executedPlan.toString
+    assert(rrPlan.contains("BroadcastHashJoin"),
+      s"pair relation not broadcast in the no-pushdown branch:\n$rrPlan")
+    assert(!rrPlan.contains("BroadcastNestedLoopJoin"), "BNLJ in re-rank plan")
+
     // banded-LSH dedup at corpus scale: 330k short docs, ~30k planted
     // near-dups. Signatures are the native fused kernel (no shuffle);
     // the candidate join's cost tracks collisions (planted pairs), not
@@ -731,13 +761,20 @@ object ScaleDrive {
     // must be total; the "ing"/"est"/"er"/"ly" morphology is the
     // corpus-wide regularity and must surface as the earliest merges.
     println("== BPE: train on 2M docs (one dict shuffle), kernel encode")
+    // 20-letter LOWERCASE alphabet (base-26 conv digits would collide
+    // after tokens() lowercases: bucket 15 -> 'aF' -> 'af' == bucket
+    // 275 -> 'AF' -> 'af'): bucket b in [0,400) -> letters (b/20, b%20)
+    val bpeAlpha = typedLit(('a' to 't').map(_.toString))
     val bpeDocs = spark.range(2000000).select(col("id"),
       concat_ws(" ",
-        (0 until 8).map(j => concat(
-          // zipf-ish stem: hash-bucketed base-26 pair + a suffix family
-          lpad(conv(pmod(hash(col("id") * 8 + lit(j)), lit(400)).cast("string"), 10, 26), 2, "a"),
-          element_at(typedLit(Seq("ing", "est", "er", "ly")),
-            (pmod(hash(col("id") + lit(j * 31)), lit(4)) + 1).cast("int")))): _*
+        (0 until 8).map { j =>
+          val b = pmod(hash(col("id") * 8 + lit(j)), lit(400))
+          concat(
+            element_at(bpeAlpha, (b / 20 + 1).cast("int")),
+            element_at(bpeAlpha, (pmod(b, lit(20)) + 1).cast("int")),
+            element_at(typedLit(Seq("ing", "est", "er", "ly")),
+              (pmod(hash(col("id") + lit(j * 31)), lit(4)) + 1).cast("int")))
+        }: _*
       ).as("text"))
     val bpeModel = time("learnBpe (600 merges, 2M docs, 64k-word cap)") {
       graft.ops.Bpe.learnBpe(bpeDocs, "text", nMerges = 600)
