@@ -1262,7 +1262,12 @@ case class BpeEncode(child: Expression, merges: Array[Array[String]])
           var seg = memo.get(key)
           if (seg == null) {
             seg = segment(key)
-            if (memo.size() < (1 << 16)) memo.put(key, seg)
+            // entry-count cap AND a per-word length bound: without the
+            // latter, 64k distinct doc-sized "words" (whitespace-free
+            // spam) would pin gigabytes per task — long words are rare
+            // enough that re-segmenting them beats retaining them
+            if (key.length <= 256 && memo.size() < (1 << 16))
+              memo.put(key, seg)
           }
           var j = 0
           while (j < seg.length) { toks.add(seg(j)); j += 1 }
