@@ -1297,6 +1297,75 @@ case class BpeEncode(child: Expression, merges: Array[Array[String]])
     copy(child = newChild)
 }
 
+/** Dense-id mapping of an `array<string>` of tokens against a fixed
+  * VOCABULARY (position = id) — the id-emitting half of the BPE
+  * tokenizer ([[graft.ops.Bpe.encodeIdsCol]]), composable with any
+  * token-array column. Positional: one id per input element; a token
+  * absent from the vocabulary (or a NULL element) maps to -1 rather
+  * than being dropped, so `token_ids[i]` always describes `tokens[i]`.
+  * The vocab rides the serialized expression (a production 32k-merge
+  * vocabulary is a few hundred KB) and the string→id map is built once
+  * per task. */
+case class TokenIds(child: Expression, vocab: Array[String])
+    extends UnaryExpression {
+  require(vocab.nonEmpty && vocab.forall(t => t != null && t.nonEmpty),
+    "vocab must be non-empty tokens")
+  // validated HERE, not in the lazy id map: a lazy-val require would
+  // only throw inside executor tasks (the BpeEncode discipline)
+  require(vocab.distinct.length == vocab.length,
+    "duplicate token in the vocabulary")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_ids"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"token_ids requires array<string>, got ${other.sql}")
+    }
+  // boxed Long values so a missing key is a null, not an unboxed 0 —
+  // id 0, the FIRST vocab entry (the BpeEncode rank-map hazard)
+  @transient private lazy val ids: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.length * 2)
+    var i = 0
+    while (i < vocab.length) { m.put(vocab(i), java.lang.Long.valueOf(i.toLong)); i += 1 }
+    m
+  }
+  def map(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (toks.isNullAt(i)) -1L
+        else {
+          val id = ids.get(toks.getUTF8String(i).toString)
+          if (id == null) -1L else id.longValue()
+        }
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+  override def nullSafeEval(v: Any): Any = map(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("tokenIds", this, classOf[TokenIds].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.map($c);")
+  }
+  // content equality over the vocab (the AdcScore reference-compare
+  // hazard) so semanticEquals holds for equal tables
+  override def equals(other: Any): Boolean = other match {
+    case t: TokenIds =>
+      child == t.child && java.util.Arrays.equals(
+        vocab.asInstanceOf[Array[AnyRef]], t.vocab.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  @transient private lazy val tabHash =
+    java.util.Arrays.hashCode(vocab.asInstanceOf[Array[AnyRef]])
+  override def hashCode(): Int = 31 * child.hashCode() + tabHash
+  override protected def withNewChildInternal(newChild: Expression): TokenIds =
+    copy(child = newChild)
+}
+
 /** First-occurrence line filter over an array of lines (kernel in
   * [[DedupLinesKernel]]) — keeps space-only lines unconditionally and
   * the first occurrence of every other distinct line, dropping null
@@ -1583,6 +1652,8 @@ object native {
   def bpe_encode(words: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeEncode(Bridge.expression(words),
       merges.map(p => Array(p._1, p._2)).toArray))
+  def token_ids(tokens: Column, vocab: Seq[String]): Column =
+    Bridge.column(TokenIds(Bridge.expression(tokens), vocab.toArray))
   def cm_estimate(token: Column, depth: Int, width: Int,
                   counters: Array[Long]): Column =
     Bridge.column(CmEstimate(Bridge.expression(token), depth, width, counters))

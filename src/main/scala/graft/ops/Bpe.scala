@@ -41,11 +41,19 @@ import org.apache.spark.sql.types._
  */
 object Bpe {
 
-  /** A learned merge table (rank order = `merges` order) plus the word
-    * mass that trained it: `coveredMass` of `totalMass` whitespace-token
-    * occurrences were inside the `maxWords` dictionary cap. */
+  /** A learned merge table (rank order = `merges` order), the word mass
+    * that trained it (`coveredMass` of `totalMass` whitespace-token
+    * occurrences were inside the `maxWords` dictionary cap), and the
+    * VOCABULARY: every token the tokenizer can emit over its training
+    * corpus — the corpus's base symbols (distinct code points, unsigned
+    * UTF-8 byte order) followed by the merge products in rank order
+    * (first rank wins when two merges produce the same string) — with
+    * dense ids `0 .. vocab.size-1` by position. Models saved before the
+    * vocab existed load with `vocab` empty; id-emitting paths refuse
+    * them loudly. */
   final case class BpeModel(merges: Seq[(String, String)],
-                            coveredMass: Long, totalMass: Long)
+                            coveredMass: Long, totalMass: Long,
+                            vocab: Seq[String] = Seq.empty)
 
   /** Word-frequency dictionary of the corpus: whitespace tokens of the
     * lowercased text ([[TextStats.tokens]]), empties dropped —
@@ -81,50 +89,53 @@ object Bpe {
     * orderBy and DuckDB's default collation share. Java's
     * `String.compareTo` is UTF-16 code-UNIT order, which disagrees for
     * supplementary characters. */
-  private def byteLt(a: String, b: String): Boolean = {
+  private[graft] def byteCompare(a: String, b: String): Int = {
     val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
     val n = math.min(x.length, y.length)
     var i = 0
     while (i < n) {
       val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c < 0
+      if (c != 0) return c
       i += 1
     }
-    x.length < y.length
+    x.length - y.length
   }
+  private def byteLt(a: String, b: String): Boolean = byteCompare(a, b) < 0
 
   // ONE splitter definition with the apply kernel — dictionary symbols
   // and kernel symbols can never drift
   private def cpSplit(word: String): Array[String] =
     graft.functions.CodePoints.split(word)
 
-  /** Learn `nMerges` BPE merges from the corpus. The distributed part
-    * is ONE [[wordFreqs]] pass; the dictionary is capped at `maxWords`
-    * (count desc, word asc — deterministic) and collected, then the
-    * classic merge loop runs driver-side: count adjacent symbol pairs
-    * weighted by word frequency, merge the argmax (count desc, then
-    * (l, r) ascending in UTF-8 byte order), repeat. Stops early when
-    * the best pair's count falls below `minPairCount` (a merge seen
-    * once is memorization, not structure — Sennrich's convention).
-    * Pair counting restarts per iteration: `maxWords · avgLen · nMerges`
-    * driver ops, microseconds at any realistic setting. */
-  def learnBpe(df: DataFrame, textCol: String, nMerges: Int,
-               maxWords: Int = 1 << 16, minPairCount: Long = 2L): BpeModel = {
-    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
-    val wf = wordFreqs(df, textCol).localCheckpoint(true)
-    val totalMass = wf.agg(coalesce(sum(col("cnt")), lit(0L)))
-      .head().getLong(0)
-    val dict = wf.orderBy(col("cnt").desc, col("word")).limit(maxWords)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    // both consumers are done — release the checkpoint's blocks now
-    // rather than at session end (a training sweep would otherwise pin
-    // one vocabulary-sized cache per call)
-    wf.unpersist()
-    val coveredMass = dict.map(_._2).sum
-    val words: Array[(Array[String], Long)] =
-      dict.map { case (w, c) => (cpSplit(w), c) }
-    val syms: Array[Array[String]] = words.map(_._1)
+  /** Apply one merge left-to-right with skip in one word's symbol array:
+    * the classic in-word application both trainer loops and (in spirit)
+    * the rank-greedy kernel share. Returns the SAME array reference when
+    * nothing merged — the no-op signal the incremental loop's stale
+    * occurrence entries rely on. */
+  private def mergeWord(s: Array[String], l: String, r: String): Array[String] = {
+    if (s.length < 2) return s
+    val out = new java.util.ArrayList[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+        out.add(s(i) + s(i + 1)); i += 2
+      } else { out.add(s(i)); i += 1 }
+    }
+    if (out.size() == s.length) s
+    else out.toArray(new Array[String](out.size()))
+  }
+
+  /** The textbook merge loop — recount every adjacent pair from scratch
+    * each iteration, O(dictChars) per merge. Kept as the EXECUTABLE
+    * REFERENCE for [[mergeLoop]]: BpeSpec asserts bit-identical merge
+    * sequences between the two on random dictionaries, and ScaleDrive
+    * pins the incremental loop's production-width prefix against this
+    * one. Not the production path (32k merges × 64k words would cost
+    * ~10^10 driver ops here). */
+  private[graft] def mergeLoopNaive(dict: Array[(String, Long)], nMerges: Int,
+                                    minPairCount: Long): Seq[(String, String)] = {
+    val syms: Array[Array[String]] = dict.map(w => cpSplit(w._1))
+    val cnts: Array[Long] = dict.map(_._2)
     val merges = Seq.newBuilder[(String, String)]
     var iter = 0
     var exhausted = false
@@ -132,7 +143,7 @@ object Bpe {
       val counts = new java.util.HashMap[(String, String), Long]()
       var wi = 0
       while (wi < syms.length) {
-        val s = syms(wi); val c = words(wi)._2
+        val s = syms(wi); val c = cnts(wi)
         var i = 0
         while (i < s.length - 1) {
           counts.merge((s(i), s(i + 1)), c, (a, b) => a + b); i += 1
@@ -151,35 +162,221 @@ object Bpe {
       if (best == null || bestCnt < minPairCount) exhausted = true
       else {
         merges += best
-        // apply the new merge left-to-right in every dictionary word
         var wj = 0
         while (wj < syms.length) {
-          val s = syms(wj)
-          if (s.length >= 2) {
-            val out = new java.util.ArrayList[String](s.length)
-            var i = 0
-            while (i < s.length) {
-              if (i < s.length - 1 && s(i) == best._1 && s(i + 1) == best._2) {
-                out.add(s(i) + s(i + 1)); i += 2
-              } else { out.add(s(i)); i += 1 }
-            }
-            if (out.size() < s.length)
-              syms(wj) = out.toArray(new Array[String](out.size()))
-          }
+          syms(wj) = mergeWord(syms(wj), best._1, best._2)
           wj += 1
         }
         iter += 1
       }
     }
-    BpeModel(merges.result(), coveredMass, totalMass)
+    merges.result()
   }
 
-  /** Persist a model as one parquet: `(rank, l, r)` plus the constant
-    * mass columns — the saved-model discipline of
-    * [[Classifier.saveNaiveBayes]]. A rank = -1 sentinel row (NULL
-    * pair) always carries the mass stats, so a legitimately EMPTY model
-    * (a corpus whose every pair count falls under `minPairCount`)
-    * round-trips instead of losing its stats in a zero-row file. */
+  /** The PRODUCTION merge loop: incremental pair statistics instead of a
+    * per-merge full recount. State: live pair → weighted count, pair →
+    * word-index occurrence list (append-only, stale-tolerant: a listed
+    * word that no longer contains the pair is a cheap no-op on
+    * [[mergeWord]]'s same-reference signal), and a lazy-deletion max-heap
+    * over (count desc, l, r in unsigned UTF-8 byte order) — every count
+    * CHANGE pushes a fresh heap entry, and a popped entry is live iff it
+    * still matches the count map, so the first live pop IS the argmax
+    * under exactly [[mergeLoopNaive]]'s total order. Per merge, only the
+    * words CONTAINING the merged pair are rescanned: their old adjacent
+    * pairs are decremented and their new ones incremented, so each word
+    * of length L costs O(L) per merge it participates in and a word
+    * participates in at most L−1 merges ever — total work
+    * O(Σ L² + pushes·log heap) over the WHOLE training run, independent
+    * of `nMerges`. A 64k-word dictionary trains a 32k-merge production
+    * vocabulary in seconds where the naive loop needs ~10^10 ops
+    * (ScaleDrive pins the budget; BpeSpec pins bit-identical output). */
+  private[graft] def mergeLoop(dict: Array[(String, Long)], nMerges: Int,
+                               minPairCount: Long): Seq[(String, String)] = {
+    val nW = dict.length
+    val syms = new Array[Array[String]](nW)
+    val wcnt = new Array[Long](nW)
+    var k = 0
+    while (k < nW) { syms(k) = cpSplit(dict(k)._1); wcnt(k) = dict(k)._2; k += 1 }
+
+    // growable int list without boxing: occurrence lists hold word idxs
+    final class IntVec {
+      var a = new Array[Int](4); var n = 0
+      def add(x: Int): Unit = {
+        if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+        a(n) = x; n += 1
+      }
+    }
+    final class Cand(val l: String, val r: String, val cnt: Long)
+
+    val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+    val occ = new java.util.HashMap[(String, String), IntVec]()
+    def bump(p: (String, String), d: Long): Unit = {
+      val cur = counts.get(p)
+      val nv = (if (cur == null) 0L else cur.longValue()) + d
+      if (nv <= 0L) counts.remove(p)
+      else counts.put(p, java.lang.Long.valueOf(nv))
+    }
+    // append wi unless it is already the list's LAST element — adds come
+    // grouped per word scan, so this dedupes within a scan; rare cross-
+    // merge repeats only cost a stale no-op rescan later
+    def note(p: (String, String), wi: Int): Unit = {
+      var v = occ.get(p)
+      if (v == null) { v = new IntVec; occ.put(p, v) }
+      if (v.n == 0 || v.a(v.n - 1) != wi) v.add(wi)
+    }
+    var wi = 0
+    while (wi < nW) {
+      val s = syms(wi); val c = wcnt(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1)); bump(p, c); note(p, wi); i += 1
+      }
+      wi += 1
+    }
+    val ord = new java.util.Comparator[Cand] {
+      def compare(x: Cand, y: Cand): Int = {
+        if (x.cnt != y.cnt) java.lang.Long.compare(y.cnt, x.cnt)
+        else {
+          val c = byteCompare(x.l, y.l)
+          if (c != 0) c else byteCompare(x.r, y.r)
+        }
+      }
+    }
+    val heap = new java.util.PriorityQueue[Cand](math.max(16, counts.size()), ord)
+    counts.forEach { (p, c) => heap.add(new Cand(p._1, p._2, c.longValue())) }
+
+    val merges = Seq.newBuilder[(String, String)]
+    val touched = new java.util.HashSet[(String, String)]()
+    var made = 0
+    var exhausted = false
+    while (made < nMerges && !exhausted) {
+      // drop stale heap entries until the top matches the live count map
+      var top: Cand = null
+      while (top == null && !heap.isEmpty) {
+        val t = heap.peek()
+        val cur = counts.get((t.l, t.r))
+        if (cur == null || cur.longValue() != t.cnt) heap.poll()
+        else top = t
+      }
+      if (top == null || top.cnt < minPairCount) exhausted = true
+      else {
+        heap.poll()
+        val bl = top.l; val br = top.r
+        merges += ((bl, br))
+        touched.clear()
+        val wlist = occ.remove((bl, br))
+        if (wlist != null) {
+          var j = 0
+          while (j < wlist.n) {
+            val w = wlist.a(j)
+            val s = syms(w)
+            val ns = mergeWord(s, bl, br)
+            if (ns ne s) { // stale occurrence entries no-op here
+              val c = wcnt(w)
+              var i = 0
+              while (i < s.length - 1) {
+                val p = (s(i), s(i + 1)); bump(p, -c); touched.add(p); i += 1
+              }
+              i = 0
+              while (i < ns.length - 1) {
+                val p = (ns(i), ns(i + 1)); bump(p, c); touched.add(p)
+                note(p, w); i += 1
+              }
+              syms(w) = ns
+            }
+            j += 1
+          }
+        }
+        // re-publish every changed count (lazy deletion invalidates the
+        // old entries); the merged pair itself always delta-counts to
+        // zero — left-to-right application leaves no (l, r) adjacency —
+        // so it never re-enters
+        touched.forEach { p =>
+          val cur = counts.get(p)
+          if (cur != null) heap.add(new Cand(p._1, p._2, cur.longValue()))
+        }
+        made += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Learn `nMerges` BPE merges from the corpus. The distributed part
+    * is ONE [[wordFreqs]] pass (plus a symbol-alphabet `distinct` over
+    * the same checkpointed dictionary); the dictionary is capped at
+    * `maxWords` (count desc, word asc — deterministic) and collected,
+    * then the merge loop runs driver-side over incremental pair
+    * statistics ([[mergeLoop]] — only words containing the merged pair
+    * are rescanned, so a production 32k-merge vocabulary trains in
+    * seconds). Stops early when the best pair's count falls below
+    * `minPairCount` (a merge seen once is memorization, not structure —
+    * Sennrich's convention). The model carries the [[BpeModel.vocab]]
+    * built from the FULL corpus alphabet (not just the capped dict), so
+    * encoding the training corpus never yields an out-of-vocabulary
+    * base symbol. */
+  def learnBpe(df: DataFrame, textCol: String, nMerges: Int,
+               maxWords: Int = 1 << 16, minPairCount: Long = 2L): BpeModel = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
+    val wf = wordFreqs(df, textCol).localCheckpoint(true)
+    val totalMass = wf.agg(coalesce(sum(col("cnt")), lit(0L)))
+      .head().getLong(0)
+    val base = baseSymbols(wf)
+    val dict = wf.orderBy(col("cnt").desc, col("word")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // all consumers are done — release the checkpoint's blocks now
+    // rather than at session end (a training sweep would otherwise pin
+    // one vocabulary-sized cache per call)
+    wf.unpersist()
+    val coveredMass = dict.map(_._2).sum
+    val merges = mergeLoop(dict, nMerges, minPairCount)
+    BpeModel(merges, coveredMass, totalMass, buildVocab(base, merges))
+  }
+
+  /** The corpus's base-symbol alphabet: distinct code points across the
+    * word dictionary, collected (intrinsically bounded — Unicode itself
+    * has ~1.1M code points; real corpora have thousands) and sorted in
+    * unsigned UTF-8 byte order — the collation Spark's `orderBy` and
+    * DuckDB's default share, so a SQL oracle reproduces the order
+    * exactly. */
+  private[graft] def baseSymbols(wf: DataFrame): Array[String] = {
+    val syms = wf
+      .select(explode(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1)))).as("sym"))
+      .distinct().collect().map(_.getString(0))
+    syms.sortWith(byteLt)
+  }
+
+  /** Deterministic vocabulary: base symbols (byte order) then merge
+    * products in rank order, first occurrence winning the id when two
+    * merges produce the same string ((a,bc) and (ab,c) both yield
+    * "abc"); a merge product can never collide with a base symbol (one
+    * code point vs at least two). Position = dense token id. */
+  def buildVocab(base: Seq[String], merges: Seq[(String, String)]): Vector[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    base.distinct.sortWith(byteLt).foreach(seen += _)
+    merges.foreach { case (l, r) => val t = l + r; if (!seen.contains(t)) seen += t }
+    seen.toVector
+  }
+
+  /** The (token_id, token) vocabulary TABLE for a fixed merge table over
+    * `df`'s corpus — [[buildVocab]] on the corpus alphabet, as a
+    * DataFrame (the oracle-gated surface: a SQL engine reproduces it
+    * from the same corpus and merge literal). */
+  def vocabTable(spark: SparkSession, df: DataFrame, textCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    buildVocab(baseSymbols(wordFreqs(df, textCol)).toSeq, merges).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("token_id", "token")
+  }
+
+  /** Persist a model: merge-table parquet at `path/merges` (`(rank, l,
+    * r)` plus the constant mass columns, rank = -1 sentinel row
+    * carrying the stats so a legitimately EMPTY model round-trips) and
+    * the vocabulary at `path/vocab` (`(token_id, token)`) — the
+    * saved-model discipline of [[Classifier.saveNaiveBayes]], split so
+    * the id mapping is a first-class queryable table (join a token
+    * column to it in ANY engine). */
   def saveBpeModel(spark: SparkSession, model: BpeModel, path: String): Unit = {
     import spark.implicits._
     ((-1L, null: String, null: String) +: model.merges.zipWithIndex
@@ -187,18 +384,30 @@ object Bpe {
       .toDF("rank", "l", "r")
       .withColumn("covered_mass", lit(model.coveredMass))
       .withColumn("total_mass", lit(model.totalMass))
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    model.vocab.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("token_id", "token")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
   }
 
-  /** Read a persisted model back, merges in rank order. */
+  /** Read a persisted model back, merges in rank order, vocab in id
+    * order. Pre-vocab models (a single parquet directly at `path`) load
+    * with an empty vocab; [[encodeIdsCol]] refuses those loudly. */
   def loadBpeModel(spark: SparkSession, path: String): BpeModel = {
-    val rows = spark.read.parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v2 = fs.exists(new org.apache.hadoop.fs.Path(s"$path/merges"))
+    val rows = spark.read.parquet(if (v2) s"$path/merges" else path)
       .select("rank", "l", "r", "covered_mass", "total_mass")
       .orderBy("rank").collect()
     require(rows.nonEmpty && rows.head.getLong(0) == -1L,
       s"loadBpeModel: $path is not a saved BPE model (no sentinel row)")
+    val vocab =
+      if (v2) spark.read.parquet(s"$path/vocab").orderBy("token_id")
+        .collect().map(_.getString(1)).toSeq
+      else Seq.empty[String]
     BpeModel(rows.tail.map(r => (r.getString(1), r.getString(2))).toSeq,
-      rows.head.getLong(3), rows.head.getLong(4))
+      rows.head.getLong(3), rows.head.getLong(4), vocab)
   }
 
   /** Subword-token column for `textCol` under a merge table: whitespace
@@ -213,4 +422,27 @@ object Bpe {
   def encode(df: DataFrame, idCol: String, textCol: String,
              merges: Seq[(String, String)]): DataFrame =
     df.select(col(idCol), encodeCol(col(textCol), merges).as("tokens"))
+
+  /** Dense token-ID column for `textCol` under a model: the
+    * [[encodeCol]] kernel composed with the [[graft.functions.TokenIds]]
+    * id-mapping kernel — still one narrow codegen'd projection, no
+    * shuffle, no lookup join (the vocab rides the serialized expression;
+    * 32k merges ≈ a few hundred KB). Tokens outside the vocabulary map
+    * to -1 (possible only on post-training data with base symbols the
+    * training corpus never saw — the vocab covers the FULL training
+    * alphabet). Refuses a legacy model with no vocab. */
+  def encodeIdsCol(textCol: Column, model: BpeModel): Column = {
+    require(model.vocab.nonEmpty,
+      "encodeIdsCol needs a model with a vocabulary — re-learn or re-save " +
+        "(pre-vocab saved models load with vocab empty)")
+    graft.functions.native.token_ids(
+      encodeCol(textCol, model.merges), model.vocab)
+  }
+
+  /** `(idCol, token_ids)` — the corpus as `array<long>` model tokens,
+    * ready for token-budget ops (pack / chunk / count by ACTUAL
+    * tokenizer tokens, not whitespace ones). */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+                model: BpeModel): DataFrame =
+    df.select(col(idCol), encodeIdsCol(col(textCol), model).as("token_ids"))
 }

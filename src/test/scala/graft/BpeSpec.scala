@@ -59,6 +59,78 @@ class BpeSpec extends AnyFunSuite {
     val m = Bpe.learnBpe(docs, "text", nMerges = 4)
     assert(m.merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
     assert(m.totalMass == 16L && m.coveredMass == 16L)
+    // vocab = base alphabet in byte order, then merge products in rank
+    // order, dense ids by position
+    assert(m.vocab == Vector("d", "e", "i", "l", "n", "o", "r", "s", "t", "w",
+      "es", "est", "lo", "low"))
+  }
+
+  test("incremental merge loop is bit-identical to the naive recount loop") {
+    // the production trainer (pair-stat deltas + occurrence lists +
+    // lazy-deletion heap) must replay the textbook loop EXACTLY — same
+    // argmax, same tie-breaks, same early stop — on arbitrary
+    // dictionaries, including multi-byte symbols where UTF-8 byte order
+    // and UTF-16 order disagree
+    val rnd = new scala.util.Random(1234)
+    val alphabets = Seq("ab", "abc", "abcde", "aé😀b", "xyz✓")
+    for (trial <- 0 until 300) {
+      val alpha = alphabets(rnd.nextInt(alphabets.size))
+      val cps = graft.functions.CodePoints.split(alpha)
+      def randWord() = (0 until (1 + rnd.nextInt(8)))
+        .map(_ => cps(rnd.nextInt(cps.length))).mkString
+      val dict = (0 until (1 + rnd.nextInt(30)))
+        .map(_ => randWord()).distinct
+        .map(w => (w, 1L + rnd.nextInt(20))).toArray
+      val nMerges = 1 + rnd.nextInt(30)
+      val minPair = 1L + rnd.nextInt(3)
+      val naive = Bpe.mergeLoopNaive(dict, nMerges, minPair)
+      val incr = Bpe.mergeLoop(dict, nMerges, minPair)
+      assert(incr == naive,
+        s"trial $trial diverged: dict=${dict.toSeq} nMerges=$nMerges " +
+          s"minPair=$minPair\n  naive=$naive\n  incr =$incr")
+    }
+  }
+
+  test("buildVocab: first rank wins when two merges produce the same string") {
+    // (a,bc) at rank 1 and (ab,c) at rank 2 both produce "abc"
+    val v = Bpe.buildVocab(Seq("c", "a", "b"),
+      Seq(("b", "c"), ("a", "bc"), ("a", "b"), ("ab", "c")))
+    assert(v == Vector("a", "b", "c", "bc", "abc", "ab"))
+  }
+
+  test("token ids: positional mapping, OOV and null elements -> -1") {
+    val vocab = Seq("a", "b", "ab")
+    val df = Seq(Tuple1(Seq("ab", "zz", "a"))).toDF("t")
+    val got = df.select(graft.functions.native.token_ids($"t", vocab))
+      .collect()(0).getSeq[Long](0)
+    assert(got == Seq(2L, -1L, 0L))
+    // null elements keep their position as -1 (token_ids[i] always
+    // describes tokens[i])
+    val withNull = Seq(Tuple1(Seq("a", null, "b"))).toDF("t")
+    assert(withNull.select(graft.functions.native.token_ids($"t", vocab))
+      .collect()(0).getSeq[Long](0) == Seq(0L, -1L, 1L))
+    // NULL array -> NULL ids
+    val nullArr = Seq(Tuple1(null.asInstanceOf[Seq[String]])).toDF("t")
+    assert(nullArr.select(graft.functions.native.token_ids($"t", vocab))
+      .collect()(0).isNullAt(0))
+    // a duplicate vocabulary is refused at construction
+    val e = intercept[Exception] {
+      df.select(graft.functions.native.token_ids($"t", Seq("a", "a"))).collect()
+    }
+    assert(e.getMessage.contains("duplicate token"))
+  }
+
+  test("encodeIds: ids decode back to the kernel's tokens through the vocab") {
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val m = Bpe.learnBpe(docs, "text", nMerges = 4)
+    val toks = Bpe.encode(docs, "id", "text", m.merges).orderBy("id").collect()
+    val ids = Bpe.encodeIds(docs, "id", "text", m).orderBy("id").collect()
+    toks.zip(ids).foreach { case (t, i) =>
+      val decoded = i.getSeq[Long](1).map(x => m.vocab(x.toInt))
+      assert(decoded == t.getSeq[String](1))
+    }
   }
 
   test("learnBpe tie-break: equal counts pick the byte-order-smaller pair") {
@@ -132,9 +204,10 @@ class BpeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate merge pair"))
   }
 
-  test("model save/load round-trips merges in rank order plus mass stats") {
+  test("model save/load round-trips merges, mass stats AND the vocab") {
     val path = TestSpark.tmpDir("bpe-model") + "/m"
-    val m = Bpe.BpeModel(Seq(("e", "r"), ("er", "s"), ("a", "n")), 77L, 99L)
+    val m = Bpe.BpeModel(Seq(("e", "r"), ("er", "s"), ("a", "n")), 77L, 99L,
+      Vector("a", "e", "n", "r", "s", "er", "ers", "an"))
     Bpe.saveBpeModel(spark, m, path)
     assert(Bpe.loadBpeModel(spark, path) == m)
     // a legitimately EMPTY model (every pair under minPairCount) keeps
@@ -142,6 +215,21 @@ class BpeSpec extends AnyFunSuite {
     val empty = Bpe.BpeModel(Seq.empty, 5L, 9L)
     Bpe.saveBpeModel(spark, empty, path)
     assert(Bpe.loadBpeModel(spark, path) == empty)
+  }
+
+  test("legacy pre-vocab model layout loads with empty vocab; id paths refuse it") {
+    // the old single-parquet-at-path layout, written by hand
+    val path = TestSpark.tmpDir("bpe-legacy") + "/m"
+    Seq((-1L, null: String, null: String), (0L, "a", "b"))
+      .toDF("rank", "l", "r")
+      .withColumn("covered_mass", lit(7L)).withColumn("total_mass", lit(9L))
+      .coalesce(1).write.parquet(path)
+    val m = Bpe.loadBpeModel(spark, path)
+    assert(m.merges == Seq(("a", "b")) && m.vocab.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Bpe.encodeIdsCol(lit("ab"), m)
+    }
+    assert(e.getMessage.contains("vocabulary"))
   }
 
   test("learn -> encode: concatenation law and compression on a zipfian corpus") {

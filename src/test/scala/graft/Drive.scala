@@ -533,6 +533,35 @@ object Drive {
       "ADC batch join: every query must rank itself first (score 1.0 vs own codes)")
     println("ivfPqKnnJoin -> 6 queries x top-3 over compressed codes, self-first everywhere")
 
+    // BPE tokenizer: incremental trainer on REAL documents, vocab + ids,
+    // v2 model save/load
+    println("== BPE: train 200 merges on sf0.001 documents (incremental trainer)")
+    val bdocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val t0 = System.nanoTime()
+    val bm = graft.ops.Bpe.learnBpe(bdocs, "text", nMerges = 200)
+    println(f"-> learned ${bm.merges.length} merges in ${(System.nanoTime()-t0)/1e9}%.2f s, " +
+      s"vocab=${bm.vocab.size} covered=${bm.coveredMass}/${bm.totalMass}")
+    println(s"-> first merges: ${bm.merges.take(8)}")
+    require(bm.vocab.take(5).forall(_.length == 1) &&
+      bm.vocab.contains(bm.merges.head._1 + bm.merges.head._2),
+      "vocab must lead with base symbols and contain merge products")
+    val bIds = graft.ops.Bpe.encodeIds(bdocs.limit(50), "doc_id", "text", bm)
+    val bToks = graft.ops.Bpe.encode(bdocs.limit(50), "doc_id", "text", bm.merges)
+    val idRows = bIds.orderBy("doc_id").collect()
+    val tokRows = bToks.orderBy("doc_id").collect()
+    idRows.zip(tokRows).foreach { case (ir, tr) =>
+      val dec = ir.getSeq[Long](1).map(x => bm.vocab(x.toInt))
+      require(dec == tr.getSeq[String](1), s"id decode mismatch doc ${ir.getLong(0)}")
+    }
+    println(s"-> encodeIds decode == encode tokens on 50 real docs " +
+      s"(${idRows.map(_.getSeq[Long](1).size).sum} tokens, zero OOV: " +
+      s"${idRows.forall(!_.getSeq[Long](1).contains(-1L))})")
+    val bmPath = java.nio.file.Files.createTempDirectory("drive-bpe").toString + "/model"
+    graft.ops.Bpe.saveBpeModel(spark, bm, bmPath)
+    require(graft.ops.Bpe.loadBpeModel(spark, bmPath) == bm, "v2 round trip")
+    println(s"-> v2 model (merges+vocab parquet) round-tripped at $bmPath")
+
     spark.stop()
     println("== drive done")
   }
