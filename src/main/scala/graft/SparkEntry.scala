@@ -801,6 +801,44 @@ object SparkEntry {
     s"MAP([$keys], [${bpeGateMerges.indices.mkString(", ")}])"
   }
 
+  /** Shared recursive-CTE chain replaying rank-greedy BPE application
+    * under [[bpeGateMerges]]: whitespace words → one min-rank merge per
+    * recursion level → deepest step per word → `toks(doc_id, widx,
+    * spos, token)`. The oracle engine behind `x_bpe_encode`,
+    * `x_bpe_ids`, and `x_bpe_pack` (prefix with `WITH RECURSIVE`). */
+  private lazy val bpeApplyCtes: String =
+    s"""words AS (SELECT doc_id, widx, w FROM """ +
+    s"""(SELECT doc_id, unnest($TOK) AS w, generate_subscripts($TOK, 1) AS widx FROM documents) WHERE w <> ''), """ +
+    """bpe AS (SELECT doc_id, widx, [substr(w, i, 1) FOR i IN generate_series(1, len(w))] AS syms, 0 AS step FROM words """ +
+    """UNION ALL SELECT doc_id, widx, syms[1:bp-1] || [syms[bp] || syms[bp+1]] || syms[bp+2:] AS syms, step + 1 """ +
+    """FROM (SELECT doc_id, widx, syms, step, """ +
+    """list_position(rks, list_aggregate(list_filter(rks, x -> x IS NOT NULL), 'min')) AS bp """ +
+    s"""FROM (SELECT doc_id, widx, syms, step, [map_extract($bpeMergesSqlMap, syms[i] || chr(1) || syms[i+1])[1] """ +
+    """FOR i IN generate_series(1, len(syms) - 1)] AS rks FROM bpe)) WHERE bp IS NOT NULL), """ +
+    """final AS (SELECT doc_id, widx, syms FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, widx ORDER BY step DESC) AS rn FROM bpe) WHERE rn = 1), """ +
+    """toks AS (SELECT doc_id, widx, generate_subscripts(syms, 1) AS spos, unnest(syms) AS token FROM final)"""
+
+  /** DuckDB VALUES literal of [[bpeGateMerges]] as `(rnk, l, r)`. */
+  private lazy val bpeMergesValues: String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    bpeGateMerges.zipWithIndex
+      .map { case ((l, r), i) => s"($i, ${q(l)}, ${q(r)})" }.mkString(", ")
+  }
+
+  /** CTE chain building the deterministic vocabulary of
+    * [[bpeGateMerges]] over the documents corpus — base symbols
+    * (distinct code points of the word dictionary, binary order) then
+    * merge products by rank, first rank winning a string collision;
+    * dense ids by position. Mirrors [[graft.ops.Bpe.buildVocab]] over
+    * [[graft.ops.Bpe.baseSymbols]]. Yields `vocab(token_id, token)`. */
+  private lazy val bpeVocabCtes: String =
+    s"""vwf AS (SELECT w AS word FROM (SELECT unnest($TOK) AS w FROM documents) WHERE w <> '' GROUP BY 1), """ +
+    """vbase AS (SELECT DISTINCT substr(word, i, 1) AS tok FROM (SELECT word, unnest(generate_series(1, len(word))) AS i FROM vwf)), """ +
+    s"""vprod AS (SELECT l || r AS tok, min(rnk) AS rnk FROM (VALUES $bpeMergesValues) t(rnk, l, r) GROUP BY 1), """ +
+    """vnew AS (SELECT tok, rnk FROM vprod WHERE tok NOT IN (SELECT tok FROM vbase)), """ +
+    """vocab AS (SELECT row_number() OVER (ORDER BY tok) - 1 AS token_id, tok AS token FROM vbase """ +
+    """UNION ALL SELECT (SELECT count(*) FROM vbase) + row_number() OVER (ORDER BY rnk) - 1, tok FROM vnew)"""
+
   /** Shared oracle CTE chain for the BPE gates: word-frequency dict and
     * its adjacent char-pair counts — iteration 0 of the merge loop. */
   private val bpePairCtes =
@@ -2167,6 +2205,38 @@ object SparkEntry {
         .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("tpos"),
           col("col").as("token"))
         .orderBy("doc_id", "tpos")),
+
+    // deterministic vocabulary table (base symbols + merge products,
+    // dense ids) — the id side of the tokenizer as a queryable table
+    "x_bpe_vocab" -> ((s, d) =>
+      Bpe.vocabTable(s, docs(s, d), "text", bpeGateMerges)
+        .orderBy("token_id")),
+
+    // id-emitting tokenizer: the BpeEncode kernel composed with the
+    // TokenIds kernel (one codegen'd projection); the oracle replays
+    // the same ids by joining its recursive-CTE tokens to its vocab
+    "x_bpe_ids" -> ((s, d) => {
+      val vocab = Bpe.vocabTable(s, docs(s, d), "text", bpeGateMerges)
+        .orderBy("token_id").collect().map(_.getString(1)).toSeq
+      docs(s, d).select(col("doc_id"),
+          posexplode(graft.functions.native.token_ids(
+            Bpe.encodeCol(col("text"), bpeGateMerges), vocab)))
+        .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("tpos"),
+          col("col").as("token_id"))
+        .orderBy("doc_id", "tpos")
+    }),
+
+    // sequence packing by REAL tokenizer tokens: pack budgets measured
+    // in BPE tokens (size of the kernel's output), not whitespace words
+    // — the composition a training-shard writer actually needs
+    "x_bpe_pack" -> ((s, d) => {
+      val counted = docs(s, d).select(col("doc_id"),
+        coalesce(col("lang"), lit("")).as("lang"),
+        size(Bpe.encodeCol(col("text"), bpeGateMerges)).cast(LongType).as("n_bpe"))
+      Sample.packByTokenBudget(counted, "lang", "doc_id", "n_bpe", 512L)
+        .select("doc_id", "lang", "n_bpe", "pack_offset", "pack_id")
+        .orderBy("doc_id")
+    }),
 
     // document fingerprinting (md5 + portable 60-bit hash)
     "x_fingerprint" -> ((s, d) =>
@@ -4044,18 +4114,36 @@ object SparkEntry {
     // recursion level until no pair is in the merge map; the final
     // segmentation per word is the deepest step
     "x_bpe_encode" ->
-      (s"""WITH RECURSIVE words AS (SELECT doc_id, widx, w FROM """ +
-       s"""(SELECT doc_id, unnest($TOK) AS w, generate_subscripts($TOK, 1) AS widx FROM documents) WHERE w <> ''), """ +
-       """bpe AS (SELECT doc_id, widx, [substr(w, i, 1) FOR i IN generate_series(1, len(w))] AS syms, 0 AS step FROM words """ +
-       """UNION ALL SELECT doc_id, widx, syms[1:bp-1] || [syms[bp] || syms[bp+1]] || syms[bp+2:] AS syms, step + 1 """ +
-       """FROM (SELECT doc_id, widx, syms, step, """ +
-       """list_position(rks, list_aggregate(list_filter(rks, x -> x IS NOT NULL), 'min')) AS bp """ +
-       s"""FROM (SELECT doc_id, widx, syms, step, [map_extract($bpeMergesSqlMap, syms[i] || chr(1) || syms[i+1])[1] """ +
-       """FOR i IN generate_series(1, len(syms) - 1)] AS rks FROM bpe)) WHERE bp IS NOT NULL), """ +
-       """final AS (SELECT doc_id, widx, syms FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, widx ORDER BY step DESC) AS rn FROM bpe) WHERE rn = 1), """ +
-       """toks AS (SELECT doc_id, widx, generate_subscripts(syms, 1) AS spos, unnest(syms) AS token FROM final) """ +
+      (s"""WITH RECURSIVE $bpeApplyCtes """ +
        """SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY widx, spos) AS tpos, token """ +
        """FROM toks ORDER BY doc_id, tpos"""),
+
+    // deterministic vocabulary: corpus base symbols in binary order,
+    // then merge products by rank (first rank wins a collision), dense
+    // ids by position — replayed purely relationally
+    "x_bpe_vocab" ->
+      (s"""WITH $bpeVocabCtes SELECT token_id, token FROM vocab ORDER BY token_id"""),
+
+    // id-emitting tokenizer: the recursive apply CTE joined to the
+    // vocabulary — DuckDB replays the dense-id mapping the TokenIds
+    // kernel computes (coalesce(-1) = the kernel's OOV convention)
+    "x_bpe_ids" ->
+      (s"""WITH RECURSIVE $bpeApplyCtes, $bpeVocabCtes, """ +
+       """enc AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY widx, spos) AS tpos, token FROM toks) """ +
+       """SELECT e.doc_id, e.tpos, COALESCE(v.token_id, -1) AS token_id """ +
+       """FROM enc e LEFT JOIN vocab v ON e.token = v.token ORDER BY doc_id, tpos"""),
+
+    // sequence packing by REAL tokenizer tokens: per-doc BPE token
+    // counts from the apply CTE (token-free docs count 0 via the left
+    // join), then the same contiguous-pack window as x_sample_pack
+    "x_bpe_pack" ->
+      (s"""WITH RECURSIVE $bpeApplyCtes, """ +
+       """cnts AS (SELECT d.doc_id, COALESCE(d.lang, '') AS lang, COALESCE(t.n, 0)::BIGINT AS n_bpe """ +
+       """FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t ON d.doc_id = t.doc_id), """ +
+       """o AS (SELECT *, COALESCE(SUM(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id """ +
+       """ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pack_offset FROM cnts) """ +
+       """SELECT doc_id, lang, n_bpe, pack_offset, pack_offset // 512 AS pack_id """ +
+       """FROM o ORDER BY doc_id"""),
 
     "x_fingerprint" ->
       (s"""SELECT doc_id, md5(text) AS md5, ${h60sql("text")} AS h60, """ +
