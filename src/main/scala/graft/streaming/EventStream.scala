@@ -276,12 +276,37 @@ object EventStream {
     * At 100 TB: per batch, one tokenize+explode over the batch's own
     * text, one bucket-partitioned O(delta) write, one Bloom merge —
     * nothing corpus-sized moves; probes stay partition-pruned while the
-    * stream runs. */
+    * stream runs.
+    *
+    * `bpeModelPath` additionally lands each document PRE-TOKENIZED: a
+    * `token_ids` column (`array<bigint>`, [[graft.ops.Bpe.encodeIdsCol]]
+    * — one codegen'd projection per batch, the model riding the
+    * serialized kernel) is appended to every stored row, so downstream
+    * token-budget ops (pack/chunk/count) read actual model tokens
+    * without re-encoding the corpus. The table must have been created
+    * with that column. Replay-sound twice over: token ids are a pure
+    * function of (text, model), and the MODEL IDENTITY is stamped on
+    * the table's metadata (`bpeModel` attribute) the first time — a
+    * restart pointing at a DIFFERENT model path is refused loudly
+    * instead of silently mixing two tokenizations in one table
+    * (`deleteAttr(table, "bpeModel")` first after a deliberate
+    * corpus-wide re-tokenize). */
   def textIndexIngestSink(stream: DataFrame, store: HDFStore, table: String,
                           checkpoint: String, indexPath: String,
                           idCol: String, textCol: String,
                           trigger: Trigger = Trigger.AvailableNow(),
-                          maintainEvery: Int = 0): StreamingQuery =
+                          maintainEvery: Int = 0,
+                          bpeModelPath: Option[String] = None): StreamingQuery = {
+    val tokenize: DataFrame => DataFrame = bpeModelPath match {
+      case None => identity
+      case Some(p) =>
+        // loaded ONCE at sink construction (driver); refuses a legacy
+        // no-vocab model before any batch runs
+        val model = graft.ops.Bpe.loadBpeModel(stream.sparkSession, p)
+        stampBpeModel(store, table, p)
+        batch => batch.withColumn("token_ids",
+          graft.ops.Bpe.encodeIdsCol(col(textCol), model))
+    }
     appendSink(stream, store, table, checkpoint, trigger,
       afterBatch = maintenanceHook(stream.sparkSession, indexPath,
         maintainEvery),
@@ -290,8 +315,26 @@ object EventStream {
             idCol, textCol))
           graft.ops.TextIndex.appendTextIndex(batch, idCol, textCol,
             indexPath)
-        batch
+        tokenize(batch)
       })
+  }
+
+  /** Record (or verify) which BPE model tokenizes a store table: first
+    * sink stamps the model path, later sinks must match it — rows
+    * encoded under two different merge tables in one table would be
+    * silently incomparable, the corruption this refuses. */
+  private def stampBpeModel(store: HDFStore, table: String,
+                            path: String): Unit =
+    store.attr(table, "bpeModel") match {
+      case Some(AttrValue.Str(prev)) =>
+        require(prev == path,
+          s"table '$table' is tokenized under BPE model '$prev'; refusing " +
+            s"'$path' — one table, one tokenization (deleteAttr 'bpeModel' " +
+            "after a deliberate corpus-wide re-encode)")
+      case Some(other) => throw new IllegalArgumentException(
+        s"table '$table' has a non-string 'bpeModel' attribute: $other")
+      case None => store.setAttr(table, "bpeModel", path)
+    }
 
   /** [[textIndexIngestSink]]'s replay decision, separated for direct
     * testing: true iff `batch` is a re-delivery of a batch whose index

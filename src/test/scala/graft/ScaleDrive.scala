@@ -756,30 +756,41 @@ object ScaleDrive {
     // shuffle over 2M docs (the merge loop itself runs on the bounded
     // word DICTIONARY — vocabulary-sized, not corpus-sized), and
     // encoding is a kernel projection with no shuffle. The synthetic
-    // vocabulary is 1600 distinct words (400 hash-bucketed stems x 4
-    // suffix families), so the maxWords cap is NOT hit and coverage
-    // must be total; the "ing"/"est"/"er"/"ly" morphology is the
-    // corpus-wide regularity and must surface as the earliest merges.
-    println("== BPE: train on 2M docs (one dict shuffle), kernel encode")
+    // vocabulary is 32,000 distinct words (8000 hash-bucketed 3-letter
+    // stems x 4 suffix families, ~500 occurrences each), wide enough to
+    // sustain a PRODUCTION-sized 32k-merge vocabulary — the regime the
+    // incremental trainer exists for (the naive recount loop would need
+    // ~10^10 driver ops here); the maxWords cap is NOT hit so coverage
+    // must be total, and the "ing"/"est"/"er"/"ly" morphology is the
+    // corpus-wide regularity that must surface as the earliest merges.
+    println("== BPE: train 32k merges on 2M docs (one dict shuffle), kernel encode")
     // 20-letter LOWERCASE alphabet (base-26 conv digits would collide
     // after tokens() lowercases: bucket 15 -> 'aF' -> 'af' == bucket
-    // 275 -> 'AF' -> 'af'): bucket b in [0,400) -> letters (b/20, b%20)
+    // 275 -> 'AF' -> 'af'): bucket b in [0,8000) -> 3 base-20 letters
     val bpeAlpha = typedLit(('a' to 't').map(_.toString))
     val bpeDocs = spark.range(2000000).select(col("id"),
       concat_ws(" ",
         (0 until 8).map { j =>
-          val b = pmod(hash(col("id") * 8 + lit(j)), lit(400))
+          val b = pmod(hash(col("id") * 8 + lit(j)), lit(8000))
           concat(
-            element_at(bpeAlpha, (b / 20 + 1).cast("int")),
+            element_at(bpeAlpha, (b / 400 + 1).cast("int")),
+            element_at(bpeAlpha, (pmod(b / 20, lit(20)) + 1).cast("int")),
             element_at(bpeAlpha, (pmod(b, lit(20)) + 1).cast("int")),
             element_at(typedLit(Seq("ing", "est", "er", "ly")),
               (pmod(hash(col("id") + lit(j * 31)), lit(4)) + 1).cast("int")))
         }: _*
       ).as("text"))
-    val bpeModel = time("learnBpe (600 merges, 2M docs, 64k-word cap)") {
-      graft.ops.Bpe.learnBpe(bpeDocs, "text", nMerges = 600)
+    val bpeT0 = System.nanoTime()
+    val bpeModel = time("learnBpe (32768 merges, 2M docs, 64k-word cap)") {
+      graft.ops.Bpe.learnBpe(bpeDocs, "text", nMerges = 32768)
     }
-    assert(bpeModel.merges.length == 600, s"got ${bpeModel.merges.length}")
+    val bpeTrainSec = (System.nanoTime() - bpeT0) / 1e9
+    assert(bpeModel.merges.length == 32768, s"got ${bpeModel.merges.length}")
+    // the stated budget: the WHOLE train (corpus shuffle + driver merge
+    // loop) in under 120 s — the merge loop itself is seconds; a
+    // regression back to per-merge recounting would blow this by hours
+    assert(bpeTrainSec < 120.0,
+      f"32k-merge training took $bpeTrainSec%.1f s — incremental loop regressed?")
     assert(bpeModel.coveredMass == bpeModel.totalMass,
       s"dict cap unexpectedly hit: ${bpeModel.coveredMass} of ${bpeModel.totalMass}")
     assert(bpeModel.totalMass == 16000000L, s"mass ${bpeModel.totalMass}")
@@ -788,6 +799,20 @@ object ScaleDrive {
     assert(bpeModel.merges.take(8).contains(("i", "n")) ||
       bpeModel.merges.take(8).contains(("n", "g")),
       s"suffix morphology not in early merges: ${bpeModel.merges.take(8)}")
+    // vocab = full alphabet + every merge product, dense ids
+    assert(bpeModel.vocab.size >= 20 + 4 && bpeModel.vocab.take(20).forall(_.length == 1),
+      s"vocab shape off: size=${bpeModel.vocab.size}")
+    // production-width cross-check against the executable reference:
+    // the incremental loop's PREFIX must replay the naive recount loop
+    // bit-for-bit on the real 32k-word dictionary
+    time("naive-loop prefix cross-check (300 merges, 32k-word dict)") {
+      val wf = graft.ops.Bpe.wordFreqs(bpeDocs, "text")
+        .orderBy(col("cnt").desc, col("word")).limit(1 << 16)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val naive = graft.ops.Bpe.mergeLoopNaive(wf, 300, 2L)
+      assert(bpeModel.merges.take(300) == naive,
+        "incremental prefix diverged from the naive loop at production width")
+    }
     val bpeStats = time("kernel encode + token stats (2M docs)") {
       graft.ops.Bpe.encode(bpeDocs, "id", "text", bpeModel.merges)
         .agg(sum(size(col("tokens"))).as("n_tok"),

@@ -455,6 +455,74 @@ class StreamingSpec extends AnyFunSuite {
       tf.filter($"doc_id" === 900000L), "doc_id", "text"))
   }
 
+  test("tokenize-on-ingest: streamed docs land with model token ids; restart identical; model mix refused") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val base = docs.filter($"doc_id" < 100)
+    val b1 = docs.filter($"doc_id" >= 100 && $"doc_id" < 130)
+    val b2 = docs.filter($"doc_id" >= 130 && $"doc_id" < 160)
+    // train + persist the tokenizer the sink will stamp
+    val model = graft.ops.Bpe.learnBpe(base, "text", nMerges = 40)
+    val mPath = TestSpark.tmpDir("streaming-bpe") + "/model"
+    graft.ops.Bpe.saveBpeModel(spark, model, mPath)
+    val idxPath = TestSpark.tmpDir("streaming-bpe-tidx") + "/ti"
+    graft.ops.TextIndex.buildTextIndex(base, "doc_id", "text", idxPath,
+      nBuckets = 16)
+    val in = new java.io.File(TestSpark.tmpDir("streaming-bpe-in"))
+    Seq(b1, b2).zipWithIndex.foreach { case (df, i) =>
+      val stage = TestSpark.tmpDir(s"streaming-bpe-stage$i")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(in, f"b$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + i * 60000L)
+    }
+    val ckpt = TestSpark.tmpDir("streaming-bpe-ckpt")
+    val st = HDFStore.open(spark,
+      TestSpark.tmpDir("streaming-bpe-store"), StoreMode.Overwrite)
+    // the landing table carries the pre-tokenized column from day one
+    st.put("landed", b1.limit(0).withColumn("token_ids",
+      graft.ops.Bpe.encodeIdsCol($"text", model)))
+    def run(): Unit = EventStream.textIndexIngestSink(
+      spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in.toString),
+      st, "landed", ckpt, idxPath, "doc_id", "text",
+      bpeModelPath = Some(mPath)).awaitTermination()
+    run()
+    // every streamed doc landed exactly once, WITH ids identical to a
+    // batch re-encode under the loaded model (replay-determinism: ids
+    // are a pure function of text + model)
+    val expect = graft.ops.Bpe.encodeIds(
+        b1.unionByName(b2), "doc_id", "text",
+        graft.ops.Bpe.loadBpeModel(spark, mPath))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def landedIds() = st.table("landed").df
+      .select("doc_id", "token_ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = landedIds()
+    assert(got.keySet == expect.keySet, s"landed ${got.size} docs")
+    got.foreach { case (id, ids) => assert(ids == expect(id), s"doc $id") }
+    // the model identity is stamped on the table
+    assert(st.attr("landed", "bpeModel") ==
+      Some(graft.store.AttrValue.Str(mPath)))
+    // restart with no new data: guard skips, rows and ids unchanged
+    run()
+    assert(landedIds() == got)
+    // a sink under a DIFFERENT model on the same table is refused at
+    // construction — one table, one tokenization
+    val other = graft.ops.Bpe.learnBpe(base.limit(20), "text", nMerges = 5)
+    val oPath = TestSpark.tmpDir("streaming-bpe-other") + "/model"
+    graft.ops.Bpe.saveBpeModel(spark, other, oPath)
+    val e = intercept[IllegalArgumentException] {
+      EventStream.textIndexIngestSink(
+        spark.readStream.schema(b1.schema).parquet(in.toString),
+        st, "landed", TestSpark.tmpDir("streaming-bpe-ckpt2"), idxPath,
+        "doc_id", "text", bpeModelPath = Some(oPath))
+    }
+    assert(e.getMessage.contains("one table, one tokenization"))
+  }
+
   // epoch-µs of `ts` in either fixture representation (Long nanos under
   // nanosAsLong, a timestamp otherwise — the EventStream.withEventTime
   // split)
