@@ -70,25 +70,22 @@ object RecallDrive {
       ).cast("float")).as("embedding"))
   }
 
-  /** Measure recall@k for the three probe paths over `nprobes`; print
-    * the table; assert `floors` (if given) at `floorsAtNprobe`. */
-  def run(spark: SparkSession, n: Long, nQueries: Int, nTopics: Int,
-          nlist: Int, m: Int, ksub: Int, tau: Double, k: Int, r: Int,
-          nprobes: Seq[Int], floorsAtNprobe: Int,
-          floors: Option[Floors],
-          kmIters: Int = 1, pqIters: Int = 1): Unit = {
+  /** Shared fixture for [[run]]/[[frontier]]: deterministic corpus +
+    * query panel, exact ground truth, coarse codebook + IVF tree —
+    * built ONCE so an m-sweep pays the corpus-sized costs once. */
+  private final class Fixture(spark: SparkSession, n: Long, nQueries: Int,
+                              nTopics: Int, nlist: Int, tau: Double, k: Int,
+                              kmIters: Int) {
     def time[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime(); val a = f
       println(f"  $tag%-52s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); a
     }
-    println(s"== ANN recall@$k vs exact brute force: N=$n nlist=$nlist " +
-      s"nTopics=$nTopics m=$m ksub=$ksub tau=$tau |Q|=$nQueries")
     val corpus = synthVecs(spark.range(n).toDF("id"), nTopics, tau)
       .localCheckpoint(true)
     // query ids start at a multiple of nTopics so query q lands on patch
     // q — fresh patch coefficients (different ids) on the first
     // nQueries topics
-    val qBase = 20000000L - (20000000L % nTopics.toLong)
+    private val qBase = 20000000L - (20000000L % nTopics.toLong)
     val queries = synthVecs(
         spark.range(nQueries).select((col("id") + qBase).as("id")),
         nTopics, tau)
@@ -97,11 +94,11 @@ object RecallDrive {
     // exact ground truth: ONE BNLJ crossJoin (query panel broadcast) +
     // window — norms precomputed per side so each pair costs one dot
     import graft.ops.Similarity.dotFixed
-    val cn = corpus.select(col("id").as("nid"), col("embedding").as("nv"),
+    private val cn = corpus.select(col("id").as("nid"), col("embedding").as("nv"),
       sqrt(dotFixed(col("embedding"), col("embedding")).cast(DoubleType)).as("nn"))
-    val qn = queries.select(col("id").as("qid"), col("embedding").as("qv"),
+    private val qn = queries.select(col("id").as("qid"), col("embedding").as("qv"),
       sqrt(dotFixed(col("embedding"), col("embedding")).cast(DoubleType)).as("qq"))
-    val w = org.apache.spark.sql.expressions.Window
+    private val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
     val gt = time(s"exact ground truth ($nQueries x $n dots)") {
       cn.crossJoin(broadcast(qn))
@@ -122,15 +119,20 @@ object RecallDrive {
     time(s"buildIvfIndex ($nlist lists)") {
       graft.ops.Similarity.buildIvfIndex(corpus, "id", "embedding", cb, ivfPath)
     }
-    val cbs = time(s"pqCodebooks (m=$m, ksub=$ksub, $pqIters Lloyd rounds)") {
-      graft.ops.Quantize.pqCodebooks(corpus, "id", "embedding", m, ksub,
-        pqIters)
-    }
-    val ipqPath =
-      java.nio.file.Files.createTempDirectory("recall-ivfpq").toString
-    time(s"buildIvfPqIndex ($nlist lists, m=$m ksub=$ksub)") {
-      graft.ops.Quantize.buildIvfPqIndex(corpus, "id", "embedding", cb, cbs,
-        ipqPath)
+
+    /** Build one IVFPQ tree for a given m; returns its path. */
+    def buildIpq(m: Int, ksub: Int, pqIters: Int): String = {
+      val cbs = time(s"pqCodebooks (m=$m, ksub=$ksub, $pqIters Lloyd rounds)") {
+        graft.ops.Quantize.pqCodebooks(corpus, "id", "embedding", m, ksub,
+          pqIters)
+      }
+      val ipqPath =
+        java.nio.file.Files.createTempDirectory("recall-ivfpq").toString
+      time(s"buildIvfPqIndex ($nlist lists, m=$m ksub=$ksub)") {
+        graft.ops.Quantize.buildIvfPqIndex(corpus, "id", "embedding", cb, cbs,
+          ipqPath)
+      }
+      ipqPath
     }
 
     def recall(res: DataFrame): Double = {
@@ -139,6 +141,20 @@ object RecallDrive {
         .join(gt, Seq("qid", "nid"), "left_semi").count()
       hits.toDouble / (nQueries.toDouble * k)
     }
+  }
+
+  /** Measure recall@k for the three probe paths over `nprobes`; print
+    * the table; assert `floors` (if given) at `floorsAtNprobe`. */
+  def run(spark: SparkSession, n: Long, nQueries: Int, nTopics: Int,
+          nlist: Int, m: Int, ksub: Int, tau: Double, k: Int, r: Int,
+          nprobes: Seq[Int], floorsAtNprobe: Int,
+          floors: Option[Floors],
+          kmIters: Int = 1, pqIters: Int = 1): Unit = {
+    println(s"== ANN recall@$k vs exact brute force: N=$n nlist=$nlist " +
+      s"nTopics=$nTopics m=$m ksub=$ksub tau=$tau |Q|=$nQueries")
+    val fx = new Fixture(spark, n, nQueries, nTopics, nlist, tau, k, kmIters)
+    import fx.{time, recall, corpus, queries, ivfPath}
+    val ipqPath = fx.buildIpq(m, ksub, pqIters)
 
     println(f"  ${"nprobe"}%8s ${"ivf"}%8s ${"adc"}%8s ${"refined"}%8s")
     val measured = nprobes.map { np =>
@@ -173,6 +189,38 @@ object RecallDrive {
     }
   }
 
+  /** PQ design-frontier sweep: ONE corpus / ground truth / coarse tree,
+    * an IVFPQ index per `m`, recall + wall-clock per (m, nprobe) — the
+    * storage-vs-recall dial a 100 TB operator turns (code bytes/vector
+    * = m at ksub=256; the corpus-resident cost of the compressed tree).
+    * Emits `FRONTIER m=.. nprobe=.. ...` lines; the committed table
+    * lives in DESIGN.md. Reproduce any row with
+    * `RECALL_CORES=32 sbt "Test/runMain graft.RecallDrive frontier"`. */
+  def frontier(spark: SparkSession, n: Long, nQueries: Int, nTopics: Int,
+               nlist: Int, ms: Seq[Int], ksub: Int, tau: Double, k: Int,
+               r: Int, nprobes: Seq[Int], kmIters: Int = 1,
+               pqIters: Int = 2): Unit = {
+    println(s"== PQ frontier: N=$n nlist=$nlist nTopics=$nTopics " +
+      s"ms=${ms.mkString(",")} ksub=$ksub tau=$tau |Q|=$nQueries k=$k r=$r")
+    val fx = new Fixture(spark, n, nQueries, nTopics, nlist, tau, k, kmIters)
+    for (m <- ms) {
+      val ipqPath = fx.buildIpq(m, ksub, pqIters)
+      for (np <- nprobes) {
+        val ta0 = System.nanoTime()
+        val rAdc = fx.recall(graft.ops.Quantize.ivfPqKnnJoin(spark, ipqPath,
+          fx.queries, "id", "embedding", k, np))
+        val adcSec = (System.nanoTime() - ta0) / 1e9
+        val tr0 = System.nanoTime()
+        val rRef = fx.recall(graft.ops.Quantize.ivfPqKnnJoinRefined(spark,
+          ipqPath, fx.queries, "id", "embedding", fx.corpus, "id",
+          "embedding", k, r, np))
+        val refSec = (System.nanoTime() - tr0) / 1e9
+        println(f"FRONTIER m=$m%-3d bytes/vec=$m%-3d nprobe=$np%-4d " +
+          f"adc=$rAdc%.3f refined=$rRef%.3f adc_s=$adcSec%.1f ref_s=$refSec%.1f")
+      }
+    }
+  }
+
   /** The production floor gate, measured round 11 (m=16, ksub=256,
     * pqIters=2, r=100, nprobe=√nlist): 1M-vector tree scored ivf 1.000 /
     * adc 0.696 / refined 1.000; the 100k canary 1.000 / 0.750 / 1.000.
@@ -201,6 +249,12 @@ object RecallDrive {
         m = 16, ksub = 256, tau = 1.5, k = 10, r = 100,
         nprobes = Seq(1, 4, 32, 128),
         floorsAtNprobe = 32, floors = Some(ProductionFloors), pqIters = 2)
+    } else if (args.headOption.contains("frontier")) {
+      // the DESIGN.md sweep: production shape, m ∈ {8, 16, 32}, the
+      // operating point and its neighbors
+      frontier(spark, n = 1000000L, nQueries = 50, nTopics = 500,
+        nlist = 1000, ms = Seq(8, 16, 32), ksub = 256, tau = 1.5, k = 10,
+        r = 100, nprobes = Seq(4, 32, 128), pqIters = 2)
     } else {
       val n = if (args.length > 0) args(0).toLong else 100000L
       val nlist = if (args.length > 1) args(1).toInt else 200
