@@ -2238,6 +2238,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // RAG chunking budgeted in MODEL tokens: greedy word-boundary
+    // packing against the 64-token window, chunk token counts exact
+    // under the merge table — the oracle replays the greedy walk as a
+    // recursive CTE over the apply CTE's per-word token counts
+    "x_bpe_chunk" -> ((s, d) =>
+      Bpe.chunkByTokenBudget(docs(s, d), "doc_id", "text", bpeGateMerges, 64L)
+        .orderBy("doc_id", "chunk_id")),
+
+    // id round trip: decode(encode_ids(text)) must reproduce the encode
+    // kernel's token stream exactly (the training corpus has no OOV by
+    // construction) — same oracle as x_bpe_encode, proving the
+    // ids⇄tokens mapping is lossless, not merely positionally aligned
+    "x_bpe_decode" -> ((s, d) => {
+      val vocab = Bpe.vocabTable(s, docs(s, d), "text", bpeGateMerges)
+        .orderBy("token_id").collect().map(_.getString(1)).toSeq
+      val model = Bpe.BpeModel(bpeGateMerges, 0L, 0L, vocab)
+      docs(s, d).select(col("doc_id"),
+          posexplode(Bpe.decodeIdsCol(
+            Bpe.encodeIdsCol(col("text"), model), model)))
+        .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("tpos"),
+          col("col").as("token"))
+        .orderBy("doc_id", "tpos")
+    }),
+
     // document fingerprinting (md5 + portable 60-bit hash)
     "x_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(docs(s, d), "text")
@@ -4144,6 +4168,34 @@ object SparkEntry {
        """ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pack_offset FROM cnts) """ +
        """SELECT doc_id, lang, n_bpe, pack_offset, pack_offset // 512 AS pack_id """ +
        """FROM o ORDER BY doc_id"""),
+
+    // model-token chunking: per-word token counts off the apply CTE,
+    // then the greedy budget walk replayed as a second recursive CTE
+    // (first word of a chunk always accepted — an overlong word chunks
+    // alone); word-free docs keep one empty chunk
+    "x_bpe_chunk" ->
+      (s"""WITH RECURSIVE $bpeApplyCtes, """ +
+       """wcnt AS (SELECT doc_id, widx, count(*) AS c FROM toks GROUP BY 1, 2), """ +
+       """wseq AS MATERIALIZED (SELECT w.doc_id, row_number() OVER (PARTITION BY w.doc_id ORDER BY w.widx) AS seq, w.w, wc.c """ +
+       """FROM words w JOIN wcnt wc ON w.doc_id = wc.doc_id AND w.widx = wc.widx), """ +
+       """walk AS (SELECT doc_id, seq, w, c, 0::BIGINT AS chunk_id, c AS running FROM wseq WHERE seq = 1 """ +
+       """UNION ALL SELECT s.doc_id, s.seq, s.w, s.c, """ +
+       """CASE WHEN p.running + s.c > 64 THEN p.chunk_id + 1 ELSE p.chunk_id END, """ +
+       """CASE WHEN p.running + s.c > 64 THEN s.c ELSE p.running + s.c END """ +
+       """FROM walk p JOIN wseq s ON s.doc_id = p.doc_id AND s.seq = p.seq + 1) """ +
+       """SELECT doc_id, chunk_id, string_agg(w, ' ' ORDER BY seq) AS chunk_text, sum(c)::BIGINT AS n_tokens """ +
+       """FROM walk GROUP BY 1, 2 """ +
+       """UNION ALL SELECT doc_id, 0::BIGINT, '', 0::BIGINT FROM documents """ +
+       """WHERE doc_id NOT IN (SELECT doc_id FROM words) """ +
+       """ORDER BY doc_id, chunk_id"""),
+
+    // decode(encode_ids(text)) == encode(text): the id mapping is
+    // lossless on the training corpus, so the token-stream oracle is
+    // x_bpe_encode's verbatim
+    "x_bpe_decode" ->
+      (s"""WITH RECURSIVE $bpeApplyCtes """ +
+       """SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY widx, spos) AS tpos, token """ +
+       """FROM toks ORDER BY doc_id, tpos"""),
 
     "x_fingerprint" ->
       (s"""SELECT doc_id, md5(text) AS md5, ${h60sql("text")} AS h60, """ +

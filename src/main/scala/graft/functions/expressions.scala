@@ -1171,54 +1171,33 @@ object CodePoints {
   }
 }
 
-/** BPE subword segmentation of an `array<string>` of WORDS against a
-  * rank-ordered merge table (Sennrich et al. 2016, ACL: "Neural Machine
-  * Translation of Rare Words with Subword Units") — the tokenizer-apply
-  * side of [[graft.ops.Bpe]] as one native loop per row. Each non-null,
-  * non-empty word splits into Unicode CODE POINTS, then the lowest-RANK
-  * adjacent pair present in the table is merged repeatedly (leftmost
-  * occurrence first on equal rank) until no adjacent pair remains in
-  * the table — the standard rank-greedy application, which replays the
-  * learn-time merge order exactly. Output concatenates every word's
-  * subword tokens in word order; token concatenation per word equals
-  * the word (no end-of-word marker — a presentation divergence from
-  * Sennrich's `</w>`, documented in [[graft.ops.Bpe]]). NULL input
-  * yields NULL; NULL/empty words are skipped (the `tokens()` discipline:
-  * `split` never yields nulls, but the kernel must not depend on it).
+/** Rank-greedy BPE segmenter shared by the BPE kernels ([[BpeEncode]],
+  * [[BpeChunk]]) — ONE merge-application loop so the chunker can never
+  * count tokens differently than the encoder emits them. Each word
+  * splits into Unicode CODE POINTS ([[CodePoints]]), then the
+  * lowest-RANK adjacent pair present in the table is merged repeatedly
+  * (leftmost occurrence first on equal rank) until no adjacent pair
+  * remains — Sennrich's standard application, replaying the learn-time
+  * merge order exactly.
   *
-  * Words repeat zipfianly, so segmentations are memoized per task
-  * (bounded; the expression instance is deserialized per task, so the
-  * map is single-threaded). */
-case class BpeEncode(child: Expression, merges: Array[Array[String]])
-    extends UnaryExpression {
-  require(merges.forall(m => m.length == 2 && m(0) != null && m(1) != null &&
-    m(0).nonEmpty && m(1).nonEmpty), "merges must be non-empty [l, r] pairs")
-  // validated HERE, not in the lazy rank map: a lazy-val require would
-  // pass analysis and only throw inside executor tasks (4x retries,
-  // the failure buried in executor logs)
-  require(merges.map(m => (m(0), m(1))).distinct.length == merges.length,
-    "duplicate merge pair in the table")
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "bpe_encode"
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(_: StringType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"bpe_encode requires array<string>, got ${other.sql}")
-    }
+  * Words repeat zipfianly, so segmentations are memoized (bounded by
+  * entry count AND per-word length: without the latter, 64k distinct
+  * doc-sized "words" — whitespace-free spam — would pin gigabytes per
+  * task; long words are rare enough that re-segmenting beats retaining
+  * them). Instantiate per task inside a `@transient lazy val`: the map
+  * is single-threaded by construction. */
+private[functions] final class BpeSegmenter(merges: Array[Array[String]]) {
   // boxed Integer values: a primitive-Int value type would make the
   // missing-key `get` unbox null to 0 — rank 0, the BEST merge
-  @transient private lazy val ranks: java.util.HashMap[(String, String), java.lang.Integer] = {
+  private val ranks: java.util.HashMap[(String, String), java.lang.Integer] = {
     val m = new java.util.HashMap[(String, String), java.lang.Integer](merges.length * 2)
     merges.zipWithIndex.foreach { case (p, i) =>
       m.put((p(0), p(1)), java.lang.Integer.valueOf(i))
     }
     m
   }
-  @transient private lazy val memo =
-    new java.util.HashMap[String, Array[UTF8String]]()
-  private def segment(word: String): Array[UTF8String] = {
+  private val memo = new java.util.HashMap[String, Array[UTF8String]]()
+  private def split(word: String): Array[UTF8String] = {
     val syms = {
       val cps = CodePoints.split(word)
       val out = new java.util.ArrayList[String](cps.length)
@@ -1250,6 +1229,53 @@ case class BpeEncode(child: Expression, merges: Array[Array[String]])
     while (j < out.length) { out(j) = UTF8String.fromString(syms.get(j)); j += 1 }
     out
   }
+  def segment(word: String): Array[UTF8String] = {
+    var seg = memo.get(word)
+    if (seg == null) {
+      seg = split(word)
+      if (word.length <= 256 && memo.size() < (1 << 16))
+        memo.put(word, seg)
+    }
+    seg
+  }
+}
+
+/** Shared plan-time validation of a BPE merge table (the [[BpeEncode]]
+  * discipline: validated HERE, not in the lazy rank map — a lazy-val
+  * require would pass analysis and only throw inside executor tasks,
+  * 4x retries with the failure buried in executor logs). */
+private[functions] object BpeMerges {
+  def validate(merges: Array[Array[String]]): Unit = {
+    require(merges.forall(m => m.length == 2 && m(0) != null && m(1) != null &&
+      m(0).nonEmpty && m(1).nonEmpty), "merges must be non-empty [l, r] pairs")
+    require(merges.map(m => (m(0), m(1))).distinct.length == merges.length,
+      "duplicate merge pair in the table")
+  }
+}
+
+/** BPE subword segmentation of an `array<string>` of WORDS against a
+  * rank-ordered merge table (Sennrich et al. 2016, ACL: "Neural Machine
+  * Translation of Rare Words with Subword Units") — the tokenizer-apply
+  * side of [[graft.ops.Bpe]] as one native loop per row
+  * ([[BpeSegmenter]]). Output concatenates every word's subword tokens
+  * in word order; token concatenation per word equals the word (no
+  * end-of-word marker — a presentation divergence from Sennrich's
+  * `</w>`, documented in [[graft.ops.Bpe]]). NULL input yields NULL;
+  * NULL/empty words are skipped (the `tokens()` discipline: `split`
+  * never yields nulls, but the kernel must not depend on it). */
+case class BpeEncode(child: Expression, merges: Array[Array[String]])
+    extends UnaryExpression {
+  BpeMerges.validate(merges)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode requires array<string>, got ${other.sql}")
+    }
+  @transient private lazy val seg = new BpeSegmenter(merges)
   def encode(words: ArrayData): ArrayData = {
     val n = words.numElements()
     val toks = new java.util.ArrayList[UTF8String]()
@@ -1258,19 +1284,9 @@ case class BpeEncode(child: Expression, merges: Array[Array[String]])
       if (!words.isNullAt(i)) {
         val w = words.getUTF8String(i)
         if (w.numBytes() > 0) {
-          val key = w.toString
-          var seg = memo.get(key)
-          if (seg == null) {
-            seg = segment(key)
-            // entry-count cap AND a per-word length bound: without the
-            // latter, 64k distinct doc-sized "words" (whitespace-free
-            // spam) would pin gigabytes per task — long words are rare
-            // enough that re-segmenting them beats retaining them
-            if (key.length <= 256 && memo.size() < (1 << 16))
-              memo.put(key, seg)
-          }
+          val s = seg.segment(w.toString)
           var j = 0
-          while (j < seg.length) { toks.add(seg(j)); j += 1 }
+          while (j < s.length) { toks.add(s(j)); j += 1 }
         }
       }
       i += 1
@@ -1294,6 +1310,94 @@ case class BpeEncode(child: Expression, merges: Array[Array[String]])
     java.util.Arrays.deepHashCode(merges.asInstanceOf[Array[AnyRef]])
   override def hashCode(): Int = 31 * child.hashCode() + tabHash
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+/** Greedy word-boundary CHUNKING of an `array<string>` of WORDS with
+  * the budget measured in BPE TOKENS ([[graft.ops.Bpe
+  * .chunkByTokenBudget]] — the RAG/context-window prep step in ACTUAL
+  * model tokens, where the whitespace-token variant
+  * ([[graft.ops.TextStats.chunk]]) budgets in words). One native loop
+  * per row: each non-null, non-empty word is segmented by the SAME
+  * [[BpeSegmenter]] the encoder uses (its token count under the model
+  * is the word's cost), and words are packed left to right — a word
+  * joins the current chunk unless that would push the chunk past
+  * `budget`, in which case it STARTS the next chunk. The first word of
+  * a chunk is always accepted, so a single word costing more than the
+  * whole budget yields a chunk of itself (words are never split across
+  * chunks — splitting would break the subword⇄word alignment the
+  * no-`</w>` convention guarantees). Output: `array<struct<chunk_text,
+  * n_tokens>>` — words re-joined with single spaces, and the chunk's
+  * exact model-token count. Every word lands in exactly one chunk; no
+  * chunk is empty; Σ n_tokens = the document's total token count. A
+  * word-free input (empty array, or only null/empty words) yields ONE
+  * empty chunk — [[graft.ops.TextStats.chunk]]'s convention, so a doc
+  * count survives the op. NULL input yields NULL. */
+case class BpeChunk(child: Expression, merges: Array[Array[String]],
+                    budget: Long) extends UnaryExpression {
+  BpeMerges.validate(merges)
+  require(budget > 0, s"token budget must be positive, got $budget")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_text", StringType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "bpe_chunk"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_chunk requires array<string>, got ${other.sql}")
+    }
+  @transient private lazy val seg = new BpeSegmenter(merges)
+  def chunk(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val out = new java.util.ArrayList[InternalRow]()
+    val sb = new java.lang.StringBuilder()
+    var running = 0L
+    var inChunk = 0
+    def flush(): Unit = {
+      out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(sb.toString), running)))
+      sb.setLength(0); running = 0L; inChunk = 0
+    }
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        if (w.numBytes() > 0) {
+          val key = w.toString
+          val c = seg.segment(key).length.toLong
+          if (inChunk > 0 && running + c > budget) flush()
+          if (inChunk > 0) sb.append(' ')
+          sb.append(key); running += c; inChunk += 1
+        }
+      }
+      i += 1
+    }
+    // trailing chunk; a word-free document still yields one empty chunk
+    if (inChunk > 0 || out.isEmpty) flush()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[InternalRow](out.size())).asInstanceOf[Array[Any]])
+  }
+  override def nullSafeEval(v: Any): Any = chunk(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bpeChunk", this, classOf[BpeChunk].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.chunk($c);")
+  }
+  // content equality over the merge table (the AdcScore
+  // reference-compare hazard) so semanticEquals holds for equal tables
+  override def equals(other: Any): Boolean = other match {
+    case b: BpeChunk =>
+      child == b.child && budget == b.budget && java.util.Arrays.deepEquals(
+        merges.asInstanceOf[Array[AnyRef]], b.merges.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  @transient private lazy val tabHash =
+    java.util.Arrays.deepHashCode(merges.asInstanceOf[Array[AnyRef]])
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + tabHash) + java.lang.Long.hashCode(budget)
+  override protected def withNewChildInternal(newChild: Expression): BpeChunk =
     copy(child = newChild)
 }
 
@@ -1654,6 +1758,10 @@ object native {
       merges.map(p => Array(p._1, p._2)).toArray))
   def token_ids(tokens: Column, vocab: Seq[String]): Column =
     Bridge.column(TokenIds(Bridge.expression(tokens), vocab.toArray))
+  def bpe_chunk(words: Column, merges: Seq[(String, String)],
+                budget: Long): Column =
+    Bridge.column(BpeChunk(Bridge.expression(words),
+      merges.map(p => Array(p._1, p._2)).toArray, budget))
   def cm_estimate(token: Column, depth: Int, width: Int,
                   counters: Array[Long]): Column =
     Bridge.column(CmEstimate(Bridge.expression(token), depth, width, counters))

@@ -445,4 +445,54 @@ object Bpe {
   def encodeIds(df: DataFrame, idCol: String, textCol: String,
                 model: BpeModel): DataFrame =
     df.select(col(idCol), encodeIdsCol(col(textCol), model).as("token_ids"))
+
+  /** Inverse of [[encodeIdsCol]]: dense ids back to their token strings
+    * through the model's vocabulary — pure Spark built-ins (`get` is
+    * 0-based and null-safe, so the kernel's −1 OOV sentinel and any
+    * out-of-range id decode to NULL instead of throwing under ANSI).
+    * Composing `decodeIdsCol(encodeIdsCol(text))` reproduces
+    * [[encodeCol]]'s token array exactly (the training corpus has no
+    * OOV by construction — the vocab carries its full alphabet). */
+  def decodeIdsCol(idsCol: Column, model: BpeModel): Column = {
+    require(model.vocab.nonEmpty,
+      "decodeIdsCol needs a model with a vocabulary — re-learn or re-save " +
+        "(pre-vocab saved models load with vocab empty)")
+    val v = typedLit(model.vocab)
+    transform(idsCol, i => get(v, i.cast("int")))
+  }
+
+  /** `(idCol, tokens)` — token-id rows decoded back to subword strings
+    * (inspection / detokenization-debug surface; ids outside the vocab
+    * decode to NULL elements). */
+  def decodeIds(df: DataFrame, idCol: String, idsCol: String,
+                model: BpeModel): DataFrame =
+    df.select(col(idCol), decodeIdsCol(col(idsCol), model).as("tokens"))
+
+  /** Greedy word-boundary chunking with the window budget measured in
+    * MODEL tokens ([[graft.functions.BpeChunk]]) — the RAG/context-
+    * window prep step in actual tokenizer tokens, where
+    * [[TextStats.chunk]] budgets in whitespace words. Words pack left
+    * to right; a word that would overflow the budget starts the next
+    * chunk; a single word costing more than the whole budget gets a
+    * chunk of itself (words never split across chunks). NULL text ≡
+    * empty text — one empty chunk ([[TextStats.chunk]]'s convention).
+    * Output: one row per chunk — (`idCol`, `chunk_id` 0-based,
+    * `chunk_text` [the model's lowercased-word rendering, single-space
+    * joined], `n_tokens` [the chunk's EXACT model-token count]).
+    *
+    * Scale shape: one narrow kernel projection + generate — the word
+    * segmentations, budget walk, and chunk assembly all happen inside
+    * the row, so there is no shuffle at any corpus size (contrast a
+    * per-word explode → running-sum window → re-aggregate formulation,
+    * which would shuffle the full corpus TWICE on document id). */
+  def chunkByTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                         merges: Seq[(String, String)],
+                         budget: Long): DataFrame = {
+    val chunks = graft.functions.native.bpe_chunk(
+      TextStats.tokens(coalesce(col(textCol), lit(""))), merges, budget)
+    df.select(col(idCol), posexplode(chunks))
+      .select(col(idCol), col("pos").cast(LongType).as("chunk_id"),
+        col("col.chunk_text").as("chunk_text"),
+        col("col.n_tokens").as("n_tokens"))
+  }
 }

@@ -232,6 +232,93 @@ class BpeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vocabulary"))
   }
 
+  test("chunkByTokenBudget: greedy law, overlong word alone, exact counts") {
+    // merges: "ab" fuses (1 token), everything else stays per-char.
+    // words: ab(1) ab(1) xyz(3) ab(1) wxyzv(5) ab(1); budget 4:
+    //   [ab ab]            1+1, +3 would be 5 > 4
+    //   [xyz ab]           3+1
+    //   [wxyzv]            5 > 4 but first word of its chunk
+    //   [ab]
+    val docs = Seq((0L, "ab ab xyz ab wxyzv ab")).toDF("doc_id", "text")
+    val got = Bpe.chunkByTokenBudget(docs, "doc_id", "text",
+        Seq(("a", "b")), budget = 4L)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, "ab ab", 2L), (1L, "xyz ab", 4L),
+      (2L, "wxyzv", 5L), (3L, "ab", 1L)))
+  }
+
+  test("chunkByTokenBudget: null/empty text yields ONE empty chunk") {
+    val docs = Seq((0L, null: String), (1L, "   "), (2L, "ab"))
+      .toDF("doc_id", "text")
+    val got = Bpe.chunkByTokenBudget(docs, "doc_id", "text",
+        Seq(("a", "b")), budget = 4L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 0L, "", 0L), (1L, 0L, "", 0L),
+      (2L, 0L, "ab", 1L)))
+  }
+
+  test("chunkByTokenBudget: 200-trial property vs a reference greedy walk") {
+    // laws: chunks reassemble to the word sequence; n_tokens is the
+    // exact sum of per-word kernel counts; every chunk respects the
+    // budget unless it is a single overlong word; no chunk is empty
+    val rnd = new scala.util.Random(99)
+    val merges = Seq(("a", "b"), ("ab", "c"), ("x", "y"))
+    for (trial <- 0 until 200) {
+      val words = (0 until rnd.nextInt(30)).map { _ =>
+        (0 until (1 + rnd.nextInt(6)))
+          .map(_ => "abcxyz" (rnd.nextInt(6))).mkString
+      }
+      val budget = 1L + rnd.nextInt(8)
+      val counts = words.map(w => kernelApply(Seq(w), merges).length.toLong)
+      // reference walk, independently written
+      val expected = Seq.newBuilder[(String, Long)]
+      var cur = Vector.empty[String]; var run = 0L
+      for ((w, c) <- words.zip(counts)) {
+        if (cur.nonEmpty && run + c > budget) {
+          expected += ((cur.mkString(" "), run)); cur = Vector.empty; run = 0L
+        }
+        cur :+= w; run += c
+      }
+      if (cur.nonEmpty) expected += ((cur.mkString(" "), run))
+      val exp = { val e = expected.result(); if (e.isEmpty) Seq(("", 0L)) else e }
+      val got = Bpe.chunkByTokenBudget(
+          Seq((0L, words.mkString(" "))).toDF("doc_id", "text"),
+          "doc_id", "text", merges, budget)
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getString(2), r.getLong(3))).toSeq
+      assert(got == exp, s"trial $trial: words=$words budget=$budget")
+      got.zip(got.indices).foreach { case ((text, n), _) =>
+        assert(n <= budget || !text.contains(" "),
+          s"trial $trial: over-budget multi-word chunk '$text' ($n > $budget)")
+      }
+    }
+  }
+
+  test("decodeIds: inverse of encodeIds; out-of-vocab ids decode to null") {
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val m = Bpe.learnBpe(docs, "text", nMerges = 4)
+    val ids = Bpe.encodeIds(docs, "id", "text", m)
+    val decoded = Bpe.decodeIds(ids, "id", "token_ids", m).orderBy("id").collect()
+    val toks = Bpe.encode(docs, "id", "text", m.merges).orderBy("id").collect()
+    decoded.zip(toks).foreach { case (d, t) =>
+      assert(d.getSeq[String](1) == t.getSeq[String](1))
+    }
+    // -1 (OOV) and any out-of-range id -> null element, never a throw
+    val stray = Seq(Tuple1(Seq(-1L, 0L, 9999L))).toDF("token_ids")
+    val got = stray.select(Bpe.decodeIdsCol($"token_ids", m)).collect()(0)
+      .getSeq[String](0)
+    assert(got == Seq(null, m.vocab.head, null))
+    // a vocab-less legacy model is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Bpe.decodeIdsCol($"token_ids", Bpe.BpeModel(Seq(("a", "b")), 1L, 1L))
+    }
+    assert(e.getMessage.contains("vocabulary"))
+  }
+
   test("learn -> encode: concatenation law and compression on a zipfian corpus") {
     val docs = spark.range(500).select($"id",
       concat_ws(" ",

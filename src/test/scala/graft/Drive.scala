@@ -562,6 +562,36 @@ object Drive {
     require(graft.ops.Bpe.loadBpeModel(spark, bmPath) == bm, "v2 round trip")
     println(s"-> v2 model (merges+vocab parquet) round-tripped at $bmPath")
 
+    // decodeIds (library surface, not the hand-rolled vocab lookup
+    // above) and model-token chunking on the REAL corpus under the
+    // just-trained model
+    println("== BPE decode + chunkByTokenBudget on real docs (trained model)")
+    val bDec = graft.ops.Bpe.decodeIds(bIds, "doc_id", "token_ids", bm)
+      .orderBy("doc_id").collect()
+    bDec.zip(tokRows).foreach { case (d, t) =>
+      require(d.getSeq[String](1) == t.getSeq[String](1),
+        s"decodeIds mismatch doc ${d.getLong(0)}")
+    }
+    println(s"-> decodeIds == encode tokens on ${bDec.length} real docs")
+    val bChunks = graft.ops.Bpe.chunkByTokenBudget(
+      bdocs, "doc_id", "text", bm.merges, budget = 48L)
+    val chunkRows = bChunks.collect()
+    val perDocTok = bToks.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).length.toLong).toMap
+    val byDoc = chunkRows.groupBy(_.getLong(0))
+    byDoc.filter { case (id, _) => perDocTok.contains(id) }
+      .foreach { case (id, rows) =>
+        require(rows.map(_.getLong(3)).sum == perDocTok(id),
+          s"chunk token counts don't sum to the doc's encode count: doc $id")
+        rows.foreach { r =>
+          require(r.getLong(3) <= 48L || !r.getString(2).contains(" "),
+            s"over-budget multi-word chunk in doc $id: ${r.getString(2)}")
+        }
+      }
+    println(s"-> ${chunkRows.length} chunks over ${byDoc.size} docs, " +
+      s"max n_tokens=${chunkRows.map(_.getLong(3)).max}, " +
+      "every doc's chunk counts sum to its encode count, no over-budget multi-word chunk")
+
     spark.stop()
     println("== drive done")
   }

@@ -181,5 +181,15 @@ class PlanSpec extends AnyFunSuite {
     assert("ReadSchema: [^\\n]*".r.findFirstIn(encScan)
       .exists(s => s.contains("text") && !s.contains("lang")),
       s"BPE encode scan not pruned to (doc_id, text):\n$encScan")
+    // the model-token chunker rides the same shape: the kernel
+    // projection feeding the Generate stays codegen'd, scan pruned
+    val chk = Bpe.chunkByTokenBudget(docsDf, "doc_id", "text",
+      Seq(("t", "h"), ("th", "e")), budget = 16L)
+    assert(wscgSpans(chk).exists(_.contains("bpe_chunk")),
+      s"BPE chunk kernel not inside a WholeStageCodegen span:\n${plan(chk)}")
+    val chkScan = plan(chk)
+    assert("ReadSchema: [^\\n]*".r.findFirstIn(chkScan)
+      .exists(s => s.contains("text") && !s.contains("lang")),
+      s"BPE chunk scan not pruned to (doc_id, text):\n$chkScan")
   }
 }

@@ -756,26 +756,31 @@ object ScaleDrive {
     // shuffle over 2M docs (the merge loop itself runs on the bounded
     // word DICTIONARY — vocabulary-sized, not corpus-sized), and
     // encoding is a kernel projection with no shuffle. The synthetic
-    // vocabulary is 32,000 distinct words (8000 hash-bucketed 3-letter
-    // stems x 4 suffix families, ~500 occurrences each), wide enough to
-    // sustain a PRODUCTION-sized 32k-merge vocabulary — the regime the
-    // incremental trainer exists for (the naive recount loop would need
-    // ~10^10 driver ops here); the maxWords cap is NOT hit so coverage
-    // must be total, and the "ing"/"est"/"er"/"ly" morphology is the
-    // corpus-wide regularity that must surface as the earliest merges.
+    // vocabulary is 48,000 distinct words (12,000 hash-bucketed
+    // 3-letter stems x 4 suffix families, ~333 occurrences each) —
+    // wide enough that greedy training can mint 32,768 DISTINCT rules
+    // before the dictionary collapses to whole-word symbols (~60k rules
+    // to full collapse; an earlier 8000-stem corpus exhausted at
+    // 32,491, 277 short — every pair was gone, the documented Sennrich
+    // stop, so the corpus is the dial, not the stop condition). This is
+    // the PRODUCTION-sized regime the incremental trainer exists for
+    // (the naive recount loop would need ~10^10 driver ops here); the
+    // maxWords cap is NOT hit so coverage must be total, and the
+    // "ing"/"est"/"er"/"ly" morphology is the corpus-wide regularity
+    // that must surface as the earliest merges.
     println("== BPE: train 32k merges on 2M docs (one dict shuffle), kernel encode")
-    // 20-letter LOWERCASE alphabet (base-26 conv digits would collide
-    // after tokens() lowercases: bucket 15 -> 'aF' -> 'af' == bucket
-    // 275 -> 'AF' -> 'af'): bucket b in [0,8000) -> 3 base-20 letters
-    val bpeAlpha = typedLit(('a' to 't').map(_.toString))
+    // LOWERCASE letters only (digit-bearing encodings like conv() would
+    // collide after tokens() lowercases): bucket b in [0,12000) -> 3
+    // base-26 letters, injective since 12000 < 26^3
+    val bpeAlpha = typedLit(('a' to 'z').map(_.toString))
     val bpeDocs = spark.range(2000000).select(col("id"),
       concat_ws(" ",
         (0 until 8).map { j =>
-          val b = pmod(hash(col("id") * 8 + lit(j)), lit(8000))
+          val b = pmod(hash(col("id") * 8 + lit(j)), lit(12000))
           concat(
-            element_at(bpeAlpha, (b / 400 + 1).cast("int")),
-            element_at(bpeAlpha, (pmod(b / 20, lit(20)) + 1).cast("int")),
-            element_at(bpeAlpha, (pmod(b, lit(20)) + 1).cast("int")),
+            element_at(bpeAlpha, (b / 676 + 1).cast("int")),
+            element_at(bpeAlpha, (pmod(b / 26, lit(26)) + 1).cast("int")),
+            element_at(bpeAlpha, (pmod(b, lit(26)) + 1).cast("int")),
             element_at(typedLit(Seq("ing", "est", "er", "ly")),
               (pmod(hash(col("id") + lit(j * 31)), lit(4)) + 1).cast("int")))
         }: _*
@@ -800,12 +805,12 @@ object ScaleDrive {
       bpeModel.merges.take(8).contains(("n", "g")),
       s"suffix morphology not in early merges: ${bpeModel.merges.take(8)}")
     // vocab = full alphabet + every merge product, dense ids
-    assert(bpeModel.vocab.size >= 20 + 4 && bpeModel.vocab.take(20).forall(_.length == 1),
+    assert(bpeModel.vocab.size >= 26 + 4 && bpeModel.vocab.take(26).forall(_.length == 1),
       s"vocab shape off: size=${bpeModel.vocab.size}")
     // production-width cross-check against the executable reference:
     // the incremental loop's PREFIX must replay the naive recount loop
-    // bit-for-bit on the real 32k-word dictionary
-    time("naive-loop prefix cross-check (300 merges, 32k-word dict)") {
+    // bit-for-bit on the real 48k-word dictionary
+    time("naive-loop prefix cross-check (300 merges, 48k-word dict)") {
       val wf = graft.ops.Bpe.wordFreqs(bpeDocs, "text")
         .orderBy(col("cnt").desc, col("word")).limit(1 << 16)
         .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -821,8 +826,8 @@ object ScaleDrive {
     }
     val (nTok, nChars) = (bpeStats.getLong(0), bpeStats.getLong(1))
     println(s"  tokens=$nTok chars=$nChars compression=${nChars.toDouble / nTok}")
-    // 600 merges over the 1600-word vocabulary merge every stem and the
-    // frequent whole words: at least 2 chars/token on average
+    // 32k merges over the 48,000-word vocabulary merge every suffix,
+    // stem, and most whole words: at least 2 chars/token on average
     assert(nTok * 2 <= nChars, s"no compression: $nTok tokens, $nChars chars")
 
     // ANN retrieval QUALITY canary: recall@10 vs exact brute force with
