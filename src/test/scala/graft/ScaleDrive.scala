@@ -829,6 +829,34 @@ object ScaleDrive {
     // 32k merges over the 48,000-word vocabulary merge every suffix,
     // stem, and most whole words: at least 2 chars/token on average
     assert(nTok * 2 <= nChars, s"no compression: $nTok tokens, $nChars chars")
+    // model-token chunking at corpus scale: the same shuffle-free
+    // kernel-projection shape as encode (budget walk + chunk assembly
+    // in-row), so 2M docs chunk in one pass. The 8-token budget sits
+    // BELOW the ~10.5-token per-doc average, so the walk genuinely
+    // splits (strictly more chunks than documents — a budget above the
+    // doc size would reduce the section to one-chunk passthrough). Laws
+    // checked in the same aggregation: per-chunk counts are exact, so
+    // their sum equals the encode pass's corpus token count, and no
+    // multi-word chunk may exceed the budget (single overlong words are
+    // the documented exception; this corpus has none — every word
+    // tokenizes under 8).
+    val chunkStats = time("chunkByTokenBudget (2M docs, 8-token windows)") {
+      graft.ops.Bpe.chunkByTokenBudget(bpeDocs, "id", "text",
+          bpeModel.merges, budget = 8L)
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("n_tok"),
+          max(col("n_tokens")).as("max_tok"))
+        .collect()(0)
+    }
+    println(s"  chunks=${chunkStats.getLong(0)} tokens=${chunkStats.getLong(1)} " +
+      s"max/chunk=${chunkStats.getLong(2)}")
+    assert(chunkStats.getLong(1) == nTok,
+      s"chunk token counts don't sum to the corpus encode count: " +
+        s"${chunkStats.getLong(1)} vs $nTok")
+    assert(chunkStats.getLong(2) <= 8L,
+      s"over-budget chunk at scale: max=${chunkStats.getLong(2)}")
+    assert(chunkStats.getLong(0) > 2000000L,
+      s"budget walk never split a document: ${chunkStats.getLong(0)} chunks")
 
     // ANN retrieval QUALITY canary: recall@10 vs exact brute force with
     // hard floors — every x_knn_* gate pins determinism (the oracle
