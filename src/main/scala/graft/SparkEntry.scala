@@ -791,6 +791,13 @@ object SparkEntry {
     ("in", "d"), ("o", "w"), ("j", "o"), ("jo", "in"), ("m", "er"),
     ("in", "e"), ("l", "ine"), ("q", "u"), ("e", "y"), ("k", "ey"))
 
+  /** The fixture vocabulary of [[bpeGateMerges]] over the documents
+    * corpus, shared by the id-emitting gates (`x_bpe_ids`,
+    * `x_bpe_decode`) so their vocab derivation cannot diverge. */
+  private def bpeGateVocab(s: SparkSession, d: String): Seq[String] =
+    Bpe.vocabTable(s, docs(s, d), "text", bpeGateMerges)
+      .orderBy("token_id").collect().map(_.getString(1)).toSeq
+
   /** DuckDB MAP literal of [[bpeGateMerges]]: `l || chr(1) || r` → rank
     * (chr(1) never occurs in the fixture text, so keys cannot collide;
     * the engine kernel itself uses exact pair equality). */
@@ -2216,8 +2223,7 @@ object SparkEntry {
     // TokenIds kernel (one codegen'd projection); the oracle replays
     // the same ids by joining its recursive-CTE tokens to its vocab
     "x_bpe_ids" -> ((s, d) => {
-      val vocab = Bpe.vocabTable(s, docs(s, d), "text", bpeGateMerges)
-        .orderBy("token_id").collect().map(_.getString(1)).toSeq
+      val vocab = bpeGateVocab(s, d)
       docs(s, d).select(col("doc_id"),
           posexplode(graft.functions.native.token_ids(
             Bpe.encodeCol(col("text"), bpeGateMerges), vocab)))
@@ -2251,9 +2257,7 @@ object SparkEntry {
     // construction) — same oracle as x_bpe_encode, proving the
     // ids⇄tokens mapping is lossless, not merely positionally aligned
     "x_bpe_decode" -> ((s, d) => {
-      val vocab = Bpe.vocabTable(s, docs(s, d), "text", bpeGateMerges)
-        .orderBy("token_id").collect().map(_.getString(1)).toSeq
-      val model = Bpe.BpeModel(bpeGateMerges, 0L, 0L, vocab)
+      val model = Bpe.BpeModel(bpeGateMerges, 0L, 0L, bpeGateVocab(s, d))
       docs(s, d).select(col("doc_id"),
           posexplode(Bpe.decodeIdsCol(
             Bpe.encodeIdsCol(col("text"), model), model)))

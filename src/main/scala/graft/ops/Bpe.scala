@@ -458,7 +458,12 @@ object Bpe {
       "decodeIdsCol needs a model with a vocabulary — re-learn or re-save " +
         "(pre-vocab saved models load with vocab empty)")
     val v = typedLit(model.vocab)
-    transform(idsCol, i => get(v, i.cast("int")))
+    // range-gate BEFORE the long→int cast: an id past Int range (corrupt
+    // ids column) must decode to NULL like any other out-of-range id,
+    // not throw CAST_OVERFLOW under ANSI; when() without otherwise
+    // yields a NULL index, and get(v, NULL) is NULL
+    val hi = lit(model.vocab.size.toLong - 1L)
+    transform(idsCol, i => get(v, when(i.between(lit(0L), hi), i).cast("int")))
   }
 
   /** `(idCol, tokens)` — token-id rows decoded back to subword strings

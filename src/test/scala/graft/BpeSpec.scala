@@ -307,11 +307,14 @@ class BpeSpec extends AnyFunSuite {
     decoded.zip(toks).foreach { case (d, t) =>
       assert(d.getSeq[String](1) == t.getSeq[String](1))
     }
-    // -1 (OOV) and any out-of-range id -> null element, never a throw
-    val stray = Seq(Tuple1(Seq(-1L, 0L, 9999L))).toDF("token_ids")
+    // -1 (OOV) and any out-of-range id -> null element, never a throw —
+    // including ids past Int range (the long→int cast must be gated or
+    // ANSI mode throws CAST_OVERFLOW)
+    val stray = Seq(Tuple1(Seq(-1L, 0L, 9999L, 3000000000L, Long.MinValue)))
+      .toDF("token_ids")
     val got = stray.select(Bpe.decodeIdsCol($"token_ids", m)).collect()(0)
       .getSeq[String](0)
-    assert(got == Seq(null, m.vocab.head, null))
+    assert(got == Seq(null, m.vocab.head, null, null, null))
     // a vocab-less legacy model is refused loudly
     val e = intercept[IllegalArgumentException] {
       Bpe.decodeIdsCol($"token_ids", Bpe.BpeModel(Seq(("a", "b")), 1L, 1L))

@@ -576,7 +576,7 @@ object Drive {
     val bChunks = graft.ops.Bpe.chunkByTokenBudget(
       bdocs, "doc_id", "text", bm.merges, budget = 48L)
     val chunkRows = bChunks.collect()
-    val perDocTok = bToks.collect()
+    val perDocTok = tokRows
       .map(r => r.getLong(0) -> r.getSeq[String](1).length.toLong).toMap
     val byDoc = chunkRows.groupBy(_.getLong(0))
     byDoc.filter { case (id, _) => perDocTok.contains(id) }
