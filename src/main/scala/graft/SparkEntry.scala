@@ -793,10 +793,36 @@ object SparkEntry {
 
   /** The fixture vocabulary of [[bpeGateMerges]] over the documents
     * corpus, shared by the id-emitting gates (`x_bpe_ids`,
-    * `x_bpe_decode`) so their vocab derivation cannot diverge. */
+    * `x_bpe_decode`, `x_stream_token_ingest`) so their vocab derivation
+    * cannot diverge — and CACHED per sf dir: the merges and corpus are
+    * fixed, so each gate run must not re-pay the wordFreqs + alphabet
+    * derivation (two jobs + two bounded collects) the first run made. */
+  private val bpeGateVocabCache =
+    new scala.collection.concurrent.TrieMap[(String, Boolean), Seq[String]]()
   private def bpeGateVocab(s: SparkSession, d: String): Seq[String] =
-    Bpe.vocabTable(s, docs(s, d), "text", bpeGateMerges)
-      .orderBy("token_id").collect().map(_.getString(1)).toSeq
+    bpeGateVocabCache.getOrElseUpdate((d, false),
+      Bpe.vocabTable(s, docs(s, d), "text", bpeGateMerges)
+        .orderBy("token_id").collect().map(_.getString(1)).toSeq)
+
+  /** Reserved control tokens of the fallback fixture model — ids 0 and
+    * 1, ahead of the byte block (the shard-writer convention the
+    * sepCost gates budget for). */
+  private val bpeGateSpecials: Seq[String] = Seq("<eos>", "<pad>")
+
+  /** [[bpeGateVocab]] in BYTE-FALLBACK form: specials, the 256 byte
+    * tokens, then the corpus alphabet and merge products — the total-
+    * encoding fixture of `x_bpe_fallback`. Same cache discipline. */
+  private def bpeGateVocabFb(s: SparkSession, d: String): Seq[String] =
+    bpeGateVocabCache.getOrElseUpdate((d, true),
+      Bpe.vocabTable(s, docs(s, d), "text", bpeGateMerges,
+          byteFallback = true, specials = bpeGateSpecials)
+        .orderBy("token_id").collect().map(_.getString(1)).toSeq)
+
+  /** Words the documents corpus cannot contain (Greek, a 4-byte-UTF-8
+    * emoji) appended to every document — the out-of-training-alphabet
+    * input of `x_bpe_fallback`. "💩th" additionally proves merges still
+    * fire NEXT TO an unseen symbol ((t,h) merges; 💩 byte-expands). */
+  private val bpeOovSuffix: String = " λx7 δδ ψq 💩th"
 
   /** DuckDB MAP literal of [[bpeGateMerges]]: `l || chr(1) || r` → rank
     * (chr(1) never occurs in the fixture text, so keys cannot collide;
@@ -812,10 +838,12 @@ object SparkEntry {
     * under [[bpeGateMerges]]: whitespace words → one min-rank merge per
     * recursion level → deepest step per word → `toks(doc_id, widx,
     * spos, token)`. The oracle engine behind `x_bpe_encode`,
-    * `x_bpe_ids`, and `x_bpe_pack` (prefix with `WITH RECURSIVE`). */
-  private lazy val bpeApplyCtes: String =
+    * `x_bpe_ids`, and `x_bpe_pack` (prefix with `WITH RECURSIVE`).
+    * `docsSrc` swaps the corpus relation (`x_bpe_fallback` feeds
+    * suffix-modified documents through the same chain). */
+  private def bpeApplyCtesOver(docsSrc: String): String =
     s"""words AS (SELECT doc_id, widx, w FROM """ +
-    s"""(SELECT doc_id, unnest($TOK) AS w, generate_subscripts($TOK, 1) AS widx FROM documents) WHERE w <> ''), """ +
+    s"""(SELECT doc_id, unnest($TOK) AS w, generate_subscripts($TOK, 1) AS widx FROM $docsSrc) WHERE w <> ''), """ +
     """bpe AS (SELECT doc_id, widx, [substr(w, i, 1) FOR i IN generate_series(1, len(w))] AS syms, 0 AS step FROM words """ +
     """UNION ALL SELECT doc_id, widx, syms[1:bp-1] || [syms[bp] || syms[bp+1]] || syms[bp+2:] AS syms, step + 1 """ +
     """FROM (SELECT doc_id, widx, syms, step, """ +
@@ -824,6 +852,8 @@ object SparkEntry {
     """FOR i IN generate_series(1, len(syms) - 1)] AS rks FROM bpe)) WHERE bp IS NOT NULL), """ +
     """final AS (SELECT doc_id, widx, syms FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, widx ORDER BY step DESC) AS rn FROM bpe) WHERE rn = 1), """ +
     """toks AS (SELECT doc_id, widx, generate_subscripts(syms, 1) AS spos, unnest(syms) AS token FROM final)"""
+
+  private lazy val bpeApplyCtes: String = bpeApplyCtesOver("documents")
 
   /** DuckDB VALUES literal of [[bpeGateMerges]] as `(rnk, l, r)`. */
   private lazy val bpeMergesValues: String = {
@@ -845,6 +875,30 @@ object SparkEntry {
     """vnew AS (SELECT tok, rnk FROM vprod WHERE tok NOT IN (SELECT tok FROM vbase)), """ +
     """vocab AS (SELECT row_number() OVER (ORDER BY tok) - 1 AS token_id, tok AS token FROM vbase """ +
     """UNION ALL SELECT (SELECT count(*) FROM vbase) + row_number() OVER (ORDER BY rnk) - 1, tok FROM vnew)"""
+
+  /** [[bpeVocabCtes]] in BYTE-FALLBACK form, mirroring
+    * [[graft.ops.Bpe.buildVocab]] with `byteFallback` and
+    * [[bpeGateSpecials]]: specials at ids 0..1, the 256 byte tokens
+    * (`printf('<0x%%02X>', b)`) at 2..257, then the corpus alphabet and
+    * merge products — dense ids by position. Yields `vocab(token_id,
+    * token)`. Base symbols can never collide with specials or byte
+    * forms (one code point vs several), so only the products dedup. */
+  private lazy val bpeVocabFbCtes: String = {
+    val specialsValues = bpeGateSpecials.zipWithIndex
+      .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
+    val nFixed = bpeGateSpecials.length + 256
+    s"""vwf AS (SELECT w AS word FROM (SELECT unnest($TOK) AS w FROM documents) WHERE w <> '' GROUP BY 1), """ +
+    """vbase AS (SELECT DISTINCT substr(word, i, 1) AS tok FROM (SELECT word, unnest(generate_series(1, len(word))) AS i FROM vwf)), """ +
+    s"""vprod AS (SELECT l || r AS tok, min(rnk) AS rnk FROM (VALUES $bpeMergesValues) t(rnk, l, r) GROUP BY 1), """ +
+    s"""vsp AS (SELECT * FROM (VALUES $specialsValues) s(token_id, tok)), """ +
+    s"""vbytes AS (SELECT ${bpeGateSpecials.length} + i AS token_id, printf('<0x%02X>', i) AS tok FROM generate_series(0, 255) t(i)), """ +
+    """vnew AS (SELECT tok, rnk FROM vprod WHERE tok NOT IN (SELECT tok FROM vbase) """ +
+    """AND tok NOT IN (SELECT tok FROM vsp) AND tok NOT IN (SELECT tok FROM vbytes)), """ +
+    """vocab AS (SELECT token_id, tok AS token FROM vsp """ +
+    """UNION ALL SELECT token_id, tok FROM vbytes """ +
+    s"""UNION ALL SELECT $nFixed + row_number() OVER (ORDER BY tok) - 1, tok FROM vbase """ +
+    s"""UNION ALL SELECT $nFixed + (SELECT count(*) FROM vbase) + row_number() OVER (ORDER BY rnk) - 1, tok FROM vnew)"""
+  }
 
   /** Shared oracle CTE chain for the BPE gates: word-frequency dict and
     * its adjacent char-pair counts — iteration 0 of the merge loop. */
@@ -2266,6 +2320,49 @@ object SparkEntry {
         .orderBy("doc_id", "tpos")
     }),
 
+    // TOTAL encoding under byte fallback: every document gets words the
+    // training corpus cannot contain (Greek, a 4-byte emoji) appended,
+    // and the fallback model — specials at ids 0..1, the 256 byte
+    // tokens at 2..257, then alphabet + products — must still encode
+    // every token (an unseen code point expands to its UTF-8 byte ids;
+    // -1 never appears). The oracle replays the byte decomposition
+    // arithmetically from unicode(token) and joins it to ITS vocab.
+    "x_bpe_fallback" -> ((s, d) => {
+      val model = Bpe.BpeModel(bpeGateMerges, 0L, 0L, bpeGateVocabFb(s, d),
+        byteFallback = true, specials = bpeGateSpecials)
+      docs(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(bpeOovSuffix)).as("text"))
+        .select(col("doc_id"),
+          posexplode(Bpe.encodeIdsCol(col("text"), model)))
+        .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("tpos"),
+          col("col").as("token_id"))
+        .orderBy("doc_id", "tpos")
+    }),
+
+    // packing with the per-document SEPARATOR cost budgeted: every doc
+    // costs its BPE tokens + 1 EOS in the token stream, so offsets and
+    // pack boundaries match what a separator-appending shard writer
+    // actually lays out
+    "x_bpe_pack_sep" -> ((s, d) => {
+      val counted = docs(s, d).select(col("doc_id"),
+        coalesce(col("lang"), lit("")).as("lang"),
+        size(Bpe.encodeCol(col("text"), bpeGateMerges)).cast(LongType).as("n_bpe"))
+      Sample.packByTokenBudget(counted, "lang", "doc_id", "n_bpe", 512L,
+          sepCost = 1L)
+        .select("doc_id", "lang", "n_bpe", "pack_offset", "pack_id")
+        .orderBy("doc_id")
+    }),
+
+    // chunking with per-chunk separator headroom: 3 of the 64-token
+    // window are reserved (BOS/EOS/separator), so content packs against
+    // 61 and `n_tokens + 3 <= 64` always holds — the oracle walks the
+    // same greedy budget at 61
+    "x_bpe_chunk_sep" -> ((s, d) =>
+      Bpe.chunkByTokenBudget(docs(s, d), "doc_id", "text", bpeGateMerges,
+          64L, sepCost = 3L)
+        .orderBy("doc_id", "chunk_id")),
+
     // document fingerprinting (md5 + portable 60-bit hash)
     "x_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(docs(s, d), "text")
@@ -2972,6 +3069,53 @@ object SparkEntry {
       }
     }),
 
+    // tokenize-on-ingest: the SAME production sink with a saved BPE
+    // model attached — every streamed document LANDS pre-tokenized
+    // (`token_ids` appended per batch, model identity stamped by
+    // content fingerprint), and the landed ids are replayed by the
+    // x_bpe_ids oracle (recursive-CTE apply + vocab join) over the
+    // streamed doc range: the one stream output column that was
+    // previously only spec-checked is now DuckDB-gated end to end
+    "x_stream_token_ingest" -> ((s, d) => {
+      val st = store(s, d)
+      st.synchronized {
+        val idxPath = cloneTree(s, ingBaseTextIndex(s, d),
+          indexPath("stk_", d) +
+            "-" + java.util.UUID.randomUUID().toString.take(8))
+        val modelPath = "/tmp/graft-bpe-model-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val model = Bpe.BpeModel(bpeGateMerges, 0L, 0L, bpeGateVocab(s, d))
+        Bpe.saveBpeModel(s, model, modelPath)
+        val b1 = docs(s, d)
+          .filter(col("doc_id") >= 200 && col("doc_id") < 250)
+          .select("doc_id", "text")
+        val b2 = docs(s, d)
+          .filter(col("doc_id") >= 250 && col("doc_id") < 300)
+          .select("doc_id", "text")
+        if (st.isTable("stream/token_ingest")) st.drop("stream/token_ingest")
+        st.put("stream/token_ingest", b1.limit(0)
+          .withColumn("token_ids", Bpe.encodeIdsCol(col("text"), model)))
+        withStagedBatches(s, Seq(b1, b2)) { (src, ckpt) =>
+          graft.streaming.EventStream.textIndexIngestSink(src, st,
+            "stream/token_ingest", ckpt, idxPath, "doc_id", "text",
+            bpeModelPath = Some(modelPath))
+            .awaitTermination()
+        }
+        val out = localized(s, st.table("stream/token_ingest").df
+          .select(col("doc_id"), posexplode(col("token_ids")))
+          .select(col("doc_id"),
+            (col("pos") + 1).cast(LongType).as("tpos"),
+            col("col").as("token_id")))
+        try {
+          val fs = new org.apache.hadoop.fs.Path(idxPath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(idxPath), true)
+          fs.delete(new org.apache.hadoop.fs.Path(modelPath), true); ()
+        } catch { case _: Exception => () }
+        out.orderBy("doc_id", "tpos")
+      }
+    }),
+
     // continuous-ingest dedup: the fresh cross-corpus batch streams
     // through the index-deduped PRODUCTION sink — documents near-
     // duplicating the persisted reference snapshot are dropped in
@@ -3647,6 +3791,19 @@ object SparkEntry {
        """FROM post p JOIN q USING (token) WHERE p.token <> '' """ +
        """GROUP BY 1 ORDER BY overlap DESC, p.doc_id LIMIT 10"""),
 
+    // tokenize-on-ingest: the landed token_ids column == the x_bpe_ids
+    // replay (recursive-CTE rank-greedy apply + vocab join) over
+    // exactly the streamed documents; the vocab derives from the FULL
+    // corpus (the model's training view), the apply chain only from the
+    // streamed range
+    "x_stream_token_ingest" ->
+      (s"""WITH RECURSIVE ${bpeApplyCtesOver(
+            "(SELECT doc_id, text FROM documents WHERE doc_id >= 200 AND doc_id < 300)")}, """ +
+       s"""$bpeVocabCtes, """ +
+       """enc AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY widx, spos) AS tpos, token FROM toks) """ +
+       """SELECT e.doc_id, e.tpos, COALESCE(v.token_id, -1) AS token_id """ +
+       """FROM enc e LEFT JOIN vocab v ON e.token = v.token ORDER BY doc_id, tpos"""),
+
     // streaming index-dedup survivors == the fresh batch minus every
     // document the cross-corpus LSH matches against the indexed snapshot
     "x_stream_dedup_index" ->
@@ -4200,6 +4357,58 @@ object SparkEntry {
       (s"""WITH RECURSIVE $bpeApplyCtes """ +
        """SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY widx, spos) AS tpos, token """ +
        """FROM toks ORDER BY doc_id, tpos"""),
+
+    // total encoding under byte fallback: the apply chain runs over the
+    // suffix-modified documents, the vocab over the ORIGINAL corpus
+    // (that asymmetry is the point — the suffix words are post-training
+    // data); a token missing from the vocab decomposes into its UTF-8
+    // bytes arithmetically from unicode(token) (sound because an OOV
+    // token is always a single unseen code point — merges only produce
+    // in-vocab strings) and each byte joins the vocab by its
+    // `<0xNN>` form
+    "x_bpe_fallback" ->
+      (s"""WITH RECURSIVE ${bpeApplyCtesOver(
+            s"(SELECT doc_id, text || '$bpeOovSuffix' AS text FROM documents)")}, """ +
+       s"""$bpeVocabFbCtes, """ +
+       """oov AS (SELECT doc_id, widx, spos, unicode(token) AS cp FROM toks WHERE token NOT IN (SELECT token FROM vocab)), """ +
+       """oovb AS (SELECT doc_id, widx, spos, CASE WHEN cp < 128 THEN [cp] """ +
+       """WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64] """ +
+       """WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64] """ +
+       """ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64] END AS bs FROM oov), """ +
+       """expb AS (SELECT doc_id, widx, spos, generate_subscripts(bs, 1) AS bord, unnest(bs) AS b FROM oovb), """ +
+       """exp AS (SELECT t.doc_id, t.widx, t.spos, 0 AS bord, v.token_id FROM toks t JOIN vocab v ON t.token = v.token """ +
+       """UNION ALL SELECT e.doc_id, e.widx, e.spos, e.bord, v.token_id FROM expb e JOIN vocab v ON printf('<0x%02X>', e.b) = v.token) """ +
+       """SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY widx, spos, bord) AS tpos, token_id::BIGINT AS token_id """ +
+       """FROM exp ORDER BY doc_id, tpos"""),
+
+    // packing with the per-document separator budgeted: the window sums
+    // n_bpe + 1 — one EOS per document in the laid-out token stream
+    "x_bpe_pack_sep" ->
+      (s"""WITH RECURSIVE $bpeApplyCtes, """ +
+       """cnts AS (SELECT d.doc_id, COALESCE(d.lang, '') AS lang, COALESCE(t.n, 0)::BIGINT AS n_bpe """ +
+       """FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t ON d.doc_id = t.doc_id), """ +
+       """o AS (SELECT *, COALESCE(SUM(n_bpe + 1) OVER (PARTITION BY lang ORDER BY doc_id """ +
+       """ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pack_offset FROM cnts) """ +
+       """SELECT doc_id, lang, n_bpe, pack_offset, pack_offset // 512 AS pack_id """ +
+       """FROM o ORDER BY doc_id"""),
+
+    // chunking with 3 of the 64-token window reserved for separators:
+    // the same greedy walk against the 61-token content budget
+    "x_bpe_chunk_sep" ->
+      (s"""WITH RECURSIVE $bpeApplyCtes, """ +
+       """wcnt AS (SELECT doc_id, widx, count(*) AS c FROM toks GROUP BY 1, 2), """ +
+       """wseq AS MATERIALIZED (SELECT w.doc_id, row_number() OVER (PARTITION BY w.doc_id ORDER BY w.widx) AS seq, w.w, wc.c """ +
+       """FROM words w JOIN wcnt wc ON w.doc_id = wc.doc_id AND w.widx = wc.widx), """ +
+       """walk AS (SELECT doc_id, seq, w, c, 0::BIGINT AS chunk_id, c AS running FROM wseq WHERE seq = 1 """ +
+       """UNION ALL SELECT s.doc_id, s.seq, s.w, s.c, """ +
+       """CASE WHEN p.running + s.c > 61 THEN p.chunk_id + 1 ELSE p.chunk_id END, """ +
+       """CASE WHEN p.running + s.c > 61 THEN s.c ELSE p.running + s.c END """ +
+       """FROM walk p JOIN wseq s ON s.doc_id = p.doc_id AND s.seq = p.seq + 1) """ +
+       """SELECT doc_id, chunk_id, string_agg(w, ' ' ORDER BY seq) AS chunk_text, sum(c)::BIGINT AS n_tokens """ +
+       """FROM walk GROUP BY 1, 2 """ +
+       """UNION ALL SELECT doc_id, 0::BIGINT, '', 0::BIGINT FROM documents """ +
+       """WHERE doc_id NOT IN (SELECT doc_id FROM words) """ +
+       """ORDER BY doc_id, chunk_id"""),
 
     "x_fingerprint" ->
       (s"""SELECT doc_id, md5(text) AS md5, ${h60sql("text")} AS h60, """ +

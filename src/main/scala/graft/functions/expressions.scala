@@ -1171,6 +1171,22 @@ object CodePoints {
   }
 }
 
+/** The byte-fallback token surface forms — the byte-BPE convention
+  * (SentencePiece's `<0xNN>` rendering): 256 reserved tokens, one per
+  * byte value, always present in a fallback-enabled vocabulary so
+  * encoding is TOTAL on any input (an unseen code point encodes as its
+  * UTF-8 bytes instead of an out-of-vocabulary sentinel). Hex is
+  * UPPERCASE: the tokenizer lowercases its input, so a corpus-derived
+  * token can never spell a form containing `A`–`F`; only the 210
+  * digit-only forms are theoretically reachable by a merge chain that
+  * reassembles the literal 6-char string, and the first-id-wins vocab
+  * dedup keeps even that case deterministic. */
+object ByteTokens {
+  def token(b: Int): String = f"<0x$b%02X>"
+  /** All 256 forms in byte order — the vocabulary block. */
+  val all: IndexedSeq[String] = (0 until 256).map(token)
+}
+
 /** Rank-greedy BPE segmenter shared by the BPE kernels ([[BpeEncode]],
   * [[BpeChunk]]) — ONE merge-application loop so the chunker can never
   * count tokens differently than the encoder emits them. Each word
@@ -1186,7 +1202,7 @@ object CodePoints {
   * task; long words are rare enough that re-segmenting beats retaining
   * them). Instantiate per task inside a `@transient lazy val`: the map
   * is single-threaded by construction. */
-private[functions] final class BpeSegmenter(merges: Array[Array[String]]) {
+private[graft] final class BpeSegmenter(merges: Array[Array[String]]) {
   // boxed Integer values: a primitive-Int value type would make the
   // missing-key `get` unbox null to 0 — rank 0, the BEST merge
   private val ranks: java.util.HashMap[(String, String), java.lang.Integer] = {
@@ -1404,13 +1420,20 @@ case class BpeChunk(child: Expression, merges: Array[Array[String]],
 /** Dense-id mapping of an `array<string>` of tokens against a fixed
   * VOCABULARY (position = id) — the id-emitting half of the BPE
   * tokenizer ([[graft.ops.Bpe.encodeIdsCol]]), composable with any
-  * token-array column. Positional: one id per input element; a token
-  * absent from the vocabulary (or a NULL element) maps to -1 rather
-  * than being dropped, so `token_ids[i]` always describes `tokens[i]`.
-  * The vocab rides the serialized expression (a production 32k-merge
-  * vocabulary is a few hundred KB) and the string→id map is built once
-  * per task. */
-case class TokenIds(child: Expression, vocab: Array[String])
+  * token-array column. Without fallback it is positional: one id per
+  * input element; a token absent from the vocabulary (or a NULL
+  * element) maps to -1 rather than being dropped, so `token_ids[i]`
+  * always describes `tokens[i]`. With `byteFallback` (the byte-BPE
+  * convention — requires every [[ByteTokens]] form in the vocab) the
+  * mapping is TOTAL instead: an out-of-vocabulary token expands to the
+  * ids of its UTF-8 bytes in order (a NULL element, which has no
+  * bytes, expands to nothing), so -1 is never emitted — at the price
+  * of the 1:1 positional alignment, which byte expansion inherently
+  * breaks. The vocab rides the serialized expression (a production
+  * 32k-merge vocabulary is a few hundred KB) and the string→id map is
+  * built once per task. */
+case class TokenIds(child: Expression, vocab: Array[String],
+                    byteFallback: Boolean = false)
     extends UnaryExpression {
   require(vocab.nonEmpty && vocab.forall(t => t != null && t.nonEmpty),
     "vocab must be non-empty tokens")
@@ -1418,6 +1441,12 @@ case class TokenIds(child: Expression, vocab: Array[String])
   // only throw inside executor tasks (the BpeEncode discipline)
   require(vocab.distinct.length == vocab.length,
     "duplicate token in the vocabulary")
+  if (byteFallback) {
+    val vs = vocab.toSet
+    require(ByteTokens.all.forall(vs.contains),
+      "byteFallback needs all 256 byte tokens (<0x00>..<0xFF>) in the " +
+        "vocabulary — build the model with byteFallback = true")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "token_ids"
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -1435,20 +1464,42 @@ case class TokenIds(child: Expression, vocab: Array[String])
     while (i < vocab.length) { m.put(vocab(i), java.lang.Long.valueOf(i.toLong)); i += 1 }
     m
   }
+  // byte value -> its byte token's id, resolved through the SAME id map
+  // (positions, not assumptions about vocab layout)
+  @transient private lazy val byteIds: Array[Long] = {
+    val a = new Array[Long](256)
+    var b = 0
+    while (b < 256) { a(b) = ids.get(ByteTokens.token(b)).longValue(); b += 1 }
+    a
+  }
   def map(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
-    val out = new Array[Long](n)
+    var out = new Array[Long](n)
+    var m = 0
+    def push(v: Long): Unit = {
+      if (m == out.length)
+        out = java.util.Arrays.copyOf(out, math.max(4, out.length * 2))
+      out(m) = v; m += 1
+    }
     var i = 0
     while (i < n) {
-      out(i) =
-        if (toks.isNullAt(i)) -1L
+      if (toks.isNullAt(i)) { if (!byteFallback) push(-1L) }
+      else {
+        val t = toks.getUTF8String(i)
+        val id = ids.get(t.toString)
+        if (id != null) push(id.longValue())
+        else if (!byteFallback) push(-1L)
         else {
-          val id = ids.get(toks.getUTF8String(i).toString)
-          if (id == null) -1L else id.longValue()
+          // UTF8String already holds the UTF-8 bytes — expand in order
+          val bs = t.getBytes
+          var j = 0
+          while (j < bs.length) { push(byteIds(bs(j) & 0xff)); j += 1 }
         }
+      }
       i += 1
     }
-    ArrayData.toArrayData(out)
+    ArrayData.toArrayData(
+      if (m == out.length) out else java.util.Arrays.copyOf(out, m))
   }
   override def nullSafeEval(v: Any): Any = map(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -1459,15 +1510,173 @@ case class TokenIds(child: Expression, vocab: Array[String])
   // hazard) so semanticEquals holds for equal tables
   override def equals(other: Any): Boolean = other match {
     case t: TokenIds =>
-      child == t.child && java.util.Arrays.equals(
-        vocab.asInstanceOf[Array[AnyRef]], t.vocab.asInstanceOf[Array[AnyRef]])
+      child == t.child && byteFallback == t.byteFallback &&
+        java.util.Arrays.equals(
+          vocab.asInstanceOf[Array[AnyRef]], t.vocab.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
   @transient private lazy val tabHash =
     java.util.Arrays.hashCode(vocab.asInstanceOf[Array[AnyRef]])
-  override def hashCode(): Int = 31 * child.hashCode() + tabHash
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + tabHash) + byteFallback.hashCode()
   override protected def withNewChildInternal(newChild: Expression): TokenIds =
     copy(child = newChild)
+}
+
+/** Bounded top-k buffer: a k-sized min-heap whose root is the WORST
+  * retained entry under (score desc, id asc) — [[TopKByScore]]'s
+  * aggregation state. Insertion is O(log k); memory is O(k) triples no
+  * matter how many rows stream through — the bound that replaces a
+  * full partition sort in the ANN re-rank paths. Double ordering is
+  * `java.lang.Double.compare` (NaN greatest, -0.0 < 0.0) — the same
+  * total order Spark's sort uses, so results match a `row_number`
+  * window over (score desc, id asc) exactly. */
+private[graft] final class TopKHeap(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  val pays = new Array[Long](k)
+  var n = 0
+  // entry (s1, i1) ranks strictly BELOW (s2, i2)
+  private def worseThan(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
+  private def swap(a: Int, b: Int): Unit = {
+    val s = scores(a); scores(a) = scores(b); scores(b) = s
+    val i = ids(a); ids(a) = ids(b); ids(b) = i
+    val p = pays(a); pays(a) = pays(b); pays(b) = p
+  }
+  def insert(s: Double, id: Long, p: Long): Unit = {
+    if (n < k) {
+      scores(n) = s; ids(n) = id; pays(n) = p; n += 1
+      var i = n - 1
+      var done = false
+      while (!done && i > 0) {
+        val par = (i - 1) >> 1
+        if (worseThan(scores(i), ids(i), scores(par), ids(par))) {
+          swap(i, par); i = par
+        } else done = true
+      }
+    } else if (worseThan(scores(0), ids(0), s, id)) {
+      scores(0) = s; ids(0) = id; pays(0) = p
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1
+        var w = i
+        if (l < n && worseThan(scores(l), ids(l), scores(w), ids(w))) w = l
+        if (r < n && worseThan(scores(r), ids(r), scores(w), ids(w))) w = r
+        if (w == i) done = true else { swap(i, w); i = w }
+      }
+    }
+  }
+  /** Indices 0..n-1 in best-first order (score desc, id asc). */
+  def rankedIdx: Array[Int] = {
+    val idx = Array.tabulate[Integer](n)(Integer.valueOf)
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      def compare(a: Integer, b: Integer): Int = {
+        val c = java.lang.Double.compare(scores(b), scores(a))
+        if (c != 0) c else java.lang.Long.compare(ids(a), ids(b))
+      }
+    })
+    idx.map(_.intValue())
+  }
+}
+
+/** Per-group bounded TOP-K aggregate under (score desc, id asc) —
+  * `array<struct<id, score, payload>>` of the k best (score, id,
+  * payload) triples per group, best first. The scale-shape alternative
+  * to `row_number().over(Window...) <= k`: a rank-filtered window must
+  * SORT each group's full candidate relation (per-partition sort
+  * footprint proportional to candidates, the structure that sat at the
+  * heap edge in the >64k ANN re-rank), where this aggregate holds O(k)
+  * per group at every stage — partial aggregation caps each map task's
+  * contribution at k triples per group BEFORE the shuffle, and the
+  * merge is heap-insert of ≤ k entries. Ties and NaN ordering match
+  * the window exactly ([[TopKHeap]]); NULL scores/ids are dropped (a
+  * NULL is not a ranking — the window would surface them only in
+  * groups with fewer than k real candidates). `payload` carries one
+  * LONG of row context (a list id, a bucket) through the cut; NULL
+  * payload stores 0. */
+case class TopKByScore(score: Expression, id: Expression,
+                       payload: Expression, k: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[TopKHeap] {
+  require(k >= 1 && k <= (1 << 20), s"k must be in [1, 2^20], got $k")
+  override def children: Seq[Expression] = Seq(score, id, payload)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false),
+    StructField("payload", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "top_k_by_score"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (score.dataType, id.dataType, payload.dataType) match {
+      case (DoubleType, LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_k_by_score requires (double, bigint, bigint), got $other")
+    }
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+  override def update(b: TopKHeap, input: InternalRow): TopKHeap = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      val p = payload.eval(input)
+      b.insert(s.asInstanceOf[Double], i.asInstanceOf[Long],
+        if (p == null) 0L else p.asInstanceOf[Long])
+    }
+    b
+  }
+  override def merge(b: TopKHeap, o: TopKHeap): TopKHeap = {
+    var j = 0
+    while (j < o.n) { b.insert(o.scores(j), o.ids(j), o.pays(j)); j += 1 }
+    b
+  }
+  override def eval(b: TopKHeap): Any = {
+    val idx = b.rankedIdx
+    val rows = new Array[Any](idx.length)
+    var j = 0
+    while (j < idx.length) {
+      val i = idx(j)
+      rows(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](b.ids(i), b.scores(i), b.pays(i)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+  override def serialize(b: TopKHeap): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(4 + b.n * 24)
+    buf.putInt(b.n)
+    var j = 0
+    while (j < b.n) {
+      buf.putDouble(b.scores(j)); buf.putLong(b.ids(j)); buf.putLong(b.pays(j))
+      j += 1
+    }
+    buf.array()
+  }
+  override def deserialize(bytes: Array[Byte]): TopKHeap = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val n = buf.getInt()
+    val b = new TopKHeap(k)
+    var j = 0
+    while (j < n) {
+      val s = buf.getDouble(); val i = buf.getLong(); val p = buf.getLong()
+      b.insert(s, i, p)
+      j += 1
+    }
+    b
+  }
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(score = newChildren(0), id = newChildren(1), payload = newChildren(2))
 }
 
 /** First-occurrence line filter over an array of lines (kernel in
@@ -1756,8 +1965,14 @@ object native {
   def bpe_encode(words: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeEncode(Bridge.expression(words),
       merges.map(p => Array(p._1, p._2)).toArray))
-  def token_ids(tokens: Column, vocab: Seq[String]): Column =
-    Bridge.column(TokenIds(Bridge.expression(tokens), vocab.toArray))
+  def token_ids(tokens: Column, vocab: Seq[String],
+                byteFallback: Boolean = false): Column =
+    Bridge.column(TokenIds(Bridge.expression(tokens), vocab.toArray,
+      byteFallback))
+  def top_k_by_score(score: Column, id: Column, payload: Column,
+                     k: Int): Column =
+    Bridge.column(TopKByScore(Bridge.expression(score), Bridge.expression(id),
+      Bridge.expression(payload), k).toAggregateExpression())
   def bpe_chunk(words: Column, merges: Seq[(String, String)],
                 budget: Long): Column =
     Bridge.column(BpeChunk(Bridge.expression(words),

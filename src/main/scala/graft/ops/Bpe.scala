@@ -44,16 +44,31 @@ object Bpe {
   /** A learned merge table (rank order = `merges` order), the word mass
     * that trained it (`coveredMass` of `totalMass` whitespace-token
     * occurrences were inside the `maxWords` dictionary cap), and the
-    * VOCABULARY: every token the tokenizer can emit over its training
-    * corpus — the corpus's base symbols (distinct code points, unsigned
-    * UTF-8 byte order) followed by the merge products in rank order
-    * (first rank wins when two merges produce the same string) — with
-    * dense ids `0 .. vocab.size-1` by position. Models saved before the
-    * vocab existed load with `vocab` empty; id-emitting paths refuse
-    * them loudly. */
+    * VOCABULARY: every token the tokenizer can emit — `specials` first
+    * (reserved control tokens: EOS/PAD/separators, never produced by
+    * encoding), then (under `byteFallback`) the 256 byte tokens
+    * `<0x00>..<0xFF>` ([[graft.functions.ByteTokens]]), then the
+    * training corpus's base symbols (distinct code points, unsigned
+    * UTF-8 byte order), then the merge products in rank order (first
+    * occurrence wins when two entries produce the same string) — with
+    * dense ids `0 .. vocab.size-1` by position.
+    *
+    * `byteFallback` makes encoding TOTAL on any input (the byte-BPE
+    * convention): a post-training code point the corpus never saw
+    * encodes as its UTF-8 bytes instead of the -1 OOV sentinel, so ids
+    * can always feed a training run. `bytesPerTokenCovered` is the
+    * compression stat measured over the capped training dictionary
+    * (UTF-8 bytes per emitted token, mass-weighted; -1.0 when
+    * unmeasured — e.g. a hand-built fixture model or an empty dict;
+    * -1.0 rather than NaN so model equality stays reflexive).
+    * Models saved before the vocab existed load with `vocab` empty;
+    * id-emitting paths refuse them loudly. */
   final case class BpeModel(merges: Seq[(String, String)],
                             coveredMass: Long, totalMass: Long,
-                            vocab: Seq[String] = Seq.empty)
+                            vocab: Seq[String] = Seq.empty,
+                            byteFallback: Boolean = false,
+                            specials: Seq[String] = Seq.empty,
+                            bytesPerTokenCovered: Double = -1.0)
 
   /** Word-frequency dictionary of the corpus: whitespace tokens of the
     * lowercased text ([[TextStats.tokens]]), empties dropped —
@@ -315,7 +330,9 @@ object Bpe {
     * encoding the training corpus never yields an out-of-vocabulary
     * base symbol. */
   def learnBpe(df: DataFrame, textCol: String, nMerges: Int,
-               maxWords: Int = 1 << 16, minPairCount: Long = 2L): BpeModel = {
+               maxWords: Int = 1 << 16, minPairCount: Long = 2L,
+               byteFallback: Boolean = false,
+               specials: Seq[String] = Seq.empty): BpeModel = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
     val wf = wordFreqs(df, textCol).localCheckpoint(true)
@@ -330,7 +347,47 @@ object Bpe {
     wf.unpersist()
     val coveredMass = dict.map(_._2).sum
     val merges = mergeLoop(dict, nMerges, minPairCount)
-    BpeModel(merges, coveredMass, totalMass, buildVocab(base, merges))
+    BpeModel(merges, coveredMass, totalMass,
+      buildVocab(base, merges, byteFallback, specials),
+      byteFallback, specials, bytesPerToken(dict, merges))
+  }
+
+  /** Mass-weighted UTF-8 bytes per emitted token over a word dictionary
+    * under the learned merges (the capped training dict in [[learnBpe]])
+    * — the model-card compression stat: how many corpus bytes one model
+    * token carries on the data that trained it. -1.0 on an empty dict. */
+  private[graft] def bytesPerToken(dict: Array[(String, Long)],
+                                   merges: Seq[(String, String)]): Double = {
+    val seg = new graft.functions.BpeSegmenter(
+      merges.map(p => Array(p._1, p._2)).toArray)
+    var bytes = 0L
+    var toks = 0L
+    dict.foreach { case (w, c) =>
+      bytes += c * w.getBytes("UTF-8").length
+      toks += c * seg.segment(w).length
+    }
+    if (toks == 0L) -1.0 else bytes.toDouble / toks
+  }
+
+  /** Deterministic CONTENT fingerprint of a model: SHA-256 over a
+    * canonical serialization of (merges, vocab, byteFallback,
+    * specials-count), hex. Two saves of the same learned model agree;
+    * any behavioral difference — one merge, one vocab entry, the
+    * fallback flag — changes it. The ingest stamp keys on THIS, not the
+    * save path: retraining over the same path must be refused, and the
+    * same model at two paths must be accepted
+    * ([[graft.streaming.EventStream]]). */
+  def fingerprint(model: BpeModel): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def put(s: String): Unit = {
+      md.update(s.getBytes("UTF-8")); md.update(0.toByte)
+    }
+    model.merges.foreach { case (l, r) => put(l); put(r) }
+    md.update(1.toByte)
+    model.vocab.foreach(put)
+    md.update(if (model.byteFallback) 2.toByte else 3.toByte)
+    put(model.specials.length.toString)
+    md.digest().map(b => f"$b%02x").mkString
   }
 
   /** The corpus's base-symbol alphabet: distinct code points across the
@@ -347,14 +404,24 @@ object Bpe {
     syms.sortWith(byteLt)
   }
 
-  /** Deterministic vocabulary: base symbols (byte order) then merge
-    * products in rank order, first occurrence winning the id when two
-    * merges produce the same string ((a,bc) and (ab,c) both yield
-    * "abc"); a merge product can never collide with a base symbol (one
-    * code point vs at least two). Position = dense token id. */
-  def buildVocab(base: Seq[String], merges: Seq[(String, String)]): Vector[String] = {
+  /** Deterministic vocabulary: `specials` in their given order, then
+    * (under `byteFallback`) the 256 byte tokens in byte order, then
+    * base symbols (byte order), then merge products in rank order —
+    * first occurrence winning the id when two entries produce the same
+    * string ((a,bc) and (ab,c) both yield "abc"); a merge product can
+    * never collide with a base symbol (one code point vs at least
+    * two), and byte tokens can never collide with base symbols (six
+    * code points vs one). Position = dense token id. */
+  def buildVocab(base: Seq[String], merges: Seq[(String, String)],
+                 byteFallback: Boolean = false,
+                 specials: Seq[String] = Seq.empty): Vector[String] = {
+    require(specials.forall(s => s != null && s.nonEmpty) &&
+      specials.distinct.length == specials.length,
+      "specials must be distinct non-empty tokens")
     val seen = scala.collection.mutable.LinkedHashSet[String]()
-    base.distinct.sortWith(byteLt).foreach(seen += _)
+    specials.foreach(seen += _)
+    if (byteFallback) graft.functions.ByteTokens.all.foreach(seen += _)
+    base.distinct.sortWith(byteLt).foreach(t => if (!seen.contains(t)) seen += t)
     merges.foreach { case (l, r) => val t = l + r; if (!seen.contains(t)) seen += t }
     seen.toVector
   }
@@ -364,19 +431,46 @@ object Bpe {
     * DataFrame (the oracle-gated surface: a SQL engine reproduces it
     * from the same corpus and merge literal). */
   def vocabTable(spark: SparkSession, df: DataFrame, textCol: String,
-                 merges: Seq[(String, String)]): DataFrame = {
+                 merges: Seq[(String, String)],
+                 byteFallback: Boolean = false,
+                 specials: Seq[String] = Seq.empty): DataFrame = {
     import spark.implicits._
-    buildVocab(baseSymbols(wordFreqs(df, textCol)).toSeq, merges).zipWithIndex
+    buildVocab(baseSymbols(wordFreqs(df, textCol)).toSeq, merges,
+        byteFallback, specials).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("token_id", "token")
+  }
+
+  /** The MODEL CARD as a one-row DataFrame — the summary stats a 100-TB
+    * operator asks of any stored artifact before trusting it: size
+    * dials (merge count, vocab size, alphabet size = single-code-point
+    * entries outside the specials prefix), training mass
+    * (covered/total + their ratio), measured compression
+    * (bytes/token over the covered dictionary), the fallback/specials
+    * flags, and the content [[fingerprint]]. Pure function of the
+    * model, queryable beside `merges`/`vocab` in any engine. */
+  def modelCard(spark: SparkSession, model: BpeModel): DataFrame = {
+    import spark.implicits._
+    val alphabet = model.vocab.drop(model.specials.length)
+      .count(t => t.codePointCount(0, t.length) == 1)
+    Seq((model.merges.length.toLong, model.vocab.length.toLong,
+        alphabet.toLong, model.coveredMass, model.totalMass,
+        if (model.totalMass == 0L) -1.0
+        else model.coveredMass.toDouble / model.totalMass,
+        model.bytesPerTokenCovered, model.byteFallback,
+        model.specials.length.toLong, fingerprint(model)))
+      .toDF("n_merges", "vocab_size", "alphabet_size", "covered_mass",
+        "total_mass", "covered_frac", "bytes_per_token_covered",
+        "byte_fallback", "n_specials", "fingerprint")
   }
 
   /** Persist a model: merge-table parquet at `path/merges` (`(rank, l,
     * r)` plus the constant mass columns, rank = -1 sentinel row
-    * carrying the stats so a legitimately EMPTY model round-trips) and
-    * the vocabulary at `path/vocab` (`(token_id, token)`) — the
-    * saved-model discipline of [[Classifier.saveNaiveBayes]], split so
-    * the id mapping is a first-class queryable table (join a token
-    * column to it in ANY engine). */
+    * carrying the stats so a legitimately EMPTY model round-trips),
+    * the vocabulary at `path/vocab` (`(token_id, token)`), and the
+    * [[modelCard]] at `path/card` — the saved-model discipline of
+    * [[Classifier.saveNaiveBayes]], split so the id mapping and the
+    * card are first-class queryable tables (join a token column, or
+    * audit the fingerprint, in ANY engine). */
   def saveBpeModel(spark: SparkSession, model: BpeModel, path: String): Unit = {
     import spark.implicits._
     ((-1L, null: String, null: String) +: model.merges.zipWithIndex
@@ -388,11 +482,19 @@ object Bpe {
     model.vocab.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("token_id", "token")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    modelCard(spark, model)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/card")
   }
 
   /** Read a persisted model back, merges in rank order, vocab in id
-    * order. Pre-vocab models (a single parquet directly at `path`) load
-    * with an empty vocab; [[encodeIdsCol]] refuses those loudly. */
+    * order, flags/stats from the card — and VERIFY the card's
+    * fingerprint against the loaded content (a mismatch means the
+    * model tree was partially overwritten: merges from one save, vocab
+    * or card from another — exactly the torn state a later
+    * mode-overwrite re-save can leave, refused loudly here). Pre-card
+    * models load with default flags and an unmeasured (-1.0) compression stat;
+    * pre-vocab models (a single parquet directly at `path`) load with
+    * an empty vocab and [[encodeIdsCol]] refuses them loudly. */
   def loadBpeModel(spark: SparkSession, path: String): BpeModel = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -406,8 +508,25 @@ object Bpe {
       if (v2) spark.read.parquet(s"$path/vocab").orderBy("token_id")
         .collect().map(_.getString(1)).toSeq
       else Seq.empty[String]
-    BpeModel(rows.tail.map(r => (r.getString(1), r.getString(2))).toSeq,
-      rows.head.getLong(3), rows.head.getLong(4), vocab)
+    val hasCard =
+      v2 && fs.exists(new org.apache.hadoop.fs.Path(s"$path/card"))
+    val (fb, nSpecials, bpt, cardFp) =
+      if (hasCard) {
+        val c = spark.read.parquet(s"$path/card")
+          .select("byte_fallback", "n_specials", "bytes_per_token_covered",
+            "fingerprint").head()
+        (c.getBoolean(0), c.getLong(1).toInt, c.getDouble(2),
+          Some(c.getString(3)))
+      } else (false, 0, -1.0, None)
+    val model = BpeModel(
+      rows.tail.map(r => (r.getString(1), r.getString(2))).toSeq,
+      rows.head.getLong(3), rows.head.getLong(4), vocab,
+      fb, vocab.take(nSpecials), bpt)
+    cardFp.foreach(f => require(f == fingerprint(model),
+      s"loadBpeModel: $path is TORN — the card's fingerprint does not " +
+        "match the merges+vocab on disk (partial overwrite of the model " +
+        "tree); re-save the model"))
+    model
   }
 
   /** Subword-token column for `textCol` under a merge table: whitespace
@@ -436,7 +555,7 @@ object Bpe {
       "encodeIdsCol needs a model with a vocabulary — re-learn or re-save " +
         "(pre-vocab saved models load with vocab empty)")
     graft.functions.native.token_ids(
-      encodeCol(textCol, model.merges), model.vocab)
+      encodeCol(textCol, model.merges), model.vocab, model.byteFallback)
   }
 
   /** `(idCol, token_ids)` — the corpus as `array<long>` model tokens,
@@ -473,6 +592,31 @@ object Bpe {
                 model: BpeModel): DataFrame =
     df.select(col(idCol), decodeIdsCol(col(idsCol), model).as("tokens"))
 
+  /** Detokenization: ids back to TEXT — [[decodeIdsCol]]'s token
+    * strings concatenated, with byte-fallback runs REASSEMBLED into the
+    * characters they spell (each `<0xNN>` token contributes its raw
+    * byte; everything is concatenated at the byte level and decoded as
+    * UTF-8), so under a fallback model
+    * `decodeTextCol(encodeIdsCol(text))` recovers exactly the
+    * concatenation of the text's lowercased whitespace words — on ANY
+    * input, seen script or not. Non-fallback models concatenate tokens
+    * verbatim (no reserved byte forms to reassemble). An id outside the
+    * vocab decodes to a NULL token and nulls the whole output — a
+    * corrupt ids row is a loud NULL, not a silently patched string.
+    * Pure built-ins (aggregate over UTF-8 byte pieces), one narrow
+    * projection. */
+  def decodeTextCol(idsCol: Column, model: BpeModel): Column = {
+    val toks = decodeIdsCol(idsCol, model)
+    // functions.encode, NOT Bpe.encode — this object shadows the name
+    val utf8 = (t: Column) => org.apache.spark.sql.functions.encode(t, "UTF-8")
+    val piece = (t: Column) =>
+      if (!model.byteFallback) utf8(t)
+      else when(t.rlike("^<0x[0-9A-F]{2}>$"),
+        unhex(substring(t, 4, 2))).otherwise(utf8(t))
+    decode(aggregate(toks, lit(Array.empty[Byte]),
+      (acc, t) => concat(acc, piece(t))), "UTF-8")
+  }
+
   /** Greedy word-boundary chunking with the window budget measured in
     * MODEL tokens ([[graft.functions.BpeChunk]]) — the RAG/context-
     * window prep step in actual tokenizer tokens, where
@@ -485,6 +629,15 @@ object Bpe {
     * `chunk_text` [the model's lowercased-word rendering, single-space
     * joined], `n_tokens` [the chunk's EXACT model-token count]).
     *
+    * `sepCost` reserves that many tokens of every chunk's budget for
+    * the special tokens a shard writer appends per SEQUENCE (EOS, a
+    * document separator — reserve their ids via [[BpeModel.specials]]):
+    * content packs against `budget - sepCost`, so `n_tokens + sepCost
+    * <= budget` always holds and downstream separator-appending never
+    * overflows a context window. `n_tokens` stays the CONTENT count
+    * (what the chunk's text encodes to) — the separator cost is the
+    * writer's, not the text's.
+    *
     * Scale shape: one narrow kernel projection + generate — the word
     * segmentations, budget walk, and chunk assembly all happen inside
     * the row, so there is no shuffle at any corpus size (contrast a
@@ -492,9 +645,13 @@ object Bpe {
     * which would shuffle the full corpus TWICE on document id). */
   def chunkByTokenBudget(df: DataFrame, idCol: String, textCol: String,
                          merges: Seq[(String, String)],
-                         budget: Long): DataFrame = {
+                         budget: Long, sepCost: Long = 0L): DataFrame = {
+    require(sepCost >= 0L && sepCost < budget,
+      s"need 0 <= sepCost < budget (a chunk must have room for content " +
+        s"after the reserved separators), got (budget=$budget, sepCost=$sepCost)")
     val chunks = graft.functions.native.bpe_chunk(
-      TextStats.tokens(coalesce(col(textCol), lit(""))), merges, budget)
+      TextStats.tokens(coalesce(col(textCol), lit(""))), merges,
+      budget - sepCost)
     df.select(col(idCol), posexplode(chunks))
       .select(col(idCol), col("pos").cast(LongType).as("chunk_id"),
         col("col.chunk_text").as("chunk_text"),

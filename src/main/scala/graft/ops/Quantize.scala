@@ -603,12 +603,20 @@ object Quantize {
         "query_id")
       .select(col("query_id"), col("neighbor_id"),
         Similarity.cosineFixed(col("_nv"), col("_qv")).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"))
+    // per-query cut via the BOUNDED top-k aggregate, not a rank-filtered
+    // window: a window must SORT each query's full candidate pool (the
+    // per-partition sort footprint that sat at the heap edge in the
+    // >64k ScaleDrive section), where the aggregate holds O(k) per
+    // query at every stage — ≤ k triples per query leave each map task,
+    // and the merge is a k-heap insert. Same order, ties, and NaN
+    // placement as the window (TopKHeap uses Spark's double ordering).
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.native.top_k_by_score(
+        col("score"), col("neighbor_id"), lit(0L), k).as("_tk"))
+      .select(col("query_id"), explode(col("_tk")).as("_e"))
+      .select(col("query_id"), col("_e.id").as("neighbor_id"),
+        col("_e.score").as("score"))
   }
 
   /** [[adcScore]] with PER-ROW lookup tables: `lutCol` is an
@@ -683,12 +691,18 @@ object Quantize {
     val scored = querySide.join(corpusSide, "_list")
       .select(col("_qid"), col("_nid"), col("_list"),
         adcScoreCols(col("_codes"), col("_lut"), cc, col("_qq")).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_qid")).orderBy(col("score").desc, col("_nid"))
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col("_qid").as("query_id"), col("_nid").as("neighbor_id"),
-        col("score"), col("_list").as("list"))
+    // bounded top-k per query (the ivfPqKnnJoinRefined discipline): the
+    // candidate pool here is nprobe lists' worth of corpus rows per
+    // query — a rank-filtered window would sort all of it; the
+    // aggregate keeps O(k) per query and ships ≤ k triples per query
+    // per map task. The probed list id rides through as the payload.
+    scored
+      .groupBy(col("_qid"))
+      .agg(graft.functions.native.top_k_by_score(
+        col("score"), col("_nid"), col("_list"), k).as("_tk"))
+      .select(col("_qid").as("query_id"), explode(col("_tk")).as("_e"))
+      .select(col("query_id"), col("_e.id").as("neighbor_id"),
+        col("_e.score").as("score"), col("_e.payload").as("list"))
   }
 
   // ---------------------------------------------------------------- //

@@ -122,18 +122,27 @@ object Sample {
     * `pack_id` and `pack_offset` (the document's first-token offset
     * within its group's token stream — byte-ranges for shard writers).
     *
+    * `sepCost` budgets the special tokens a shard writer appends per
+    * DOCUMENT (EOS/document separator): every document's footprint in
+    * the token stream becomes `tokenCol + sepCost`, so offsets and pack
+    * boundaries account for the separators downstream will actually
+    * write — without it a 2k-token window under-counts by one token per
+    * document, a small but systematic overflow once separators land.
+    *
     * Scale shape: ONE hash shuffle on `groupCol` + a running-sum window
     * per group — the same plan at 1000 executors; token counts ride the
     * window, text never does (pass a precomputed count column). Groups
     * are the parallelism unit: pack within (source × split) rather than
     * one global group so no single task owns the whole corpus. */
   def packByTokenBudget(df: DataFrame, groupCol: String, idCol: String,
-                        tokenCol: String, budget: Long): DataFrame = {
+                        tokenCol: String, budget: Long,
+                        sepCost: Long = 0L): DataFrame = {
     require(budget > 0, "token budget must be positive")
+    require(sepCost >= 0L, s"sepCost must be >= 0, got $sepCost")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(idCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val before = coalesce(sum(col(tokenCol)).over(w), lit(0L))
+    val before = coalesce(sum(col(tokenCol) + lit(sepCost)).over(w), lit(0L))
     // a NULL token count would be skipped by the window sum — the doc
     // would get a pack while consuming no budget, silently overflowing
     // its pack's accounting; a NEGATIVE count would shrink every later

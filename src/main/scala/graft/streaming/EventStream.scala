@@ -286,54 +286,87 @@ object EventStream {
     * without re-encoding the corpus. The table must have been created
     * with that column. Replay-sound twice over: token ids are a pure
     * function of (text, model), and the MODEL IDENTITY is stamped on
-    * the table's metadata (`bpeModel` attribute) the first time — a
-    * restart pointing at a DIFFERENT model path is refused loudly
-    * instead of silently mixing two tokenizations in one table
-    * (`deleteAttr(table, "bpeModel")` first after a deliberate
-    * corpus-wide re-tokenize). */
+    * the table's metadata as a CONTENT fingerprint (`bpeModelFp`
+    * attribute, [[graft.ops.Bpe.fingerprint]]; the path rides along in
+    * `bpeModel` as provenance) on the first batch — a restart under a
+    * model with DIFFERENT content (including one retrained and
+    * re-saved over the same path) is refused loudly before anything
+    * mutates, while the same model at another path is accepted;
+    * `deleteAttr(table, "bpeModelFp")` first after a deliberate
+    * corpus-wide re-tokenize. */
   def textIndexIngestSink(stream: DataFrame, store: HDFStore, table: String,
                           checkpoint: String, indexPath: String,
                           idCol: String, textCol: String,
                           trigger: Trigger = Trigger.AvailableNow(),
                           maintainEvery: Int = 0,
                           bpeModelPath: Option[String] = None): StreamingQuery = {
-    val tokenize: DataFrame => DataFrame = bpeModelPath match {
-      case None => identity
-      case Some(p) =>
-        // loaded ONCE at sink construction (driver); refuses a legacy
-        // no-vocab model before any batch runs
+    // model loaded ONCE at sink construction (driver); refuses a legacy
+    // no-vocab model before any batch runs. The identity STAMP is
+    // deferred to the first batch (micro-batches run sequentially on
+    // the driver): a sink that is constructed but never starts (bad
+    // checkpoint, query error before batch 0) leaves no stamp behind,
+    // and the check runs FIRST in the batch — before the index append
+    // and the store commit — so a model-mix refusal kills the batch
+    // with neither side mutated, and no row can ever land unstamped.
+    val bpe: Option[(String, graft.ops.Bpe.BpeModel, String)] =
+      bpeModelPath.map { p =>
         val model = graft.ops.Bpe.loadBpeModel(stream.sparkSession, p)
-        stampBpeModel(store, table, p)
-        batch => batch.withColumn("token_ids",
-          graft.ops.Bpe.encodeIdsCol(col(textCol), model))
-    }
+        (p, model, graft.ops.Bpe.fingerprint(model))
+      }
     appendSink(stream, store, table, checkpoint, trigger,
       afterBatch = maintenanceHook(stream.sparkSession, indexPath,
         maintainEvery),
       transform = batch => {
+        bpe.foreach { case (p, _, fp) => stampBpeModel(store, table, p, fp) }
         if (!textBatchReplayed(batch.sparkSession, indexPath, batch,
             idCol, textCol))
           graft.ops.TextIndex.appendTextIndex(batch, idCol, textCol,
             indexPath)
-        tokenize(batch)
+        bpe.fold(batch) { case (_, model, _) =>
+          batch.withColumn("token_ids",
+            graft.ops.Bpe.encodeIdsCol(col(textCol), model))
+        }
       })
   }
 
-  /** Record (or verify) which BPE model tokenizes a store table: first
-    * sink stamps the model path, later sinks must match it — rows
-    * encoded under two different merge tables in one table would be
-    * silently incomparable, the corruption this refuses. */
+  /** Record (or verify) which BPE model tokenizes a store table: the
+    * first batch stamps the model's CONTENT fingerprint
+    * ([[graft.ops.Bpe.fingerprint]], attr `bpeModelFp`; the save path
+    * rides along in `bpeModel` as provenance), later sinks must match
+    * it — rows encoded under two different merge tables in one table
+    * would be silently incomparable, the corruption this refuses.
+    * Keying on CONTENT is what makes the guard sound: a model
+    * retrained and re-saved over the SAME path (saveBpeModel writes
+    * mode overwrite) changes the fingerprint and is refused, while the
+    * same model re-saved at a different path (or the same path spelled
+    * two ways) matches and proceeds. Legacy tables stamped before the
+    * fingerprint existed carry only the path attr — those verify by
+    * path once more and are upgraded to the fingerprint in place. */
   private def stampBpeModel(store: HDFStore, table: String,
-                            path: String): Unit =
-    store.attr(table, "bpeModel") match {
+                            path: String, fp: String): Unit =
+    store.attr(table, "bpeModelFp") match {
       case Some(AttrValue.Str(prev)) =>
-        require(prev == path,
-          s"table '$table' is tokenized under BPE model '$prev'; refusing " +
-            s"'$path' — one table, one tokenization (deleteAttr 'bpeModel' " +
-            "after a deliberate corpus-wide re-encode)")
+        require(prev == fp,
+          s"table '$table' is tokenized under the BPE model fingerprinted " +
+            s"'${prev.take(12)}…'; refusing model '$path' (fingerprint " +
+            s"'${fp.take(12)}…') — one table, one tokenization (deleteAttr " +
+            "'bpeModelFp' after a deliberate corpus-wide re-encode)")
       case Some(other) => throw new IllegalArgumentException(
-        s"table '$table' has a non-string 'bpeModel' attribute: $other")
-      case None => store.setAttr(table, "bpeModel", path)
+        s"table '$table' has a non-string 'bpeModelFp' attribute: $other")
+      case None =>
+        store.attr(table, "bpeModel") match {
+          case Some(AttrValue.Str(prevPath)) =>
+            // legacy stamp: path-keyed once more, then upgraded
+            require(prevPath == path,
+              s"table '$table' is tokenized under BPE model '$prevPath' " +
+                s"(legacy path stamp); refusing '$path' — one table, one " +
+                "tokenization (deleteAttr 'bpeModel' after a deliberate " +
+                "corpus-wide re-encode)")
+          case Some(other) => throw new IllegalArgumentException(
+            s"table '$table' has a non-string 'bpeModel' attribute: $other")
+          case None => store.setAttr(table, "bpeModel", path)
+        }
+        store.setAttr(table, "bpeModelFp", fp)
     }
 
   /** [[textIndexIngestSink]]'s replay decision, separated for direct

@@ -341,4 +341,136 @@ class BpeSpec extends AnyFunSuite {
       assert(r.getInt(1) < r.getString(0).length)
     }
   }
+
+  test("byte fallback: vocab layout; unseen code points expand to byte ids; -1 never emitted") {
+    val docs = Seq((0L, "the cat"), (1L, "that hat the"), (2L, "chat the"))
+      .toDF("id", "text")
+    val m = Bpe.learnBpe(docs, "text", nMerges = 3,
+      byteFallback = true, specials = Seq("<eos>", "<pad>"))
+    // layout: specials at 0..1, the 256 byte tokens at 2..257, then the
+    // corpus alphabet (byte order), then merge products by rank
+    assert(m.vocab.take(2) == Seq("<eos>", "<pad>"))
+    assert(m.vocab.slice(2, 258) == graft.functions.ByteTokens.all)
+    val alpha = m.vocab.drop(258).takeWhile(t => t.codePointCount(0, t.length) == 1)
+    assert(alpha == alpha.sorted && alpha.contains("a") && alpha.contains("t"))
+    // post-training data with code points the corpus never saw: every
+    // token gets >= 1 id, OOV single symbols expand to their UTF-8
+    // byte ids, and -1 never appears — mirrored against the kernel's
+    // own token stream + a driver-side byte expansion
+    val post = Seq((0L, "thé cat"), (1L, "δδ λx7"), (2L, "💩th"),
+      (3L, "日本語 mixed"), (4L, ""), (5L, "ça va")).toDF("id", "text")
+    val vidx = m.vocab.zipWithIndex.toMap
+    val toks = Bpe.encode(post, "id", "text", m.merges).orderBy("id").collect()
+    val ids = Bpe.encodeIds(post, "id", "text", m).orderBy("id").collect()
+    toks.zip(ids).foreach { case (t, i) =>
+      val expect = t.getSeq[String](1).flatMap { tok =>
+        vidx.get(tok) match {
+          case Some(v) => Seq(v.toLong)
+          case None => tok.getBytes("UTF-8").toSeq
+            .map(b => vidx(graft.functions.ByteTokens.token(b & 0xff)).toLong)
+        }
+      }
+      val got = i.getSeq[Long](1)
+      assert(got == expect, s"id row ${i.getLong(0)}")
+      assert(got.forall(_ >= 0L), "fallback must never emit -1")
+    }
+    // a fallback model without the byte block is refused at plan time
+    val e = intercept[Exception] {
+      post.select(graft.functions.native.token_ids(
+        Bpe.encodeCol($"text", m.merges), Seq("a", "b"),
+        byteFallback = true)).collect()
+    }
+    assert(e.getMessage.contains("byteFallback needs all 256"))
+  }
+
+  test("byte fallback: decodeText round-trips ANY input to its lowercased word concat") {
+    val train = Seq((0L, "the cat sat"), (1L, "that chat")).toDF("id", "text")
+    val m = Bpe.learnBpe(train, "text", nMerges = 2, byteFallback = true)
+    val inputs = Seq("Hello Λόγος x", "日本語 テスト", "mixed λx7 💩th",
+      "the cat", "  spaced   out  ", "")
+    val df = inputs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select($"id", $"text",
+        Bpe.decodeTextCol(Bpe.encodeIdsCol($"text", m), m).as("rt"))
+      .orderBy("id").collect()
+    got.foreach { r =>
+      val expect = r.getString(1).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).mkString("")
+      assert(r.getString(2) == expect, s"input '${r.getString(1)}'")
+    }
+    // NULL text stays NULL; a corrupt id nulls the decode loudly
+    val nullRow = Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
+    assert(nullRow.select(Bpe.decodeTextCol(
+      Bpe.encodeIdsCol($"text", m), m)).collect()(0).isNullAt(0))
+    val corrupt = Seq(Tuple1(Seq(0L, 999999L))).toDF("ids")
+    assert(corrupt.select(Bpe.decodeTextCol($"ids", m))
+      .collect()(0).isNullAt(0))
+  }
+
+  test("model card + fingerprint: save/load round-trip, content keying, torn trees refused") {
+    val docs = Seq((0L, "the cat the"), (1L, "that hat")).toDF("id", "text")
+    val m = Bpe.learnBpe(docs, "text", nMerges = 4,
+      byteFallback = true, specials = Seq("<eos>"))
+    assert(m.bytesPerTokenCovered > 0.0) // measured on the training dict
+    val path = TestSpark.tmpDir("bpe-card") + "/m"
+    Bpe.saveBpeModel(spark, m, path)
+    // flags, specials, and the compression stat all survive the disk
+    assert(Bpe.loadBpeModel(spark, path) == m)
+    val card = Bpe.modelCard(spark, m).collect()(0)
+    assert(card.getAs[Long]("n_merges") == m.merges.length.toLong)
+    assert(card.getAs[Long]("vocab_size") == m.vocab.length.toLong)
+    assert(card.getAs[Long]("alphabet_size") ==
+      m.vocab.drop(1).count(t => t.codePointCount(0, t.length) == 1).toLong)
+    assert(card.getAs[Boolean]("byte_fallback"))
+    assert(card.getAs[String]("fingerprint") == Bpe.fingerprint(m))
+    // the fingerprint keys CONTENT: any behavioral change moves it,
+    // non-behavioral stats (mass, compression) do not
+    assert(Bpe.fingerprint(m) != Bpe.fingerprint(
+      m.copy(merges = m.merges.dropRight(1))))
+    assert(Bpe.fingerprint(m) != Bpe.fingerprint(
+      m.copy(vocab = m.vocab :+ "zzz")))
+    assert(Bpe.fingerprint(m) != Bpe.fingerprint(m.copy(byteFallback = false)))
+    assert(Bpe.fingerprint(m) == Bpe.fingerprint(
+      m.copy(coveredMass = 1L, bytesPerTokenCovered = 0.0)))
+    val m2 = Bpe.BpeModel(m.merges.dropRight(1), 0L, 0L,
+      Bpe.buildVocab(Seq("a", "c", "e", "h", "t"), m.merges.dropRight(1),
+        byteFallback = true, specials = Seq("<eos>")),
+      byteFallback = true, specials = Seq("<eos>"))
+    // a TORN tree (vocab from one save, merges/card from another — what
+    // a partial mode-overwrite re-save leaves) is refused at load
+    m2.vocab.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("token_id", "token")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.loadBpeModel(spark, path)
+    }
+    assert(e.getMessage.contains("TORN"))
+  }
+
+  test("sepCost: chunk reserves per-chunk headroom; pack budgets one separator per doc") {
+    val docs = Seq((0L, "aa bb cc dd ee"), (1L, "aaa bb")).toDF("id", "text")
+    // chunking with sepCost is BY LAW chunking against budget - sepCost
+    val withSep = Bpe.chunkByTokenBudget(docs, "id", "text", Seq(("a", "a")),
+        budget = 8L, sepCost = 3L).orderBy("id", "chunk_id").collect()
+    val direct = Bpe.chunkByTokenBudget(docs, "id", "text", Seq(("a", "a")),
+        budget = 5L).orderBy("id", "chunk_id").collect()
+    assert(withSep.toSeq == direct.toSeq)
+    withSep.foreach(r => assert(r.getAs[Long]("n_tokens") + 3L <= 8L))
+    intercept[IllegalArgumentException] {
+      Bpe.chunkByTokenBudget(docs, "id", "text", Seq(("a", "a")), 8L,
+        sepCost = 8L)
+    }
+    // packing: each doc's stream footprint becomes n + sepCost, so
+    // offsets shift by exactly one per PRECEDING doc in the group
+    val counted = docs.select($"id", lit("g").as("g"),
+      size(Bpe.encodeCol($"text", Seq(("a", "a")))).cast("long").as("n"))
+    val plain = graft.ops.Sample.packByTokenBudget(counted, "g", "id", "n", 100L)
+      .orderBy("id").collect()
+    val sep = graft.ops.Sample.packByTokenBudget(counted, "g", "id", "n", 100L,
+        sepCost = 1L).orderBy("id").collect()
+    plain.zip(sep).zipWithIndex.foreach { case ((p, s), i) =>
+      assert(s.getAs[Long]("pack_offset") ==
+        p.getAs[Long]("pack_offset") + i.toLong)
+    }
+  }
 }

@@ -592,6 +592,106 @@ object Drive {
       s"max n_tokens=${chunkRows.map(_.getLong(3)).max}, " +
       "every doc's chunk counts sum to its encode count, no over-budget multi-word chunk")
 
+    println("== r13 drive: byte-fallback BPE (total encoding), model card, sep budgets")
+    import spark.implicits._
+    // train WITH fallback + specials on the real corpus, then encode
+    // post-training text containing scripts the corpus never saw
+    val fbm = graft.ops.Bpe.learnBpe(bdocs, "text", nMerges = 200,
+      byteFallback = true, specials = Seq("<eos>", "<pad>"))
+    require(fbm.vocab.take(2) == Seq("<eos>", "<pad>") &&
+      fbm.vocab.slice(2, 258) == graft.functions.ByteTokens.all,
+      "fallback vocab layout")
+    val oovDocs = Seq((1L, "Hello Λόγος"), (2L, "日本語 mixed 💩"), (3L, "ça va"))
+      .toDF("doc_id", "text")
+    val fbIds = graft.ops.Bpe.encodeIds(oovDocs, "doc_id", "text", fbm)
+      .orderBy("doc_id").collect()
+    require(fbIds.forall(_.getSeq[Long](1).forall(_ >= 0L)),
+      "fallback must never emit -1")
+    val fbText = oovDocs.select($"doc_id", $"text",
+        graft.ops.Bpe.decodeTextCol(
+          graft.ops.Bpe.encodeIdsCol($"text", fbm), fbm).as("rt"))
+      .orderBy("doc_id").collect()
+    fbText.foreach { r =>
+      val expect = r.getString(1).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).mkString("")
+      require(r.getString(2) == expect, s"round-trip: ${r.getString(2)} != $expect")
+    }
+    println(s"-> byte fallback: ${fbIds.map(_.getSeq[Long](1).length).sum} ids " +
+      "over unseen-script docs, zero -1, decodeText round-trips every one")
+    // model card + content fingerprint persist beside merges/vocab
+    val fbPath = java.nio.file.Files.createTempDirectory("drive-bpe").toString + "/m"
+    graft.ops.Bpe.saveBpeModel(spark, fbm, fbPath)
+    val fbLoaded = graft.ops.Bpe.loadBpeModel(spark, fbPath)
+    require(fbLoaded == fbm, "save/load round-trip with flags + stats")
+    val card = spark.read.parquet(s"$fbPath/card").collect()(0)
+    require(card.getAs[String]("fingerprint") == graft.ops.Bpe.fingerprint(fbm))
+    println(f"-> model card: vocab=${card.getAs[Long]("vocab_size")} " +
+      f"alphabet=${card.getAs[Long]("alphabet_size")} " +
+      f"bytes/token=${card.getAs[Double]("bytes_per_token_covered")}%.2f " +
+      f"fp=${card.getAs[String]("fingerprint").take(12)}…")
+    // separator budgets: chunk reserves headroom, pack charges per doc
+    val sepChunks = graft.ops.Bpe.chunkByTokenBudget(
+      bdocs, "doc_id", "text", bm.merges, budget = 48L, sepCost = 2L).collect()
+    require(sepChunks.forall(_.getLong(3) + 2L <= 48L), "chunk headroom")
+    println(s"-> sepCost chunking: ${sepChunks.length} chunks, all n_tokens+2 <= 48")
+
+    println("== r13 drive: tokenize-on-ingest stamps the model fingerprint")
+    val stDir = java.nio.file.Files.createTempDirectory("drive-ingest").toString
+    val stI = graft.store.HDFStore.open(spark, stDir + "/store",
+      graft.store.StoreMode.Overwrite)
+    val ingDocs = bdocs.filter($"doc_id" < 20).select($"doc_id", $"text")
+    stI.put("landed", ingDocs.limit(0).withColumn("token_ids",
+      graft.ops.Bpe.encodeIdsCol($"text", fbLoaded)))
+    val tiIdx = stDir + "/ti"
+    // the sink APPENDS into a live index — build the base tree first
+    graft.ops.TextIndex.buildTextIndex(
+      bdocs.filter($"doc_id" >= 480).select($"doc_id", $"text"),
+      "doc_id", "text", tiIdx, nBuckets = 16)
+    val inDir = new java.io.File(stDir, "in"); inDir.mkdirs()
+    ingDocs.coalesce(1).write.mode("overwrite").parquet(stDir + "/stage")
+    new java.io.File(stDir + "/stage").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.move(f.toPath,
+        new java.io.File(inDir, "b0.parquet").toPath))
+    graft.streaming.EventStream.textIndexIngestSink(
+      spark.readStream.schema(ingDocs.schema).parquet(inDir.toString),
+      stI, "landed", stDir + "/ckpt", tiIdx, "doc_id", "text",
+      bpeModelPath = Some(fbPath)).awaitTermination()
+    val landed = stI.table("landed").df.select("doc_id", "token_ids").collect()
+    require(landed.length == 20 &&
+      landed.forall(_.getSeq[Long](1).forall(_ >= 0L)), "landed pre-tokenized")
+    require(stI.attr("landed", "bpeModelFp") ==
+      Some(graft.store.AttrValue.Str(graft.ops.Bpe.fingerprint(fbm))),
+      "fingerprint stamp")
+    println(s"-> ${landed.length} docs landed with token_ids; " +
+      "table stamped with the model's content fingerprint")
+
+    println("== r13 drive: bounded top-k re-rank (ivfPqKnnJoinRefined on real embeddings)")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val embCb = graft.ops.Similarity.kmeansCodebook(emb, "vec_id", "embedding", 4, 1)
+    val embPq = graft.ops.Quantize.pqCodebooks(emb, "vec_id", "embedding", 8, 16, 1)
+    val ipqD = java.nio.file.Files.createTempDirectory("drive-ipq").toString
+    graft.ops.Quantize.buildIvfPqIndex(emb, "vec_id", "embedding", embCb, embPq, ipqD)
+    val rq = emb.filter($"vec_id" < 10)
+    val refined = graft.ops.Quantize.ivfPqKnnJoinRefined(spark, ipqD,
+      rq, "vec_id", "embedding", emb, "vec_id", "embedding",
+      k = 3, r = 20, nprobe = 4)
+    val refRows = refined.collect()
+    require(refRows.length == 30, s"10 queries x top-3, got ${refRows.length}")
+    val selfTop = rq.select("vec_id").collect().map(_.getLong(0)).forall { q =>
+      refRows.filter(_.getLong(0) == q)
+        .maxBy(_.getDouble(2)).getLong(1) == q
+    }
+    require(selfTop, "every corpus-member query must re-rank itself to the top")
+    val refPlan = refined.queryExecution.executedPlan.toString
+    require(refPlan.contains("ObjectHashAggregate") ||
+      refPlan.contains("SortAggregate"), s"bounded top-k not in plan:\n$refPlan")
+    require(!refPlan.contains("RunningWindowFunction") &&
+      !refPlan.contains("WindowExec"), "rank window still in the re-rank plan")
+    println(s"-> refined batch re-rank: 10x top-3 exact-cosine, self-first, " +
+      "per-query cut is the bounded aggregate (no window sort)")
+
     spark.stop()
     println("== drive done")
   }

@@ -646,4 +646,57 @@ class ExprSpec extends AnyFunSuite {
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
     assert(df.select(native.float_dot($"a", $"b")).collect()(0).isNullAt(0))
   }
+
+  test("top_k_by_score == rank-filtered window: ties, NaN, -0.0, small groups, shuffled merge") {
+    // deterministic pseudo-random rows: duplicate scores (id tie-break),
+    // NaN (Spark's double order puts it FIRST under desc), +/-0.0,
+    // groups with fewer rows than k, and enough rows across 16 input
+    // partitions that partial buffers serialize through the shuffle
+    val rows = (0 until 4000).map { i =>
+      val g = i % 17
+      val score =
+        if (i % 97 == 0) Double.NaN
+        else if (i % 13 == 0) 0.5                  // heavy score ties
+        else if (i % 31 == 0) (if (i % 2 == 0) 0.0 else -0.0)
+        else ((i * 2654435761L) % 1000L).toDouble / 100.0
+      (g.toLong, score, i.toLong, (i % 7).toLong)
+    }
+    val df = spark.createDataFrame(rows).repartition(16)
+      .toDF("g", "score", "id", "pay")
+    val k = 5
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"score".desc, $"id")
+    val viaWindow = df.withColumn("_rn", row_number().over(w))
+      .filter($"_rn" <= k)
+      .select($"g", $"id", $"score", $"pay", $"_rn".cast("long").as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(4)) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val viaAgg = df.groupBy($"g")
+      .agg(native.top_k_by_score($"score", $"id", $"pay", k).as("tk"))
+      .select($"g", posexplode($"tk"))
+      .select($"g", ($"pos" + 1).cast("long").as("rank"),
+        $"col.id", $"col.score", $"col.payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(viaAgg.keySet == viaWindow.keySet)
+    viaAgg.foreach { case (key, (id, s, p)) =>
+      val (wid, ws, wp) = viaWindow(key)
+      assert(id == wid && p == wp &&
+        java.lang.Double.compare(s, ws) == 0, s"at $key")
+    }
+    // a group smaller than k returns all of it, ranked
+    val tiny = Seq((1L, 2.0, 10L, 0L), (1L, 3.0, 11L, 0L))
+      .toDF("g", "score", "id", "pay")
+    val t = tiny.groupBy($"g")
+      .agg(native.top_k_by_score($"score", $"id", $"pay", 5).as("tk"))
+      .select(explode($"tk")).select($"col.id").as[Long].collect()
+    assert(t.toSeq == Seq(11L, 10L))
+    // NULL scores / ids are dropped, not ranked
+    val withNull = Seq((1L, Some(1.0), 1L), (1L, None, 2L))
+      .toDF("g", "score", "id")
+    val n = withNull.groupBy($"g")
+      .agg(native.top_k_by_score($"score", $"id", lit(0L), 3).as("tk"))
+      .select(explode($"tk")).select($"col.id").as[Long].collect()
+    assert(n.toSeq == Seq(1L))
+  }
 }

@@ -156,6 +156,7 @@ object ScaleDrive {
       assert(copies == 125,
         s"every scaled copy must find its source at cosine 1.0, got $copies")
     }
+    qBatch.unpersist() // section done — release the checkpoint's blocks
 
     // PQ at volume: 1M 64-dim float vectors (~256 MB of vector data)
     // become 1M x 8 codeword indices; the composed IVF+PQ probe reads
@@ -238,6 +239,11 @@ object ScaleDrive {
     assert(rrPlan.contains("BroadcastHashJoin"),
       s"pair relation not broadcast in the no-pushdown branch:\n$rrPlan")
     assert(!rrPlan.contains("BroadcastNestedLoopJoin"), "BNLJ in re-rank plan")
+    // the ANN sections are done with the 1M-vector corpus — release its
+    // ~0.7 GB of deserialized checkpoint blocks before the doc sections
+    // (the drive's sections must each run within THEIR working set, not
+    // the union of everything before; see DESIGN.md's 8g memory model)
+    vecs.unpersist()
 
     // banded-LSH dedup at corpus scale: 330k short docs, ~30k planted
     // near-dups. Signatures are the native fused kernel (no shuffle);
@@ -278,6 +284,7 @@ object ScaleDrive {
     println(s"  exact=$nExact bloom=$nBloom")
     assert(nExact == nBloom, s"bloom path must be exact: $nExact vs $nBloom")
     assert(nExact >= 200, s"planted contamination must be found, got $nExact")
+    bench.unpersist()
 
     // SimHash pairing at volume: 30k exact dups planted into 330k docs;
     // pigeonhole banding (4 x 15-bit blocks at maxHamming=3) bounds the
@@ -344,6 +351,7 @@ object ScaleDrive {
     assert(tiHits.map(_.getLong(1)).forall(o => o >= 1 && o <= 3))
     assert(tiHits.head.getLong(1) == tiProbe.distinct.length.toLong,
       s"top hit must match every distinct probe token: ${tiHits.head}")
+    corpusSim.unpersist() // later probes read the persisted index, not the frame
     // incremental growth at volume: 30k new docs (disjoint vocab m<...>,
     // fresh ids) append into the same tree; the original probe must be
     // untouched and a new-vocab probe must land in the appended postings
@@ -466,6 +474,7 @@ object ScaleDrive {
       "every document must be scored")
     assert(iwMeans(true)._1 > iwMeans(false)._1 + 10.0,
       s"target-like docs must clearly outscore broad-vocab docs: $iwMeans")
+    corpusIw.unpersist()
 
     // persisted dedup index at corpus scale: the 300k-doc reference is
     // tokenized + minhashed ONCE at build; each probe batch (30k
@@ -494,6 +503,7 @@ object ScaleDrive {
     assert(nIdx == nDirect, s"indexed probe must equal direct join: $nIdx vs $nDirect")
     assert(nIdx >= 25000, s"index must recall most planted near-dups, got $nIdx")
     println(s"  matched pairs=$nIdx (== direct join)")
+    probeBatch.unpersist()
 
     // persisted decontamination index at volume: the 500-doc benchmark's
     // postings + Bloom build once; the 330k-doc corpus probes from the
@@ -519,6 +529,7 @@ object ScaleDrive {
     assert(nIdxContam == nBloomContam,
       s"indexed probe must equal inline bloom path: $nIdxContam vs $nBloomContam")
     println(s"  contaminated pairs=$nIdxContam (== inline bloom path)")
+    corpus.unpersist()
 
     // fuzzy key join at volume: 1M random-hex keys (32 chars -> 33
     // variants each, ~33M variant rows through the hash join) + 10k
@@ -540,6 +551,7 @@ object ScaleDrive {
     }
     assert(nFz == 10000L,
       s"exactly the planted substitution pairs must match, got $nFz")
+    fzAll.unpersist()
 
     // radius-2 at volume: 200k random-hex keys (32 chars -> ~530
     // distinct variants each, ~106M variant rows) + 5k planted
@@ -562,6 +574,7 @@ object ScaleDrive {
     }
     assert(nFz2 == 5000L,
       s"exactly the planted double-substitution pairs must match, got $nFz2")
+    fz2All.unpersist()
 
     // bucketed range join at volume: 10M points vs 10k width-100
     // intervals — naively 10^11 comparisons (a nested-loop join Spark
@@ -610,6 +623,7 @@ object ScaleDrive {
       .filter(col("removed_tokens") =!= 0L).count()
     println(s"  non-carriers touched=$nonCarrierTouched (expect 0: random 5-grams never collide)")
     assert(nonCarrierTouched == 0L, s"non-carriers must be untouched, got $nonCarrierTouched")
+    spanCorpus.unpersist(); spanOut.unpersist()
 
     // SemDeDup at volume: 100k random 64-dim vectors + 5k planted
     // 1.5x-scaled copies (ids +10M). k=64 is the cost dial — clusters
@@ -636,7 +650,9 @@ object ScaleDrive {
       assert(dropped.filter(col("vec_id") < 10000000L).count() == 0L,
         "no original may drop")
       assert(out.count() == 105000L, "one verdict row per vector")
+      out.unpersist()
     }
+    semAll.unpersist()
 
     // SemDeDup SKEW: a redundancy-heavy corpus — 50k scaled copies of
     // ONE vector — collapses into a single cluster. The guard must
@@ -686,6 +702,7 @@ object ScaleDrive {
       assert(droppedCopies >= 50000L - 200L && droppedCopies < 50000L,
         s"per-sub-cluster keep-first, got $droppedCopies")
       assert(droppedRandom == 0L, s"random originals must survive, got $droppedRandom")
+      out.unpersist()
     }
     time("semanticDedup(subSplit, refine) collapses cross-salt survivors") {
       val out = graft.ops.Dedup.semanticDedup(skewAll, "vec_id", "embedding",
@@ -704,7 +721,9 @@ object ScaleDrive {
       assert(droppedCopies == 50000L,
         s"refine must drop every cross-salt copy, got $droppedCopies")
       assert(droppedRandom == 0L, s"random originals must survive, got $droppedRandom")
+      out.unpersist()
     }
+    skewAll.unpersist()
 
     // TF-IDF cosine dedup at volume: 310k docs of 18 rare tokens (5M
     // space) + 4 glue tokens (20 space); 10k planted twins share their
@@ -733,7 +752,9 @@ object ScaleDrive {
       println(s"  pairs=$total planted-recalled=$planted (expect 10k, 10k)")
       assert(planted == 10000L, s"every twin must pair with its source, got $planted")
       assert(total == planted, s"chance rare-token collisions stay far below 0.8, got $total")
+      pairs.unpersist()
     }
+    tfCorpus.unpersist()
 
     // KMV overlap at volume: 5M hashes per side, 50% overlap — two
     // bounded aggregations (k longs per partition cross the shuffle),

@@ -503,24 +503,47 @@ class StreamingSpec extends AnyFunSuite {
     val got = landedIds()
     assert(got.keySet == expect.keySet, s"landed ${got.size} docs")
     got.foreach { case (id, ids) => assert(ids == expect(id), s"doc $id") }
-    // the model identity is stamped on the table
+    // the model identity is stamped on the table: content fingerprint
+    // (the guard key) plus the save path as provenance
+    val fp = graft.ops.Bpe.fingerprint(graft.ops.Bpe.loadBpeModel(spark, mPath))
+    assert(st.attr("landed", "bpeModelFp") ==
+      Some(graft.store.AttrValue.Str(fp)))
     assert(st.attr("landed", "bpeModel") ==
       Some(graft.store.AttrValue.Str(mPath)))
     // restart with no new data: guard skips, rows and ids unchanged
     run()
     assert(landedIds() == got)
-    // a sink under a DIFFERENT model on the same table is refused at
-    // construction — one table, one tokenization
+    // the SAME model content saved at a DIFFERENT path is accepted —
+    // the stamp keys on content, not the path string (a fresh
+    // checkpoint replays both batches; the replay guards keep the
+    // table and index unchanged)
+    val mPath2 = TestSpark.tmpDir("streaming-bpe-copy") + "/model"
+    graft.ops.Bpe.saveBpeModel(spark, graft.ops.Bpe.loadBpeModel(spark, mPath),
+      mPath2)
+    EventStream.textIndexIngestSink(
+      spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in.toString),
+      st, "landed", TestSpark.tmpDir("streaming-bpe-ckpt-copy"), idxPath,
+      "doc_id", "text", bpeModelPath = Some(mPath2)).awaitTermination()
+    assert(landedIds() == got)
+    // a sink under a model with DIFFERENT CONTENT is refused on its
+    // first batch — before the index append or the store commit — even
+    // when saved over the ORIGINAL path (the retrain-and-overwrite
+    // corruption a path-keyed stamp would wave through)
     val other = graft.ops.Bpe.learnBpe(base.limit(20), "text", nMerges = 5)
-    val oPath = TestSpark.tmpDir("streaming-bpe-other") + "/model"
-    graft.ops.Bpe.saveBpeModel(spark, other, oPath)
-    val e = intercept[IllegalArgumentException] {
+    graft.ops.Bpe.saveBpeModel(spark, other, mPath) // overwrite in place
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       EventStream.textIndexIngestSink(
         spark.readStream.schema(b1.schema).parquet(in.toString),
         st, "landed", TestSpark.tmpDir("streaming-bpe-ckpt2"), idxPath,
-        "doc_id", "text", bpeModelPath = Some(oPath))
+        "doc_id", "text", bpeModelPath = Some(mPath)).awaitTermination()
     }
-    assert(e.getMessage.contains("one table, one tokenization"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("one table, one tokenization")),
+      messages(e).mkString(" | "))
+    assert(landedIds() == got) // the refused batch mutated nothing
   }
 
   // epoch-µs of `ts` in either fixture representation (Long nanos under
