@@ -23,6 +23,14 @@ def main(old_path, new_path, min_delta=0.3):
     print(f"shared={len(both)} added={len(set(new) - set(old))} "
           f"removed={len(set(old) - set(new))} "
           f"total {sum(old.values()):.2f}s -> {sum(new.values()):.2f}s")
+    # the round-over-round comparable: sums over the SHARED query set
+    # only (an added/removed gate must not masquerade as a regression/
+    # improvement) — cite THESE numbers in round notes, so any reader
+    # can regenerate them from the committed bench_r*.json with this
+    # one command
+    print(f"shared-set sum {sum(old[q] for q in both):.2f}s -> "
+          f"{sum(new[q] for q in both):.2f}s "
+          f"(delta {sum(new[q] - old[q] for q in both):+.2f}s)")
     if moved:
         print(f"\n## movers (|delta| >= {min_delta}s)")
         for q, a, b in moved:
