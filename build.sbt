@@ -26,8 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 12g default: the 8g ceiling sat at the edge of ScaleDrive's >64k
-  // re-rank radix sort (one OOM in three otherwise-identical runs,
-  // r12) and the box has 128 GiB; override via SPARK_DRIVER_MEM
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // 8g default, restored in r13: the r12 heap-edge OOM (ScaleDrive's
+  // >64k re-rank radix sort, one OOM in three runs) is fixed at the
+  // STRUCTURE, not the provisioning — the ANN re-rank cut is a bounded
+  // top-k aggregate (O(k) per query at every stage) and ScaleDrive
+  // releases each section's checkpoints when done, so residency is one
+  // section's working set. Evidence: three consecutive green 8g runs
+  // (DESIGN.md "Bounded top-k memory model"). Override via
+  // SPARK_DRIVER_MEM if a future drive legitimately needs more.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
