@@ -1679,6 +1679,106 @@ case class TopKByScore(score: Expression, id: Expression,
     copy(score = newChildren(0), id = newChildren(1), payload = newChildren(2))
 }
 
+/** Per-group k-th smallest LONG key (the group's max when it holds
+  * fewer than k non-null keys; NULL for an all-null group) — the
+  * THRESHOLD half of a bounded bottom-k-rows-per-group cut
+  * ([[graft.ops.Sample.bottomKPerGroup]]): rows with `key <= threshold`
+  * are exactly the bottom k plus any key ties at the boundary, so a
+  * cheap rank over that O(k)-sized survivor set replaces a full
+  * per-partition sort of every group's rows. State is a k-bounded
+  * max-heap of the smallest keys seen — O(k) longs per group at every
+  * stage, ≤ k values per group per map task across the shuffle
+  * (the [[TopKByScore]] discipline, scalar-threshold form; exact where
+  * a double score could not hold a 60-bit hash key losslessly). */
+case class BottomKthKey(key: Expression, k: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[BottomKthKey.Heap] {
+  require(k >= 1 && k <= (1 << 20), s"k must be in [1, 2^20], got $k")
+  override def children: Seq[Expression] = Seq(key)
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bottom_kth_key"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    key.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bottom_kth_key requires bigint, got ${other.sql}")
+    }
+  override def createAggregationBuffer(): BottomKthKey.Heap =
+    new BottomKthKey.Heap(k)
+  override def update(b: BottomKthKey.Heap, input: InternalRow): BottomKthKey.Heap = {
+    val v = key.eval(input)
+    if (v != null) b.insert(v.asInstanceOf[Long])
+    b
+  }
+  override def merge(b: BottomKthKey.Heap, o: BottomKthKey.Heap): BottomKthKey.Heap = {
+    var j = 0
+    while (j < o.n) { b.insert(o.keys(j)); j += 1 }
+    b
+  }
+  override def eval(b: BottomKthKey.Heap): Any =
+    if (b.n == 0) null else b.keys(0) // heap root = worst retained
+  override def serialize(b: BottomKthKey.Heap): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(4 + b.n * 8)
+    buf.putInt(b.n)
+    var j = 0
+    while (j < b.n) { buf.putLong(b.keys(j)); j += 1 }
+    buf.array()
+  }
+  override def deserialize(bytes: Array[Byte]): BottomKthKey.Heap = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val n = buf.getInt()
+    val b = new BottomKthKey.Heap(k)
+    var j = 0
+    while (j < n) { b.insert(buf.getLong()); j += 1 }
+    b
+  }
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKthKey =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKthKey =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BottomKthKey =
+    copy(key = newChildren(0))
+}
+
+object BottomKthKey {
+  /** k-bounded MAX-heap of the smallest keys seen: the root (index 0)
+    * is the LARGEST retained key — the running k-th-smallest. */
+  private[graft] final class Heap(val k: Int) {
+    val keys = new Array[Long](k)
+    var n = 0
+    private def swap(a: Int, b: Int): Unit = {
+      val t = keys(a); keys(a) = keys(b); keys(b) = t
+    }
+    def insert(v: Long): Unit = {
+      if (n < k) {
+        keys(n) = v; n += 1
+        var i = n - 1
+        var done = false
+        while (!done && i > 0) {
+          val par = (i - 1) >> 1
+          if (keys(i) > keys(par)) { swap(i, par); i = par } else done = true
+        }
+      } else if (v < keys(0)) {
+        keys(0) = v
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1; val r = l + 1
+          var w = i
+          if (l < n && keys(l) > keys(w)) w = l
+          if (r < n && keys(r) > keys(w)) w = r
+          if (w == i) done = true else { swap(i, w); i = w }
+        }
+      }
+    }
+  }
+}
+
 /** First-occurrence line filter over an array of lines (kernel in
   * [[DedupLinesKernel]]) — keeps space-only lines unconditionally and
   * the first occurrence of every other distinct line, dropping null
@@ -1973,6 +2073,9 @@ object native {
                      k: Int): Column =
     Bridge.column(TopKByScore(Bridge.expression(score), Bridge.expression(id),
       Bridge.expression(payload), k).toAggregateExpression())
+  def bottom_kth_key(key: Column, k: Int): Column =
+    Bridge.column(BottomKthKey(Bridge.expression(key), k)
+      .toAggregateExpression())
   def bpe_chunk(words: Column, merges: Seq[(String, String)],
                 budget: Long): Column =
     Bridge.column(BpeChunk(Bridge.expression(words),

@@ -240,18 +240,38 @@ object Sample {
   }
 
   /** [[bottomK]] within each `groupCol` value — "k docs per source" for
-    * stratified eval sets and per-stratum inspection. ONE hash shuffle
-    * on the group + a row_number window; groups are the parallelism
-    * unit, no single task sees more than its group. */
+    * stratified eval sets and per-stratum inspection.
+    *
+    * Scale shape: a grouped TakeOrdered does not exist in Spark, and
+    * the direct rank-filtered window would sort every group's FULL row
+    * set per partition (text and all — the per-partition sort footprint
+    * this codebase bounds everywhere else). Instead: (1) one NARROW
+    * pass aggregates each group's k-th-smallest hash key with the
+    * bounded [[graft.functions.BottomKthKey]] heap — only (group, key)
+    * pairs shuffle, ≤ k longs per group per map task; (2) the
+    * per-group THRESHOLD broadcast-joins back (one row per group — the
+    * group cardinality of "k docs per source" is sources × splits, as
+    * with [[packByTokenBudget]]'s groups, driver-small by design) and
+    * `key <= threshold` keeps exactly the winners plus any boundary
+    * hash ties; (3) a rank window over that O(k·groups) survivor set
+    * settles ties by (key, id) — identical output to the direct
+    * window, but full-width rows never sort and never shuffle beyond
+    * the ≤ ~k winners per group. `df` is evaluated twice (the kernel
+    * hash is deterministic); cache upstream if it is an expensive
+    * derived pipeline. */
   def bottomKPerGroup(df: DataFrame, groupCol: String, idCol: String,
                       k: Int, salt: String = ""): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    val keyed = df.withColumn("_bk", bottomKey(salt, idCol))
+      .filter(col("_bk").isNotNull)
+    val thr = keyed.groupBy(col(groupCol))
+      .agg(graft.functions.native.bottom_kth_key(col("_bk"), k).as("_thr"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col("_bk"), col(idCol))
-    df.withColumn("_bk", bottomKey(salt, idCol))
-      .filter(col("_bk").isNotNull)
+    keyed.join(broadcast(thr), Seq(groupCol))
+      .filter(col("_bk") <= col("_thr"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
-      .drop("_bk", "_rn")
+      .select(df.columns.map(col).toSeq: _*) // the join led with groupCol
   }
 }

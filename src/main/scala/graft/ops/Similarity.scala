@@ -331,7 +331,8 @@ object Similarity {
     * shuffle); each query row EXPLODES to its `nprobe` best lists. The
     * candidate set is then a plain equi-join on `list` — each corpus
     * row meets each query at most once (assignment is unique), so no
-    * pair-dedup shuffle — followed by a per-query top-k window.
+    * pair-dedup shuffle — followed by a per-query BOUNDED top-k cut
+    * ([[graft.functions.TopKByScore]]).
     *
     * Scale shape: cost is |corpus|·nlist dots for assignment plus the
     * probed-fraction join (~nprobe/nlist of |queries|·|corpus| when
@@ -342,17 +343,20 @@ object Similarity {
     * nlist distinct values; AQE splits residual hot lists). Norms are
     * computed ONCE per row before the join, so the join itself does a
     * single fused dot per candidate ([[Quantize.ivfPqKnnJoin]] replaces
-    * even that with m table lookups). Per-query ranking shuffles
-    * (query id, k candidates) — never vectors — after the projection
-    * drops them.
+    * even that with m table lookups). Per-query ranking shuffles AT
+    * MOST (query id, k triples) per map task — never vectors, never
+    * the full candidate pool: partial aggregation caps each task's
+    * contribution at k before the shuffle.
     *
     * Determinism: the [[ivfTopK]] contract per query — identical
     * fixed-point affinities, probe ties to the smaller list id, result
     * ties to the smaller neighbor id. Zero-norm vectors score NaN (like
     * every cosine operator here): filter malformed rows first.
     *
-    * Output: (`query_id`, `neighbor_id`, `score`, `list`), ≤ k rows per
-    * query (fewer when the probed lists hold fewer candidates). */
+    * Output: (`query_id`, `neighbor_id` [BIGINT — corpus ids are cast,
+    * the index-id convention of [[buildIvfIndex]]], `score`, `list`),
+    * ≤ k rows per query (fewer when the probed lists hold fewer
+    * candidates). */
   def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4,
@@ -387,7 +391,7 @@ object Similarity {
         .cast(IntegerType))
     val probeArr = graft.functions.native.top_lists(
       col(qVecCol), cvals, cids, dyy, nprobe)
-    val corpusSide = corpus.select(col(cIdCol).as("_nid"),
+    val corpusSide = corpus.select(col(cIdCol).cast(LongType).as("_nid"),
       col(cVecCol).as("_nvec"),
       dotFixed(col(cVecCol), col(cVecCol)).as("_nn"), listId.as("_list"))
     val querySide = queries.select(col(qIdCol).as("_qid"),
@@ -399,12 +403,18 @@ object Similarity {
         (dotFixed(col("_qvec"), col("_nvec")).cast(DoubleType) /
           (sqrt(col("_qq").cast(DoubleType)) *
            sqrt(col("_nn").cast(DoubleType)))).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_qid")).orderBy(col("score").desc, col("_nid"))
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col("_qid").as("query_id"), col("_nid").as("neighbor_id"),
-        col("score"), col("_list").as("list"))
+    // bounded top-k per query (the Quantize.ivfPqKnnJoin discipline): a
+    // rank-filtered window would SORT each query's full candidate pool
+    // (nprobe lists' worth of corpus rows), where the aggregate holds
+    // O(k) per query at every stage and ships ≤ k triples per query per
+    // map task. Same order, ties, and NaN placement as the window.
+    scored
+      .groupBy(col("_qid"))
+      .agg(graft.functions.native.top_k_by_score(
+        col("score"), col("_nid"), col("_list"), k).as("_tk"))
+      .select(col("_qid").as("query_id"), explode(col("_tk")).as("_e"))
+      .select(col("query_id"), col("_e.id").as("neighbor_id"),
+        col("_e.score").as("score"), col("_e.payload").as("list"))
   }
 
   /** [[knnJoin]] against a persisted [[buildIvfIndex]] tree — the
@@ -460,12 +470,17 @@ object Similarity {
         (dotFixed(col("_qvec"), col("_nvec")).cast(DoubleType) /
           (sqrt(col("_qq").cast(DoubleType)) *
            sqrt(col("_nn").cast(DoubleType)))).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_qid")).orderBy(col("score").desc, col("_nid"))
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col("_qid").as("query_id"), col("_nid").as("neighbor_id"),
-        col("score"), col("_list").as("list"))
+    // bounded top-k per query — identical cut to [[knnJoin]]'s: O(k)
+    // per query at every stage instead of a full per-partition sort of
+    // the probed candidate relation; the probed list id rides through
+    // as the aggregate's payload.
+    scored
+      .groupBy(col("_qid"))
+      .agg(graft.functions.native.top_k_by_score(
+        col("score"), col("_nid"), col("_list"), k).as("_tk"))
+      .select(col("_qid").as("query_id"), explode(col("_tk")).as("_e"))
+      .select(col("query_id"), col("_e.id").as("neighbor_id"),
+        col("_e.score").as("score"), col("_e.payload").as("list"))
   }
 
   /** Cross-corpus EMBEDDING dedup against a persisted [[buildIvfIndex]]

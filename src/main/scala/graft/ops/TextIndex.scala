@@ -443,8 +443,11 @@ object TextIndex {
     * df per token is counted once from the union's matched postings
     * (each token's posting set is the same whichever query asked), the
     * query→token relation is a driver literal joined broadcast, and
-    * the per-query ranking windows on (query_idx) — only scored
-    * candidates shuffle, never postings the suite didn't touch. */
+    * the per-query cut is the BOUNDED top-k aggregate
+    * ([[graft.functions.TopKByScore]]) — a stopword-ish token can match
+    * most of the corpus, and a rank-filtered window would sort that
+    * whole candidate pool per query where the aggregate holds O(k) per
+    * query and ships ≤ k triples per query per map task. */
   def searchBM25Batch(spark: org.apache.spark.sql.SparkSession,
                       path: String, queries: Seq[String], k: Int,
                       k1: Double = 1.2, b: Double = 0.75,
@@ -482,9 +485,12 @@ object TextIndex {
       .join(broadcast(qrel), "token")
       .groupBy(col("query_idx"), col("id"))
       .agg(sum(idf * tfNorm).as("score"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("query_idx"))
-        .orderBy(col("score").desc, col("id"))))
-      .filter(col("rn") <= k).drop("rn")
+      .groupBy(col("query_idx"))
+      .agg(graft.functions.native.top_k_by_score(
+        col("score"), col("id"), lit(0L), k).as("_tk"))
+      .select(col("query_idx"), explode(col("_tk")).as("_e"))
+      .select(col("query_idx"), col("_e.id").as("id"),
+        col("_e.score").as("score"))
       .orderBy(col("query_idx"), col("score").desc, col("id"))
   }
 

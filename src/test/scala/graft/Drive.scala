@@ -692,6 +692,45 @@ object Drive {
     println(s"-> refined batch re-rank: 10x top-3 exact-cosine, self-first, " +
       "per-query cut is the bounded aggregate (no window sort)")
 
+    println("== r13 drive: bounded cuts in batch BM25 and bottom-k-per-group")
+    val bmQ = Seq("data processing", "training corpus", "quality score")
+    val bmOut = graft.ops.TextIndex.searchBM25Batch(spark, tiIdx, bmQ, 5)
+    val bmPlan = bmOut.queryExecution.executedPlan.toString
+    require(!bmPlan.contains("WindowExec"),
+      s"rank window still in the bm25 batch plan:\n$bmPlan")
+    val bmRows = bmOut.collect()
+    val byQ = bmRows.groupBy(_.getLong(0))
+    require(byQ.keySet.subsetOf(Set(0L, 1L, 2L)) && byQ.values.forall { rs =>
+      rs.length <= 5 &&
+        rs.map(_.getDouble(2)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1))
+    }, "per-query <= k, scores descending within each query")
+    val bmSingle = graft.ops.TextIndex.searchIndexBM25(
+        spark, tiIdx, bmQ.head, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    require(bmRows.filter(_.getLong(0) == 0L)
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq == bmSingle.toSeq,
+      "batch query 0 must equal the single-query probe exactly")
+    println(s"-> bm25 batch: ${bmRows.length} rows over ${byQ.size} queries, " +
+      "== single-query probe, no window in the plan")
+
+    val pgDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"source", $"text")
+    val pg = graft.ops.Sample.bottomKPerGroup(pgDf, "source", "doc_id", 7)
+    val pgRows = pg.collect()
+    require(pgRows.forall(_.schema.fieldNames.sameElements(
+      Array("doc_id", "source", "text"))), "input column order preserved")
+    val pgBySrc = pgRows.groupBy(_.getString(1))
+    require(pgBySrc.values.forall(_.length <= 7), "at most k per source")
+    pgBySrc.keys.foreach { s =>
+      val direct = graft.ops.Sample.bottomK(
+          pgDf.filter($"source" === s), "doc_id", 7)
+        .collect().map(_.getLong(0)).toSet
+      require(pgBySrc(s).map(_.getLong(0)).toSet == direct,
+        s"per-group picks for '$s' must equal bottomK on that slice")
+    }
+    println(s"-> bottomKPerGroup: ${pgRows.length} docs over " +
+      s"${pgBySrc.size} sources, slice-exact under the threshold cut")
+
     spark.stop()
     println("== drive done")
   }

@@ -699,4 +699,36 @@ class ExprSpec extends AnyFunSuite {
       .select(explode($"tk")).select($"col.id").as[Long].collect()
     assert(n.toSeq == Seq(1L))
   }
+
+  test("bottom_kth_key == sorted k-th smallest: extremes, ties, small groups, null groups, shuffled merge") {
+    // 60-bit-hash-shaped keys plus Long extremes and duplicates, across
+    // 16 input partitions so partial heaps serialize through the shuffle
+    val rows = (0 until 4000).map { i =>
+      val g = i % 17
+      val key =
+        if (i % 101 == 0) Long.MinValue
+        else if (i % 103 == 0) Long.MaxValue
+        else if (i % 13 == 0) 424242L            // heavy key ties
+        else (i * 2654435761L) ^ (i.toLong << 31)
+      (g.toLong, key)
+    }
+    val df = spark.createDataFrame(rows).repartition(16).toDF("g", "key")
+    for (k <- Seq(1, 5, 64)) {
+      val expect = rows.groupBy(_._1).map { case (g, gs) =>
+        val sorted = gs.map(_._2).sorted
+        g -> sorted(math.min(k, sorted.length) - 1)
+      }
+      val got = df.groupBy($"g")
+        .agg(native.bottom_kth_key($"key", k).as("thr"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"k=$k")
+    }
+    // fewer rows than k: the group max; all-null keys: NULL
+    val edge = Seq((1L, Some(7L)), (1L, Some(3L)), (2L, None))
+      .toDF("g", "key")
+      .groupBy($"g").agg(native.bottom_kth_key($"key", 5).as("thr"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(edge == Map(1L -> Some(7L), 2L -> None))
+  }
 }
