@@ -2702,6 +2702,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // epoch mixing: src0 ×2.5 (2 copies + a 0.5 coin), src1 ×0.4
+    // (fractional downsample), src2 ×1.0 (pass-through), every other
+    // source at the 0.25 default — floor/threshold fixed on the driver,
+    // the coin is the hash-bucket rule the oracle replays
+    "x_sample_repeat" -> ((s, d) =>
+      Sample.repeatByWeight(docs(s, d).select(col("doc_id"), col("source")),
+          "source", "doc_id",
+          weights = Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 1.0),
+          defaultWeight = 0.25)
+        .orderBy("doc_id", "epoch")),
+
+    // per-source selection under a 2048-token budget, best (longest)
+    // docs first: the kept set is the longest quality-ordered prefix
+    // whose running token sum fits — replayed as the same window cut
+    "x_sample_budget" -> ((s, d) => {
+      val counted = docs(s, d).select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"),
+        col("n_chars").cast(LongType).as("n_chars"),
+        size(TextStats.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      Sample.selectByBudget(counted, "source", "doc_id", "n_chars",
+          "n_tokens", 2048L)
+        .select("doc_id", "source", "n_chars", "n_tokens", "cum_tokens",
+          "sel_rank")
+        .orderBy("doc_id")
+    }),
+
     // deterministic train/val/test split labels (80/10/10 by hash bucket)
     "x_sample_split" -> ((s, d) =>
       Sample.assignSplits(docs(s, d), "lang", "doc_id",
@@ -4716,6 +4742,29 @@ object SparkEntry {
        """ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pack_offset FROM c) """ +
        """SELECT doc_id, source, n_tokens, pack_offset, pack_offset // 4096 AS pack_id """ +
        """FROM o ORDER BY doc_id"""),
+
+    // epoch mixing replayed: integer floor + the hash-bucket coin under
+    // the driver-fixed round(frac*1e6) thresholds, copies via range()
+    "x_sample_repeat" ->
+      ("""WITH base AS (SELECT doc_id, source, """ +
+       """(CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 WHEN 'src2' THEN 1 ELSE 0 END """ +
+       s"""+ CASE WHEN (${h60sql("'epoch::' || COALESCE(source, '') || ':' || CAST(doc_id AS VARCHAR)")} % 1000000) < """ +
+       """(CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 400000 WHEN 'src2' THEN 0 ELSE 250000 END) """ +
+       """THEN 1 ELSE 0 END)::BIGINT AS n FROM documents WHERE doc_id IS NOT NULL) """ +
+       """SELECT doc_id, source, epoch FROM """ +
+       """(SELECT doc_id, source, unnest(range(0, n)) AS epoch FROM base WHERE n >= 1) """ +
+       """ORDER BY doc_id, epoch"""),
+
+    // budgeted selection replayed: the same (score desc, id) window's
+    // inclusive running sum, prefix-cut at the budget
+    "x_sample_budget" ->
+      (s"""WITH c AS (SELECT doc_id, COALESCE(source, '') AS source, n_chars::BIGINT AS n_chars, """ +
+       s"""len($TOK)::BIGINT AS n_tokens FROM documents), """ +
+       """o AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id """ +
+       """ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens, """ +
+       """row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)::BIGINT AS sel_rank FROM c) """ +
+       """SELECT doc_id, source, n_chars, n_tokens, cum_tokens, sel_rank """ +
+       """FROM o WHERE cum_tokens <= 2048 ORDER BY doc_id"""),
 
     "x_sample_split" ->
       (s"""SELECT doc_id, lang, CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' """ +

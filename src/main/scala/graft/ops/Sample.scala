@@ -159,6 +159,100 @@ object Sample {
       .withColumn("pack_id", expr(s"pack_offset div ${budget}L"))
   }
 
+  /** Deterministic EPOCH MIXING — the per-domain up/down-sampling step
+    * of a pretraining data recipe ("web ×0.8, books ×2.5, code ×1.0"):
+    * every row whose domain has weight `w` is emitted `floor(w)` times
+    * plus one more iff its hash coin lands under `frac(w)`, with a
+    * 0-based `epoch` column numbering the copies. One call covers both
+    * directions: `w = 2.5` upsamples (2 or 3 copies), `w = 0.4`
+    * downsamples (0 or 1), `w = 1.0` passes through. The draw is the
+    * [[stratifiedHash]] integer-bucket coin (threshold fixed on the
+    * driver as `round(frac(w)·1e6)` — no cross-engine float
+    * arithmetic), so the output is exactly reproducible in any engine
+    * and stable under corpus growth: a row's copy count never changes
+    * when other rows are added, and `salt` decorrelates the fractional
+    * draw from every other sampling decision. Unlisted and NULL
+    * domains use `defaultWeight` (0 = drop, the usual recipe
+    * behavior); NULL ids have no sampling identity and are dropped
+    * (the family-wide rule). Downstream shard writers should include
+    * `epoch` in their shuffle/pack key so copies of a document land
+    * apart.
+    *
+    * Scale shape: pure per-row projection + generate (the copy
+    * explosion) — no shuffle, no RNG state, no driver data; the output
+    * is ~`Σ w_d·|d|` rows by construction. Weights are capped at 100
+    * epochs: past that a recipe is almost certainly a unit bug, and
+    * the explode factor is the one thing here that could melt a
+    * cluster. */
+  def repeatByWeight(df: DataFrame, domainCol: String, idCol: String,
+                     weights: Map[String, Double],
+                     defaultWeight: Double = 0.0,
+                     salt: String = ""): DataFrame = {
+    require(weights.nonEmpty, "repeatByWeight: empty weight table")
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 0.0 && w <= 100.0,
+        s"weights must be in [0, 100] epochs, got $w"))
+    def floorOf(w: Double) = math.floor(w).toLong
+    def thrOf(w: Double) = Math.round((w - math.floor(w)) * 1e6)
+    val floorW = coalesce(
+      element_at(typedLit(weights.map { case (k, v) => k -> floorOf(v) }),
+        col(domainCol)),
+      lit(floorOf(defaultWeight)))
+    val thrW = coalesce(
+      element_at(typedLit(weights.map { case (k, v) => k -> thrOf(v) }),
+        col(domainCol)),
+      lit(thrOf(defaultWeight)))
+    val extra = when(
+      hashBucket(s"epoch:$salt", domainCol, idCol) < thrW, 1L).otherwise(0L)
+    val n = floorW + extra
+    df.filter(col(idCol).isNotNull)
+      .withColumn("_n_copies", n)
+      .filter(col("_n_copies") >= 1L)
+      .select(df.columns.map(col).toSeq :+
+        explode(sequence(lit(0L), col("_n_copies") - 1L)).as("epoch"): _*)
+  }
+
+  /** Data SELECTION under a per-group token budget — "the best docs
+    * from each source until the source's token quota is full", the
+    * quality-filtered corpus-assembly step: rows rank (`scoreCol` desc,
+    * `idCol` asc) within their group and the kept set is the longest
+    * prefix whose running `tokenCol` sum stays within `budget`
+    * (cumulative sums are monotone, so the first over-budget row cuts
+    * everything after it — a single over-budget document at rank 1
+    * selects nothing from its group). Output: the surviving rows with
+    * `sel_rank` (1-based quality rank) and `cum_tokens` (running total
+    * INCLUDING the row) for audit. NULL or negative token counts and
+    * NULL scores fail loudly per offending row ([[packByTokenBudget]]'s
+    * rule — a silently skipped row would hand its budget to worse
+    * documents).
+    *
+    * Scale shape: ONE hash shuffle on the group + a running-sum window
+    * — [[packByTokenBudget]]'s plan with an ordering key. The window
+    * must sort each group's rows (selection is a PREFIX of unknown
+    * size, so a bounded top-k cut cannot express it — unlike
+    * [[bottomKPerGroup]]); groups are the parallelism unit, so size
+    * them like pack groups (source × split), not one global group. */
+  def selectByBudget(df: DataFrame, groupCol: String, idCol: String,
+                     scoreCol: String, tokenCol: String,
+                     budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(scoreCol).desc, col(idCol))
+    val checkedTok = when(
+      col(tokenCol).isNotNull && col(tokenCol) >= 0 && col(scoreCol).isNotNull,
+      col(tokenCol)).otherwise(raise_error(concat(
+        lit(s"selectByBudget: needs a non-negative token count ('$tokenCol')"),
+        lit(s" and a non-null score ('$scoreCol'), got ("),
+        coalesce(col(tokenCol).cast("string"), lit("NULL")), lit(", "),
+        coalesce(col(scoreCol).cast("string"), lit("NULL")),
+        lit(") for id "), coalesce(col(idCol).cast("string"), lit("NULL")))))
+    df.withColumn("cum_tokens",
+        sum(checkedTok).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** The per-row bucket in [0, 1e6). `salt` decorrelates independent
     * decisions over the same corpus — without it, a 10% sample would sit
     * entirely inside the first 10% of every split. NULL stratum = the

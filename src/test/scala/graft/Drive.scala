@@ -731,6 +731,39 @@ object Drive {
     println(s"-> bottomKPerGroup: ${pgRows.length} docs over " +
       s"${pgBySrc.size} sources, slice-exact under the threshold cut")
 
+    println("== r13 drive: epoch mixing + budgeted selection on real docs")
+    val mixW = Map("src0" -> 2.5, "src1" -> 0.4)
+    val mixed = graft.ops.Sample.repeatByWeight(
+        pgDf.select($"doc_id", $"source"), "source", "doc_id", mixW)
+      .collect()
+    val mixBySrc = mixed.groupBy(_.getString(1))
+      .view.mapValues(_.length).toMap
+    val srcCounts = pgDf.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(mixBySrc.keySet == Set("src0", "src1"), "unlisted sources drop")
+    require(mixBySrc("src0") >= 2 * srcCounts("src0") &&
+      mixBySrc("src0") <= 3 * srcCounts("src0"),
+      s"src0 x2.5: ${mixBySrc("src0")} of ${srcCounts("src0")} docs")
+    require(mixBySrc("src1") <= srcCounts("src1"),
+      s"src1 x0.4 must downsample: ${mixBySrc("src1")} of ${srcCounts("src1")}")
+    println(s"-> repeatByWeight: src0 ${srcCounts("src0")} docs -> " +
+      s"${mixBySrc("src0")} rows (x2.5), src1 ${srcCounts("src1")} -> " +
+      s"${mixBySrc("src1")} (x0.4), others dropped")
+
+    val selIn = pgDf.select($"doc_id", $"source",
+      length($"text").cast("long").as("score"),
+      size(split(lower($"text"), "\\s+")).cast("long").as("n_tok"))
+    val selOut = graft.ops.Sample.selectByBudget(
+        selIn, "source", "doc_id", "score", "n_tok", 120L)
+      .collect()
+    val selBySrc = selOut.groupBy(_.getString(1))
+    require(selBySrc.values.forall { rs =>
+      val max = rs.map(_.getLong(4)).max
+      max <= 120L && rs.map(_.getLong(5)).sorted.sameElements(1L to rs.length)
+    }, "every source's selection fits the budget with dense ranks")
+    println(s"-> selectByBudget: ${selOut.length} docs selected over " +
+      s"${selBySrc.size} sources, every cum_tokens <= 120")
+
     spark.stop()
     println("== drive done")
   }

@@ -1739,6 +1739,87 @@ class OpsSpec extends AnyFunSuite {
     assert(out2(6L) == (610L, 2L))
   }
 
+  test("repeatByWeight: floor+coin copies, epochs dense, default/NULL rules, growth-stable") {
+    val df = (0L until 300L).map(i => (i, s"d${i % 3}")).toDF("id", "dom")
+    val w = Map("d0" -> 2.5, "d1" -> 0.4, "d2" -> 1.0)
+    val out = Sample.repeatByWeight(df, "dom", "id", w)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byId = out.groupBy(_._1)
+    // epochs are dense 0..n-1 per id
+    assert(byId.values.forall(rs =>
+      rs.map(_._3).sorted.sameElements(0L until rs.length)))
+    // d0: every row gets 2 or 3 copies; the coin lands ~50% (integer
+    // floor part is deterministic, so counts can only be 2 or 3)
+    val d0 = (0L until 300L).filter(_ % 3 == 0)
+      .map(i => byId.get(i).map(_.length).getOrElse(0))
+    assert(d0.forall(n => n == 2 || n == 3), s"d0 copy counts: ${d0.distinct}")
+    assert(d0.count(_ == 3) > 20 && d0.count(_ == 3) < 80)
+    // d1 at 0.4: 0 or 1 copies (absent ids = 0)
+    val d1 = (0L until 300L).filter(_ % 3 == 1)
+      .map(i => byId.get(i).map(_.length).getOrElse(0))
+    assert(d1.forall(n => n == 0 || n == 1))
+    assert(d1.sum > 20 && d1.sum < 60)
+    // d2 at 1.0: exactly one copy, epoch 0 — pass-through
+    assert((0L until 300L).filter(_ % 3 == 2)
+      .forall(i => byId(i).map(_._3).toSeq == Seq(0L)))
+    // default weight 0 drops unlisted domains entirely
+    assert(Sample.repeatByWeight(
+      df.withColumn("dom", lit("other")), "dom", "id", w).count() == 0L)
+    // ... and a fractional default draws a deterministic ~25% subset
+    val dflt = Sample.repeatByWeight(
+        df.withColumn("dom", lit("other")), "dom", "id", w,
+        defaultWeight = 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(dflt.size > 40 && dflt.size < 120, s"~25% of 300, got ${dflt.size}")
+    // NULL ids have no sampling identity: dropped even at integer weight
+    val withNull = df.unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], "d2")).toDF("id", "dom"))
+    assert(Sample.repeatByWeight(withNull, "dom", "id", w)
+      .filter(col("id").isNull).count() == 0L)
+    // growth never changes an existing row's copy count
+    val grown = df.unionByName((300L until 400L).map(i => (i, "d0")).toDF("id", "dom"))
+    val out2 = Sample.repeatByWeight(grown, "dom", "id", w)
+      .collect().groupBy(_.getLong(0))
+    assert(byId.forall { case (id, rs) => out2(id).length == rs.length })
+    // weight bounds are enforced
+    intercept[IllegalArgumentException] {
+      Sample.repeatByWeight(df, "dom", "id", Map("d0" -> 101.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sample.repeatByWeight(df, "dom", "id", Map("d0" -> -0.1))
+    }
+  }
+
+  test("selectByBudget: quality-ordered prefix per group, monotone cut, loud null/negative") {
+    val df = Seq(
+      // group a: scores 90 > 80 > 70 > 70(tie->id) > 10; tokens 50 each
+      (0L, "a", 90L, 50L), (1L, "a", 80L, 50L), (2L, "a", 70L, 50L),
+      (3L, "a", 70L, 50L), (4L, "a", 10L, 50L),
+      // group b: one doc bigger than the whole budget blocks everything
+      (5L, "b", 99L, 500L), (6L, "b", 50L, 10L)
+    ).toDF("doc_id", "src", "score", "n_tok")
+    val out = Sample.selectByBudget(df, "src", "doc_id", "score", "n_tok", 180L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    // a: 3 x 50 fits, the 4th (cum 200) does not; tie at 70 broken by id
+    assert(out.keySet == Set(0L, 1L, 2L),
+      s"expected the 3-doc prefix, got ${out.keySet}")
+    assert(out(0L) == (50L, 1L) && out(1L) == (100L, 2L) && out(2L) == (150L, 3L))
+    // b: rank-1 doc overflows alone -> the whole group selects nothing
+    // (the prefix rule; doc 6 would fit but is NOT rank 1)
+    assert(!out.contains(5L) && !out.contains(6L))
+    // null score fails loudly, not silently reordered
+    def msgs(t: Throwable): String = {
+      def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
+      chain(t).flatMap(c => Option(c.getMessage)).mkString(" | ")
+    }
+    val bad = Seq((7L, "c", null.asInstanceOf[java.lang.Long], 10L))
+      .toDF("doc_id", "src", "score", "n_tok")
+    val e = intercept[Throwable] {
+      Sample.selectByBudget(bad, "src", "doc_id", "score", "n_tok", 100L).collect()
+    }
+    assert(msgs(e).contains("selectByBudget"), s"expected loud failure, got: $e")
+  }
+
   test("repetition: repeated n-gram multiplicity, clean text scores 1") {
     val df = Seq(
       (0L, "spam spam spam spam spam spam"),           // "spam spam spam" x4

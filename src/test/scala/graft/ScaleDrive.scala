@@ -330,6 +330,26 @@ object ScaleDrive {
     }
     assert(bk.length == 100)
 
+    // per-group bottom-k at volume through the threshold cut: 20 groups
+    // × 500k rows each — the narrow BottomKthKey pass shuffles
+    // (group, key) pairs only and full-width rows never sort (the
+    // round-13 bounded memory model). Slice-exactness: a group's picks
+    // must equal bottomK run on that group's slice alone.
+    val grp10m = ids10m.select(col("id"), (col("id") % 20L).as("g"))
+    val bkg = time("bottomKPerGroup(k=100) over 10M rows x 20 groups") {
+      graft.ops.Sample.bottomKPerGroup(grp10m, "g", "id", 100).collect()
+    }
+    assert(bkg.length == 2000, s"20 groups x 100 picks, got ${bkg.length}")
+    val bkgBy = bkg.groupBy(_.getLong(1))
+    for (g <- Seq(0L, 13L)) {
+      val direct = graft.ops.Sample.bottomK(
+          grp10m.filter(col("g") === g), "id", 100)
+        .collect().map(_.getLong(0)).toSet
+      assert(bkgBy(g).map(_.getLong(0)).toSet == direct,
+        s"group $g picks must equal bottomK on its slice")
+    }
+    println(s"  2000 picks, spot-checked slice-exact vs per-group bottomK")
+
     // persisted inverted text index over the 360k-doc corpus: build is
     // one distinct-postings shuffle; probes read ONLY the query tokens'
     // bucket directories (PartitionFilters), so probe cost tracks
@@ -391,6 +411,37 @@ object ScaleDrive {
     } catch { case e: IllegalArgumentException =>
       e.getMessage.contains("already indexed") }
     assert(dupCaught, "planted duplicate id must be refused at volume")
+
+    // batch BM25 at volume through the BOUNDED per-query cut: every
+    // probe token here matches ~2k corpus docs, and the per-query
+    // top-k is the TopKByScore aggregate — no task sorts a query's
+    // full candidate pool (round-13 memory model). The batch must
+    // reproduce the single-query probe bit-for-bit.
+    println("== batch BM25 over the 391k-doc text index (bounded per-query cut)")
+    val bmQueries = Seq(tiProbe.mkString(" "), newProbe.mkString(" "),
+      tiProbe.take(2).mkString(" "))
+    val bmBatch = time("searchBM25Batch (3 queries, k=10)") {
+      graft.ops.TextIndex.searchBM25Batch(spark, tiPath, bmQueries, 10).collect()
+    }
+    val bmByQ = bmBatch.groupBy(_.getLong(0))
+    assert(bmByQ.size == 3 && bmByQ.values.forall(_.length == 10),
+      s"3 queries x top-10: ${bmByQ.view.mapValues(_.length).toMap}")
+    // scores compare at the gate's 6-decimal rounding (the gate
+    // discipline): the two plans sum a doc's per-token terms in
+    // different partial-aggregation orders, so raw doubles can sit an
+    // ulp apart — semantically identical, bitwise not
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val bmSingle = graft.ops.TextIndex.searchIndexBM25(
+        spark, tiPath, bmQueries.head, 10)
+      .collect().map(r => (r.getLong(0), r6(r.getDouble(1))))
+      .sortBy { case (id, s) => (-s, id) }
+    val bmBatch0 = bmByQ(0L)
+      .map(r => (r.getLong(1), r6(r.getDouble(2))))
+      .sortBy { case (id, s) => (-s, id) }
+    assert(bmBatch0.toSeq == bmSingle.toSeq,
+      s"batch query 0 must equal the single-query BM25 probe at 6dp:\n" +
+        s"  batch : ${bmBatch0.toSeq}\n  single: ${bmSingle.toSeq}")
+    println(s"  3x top-10 in one pruned scan, batch == single-query probe")
 
     // Count-Min at volume: 10M tokens over 100k distinct values, width
     // 2^16 — ONE corpus pass whose shuffle moves at most depth×width
