@@ -91,6 +91,36 @@ class PlanSpec extends AnyFunSuite {
       !jp.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("per-group top-k cuts are bounded aggregates — no rank-filtered window in any converted plan") {
+    // the round-13 memory model: a WindowExec here would mean a full
+    // per-partition sort of the candidate relation is back (the
+    // structure that OOMed the >64k re-rank at the 8g heap edge)
+    val cuts = Seq(
+      "knnJoin" -> Similarity.knnJoin(embsDf.filter($"vec_id" < 3),
+        "vec_id", "embedding", embsDf, "vec_id", "embedding", k = 5),
+      "knnJoinIndexed" -> Similarity.knnJoinIndexed(spark, ivfIdx,
+        embsDf.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, nprobe = 2),
+      "ivfPqKnnJoin" -> Quantize.ivfPqKnnJoin(spark, ivfPqIdx,
+        embsDf.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, nprobe = 2),
+      "bm25Batch" -> TextIndex.searchBM25Batch(spark, textIdx,
+        Seq("spark data", "fast join"), 5))
+    cuts.foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("Window"),
+        s"$name per-query cut regressed to a rank-filtered window:\n$p")
+      assert(p.contains("top_k_by_score"),
+        s"$name per-query cut is not the bounded aggregate:\n$p")
+    }
+    // bottomKPerGroup: the window survives by design, but ONLY over the
+    // threshold-cut survivors — the narrow bottom_kth_key pass must be
+    // in the plan ahead of it
+    val pg = plan(Sample.bottomKPerGroup(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select($"doc_id", $"source"), "source", "doc_id", 3))
+    assert(pg.contains("bottom_kth_key"),
+      s"bottomKPerGroup lost its threshold pass:\n$pg")
+  }
+
   test("IVFPQ probes: pruned lists AND codes-only scans (no float vectors off the index)") {
     val p1 = plan(Quantize.ivfPqTopKIndexed(spark, ivfPqIdx, q, 5, 2))
     assert(partitionFilters(p1).exists(_.contains("list")), p1)
