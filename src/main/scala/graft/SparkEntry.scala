@@ -2713,6 +2713,35 @@ object SparkEntry {
           defaultWeight = 0.25)
         .orderBy("doc_id", "epoch")),
 
+    // the composed CORPUS-ASSEMBLY recipe — the library's end-to-end
+    // story in one gate: per-source quality selection under a token
+    // budget (longest docs first), then epoch mixing (src0 ×2.0,
+    // src1 ×1.5, src2 ×0.5, everything else ×1.0), then separator-
+    // budgeted packing of the copies into 2048-token shards keyed by
+    // (doc, epoch). Every stage is individually oracle-gated; this
+    // gate pins the COMPOSITION (selection feeds the coin, copies
+    // feed the pack offsets) bit-for-bit.
+    "x_pipeline_recipe" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"),
+        col("n_chars").cast(LongType).as("score"),
+        size(TextStats.tokens(col("text"))).cast(LongType).as("n_tok"))
+      val selected = Sample.selectByBudget(base, "source", "doc_id",
+          "score", "n_tok", 1024L)
+        .drop("cum_tokens", "sel_rank")
+      val mixed = Sample.repeatByWeight(selected, "source", "doc_id",
+        weights = Map("src0" -> 2.0, "src1" -> 1.5, "src2" -> 0.5),
+        defaultWeight = 1.0)
+      // epoch < 4 always (floor <= 2), so the copy key packs exactly
+      val keyed = mixed.withColumn("copy_id",
+        col("doc_id") * 4L + col("epoch"))
+      Sample.packByTokenBudget(keyed, "source", "copy_id", "n_tok",
+          2048L, sepCost = 1L)
+        .select("doc_id", "epoch", "source", "n_tok", "pack_offset",
+          "pack_id")
+        .orderBy("doc_id", "epoch")
+    }),
+
     // per-source selection under a 2048-token budget, best (longest)
     // docs first: the kept set is the longest quality-ordered prefix
     // whose running token sum fits — replayed as the same window cut
@@ -4754,6 +4783,27 @@ object SparkEntry {
        """SELECT doc_id, source, epoch FROM """ +
        """(SELECT doc_id, source, unnest(range(0, n)) AS epoch FROM base WHERE n >= 1) """ +
        """ORDER BY doc_id, epoch"""),
+
+    // the assembly recipe replayed stage by stage: budget-selection
+    // window -> floor+coin copies via range() -> the pack window over
+    // (n_tok + 1) separator-budgeted copy footprints
+    "x_pipeline_recipe" ->
+      (s"""WITH base AS (SELECT doc_id, COALESCE(source, '') AS source, n_chars::BIGINT AS score, """ +
+       s"""len($TOK)::BIGINT AS n_tok FROM documents), """ +
+       """sel AS (SELECT doc_id, source, n_tok FROM (SELECT *, """ +
+       """SUM(n_tok) OVER (PARTITION BY source ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS ct """ +
+       """FROM base) WHERE ct <= 1024), """ +
+       """mix AS (SELECT doc_id, source, n_tok, """ +
+       """(CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 WHEN 'src2' THEN 0 ELSE 1 END """ +
+       s"""+ CASE WHEN (${h60sql("'epoch::' || source || ':' || CAST(doc_id AS VARCHAR)")} % 1000000) < """ +
+       """(CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 500000 WHEN 'src2' THEN 500000 ELSE 0 END) """ +
+       """THEN 1 ELSE 0 END)::BIGINT AS n FROM sel WHERE doc_id IS NOT NULL), """ +
+       """cp AS (SELECT doc_id, source, n_tok, epoch, doc_id * 4 + epoch AS copy_id FROM """ +
+       """(SELECT doc_id, source, n_tok, unnest(range(0, n)) AS epoch FROM mix WHERE n >= 1)), """ +
+       """o AS (SELECT *, COALESCE(SUM(n_tok + 1) OVER (PARTITION BY source ORDER BY copy_id """ +
+       """ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pack_offset FROM cp) """ +
+       """SELECT doc_id, epoch, source, n_tok, pack_offset, pack_offset // 2048 AS pack_id """ +
+       """FROM o ORDER BY doc_id, epoch"""),
 
     // budgeted selection replayed: the same (score desc, id) window's
     // inclusive running sum, prefix-cut at the budget
