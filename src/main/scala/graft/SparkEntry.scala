@@ -2711,6 +2711,9 @@ object SparkEntry {
           "source", "doc_id",
           weights = Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 1.0),
           defaultWeight = 0.25)
+        // copy_id (struct) is consumed by packers, not hashed by the
+        // oracle — its ordering is already pinned via x_pipeline_recipe
+        .select("doc_id", "source", "epoch")
         .orderBy("doc_id", "epoch")),
 
     // the composed CORPUS-ASSEMBLY recipe — the library's end-to-end
@@ -2732,10 +2735,10 @@ object SparkEntry {
       val mixed = Sample.repeatByWeight(selected, "source", "doc_id",
         weights = Map("src0" -> 2.0, "src1" -> 1.5, "src2" -> 0.5),
         defaultWeight = 1.0)
-      // epoch < 4 always (floor <= 2), so the copy key packs exactly
-      val keyed = mixed.withColumn("copy_id",
-        col("doc_id") * 4L + col("epoch"))
-      Sample.packByTokenBudget(keyed, "source", "copy_id", "n_tok",
+      // the pack key is the library's collision-free struct copy_id
+      // (ordered (doc_id, epoch)) — valid at ANY weight, unlike a
+      // hand-rolled doc_id * K + epoch that collides past K epochs
+      Sample.packByTokenBudget(mixed, "source", "copy_id", "n_tok",
           2048L, sepCost = 1L)
         .select("doc_id", "epoch", "source", "n_tok", "pack_offset",
           "pack_id")
@@ -4798,9 +4801,9 @@ object SparkEntry {
        s"""+ CASE WHEN (${h60sql("'epoch::' || source || ':' || CAST(doc_id AS VARCHAR)")} % 1000000) < """ +
        """(CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 500000 WHEN 'src2' THEN 500000 ELSE 0 END) """ +
        """THEN 1 ELSE 0 END)::BIGINT AS n FROM sel WHERE doc_id IS NOT NULL), """ +
-       """cp AS (SELECT doc_id, source, n_tok, epoch, doc_id * 4 + epoch AS copy_id FROM """ +
+       """cp AS (SELECT doc_id, source, n_tok, epoch FROM """ +
        """(SELECT doc_id, source, n_tok, unnest(range(0, n)) AS epoch FROM mix WHERE n >= 1)), """ +
-       """o AS (SELECT *, COALESCE(SUM(n_tok + 1) OVER (PARTITION BY source ORDER BY copy_id """ +
+       """o AS (SELECT *, COALESCE(SUM(n_tok + 1) OVER (PARTITION BY source ORDER BY doc_id, epoch """ +
        """ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pack_offset FROM cp) """ +
        """SELECT doc_id, epoch, source, n_tok, pack_offset, pack_offset // 2048 AS pack_id """ +
        """FROM o ORDER BY doc_id, epoch"""),

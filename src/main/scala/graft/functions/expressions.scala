@@ -1779,6 +1779,161 @@ object BottomKthKey {
   }
 }
 
+/** Bounded CONSERVATIVE (score, mass) histogram —
+  * [[ScoreMassThreshold]]'s aggregation state. Holds at most `2·cap`
+  * (score, mass) entries; when full, entries are sorted by score
+  * descending (Spark's double total order: NaN greatest, -0.0 < 0.0)
+  * and ADJACENT PAIRS collapse into one entry carrying the pair's
+  * summed mass at the pair's LOWER score. The invariant that makes the
+  * downstream prefix cut sound: every unit of mass only ever moves to
+  * a score ≤ its true score, so for ANY s the sketch's
+  * mass-at-score-≥-s is an UNDERestimate — a threshold read off the
+  * sketch can only be too deep (keep extra survivors for the exact
+  * pass to re-cut), never too shallow (lose a row the exact answer
+  * keeps). Total mass is preserved exactly. Accuracy degrades
+  * gracefully with group size (one pairwise collapse per doubling over
+  * `cap`); the structure never exceeds O(cap) memory per group at any
+  * stage. */
+private[graft] final class MassSketch(val cap: Int) {
+  var scores = new Array[Double](2 * cap)
+  var masses = new Array[Long](2 * cap)
+  var n = 0
+  /** Entry indices sorted by score descending. */
+  private def rankedIdx: Array[Integer] = {
+    val idx = Array.tabulate[Integer](n)(Integer.valueOf)
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      def compare(a: Integer, b: Integer): Int =
+        java.lang.Double.compare(scores(b), scores(a))
+    })
+    idx
+  }
+  private def compact(): Unit = {
+    val idx = rankedIdx
+    val ns = new Array[Double](2 * cap)
+    val nm = new Array[Long](2 * cap)
+    var i = 0
+    var j = 0
+    while (i < n) {
+      if (i + 1 < n) {
+        // pair's lower score (desc order: the second of the pair)
+        ns(j) = scores(idx(i + 1))
+        nm(j) = masses(idx(i)) + masses(idx(i + 1))
+        i += 2
+      } else {
+        ns(j) = scores(idx(i)); nm(j) = masses(idx(i)); i += 1
+      }
+      j += 1
+    }
+    scores = ns; masses = nm; n = j
+  }
+  def insert(s: Double, m: Long): Unit = {
+    if (n == 2 * cap) compact()
+    scores(n) = s; masses(n) = m; n += 1
+  }
+  /** Smallest sketched score at which cumulative mass (walking scores
+    * descending) STRICTLY exceeds `budget`; null when total mass stays
+    * within it (no cut needed — the exact pass keeps everything).
+    * Strict, not ≥: with `≥` a zero-mass row tied exactly at the budget
+    * boundary could be cut out of the survivor set the exact window
+    * still keeps. */
+  def threshold(budget: Long): java.lang.Double = {
+    val idx = rankedIdx
+    var cum = 0L
+    var i = 0
+    while (i < n) {
+      cum += masses(idx(i))
+      if (cum > budget) return java.lang.Double.valueOf(scores(idx(i)))
+      i += 1
+    }
+    null
+  }
+}
+
+/** Per-group APPROXIMATE budget-prefix score threshold — the bounded
+  * pre-cut that lets [[graft.ops.Sample.selectByBudget]] survive one
+  * giant skewed group: a value T such that filtering the group to
+  * `score >= T` provably RETAINS every row of the exact budget prefix
+  * (rows ranked (score desc, id asc), kept while the running `mass`
+  * sum stays ≤ `budget`) while bounding the survivor set to roughly
+  * the budget's worth of mass — the exact window then sorts only the
+  * survivors instead of the whole group. NULL when the group's total
+  * mass fits the budget (nothing to cut).
+  *
+  * Safety is structural, not statistical ([[MassSketch]]): compaction
+  * only ever moves mass to LOWER scores, so the sketch's
+  * mass-above-any-score is an underestimate and the first score whose
+  * sketched cumulative mass strictly exceeds the budget is ≤ the exact
+  * boundary score. Ties/NaN/−0.0 follow Spark's double total order,
+  * and score-cast rounding is monotone, so the guarantee carries
+  * through a lossy integer→double cast. State is O(cap) entries per
+  * group at every stage — partial aggregation ships ≤ 2·cap (score,
+  * mass) pairs per group per map task, never rows. NULL scores/masses
+  * are dropped here; the op-level callers fail loudly on them upstream
+  * before this aggregate ever sees one. */
+case class ScoreMassThreshold(score: Expression, mass: Expression,
+                              budget: Long, cap: Int,
+                              mutableAggBufferOffset: Int = 0,
+                              inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[MassSketch] {
+  require(budget > 0L, s"budget must be positive, got $budget")
+  require(cap >= 16 && cap <= (1 << 20), s"cap must be in [16, 2^20], got $cap")
+  override def children: Seq[Expression] = Seq(score, mass)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "score_mass_threshold"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (score.dataType, mass.dataType) match {
+      case (DoubleType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"score_mass_threshold requires (double, bigint), got $other")
+    }
+  override def createAggregationBuffer(): MassSketch = new MassSketch(cap)
+  override def update(b: MassSketch, input: InternalRow): MassSketch = {
+    val s = score.eval(input)
+    val m = mass.eval(input)
+    if (s != null && m != null)
+      b.insert(s.asInstanceOf[Double], m.asInstanceOf[Long])
+    b
+  }
+  override def merge(b: MassSketch, o: MassSketch): MassSketch = {
+    var j = 0
+    while (j < o.n) { b.insert(o.scores(j), o.masses(j)); j += 1 }
+    b
+  }
+  override def eval(b: MassSketch): Any = {
+    val t = b.threshold(budget)
+    if (t == null) null else t.doubleValue()
+  }
+  override def serialize(b: MassSketch): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(4 + b.n * 16)
+    buf.putInt(b.n)
+    var j = 0
+    while (j < b.n) { buf.putDouble(b.scores(j)); buf.putLong(b.masses(j)); j += 1 }
+    buf.array()
+  }
+  override def deserialize(bytes: Array[Byte]): MassSketch = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val cnt = buf.getInt()
+    val b = new MassSketch(cap)
+    var j = 0
+    while (j < cnt) {
+      val s = buf.getDouble(); val m = buf.getLong()
+      b.insert(s, m)
+      j += 1
+    }
+    b
+  }
+  override def withNewMutableAggBufferOffset(newOffset: Int): ScoreMassThreshold =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ScoreMassThreshold =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ScoreMassThreshold =
+    copy(score = newChildren(0), mass = newChildren(1))
+}
+
 /** First-occurrence line filter over an array of lines (kernel in
   * [[DedupLinesKernel]]) — keeps space-only lines unconditionally and
   * the first occurrence of every other distinct line, dropping null
@@ -2076,6 +2231,10 @@ object native {
   def bottom_kth_key(key: Column, k: Int): Column =
     Bridge.column(BottomKthKey(Bridge.expression(key), k)
       .toAggregateExpression())
+  def score_mass_threshold(score: Column, mass: Column, budget: Long,
+                           cap: Int = 4096): Column =
+    Bridge.column(ScoreMassThreshold(Bridge.expression(score),
+      Bridge.expression(mass), budget, cap).toAggregateExpression())
   def bpe_chunk(words: Column, merges: Seq[(String, String)],
                 budget: Long): Column =
     Bridge.column(BpeChunk(Bridge.expression(words),

@@ -376,17 +376,28 @@ object Bpe {
     * fallback flag — changes it. The ingest stamp keys on THIS, not the
     * save path: retraining over the same path must be refused, and the
     * same model at two paths must be accepted
-    * ([[graft.streaming.EventStream]]). */
+    * ([[graft.streaming.EventStream]]).
+    *
+    * The serialization is INJECTIVE by construction: every string is
+    * length-prefixed (4-byte big-endian count of its UTF-8 bytes) and
+    * each section is count-prefixed, so no token content — tokens may
+    * legally contain ANY non-whitespace byte, including control
+    * characters — can imitate a framing byte and make two different
+    * models serialize identically (the in-band-terminator hazard of a
+    * NUL/marker scheme). */
   def fingerprint(model: BpeModel): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
+    def putInt(n: Int): Unit = md.update(Array[Byte](
+      (n >>> 24).toByte, (n >>> 16).toByte, (n >>> 8).toByte, n.toByte))
     def put(s: String): Unit = {
-      md.update(s.getBytes("UTF-8")); md.update(0.toByte)
+      val b = s.getBytes("UTF-8"); putInt(b.length); md.update(b)
     }
+    putInt(model.merges.length)
     model.merges.foreach { case (l, r) => put(l); put(r) }
-    md.update(1.toByte)
+    putInt(model.vocab.length)
     model.vocab.foreach(put)
-    md.update(if (model.byteFallback) 2.toByte else 3.toByte)
-    put(model.specials.length.toString)
+    md.update(if (model.byteFallback) 1.toByte else 0.toByte)
+    putInt(model.specials.length)
     md.digest().map(b => f"$b%02x").mkString
   }
 
@@ -604,7 +615,19 @@ object Bpe {
     * vocab decodes to a NULL token and nulls the whole output — a
     * corrupt ids row is a loud NULL, not a silently patched string.
     * Pure built-ins (aggregate over UTF-8 byte pieces), one narrow
-    * projection. */
+    * projection.
+    *
+    * Known edge (inherent, not fixable at decode time): under a
+    * fallback model, corpus text that LITERALLY spells a byte-token
+    * form with digit-only hex (e.g. the 6 characters `<0x09>`) and is
+    * reachable as one token via merges gets DEDUPED onto the byte
+    * token's id at vocab build ([[buildVocab]]: first occurrence wins)
+    * — by the time decode sees the id, the literal form and the real
+    * byte token are the same id, so the run reassembles to the control
+    * byte, not the 6 characters. The exact-round-trip guarantee
+    * therefore excludes texts containing literal `<0xNN>` byte-token
+    * spellings; uppercase-hex forms cannot collide at all (encoding
+    * lowercases first, and `rlike` here requires uppercase hex). */
   def decodeTextCol(idsCol: Column, model: BpeModel): Column = {
     val toks = decodeIdsCol(idsCol, model)
     // functions.encode, NOT Bpe.encode — this object shadows the name

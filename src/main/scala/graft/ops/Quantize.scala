@@ -591,7 +591,8 @@ object Quantize {
     val candRel =
       if (candBytes <= RerankBroadcastBytes) broadcast(cand) else cand
     val corpusIds = corpus
-      .select(col(cIdCol).cast(LongType).as("neighbor_id"),
+      .select(Similarity.checkedLongId(cIdCol, "ivfPqKnnJoinRefined")
+          .as("neighbor_id"),
         col(cVecCol).as("_nv"))
     val nbrVecs =
       if (probeIds.length <= MaxRerankPushdownIds)
@@ -603,20 +604,11 @@ object Quantize {
         "query_id")
       .select(col("query_id"), col("neighbor_id"),
         Similarity.cosineFixed(col("_nv"), col("_qv")).as("score"))
-    // per-query cut via the BOUNDED top-k aggregate, not a rank-filtered
-    // window: a window must SORT each query's full candidate pool (the
-    // per-partition sort footprint that sat at the heap edge in the
-    // >64k ScaleDrive section), where the aggregate holds O(k) per
-    // query at every stage — ≤ k triples per query leave each map task,
-    // and the merge is a k-heap insert. Same order, ties, and NaN
-    // placement as the window (TopKHeap uses Spark's double ordering).
-    scored
-      .groupBy(col("query_id"))
-      .agg(graft.functions.native.top_k_by_score(
-        col("score"), col("neighbor_id"), lit(0L), k).as("_tk"))
-      .select(col("query_id"), explode(col("_tk")).as("_e"))
-      .select(col("query_id"), col("_e.id").as("neighbor_id"),
-        col("_e.score").as("score"))
+    // per-query cut via the bounded [[TopK.topKPerGroup]] aggregate —
+    // O(k) per query at every stage, not a rank-filtered window's full
+    // per-partition sort (the >64k ScaleDrive heap-edge structure)
+    TopK.topKPerGroup(scored, "query_id", "score", "neighbor_id", lit(0L), k)
+      .select("query_id", "neighbor_id", "score")
   }
 
   /** [[adcScore]] with PER-ROW lookup tables: `lutCol` is an
@@ -691,18 +683,12 @@ object Quantize {
     val scored = querySide.join(corpusSide, "_list")
       .select(col("_qid"), col("_nid"), col("_list"),
         adcScoreCols(col("_codes"), col("_lut"), cc, col("_qq")).as("score"))
-    // bounded top-k per query (the ivfPqKnnJoinRefined discipline): the
-    // candidate pool here is nprobe lists' worth of corpus rows per
-    // query — a rank-filtered window would sort all of it; the
-    // aggregate keeps O(k) per query and ships ≤ k triples per query
-    // per map task. The probed list id rides through as the payload.
-    scored
-      .groupBy(col("_qid"))
-      .agg(graft.functions.native.top_k_by_score(
-        col("score"), col("_nid"), col("_list"), k).as("_tk"))
-      .select(col("_qid").as("query_id"), explode(col("_tk")).as("_e"))
-      .select(col("query_id"), col("_e.id").as("neighbor_id"),
-        col("_e.score").as("score"), col("_e.payload").as("list"))
+    // bounded top-k per query — the [[TopK.topKPerGroup]] cut over
+    // nprobe lists' worth of candidates; the probed list id rides
+    // through as the payload
+    TopK.topKPerGroup(scored, "_qid", "score", "_nid", col("_list"), k)
+      .select(col("_qid").as("query_id"), col("_nid").as("neighbor_id"),
+        col("score"), col("payload").as("list"))
   }
 
   // ---------------------------------------------------------------- //

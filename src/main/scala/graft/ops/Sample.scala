@@ -174,9 +174,16 @@ object Sample {
     * draw from every other sampling decision. Unlisted and NULL
     * domains use `defaultWeight` (0 = drop, the usual recipe
     * behavior); NULL ids have no sampling identity and are dropped
-    * (the family-wide rule). Downstream shard writers should include
-    * `epoch` in their shuffle/pack key so copies of a document land
-    * apart.
+    * (the family-wide rule).
+    *
+    * Besides `epoch`, the output carries `copy_id` — a
+    * `struct(id, epoch)` key that is COLLISION-FREE for any id type at
+    * any weight up to the 100-epoch cap, ordered exactly (id asc,
+    * epoch asc). Feed THIS to [[packByTokenBudget]]'s `idCol` (struct
+    * columns order lexicographically) so copies of a document lay out
+    * adjacently but distinctly; a hand-rolled numeric key like
+    * `id * 4 + epoch` silently collides the moment a weight exceeds
+    * the multiplier and corrupts every downstream pack offset.
     *
     * Scale shape: pure per-row projection + generate (the copy
     * explosion) — no shuffle, no RNG state, no driver data; the output
@@ -210,6 +217,8 @@ object Sample {
       .filter(col("_n_copies") >= 1L)
       .select(df.columns.map(col).toSeq :+
         explode(sequence(lit(0L), col("_n_copies") - 1L)).as("epoch"): _*)
+      .withColumn("copy_id",
+        struct(col(idCol).as("id"), col("epoch").as("epoch")))
   }
 
   /** Data SELECTION under a per-group token budget — "the best docs
@@ -226,18 +235,31 @@ object Sample {
     * rule — a silently skipped row would hand its budget to worse
     * documents).
     *
-    * Scale shape: ONE hash shuffle on the group + a running-sum window
-    * — [[packByTokenBudget]]'s plan with an ordering key. The window
-    * must sort each group's rows (selection is a PREFIX of unknown
-    * size, so a bounded top-k cut cannot express it — unlike
-    * [[bottomKPerGroup]]); groups are the parallelism unit, so size
-    * them like pack groups (source × split), not one global group. */
+    * Scale shape, two passes ([[bottomKPerGroup]]'s threshold
+    * discipline, mass-weighted): (1) one NARROW aggregation pass
+    * computes a per-group conservative score threshold with the
+    * bounded [[graft.functions.ScoreMassThreshold]] sketch — only
+    * (score, mass) pairs shuffle, ≤ O(sketch cap) per group per map
+    * task — such that `score >= threshold` provably retains the whole
+    * exact prefix while bounding the survivor mass to roughly the
+    * budget; (2) the exact running-sum window then sorts ONLY the
+    * survivors (one hash shuffle + per-group sort over an
+    * O(budget)-mass row set), so one giant skewed source never sorts
+    * its full-width row set. A group whose total mass fits the budget
+    * gets a NULL threshold (no cut — everything survives, everything
+    * is kept). Output is BIT-IDENTICAL to the single-window
+    * formulation: survivors contain every exact-prefix row AND every
+    * row that precedes one in rank order, so `sel_rank`/`cum_tokens`
+    * are unchanged ([[graft.functions.MassSketch]] documents the
+    * conservative-direction proof; OpsSpec pins equality on random
+    * and adversarial groups). `df` is evaluated twice — cache
+    * upstream if it is an expensive derived pipeline. Groups are the
+    * parallelism unit, so size them like pack groups (source ×
+    * split), not one global group. */
   def selectByBudget(df: DataFrame, groupCol: String, idCol: String,
                      scoreCol: String, tokenCol: String,
                      budget: Long): DataFrame = {
     require(budget > 0, "token budget must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy(col(scoreCol).desc, col(idCol))
     val checkedTok = when(
       col(tokenCol).isNotNull && col(tokenCol) >= 0 && col(scoreCol).isNotNull,
       col(tokenCol)).otherwise(raise_error(concat(
@@ -246,7 +268,24 @@ object Sample {
         coalesce(col(tokenCol).cast("string"), lit("NULL")), lit(", "),
         coalesce(col(scoreCol).cast("string"), lit("NULL")),
         lit(") for id "), coalesce(col(idCol).cast("string"), lit("NULL")))))
-    df.withColumn("cum_tokens",
+    // pass 1: per-group conservative threshold (bad rows fail loudly
+    // HERE — the checked mass expression raises before the sketch ever
+    // sees them). The integer→double score cast is monotone, so the
+    // sketch's ≤-exact-boundary guarantee carries through it.
+    val thr = df.groupBy(col(groupCol).as("_smg"))
+      .agg(graft.functions.native.score_mass_threshold(
+        col(scoreCol).cast("double"), checkedTok.cast("long"), budget)
+        .as("_thr"))
+    // NULL-safe join back (a NULL group is its own stratum, the
+    // bottomKPerGroup rule); group cardinality is sources × splits —
+    // driver-small by design, so the threshold relation broadcasts
+    val survivors = df.join(broadcast(thr), col(groupCol) <=> col("_smg"))
+      .filter(col("_thr").isNull || col(scoreCol) >= col("_thr"))
+      .select(df.columns.map(col).toSeq: _*)
+    // pass 2: the exact window, now over O(budget)-mass survivors
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(scoreCol).desc, col(idCol))
+    survivors.withColumn("cum_tokens",
         sum(checkedTok).over(w.rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .withColumn("sel_rank", row_number().over(w).cast("long"))
@@ -358,14 +397,19 @@ object Sample {
     require(k >= 1, "k must be >= 1")
     val keyed = df.withColumn("_bk", bottomKey(salt, idCol))
       .filter(col("_bk").isNotNull)
-    val thr = keyed.groupBy(col(groupCol))
+    val thr = keyed.groupBy(col(groupCol).as("_bkg"))
       .agg(graft.functions.native.bottom_kth_key(col("_bk"), k).as("_thr"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col("_bk"), col(idCol))
-    keyed.join(broadcast(thr), Seq(groupCol))
+    // NULL-safe join back: groupBy keeps a NULL group as its own row,
+    // and the window's PARTITION BY gives it its own partition — an
+    // equi-join here would silently DROP every null-group row instead
+    // of returning that group's bottom-k (a real stratum in corpora
+    // with unattributed sources)
+    keyed.join(broadcast(thr), col(groupCol) <=> col("_bkg"))
       .filter(col("_bk") <= col("_thr"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
-      .select(df.columns.map(col).toSeq: _*) // the join led with groupCol
+      .select(df.columns.map(col).toSeq: _*)
   }
 }

@@ -56,6 +56,18 @@ object Similarity {
     dotFixed(a, b).cast(DoubleType) /
       (sqrt(dotFixed(a, a).cast(DoubleType)) * sqrt(dotFixed(b, b).cast(DoubleType)))
 
+  /** `idCol` cast to LONG, failing LOUDLY per row when the value is
+    * NULL or non-numeric. The bounded top-k cut ([[TopK.topKPerGroup]])
+    * drops null ids by contract, so a silent cast-to-NULL here would
+    * turn a schema mistake (string ids fed to a knn join) into quietly
+    * missing neighbors instead of an error — the
+    * [[DedupIndex.buildDedupIndex]] id discipline. */
+  private[ops] def checkedLongId(idCol: String, op: String): Column =
+    when(col(idCol).cast(LongType).isNotNull, col(idCol).cast(LongType))
+      .otherwise(raise_error(concat(
+        lit(s"$op: id column '$idCol' must be non-null and numeric, got: "),
+        coalesce(col(idCol).cast(StringType), lit("NULL")))))
+
   /** Brute-force cosine top-k against a literal query vector. */
   def topK(df: DataFrame, idCol: String, vecCol: String,
            query: Seq[Float], k: Int, exactDecimal: Boolean = false): DataFrame = {
@@ -391,7 +403,7 @@ object Similarity {
         .cast(IntegerType))
     val probeArr = graft.functions.native.top_lists(
       col(qVecCol), cvals, cids, dyy, nprobe)
-    val corpusSide = corpus.select(col(cIdCol).cast(LongType).as("_nid"),
+    val corpusSide = corpus.select(checkedLongId(cIdCol, "knnJoin").as("_nid"),
       col(cVecCol).as("_nvec"),
       dotFixed(col(cVecCol), col(cVecCol)).as("_nn"), listId.as("_list"))
     val querySide = queries.select(col(qIdCol).as("_qid"),
@@ -403,18 +415,12 @@ object Similarity {
         (dotFixed(col("_qvec"), col("_nvec")).cast(DoubleType) /
           (sqrt(col("_qq").cast(DoubleType)) *
            sqrt(col("_nn").cast(DoubleType)))).as("score"))
-    // bounded top-k per query (the Quantize.ivfPqKnnJoin discipline): a
-    // rank-filtered window would SORT each query's full candidate pool
-    // (nprobe lists' worth of corpus rows), where the aggregate holds
-    // O(k) per query at every stage and ships ≤ k triples per query per
-    // map task. Same order, ties, and NaN placement as the window.
-    scored
-      .groupBy(col("_qid"))
-      .agg(graft.functions.native.top_k_by_score(
-        col("score"), col("_nid"), col("_list"), k).as("_tk"))
-      .select(col("_qid").as("query_id"), explode(col("_tk")).as("_e"))
-      .select(col("query_id"), col("_e.id").as("neighbor_id"),
-        col("_e.score").as("score"), col("_e.payload").as("list"))
+    // bounded top-k per query — the [[TopK.topKPerGroup]] cut: O(k)
+    // heap state per query at every stage instead of a full
+    // per-partition sort of the probed candidate relation
+    TopK.topKPerGroup(scored, "_qid", "score", "_nid", col("_list"), k)
+      .select(col("_qid").as("query_id"), col("_nid").as("neighbor_id"),
+        col("score"), col("payload").as("list"))
   }
 
   /** [[knnJoin]] against a persisted [[buildIvfIndex]] tree — the
@@ -470,17 +476,11 @@ object Similarity {
         (dotFixed(col("_qvec"), col("_nvec")).cast(DoubleType) /
           (sqrt(col("_qq").cast(DoubleType)) *
            sqrt(col("_nn").cast(DoubleType)))).as("score"))
-    // bounded top-k per query — identical cut to [[knnJoin]]'s: O(k)
-    // per query at every stage instead of a full per-partition sort of
-    // the probed candidate relation; the probed list id rides through
-    // as the aggregate's payload.
-    scored
-      .groupBy(col("_qid"))
-      .agg(graft.functions.native.top_k_by_score(
-        col("score"), col("_nid"), col("_list"), k).as("_tk"))
-      .select(col("_qid").as("query_id"), explode(col("_tk")).as("_e"))
-      .select(col("query_id"), col("_e.id").as("neighbor_id"),
-        col("_e.score").as("score"), col("_e.payload").as("list"))
+    // bounded top-k per query — identical [[TopK.topKPerGroup]] cut to
+    // [[knnJoin]]'s; the probed list id rides through as the payload
+    TopK.topKPerGroup(scored, "_qid", "score", "_nid", col("_list"), k)
+      .select(col("_qid").as("query_id"), col("_nid").as("neighbor_id"),
+        col("score"), col("payload").as("list"))
   }
 
   /** Cross-corpus EMBEDDING dedup against a persisted [[buildIvfIndex]]

@@ -481,16 +481,12 @@ object TextIndex {
       (lit(n.toDouble) - col("dfq") + lit(0.5)) / (col("dfq") + lit(0.5)))
     val tfNorm = col("tf") * lit(k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("doc_len") / lit(avgdl)))
-    matched.join(broadcast(dfreq), "token")
+    val perQueryDoc = matched.join(broadcast(dfreq), "token")
       .join(broadcast(qrel), "token")
       .groupBy(col("query_idx"), col("id"))
       .agg(sum(idf * tfNorm).as("score"))
-      .groupBy(col("query_idx"))
-      .agg(graft.functions.native.top_k_by_score(
-        col("score"), col("id"), lit(0L), k).as("_tk"))
-      .select(col("query_idx"), explode(col("_tk")).as("_e"))
-      .select(col("query_idx"), col("_e.id").as("id"),
-        col("_e.score").as("score"))
+    TopK.topKPerGroup(perQueryDoc, "query_idx", "score", "id", lit(0L), k)
+      .select("query_idx", "id", "score")
       .orderBy(col("query_idx"), col("score").desc, col("id"))
   }
 

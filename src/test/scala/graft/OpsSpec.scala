@@ -1610,6 +1610,17 @@ class OpsSpec extends AnyFunSuite {
     val src0 = Sample.bottomK(df.filter(col("src") === "src0"), "id", 4)
       .collect().map(_.getLong(0)).toSet
     assert(pg.filter(_._1 == "src0").map(_._2).toSet == src0)
+    // a NULL group is its own stratum with its own bottom-k — the
+    // threshold join back must be null-safe, not an equi-join that
+    // silently drops unattributed rows
+    val withNullG = df.unionByName(Seq(
+      (java.lang.Long.valueOf(1000L), null.asInstanceOf[String]),
+      (java.lang.Long.valueOf(1001L), null.asInstanceOf[String]))
+      .toDF("id", "src"))
+    val pgN = Sample.bottomKPerGroup(withNullG, "src", "id", 4).collect()
+    assert(pgN.count(_.isNullAt(1)) == 2,
+      "NULL-group rows dropped by the threshold join")
+    assert(pgN.count(!_.isNullAt(1)) == 12)
   }
 
   test("connected components: chains merge, min-id labels, isolated pairs separate") {
@@ -1818,6 +1829,60 @@ class OpsSpec extends AnyFunSuite {
       Sample.selectByBudget(bad, "src", "doc_id", "score", "n_tok", 100L).collect()
     }
     assert(msgs(e).contains("selectByBudget"), s"expected loud failure, got: $e")
+  }
+
+  test("selectByBudget: threshold pre-cut is bit-identical to the single-window formulation") {
+    // one giant skewed group (16k rows — past the sketch's 2x4096-entry
+    // buffer, so compaction fires) with tiny token counts and heavy
+    // score ties, plus small groups that never hit the cut
+    val rnd = new scala.util.Random(14)
+    val rows = (0L until 20000L).map { i =>
+      val g = if (i % 10 < 8) "giant" else s"g${i % 3}"
+      (i, g, rnd.nextInt(1000).toLong, (1 + rnd.nextInt(5)).toLong)
+    }
+    val df = rows.toDF("doc_id", "src", "score", "n_tok").repartition(16)
+    def rowsOf(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val out = rowsOf(
+      Sample.selectByBudget(df, "src", "doc_id", "score", "n_tok", 997L))
+    // the executable specification: the exact window alone, no pre-cut
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("score").desc, col("doc_id"))
+    val naive = rowsOf(df
+      .withColumn("cum_tokens", sum(col("n_tok")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .filter(col("cum_tokens") <= 997L))
+    assert(out == naive,
+      s"pre-cut diverged: ${out.size} vs ${naive.size} rows")
+    assert(out.nonEmpty && out.size < 20000, "cut did not engage")
+    // a NULL group is its own stratum with its own budget (the
+    // bottomKPerGroup NULL rule — an equi-join back would drop it)
+    val withNullG = Seq(
+      (1L, null.asInstanceOf[String], 10L, 5L),
+      (2L, null.asInstanceOf[String], 20L, 5L),
+      (3L, "a", 5L, 5L)).toDF("doc_id", "src", "score", "n_tok")
+    val kept = Sample.selectByBudget(withNullG, "src", "doc_id",
+        "score", "n_tok", 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"NULL group mishandled: $kept")
+  }
+
+  test("repeatByWeight: copy_id is collision-free at weights near the 100-epoch cap") {
+    val df = (0L until 50L).map(i => (i, "d0")).toDF("id", "dom")
+    val out = Sample.repeatByWeight(df, "dom", "id", Map("d0" -> 99.5))
+    val n = out.count()
+    assert(n >= 50L * 99 && n <= 50L * 100, s"unexpected copy volume $n")
+    assert(out.select("copy_id").distinct().count() == n,
+      "copy_id collided under a near-cap weight")
+    // the struct key orders (id, epoch) — the shard-layout order
+    val first = out.orderBy("copy_id").limit(3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(first == Seq((0L, 0L), (0L, 1L), (0L, 2L)))
+    // ...where the hand-rolled numeric key the docs warn about WOULD
+    // collide at this weight
+    assert(out.select((col("id") * 4L + col("epoch")).as("k"))
+      .distinct().count() < n)
   }
 
   test("repetition: repeated n-gram multiplicity, clean text scores 1") {

@@ -119,6 +119,18 @@ class PlanSpec extends AnyFunSuite {
         .select($"doc_id", $"source"), "source", "doc_id", 3))
     assert(pg.contains("bottom_kth_key"),
       s"bottomKPerGroup lost its threshold pass:\n$pg")
+    // selectByBudget: same discipline, mass-weighted — the bounded
+    // score_mass_threshold pass must precede the exact window, so one
+    // giant skewed source never full-sorts its row set
+    val sb = plan(Sample.selectByBudget(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select($"doc_id", $"source", $"n_chars",
+          length($"text").cast("long").as("n_tok")),
+      "source", "doc_id", "n_chars", "n_tok", 2048L))
+    assert(sb.contains("score_mass_threshold"),
+      s"selectByBudget lost its threshold pre-cut:\n$sb")
+    assert(sb.contains("Window"),
+      s"selectByBudget's exact pass vanished:\n$sb")
   }
 
   test("IVFPQ probes: pruned lists AND codes-only scans (no float vectors off the index)") {
