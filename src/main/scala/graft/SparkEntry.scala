@@ -818,6 +818,41 @@ object SparkEntry {
           byteFallback = true, specials = bpeGateSpecials)
         .orderBy("token_id").collect().map(_.getString(1)).toSeq)
 
+  /** The non-fallback fixture model as a BpeModel VALUE, mass stats
+    * included: total mass = every whitespace-token occurrence of the
+    * corpus, covered mass = the occurrences inside a maxWords=1000
+    * dictionary cap (count desc, word asc — [[graft.ops.Bpe.learnBpe]]'s
+    * deterministic cut), both SQL-replayable. Cached per sf dir: the
+    * id-emitting stream gate and the card gate share one instance, so
+    * repeated gate runs re-pay neither the wordFreqs jobs nor a model
+    * save. */
+  private val bpeGateModelCache =
+    new scala.collection.concurrent.TrieMap[String, Bpe.BpeModel]()
+  private def bpeGateModel(s: SparkSession, d: String): Bpe.BpeModel =
+    bpeGateModelCache.getOrElseUpdate(d, {
+      val wf = Bpe.wordFreqs(docs(s, d), "text").localCheckpoint(true)
+      val total = wf.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+      val covered = wf.orderBy(col("cnt").desc, col("word")).limit(1000)
+        .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+      wf.unpersist()
+      Bpe.BpeModel(bpeGateMerges, covered, total, bpeGateVocab(s, d))
+    })
+
+  /** [[bpeGateModel]] PERSISTED once per sf dir (merges + vocab + card
+    * parquet tree under a fresh tmp path) — the saved-artifact fixture
+    * of `x_bpe_card` and `x_stream_token_ingest`. Cached so each gate
+    * invocation stops re-paying a 3-table save + reload (the stream
+    * gate alone was one more ~1 s of pure harness floor per run). */
+  private val bpeGateModelPathCache =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private def bpeGateModelPath(s: SparkSession, d: String): String =
+    bpeGateModelPathCache.getOrElseUpdate(d, {
+      val path = "/tmp/graft-bpe-gate-model-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      Bpe.saveBpeModel(s, bpeGateModel(s, d), path)
+      path
+    })
+
   /** Words the documents corpus cannot contain (Greek, a 4-byte-UTF-8
     * emoji) appended to every document — the out-of-training-alphabet
     * input of `x_bpe_fallback`. "💩th" additionally proves merges still
@@ -2363,6 +2398,21 @@ object SparkEntry {
           64L, sepCost = 3L)
         .orderBy("doc_id", "chunk_id")),
 
+    // the PERSISTED model card under the oracle: save the fixture model
+    // once, read `path/card` BACK FROM DISK, and let DuckDB recompute
+    // every SQL-replayable column from the corpus + the shared merge
+    // literal — merge count, vocab/alphabet sizes (the vocab CTE),
+    // covered/total word mass (the maxWords=1000 dictionary cut) and
+    // their ratio, the flags. A card that disagrees with the model it
+    // was saved beside fails here. (fingerprint and bytes/token are
+    // deliberately absent: a SHA-256 over length-prefixed framing and
+    // a driver-side segmentation average are not SQL-replayable —
+    // BpeSpec pins both.)
+    "x_bpe_card" -> ((s, d) =>
+      s.read.parquet(s"${bpeGateModelPath(s, d)}/card")
+        .select("n_merges", "vocab_size", "alphabet_size", "covered_mass",
+          "total_mass", "covered_frac", "byte_fallback", "n_specials")),
+
     // document fingerprinting (md5 + portable 60-bit hash)
     "x_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(docs(s, d), "text")
@@ -3140,10 +3190,11 @@ object SparkEntry {
         val idxPath = cloneTree(s, ingBaseTextIndex(s, d),
           indexPath("stk_", d) +
             "-" + java.util.UUID.randomUUID().toString.take(8))
-        val modelPath = "/tmp/graft-bpe-model-" +
-          java.util.UUID.randomUUID().toString.take(8)
-        val model = Bpe.BpeModel(bpeGateMerges, 0L, 0L, bpeGateVocab(s, d))
-        Bpe.saveBpeModel(s, model, modelPath)
+        // the PERSISTED per-sfDir fixture model — saved once, reused by
+        // every invocation (the save+reload was pure harness floor; the
+        // sink still loads and fingerprint-stamps it per run)
+        val modelPath = bpeGateModelPath(s, d)
+        val model = bpeGateModel(s, d)
         val b1 = docs(s, d)
           .filter(col("doc_id") >= 200 && col("doc_id") < 250)
           .select("doc_id", "text")
@@ -3164,11 +3215,10 @@ object SparkEntry {
           .select(col("doc_id"),
             (col("pos") + 1).cast(LongType).as("tpos"),
             col("col").as("token_id")))
-        try {
+        try { // the model tree stays — it is the shared per-sfDir fixture
           val fs = new org.apache.hadoop.fs.Path(idxPath)
             .getFileSystem(s.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(idxPath), true)
-          fs.delete(new org.apache.hadoop.fs.Path(modelPath), true); ()
+          fs.delete(new org.apache.hadoop.fs.Path(idxPath), true); ()
         } catch { case _: Exception => () }
         out.orderBy("doc_id", "tpos")
       }
@@ -4467,6 +4517,24 @@ object SparkEntry {
        """UNION ALL SELECT doc_id, 0::BIGINT, '', 0::BIGINT FROM documents """ +
        """WHERE doc_id NOT IN (SELECT doc_id FROM words) """ +
        """ORDER BY doc_id, chunk_id"""),
+
+    // the persisted model card replayed: merge count from the shared
+    // literal, vocab/alphabet sizes from the vocab CTE, covered/total
+    // mass from the maxWords=1000 dictionary cut (count desc, word asc),
+    // covered_frac as the same bigint/bigint -> double division
+    "x_bpe_card" ->
+      (s"""WITH $bpeVocabCtes, """ +
+       s"""cwf AS (SELECT w AS word, count(*)::BIGINT AS cnt FROM """ +
+       s"""(SELECT unnest($TOK) AS w FROM documents) WHERE w <> '' GROUP BY 1), """ +
+       """tot AS (SELECT COALESCE(sum(cnt), 0)::BIGINT AS total_mass FROM cwf), """ +
+       """cov AS (SELECT COALESCE(sum(cnt), 0)::BIGINT AS covered_mass FROM """ +
+       """(SELECT cnt FROM cwf ORDER BY cnt DESC, word LIMIT 1000)) """ +
+       s"""SELECT (SELECT count(*) FROM (VALUES $bpeMergesValues) t(rnk, l, r))::BIGINT AS n_merges, """ +
+       """(SELECT count(*) FROM vocab)::BIGINT AS vocab_size, """ +
+       """(SELECT count(*) FROM vocab WHERE length(token) = 1)::BIGINT AS alphabet_size, """ +
+       """covered_mass, total_mass, """ +
+       """CASE WHEN total_mass = 0 THEN -1.0 ELSE covered_mass / total_mass END AS covered_frac, """ +
+       """FALSE AS byte_fallback, 0::BIGINT AS n_specials FROM cov, tot"""),
 
     "x_fingerprint" ->
       (s"""SELECT doc_id, md5(text) AS md5, ${h60sql("text")} AS h60, """ +

@@ -432,6 +432,12 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.fingerprint(m) != Bpe.fingerprint(m.copy(byteFallback = false)))
     assert(Bpe.fingerprint(m) == Bpe.fingerprint(
       m.copy(coveredMass = 1L, bytesPerTokenCovered = 0.0)))
+    // the serialization is INJECTIVE (length-prefixed framing): token
+    // content containing a would-be terminator byte cannot make two
+    // different models collide — under in-band NUL framing these two
+    // hashed identically
+    assert(Bpe.fingerprint(Bpe.BpeModel(Nil, 0L, 0L, Seq("a\u0000b"))) !=
+      Bpe.fingerprint(Bpe.BpeModel(Nil, 0L, 0L, Seq("a", "b"))))
     val m2 = Bpe.BpeModel(m.merges.dropRight(1), 0L, 0L,
       Bpe.buildVocab(Seq("a", "c", "e", "h", "t"), m.merges.dropRight(1),
         byteFallback = true, specials = Seq("<eos>")),

@@ -930,6 +930,93 @@ object ScaleDrive {
     assert(chunkStats.getLong(0) > 2000000L,
       s"budget walk never split a document: ${chunkStats.getLong(0)} chunks")
 
+    // composed corpus-assembly recipe at volume: 10M docs with ONE
+    // source owning 80% of the corpus — the skew shape the round-14
+    // threshold pre-cut exists for. Three claims, each asserted:
+    // (1) selectByBudget's bounded score_mass_threshold pass is in the
+    //     plan and its output matches the naive full-sort window
+    //     bit-for-bit on the 8M-row giant slice;
+    // (2) the composed select -> mix -> sep-budgeted pack keeps ONE
+    //     full-width data shuffle (the pack window reuses the selection
+    //     window's source partitioning through the generate; the only
+    //     other hash exchange is the pre-cut's narrow (score, mass)
+    //     aggregation);
+    // (3) prefix/offset laws hold per source at volume.
+    println("== corpus-assembly recipe over 10M docs (80% one source, bounded pre-cut)")
+    val recipeDocs = spark.range(10000000).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(10L)) < 8L, lit("giant"))
+        .otherwise(concat(lit("src"), pmod(col("id"), lit(10L)))).as("source"),
+      pmod(hash(col("id") * 31L), lit(1000000)).cast("long").as("score"),
+      (pmod(hash(col("id") * 7L), lit(401)) + lit(50L)).cast("long").as("n_tok"))
+    val selBudget = 10000000L // ~40k giant-source survivors of 8M rows
+    val recipe = {
+      val sel = graft.ops.Sample.selectByBudget(recipeDocs, "source",
+        "doc_id", "score", "n_tok", selBudget).drop("cum_tokens", "sel_rank")
+      val mix = graft.ops.Sample.repeatByWeight(sel, "source", "doc_id",
+        Map("giant" -> 0.8, "src8" -> 2.5, "src9" -> 1.5), defaultWeight = 1.0)
+      graft.ops.Sample.packByTokenBudget(mix, "source", "copy_id", "n_tok",
+        2048L, sepCost = 1L)
+    }
+    val recipePlan = recipe.queryExecution.executedPlan.toString
+    assert(recipePlan.contains("score_mass_threshold"),
+      "selectByBudget's bounded pre-cut missing from the composed plan")
+    val nHashExchanges =
+      "Exchange hashpartitioning".r.findAllIn(recipePlan).size
+    assert(nHashExchanges == 2, // 1 full-width data + 1 narrow pre-cut agg
+      s"composed recipe plan shape regressed: $nHashExchanges hash exchanges\n$recipePlan")
+    val recipeT0 = System.nanoTime()
+    val packStats = time("composed recipe (select -> mix -> pack) over 10M") {
+      recipe.groupBy("source").agg(count(lit(1)).as("n"),
+          sum(col("n_tok") + 1L).as("footprint"),
+          max(col("pack_offset") + col("n_tok") + 1L).as("endOff"),
+          max("pack_id").as("maxPack"))
+        .collect()
+    }
+    val recipeSec = (System.nanoTime() - recipeT0) / 1e9
+    packStats.foreach { r =>
+      // the last copy's end offset equals the group's total footprint —
+      // contiguous separator-budgeted layout, no gaps, no overlaps
+      assert(r.getLong(2) == r.getLong(3),
+        s"pack layout gap in ${r.getString(0)}: $r")
+      assert(r.getLong(4) == (r.getLong(3) - 1L) / 2048L,
+        s"pack ids not dense in ${r.getString(0)}: $r")
+    }
+    println(s"  sources=${packStats.length} copies=${packStats.map(_.getLong(1)).sum}")
+    // wall-clock budget at the default 8g fork heap (measured ~3x under)
+    assert(recipeSec < 240.0,
+      f"composed recipe took $recipeSec%.1f s at 10M — plan regressed?")
+    // pre-cut correctness AT volume: the giant slice through the
+    // bounded path must equal the naive full-sort window exactly
+    val selOut = graft.ops.Sample.selectByBudget(recipeDocs, "source",
+      "doc_id", "score", "n_tok", selBudget)
+    val selStats = selOut.groupBy("source").agg(
+      max("cum_tokens").as("maxCum"), count(lit(1)).as("n"),
+      max("sel_rank").as("maxRank")).collect()
+    selStats.foreach { r =>
+      assert(r.getLong(1) <= selBudget, s"budget overrun: $r")
+      assert(r.getLong(2) == r.getLong(3), // kept set IS ranks 1..n
+        s"kept set is not a rank prefix in ${r.getString(0)}: $r")
+    }
+    val wNaive = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("doc_id"))
+    val naiveGiant = time("naive full-sort window on the 8M-row giant slice") {
+      recipeDocs.filter(col("source") === "giant")
+        .withColumn("cum_tokens", sum(col("n_tok")).over(wNaive.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("sel_rank", row_number().over(wNaive).cast("long"))
+        .filter(col("cum_tokens") <= selBudget)
+        .agg(count(lit(1)), sum("doc_id"), sum("cum_tokens"), sum("sel_rank"))
+        .collect()(0)
+    }
+    val precutGiant = selOut.filter(col("source") === "giant")
+      .agg(count(lit(1)), sum("doc_id"), sum("cum_tokens"), sum("sel_rank"))
+      .collect()(0)
+    assert(precutGiant == naiveGiant,
+      s"pre-cut diverged at volume: $precutGiant vs $naiveGiant")
+    println(s"  giant slice: ${precutGiant.getLong(0)} kept of 8M, " +
+      "bounded path == naive window")
+
     // ANN retrieval QUALITY canary: recall@10 vs exact brute force with
     // hard floors — every x_knn_* gate pins determinism (the oracle
     // replays the engine's own approximation), so only THIS catches a
