@@ -731,4 +731,49 @@ class ExprSpec extends AnyFunSuite {
         (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(edge == Map(1L -> Some(7L), 2L -> None))
   }
+
+  test("score_mass_threshold: conservative cut — never shaves the exact budget prefix") {
+    // heavy score ties, zero-mass rows, 16 input partitions (partial
+    // sketches serialize and merge through the shuffle) and a tiny
+    // cap=16 so compaction fires constantly — the hardest setting for
+    // the conservative-direction invariant (MassSketch doc): the
+    // threshold may only land AT or BELOW the exact prefix's minimum
+    // kept score, and the mass above it must strictly exceed the budget
+    val rows = (0 until 6000).map { i =>
+      val g = i % 7
+      val score =
+        if (i % 13 == 0) 0.5 // heavy ties
+        else ((i * 2654435761L) % 997L).toDouble / 10.0
+      (g.toLong, score, i.toLong, (i % 21).toLong) // masses 0..20
+    }
+    val df = spark.createDataFrame(rows).repartition(16)
+      .toDF("g", "score", "id", "mass")
+    for (budget <- Seq(50L, 500L, 4000L, 9999999L)) {
+      val thr = df.groupBy($"g")
+        .agg(native.score_mass_threshold($"score", $"mass", budget, cap = 16)
+          .as("t"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      rows.groupBy(_._1).foreach { case (g, gs) =>
+        val total = gs.map(_._4).sum
+        if (total <= budget)
+          assert(thr(g).isEmpty, s"g=$g budget=$budget: expected NULL")
+        else {
+          val t = thr(g).getOrElse(
+            sys.error(s"g=$g budget=$budget: expected a threshold"))
+          val massAtT = gs.filter(r =>
+            java.lang.Double.compare(r._2, t) >= 0).map(_._4).sum
+          assert(massAtT > budget,
+            s"g=$g budget=$budget t=$t: cut leaves only $massAtT mass")
+          val ordered = gs.sortBy(r => (-r._2, r._3))
+          var cum = 0L
+          val kept = ordered.takeWhile { r => cum += r._4; cum <= budget }
+          if (kept.nonEmpty)
+            assert(java.lang.Double.compare(t, kept.map(_._2).min) <= 0,
+              s"g=$g budget=$budget: t=$t cuts into the prefix " +
+                s"(min kept score ${kept.map(_._2).min})")
+        }
+      }
+    }
+  }
 }
