@@ -61,12 +61,17 @@ object Similarity {
     * drops null ids by contract, so a silent cast-to-NULL here would
     * turn a schema mistake (string ids fed to a knn join) into quietly
     * missing neighbors instead of an error — the
-    * [[DedupIndex.buildDedupIndex]] id discipline. */
-  private[ops] def checkedLongId(idCol: String, op: String): Column =
-    when(col(idCol).cast(LongType).isNotNull, col(idCol).cast(LongType))
+    * [[DedupIndex.buildDedupIndex]] id discipline. `try_cast`, not
+    * `cast`: under ANSI a malformed string would throw Spark's generic
+    * cast error before this guard ran; under non-ANSI it would go NULL
+    * silently — try_cast makes both paths land on the op-named error. */
+  private[ops] def checkedLongId(idCol: String, op: String): Column = {
+    val asLong = expr(s"try_cast(`$idCol` AS BIGINT)")
+    when(asLong.isNotNull, asLong)
       .otherwise(raise_error(concat(
         lit(s"$op: id column '$idCol' must be non-null and numeric, got: "),
         coalesce(col(idCol).cast(StringType), lit("NULL")))))
+  }
 
   /** Brute-force cosine top-k against a literal query vector. */
   def topK(df: DataFrame, idCol: String, vecCol: String,
@@ -290,8 +295,9 @@ object Similarity {
     // kernel's float×double dots are bit-identical to the float form)
     val cents: Seq[(Long, Seq[Double])] = codebook match {
       case Some(cb) => cb.zipWithIndex.map { case (c, j) => (j.toLong, c) }
-      case None => df.select(col(idCol).cast(LongType), col(vecCol))
-        .orderBy(col(idCol)).limit(nlist)
+      case None => df
+        .select(checkedLongId(idCol, "ivfTopK").as("_cid"), col(vecCol))
+        .orderBy(col("_cid")).limit(nlist)
         .collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
     }
@@ -379,8 +385,9 @@ object Similarity {
     // centroid values widened to double (exact — kernel dots identical)
     val cents: Seq[(Long, Seq[Double])] = codebook match {
       case Some(cb) => cb.zipWithIndex.map { case (c, j) => (j.toLong, c) }
-      case None => corpus.select(col(cIdCol).cast(LongType), col(cVecCol))
-        .orderBy(col(cIdCol)).limit(nlist)
+      case None => corpus
+        .select(checkedLongId(cIdCol, "knnJoin").as("_cid"), col(cVecCol))
+        .orderBy(col("_cid")).limit(nlist)
         .collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
     }

@@ -1638,6 +1638,24 @@ class OpsSpec extends AnyFunSuite {
     assert(Cluster.connectedComponents(edges, "id1", "id2").count() == 0L)
   }
 
+  test("knnJoin: non-numeric corpus ids fail loudly instead of vanishing in the cut") {
+    // a silent cast-to-NULL would be dropped by TopKByScore's null-id
+    // rule — a schema mistake must be an error, not missing neighbors
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Seq(("idA", Seq(1.0f, 0.0f)), ("idB", Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    def msgs(t: Throwable): String = {
+      def chain(x: Throwable): Seq[Throwable] =
+        if (x == null) Nil else x +: chain(x.getCause)
+      chain(t).flatMap(c2 => Option(c2.getMessage)).mkString(" | ")
+    }
+    val e = intercept[Throwable] {
+      Similarity.knnJoin(q, "vec_id", "embedding",
+        c, "vec_id", "embedding", k = 1).collect()
+    }
+    assert(msgs(e).contains("knnJoin"), s"expected a loud id failure, got: $e")
+  }
+
   test("ivf topK rejects a zero-norm centroid instead of silently emptying") {
     val emb = Seq((0L, Seq.fill(4)(0.0f)), (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
       (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
