@@ -2816,6 +2816,15 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "lang", "split").orderBy("doc_id")),
 
+    // deterministic global shuffle: dense permutation positions from the
+    // two-pass bucketed rank (per-bucket counts -> offsets -> in-bucket
+    // window) — the oracle replays the same total order as ONE global
+    // row_number over (key mod B, key, id)
+    "x_sample_shuffle" -> ((s, d) =>
+      Sample.shuffleRank(docs(s, d).select("doc_id"), "doc_id",
+          salt = "r14", buckets = 64)
+        .orderBy("doc_id")),
+
     // gap-based sessionization of the event stream
     "x_sessionize" -> ((s, d) =>
       Sessionize.sessionStats(events(s, d), 1800)
@@ -4892,6 +4901,13 @@ object SparkEntry {
        """WHEN b < 1000000 THEN 'test' ELSE 'rest' END AS split FROM """ +
        s"""(SELECT doc_id, lang, ${h60sql("'split:' || COALESCE(lang, '') || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 AS b """ +
        """FROM documents) ORDER BY doc_id"""),
+
+    // the bucketed two-pass global rank == one global row_number over
+    // (key mod B, key, id); hash60 is non-negative so % == pmod
+    "x_sample_shuffle" ->
+      (s"""SELECT doc_id, (row_number() OVER (ORDER BY k % 64, k, doc_id) - 1)::BIGINT AS shuffle_pos """ +
+       s"""FROM (SELECT doc_id, ${h60sql("'shuffle:r14:' || CAST(doc_id AS VARCHAR)")} AS k FROM documents) """ +
+       """ORDER BY doc_id"""),
 
     "x_sessionize" ->
       ("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) // 1000000 AS sec FROM events), """ +

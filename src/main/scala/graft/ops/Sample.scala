@@ -372,6 +372,65 @@ object Sample {
       .select(element_at(lit(ps), col("i") + 1).as("p"), col("value"))
   }
 
+  /** Deterministic GLOBAL SHUFFLE rank — the "shuffle the corpus before
+    * sharding" step of a training pipeline: every row gets a dense
+    * `shuffle_pos` in `[0, N)` that is a pseudo-random permutation of
+    * the corpus, keyed on the portable content hash (no RNG state), so
+    * two runs — or two engines — produce the SAME permutation and a
+    * shard writer can lay sequences out in `shuffle_pos` order knowing
+    * adjacent documents are decorrelated. `salt` selects the
+    * permutation (one per training run); NULL ids have no shuffle
+    * identity and fail loudly (a silently dropped row would shift every
+    * later position).
+    *
+    * Scale shape — a global rank WITHOUT a global sort: the total order
+    * is (bucket, key, id) where `bucket = key mod buckets`; pass 1
+    * counts rows per bucket (one tiny hash agg, ≤ `buckets` longs to
+    * the driver) and prefix-sums the counts into per-bucket OFFSETS;
+    * pass 2 ranks within each bucket (one hash shuffle + per-bucket
+    * sort of N/buckets rows) and adds the broadcast offset. No task
+    * ever sorts more than ~N/buckets rows, and the permutation is
+    * identical at any bucket count with the same salt (buckets is pure
+    * parallelism, not semantics — the order is (key, id) globally
+    * because bucket is a function of key... see note). NOTE: bucket =
+    * `key mod buckets` is NOT a prefix of the (key, id) order, so the
+    * global order DOES depend on `buckets`; fix it per training run
+    * like the salt (the default keeps shards task-sized at any corpus).
+    * A SQL oracle replays the exact order as
+    * `row_number() OVER (ORDER BY key % B, key, id) - 1`. */
+  def shuffleRank(df: DataFrame, idCol: String, salt: String = "",
+                  buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val key = when(col(idCol).isNotNull,
+      native.hash60(concat(lit("shuffle:"), lit(salt), lit(":"),
+        col(idCol).cast("string"))))
+      .otherwise(raise_error(lit(
+        s"shuffleRank: id column '$idCol' must be non-null — a NULL id " +
+          "has no shuffle identity and would shift every later position")))
+    val keyed = df.withColumn("_sk", key)
+      .withColumn("_sb", pmod(col("_sk"), lit(buckets.toLong)))
+    // pass 1: per-bucket counts -> exclusive prefix-sum offsets (driver,
+    // bounded by `buckets`)
+    val counts = keyed.groupBy("_sb").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (b, c)) => (b, acc + c)
+    }.sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toMap
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(
+        element_at(typedLit(offsets.map { case (b, o) => b.toString -> o }),
+          col("_sb").cast("string")), lit(0L))
+    // pass 2: within-bucket rank (each task sorts ~N/buckets rows) +
+    // the broadcast offset = the dense global position
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_sb").orderBy(col("_sk"), col(idCol))
+    keyed
+      .withColumn("shuffle_pos",
+        offCol + row_number().over(w).cast("long") - 1L)
+      .drop("_sk", "_sb")
+  }
+
   /** [[bottomK]] within each `groupCol` value — "k docs per source" for
     * stratified eval sets and per-stratum inspection.
     *

@@ -1903,6 +1903,43 @@ class OpsSpec extends AnyFunSuite {
       .distinct().count() < n)
   }
 
+  test("shuffleRank: dense permutation, == one global window, salt selects, loud NULL") {
+    val df = spark.range(5000).select(col("id").as("doc_id"))
+    val out = Sample.shuffleRank(df, "doc_id", salt = "a", buckets = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a dense permutation of [0, N)
+    assert(out.size == 5000 && out.values.toSet == (0L until 5000L).toSet)
+    // deterministic: same salt+buckets -> same permutation
+    assert(Sample.shuffleRank(df, "doc_id", salt = "a", buckets = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == out)
+    // bit-identical to the single global window over (key mod B, key, id)
+    val key = graft.functions.native.hash60(
+      concat(lit("shuffle:a:"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(pmod(key, lit(32L)), key, col("doc_id"))
+    val direct = df.withColumn("p", row_number().over(w).cast("long") - 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == direct)
+    // the salt selects the permutation; it actually shuffles (ids and
+    // positions decorrelate)
+    val salted = Sample.shuffleRank(df, "doc_id", salt = "b", buckets = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted != out)
+    assert((0L until 100L).count(i => out(i) < 100L) < 20)
+    // NULL ids fail loudly (a dropped row would shift every position)
+    def msgs(t: Throwable): String = {
+      def chain(x: Throwable): Seq[Throwable] =
+        if (x == null) Nil else x +: chain(x.getCause)
+      chain(t).flatMap(c => Option(c.getMessage)).mkString(" | ")
+    }
+    val withNull = df.unionByName(
+      Seq(Tuple1(null.asInstanceOf[java.lang.Long])).toDF("doc_id"))
+    val e = intercept[Throwable] {
+      Sample.shuffleRank(withNull, "doc_id").collect()
+    }
+    assert(msgs(e).contains("shuffleRank"), s"expected loud NULL-id, got $e")
+  }
+
   test("repetition: repeated n-gram multiplicity, clean text scores 1") {
     val df = Seq(
       (0L, "spam spam spam spam spam spam"),           // "spam spam spam" x4
