@@ -764,6 +764,44 @@ object Drive {
     println(s"-> selectByBudget: ${selOut.length} docs selected over " +
       s"${selBySrc.size} sources, every cum_tokens <= 120")
 
+    println("== r14 drive: bounded budget pre-cut, saved card, global shuffle, copy_id")
+    // the pre-cut pass must be in selectByBudget's plan, and the result
+    // above already proved the prefix law — assert the plan shape here
+    val selPlan = graft.ops.Sample.selectByBudget(
+      selIn, "source", "doc_id", "score", "n_tok", 120L)
+      .queryExecution.executedPlan.toString
+    require(selPlan.contains("score_mass_threshold"),
+      "selectByBudget lost its bounded threshold pre-cut")
+    println("-> selectByBudget plan carries the score_mass_threshold pre-cut")
+    // persisted model card read back and checked against the model value
+    val cardModel = graft.ops.Bpe.learnBpe(pgDf.select($"doc_id", $"text"),
+      "text", nMerges = 8)
+    val cardPath = java.nio.file.Files.createTempDirectory("drive-card").toString + "/m"
+    graft.ops.Bpe.saveBpeModel(spark, cardModel, cardPath)
+    val cardRow = spark.read.parquet(s"$cardPath/card").collect()(0)
+    require(cardRow.getAs[Long]("n_merges") == cardModel.merges.length.toLong &&
+      cardRow.getAs[Long]("vocab_size") == cardModel.vocab.length.toLong &&
+      cardRow.getAs[String]("fingerprint") == graft.ops.Bpe.fingerprint(cardModel),
+      "persisted card disagrees with the model it was saved beside")
+    println(s"-> model card round-trip: ${cardRow.getAs[Long]("n_merges")} merges, " +
+      s"vocab ${cardRow.getAs[Long]("vocab_size")}, fingerprint verified")
+    // deterministic global shuffle over real docs: dense permutation
+    val shuf = graft.ops.Sample.shuffleRank(
+        pgDf.select($"doc_id"), "doc_id", salt = "drive")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(shuf.values.toSet == (0L until shuf.size.toLong).toSet,
+      "shuffle positions are not a dense permutation")
+    println(s"-> shuffleRank: ${shuf.size} docs permuted densely, " +
+      s"doc 0 at position ${shuf(0L)}")
+    // recipe copy keys: library copy_id is collision-free where the
+    // hand-rolled numeric key would collide
+    val heavy = graft.ops.Sample.repeatByWeight(
+      pgDf.select($"doc_id", $"source"), "source", "doc_id",
+      Map("src0" -> 9.5), defaultWeight = 0.0)
+    require(heavy.select("copy_id").distinct().count() == heavy.count(),
+      "copy_id collided")
+    println(s"-> repeatByWeight x9.5: ${heavy.count()} copies, copy_id collision-free")
+
     spark.stop()
     println("== drive done")
   }
