@@ -400,7 +400,12 @@ object Sample {
     * `row_number() OVER (ORDER BY key % B, key, id) - 1`. */
   def shuffleRank(df: DataFrame, idCol: String, salt: String = "",
                   buckets: Int = 1024): DataFrame = {
-    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // upper bound because the per-bucket offsets ride the plan as a
+    // broadcast map literal (~20 B/entry — 64k ≈ 1.3 MB is fine, an
+    // unbounded count would bloat every task's plan); 64k buckets
+    // already caps the per-task sort at ~N/65536 rows
+    require(buckets >= 1 && buckets <= (1 << 16),
+      s"buckets must be in [1, 65536], got $buckets")
     val key = when(col(idCol).isNotNull,
       native.hash60(concat(lit("shuffle:"), lit(salt), lit(":"),
         col(idCol).cast("string"))))
