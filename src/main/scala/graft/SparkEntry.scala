@@ -2795,6 +2795,30 @@ object SparkEntry {
         .orderBy("doc_id", "epoch")
     }),
 
+    // the SHARD-WRITING recipe end-to-end: per-source budget selection,
+    // then the deterministic global shuffle, then interleaved shard
+    // assignment (shard = shuffle_pos mod 8 — adjacent positions land
+    // on different shards, so shards are balanced AND decorrelated),
+    // rolled up to the per-shard manifest a writer publishes. Every
+    // stage is SQL-replayable; the gate pins the composition (the
+    // pre-cut selection feeds the permutation feeds the rollup).
+    "x_pipeline_shard" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"),
+        col("n_chars").cast(LongType).as("score"),
+        size(TextStats.tokens(col("text"))).cast(LongType).as("n_tok"))
+      val selected = Sample.selectByBudget(base, "source", "doc_id",
+          "score", "n_tok", 4096L)
+        .drop("cum_tokens", "sel_rank")
+      val shuffled = Sample.shuffleRank(selected, "doc_id",
+        salt = "shard", buckets = 32)
+      shuffled.withColumn("shard", pmod(col("shuffle_pos"), lit(8L)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard")
+    }),
+
     // per-source selection under a 2048-token budget, best (longest)
     // docs first: the kept set is the longest quality-ordered prefix
     // whose running token sum fits — replayed as the same window cut
@@ -4884,6 +4908,21 @@ object SparkEntry {
        """ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pack_offset FROM cp) """ +
        """SELECT doc_id, epoch, source, n_tok, pack_offset, pack_offset // 2048 AS pack_id """ +
        """FROM o ORDER BY doc_id, epoch"""),
+
+    // the shard recipe replayed stage by stage: budget-selection window
+    // -> the global (key mod 32, key, id) rank -> shard = pos mod 8 ->
+    // per-shard rollup
+    "x_pipeline_shard" ->
+      (s"""WITH base AS (SELECT doc_id, COALESCE(source, '') AS source, n_chars::BIGINT AS score, """ +
+       s"""len($TOK)::BIGINT AS n_tok FROM documents), """ +
+       """sel AS (SELECT doc_id, n_tok FROM (SELECT *, """ +
+       """SUM(n_tok) OVER (PARTITION BY source ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS ct """ +
+       """FROM base) WHERE ct <= 4096), """ +
+       s"""pos AS (SELECT doc_id, n_tok, (row_number() OVER (ORDER BY k % 32, k, doc_id) - 1) AS p """ +
+       s"""FROM (SELECT doc_id, n_tok, ${h60sql("'shuffle:shard:' || CAST(doc_id AS VARCHAR)")} AS k FROM sel)) """ +
+       """SELECT (p % 8)::BIGINT AS shard, count(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens, """ +
+       """min(doc_id) AS min_doc, max(doc_id) AS max_doc """ +
+       """FROM pos GROUP BY 1 ORDER BY 1"""),
 
     // budgeted selection replayed: the same (score desc, id) window's
     // inclusive running sum, prefix-cut at the budget

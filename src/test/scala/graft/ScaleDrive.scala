@@ -1016,6 +1016,23 @@ object ScaleDrive {
       s"pre-cut diverged at volume: $precutGiant vs $naiveGiant")
     println(s"  giant slice: ${precutGiant.getLong(0)} kept of 8M, " +
       "bounded path == naive window")
+    // deterministic global shuffle at volume: 10M rows through the
+    // two-pass bucketed rank — no task sorts more than ~N/buckets rows
+    // (the permutation law is cheap to verify as an aggregate: dense
+    // positions sum to N(N-1)/2 with min 0 and max N-1)
+    val shufStats = time("shuffleRank over 10M rows (1024 buckets)") {
+      graft.ops.Sample.shuffleRank(recipeDocs.select("doc_id"), "doc_id",
+          salt = "drive", buckets = 1024)
+        .agg(count(lit(1)), min("shuffle_pos"), max("shuffle_pos"),
+          sum("shuffle_pos"), count_distinct(col("shuffle_pos")))
+        .collect()(0)
+    }
+    assert(shufStats.getLong(0) == 10000000L &&
+      shufStats.getLong(1) == 0L && shufStats.getLong(2) == 9999999L &&
+      shufStats.getLong(4) == 10000000L &&
+      shufStats.getLong(3) == 10000000L * 9999999L / 2L,
+      s"shuffle positions not a dense permutation at volume: $shufStats")
+    println("  10M positions: dense permutation verified by aggregate laws")
 
     // ANN retrieval QUALITY canary: recall@10 vs exact brute force with
     // hard floors — every x_knn_* gate pins determinism (the oracle
