@@ -418,6 +418,14 @@ object Sample {
     // bounded by `buckets`)
     val counts = keyed.groupBy("_sb").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // row_number() is 32-bit: a bucket past 2^31 rows would overflow the
+    // within-bucket rank silently. Pass 1 holds the exact counts — refuse
+    // loudly and tell the caller the fix (more buckets).
+    counts.foreach { case (b, c) =>
+      require(c <= Int.MaxValue.toLong,
+        s"shuffleRank: bucket $b holds $c rows (> 2^31 overflows the " +
+          s"within-bucket rank) — raise `buckets` (currently $buckets)")
+    }
     val offsets = counts.scanLeft((Long.MinValue, 0L)) {
       case ((_, acc), (b, c)) => (b, acc + c)
     }.sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toMap
