@@ -389,15 +389,17 @@ object Sample {
     * the driver) and prefix-sums the counts into per-bucket OFFSETS;
     * pass 2 ranks within each bucket (one hash shuffle + per-bucket
     * sort of N/buckets rows) and adds the broadcast offset. No task
-    * ever sorts more than ~N/buckets rows, and the permutation is
-    * identical at any bucket count with the same salt (buckets is pure
-    * parallelism, not semantics — the order is (key, id) globally
-    * because bucket is a function of key... see note). NOTE: bucket =
-    * `key mod buckets` is NOT a prefix of the (key, id) order, so the
-    * global order DOES depend on `buckets`; fix it per training run
-    * like the salt (the default keeps shards task-sized at any corpus).
+    * ever sorts more than ~N/buckets rows. NOTE: bucket =
+    * `key mod buckets` is NOT a prefix of the plain (key, id) order,
+    * so the permutation depends on `buckets` as well as `salt` — fix
+    * BOTH per training run (every (salt, buckets) pair is an equally
+    * good permutation; the default keeps tasks sized for any corpus).
     * A SQL oracle replays the exact order as
-    * `row_number() OVER (ORDER BY key % B, key, id) - 1`. */
+    * `row_number() OVER (ORDER BY key % B, key, id) - 1`. `df` is
+    * evaluated twice (the hash key is deterministic) — cache upstream
+    * if it is an expensive derived pipeline; `idCol` should be unique
+    * (it is the tie-break — duplicate (key, id) pairs make the
+    * position assignment among those exact duplicates arbitrary). */
   def shuffleRank(df: DataFrame, idCol: String, salt: String = "",
                   buckets: Int = 1024): DataFrame = {
     // upper bound because the per-bucket offsets ride the plan as a
