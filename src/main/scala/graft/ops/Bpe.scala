@@ -401,6 +401,28 @@ object Bpe {
     md.digest().map(b => f"$b%02x").mkString
   }
 
+  /** The PRE-r14 fingerprint scheme (NUL-terminated strings, section
+    * marker bytes) — kept VERBATIM so artifacts persisted under it keep
+    * verifying: [[loadBpeModel]] and the ingest stamp accept a legacy
+    * fingerprint that matches the loaded content (then re-stamp under
+    * the current scheme where they own the stamp), instead of
+    * mislabeling every old save as a torn overwrite. Never used for
+    * NEW fingerprints: the scheme is not injective (a token containing
+    * a NUL byte can imitate the terminator), which is why it was
+    * replaced. */
+  private[graft] def fingerprintLegacy(model: BpeModel): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def put(s: String): Unit = {
+      md.update(s.getBytes("UTF-8")); md.update(0.toByte)
+    }
+    model.merges.foreach { case (l, r) => put(l); put(r) }
+    md.update(1.toByte)
+    model.vocab.foreach(put)
+    md.update(if (model.byteFallback) 2.toByte else 3.toByte)
+    put(model.specials.length.toString)
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
   /** The corpus's base-symbol alphabet: distinct code points across the
     * word dictionary, collected (intrinsically bounded — Unicode itself
     * has ~1.1M code points; real corpora have thousands) and sorted in
@@ -533,10 +555,18 @@ object Bpe {
       rows.tail.map(r => (r.getString(1), r.getString(2))).toSeq,
       rows.head.getLong(3), rows.head.getLong(4), vocab,
       fb, vocab.take(nSpecials), bpt)
-    cardFp.foreach(f => require(f == fingerprint(model),
-      s"loadBpeModel: $path is TORN — the card's fingerprint does not " +
-        "match the merges+vocab on disk (partial overwrite of the model " +
-        "tree); re-save the model"))
+    // a card stamped under the PRE-r14 fingerprint scheme is a sound
+    // save, not a torn one — accept it (content still verifies, just
+    // under the old serialization); only a card matching NEITHER scheme
+    // is real damage
+    cardFp.foreach(f => require(
+      f == fingerprint(model) || f == fingerprintLegacy(model),
+      s"loadBpeModel: $path is TORN — the card's fingerprint matches " +
+        "neither the current nor the legacy fingerprint scheme of the " +
+        "merges+vocab on disk (partial overwrite of the model tree); " +
+        "re-save the model. (A card from an old save that merely " +
+        "predates the r14 length-prefixed scheme would have verified " +
+        "against the legacy scheme and loaded fine.)"))
     model
   }
 

@@ -196,6 +196,14 @@ object Sample {
                      defaultWeight: Double = 0.0,
                      salt: String = ""): DataFrame = {
     require(weights.nonEmpty, "repeatByWeight: empty weight table")
+    // the op APPENDS `epoch` and `copy_id` — a pre-existing column of
+    // either name would be silently replaced (withColumn semantics) and
+    // every schema-sensitive consumer downstream would see the swap;
+    // fail loudly instead (the family-wide collision rule)
+    Seq("epoch", "copy_id").foreach(c =>
+      require(!df.columns.contains(c),
+        s"repeatByWeight appends a '$c' column; the input already has " +
+          s"one — rename it first"))
     (weights.values.toSeq :+ defaultWeight).foreach(w =>
       require(w >= 0.0 && w <= 100.0,
         s"weights must be in [0, 100] epochs, got $w"))
@@ -260,6 +268,18 @@ object Sample {
                      scoreCol: String, tokenCol: String,
                      budget: Long): DataFrame = {
     require(budget > 0, "token budget must be positive")
+    // the pre-cut evaluates scores AS DOUBLE (sketch input + threshold
+    // compare) while the exact window orders the RAW column — sound
+    // only when the raw order IS numeric order. A string score would
+    // order lexicographically in the window but numerically (or NULL,
+    // silently dropping rows) in the pre-cut; refuse the type up front
+    // (the checkedLongId fail-loudly discipline) instead of silently
+    // cutting exact-prefix rows.
+    val scoreType = df.schema(scoreCol).dataType
+    require(scoreType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"selectByBudget: score column '$scoreCol' must be numeric (its " +
+        s"order must survive the pre-cut's double cast), got " +
+        s"${scoreType.simpleString} — cast it explicitly upstream")
     val checkedTok = when(
       col(tokenCol).isNotNull && col(tokenCol) >= 0 && col(scoreCol).isNotNull,
       col(tokenCol)).otherwise(raise_error(concat(
@@ -277,9 +297,13 @@ object Sample {
         col(scoreCol).cast("double"), checkedTok.cast("long"), budget)
         .as("_thr"))
     // NULL-safe join back (a NULL group is its own stratum, the
-    // bottomKPerGroup rule); group cardinality is sources × splits —
-    // driver-small by design, so the threshold relation broadcasts
-    val survivors = df.join(broadcast(thr), col(groupCol) <=> col("_smg"))
+    // bottomKPerGroup rule). No broadcast HINT: the threshold relation
+    // is one row per group — tiny for the designed sources × splits
+    // grouping, where AQE converts the join to broadcast at runtime
+    // from its ACTUAL size — but a forced broadcast of an unexpectedly
+    // high-cardinality group column would OOM the driver where the
+    // plain shuffle join merely costs a shuffle of the small side
+    val survivors = df.join(thr, col(groupCol) <=> col("_smg"))
       .filter(col("_thr").isNull || col(scoreCol) >= col("_thr"))
       .select(df.columns.map(col).toSeq: _*)
     // pass 2: the exact window, now over O(budget)-mass survivors
@@ -456,7 +480,8 @@ object Sample {
     * pass aggregates each group's k-th-smallest hash key with the
     * bounded [[graft.functions.BottomKthKey]] heap — only (group, key)
     * pairs shuffle, ≤ k longs per group per map task; (2) the
-    * per-group THRESHOLD broadcast-joins back (one row per group — the
+    * per-group THRESHOLD joins back (one row per group, so AQE
+    * broadcasts it from its runtime size — the
     * group cardinality of "k docs per source" is sources × splits, as
     * with [[packByTokenBudget]]'s groups, driver-small by design) and
     * `key <= threshold` keeps exactly the winners plus any boundary
@@ -479,8 +504,10 @@ object Sample {
     // and the window's PARTITION BY gives it its own partition — an
     // equi-join here would silently DROP every null-group row instead
     // of returning that group's bottom-k (a real stratum in corpora
-    // with unattributed sources)
-    keyed.join(broadcast(thr), col(groupCol) <=> col("_bkg"))
+    // with unattributed sources). No broadcast hint — one row per
+    // group, AQE broadcasts from the ACTUAL size (selectByBudget's
+    // high-cardinality-group rationale)
+    keyed.join(thr, col(groupCol) <=> col("_bkg"))
       .filter(col("_bk") <= col("_thr"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)

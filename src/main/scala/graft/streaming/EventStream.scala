@@ -308,21 +308,23 @@ object EventStream {
     // and the check runs FIRST in the batch — before the index append
     // and the store commit — so a model-mix refusal kills the batch
     // with neither side mutated, and no row can ever land unstamped.
-    val bpe: Option[(String, graft.ops.Bpe.BpeModel, String)] =
+    val bpe: Option[(String, graft.ops.Bpe.BpeModel, String, String)] =
       bpeModelPath.map { p =>
         val model = graft.ops.Bpe.loadBpeModel(stream.sparkSession, p)
-        (p, model, graft.ops.Bpe.fingerprint(model))
+        (p, model, graft.ops.Bpe.fingerprint(model),
+          graft.ops.Bpe.fingerprintLegacy(model))
       }
     appendSink(stream, store, table, checkpoint, trigger,
       afterBatch = maintenanceHook(stream.sparkSession, indexPath,
         maintainEvery),
       transform = batch => {
-        bpe.foreach { case (p, _, fp) => stampBpeModel(store, table, p, fp) }
+        bpe.foreach { case (p, _, fp, legacyFp) =>
+          stampBpeModel(store, table, p, fp, legacyFp) }
         if (!textBatchReplayed(batch.sparkSession, indexPath, batch,
             idCol, textCol))
           graft.ops.TextIndex.appendTextIndex(batch, idCol, textCol,
             indexPath)
-        bpe.fold(batch) { case (_, model, _) =>
+        bpe.fold(batch) { case (_, model, _, _) =>
           batch.withColumn("token_ids",
             graft.ops.Bpe.encodeIdsCol(col(textCol), model))
         }
@@ -339,18 +341,30 @@ object EventStream {
     * retrained and re-saved over the SAME path (saveBpeModel writes
     * mode overwrite) changes the fingerprint and is refused, while the
     * same model re-saved at a different path (or the same path spelled
-    * two ways) matches and proceeds. Legacy tables stamped before the
-    * fingerprint existed carry only the path attr — those verify by
-    * path once more and are upgraded to the fingerprint in place. */
+    * two ways) matches and proceeds. Two stamp generations migrate in
+    * place, once each, on first contact with the same content: a table
+    * stamped before the fingerprint existed carries only the path attr
+    * (verify by path, then stamp the fingerprint), and a table stamped
+    * under the PRE-r14 fingerprint scheme matches `legacyFp` (same
+    * content, older serialization — upgraded to the current scheme,
+    * not refused as a different model). */
   private def stampBpeModel(store: HDFStore, table: String,
-                            path: String, fp: String): Unit =
+                            path: String, fp: String,
+                            legacyFp: String): Unit =
     store.attr(table, "bpeModelFp") match {
+      case Some(AttrValue.Str(prev)) if prev == legacyFp && prev != fp =>
+        // same model content, pre-r14 fingerprint scheme: upgrade the
+        // stamp in place (the path->fp migration discipline)
+        store.setAttr(table, "bpeModelFp", fp)
       case Some(AttrValue.Str(prev)) =>
         require(prev == fp,
           s"table '$table' is tokenized under the BPE model fingerprinted " +
             s"'${prev.take(12)}…'; refusing model '$path' (fingerprint " +
             s"'${fp.take(12)}…') — one table, one tokenization (deleteAttr " +
-            "'bpeModelFp' after a deliberate corpus-wide re-encode)")
+            "'bpeModelFp' after a deliberate corpus-wide re-encode; a " +
+            "MATCHING model stamped under the pre-r14 fingerprint scheme " +
+            "would have been upgraded in place, so this mismatch is a " +
+            "real content difference)")
       case Some(other) => throw new IllegalArgumentException(
         s"table '$table' has a non-string 'bpeModelFp' attribute: $other")
       case None =>

@@ -451,6 +451,28 @@ class BpeSpec extends AnyFunSuite {
       Bpe.loadBpeModel(spark, path)
     }
     assert(e.getMessage.contains("TORN"))
+    // a card stamped under the PRE-r14 legacy fingerprint scheme is a
+    // sound old save, not a torn tree: restore the vocab, rewrite the
+    // card with the legacy fingerprint, and the load must accept it
+    m.vocab.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("token_id", "token")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    def rewriteCardFp(fp: String): Unit = {
+      val c = spark.read.parquet(s"$path/card")
+        .withColumn("fingerprint", lit(fp)).collect()
+      spark.createDataFrame(spark.sparkContext.parallelize(c.toSeq),
+          spark.read.parquet(s"$path/card").schema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/card")
+    }
+    rewriteCardFp(Bpe.fingerprintLegacy(m))
+    assert(Bpe.loadBpeModel(spark, path) == m,
+      "legacy-scheme card must load, not read as torn")
+    // a fingerprint matching NEITHER scheme is real damage
+    rewriteCardFp("deadbeef")
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.loadBpeModel(spark, path)
+    }
+    assert(e2.getMessage.contains("legacy"), e2.getMessage)
   }
 
   test("sepCost: chunk reserves per-chunk headroom; pack budgets one separator per doc") {

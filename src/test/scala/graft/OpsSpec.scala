@@ -1886,6 +1886,32 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L), s"NULL group mishandled: $kept")
   }
 
+  test("selectByBudget refuses a non-numeric score; repeatByWeight refuses output-column collisions") {
+    // a STRING score would order lexicographically in the exact window
+    // but numerically (or NULL) in the double pre-cut — refused up
+    // front rather than silently cutting exact-prefix rows
+    val strScore = Seq((1L, "a", "90", 10L), (2L, "a", "100", 10L))
+      .toDF("doc_id", "src", "score", "n_tok")
+    val e = intercept[IllegalArgumentException] {
+      Sample.selectByBudget(strScore, "src", "doc_id", "score", "n_tok", 100L)
+    }
+    assert(e.getMessage.contains("must be numeric"), e.getMessage)
+    // numeric non-long types stay accepted (the cast is monotone)
+    val dbl = Seq((1L, "a", 2.5, 10L), (2L, "a", 1.5, 10L))
+      .toDF("doc_id", "src", "score", "n_tok")
+    assert(Sample.selectByBudget(dbl, "src", "doc_id", "score", "n_tok", 100L)
+      .count() == 2L)
+    // repeatByWeight APPENDS epoch + copy_id — a pre-existing column of
+    // either name must fail loudly, not be silently replaced
+    Seq("epoch", "copy_id").foreach { c =>
+      val clash = Seq((1L, "d0", 9L)).toDF("id", "dom", c)
+      val ex = intercept[IllegalArgumentException] {
+        Sample.repeatByWeight(clash, "dom", "id", Map("d0" -> 1.0))
+      }
+      assert(ex.getMessage.contains(c), ex.getMessage)
+    }
+  }
+
   test("repeatByWeight: copy_id is collision-free at weights near the 100-epoch cap") {
     val df = (0L until 50L).map(i => (i, "d0")).toDF("id", "dom")
     val out = Sample.repeatByWeight(df, "dom", "id", Map("d0" -> 99.5))

@@ -513,6 +513,23 @@ class StreamingSpec extends AnyFunSuite {
     // restart with no new data: guard skips, rows and ids unchanged
     run()
     assert(landedIds() == got)
+    // a table stamped under the PRE-r14 legacy fingerprint scheme (same
+    // model CONTENT, older serialization) is not a model mix: the sink
+    // accepts it and upgrades the stamp in place to the current scheme
+    val legacyFp = graft.ops.Bpe.fingerprintLegacy(
+      graft.ops.Bpe.loadBpeModel(spark, mPath))
+    st.setAttr("landed", "bpeModelFp", legacyFp)
+    // fresh checkpoint so a batch actually runs (the stamp check is
+    // per-batch); replay guards keep the table and index unchanged
+    EventStream.textIndexIngestSink(
+      spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in.toString),
+      st, "landed", TestSpark.tmpDir("streaming-bpe-ckpt-legacy"), idxPath,
+      "doc_id", "text", bpeModelPath = Some(mPath)).awaitTermination()
+    assert(st.attr("landed", "bpeModelFp") ==
+      Some(graft.store.AttrValue.Str(fp)),
+      "legacy-scheme stamp must upgrade in place, not refuse")
+    assert(landedIds() == got)
     // the SAME model content saved at a DIFFERENT path is accepted —
     // the stamp keys on content, not the path string (a fresh
     // checkpoint replays both batches; the replay guards keep the
