@@ -1179,8 +1179,11 @@ object CodePoints {
   * UPPERCASE: the tokenizer lowercases its input, so a corpus-derived
   * token can never spell a form containing `A`–`F`; only the 210
   * digit-only forms are theoretically reachable by a merge chain that
-  * reassembles the literal 6-char string, and the first-id-wins vocab
-  * dedup keeps even that case deterministic. */
+  * reassembles the literal 6-char string — such a merge product gets
+  * its OWN vocab id after the reserved block ([[graft.ops.Bpe
+  * .buildVocab]] excludes the block from dedup), so the literal
+  * spelling round-trips verbatim and reserved ids stay exclusively
+  * byte-fallback. */
 object ByteTokens {
   def token(b: Int): String = f"<0x$b%02X>"
   /** All 256 forms in byte order — the vocabulary block. */
@@ -1438,10 +1441,23 @@ case class TokenIds(child: Expression, vocab: Array[String],
   require(vocab.nonEmpty && vocab.forall(t => t != null && t.nonEmpty),
     "vocab must be non-empty tokens")
   // validated HERE, not in the lazy id map: a lazy-val require would
-  // only throw inside executor tasks (the BpeEncode discipline)
-  require(vocab.distinct.length == vocab.length,
-    "duplicate token in the vocabulary")
-  if (byteFallback) {
+  // only throw inside executor tasks (the BpeEncode discipline).
+  // Under byteFallback ONE duplication is legal: a byte-token spelling
+  // may appear twice — the reserved block entry plus a LITERAL entry
+  // for a merge product that spells the same 6 characters (the vocab
+  // builder keeps both so literal text round-trips). The string then
+  // maps to the LITERAL id; the reserved id is reachable only through
+  // byte expansion (resolved positionally below).
+  if (!byteFallback)
+    require(vocab.distinct.length == vocab.length,
+      "duplicate token in the vocabulary")
+  else {
+    val bt = ByteTokens.all.toSet
+    vocab.groupBy(identity).foreach { case (t, occ) =>
+      require(occ.length == 1 || (occ.length == 2 && bt.contains(t)),
+        s"duplicate token in the vocabulary: '$t' (only a byte-token " +
+          "spelling may appear twice: reserved block + literal entry)")
+    }
     val vs = vocab.toSet
     require(ByteTokens.all.forall(vs.contains),
       "byteFallback needs all 256 byte tokens (<0x00>..<0xFF>) in the " +
@@ -1457,19 +1473,28 @@ case class TokenIds(child: Expression, vocab: Array[String],
         s"token_ids requires array<string>, got ${other.sql}")
     }
   // boxed Long values so a missing key is a null, not an unboxed 0 —
-  // id 0, the FIRST vocab entry (the BpeEncode rank-map hazard)
+  // id 0, the FIRST vocab entry (the BpeEncode rank-map hazard).
+  // Forward put = LAST occurrence wins: for the one legal duplicate (a
+  // literal byte-token spelling after the reserved block) the string
+  // maps to the LITERAL id, so literal text never encodes to a
+  // reserved id.
   @transient private lazy val ids: java.util.HashMap[String, java.lang.Long] = {
     val m = new java.util.HashMap[String, java.lang.Long](vocab.length * 2)
     var i = 0
     while (i < vocab.length) { m.put(vocab(i), java.lang.Long.valueOf(i.toLong)); i += 1 }
     m
   }
-  // byte value -> its byte token's id, resolved through the SAME id map
-  // (positions, not assumptions about vocab layout)
+  // byte value -> its byte token's id, resolved by FIRST-occurrence
+  // position (the reserved block) — NOT through the id map, where a
+  // literal duplicate would redirect the expansion to the literal id
+  // and decode would then render text instead of the raw byte
   @transient private lazy val byteIds: Array[Long] = {
+    val first = new java.util.HashMap[String, java.lang.Long](vocab.length * 2)
+    var i = vocab.length - 1
+    while (i >= 0) { first.put(vocab(i), java.lang.Long.valueOf(i.toLong)); i -= 1 }
     val a = new Array[Long](256)
     var b = 0
-    while (b < 256) { a(b) = ids.get(ByteTokens.token(b)).longValue(); b += 1 }
+    while (b < 256) { a(b) = first.get(ByteTokens.token(b)).longValue(); b += 1 }
     a
   }
   def map(toks: ArrayData): ArrayData = {

@@ -444,19 +444,43 @@ object Bpe {
     * string ((a,bc) and (ab,c) both yield "abc"); a merge product can
     * never collide with a base symbol (one code point vs at least
     * two), and byte tokens can never collide with base symbols (six
-    * code points vs one). Position = dense token id. */
+    * code points vs one). Position = dense token id.
+    *
+    * The RESERVED byte-token block is EXCLUDED from that dedup: a merge
+    * product that literally spells a byte-token form (the 6 characters
+    * `<0x09>` — reachable only for digit-only hex, encoding lowercases
+    * everything else) gets its OWN id after the block instead of being
+    * folded onto the reserved id, so literal spellings round-trip
+    * through encode→decode verbatim while the reserved ids stay
+    * exclusively byte-fallback ([[graft.functions.TokenIds]] maps the
+    * string to the literal id; [[decodeTextCol]] reassembles bytes by
+    * ID, not by spelling). A SPECIAL spelling a byte-token form is
+    * refused — it would sit before the block and shadow the reserved
+    * id itself. */
   def buildVocab(base: Seq[String], merges: Seq[(String, String)],
                  byteFallback: Boolean = false,
                  specials: Seq[String] = Seq.empty): Vector[String] = {
     require(specials.forall(s => s != null && s.nonEmpty) &&
       specials.distinct.length == specials.length,
       "specials must be distinct non-empty tokens")
-    val seen = scala.collection.mutable.LinkedHashSet[String]()
-    specials.foreach(seen += _)
-    if (byteFallback) graft.functions.ByteTokens.all.foreach(seen += _)
-    base.distinct.sortWith(byteLt).foreach(t => if (!seen.contains(t)) seen += t)
-    merges.foreach { case (l, r) => val t = l + r; if (!seen.contains(t)) seen += t }
-    seen.toVector
+    val out = Vector.newBuilder[String]
+    // dedup set for specials/base/merges — reserved byte tokens are
+    // emitted but NOT entered, so a literal spelling still gets an id
+    val seen = scala.collection.mutable.HashSet[String]()
+    specials.foreach { t => seen += t; out += t }
+    if (byteFallback) {
+      val bt = graft.functions.ByteTokens.all
+      require(!specials.exists(bt.toSet.contains),
+        "a special token must not spell a reserved byte-token form " +
+          "(<0xNN>) — it would shadow the reserved id")
+      bt.foreach(out += _)
+    }
+    base.distinct.sortWith(byteLt)
+      .foreach(t => if (!seen.contains(t)) { seen += t; out += t })
+    merges.foreach { case (l, r) =>
+      val t = l + r; if (!seen.contains(t)) { seen += t; out += t }
+    }
+    out.result()
   }
 
   /** The (token_id, token) vocabulary TABLE for a fixed merge table over
@@ -647,27 +671,55 @@ object Bpe {
     * Pure built-ins (aggregate over UTF-8 byte pieces), one narrow
     * projection.
     *
-    * Known edge (inherent, not fixable at decode time): under a
-    * fallback model, corpus text that LITERALLY spells a byte-token
-    * form with digit-only hex (e.g. the 6 characters `<0x09>`) and is
-    * reachable as one token via merges gets DEDUPED onto the byte
-    * token's id at vocab build ([[buildVocab]]: first occurrence wins)
-    * — by the time decode sees the id, the literal form and the real
-    * byte token are the same id, so the run reassembles to the control
-    * byte, not the 6 characters. The exact-round-trip guarantee
-    * therefore excludes texts containing literal `<0xNN>` byte-token
-    * spellings; uppercase-hex forms cannot collide at all (encoding
-    * lowercases first, and `rlike` here requires uppercase hex). */
+    * Byte reassembly keys on the reserved ID BLOCK, not the token's
+    * spelling: corpus text that LITERALLY spells a byte-token form
+    * (the 6 characters `<0x09>` — reachable only for digit-only hex,
+    * encoding lowercases everything else) carries its own literal id
+    * ([[buildVocab]] excludes the reserved block from dedup), so it
+    * decodes back to the 6 characters verbatim while the reserved ids
+    * — reachable only through byte-fallback expansion — reassemble to
+    * their raw bytes. A spelling-keyed decode (match `<0xNN>` by
+    * regex) would collapse both onto the control byte. */
   def decodeTextCol(idsCol: Column, model: BpeModel): Column = {
-    val toks = decodeIdsCol(idsCol, model)
-    // functions.encode, NOT Bpe.encode — this object shadows the name
-    val utf8 = (t: Column) => org.apache.spark.sql.functions.encode(t, "UTF-8")
-    val piece = (t: Column) =>
-      if (!model.byteFallback) utf8(t)
-      else when(t.rlike("^<0x[0-9A-F]{2}>$"),
-        unhex(substring(t, 4, 2))).otherwise(utf8(t))
-    decode(aggregate(toks, lit(Array.empty[Byte]),
-      (acc, t) => concat(acc, piece(t))), "UTF-8")
+    require(model.vocab.nonEmpty,
+      "decodeTextCol needs a model with a vocabulary — re-learn or " +
+        "re-save (pre-vocab saved models load with vocab empty)")
+    val v = typedLit(model.vocab)
+    val hi = lit(model.vocab.size.toLong - 1L)
+    // functions.encode, NOT Bpe.encode — this object shadows the name;
+    // an out-of-range id yields a NULL token, whose NULL bytes null the
+    // whole concat — a corrupt ids row is a loud NULL (decodeIdsCol's
+    // range gate, same cast discipline)
+    val utf8 = (i: Column) => org.apache.spark.sql.functions.encode(
+      get(v, when(i.between(lit(0L), hi), i).cast("int")), "UTF-8")
+    val piece: Column => Column =
+      if (!model.byteFallback) utf8
+      else {
+        val lo = byteBlockStart(model.vocab)
+        // raw one-byte pieces indexed by byte value — exact bytes, no
+        // hex round-trip
+        val raw = typedLit((0 until 256).map(b => Array(b.toByte)))
+        i => when(i.between(lit(lo.toLong), lit(lo + 255L)),
+          get(raw, (i - lo.toLong).cast("int"))).otherwise(utf8(i))
+      }
+    decode(aggregate(idsCol, lit(Array.empty[Byte]),
+      (acc, i) => concat(acc, piece(i))), "UTF-8")
+  }
+
+  /** First vocab position of the reserved byte-token block, verified
+    * CONTIGUOUS in byte order — [[buildVocab]] lays it out right after
+    * the specials, and decode's id-range gate depends on that shape.
+    * `indexOf` takes the FIRST occurrence, so a literal byte-token
+    * spelling later in the vocab never shifts the block. */
+  private def byteBlockStart(vocab: Seq[String]): Int = {
+    val lo = vocab.indexOf(graft.functions.ByteTokens.token(0))
+    require(lo >= 0 && (0 until 256).forall(b =>
+      lo + b < vocab.size &&
+        vocab(lo + b) == graft.functions.ByteTokens.token(b)),
+      "byteFallback model must carry the 256 reserved byte tokens as a " +
+        "contiguous block (<0x00>..<0xFF> in byte order) — rebuild the " +
+        "vocabulary with buildVocab")
+    lo
   }
 
   /** Greedy word-boundary chunking with the window budget measured in

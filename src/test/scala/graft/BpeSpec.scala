@@ -407,6 +407,47 @@ class BpeSpec extends AnyFunSuite {
       .collect()(0).isNullAt(0))
   }
 
+  test("byte fallback: literal <0xNN> spellings round-trip verbatim, reserved ids stay byte-only") {
+    // merges that reassemble the literal 6 characters "<0x09>" into one
+    // token — the digit-only collision ByteTokens documents; under a
+    // spelling-keyed decode this token would reassemble to a TAB byte
+    val merges = Seq(("<", "0"), ("<0", "x"), ("<0x", "0"),
+      ("<0x0", "9"), ("<0x09", ">"))
+    val base = Seq("0", "9", "<", ">", "a", "x")
+    val vocab = Bpe.buildVocab(base, merges, byteFallback = true,
+      specials = Seq("<eos>"))
+    // the reserved block keeps all 256 entries (ids 1..256) AND the
+    // merge product gets its OWN literal id after it — no dedup onto
+    // the reserved block
+    assert(vocab.slice(1, 257) == graft.functions.ByteTokens.all)
+    assert(vocab.count(_ == "<0x09>") == 2,
+      s"expected reserved + literal entries, got ${vocab.count(_ == "<0x09>")}")
+    val literalId = vocab.lastIndexOf("<0x09>").toLong
+    val reservedId = vocab.indexOf("<0x09>").toLong
+    assert(reservedId == 1L + 0x09L && literalId > 256L)
+    val m = Bpe.BpeModel(merges, 0L, 0L, vocab, byteFallback = true,
+      specials = Seq("<eos>"))
+    val df = Seq((0L, "<0x09> a")).toDF("id", "text")
+    // encoding the literal text emits the LITERAL id, not the reserved one
+    val ids = df.select(Bpe.encodeIdsCol($"text", m)).collect()(0).getSeq[Long](0)
+    assert(ids.contains(literalId) && !ids.contains(reservedId), ids.toString)
+    // ...and decode reproduces the 6 characters verbatim
+    assert(df.select(Bpe.decodeTextCol(Bpe.encodeIdsCol($"text", m), m))
+      .collect()(0).getString(0) == "<0x09>a")
+    // the reserved id itself still reassembles to the raw byte: an OOV
+    // code point whose UTF-8 contains 0x09 does not exist, so drive the
+    // reserved id directly
+    val tab = Seq(Tuple1(Seq(reservedId))).toDF("ids")
+    assert(tab.select(Bpe.decodeTextCol($"ids", m))
+      .collect()(0).getString(0) == "\t")
+    // a special spelling a byte-token form is refused at vocab build
+    val e = intercept[IllegalArgumentException] {
+      Bpe.buildVocab(base, merges, byteFallback = true,
+        specials = Seq("<0x41>"))
+    }
+    assert(e.getMessage.contains("reserved byte-token"), e.getMessage)
+  }
+
   test("model card + fingerprint: save/load round-trip, content keying, torn trees refused") {
     val docs = Seq((0L, "the cat the"), (1L, "that hat")).toDF("id", "text")
     val m = Bpe.learnBpe(docs, "text", nMerges = 4,
