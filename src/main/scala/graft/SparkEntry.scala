@@ -1136,6 +1136,28 @@ object SparkEntry {
       path
     })
 
+  private val shardTrees = new ConcurrentHashMap[String, String]()
+  /** Build-once physical shard tree for the `x_shard_*` gates: the
+    * composed select(4096 tokens/source) → shuffle(salt "shard",
+    * 32 buckets) → write(8 shards, 64-row files) recipe over the
+    * documents table — the same parameters `x_pipeline_shard` pins
+    * logically, now MATERIALIZED so the gates replay what is
+    * physically on disk. The 64-row file cap deliberately forces
+    * multi-file shards so the per-file manifest laws are exercised
+    * (and the file count is oracle-replayable as ceil(rows/64)). */
+  private def shardTree(s: SparkSession, d: String): String =
+    shardTrees.computeIfAbsent(d, { _ =>
+      val path = indexPath("shard_", d)
+      val base = docs(s, d).select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"),
+        col("n_chars").cast(LongType).as("score"),
+        size(TextStats.tokens(col("text"))).cast(LongType).as("n_tok"))
+      graft.ops.ShardWriter.writeShardRecipe(base, "source", "doc_id",
+        "score", "n_tok", budget = 4096L, numShards = 8, path = path,
+        salt = "shard", buckets = 32, maxRowsPerFile = 64L)
+      path
+    })
+
   /** The planted quality corpus shared by the NB classifier gates:
     * every doc_id % 3 == 0 document carries an appended "premium"
     * marker phrase, giving the trainer a learnable signal the oracle
@@ -2818,6 +2840,32 @@ object SparkEntry {
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("shard")
     }),
+
+    // the PHYSICAL shard writer: the same select→shuffle→shard recipe
+    // MATERIALIZED as an on-disk tree (8 shard dirs, 64-row files,
+    // staged-swap published) — this gate replays the COMMITTED per-file
+    // manifest rolled up per shard: file counts (= ceil(rows/64), the
+    // writer's file-split law), row/token sums, position and id ranges,
+    // all aggregated from what the writer itself read BACK off disk
+    "x_shard_write" -> ((s, d) =>
+      graft.ops.ShardWriter.loadManifest(s, shardTree(s, d))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_files"), sum("n_docs").as("n_docs"),
+          sum("n_tokens").as("n_tokens"), min("min_pos").as("min_pos"),
+          max("max_pos").as("max_pos"), min("min_id").as("min_doc"),
+          max("max_id").as("max_doc"))
+        .orderBy("shard")),
+
+    // ...and the written DATA read back row-for-row: every surviving
+    // document with its token count, permutation position, and shard
+    // directory — proving the tree holds exactly the selected corpus
+    // in exactly the recorded permutation (no row lost, duplicated, or
+    // re-shuffled by the physical write)
+    "x_shard_read" -> ((s, d) =>
+      graft.ops.ShardWriter.readShards(s, shardTree(s, d))
+        .select(col("doc_id"), col("n_tok"), col("shuffle_pos"),
+          col("shard").cast(LongType).as("shard"))
+        .orderBy("doc_id")),
 
     // per-source selection under a 2048-token budget, best (longest)
     // docs first: the kept set is the longest quality-ordered prefix
@@ -4923,6 +4971,37 @@ object SparkEntry {
        """SELECT (p % 8)::BIGINT AS shard, count(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens, """ +
        """min(doc_id) AS min_doc, max(doc_id) AS max_doc """ +
        """FROM pos GROUP BY 1 ORDER BY 1"""),
+
+    // the shard WRITER's committed manifest replayed per shard: same
+    // selection window + global rank + mod-8 assignment as
+    // x_pipeline_shard, plus the position range and the 64-row
+    // file-split law (files per shard = ceil(rows/64))
+    "x_shard_write" ->
+      (s"""WITH base AS (SELECT doc_id, COALESCE(source, '') AS source, n_chars::BIGINT AS score, """ +
+       s"""len($TOK)::BIGINT AS n_tok FROM documents), """ +
+       """sel AS (SELECT doc_id, n_tok FROM (SELECT *, """ +
+       """SUM(n_tok) OVER (PARTITION BY source ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS ct """ +
+       """FROM base) WHERE ct <= 4096), """ +
+       s"""pos AS (SELECT doc_id, n_tok, (row_number() OVER (ORDER BY k % 32, k, doc_id) - 1) AS p """ +
+       s"""FROM (SELECT doc_id, n_tok, ${h60sql("'shuffle:shard:' || CAST(doc_id AS VARCHAR)")} AS k FROM sel)) """ +
+       """SELECT (p % 8)::BIGINT AS shard, ((count(*) + 63) // 64)::BIGINT AS n_files, """ +
+       """count(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens, """ +
+       """min(p)::BIGINT AS min_pos, max(p)::BIGINT AS max_pos, """ +
+       """min(doc_id) AS min_doc, max(doc_id) AS max_doc """ +
+       """FROM pos GROUP BY 1 ORDER BY 1"""),
+
+    // the written tree read back row-for-row: the same selection +
+    // permutation, each row with its shard directory
+    "x_shard_read" ->
+      (s"""WITH base AS (SELECT doc_id, COALESCE(source, '') AS source, n_chars::BIGINT AS score, """ +
+       s"""len($TOK)::BIGINT AS n_tok FROM documents), """ +
+       """sel AS (SELECT doc_id, n_tok FROM (SELECT *, """ +
+       """SUM(n_tok) OVER (PARTITION BY source ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS ct """ +
+       """FROM base) WHERE ct <= 4096), """ +
+       s"""pos AS (SELECT doc_id, n_tok, (row_number() OVER (ORDER BY k % 32, k, doc_id) - 1) AS p """ +
+       s"""FROM (SELECT doc_id, n_tok, ${h60sql("'shuffle:shard:' || CAST(doc_id AS VARCHAR)")} AS k FROM sel)) """ +
+       """SELECT doc_id, n_tok, p::BIGINT AS shuffle_pos, (p % 8)::BIGINT AS shard """ +
+       """FROM pos ORDER BY doc_id"""),
 
     // budgeted selection replayed: the same (score desc, id) window's
     // inclusive running sum, prefix-cut at the budget

@@ -471,12 +471,13 @@ object IndexMaintenance {
     }
   }
 
-  /** The staging + swap shell shared by the three compacts:
-    * `writeStaged(tmpPath)` must produce a complete, self-describing
-    * index tree at `tmpPath`; the swap then makes it live. Reads of the
-    * old tree all happen inside `writeStaged`, before any rename. */
-  private def stagedSwap(spark: SparkSession, path: String)
-                        (writeStaged: String => Unit): Unit = {
+  /** The staging + swap shell shared by the compacts and the shard
+    * writer ([[ShardWriter]]): `writeStaged(tmpPath)` must produce a
+    * complete, self-describing tree at `tmpPath`; the swap then makes
+    * it live. Reads of the old tree all happen inside `writeStaged`,
+    * before any rename. */
+  private[ops] def stagedSwap(spark: SparkSession, path: String)
+                             (writeStaged: String => Unit): Unit = {
     restoreAfterCrash(spark, path)
     val fs = fsOf(spark, path)
     val tmp = new Path(path + ".graft-compact-tmp")
@@ -488,6 +489,14 @@ object IndexMaintenance {
     // nothing would ever reclaim an index-sized tmp directory
     try writeStaged(tmp.toString)
     catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    // first-time install (shard writer): no live tree to move aside —
+    // one rename makes the staged tree live atomically
+    if (!fs.exists(new Path(path))) {
+      Option(new Path(path).getParent).foreach(fs.mkdirs)
+      require(fs.rename(tmp, new Path(path)),
+        s"stagedSwap: rename $tmp -> $path failed")
+      return
+    }
     require(fs.rename(new Path(path), old),
       s"compact: rename $path -> $old failed")
     require(fs.rename(tmp, new Path(path)),

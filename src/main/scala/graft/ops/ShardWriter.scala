@@ -1,0 +1,328 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Physical SHARD WRITER — the terminal step of the corpus-assembly
+ * recipe (select under budget → deterministic global shuffle → pack
+ * into shards): materializes the shuffled corpus as the file tree a
+ * training job actually consumes, with a committed manifest and an
+ * atomic publish. This is the Spark analog of the reference's chunked
+ * bulk write (`nimtables.nim:94-104`; chunk-size knob `:60`), lifted
+ * to a distributed layout.
+ *
+ * == Layout ==
+ *
+ * `path/shard=K/part-*.parquet` — the input rows plus their
+ * `shuffle_pos`, hive-partitioned by `shard = shuffle_pos mod
+ * numShards` (INTERLEAVED assignment: adjacent permutation positions
+ * land on different shards, so shards are balanced to within one row
+ * AND each is a decorrelated sample of the corpus — a range split
+ * would make shard 0 "the first N/K documents" of the permutation,
+ * re-introducing ordering structure between shards). Within a shard,
+ * rows are laid out in ascending `shuffle_pos`; files split at
+ * `maxRowsPerFile` rows, and because one shard is written by ONE task
+ * from one sorted stream, each file holds a CONTIGUOUS position
+ * range. A consumer streams a shard's files in MANIFEST order
+ * (ascending `min_pos` — the committed file order; part-file name
+ * order happens to agree below 1000 files per shard but is not the
+ * contract) and reads that shard's slice of the permutation in
+ * order, no shuffle and no index needed.
+ *
+ * `path/_manifest` — one row per DATA FILE (underscore sidecar,
+ * invisible to the data scan): `(shard, file, n_docs, n_tokens,
+ * min_pos, max_pos, min_id, max_id)` plus the constant IDENTITY
+ * columns `(salt, buckets, num_shards, budget, n_total)`. The stats
+ * are aggregated from a READ-BACK of the staged tree — the manifest
+ * describes what is physically on disk, not what the writer intended
+ * to put there.
+ *
+ * == Identity (the permutation contract) ==
+ *
+ * [[Sample.shuffleRank]]'s permutation is a function of BOTH `salt`
+ * and `buckets`, and the row SET is a function of the selection
+ * budget — so all three (plus `numShards`, which fixes the
+ * row→shard map) are recorded in the manifest, and a re-run against
+ * an existing tree with ANY of them changed is REFUSED loudly (the
+ * index id-guard discipline): silently overwriting shards built
+ * under a different permutation would hand a resuming training job a
+ * different document order mid-run. A matching re-run REPLACES the
+ * tree atomically (idempotent re-publish).
+ *
+ * == Atomicity ==
+ *
+ * Everything lands in a staging sibling first (data, then manifest,
+ * then the layout-law verification below); the
+ * [[IndexMaintenance.stagedSwap]] rename pair then makes it live.
+ * A reader never sees a half-written tree; a crashed writer leaves
+ * the old tree live (or, between the two renames, recoverable via
+ * [[IndexMaintenance.restoreAfterCrash]]).
+ *
+ * == Layout laws (verified on the staged tree before the swap) ==
+ *
+ *  - `shuffle_pos` is a DENSE permutation `[0, N)` (so every shard's
+ *    row count is exactly `ceil((N − shard) / numShards)` — checked
+ *    per shard, driver-side from the manifest);
+ *  - every row's `pos mod numShards == shard` (checked in the same
+ *    aggregation pass that builds the manifest — zero extra I/O);
+ *  - within a shard, files ordered by NAME carry non-overlapping,
+ *    strictly increasing position ranges (driver-side over the
+ *    manifest rows — shards × files rows, bounded by construction).
+ *
+ * == Scale shape ==
+ *
+ * One hash shuffle of the selected corpus on `shard` (numShards-way
+ * — the only data movement), a per-shard sort of ~N/numShards rows,
+ * one streaming read-back of the staged tree for the manifest
+ * aggregation (map-side combine to files × shards rows). One shard =
+ * one write task: size `numShards` for ~task-sized shards (training
+ * shards are GBs by design — a 100 TB corpus at 4 GB/shard is 25k
+ * shards = 25k tasks, comfortably parallel). The manifest is
+ * files × shards rows — driver-trivial at any corpus size.
+ */
+object ShardWriter {
+
+  /** Manifest sidecar path of a shard tree. */
+  private def manifestPath(path: String) = s"$path/_manifest"
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The identity columns appended to every manifest row. */
+  private val IdentityCols =
+    Seq("salt", "buckets", "num_shards", "budget", "n_total")
+
+  /** Write `df` (which must carry the `shuffle_pos` column produced by
+    * [[Sample.shuffleRank]] — dense `[0, N)`) as a physical shard tree
+    * at `path`. See the object doc for layout, identity, and
+    * atomicity. `budget` records the upstream selection budget in the
+    * manifest identity (pass the value actually used; it has no
+    * effect on the rows written here).
+    *
+    * Fail-loud inputs: a NULL or negative token count raises per
+    * offending row (the [[Sample.packByTokenBudget]] rule — a silently
+    * mis-counted shard manifest would corrupt every downstream token
+    * budget); a missing `shuffle_pos`, a non-dense permutation, or an
+    * identity mismatch with an existing tree refuse before anything
+    * is published. */
+  def writeShards(df: DataFrame, idCol: String, tokenCol: String,
+                  numShards: Int, path: String,
+                  salt: String, buckets: Int, budget: Long,
+                  maxRowsPerFile: Long = 1L << 20): Unit = {
+    require(numShards >= 1 && numShards <= (1 << 20),
+      s"numShards must be in [1, 2^20], got $numShards")
+    require(maxRowsPerFile >= 1,
+      s"maxRowsPerFile must be >= 1, got $maxRowsPerFile")
+    require(df.columns.contains("shuffle_pos"),
+      "writeShards: input must carry the 'shuffle_pos' column — run " +
+        "Sample.shuffleRank AFTER the final selection, then write")
+    require(!df.columns.contains("shard"),
+      "writeShards appends a 'shard' column; the input already has one " +
+        "— rename it first")
+    val spark = df.sparkSession
+    requireIdentityMatch(spark, path, salt, buckets, numShards, budget)
+    // token counts are checked at WRITE time so the manifest's token
+    // sums are trustworthy; the raise rides the projection that feeds
+    // the shuffle (no extra pass)
+    val checkedTok = when(
+      col(tokenCol).isNotNull && col(tokenCol) >= 0, col(tokenCol))
+      .otherwise(raise_error(concat(
+        lit(s"writeShards: token count ('$tokenCol') must be a "),
+        lit("non-negative number, got "),
+        coalesce(col(tokenCol).cast("string"), lit("NULL")),
+        lit(" for id "), coalesce(col(idCol).cast("string"), lit("NULL")))))
+    IndexMaintenance.stagedSwap(spark, path) { tmp =>
+      df.withColumn(tokenCol, checkedTok)
+        .withColumn("shard", pmod(col("shuffle_pos"), lit(numShards.toLong)))
+        // one shard value -> one hash partition -> ONE task writes the
+        // whole shard from one sorted stream (hash collisions between
+        // shard values only reduce parallelism, never split a shard)
+        .repartition(numShards, col("shard"))
+        .sortWithinPartitions("shard", "shuffle_pos")
+        .write.partitionBy("shard")
+        .option("maxRecordsPerFile", maxRowsPerFile)
+        .mode("overwrite").parquet(tmp)
+      writeManifest(spark, tmp, idCol, tokenCol, numShards,
+        salt, buckets, budget)
+    }
+  }
+
+  /** Build + verify + commit the `_manifest` sidecar from a read-back
+    * of the staged tree. One streaming aggregation pass (map-side
+    * combine to shards × files rows); the mod-assignment law rides the
+    * same pass, the density and file-contiguity laws run driver-side
+    * over the manifest rows. `min_id`/`max_id` keep the id column's
+    * NATURAL type (a Long id gets numeric min/max, a string id
+    * lexicographic — whatever the engine's `min` means for that type,
+    * so a SQL replay agrees). */
+  private def writeManifest(spark: SparkSession, tmp: String,
+                            idCol: String, tokenCol: String,
+                            numShards: Int, salt: String, buckets: Int,
+                            budget: Long): Unit = {
+    val staged = spark.read.parquet(tmp)
+    // eagerly materialized: the tiny per-file relation feeds the law
+    // checks AND the manifest write — one real scan of the staged tree
+    val perFile = staged.select(
+        col("shard").cast(LongType).as("shard"),
+        col("_metadata.file_name").as("file"),
+        col("shuffle_pos"),
+        col(idCol).as("_id"),
+        col(tokenCol).cast(LongType).as("_tok"),
+        (pmod(col("shuffle_pos"), lit(numShards.toLong)) =!=
+          col("shard").cast(LongType)).cast(LongType).as("_bad"))
+      .groupBy("shard", "file")
+      .agg(count(lit(1)).as("n_docs"), sum("_tok").as("n_tokens"),
+        min("shuffle_pos").as("min_pos"), max("shuffle_pos").as("max_pos"),
+        min("_id").as("min_id"), max("_id").as("max_id"),
+        sum("_bad").as("_n_bad"))
+      .localCheckpoint(true)
+    val rows = perFile
+      .select("shard", "file", "n_docs", "n_tokens", "min_pos", "max_pos",
+        "_n_bad")
+      .collect() // shards × files rows — bounded by construction
+    require(rows.forall(_.getAs[Long]("_n_bad") == 0L),
+      "writeShards: a row's shuffle_pos mod numShards does not match " +
+        "its shard directory — the staged tree is corrupt; nothing was " +
+        "published")
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    // an EMPTY tree would be unreadable (no schema) and its manifest
+    // identity unloadable — refuse before publishing (the
+    // requireIndexNonEmpty discipline)
+    require(n > 0L,
+      "writeShards: the input selected zero rows — refusing to publish " +
+        "an empty shard tree")
+    // density law: dense [0, N) + interleaved assignment fixes every
+    // shard's exact row count
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (s, files) =>
+      val want = (n - s + numShards - 1) / numShards // ceil((N - s) / K)
+      val have = files.map(_.getAs[Long]("n_docs")).sum
+      def refuse(what: String): Nothing = throw new IllegalArgumentException(
+        s"writeShards: shard $s $what — shuffle_pos is not a dense " +
+          s"[0, $n) permutation (filter BEFORE shuffleRank, not after); " +
+          "nothing was published")
+      if (have != want)
+        refuse(s"holds $have rows where a dense permutation requires $want")
+      // each FILE is written from one sorted stream of this shard's
+      // positions {s, s+K, s+2K, ...}, so its range must be EXACTLY
+      // the arithmetic progression its row count implies — together
+      // with the non-overlap and count laws this pins density fully
+      // (a uniformly-holed permutation passes the count law alone)
+      files.foreach { f =>
+        val (mn, mx, c) = (f.getAs[Long]("min_pos"),
+          f.getAs[Long]("max_pos"), f.getAs[Long]("n_docs"))
+        if (mx - mn != (c - 1) * numShards)
+          refuse(s"file ${f.getAs[String]("file")} spans positions " +
+            s"[$mn, $mx] with only $c rows")
+      }
+      // shard-global range law: min is the first position of the
+      // residue class, max the last below N
+      val mins = files.map(_.getAs[Long]("min_pos")).min
+      val maxs = files.map(_.getAs[Long]("max_pos")).max
+      if (mins != s || maxs != s + numShards * ((n - 1 - s) / numShards))
+        refuse(s"covers positions [$mins, $maxs], expected [$s, " +
+          s"${s + numShards * ((n - 1 - s) / numShards)}]")
+      // file-contiguity law: ordered by min_pos, position ranges are
+      // strictly increasing and non-overlapping. (The manifest's
+      // min_pos IS the consumer's file order; part-file NAME order
+      // happens to match below 1000 files per shard but is not the
+      // contract.)
+      files.sortBy(_.getAs[Long]("min_pos")).sliding(2).foreach {
+        case Array(a, b) =>
+          require(a.getAs[Long]("max_pos") < b.getAs[Long]("min_pos"),
+            s"writeShards: shard $s files ${a.getAs[String]("file")} and " +
+              s"${b.getAs[String]("file")} have overlapping position " +
+              "ranges; nothing was published")
+        case _ => ()
+      }
+    }
+    perFile.drop("_n_bad")
+      .withColumn("salt", lit(salt))
+      .withColumn("buckets", lit(buckets))
+      .withColumn("num_shards", lit(numShards))
+      .withColumn("budget", lit(budget))
+      .withColumn("n_total", lit(n))
+      .coalesce(1).write.mode("overwrite").parquet(manifestPath(tmp))
+    perFile.unpersist(); ()
+  }
+
+  /** Refuse a re-run whose permutation/selection identity differs from
+    * the tree already at `path` (see the object doc). A tree with no
+    * readable manifest is refused outright — it is not a shard tree
+    * this writer published. */
+  private def requireIdentityMatch(spark: SparkSession, path: String,
+                                   salt: String, buckets: Int,
+                                   numShards: Int, budget: Long): Unit = {
+    val fs = fsOf(spark, path)
+    if (!fs.exists(new Path(path))) return
+    require(fs.exists(new Path(manifestPath(path))),
+      s"writeShards: $path exists but has no _manifest sidecar — not a " +
+        "shard tree this writer published; refusing to overwrite it " +
+        "(remove it explicitly if that is intended)")
+    val m = loadIdentity(spark, path)
+    val mine = (salt, buckets, numShards, budget)
+    require(m == mine,
+      s"writeShards: $path was built under identity (salt, buckets, " +
+        s"num_shards, budget) = $m; refusing a re-run under $mine — a " +
+        "different permutation or selection would silently reorder the " +
+        "corpus under a resuming consumer. Write to a new path, or " +
+        "re-run with the recorded identity to re-publish")
+  }
+
+  /** The `(salt, buckets, numShards, budget)` identity a shard tree
+    * was published under. */
+  def loadIdentity(spark: SparkSession,
+                   path: String): (String, Int, Int, Long) = {
+    val r = spark.read.parquet(manifestPath(path))
+      .select("salt", "buckets", "num_shards", "budget").head()
+    (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))
+  }
+
+  /** The committed per-file manifest of a shard tree. */
+  def loadManifest(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(manifestPath(path))
+
+  /** Read a shard tree's data back (the `shard` partition column rides
+    * along; `_manifest` is invisible to the scan). Within-file row
+    * order is the position order by construction, but Spark's scan
+    * does not promise cross-file ordering — a consumer that needs the
+    * global order sorts by `shuffle_pos` (or streams files in name
+    * order per shard, the zero-shuffle path). */
+  def readShards(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The composed SELECT → SHUFFLE → WRITE recipe in one call: per-
+    * `groupCol` quality selection under `budget` tokens
+    * ([[Sample.selectByBudget]]), the deterministic global shuffle
+    * ([[Sample.shuffleRank]] under (`salt`, `buckets`)), then
+    * [[writeShards]] into `numShards` physical shards at `path`.
+    *
+    * `checkpointSelected` (default ON) is the recipe's persist seam:
+    * selection and shuffle each evaluate their input twice, so the
+    * UNCHECKPOINTED composition scans the base relation 4× — fine for
+    * a raw parquet scan, wasteful for a derived pipeline. The seam
+    * materializes the SELECTED set once (eager `localCheckpoint` —
+    * bounded by the budget mass, the small end of the funnel) and cuts
+    * base scans to selectByBudget's own 2 (ScaleDrive pins the
+    * counts); pass `false` to trade the checkpoint's memory/disk for
+    * re-scans when the base is cheap. */
+  def writeShardRecipe(df: DataFrame, groupCol: String, idCol: String,
+                       scoreCol: String, tokenCol: String, budget: Long,
+                       numShards: Int, path: String,
+                       salt: String = "", buckets: Int = 1024,
+                       maxRowsPerFile: Long = 1L << 20,
+                       checkpointSelected: Boolean = true): Unit = {
+    val selected = Sample.selectByBudget(df, groupCol, idCol, scoreCol,
+        tokenCol, budget)
+      .drop("cum_tokens", "sel_rank")
+    val sel =
+      if (checkpointSelected) selected.localCheckpoint(true) else selected
+    try {
+      val shuffled = Sample.shuffleRank(sel, idCol, salt, buckets)
+      writeShards(shuffled, idCol, tokenCol, numShards, path,
+        salt, buckets, budget, maxRowsPerFile)
+    } finally if (checkpointSelected) { sel.unpersist(); () }
+  }
+}

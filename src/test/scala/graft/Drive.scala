@@ -802,6 +802,33 @@ object Drive {
       "copy_id collided")
     println(s"-> repeatByWeight x9.5: ${heavy.count()} copies, copy_id collision-free")
 
+    println("== r15 drive: physical shard writer end-to-end on real docs")
+    val shardPath = java.nio.file.Files
+      .createTempDirectory("drive-shards").toString + "/tree"
+    graft.ops.ShardWriter.writeShardRecipe(selIn, "source", "doc_id",
+      "score", "n_tok", budget = 120L, numShards = 4, path = shardPath,
+      salt = "drive", buckets = 8, maxRowsPerFile = 8L)
+    val manifest = graft.ops.ShardWriter.loadManifest(spark, shardPath)
+    val written = graft.ops.ShardWriter.readShards(spark, shardPath)
+    val nWritten = written.count()
+    require(nWritten == manifest.agg(sum("n_docs")).head().getLong(0),
+      "manifest row count disagrees with the tree")
+    require(written.select("doc_id").distinct().count() == nWritten &&
+      written.select("shuffle_pos").collect().map(_.getLong(0)).toSet ==
+        (0L until nWritten).toSet,
+      "written tree is not the dense permutation")
+    require(graft.ops.ShardWriter.loadIdentity(spark, shardPath) ==
+      (("drive", 8, 4, 120L)), "identity not recorded")
+    val refused = try {
+      graft.ops.ShardWriter.writeShardRecipe(selIn, "source", "doc_id",
+        "score", "n_tok", budget = 120L, numShards = 4, path = shardPath,
+        salt = "other", buckets = 8, maxRowsPerFile = 8L); false
+    } catch { case e: IllegalArgumentException =>
+      e.getMessage.contains("identity") }
+    require(refused, "identity drift was not refused")
+    println(s"-> shard writer: $nWritten docs in 4 shards / " +
+      s"${manifest.count()} files, manifest verified, identity guarded")
+
     spark.stop()
     println("== drive done")
   }

@@ -1912,6 +1912,106 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shard writer: layout laws, manifest truth, identity guard, atomic re-publish") {
+    val n = 500L
+    val df = (0L until n).map(i => (i, s"s${i % 3}", 1000L - i, 1L + i % 7))
+      .toDF("doc_id", "source", "score", "n_tok")
+    val root = TestSpark.tmpDir("shardw")
+    val path = s"$root/tree"
+    ShardWriter.writeShardRecipe(df, "source", "doc_id", "score", "n_tok",
+      budget = 400L, numShards = 4, path = path, salt = "t", buckets = 8,
+      maxRowsPerFile = 16L)
+    // the data read back == the logical recipe, row for row
+    val logical = Sample.shuffleRank(
+        Sample.selectByBudget(df, "source", "doc_id", "score", "n_tok", 400L)
+          .drop("cum_tokens", "sel_rank"),
+        "doc_id", "t", 8)
+      .withColumn("shard", pmod(col("shuffle_pos"), lit(4L)))
+      .select("doc_id", "n_tok", "shuffle_pos", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val physical = ShardWriter.readShards(spark, path)
+      .select(col("doc_id"), col("n_tok"), col("shuffle_pos"),
+        col("shard").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(physical == logical, s"${physical.size} vs ${logical.size} rows")
+    assert(physical.nonEmpty && physical.size < n)
+    // manifest laws: identity recorded; per-file ranges contiguous and
+    // non-overlapping in min_pos order; counts/files match the split
+    assert(ShardWriter.loadIdentity(spark, path) == (("t", 8, 4, 400L)))
+    val man = ShardWriter.loadManifest(spark, path).collect()
+    assert(man.map(_.getAs[Long]("n_docs")).sum == physical.size.toLong)
+    man.groupBy(_.getAs[Long]("shard")).foreach { case (s, files) =>
+      val ordered = files.sortBy(_.getAs[Long]("min_pos"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("max_pos") < b.getAs[Long]("min_pos"))
+        case _ => ()
+      }
+      // 16-row file split: every file but the last is full
+      assert(ordered.dropRight(1).forall(_.getAs[Long]("n_docs") == 16L))
+      // within a shard all positions are ≡ shard (mod 4)
+      files.foreach { f =>
+        assert(f.getAs[Long]("min_pos") % 4L == s &&
+          f.getAs[Long]("max_pos") % 4L == s)
+      }
+    }
+    // id range columns keep the id's NATURAL type (numeric min/max)
+    assert(man.head.schema("min_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // re-publish under the SAME identity replaces atomically
+    ShardWriter.writeShardRecipe(df, "source", "doc_id", "score", "n_tok",
+      budget = 400L, numShards = 4, path = path, salt = "t", buckets = 8,
+      maxRowsPerFile = 16L)
+    assert(ShardWriter.readShards(spark, path).count() == physical.size.toLong)
+    // ...but ANY identity drift refuses loudly: permutation salt,
+    // bucket count, shard count, or selection budget
+    Seq(("u", 8, 4, 400L), ("t", 16, 4, 400L), ("t", 8, 2, 400L),
+        ("t", 8, 4, 300L)).foreach { case (sa, bu, ns, bd) =>
+      val e = intercept[IllegalArgumentException] {
+        ShardWriter.writeShardRecipe(df, "source", "doc_id", "score",
+          "n_tok", budget = bd, numShards = ns, path = path, salt = sa,
+          buckets = bu, maxRowsPerFile = 16L)
+      }
+      assert(e.getMessage.contains("identity"), e.getMessage)
+    }
+    // a non-dense shuffle_pos (filtering AFTER the shuffle) is refused
+    // before anything is published, and the live tree survives intact
+    val holes = Sample.shuffleRank(
+        df.select("doc_id", "n_tok"), "doc_id", "t", 8)
+      .filter(col("shuffle_pos") % 5L =!= 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      ShardWriter.writeShards(holes, "doc_id", "n_tok", 4, s"$root/holes",
+        "t", 8, -1L)
+    }
+    assert(e2.getMessage.contains("dense"), e2.getMessage)
+    assert(!new java.io.File(s"$root/holes").exists(),
+      "refused write must publish nothing")
+    // a NULL token count fails loudly at write time (manifest truth)
+    val badTok = Sample.shuffleRank(
+        df.select($"doc_id", when($"doc_id" === 7L, null)
+          .otherwise($"n_tok").cast("long").as("n_tok")),
+        "doc_id", "t", 8)
+    val e3 = intercept[Throwable] {
+      ShardWriter.writeShards(badTok, "doc_id", "n_tok", 4, s"$root/bad",
+        "t", 8, -1L)
+    }
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e3).flatMap(c => Option(c.getMessage))
+      .exists(_.contains("writeShards")), e3.toString)
+    // a foreign directory (no manifest) is never silently overwritten
+    val foreign = s"$root/foreign"
+    new java.io.File(foreign).mkdirs()
+    val e4 = intercept[IllegalArgumentException] {
+      ShardWriter.writeShards(
+        Sample.shuffleRank(df.select("doc_id", "n_tok"), "doc_id", "t", 8),
+        "doc_id", "n_tok", 4, foreign, "t", 8, -1L)
+    }
+    assert(e4.getMessage.contains("_manifest"), e4.getMessage)
+  }
+
   test("repeatByWeight: copy_id is collision-free at weights near the 100-epoch cap") {
     val df = (0L until 50L).map(i => (i, "d0")).toDF("id", "dom")
     val out = Sample.repeatByWeight(df, "dom", "id", Map("d0" -> 99.5))
