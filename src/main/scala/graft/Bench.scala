@@ -22,8 +22,34 @@ import org.apache.spark.sql.SparkSession
   * record whose total *improves* because a query broke is worse than no
   * record. `errs` rides both bench.json and the summary line; the
   * driver's gate can trust `value` only when `errs` is empty.
+  *
+  * `stream_floor` is the record's HOST-HEALTH control for the
+  * `x_stream_*` family: one probe per timed pass runs a MINIMAL
+  * Structured Streaming query (one-row file source, fresh checkpoint,
+  * no-op foreachBatch sink, AvailableNow) — pure micro-batch
+  * machinery, zero engine work — and the median rides the record. The
+  * stream gates' cost is ~`floor × micro-batches + engine work`, so a
+  * round-over-round stream drift that moves WITH the floor is host /
+  * scheduler noise and one that moves AGAINST a flat floor is a real
+  * engine regression — the r14 drift post-mortem, made mechanical.
   */
 object Bench {
+
+  /** One floor probe: a fresh-checkpoint AvailableNow stream over a
+    * pre-written one-row parquet through a no-op sink. Returns
+    * seconds. `in` is written once by the caller so the probe times
+    * only the streaming machinery, not a batch write. */
+  private def streamFloor(spark: SparkSession, in: String): Double = {
+    val ckpt = java.nio.file.Files.createTempDirectory("bench-floor-ckpt")
+    val t0 = System.nanoTime()
+    spark.readStream.schema("id BIGINT").parquet(in)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+      .start().awaitTermination()
+    (System.nanoTime() - t0) / 1e9
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -64,9 +90,19 @@ object Bench {
       }
       (batch, stream)
     }
+    // floor-probe input written once (and the probe path warmed once)
+    // so timed probes measure only the streaming machinery
+    val floorIn = java.nio.file.Files.createTempDirectory("bench-floor-in")
+      .toString
+    spark.range(1).coalesce(1).write.mode("overwrite").parquet(floorIn)
+    streamFloor(spark, floorIn) // untimed warmup probe
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
       passOver(record = false) // JIT/codegen/page-cache settle, untimed
-    val passTotals = (1 to runs).map(_ => passOver(record = true))
+    val floors = collection.mutable.ArrayBuffer.empty[Double]
+    val passTotals = (1 to runs).map { _ =>
+      floors += streamFloor(spark, floorIn) // one host-health probe per pass
+      passOver(record = true)
+    }
     // run_totals tracks the same population as the headline `value`
     // (batch only) so value ~ median(run_totals) holds; the stream
     // overhead per pass is its own list
@@ -90,6 +126,8 @@ object Bench {
       java.lang.Double.valueOf(x))
     val rt = runTotals.map(f3).mkString("[", ",", "]")
     val rts = runTotalsStream.map(f3).mkString("[", ",", "]")
+    val floorMed = median(floors.toVector)
+    val floorList = floors.map(f3).mkString("[", ",", "]")
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
@@ -105,9 +143,9 @@ object Bench {
     // line sits. The summary below is ~200 chars when `errs` is empty —
     // the only state in which its `value` should be trusted anyway.
     val record =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_stream":${f3(totalStream)},"queries":$qs,"errs":$errNames,"err_msgs":$errMsgs,"runs":$runs,"run_totals":$rt,"run_totals_stream":$rts,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_stream":${f3(totalStream)},"stream_floor":${f3(floorMed)},"stream_floors":$floorList,"queries":$qs,"errs":$errNames,"err_msgs":$errMsgs,"runs":$runs,"run_totals":$rt,"run_totals_stream":$rts,"sf":"$sfDir"}"""
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_stream":${f3(totalStream)},"errs":$errNames,"runs":$runs,"run_totals":$rt,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_stream":${f3(totalStream)},"stream_floor":${f3(floorMed)},"errs":$errNames,"runs":$runs,"run_totals":$rt,"sf":"$sfDir"}"""
     // Persist the record BEFORE any shutdown output, stop Spark (its
     // shutdown logs land above us), THEN print the summary as the very
     // last stdout line. The file write is best-effort — it must never

@@ -1939,6 +1939,26 @@ object SparkEntry {
           round(col("centroid"), 6).as("centroid"))
         .orderBy("label", "dim")),
 
+    // k-means|| oversampled init (Bahmani et al. 2012), fully hash-
+    // deterministic: 2 rounds sampling ~8 candidates each with
+    // probability l*d^2/phi through an exact-integer coin test, then
+    // Voronoi-population weighting and the top-4-by-weight cut — the
+    // oracle replays every round's candidate set, the weights, and the
+    // selection bit-for-bit
+    "x_kmeans_par_init" -> ((s, d) => {
+      import s.implicits._
+      val (centers, cand) = Similarity.kmeansParallelInit(
+        embs(s, d), "vec_id", "embedding", k = 4, l = 8, rounds = 2,
+        salt = "g")
+      require(centers.length == 4, s"expected 4 centers, got ${centers.length}")
+      val selIdx = cand.sortBy { case (i, _, w) => (-w, i) }.take(4)
+        .map(_._1).zipWithIndex.toMap
+      cand.map { case (i, id, w) =>
+        (i.toLong, id, w, selIdx.get(i).map(_.toLong)) }
+        .toDF("cand_idx", "vec_id", "weight", "sel")
+        .orderBy("cand_idx")
+    }),
+
     // trained-codebook IVF: k-means(8, 1 iter) codebook into the
     // nlist/nprobe machinery, exact fixed-point rescoring
     "x_knn_ivf_trained" -> ((s, d) => {
@@ -3506,6 +3526,58 @@ object SparkEntry {
      """a1 AS (SELECT el.vec_id, c1.j, SUM(CAST(round(el.x * c1.cx * 1e15) AS BIGINT)) AS dxy FROM el JOIN c1 USING (i) GROUP BY 1, 2), """ +
      """s1 AS (SELECT a1.vec_id, a1.j, CAST(a1.dxy AS DOUBLE) / sqrt(CAST(n1.dyy AS DOUBLE)) AS s FROM a1 JOIN n1 USING (j))""")
 
+  /** One k-means|| round for the [[x_kmeans_par_init]] oracle: from
+    * candidate table `prev` (cid, vec_id), derive per-row d² to the
+    * cosine-assignment winner (the engine's nearest_centroid ranking),
+    * the cost φ, and round `r`'s sampled ids under the exact-integer
+    * coin test `coin·φ < l·10⁶·d²` (HUGEINT — the engine's
+    * DECIMAL(38,0)). */
+  private def kmparRound(r: Int, prev: String, l: Int): String =
+    (s"""${prev}e AS (SELECT c.cid, e.i, e.x FROM $prev c JOIN el e USING (vec_id)), """ +
+     s"""n$r AS (SELECT cid, SUM(CAST(round(x*x*1e15) AS BIGINT)) AS dyy FROM ${prev}e GROUP BY 1), """ +
+     s"""a$r AS (SELECT el.vec_id, ce.cid, SUM(CAST(round(el.x*ce.x*1e15) AS BIGINT)) AS dxy """ +
+     s"""FROM el JOIN ${prev}e ce USING (i) GROUP BY 1, 2), """ +
+     s"""w$r AS (SELECT a.vec_id, a.cid, a.dxy, n.dyy, """ +
+     """row_number() OVER (PARTITION BY a.vec_id ORDER BY CAST(a.dxy AS DOUBLE)/sqrt(CAST(n.dyy AS DOUBLE)) DESC, a.cid) AS rn """ +
+     s"""FROM a$r a JOIN n$r n USING (cid)), """ +
+     s"""d$r AS (SELECT w.vec_id, greatest(0, x2.dxx + w.dyy - 2*w.dxy) AS d2 """ +
+     s"""FROM w$r w JOIN dxx x2 ON x2.vec_id = w.vec_id WHERE w.rn = 1), """ +
+     s"""p$r AS (SELECT SUM(d2::HUGEINT) AS phi FROM d$r), """ +
+     s"""s$r AS (SELECT d.vec_id FROM d$r d JOIN dxx x3 ON x3.vec_id = d.vec_id, p$r """ +
+     s"""WHERE x3.dxx > 0 """ +
+     s"""AND (${h60sql(s"'kmpar:g:$r:' || CAST(d.vec_id AS VARCHAR)")} % 1000000)::HUGEINT * phi """ +
+     s"""< ${l}000000::HUGEINT * d.d2::HUGEINT)""")
+
+  /** The full k-means|| init replay (2 rounds, l=8, k=4, salt "g"):
+    * candidate indices in insertion order (seed 0, then each round's
+    * samples by id), Voronoi weights over the final set, top-4 cut by
+    * (weight desc, index). */
+  private def kmparOracle: String =
+    ("""WITH f AS (SELECT vec_id, embedding FROM embeddings """ +
+     """WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0), """ +
+     """el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x FROM f), """ +
+     """dxx AS (SELECT vec_id, SUM(CAST(round(x*x*1e15) AS BIGINT)) AS dxx FROM el GROUP BY 1), """ +
+     """c0 AS (SELECT 0::BIGINT AS cid, min(vec_id) AS vec_id FROM dxx WHERE dxx > 0), """ +
+     kmparRound(1, "c0", 8) + ", " +
+     """c1 AS (SELECT cid, vec_id FROM c0 UNION ALL """ +
+     """SELECT (row_number() OVER (ORDER BY vec_id)), vec_id FROM s1), """ +
+     kmparRound(2, "c1", 8) + ", " +
+     """c2 AS (SELECT cid, vec_id FROM c1 UNION ALL """ +
+     """SELECT ((SELECT count(*) FROM c1) + row_number() OVER (ORDER BY vec_id) - 1), vec_id FROM s2), """ +
+     """c2e AS (SELECT c.cid, e.i, e.x FROM c2 c JOIN el e USING (vec_id)), """ +
+     """nw AS (SELECT cid, SUM(CAST(round(x*x*1e15) AS BIGINT)) AS dyy FROM c2e GROUP BY 1), """ +
+     """aw AS (SELECT el.vec_id, ce.cid, SUM(CAST(round(el.x*ce.x*1e15) AS BIGINT)) AS dxy """ +
+     """FROM el JOIN c2e ce USING (i) GROUP BY 1, 2), """ +
+     """ww AS (SELECT a.vec_id, a.cid, """ +
+     """row_number() OVER (PARTITION BY a.vec_id ORDER BY CAST(a.dxy AS DOUBLE)/sqrt(CAST(n.dyy AS DOUBLE)) DESC, a.cid) AS rn """ +
+     """FROM aw a JOIN nw n USING (cid)), """ +
+     """wt AS (SELECT c2.cid, c2.vec_id, COALESCE(cnt.n, 0)::BIGINT AS weight """ +
+     """FROM c2 LEFT JOIN (SELECT cid, count(*)::BIGINT AS n FROM ww WHERE rn = 1 GROUP BY 1) cnt USING (cid)), """ +
+     """sel AS (SELECT cid, (row_number() OVER (ORDER BY weight DESC, cid))::BIGINT AS s """ +
+     """FROM wt QUALIFY row_number() OVER (ORDER BY weight DESC, cid) <= 4) """ +
+     """SELECT wt.cid AS cand_idx, wt.vec_id, wt.weight, sel.s - 1 AS sel """ +
+     """FROM wt LEFT JOIN sel USING (cid) ORDER BY cand_idx""")
+
   /** Shared by `x_contamination` and `x_contamination_bloom`: the Bloom
     * prefilter can have no false negatives, so the filtered path must
     * return exactly the exact-join result. */
@@ -4228,6 +4300,10 @@ object SparkEntry {
        """SELECT label, (i - 1)::BIGINT AS dim, """ +
        """round(CAST(sf AS DOUBLE) / (cnt * 1e15), 6) AS centroid """ +
        """FROM g ORDER BY label, dim"""),
+
+    // k-means|| init replayed round by round: candidate sets, Voronoi
+    // weights, and the top-k-by-weight cut, all in exact arithmetic
+    "x_kmeans_par_init" -> kmparOracle,
 
     "x_kmeans_assign" ->
       (s"""WITH $kmeansCtes """ +

@@ -171,12 +171,25 @@ object Similarity {
     * round keeps its previous centroid. */
   def kmeansCodebook(df: DataFrame, idCol: String, vecCol: String,
                      k: Int, iters: Int): Seq[Seq[Double]] = {
-    val spark = df.sparkSession
-    var cents: Seq[Seq[Double]] = df
+    val seed: Seq[Seq[Double]] = df
       .select(col(idCol).cast(LongType), col(vecCol))
       .orderBy(col(idCol)).limit(k)
       .collect().toSeq.map(_.getSeq[Float](1).map(_.toDouble))
-    require(cents.length == k, s"kmeansCodebook: need >= $k vectors, got ${cents.length}")
+    require(seed.length == k, s"kmeansCodebook: need >= $k vectors, got ${seed.length}")
+    kmeansCodebook(df, vecCol, seed, iters)
+  }
+
+  /** [[kmeansCodebook]] from an EXPLICIT initial codebook — the Lloyd
+    * refinement alone, for callers that seed differently (the
+    * [[kmeansParallelInit]] oversampled init, a codebook carried over
+    * from a previous corpus snapshot, ...). Same per-round shape and
+    * numerics as the seeded form. */
+  def kmeansCodebook(df: DataFrame, vecCol: String,
+                     init: Seq[Seq[Double]], iters: Int): Seq[Seq[Double]] = {
+    val spark = df.sparkSession
+    require(init.nonEmpty && init.forall(_.length == init.head.length),
+      "kmeansCodebook: init codebook must be non-empty centroids of one dim")
+    var cents: Seq[Seq[Double]] = init
     val dim = cents.head.length
     for (_ <- 0 until iters) {
       val dyy = centroidNorms(spark, cents)
@@ -263,6 +276,139 @@ object Similarity {
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int): DataFrame =
     kmeansAssign(df, idCol, vecCol, kmeansCodebook(df, idCol, vecCol, k, iters))
+
+  /** k-means|| oversampled initialization (Bahmani, Moseley, Vattani,
+    * Kumar, Vassilvitskii: "Scalable k-means++", VLDB 2012) — the init
+    * for LARGE-`nlist` codebooks where the default smallest-id seeding
+    * under-covers the space: instead of k sequential k-means++ draws
+    * (k corpus passes), each of the `rounds` rounds samples ~`l` new
+    * candidates IN PARALLEL with probability `min(1, l·d²(x,C)/φ)`
+    * (φ = Σ d² — the current quantization cost), then candidates are
+    * weighted by their Voronoi population and the `k` heaviest become
+    * the init centers, ready for [[kmeansCodebook]]'s explicit-init
+    * Lloyd refinement. (The paper reclusters the weighted candidates
+    * with k-means++; the top-k-by-weight cut is this library's
+    * deterministic, SQL-replayable reduction — candidates were drawn
+    * ∝ d², so weight-ranking keeps well-separated mass centers, and
+    * the recall canary in RecallDrive pins that it beats smallest-id
+    * seeding where it matters.)
+    *
+    * DETERMINISM (the oracle discipline, end to end): the seed is the
+    * smallest-id valid vector; the sampling coin is the portable
+    * [[graft.functions.Hash60]] bucket of ("kmpar", salt, round, id) —
+    * no RNG state — and the accept test `coin·φ < l·10⁶·d²` runs in
+    * exact DECIMAL integer arithmetic (φ and d² are 1e-15 fixed-point
+    * sums; no float division anywhere), so any engine replays the
+    * exact candidate set. The potential is matched to THIS library's
+    * k-means, which assigns by COSINE affinity ([[nearestCentroid]] —
+    * spherical k-means): c* is the cosine-assignment winner, and
+    * d²(x,C) = max(0, ‖x‖² + ‖c*‖² − 2⟨x,c*⟩) is the squared
+    * Euclidean gap to it — rows poorly covered by their assigned
+    * center get oversampled, exactly what the init needs, while the
+    * winner itself comes from the same argmax every probe and Lloyd
+    * round uses. One [[nearestCentroid]] kernel call plus ONE extra
+    * fixed dot against the winner per row — per-row cost stays O(|C|)
+    * dots with no |C|-wide codegen unroll. Ties everywhere break to
+    * the smaller candidate index = insertion order (seed first, then
+    * each round's samples in id order).
+    *
+    * Scale shape: 2 jobs per round (a narrow φ aggregation and the
+    * sample-collect — expected `l` rows of (id, vector), driver-small
+    * by construction since Σ p = l) plus one weighting pass; each job
+    * is one corpus scan with |C| fused fixed-point dots per row and no
+    * shuffle of the vectors. Rows with NULL ids or malformed vectors
+    * (wrong length, NULL element) have no sampling identity/geometry
+    * and are excluded up front (the [[groupCentroids]] rule).
+    *
+    * Returns `(centers, candidates)`: the k init centers, and the full
+    * weighted candidate table `(cand_idx, id, weight)` for audit. */
+  def kmeansParallelInit(df: DataFrame, idCol: String, vecCol: String,
+                         k: Int, l: Int, rounds: Int, salt: String = "")
+      : (Seq[Seq[Double]], Seq[(Int, Long, Long)]) = {
+    require(k >= 1 && l >= 1 && rounds >= 1,
+      s"kmeansParallelInit: need k, l, rounds >= 1, got ($k, $l, $rounds)")
+    require(l.toLong * k <= 10000000L,
+      s"kmeansParallelInit: l*k = ${l.toLong * k} candidates would not be " +
+        "driver-small — lower l or k")
+    val spark = df.sparkSession
+    // a zero-norm vector has no cosine direction — it can never BE a
+    // candidate (centroidNorms refuses it, rightly), but it still
+    // counts in the cost and the Voronoi weights like any other row
+    val nonZero = dotFixed(col("_v"), col("_v")) > 0L
+    val seedRow = df
+      .select(checkedLongId(idCol, "kmeansParallelInit").as("_id"),
+        col(vecCol).as("_v"))
+      .filter(size(col("_v")) >= 1 && !exists(col("_v"), x => x.isNull) &&
+        nonZero)
+      .orderBy("_id").limit(1).collect()
+    require(seedRow.nonEmpty,
+      "kmeansParallelInit: no valid non-zero vectors to initialize from")
+    val dim = seedRow(0).getSeq[Float](1).length
+    val valid = df.select(
+        checkedLongId(idCol, "kmeansParallelInit").as("_id"),
+        col(vecCol).as("_v"))
+      .filter(size(col("_v")) === dim && !exists(col("_v"), x => x.isNull))
+    // candidates in insertion order: seed, then round 1 samples (id
+    // asc), round 2 samples, ... — the index IS the tie-break
+    val cands = scala.collection.mutable.ArrayBuffer[(Long, Seq[Double])](
+      seedRow(0).getLong(0) -> seedRow(0).getSeq[Float](1).map(_.toDouble))
+    val dec = DecimalType(38, 0)
+    def d2Col(): Column = {
+      val vecs = cands.map(_._2).toSeq
+      val dyy = centroidNorms(spark, vecs)
+      val j = nearestCentroid(col("_v"), vecs, dyy).cast(IntegerType)
+      val best = get(typedLit(vecs), j)
+      // squared Euclidean gap to the COSINE-assignment winner:
+      // ‖x‖² + ‖c*‖² − 2⟨x,c*⟩ in exact 1e-15 units; per-term rounding
+      // can push an exact-match row a few units negative — clamp, the
+      // oracle replays the same greatest(0, ·)
+      greatest(lit(0L),
+        graft.functions.native.fixed_dot(col("_v"), col("_v")) +
+          get(typedLit(dyy), j) -
+          lit(2L) * graft.functions.native.fixed_dot(col("_v"), best))
+    }
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val d2 = d2Col()
+      val phi = valid.agg(sum(d2.cast(dec))).head().getDecimal(0)
+      if (phi == null || phi.signum() == 0) exhausted = true // cost 0: C covers every row
+      else {
+        val coin = pmod(graft.functions.native.hash60(
+          concat(lit(s"kmpar:$salt:$r:"), col("_id").cast(StringType))),
+          lit(1000000L))
+        val sampled = valid
+          .filter(nonZero && coin.cast(dec) * lit(phi).cast(dec) <
+            lit(l * 1000000L).cast(dec) * d2.cast(dec))
+          .select(col("_id"), col("_v"))
+          .orderBy("_id")
+          .limit(16 * l + 16) // driver guard; E[samples] = l
+          .collect()
+        require(sampled.length <= 16 * l,
+          s"kmeansParallelInit: round $r sampled > ${16 * l} candidates " +
+            s"(expected ~$l) — degenerate geometry; lower l")
+        sampled.foreach(row =>
+          cands += (row.getLong(0) -> row.getSeq[Float](1).map(_.toDouble)))
+        r += 1
+      }
+    }
+    require(cands.length >= k,
+      s"kmeansParallelInit: only ${cands.length} candidates after " +
+        s"$rounds round(s) for k=$k — raise l or rounds")
+    // weighting pass: Voronoi population of each candidate (candidates
+    // sampled this round and never hit again keep weight 0)
+    val vecs = cands.map(_._2).toSeq
+    val dyy = centroidNorms(spark, vecs)
+    val wRows = valid
+      .groupBy(nearestCentroid(col("_v"), vecs, dyy).as("_c"))
+      .agg(count(lit(1)).as("_n")).collect()
+      .map(rw => rw.getLong(0).toInt -> rw.getLong(1)).toMap
+    val weighted = cands.indices
+      .map(i => (i, cands(i)._1, wRows.getOrElse(i, 0L)))
+    val centers = weighted.sortBy { case (i, _, w) => (-w, i) }
+      .take(k).map { case (i, _, _) => cands(i)._2 }
+    (centers, weighted)
+  }
 
   /** IVF (inverted-file) ANN top-k — the classic nlist/nprobe scheme:
     * every vector is assigned to its nearest of `nlist` centroid lists;

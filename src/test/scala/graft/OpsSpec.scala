@@ -1912,6 +1912,56 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansParallelInit: deterministic rounds, weights, top-k cut; init feeds Lloyd") {
+    // two well-separated blobs + a far outlier: the d^2-proportional
+    // coin must pull candidates from BOTH blobs (smallest-id seeding
+    // would take every center from blob A's id range)
+    val vecs = (0L until 200L).map { i =>
+      val j = (i % 7).toFloat / 100f
+      if (i < 100L) (i, Seq(1.0f + j, 1.0f, 0.0f, 0.0f))
+      else (i, Seq(0.0f, 0.0f, 1.0f, 1.0f + j))
+    }.toDF("id", "v")
+    val (centers, cand) = Similarity.kmeansParallelInit(
+      vecs, "id", "v", k = 2, l = 4, rounds = 2, salt = "s")
+    assert(centers.length == 2)
+    // coverage: one center per (angularly separated) blob — the whole
+    // point of the init; smallest-id seeding would take both from blob A
+    assert(centers.exists(_.head > 0.5) && centers.exists(c => c(2) > 0.5),
+      s"centers did not cover both blobs: $centers")
+    // candidate 0 is the smallest-id seed; indices are dense; weights
+    // sum to the corpus (every row assigned somewhere)
+    assert(cand.head == ((0, 0L, cand.head._3)))
+    assert(cand.map(_._1) == cand.indices)
+    assert(cand.map(_._3).sum == 200L)
+    // centers are exactly the top-k candidates by (weight desc, idx),
+    // in that order, as raw corpus vectors widened to double
+    val byId = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val want = cand.sortBy { case (i, _, w) => (-w, i) }.take(2).map(_._2)
+    assert(centers == want.map(byId), s"top-k cut mismatch: $want")
+    // deterministic: same salt, same result; different salt may differ
+    val (c2, cand2) = Similarity.kmeansParallelInit(
+      vecs, "id", "v", k = 2, l = 4, rounds = 2, salt = "s")
+    assert(c2 == centers && cand2 == cand)
+    // the init slots into the explicit-init Lloyd refinement
+    val cb = Similarity.kmeansCodebook(vecs, "v", centers, iters = 2)
+    assert(cb.length == 2 && cb.head.length == 4)
+    // malformed vectors are excluded, not crashed on
+    val withBad = vecs.unionByName(Seq(
+      (900L, Seq(1.0f, 2.0f)), // wrong dim
+      (901L, null.asInstanceOf[Seq[Float]])).toDF("id", "v"))
+    val (c3, _) = Similarity.kmeansParallelInit(
+      withBad, "id", "v", k = 2, l = 4, rounds = 2, salt = "s")
+    assert(c3 == centers, "malformed rows changed the init")
+    // not enough candidates fails loudly with guidance
+    val tiny = Seq((1L, Seq(1f, 1f, 1f, 1f))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansParallelInit(tiny, "id", "v", k = 5, l = 2,
+        rounds = 1, salt = "s")
+    }
+    assert(e.getMessage.contains("raise l or rounds"), e.getMessage)
+  }
+
   test("shard writer: layout laws, manifest truth, identity guard, atomic re-publish") {
     val n = 500L
     val df = (0L until n).map(i => (i, s"s${i % 3}", 1000L - i, 1L + i % 7))

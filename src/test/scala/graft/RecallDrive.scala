@@ -221,6 +221,97 @@ object RecallDrive {
     }
   }
 
+  /** INIT-QUALITY canary for [[graft.ops.Similarity.kmeansParallelInit]]
+    * at large nlist: one corpus / query panel / exact ground truth, two
+    * coarse codebooks refined by the SAME Lloyd rounds — the default
+    * smallest-id seeding vs the k-means|| oversampled init — and the
+    * IVF probe's recall@k measured for each. The assertion is ≥ PARITY
+    * for the oversampled init (tolerance 0.01 for boundary ties): the
+    * init exists for exactly this regime (nlist ≥ 256, where smallest-
+    * id seeding draws all its centers from a corner of the id space),
+    * so losing to it would mean the init is mis-wired. Also prints the
+    * k-means COST (Σ d² to the assigned center, the quantity the init
+    * optimizes) for both. */
+  def initCanary(spark: SparkSession, n: Long, nQueries: Int, nTopics: Int,
+                 nlist: Int, tau: Double, k: Int, nprobe: Int,
+                 kmIters: Int = 2, rounds: Int = 3): Unit = {
+    println(s"== kmeans|| init canary: N=$n nlist=$nlist nTopics=$nTopics " +
+      s"nprobe=$nprobe kmIters=$kmIters rounds=$rounds")
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val a = f
+      println(f"  $tag%-52s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); a
+    }
+    val corpus = synthVecs(spark.range(n).toDF("id"), nTopics, tau)
+      .localCheckpoint(true)
+    val qBase = 20000000L - (20000000L % nTopics.toLong)
+    val queries = synthVecs(
+        spark.range(nQueries).select((col("id") + qBase).as("id")),
+        nTopics, tau)
+      .localCheckpoint(true)
+    import graft.ops.Similarity
+    import Similarity.dotFixed
+    val cn = corpus.select(col("id").as("nid"), col("embedding").as("nv"),
+      sqrt(dotFixed(col("embedding"), col("embedding")).cast("double")).as("nn"))
+    val qn = queries.select(col("id").as("qid"), col("embedding").as("qv"),
+      sqrt(dotFixed(col("embedding"), col("embedding")).cast("double")).as("qq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    val gt = time(s"exact ground truth ($nQueries x $n dots)") {
+      cn.crossJoin(broadcast(qn))
+        .select(col("qid"), col("nid"),
+          (dotFixed(col("qv"), col("nv")).cast("double") /
+            (col("qq") * col("nn"))).as("score"))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+        .select("qid", "nid").localCheckpoint(true)
+    }
+    def evalInit(tag: String, init: Seq[Seq[Double]]): (Double, Double) = {
+      val cb = time(s"$tag: Lloyd x$kmIters from ${init.length} centers") {
+        Similarity.kmeansCodebook(corpus, "embedding", init, kmIters)
+      }
+      // k-means COST under the trained codebook: Σ d² to the assigned
+      // center (1e-15 units, reported in plain units)
+      val dyy = cb.map(c =>
+        graft.functions.CodebookKernels.fixedDotDriver(c, c))
+      val j = graft.functions.native.nearest_centroid(
+        col("embedding"), cb, dyy).cast("int")
+      val d2 = greatest(lit(0L),
+        graft.functions.native.fixed_dot(col("embedding"), col("embedding")) +
+          get(typedLit(dyy), j) -
+          lit(2L) * graft.functions.native.fixed_dot(col("embedding"),
+            get(typedLit(cb), j)))
+      val cost = corpus
+        .agg(sum(d2.cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0).doubleValue() / 1e15
+      val ivfPath = java.nio.file.Files
+        .createTempDirectory(s"recall-init-$tag").toString
+      time(s"$tag: buildIvfIndex") {
+        Similarity.buildIvfIndex(corpus, "id", "embedding", cb, ivfPath)
+      }
+      val hits = Similarity.knnJoinIndexed(spark, ivfPath, queries,
+          "id", "embedding", k, nprobe)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+        .join(gt, Seq("qid", "nid"), "left_semi").count()
+      val rec = hits.toDouble / (nQueries.toDouble * k)
+      println(f"  $tag%-12s recall@$k=$rec%.3f cost=$cost%.1f")
+      (rec, cost)
+    }
+    val seeded = corpus.select(col("id"), col("embedding"))
+      .orderBy("id").limit(nlist).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val (rSeed, costSeed) = evalInit("smallest-id", seeded)
+    val (parInit, cand) = time(s"kmeansParallelInit (l=${2 * nlist}, $rounds rounds)") {
+      Similarity.kmeansParallelInit(corpus, "id", "embedding",
+        k = nlist, l = 2 * nlist, rounds = rounds, salt = "canary")
+    }
+    println(s"  candidates drawn: ${cand.length}")
+    val (rPar, costPar) = evalInit("kmeans-par", parInit)
+    assert(rPar >= rSeed - 0.01,
+      f"kmeans|| init recall $rPar%.3f under smallest-id seeding " +
+        f"$rSeed%.3f — the oversampled init regressed")
+    println(f"  canary OK: kmeans|| $rPar%.3f >= seeded $rSeed%.3f - 0.01 " +
+      f"(cost ${costPar}%.1f vs ${costSeed}%.1f)")
+  }
+
   /** The production floor gate, measured round 11 (m=16, ksub=256,
     * pqIters=2, r=100, nprobe=√nlist): 1M-vector tree scored ivf 1.000 /
     * adc 0.696 / refined 1.000; the 100k canary 1.000 / 0.750 / 1.000.
@@ -249,6 +340,11 @@ object RecallDrive {
         m = 16, ksub = 256, tau = 1.5, k = 10, r = 100,
         nprobes = Seq(1, 4, 32, 128),
         floorsAtNprobe = 32, floors = Some(ProductionFloors), pqIters = 2)
+    } else if (args.headOption.contains("canary")) {
+      // the kmeans|| init-quality gate at the nlist ≥ 256 regime the
+      // init exists for; ScaleDrive runs the same shape
+      initCanary(spark, n = 200000L, nQueries = 50, nTopics = 100,
+        nlist = 256, tau = 1.5, k = 10, nprobe = 16)
     } else if (args.headOption.contains("frontier")) {
       // the DESIGN.md sweep: production shape, m ∈ {8, 16, 32}, the
       // operating point and its neighbors

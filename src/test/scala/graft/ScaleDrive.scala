@@ -961,19 +961,33 @@ object ScaleDrive {
     val recipePlan = recipe.queryExecution.executedPlan.toString
     assert(recipePlan.contains("score_mass_threshold"),
       "selectByBudget's bounded pre-cut missing from the composed plan")
+    // Plan-shape claim since r15 (the threshold join dropped its forced
+    // broadcast hint — ADVICE r14): the STATIC plan carries the
+    // sort-merge fallback's exchange pair for the join, and AQE is what
+    // converts it to a broadcast join at runtime from the one-row-per-
+    // group threshold's ACTUAL size. So assert the static shape loosely
+    // (full-width data shuffle + narrow pre-cut agg + the SMJ pair = 4)
+    // and the RUNTIME conversion exactly, after execution below.
     val nHashExchanges =
       "Exchange hashpartitioning".r.findAllIn(recipePlan).size
-    assert(nHashExchanges == 2, // 1 full-width data + 1 narrow pre-cut agg
+    assert(nHashExchanges <= 4,
       s"composed recipe plan shape regressed: $nHashExchanges hash exchanges\n$recipePlan")
     val recipeT0 = System.nanoTime()
+    val recipeAgg = recipe.groupBy("source").agg(count(lit(1)).as("n"),
+      sum(col("n_tok") + 1L).as("footprint"),
+      max(col("pack_offset") + col("n_tok") + 1L).as("endOff"),
+      max("pack_id").as("maxPack"))
     val packStats = time("composed recipe (select -> mix -> pack) over 10M") {
-      recipe.groupBy("source").agg(count(lit(1)).as("n"),
-          sum(col("n_tok") + 1L).as("footprint"),
-          max(col("pack_offset") + col("n_tok") + 1L).as("endOff"),
-          max("pack_id").as("maxPack"))
-        .collect()
+      recipeAgg.collect()
     }
     val recipeSec = (System.nanoTime() - recipeT0) / 1e9
+    // the runtime (AQE-final) plan must have converted the threshold
+    // join to a broadcast — the size-based decision the dropped hint
+    // now delegates to AQE (inspected on the EXECUTED query, where the
+    // adaptive plan is finalized)
+    val recipeFinal = recipeAgg.queryExecution.executedPlan.toString
+    assert(recipeFinal.contains("BroadcastHashJoin"),
+      s"AQE did not broadcast the one-row-per-group threshold join:\n$recipeFinal")
     packStats.foreach { r =>
       // the last copy's end offset equals the group's total footprint —
       // contiguous separator-budgeted layout, no gaps, no overlaps
@@ -1034,6 +1048,101 @@ object ScaleDrive {
       s"shuffle positions not a dense permutation at volume: $shufStats")
     println("  10M positions: dense permutation verified by aggregate laws")
 
+    // physical shard write AT VOLUME: the full 10M-row permutation
+    // materialized as 64 shards / ~4 files each, then the committed
+    // manifest re-checked independently (the writer verified the laws
+    // pre-swap; this re-derives them from the published sidecar) and
+    // the tree read back against it
+    println("== physical shard write over 10M rows (64 shards, 50k-row files)")
+    val shardRoot = java.nio.file.Files
+      .createTempDirectory("scale-shards").toString
+    val shuffled10m = graft.ops.Sample.shuffleRank(
+      recipeDocs.select("doc_id", "n_tok"), "doc_id",
+      salt = "shards", buckets = 1024)
+    time("writeShards: 10M rows -> 64 shard dirs") {
+      graft.ops.ShardWriter.writeShards(shuffled10m, "doc_id", "n_tok",
+        numShards = 64, path = s"$shardRoot/tree", salt = "shards",
+        buckets = 1024, budget = -1L, maxRowsPerFile = 50000L)
+    }
+    val man10m = graft.ops.ShardWriter.loadManifest(spark, s"$shardRoot/tree")
+      .collect()
+    assert(man10m.map(_.getAs[Long]("n_docs")).sum == 10000000L,
+      "manifest row total != 10M")
+    man10m.groupBy(_.getAs[Long]("shard")).foreach { case (s, files) =>
+      val cnt = files.map(_.getAs[Long]("n_docs")).sum
+      assert(cnt == (10000000L - s + 63L) / 64L, s"shard $s count $cnt")
+      files.foreach { f => // arithmetic range law, re-derived
+        assert(f.getAs[Long]("max_pos") - f.getAs[Long]("min_pos") ==
+          (f.getAs[Long]("n_docs") - 1L) * 64L, s"shard $s file law: $f")
+      }
+      val ordered = files.sortBy(_.getAs[Long]("min_pos"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("max_pos") < b.getAs[Long]("min_pos"))
+        case _ => ()
+      }
+    }
+    val rb = time("read back one shard dir against its manifest rollup") {
+      graft.ops.ShardWriter.readShards(spark, s"$shardRoot/tree")
+        .filter(col("shard") === 7)
+        .agg(count(lit(1)), min("shuffle_pos"), max("shuffle_pos"),
+          sum("n_tok")).collect()(0)
+    }
+    val m7 = man10m.filter(_.getAs[Long]("shard") == 7L)
+    assert(rb.getLong(0) == m7.map(_.getAs[Long]("n_docs")).sum &&
+      rb.getLong(1) == m7.map(_.getAs[Long]("min_pos")).min &&
+      rb.getLong(2) == m7.map(_.getAs[Long]("max_pos")).max &&
+      rb.getLong(3) == m7.map(_.getAs[Long]("n_tokens")).sum,
+      s"shard 7 read-back disagrees with its manifest: $rb")
+    println(s"  64 shards / ${man10m.length} files, manifest laws + " +
+      "read-back verified")
+
+    // the recipe's CHECKPOINT SEAM: an accumulator on the score column
+    // counts how many times base rows are actually evaluated.
+    // Uncheckpointed, selection (2 passes) composed under shuffleRank
+    // (2 passes) re-scans the base ~4x; the seam materializes the
+    // selected set once and cuts that to selection's own ~2x. Ratios
+    // are asserted loosely (projection collapse can re-evaluate an
+    // expression within one pass) — the seam's halving is the claim.
+    println("== recipe checkpoint seam: base-relation scan counts (2M rows)")
+    val seamN = 2000000L
+    val scans = spark.sparkContext.longAccumulator("baseScans")
+    val probe = udf((s: Long) => { scans.add(1L); s })
+    val seamDocs = spark.range(seamN).select(
+      col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(8L))).as("source"),
+      pmod(hash(col("id") * 31L), lit(1000000)).cast("long").as("score0"),
+      (pmod(hash(col("id") * 7L), lit(401)) + lit(50L)).cast("long").as("n_tok"))
+      .withColumn("score", probe(col("score0"))).drop("score0")
+    def seamScans(checkpoint: Boolean, tag: String): Double = {
+      scans.reset()
+      graft.ops.ShardWriter.writeShardRecipe(seamDocs, "source", "doc_id",
+        "score", "n_tok", budget = 2000000L, numShards = 8,
+        path = s"$shardRoot/$tag", salt = "seam", buckets = 256,
+        checkpointSelected = checkpoint)
+      scans.value.toDouble / seamN
+    }
+    val scansOn = time("recipe with checkpoint seam (expected ~2 scans)") {
+      seamScans(checkpoint = true, "seamOn")
+    }
+    val scansOff = time("recipe without the seam (expected ~4 scans)") {
+      seamScans(checkpoint = false, "seamOff")
+    }
+    println(f"  base-row evaluations per row: seam=$scansOn%.2f " +
+      f"no-seam=$scansOff%.2f")
+    assert(scansOn < scansOff - 0.9,
+      f"seam did not reduce base scans: $scansOn%.2f vs $scansOff%.2f")
+    assert(scansOn <= 2.6,
+      f"seam path scans the base $scansOn%.2f x (expected ~2)")
+    // identical trees either way (same identity, same rows)
+    val seamCmp = Seq("seamOn", "seamOff").map { t =>
+      graft.ops.ShardWriter.readShards(spark, s"$shardRoot/$t")
+        .agg(count(lit(1)), sum("shuffle_pos"), sum(hash(col("doc_id"),
+          col("shuffle_pos")).cast("long"))).collect()(0)
+    }
+    assert(seamCmp(0) == seamCmp(1),
+      s"seam changed the written tree: ${seamCmp(0)} vs ${seamCmp(1)}")
+
     // ANN retrieval QUALITY canary: recall@10 vs exact brute force with
     // hard floors — every x_knn_* gate pins determinism (the oracle
     // replays the engine's own approximation), so only THIS catches a
@@ -1045,6 +1154,12 @@ object ScaleDrive {
       nlist = 200, m = 16, ksub = 256, tau = 1.5, k = 10, r = 100,
       nprobes = Seq(1, 14), floorsAtNprobe = 14,
       floors = Some(RecallDrive.ProductionFloors), pqIters = 2)
+
+    // kmeans|| init quality at the nlist >= 256 regime the init exists
+    // for: the oversampled init must reach >= parity with smallest-id
+    // seeding after identical Lloyd refinement
+    RecallDrive.initCanary(spark, n = 200000L, nQueries = 50,
+      nTopics = 100, nlist = 256, tau = 1.5, k = 10, nprobe = 16)
 
     spark.stop()
   }
