@@ -312,13 +312,22 @@ object Similarity {
     * the smaller candidate index = insertion order (seed first, then
     * each round's samples in id order).
     *
-    * Scale shape: 2 jobs per round (a narrow φ aggregation and the
-    * sample-collect — expected `l` rows of (id, vector), driver-small
-    * by construction since Σ p = l) plus one weighting pass; each job
-    * is one corpus scan with |C| fused fixed-point dots per row and no
-    * shuffle of the vectors. Rows with NULL ids or malformed vectors
-    * (wrong length, NULL element) have no sampling identity/geometry
-    * and are excluded up front (the [[groupCentroids]] rule).
+    * Scale shape — the per-row winner state is carried INCREMENTALLY
+    * (the standard kmeans|| formulation): the corpus is materialized
+    * once as `(id, vec, best-candidate index, its cosine score, its
+    * d²)` and each round folds in ONLY the candidates the previous
+    * round added — the new local winner is compared against the
+    * carried one (strict `>`, so ties keep the earlier index, exactly
+    * the full-set kernel's tie rule), making every row's total dot
+    * work over the WHOLE run O(|C|) instead of O(rounds·|C|), with φ,
+    * the sample filter, and the final Voronoi weighting all reading
+    * the cached state for free (no dot ever recomputed). The state is
+    * an eager `localCheckpoint` per round (corpus columns + ~20 B —
+    * spills to disk under memory pressure; the classic
+    * cache-the-assignment trade every kmeans|| implementation makes).
+    * Rows with NULL ids or malformed vectors (wrong length, NULL
+    * element) have no sampling identity/geometry and are excluded up
+    * front (the [[groupCentroids]] rule).
     *
     * Returns `(centers, candidates)`: the k init centers, and the full
     * weighted candidate table `(cand_idx, id, weight)` for audit. */
@@ -334,12 +343,12 @@ object Similarity {
     // a zero-norm vector has no cosine direction — it can never BE a
     // candidate (centroidNorms refuses it, rightly), but it still
     // counts in the cost and the Voronoi weights like any other row
-    val nonZero = dotFixed(col("_v"), col("_v")) > 0L
+    val nonZeroIn = dotFixed(col("_v"), col("_v")) > 0L
     val seedRow = df
       .select(checkedLongId(idCol, "kmeansParallelInit").as("_id"),
         col(vecCol).as("_v"))
       .filter(size(col("_v")) >= 1 && !exists(col("_v"), x => x.isNull) &&
-        nonZero)
+        nonZeroIn)
       .orderBy("_id").limit(1).collect()
     require(seedRow.nonEmpty,
       "kmeansParallelInit: no valid non-zero vectors to initialize from")
@@ -353,33 +362,61 @@ object Similarity {
     val cands = scala.collection.mutable.ArrayBuffer[(Long, Seq[Double])](
       seedRow(0).getLong(0) -> seedRow(0).getSeq[Float](1).map(_.toDouble))
     val dec = DecimalType(38, 0)
-    def d2Col(): Column = {
-      val vecs = cands.map(_._2).toSeq
-      val dyy = centroidNorms(spark, vecs)
-      val j = nearestCentroid(col("_v"), vecs, dyy).cast(IntegerType)
-      val best = get(typedLit(vecs), j)
-      // squared Euclidean gap to the COSINE-assignment winner:
-      // ‖x‖² + ‖c*‖² − 2⟨x,c*⟩ in exact 1e-15 units; per-term rounding
-      // can push an exact-match row a few units negative — clamp, the
-      // oracle replays the same greatest(0, ·)
-      greatest(lit(0L),
+    // the carried per-row winner state: (_id, _v, _nz, _j, _s, _d2) —
+    // _j/_s/_d2 are the full-set cosine argmax and its Euclidean gap,
+    // maintained incrementally and BIT-IDENTICAL to a full recompute:
+    // the new candidates' local winner (the same kernel, same
+    // tie-to-earlier rule within the slice) beats the carried one only
+    // on strictly greater score, so equal scores keep the earlier
+    // global index exactly as one kernel call over the union would
+    var state: DataFrame = null
+    var folded = 0
+    def advance(): Unit = {
+      if (folded == cands.length) return
+      val newVecs = cands.slice(folded, cands.length).map(_._2).toSeq
+      val dyyN = centroidNorms(spark, newVecs)
+      val jn = nearestCentroid(col("_v"), newVecs, dyyN).cast(IntegerType)
+      val dotn = graft.functions.native.fixed_dot(
+        col("_v"), get(typedLit(newVecs), jn))
+      val dyyJn = get(typedLit(dyyN), jn)
+      // the kernel's exact affinity: fixed dot over √(fixed self-dot)
+      val sn = dotn.cast(DoubleType) / sqrt(dyyJn.cast(DoubleType))
+      // squared Euclidean gap to that winner: ‖x‖² + ‖c‖² − 2⟨x,c⟩ in
+      // exact 1e-15 units; per-term rounding can push an exact-match
+      // row a few units negative — clamp, the oracle replays the same
+      // greatest(0, ·)
+      val d2n = greatest(lit(0L),
         graft.functions.native.fixed_dot(col("_v"), col("_v")) +
-          get(typedLit(dyy), j) -
-          lit(2L) * graft.functions.native.fixed_dot(col("_v"), best))
+          dyyJn - lit(2L) * dotn)
+      val next =
+        if (state == null)
+          valid.select(col("_id"), col("_v"), nonZeroIn.as("_nz"),
+            (jn + lit(folded)).as("_j"), sn.as("_s"), d2n.as("_d2"))
+        else {
+          val takeNew = sn > col("_s")
+          state.select(col("_id"), col("_v"), col("_nz"),
+            when(takeNew, jn + lit(folded)).otherwise(col("_j")).as("_j"),
+            when(takeNew, sn).otherwise(col("_s")).as("_s"),
+            when(takeNew, d2n).otherwise(col("_d2")).as("_d2"))
+        }
+      val mat = next.localCheckpoint(true)
+      if (state != null) { state.unpersist(); () }
+      state = mat
+      folded = cands.length
     }
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val d2 = d2Col()
-      val phi = valid.agg(sum(d2.cast(dec))).head().getDecimal(0)
-      if (phi == null || phi.signum() == 0) exhausted = true // cost 0: C covers every row
+      advance() // fold the seed (round 1) / the previous round's samples
+      val phi = state.agg(sum(col("_d2").cast(dec))).head().getDecimal(0)
+      if (phi == null || phi.signum() == 0) exhausted = true // C covers every row
       else {
         val coin = pmod(graft.functions.native.hash60(
           concat(lit(s"kmpar:$salt:$r:"), col("_id").cast(StringType))),
           lit(1000000L))
-        val sampled = valid
-          .filter(nonZero && coin.cast(dec) * lit(phi).cast(dec) <
-            lit(l * 1000000L).cast(dec) * d2.cast(dec))
+        val sampled = state
+          .filter(col("_nz") && coin.cast(dec) * lit(phi).cast(dec) <
+            lit(l * 1000000L).cast(dec) * col("_d2").cast(dec))
           .select(col("_id"), col("_v"))
           .orderBy("_id")
           .limit(16 * l + 16) // driver guard; E[samples] = l
@@ -395,14 +432,14 @@ object Similarity {
     require(cands.length >= k,
       s"kmeansParallelInit: only ${cands.length} candidates after " +
         s"$rounds round(s) for k=$k — raise l or rounds")
-    // weighting pass: Voronoi population of each candidate (candidates
-    // sampled this round and never hit again keep weight 0)
-    val vecs = cands.map(_._2).toSeq
-    val dyy = centroidNorms(spark, vecs)
-    val wRows = valid
-      .groupBy(nearestCentroid(col("_v"), vecs, dyy).as("_c"))
+    // fold the final round's samples, then the Voronoi weights are a
+    // plain count over the carried winner index — no assignment rescan
+    advance()
+    val wRows = state
+      .groupBy(col("_j").cast(LongType).as("_c"))
       .agg(count(lit(1)).as("_n")).collect()
       .map(rw => rw.getLong(0).toInt -> rw.getLong(1)).toMap
+    state.unpersist()
     val weighted = cands.indices
       .map(i => (i, cands(i)._1, wRows.getOrElse(i, 0L)))
     val centers = weighted.sortBy { case (i, _, w) => (-w, i) }
