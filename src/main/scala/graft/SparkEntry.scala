@@ -2887,6 +2887,13 @@ object SparkEntry {
           col("shard").cast(LongType).as("shard"))
         .orderBy("doc_id")),
 
+    // the pre-consumption integrity AUDIT: every per-file stat
+    // re-derived from the tree's DATA must match the committed
+    // manifest — the oracle replays what BOTH sides must equal
+    // (totals from the selection/shuffle CTEs, zero mismatches, ok)
+    "x_shard_verify" -> ((s, d) =>
+      graft.ops.ShardWriter.verifyShards(s, shardTree(s, d))),
+
     // per-source selection under a 2048-token budget, best (longest)
     // docs first: the kept set is the longest quality-ordered prefix
     // whose running token sum fits — replayed as the same window cut
@@ -5078,6 +5085,22 @@ object SparkEntry {
        s"""FROM (SELECT doc_id, n_tok, ${h60sql("'shuffle:shard:' || CAST(doc_id AS VARCHAR)")} AS k FROM sel)) """ +
        """SELECT doc_id, n_tok, p::BIGINT AS shuffle_pos, (p % 8)::BIGINT AS shard """ +
        """FROM pos ORDER BY doc_id"""),
+
+    // the audit's expected one-row report: manifest and tree totals
+    // both equal the selection/shuffle replay, zero file mismatches
+    "x_shard_verify" ->
+      (s"""WITH base AS (SELECT doc_id, COALESCE(source, '') AS source, n_chars::BIGINT AS score, """ +
+       s"""len($TOK)::BIGINT AS n_tok FROM documents), """ +
+       """sel AS (SELECT doc_id, n_tok FROM (SELECT *, """ +
+       """SUM(n_tok) OVER (PARTITION BY source ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS ct """ +
+       """FROM base) WHERE ct <= 4096), """ +
+       s"""pos AS (SELECT doc_id, n_tok, (row_number() OVER (ORDER BY k % 32, k, doc_id) - 1) AS p """ +
+       s"""FROM (SELECT doc_id, n_tok, ${h60sql("'shuffle:shard:' || CAST(doc_id AS VARCHAR)")} AS k FROM sel)), """ +
+       """sh AS (SELECT (p % 8) AS shard, count(*) AS n, SUM(n_tok)::BIGINT AS t FROM pos GROUP BY 1), """ +
+       """tot AS (SELECT SUM(((n + 63) // 64))::BIGINT AS nf, SUM(n)::BIGINT AS nd, SUM(t)::BIGINT AS nt FROM sh) """ +
+       """SELECT nf AS n_files, nd AS n_docs, nt AS n_tokens, """ +
+       """nf AS tree_files, nd AS tree_docs, nt AS tree_tokens, """ +
+       """0::BIGINT AS n_file_mismatch, TRUE AS ok FROM tot"""),
 
     // budgeted selection replayed: the same (score desc, id) window's
     // inclusive running sum, prefix-cut at the budget

@@ -244,6 +244,10 @@ object ShardWriter {
       .withColumn("num_shards", lit(numShards))
       .withColumn("budget", lit(budget))
       .withColumn("n_total", lit(n))
+      // the audited column NAMES ride the manifest so [[verifyShards]]
+      // can re-derive every stat without being told the schema
+      .withColumn("id_col", lit(idCol))
+      .withColumn("token_col", lit(tokenCol))
       .coalesce(1).write.mode("overwrite").parquet(manifestPath(tmp))
     perFile.unpersist(); ()
   }
@@ -288,10 +292,86 @@ object ShardWriter {
     * along; `_manifest` is invisible to the scan). Within-file row
     * order is the position order by construction, but Spark's scan
     * does not promise cross-file ordering — a consumer that needs the
-    * global order sorts by `shuffle_pos` (or streams files in name
-    * order per shard, the zero-shuffle path). */
+    * global order sorts by `shuffle_pos` (or streams files in
+    * [[shardFilesInOrder]] order, the zero-shuffle path). */
   def readShards(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** One shard's data FILES in consumption order (ascending committed
+    * `min_pos` — each file is a contiguous slice of the shard's
+    * positions, so reading them in this order streams the shard's
+    * slice of the permutation with no sort and no index): absolute
+    * paths under `path/shard=<shard>/`. The training-consumer entry
+    * point — a reader outside Spark walks exactly this list. */
+  def shardFilesInOrder(spark: SparkSession, path: String,
+                        shard: Long): Seq[String] = {
+    val files = loadManifest(spark, path)
+      .filter(col("shard") === shard)
+      .select("file", "min_pos").collect()
+      .sortBy(_.getAs[Long]("min_pos"))
+      .map(_.getAs[String]("file")).toSeq
+    require(files.nonEmpty,
+      s"shardFilesInOrder: no manifest entries for shard $shard at $path")
+    files.map(f => s"$path/shard=$shard/$f")
+  }
+
+  /** Integrity AUDIT of a published shard tree — the check a training
+    * job runs before trusting months-old shards: every per-file stat
+    * (rows, token sum, position and id ranges) is re-derived from the
+    * DATA and compared against the committed `_manifest`, catching
+    * lost/extra/rewritten files and any in-file corruption that moves
+    * a count or range. One streaming aggregation pass over the tree
+    * (the manifest-build shape — map-side combine to files × shards
+    * rows, driver-trivial compare); the audited columns come from the
+    * manifest's own `id_col`/`token_col` record, so the caller needs
+    * no schema knowledge. Returns ONE row:
+    * `(n_files, n_docs, n_tokens, tree_files, tree_docs, tree_tokens,
+    * n_file_mismatch, ok)` — manifest totals, re-derived totals, the
+    * count of per-file stat disagreements (files missing from either
+    * side included), and `ok = totals match ∧ zero mismatches`. */
+  def verifyShards(spark: SparkSession, path: String): DataFrame = {
+    val man = loadManifest(spark, path)
+    val head = man.select("id_col", "token_col").head()
+    val (idCol, tokenCol) = (head.getString(0), head.getString(1))
+    val tree = spark.read.parquet(path).select(
+        col("shard").cast(LongType).as("shard"),
+        col("_metadata.file_name").as("file"),
+        col("shuffle_pos"),
+        col(idCol).as("_id"),
+        col(tokenCol).cast(LongType).as("_tok"))
+      .groupBy("shard", "file")
+      .agg(count(lit(1)).as("t_docs"), sum("_tok").as("t_tokens"),
+        min("shuffle_pos").as("t_min_pos"), max("shuffle_pos").as("t_max_pos"),
+        min("_id").as("t_min_id"), max("_id").as("t_max_id"))
+      // materialized once: the tiny per-file relation feeds the
+      // mismatch count AND the totals — one real scan of the tree
+      .localCheckpoint(true)
+    val joined = man.join(tree, Seq("shard", "file"), "full_outer")
+    val mismatch = joined.filter(
+      !(col("n_docs") <=> col("t_docs")) ||
+        !(col("n_tokens") <=> col("t_tokens")) ||
+        !(col("min_pos") <=> col("t_min_pos")) ||
+        !(col("max_pos") <=> col("t_max_pos")) ||
+        !(col("min_id") <=> col("t_min_id")) ||
+        !(col("max_id") <=> col("t_max_id")))
+    val r = joined.agg(
+      count(col("n_docs")).as("n_files"),
+      coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+      coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"),
+      count(col("t_docs")).as("tree_files"),
+      coalesce(sum("t_docs"), lit(0L)).as("tree_docs"),
+      coalesce(sum("t_tokens"), lit(0L)).as("tree_tokens")).head()
+    val nBad = mismatch.count()
+    tree.unpersist()
+    val ok = nBad == 0L &&
+      r.getLong(0) == r.getLong(3) && r.getLong(1) == r.getLong(4) &&
+      r.getLong(2) == r.getLong(5)
+    import spark.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), nBad, ok))
+      .toDF("n_files", "n_docs", "n_tokens", "tree_files", "tree_docs",
+        "tree_tokens", "n_file_mismatch", "ok")
+  }
 
   /** The composed SELECT → SHUFFLE → WRITE recipe in one call: per-
     * `groupCol` quality selection under `budget` tokens

@@ -826,8 +826,15 @@ object Drive {
     } catch { case e: IllegalArgumentException =>
       e.getMessage.contains("identity") }
     require(refused, "identity drift was not refused")
+    val audit = graft.ops.ShardWriter.verifyShards(spark, shardPath).head()
+    require(audit.getAs[Boolean]("ok") &&
+      audit.getAs[Long]("n_docs") == nWritten,
+      s"published tree failed its own audit: $audit")
+    val s0files = graft.ops.ShardWriter.shardFilesInOrder(spark, shardPath, 0L)
+    require(s0files.nonEmpty, "no consumer file list for shard 0")
     println(s"-> shard writer: $nWritten docs in 4 shards / " +
-      s"${manifest.count()} files, manifest verified, identity guarded")
+      s"${manifest.count()} files, manifest verified, audit ok, " +
+      s"identity guarded")
 
     spark.stop()
     println("== drive done")

@@ -2060,6 +2060,40 @@ class OpsSpec extends AnyFunSuite {
         "doc_id", "n_tok", 4, foreign, "t", 8, -1L)
     }
     assert(e4.getMessage.contains("_manifest"), e4.getMessage)
+    // consumer file order: each shard's files by committed min_pos,
+    // ranges contiguous; an unknown shard fails loudly
+    (0L until 4L).foreach { sh =>
+      val files = ShardWriter.shardFilesInOrder(spark, path, sh)
+      assert(files.nonEmpty && files.forall(_.contains(s"shard=$sh/")))
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("shuffle_pos"), max("shuffle_pos")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      ranges.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 < b._1, s"shard $sh out of order")
+        case _ => ()
+      }
+    }
+    intercept[IllegalArgumentException] {
+      ShardWriter.shardFilesInOrder(spark, path, 99L)
+    }
+    // integrity audit: the published tree verifies clean...
+    val okRow = ShardWriter.verifyShards(spark, path).head()
+    assert(okRow.getAs[Boolean]("ok") &&
+      okRow.getAs[Long]("n_file_mismatch") == 0L &&
+      okRow.getAs[Long]("n_docs") == physical.size.toLong &&
+      okRow.getAs[Long]("n_files") == okRow.getAs[Long]("tree_files"),
+      okRow.toString)
+    // ...and a lost data file is caught (file counts diverge, the
+    // orphaned manifest entry mismatches, ok flips false)
+    val victim = ShardWriter.shardFilesInOrder(spark, path, 2L).head
+    assert(new java.io.File(victim.stripPrefix("file:")).delete())
+    val badRow = ShardWriter.verifyShards(spark, path).head()
+    assert(!badRow.getAs[Boolean]("ok") &&
+      badRow.getAs[Long]("n_file_mismatch") >= 1L &&
+      badRow.getAs[Long]("tree_files") < badRow.getAs[Long]("n_files"),
+      badRow.toString)
   }
 
   test("repeatByWeight: copy_id is collision-free at weights near the 100-epoch cap") {
