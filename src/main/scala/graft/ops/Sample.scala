@@ -423,7 +423,15 @@ object Sample {
     * evaluated twice (the hash key is deterministic) — cache upstream
     * if it is an expensive derived pipeline; `idCol` should be unique
     * (it is the tie-break — duplicate (key, id) pairs make the
-    * position assignment among those exact duplicates arbitrary). */
+    * position assignment among those exact duplicates arbitrary).
+    *
+    * Shuffling an EPOCH-MIXED corpus ([[repeatByWeight]] output, where
+    * `(id, epoch)` is the row identity): derive a PORTABLE string key
+    * — `concat(id, ':', epoch)` — rather than passing the struct
+    * `copy_id` (struct→string casts render engine-specifically, so
+    * the permutation would not replay in a SQL oracle; the concat
+    * form hashes identically everywhere and keeps copies of one
+    * document decorrelated, which is the point of shuffling them). */
   def shuffleRank(df: DataFrame, idCol: String, salt: String = "",
                   buckets: Int = 1024): DataFrame = {
     // upper bound because the per-bucket offsets ride the plan as a

@@ -13,8 +13,10 @@ import sys
 
 
 def main(old_path, new_path, min_delta=0.3):
-    old = json.load(open(old_path))["queries"]
-    new = json.load(open(new_path))["queries"]
+    old_rec = json.load(open(old_path))
+    new_rec = json.load(open(new_path))
+    old = old_rec["queries"]
+    new = new_rec["queries"]
     both = sorted(set(old) & set(new), key=lambda q: new[q] - old[q],
                   reverse=True)
     moved = [(q, old[q], new[q]) for q in both
@@ -23,6 +25,17 @@ def main(old_path, new_path, min_delta=0.3):
     print(f"shared={len(both)} added={len(set(new) - set(old))} "
           f"removed={len(set(old) - set(new))} "
           f"total {sum(old.values()):.2f}s -> {sum(new.values()):.2f}s")
+    # host-health control (records since r15 carry it): stream-gate
+    # drift that moves WITH the floor is host noise, against a flat
+    # floor an engine regression — condition the x_stream_* movers
+    # below on this line before reading them as regressions
+    floors = [r.get("stream_floor") for r in (old_rec, new_rec)]
+    if any(f is not None for f in floors):
+        def fmt(f): return "n/a" if f is None else f"{f:.3f}s"
+        s_old = sum(v for k, v in old.items() if k.startswith("x_stream_"))
+        s_new = sum(v for k, v in new.items() if k.startswith("x_stream_"))
+        print(f"stream_floor {fmt(floors[0])} -> {fmt(floors[1])}  "
+              f"(stream-family sum {s_old:.2f}s -> {s_new:.2f}s)")
     # the round-over-round comparable: sums over the SHARED query set
     # only (an added/removed gate must not masquerade as a regression/
     # improvement) — cite THESE numbers in round notes, so any reader
