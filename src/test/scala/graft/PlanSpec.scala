@@ -131,6 +131,33 @@ class PlanSpec extends AnyFunSuite {
       s"selectByBudget lost its threshold pre-cut:\n$sb")
     assert(sb.contains("Window"),
       s"selectByBudget's exact pass vanished:\n$sb")
+    // ...and since r15 the threshold join carries NO forced broadcast
+    // hint: the static plan may fall back to a sort-merge pair (AQE
+    // converts from the runtime size), but a ResolvedHint-forced
+    // BroadcastExchange of the threshold side must NOT reappear — a
+    // high-cardinality group column has to be able to degrade to a
+    // shuffle join instead of a driver OOM. The hint-free plan at
+    // this scale shows the SMJ/shuffle fallback structure.
+    assert(sb.contains("SortMergeJoin") || sb.contains("ShuffledHashJoin") ||
+      sb.contains("AdaptiveSparkPlan"),
+      s"selectByBudget's threshold join lost its unhinted form:\n$sb")
+  }
+
+  test("shuffleRank: two-pass bucketed rank — no global sort, no single-partition window") {
+    // the whole point of the operator: a dense global permutation
+    // WITHOUT `row_number() OVER (ORDER BY ...)` over everything —
+    // which would plan as Exchange rangepartitioning (a global sort)
+    // or, worse, Exchange SinglePartition ahead of the window. The
+    // window must partition by the bucket column.
+    val sr = plan(Sample.shuffleRank(docsDf.select($"doc_id"), "doc_id",
+      salt = "plan", buckets = 16))
+    assert(!sr.contains("rangepartitioning"),
+      s"shuffleRank regressed to a global sort:\n$sr")
+    assert(!sr.contains("SinglePartition"),
+      s"shuffleRank funneled the corpus through one partition:\n$sr")
+    assert(sr.contains("hashpartitioning(_sb"),
+      s"shuffleRank's per-bucket window partitioning vanished:\n$sr")
+    assert(sr.contains("Window"), s"shuffleRank lost its rank window:\n$sr")
   }
 
   test("IVFPQ probes: pruned lists AND codes-only scans (no float vectors off the index)") {
