@@ -2894,6 +2894,15 @@ object SparkEntry {
     "x_shard_verify" -> ((s, d) =>
       graft.ops.ShardWriter.verifyShards(s, shardTree(s, d))),
 
+    // the RESUME slice: permutation positions [100, 300) served from
+    // manifest-pruned files only — must equal the same range filter
+    // over the logical permutation, row for row
+    "x_shard_slice" -> ((s, d) =>
+      graft.ops.ShardWriter.readShardSlice(s, shardTree(s, d), 100L, 300L)
+        .select(col("doc_id"), col("n_tok"), col("shuffle_pos"),
+          col("shard").cast(LongType).as("shard"))
+        .orderBy("shuffle_pos")),
+
     // per-source selection under a 2048-token budget, best (longest)
     // docs first: the kept set is the longest quality-ordered prefix
     // whose running token sum fits — replayed as the same window cut
@@ -5101,6 +5110,19 @@ object SparkEntry {
        """SELECT nf AS n_files, nd AS n_docs, nt AS n_tokens, """ +
        """nf AS tree_files, nd AS tree_docs, nt AS tree_tokens, """ +
        """0::BIGINT AS n_file_mismatch, TRUE AS ok FROM tot"""),
+
+    // the resume slice replayed: the same selection/shuffle chain with
+    // the [100, 300) position cut
+    "x_shard_slice" ->
+      (s"""WITH base AS (SELECT doc_id, COALESCE(source, '') AS source, n_chars::BIGINT AS score, """ +
+       s"""len($TOK)::BIGINT AS n_tok FROM documents), """ +
+       """sel AS (SELECT doc_id, n_tok FROM (SELECT *, """ +
+       """SUM(n_tok) OVER (PARTITION BY source ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS ct """ +
+       """FROM base) WHERE ct <= 4096), """ +
+       s"""pos AS (SELECT doc_id, n_tok, (row_number() OVER (ORDER BY k % 32, k, doc_id) - 1) AS p """ +
+       s"""FROM (SELECT doc_id, n_tok, ${h60sql("'shuffle:shard:' || CAST(doc_id AS VARCHAR)")} AS k FROM sel)) """ +
+       """SELECT doc_id, n_tok, p::BIGINT AS shuffle_pos, (p % 8)::BIGINT AS shard """ +
+       """FROM pos WHERE p >= 100 AND p < 300 ORDER BY shuffle_pos"""),
 
     // budgeted selection replayed: the same (score desc, id) window's
     // inclusive running sum, prefix-cut at the budget

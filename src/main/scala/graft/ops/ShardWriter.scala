@@ -315,6 +315,33 @@ object ShardWriter {
     files.map(f => s"$path/shard=$shard/$f")
   }
 
+  /** The permutation SLICE `[fromPos, untilPos)` of a shard tree — the
+    * resume-a-training-run primitive (step N of a run with batch size
+    * B starts at position N·B): only the files whose COMMITTED
+    * position ranges intersect the slice are read (manifest pruning —
+    * each file is a contiguous arithmetic range per shard, so a slice
+    * touches ~`(span/N)·files` of them and a resume near the end of a
+    * 100 TB corpus reads a tail's worth of files, not the tree), then
+    * the exact bound filters row-wise. The `shard` partition column
+    * survives via `basePath`. Rows come back unordered (Spark scan
+    * semantics) — order by `shuffle_pos` if consuming directly. */
+  def readShardSlice(spark: SparkSession, path: String,
+                     fromPos: Long, untilPos: Long): DataFrame = {
+    require(fromPos >= 0L && untilPos > fromPos,
+      s"readShardSlice: need 0 <= fromPos < untilPos, got " +
+        s"[$fromPos, $untilPos)")
+    val files = loadManifest(spark, path)
+      .filter(col("max_pos") >= fromPos && col("min_pos") < untilPos)
+      .select("shard", "file").collect()
+      .map(r => s"$path/shard=${r.getAs[Long]("shard")}/" +
+        r.getAs[String]("file"))
+    val inRange =
+      col("shuffle_pos") >= fromPos && col("shuffle_pos") < untilPos
+    if (files.isEmpty) readShards(spark, path).filter(lit(false))
+    else spark.read.option("basePath", path).parquet(files.toSeq: _*)
+      .filter(inRange)
+  }
+
   /** Integrity AUDIT of a published shard tree — the check a training
     * job runs before trusting months-old shards: every per-file stat
     * (rows, token sum, position and id ranges) is re-derived from the
@@ -331,6 +358,9 @@ object ShardWriter {
     * side included), and `ok = totals match ∧ zero mismatches`. */
   def verifyShards(spark: SparkSession, path: String): DataFrame = {
     val man = loadManifest(spark, path)
+    require(man.columns.contains("id_col"),
+      s"verifyShards: the manifest at $path predates the audit columns " +
+        "(no id_col/token_col record) — re-publish with writeShards")
     val head = man.select("id_col", "token_col").head()
     val (idCol, tokenCol) = (head.getString(0), head.getString(1))
     val tree = spark.read.parquet(path).select(

@@ -2085,6 +2085,25 @@ class OpsSpec extends AnyFunSuite {
       okRow.getAs[Long]("n_docs") == physical.size.toLong &&
       okRow.getAs[Long]("n_files") == okRow.getAs[Long]("tree_files"),
       okRow.toString)
+    // resume slice: [40, 120) equals the range filter over the full
+    // read, keeps the shard column, and prunes to intersecting files
+    val sliced = ShardWriter.readShardSlice(spark, path, 40L, 120L)
+      .select(col("doc_id"), col("shuffle_pos"), col("shard").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2).toSeq
+    val fullSliced = ShardWriter.readShards(spark, path)
+      .filter(col("shuffle_pos") >= 40L && col("shuffle_pos") < 120L)
+      .select(col("doc_id"), col("shuffle_pos"), col("shard").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2).toSeq
+    assert(sliced == fullSliced && sliced.size == 80,
+      s"slice mismatch: ${sliced.size} vs ${fullSliced.size}")
+    // an empty slice past the corpus returns zero rows, schema intact
+    val empty = ShardWriter.readShardSlice(spark, path, 1000000L, 1000001L)
+    assert(empty.count() == 0L && empty.columns.contains("shuffle_pos"))
+    intercept[IllegalArgumentException] {
+      ShardWriter.readShardSlice(spark, path, 5L, 5L)
+    }
     // ...and a lost data file is caught (file counts diverge, the
     // orphaned manifest entry mismatches, ok flips false)
     val victim = ShardWriter.shardFilesInOrder(spark, path, 2L).head
