@@ -123,6 +123,12 @@ object ShardWriter {
       "writeShards appends a 'shard' column; the input already has one " +
         "— rename it first")
     val spark = df.sparkSession
+    // recover a crash between stagedSwap's two renames BEFORE the
+    // identity check: with the live tree absent the check would pass
+    // vacuously, stagedSwap would restore the old tree and immediately
+    // replace it — a drifted identity silently overwriting a recovered
+    // tree, exactly the refusal this guard promises
+    IndexMaintenance.restoreAfterCrash(spark, path)
     requireIdentityMatch(spark, path, salt, buckets, numShards, budget)
     // token counts are checked at WRITE time so the manifest's token
     // sums are trustworthy; the raise rides the projection that feeds
@@ -162,7 +168,17 @@ object ShardWriter {
                             idCol: String, tokenCol: String,
                             numShards: Int, salt: String, buckets: Int,
                             budget: Long): Unit = {
-    val staged = spark.read.parquet(tmp)
+    // a zero-row input writes a staged tree with no data files, which
+    // the read-back cannot even infer a schema for — surface the
+    // intended refusal instead of an opaque AnalysisException
+    val staged =
+      try spark.read.parquet(tmp)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          "writeShards: the input selected zero rows (the staged tree " +
+            "holds no readable data files) — refusing to publish an " +
+            s"empty shard tree (${e.getMessage})")
+      }
     // eagerly materialized: the tiny per-file relation feeds the law
     // checks AND the manifest write — one real scan of the staged tree
     val perFile = staged.select(
@@ -177,11 +193,12 @@ object ShardWriter {
       .agg(count(lit(1)).as("n_docs"), sum("_tok").as("n_tokens"),
         min("shuffle_pos").as("min_pos"), max("shuffle_pos").as("max_pos"),
         min("_id").as("min_id"), max("_id").as("max_id"),
-        sum("_bad").as("_n_bad"))
+        sum("_bad").as("_n_bad"),
+        countDistinct(col("shuffle_pos")).as("_n_distinct"))
       .localCheckpoint(true)
     val rows = perFile
       .select("shard", "file", "n_docs", "n_tokens", "min_pos", "max_pos",
-        "_n_bad")
+        "_n_bad", "_n_distinct")
       .collect() // shards × files rows — bounded by construction
     require(rows.forall(_.getAs[Long]("_n_bad") == 0L),
       "writeShards: a row's shuffle_pos mod numShards does not match " +
@@ -206,16 +223,24 @@ object ShardWriter {
       if (have != want)
         refuse(s"holds $have rows where a dense permutation requires $want")
       // each FILE is written from one sorted stream of this shard's
-      // positions {s, s+K, s+2K, ...}, so its range must be EXACTLY
-      // the arithmetic progression its row count implies — together
-      // with the non-overlap and count laws this pins density fully
-      // (a uniformly-holed permutation passes the count law alone)
+      // positions {s, s+K, s+2K, ...}, so its positions must be EXACTLY
+      // the arithmetic progression its row count implies: the span law
+      // pins the endpoints, the mod law (above) pins every position to
+      // the residue grid, and the distinct law rules out a duplicate
+      // masking an in-file hole ({s, s, s+2K} satisfies span + count) —
+      // c DISTINCT grid points inside a (c-1)·K span are the
+      // progression, so together with non-overlap and the shard count
+      // law the whole permutation is pinned dense
       files.foreach { f =>
         val (mn, mx, c) = (f.getAs[Long]("min_pos"),
           f.getAs[Long]("max_pos"), f.getAs[Long]("n_docs"))
         if (mx - mn != (c - 1) * numShards)
           refuse(s"file ${f.getAs[String]("file")} spans positions " +
             s"[$mn, $mx] with only $c rows")
+        if (f.getAs[Long]("_n_distinct") != c)
+          refuse(s"file ${f.getAs[String]("file")} holds " +
+            s"${f.getAs[Long]("_n_distinct")} distinct positions in $c " +
+            "rows — duplicated shuffle_pos")
       }
       // shard-global range law: min is the first position of the
       // residue class, max the last below N
@@ -238,7 +263,7 @@ object ShardWriter {
         case _ => ()
       }
     }
-    perFile.drop("_n_bad")
+    perFile.drop("_n_bad", "_n_distinct")
       .withColumn("salt", lit(salt))
       .withColumn("buckets", lit(buckets))
       .withColumn("num_shards", lit(numShards))
@@ -418,6 +443,139 @@ object ShardWriter {
     * base scans to selectByBudget's own 2 (ScaleDrive pins the
     * counts); pass `false` to trade the checkpoint's memory/disk for
     * re-scans when the base is cheap. */
+  // ====================================================================
+  // Epoch lineage — a GROWING corpus under the identity contract
+  // ====================================================================
+  //
+  // [[writeShards]] refuses a re-run whose (salt, buckets, numShards,
+  // budget) identity drifted — correct for resume safety, but a real
+  // pipeline RE-SELECTS (a bigger budget, a grown corpus, a new salt)
+  // monthly, and "write to a fresh path with no lineage" loses the
+  // history consumers are pinned to. The epoch layer is the reference's
+  // append-only growth model (`nimtables.nim:173-175` — existing bytes
+  // are never rewritten, growth happens past the end) lifted to corpus
+  // scale: `root/epoch=N/` holds one immutable shard tree per published
+  // selection identity. A NEW identity lands as epoch latest+1 beside
+  // the old; re-publishing the LATEST identity re-publishes its epoch in
+  // place (the same idempotent atomic replace writeShards already
+  // guarantees); an identity matching a RETIRED (non-latest) epoch is
+  // refused — history is append-only, a consumer pinned to epoch N must
+  // never see N's permutation change. [[pruneEpochsBefore]] retires old
+  // epochs explicitly (never the latest), so "which epochs still exist"
+  // is an operator decision, not a side effect of publishing.
+
+  private val EpochRe = "^epoch=(\\d+)$".r
+
+  /** Root-relative path of one epoch's shard tree. */
+  def epochPath(root: String, epoch: Int): String = s"$root/epoch=$epoch"
+
+  /** The epochs currently published under `root`, ascending. Restores
+    * any epoch whose publish crashed between stagedSwap's two renames
+    * (its tree is recoverable from the `.graft-compact-old` sibling) so
+    * a crashed epoch cannot vanish from the lineage and have its number
+    * silently reused by the next publish. */
+  def listEpochs(spark: SparkSession, root: String): Seq[Int] = {
+    val fs = fsOf(spark, root)
+    if (!fs.exists(new Path(root))) return Seq.empty
+    val names = fs.listStatus(new Path(root)).map(_.getPath.getName)
+    val crashed = names.flatMap { n =>
+      if (n.endsWith(".graft-compact-old"))
+        Some(n.stripSuffix(".graft-compact-old")) else None
+    }.collect { case n @ EpochRe(_) if !names.contains(n) => n }
+    crashed.foreach(n => IndexMaintenance.restoreAfterCrash(spark, s"$root/$n"))
+    (names ++ crashed).collect { case EpochRe(e) => e.toInt }
+      .distinct.sorted.toSeq
+  }
+
+  /** The latest (consumable-by-default) epoch under `root`. */
+  def latestEpoch(spark: SparkSession, root: String): Int = {
+    val eps = listEpochs(spark, root)
+    require(eps.nonEmpty, s"latestEpoch: no epochs published at $root")
+    eps.last
+  }
+
+  /** Publish `df` (carrying `shuffle_pos`, as for [[writeShards]]) into
+    * the epoch tree at `root` under the given selection identity, and
+    * return the epoch it landed in: the latest epoch if the identity
+    * matches it (idempotent re-publish), a NEW epoch `latest+1` if the
+    * identity is new, and a loud refusal if the identity matches a
+    * retired epoch (old epochs are immutable — pin that epoch to read
+    * it). Each epoch is a full [[writeShards]] tree: staged-swap
+    * atomicity, manifest, and layout laws all apply per epoch. */
+  def writeShardEpoch(df: DataFrame, idCol: String, tokenCol: String,
+                      numShards: Int, root: String,
+                      salt: String, buckets: Int, budget: Long,
+                      maxRowsPerFile: Long = 1L << 20): Int = {
+    val spark = df.sparkSession
+    val eps = listEpochs(spark, root)
+    val mine = (salt, buckets, numShards, budget)
+    val owner = eps.find(e => loadIdentity(spark, epochPath(root, e)) == mine)
+    val target = owner match {
+      case Some(e) if e == eps.last => e // idempotent re-publish of HEAD
+      case Some(e) => throw new IllegalArgumentException(
+        s"writeShardEpoch: identity (salt, buckets, num_shards, budget) " +
+          s"= $mine matches RETIRED epoch $e at $root (latest is " +
+          s"${eps.last}); epochs are immutable once superseded — pin " +
+          s"epoch $e to read it, or publish under a new identity")
+      case None => eps.lastOption.getOrElse(-1) + 1
+    }
+    writeShards(df, idCol, tokenCol, numShards, epochPath(root, target),
+      salt, buckets, budget, maxRowsPerFile)
+    target
+  }
+
+  /** Read one PINNED epoch's shard tree (the consumer contract: a
+    * training run records its epoch at step 0 and reads only that —
+    * later publishes are invisible to it). */
+  def readShardEpoch(spark: SparkSession, root: String,
+                     epoch: Int): DataFrame = {
+    val eps = listEpochs(spark, root)
+    require(eps.contains(epoch),
+      s"readShardEpoch: epoch $epoch not published at $root " +
+        s"(have ${eps.mkString(", ")}) — it may have been pruned")
+    readShards(spark, epochPath(root, epoch))
+  }
+
+  /** Retire every epoch BELOW `epoch` (exclusive): verifies the cut
+    * keeps at least the latest epoch, then deletes the retired trees.
+    * Returns the epochs removed. Deletion is the explicit lifecycle
+    * step — a consumer pinned to a pruned epoch fails loudly at its
+    * next [[readShardEpoch]], never reads a different permutation. */
+  def pruneEpochsBefore(spark: SparkSession, root: String,
+                        epoch: Int): Seq[Int] = {
+    val eps = listEpochs(spark, root)
+    require(eps.nonEmpty, s"pruneEpochsBefore: no epochs at $root")
+    require(epoch <= eps.last,
+      s"pruneEpochsBefore: cut $epoch would retire the latest epoch " +
+        s"${eps.last} — the head of the lineage is never pruned")
+    val gone = eps.filter(_ < epoch)
+    val fs = fsOf(spark, root)
+    gone.foreach { e =>
+      require(fs.delete(new Path(epochPath(root, e)), true),
+        s"pruneEpochsBefore: could not delete epoch $e at $root")
+    }
+    gone
+  }
+
+  /** Resume-a-training-run sugar over [[readShardSlice]]: global step
+    * `step` of a run with `batchSize` documents per step restarts at
+    * permutation position `step · batchSize`; everything from there to
+    * the corpus end comes back, manifest-pruned to the files whose
+    * committed ranges intersect the tail. */
+  def resumeFrom(spark: SparkSession, path: String,
+                 step: Long, batchSize: Long): DataFrame = {
+    require(step >= 0L && batchSize >= 1L,
+      s"resumeFrom: need step >= 0 and batchSize >= 1, got " +
+        s"($step, $batchSize)")
+    val n = loadManifest(spark, path).select("n_total").head().getLong(0)
+    val from = step * batchSize
+    require(from < n,
+      s"resumeFrom: step $step x batch $batchSize = position $from is " +
+        s"past the corpus end ($n rows) — the run already consumed " +
+        "this epoch")
+    readShardSlice(spark, path, from, n)
+  }
+
   def writeShardRecipe(df: DataFrame, groupCol: String, idCol: String,
                        scoreCol: String, tokenCol: String, budget: Long,
                        numShards: Int, path: String,

@@ -836,6 +836,46 @@ object Drive {
       s"${manifest.count()} files, manifest verified, audit ok, " +
       s"identity guarded")
 
+    println("== r16 drive: epoch lineage + resumeFrom on real docs")
+    val epochRoot = java.nio.file.Files
+      .createTempDirectory("drive-epochs").toString + "/corpus"
+    def publishEpoch(budget: Long): Int = {
+      val sel = graft.ops.Sample.selectByBudget(selIn, "source", "doc_id",
+        "score", "n_tok", budget).drop("cum_tokens", "sel_rank")
+      graft.ops.ShardWriter.writeShardEpoch(
+        graft.ops.Sample.shuffleRank(sel, "doc_id", "drive", 8),
+        "doc_id", "n_tok", 4, epochRoot, salt = "drive", buckets = 8,
+        budget = budget, maxRowsPerFile = 8L)
+    }
+    require(publishEpoch(120L) == 0 && publishEpoch(200L) == 1,
+      "epochs did not land in publish order")
+    require(graft.ops.ShardWriter.listEpochs(spark, epochRoot) == Seq(0, 1))
+    val ep0 = graft.ops.ShardWriter.readShardEpoch(spark, epochRoot, 0)
+    val ep1 = graft.ops.ShardWriter.readShardEpoch(spark, epochRoot, 1)
+    require(ep0.count() < ep1.count(),
+      "grown budget did not grow the selection")
+    // pinned epoch 0 is byte-stable across the epoch-1 publish
+    require(ep0.select("doc_id", "shuffle_pos").collect().toSet ==
+      written.select("doc_id", "shuffle_pos").collect().toSet,
+      "epoch 0 drifted after a later publish")
+    val retired = try { publishEpoch(120L); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("RETIRED") }
+    require(retired, "retired identity was not refused")
+    val (ep0n, ep1n) = (ep0.count(), ep1.count())
+    val resume = graft.ops.ShardWriter.resumeFrom(spark,
+      graft.ops.ShardWriter.epochPath(epochRoot, 1), step = 2L,
+      batchSize = ep1n / 4L)
+    require(resume.count() == ep1n - 2L * (ep1n / 4L) &&
+      resume.agg(min("shuffle_pos")).head().getLong(0) == 2L * (ep1n / 4L),
+      "resume tail is not the exact suffix of the permutation")
+    require(graft.ops.ShardWriter
+      .pruneEpochsBefore(spark, epochRoot, 1) == Seq(0))
+    require(graft.ops.ShardWriter.listEpochs(spark, epochRoot) == Seq(1))
+    println(s"-> epochs: 120-token epoch 0 ($ep0n docs) grown to " +
+      s"200-token epoch 1 ($ep1n docs), pinned read stable, retired " +
+      "identity refused, resume tail exact, epoch 0 pruned")
+
     spark.stop()
     println("== drive done")
   }

@@ -2115,6 +2115,132 @@ class OpsSpec extends AnyFunSuite {
       badRow.toString)
   }
 
+  test("shard epochs: lineage growth, pinned reads, retired-identity refusal, prune") {
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}", 1000L - i, 1L + i % 7))
+      .toDF("doc_id", "source", "score", "n_tok")
+    val root = TestSpark.tmpDir("shardep")
+    def publish(budget: Long): Int = {
+      val sel = Sample.selectByBudget(df, "source", "doc_id", "score",
+        "n_tok", budget).drop("cum_tokens", "sel_rank")
+      ShardWriter.writeShardEpoch(
+        Sample.shuffleRank(sel, "doc_id", "ep", 8),
+        "doc_id", "n_tok", 4, root, salt = "ep", buckets = 8,
+        budget = budget, maxRowsPerFile = 16L)
+    }
+    // three selection identities -> three epochs, in publish order
+    assert(publish(400L) == 0 && publish(300L) == 1 && publish(200L) == 2)
+    assert(ShardWriter.listEpochs(spark, root) == Seq(0, 1, 2))
+    assert(ShardWriter.latestEpoch(spark, root) == 2)
+    // a pinned epoch read returns THAT identity's selection, not HEAD's
+    val ep1Rows = ShardWriter.readShardEpoch(spark, root, 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want1 = Sample.selectByBudget(df, "source", "doc_id", "score",
+        "n_tok", 300L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ep1Rows == want1 && ep1Rows.nonEmpty)
+    // re-publishing the LATEST identity is idempotent (same epoch)
+    assert(publish(200L) == 2)
+    assert(ShardWriter.listEpochs(spark, root) == Seq(0, 1, 2))
+    // ...but a RETIRED identity refuses: history is append-only
+    val e = intercept[IllegalArgumentException] { publish(400L) }
+    assert(e.getMessage.contains("RETIRED") &&
+      e.getMessage.contains("epoch 0"), e.getMessage)
+    // prune retires old epochs explicitly; pinned readers fail loudly
+    assert(ShardWriter.pruneEpochsBefore(spark, root, 2) == Seq(0, 1))
+    assert(ShardWriter.listEpochs(spark, root) == Seq(2))
+    val e2 = intercept[IllegalArgumentException] {
+      ShardWriter.readShardEpoch(spark, root, 0)
+    }
+    assert(e2.getMessage.contains("pruned"), e2.getMessage)
+    // the lineage head is never prunable
+    val e3 = intercept[IllegalArgumentException] {
+      ShardWriter.pruneEpochsBefore(spark, root, 3)
+    }
+    assert(e3.getMessage.contains("latest"), e3.getMessage)
+    // a retired identity is forgotten by the prune, so it re-enters the
+    // lineage as a NEW epoch — never mutating history
+    assert(publish(400L) == 3)
+    assert(ShardWriter.listEpochs(spark, root) == Seq(2, 3))
+  }
+
+  test("shard epochs: crash between swap renames is restored before identity check") {
+    val df = (0L until 200L).map(i => (i, "s0", 1000L - i, 2L))
+      .toDF("doc_id", "source", "score", "n_tok")
+    val root = TestSpark.tmpDir("shardcr")
+    val path = s"$root/tree"
+    ShardWriter.writeShards(
+      Sample.shuffleRank(df.select("doc_id", "n_tok"), "doc_id", "c", 8),
+      "doc_id", "n_tok", 4, path, "c", 8, -1L)
+    val before = ShardWriter.readShards(spark, path).count()
+    // simulate a crash between stagedSwap's two renames: live absent,
+    // only the .graft-compact-old sibling remains
+    assert(new java.io.File(path)
+      .renameTo(new java.io.File(path + ".graft-compact-old")))
+    // a drifted-identity re-run must RESTORE then REFUSE — not silently
+    // overwrite the recovered tree
+    val e = intercept[IllegalArgumentException] {
+      ShardWriter.writeShards(
+        Sample.shuffleRank(df.select("doc_id", "n_tok"), "doc_id", "c", 8),
+        "doc_id", "n_tok", 4, path, "DRIFTED", 8, -1L)
+    }
+    assert(e.getMessage.contains("identity"), e.getMessage)
+    assert(ShardWriter.readShards(spark, path).count() == before,
+      "recovered tree lost or changed by the refused re-run")
+    // the crashed-epoch variant: listEpochs restores the tree so its
+    // number is never silently reused
+    val eroot = TestSpark.tmpDir("shardcr2")
+    val sel = Sample.shuffleRank(df.select("doc_id", "n_tok"), "doc_id",
+      "c", 8)
+    assert(ShardWriter.writeShardEpoch(sel, "doc_id", "n_tok", 4, eroot,
+      "c", 8, -1L) == 0)
+    assert(new java.io.File(s"$eroot/epoch=0")
+      .renameTo(new java.io.File(s"$eroot/epoch=0.graft-compact-old")))
+    assert(ShardWriter.listEpochs(spark, eroot) == Seq(0))
+    assert(new java.io.File(s"$eroot/epoch=0").isDirectory)
+  }
+
+  test("shard writer: resumeFrom sugar, zero-row refusal, duplicate-position forgery") {
+    val df = (0L until 320L).map(i => (i, 1L + i % 5))
+      .toDF("doc_id", "n_tok")
+    val root = TestSpark.tmpDir("shardrz")
+    val path = s"$root/tree"
+    val shuffled = Sample.shuffleRank(df, "doc_id", "r", 8)
+    ShardWriter.writeShards(shuffled, "doc_id", "n_tok", 4, path,
+      "r", 8, -1L, maxRowsPerFile = 16L)
+    // resumeFrom(step, batch) == the [step*batch, N) tail of the
+    // permutation, crossing file boundaries within shards
+    val resumed = ShardWriter.resumeFrom(spark, path, step = 3L,
+        batchSize = 32L)
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).toSeq
+    val wantTail = shuffled.filter(col("shuffle_pos") >= 96L)
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).toSeq
+    assert(resumed == wantTail && resumed.size == 320 - 96)
+    // a resume past the corpus end is a loud contract violation
+    val e = intercept[IllegalArgumentException] {
+      ShardWriter.resumeFrom(spark, path, step = 10L, batchSize = 32L)
+    }
+    assert(e.getMessage.contains("past the corpus end"), e.getMessage)
+    // zero selected rows refuse with the INTENDED message (not an
+    // opaque unreadable-staged-tree failure)
+    val e2 = intercept[IllegalArgumentException] {
+      ShardWriter.writeShards(shuffled.filter(lit(false)), "doc_id",
+        "n_tok", 4, s"$root/empty", "r", 8, -1L)
+    }
+    assert(e2.getMessage.contains("zero rows"), e2.getMessage)
+    // forged input: positions {0,1,1,3,4,...,n-1} satisfy the count,
+    // span, mod(K=1) and shard-range laws — only the distinct law
+    // catches the duplicate masking the hole
+    val forged = df.limit(5).withColumn("shuffle_pos",
+      when(col("doc_id") === 2L, lit(1L)).otherwise(col("doc_id")))
+    val e3 = intercept[IllegalArgumentException] {
+      ShardWriter.writeShards(forged, "doc_id", "n_tok", 1,
+        s"$root/forged", "r", 8, -1L)
+    }
+    assert(e3.getMessage.contains("distinct"), e3.getMessage)
+  }
+
   test("repeatByWeight: copy_id is collision-free at weights near the 100-epoch cap") {
     val df = (0L until 50L).map(i => (i, "d0")).toDF("id", "dom")
     val out = Sample.repeatByWeight(df, "dom", "id", Map("d0" -> 99.5))
