@@ -23,6 +23,8 @@ import org.apache.spark.sql.SparkSession
   * record. `errs` rides both bench.json and the summary line; the
   * driver's gate can trust `value` only when `errs` is empty.
   *
+  * == Host-health control and the floor-normalized stream number ==
+  *
   * `stream_floor` is the record's HOST-HEALTH control for the
   * `x_stream_*` family: one probe per timed pass runs a MINIMAL
   * Structured Streaming query (one-row file source, fresh checkpoint,
@@ -32,23 +34,75 @@ import org.apache.spark.sql.SparkSession
   * round-over-round stream drift that moves WITH the floor is host /
   * scheduler noise and one that moves AGAINST a flat floor is a real
   * engine regression — the r14 drift post-mortem, made mechanical.
+  *
+  * Since r16 the record also carries the NORMALIZATION, not just the
+  * control: a `StreamingQueryListener` counts every completed
+  * micro-batch, attributed per gate (the listener bus is asynchronous,
+  * so the counter is drained to quiescence around each stream gate —
+  * outside its timing window), and
+  * `total_stream_adjusted = Σ max(0, t_gate − perBatchFloor × batches)`
+  * where `perBatchFloor = stream_floor / stream_floor_batches` (the
+  * probe's own batch count, measured by the same listener). The
+  * adjusted number is the host-independent engine cost of the stream
+  * family; `stream_batches` (per-gate medians) rides the full record so
+  * any reader can recompute it.
   */
 object Bench {
 
+  /** Completed micro-batches across ALL streaming queries in this JVM
+    * (floor probes included) — deltas around a gate, after draining,
+    * are that gate's batch count. */
+  private val microBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Listener events are posted asynchronously; wait until the batch
+    * counter is quiet (~100 ms of silence, 3 s cap) so micro-batches
+    * are attributed to the gate that ran them, not the next one. Runs
+    * OUTSIDE every timing window. Returns the settled count. */
+  private def drainBatches(): Long = {
+    var last = microBatches.get()
+    var quiet = 0
+    val deadline = System.nanoTime() + 3000000000L
+    while (quiet < 3 && System.nanoTime() < deadline) {
+      Thread.sleep(30)
+      val now = microBatches.get()
+      if (now == last) quiet += 1 else { quiet = 0; last = now }
+    }
+    last
+  }
+
+  /** Recursive temp-tree delete (a floor probe's checkpoint, the probe
+    * input) — best-effort, a leaked dir must never fail the record. */
+  private def rmTree(p: String): Unit =
+    try {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        finally walk.close()
+      }
+    } catch { case _: Exception => () }
+
   /** One floor probe: a fresh-checkpoint AvailableNow stream over a
     * pre-written one-row parquet through a no-op sink. Returns
-    * seconds. `in` is written once by the caller so the probe times
-    * only the streaming machinery, not a batch write. */
-  private def streamFloor(spark: SparkSession, in: String): Double = {
+    * (seconds, micro-batches). `in` is written once by the caller so
+    * the probe times only the streaming machinery, not a batch write;
+    * the checkpoint dir is deleted after each probe (it would otherwise
+    * leak runs+1 temp trees per invocation). */
+  private def streamFloor(spark: SparkSession, in: String): (Double, Long) = {
     val ckpt = java.nio.file.Files.createTempDirectory("bench-floor-ckpt")
-    val t0 = System.nanoTime()
-    spark.readStream.schema("id BIGINT").parquet(in)
-      .writeStream
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt.toString)
-      .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
-      .start().awaitTermination()
-    (System.nanoTime() - t0) / 1e9
+    try {
+      val b0 = drainBatches()
+      val t0 = System.nanoTime()
+      spark.readStream.schema("id BIGINT").parquet(in)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .start().awaitTermination()
+      val dt = (System.nanoTime() - t0) / 1e9
+      (dt, drainBatches() - b0)
+    } finally rmTree(ckpt.toString)
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,10 +115,23 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          microBatches.incrementAndGet(); ()
+        }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
     SparkEntry.warm(spark, sfDir) // one-time store build outside the timings
     val names = SparkEntry.queries.keys.toSeq.sorted
     def isStream(n: String) = n.startsWith("x_stream_")
     val samples = collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val batchSamples = collection.mutable.Map.empty[String, Vector[Long]]
       .withDefaultValue(Vector.empty)
     // query name -> first failure message; a failing query is recorded,
     // never silently folded into the totals as a ~0 s success
@@ -73,6 +140,10 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       var batch = 0.0; var stream = 0.0
       names.foreach { name =>
+        val isS = isStream(name)
+        // attribute micro-batches per gate: settle the async counter
+        // before and after each stream gate, outside the timed window
+        val b0 = if (isS) drainBatches() else 0L
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -83,9 +154,13 @@ object Bench {
             s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        val b1 = if (isS) drainBatches() else 0L
         if (record) {
           samples(name) = samples(name) :+ dt
-          if (isStream(name)) stream += dt else batch += dt
+          if (isS) {
+            batchSamples(name) = batchSamples(name) :+ (b1 - b0)
+            stream += dt
+          } else batch += dt
         }
       }
       (batch, stream)
@@ -99,10 +174,13 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
       passOver(record = false) // JIT/codegen/page-cache settle, untimed
     val floors = collection.mutable.ArrayBuffer.empty[Double]
+    val floorBatches = collection.mutable.ArrayBuffer.empty[Long]
     val passTotals = (1 to runs).map { _ =>
-      floors += streamFloor(spark, floorIn) // one host-health probe per pass
+      val (fs, fb) = streamFloor(spark, floorIn) // host-health probe/pass
+      floors += fs; floorBatches += fb
       passOver(record = true)
     }
+    rmTree(floorIn)
     // run_totals tracks the same population as the headline `value`
     // (batch only) so value ~ median(run_totals) holds; the stream
     // overhead per pass is its own list
@@ -128,6 +206,17 @@ object Bench {
     val rts = runTotalsStream.map(f3).mkString("[", ",", "]")
     val floorMed = median(floors.toVector)
     val floorList = floors.map(f3).mkString("[", ",", "]")
+    val floorBatchMed = median(floorBatches.map(_.toDouble).toVector).max(1.0)
+    // the floor probe's per-BATCH cost × each gate's measured batch
+    // count = the harness share of that gate; what is left is engine
+    val perBatchFloor = floorMed / floorBatchMed
+    val batchMed = names.filter(isStream)
+      .map(n => n -> median(batchSamples(n).map(_.toDouble)))
+    val totalStreamAdjusted = batchMed.map { case (n, b) =>
+      (median(samples(n)) - perBatchFloor * b).max(0.0)
+    }.sum
+    val bq = batchMed.map { case (k, v) => s"\"" + k + "\":" + v.toLong }
+      .mkString("{", ",", "}")
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
@@ -136,20 +225,23 @@ object Bench {
     val errNames = errs.keys.map(jstr).mkString("[", ",", "]")
     val errMsgs = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    // The full record (per-query medians, error messages) goes to
-    // bench.json only; the final stdout line must stay SHORT. The round
-    // driver tail-captures the last 2000 chars of stdout, so a per-query
-    // map (~2.8 KB at 84 queries) clips its own head no matter where the
-    // line sits. The summary below is ~200 chars when `errs` is empty —
-    // the only state in which its `value` should be trusted anyway.
+    // The full record (per-query medians, batch counts, error messages)
+    // goes to bench.json only; the final stdout line must stay SHORT.
+    // The round driver tail-captures the last 2000 chars of stdout, so a
+    // per-query map (~2.8 KB at 84 queries) clips its own head no matter
+    // where the line sits. The summary below is ~250 chars when `errs`
+    // is empty — the only state in which its `value` should be trusted
+    // anyway.
     val record =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_stream":${f3(totalStream)},"stream_floor":${f3(floorMed)},"stream_floors":$floorList,"queries":$qs,"errs":$errNames,"err_msgs":$errMsgs,"runs":$runs,"run_totals":$rt,"run_totals_stream":$rts,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_stream":${f3(totalStream)},"total_stream_adjusted":${f3(totalStreamAdjusted)},"stream_floor":${f3(floorMed)},"stream_floor_batches":${floorBatchMed.toLong},"stream_floors":$floorList,"stream_batches":$bq,"queries":$qs,"errs":$errNames,"err_msgs":$errMsgs,"runs":$runs,"run_totals":$rt,"run_totals_stream":$rts,"sf":"$sfDir"}"""
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_stream":${f3(totalStream)},"stream_floor":${f3(floorMed)},"errs":$errNames,"runs":$runs,"run_totals":$rt,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_stream":${f3(totalStream)},"total_stream_adjusted":${f3(totalStreamAdjusted)},"stream_floor":${f3(floorMed)},"errs":$errNames,"runs":$runs,"run_totals":$rt,"sf":"$sfDir"}"""
     // Persist the record BEFORE any shutdown output, stop Spark (its
     // shutdown logs land above us), THEN print the summary as the very
     // last stdout line. The file write is best-effort — it must never
-    // eat the stdout line.
+    // eat the stdout line. (build.sbt routes the forked run's stdout
+    // straight through — no sbt "[info]" prefix — so the driver can
+    // json-parse the line as-is.)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (record + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>

@@ -36,6 +36,15 @@ def main(old_path, new_path, min_delta=0.3):
         s_new = sum(v for k, v in new.items() if k.startswith("x_stream_"))
         print(f"stream_floor {fmt(floors[0])} -> {fmt(floors[1])}  "
               f"(stream-family sum {s_old:.2f}s -> {s_new:.2f}s)")
+    # floor-NORMALIZED stream number (records since r16 carry it): the
+    # engine share of the stream family after subtracting the measured
+    # per-micro-batch harness floor — the round-over-round comparable
+    # that does not ride datacenter weather
+    adj = [r.get("total_stream_adjusted") for r in (old_rec, new_rec)]
+    if any(a is not None for a in adj):
+        def fmta(a): return "n/a" if a is None else f"{a:.2f}s"
+        print(f"stream engine share (floor-adjusted) "
+              f"{fmta(adj[0])} -> {fmta(adj[1])}")
     # the round-over-round comparable: sums over the SHARED query set
     # only (an added/removed gate must not masquerade as a regression/
     # improvement) — cite THESE numbers in round notes, so any reader
@@ -61,5 +70,8 @@ def main(old_path, new_path, min_delta=0.3):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        print(__doc__.strip(), file=sys.stderr)
+        sys.exit(2)
     main(sys.argv[1], sys.argv[2],
          float(sys.argv[3]) if len(sys.argv) > 3 else 0.3)
