@@ -1971,6 +1971,22 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 6).as("score"), col("list"))
     }),
 
+    // the SAME trained-IVF machinery seeded through the kmeans|| init
+    // DIAL (KmeansInit.Parallel — the production path for id-correlated
+    // corpora): k-means||(k=4, l=8, 2 rounds) centers, one Lloyd round,
+    // then the nlist/nprobe probe with exact rescoring — the oracle
+    // replays init, refinement, and probe end to end
+    "x_knn_ivf_trained_par" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      val cb = Similarity.kmeansCodebook(embs(s, d), "vec_id", "embedding",
+        k = 4, iters = 1,
+        init = Similarity.KmeansInit.Parallel(l = 8, rounds = 2, salt = "g"))
+      Similarity.ivfTopK(embs(s, d), "vec_id", "embedding", q, 10,
+          nprobe = 3, codebook = Some(cb))
+        .select(col("vec_id"), round(col("score"), 6).as("score"), col("list"))
+    }),
+
     // persisted inverted TEXT index: build once (hive-partitioned by
     // token bucket), probe through the freshness contract reading only
     // the query tokens' buckets; integer overlap scoring so the oracle
@@ -3549,50 +3565,98 @@ object SparkEntry {
     * coin test `coin·φ < l·10⁶·d²` (HUGEINT — the engine's
     * DECIMAL(38,0)). */
   private def kmparRound(r: Int, prev: String, l: Int): String =
-    (s"""${prev}e AS (SELECT c.cid, e.i, e.x FROM $prev c JOIN el e USING (vec_id)), """ +
-     s"""n$r AS (SELECT cid, SUM(CAST(round(x*x*1e15) AS BIGINT)) AS dyy FROM ${prev}e GROUP BY 1), """ +
-     s"""a$r AS (SELECT el.vec_id, ce.cid, SUM(CAST(round(el.x*ce.x*1e15) AS BIGINT)) AS dxy """ +
+    (s"""${prev}e AS MATERIALIZED (SELECT c.cid, e.i, e.x FROM $prev c JOIN el e USING (vec_id)), """ +
+     s"""n$r AS MATERIALIZED (SELECT cid, SUM(CAST(round(x*x*1e15) AS BIGINT)) AS dyy FROM ${prev}e GROUP BY 1), """ +
+     s"""a$r AS MATERIALIZED (SELECT el.vec_id, ce.cid, SUM(CAST(round(el.x*ce.x*1e15) AS BIGINT)) AS dxy """ +
      s"""FROM el JOIN ${prev}e ce USING (i) GROUP BY 1, 2), """ +
-     s"""w$r AS (SELECT a.vec_id, a.cid, a.dxy, n.dyy, """ +
+     s"""w$r AS MATERIALIZED (SELECT a.vec_id, a.cid, a.dxy, n.dyy, """ +
      """row_number() OVER (PARTITION BY a.vec_id ORDER BY CAST(a.dxy AS DOUBLE)/sqrt(CAST(n.dyy AS DOUBLE)) DESC, a.cid) AS rn """ +
      s"""FROM a$r a JOIN n$r n USING (cid)), """ +
-     s"""d$r AS (SELECT w.vec_id, greatest(0, x2.dxx + w.dyy - 2*w.dxy) AS d2 """ +
+     s"""d$r AS MATERIALIZED (SELECT w.vec_id, greatest(0, x2.dxx + w.dyy - 2*w.dxy) AS d2 """ +
      s"""FROM w$r w JOIN dxx x2 ON x2.vec_id = w.vec_id WHERE w.rn = 1), """ +
-     s"""p$r AS (SELECT SUM(d2::HUGEINT) AS phi FROM d$r), """ +
-     s"""s$r AS (SELECT d.vec_id FROM d$r d JOIN dxx x3 ON x3.vec_id = d.vec_id, p$r """ +
+     s"""p$r AS MATERIALIZED (SELECT SUM(d2::HUGEINT) AS phi FROM d$r), """ +
+     s"""s$r AS MATERIALIZED (SELECT d.vec_id FROM d$r d JOIN dxx x3 ON x3.vec_id = d.vec_id, p$r """ +
      s"""WHERE x3.dxx > 0 """ +
      s"""AND (${h60sql(s"'kmpar:g:$r:' || CAST(d.vec_id AS VARCHAR)")} % 1000000)::HUGEINT * phi """ +
      s"""< ${l}000000::HUGEINT * d.d2::HUGEINT)""")
 
-  /** The full k-means|| init replay (2 rounds, l=8, k=4, salt "g"):
-    * candidate indices in insertion order (seed 0, then each round's
-    * samples by id), Voronoi weights over the final set, top-4 cut by
-    * (weight desc, index). */
-  private def kmparOracle: String =
-    ("""WITH f AS (SELECT vec_id, embedding FROM embeddings """ +
+  /** The k-means|| init CTE chain (2 rounds, l=8, k=4, salt "g" — the
+    * `x_kmeans_par_init` parameters): candidates in insertion order
+    * (`wt`: cid, vec_id, weight) and the top-4-by-weight cut (`sel`:
+    * cid, s = 1-based selection rank). Shared by [[kmparOracle]] and,
+    * extended with a Lloyd round + probe CTEs, by
+    * [[ivfTrainedParOracle]]. */
+  private def kmparChain: String =
+    ("""f AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings """ +
      """WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0), """ +
-     """el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x FROM f), """ +
-     """dxx AS (SELECT vec_id, SUM(CAST(round(x*x*1e15) AS BIGINT)) AS dxx FROM el GROUP BY 1), """ +
-     """c0 AS (SELECT 0::BIGINT AS cid, min(vec_id) AS vec_id FROM dxx WHERE dxx > 0), """ +
+     """el AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x FROM f), """ +
+     """dxx AS MATERIALIZED (SELECT vec_id, SUM(CAST(round(x*x*1e15) AS BIGINT)) AS dxx FROM el GROUP BY 1), """ +
+     """c0 AS MATERIALIZED (SELECT 0::BIGINT AS cid, min(vec_id) AS vec_id FROM dxx WHERE dxx > 0), """ +
      kmparRound(1, "c0", 8) + ", " +
-     """c1 AS (SELECT cid, vec_id FROM c0 UNION ALL """ +
+     """c1 AS MATERIALIZED (SELECT cid, vec_id FROM c0 UNION ALL """ +
      """SELECT (row_number() OVER (ORDER BY vec_id)), vec_id FROM s1), """ +
      kmparRound(2, "c1", 8) + ", " +
-     """c2 AS (SELECT cid, vec_id FROM c1 UNION ALL """ +
+     """c2 AS MATERIALIZED (SELECT cid, vec_id FROM c1 UNION ALL """ +
      """SELECT ((SELECT count(*) FROM c1) + row_number() OVER (ORDER BY vec_id) - 1), vec_id FROM s2), """ +
-     """c2e AS (SELECT c.cid, e.i, e.x FROM c2 c JOIN el e USING (vec_id)), """ +
-     """nw AS (SELECT cid, SUM(CAST(round(x*x*1e15) AS BIGINT)) AS dyy FROM c2e GROUP BY 1), """ +
-     """aw AS (SELECT el.vec_id, ce.cid, SUM(CAST(round(el.x*ce.x*1e15) AS BIGINT)) AS dxy """ +
+     """c2e AS MATERIALIZED (SELECT c.cid, e.i, e.x FROM c2 c JOIN el e USING (vec_id)), """ +
+     """nw AS MATERIALIZED (SELECT cid, SUM(CAST(round(x*x*1e15) AS BIGINT)) AS dyy FROM c2e GROUP BY 1), """ +
+     """aw AS MATERIALIZED (SELECT el.vec_id, ce.cid, SUM(CAST(round(el.x*ce.x*1e15) AS BIGINT)) AS dxy """ +
      """FROM el JOIN c2e ce USING (i) GROUP BY 1, 2), """ +
-     """ww AS (SELECT a.vec_id, a.cid, """ +
+     """ww AS MATERIALIZED (SELECT a.vec_id, a.cid, """ +
      """row_number() OVER (PARTITION BY a.vec_id ORDER BY CAST(a.dxy AS DOUBLE)/sqrt(CAST(n.dyy AS DOUBLE)) DESC, a.cid) AS rn """ +
      """FROM aw a JOIN nw n USING (cid)), """ +
-     """wt AS (SELECT c2.cid, c2.vec_id, COALESCE(cnt.n, 0)::BIGINT AS weight """ +
+     """wt AS MATERIALIZED (SELECT c2.cid, c2.vec_id, COALESCE(cnt.n, 0)::BIGINT AS weight """ +
      """FROM c2 LEFT JOIN (SELECT cid, count(*)::BIGINT AS n FROM ww WHERE rn = 1 GROUP BY 1) cnt USING (cid)), """ +
-     """sel AS (SELECT cid, (row_number() OVER (ORDER BY weight DESC, cid))::BIGINT AS s """ +
-     """FROM wt QUALIFY row_number() OVER (ORDER BY weight DESC, cid) <= 4) """ +
+     """sel AS MATERIALIZED (SELECT cid, (row_number() OVER (ORDER BY weight DESC, cid))::BIGINT AS s """ +
+     """FROM wt QUALIFY row_number() OVER (ORDER BY weight DESC, cid) <= 4)""")
+
+  /** The full k-means|| init replay: every candidate with its Voronoi
+    * weight and (if selected) its rank in the top-4 cut. */
+  private def kmparOracle: String =
+    (s"""WITH $kmparChain """ +
      """SELECT wt.cid AS cand_idx, wt.vec_id, wt.weight, sel.s - 1 AS sel """ +
      """FROM wt LEFT JOIN sel USING (cid) ORDER BY cand_idx""")
+
+  /** `x_knn_ivf_trained_par` replay: the [[kmparChain]] init's 4
+    * centers (in weight order — codebook index `j = s − 1`), ONE Lloyd
+    * round over the FULL embeddings table (the engine refines over the
+    * unfiltered corpus; only the INIT filters malformed vectors), then
+    * the same trained-IVF probe/score CTEs as [[ivfTrainedOracle]]:
+    * assignment by cosine argmax, query 0's top-3 lists probed, exact
+    * fixed-point rescoring of the candidates. */
+  private def ivfTrainedParOracle: String =
+    (s"""WITH $kmparChain, """ +
+     // the whole corpus, malformed vectors included (unnest just yields
+     // fewer/null elements — the engine's partial-dot semantics)
+     """ela AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), """ +
+     // init codebook: selected candidates' vectors, j = weight rank - 1
+     """ci AS MATERIALIZED (SELECT sel.s - 1 AS j, e.i, e.x AS cx FROM sel JOIN wt USING (cid) JOIN el e ON e.vec_id = wt.vec_id), """ +
+     // one Lloyd round under cosine affinity (the kmeansCtes shape,
+     // init = ci): assign every vector, recompute member means in
+     // exact 1e-15 fixed point, empty lists keep their init center
+     """nA AS MATERIALIZED (SELECT j, SUM(CAST(round(cx * cx * 1e15) AS BIGINT)) AS dyy FROM ci GROUP BY 1), """ +
+     """aA AS MATERIALIZED (SELECT ela.vec_id, ci.j, SUM(CAST(round(ela.x * ci.cx * 1e15) AS BIGINT)) AS dxy FROM ela JOIN ci USING (i) GROUP BY 1, 2), """ +
+     """sA AS MATERIALIZED (SELECT aA.vec_id, aA.j, CAST(aA.dxy AS DOUBLE) / sqrt(CAST(nA.dyy AS DOUBLE)) AS s FROM aA JOIN nA USING (j)), """ +
+     """asA AS MATERIALIZED (SELECT vec_id, j AS list FROM (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn FROM sA) WHERE rn = 1), """ +
+     """mA AS MATERIALIZED (SELECT a.list, ela.i, SUM(CAST(round(ela.x * 1e15) AS BIGINT)) AS sf, COUNT(*) AS cnt FROM ela JOIN asA a USING (vec_id) GROUP BY 1, 2), """ +
+     """cB AS MATERIALIZED (SELECT ci.j, ci.i, COALESCE(CAST(mA.sf AS DOUBLE) / (mA.cnt * 1e15), ci.cx) AS cx FROM ci LEFT JOIN mA ON mA.list = ci.j AND mA.i = ci.i), """ +
+     """nB AS MATERIALIZED (SELECT j, SUM(CAST(round(cx * cx * 1e15) AS BIGINT)) AS dyy FROM cB GROUP BY 1), """ +
+     """aB AS MATERIALIZED (SELECT ela.vec_id, cB.j, SUM(CAST(round(ela.x * cB.cx * 1e15) AS BIGINT)) AS dxy FROM ela JOIN cB USING (i) GROUP BY 1, 2), """ +
+     """sB AS MATERIALIZED (SELECT aB.vec_id, aB.j, CAST(aB.dxy AS DOUBLE) / sqrt(CAST(nB.dyy AS DOUBLE)) AS s FROM aB JOIN nB USING (j)), """ +
+     // trained-IVF probe over the refined codebook (ivfTrainedOracle
+     // shape): assignment, query 0's top-3 lists, exact rescoring
+     """asB AS MATERIALIZED (SELECT vec_id, j AS list FROM (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn FROM sB) WHERE rn = 1), """ +
+     """probes AS MATERIALIZED (SELECT j AS list FROM sB WHERE vec_id = 0 ORDER BY s DESC, j LIMIT 3), """ +
+     """cand AS MATERIALIZED (SELECT a.vec_id, a.list FROM asB a JOIN probes USING (list)), """ +
+     """norms AS MATERIALIZED (SELECT vec_id, SUM(CAST(round(x * x * 1e15) AS BIGINT))::BIGINT AS dxx FROM ela GROUP BY 1), """ +
+     """qe AS MATERIALIZED (SELECT i, x AS qx FROM ela WHERE vec_id = 0), """ +
+     """dots AS MATERIALIZED (SELECT ela.vec_id, SUM(CAST(round(ela.x * qe.qx * 1e15) AS BIGINT))::BIGINT AS dxy """ +
+     """FROM ela JOIN qe USING (i) WHERE ela.vec_id IN (SELECT vec_id FROM cand) GROUP BY 1), """ +
+     """scored AS MATERIALIZED (SELECT d.vec_id, CAST(d.dxy AS DOUBLE) / (sqrt(CAST(n.dxx AS DOUBLE)) * """ +
+     """sqrt((SELECT CAST(dxx AS DOUBLE) FROM norms WHERE vec_id = 0))) AS sc """ +
+     """FROM dots d JOIN norms n ON n.vec_id = d.vec_id) """ +
+     """SELECT c.vec_id, round(sc, 6) AS score, c.list FROM scored JOIN cand c USING (vec_id) """ +
+     """ORDER BY sc DESC, c.vec_id LIMIT 10""")
 
   /** Shared by `x_contamination` and `x_contamination_bloom`: the Bloom
     * prefilter can have no false negatives, so the filtered path must
@@ -4329,6 +4393,7 @@ object SparkEntry {
     // nprobe=3 probing by the query's own list affinities and exact
     // fixed-point cosine over the probed candidates
     "x_knn_ivf_trained" -> ivfTrainedOracle,
+    "x_knn_ivf_trained_par" -> ivfTrainedParOracle,
 
     // the persisted index materializes the identical assignment, so the
     // probed top-k must equal the assign-at-query-time result exactly

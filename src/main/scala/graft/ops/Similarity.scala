@@ -23,6 +23,27 @@ import org.apache.spark.sql.types._
  */
 object Similarity {
 
+  /** Codebook INITIALIZATION dial for the trained entry points
+    * ([[kmeansCodebook]], [[kmeansAssign]], and through them every
+    * `codebook = Some(...)` caller): which vectors seed Lloyd's
+    * iterations. Deterministic either way — no RNG state anywhere. */
+  sealed trait KmeansInit
+  object KmeansInit {
+    /** Seed with the `k` smallest-id vectors — the zero-training
+      * baseline, fine when ids are uncorrelated with geometry (the
+      * default everywhere, unchanged). */
+    case object SmallestId extends KmeansInit
+    /** Seed with the [[kmeansParallelInit]] oversampled init (Bahmani
+      * et al. 2012) — the dial for id-CORRELATED corpora (ingest order
+      * = topic order, so the k smallest ids under-cover the space) and
+      * large-`nlist` codebooks. `l` candidates are sampled per round ∝
+      * squared distance to the running candidate set over `rounds`
+      * rounds; RecallDrive's init canary pins that this reaches
+      * ≥ smallest-id recall on exactly such a layout. */
+    final case class Parallel(l: Int, rounds: Int, salt: String = "")
+      extends KmeansInit
+  }
+
   /** Reference HOF kernel (kept for parity tests; [[dotFast]] is the
     * production path). */
   def dot(a: Column, b: Column): Column =
@@ -179,6 +200,24 @@ object Similarity {
     kmeansCodebook(df, vecCol, seed, iters)
   }
 
+  /** [[kmeansCodebook]] under an explicit INIT dial — the production
+    * trained-codebook entry point: `SmallestId` is the id-seeded form
+    * above, `Parallel(l, rounds, salt)` runs the [[kmeansParallelInit]]
+    * oversampled init first and Lloyd-refines its `k` centers. The
+    * refinement (and everything downstream — [[ivfTopK]],
+    * [[buildIvfIndex]], [[kmeansAssign]]) is identical either way; only
+    * the seeding changes. */
+  def kmeansCodebook(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int,
+                     init: KmeansInit): Seq[Seq[Double]] = init match {
+    case KmeansInit.SmallestId =>
+      kmeansCodebook(df, idCol, vecCol, k, iters)
+    case KmeansInit.Parallel(l, rounds, salt) =>
+      val (centers, _) = kmeansParallelInit(df, idCol, vecCol, k, l,
+        rounds, salt)
+      kmeansCodebook(df, vecCol, centers, iters)
+  }
+
   /** [[kmeansCodebook]] from an EXPLICIT initial codebook — the Lloyd
     * refinement alone, for callers that seed differently (the
     * [[kmeansParallelInit]] oversampled init, a codebook carried over
@@ -272,10 +311,12 @@ object Similarity {
   }
 
   /** Train-and-assign convenience: [[kmeansCodebook]] then the
-    * assignment pass. */
+    * assignment pass. `init` picks the seeding (see [[KmeansInit]]). */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int): DataFrame =
-    kmeansAssign(df, idCol, vecCol, kmeansCodebook(df, idCol, vecCol, k, iters))
+                   k: Int, iters: Int,
+                   init: KmeansInit = KmeansInit.SmallestId): DataFrame =
+    kmeansAssign(df, idCol, vecCol,
+      kmeansCodebook(df, idCol, vecCol, k, iters, init))
 
   /** k-means|| oversampled initialization (Bahmani, Moseley, Vattani,
     * Kumar, Vassilvitskii: "Scalable k-means++", VLDB 2012) — the init

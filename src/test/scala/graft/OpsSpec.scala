@@ -1962,6 +1962,28 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("raise l or rounds"), e.getMessage)
   }
 
+  test("kmeansCodebook init dial: Parallel == explicit kmeans|| + Lloyd, SmallestId == legacy") {
+    val df = (0L until 60L).map(i =>
+        (i, Seq(((i * 37) % 13).toFloat + 1f, ((i * 11) % 7).toFloat,
+          ((i * 5) % 3).toFloat)))
+      .toDF("id", "v")
+    val dial = Similarity.kmeansCodebook(df, "id", "v", k = 3, iters = 2,
+      init = Similarity.KmeansInit.Parallel(l = 4, rounds = 2, salt = "s"))
+    val (centers, _) = Similarity.kmeansParallelInit(df, "id", "v",
+      k = 3, l = 4, rounds = 2, salt = "s")
+    assert(dial == Similarity.kmeansCodebook(df, "v", centers, 2),
+      "Parallel dial diverged from the explicit composition")
+    assert(Similarity.kmeansCodebook(df, "id", "v", 3, 2,
+        Similarity.KmeansInit.SmallestId) ==
+      Similarity.kmeansCodebook(df, "id", "v", 3, 2),
+      "SmallestId dial diverged from the legacy path")
+    // the dial flows through the assign convenience unchanged
+    val viaAssign = Similarity.kmeansAssign(df, "id", "v", 3, 2,
+      Similarity.KmeansInit.Parallel(4, 2, "s"))
+    val direct = Similarity.kmeansAssign(df, "id", "v", dial)
+    assert(viaAssign.collect().toSet == direct.collect().toSet)
+  }
+
   test("shard writer: layout laws, manifest truth, identity guard, atomic re-publish") {
     val n = 500L
     val df = (0L until n).map(i => (i, s"s${i % 3}", 1000L - i, 1L + i % 7))
