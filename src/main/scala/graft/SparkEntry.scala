@@ -1158,6 +1158,36 @@ object SparkEntry {
       path
     })
 
+  private val shardEpochTrees = new ConcurrentHashMap[String, String]()
+  /** Build-once epoch LINEAGE for the `x_shard_epoch*` / `x_shard_resume`
+    * gates: three selection identities (budgets 4096 → 2048 → 1024 over
+    * the same recipe, same salt/buckets) published as epochs 0..2 under
+    * one root, then epoch 0 retired via `pruneEpochsBefore` — the gates
+    * replay the two LIVE epochs' manifests and resume inside the latest.
+    * 8-row files force several files per shard, so the resume cut at
+    * position 64 (= one full file stripe of 8 shards × 8 rows) prunes
+    * each shard's FIRST file and keeps the rest — manifest pruning is
+    * what the oracle actually exercises, not a whole-tree scan. */
+  private def shardEpochTree(s: SparkSession, d: String): String =
+    shardEpochTrees.computeIfAbsent(d, { _ =>
+      val root = indexPath("shardep_", d)
+      val base = docs(s, d).select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"),
+        col("n_chars").cast(LongType).as("score"),
+        size(TextStats.tokens(col("text"))).cast(LongType).as("n_tok"))
+      Seq(4096L, 2048L, 1024L).foreach { budget =>
+        val sel = Sample.selectByBudget(base, "source", "doc_id", "score",
+          "n_tok", budget).drop("cum_tokens", "sel_rank")
+        graft.ops.ShardWriter.writeShardEpoch(
+          Sample.shuffleRank(sel, "doc_id", "shard", 32),
+          "doc_id", "n_tok", 8, root, salt = "shard", buckets = 32,
+          budget = budget, maxRowsPerFile = 8L)
+      }
+      val gone = graft.ops.ShardWriter.pruneEpochsBefore(s, root, 1)
+      require(gone == Seq(0), s"expected to retire epoch 0, got $gone")
+      root
+    })
+
   /** The planted quality corpus shared by the NB classifier gates:
     * every doc_id % 3 == 0 document carries an appended "premium"
     * marker phrase, giving the trainer a learnable signal the oracle
@@ -2919,6 +2949,58 @@ object SparkEntry {
           col("shard").cast(LongType).as("shard"))
         .orderBy("shuffle_pos")),
 
+    // EPOCH LINEAGE: three selection identities published as epochs
+    // 0..2 of one root, epoch 0 pruned — the gate replays BOTH live
+    // epochs' committed manifests (per-shard file/row/token/position
+    // rollups), proving a grown corpus re-selects without rewriting
+    // the epoch a resuming consumer is pinned to
+    "x_shard_epochs" -> ((s, d) => {
+      val root = shardEpochTree(s, d)
+      val eps = graft.ops.ShardWriter.listEpochs(s, root)
+      require(eps == Seq(1, 2), s"expected live epochs (1, 2), got $eps")
+      eps.map { e =>
+        graft.ops.ShardWriter
+          .loadManifest(s, graft.ops.ShardWriter.epochPath(root, e))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_files"), sum("n_docs").as("n_docs"),
+            sum("n_tokens").as("n_tokens"), min("min_pos").as("min_pos"),
+            max("max_pos").as("max_pos"))
+          .withColumn("epoch", lit(e.toLong))
+      }.reduce(_ unionAll _)
+        .select("epoch", "shard", "n_files", "n_docs", "n_tokens",
+          "min_pos", "max_pos")
+        .orderBy("epoch", "shard")
+    }),
+
+    // a PINNED epoch read: epoch 1 (the 2048-token identity) row for
+    // row — later publishes and the prune are invisible to a consumer
+    // pinned here
+    "x_shard_epoch_read" -> ((s, d) =>
+      graft.ops.ShardWriter.readShardEpoch(s, shardEpochTree(s, d), 1)
+        .select(col("doc_id"), col("n_tok"), col("shuffle_pos"),
+          col("shard").cast(LongType).as("shard"))
+        .orderBy("doc_id")),
+
+    // the RESUME sugar on the latest epoch: step 2 × batch 32 restarts
+    // at position 64 — exactly one 8-row file stripe, so manifest
+    // pruning drops each shard's first file and keeps the rest (the
+    // require pins that the pruned set is >1 file and <all; the oracle
+    // pins the rows)
+    "x_shard_resume" -> ((s, d) => {
+      val root = shardEpochTree(s, d)
+      val p = graft.ops.ShardWriter.epochPath(root, 2)
+      val maxPos = graft.ops.ShardWriter.loadManifest(s, p)
+        .select("max_pos").collect().map(_.getLong(0))
+      val kept = maxPos.count(_ >= 64L)
+      require(kept > 1 && kept < maxPos.length,
+        s"resume must keep several files and prune the rest, kept " +
+          s"$kept of ${maxPos.length}")
+      graft.ops.ShardWriter.resumeFrom(s, p, step = 2L, batchSize = 32L)
+        .select(col("doc_id"), col("n_tok"), col("shuffle_pos"),
+          col("shard").cast(LongType).as("shard"))
+        .orderBy("shuffle_pos")
+    }),
+
     // per-source selection under a 2048-token budget, best (longest)
     // docs first: the kept set is the longest quality-ordered prefix
     // whose running token sum fits — replayed as the same window cut
@@ -3657,6 +3739,23 @@ object SparkEntry {
      """FROM dots d JOIN norms n ON n.vec_id = d.vec_id) """ +
      """SELECT c.vec_id, round(sc, 6) AS score, c.list FROM scored JOIN cand c USING (vec_id) """ +
      """ORDER BY sc DESC, c.vec_id LIMIT 10""")
+
+  /** The two LIVE epochs' selection→shuffle chains for the
+    * `x_shard_epoch*` / `x_shard_resume` oracles: `pos1` = the
+    * 2048-token identity (epoch 1), `pos2` = the 1024-token identity
+    * (epoch 2), both under the same `(salt "shard", 32 buckets)`
+    * permutation law as the single-tree shard gates. */
+  private def shardEpochChain: String = {
+    def one(budget: Int, sfx: String): String =
+      (s"""sel$sfx AS (SELECT doc_id, n_tok FROM (SELECT *, """ +
+       """SUM(n_tok) OVER (PARTITION BY source ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS ct """ +
+       s"""FROM base) WHERE ct <= $budget), """ +
+       s"""pos$sfx AS (SELECT doc_id, n_tok, (row_number() OVER (ORDER BY k % 32, k, doc_id) - 1) AS p """ +
+       s"""FROM (SELECT doc_id, n_tok, ${h60sql("'shuffle:shard:' || CAST(doc_id AS VARCHAR)")} AS k FROM sel$sfx))""")
+    (s"""base AS (SELECT doc_id, COALESCE(source, '') AS source, n_chars::BIGINT AS score, """ +
+     s"""len($TOK)::BIGINT AS n_tok FROM documents), """ +
+     one(2048, "1") + ", " + one(1024, "2"))
+  }
 
   /** Shared by `x_contamination` and `x_contamination_bloom`: the Bloom
     * prefilter can have no false negatives, so the filtered path must
@@ -5188,6 +5287,34 @@ object SparkEntry {
        s"""FROM (SELECT doc_id, n_tok, ${h60sql("'shuffle:shard:' || CAST(doc_id AS VARCHAR)")} AS k FROM sel)) """ +
        """SELECT doc_id, n_tok, p::BIGINT AS shuffle_pos, (p % 8)::BIGINT AS shard """ +
        """FROM pos WHERE p >= 100 AND p < 300 ORDER BY shuffle_pos"""),
+
+    // both LIVE epochs' manifests replayed: the 2048- and 1024-token
+    // selection chains (same salt/buckets permutation law), rolled per
+    // shard with the 8-row file-split law (files = ceil(rows/8))
+    "x_shard_epochs" ->
+      (s"""WITH $shardEpochChain, """ +
+       """r1 AS (SELECT 1::BIGINT AS epoch, (p % 8)::BIGINT AS shard, """ +
+       """((count(*) + 7) // 8)::BIGINT AS n_files, count(*) AS n_docs, """ +
+       """SUM(n_tok)::BIGINT AS n_tokens, min(p)::BIGINT AS min_pos, max(p)::BIGINT AS max_pos """ +
+       """FROM pos1 GROUP BY (p % 8)), """ +
+       """r2 AS (SELECT 2::BIGINT AS epoch, (p % 8)::BIGINT AS shard, """ +
+       """((count(*) + 7) // 8)::BIGINT AS n_files, count(*) AS n_docs, """ +
+       """SUM(n_tok)::BIGINT AS n_tokens, min(p)::BIGINT AS min_pos, max(p)::BIGINT AS max_pos """ +
+       """FROM pos2 GROUP BY (p % 8)) """ +
+       """SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY epoch, shard"""),
+
+    // the pinned epoch-1 read: the 2048-token identity's rows exactly
+    "x_shard_epoch_read" ->
+      (s"""WITH $shardEpochChain """ +
+       """SELECT doc_id, n_tok, p::BIGINT AS shuffle_pos, (p % 8)::BIGINT AS shard """ +
+       """FROM pos1 ORDER BY doc_id"""),
+
+    // the resume tail: latest epoch (1024-token identity), positions
+    // [64, N)
+    "x_shard_resume" ->
+      (s"""WITH $shardEpochChain """ +
+       """SELECT doc_id, n_tok, p::BIGINT AS shuffle_pos, (p % 8)::BIGINT AS shard """ +
+       """FROM pos2 WHERE p >= 64 ORDER BY shuffle_pos"""),
 
     // budgeted selection replayed: the same (score desc, id) window's
     // inclusive running sum, prefix-cut at the budget
