@@ -2966,7 +2966,7 @@ object SparkEntry {
             sum("n_tokens").as("n_tokens"), min("min_pos").as("min_pos"),
             max("max_pos").as("max_pos"))
           .withColumn("epoch", lit(e.toLong))
-      }.reduce(_ unionAll _)
+      }.reduce(_ union _)
         .select("epoch", "shard", "n_files", "n_docs", "n_tokens",
           "min_pos", "max_pos")
         .orderBy("epoch", "shard")
@@ -2979,6 +2979,15 @@ object SparkEntry {
       graft.ops.ShardWriter.readShardEpoch(s, shardEpochTree(s, d), 1)
         .select(col("doc_id"), col("n_tok"), col("shuffle_pos"),
           col("shard").cast(LongType).as("shard"))
+        .orderBy("doc_id")),
+
+    // the corpus-governance DIFF between two epochs: which documents
+    // entered/left the training set when the 2048-token identity was
+    // re-selected at 1024 — one row per symmetric-difference doc with
+    // its side and token count (per-source prefix selections nest, so
+    // here every row is a removal; the operator handles both sides)
+    "x_shard_epoch_diff" -> ((s, d) =>
+      graft.ops.ShardWriter.epochDiff(s, shardEpochTree(s, d), 1, 2)
         .orderBy("doc_id")),
 
     // the RESUME sugar on the latest epoch: step 2 × batch 32 restarts
@@ -5308,6 +5317,17 @@ object SparkEntry {
       (s"""WITH $shardEpochChain """ +
        """SELECT doc_id, n_tok, p::BIGINT AS shuffle_pos, (p % 8)::BIGINT AS shard """ +
        """FROM pos1 ORDER BY doc_id"""),
+
+    // the epoch diff: symmetric difference of the two live selections,
+    // token counts from the holding epoch
+    "x_shard_epoch_diff" ->
+      (s"""WITH $shardEpochChain """ +
+       """SELECT doc_id, 'removed' AS side, n_tok AS n_tokens FROM sel1 """ +
+       """WHERE doc_id NOT IN (SELECT doc_id FROM sel2) """ +
+       """UNION ALL """ +
+       """SELECT doc_id, 'added' AS side, n_tok AS n_tokens FROM sel2 """ +
+       """WHERE doc_id NOT IN (SELECT doc_id FROM sel1) """ +
+       """ORDER BY doc_id"""),
 
     // the resume tail: latest epoch (1024-token identity), positions
     // [64, N)

@@ -557,6 +557,49 @@ object ShardWriter {
     gone
   }
 
+  /** What CHANGED between two epochs' corpora — the governance question
+    * a re-selection raises ("which documents entered / left the
+    * training set between last month's epoch and this one"): one row
+    * per document present in exactly ONE of the two epochs, with
+    * `side = 'added'` (only in `eTo`) or `'removed'` (only in `eFrom`)
+    * and its token count from the epoch that holds it. The id and
+    * token columns come from the manifests' own records (and must
+    * agree between the epochs — a diff across different schemas is
+    * refused).
+    *
+    * Scale shape: two column-pruned scans (id + token only — text and
+    * vectors never move) into one hash join on the id; rows in both
+    * epochs are dropped pre-projection, so the output is the symmetric
+    * difference only. */
+  def epochDiff(spark: SparkSession, root: String,
+                eFrom: Int, eTo: Int): DataFrame = {
+    val eps = listEpochs(spark, root)
+    require(eps.contains(eFrom) && eps.contains(eTo) && eFrom != eTo,
+      s"epochDiff: need two distinct published epochs, got ($eFrom, " +
+        s"$eTo) of ${eps.mkString(", ")}")
+    def cols(e: Int): (String, String) = {
+      val h = loadManifest(spark, epochPath(root, e))
+        .select("id_col", "token_col").head()
+      (h.getString(0), h.getString(1))
+    }
+    val (idCol, tokenCol) = cols(eFrom)
+    require(cols(eTo) == ((idCol, tokenCol)),
+      s"epochDiff: epochs $eFrom and $eTo record different id/token " +
+        s"columns (${cols(eFrom)} vs ${cols(eTo)}) — not the same corpus")
+    def side(e: Int, tag: String) =
+      readShards(spark, epochPath(root, e))
+        .select(col(idCol), col(tokenCol).cast(LongType).as(s"_tok_$tag"))
+    side(eFrom, "from")
+      .join(side(eTo, "to"), Seq(idCol), "full_outer")
+      // writeShards refuses NULL token counts, so a NULL side here
+      // means ABSENT from that epoch — the symmetric difference
+      .filter(col("_tok_from").isNull || col("_tok_to").isNull)
+      .select(col(idCol),
+        when(col("_tok_from").isNull, lit("added"))
+          .otherwise(lit("removed")).as("side"),
+        coalesce(col("_tok_to"), col("_tok_from")).as("n_tokens"))
+  }
+
   /** Resume-a-training-run sugar over [[readShardSlice]]: global step
     * `step` of a run with `batchSize` documents per step restarts at
     * permutation position `step · batchSize`; everything from there to

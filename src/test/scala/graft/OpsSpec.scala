@@ -2185,6 +2185,38 @@ class OpsSpec extends AnyFunSuite {
     assert(ShardWriter.listEpochs(spark, root) == Seq(2, 3))
   }
 
+  test("shard epochs: epochDiff is the exact symmetric difference with holding-epoch tokens") {
+    val root = TestSpark.tmpDir("sharddf")
+    def publish(ids: Seq[Long], budget: Long): Int =
+      ShardWriter.writeShardEpoch(
+        Sample.shuffleRank(
+          ids.map(i => (i, 10L + i)).toDF("doc_id", "n_tok"),
+          "doc_id", "df", 8),
+        "doc_id", "n_tok", 4, root, salt = "df", buckets = 8,
+        budget = budget)
+    assert(publish(0L until 100L, 1L) == 0)
+    assert(publish(50L until 150L, 2L) == 1) // 50 stay, 50 leave, 50 enter
+    val diff = ShardWriter.epochDiff(spark, root, 0, 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(diff.size == 100)
+    assert(diff.filter(_._2 == "removed").map(_._1) == (0L until 50L) &&
+      diff.filter(_._2 == "added").map(_._1) == (100L until 150L))
+    // token counts come from the epoch that HOLDS the row
+    assert(diff.forall { case (id, _, tok) => tok == 10L + id })
+    // direction flips the sides
+    val back = ShardWriter.epochDiff(spark, root, 1, 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(back(25L) == "added" && back(125L) == "removed")
+    // unknown epoch / self-diff refuse
+    intercept[IllegalArgumentException] {
+      ShardWriter.epochDiff(spark, root, 0, 5)
+    }
+    intercept[IllegalArgumentException] {
+      ShardWriter.epochDiff(spark, root, 1, 1)
+    }
+  }
+
   test("shard epochs: crash between swap renames is restored before identity check") {
     val df = (0L until 200L).map(i => (i, "s0", 1000L - i, 2L))
       .toDF("doc_id", "source", "score", "n_tok")

@@ -1143,6 +1143,81 @@ object ScaleDrive {
     assert(seamCmp(0) == seamCmp(1),
       s"seam changed the written tree: ${seamCmp(0)} vs ${seamCmp(1)}")
 
+    // the shard recipe at 100M ROWS: the full select → shuffle → write
+    // composition at 10× the section above, 256 one-task shards — the
+    // 100×-scale claim rests on the per-shard task-local sorts staying
+    // SPILL-SAFE (they may spill to disk; they must not OOM or blow the
+    // wall clock) as shards grow. Spill is MEASURED per task via a
+    // listener, not guessed; every manifest law is re-derived from the
+    // committed sidecar. 100M = 256 × 390,625 exactly, so each shard
+    // holds 390,625 rows → 4 files at the 100k cap.
+    println("== writeShardRecipe over 100M rows (256 shards, 100k-row files)")
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    val memSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          diskSpill.addAndGet(m.diskBytesSpilled)
+          memSpill.addAndGet(m.memoryBytesSpilled); ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(spillListener)
+    val n100 = 100000000L
+    val docs100m = spark.range(n100).select(
+      col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(8L))).as("source"),
+      pmod(hash(col("id") * 31L), lit(1000000)).cast("long").as("score"),
+      (pmod(hash(col("id") * 7L), lit(401)) + lit(50L)).cast("long").as("n_tok"))
+    val t100 = System.nanoTime()
+    time("writeShardRecipe: 100M rows -> 256 shards") {
+      graft.ops.ShardWriter.writeShardRecipe(docs100m, "source", "doc_id",
+        "score", "n_tok", budget = Long.MaxValue / 4, numShards = 256,
+        path = s"$shardRoot/tree100m", salt = "shards100", buckets = 4096,
+        maxRowsPerFile = 100000L)
+    }
+    val sec100 = (System.nanoTime() - t100) / 1e9
+    println(f"  task spill during the recipe: memory " +
+      f"${memSpill.get() / 1e9}%.1f GB, disk ${diskSpill.get() / 1e9}%.1f GB")
+    // wall-clock budget: generous 3x headroom over the measured run so
+    // host noise cannot flake the drive, but a plan regression (e.g. a
+    // global sort sneaking in) still fails loudly
+    assert(sec100 < 900.0, f"100M shard recipe took $sec100%.0f s")
+    val man100 = graft.ops.ShardWriter
+      .loadManifest(spark, s"$shardRoot/tree100m").collect()
+    assert(man100.map(_.getAs[Long]("n_docs")).sum == n100,
+      "manifest row total != 100M")
+    assert(man100.length == 256 * 4,
+      s"expected 1024 files (256 shards x 4), got ${man100.length}")
+    man100.groupBy(_.getAs[Long]("shard")).foreach { case (s, files) =>
+      assert(files.map(_.getAs[Long]("n_docs")).sum == n100 / 256,
+        s"shard $s row count")
+      files.foreach { f => // arithmetic range law, re-derived
+        assert(f.getAs[Long]("max_pos") - f.getAs[Long]("min_pos") ==
+          (f.getAs[Long]("n_docs") - 1L) * 256L, s"shard $s file law: $f")
+      }
+      files.sortBy(_.getAs[Long]("min_pos")).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("max_pos") < b.getAs[Long]("min_pos"))
+        case _ => ()
+      }
+    }
+    // the resume primitive at volume: a tail slice near the corpus end
+    // reads only the intersecting files (manifest pruning), exact rows
+    val tail100 = time("resumeFrom near the corpus end (pruned read)") {
+      graft.ops.ShardWriter.resumeFrom(spark, s"$shardRoot/tree100m",
+          step = 999L, batchSize = 100000L)
+        .agg(count(lit(1)), min("shuffle_pos"), max("shuffle_pos"))
+        .collect()(0)
+    }
+    assert(tail100.getLong(0) == n100 - 999L * 100000L &&
+      tail100.getLong(1) == 999L * 100000L &&
+      tail100.getLong(2) == n100 - 1L, s"resume tail wrong: $tail100")
+    println(s"  1024 files, laws + resume verified at 100M")
+    spark.sparkContext.removeSparkListener(spillListener)
+
     // ANN retrieval QUALITY canary: recall@10 vs exact brute force with
     // hard floors — every x_knn_* gate pins determinism (the oracle
     // replays the engine's own approximation), so only THIS catches a
