@@ -261,4 +261,29 @@ class PlanSpec extends AnyFunSuite {
       .exists(s => s.contains("text") && !s.contains("lang")),
       s"BPE chunk scan not pruned to (doc_id, text):\n$chkScan")
   }
+
+  test("epochDiff scans are column-pruned to id+token; no nested-loop join") {
+    // the diff's contract is "text and vectors never move": both epoch
+    // scans must read ONLY the id and token columns even when the tree
+    // carries payload (a select-* before the join would silently ship
+    // the corpus through the shuffle)
+    val root = TestSpark.tmpDir("planspec-ep") + "/ep"
+    def pub(ids: Range, budget: Long): Int = ShardWriter.writeShardEpoch(
+      Sample.shuffleRank(
+        ids.map(i => (i.toLong, 5L, s"payload-$i")).toSeq
+          .toDF("doc_id", "n_tok", "text"),
+        "doc_id", "p", 8),
+      "doc_id", "n_tok", 2, root, "p", 8, budget)
+    assert(pub(0 until 50, 1L) == 0 && pub(25 until 75, 2L) == 1)
+    val diff = ShardWriter.epochDiff(spark, root, 0, 1)
+    val p = plan(diff)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val schemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
+    assert(schemas.size >= 2, s"expected two epoch scans:\n$p")
+    schemas.foreach(s => assert(
+      !s.contains("text") && !s.contains("shuffle_pos"),
+      s"epoch scan not pruned to (doc_id, n_tok): $s"))
+    // ...and the plan actually computes the right thing
+    assert(diff.count() == 50L)
+  }
 }
