@@ -318,9 +318,18 @@ object ShardWriter {
     * order is the position order by construction, but Spark's scan
     * does not promise cross-file ordering — a consumer that needs the
     * global order sorts by `shuffle_pos` (or streams files in
-    * [[shardFilesInOrder]] order, the zero-shuffle path). */
-  def readShards(spark: SparkSession, path: String): DataFrame =
+    * [[shardFilesInOrder]] order, the zero-shuffle path). Refuses a
+    * path with no committed manifest: an EPOCH ROOT would otherwise
+    * scan every epoch's rows merged — colliding `shuffle_pos`
+    * permutations with no warning (pass [[epochPath]] or use
+    * [[readShardEpoch]] instead). */
+  def readShards(spark: SparkSession, path: String): DataFrame = {
+    require(fsOf(spark, path).exists(new Path(manifestPath(path))),
+      s"readShards: no _manifest at $path — not a published shard tree " +
+        "(for an epoch lineage, read ONE epoch: readShardEpoch / " +
+        "epochPath(root, epoch))")
     spark.read.parquet(path)
+  }
 
   /** One shard's data FILES in consumption order (ascending committed
     * `min_pos` — each file is a contiguous slice of the shard's

@@ -2183,6 +2183,12 @@ class OpsSpec extends AnyFunSuite {
     // lineage as a NEW epoch — never mutating history
     assert(publish(400L) == 3)
     assert(ShardWriter.listEpochs(spark, root) == Seq(2, 3))
+    // reading the epoch ROOT as if it were one tree refuses: merged
+    // epochs would collide shuffle_pos permutations silently
+    val e4 = intercept[IllegalArgumentException] {
+      ShardWriter.readShards(spark, root)
+    }
+    assert(e4.getMessage.contains("readShardEpoch"), e4.getMessage)
   }
 
   test("shard epochs: epochDiff is the exact symmetric difference with holding-epoch tokens") {
