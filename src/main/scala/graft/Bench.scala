@@ -215,7 +215,11 @@ object Bench {
     val totalStreamAdjusted = batchMed.map { case (n, b) =>
       (median(samples(n)) - perBatchFloor * b).max(0.0)
     }.sum
-    val bq = batchMed.map { case (k, v) => s"\"" + k + "\":" + v.toLong }
+    // batch-count MEDIANS can be fractional under an even pass count —
+    // emit them (and the floor's) un-truncated so a reader recomputing
+    // sum(max(0, t − floor/floor_batches × b)) from the record lands on
+    // the recorded total_stream_adjusted exactly
+    val bq = batchMed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -233,7 +237,7 @@ object Bench {
     // is empty — the only state in which its `value` should be trusted
     // anyway.
     val record =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_stream":${f3(totalStream)},"total_stream_adjusted":${f3(totalStreamAdjusted)},"stream_floor":${f3(floorMed)},"stream_floor_batches":${floorBatchMed.toLong},"stream_floors":$floorList,"stream_batches":$bq,"queries":$qs,"errs":$errNames,"err_msgs":$errMsgs,"runs":$runs,"run_totals":$rt,"run_totals_stream":$rts,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_stream":${f3(totalStream)},"total_stream_adjusted":${f3(totalStreamAdjusted)},"stream_floor":${f3(floorMed)},"stream_floor_batches":$floorBatchMed,"stream_floors":$floorList,"stream_batches":$bq,"queries":$qs,"errs":$errNames,"err_msgs":$errMsgs,"runs":$runs,"run_totals":$rt,"run_totals_stream":$rts,"sf":"$sfDir"}"""
     val summary =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_stream":${f3(totalStream)},"total_stream_adjusted":${f3(totalStreamAdjusted)},"stream_floor":${f3(floorMed)},"errs":$errNames,"runs":$runs,"run_totals":$rt,"sf":"$sfDir"}"""
     // Persist the record BEFORE any shutdown output, stop Spark (its

@@ -169,16 +169,19 @@ object ShardWriter {
                             numShards: Int, salt: String, buckets: Int,
                             budget: Long): Unit = {
     // a zero-row input writes a staged tree with no data files, which
-    // the read-back cannot even infer a schema for — surface the
-    // intended refusal instead of an opaque AnalysisException
-    val staged =
-      try spark.read.parquet(tmp)
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalArgumentException(
-          "writeShards: the input selected zero rows (the staged tree " +
-            "holds no readable data files) — refusing to publish an " +
-            s"empty shard tree (${e.getMessage})")
-      }
+    // the read-back cannot even infer a schema for — check for data
+    // files FIRST and refuse with the intended message; any OTHER
+    // read-back failure (corrupt footer, permissions) propagates
+    // untranslated, pointing at the real I/O problem
+    val stagedFs = fsOf(spark, tmp)
+    val stagedFiles = stagedFs.listFiles(new Path(tmp), true)
+    var hasData = false
+    while (!hasData && stagedFiles.hasNext)
+      hasData = stagedFiles.next().getPath.getName.endsWith(".parquet")
+    if (!hasData) throw new IllegalArgumentException(
+      "writeShards: the input selected zero rows (the staged tree " +
+        "holds no data files) — refusing to publish an empty shard tree")
+    val staged = spark.read.parquet(tmp)
     // eagerly materialized: the tiny per-file relation feeds the law
     // checks AND the manifest write — one real scan of the staged tree
     val perFile = staged.select(
@@ -516,6 +519,28 @@ object ShardWriter {
                       salt: String, buckets: Int, budget: Long,
                       maxRowsPerFile: Long = 1L << 20): Int = {
     val spark = df.sparkSession
+    // the mirror of readShards' epoch-root refusal: writing epoch=0
+    // INSIDE a published single tree (or any foreign directory) would
+    // corrupt it — a later scan sees leaf files at conflicting
+    // partition depths
+    val fs = fsOf(spark, root)
+    if (fs.exists(new Path(root))) {
+      require(!fs.exists(new Path(manifestPath(root))),
+        s"writeShardEpoch: $root is a published single shard tree " +
+          "(writeShards) — an epoch lineage nests one tree per " +
+          "epoch=N; pass a fresh root, or keep using writeShards on " +
+          "this path")
+      def isEpochEntry(n: String): Boolean =
+        Seq("", ".graft-compact-old", ".graft-compact-tmp").exists(sfx =>
+          n.endsWith(sfx) &&
+            EpochRe.findFirstIn(n.stripSuffix(sfx)).isDefined)
+      val stray = fs.listStatus(new Path(root)).map(_.getPath.getName)
+        .filterNot(isEpochEntry)
+      require(stray.isEmpty,
+        s"writeShardEpoch: $root holds non-epoch entries " +
+          s"(${stray.take(3).mkString(", ")}) — not an epoch lineage " +
+          "this writer published; refusing to write into it")
+    }
     val eps = listEpochs(spark, root)
     val mine = (salt, buckets, numShards, budget)
     val owner = eps.find(e => loadIdentity(spark, epochPath(root, e)) == mine)
@@ -562,6 +587,14 @@ object ShardWriter {
     gone.foreach { e =>
       require(fs.delete(new Path(epochPath(root, e)), true),
         s"pruneEpochsBefore: could not delete epoch $e at $root")
+      // a crashed-swap sibling left by an old re-publish must go too:
+      // listEpochs would otherwise "restore" the pruned epoch from the
+      // stale sibling — a retired permutation silently re-entering the
+      // lineage
+      Seq(".graft-compact-old", ".graft-compact-tmp").foreach { sfx =>
+        val p = new Path(epochPath(root, e) + sfx)
+        if (fs.exists(p)) { fs.delete(p, true); () }
+      }
     }
     gone
   }

@@ -2189,6 +2189,39 @@ class OpsSpec extends AnyFunSuite {
       ShardWriter.readShards(spark, root)
     }
     assert(e4.getMessage.contains("readShardEpoch"), e4.getMessage)
+    // prune also removes a crashed-swap sibling of the retired epoch:
+    // listEpochs would otherwise "restore" the pruned epoch from the
+    // stale sibling — a retired permutation re-entering the lineage
+    val sib = new java.io.File(s"$root/epoch=2.graft-compact-old")
+    assert(sib.mkdirs() &&
+      new java.io.File(sib, "stale.parquet").createNewFile())
+    assert(ShardWriter.pruneEpochsBefore(spark, root, 3) == Seq(2))
+    assert(!sib.exists, "stale swap sibling survived the prune")
+    assert(ShardWriter.listEpochs(spark, root) == Seq(3))
+  }
+
+  test("shard epochs: a plain tree or foreign dir is never adopted as an epoch root") {
+    val df = (0L until 100L).map(i => (i, 2L)).toDF("doc_id", "n_tok")
+    val shuffled = Sample.shuffleRank(df, "doc_id", "g", 8)
+    val root = TestSpark.tmpDir("shardrt")
+    // a published SINGLE tree: writing epoch=0 inside it would corrupt
+    // the live layout (conflicting partition depths)
+    ShardWriter.writeShards(shuffled, "doc_id", "n_tok", 4, s"$root/tree",
+      "g", 8, -1L)
+    val e = intercept[IllegalArgumentException] {
+      ShardWriter.writeShardEpoch(shuffled, "doc_id", "n_tok", 4,
+        s"$root/tree", "g", 8, -1L)
+    }
+    assert(e.getMessage.contains("single shard tree"), e.getMessage)
+    // ...and a directory holding non-epoch entries is foreign
+    val foreign = new java.io.File(s"$root/foreign")
+    assert(foreign.mkdirs() &&
+      new java.io.File(foreign, "notes.txt").createNewFile())
+    val e2 = intercept[IllegalArgumentException] {
+      ShardWriter.writeShardEpoch(shuffled, "doc_id", "n_tok", 4,
+        s"$root/foreign", "g", 8, -1L)
+    }
+    assert(e2.getMessage.contains("non-epoch entries"), e2.getMessage)
   }
 
   test("shard epochs: epochDiff is the exact symmetric difference with holding-epoch tokens") {
