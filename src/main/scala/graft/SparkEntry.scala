@@ -2990,6 +2990,18 @@ object SparkEntry {
       graft.ops.ShardWriter.epochDiff(s, shardEpochTree(s, d), 1, 2)
         .orderBy("doc_id")),
 
+    // CROSS-EPOCH resume: the run consumed positions [0, 64) of epoch 1
+    // (2048-token identity), the corpus re-published as epoch 2 — the
+    // continuation is the new epoch minus the consumed DOCUMENTS, in
+    // the new permutation (positions are not comparable across epochs;
+    // identity is)
+    "x_shard_resume_epoch" -> ((s, d) =>
+      graft.ops.ShardWriter.resumeIntoEpoch(s, shardEpochTree(s, d),
+          oldEpoch = 1, newEpoch = 2, step = 2L, batchSize = 32L)
+        .select(col("doc_id"), col("n_tok"), col("shuffle_pos"),
+          col("shard").cast(LongType).as("shard"))
+        .orderBy("shuffle_pos")),
+
     // the RESUME sugar on the latest epoch: step 2 × batch 32 restarts
     // at position 64 — exactly one 8-row file stripe, so manifest
     // pruning drops each shard's first file and keeps the rest (the
@@ -5328,6 +5340,14 @@ object SparkEntry {
        """SELECT doc_id, 'added' AS side, n_tok AS n_tokens FROM sel2 """ +
        """WHERE doc_id NOT IN (SELECT doc_id FROM sel1) """ +
        """ORDER BY doc_id"""),
+
+    // the cross-epoch continuation: new epoch minus the documents in
+    // the old epoch's consumed position prefix, in new-epoch order
+    "x_shard_resume_epoch" ->
+      (s"""WITH $shardEpochChain """ +
+       """SELECT doc_id, n_tok, p::BIGINT AS shuffle_pos, (p % 8)::BIGINT AS shard """ +
+       """FROM pos2 WHERE doc_id NOT IN (SELECT doc_id FROM pos1 WHERE p < 64) """ +
+       """ORDER BY shuffle_pos"""),
 
     // the resume tail: latest epoch (1024-token identity), positions
     // [64, N)

@@ -613,21 +613,30 @@ object ShardWriter {
     * vectors never move) into one hash join on the id; rows in both
     * epochs are dropped pre-projection, so the output is the symmetric
     * difference only. */
-  def epochDiff(spark: SparkSession, root: String,
-                eFrom: Int, eTo: Int): DataFrame = {
+  /** The (id, token) column names two epochs both record — refused on
+    * disagreement (they would not be the same corpus). */
+  private def sharedCols(spark: SparkSession, root: String, op: String,
+                         eA: Int, eB: Int): (String, String) = {
     val eps = listEpochs(spark, root)
-    require(eps.contains(eFrom) && eps.contains(eTo) && eFrom != eTo,
-      s"epochDiff: need two distinct published epochs, got ($eFrom, " +
-        s"$eTo) of ${eps.mkString(", ")}")
+    require(eps.contains(eA) && eps.contains(eB) && eA != eB,
+      s"$op: need two distinct published epochs, got ($eA, $eB) of " +
+        eps.mkString(", "))
     def cols(e: Int): (String, String) = {
       val h = loadManifest(spark, epochPath(root, e))
         .select("id_col", "token_col").head()
       (h.getString(0), h.getString(1))
     }
-    val (idCol, tokenCol) = cols(eFrom)
-    require(cols(eTo) == ((idCol, tokenCol)),
-      s"epochDiff: epochs $eFrom and $eTo record different id/token " +
-        s"columns (${cols(eFrom)} vs ${cols(eTo)}) — not the same corpus")
+    val c = cols(eA)
+    require(cols(eB) == c,
+      s"$op: epochs $eA and $eB record different id/token columns " +
+        s"($c vs ${cols(eB)}) — not the same corpus")
+    c
+  }
+
+  def epochDiff(spark: SparkSession, root: String,
+                eFrom: Int, eTo: Int): DataFrame = {
+    val (idCol, tokenCol) = sharedCols(spark, root, "epochDiff",
+      eFrom, eTo)
     def side(e: Int, tag: String) =
       readShards(spark, epochPath(root, e))
         .select(col(idCol), col(tokenCol).cast(LongType).as(s"_tok_$tag"))
@@ -640,6 +649,40 @@ object ShardWriter {
         when(col("_tok_from").isNull, lit("added"))
           .otherwise(lit("removed")).as("side"),
         coalesce(col("_tok_to"), col("_tok_from")).as("n_tokens"))
+  }
+
+  /** Resume a training run ACROSS a re-selection: the run consumed the
+    * first `step · batchSize` permutation positions of `oldEpoch`, the
+    * corpus has since re-published as `newEpoch`, and the run wants to
+    * continue on the new corpus WITHOUT re-seeing documents it already
+    * trained on. Returns the new epoch's rows whose ids are not in the
+    * consumed prefix, in the NEW epoch's permutation (`shuffle_pos`) —
+    * stream it in position order like any epoch read. This is the only
+    * sound cross-epoch resume: positions are NOT comparable between
+    * epochs (different permutations), so continuation is by document
+    * identity, not position.
+    *
+    * Scale shape: the consumed prefix is read manifest-PRUNED from the
+    * old epoch (a prefix touches ~`(consumed/N)` of its files) and only
+    * its id column survives into one left-anti hash join against the
+    * new epoch — text/vectors never move, and a small consumed set
+    * broadcasts under AQE. */
+  def resumeIntoEpoch(spark: SparkSession, root: String,
+                      oldEpoch: Int, newEpoch: Int,
+                      step: Long, batchSize: Long): DataFrame = {
+    require(step >= 0L && batchSize >= 1L,
+      s"resumeIntoEpoch: need step >= 0 and batchSize >= 1, got " +
+        s"($step, $batchSize)")
+    val (idCol, _) = sharedCols(spark, root, "resumeIntoEpoch",
+      oldEpoch, newEpoch)
+    val fresh = readShardEpoch(spark, root, newEpoch)
+    val from = step * batchSize
+    if (from == 0L) fresh // nothing consumed yet — the whole new epoch
+    else {
+      val consumed = readShardSlice(spark, epochPath(root, oldEpoch),
+        0L, from).select(idCol)
+      fresh.join(consumed, Seq(idCol), "left_anti")
+    }
   }
 
   /** Resume-a-training-run sugar over [[readShardSlice]]: global step

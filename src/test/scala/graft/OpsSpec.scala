@@ -2256,6 +2256,43 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shard epochs: resumeIntoEpoch continues by document identity, not position") {
+    val root = TestSpark.tmpDir("shardre")
+    def publish(ids: Seq[Long], budget: Long): Int =
+      ShardWriter.writeShardEpoch(
+        Sample.shuffleRank(
+          ids.map(i => (i, 3L)).toDF("doc_id", "n_tok"),
+          "doc_id", "re", 8),
+        "doc_id", "n_tok", 4, root, salt = "re", buckets = 8,
+        budget = budget)
+    assert(publish(0L until 100L, 1L) == 0)
+    assert(publish(40L until 160L, 2L) == 1) // re-selection overlaps [40,100)
+    // the run consumed epoch 0's positions [0, 30)
+    val consumedIds = ShardWriter
+      .readShardSlice(spark, ShardWriter.epochPath(root, 0), 0L, 30L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(consumedIds.size == 30)
+    val cont = ShardWriter.resumeIntoEpoch(spark, root, 0, 1,
+        step = 3L, batchSize = 10L)
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // exactly the new epoch's documents minus the consumed ones
+    val wantIds = (40L until 160L).toSet -- consumedIds
+    assert(cont.map(_._1).toSet == wantIds, s"${cont.size} vs ${wantIds.size}")
+    // ...in the NEW epoch's permutation (its own dense positions)
+    val ep1Pos = ShardWriter.readShardEpoch(spark, root, 1)
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cont.forall { case (id, pos) => ep1Pos(id) == pos })
+    // step 0 = nothing consumed = the whole new epoch
+    assert(ShardWriter.resumeIntoEpoch(spark, root, 0, 1, 0L, 10L)
+      .count() == 120L)
+    // self-resume refuses (it would be positionless nonsense)
+    intercept[IllegalArgumentException] {
+      ShardWriter.resumeIntoEpoch(spark, root, 1, 1, 1L, 10L)
+    }
+  }
+
   test("shard epochs: crash between swap renames is restored before identity check") {
     val df = (0L until 200L).map(i => (i, "s0", 1000L - i, 2L))
       .toDF("doc_id", "source", "score", "n_tok")
