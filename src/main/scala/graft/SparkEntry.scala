@@ -1188,6 +1188,31 @@ object SparkEntry {
       root
     })
 
+  private val tokenShardTrees = new ConcurrentHashMap[String, String]()
+  /** Build-once TOKENIZED shard tree for the `x_token_shards*` gates:
+    * the training-artifact composition end to end — whitespace-token
+    * arrays, the deterministic doc shuffle (salt "tw", 32 buckets),
+    * the token stream sliced into 64-token context windows (partial
+    * tail dropped, the training convention), then the windows
+    * THEMSELVES written as a physical shard tree: `window_id` is the
+    * dense position of the window stream, so the writer's density and
+    * contiguity laws apply verbatim one level up — files of 32 packed
+    * fixed-length sequences in consumption order. */
+  private def tokenShardTree(s: SparkSession, d: String): String =
+    tokenShardTrees.computeIfAbsent(d, { _ =>
+      val path = indexPath("tokshard_", d)
+      val toks = docs(s, d).select(col("doc_id"),
+        TextStats.tokens(col("text")).as("ts"))
+      val pos = Sample.shuffleRank(toks, "doc_id", salt = "tw", buckets = 32)
+      val wins = graft.ops.TokenStream.sliceWindows(pos, "shuffle_pos",
+        "ts", ctxLen = 64, blocks = 16)
+      graft.ops.ShardWriter.writeShards(
+        wins.withColumn("shuffle_pos", col("window_id")),
+        "window_id", "n_tok", numShards = 4, path = path,
+        salt = "tw", buckets = 32, budget = 64L, maxRowsPerFile = 32L)
+      path
+    })
+
   /** The planted quality corpus shared by the NB classifier gates:
     * every doc_id % 3 == 0 document carries an appended "premium"
     * marker phrase, giving the trainer a learnable signal the oracle
@@ -3022,6 +3047,95 @@ object SparkEntry {
         .orderBy("shuffle_pos")
     }),
 
+    // TOKEN-STREAM context windows: the corpus's whitespace tokens
+    // concatenated in shuffle order and cut into consecutive 64-token
+    // windows (documents split across boundaries — the GPT-style
+    // "concatenate then chunk" layout). The gate explodes every window
+    // to (window_id, pos_in_window, token) rows, so the oracle pins
+    // EVERY token of EVERY window — content, order, and boundary
+    // placement — from one global-offset replay
+    "x_token_windows" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        TextStats.tokens(col("text")).as("ts"))
+      val pos = Sample.shuffleRank(toks, "doc_id", salt = "tw", buckets = 32)
+      graft.ops.TokenStream.sliceWindows(pos, "shuffle_pos", "ts",
+          ctxLen = 64, blocks = 16, dropPartial = false)
+        .select(col("window_id"),
+          posexplode(col("tokens")).as(Seq("i", "token")))
+        .select(col("window_id"), col("i").cast(LongType).as("pos_in_window"),
+          col("token"))
+        .orderBy("window_id", "pos_in_window")
+    }),
+
+    // ...and the per-window ROLLUP the operator itself reports: length
+    // (64 everywhere except the tail), contributing-document count, and
+    // the documents' position range (provenance for resume/audit)
+    "x_token_window_stats" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        TextStats.tokens(col("text")).as("ts"))
+      val pos = Sample.shuffleRank(toks, "doc_id", salt = "tw", buckets = 32)
+      graft.ops.TokenStream.sliceWindows(pos, "shuffle_pos", "ts",
+          ctxLen = 64, blocks = 16, dropPartial = false)
+        .select("window_id", "n_tok", "n_docs", "min_pos", "max_pos")
+        .orderBy("window_id")
+    }),
+
+    // ...and the document-boundary METADATA inside each window: one
+    // row per (window, contributing doc) span — position, first slot,
+    // slot count — the attention-mask-reset provenance a trainer
+    // consumes alongside the payload
+    "x_token_window_spans" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        TextStats.tokens(col("text")).as("ts"))
+      val pos = Sample.shuffleRank(toks, "doc_id", salt = "tw", buckets = 32)
+      graft.ops.TokenStream.sliceWindows(pos, "shuffle_pos", "ts",
+          ctxLen = 64, blocks = 16, dropPartial = false)
+        .select(col("window_id"), explode(col("doc_spans")).as("sp"))
+        .select(col("window_id"), col("sp.pos").as("pos"),
+          col("sp.start").as("start"), col("sp.len").as("len"))
+        .orderBy("window_id", "start")
+    }),
+
+    // the TOKENIZED physical shard tree's committed manifest rolled up
+    // per shard: windows ARE the rows (window_id the dense position),
+    // so file counts obey the 32-row split law, token sums are exactly
+    // 64 per window, and position ranges are the residue classes —
+    // the full training-artifact composition replayed from the corpus
+    "x_token_shards" -> ((s, d) =>
+      graft.ops.ShardWriter.loadManifest(s, tokenShardTree(s, d))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_files"), sum("n_docs").as("n_windows"),
+          sum("n_tokens").as("n_tokens"), min("min_pos").as("min_window"),
+          max("max_pos").as("max_window"))
+        .orderBy("shard")),
+
+    // ...and the written windows read back: id, length, shard, and the
+    // first/last token of each window's PAYLOAD — pinning the stored
+    // sequences' content without re-exploding the tree
+    "x_token_shards_read" -> ((s, d) =>
+      graft.ops.ShardWriter.readShards(s, tokenShardTree(s, d))
+        .select(col("window_id"), col("n_tok"),
+          col("shard").cast(LongType).as("shard"),
+          element_at(col("tokens"), 1).as("first_token"),
+          element_at(col("tokens"), -1).as("last_token"))
+        .orderBy("window_id")),
+
+    // TEMPERATURE-scaled domain mixing at alpha = 0.5 over a skewed
+    // derived domain (20/100/rest docs): sampling mass proportional to
+    // sqrt(domain size), scaled to a 1000-doc expected budget — small
+    // domains upsample, large downsample, via the exact integer quota
+    // (floor + millionths coin) the oracle re-derives from counts
+    "x_sample_temperature" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") < 20, lit("small"))
+          .when(col("doc_id") < 120, lit("mid"))
+          .otherwise(lit("big")).as("dom"))
+      Sample.sampleByTemperature(base, "dom", "doc_id",
+          alpha = 0.5, budgetDocs = 1000L)
+        .select("doc_id", "dom", "epoch")
+        .orderBy("doc_id", "epoch")
+    }),
+
     // per-source selection under a 2048-token budget, best (longest)
     // docs first: the kept set is the longest quality-ordered prefix
     // whose running token sum fits — replayed as the same window cut
@@ -3777,6 +3891,21 @@ object SparkEntry {
      s"""len($TOK)::BIGINT AS n_tok FROM documents), """ +
      one(2048, "1") + ", " + one(1024, "2"))
   }
+
+  /** Shared by the `x_token_*` gates: every corpus token with its
+    * GLOBAL position in the shuffled stream — the whitespace token
+    * arrays, the (salt "tw", 32-bucket) permutation, the exclusive
+    * running token offset, then one row per token at
+    * `tg = offset + ordinal`. Windows are pure arithmetic from here:
+    * `window = tg // ctxLen`, `slot = tg % ctxLen`. */
+  private def tokenStreamChain: String =
+    (s"""toks AS (SELECT doc_id, $TOK AS ts FROM documents), """ +
+     s"""tpos AS (SELECT doc_id, ts, (row_number() OVER (ORDER BY k % 32, k, doc_id) - 1) AS p """ +
+     s"""FROM (SELECT doc_id, ts, ${h60sql("'shuffle:tw:' || CAST(doc_id AS VARCHAR)")} AS k FROM toks)), """ +
+     """toff AS (SELECT doc_id, ts, p, COALESCE(SUM(len(ts)) OVER (ORDER BY p """ +
+     """ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o FROM tpos), """ +
+     """tok AS (SELECT p, o + i - 1 AS tg, t FROM """ +
+     """(SELECT p, o, unnest(ts) AS t, unnest(range(1, len(ts) + 1)) AS i FROM toff))""")
 
   /** Shared by `x_contamination` and `x_contamination_bloom`: the Bloom
     * prefilter can have no false negatives, so the filtered path must
@@ -5355,6 +5484,71 @@ object SparkEntry {
       (s"""WITH $shardEpochChain """ +
        """SELECT doc_id, n_tok, p::BIGINT AS shuffle_pos, (p % 8)::BIGINT AS shard """ +
        """FROM pos2 WHERE p >= 64 ORDER BY shuffle_pos"""),
+
+    // token-stream context windows replayed token by token: global
+    // offset -> window = tg // 64, slot = tg % 64 — every token's
+    // window placement from one arithmetic chain
+    "x_token_windows" ->
+      (s"""WITH $tokenStreamChain """ +
+       """SELECT (tg // 64)::BIGINT AS window_id, (tg % 64)::BIGINT AS pos_in_window, """ +
+       """t AS token FROM tok ORDER BY window_id, pos_in_window"""),
+
+    // the per-window rollup: token count (64 everywhere except the
+    // tail), contributing documents, and their position range
+    "x_token_window_stats" ->
+      (s"""WITH $tokenStreamChain """ +
+       """SELECT (tg // 64)::BIGINT AS window_id, count(*)::BIGINT AS n_tok, """ +
+       """count(DISTINCT p)::BIGINT AS n_docs, min(p)::BIGINT AS min_pos, """ +
+       """max(p)::BIGINT AS max_pos FROM tok GROUP BY 1 ORDER BY 1"""),
+
+    // the in-window document boundaries: per (window, doc) — first
+    // slot = min(tg) mod 64 (windows tile the stream, so the doc's
+    // first in-window token fixes the slot), slot count = tokens held
+    "x_token_window_spans" ->
+      (s"""WITH $tokenStreamChain """ +
+       """SELECT (tg // 64)::BIGINT AS window_id, p::BIGINT AS pos, """ +
+       """(min(tg) % 64)::BIGINT AS start, count(*)::BIGINT AS len """ +
+       """FROM tok GROUP BY 1, 2 ORDER BY 1, 3"""),
+
+    // the tokenized shard tree's committed manifest per shard: full
+    // windows only (the dropped tail is the one with < 64 tokens),
+    // shard = window % 4, files = ceil(windows/32), 64 tokens each
+    "x_token_shards" ->
+      (s"""WITH $tokenStreamChain, """ +
+       """wins AS (SELECT (tg // 64) AS w, count(*) AS c FROM tok GROUP BY 1 HAVING count(*) = 64) """ +
+       """SELECT (w % 4)::BIGINT AS shard, ((count(*) + 31) // 32)::BIGINT AS n_files, """ +
+       """count(*)::BIGINT AS n_windows, SUM(c)::BIGINT AS n_tokens, """ +
+       """min(w)::BIGINT AS min_window, max(w)::BIGINT AS max_window """ +
+       """FROM wins GROUP BY 1 ORDER BY 1"""),
+
+    // the written windows read back: each full window's id, length,
+    // shard, and its first/last stored token (payload pin)
+    "x_token_shards_read" ->
+      (s"""WITH $tokenStreamChain, """ +
+       """wins AS (SELECT (tg // 64) AS w, count(*) AS c, arg_min(t, tg) AS ft, """ +
+       """arg_max(t, tg) AS lt FROM tok GROUP BY 1 HAVING count(*) = 64) """ +
+       """SELECT w::BIGINT AS window_id, c::BIGINT AS n_tok, (w % 4)::BIGINT AS shard, """ +
+       """ft AS first_token, lt AS last_token FROM wins ORDER BY window_id"""),
+
+    // temperature mixing replayed from the counts up: md =
+    // round(sqrt(c)·1e6) (IEEE sqrt is correctly rounded — exactly
+    // portable), then EXACT integer quotas (floor + millionths coin)
+    // over HUGEINT, then the same floor+coin copies as x_sample_repeat
+    "x_sample_temperature" ->
+      ("""WITH tbase AS (SELECT doc_id, CASE WHEN doc_id < 20 THEN 'small' """ +
+       """WHEN doc_id < 120 THEN 'mid' ELSE 'big' END AS dom """ +
+       """FROM documents WHERE doc_id IS NOT NULL), """ +
+       """tcnt AS (SELECT dom, count(*)::BIGINT AS c FROM tbase GROUP BY dom), """ +
+       """tm AS (SELECT dom, c, CAST(round(sqrt(c) * 1000000) AS BIGINT) AS md FROM tcnt), """ +
+       """ttot AS (SELECT SUM(md)::HUGEINT AS mt FROM tm), """ +
+       """tq AS (SELECT dom, ((1000::HUGEINT * md) // (mt * c))::BIGINT AS f, """ +
+       """((((1000::HUGEINT * md) % (mt * c)) * 1000000) // (mt * c))::BIGINT AS thr """ +
+       """FROM tm, ttot), """ +
+       s"""tn AS (SELECT b.doc_id, b.dom, (q.f + CASE WHEN (${h60sql("'epoch::' || b.dom || ':' || CAST(b.doc_id AS VARCHAR)")} % 1000000) < q.thr """ +
+       """THEN 1 ELSE 0 END) AS nc FROM tbase b JOIN tq q ON b.dom = q.dom) """ +
+       """SELECT doc_id, dom, epoch FROM """ +
+       """(SELECT doc_id, dom, unnest(range(0, nc)) AS epoch FROM tn WHERE nc >= 1) """ +
+       """ORDER BY doc_id, epoch"""),
 
     // budgeted selection replayed: the same (score desc, id) window's
     // inclusive running sum, prefix-cut at the budget

@@ -196,27 +196,54 @@ object Sample {
                      defaultWeight: Double = 0.0,
                      salt: String = ""): DataFrame = {
     require(weights.nonEmpty, "repeatByWeight: empty weight table")
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 0.0 && w <= 100.0,
+        s"weights must be in [0, 100] epochs, got $w"))
+    def quotaOf(w: Double) =
+      (math.floor(w).toLong, Math.round((w - math.floor(w)) * 1e6))
+    repeatByQuota(df, domainCol, idCol,
+      weights.map { case (k, v) => k -> quotaOf(v) },
+      quotaOf(defaultWeight), salt)
+  }
+
+  /** [[repeatByWeight]]'s exact-arithmetic core: per-domain quotas as
+    * `(floorCopies, thrMicro)` pairs — every row of domain `d` is
+    * emitted `floorCopies` times plus one more iff its hash coin (in
+    * `[0, 1e6)`) lands under `thrMicro`, i.e. an exact expected weight
+    * of `floorCopies + thrMicro/1e6` with NO cross-engine float
+    * arithmetic anywhere. [[sampleByTemperature]] derives quotas by
+    * exact integer division; call this directly when the recipe's
+    * weights come from arithmetic that must replay bit-for-bit in
+    * another engine. Semantics (epoch/copy_id columns, NULL handling,
+    * the 100-epoch cap) are [[repeatByWeight]]'s. */
+  def repeatByQuota(df: DataFrame, domainCol: String, idCol: String,
+                    quotas: Map[String, (Long, Long)],
+                    defaultQuota: (Long, Long) = (0L, 0L),
+                    salt: String = ""): DataFrame = {
     // the op APPENDS `epoch` and `copy_id` — a pre-existing column of
     // either name would be silently replaced (withColumn semantics) and
     // every schema-sensitive consumer downstream would see the swap;
     // fail loudly instead (the family-wide collision rule)
     Seq("epoch", "copy_id").foreach(c =>
       require(!df.columns.contains(c),
-        s"repeatByWeight appends a '$c' column; the input already has " +
+        s"repeatByQuota appends a '$c' column; the input already has " +
           s"one — rename it first"))
-    (weights.values.toSeq :+ defaultWeight).foreach(w =>
-      require(w >= 0.0 && w <= 100.0,
-        s"weights must be in [0, 100] epochs, got $w"))
-    def floorOf(w: Double) = math.floor(w).toLong
-    def thrOf(w: Double) = Math.round((w - math.floor(w)) * 1e6)
-    val floorW = coalesce(
-      element_at(typedLit(weights.map { case (k, v) => k -> floorOf(v) }),
-        col(domainCol)),
-      lit(floorOf(defaultWeight)))
-    val thrW = coalesce(
-      element_at(typedLit(weights.map { case (k, v) => k -> thrOf(v) }),
-        col(domainCol)),
-      lit(thrOf(defaultWeight)))
+    (quotas.values.toSeq :+ defaultQuota).foreach { case (f, t) =>
+      require(f >= 0L && f <= 100L && t >= 0L && t < 1000000L,
+        s"quotas must be (floor in [0, 100], thr in [0, 1e6)), got ($f, $t)")
+    }
+    val floorW =
+      if (quotas.isEmpty) lit(defaultQuota._1)
+      else coalesce(
+        element_at(typedLit(quotas.map { case (k, (f, _)) => k -> f }),
+          col(domainCol)),
+        lit(defaultQuota._1))
+    val thrW =
+      if (quotas.isEmpty) lit(defaultQuota._2)
+      else coalesce(
+        element_at(typedLit(quotas.map { case (k, (_, t)) => k -> t }),
+          col(domainCol)),
+        lit(defaultQuota._2))
     val extra = when(
       hashBucket(s"epoch:$salt", domainCol, idCol) < thrW, 1L).otherwise(0L)
     val n = floorW + extra
@@ -227,6 +254,80 @@ object Sample {
         explode(sequence(lit(0L), col("_n_copies") - 1L)).as("epoch"): _*)
       .withColumn("copy_id",
         struct(col(idCol).as("id"), col("epoch").as("epoch")))
+  }
+
+  /** TEMPERATURE-scaled domain mixing — the standard multilingual /
+    * multi-domain balancing rule: domain `d` with `c_d` documents is
+    * sampled proportionally to `c_d^alpha` (`alpha = 1` keeps natural
+    * proportions, `alpha -> 0` approaches uniform-per-domain), scaled
+    * so the expected output is `budgetDocs` documents. Each document of
+    * domain `d` is therefore emitted with expected multiplicity
+    * `w_d = budgetDocs·c_d^alpha / (Σ_e c_e^alpha · c_d)` — small
+    * domains upsample, large domains downsample — through
+    * [[repeatByQuota]]'s floor+coin (so the draw is deterministic,
+    * per-document independent, and stable under re-runs).
+    *
+    * Exactness: each `c_d^alpha` is snapped ONCE to integer millionths
+    * (`m_d = round(c_d^alpha · 1e6)`); everything after — the sum, the
+    * per-domain quota `budgetDocs·m_d / (Σm · c_d)`, its floor and
+    * fractional coin threshold — is EXACT integer arithmetic (BigInt
+    * here, HUGEINT in a SQL replay), so any engine agrees bit-for-bit
+    * given the same snapped `m_d`. At `alpha = 0.5` the snap itself is
+    * exactly portable (IEEE `sqrt` is correctly rounded; a general
+    * `pow` is not guaranteed to the last ulp, though the 1e-6 snap
+    * makes a flip astronomically unlikely).
+    *
+    * A domain whose quota exceeds the 100-epoch cap refuses loudly
+    * (same rationale as [[repeatByWeight]] — a tiny domain under a hot
+    * temperature is almost certainly a recipe bug, and the explode
+    * factor is the one thing here that could melt a cluster). NULL
+    * domains are their own stratum (quota via the default slot); NULL
+    * ids are dropped (the family-wide rule — no sampling identity).
+    *
+    * Scale shape: one tiny groupBy(domain) count (driver-bounded by
+    * `maxDomains` — domains are sources/languages, not ids), then
+    * [[repeatByQuota]]'s pure per-row projection + generate. The
+    * corpus never shuffles. */
+  def sampleByTemperature(df: DataFrame, domainCol: String, idCol: String,
+                          alpha: Double, budgetDocs: Long,
+                          salt: String = "",
+                          maxDomains: Int = 65536): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    require(budgetDocs > 0, s"budgetDocs must be positive, got $budgetDocs")
+    // count only coin-eligible rows (non-null id) — mixtureSample's
+    // rule; counting ineligible rows would deflate every quota
+    val counts = df.filter(col(idCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+    require(counts.length <= maxDomains,
+      s"sampleByTemperature: ${counts.length} domains exceed " +
+        s"maxDomains=$maxDomains — group coarser or raise the bound")
+    if (counts.isEmpty) return repeatByQuota(df, domainCol, idCol,
+      Map("" -> (0L, 0L)), (0L, 0L), salt)
+    // the ONE float step, snapped to millionths; sqrt for alpha = 0.5
+    // (correctly rounded per IEEE-754 -> exactly portable)
+    def snap(c: Long): Long = Math.round(
+      (if (alpha == 0.5) Math.sqrt(c.toDouble)
+       else Math.pow(c.toDouble, alpha)) * 1e6)
+    val m = counts.map { case (d, c) => (d, c, snap(c)) }
+    val total = m.map(x => BigInt(x._3)).sum
+    val quotas = m.map { case (d, c, md) =>
+      val num = BigInt(budgetDocs) * md
+      val den = total * c
+      val f = num / den
+      require(f <= 100L,
+        s"sampleByTemperature: domain ${d.getOrElse("NULL")} ($c docs) " +
+          s"would be upsampled x$f (> the 100-epoch cap) at " +
+          s"alpha=$alpha, budget=$budgetDocs — raise alpha, lower the " +
+          "budget, or pre-merge tiny domains")
+      (d, (f.toLong, ((num % den) * 1000000 / den).toLong))
+    }
+    repeatByQuota(df, domainCol, idCol,
+      quotas.collect { case (Some(d), q) => d -> q }.toMap,
+      quotas.collectFirst { case (None, q) => q }.getOrElse((0L, 0L)),
+      salt)
   }
 
   /** Data SELECTION under a per-group token budget — "the best docs

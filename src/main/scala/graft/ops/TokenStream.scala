@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+/**
+ * Fixed-length CONTEXT-WINDOW slicing over the shuffled token stream —
+ * the step that turns a tokenized, permuted corpus into the artifact an
+ * autoregressive trainer actually consumes: conceptually concatenate
+ * every document's tokens in `shuffle_pos` order (one infinite stream)
+ * and cut it into consecutive windows of exactly `ctxLen` tokens, each
+ * window holding the tail of one document, zero or more whole
+ * documents, and the head of the next. This is the GPT-style
+ * "concatenate then chunk" layout ([[Sample.packByTokenBudget]] is the
+ * other convention — packs never split a document; this one never
+ * wastes a token slot).
+ *
+ * The reference stores positional tables whose row order IS the
+ * consumption order (`nimtables.nim:173-175` — append-only growth, read
+ * by position); this lifts that contract to token granularity at corpus
+ * scale: window `w` holds exactly global token positions
+ * `[w·ctxLen, (w+1)·ctxLen)` of the permuted stream, so any engine that
+ * agrees on the permutation agrees on every window bit-for-bit.
+ *
+ * Scale shape — no global sort, token payloads shuffle exactly once:
+ *   1. one NARROW pass (count) fixes N;
+ *   2. one NARROW pass (positions + token counts only, grouped into
+ *      `blocks` contiguous position blocks) verifies the permutation is
+ *      dense and prefix-sums per-block token totals on the driver
+ *      (≤ `blocks` longs — the [[Sample.shuffleRank]] two-pass
+ *      discipline), giving every row its exact global token offset
+ *      without ordering the corpus;
+ *   3. the only full-width movement: each document emits one ARRAY
+ *      SLICE per window it overlaps (`O(n/ctxLen + 1)` rows per doc —
+ *      never a per-token explode) and one hash shuffle on `window_id`
+ *      reassembles each window from its ≤ ctxLen-token segments.
+ * Per-group state is bounded by ctxLen tokens; nothing driver-side
+ * scales with the corpus. The output composes directly with
+ * [[ShardWriter.writeShards]] (`window_id` is the dense position of
+ * the window stream — see the gate fixture).
+ */
+object TokenStream {
+
+  /** Slice the global token stream — `tokensCol` arrays concatenated in
+    * `posCol` order — into consecutive `ctxLen`-token windows.
+    *
+    * Output (one row per window): `window_id` (dense, 0-based, the
+    * window's rank in the stream), `tokens` (the window's slice, same
+    * element type as the input arrays), `n_tok` (its length — `ctxLen`
+    * for every window except possibly the last), `n_docs` (documents
+    * contributing at least one token), `min_pos`/`max_pos` (the
+    * contributing documents' position range — provenance for resume
+    * and audit). With `dropPartial` (the default) the tail window is
+    * dropped unless it is exactly full — the training convention; keep
+    * it for lossless accounting.
+    *
+    * Each window also carries `doc_spans` — the document boundaries
+    * INSIDE the window as `(pos, start, len)` structs in slot order
+    * (`start` = the segment's first slot, spans tile `[0, n_tok)`
+    * contiguously): the metadata a trainer needs to reset attention
+    * across document boundaries, and the full provenance of every
+    * token slot. Document SEPARATORS are the caller's dial — append
+    * one upstream (`concat(ts, array(lit(eos)))`) and the separator
+    * occupies its slot like any token.
+    *
+    * `posCol` must be the DENSE `[0, N)` permutation produced by
+    * [[Sample.shuffleRank]] — run the shuffle AFTER the final
+    * selection. A hole, duplicate, or NULL refuses loudly (a silently
+    * mis-ordered stream would desynchronize every window after the
+    * defect). NULL token arrays refuse per offending row (a NULL has
+    * no stream footprint — fix or filter upstream); EMPTY arrays are
+    * legal and contribute nothing. `df` is evaluated three times (the
+    * narrow passes are deterministic) — cache upstream if it is an
+    * expensive derived pipeline. */
+  def sliceWindows(df: DataFrame, posCol: String, tokensCol: String,
+                   ctxLen: Int, blocks: Int = 1024,
+                   dropPartial: Boolean = true): DataFrame = {
+    require(ctxLen >= 1, s"ctxLen must be >= 1, got $ctxLen")
+    // same bound and rationale as shuffleRank's buckets: the per-block
+    // token offsets ride the plan as a broadcast map literal
+    require(blocks >= 1 && blocks <= (1 << 16),
+      s"blocks must be in [1, 65536], got $blocks")
+    require(df.schema(tokensCol).dataType.isInstanceOf[ArrayType],
+      s"sliceWindows: '$tokensCol' must be an array column, got " +
+        df.schema(tokensCol).dataType.simpleString)
+    val posL = col(posCol).cast(LongType)
+    // NULL positions / arrays fail loudly per row — both raises ride
+    // the narrow pass that feeds the offset computation (no extra scan)
+    val checkedPos = when(col(posCol).isNotNull, posL)
+      .otherwise(raise_error(lit(
+        s"sliceWindows: position column '$posCol' must be non-null — " +
+          "a NULL position has no place in the token stream")))
+    val checkedN = when(col(tokensCol).isNotNull,
+      size(col(tokensCol)).cast(LongType))
+      .otherwise(raise_error(concat(
+        lit(s"sliceWindows: token array ('$tokensCol') must be non-null, "),
+        lit("got NULL for position "),
+        coalesce(posL.cast("string"), lit("NULL")))))
+
+    // pass 1 (narrow): N fixes the block width
+    val n = df.agg(count(lit(1))).head().getLong(0)
+    if (n == 0L) {
+      // empty selection -> empty window stream (the WRITER refuses
+      // empties; a transform composes)
+      return df.limit(0).select(
+        posL.as("window_id"), col(tokensCol).as("tokens"),
+        lit(null).cast("array<struct<pos:bigint,start:bigint,len:bigint>>")
+          .as("doc_spans"),
+        lit(0L).as("n_tok"), lit(0L).as("n_docs"),
+        posL.as("min_pos"), posL.as("max_pos"))
+    }
+    val blockSize = (n + blocks - 1) / blocks
+    val blk = col("_tsb")
+    val keyed = df
+      .withColumn("_tsp", checkedPos)
+      .withColumn("_tsn", checkedN)
+      .withColumn("_tsb", expr(s"_tsp div ${blockSize}L"))
+
+    // pass 2 (narrow): per-block stats -> density law + exclusive
+    // prefix token offsets (driver holds <= `blocks` rows)
+    val stats = keyed.groupBy(blk)
+      .agg(count(lit(1)).as("c"), countDistinct(col("_tsp")).as("d"),
+        min("_tsp").as("mn"), max("_tsp").as("mx"), sum("_tsn").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    val distinct = stats.map(_._3).sum
+    val (gMin, gMax) = (stats.map(_._4).min, stats.map(_._5).max)
+    require(distinct == n && gMin == 0L && gMax == n - 1L,
+      s"sliceWindows: '$posCol' is not a dense [0, $n) permutation " +
+        s"($distinct distinct positions in [$gMin, $gMax]) — run " +
+        "Sample.shuffleRank AFTER the final selection, then slice")
+    val offsets = stats.map(s => (s._1, s._6))
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+      .sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toMap
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(
+        element_at(typedLit(offsets.map { case (b, o) => b.toString -> o }),
+          blk.cast("string")), lit(0L))
+
+    // pass 3 (full width, once): exact global token offset = block
+    // offset + the within-block exclusive running sum, then one array
+    // slice per overlapped window and the window_id hash shuffle
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(blk).orderBy(col("_tsp"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val L = lit(ctxLen.toLong)
+    val withOff = keyed
+      .withColumn("_tso", offCol + coalesce(sum(col("_tsn")).over(w), lit(0L)))
+      .filter(col("_tsn") > 0L)
+      .withColumn("_tsw",
+        explode(sequence(expr(s"_tso div ${ctxLen}L"),
+          expr(s"(_tso + _tsn - 1) div ${ctxLen}L"))))
+    val segStart = greatest(col("_tsw") * L, col("_tso"))
+    val segEnd = least((col("_tsw") + 1L) * L, col("_tso") + col("_tsn"))
+    val seg = withOff
+      .withColumn("_tss", segStart)
+      .withColumn("_tsl", (segStart - col("_tsw") * L).cast(LongType))
+      .withColumn("_tst", slice(col(tokensCol),
+        (segStart - col("_tso") + 1L).cast("int"),
+        (segEnd - segStart).cast("int")))
+    // ONE sorted segment list feeds both the payload and the span
+    // metadata (array_sort orders by the struct's first field — the
+    // unique global segment start)
+    val segs = array_sort(collect_list(struct(col("_tss").as("s"),
+      col("_tst").as("t"), col("_tsp").as("p"), col("_tsl").as("o"))))
+    val out = seg.groupBy(col("_tsw").as("window_id"))
+      .agg(
+        flatten(transform(segs, x => x.getField("t"))).as("tokens"),
+        transform(segs, x => struct(
+          x.getField("p").as("pos"), x.getField("o").as("start"),
+          size(x.getField("t")).cast(LongType).as("len"))).as("doc_spans"),
+        sum(size(col("_tst")).cast(LongType)).as("n_tok"),
+        count(lit(1)).as("n_docs"),
+        min("_tsp").as("min_pos"), max("_tsp").as("max_pos"))
+    if (dropPartial) out.filter(col("n_tok") === ctxLen.toLong) else out
+  }
+
+  /** Window-stream ROLLUP — total windows, tokens, and the partial-tail
+    * accounting a pipeline report wants without materializing windows. */
+  def windowStats(df: DataFrame, posCol: String, tokensCol: String,
+                  ctxLen: Int, blocks: Int = 1024): DataFrame =
+    sliceWindows(df, posCol, tokensCol, ctxLen, blocks, dropPartial = false)
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_tok") === ctxLen.toLong, 1L).otherwise(0L))
+          .as("n_full"),
+        sum("n_tok").as("n_tokens"),
+        max("window_id").as("max_window"))
+}

@@ -876,6 +876,67 @@ object Drive {
       s"200-token epoch 1 ($ep1n docs), pinned read stable, retired " +
       "identity refused, resume tail exact, epoch 0 pruned")
 
+    println("== r16 drive: token-stream windows on real docs -> tokenized shards")
+    // real documents, whitespace tokens, doc-boundary EOS separator
+    // appended upstream (the caller's dial the scaladoc documents),
+    // 48-token contexts, then the windows written as a shard epoch
+    val twDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        concat(graft.ops.TextStats.tokens(col("text")),
+          array(lit("<eos>"))).as("ts"))
+    val twPos = graft.ops.Sample.shuffleRank(twDocs, "doc_id", "drive-tw", 8)
+    val wins = graft.ops.TokenStream.sliceWindows(twPos, "shuffle_pos",
+      "ts", ctxLen = 48, blocks = 8)
+    val nWins = wins.count()
+    val totToks = twPos.agg(sum(size(col("ts")))).head().getLong(0)
+    require(nWins == totToks / 48L,
+      s"expected ${totToks / 48L} full windows, got $nWins")
+    require(wins.filter(col("n_tok") =!= 48L).count() == 0L)
+    // every window's spans tile [0, 48) and separators land in-slot
+    val sp0 = wins.orderBy("window_id").select("doc_spans").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    require(sp0.head.getAs[Long]("start") == 0L &&
+      sp0.map(_.getAs[Long]("len")).sum == 48L, s"span tiling broke: $sp0")
+    val tokRoot = java.nio.file.Files
+      .createTempDirectory("drive-tokshard").toString + "/tree"
+    graft.ops.ShardWriter.writeShards(
+      wins.withColumn("shuffle_pos", col("window_id")),
+      "window_id", "n_tok", numShards = 4, path = tokRoot,
+      salt = "drive-tw", buckets = 8, budget = 48L, maxRowsPerFile = 16L)
+    val manTok = graft.ops.ShardWriter.loadManifest(spark, tokRoot)
+    require(manTok.agg(sum("n_docs")).head().getLong(0) == nWins &&
+      manTok.agg(sum("n_tokens")).head().getLong(0) == nWins * 48L,
+      "tokenized tree manifest totals wrong")
+    val back = graft.ops.ShardWriter.readShards(spark, tokRoot)
+    require(back.count() == nWins &&
+      back.filter(size(col("tokens")) =!= 48).count() == 0L,
+      "read-back windows are not 48-token sequences")
+    println(s"-> $nWins windows of 48 (of $totToks tokens incl. <eos>), " +
+      s"written as ${manTok.count()} files / 4 shards, payload read back")
+
+    println("== r16 drive: temperature mixing on real sources")
+    val tDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), coalesce(col("source"), lit("?")).as("source"))
+    val nDocs = tDocs.count()
+    val tmixed = graft.ops.Sample.sampleByTemperature(tDocs, "source",
+      "doc_id", alpha = 0.5, budgetDocs = nDocs * 2)
+    val byDom = tmixed.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val natural = tDocs.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // expected-multiplicity law: realized total near 2x corpus, and
+    // smaller domains get weakly HIGHER per-doc multiplicity
+    val total = byDom.values.sum
+    require(math.abs(total - 2L * nDocs) <= nDocs / 2L,
+      s"temperature output $total far from budget ${2L * nDocs}")
+    val mult = natural.toSeq.map { case (d, c) =>
+      (c, byDom.getOrElse(d, 0L).toDouble / c) }.sortBy(_._1)
+    require(mult.head._2 >= mult.last._2 - 0.75,
+      s"small domains under-sampled vs large: $mult")
+    println(s"-> ${natural.size} sources, natural ${natural.values.sum} " +
+      s"docs -> $total mixed copies (per-domain multiplicities " +
+      s"${mult.map(m => f"${m._2}%.2f").mkString(", ")})")
+
     spark.stop()
     println("== drive done")
   }

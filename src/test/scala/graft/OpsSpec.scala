@@ -3640,4 +3640,208 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == exp.toSeq,
       s"engine ${got.toSeq} vs spec ${exp.toSeq}")
   }
+
+  // ---- token-stream context windows -------------------------------
+
+  /** Driver reference: concatenate token arrays in pos order, then the
+    * (window, slot) placement of every token is pure arithmetic. */
+  private def windowReference(rows: Seq[(Long, Seq[String])], ctxLen: Int,
+                              dropPartial: Boolean)
+      : Seq[(Long, Seq[String], Long, Long, Long, Long)] = {
+    val stream = rows.sortBy(_._1).flatMap { case (p, ts) => ts.map((p, _)) }
+    stream.zipWithIndex
+      .map { case ((p, t), tg) => (tg.toLong / ctxLen, p, t) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (w, g) =>
+        (w, g.map(_._3), g.size.toLong, g.map(_._2).distinct.size.toLong,
+          g.map(_._2).min, g.map(_._2).max)
+      }
+      .filter { case (_, _, n, _, _, _) => !dropPartial || n == ctxLen.toLong }
+  }
+
+  test("sliceWindows == the concatenated-stream reference at every boundary shape") {
+    // empty arrays, one-token docs, a doc spanning several windows,
+    // and a partial tail — under several ctxLen × blocks configs
+    // (the result must be block-count invariant: blocks only bound the
+    // per-task sort, never the stream)
+    val docs = Seq(
+      0L -> Seq("a", "b", "c"),
+      1L -> Seq.empty[String],
+      2L -> Seq("d"),
+      3L -> (0 until 23).map(i => s"t$i"),
+      4L -> Seq("x", "y"),
+      5L -> (0 until 7).map(i => s"u$i"),
+      6L -> Seq("z")
+    ).toDF("id", "ts")
+    val pos = Sample.shuffleRank(docs, "id", "win", 4)
+    val base = pos.select(col("shuffle_pos"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    for (ctx <- Seq(1, 4, 5, 64); blocks <- Seq(1, 3, 100);
+         drop <- Seq(true, false)) {
+      val rows = TokenStream.sliceWindows(pos, "shuffle_pos", "ts", ctx,
+          blocks, dropPartial = drop).collect().sortBy(_.getAs[Long]("window_id"))
+      val got = rows.map(r => (r.getAs[Long]("window_id"),
+        r.getAs[Seq[String]]("tokens"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("min_pos"),
+        r.getAs[Long]("max_pos"))).toSeq
+      val want = windowReference(base, ctx, drop)
+      assert(got == want, s"ctx=$ctx blocks=$blocks drop=$drop:\n" +
+        s"got  $got\nwant $want")
+      // span law: doc_spans tile [0, n_tok) contiguously in slot
+      // order, one span per contributing document, pos range matching
+      rows.foreach { r =>
+        val spans = r.getSeq[org.apache.spark.sql.Row](
+            r.fieldIndex("doc_spans"))
+          .map(s => (s.getAs[Long]("pos"), s.getAs[Long]("start"),
+            s.getAs[Long]("len"))).toSeq
+        assert(spans.size.toLong == r.getAs[Long]("n_docs"))
+        assert(spans.map(_._3).sum == r.getAs[Long]("n_tok"))
+        assert(spans.head._2 == 0L)
+        spans.sliding(2).foreach {
+          case Seq(a, b) => assert(a._2 + a._3 == b._2,
+            s"spans not contiguous in window ${r.getAs[Long]("window_id")}")
+          case _ => ()
+        }
+        assert(spans.map(_._1).min == r.getAs[Long]("min_pos") &&
+          spans.map(_._1).max == r.getAs[Long]("max_pos"))
+      }
+    }
+  }
+
+  test("sliceWindows refuses broken streams loudly; empty input composes") {
+    val docs = Seq(0L -> Seq("a", "b"), 1L -> Seq("c"), 2L -> Seq("d", "e"))
+      .toDF("id", "ts")
+    val pos = Sample.shuffleRank(docs, "id", "w2", 4)
+    // a hole (filtering AFTER the shuffle) desynchronizes every later
+    // window — refused with the fix in the message
+    val holes = pos.filter(col("shuffle_pos") =!= 1L)
+    val e1 = intercept[IllegalArgumentException] {
+      TokenStream.sliceWindows(holes, "shuffle_pos", "ts", 2)
+    }
+    assert(e1.getMessage.contains("dense"), e1.getMessage)
+    // a duplicated position is equally refused (count alone would pass)
+    val dup = pos.withColumn("shuffle_pos",
+      when(col("shuffle_pos") === 2L, 0L).otherwise(col("shuffle_pos")))
+    val e2 = intercept[IllegalArgumentException] {
+      TokenStream.sliceWindows(dup, "shuffle_pos", "ts", 2)
+    }
+    assert(e2.getMessage.contains("dense"), e2.getMessage)
+    // a NULL token array has no stream footprint — per-row raise
+    val nullTs = pos.withColumn("ts",
+      when(col("id") === 1L, lit(null)).otherwise(col("ts")))
+    val e3 = intercept[Throwable] {
+      TokenStream.sliceWindows(nullTs, "shuffle_pos", "ts", 2).collect()
+    }
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e3).flatMap(c => Option(c.getMessage))
+      .exists(_.contains("sliceWindows")), e3.toString)
+    // guards: ctxLen, blocks, non-array column
+    intercept[IllegalArgumentException] {
+      TokenStream.sliceWindows(pos, "shuffle_pos", "ts", 0)
+    }
+    intercept[IllegalArgumentException] {
+      TokenStream.sliceWindows(pos, "shuffle_pos", "ts", 2, blocks = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TokenStream.sliceWindows(pos, "shuffle_pos", "id", 2)
+    }
+    // an empty selection yields an empty window stream with the full
+    // output schema (a transform composes; the WRITER refuses empties)
+    val empty = TokenStream.sliceWindows(pos.filter(lit(false)),
+      "shuffle_pos", "ts", 2)
+    assert(empty.columns.toSeq == Seq("window_id", "tokens", "doc_spans",
+      "n_tok", "n_docs", "min_pos", "max_pos"))
+    assert(empty.count() == 0L)
+  }
+
+  test("windowStats carries the full accounting incl. the partial tail") {
+    val docs = Seq(0L -> (0 until 10).map(i => s"a$i"),
+      1L -> (0 until 3).map(i => s"b$i")).toDF("id", "ts")
+    val pos = Sample.shuffleRank(docs, "id", "w3", 2)
+    val st = TokenStream.windowStats(pos, "shuffle_pos", "ts", 4).head()
+    // 13 tokens at ctx 4 -> windows 0..3, last holds 1 token
+    assert(st.getAs[Long]("n_windows") == 4L)
+    assert(st.getAs[Long]("n_full") == 3L)
+    assert(st.getAs[Long]("n_tokens") == 13L)
+    assert(st.getAs[Long]("max_window") == 3L)
+  }
+
+  // ---- temperature-scaled mixing ----------------------------------
+
+  test("sampleByTemperature derives the exact integer quotas (alpha=0.5 hand case)") {
+    // a:4 docs, b:16 docs, budget 12, alpha .5: m_a=2e6, m_b=4e6,
+    // M=6e6 -> w_a = 12·2e6/(6e6·4) = exactly 1 (floor 1, thr 0);
+    // w_b = 12·4e6/(6e6·16) = exactly 0.5 (floor 0, thr 500000)
+    val df = ((0 until 4).map(i => (i.toLong, "a")) ++
+      (10 until 26).map(i => (i.toLong, "b"))).toDF("id", "dom")
+    val got = Sample.sampleByTemperature(df, "dom", "id", 0.5, 12L)
+      .select("id", "dom", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(x => (x._1, x._3)).toSeq
+    val want = Sample.repeatByQuota(df, "dom", "id",
+        Map("a" -> ((1L, 0L)), "b" -> ((0L, 500000L))))
+      .select("id", "dom", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(x => (x._1, x._3)).toSeq
+    assert(got == want)
+    // every a-doc exactly once; b-docs 0 or 1 times; output near budget
+    assert(got.count(_._2 == "a") == 4)
+    assert(got.filter(_._2 == "a").forall(_._3 == 0L))
+    val bCount = got.count(_._2 == "b")
+    assert(bCount >= 1 && bCount <= 16, s"b drew $bCount")
+  }
+
+  test("sampleByTemperature: alpha=1 is the uniform per-doc rate; NULL domain is a stratum") {
+    // alpha 1: w_d = budget·c_d/(C·c_d) = budget/C for EVERY domain —
+    // with budget == corpus size every doc appears exactly once,
+    // including the NULL-domain stratum (quota via the default slot)
+    val df = (Seq((0L, "a"), (1L, "a"), (2L, "b")) ++
+      Seq((3L, null: String), (4L, null: String))).toDF("id", "dom")
+    val out = Sample.sampleByTemperature(df, "dom", "id", 1.0, 5L)
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.sorted.toSeq == Seq((0L, 0L), (1L, 0L), (2L, 0L),
+      (3L, 0L), (4L, 0L)))
+  }
+
+  test("sampleByTemperature refuses the 100-epoch cap and bad dials") {
+    val df = (Seq((0L, "tiny")) ++ (1 until 10000).map(i => (i.toLong, "big")))
+      .toDF("id", "dom")
+    val e = intercept[IllegalArgumentException] {
+      Sample.sampleByTemperature(df, "dom", "id", 0.5, 100000L)
+    }
+    assert(e.getMessage.contains("100-epoch"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Sample.sampleByTemperature(df, "dom", "id", 0.0, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Sample.sampleByTemperature(df, "dom", "id", 1.5, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Sample.sampleByTemperature(df, "dom", "id", 0.5, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Sample.sampleByTemperature(df, "dom", "id", 0.5, 10L, maxDomains = 1)
+    }
+  }
+
+  test("repeatByQuota is repeatByWeight's exact core (parity + guards)") {
+    val df = Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "b"))
+      .toDF("id", "dom")
+    val w = Map("a" -> 2.5, "b" -> 0.4)
+    val byWeight = Sample.repeatByWeight(df, "dom", "id", w,
+        defaultWeight = 1.0, salt = "q")
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val byQuota = Sample.repeatByQuota(df, "dom", "id",
+        Map("a" -> ((2L, 500000L)), "b" -> ((0L, 400000L))),
+        defaultQuota = (1L, 0L), salt = "q")
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(byWeight == byQuota)
+    intercept[IllegalArgumentException] {
+      Sample.repeatByQuota(df, "dom", "id", Map("a" -> ((101L, 0L))))
+    }
+    intercept[IllegalArgumentException] {
+      Sample.repeatByQuota(df, "dom", "id", Map("a" -> ((1L, 1000000L))))
+    }
+  }
 }

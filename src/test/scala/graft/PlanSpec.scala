@@ -286,4 +286,29 @@ class PlanSpec extends AnyFunSuite {
     // ...and the plan actually computes the right thing
     assert(diff.count() == 50L)
   }
+
+  test("sliceWindows: bucketed offsets + one window_id shuffle — no global sort") {
+    // the token stream is NEVER ordered globally: offsets come from the
+    // per-block window (hashpartitioning on the block column) plus the
+    // broadcast per-block prefix map, and the only full-width movement
+    // is the hash shuffle that reassembles windows. A regression to
+    // `SUM(...) OVER (ORDER BY pos)` over everything would plan as
+    // Exchange rangepartitioning (or SinglePartition) ahead of the
+    // window — the shape this test forbids.
+    val toks = docsDf.select($"doc_id",
+      split(lower($"text"), "\\s+").as("ts"))
+    val pos = Sample.shuffleRank(toks, "doc_id", salt = "plan-tw",
+      buckets = 8)
+    val p = plan(TokenStream.sliceWindows(pos, "shuffle_pos", "ts", 64,
+      blocks = 8, dropPartial = false))
+    assert(!p.contains("rangepartitioning"),
+      s"sliceWindows regressed to a global sort:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"sliceWindows funneled the stream through one partition:\n$p")
+    assert(p.contains("hashpartitioning(_tsb"),
+      s"sliceWindows' per-block offset window partitioning vanished:\n$p")
+    assert(p.contains("hashpartitioning(window_id") ||
+      p.contains("hashpartitioning(_tsw"),
+      s"sliceWindows lost its window_id reassembly shuffle:\n$p")
+  }
 }

@@ -1218,6 +1218,85 @@ object ScaleDrive {
     println(s"  1024 files, laws + resume verified at 100M")
     spark.sparkContext.removeSparkListener(spillListener)
 
+    // token-stream windows at volume: 2M docs / ~100M tokens sliced
+    // into 2048-token contexts, then the TOKENIZED artifact written
+    // through the production shard writer. The scale claims under
+    // test: offsets from the bucketed two-pass (no global sort — the
+    // wall clock would say so), per-doc ARRAY-SLICE fan-out (never a
+    // per-token explode; ~2M segment rows for 100M tokens), and the
+    // window_id reassembly shuffle whose groups are ctxLen-bounded.
+    // One mid-stream window is re-derived INDEPENDENTLY: its member
+    // docs' offsets recomputed by direct count-sums, its tokens
+    // re-assembled on the driver and compared slot by slot.
+    println("== token windows over ~100M tokens (2M docs, ctx 2048)")
+    val twN = 2000000L
+    val twDocs = spark.range(twN).select(
+      col("id").as("doc_id"),
+      transform(
+        sequence(lit(1L), (pmod(hash(col("id") * 13L), lit(61)) + 20L)),
+        x => (pmod(col("id") * 31L + x, lit(50000L))).cast("int"))
+        .as("ts"))
+    val twPos = graft.ops.Sample.shuffleRank(twDocs, "doc_id", salt = "tw100",
+      buckets = 2048).localCheckpoint(true) // 3 passes ride the op
+    val twTotal = twPos.agg(sum(size(col("ts")).cast("long")))
+      .head().getLong(0)
+    val tTw = System.nanoTime()
+    val twWins = time("sliceWindows: ~100M tokens -> 2048-token windows") {
+      val w = graft.ops.TokenStream.sliceWindows(twPos, "shuffle_pos",
+        "ts", ctxLen = 2048, blocks = 2048).localCheckpoint(true)
+      w.count(); w
+    }
+    val twSec = (System.nanoTime() - tTw) / 1e9
+    assert(twSec < 600.0, f"window slicing took $twSec%.0f s")
+    val twStats = twWins.agg(count(lit(1)), sum("n_tok"),
+      countDistinct("window_id"), max("window_id"),
+      min(col("n_tok") === 2048L)).collect()(0)
+    val expWins = twTotal / 2048L
+    assert(twStats.getLong(0) == expWins,
+      s"expected $expWins full windows, got ${twStats.getLong(0)}")
+    assert(twStats.getLong(1) == expWins * 2048L, "token mass wrong")
+    assert(twStats.getLong(2) == expWins &&
+      twStats.getLong(3) == expWins - 1L, "window ids not dense")
+    assert(twStats.getBoolean(4), "a non-tail window is not full")
+    // independent re-derivation of one mid-stream window
+    val wMid = expWins / 2L
+    val midRow = twWins.filter(col("window_id") === wMid).collect()(0)
+    val (mnP, mxP) = (midRow.getAs[Long]("min_pos"),
+      midRow.getAs[Long]("max_pos"))
+    val members = twPos
+      .filter(col("shuffle_pos").between(mnP, mxP))
+      .select(col("shuffle_pos"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1)
+    val offBefore = twPos.filter(col("shuffle_pos") < mnP)
+      .agg(coalesce(sum(size(col("ts")).cast("long")), lit(0L)))
+      .head().getLong(0)
+    val streamSeg = members.flatMap(_._2) // tokens at [offBefore, ...)
+    val lo = (wMid * 2048L - offBefore).toInt
+    val expMid = streamSeg.slice(lo, lo + 2048).toSeq
+    assert(midRow.getAs[Seq[Int]]("tokens") == expMid,
+      s"window $wMid payload diverges from the independent re-derivation")
+    assert(midRow.getAs[Long]("n_docs") == members.length.toLong,
+      "window doc count wrong")
+    println(f"  $expWins windows of 2048 (of $twTotal tokens); " +
+      "mid-stream window re-derived independently")
+    // ...and the tokenized artifact through the production writer:
+    // window_id IS the dense position, so every manifest law applies
+    time("writeShards over the windows (16 shards, 4k-window files)") {
+      graft.ops.ShardWriter.writeShards(
+        twWins.withColumn("shuffle_pos", col("window_id")),
+        "window_id", "n_tok", numShards = 16,
+        path = s"$shardRoot/toktree", salt = "tw100", buckets = 2048,
+        budget = 2048L, maxRowsPerFile = 4000L)
+    }
+    val manTok = graft.ops.ShardWriter
+      .loadManifest(spark, s"$shardRoot/toktree").collect()
+    assert(manTok.map(_.getAs[Long]("n_docs")).sum == expWins,
+      "tokenized tree window total wrong")
+    assert(manTok.map(_.getAs[Long]("n_tokens")).sum == expWins * 2048L,
+      "tokenized tree token total wrong")
+    println(s"  tokenized tree: ${manTok.length} files across 16 shards, " +
+      "manifest totals verified")
+
     // ANN retrieval QUALITY canary: recall@10 vs exact brute force with
     // hard floors — every x_knn_* gate pins determinism (the oracle
     // replays the engine's own approximation), so only THIS catches a
