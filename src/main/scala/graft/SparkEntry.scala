@@ -2434,6 +2434,26 @@ object SparkEntry {
         .orderBy("doc_id", "tpos")
     }),
 
+    // MODEL-token context windows: the BPE id sequences (the real
+    // tokenizer, not whitespace words) concatenated in shuffle order
+    // and cut into 128-id contexts — the exact array an autoregressive
+    // trainer consumes, every slot pinned by the recursive-CTE apply
+    // chain composed with the global-offset window arithmetic
+    "x_bpe_windows" -> ((s, d) => {
+      val vocab = bpeGateVocab(s, d)
+      val ids = docs(s, d).select(col("doc_id"),
+        graft.functions.native.token_ids(
+          Bpe.encodeCol(col("text"), bpeGateMerges), vocab).as("ids"))
+      val pos = Sample.shuffleRank(ids, "doc_id", salt = "bw", buckets = 32)
+      graft.ops.TokenStream.sliceWindows(pos, "shuffle_pos", "ids",
+          ctxLen = 128, blocks = 16, dropPartial = false)
+        .select(col("window_id"),
+          posexplode(col("tokens")).as(Seq("i", "token_id")))
+        .select(col("window_id"), col("i").cast(LongType).as("slot"),
+          col("token_id"))
+        .orderBy("window_id", "slot")
+    }),
+
     // sequence packing by REAL tokenizer tokens: pack budgets measured
     // in BPE tokens (size of the kernel's output), not whitespace words
     // — the composition a training-shard writer actually needs
@@ -4912,6 +4932,24 @@ object SparkEntry {
        """enc AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY widx, spos) AS tpos, token FROM toks) """ +
        """SELECT e.doc_id, e.tpos, COALESCE(v.token_id, -1) AS token_id """ +
        """FROM enc e LEFT JOIN vocab v ON e.token = v.token ORDER BY doc_id, tpos"""),
+
+    // the model-token context windows: the x_bpe_ids chain's per-doc
+    // id sequences, the (salt "bw") permutation over ALL documents
+    // (token-less docs hold a position with zero footprint), global
+    // offsets, then window = tg // 128 / slot = tg % 128
+    "x_bpe_windows" ->
+      (s"""WITH RECURSIVE $bpeApplyCtes, $bpeVocabCtes, """ +
+       """enc AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY widx, spos) AS tpos, token FROM toks), """ +
+       """idseq AS (SELECT e.doc_id, e.tpos, COALESCE(v.token_id, -1) AS tid """ +
+       """FROM enc e LEFT JOIN vocab v ON e.token = v.token), """ +
+       """dcnt AS (SELECT doc_id, count(*) AS n FROM idseq GROUP BY 1), """ +
+       s"""dpos AS (SELECT d.doc_id, COALESCE(c.n, 0) AS n, (row_number() OVER (ORDER BY d.k % 32, d.k, d.doc_id) - 1) AS p """ +
+       s"""FROM (SELECT doc_id, ${h60sql("'shuffle:bw:' || CAST(doc_id AS VARCHAR)")} AS k FROM documents) d """ +
+       """LEFT JOIN dcnt c USING (doc_id)), """ +
+       """doff AS (SELECT doc_id, COALESCE(SUM(n) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o FROM dpos), """ +
+       """gt AS (SELECT (f.o + i.tpos - 1) AS tg, i.tid FROM idseq i JOIN doff f USING (doc_id)) """ +
+       """SELECT (tg // 128)::BIGINT AS window_id, (tg % 128)::BIGINT AS slot, """ +
+       """tid AS token_id FROM gt ORDER BY window_id, slot"""),
 
     // sequence packing by REAL tokenizer tokens: per-doc BPE token
     // counts from the apply CTE (token-free docs count 0 via the left
