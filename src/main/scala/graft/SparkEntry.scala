@@ -1204,12 +1204,9 @@ object SparkEntry {
       val toks = docs(s, d).select(col("doc_id"),
         TextStats.tokens(col("text")).as("ts"))
       val pos = Sample.shuffleRank(toks, "doc_id", salt = "tw", buckets = 32)
-      val wins = graft.ops.TokenStream.sliceWindows(pos, "shuffle_pos",
-        "ts", ctxLen = 64, blocks = 16)
-      graft.ops.ShardWriter.writeShards(
-        wins.withColumn("shuffle_pos", col("window_id")),
-        "window_id", "n_tok", numShards = 4, path = path,
-        salt = "tw", buckets = 32, budget = 64L, maxRowsPerFile = 32L)
+      graft.ops.TokenStream.writeContextShards(pos, "shuffle_pos", "ts",
+        ctxLen = 64, numShards = 4, path = path, salt = "tw",
+        buckets = 32, blocks = 16, maxWindowsPerFile = 32L)
       path
     })
 
@@ -3139,6 +3136,37 @@ object SparkEntry {
           element_at(col("tokens"), 1).as("first_token"),
           element_at(col("tokens"), -1).as("last_token"))
         .orderBy("window_id")),
+
+    // the full TOKENIZED-corpus assembly in one chain: per-source
+    // budget selection -> temperature mixing (alpha 0.5, 300-doc
+    // budget; copies keyed by the portable concat(id,':',epoch)) ->
+    // the global shuffle over the MIXED stream -> 64-token context
+    // windows, rolled up per window. Five oracle-gated stages, the
+    // composition pinned stage by stage in one DuckDB replay
+    "x_pipeline_tokens" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"),
+        col("n_chars").cast(LongType).as("score"),
+        TextStats.tokens(col("text")).as("ts"))
+        .withColumn("n_tok", size(col("ts")).cast(LongType))
+      val selected = Sample.selectByBudget(base, "source", "doc_id",
+          "score", "n_tok", 4096L)
+        .drop("cum_tokens", "sel_rank")
+      val mixed = Sample.sampleByTemperature(selected, "source", "doc_id",
+        alpha = 0.5, budgetDocs = 300L, salt = "pt")
+      // (doc_id, epoch) is the row identity now — the PORTABLE string
+      // key (shuffleRank's epoch-mixed-corpus rule; a struct cast
+      // would render engine-specifically)
+      val keyed = mixed.withColumn("mix_id",
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string")))
+      val pos = Sample.shuffleRank(keyed, "mix_id", salt = "pt",
+        buckets = 32)
+      graft.ops.TokenStream.sliceWindows(pos, "shuffle_pos", "ts",
+          ctxLen = 64, blocks = 16, dropPartial = false)
+        .select("window_id", "n_tok", "n_docs", "min_pos", "max_pos")
+        .orderBy("window_id")
+    }),
 
     // TEMPERATURE-scaled domain mixing at alpha = 0.5 over a skewed
     // derived domain (20/100/rest docs): sampling mass proportional to
@@ -5567,6 +5595,36 @@ object SparkEntry {
        """arg_max(t, tg) AS lt FROM tok GROUP BY 1 HAVING count(*) = 64) """ +
        """SELECT w::BIGINT AS window_id, c::BIGINT AS n_tok, (w % 4)::BIGINT AS shard, """ +
        """ft AS first_token, lt AS last_token FROM wins ORDER BY window_id"""),
+
+    // the tokenized-corpus assembly replayed stage by stage: selection
+    // window -> sqrt-mass HUGEINT quotas -> floor+coin copies keyed
+    // (doc, epoch) -> the global rank over concat(id,':',epoch) ->
+    // global token offsets -> window/slot arithmetic -> rollup
+    "x_pipeline_tokens" ->
+      (s"""WITH pbase AS (SELECT doc_id, COALESCE(source, '') AS source, n_chars::BIGINT AS score, """ +
+       s"""$TOK AS ts, len($TOK)::BIGINT AS n_tok FROM documents), """ +
+       """psel AS (SELECT doc_id, source, ts, n_tok FROM (SELECT *, """ +
+       """SUM(n_tok) OVER (PARTITION BY source ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS ct """ +
+       """FROM pbase) WHERE ct <= 4096), """ +
+       """pcnt AS (SELECT source, count(*)::BIGINT AS c FROM psel GROUP BY source), """ +
+       """pm AS (SELECT source, c, CAST(round(sqrt(c) * 1000000) AS BIGINT) AS md FROM pcnt), """ +
+       """ptot AS (SELECT SUM(md)::HUGEINT AS mt FROM pm), """ +
+       """pq AS (SELECT source, ((300::HUGEINT * md) // (mt * c))::BIGINT AS f, """ +
+       """((((300::HUGEINT * md) % (mt * c)) * 1000000) // (mt * c))::BIGINT AS thr FROM pm, ptot), """ +
+       s"""pmix AS (SELECT s.doc_id, s.source, s.ts, s.n_tok, (q.f + CASE WHEN """ +
+       s"""(${h60sql("'epoch:pt:' || s.source || ':' || CAST(s.doc_id AS VARCHAR)")} % 1000000) < q.thr """ +
+       """THEN 1 ELSE 0 END) AS nc FROM psel s JOIN pq q USING (source)), """ +
+       """pcp AS (SELECT doc_id, ts, n_tok, unnest(range(0, nc)) AS epoch FROM pmix WHERE nc >= 1), """ +
+       s"""ppos AS (SELECT ts, n_tok, (row_number() OVER (ORDER BY k % 32, k, mix_id) - 1) AS p """ +
+       s"""FROM (SELECT ts, n_tok, CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR) AS mix_id, """ +
+       s"""${h60sql("'shuffle:pt:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)")} AS k FROM pcp)), """ +
+       """poff AS (SELECT p, ts, COALESCE(SUM(n_tok) OVER (ORDER BY p """ +
+       """ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o FROM ppos), """ +
+       """ptok AS (SELECT p, o + i - 1 AS tg FROM """ +
+       """(SELECT p, o, unnest(range(1, len(ts) + 1)) AS i FROM poff)) """ +
+       """SELECT (tg // 64)::BIGINT AS window_id, count(*)::BIGINT AS n_tok, """ +
+       """count(DISTINCT p)::BIGINT AS n_docs, min(p)::BIGINT AS min_pos, """ +
+       """max(p)::BIGINT AS max_pos FROM ptok GROUP BY 1 ORDER BY 1"""),
 
     // temperature mixing replayed from the counts up: md =
     // round(sqrt(c)·1e6) (IEEE sqrt is correctly rounded — exactly

@@ -177,6 +177,28 @@ object TokenStream {
     if (dropPartial) out.filter(col("n_tok") === ctxLen.toLong) else out
   }
 
+  /** [[sliceWindows]] composed with [[ShardWriter.writeShards]] — the
+    * one-call tokenized training artifact: fixed-length context
+    * windows (partial tail dropped) written as a physical shard tree
+    * in consumption order. `window_id` is the dense position of the
+    * window stream, so every writer law (density, file contiguity,
+    * identity refusal, staged-swap publish) applies verbatim one level
+    * up; the recorded identity's `budget` slot carries `ctxLen` (the
+    * dial that changes which windows exist). Resume with
+    * [[ShardWriter.resumeFrom]] over WINDOW positions — exactly the
+    * (step, global batch) arithmetic a trainer restarts from. */
+  def writeContextShards(df: DataFrame, posCol: String, tokensCol: String,
+                         ctxLen: Int, numShards: Int, path: String,
+                         salt: String, buckets: Int,
+                         blocks: Int = 1024,
+                         maxWindowsPerFile: Long = 1L << 20): Unit = {
+    val wins = sliceWindows(df, posCol, tokensCol, ctxLen, blocks)
+    ShardWriter.writeShards(
+      wins.withColumn("shuffle_pos", col("window_id")),
+      "window_id", "n_tok", numShards, path, salt, buckets,
+      budget = ctxLen.toLong, maxRowsPerFile = maxWindowsPerFile)
+  }
+
   /** Window-stream ROLLUP — total windows, tokens, and the partial-tail
     * accounting a pipeline report wants without materializing windows. */
   def windowStats(df: DataFrame, posCol: String, tokensCol: String,
