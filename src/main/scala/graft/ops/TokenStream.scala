@@ -191,12 +191,22 @@ object TokenStream {
                          ctxLen: Int, numShards: Int, path: String,
                          salt: String, buckets: Int,
                          blocks: Int = 1024,
-                         maxWindowsPerFile: Long = 1L << 20): Unit = {
-    val wins = sliceWindows(df, posCol, tokensCol, ctxLen, blocks)
-    ShardWriter.writeShards(
-      wins.withColumn("shuffle_pos", col("window_id")),
-      "window_id", "n_tok", numShards, path, salt, buckets,
-      budget = ctxLen.toLong, maxRowsPerFile = maxWindowsPerFile)
+                         maxWindowsPerFile: Long = 1L << 20,
+                         checkpointInput: Boolean = true): Unit = {
+    // the writeShardRecipe seam, applied to the EXPENSIVE end of the
+    // funnel: slicing makes two narrow passes plus the full write over
+    // `df`, so an uncheckpointed tokenization pipeline (BPE encode, id
+    // mapping) would re-run ~3x — at corpus scale the dominant cost,
+    // multiplied. The checkpoint materializes the tokenized, ranked
+    // input once.
+    val in = if (checkpointInput) df.localCheckpoint(true) else df
+    try {
+      val wins = sliceWindows(in, posCol, tokensCol, ctxLen, blocks)
+      ShardWriter.writeShards(
+        wins.withColumn("shuffle_pos", col("window_id")),
+        "window_id", "n_tok", numShards, path, salt, buckets,
+        budget = ctxLen.toLong, maxRowsPerFile = maxWindowsPerFile)
+    } finally if (checkpointInput) { in.unpersist(); () }
   }
 
   /** Window-stream ROLLUP — total windows, tokens, and the partial-tail
