@@ -23,20 +23,31 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
  * `[w·ctxLen, (w+1)·ctxLen)` of the permuted stream, so any engine that
  * agrees on the permutation agrees on every window bit-for-bit.
  *
- * Scale shape — no global sort, token payloads shuffle exactly once:
+ * Scale shape — no global sort anywhere:
  *   1. one NARROW pass (count) fixes N;
  *   2. one NARROW pass (positions + token counts only, grouped into
  *      `blocks` contiguous position blocks) verifies the permutation is
  *      dense and prefix-sums per-block token totals on the driver
  *      (≤ `blocks` longs — the [[Sample.shuffleRank]] two-pass
- *      discipline), giving every row its exact global token offset
- *      without ordering the corpus;
- *   3. the only full-width movement: each document emits one ARRAY
- *      SLICE per window it overlaps (`O(n/ctxLen + 1)` rows per doc —
- *      never a per-token explode) and one hash shuffle on `window_id`
- *      reassembles each window from its ≤ ctxLen-token segments.
- * Per-group state is bounded by ctxLen tokens; nothing driver-side
- * scales with the corpus. The output composes directly with
+ *      discipline);
+ *   3. the full-width pass: a per-block window attaches each row's
+ *      exact global token offset (hash shuffle on the block column),
+ *      each document then emits one ARRAY SLICE per window it overlaps
+ *      (`O(n/ctxLen + 1)` rows per doc — never a per-token explode),
+ *      and a hash shuffle on `window_id` reassembles each window from
+ *      its ≤ ctxLen-token segments.
+ * Honest shuffle accounting: the token payload moves through TWO hash
+ * shuffles (the block-offset window, then the reassembly) — ~2× corpus
+ * bytes. The declarative alternatives don't beat it: joining a
+ * narrowly-computed offset map back still shuffles the full rows once
+ * by position plus the reassembly, and a per-token explode moves the
+ * same bytes as ctxLen× more rows. The known 1×-ish design — assemble
+ * windows block-locally after the offset shuffle (a window's segments
+ * are position-contiguous, so only windows straddling block boundaries
+ * need a second, tiny exchange) — needs imperative per-partition code
+ * and is deliberately deferred until the 2× constant shows up in a
+ * real profile. Per-group state is bounded by ctxLen tokens; nothing
+ * driver-side scales with the corpus. The output composes directly with
  * [[ShardWriter.writeShards]] (`window_id` is the dense position of
  * the window stream — see the gate fixture).
  */
