@@ -231,6 +231,12 @@ object Sample {
     (quotas.values.toSeq :+ defaultQuota).foreach { case (f, t) =>
       require(f >= 0L && f <= 100L && t >= 0L && t < 1000000L,
         s"quotas must be (floor in [0, 100], thr in [0, 1e6)), got ($f, $t)")
+      // floor 100 + a live coin would emit a 101st copy — past the
+      // expected-weight cap repeatByWeight enforces (w <= 100 maps to
+      // (100, 0) exactly); keep the two entry points' contracts equal
+      require(f < 100L || t == 0L,
+        s"quota ($f, $t) exceeds the 100-epoch cap (a floor of 100 " +
+          "leaves no room for the fractional coin)")
     }
     val floorW =
       if (quotas.isEmpty) lit(defaultQuota._1)
@@ -317,12 +323,13 @@ object Sample {
       val num = BigInt(budgetDocs) * md
       val den = total * c
       val f = num / den
-      require(f <= 100L,
+      val thr = ((num % den) * 1000000 / den).toLong
+      require(f < 100L || (f == 100L && thr == 0L),
         s"sampleByTemperature: domain ${d.getOrElse("NULL")} ($c docs) " +
-          s"would be upsampled x$f (> the 100-epoch cap) at " +
+          s"would be upsampled x$f (past the 100-epoch cap) at " +
           s"alpha=$alpha, budget=$budgetDocs — raise alpha, lower the " +
           "budget, or pre-merge tiny domains")
-      (d, (f.toLong, ((num % den) * 1000000 / den).toLong))
+      (d, (f.toLong, thr))
     }
     repeatByQuota(df, domainCol, idCol,
       quotas.collect { case (Some(d), q) => d -> q }.toMap,

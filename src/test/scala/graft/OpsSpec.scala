@@ -3843,5 +3843,12 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sample.repeatByQuota(df, "dom", "id", Map("a" -> ((1L, 1000000L))))
     }
+    // floor 100 + a live coin = a 101st copy — past the expected-weight
+    // cap (repeatByWeight can never produce this pair)
+    intercept[IllegalArgumentException] {
+      Sample.repeatByQuota(df, "dom", "id", Map("a" -> ((100L, 1L))))
+    }
+    assert(Sample.repeatByQuota(df, "dom", "id", Map("a" -> ((100L, 0L))))
+      .count() > 0L)
   }
 }
