@@ -780,6 +780,30 @@ object SparkEntry {
   private def h60sql(arg: String) = hexsql(s"md5($arg)")
   private val EN_STOP = "['the','a','of','to','and','in','is','it']"
 
+  /** The five per-language stopword-vote columns (`c_en..c_zh`) of
+    * [[graft.ops.TextStats.langId]] over a text expression — shared by
+    * `x_lang_id` and `x_corpus_report` so the two oracles cannot
+    * diverge from one stopword edit. */
+  private def langVoteColsSql(textExpr: String): String = {
+    val tok = s"""string_split_regex(lower($textExpr), '\\s+')"""
+    (s"""len(list_filter($tok, t -> list_contains($EN_STOP, t))) AS c_en, """ +
+     s"""len(list_filter($tok, t -> list_contains(['der','die','das','und','ist','ein','nicht'], t))) AS c_de, """ +
+     s"""len(list_filter($tok, t -> list_contains(['el','los','y','que','es','una','por'], t))) AS c_es, """ +
+     s"""len(list_filter($tok, t -> list_contains(['le','les','et','est','une','pas','pour'], t))) AS c_fr, """ +
+     s"""len(list_filter($tok, t -> list_contains(['的','是','了','在','我','有'], t))) AS c_zh""")
+  }
+
+  /** The argmax-with-fixed-precedence CASE over [[langVoteColsSql]]'s
+    * columns — [[graft.ops.TextStats.langId]]'s tie rule verbatim. */
+  private val langVoteCaseSql: String =
+    ("""CASE """ +
+     """WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en' """ +
+     """WHEN c_de > 0 AND c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de' """ +
+     """WHEN c_es > 0 AND c_es >= c_en AND c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es' """ +
+     """WHEN c_fr > 0 AND c_fr >= c_en AND c_fr >= c_de AND c_fr >= c_es AND c_fr >= c_zh THEN 'fr' """ +
+     """WHEN c_zh > 0 AND c_zh >= c_en AND c_zh >= c_de AND c_zh >= c_es AND c_zh >= c_fr THEN 'zh' """ +
+     """ELSE 'unk' END""")
+
   /** Fixed rank-ordered merge table for `x_bpe_encode` — literal on
     * BOTH sides, chosen to exercise chained merges ((th,e) after (t,h);
     * (jo,in) after (j,o) and (i,n)) and rank-priority conflicts on the
@@ -2372,6 +2396,12 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"), col("lang"),
         TextStats.langId(col("text")).as("guess")).orderBy("doc_id")),
 
+    // the per-SOURCE governance report a dataset card publishes:
+    // document/token/char mass, exact-duplicate debt, language spread
+    "x_corpus_report" -> ((s, d) =>
+      TextStats.corpusReport(docs(s, d).select("source", "text"),
+        "source", "text").orderBy("source")),
+
     // quality scoring
     "x_text_quality" -> ((s, d) =>
       TextStats.quality(docs(s, d), "text")
@@ -3111,6 +3141,17 @@ object SparkEntry {
         .select(col("window_id"), col("sp.pos").as("pos"),
           col("sp.start").as("start"), col("sp.len").as("len"))
         .orderBy("window_id", "start")
+    }),
+
+    // the whole-stream accounting report (windowStats): total windows,
+    // full windows, token mass, last window id — the numbers a
+    // pipeline publishes without materializing the windows
+    "x_token_window_report" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        TextStats.tokens(col("text")).as("ts"))
+      val pos = Sample.shuffleRank(toks, "doc_id", salt = "tw", buckets = 32)
+      graft.ops.TokenStream.windowStats(pos, "shuffle_pos", "ts",
+        ctxLen = 64, blocks = 16)
     }),
 
     // the TOKENIZED physical shard tree's committed manifest rolled up
@@ -4883,19 +4924,26 @@ object SparkEntry {
        """ORDER BY min_span, doc_id LIMIT 10"""),
 
     "x_lang_id" ->
-      (s"""WITH c AS (SELECT doc_id, lang, """ +
-       s"""len(list_filter($TOK, t -> list_contains($EN_STOP, t))) AS c_en, """ +
-       s"""len(list_filter($TOK, t -> list_contains(['der','die','das','und','ist','ein','nicht'], t))) AS c_de, """ +
-       s"""len(list_filter($TOK, t -> list_contains(['el','los','y','que','es','una','por'], t))) AS c_es, """ +
-       s"""len(list_filter($TOK, t -> list_contains(['le','les','et','est','une','pas','pour'], t))) AS c_fr, """ +
-       s"""len(list_filter($TOK, t -> list_contains(['的','是','了','在','我','有'], t))) AS c_zh FROM documents) """ +
-       """SELECT doc_id, lang, CASE """ +
-       """WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en' """ +
-       """WHEN c_de > 0 AND c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de' """ +
-       """WHEN c_es > 0 AND c_es >= c_en AND c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es' """ +
-       """WHEN c_fr > 0 AND c_fr >= c_en AND c_fr >= c_de AND c_fr >= c_es AND c_fr >= c_zh THEN 'fr' """ +
-       """WHEN c_zh > 0 AND c_zh >= c_en AND c_zh >= c_de AND c_zh >= c_es AND c_zh >= c_fr THEN 'zh' """ +
-       """ELSE 'unk' END AS guess FROM c ORDER BY doc_id"""),
+      (s"""WITH c AS (SELECT doc_id, lang, ${langVoteColsSql("text")} FROM documents) """ +
+       s"""SELECT doc_id, lang, $langVoteCaseSql AS guess FROM c ORDER BY doc_id"""),
+
+    // the per-domain governance report: mass, exact-dup debt, and the
+    // language spread, every feature recomputed per doc from the text
+    "x_corpus_report" ->
+      (s"""WITH crep AS (SELECT source AS dom, COALESCE(text, '') AS t FROM documents), """ +
+       s"""cfeat AS (SELECT dom, length(t)::BIGINT AS nc, """ +
+       s"""len(string_split_regex(lower(t), '\\s+'))::BIGINT AS nt, md5(t) AS dig, """ +
+       s"""${langVoteColsSql("t")} FROM crep), """ +
+       s"""cguess AS (SELECT dom, nc, nt, dig, $langVoteCaseSql AS lg FROM cfeat), """ +
+       """cmain AS (SELECT dom, count(*)::BIGINT AS n_docs, SUM(nt)::BIGINT AS n_tokens, """ +
+       """SUM(nc)::BIGINT AS n_chars, (count(*) - count(DISTINCT dig))::BIGINT AS n_dup_docs, """ +
+       """count(DISTINCT lg)::BIGINT AS n_langs FROM cguess GROUP BY dom), """ +
+       """clc AS (SELECT dom, lg, count(*)::BIGINT AS c FROM cguess GROUP BY 1, 2), """ +
+       """ctop AS (SELECT dom, lg AS top_lang, c AS top_lang_docs FROM """ +
+       """(SELECT *, row_number() OVER (PARTITION BY dom ORDER BY c DESC, lg) AS rn FROM clc) WHERE rn = 1) """ +
+       """SELECT m.dom AS source, m.n_docs, m.n_tokens, m.n_chars, m.n_dup_docs, """ +
+       """m.n_langs, t.top_lang, t.top_lang_docs """ +
+       """FROM cmain m JOIN ctop t USING (dom) ORDER BY source"""),
 
     "x_text_quality" ->
       (s"""WITH f AS (SELECT doc_id, length(text)::BIGINT AS n_chars, len($TOK)::BIGINT AS n_tokens, """ +
@@ -5575,6 +5623,15 @@ object SparkEntry {
        """SELECT (tg // 64)::BIGINT AS window_id, p::BIGINT AS pos, """ +
        """(min(tg) % 64)::BIGINT AS start, count(*)::BIGINT AS len """ +
        """FROM tok GROUP BY 1, 2 ORDER BY 1, 3"""),
+
+    // the stream accounting: window count, full-window count, token
+    // mass, and the last window id from the same token chain
+    "x_token_window_report" ->
+      (s"""WITH $tokenStreamChain, """ +
+       """wrep AS (SELECT (tg // 64) AS w, count(*) AS c FROM tok GROUP BY 1) """ +
+       """SELECT count(*)::BIGINT AS n_windows, """ +
+       """SUM(CASE WHEN c = 64 THEN 1 ELSE 0 END)::BIGINT AS n_full, """ +
+       """SUM(c)::BIGINT AS n_tokens, max(w)::BIGINT AS max_window FROM wrep"""),
 
     // the tokenized shard tree's committed manifest per shard: full
     // windows only (the dropped tail is the one with < 64 tokens),

@@ -462,4 +462,49 @@ object TextStats {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("token")).limit(k)
+
+  /** Per-domain corpus GOVERNANCE report — the one-pass snapshot a
+    * dataset card publishes per source/language/split: document,
+    * token, and character mass; EXACT-duplicate document mass
+    * (`n_docs − distinct md5(text)` — the dedup debt number); language
+    * spread (`n_langs` distinct [[langId]] guesses, plus the dominant
+    * guess and its document count, ties to the lexicographically
+    * smaller language). NULL text counts as the empty document; a NULL
+    * domain is its own stratum (the family rule).
+    *
+    * Scale shape: every feature (length, token count, digest, language
+    * vote) is a per-row codegen'd expression; the only movement is two
+    * NARROW shuffles — (domain, digest/lang) partial aggregates for
+    * the distinct counts and the (domain, lang) rollup whose per-group
+    * top-1 window runs over ≤ |languages| rows. Text never shuffles. */
+  def corpusReport(df: DataFrame, domainCol: String,
+                   textCol: String): DataFrame = {
+    val outCols = Seq("n_docs", "n_tokens", "n_chars", "n_dup_docs",
+      "n_langs", "top_lang", "top_lang_docs")
+    require(!outCols.contains(domainCol),
+      s"corpusReport: domain column '$domainCol' collides with a " +
+        "report column — rename it first")
+    val t = coalesce(col(textCol), lit(""))
+    val perDoc = df.select(col(domainCol).as("_crd"),
+      length(t).cast(LongType).as("_nc"),
+      size(tokens(t)).cast(LongType).as("_nt"),
+      md5(t).as("_dig"),
+      langId(t).as("_lg"))
+    val main = perDoc.groupBy(col("_crd"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_nt").as("n_tokens"),
+        sum("_nc").as("n_chars"),
+        (count(lit(1)) - countDistinct(col("_dig"))).as("n_dup_docs"),
+        countDistinct(col("_lg")).as("n_langs"))
+    val lc = perDoc.groupBy(col("_crd").as("_crl"), col("_lg"))
+      .agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_crl").orderBy(col("_c").desc, col("_lg"))
+    val top = lc.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("_crl"), col("_lg").as("top_lang"),
+        col("_c").as("top_lang_docs"))
+    main.join(top, col("_crd") <=> col("_crl"))
+      .select((col("_crd").as(domainCol) +: outCols.map(col)): _*)
+  }
 }

@@ -220,6 +220,31 @@ object TokenStream {
     } finally if (checkpointInput) { in.unpersist(); () }
   }
 
+  /** [[writeContextShards]] with EPOCH lineage
+    * ([[ShardWriter.writeShardEpoch]]): each (permutation, ctxLen)
+    * identity publishes as an immutable `epoch=N/` window tree under
+    * one root — the monthly re-tokenization / context-length change
+    * lands BESIDE the epoch a running trainer is pinned to instead of
+    * replacing it. Returns the epoch the windows landed in. All epoch
+    * semantics (idempotent head re-publish, retired-identity refusal,
+    * explicit pruning, [[ShardWriter.resumeIntoEpoch]]) apply to the
+    * window stream verbatim. */
+  def writeContextEpoch(df: DataFrame, posCol: String, tokensCol: String,
+                        ctxLen: Int, numShards: Int, root: String,
+                        salt: String, buckets: Int,
+                        blocks: Int = 1024,
+                        maxWindowsPerFile: Long = 1L << 20,
+                        checkpointInput: Boolean = true): Int = {
+    val in = if (checkpointInput) df.localCheckpoint(true) else df
+    try {
+      val wins = sliceWindows(in, posCol, tokensCol, ctxLen, blocks)
+      ShardWriter.writeShardEpoch(
+        wins.withColumn("shuffle_pos", col("window_id")),
+        "window_id", "n_tok", numShards, root, salt, buckets,
+        budget = ctxLen.toLong, maxRowsPerFile = maxWindowsPerFile)
+    } finally if (checkpointInput) { in.unpersist(); () }
+  }
+
   /** Window-stream ROLLUP — total windows, tokens, and the partial-tail
     * accounting a pipeline report wants without materializing windows. */
   def windowStats(df: DataFrame, posCol: String, tokensCol: String,

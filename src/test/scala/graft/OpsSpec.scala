@@ -3755,6 +3755,32 @@ class OpsSpec extends AnyFunSuite {
     assert(empty.count() == 0L)
   }
 
+  test("writeContextEpoch: a ctxLen change publishes beside the pinned window epoch") {
+    val docs = (0L until 40L).map(i => (i, (0 until 9).map(j => s"t$i-$j")))
+      .toDF("id", "ts")
+    val pos = Sample.shuffleRank(docs, "id", "we", 4)
+    val root = TestSpark.tmpDir("ctxepoch") + "/root"
+    // 360 tokens: ctx 8 -> 45 windows; ctx 16 -> 22 (tail dropped)
+    assert(TokenStream.writeContextEpoch(pos, "shuffle_pos", "ts", 8, 2,
+      root, "we", 4) == 0)
+    val ep0 = ShardWriter.readShardEpoch(spark, root, 0)
+      .select("window_id", "tokens").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).sortBy(_._1).toSeq
+    assert(ep0.size == 45 && ep0.forall(_._2.size == 8))
+    // a new ctxLen is a NEW identity (the budget slot) -> epoch 1
+    assert(TokenStream.writeContextEpoch(pos, "shuffle_pos", "ts", 16, 2,
+      root, "we", 4) == 1)
+    assert(ShardWriter.readShardEpoch(spark, root, 1).count() == 22L)
+    // the pinned ctx-8 epoch is untouched, window for window
+    val ep0b = ShardWriter.readShardEpoch(spark, root, 0)
+      .select("window_id", "tokens").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).sortBy(_._1).toSeq
+    assert(ep0b == ep0, "pinned window epoch drifted after a re-publish")
+    // idempotent head re-publish stays epoch 1
+    assert(TokenStream.writeContextEpoch(pos, "shuffle_pos", "ts", 16, 2,
+      root, "we", 4) == 1)
+  }
+
   test("windowStats carries the full accounting incl. the partial tail") {
     val docs = Seq(0L -> (0 until 10).map(i => s"a$i"),
       1L -> (0 until 3).map(i => s"b$i")).toDF("id", "ts")
@@ -3765,6 +3791,39 @@ class OpsSpec extends AnyFunSuite {
     assert(st.getAs[Long]("n_full") == 3L)
     assert(st.getAs[Long]("n_tokens") == 13L)
     assert(st.getAs[Long]("max_window") == 3L)
+  }
+
+  test("corpusReport: planted dup/lang/mass ground truth, NULL text and domain") {
+    val df = Seq(
+      ("web", "the cat is in the hat"),            // en, 6 tokens, 21 chars
+      ("web", "the cat is in the hat"),            // exact dup of the above
+      ("web", "der hund und die katze ist nicht"), // de
+      ("books", "el que es una por los y"),        // es
+      ("books", null: String),                     // empty doc: 1 token ([''])
+      (null: String, "the a of")                   // NULL domain stratum
+    ).toDF("dom", "text")
+    val rep = TextStats.corpusReport(df, "dom", "text").collect()
+      .map(r => (Option(r.getString(0)).getOrElse("<null>"), r)).toMap
+    val web = rep("web")
+    assert(web.getAs[Long]("n_docs") == 3L)
+    assert(web.getAs[Long]("n_tokens") == 6L + 6L + 7L)
+    assert(web.getAs[Long]("n_chars") == 21L + 21L + 32L)
+    assert(web.getAs[Long]("n_dup_docs") == 1L)   // the exact pair
+    assert(web.getAs[Long]("n_langs") == 2L)
+    assert(web.getAs[String]("top_lang") == "en") // 2 en vs 1 de
+    assert(web.getAs[Long]("top_lang_docs") == 2L)
+    val books = rep("books")
+    assert(books.getAs[Long]("n_docs") == 2L &&
+      books.getAs[Long]("n_dup_docs") == 0L)
+    assert(books.getAs[Long]("n_tokens") == 7L + 1L) // NULL text -> ['']
+    val nul = rep("<null>")
+    assert(nul.getAs[Long]("n_docs") == 1L &&
+      nul.getAs[String]("top_lang") == "en")
+    // a domain column named like a report column is refused
+    intercept[IllegalArgumentException] {
+      TextStats.corpusReport(df.withColumnRenamed("dom", "n_docs"),
+        "n_docs", "text")
+    }
   }
 
   // ---- temperature-scaled mixing ----------------------------------
