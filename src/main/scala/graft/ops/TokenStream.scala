@@ -95,6 +95,11 @@ object TokenStream {
     require(df.schema(tokensCol).dataType.isInstanceOf[ArrayType],
       s"sliceWindows: '$tokensCol' must be an array column, got " +
         df.schema(tokensCol).dataType.simpleString)
+    // internal working columns — a same-named input column would be
+    // silently replaced (withColumn semantics) and corrupt the stream
+    df.columns.filter(_.startsWith("_ts")).foreach(c =>
+      require(false, s"sliceWindows: input column '$c' collides with " +
+        "the operator's internal '_ts*' namespace — rename it first"))
     val posL = col(posCol).cast(LongType)
     // NULL positions / arrays fail loudly per row — both raises ride
     // the narrow pass that feeds the offset computation (no extra scan)
@@ -171,20 +176,25 @@ object TokenStream {
       .withColumn("_tst", slice(col(tokensCol),
         (segStart - col("_tso") + 1L).cast("int"),
         (segEnd - segStart).cast("int")))
-    // ONE sorted segment list feeds both the payload and the span
-    // metadata (array_sort orders by the struct's first field — the
-    // unique global segment start)
-    val segs = array_sort(collect_list(struct(col("_tss").as("s"),
-      col("_tst").as("t"), col("_tsp").as("p"), col("_tsl").as("o"))))
+    // ONE sorted segment list aggregate (array_sort orders by the
+    // struct's first field — the unique global segment start) feeds
+    // both the payload and the span metadata as PROJECTIONS, so the
+    // collect_list state is built once per group, not once per output
+    // column
     val out = seg.groupBy(col("_tsw").as("window_id"))
       .agg(
-        flatten(transform(segs, x => x.getField("t"))).as("tokens"),
-        transform(segs, x => struct(
-          x.getField("p").as("pos"), x.getField("o").as("start"),
-          size(x.getField("t")).cast(LongType).as("len"))).as("doc_spans"),
+        array_sort(collect_list(struct(col("_tss").as("s"),
+          col("_tst").as("t"), col("_tsp").as("p"), col("_tsl").as("o"))))
+          .as("_segs"),
         sum(size(col("_tst")).cast(LongType)).as("n_tok"),
         count(lit(1)).as("n_docs"),
         min("_tsp").as("min_pos"), max("_tsp").as("max_pos"))
+      .select(col("window_id"),
+        flatten(transform(col("_segs"), x => x.getField("t"))).as("tokens"),
+        transform(col("_segs"), x => struct(
+          x.getField("p").as("pos"), x.getField("o").as("start"),
+          size(x.getField("t")).cast(LongType).as("len"))).as("doc_spans"),
+        col("n_tok"), col("n_docs"), col("min_pos"), col("max_pos"))
     if (dropPartial) out.filter(col("n_tok") === ctxLen.toLong) else out
   }
 
