@@ -3209,6 +3209,26 @@ object SparkEntry {
         .orderBy("window_id")
     }),
 
+    // trainer RESUME over the tokenized tree: restart at window
+    // step*batch = 212 of ~424, served from manifest-pruned files only
+    // (the require pins real pruning), each resumed window with its
+    // payload's first token — the (step, global batch) arithmetic a
+    // trainer restarts from, on the artifact it actually reads
+    "x_token_resume" -> ((s, d) => {
+      val p = tokenShardTree(s, d)
+      val man = graft.ops.ShardWriter.loadManifest(s, p)
+        .select("max_pos").collect().map(_.getLong(0))
+      val kept = man.count(_ >= 212L)
+      require(kept > 1 && kept < man.length,
+        s"resume must keep several files and prune the rest, kept " +
+          s"$kept of ${man.length}")
+      graft.ops.ShardWriter.resumeFrom(s, p, step = 4L, batchSize = 53L)
+        .select(col("window_id"), col("n_tok"),
+          col("shard").cast(LongType).as("shard"),
+          element_at(col("tokens"), 1).as("first_token"))
+        .orderBy("window_id")
+    }),
+
     // TEMPERATURE-scaled domain mixing at alpha = 0.5 over a skewed
     // derived domain (20/100/rest docs): sampling mass proportional to
     // sqrt(domain size), scaled to a 1000-doc expected budget — small
@@ -5682,6 +5702,15 @@ object SparkEntry {
        """SELECT (tg // 64)::BIGINT AS window_id, count(*)::BIGINT AS n_tok, """ +
        """count(DISTINCT p)::BIGINT AS n_docs, min(p)::BIGINT AS min_pos, """ +
        """max(p)::BIGINT AS max_pos FROM ptok GROUP BY 1 ORDER BY 1"""),
+
+    // the tokenized-tree resume: full windows with id >= 212, first
+    // payload token via arg_min over the token chain
+    "x_token_resume" ->
+      (s"""WITH $tokenStreamChain, """ +
+       """wins AS (SELECT (tg // 64) AS w, count(*) AS c, arg_min(t, tg) AS ft """ +
+       """FROM tok GROUP BY 1 HAVING count(*) = 64) """ +
+       """SELECT w::BIGINT AS window_id, c::BIGINT AS n_tok, (w % 4)::BIGINT AS shard, """ +
+       """ft AS first_token FROM wins WHERE w >= 212 ORDER BY window_id"""),
 
     // temperature mixing replayed from the counts up: md =
     // round(sqrt(c)·1e6) (IEEE sqrt is correctly rounded — exactly
