@@ -235,10 +235,16 @@ object TokenStream {
     * identity publishes as an immutable `epoch=N/` window tree under
     * one root — the monthly re-tokenization / context-length change
     * lands BESIDE the epoch a running trainer is pinned to instead of
-    * replacing it. Returns the epoch the windows landed in. All epoch
+    * replacing it. Returns the epoch the windows landed in. Epoch
     * semantics (idempotent head re-publish, retired-identity refusal,
-    * explicit pruning, [[ShardWriter.resumeIntoEpoch]]) apply to the
-    * window stream verbatim. */
+    * explicit pruning, within-epoch [[ShardWriter.resumeFrom]]) apply
+    * to the window stream verbatim — EXCEPT cross-epoch
+    * [[ShardWriter.resumeIntoEpoch]]: that primitive continues a run
+    * by row IDENTITY, and a window id is a POSITION in one epoch's
+    * stream, not an identity (re-slicing renumbers everything), so
+    * anti-joining window ids across epochs is meaningless. To resume
+    * across a re-tokenization, continue by DOCUMENT identity on the
+    * doc-level epochs and re-slice. */
   def writeContextEpoch(df: DataFrame, posCol: String, tokensCol: String,
                         ctxLen: Int, numShards: Int, root: String,
                         salt: String, buckets: Int,

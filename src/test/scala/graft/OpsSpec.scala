@@ -3755,6 +3755,86 @@ class OpsSpec extends AnyFunSuite {
     assert(empty.count() == 0L)
   }
 
+  test("∀ random corpora: sliceWindows == the reference (seeded sweep, int tokens)") {
+    val rng = new scala.util.Random(1601L)
+    for (trial <- 0 until 12) {
+      val nDocs = 1 + rng.nextInt(40)
+      val docs = (0L until nDocs.toLong).map { i =>
+        val len = rng.nextInt(9) // 0..8, empties included
+        (i, (0 until len).map(_ => rng.nextInt(1000)))
+      }.toDF("id", "ts")
+      val ctx = 1 + rng.nextInt(12)
+      val blocks = 1 + rng.nextInt(6)
+      val pos = Sample.shuffleRank(docs, "id", s"sw$trial", 4)
+      val base = pos.select(col("shuffle_pos"), col("ts")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+      val stream = base.sortBy(_._1).flatMap { case (p, ts) => ts.map((p, _)) }
+      val want = stream.zipWithIndex
+        .map { case ((p, t), tg) => (tg.toLong / ctx, p, t) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (w, g) => (w, g.map(_._3), g.size.toLong,
+          g.map(_._2).distinct.size.toLong) }
+      val got = TokenStream.sliceWindows(pos, "shuffle_pos", "ts", ctx,
+          blocks, dropPartial = false)
+        .collect().map(r => (r.getAs[Long]("window_id"),
+          r.getAs[Seq[Int]]("tokens"), r.getAs[Long]("n_tok"),
+          r.getAs[Long]("n_docs"))).sortBy(_._1).toSeq
+      assert(got == want,
+        s"trial $trial (docs=$nDocs ctx=$ctx blocks=$blocks):\n$got\n$want")
+    }
+  }
+
+  test("∀ random recipes: temperature quotas carry the exact expected-mass law") {
+    // each doc's micro-weight w = f*1e6 + thr satisfies
+    // w <= exact*1e6 < w + 1, so sum(c_d * w_d) lands in
+    // (budget*1e6 - sum(c), budget*1e6] — EXACTLY, by construction
+    val rng = new scala.util.Random(1602L)
+    for (trial <- 0 until 10) {
+      val nDom = 2 + rng.nextInt(6)
+      val counts = (0 until nDom).map(_ => 1L + rng.nextInt(500))
+      val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+        (0L until c).map(i => (d.toLong * 10000L + i, s"dom$d")) }
+      val df = rows.toDF("id", "dom")
+      val alpha = Seq(0.5, 1.0)(rng.nextInt(2))
+      val budget = 1L + rng.nextInt(2000)
+      val out = try Sample.sampleByTemperature(df, "dom", "id", alpha,
+          budget, salt = s"t$trial")
+        catch { case e: IllegalArgumentException =>
+          assert(e.getMessage.contains("100-epoch"), e.getMessage)
+          // cap legitimately hit (tiny domain, hot budget) — verify and skip
+          null
+        }
+      if (out != null) {
+        // replicate the quota derivation and check the mass law
+        def snap(c: Long) = Math.round(
+          (if (alpha == 0.5) Math.sqrt(c.toDouble)
+           else Math.pow(c.toDouble, alpha)) * 1e6)
+        val total = counts.map(c => BigInt(snap(c))).sum
+        val mass = counts.map { c =>
+          val num = BigInt(budget) * snap(c)
+          val den = total * c
+          val w = (num / den) * 1000000 + (num % den) * 1000000 / den
+          BigInt(c) * w
+        }.sum
+        val b6 = BigInt(budget) * 1000000
+        assert(mass <= b6 && mass > b6 - counts.map(BigInt(_)).sum,
+          s"trial $trial: expected mass $mass outside " +
+            s"(${b6 - counts.map(BigInt(_)).sum}, $b6]")
+        // the realized draw matches the derived quotas exactly
+        val realized = out.groupBy("dom").count().collect()
+          .map(r => (r.getString(0), r.getLong(1))).toMap
+        counts.zipWithIndex.foreach { case (c, d) =>
+          val num = BigInt(budget) * snap(c)
+          val den = total * c
+          val f = (num / den).toLong
+          val got = realized.getOrElse(s"dom$d", 0L)
+          assert(got >= f * c && got <= (f + 1) * c,
+            s"trial $trial dom$d: $got copies outside [${f * c}, ${(f + 1) * c}]")
+        }
+      }
+    }
+  }
+
   test("writeContextEpoch: a ctxLen change publishes beside the pinned window epoch") {
     val docs = (0L until 40L).map(i => (i, (0 until 9).map(j => s"t$i-$j")))
       .toDF("id", "ts")
