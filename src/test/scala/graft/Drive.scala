@@ -937,6 +937,27 @@ object Drive {
       s"docs -> $total mixed copies (per-domain multiplicities " +
       s"${mult.map(m => f"${m._2}%.2f").mkString(", ")})")
 
+    println("== r16 drive: window accounting + corpus governance report")
+    val wstats = graft.ops.TokenStream.windowStats(twPos, "shuffle_pos",
+      "ts", ctxLen = 48, blocks = 8).head()
+    require(wstats.getAs[Long]("n_full") == nWins &&
+      wstats.getAs[Long]("n_tokens") == totToks,
+      s"windowStats disagrees with the sliced stream: $wstats")
+    val report = graft.ops.TextStats.corpusReport(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("source"), col("text")), "source", "text")
+      .orderBy("source").collect()
+    require(report.nonEmpty &&
+      report.forall(_.getAs[Long]("n_docs") > 0L) &&
+      report.forall(r => r.getAs[Long]("n_dup_docs") >= 0L &&
+        r.getAs[Long]("n_dup_docs") < r.getAs[Long]("n_docs")),
+      "corpus report malformed")
+    println(s"-> windowStats: ${wstats.getAs[Long]("n_windows")} windows " +
+      s"(${wstats.getAs[Long]("n_full")} full, " +
+      s"${wstats.getAs[Long]("n_tokens")} tokens); corpus report over " +
+      s"${report.length} sources, top langs " +
+      report.map(_.getAs[String]("top_lang")).distinct.mkString("/"))
+
     spark.stop()
     println("== drive done")
   }
