@@ -267,8 +267,10 @@ object TokenStream {
                   ctxLen: Int, blocks: Int = 1024): DataFrame =
     sliceWindows(df, posCol, tokensCol, ctxLen, blocks, dropPartial = false)
       .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("n_tok") === ctxLen.toLong, 1L).otherwise(0L))
-          .as("n_full"),
-        sum("n_tok").as("n_tokens"),
+        // coalesce: an EMPTY stream reports zeros, not NULL sums (only
+        // max_window stays NULL — there is no last window)
+        coalesce(sum(when(col("n_tok") === ctxLen.toLong, 1L)
+          .otherwise(0L)), lit(0L)).as("n_full"),
+        coalesce(sum("n_tok"), lit(0L)).as("n_tokens"),
         max("window_id").as("max_window"))
 }
