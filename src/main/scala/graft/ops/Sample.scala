@@ -199,8 +199,14 @@ object Sample {
     (weights.values.toSeq :+ defaultWeight).foreach(w =>
       require(w >= 0.0 && w <= 100.0,
         s"weights must be in [0, 100] epochs, got $w"))
-    def quotaOf(w: Double) =
-      (math.floor(w).toLong, Math.round((w - math.floor(w)) * 1e6))
+    def quotaOf(w: Double) = {
+      val f = math.floor(w).toLong
+      val t = Math.round((w - math.floor(w)) * 1e6)
+      // a fraction within 5e-7 of 1 rounds to a FULL coin (1e6 =
+      // "always one more") — normalize to the next floor so the quota
+      // contract's thr < 1e6 holds and the draw stays identical
+      if (t == 1000000L) (f + 1L, 0L) else (f, t)
+    }
     repeatByQuota(df, domainCol, idCol,
       weights.map { case (k, v) => k -> quotaOf(v) },
       quotaOf(defaultWeight), salt)

@@ -3989,5 +3989,11 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(Sample.repeatByQuota(df, "dom", "id", Map("a" -> ((100L, 0L))))
       .count() > 0L)
+    // a fraction rounding to a FULL coin normalizes to the next floor
+    // (w = 0.9999999 -> exactly one copy per row, not a refusal)
+    val full = Sample.repeatByWeight(df, "dom", "id",
+        Map("a" -> 0.9999999, "b" -> 0.9999999), defaultWeight = 0.9999999)
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(full.sorted.toSeq == (0L until 5L).map((_, 0L)))
   }
 }
