@@ -3245,6 +3245,21 @@ object SparkEntry {
         .orderBy("doc_id", "epoch")
     }),
 
+    // ...and at alpha = 1 (natural proportions — every domain the same
+    // per-doc rate budget/corpus): the pow-free quota path, exactly
+    // portable with NO float step at all (m_d = c_d·1e6 is integer on
+    // both sides; Java pins pow(x, 1.0) == x)
+    "x_sample_temperature_nat" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") < 20, lit("small"))
+          .when(col("doc_id") < 120, lit("mid"))
+          .otherwise(lit("big")).as("dom"))
+      Sample.sampleByTemperature(base, "dom", "doc_id",
+          alpha = 1.0, budgetDocs = 800L, salt = "nat")
+        .select("doc_id", "dom", "epoch")
+        .orderBy("doc_id", "epoch")
+    }),
+
     // per-source selection under a 2048-token budget, best (longest)
     // docs first: the kept set is the longest quality-ordered prefix
     // whose running token sum fits — replayed as the same window cut
@@ -5672,6 +5687,24 @@ object SparkEntry {
        """arg_max(t, tg) AS lt FROM tok GROUP BY 1 HAVING count(*) = 64) """ +
        """SELECT w::BIGINT AS window_id, c::BIGINT AS n_tok, (w % 4)::BIGINT AS shard, """ +
        """ft AS first_token, lt AS last_token FROM wins ORDER BY window_id"""),
+
+    // temperature at alpha = 1: md = c·1e6 with no float anywhere —
+    // the same HUGEINT quota chain under the "nat" salt
+    "x_sample_temperature_nat" ->
+      ("""WITH nbase AS (SELECT doc_id, CASE WHEN doc_id < 20 THEN 'small' """ +
+       """WHEN doc_id < 120 THEN 'mid' ELSE 'big' END AS dom """ +
+       """FROM documents WHERE doc_id IS NOT NULL), """ +
+       """ncnt AS (SELECT dom, count(*)::BIGINT AS c FROM nbase GROUP BY dom), """ +
+       """nm AS (SELECT dom, c, (c * 1000000)::BIGINT AS md FROM ncnt), """ +
+       """ntot AS (SELECT SUM(md)::HUGEINT AS mt FROM nm), """ +
+       """nq AS (SELECT dom, ((800::HUGEINT * md) // (mt * c))::BIGINT AS f, """ +
+       """((((800::HUGEINT * md) % (mt * c)) * 1000000) // (mt * c))::BIGINT AS thr """ +
+       """FROM nm, ntot), """ +
+       s"""nn AS (SELECT b.doc_id, b.dom, (q.f + CASE WHEN (${h60sql("'epoch:nat:' || b.dom || ':' || CAST(b.doc_id AS VARCHAR)")} % 1000000) < q.thr """ +
+       """THEN 1 ELSE 0 END) AS nc FROM nbase b JOIN nq q ON b.dom = q.dom) """ +
+       """SELECT doc_id, dom, epoch FROM """ +
+       """(SELECT doc_id, dom, unnest(range(0, nc)) AS epoch FROM nn WHERE nc >= 1) """ +
+       """ORDER BY doc_id, epoch"""),
 
     // the tokenized-corpus assembly replayed stage by stage: selection
     // window -> sqrt-mass HUGEINT quotas -> floor+coin copies keyed
