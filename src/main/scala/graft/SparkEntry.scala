@@ -3260,6 +3260,39 @@ object SparkEntry {
         .orderBy("doc_id", "epoch")
     }),
 
+    // ...weighted by TOKEN mass (the XLM-R multilingual convention):
+    // domain mass c_d = Σ whitespace tokens, budget in TOKENS — a
+    // domain of few huge documents no longer over-upsamples; every doc
+    // of a domain gets the same exact HUGEINT quota replayed from the
+    // token sums (sqrt snap at alpha = 0.5, exactly portable)
+    "x_sample_temperature_tok" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") < 20, lit("small"))
+          .when(col("doc_id") < 120, lit("mid"))
+          .otherwise(lit("big")).as("dom"),
+        size(TextStats.tokens(col("text"))).cast(LongType).as("n_tok"))
+      Sample.sampleByTemperatureTokens(base, "dom", "doc_id", "n_tok",
+          alpha = 0.5, budgetTokens = 30000L, salt = "tok")
+        .select("doc_id", "dom", "epoch")
+        .orderBy("doc_id", "epoch")
+    }),
+
+    // ...and at the DYADIC alpha = 0.75: c^0.75 evaluates as the fixed
+    // ascending sqrt chain sqrt(c)·sqrt(sqrt(c)) — every step correctly
+    // rounded per IEEE-754, so the snap replays bit-for-bit in DuckDB
+    // with NO pow anywhere (the general-pow portability bound applies
+    // only to non-dyadic alphas now)
+    "x_sample_temperature_dyadic" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") < 20, lit("small"))
+          .when(col("doc_id") < 120, lit("mid"))
+          .otherwise(lit("big")).as("dom"))
+      Sample.sampleByTemperature(base, "dom", "doc_id",
+          alpha = 0.75, budgetDocs = 900L, salt = "dy")
+        .select("doc_id", "dom", "epoch")
+        .orderBy("doc_id", "epoch")
+    }),
+
     // per-source selection under a 2048-token budget, best (longest)
     // docs first: the kept set is the longest quality-ordered prefix
     // whose running token sum fits — replayed as the same window cut
@@ -4978,7 +5011,9 @@ object SparkEntry {
        """(SELECT *, row_number() OVER (PARTITION BY dom ORDER BY c DESC, lg) AS rn FROM clc) WHERE rn = 1) """ +
        """SELECT m.dom AS source, m.n_docs, m.n_tokens, m.n_chars, m.n_dup_docs, """ +
        """m.n_langs, t.top_lang, t.top_lang_docs """ +
-       """FROM cmain m JOIN ctop t USING (dom) ORDER BY source"""),
+       // NULLS FIRST pins a NULL-source stratum to Spark's ASC default —
+       // DuckDB's NULLS LAST would flip the row order and the hash
+       """FROM cmain m JOIN ctop t USING (dom) ORDER BY source NULLS FIRST"""),
 
     "x_text_quality" ->
       (s"""WITH f AS (SELECT doc_id, length(text)::BIGINT AS n_chars, len($TOK)::BIGINT AS n_tokens, """ +
@@ -5664,9 +5699,11 @@ object SparkEntry {
     "x_token_window_report" ->
       (s"""WITH $tokenStreamChain, """ +
        """wrep AS (SELECT (tg // 64) AS w, count(*) AS c FROM tok GROUP BY 1) """ +
+       // COALESCE mirrors windowStats' report-zeros-not-NULL-sums rule
+       // on the empty stream (only max_window stays NULL on both sides)
        """SELECT count(*)::BIGINT AS n_windows, """ +
-       """SUM(CASE WHEN c = 64 THEN 1 ELSE 0 END)::BIGINT AS n_full, """ +
-       """SUM(c)::BIGINT AS n_tokens, max(w)::BIGINT AS max_window FROM wrep"""),
+       """COALESCE(SUM(CASE WHEN c = 64 THEN 1 ELSE 0 END), 0)::BIGINT AS n_full, """ +
+       """COALESCE(SUM(c), 0)::BIGINT AS n_tokens, max(w)::BIGINT AS max_window FROM wrep"""),
 
     // the tokenized shard tree's committed manifest per shard: full
     // windows only (the dropped tail is the one with < 64 tokens),
@@ -5704,6 +5741,45 @@ object SparkEntry {
        """THEN 1 ELSE 0 END) AS nc FROM nbase b JOIN nq q ON b.dom = q.dom) """ +
        """SELECT doc_id, dom, epoch FROM """ +
        """(SELECT doc_id, dom, unnest(range(0, nc)) AS epoch FROM nn WHERE nc >= 1) """ +
+       """ORDER BY doc_id, epoch"""),
+
+    // token-MASS temperature: the identical HUGEINT quota chain with
+    // c = Σ whitespace tokens and the budget in tokens (sqrt snap —
+    // exactly portable); every doc of a domain draws the same coin
+    "x_sample_temperature_tok" ->
+      (s"""WITH kbase AS (SELECT doc_id, CASE WHEN doc_id < 20 THEN 'small' """ +
+       """WHEN doc_id < 120 THEN 'mid' ELSE 'big' END AS dom, """ +
+       s"""len($TOK)::BIGINT AS n_tok FROM documents WHERE doc_id IS NOT NULL), """ +
+       """kcnt AS (SELECT dom, SUM(n_tok)::BIGINT AS c FROM kbase GROUP BY dom), """ +
+       """km AS (SELECT dom, c, CAST(round(sqrt(c) * 1000000) AS BIGINT) AS md FROM kcnt), """ +
+       """ktot AS (SELECT SUM(md)::HUGEINT AS mt FROM km), """ +
+       """kq AS (SELECT dom, ((30000::HUGEINT * md) // (mt * c))::BIGINT AS f, """ +
+       """((((30000::HUGEINT * md) % (mt * c)) * 1000000) // (mt * c))::BIGINT AS thr """ +
+       """FROM km, ktot), """ +
+       s"""kn AS (SELECT b.doc_id, b.dom, (q.f + CASE WHEN (${h60sql("'epoch:tok:' || b.dom || ':' || CAST(b.doc_id AS VARCHAR)")} % 1000000) < q.thr """ +
+       """THEN 1 ELSE 0 END) AS nc FROM kbase b JOIN kq q ON b.dom = q.dom) """ +
+       """SELECT doc_id, dom, epoch FROM """ +
+       """(SELECT doc_id, dom, unnest(range(0, nc)) AS epoch FROM kn WHERE nc >= 1) """ +
+       """ORDER BY doc_id, epoch"""),
+
+    // dyadic alpha = 0.75: md = round(sqrt(c)·sqrt(sqrt(c))·1e6) — the
+    // same ascending sqrt-then-multiply chain the engine evaluates
+    // (IEEE sqrt and * are correctly rounded, so the product is
+    // bit-identical cross-engine), then the exact quota chain
+    "x_sample_temperature_dyadic" ->
+      ("""WITH ybase AS (SELECT doc_id, CASE WHEN doc_id < 20 THEN 'small' """ +
+       """WHEN doc_id < 120 THEN 'mid' ELSE 'big' END AS dom """ +
+       """FROM documents WHERE doc_id IS NOT NULL), """ +
+       """ycnt AS (SELECT dom, count(*)::BIGINT AS c FROM ybase GROUP BY dom), """ +
+       """ym AS (SELECT dom, c, CAST(round(sqrt(c) * sqrt(sqrt(c)) * 1000000) AS BIGINT) AS md FROM ycnt), """ +
+       """ytot AS (SELECT SUM(md)::HUGEINT AS mt FROM ym), """ +
+       """yq AS (SELECT dom, ((900::HUGEINT * md) // (mt * c))::BIGINT AS f, """ +
+       """((((900::HUGEINT * md) % (mt * c)) * 1000000) // (mt * c))::BIGINT AS thr """ +
+       """FROM ym, ytot), """ +
+       s"""yn AS (SELECT b.doc_id, b.dom, (q.f + CASE WHEN (${h60sql("'epoch:dy:' || b.dom || ':' || CAST(b.doc_id AS VARCHAR)")} % 1000000) < q.thr """ +
+       """THEN 1 ELSE 0 END) AS nc FROM ybase b JOIN yq q ON b.dom = q.dom) """ +
+       """SELECT doc_id, dom, epoch FROM """ +
+       """(SELECT doc_id, dom, unnest(range(0, nc)) AS epoch FROM yn WHERE nc >= 1) """ +
        """ORDER BY doc_id, epoch"""),
 
     // the tokenized-corpus assembly replayed stage by stage: selection
@@ -5875,7 +5951,7 @@ object SparkEntry {
        """CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio FROM f) """ +
        """SELECT source, count(*) AS n, min(doc_id) AS min_id, sum(n_tokens)::BIGINT AS tokens, """ +
        """CAST(ROUND(SUM(CAST(quality_score AS DECIMAL(20,12))), 6) AS DOUBLE) AS sum_quality """ +
-       """FROM q WHERE n_tokens >= 10 AND stop_ratio >= 0.05 GROUP BY source ORDER BY source"""),
+       """FROM q WHERE n_tokens >= 10 AND stop_ratio >= 0.05 GROUP BY source ORDER BY source NULLS FIRST"""),
 
     "x_multimodal_meta" ->
       (s"""SELECT doc_id, 'fake-rgb' AS format, """ +

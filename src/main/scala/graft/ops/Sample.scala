@@ -303,44 +303,128 @@ object Sample {
   def sampleByTemperature(df: DataFrame, domainCol: String, idCol: String,
                           alpha: Double, budgetDocs: Long,
                           salt: String = "",
-                          maxDomains: Int = 65536): DataFrame = {
+                          maxDomains: Int = 65536): DataFrame =
+    temperatureMix(df, domainCol, idCol, alpha, budgetDocs, salt,
+      maxDomains, count(lit(1)), "docs")
+
+  /** [[sampleByTemperature]] weighted by TOKEN mass — the XLM-R-style
+    * multilingual recipe: domain `d` with `c_d = Σ tokenCol` tokens
+    * receives expected OUTPUT token mass `budgetTokens·c_d^alpha / Σ_e
+    * c_e^alpha`, realized by giving every document of `d` the same
+    * expected multiplicity `w_d = budgetTokens·m_d / (Σm · c_d)` through
+    * the identical exact HUGEINT quota core (floor + millionths coin).
+    * Weighting by documents over-upsamples a domain of few huge
+    * documents; weighting by tokens is what balances what the trainer
+    * actually consumes. NULL or negative token counts refuse loudly
+    * (they would silently deflate the domain's mass); a ZERO-mass
+    * domain gets quota (0, 0) — it cannot carry token mass, so its
+    * (all-empty) documents drop. Exactness, the 100-epoch cap, NULL
+    * domain/ID handling, and the scale shape (one bounded count, no
+    * corpus shuffle) are [[sampleByTemperature]]'s. */
+  def sampleByTemperatureTokens(df: DataFrame, domainCol: String,
+                                idCol: String, tokenCol: String,
+                                alpha: Double, budgetTokens: Long,
+                                salt: String = "",
+                                maxDomains: Int = 65536): DataFrame =
+    temperatureMix(df, domainCol, idCol, alpha, budgetTokens, salt,
+      maxDomains,
+      sum(when(col(tokenCol).isNotNull && col(tokenCol) >= 0L,
+        col(tokenCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"sampleByTemperatureTokens: token column '$tokenCol' " +
+            "must be non-null and >= 0, got "),
+          coalesce(col(tokenCol).cast("string"), lit("NULL")))))),
+      "tokens")
+
+  private def temperatureMix(df: DataFrame, domainCol: String,
+                             idCol: String, alpha: Double, budget: Long,
+                             salt: String, maxDomains: Int,
+                             mass: org.apache.spark.sql.Column,
+                             massName: String): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0,
       s"alpha must be in (0, 1], got $alpha")
-    require(budgetDocs > 0, s"budgetDocs must be positive, got $budgetDocs")
+    require(budget > 0, s"budget must be positive, got $budget")
     // count only coin-eligible rows (non-null id) — mixtureSample's
-    // rule; counting ineligible rows would deflate every quota
+    // rule; counting ineligible rows would deflate every quota.
+    // limit BEFORE the collect: the guard must fire without first
+    // materializing a mistakenly high-cardinality domain column (an id
+    // passed as the domain) on the driver
     val counts = df.filter(col(idCol).isNotNull)
       .groupBy(col(domainCol).cast("string").as("d"))
-      .agg(count(lit(1)).as("c"))
+      .agg(mass.cast("long").as("c"))
+      .limit(maxDomains + 1)
       .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
     require(counts.length <= maxDomains,
-      s"sampleByTemperature: ${counts.length} domains exceed " +
-        s"maxDomains=$maxDomains — group coarser or raise the bound")
+      s"sampleByTemperature: more than " +
+        s"maxDomains=$maxDomains domains — group coarser or raise the bound")
     if (counts.isEmpty) return repeatByQuota(df, domainCol, idCol,
       Map("" -> (0L, 0L)), (0L, 0L), salt)
-    // the ONE float step, snapped to millionths; sqrt for alpha = 0.5
-    // (correctly rounded per IEEE-754 -> exactly portable)
-    def snap(c: Long): Long = Math.round(
-      (if (alpha == 0.5) Math.sqrt(c.toDouble)
-       else Math.pow(c.toDouble, alpha)) * 1e6)
-    val m = counts.map { case (d, c) => (d, c, snap(c)) }
+    // the ONE float step, snapped to millionths ([[powSnap]]: exactly
+    // portable at alpha = 1 and every dyadic k/2^m via the sqrt chain)
+    val m = counts.map { case (d, c) => (d, c, powSnap(c, alpha)) }
     val total = m.map(x => BigInt(x._3)).sum
     val quotas = m.map { case (d, c, md) =>
-      val num = BigInt(budgetDocs) * md
-      val den = total * c
-      val f = num / den
-      val thr = ((num % den) * 1000000 / den).toLong
-      require(f < 100L || (f == 100L && thr == 0L),
-        s"sampleByTemperature: domain ${d.getOrElse("NULL")} ($c docs) " +
-          s"would be upsampled x$f (past the 100-epoch cap) at " +
-          s"alpha=$alpha, budget=$budgetDocs — raise alpha, lower the " +
-          "budget, or pre-merge tiny domains")
-      (d, (f.toLong, thr))
+      if (c == 0L) (d, (0L, 0L)) // zero mass carries nothing
+      else {
+        val num = BigInt(budget) * md
+        val den = total * c
+        val f = num / den
+        val thr = ((num % den) * 1000000 / den).toLong
+        require(f < 100L || (f == 100L && thr == 0L),
+          s"sampleByTemperature: domain ${d.getOrElse("NULL")} ($c " +
+            s"$massName) would be upsampled x$f (past the 100-epoch " +
+            s"cap) at alpha=$alpha, budget=$budget — raise alpha, " +
+            "lower the budget, or pre-merge tiny domains")
+        (d, (f.toLong, thr))
+      }
     }
     repeatByQuota(df, domainCol, idCol,
       quotas.collect { case (Some(d), q) => d -> q }.toMap,
       quotas.collectFirst { case (None, q) => q }.getOrElse((0L, 0L)),
       salt)
+  }
+
+  /** `round(c^alpha · 1e6)` with the widest exactly-portable reach:
+    * alpha = 1 is the identity (no float step at all); a DYADIC
+    * alpha = k/2^m (m <= 20 — 0.5, 0.75, 0.25, 0.875...) evaluates as
+    * the fixed binary-expansion chain `Π_{bit i of alpha set}
+    * sqrt^i(c)`, multiplied in ascending-i order — IEEE-754 requires
+    * `sqrt` and `*` to be correctly rounded, so every engine computes
+    * the identical chain bit-for-bit (replay 0.75 in SQL as
+    * `sqrt(c) * sqrt(sqrt(c))`, same order). Only a non-dyadic alpha
+    * falls to `pow`, whose last-ulp rounding is implementation-defined
+    * — the documented portability bound (the 1e-6 snap makes a flip
+    * astronomically unlikely). */
+  private[graft] def powSnap(c: Long, alpha: Double): Long =
+    Math.round(powPortable(c.toDouble, alpha) * 1e6)
+
+  private[graft] def powPortable(x: Double, alpha: Double): Double =
+    if (alpha == 1.0) x
+    else dyadicBits(alpha) match {
+      case Some(bits) =>
+        var s = x
+        var acc = 1.0 // 1.0 * s is exact, so the first factor is free
+        var i = 1
+        val hi = bits.max
+        while (i <= hi) { // ascending i: the FIXED evaluation order
+          s = Math.sqrt(s)
+          if (bits.contains(i)) acc = acc * s
+          i += 1
+        }
+        acc
+      case None => Math.pow(x, alpha)
+    }
+
+  /** The set bit positions of a dyadic `alpha = Σ 2^-i` (i <= 20), or
+    * None if alpha needs more than 20 binary digits (then it is not a
+    * human-chosen dyadic temperature — 0.3, 1/3, 0.9 all fall here). */
+  private[graft] def dyadicBits(alpha: Double): Option[Set[Int]] = {
+    val scaled = alpha * (1L << 20).toDouble
+    if (scaled != Math.rint(scaled)) None
+    else {
+      val k = scaled.toLong // alpha = k / 2^20 exactly
+      Some((1 to 20).filter(i => ((k >> (20 - i)) & 1L) == 1L).toSet)
+    }
   }
 
   /** Data SELECTION under a per-group token budget — "the best docs

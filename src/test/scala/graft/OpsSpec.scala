@@ -3962,6 +3962,69 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleByTemperatureTokens: token-mass quotas (hand case) + guards") {
+    // a: 1 doc of 16 tokens, b: 4 docs of 1 token each -> c_a=16, c_b=4
+    // alpha .5: m_a=4e6, m_b=2e6, M=6e6; budget 24 tokens:
+    // w_a = 24·4e6/(6e6·16) = exactly 1; w_b = 24·2e6/(6e6·4) = exactly 2
+    // (by DOC mass the same corpus would weight a 4x LOWER than this)
+    val df = (Seq((0L, "a", 16L)) ++
+      (10 until 14).map(i => (i.toLong, "b", 1L))).toDF("id", "dom", "nt")
+    val got = Sample.sampleByTemperatureTokens(df, "dom", "id", "nt",
+        0.5, 24L)
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(got == Seq((0L, 0L), (10L, 0L), (10L, 1L), (11L, 0L), (11L, 1L),
+      (12L, 0L), (12L, 1L), (13L, 0L), (13L, 1L)))
+    // a ZERO-mass domain drops (cannot carry token mass); the others
+    // keep their exact quotas
+    val withEmpty = df.union(Seq((20L, "empty", 0L)).toDF("id", "dom", "nt"))
+    val got2 = Sample.sampleByTemperatureTokens(withEmpty, "dom", "id",
+        "nt", 0.5, 24L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(!got2.contains(20L) && got2.contains(0L))
+    // NULL and negative token counts refuse loudly (silent deflation)
+    intercept[Exception] {
+      Sample.sampleByTemperatureTokens(
+        Seq((0L, "a", null.asInstanceOf[java.lang.Long])).toDF("id", "dom", "nt"),
+        "dom", "id", "nt", 0.5, 10L).collect()
+    }
+    intercept[Exception] {
+      Sample.sampleByTemperatureTokens(Seq((0L, "a", -1L)).toDF("id", "dom", "nt"),
+        "dom", "id", "nt", 0.5, 10L).collect()
+    }
+    // the 100-epoch cap fires on token mass too (tiny domain, hot budget)
+    val skew = (Seq((0L, "tiny", 1L)) ++
+      (1 until 1000).map(i => (i.toLong, "big", 100L))).toDF("id", "dom", "nt")
+    val e = intercept[IllegalArgumentException] {
+      Sample.sampleByTemperatureTokens(skew, "dom", "id", "nt", 0.5, 10000000L)
+    }
+    assert(e.getMessage.contains("100-epoch"), e.getMessage)
+  }
+
+  test("powPortable: dyadic alphas ride the exact sqrt chain, others fall to pow") {
+    // alpha = 0.75 -> sqrt(x)·sqrt(sqrt(x)), ascending order
+    for (x <- Seq(1.0, 2.0, 20.0, 100.0, 12345.0)) {
+      assert(Sample.powPortable(x, 0.75) ==
+        Math.sqrt(x) * Math.sqrt(Math.sqrt(x)))
+      assert(Sample.powPortable(x, 0.5) == Math.sqrt(x))
+      assert(Sample.powPortable(x, 0.25) == Math.sqrt(Math.sqrt(x)))
+      // 0.875 = 2^-1 + 2^-2 + 2^-3: three factors, ascending
+      val s1 = Math.sqrt(x); val s2 = Math.sqrt(s1); val s3 = Math.sqrt(s2)
+      assert(Sample.powPortable(x, 0.875) == s1 * s2 * s3)
+      assert(Sample.powPortable(x, 1.0) == x)
+      // non-dyadic: pow (documented bound)
+      assert(Sample.powPortable(x, 0.3) == Math.pow(x, 0.3))
+    }
+    assert(Sample.dyadicBits(0.75) == Some(Set(1, 2)))
+    assert(Sample.dyadicBits(0.3).isEmpty)
+    // the chain stays within a relative 1e-12 of pow (sanity, not law)
+    for (c <- Seq(7L, 123L, 99999L)) {
+      val chain = Sample.powPortable(c.toDouble, 0.75)
+      val pow = Math.pow(c.toDouble, 0.75)
+      assert(math.abs(chain - pow) / pow < 1e-12)
+    }
+  }
+
   test("repeatByQuota is repeatByWeight's exact core (parity + guards)") {
     val df = Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "b"))
       .toDF("id", "dom")
