@@ -1234,6 +1234,41 @@ object SparkEntry {
       path
     })
 
+  private val tokenEpochTrees = new ConcurrentHashMap[String, (String, String)]()
+  /** Build-once doc + window epoch LINEAGE for `x_token_resume_epoch`:
+    * the cross-epoch TOKEN-level resume needs BOTH halves of the
+    * trainer lifecycle on disk — doc-level epochs that CARRY the token
+    * arrays (selection budgets 4096 → 2048 under one salt, so epoch 1
+    * is a strict re-selection), and the ctx-64 window tree sliced from
+    * epoch 0's permutation (4-window files force manifest pruning on
+    * the consumed-prefix read). */
+  private def tokenEpochTree(s: SparkSession, d: String): (String, String) =
+    tokenEpochTrees.computeIfAbsent(d, { _ =>
+      val docRoot = indexPath("tokep_", d)
+      val winRoot = indexPath("tokepw_", d)
+      val base = docs(s, d).select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"),
+        col("n_chars").cast(LongType).as("score"),
+        TextStats.tokens(col("text")).as("ts"))
+        .withColumn("n_tok", size(col("ts")).cast(LongType))
+      def sel(budget: Long) = Sample.selectByBudget(base, "source",
+          "doc_id", "score", "n_tok", budget)
+        .drop("cum_tokens", "sel_rank").drop("source", "score")
+      val pos0 = Sample.shuffleRank(sel(4096L), "doc_id", "te", 32)
+        .localCheckpoint(true)
+      graft.ops.ShardWriter.writeShardEpoch(pos0, "doc_id", "n_tok", 4,
+        docRoot, salt = "te", buckets = 32, budget = 4096L,
+        maxRowsPerFile = 8L)
+      graft.ops.TokenStream.writeContextEpoch(pos0, "shuffle_pos", "ts",
+        64, 4, winRoot, salt = "te", buckets = 32, maxWindowsPerFile = 4L)
+      pos0.unpersist()
+      val pos1 = Sample.shuffleRank(sel(2048L), "doc_id", "te", 32)
+      graft.ops.ShardWriter.writeShardEpoch(pos1, "doc_id", "n_tok", 4,
+        docRoot, salt = "te", buckets = 32, budget = 2048L,
+        maxRowsPerFile = 8L)
+      (docRoot, winRoot)
+    })
+
   /** The planted quality corpus shared by the NB classifier gates:
     * every doc_id % 3 == 0 document carries an appended "premium"
     * marker phrase, giving the trainer a learnable signal the oracle
@@ -3226,6 +3261,33 @@ object SparkEntry {
         .select(col("window_id"), col("n_tok"),
           col("shard").cast(LongType).as("shard"),
           element_at(col("tokens"), 1).as("first_token"))
+        .orderBy("window_id")
+    }),
+
+    // cross-epoch TOKEN-level resume: the run consumed windows [0, 6)
+    // of the epoch-0 window tree, the corpus re-published as doc epoch
+    // 1 — the consumed window prefix maps (via its committed max_pos
+    // provenance, manifest-pruned) to the doc-permutation prefix it
+    // drew from, those DOCUMENTS anti-join out of the new epoch
+    // (partially-consumed docs count as consumed — never re-seen), and
+    // the remainder re-slices into a fresh ctx-64 window stream
+    "x_token_resume_epoch" -> ((s, d) => {
+      val (docRoot, winRoot) = tokenEpochTree(s, d)
+      val winMan = graft.ops.ShardWriter.loadManifest(s,
+          graft.ops.ShardWriter.epochPath(winRoot, 0))
+        .select("min_pos").collect().map(_.getLong(0))
+      val touched = winMan.count(_ < 6L)
+      require(touched >= 1 && touched < winMan.length,
+        s"the consumed-prefix read must be manifest-pruned, touched " +
+          s"$touched of ${winMan.length} files")
+      graft.ops.TokenStream.resumeTokensIntoEpoch(s, docRoot, winRoot,
+          oldDocEpoch = 0, newDocEpoch = 1, oldWinEpoch = 0,
+          step = 2L, batchSize = 3L, tokensCol = "ts", ctxLen = 64,
+          blocks = 16, dropPartial = false)
+        .select(col("window_id"), col("n_tok"), col("n_docs"),
+          col("min_pos"), col("max_pos"),
+          element_at(col("tokens"), 1).as("first_token"),
+          element_at(col("tokens"), -1).as("last_token"))
         .orderBy("window_id")
     }),
 
@@ -5820,6 +5882,44 @@ object SparkEntry {
        """FROM tok GROUP BY 1 HAVING count(*) = 64) """ +
        """SELECT w::BIGINT AS window_id, c::BIGINT AS n_tok, (w % 4)::BIGINT AS shard, """ +
        """ft AS first_token FROM wins WHERE w >= 212 ORDER BY window_id"""),
+
+    // cross-epoch token resume replayed end to end: epoch-0 permutation
+    // -> global token offsets -> the consumed prefix = FULL windows
+    // [0, 6) -> its max contributing doc position -> consumed doc ids =
+    // that position prefix -> epoch-1 permutation minus those ids,
+    // re-densified by rank -> fresh offsets -> ctx-64 window rollup
+    "x_token_resume_epoch" ->
+      (s"""WITH tebase AS (SELECT doc_id, COALESCE(source, '') AS source, n_chars::BIGINT AS score, """ +
+       s"""$TOK AS ts, len($TOK)::BIGINT AS n_tok FROM documents), """ +
+       """tesel0 AS (SELECT doc_id, ts, n_tok FROM (SELECT *, """ +
+       """SUM(n_tok) OVER (PARTITION BY source ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS ct """ +
+       """FROM tebase) WHERE ct <= 4096), """ +
+       s"""tepos0 AS (SELECT doc_id, ts, n_tok, (row_number() OVER (ORDER BY k % 32, k, doc_id) - 1) AS p """ +
+       s"""FROM (SELECT doc_id, ts, n_tok, ${h60sql("'shuffle:te:' || CAST(doc_id AS VARCHAR)")} AS k FROM tesel0)), """ +
+       """teoff0 AS (SELECT doc_id, ts, p, COALESCE(SUM(n_tok) OVER (ORDER BY p """ +
+       """ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o FROM tepos0), """ +
+       """tetok0 AS (SELECT p, o + i - 1 AS tg FROM """ +
+       """(SELECT p, o, unnest(range(1, len(ts) + 1)) AS i FROM teoff0)), """ +
+       // full windows only below the cut: the tree never committed a
+       // partial tail, so a <64-token window is invisible to the engine
+       """tewin0 AS (SELECT tg // 64 AS w, count(*) AS c, max(p) AS mp FROM tetok0 WHERE tg < 384 GROUP BY 1), """ +
+       """tecons AS (SELECT MAX(mp) AS pmax FROM tewin0 WHERE c = 64), """ +
+       """teids AS (SELECT doc_id FROM tepos0, tecons WHERE p <= pmax), """ +
+       """tesel1 AS (SELECT doc_id, ts, n_tok FROM (SELECT *, """ +
+       """SUM(n_tok) OVER (PARTITION BY source ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS ct """ +
+       """FROM tebase) WHERE ct <= 2048), """ +
+       s"""tepos1 AS (SELECT doc_id, ts, n_tok, (row_number() OVER (ORDER BY k % 32, k, doc_id) - 1) AS p """ +
+       s"""FROM (SELECT doc_id, ts, n_tok, ${h60sql("'shuffle:te:' || CAST(doc_id AS VARCHAR)")} AS k FROM tesel1)), """ +
+       """terem AS (SELECT doc_id, ts, n_tok, (row_number() OVER (ORDER BY p) - 1) AS rp """ +
+       """FROM tepos1 WHERE doc_id NOT IN (SELECT doc_id FROM teids)), """ +
+       """teoff1 AS (SELECT doc_id, ts, rp, COALESCE(SUM(n_tok) OVER (ORDER BY rp """ +
+       """ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o FROM terem), """ +
+       """tetok1 AS (SELECT rp, o + i - 1 AS tg, t FROM """ +
+       """(SELECT rp, o, unnest(ts) AS t, unnest(range(1, len(ts) + 1)) AS i FROM teoff1)) """ +
+       """SELECT (tg // 64)::BIGINT AS window_id, count(*)::BIGINT AS n_tok, """ +
+       """count(DISTINCT rp)::BIGINT AS n_docs, min(rp)::BIGINT AS min_pos, """ +
+       """max(rp)::BIGINT AS max_pos, arg_min(t, tg) AS first_token, """ +
+       """arg_max(t, tg) AS last_token FROM tetok1 GROUP BY 1 ORDER BY 1"""),
 
     // temperature mixing replayed from the counts up: md =
     // round(sqrt(c)·1e6) (IEEE sqrt is correctly rounded — exactly

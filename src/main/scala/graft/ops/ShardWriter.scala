@@ -615,8 +615,8 @@ object ShardWriter {
     * difference only. */
   /** The (id, token) column names two epochs both record — refused on
     * disagreement (they would not be the same corpus). */
-  private def sharedCols(spark: SparkSession, root: String, op: String,
-                         eA: Int, eB: Int): (String, String) = {
+  private[ops] def sharedCols(spark: SparkSession, root: String, op: String,
+                              eA: Int, eB: Int): (String, String) = {
     val eps = listEpochs(spark, root)
     require(eps.contains(eA) && eps.contains(eB) && eA != eB,
       s"$op: need two distinct published epochs, got ($eA, $eB) of " +

@@ -261,6 +261,116 @@ object TokenStream {
     } finally if (checkpointInput) { in.unpersist(); () }
   }
 
+  /** Resume a training run ACROSS a re-tokenization / re-selection, at
+    * TOKEN granularity — the composition [[writeContextEpoch]]'s
+    * scaladoc names: the run consumed the first `step · batchSize`
+    * WINDOWS of `oldWinEpoch` (sliced from `oldDocEpoch`'s
+    * permutation), the corpus has re-published as `newDocEpoch`, and
+    * the run wants to continue on the new corpus WITHOUT re-seeing
+    * documents it already trained on. Window ids are positions in one
+    * epoch's stream, not identities (re-slicing renumbers everything),
+    * so the continuation goes through DOCUMENT identity:
+    *
+    *   1. the consumed window prefix `[0, step·batchSize)` is read
+    *      manifest-PRUNED from the old window epoch, and its committed
+    *      `max_pos` provenance gives `P` — the highest old-epoch
+    *      document position any consumed window drew tokens from;
+    *   2. the consumed DOCUMENT set is the old doc epoch's position
+    *      prefix `[0, P]`, read manifest-pruned, ids only;
+    *   3. the new doc epoch minus those ids (one left-anti hash join —
+    *      text and token arrays never move), kept in the NEW epoch's
+    *      permutation order but RE-DENSIFIED to `[0, N')` (two narrow
+    *      passes + a per-block rank — no global sort), is re-sliced
+    *      into `ctxLen`-token windows.
+    *
+    * The PARTIALLY-consumed document rule — a document whose tokens
+    * straddle the consumed boundary — is: CONSUMED. Any document that
+    * contributed at least one token to a consumed window is dropped
+    * from the continuation; re-slicing its remainder would re-emit its
+    * already-seen prefix inside the new windows (positions shift), and
+    * "never re-see trained data" is the resume contract
+    * ([[ShardWriter.resumeIntoEpoch]]'s). The cost is bounded by ONE
+    * document's unseen remainder per resume.
+    *
+    * Output: [[sliceWindows]]' schema over the continuation stream —
+    * `window_id` restarts at 0 (it is a NEW window stream; publish it
+    * with [[writeContextEpoch]] under the new identity) and
+    * `min_pos`/`max_pos`/`doc_spans.pos` refer to the continuation's
+    * densified positions. `step = 0` returns the full new epoch
+    * re-sliced (nothing consumed yet). */
+  def resumeTokensIntoEpoch(spark: org.apache.spark.sql.SparkSession,
+                            docRoot: String, winRoot: String,
+                            oldDocEpoch: Int, newDocEpoch: Int,
+                            oldWinEpoch: Int, step: Long, batchSize: Long,
+                            tokensCol: String, ctxLen: Int,
+                            blocks: Int = 1024,
+                            dropPartial: Boolean = true): DataFrame = {
+    require(step >= 0L && batchSize >= 1L,
+      s"resumeTokensIntoEpoch: need step >= 0 and batchSize >= 1, got " +
+        s"($step, $batchSize)")
+    val (idCol, _) = ShardWriter.sharedCols(spark, docRoot,
+      "resumeTokensIntoEpoch", oldDocEpoch, newDocEpoch)
+    val fresh = ShardWriter.readShardEpoch(spark, docRoot, newDocEpoch)
+    require(fresh.columns.contains(tokensCol),
+      s"resumeTokensIntoEpoch: new doc epoch $newDocEpoch at $docRoot " +
+        s"carries no '$tokensCol' column — the doc epochs must be " +
+        "published WITH their token arrays to re-slice")
+    val consumedWindows = step * batchSize
+    val remaining =
+      if (consumedWindows == 0L) fresh
+      else {
+        // 1. the consumed windows' committed provenance -> P (bounded
+        // driver state: one long); the slice read is manifest-pruned
+        val winPath = ShardWriter.epochPath(winRoot, oldWinEpoch)
+        val pRow = ShardWriter.readShardSlice(spark, winPath, 0L,
+            consumedWindows)
+          .agg(max("max_pos")).head()
+        if (pRow.isNullAt(0)) fresh // no windows existed below the cut
+        else {
+          // 2. consumed docs = the old permutation's prefix [0, P]
+          val consumed = ShardWriter.readShardSlice(spark,
+              ShardWriter.epochPath(docRoot, oldDocEpoch),
+              0L, pRow.getLong(0) + 1L)
+            .select(idCol)
+          // 3. new epoch minus consumed ids, ids-only anti join
+          fresh.join(consumed, Seq(idCol), "left_anti")
+        }
+      }
+    val densified = densifyPositions(remaining, "shuffle_pos", "_rs_pos",
+      blocks)
+    sliceWindows(densified.drop("shuffle_pos"), "_rs_pos", tokensCol,
+      ctxLen, blocks, dropPartial)
+  }
+
+  /** Rank `posCol`'s (unique, non-null) values into a DENSE `[0, N)`
+    * column `out`, preserving order — the re-densify step after an
+    * anti-join punches holes in a permutation. Two narrow passes (max;
+    * per-block counts -> driver prefix offsets, ≤ `blocks` longs) plus
+    * a per-block row_number — the [[Sample.shuffleRank]] discipline,
+    * never a global sort. */
+  private[ops] def densifyPositions(df: DataFrame, posCol: String,
+                                    out: String, blocks: Int): DataFrame = {
+    require(blocks >= 1 && blocks <= (1 << 16),
+      s"blocks must be in [1, 65536], got $blocks")
+    val mx = df.agg(max(col(posCol).cast(LongType))).head()
+    if (mx.isNullAt(0)) return df.withColumn(out, lit(0L)).limit(0)
+    val blockSize = (mx.getLong(0) + blocks) / blocks
+    val keyed = df.withColumn("_dpb",
+      expr(s"CAST($posCol AS BIGINT) div ${blockSize}L"))
+    val cnts = keyed.groupBy(col("_dpb")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = cnts.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (b, c)) => (b, acc + c)
+    }.sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toMap
+    val offCol = coalesce(
+      element_at(typedLit(offsets.map { case (b, o) => b.toString -> o }),
+        col("_dpb").cast("string")), lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_dpb")).orderBy(col(posCol))
+    keyed.withColumn(out, offCol + row_number().over(w).cast(LongType) - 1L)
+      .drop("_dpb")
+  }
+
   /** Window-stream ROLLUP — total windows, tokens, and the partial-tail
     * accounting a pipeline report wants without materializing windows. */
   def windowStats(df: DataFrame, posCol: String, tokensCol: String,

@@ -3861,6 +3861,68 @@ class OpsSpec extends AnyFunSuite {
       root, "we", 4) == 1)
   }
 
+  test("resumeTokensIntoEpoch: consumed docs never reappear; boundary doc is CONSUMED") {
+    import org.apache.spark.sql.functions._
+    // doc i carries (i % 4) + 2 tokens -> boundaries rarely align with
+    // the ctx-8 window cut, so the partially-consumed rule is exercised
+    val docs = (0L until 12L).map(i =>
+      (i, (0 until ((i % 4) + 2).toInt).map(j => s"d$i-$j"))).toDF("id", "ts")
+      .withColumn("n_tok", size(col("ts")).cast("long"))
+    val docRoot = TestSpark.tmpDir("rtok") + "/docs"
+    val winRoot = TestSpark.tmpDir("rtok") + "/wins"
+    val pos0 = Sample.shuffleRank(docs, "id", "rt", 4)
+    assert(ShardWriter.writeShardEpoch(pos0, "id", "n_tok", 2, docRoot,
+      "rt", 4, budget = 100L, maxRowsPerFile = 4L) == 0)
+    assert(TokenStream.writeContextEpoch(pos0, "shuffle_pos", "ts", 8, 2,
+      winRoot, "rt", 4, maxWindowsPerFile = 2L) == 0)
+    // the re-selection drops doc 5; a new identity -> doc epoch 1
+    val docs1 = docs.filter(col("id") =!= 5L)
+    val pos1 = Sample.shuffleRank(docs1, "id", "rt", 4)
+    assert(ShardWriter.writeShardEpoch(pos1, "id", "n_tok", 2, docRoot,
+      "rt", 4, budget = 99L, maxRowsPerFile = 4L) == 1)
+
+    // ground truth, derived from the published epochs themselves
+    val old = ShardWriter.readShardEpoch(spark, docRoot, 0)
+      .select("shuffle_pos", "id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2).toSeq))
+      .sortBy(_._1)
+    // consumed: step 1 x batch 2 = windows [0, 2) = token prefix [0, 16)
+    val stream = old.flatMap { case (p, _, ts) => ts.map(t => (p, t)) }
+    val pSeen = stream.take(16).map(_._1).max
+    val consumedIds = old.filter(_._1 <= pSeen).map(_._2).toSet
+    // the boundary doc straddles token 16 iff the cut lands mid-doc —
+    // either way it is consumed by the rule
+    val newPerm = ShardWriter.readShardEpoch(spark, docRoot, 1)
+      .select("shuffle_pos", "id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2).toSeq))
+      .sortBy(_._1)
+    val remainingToks = newPerm.filterNot(x => consumedIds(x._2))
+      .flatMap(_._3).toSeq
+    val wantWindows = remainingToks.grouped(8).zipWithIndex
+      .map { case (w, i) => (i.toLong, w.toList) }.toSeq
+
+    val got = TokenStream.resumeTokensIntoEpoch(spark, docRoot, winRoot,
+        oldDocEpoch = 0, newDocEpoch = 1, oldWinEpoch = 0,
+        step = 1L, batchSize = 2L, tokensCol = "ts", ctxLen = 8,
+        blocks = 4, dropPartial = false)
+      .select("window_id", "tokens").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).sortBy(_._1).toSeq
+    assert(got == wantWindows, s"\ngot  $got\nwant $wantWindows")
+    // no consumed doc's token appears anywhere in the continuation
+    val gotToks = got.flatMap(_._2).toSet
+    consumedIds.foreach(id =>
+      assert(!gotToks.exists(_.startsWith(s"d$id-")), s"doc $id re-seen"))
+    // step = 0: the full new epoch re-sliced (every epoch-1 token)
+    val full = TokenStream.resumeTokensIntoEpoch(spark, docRoot, winRoot,
+      0, 1, 0, step = 0L, batchSize = 2L, "ts", 8, 4, dropPartial = false)
+    assert(full.agg(sum("n_tok")).head().getLong(0) ==
+      newPerm.map(_._3.size.toLong).sum)
+    intercept[IllegalArgumentException] {
+      TokenStream.resumeTokensIntoEpoch(spark, docRoot, winRoot,
+        0, 1, 0, step = -1L, batchSize = 2L, "ts", 8)
+    }
+  }
+
   test("windowStats carries the full accounting incl. the partial tail") {
     val docs = Seq(0L -> (0 until 10).map(i => s"a$i"),
       1L -> (0 until 3).map(i => s"b$i")).toDF("id", "ts")

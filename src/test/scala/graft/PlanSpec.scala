@@ -311,4 +311,45 @@ class PlanSpec extends AnyFunSuite {
       p.contains("hashpartitioning(_tsw"),
       s"sliceWindows lost its window_id reassembly shuffle:\n$p")
   }
+
+  test("resumeTokensIntoEpoch: per-block densify, id-only consumed side, no global sort") {
+    // the continuation chain must keep every discipline it composes:
+    // the consumed-doc side of the anti-join moves ids only (ONE scan
+    // reads the token arrays — the new epoch's), the re-densify rank is
+    // the per-block window + broadcast offsets (never rangepartitioning
+    // or a single-partition window), and sliceWindows' shape rides on
+    // top unchanged
+    val docRoot = TestSpark.tmpDir("planspec-rte") + "/docs"
+    val winRoot = TestSpark.tmpDir("planspec-rte") + "/wins"
+    val base = (0L until 24L).map(i =>
+        (i, (0 until 5).map(j => s"d$i-$j")))
+      .toDF("doc_id", "ts")
+      .withColumn("n_tok", size($"ts").cast("long"))
+    val pos0 = Sample.shuffleRank(base, "doc_id", "rte", 4)
+    assert(ShardWriter.writeShardEpoch(pos0, "doc_id", "n_tok", 2,
+      docRoot, "rte", 4, budget = 100L, maxRowsPerFile = 4L) == 0)
+    assert(TokenStream.writeContextEpoch(pos0, "shuffle_pos", "ts", 8, 2,
+      winRoot, "rte", 4, maxWindowsPerFile = 2L) == 0)
+    val pos1 = Sample.shuffleRank(base.filter($"doc_id" % 5 =!= 0L),
+      "doc_id", "rte", 4)
+    assert(ShardWriter.writeShardEpoch(pos1, "doc_id", "n_tok", 2,
+      docRoot, "rte", 4, budget = 99L, maxRowsPerFile = 4L) == 1)
+    val out = TokenStream.resumeTokensIntoEpoch(spark, docRoot, winRoot,
+      0, 1, 0, step = 1L, batchSize = 2L, "ts", 8, blocks = 4,
+      dropPartial = false)
+    val p = plan(out)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("rangepartitioning"),
+      s"resume chain regressed to a global sort:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"resume chain funneled through one partition:\n$p")
+    assert(p.contains("hashpartitioning(_dpb"),
+      s"densify's per-block rank window vanished:\n$p")
+    val tsScans = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
+      .count(_.contains("ts"))
+    assert(tsScans == 1,
+      s"expected exactly ONE token-array scan (the new epoch), got " +
+        s"$tsScans:\n$p")
+    assert(out.count() > 0L)
+  }
 }
