@@ -2437,6 +2437,21 @@ object SparkEntry {
       TextStats.corpusReport(docs(s, d).select("source", "text"),
         "source", "text").orderBy("source")),
 
+    // ...extended with NEAR-dup debt over the planted corpus: the
+    // MinHash-LSH clusters' non-canonical members booked per derived
+    // domain (the planted " zzz" variants land in their own stratum,
+    // and their SOURCES — cluster-min ids — stay kept), replayed by
+    // the same recursive-reachability oracle as x_neardup_groups
+    "x_corpus_report_neardup" -> ((s, d) => {
+      val src = plantedDocs(s, d).select(
+        when(col("doc_id") >= 1000000L, lit("planted"))
+          .when(col("doc_id") % 2 === 0, lit("even"))
+          .otherwise(lit("odd")).as("dom"),
+        col("doc_id"), col("text"))
+      TextStats.corpusReportNearDup(src, "dom", "doc_id", "text")
+        .orderBy("dom")
+    }),
+
     // quality scoring
     "x_text_quality" -> ((s, d) =>
       TextStats.quality(docs(s, d), "text")
@@ -5076,6 +5091,31 @@ object SparkEntry {
        // NULLS FIRST pins a NULL-source stratum to Spark's ASC default —
        // DuckDB's NULLS LAST would flip the row order and the hash
        """FROM cmain m JOIN ctop t USING (dom) ORDER BY source NULLS FIRST"""),
+
+    // the near-dup-debt report: the x_neardup_groups reachability
+    // labels feed a per-domain count of non-kept docs (cluster <> id),
+    // left-joined onto the same per-domain feature rollup
+    "x_corpus_report_neardup" ->
+      (s"""WITH RECURSIVE $minhashLshCtes, $reachCtes, """ +
+       """lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id), """ +
+       """cdom AS (SELECT doc_id, CASE WHEN doc_id >= 1000000 THEN 'planted' """ +
+       """WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS dom, """ +
+       """COALESCE(text, '') AS t FROM docs2), """ +
+       """nnd AS (SELECT c.dom, count(*)::BIGINT AS nn FROM cdom c """ +
+       """JOIN lab ON lab.id = c.doc_id WHERE lab.cluster <> c.doc_id GROUP BY 1), """ +
+       s"""nfeat AS (SELECT dom, length(t)::BIGINT AS nc, """ +
+       s"""len(string_split_regex(lower(t), '\\s+'))::BIGINT AS nt, md5(t) AS dig, """ +
+       s"""${langVoteColsSql("t")} FROM cdom), """ +
+       s"""nguess AS (SELECT dom, nc, nt, dig, $langVoteCaseSql AS lg FROM nfeat), """ +
+       """nmain AS (SELECT dom, count(*)::BIGINT AS n_docs, SUM(nt)::BIGINT AS n_tokens, """ +
+       """SUM(nc)::BIGINT AS n_chars, (count(*) - count(DISTINCT dig))::BIGINT AS n_dup_docs, """ +
+       """count(DISTINCT lg)::BIGINT AS n_langs FROM nguess GROUP BY dom), """ +
+       """nlc AS (SELECT dom, lg, count(*)::BIGINT AS c FROM nguess GROUP BY 1, 2), """ +
+       """ntop AS (SELECT dom, lg AS top_lang, c AS top_lang_docs FROM """ +
+       """(SELECT *, row_number() OVER (PARTITION BY dom ORDER BY c DESC, lg) AS rn FROM nlc) WHERE rn = 1) """ +
+       """SELECT m.dom, m.n_docs, m.n_tokens, m.n_chars, m.n_dup_docs, """ +
+       """m.n_langs, t.top_lang, t.top_lang_docs, COALESCE(nnd.nn, 0)::BIGINT AS n_neardup_docs """ +
+       """FROM nmain m JOIN ntop t USING (dom) LEFT JOIN nnd USING (dom) ORDER BY dom"""),
 
     "x_text_quality" ->
       (s"""WITH f AS (SELECT doc_id, length(text)::BIGINT AS n_chars, len($TOK)::BIGINT AS n_tokens, """ +

@@ -507,4 +507,39 @@ object TextStats {
     main.join(top, col("_crd") <=> col("_crl"))
       .select((col("_crd").as(domainCol) +: outCols.map(col)): _*)
   }
+
+  /** [[corpusReport]] extended with the NEAR-duplicate debt a dataset
+    * card wants next to the exact number: `n_neardup_docs` — per
+    * domain, the documents a MinHash-LSH dedup pass would DROP (the
+    * non-canonical members of [[Dedup.nearDupGroups]]' clusters, i.e.
+    * `keep = false`; exact duplicates collide in LSH too, so they are
+    * counted here as well as in `n_dup_docs`). Clustering runs over the
+    * WHOLE corpus — a near-dup pair spanning two domains books the debt
+    * in the non-kept document's domain, which is where the drop would
+    * land.
+    *
+    * Scale shape: [[corpusReport]]'s two narrow shuffles plus
+    * [[Dedup.nearDupGroups]]' collision-bounded LSH + pointer-jump
+    * clustering; the debt rollup joins IDS only (one left-semi + one
+    * tiny per-domain count) — text never rides the dedup path twice. */
+  def corpusReportNearDup(df: DataFrame, domainCol: String, idCol: String,
+                          textCol: String, n: Int = 3,
+                          numHashes: Int = 32, bands: Int = 8,
+                          minEstJaccard: Double = 0.5): DataFrame = {
+    require(domainCol != "n_neardup_docs",
+      "corpusReportNearDup: domain column collides with the report's " +
+        "n_neardup_docs column — rename it first")
+    val groups = Dedup.nearDupGroups(df.select(col(idCol), col(textCol)),
+      idCol, textCol, n, numHashes, bands, minEstJaccard)
+    val nonCanon = groups.filter(!col("keep")).select(col(idCol))
+    val nd = df.select(col(domainCol).as("_crn"),
+        col(idCol).cast(LongType).as(idCol))
+      .join(nonCanon, Seq(idCol), "left_semi")
+      .groupBy(col("_crn")).agg(count(lit(1)).as("n_neardup_docs"))
+    corpusReport(df, domainCol, textCol)
+      .join(nd, col(domainCol) <=> col("_crn"), "left")
+      .drop("_crn")
+      .withColumn("n_neardup_docs",
+        coalesce(col("n_neardup_docs"), lit(0L)))
+  }
 }

@@ -3968,6 +3968,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusReportNearDup books the drop in the non-kept doc's domain") {
+    val df = Seq(
+      (0L, "a", "the quick brown fox jumps over the lazy dog again and again"),
+      // near-dup of doc 0 in ANOTHER domain: doc 0 is the cluster min
+      // (kept), so the debt books under "b" — where the drop would land
+      (1L, "b", "the quick brown fox jumps over the lazy dog again and again zzz"),
+      (2L, "a", "completely unrelated content about catalyst plan shapes")
+    ).toDF("id", "dom", "text")
+    val rep = TextStats.corpusReportNearDup(df, "dom", "id", "text")
+      .collect().map(r => (r.getString(0),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_neardup_docs")))).toMap
+    assert(rep("a") == ((2L, 0L)), rep)
+    assert(rep("b") == ((1L, 1L)), rep)
+    intercept[IllegalArgumentException] {
+      TextStats.corpusReportNearDup(df.withColumnRenamed("dom", "n_neardup_docs"),
+        "n_neardup_docs", "id", "text")
+    }
+  }
+
   // ---- temperature-scaled mixing ----------------------------------
 
   test("sampleByTemperature derives the exact integer quotas (alpha=0.5 hand case)") {
