@@ -3808,6 +3808,37 @@ object SparkEntry {
       }
     }),
 
+    // streaming CONTEXT-WINDOW ingest: two controlled micro-batches of
+    // tokenized docs stream through the production sink — completed
+    // ctx-32 windows publish with global ids, the partial tail carries
+    // as per-doc-segment STATE across the batch boundary (the cut lands
+    // mid-window), and the landed payload must equal the batch slice
+    // over the union, token for token
+    "x_stream_window_ingest" -> ((s, d) => {
+      val st = store(s, d)
+      st.synchronized {
+        val toks = docs(s, d).select(col("doc_id"),
+          TextStats.tokens(col("text")).as("ts"))
+        val b1 = toks.filter(col("doc_id") >= 200 && col("doc_id") < 250)
+        val b2 = toks.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+        if (st.isTable("stream/ctx_windows")) st.drop("stream/ctx_windows")
+        st.put("stream/ctx_windows", graft.ops.TokenStream.sliceWindows(
+          b1.limit(0).withColumn("_p", lit(0L)), "_p", "ts", 32,
+          dropPartial = false))
+        withStagedBatches(s, Seq(b1, b2)) { (src, ckpt) =>
+          graft.streaming.EventStream.contextWindowIngestSink(src, st,
+            "stream/ctx_windows", ckpt, "doc_id", "ts", ctxLen = 32,
+            blocks = 16).awaitTermination()
+        }
+        localized(s, st.table("stream/ctx_windows").df
+          .select(col("window_id"),
+            posexplode(col("tokens")).as(Seq("i", "token")))
+          .select(col("window_id"),
+            (col("i") + 1).cast(LongType).as("slot"), col("token")))
+          .orderBy("window_id", "slot")
+      }
+    }),
+
     // continuous-ingest dedup: the fresh cross-corpus batch streams
     // through the index-deduped PRODUCTION sink — documents near-
     // duplicating the persisted reference snapshot are dropped in
@@ -4601,6 +4632,23 @@ object SparkEntry {
     // sequential ingest: batch-2 survivors depend on what batch 1
     // appended — the full two-step LSH cascade recomputed from scratch
     "x_stream_index_ingest" -> ingestDedupOracle,
+
+    // streamed windows == the batch slice over the union: docs 200-299
+    // in arrival order (batch 1 ids < batch 2 ids, ranked by id within
+    // each), global token offsets, FULL ctx-32 windows only (the tail
+    // stays in the sink's carried state, never in the table)
+    "x_stream_window_ingest" ->
+      (s"""WITH swtoks AS (SELECT doc_id, $TOK AS ts FROM documents """ +
+       """WHERE doc_id >= 200 AND doc_id < 300), """ +
+       """swpos AS (SELECT ts, (row_number() OVER (ORDER BY doc_id) - 1) AS p FROM swtoks), """ +
+       """swoff AS (SELECT ts, p, COALESCE(SUM(len(ts)) OVER (ORDER BY p """ +
+       """ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o FROM swpos), """ +
+       """swtok AS (SELECT o + i - 1 AS tg, t FROM """ +
+       """(SELECT o, unnest(ts) AS t, unnest(range(1, len(ts) + 1)) AS i FROM swoff)) """ +
+       """SELECT (tg // 32)::BIGINT AS window_id, (tg % 32 + 1)::BIGINT AS slot, t AS token """ +
+       """FROM swtok WHERE tg // 32 IN """ +
+       """(SELECT tg // 32 FROM swtok GROUP BY 1 HAVING count(*) = 32) """ +
+       """ORDER BY window_id, slot"""),
 
     // post-stream text-index probe == overlap ranking over base corpus
     // ∪ both streamed batches (incl. the planted all-query-token docs,

@@ -348,7 +348,7 @@ object TokenStream {
     * per-block counts -> driver prefix offsets, ≤ `blocks` longs) plus
     * a per-block row_number — the [[Sample.shuffleRank]] discipline,
     * never a global sort. */
-  private[ops] def densifyPositions(df: DataFrame, posCol: String,
+  private[graft] def densifyPositions(df: DataFrame, posCol: String,
                                     out: String, blocks: Int): DataFrame = {
     require(blocks >= 1 && blocks <= (1 << 16),
       s"blocks must be in [1, 65536], got $blocks")

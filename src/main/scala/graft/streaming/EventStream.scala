@@ -452,6 +452,171 @@ object EventStream {
     * `restoreCountMinAfterCrash` covering the between-renames window.
     * No streaming state: the SKETCH is the state, bounded by shape, so
     * this runs forever over an unbounded stream. */
+  /** Streaming CONTEXT-WINDOW ingest — the live form of
+    * [[graft.ops.TokenStream.sliceWindows]]: arriving tokenized
+    * documents append to the global token stream in (batch order,
+    * `idCol` asc) order, every COMPLETED `ctxLen`-token window publishes
+    * to the store table ([[graft.ops.TokenStream.sliceWindows]]'
+    * schema, global window ids and doc positions), and the partial tail
+    * (< ctxLen tokens, kept as per-document segments WITH their global
+    * position provenance) carries to the next micro-batch. The
+    * published windows, the new tail, and the replay watermark commit
+    * in ONE atomic manifest write ([[graft.table.HDFTable]]
+    * `appendWithAttr`), so a replayed batch recomputes from unchanged
+    * state and is dropped whole — exactly-once, crash-anywhere.
+    *
+    * BATCH-EQUIVALENT by construction: after any prefix of batches the
+    * published windows plus the carried tail equal `sliceWindows` over
+    * the concatenated prefix (the `x_stream_window_ingest` gate pins
+    * the full payload against a DuckDB replay of the union).
+    *
+    * `idCol` must be unique and non-null per batch (it is the arrival
+    * order surrogate INSIDE a micro-batch — refused loudly otherwise);
+    * token arrays must be non-null (sliceWindows' rule). Token element
+    * types round-trip through the tail state as strings — use string
+    * or integral tokens (ids), not floats.
+    *
+    * Scale shape: per batch, sliceWindows' own discipline (per-block
+    * offsets, array-slice segments, ONE window_id shuffle) over the
+    * BATCH only; the carried state is ≤ ctxLen tokens + three longs in
+    * one table attribute — no streaming state store, nothing grows
+    * with the stream. */
+  def contextWindowIngestSink(stream: DataFrame, store: HDFStore,
+                              table: String, checkpoint: String,
+                              idCol: String, tokensCol: String,
+                              ctxLen: Int, blocks: Int = 1024,
+                              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(ctxLen >= 1, s"ctxLen must be >= 1, got $ctxLen")
+    val stateKey = "ctxWindows:" +
+      java.util.UUID.nameUUIDFromBytes(checkpoint.getBytes("UTF-8")).toString
+    val elemType = stream.schema(tokensCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(e, _) => e
+      case other => throw new IllegalArgumentException(
+        s"contextWindowIngestSink: '$tokensCol' must be an array " +
+          s"column, got ${other.simpleString}")
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val st = loadCtxState(store, table, stateKey)
+        if (batchId > st.batchId) {
+          val ids = batch.select(col(idCol).cast(LongType).as("_id"),
+            col(tokensCol).as("_cw_ts"))
+          // one narrow agg checks the arrival-order contract AND fixes
+          // the batch size (countDistinct skips NULLs, so equality
+          // implies both uniqueness and no NULL id)
+          val chk = ids.agg(count(lit(1)), countDistinct(col("_id"))).head()
+          val nBatch = chk.getLong(0)
+          require(nBatch == chk.getLong(1),
+            s"contextWindowIngestSink: '$idCol' must be unique and " +
+              s"non-null per batch ($nBatch rows, ${chk.getLong(1)} " +
+              "distinct non-null ids)")
+          // the batch takes stream positions nextPos + rank(id) —
+          // per-block rank, never a global sort
+          val ranked = graft.ops.TokenStream.densifyPositions(
+            ids, "_id", "_bp", blocks)
+          val k = st.tail.size.toLong
+          // the carried tail rides ahead at local positions [0, k)
+          val tailRows = st.tail.zipWithIndex.map { case ((p, toks), i) =>
+            org.apache.spark.sql.Row(i.toLong, p, toks) }
+          val tailDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(tailRows.toSeq, 1),
+            StructType(Seq(
+              org.apache.spark.sql.types.StructField("_lp", LongType),
+              org.apache.spark.sql.types.StructField("_gp", LongType),
+              org.apache.spark.sql.types.StructField("_cwstr",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.StringType)))))
+            .withColumn("_cw_ts", col("_cwstr")
+              .cast(org.apache.spark.sql.types.ArrayType(elemType)))
+          val local = tailDf.select("_lp", "_cw_ts")
+            .unionByName(ranked.select((col("_bp") + k).as("_lp"),
+              col("_cw_ts")))
+          // local -> GLOBAL doc positions: tail entries keep their
+          // recorded provenance, batch docs continue the stream
+          val tailMap = st.tail.zipWithIndex
+            .map { case ((p, _), i) => i.toString -> p }.toMap
+          def gpos(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+            if (tailMap.isEmpty) c - lit(k) + lit(st.nextPos)
+            else when(c < lit(k),
+              element_at(typedLit(tailMap), c.cast("string")))
+              .otherwise(c - lit(k) + lit(st.nextPos))
+          val wins = graft.ops.TokenStream.sliceWindows(local, "_lp",
+              "_cw_ts", ctxLen, blocks, dropPartial = false)
+            .select((col("window_id") + st.nextWindow).as("window_id"),
+              col("tokens"),
+              transform(col("doc_spans"), x => struct(
+                gpos(x.getField("pos")).as("pos"),
+                x.getField("start").as("start"),
+                x.getField("len").as("len"))).as("doc_spans"),
+              col("n_tok"), col("n_docs"),
+              gpos(col("min_pos")).as("min_pos"),
+              gpos(col("max_pos")).as("max_pos"))
+            // materialized once: the full-window publish and the tail
+            // extraction both read it, and the new state must be final
+            // BEFORE the atomic commit
+            .localCheckpoint(true)
+          try {
+            val partial = wins.filter(col("n_tok") < ctxLen.toLong).collect()
+            require(partial.length <= 1,
+              s"impossible: ${partial.length} partial windows in one batch")
+            val newTail: Seq[(Long, Seq[String])] =
+              partial.headOption.map { r =>
+                val toks = r.getSeq[Any](r.fieldIndex("tokens"))
+                r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("doc_spans"))
+                  .map { sp =>
+                    (sp.getLong(0), toks.slice(sp.getLong(1).toInt,
+                      (sp.getLong(1) + sp.getLong(2)).toInt)
+                      .map(String.valueOf).toSeq)
+                  }.toSeq
+              }.getOrElse(Seq.empty)
+            val nWins = wins.count()
+            val newState = CtxState(batchId,
+              st.nextWindow + nWins - partial.length,
+              st.nextPos + nBatch, newTail)
+            store.table(table).appendWithAttr(
+              wins.filter(col("n_tok") === ctxLen.toLong),
+              Some(stateKey -> ctxStateJson(newState)))
+          } finally { wins.unpersist(); () }
+        }
+      }
+      .start()
+  }
+
+  private[graft] case class CtxState(batchId: Long, nextWindow: Long,
+                                     nextPos: Long,
+                                     tail: Seq[(Long, Seq[String])])
+
+  private def ctxStateJson(st: CtxState): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("batchId" -> st.batchId) ~ ("nextWindow" -> st.nextWindow) ~
+          ("nextPos" -> st.nextPos) ~
+          ("tail" -> st.tail.map { case (p, ts) =>
+            ("p" -> p) ~ ("t" -> ts.toList) })))
+  }
+
+  private[graft] def loadCtxState(store: HDFStore, table: String,
+                                  key: String): CtxState =
+    store.attr(table, key) match {
+      case Some(AttrValue.Str(s)) =>
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        val j = org.json4s.jackson.JsonMethods.parse(s)
+        CtxState(
+          (j \ "batchId").extract[Long],
+          (j \ "nextWindow").extract[Long],
+          (j \ "nextPos").extract[Long],
+          (j \ "tail").extract[List[org.json4s.JValue]].map(e =>
+            ((e \ "p").extract[Long],
+              (e \ "t").extract[List[String]].toSeq)))
+      case Some(other) => throw new IllegalArgumentException(
+        s"table '$table' has a non-string '$key' attribute: $other")
+      case None => CtxState(-1L, 0L, 0L, Nil)
+    }
+
   def countMinIngestSink(stream: DataFrame, tokenCol: String, path: String,
                          checkpoint: String, depth: Int = 4,
                          width: Int = 1 << 16,

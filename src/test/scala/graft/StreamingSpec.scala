@@ -43,6 +43,69 @@ class StreamingSpec extends AnyFunSuite {
     st.close()
   }
 
+  test("context-window ingest: published windows == batch slice over the union; restart no-op") {
+    // 30 docs, (i % 5) + 1 tokens each -> 90 tokens at ctx 8 = 11 full
+    // windows + a 2-token tail; 10-doc batches hold 30 tokens each, so
+    // every batch boundary lands MID-window and the carried tail (with
+    // its global position provenance) is what makes the stream whole
+    val docs = (0L until 30L).map(i =>
+      (i, (0 until ((i % 5) + 1).toInt).map(j => s"d$i-$j"))).toDF("doc_id", "ts")
+    val in = TestSpark.tmpDir("ctxwin-in")
+    val ckpt = TestSpark.tmpDir("ctxwin-ckpt")
+    val st = HDFStore.open(spark, TestSpark.tmpDir("ctxwin-store"),
+      StoreMode.Overwrite)
+    st.put("ctx", graft.ops.TokenStream.sliceWindows(
+      docs.limit(0).withColumn("_p", lit(0L)), "_p", "ts", 8,
+      dropPartial = false))
+    def feed(lo: Long, hi: Long): Unit = {
+      docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+        .write.mode("append").parquet(in); ()
+    }
+    def run(): Unit = EventStream.contextWindowIngestSink(
+      spark.readStream.schema(docs.schema).parquet(in),
+      st, "ctx", ckpt, "doc_id", "ts", 8, blocks = 4).awaitTermination()
+    feed(0, 10); run()
+    feed(10, 20); run()
+    feed(20, 30); run()
+    def landed() = st.table("ctx").df
+      .select("window_id", "tokens", "doc_spans", "n_tok", "n_docs",
+        "min_pos", "max_pos")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList,
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(s => (s.getLong(0), s.getLong(1), s.getLong(2))).toList,
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1).toList
+    // ids 0..29 ARE the arrival ranks, so the batch equivalent is the
+    // one-shot slice with pos = doc_id, full windows only
+    val want = graft.ops.TokenStream.sliceWindows(
+        docs.withColumn("_p", $"doc_id"), "_p", "ts", 8, blocks = 4,
+        dropPartial = true)
+      .select("window_id", "tokens", "doc_spans", "n_tok", "n_docs",
+        "min_pos", "max_pos")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList,
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(s => (s.getLong(0), s.getLong(1), s.getLong(2))).toList,
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1).toList
+    assert(landed() == want, s"\ngot  ${landed()}\nwant $want")
+    assert(want.size == 11)
+    // the carried tail holds the 2 leftover tokens with real provenance
+    val tail = EventStream.loadCtxState(st, "ctx", "ctxWindows:" +
+      java.util.UUID.nameUUIDFromBytes(ckpt.getBytes("UTF-8")).toString)
+    assert(tail.tail.map(_._2.size).sum == 2 && tail.nextPos == 30L &&
+      tail.nextWindow == 11L, tail.toString)
+    // restart with no new data: nothing lands twice
+    run()
+    assert(landed() == want)
+    // duplicate ids WITHIN one batch refuse loudly (arrival order would
+    // be ambiguous); a re-arrival in a LATER batch is a re-occurrence —
+    // the stream has no cross-batch identity
+    feed(5, 7); feed(5, 7)
+    intercept[Exception] { run() }
+    assert(landed() == want)
+    st.close()
+  }
+
   test("watermarked windowed counts match the batch computation") {
     val events = spark.read.parquet(eventsPath)
     val schema = events.schema
