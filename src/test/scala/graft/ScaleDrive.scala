@@ -1297,6 +1297,66 @@ object ScaleDrive {
     println(s"  tokenized tree: ${manTok.length} files across 16 shards, " +
       "manifest totals verified")
 
+    // ---- sliceWindows shuffle PROFILE at ~1B tokens: the scaladoc
+    // documents the 2x payload constant (offset window + reassembly,
+    // TokenStream.scala trade-offs) and defers the 1x block-local
+    // assembly "until the constant shows in a real profile" — this IS
+    // the profile: shuffle bytes MEASURED via a task listener against
+    // a 1x reference (one hash shuffle of the same payload), plus wall
+    // time. The identity permutation is used (spark.range ids are the
+    // dense [0, N) stream) so the numbers isolate the operator itself.
+    println("== sliceWindows shuffle profile: ~1B tokens (20M docs, ctx 2048)")
+    val swWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val swRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val swListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          swWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          swRead.addAndGet(m.shuffleReadMetrics.totalBytesRead); ()
+        }
+      }
+    }
+    val pN = 20000000L // 20M docs x ~50 tokens = ~1.0B tokens
+    val pDocs = spark.range(pN).select(
+      col("id").as("shuffle_pos"),
+      transform(
+        sequence(lit(1L), (pmod(hash(col("id") * 13L), lit(61)) + 20L)),
+        x => (pmod(col("id") * 31L + x, lit(50000L))).cast("int"))
+        .as("ts"))
+    spark.sparkContext.addSparkListener(swListener)
+    // 1x reference: ONE hash shuffle of the same payload (the sum after
+    // it keeps the token arrays alive through the exchange)
+    time("1x reference: one hash shuffle of the payload") {
+      pDocs.repartition(col("shuffle_pos"))
+        .agg(sum(size(col("ts")).cast("long"))).head()
+    }
+    val refWrite = swWrite.get()
+    swWrite.set(0L); swRead.set(0L)
+    val tP = System.nanoTime()
+    val pTotal = time("sliceWindows: ~1B tokens -> 2048-token windows") {
+      // consuming sum(size(tokens)) forces the PAYLOAD through both
+      // shuffles — a bare count would let the optimizer prune the
+      // collect_list and profile nothing
+      graft.ops.TokenStream.sliceWindows(pDocs, "shuffle_pos", "ts",
+          ctxLen = 2048, blocks = 4096)
+        .agg(sum(size(col("tokens")).cast("long"))).head().getLong(0)
+    }
+    val pSec = (System.nanoTime() - tP) / 1e9
+    spark.sparkContext.removeSparkListener(swListener)
+    val ratio = swWrite.get().toDouble / refWrite
+    println(f"  tokens through windows: $pTotal%d; shuffle write " +
+      f"${swWrite.get() / 1e9}%.1f GB (read ${swRead.get() / 1e9}%.1f GB) " +
+      f"= ${ratio}%.2fx the 1-shuffle reference (${refWrite / 1e9}%.1f GB)")
+    // the documented bound: TWO payload shuffles plus narrow-pass
+    // overhead — a regression to a per-token explode or a third
+    // payload movement would blow past 3x and fail here loudly
+    assert(ratio < 3.0, f"window chain moved ${ratio}%.2fx the payload")
+    assert(pSec < 1200.0, f"1B-token slicing took $pSec%.0f s")
+    assert(pTotal >= (pN * 49L) / 2048L * 2048L * 9 / 10,
+      s"window token mass implausibly low: $pTotal")
+
     // ANN retrieval QUALITY canary: recall@10 vs exact brute force with
     // hard floors — every x_knn_* gate pins determinism (the oracle
     // replays the engine's own approximation), so only THIS catches a
