@@ -3795,7 +3795,7 @@ class OpsSpec extends AnyFunSuite {
       val rows = counts.zipWithIndex.flatMap { case (c, d) =>
         (0L until c).map(i => (d.toLong * 10000L + i, s"dom$d")) }
       val df = rows.toDF("id", "dom")
-      val alpha = Seq(0.5, 1.0)(rng.nextInt(2))
+      val alpha = Seq(0.5, 1.0, 0.75)(rng.nextInt(3))
       val budget = 1L + rng.nextInt(2000)
       val out = try Sample.sampleByTemperature(df, "dom", "id", alpha,
           budget, salt = s"t$trial")
@@ -3805,10 +3805,9 @@ class OpsSpec extends AnyFunSuite {
           null
         }
       if (out != null) {
-        // replicate the quota derivation and check the mass law
-        def snap(c: Long) = Math.round(
-          (if (alpha == 0.5) Math.sqrt(c.toDouble)
-           else Math.pow(c.toDouble, alpha)) * 1e6)
+        // replicate the quota derivation (the dyadic sqrt chain for
+        // 0.5/0.75 — powSnap's own law) and check the mass law
+        def snap(c: Long) = Sample.powSnap(c, alpha)
         val total = counts.map(c => BigInt(snap(c))).sum
         val mass = counts.map { c =>
           val num = BigInt(budget) * snap(c)
