@@ -2232,6 +2232,26 @@ object SparkEntry {
           col("list"))
     }),
 
+    // FILTERED vector search over the same persisted trained-IVF
+    // index: the allowed set is a metadata predicate's id column
+    // (vec_id % 3 == 1), intersected with the probed candidates
+    // id-only BEFORE the exact rescoring — the true filtered top-k of
+    // the probed lists, not a post-hoc filter of an unfiltered top-k
+    // (which silently returns < k under any selective filter). The
+    // oracle replays probe selection, the candidate-set predicate, and
+    // the fixed-point rescoring in one chain
+    "x_knn_filtered" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      val (path, _) = ivfIndex(s, d)
+      Similarity.ivfTopKIndexedFiltered(s, path, q, 10, nprobe = 3,
+          allowed = embs(s, d).filter(col("vec_id") % 3 === 1),
+          allowedIdCol = "vec_id",
+          verifyAgainst = Some((embs(s, d), "vec_id")))
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"),
+          col("list"))
+    }),
+
     // the same probe against an IVF index grown INCREMENTALLY (built on
     // the even vec_ids, odd vec_ids appended against the index's own
     // codebook): per-row assignment is batch-independent, so the grown
@@ -3370,6 +3390,21 @@ object SparkEntry {
         .orderBy("doc_id", "epoch")
     }),
 
+    // the recipe DRY-RUN ("data mixing card") for the same skewed
+    // domains at alpha = 0.5: per-domain mass, raw vs temperature-
+    // scaled share (exact millionths), the sampler's integer quota,
+    // effective epochs, expected output docs, and the cap flag — all
+    // HUGEINT floor arithmetic after the one sqrt snap, so the oracle
+    // re-derives every column from count(*) alone
+    "x_sample_plan" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") < 20, lit("small"))
+          .when(col("doc_id") < 120, lit("mid"))
+          .otherwise(lit("big")).as("dom"))
+      Sample.temperaturePlan(base, "dom", "doc_id",
+        alpha = 0.5, budgetDocs = 1000L)
+    }),
+
     // per-source selection under a 2048-token budget, best (longest)
     // docs first: the kept set is the longest quality-ordered prefix
     // whose running token sum fits — replayed as the same window cut
@@ -4457,11 +4492,19 @@ object SparkEntry {
        """SELECT qid AS query_id, nid AS neighbor_id, round(sc, 6) AS score, list """ +
        """FROM topk ORDER BY query_id, neighbor_id""")
 
-  private def ivfTrainedOracle: String =
+  private def ivfTrainedOracle: String = ivfTrainedProbeOracle("")
+
+  /** The trained-IVF probe chain with an optional extra predicate over
+    * the candidate set — "" replays the plain probe; a SQL boolean over
+    * `a.vec_id` replays the FILTERED search (the allowed-id semi-join
+    * lands exactly between candidate generation and rescoring, which
+    * is where the engine applies it). */
+  private def ivfTrainedProbeOracle(candWhere: String): String =
     (s"""WITH $kmeansCtes, """ +
      """as1 AS (SELECT vec_id, j AS list FROM (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn FROM s1) WHERE rn = 1), """ +
      """probes AS (SELECT j AS list FROM s1 WHERE vec_id = 0 ORDER BY s DESC, j LIMIT 3), """ +
-     """cand AS (SELECT a.vec_id, a.list FROM as1 a JOIN probes USING (list)), """ +
+     """cand AS (SELECT a.vec_id, a.list FROM as1 a JOIN probes USING (list)""" +
+     (if (candWhere.isEmpty) "" else s" WHERE $candWhere") + """), """ +
      """norms AS (SELECT vec_id, SUM(CAST(round(x * x * 1e15) AS BIGINT))::BIGINT AS dxx FROM el GROUP BY 1), """ +
      """qe AS (SELECT i, x AS qx FROM el WHERE vec_id = 0), """ +
      """dots AS (SELECT el.vec_id, SUM(CAST(round(el.x * qe.qx * 1e15) AS BIGINT))::BIGINT AS dxy """ +
@@ -4929,6 +4972,8 @@ object SparkEntry {
     // the persisted index materializes the identical assignment, so the
     // probed top-k must equal the assign-at-query-time result exactly
     "x_knn_ivf_indexed" -> ivfTrainedOracle,
+
+    "x_knn_filtered" -> ivfTrainedProbeOracle("a.vec_id % 3 = 1"),
 
     // the incrementally-grown index serves the identical top-k
     "x_knn_ivf_append" -> ivfTrainedOracle,
@@ -6028,6 +6073,29 @@ object SparkEntry {
        """SELECT doc_id, dom, epoch FROM """ +
        """(SELECT doc_id, dom, unnest(range(0, nc)) AS epoch FROM tn WHERE nc >= 1) """ +
        """ORDER BY doc_id, epoch"""),
+
+    // the mixing-card dry-run: the identical quota chain, stopped at
+    // the per-domain aggregates (every column HUGEINT floor arithmetic
+    // after the sqrt snap; over_cap as 0/1 BIGINT)
+    "x_sample_plan" ->
+      ("""WITH tbase AS (SELECT doc_id, CASE WHEN doc_id < 20 THEN 'small' """ +
+       """WHEN doc_id < 120 THEN 'mid' ELSE 'big' END AS dom """ +
+       """FROM documents WHERE doc_id IS NOT NULL), """ +
+       """tcnt AS (SELECT dom, count(*)::BIGINT AS c FROM tbase GROUP BY dom), """ +
+       """tm AS (SELECT dom, c, CAST(round(sqrt(c) * 1000000) AS BIGINT) AS md FROM tcnt), """ +
+       """tt AS (SELECT SUM(md)::HUGEINT AS mt, SUM(c)::HUGEINT AS ct FROM tm), """ +
+       """q AS (SELECT dom, c, md, """ +
+       """((c::HUGEINT * 1000000) // ct)::BIGINT AS raw_share_ppm, """ +
+       """((md::HUGEINT * 1000000) // mt)::BIGINT AS target_share_ppm, """ +
+       """((1000::HUGEINT * md) // (mt * c))::BIGINT AS f, """ +
+       """((((1000::HUGEINT * md) % (mt * c)) * 1000000) // (mt * c))::BIGINT AS thr """ +
+       """FROM tm, tt) """ +
+       """SELECT dom AS domain, c AS mass, raw_share_ppm, target_share_ppm, """ +
+       """f AS quota_floor, thr AS quota_coin_ppm, """ +
+       """(f * 1000000 + thr)::BIGINT AS epochs_ppm, """ +
+       """((c::HUGEINT * (f::HUGEINT * 1000000 + thr)) // 1000000)::BIGINT AS expected_out, """ +
+       """(CASE WHEN f < 100 OR (f = 100 AND thr = 0) THEN 0 ELSE 1 END)::BIGINT AS over_cap """ +
+       """FROM q ORDER BY domain NULLS FIRST"""),
 
     // budgeted selection replayed: the same (score desc, id) window's
     // inclusive running sum, prefix-cut at the budget

@@ -327,20 +327,35 @@ object Sample {
                                 salt: String = "",
                                 maxDomains: Int = 65536): DataFrame =
     temperatureMix(df, domainCol, idCol, alpha, budgetTokens, salt,
-      maxDomains,
-      sum(when(col(tokenCol).isNotNull && col(tokenCol) >= 0L,
-        col(tokenCol).cast("long"))
-        .otherwise(raise_error(concat(
-          lit(s"sampleByTemperatureTokens: token column '$tokenCol' " +
-            "must be non-null and >= 0, got "),
-          coalesce(col(tokenCol).cast("string"), lit("NULL")))))),
+      maxDomains, checkedTokenMass(tokenCol, "sampleByTemperatureTokens"),
       "tokens")
 
-  private def temperatureMix(df: DataFrame, domainCol: String,
-                             idCol: String, alpha: Double, budget: Long,
-                             salt: String, maxDomains: Int,
-                             mass: org.apache.spark.sql.Column,
-                             massName: String): DataFrame = {
+  /** `Σ tokenCol` with the loud per-row refusal on NULL / negative
+    * counts (they would silently deflate the domain's mass). */
+  private def checkedTokenMass(tokenCol: String,
+                               op: String): org.apache.spark.sql.Column =
+    sum(when(col(tokenCol).isNotNull && col(tokenCol) >= 0L,
+      col(tokenCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"$op: token column '$tokenCol' must be non-null and >= 0, " +
+          "got "),
+        coalesce(col(tokenCol).cast("string"), lit("NULL"))))))
+
+  /** One domain's exact quota line: `mass` (`c_d`), `snapped`
+    * (`m_d = round(c_d^alpha·1e6)`), and the floor + millionths-coin
+    * quota — the shared arithmetic behind [[sampleByTemperature]] and
+    * [[temperaturePlan]]. */
+  private[graft] final case class DomainQuota(domain: Option[String],
+                                              mass: Long, snapped: Long,
+                                              floor: Long, thr: Long) {
+    def overCap: Boolean = !(floor < 100L || (floor == 100L && thr == 0L))
+  }
+
+  private def temperatureQuotas(df: DataFrame, domainCol: String,
+                                idCol: String, alpha: Double, budget: Long,
+                                maxDomains: Int,
+                                mass: org.apache.spark.sql.Column)
+      : Seq[DomainQuota] = {
     require(alpha > 0.0 && alpha <= 1.0,
       s"alpha must be in (0, 1], got $alpha")
     require(budget > 0, s"budget must be positive, got $budget")
@@ -357,31 +372,111 @@ object Sample {
     require(counts.length <= maxDomains,
       s"sampleByTemperature: more than " +
         s"maxDomains=$maxDomains domains — group coarser or raise the bound")
-    if (counts.isEmpty) return repeatByQuota(df, domainCol, idCol,
-      Map("" -> (0L, 0L)), (0L, 0L), salt)
     // the ONE float step, snapped to millionths ([[powSnap]]: exactly
     // portable at alpha = 1 and every dyadic k/2^m via the sqrt chain)
     val m = counts.map { case (d, c) => (d, c, powSnap(c, alpha)) }
     val total = m.map(x => BigInt(x._3)).sum
-    val quotas = m.map { case (d, c, md) =>
-      if (c == 0L) (d, (0L, 0L)) // zero mass carries nothing
+    m.map { case (d, c, md) =>
+      if (c == 0L) DomainQuota(d, c, md, 0L, 0L) // zero mass carries nothing
       else {
         val num = BigInt(budget) * md
         val den = total * c
-        val f = num / den
-        val thr = ((num % den) * 1000000 / den).toLong
-        require(f < 100L || (f == 100L && thr == 0L),
-          s"sampleByTemperature: domain ${d.getOrElse("NULL")} ($c " +
-            s"$massName) would be upsampled x$f (past the 100-epoch " +
-            s"cap) at alpha=$alpha, budget=$budget — raise alpha, " +
-            "lower the budget, or pre-merge tiny domains")
-        (d, (f.toLong, thr))
+        DomainQuota(d, c, md, (num / den).toLong,
+          ((num % den) * 1000000 / den).toLong)
       }
+    }.toSeq
+  }
+
+  private def temperatureMix(df: DataFrame, domainCol: String,
+                             idCol: String, alpha: Double, budget: Long,
+                             salt: String, maxDomains: Int,
+                             mass: org.apache.spark.sql.Column,
+                             massName: String): DataFrame = {
+    val quotas = temperatureQuotas(df, domainCol, idCol, alpha, budget,
+      maxDomains, mass)
+    if (quotas.isEmpty) return repeatByQuota(df, domainCol, idCol,
+      Map("" -> (0L, 0L)), (0L, 0L), salt)
+    quotas.foreach { q =>
+      require(q.mass == 0L || !q.overCap,
+        s"sampleByTemperature: domain ${q.domain.getOrElse("NULL")} " +
+          s"(${q.mass} $massName) would be upsampled x${q.floor} (past " +
+          s"the 100-epoch cap) at alpha=$alpha, budget=$budget — raise " +
+          "alpha, lower the budget, or pre-merge tiny domains")
     }
     repeatByQuota(df, domainCol, idCol,
-      quotas.collect { case (Some(d), q) => d -> q }.toMap,
-      quotas.collectFirst { case (None, q) => q }.getOrElse((0L, 0L)),
+      quotas.collect { case DomainQuota(Some(d), _, _, f, t) => d -> (f, t) }
+        .toMap,
+      quotas.collectFirst { case DomainQuota(None, _, _, f, t) => (f, t) }
+        .getOrElse((0L, 0L)),
       salt)
+  }
+
+  /** The recipe DRY-RUN — the "data mixing card" a pipeline reviews
+    * BEFORE spending a cluster pass on [[sampleByTemperature]]: one row
+    * per domain with its mass (`c_d`), raw corpus share and
+    * temperature-scaled target share (both in exact integer millionths
+    * of the respective totals, floor division), the exact quota the
+    * sampler would apply (`quota_floor` + `quota_coin_ppm`), the
+    * effective epoch factor (`epochs_ppm = floor·1e6 + coin` — how many
+    * times an average document of the domain is seen, in millionths),
+    * the expected output mass (`expected_out = ⌊c_d·epochs_ppm/1e6⌋`),
+    * and `over_cap` (1 when the quota breaches the 100-epoch cap —
+    * where the sampler would REFUSE, the plan reports: surfacing the
+    * offending domain is exactly what a dry-run is for). Zero-mass
+    * domains report a (0, 0) quota — the sampler drops them silently,
+    * the card shows them.
+    *
+    * Every column after the one snapped `c_d^alpha` float step is pure
+    * integer arithmetic (BigInt here, HUGEINT in a SQL replay), so any
+    * engine re-derives the card bit-for-bit from the domain counts.
+    * Rows driver-bounded by `maxDomains`; the corpus is touched by one
+    * narrow count only. Columns that would overflow a BIGINT under an
+    * absurd over-cap recipe saturate at Long.MaxValue rather than
+    * wrapping. */
+  def temperaturePlan(df: DataFrame, domainCol: String, idCol: String,
+                      alpha: Double, budgetDocs: Long,
+                      maxDomains: Int = 65536): DataFrame =
+    temperaturePlanOf(df, domainCol, idCol, alpha, budgetDocs, maxDomains,
+      count(lit(1)))
+
+  /** [[temperaturePlan]] weighted by TOKEN mass — the dry-run of
+    * [[sampleByTemperatureTokens]] (`c_d = Σ tokenCol`, budget in
+    * tokens, `expected_out` in tokens). Same refusal rule on NULL /
+    * negative token counts as the sampler. */
+  def temperaturePlanTokens(df: DataFrame, domainCol: String, idCol: String,
+                            tokenCol: String, alpha: Double,
+                            budgetTokens: Long,
+                            maxDomains: Int = 65536): DataFrame =
+    temperaturePlanOf(df, domainCol, idCol, alpha, budgetTokens, maxDomains,
+      checkedTokenMass(tokenCol, "temperaturePlanTokens"))
+
+  private def temperaturePlanOf(df: DataFrame, domainCol: String,
+                                idCol: String, alpha: Double, budget: Long,
+                                maxDomains: Int,
+                                mass: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val quotas = temperatureQuotas(df, domainCol, idCol, alpha, budget,
+      maxDomains, mass)
+    val totalMass = quotas.map(q => BigInt(q.mass)).sum
+    val totalSnap = quotas.map(q => BigInt(q.snapped)).sum
+    def sat(x: BigInt): Long =
+      if (x > BigInt(Long.MaxValue)) Long.MaxValue else x.toLong
+    val rows = quotas.map { q =>
+      val raw = if (totalMass == 0) 0L
+        else (BigInt(q.mass) * 1000000 / totalMass).toLong
+      val tgt = if (totalSnap == 0) 0L
+        else (BigInt(q.snapped) * 1000000 / totalSnap).toLong
+      val epochsPpm = BigInt(q.floor) * 1000000 + q.thr
+      val expected = BigInt(q.mass) * epochsPpm / 1000000
+      (q.domain.orNull, q.mass, raw, tgt, q.floor, q.thr, sat(epochsPpm),
+        sat(expected), if (q.overCap) 1L else 0L)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("domain", "mass", "raw_share_ppm", "target_share_ppm",
+      "quota_floor", "quota_coin_ppm", "epochs_ppm", "expected_out",
+      "over_cap")
+      .orderBy(col("domain")) // NULLS FIRST — pin it in any SQL replay
   }
 
   /** `round(c^alpha · 1e6)` with the widest exactly-portable reach:

@@ -1002,6 +1002,78 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-FILTERED probe of a [[buildIvfIndex]] index — the
+    * "filtered vector search" shape every production vector store
+    * exposes (FAISS `IDSelector`, Milvus/Vespa scalar-filtered ANN):
+    * the caller supplies the ALLOWED id set as a relation — typically
+    * the id column of a metadata predicate,
+    * `docs.filter($"lang" === "en").select("doc_id")` — and candidates
+    * from the probed lists intersect it BEFORE the exact rescoring and
+    * the top-k cut. That order matters: post-hoc filtering of an
+    * unfiltered top-k silently returns < k results under any selective
+    * filter; filtering the candidate set returns the true filtered
+    * top-k of the probed lists.
+    *
+    * A selective filter starves a fixed-`nprobe` probe (survivors per
+    * list shrink with the selectivity), so `minSurvivors` adds
+    * deterministic PROBE ESCALATION: while fewer than
+    * `max(k, minSurvivors)` candidates survive the filter and unread
+    * lists remain, the probe set DOUBLES along the fixed affinity
+    * ranking — every escalation reads a strict superset, so results
+    * only ever grow toward the full filtered scan (which is exact).
+    * Each round costs one candidate COUNT over the probed partitions
+    * (id-only, ≤ ceil(log2(nlist/nprobe)) rounds).
+    *
+    * Scale shape: the allowed set rides ONE id-only hash semi-join
+    * (Catalyst broadcasts it when small); vectors move only for
+    * probed-list survivors; `list` partition pruning is unchanged
+    * from [[ivfTopKIndexed]]. */
+  def ivfTopKIndexedFiltered(spark: org.apache.spark.sql.SparkSession,
+                             path: String, query: Seq[Float], k: Int,
+                             nprobe: Int, allowed: DataFrame,
+                             allowedIdCol: String, minSurvivors: Int = 0,
+                             verifyAgainst: Option[(DataFrame, String)] = None)
+      : DataFrame = {
+    require(k >= 1, s"ivfTopKIndexedFiltered: k must be >= 1, got $k")
+    require(nprobe >= 1,
+      s"ivfTopKIndexedFiltered: nprobe must be >= 1, got $nprobe")
+    verifyAgainst.foreach { case (live, idCol) =>
+      requireIvfFresh(spark, path, live, idCol) }
+    val codebook = loadIvfCodebook(spark, path)
+    val dyy = centroidNorms(spark, codebook)
+    val qd = query.map(_.toDouble)
+    // the FULL affinity ranking is fixed once, so every escalation
+    // round probes a strict superset of the last
+    val ranked: Seq[Long] = codebook.indices
+      .map { j =>
+        val dxy = graft.functions.CodebookKernels.fixedDotDriver(qd, codebook(j))
+        (dxy.toDouble / math.sqrt(dyy(j).toDouble), j.toLong)
+      }
+      .sortBy { case (s, cid) => (-s, cid) }.map(_._2)
+    val allowedIds = allowed.select(
+      checkedLongId(allowedIdCol, "ivfTopKIndexedFiltered").as("id"))
+      .distinct()
+    def survivors(p: Int): DataFrame =
+      IndexMaintenance.minusTombstones(spark, path,
+          spark.read.parquet(path)
+            .filter(col("list").isin(ranked.take(p): _*)), "id")
+        .join(allowedIds, Seq("id"), "left_semi")
+    var p = math.min(nprobe, ranked.size)
+    if (minSurvivors > 0) {
+      val need = math.max(k, minSurvivors).toLong
+      // the count is id-only over the probed partitions; the loop is
+      // bounded by the doubling, never by the data
+      while (p < ranked.size && survivors(p).count() < need)
+        p = math.min(p * 2, ranked.size)
+    }
+    val qc = typedLit(query)
+    survivors(p)
+      .select(col("id"), cosineFixed(col("vec"), qc).as("score"),
+        col("list").cast(LongType).as("list"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** Bucketed ANN top-k: score only vectors whose bucket is within
     * `probeHamming` bits of the query's bucket. `exactDecimal` scores
     * candidates with the fixed-point kernel (cross-engine exact). */

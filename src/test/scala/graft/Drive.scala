@@ -958,6 +958,39 @@ object Drive {
       s"${report.length} sources, top langs " +
       report.map(_.getAs[String]("top_lang")).distinct.mkString("/"))
 
+    println("== r17 drive: filtered vector search + the mixing card")
+    val emb17 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q17 = emb17.filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val cb17 = graft.ops.Similarity.kmeansCodebook(emb17, "vec_id",
+      "embedding", k = 4, iters = 1)
+    val fidx = java.nio.file.Files.createTempDirectory("drive-filt")
+      .toString + "/ivf"
+    graft.ops.Similarity.buildIvfIndex(emb17, "vec_id", "embedding", cb17, fidx)
+    val filt = graft.ops.Similarity.ivfTopKIndexedFiltered(spark, fidx,
+      q17, 5, nprobe = 2, allowed = emb17.filter(col("vec_id") % 3 === 1),
+      allowedIdCol = "vec_id").collect()
+    require(filt.nonEmpty && filt.forall(_.getLong(0) % 3 == 1),
+      s"filtered probe returned a disallowed id: ${filt.mkString(",")}")
+    val escal = graft.ops.Similarity.ivfTopKIndexedFiltered(spark, fidx,
+      q17, 5, nprobe = 1, allowed = emb17.filter(col("vec_id") % 17 === 3),
+      allowedIdCol = "vec_id", minSurvivors = 50).collect()
+    require(escal.forall(_.getLong(0) % 17 == 3), "escalated probe leaked")
+    val docs17 = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(graft.ops.TextStats.tokens(col("text"))).cast("long").as("n_tok"))
+    val mixCard = graft.ops.Sample.temperaturePlanTokens(docs17, "source",
+      "doc_id", "n_tok", alpha = 0.5, budgetTokens = 50000L).collect()
+    require(mixCard.nonEmpty && mixCard.forall(_.getAs[Long]("over_cap") == 0L),
+      "token mixing card malformed")
+    val planned = mixCard.map(_.getAs[Long]("expected_out")).sum
+    require(planned <= 50000L && planned > 50000L - mixCard.length - 1,
+      s"card expected_out mass $planned off the 50k token budget")
+    println(s"-> filtered top-5 ${filt.map(_.getLong(0)).mkString(",")}; " +
+      s"escalated ${escal.length} hits; token card ${mixCard.length} domains, " +
+      s"planned $planned/50000 tokens")
+
     spark.stop()
     println("== drive done")
   }

@@ -211,6 +211,37 @@ class OpsSpec extends AnyFunSuite {
     assert(selfDesc == direct)
   }
 
+  test("filtered IVF probe: filter precedes the cut, escalation reaches the filtered brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select("embedding").collect()(0).getSeq[Float](0)
+    val cb = Similarity.kmeansCodebook(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val path = TestSpark.tmpDir("ivf-filt")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", cb, path)
+    val allowed = emb.filter($"vec_id" % 3 === 1)
+    // fixed nprobe: every result satisfies the predicate, and the
+    // result equals filtering the probed CANDIDATE set (not the
+    // unfiltered top-k) by hand
+    val got = Similarity.ivfTopKIndexedFiltered(spark, path, q, 10,
+        nprobe = 2, allowed, "vec_id").collect()
+    assert(got.nonEmpty && got.forall(_.getLong(0) % 3 == 1))
+    val byHand = Similarity.ivfTopKIndexed(spark, path, cb, q, 1000000, nprobe = 2)
+      .collect().filter(_.getLong(0) % 3 == 1).take(10)
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq == byHand)
+    // escalation: demanding more survivors than any probe set can hold
+    // widens deterministically to every list — the full filtered scan,
+    // which must equal the brute-force filtered top-k exactly
+    val esc = Similarity.ivfTopKIndexedFiltered(spark, path, q, 10,
+        nprobe = 1, allowed, "vec_id", minSurvivors = 1000000).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.topK(emb.filter($"vec_id" % 3 === 1),
+        "vec_id", "embedding", q, 10, exactDecimal = true).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(esc == brute)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKIndexedFiltered(spark, path, q, 0, 2, allowed, "vec_id") }
+  }
+
   test("knnJoinIndexed: identical to query-time knnJoin, probed-list union pruned, nprobe guard") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cb = emb.select($"vec_id", $"embedding").orderBy("vec_id").limit(8)
@@ -3797,14 +3828,24 @@ class OpsSpec extends AnyFunSuite {
       val df = rows.toDF("id", "dom")
       val alpha = Seq(0.5, 1.0, 0.75)(rng.nextInt(3))
       val budget = 1L + rng.nextInt(2000)
+      // the dry-run card NEVER refuses — where the sampler throws, the
+      // card reports the offender via over_cap
+      val plan = Sample.temperaturePlan(df, "dom", "id", alpha, budget)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+      assert(plan.keySet == counts.indices.map(d => s"dom$d").toSet)
       val out = try Sample.sampleByTemperature(df, "dom", "id", alpha,
           budget, salt = s"t$trial")
         catch { case e: IllegalArgumentException =>
           assert(e.getMessage.contains("100-epoch"), e.getMessage)
+          assert(plan.values.exists(_._6 == 1L),
+            s"trial $trial: sampler refused but no plan row is over_cap")
           // cap legitimately hit (tiny domain, hot budget) — verify and skip
           null
         }
       if (out != null) {
+        assert(plan.values.forall(_._6 == 0L),
+          s"trial $trial: plan flags over_cap but the sampler accepted")
         // replicate the quota derivation (the dyadic sqrt chain for
         // 0.5/0.75 — powSnap's own law) and check the mass law
         def snap(c: Long) = Sample.powSnap(c, alpha)
@@ -3826,9 +3867,17 @@ class OpsSpec extends AnyFunSuite {
           val num = BigInt(budget) * snap(c)
           val den = total * c
           val f = (num / den).toLong
+          val thr = ((num % den) * 1000000 / den).toLong
           val got = realized.getOrElse(s"dom$d", 0L)
           assert(got >= f * c && got <= (f + 1) * c,
             s"trial $trial dom$d: $got copies outside [${f * c}, ${(f + 1) * c}]")
+          // the card's quota/epochs/expected columns ARE these numbers
+          val (pMass, pF, pThr, pEpochs, pExp, _) = plan(s"dom$d")
+          assert(pMass == c && pF == f && pThr == thr &&
+            pEpochs == f * 1000000L + thr &&
+            pExp == (BigInt(c) * (BigInt(f) * 1000000 + thr) / 1000000).toLong,
+            s"trial $trial dom$d: plan row $pF/$pThr/$pEpochs/$pExp " +
+              s"disagrees with the derived quota $f/$thr")
         }
       }
     }
