@@ -1098,6 +1098,30 @@ object SparkEntry {
     s"$ivfRoot/$prefix${h}_" + d.replaceAll("[^A-Za-z0-9.]", "_")
   }
 
+  private val jsonlDumps = new ConcurrentHashMap[String, String]()
+  /** Build-once JSONL dump of the documents table per sf dir — the
+    * ingestion gates read this tree back through [[graft.sources
+    * .CorpusIngest]], so the round trip (JSON escaping, unicode, NULL
+    * source omission) is what the oracle checks against the parquet
+    * originals. */
+  private def jsonlDump(s: SparkSession, d: String): String =
+    jsonlDumps.computeIfAbsent(d, { _ =>
+      val path = indexPath("jsonl_", d)
+      graft.sources.CorpusIngest.writeJsonl(
+        docs(s, d).select("doc_id", "text", "source"), path)
+      path
+    })
+
+  private val csvDumps = new ConcurrentHashMap[String, String]()
+  /** Build-once CSV dump (RFC-4180 quoting) per sf dir. */
+  private def csvDump(s: SparkSession, d: String): String =
+    csvDumps.computeIfAbsent(d, { _ =>
+      val path = indexPath("csv_", d)
+      docs(s, d).select("doc_id", "text", "source")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      path
+    })
+
   private val textIndexes = new ConcurrentHashMap[String, String]()
   /** Build-once text index per sf dir (same discipline as [[ivfIndex]]). */
   private def textIndex(s: SparkSession, d: String): String =
@@ -2677,6 +2701,56 @@ object SparkEntry {
           verifyAgainst = Some((docs(s, d).filter(col("doc_id") < 20)
             .select("doc_id", "text"), "doc_id")))
         .orderBy("doc_id", "bench_id")),
+
+    // decontamination of the FINAL training artifact: the ctx-64 token
+    // windows checked for 5-token-gram overlap against a benchmark
+    // tokenized the same way (docs < 12) — the window-level answer
+    // (WHICH windows to drop) that a document-level check cannot give
+    // once documents are packed across window boundaries; the oracle
+    // replays window assembly AND the gram-set intersection in one
+    // chain
+    "x_contamination_windows" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        TextStats.tokens(col("text")).as("ts"))
+      val pos = Sample.shuffleRank(toks, "doc_id", salt = "tw", buckets = 32)
+      val wins = graft.ops.TokenStream.sliceWindows(pos, "shuffle_pos", "ts",
+        ctxLen = 64, blocks = 16, dropPartial = false)
+      val bench = docs(s, d).filter(col("doc_id") < 12)
+        .select(col("doc_id").as("bench_id"),
+          TextStats.tokens(col("text")).as("bts"))
+      Contamination.tokenNgramOverlap(wins, "window_id", "tokens",
+          bench, "bench_id", "bts", n = 5, minShared = 2L)
+        .select(col("doc_id").as("window_id"), col("bench_id"),
+          col("shared"), col("n_sh"))
+        .orderBy("window_id", "bench_id")
+    }),
+
+    // raw-corpus ingestion: the documents table exported as line-
+    // delimited JSON (the public-dump interchange form) and read back
+    // STRICTLY through the canonical normalizer — JSON escaping,
+    // unicode, and field plumbing must round-trip bit-for-bit against
+    // the parquet originals
+    "x_source_jsonl" -> ((s, d) =>
+      graft.sources.CorpusIngest.readJsonl(s, jsonlDump(s, d),
+          idField = Some("doc_id"), sourceField = Some("source"))
+        .orderBy("doc_id")),
+
+    // ...and the CSV interchange form (header + RFC-4180 quoting)
+    // through the same normalizer
+    "x_source_csv" -> ((s, d) =>
+      graft.sources.CorpusIngest.readCsv(s, csvDump(s, d),
+          idField = Some("doc_id"), sourceField = Some("source"))
+        .orderBy("doc_id")),
+
+    // an ID-LESS dump: doc_id is the salted content hash —
+    // deterministic across re-runs, file splits, and engines; the
+    // oracle re-derives it from the parquet text with the same
+    // md5-prefix chain every other portable hash uses
+    "x_source_jsonl_ids" -> ((s, d) =>
+      graft.sources.CorpusIngest.readJsonl(s, jsonlDump(s, d),
+          sourceField = Some("source"), idSalt = "ing")
+        .select("doc_id", "text")
+        .orderBy("doc_id", "text")),
 
     // deterministic FIXED-SIZE sample: bottom-50 by portable hash —
     // fixed count where x_sample_stratified fixes a rate
@@ -5414,6 +5488,37 @@ object SparkEntry {
     // persisted benchmark index: a materialization detail invisible to
     // the result — identical output, shared oracle
     "x_contamination_indexed" -> contaminationOracle,
+
+    // token-space decontamination of the window stream: windows
+    // replayed from the global-offset chain, 5-gram sets on both
+    // sides, distinct intersection counts
+    "x_contamination_windows" ->
+      (s"""WITH $tokenStreamChain, """ +
+       """wl AS (SELECT (tg // 64) AS w, list(t ORDER BY tg) AS wts FROM tok GROUP BY 1), """ +
+       """wgr AS (SELECT w, unnest(list_transform(generate_series(1, greatest(len(wts) - 4, 1)), """ +
+       """i -> array_to_string(wts[i:i+4], ' '))) AS g FROM wl), """ +
+       s"""wg AS (SELECT DISTINCT w, ${h60sql("g")} AS h FROM wgr), """ +
+       """wn AS (SELECT w, count(*) AS n_sh FROM wg GROUP BY 1), """ +
+       s"""bt AS (SELECT doc_id AS bench_id, $TOK AS l FROM documents WHERE doc_id < 12), """ +
+       """bgr AS (SELECT bench_id, unnest(list_transform(generate_series(1, greatest(len(l) - 4, 1)), """ +
+       """i -> array_to_string(l[i:i+4], ' '))) AS g FROM bt), """ +
+       s"""bg AS (SELECT DISTINCT bench_id, ${h60sql("g")} AS h FROM bgr), """ +
+       """j AS (SELECT wg.w, bg.bench_id, count(*) AS shared FROM wg JOIN bg USING (h) GROUP BY 1, 2) """ +
+       """SELECT j.w::BIGINT AS window_id, j.bench_id, j.shared::BIGINT AS shared, """ +
+       """wn.n_sh::BIGINT AS n_sh FROM j JOIN wn USING (w) """ +
+       """WHERE j.shared >= 2 ORDER BY window_id, bench_id"""),
+
+    // the ingestion round trips: what comes back through the
+    // normalizer must BE the parquet originals
+    "x_source_jsonl" ->
+      "SELECT doc_id, text, source FROM documents ORDER BY doc_id",
+
+    "x_source_csv" ->
+      "SELECT doc_id, text, source FROM documents ORDER BY doc_id",
+
+    "x_source_jsonl_ids" ->
+      (s"""SELECT ${h60sql("'ing:' || text")} AS doc_id, text """ +
+       """FROM documents ORDER BY doc_id, text"""),
 
     "x_sample_bottomk" ->
       (s"""SELECT doc_id, lang, source FROM (SELECT doc_id, lang, source, """ +

@@ -53,6 +53,41 @@ object Contamination {
     joinAndCount(c, b, minShared)
   }
 
+  /** [[ngramOverlap]] in TOKEN space — decontamination applied to the
+    * FINAL training artifact rather than the source documents: rows
+    * carrying token arrays (context windows from
+    * [[TokenStream.sliceWindows]], packs, or any tokenized relation)
+    * are checked for n-gram overlap against a benchmark tokenized with
+    * the SAME tokenizer. Checking the windows catches what the
+    * document-level check structurally cannot: a contaminated span
+    * that survived upstream filtering inside an otherwise-clean
+    * document mix, and gives the trainer-facing answer — WHICH windows
+    * to drop — without re-deriving the doc→window mapping. Token
+    * elements of any atomic type are accepted (ids or strings); each
+    * is canonicalized by its string form, so corpus and benchmark must
+    * share the tokenizer (that is the point).
+    *
+    * Output and semantics are [[ngramOverlap]]'s (`doc_id` = the
+    * window/row id, distinct-gram set intersection counts, rows with
+    * `shared >= minShared`); scale shape identical — broadcast bench
+    * index, token arrays hashed per-row in the scan and never
+    * shuffled. */
+  def tokenNgramOverlap(windows: DataFrame, idCol: String, tokensCol: String,
+                        bench: DataFrame, benchIdCol: String,
+                        benchTokensCol: String,
+                        n: Int = 8, minShared: Long = 1L): DataFrame = {
+    def grams(df: DataFrame, id: String, toks: String) =
+      df.select(col(id),
+        native.shingle_hash60(
+          transform(col(toks), x => x.cast("string")), n).as("hs"))
+    val c = grams(windows, idCol, tokensCol)
+      .select(col(idCol).as("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+        explode(col("hs")).as("h"))
+    val b = grams(bench, benchIdCol, benchTokensCol)
+      .select(col(benchIdCol).as("bench_id"), explode(col("hs")).as("h"))
+    joinAndCount(c, b, minShared)
+  }
+
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graftx.Bridge
   import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}

@@ -991,6 +991,34 @@ object Drive {
       s"escalated ${escal.length} hits; token card ${mixCard.length} domains, " +
       s"planned $planned/50000 tokens")
 
+    println("== r17 drive: corpus ingestion + window decontamination")
+    val rawDocs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "source")
+    val dumpDir = java.nio.file.Files.createTempDirectory("drive-ing")
+      .toString + "/dump"
+    graft.sources.CorpusIngest.writeJsonl(rawDocs, dumpDir)
+    val ingested = graft.sources.CorpusIngest.readJsonl(spark, dumpDir,
+      idField = Some("doc_id"), sourceField = Some("source"))
+    require(ingested.count() == rawDocs.count() &&
+      ingested.join(rawDocs, Seq("doc_id", "text", "source"), "left_anti")
+        .count() == 0L, "jsonl round trip lost or mutated rows")
+    val dtoks = rawDocs.select(col("doc_id"),
+      graft.ops.TextStats.tokens(col("text")).as("ts"))
+    val dpos = graft.ops.Sample.shuffleRank(dtoks, "doc_id", "dc", 8)
+    val dwins = graft.ops.TokenStream.sliceWindows(dpos, "shuffle_pos",
+      "ts", ctxLen = 48, blocks = 8, dropPartial = false)
+    val contam = graft.ops.Contamination.tokenNgramOverlap(
+      dwins, "window_id", "tokens",
+      rawDocs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("bid"),
+          graft.ops.TextStats.tokens(col("text")).as("bts")),
+      "bid", "bts", n = 5, minShared = 2L).collect()
+    require(contam.nonEmpty, "benchmark docs drawn from the corpus must " +
+      "contaminate at least one window")
+    println(s"-> ingested ${ingested.count()} docs via jsonl; " +
+      s"${contam.length} (window, bench) contamination pairs at 5-gram/2+")
+
     spark.stop()
     println("== drive done")
   }

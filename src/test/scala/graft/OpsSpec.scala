@@ -211,6 +211,20 @@ class OpsSpec extends AnyFunSuite {
     assert(selfDesc == direct)
   }
 
+  test("tokenNgramOverlap: id arrays canonicalize by string form, hits match planting") {
+    val wins = Seq((0L, Seq(1, 2, 3, 4, 5, 6)), (1L, Seq(9, 9, 9, 9, 9, 9)),
+      (2L, Seq(3, 4, 5, 6, 7, 8))).toDF("wid", "toks")
+    val bench = Seq((100L, Seq(2, 3, 4, 5, 6, 7))).toDF("bid", "bts")
+    val out = Contamination.tokenNgramOverlap(wins, "wid", "toks",
+        bench, "bid", "bts", n = 3, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // win0 shares grams (2,3,4)(3,4,5)(4,5,6); win2 shares (3,4,5)
+    // (4,5,6)(5,6,7); win1 shares nothing; each window has 4 distinct
+    // 3-grams
+    assert(out == Seq((0L, 100L, 3L, 4L), (2L, 100L, 3L, 4L)))
+  }
+
   test("filtered IVF probe: filter precedes the cut, escalation reaches the filtered brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" === 0).select("embedding").collect()(0).getSeq[Float](0)

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.CorpusIngest
+
+/** The raw-corpus ingestion boundary: strict normalization, loud
+  * refusals, deterministic content identity, round-trip fidelity. */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def nasty = Seq(
+    (1L, "plain text", "web"),
+    (2L, "quotes \" and 'single' and ,commas,", "web"),
+    (3L, "unicode éß中文 and a tab\there", "books"),
+    (4L, "{\"fake\": \"json\", \"inside\": [1,2]}", null.asInstanceOf[String]),
+  ).toDF("doc_id", "text", "source")
+
+  test("jsonl round trip: escaping, unicode, NULL-source omission") {
+    val path = TestSpark.tmpDir("jsonl-rt")
+    CorpusIngest.writeJsonl(nasty, path)
+    val back = CorpusIngest.readJsonl(spark, path,
+        idField = Some("doc_id"), sourceField = Some("source"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(back == nasty.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq)
+  }
+
+  test("csv round trip through the same normalizer") {
+    val path = TestSpark.tmpDir("csv-rt")
+    nasty.write.mode("overwrite").option("header", "true").csv(path)
+    val back = CorpusIngest.readCsv(spark, path,
+        idField = Some("doc_id"), sourceField = Some("source"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(back == nasty.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq)
+  }
+
+  test("content-hash identity: stable, salted, equal to the native kernel") {
+    val path = TestSpark.tmpDir("jsonl-ids")
+    CorpusIngest.writeJsonl(nasty, path)
+    def ids(salt: String) = CorpusIngest.readJsonl(spark, path,
+        idSalt = salt).select("doc_id", "text").collect()
+      .map(r => (r.getString(1), r.getLong(0))).toMap
+    val a = ids("s1")
+    assert(a == ids("s1"), "content ids must be stable across reads")
+    assert(a != ids("s2"), "the salt must move the ids")
+    // the id IS the portable kernel hash of salt:text
+    val want = nasty.select(col("text"),
+      graft.functions.native.hash60(concat(lit("s1:"), col("text"))))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a == want)
+  }
+
+  test("refusals: missing field, NULL text, malformed id") {
+    val path = TestSpark.tmpDir("jsonl-bad")
+    CorpusIngest.writeJsonl(nasty, path)
+    val miss = intercept[IllegalArgumentException] {
+      CorpusIngest.readJsonl(spark, path, textField = "body") }
+    assert(miss.getMessage.contains("no 'body' field"))
+    // NULL text: a line with the field absent reads back NULL -> raise
+    CorpusIngest.writeJsonl(
+      Seq((9L, Some("ok")), (10L, None)).toDF("doc_id", "text"),
+      path)
+    val nul = intercept[Exception] {
+      CorpusIngest.readJsonl(spark, path, idField = Some("doc_id"))
+        .collect() }
+    assert(nul.getMessage.contains("NULL on at least one line"))
+    // malformed id refuses with the op-named error, not a cast error
+    CorpusIngest.writeJsonl(
+      Seq(("not-a-number", "t1")).toDF("doc_id", "text"), path)
+    val bad = intercept[Exception] {
+      CorpusIngest.readJsonl(spark, path, idField = Some("doc_id"))
+        .collect() }
+    assert(bad.getMessage.contains("must be non-null and numeric"))
+  }
+}
