@@ -3764,6 +3764,33 @@ object SparkEntry {
     // even docs gates the odd-doc stream — two controlled batches
     // through the production sink, survivors = exactly the docs the
     // model scores positive, replayed end-to-end by the shared oracle
+    // DECONTAMINATION AT INGEST: the documents stream through the
+    // benchmark-guard sink in two micro-batches; only docs sharing
+    // fewer than 2 trigram hashes with every bench doc (suite =
+    // docs < 20, the persisted bench index) land — the landed set
+    // must be batch-equivalent to the one-shot contamination sweep,
+    // which the oracle replays (bench docs themselves self-overlap
+    // maximally and are dropped)
+    "x_stream_contamination" -> ((s, d) => {
+      val st = store(s, d)
+      st.synchronized {
+        val all = docs(s, d).select("doc_id", "text")
+        if (st.isTable("stream/clean")) st.drop("stream/clean")
+        st.put("stream/clean", all.limit(0))
+        withStagedBatches(s, Seq(
+          all.filter(col("doc_id") % 2 === 0),
+          all.filter(col("doc_id") % 2 === 1))) { (src, ckpt) =>
+          graft.streaming.EventStream.decontaminateSink(src, st,
+            "stream/clean", ckpt, benchIndex(s, d), "doc_id", "text",
+            minShared = 2L,
+            verifyAgainst = Some((docs(s, d).filter(col("doc_id") < 20)
+              .select("doc_id", "text"), "doc_id"))).awaitTermination()
+        }
+        localized(s,
+          st.table("stream/clean").df.select("doc_id").orderBy("doc_id"))
+      }
+    }),
+
     "x_stream_classify" -> ((s, d) => {
       val st = store(s, d)
       st.synchronized {
@@ -5747,6 +5774,19 @@ object SparkEntry {
 
     // the classifier-filtered ingest sink stores exactly the docs the
     // trained model scores positive — same CTE chain, filtered final
+    // the decontamination sink's landed set: every doc minus those
+    // sharing >= 2 distinct trigram hashes with any bench doc (< 20)
+    "x_stream_contamination" ->
+      (s"""WITH toks AS (SELECT doc_id, $TOK AS l FROM documents), """ +
+       """shr AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
+       """i -> array_to_string(l[i:i+2], ' '))) AS t FROM toks), """ +
+       s"""sh AS (SELECT DISTINCT doc_id, ${h60sql("t")} AS h FROM shr), """ +
+       """b AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id < 20), """ +
+       """j AS (SELECT s.doc_id, b.bench_id, count(*) AS shared FROM sh s JOIN b ON s.h = b.h GROUP BY 1, 2), """ +
+       """dirty AS (SELECT DISTINCT doc_id FROM j WHERE shared >= 2) """ +
+       """SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dirty) """ +
+       """ORDER BY doc_id"""),
+
     "x_stream_classify" ->
       (nbOracleCtes +
        """SELECT te.doc_id FROM te JOIN sc USING (doc_id) WHERE sc.s > 0 ORDER BY te.doc_id"""),

@@ -436,6 +436,40 @@ object EventStream {
         batch.join(keep, Seq(idCol), "left_semi")
       })
 
+  /** DECONTAMINATION at ingest — benchmark hygiene applied where
+    * documents ARRIVE rather than in a later sweep: each micro-batch is
+    * probed against the persisted benchmark n-gram index at `indexPath`
+    * ([[graft.ops.Contamination.buildBenchIndex]]) and only rows
+    * sharing fewer than `minShared` distinct n-grams with EVERY
+    * benchmark document land in the store table, under [[appendSink]]'s
+    * exactly-once batch guard. Stateless like [[classifierFilterSink]]:
+    * the index rides as a snapshot (Bloom prefilter + broadcast
+    * postings — [[graft.ops.Contamination.ngramOverlapIndexed]]'s
+    * shape, so a clean batch pays one per-row shingle pass and almost
+    * no join probes), decisions are per-row, replays drop at the
+    * guard — a contaminated document can never land, and a clean one
+    * can never be lost to a replay. When the benchmark suite changes,
+    * rebuild the index; pass `verifyAgainst` to pin the index's build
+    * stamp against the live suite once at sink construction. */
+  def decontaminateSink(stream: DataFrame, store: HDFStore, table: String,
+                        checkpoint: String, indexPath: String,
+                        idCol: String, textCol: String,
+                        minShared: Long = 2L,
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        verifyAgainst: Option[(DataFrame, String)] = None)
+      : StreamingQuery = {
+    verifyAgainst.foreach { case (bench, benchId) =>
+      graft.ops.Contamination.requireBenchIndexFresh(
+        stream.sparkSession, indexPath, bench, benchId) }
+    appendSink(stream, store, table, checkpoint, trigger,
+      transform = batch => {
+        val dirty = graft.ops.Contamination.ngramOverlapIndexed(
+            batch.sparkSession, indexPath, batch, idCol, textCol, minShared)
+          .select(col("doc_id").as(idCol)).distinct()
+        batch.join(dirty, Seq(idCol), "left_anti")
+      })
+  }
+
   /** Continuously-maintained corpus token statistics: each micro-batch's
     * Count-Min sketch merges into the persisted tree at `path` —
     * cell-for-cell identical to a one-shot batch sketch over everything

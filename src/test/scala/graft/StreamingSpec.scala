@@ -816,6 +816,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.table("kept").df.count() == expected.size)
   }
 
+  test("decontaminate sink: bench overlap dropped at ingest, clean docs land, restart no-op, stale index refused") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter($"doc_id" < 10).select("doc_id", "text")
+    val idx = TestSpark.tmpDir("deconsink-idx")
+    graft.ops.Contamination.buildBenchIndex(bench, "doc_id", "text", idx,
+      n = 3, expectedGrams = 1L << 14, fpp = 0.01)
+    // the stream: clean docs (>= 10) plus PLANTED copies of bench text
+    // under fresh ids — the copies must be caught by content, not id
+    val clean = docs.filter($"doc_id" >= 10 && $"doc_id" < 200)
+      .select("doc_id", "text")
+    val planted = bench.select(($"doc_id" + 9000L).as("doc_id"), $"text")
+    val stream = clean.unionByName(planted)
+    val expected = {
+      val dirty = graft.ops.Contamination.ngramOverlapIndexed(spark, idx,
+        stream, "doc_id", "text", minShared = 2L)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(planted.collect().map(_.getLong(0)).toSet.subsetOf(dirty),
+        "every planted bench copy must be flagged")
+      stream.collect().map(_.getLong(0)).toSet -- dirty
+    }
+    val in = TestSpark.tmpDir("deconsink-in")
+    stream.filter($"doc_id" < 100).coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1100)
+    stream.filter($"doc_id" >= 100).coalesce(1).write.mode("append").parquet(in)
+    val ckpt = TestSpark.tmpDir("deconsink-ckpt")
+    val st = HDFStore.open(spark,
+      TestSpark.tmpDir("deconsink-store"), StoreMode.Overwrite)
+    st.put("clean", stream.limit(0))
+    def run(): Unit = EventStream.decontaminateSink(
+      spark.readStream.schema(stream.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in), st, "clean", ckpt, idx, "doc_id", "text",
+      minShared = 2L, verifyAgainst = Some((bench, "doc_id")))
+      .awaitTermination()
+    run()
+    val landed = st.table("clean").df.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(landed == expected, s"stream landed ${landed.size} vs " +
+      s"one-shot ${expected.size}")
+    run() // restart with no new data: guard blocks any re-append
+    assert(st.table("clean").df.count() == expected.size)
+    // a changed benchmark suite refuses at sink construction
+    val stale = intercept[IllegalStateException] {
+      EventStream.decontaminateSink(
+        spark.readStream.schema(stream.schema).parquet(in), st, "clean",
+        ckpt, idx, "doc_id", "text",
+        verifyAgainst = Some((docs.filter($"doc_id" < 12)
+          .select("doc_id", "text"), "doc_id")))
+    }
+    assert(stale.getMessage.contains("STALE"))
+  }
+
   test("countMin ingest sink: streamed merge == one-shot sketch, restart no-op, guard refusals") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def toks(df: org.apache.spark.sql.DataFrame) = df
