@@ -2059,6 +2059,24 @@ object SparkEntry {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // the FILTERED batch probe: the same 5-query join restricted to a
+    // metadata predicate's id set (vec_id % 3 == 1) — the semi-join
+    // lands between candidate generation and scoring, so each query's
+    // rows are the true filtered top-k of its probed lists; the oracle
+    // replays the chain with the predicate in the candidate CTE
+    "x_knn_join_filtered" -> ((s, d) => {
+      val emb = embs(s, d)
+      Similarity.knnJoinIndexedFiltered(s, ivfIndexSeeded(s, d),
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 5, nprobe = 4,
+          allowed = emb.filter(col("vec_id") % 3 === 1),
+          allowedIdCol = "vec_id",
+          verifyAgainst = Some((emb, "vec_id")))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 6).as("score"), col("list"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // spherical k-means (1 Lloyd iteration, fixed-point determinism):
     // every vector labeled with its trained-codebook list
     "x_kmeans_assign" -> ((s, d) =>
@@ -4568,7 +4586,13 @@ object SparkEntry {
        """sc AS (SELECT doc_id, sum(tf)::BIGINT AS nf, (sum(term)::DOUBLE + pri.lp) AS s """ +
        """FROM terms CROSS JOIN pri GROUP BY doc_id, pri.lp) """)
 
-  private def knnJoinOracle: String =
+  private def knnJoinOracle: String = knnJoinProbeOracle("")
+
+  /** The batch kNN-join chain with an optional predicate over the
+    * candidate (corpus) side — "" replays the plain join; a SQL
+    * boolean over `a.vec_id` replays the FILTERED join (the allowed-id
+    * semi-join lands between candidate generation and scoring). */
+  private def knnJoinProbeOracle(candWhere: String): String =
     ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings), """ +
        """norms AS (SELECT vec_id, SUM(CAST(round((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxx FROM el GROUP BY vec_id), """ +
        """cl AS (SELECT vec_id AS cid, i, x AS cx FROM el WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)), """ +
@@ -4580,7 +4604,8 @@ object SparkEntry {
        """ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM ascore), """ +
        """assign AS (SELECT vec_id, cid AS list FROM ranked WHERE rn = 1), """ +
        """probes AS (SELECT vec_id AS qid, cid AS list FROM ranked WHERE rn <= 4 AND vec_id < 5), """ +
-       """cand AS (SELECT p.qid, a.vec_id AS nid, a.list FROM probes p JOIN assign a USING (list)), """ +
+       """cand AS (SELECT p.qid, a.vec_id AS nid, a.list FROM probes p JOIN assign a USING (list)""" +
+       (if (candWhere.isEmpty) "" else s" WHERE $candWhere") + """), """ +
        """pt AS (SELECT c.qid, c.nid, """ +
        """SUM(CAST(round((CAST(q.x AS DOUBLE) * CAST(n.x AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxy """ +
        """FROM cand c JOIN el q ON q.vec_id = c.qid JOIN el n ON n.vec_id = c.nid AND n.i = q.i GROUP BY 1, 2), """ +
@@ -4999,6 +5024,8 @@ object SparkEntry {
     // top-k (assignment was paid at build; same codebook, same
     // fixed-point arithmetic), so it shares the oracle
     "x_knn_join_indexed" -> knnJoinOracle,
+
+    "x_knn_join_filtered" -> knnJoinProbeOracle("a.vec_id % 3 = 1"),
 
     // embedding cross-dedup: the knn-join chain over a split corpus —
     // codebook list ids are row_number-1 in vec_id order over the

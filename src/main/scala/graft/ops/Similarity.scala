@@ -672,7 +672,39 @@ object Similarity {
                      queries: DataFrame, qIdCol: String, qVecCol: String,
                      k: Int, nprobe: Int,
                      verifyAgainst: Option[(DataFrame, String)] = None,
-                     pruneLists: Boolean = true): DataFrame = {
+                     pruneLists: Boolean = true): DataFrame =
+    knnJoinIndexedCore(spark, path, queries, qIdCol, qVecCol, k, nprobe,
+      None, verifyAgainst, pruneLists)
+
+  /** [[knnJoinIndexed]] restricted to an ALLOWED id set — the batch
+    * form of [[ivfTopKIndexedFiltered]] (every query shares one
+    * metadata filter; per-query filters are a different contract —
+    * partition the query batch by filter and run one join per
+    * stratum). The allowed relation semi-joins the probed corpus rows
+    * id-only BEFORE scoring and the per-query top-k cut, so each
+    * query's result is the true filtered top-k of its probed lists.
+    * No probe escalation here: a batch join has no single survivor
+    * count to escalate on — size `nprobe` for the filter's
+    * selectivity (roughly nprobe/selectivity lists for unfiltered
+    * recall), or run the single-query escalating probe for the
+    * stragglers. */
+  def knnJoinIndexedFiltered(spark: org.apache.spark.sql.SparkSession,
+                             path: String, queries: DataFrame,
+                             qIdCol: String, qVecCol: String,
+                             k: Int, nprobe: Int,
+                             allowed: DataFrame, allowedIdCol: String,
+                             verifyAgainst: Option[(DataFrame, String)] = None,
+                             pruneLists: Boolean = true): DataFrame =
+    knnJoinIndexedCore(spark, path, queries, qIdCol, qVecCol, k, nprobe,
+      Some((allowed, allowedIdCol)), verifyAgainst, pruneLists)
+
+  private def knnJoinIndexedCore(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, queries: DataFrame,
+                                 qIdCol: String, qVecCol: String,
+                                 k: Int, nprobe: Int,
+                                 allowed: Option[(DataFrame, String)],
+                                 verifyAgainst: Option[(DataFrame, String)],
+                                 pruneLists: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     verifyAgainst.foreach { case (df, idc) => requireIvfFresh(spark, path, df, idc) }
     val codebook = loadIvfCodebook(spark, path)
@@ -698,7 +730,15 @@ object Similarity {
         .collect().map(_.getLong(0)) // ≤ nlist values by construction
       base.filter(col("list").isin(usedLists: _*))
     } else base
-    val corpusSide = IndexMaintenance.minusTombstones(spark, path, pruned, "id")
+    val live = IndexMaintenance.minusTombstones(spark, path, pruned, "id")
+    // the metadata filter lands between candidate generation and
+    // scoring (the ivfTopKIndexedFiltered placement): id-only semi-join,
+    // vectors move only for survivors
+    val corpusSide = allowed.fold(live) { case (df, idc) =>
+        live.join(df.select(
+            checkedLongId(idc, "knnJoinIndexedFiltered").as("id"))
+          .distinct(), Seq("id"), "left_semi")
+      }
       .select(col("id").as("_nid"), col("vec").as("_nvec"),
         dotFixed(col("vec"), col("vec")).as("_nn"),
         col("list").cast(LongType).as("_list"))

@@ -273,6 +273,23 @@ class OpsSpec extends AnyFunSuite {
       codebook = Some(cb))
     assert(rows(viaIndex) == rows(direct),
       "index probe must serve the identical per-query top-k")
+    // the FILTERED batch probe at nprobe = nlist is the per-query brute
+    // force over the allowed subset
+    val allowedJ = emb.filter($"vec_id" % 3 === 1)
+    val filteredFull = Similarity.knnJoinIndexedFiltered(spark, path,
+        queries, "vec_id", "embedding", k = 4, nprobe = 8,
+        allowed = allowedJ, allowedIdCol = "vec_id")
+      .collect().groupBy(_.getLong(0))
+    Seq(3L, 17L, 42L).foreach { qid =>
+      val q = emb.filter($"vec_id" === qid).select("embedding")
+        .collect()(0).getSeq[Float](0)
+      val brute = Similarity.topK(allowedJ, "vec_id", "embedding", q, 4,
+        exactDecimal = true).collect().map(_.getLong(0)).toSeq
+      val got = filteredFull(qid).sortBy(r => (-r.getDouble(2), r.getLong(1)))
+        .map(_.getLong(1)).toSeq
+      assert(got == brute,
+        s"filtered query $qid must equal the filtered brute force at full probe")
+    }
     // the probed-list union lands in PartitionFilters (file-listing
     // pruning), not a post-scan Filter — the plan holds TWO scans (the
     // plain query side first), so check every bracket, not the first
