@@ -44,9 +44,12 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
  * same bytes as ctxLen× more rows. The known 1×-ish design — assemble
  * windows block-locally after the offset shuffle (a window's segments
  * are position-contiguous, so only windows straddling block boundaries
- * need a second, tiny exchange) — needs imperative per-partition code
- * and is deliberately deferred until the 2× constant shows up in a
- * real profile. Per-group state is bounded by ctxLen tokens; nothing
+ * need a second, tiny exchange) — needs imperative per-partition code.
+ * The constant is MEASURED (ScaleDrive, ~1.0B tokens at ctx 2048):
+ * 1.47× the one-shuffle reference — compressed segment rows cost well
+ * under the nominal 2×, so the declarative form STAYS (DESIGN §8;
+ * a 3× regression assert guards the shape at scale).
+ * Per-group state is bounded by ctxLen tokens; nothing
  * driver-side scales with the corpus. The output composes directly with
  * [[ShardWriter.writeShards]] (`window_id` is the dense position of
  * the window stream — see the gate fixture).
