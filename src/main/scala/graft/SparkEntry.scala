@@ -3497,6 +3497,33 @@ object SparkEntry {
         alpha = 0.5, budgetDocs = 1000L)
     }),
 
+    // per-source QUANTILE selection: the top 25% of documents by
+    // quality score (n_chars) within each source — every source gets
+    // its own absolute budget floor(count·0.25), so one dial is
+    // correct across sources of different sizes; the oracle replays
+    // the rank/budget arithmetic exactly
+    "x_quality_quantile" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"),
+        col("n_chars").cast(LongType).as("n_chars"))
+      Sample.selectByFraction(base, "source", "doc_id", "n_chars",
+          keepPpm = 250000L)
+        .orderBy("doc_id")
+    }),
+
+    // ...and by TOKEN mass: keep the best-scored prefix holding 60% of
+    // each source's token mass — the budget derives from the source's
+    // own Σ tokens
+    "x_quality_quantile_tok" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"),
+        col("n_chars").cast(LongType).as("n_chars"),
+        size(TextStats.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      Sample.selectByFraction(base, "source", "doc_id", "n_chars",
+          keepPpm = 600000L, tokenCol = Some("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // per-source selection under a 2048-token budget, best (longest)
     // docs first: the kept set is the longest quality-ordered prefix
     // whose running token sum fits — replayed as the same window cut
@@ -6268,6 +6295,31 @@ object SparkEntry {
        """((c::HUGEINT * (f::HUGEINT * 1000000 + thr)) // 1000000)::BIGINT AS expected_out, """ +
        """(CASE WHEN f < 100 OR (f = 100 AND thr = 0) THEN 0 ELSE 1 END)::BIGINT AS over_cap """ +
        """FROM q ORDER BY domain NULLS FIRST"""),
+
+    // quantile selection replayed: per-source rank vs the source's own
+    // floor(count·ppm/1e6) budget; in count mode cum_mass == sel_rank
+    "x_quality_quantile" ->
+      ("""WITH c AS (SELECT doc_id, COALESCE(source, '') AS source, n_chars::BIGINT AS n_chars FROM documents), """ +
+       """t AS (SELECT source, count(*)::BIGINT AS tot FROM c GROUP BY 1), """ +
+       """o AS (SELECT c.*, row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)::BIGINT AS sel_rank FROM c) """ +
+       """SELECT o.doc_id, o.source, o.n_chars, o.sel_rank, o.sel_rank AS cum_mass, """ +
+       """((t.tot::HUGEINT * 250000) // 1000000)::BIGINT AS keep_budget """ +
+       """FROM o JOIN t USING (source) """ +
+       """WHERE o.sel_rank <= (t.tot::HUGEINT * 250000) // 1000000 ORDER BY o.doc_id"""),
+
+    // ...token-mass mode: inclusive running token sum vs the source's
+    // floor(Σtokens·0.6) budget
+    "x_quality_quantile_tok" ->
+      (s"""WITH c AS (SELECT doc_id, COALESCE(source, '') AS source, n_chars::BIGINT AS n_chars, """ +
+       s"""len($TOK)::BIGINT AS n_tokens FROM documents), """ +
+       """t AS (SELECT source, SUM(n_tokens)::BIGINT AS tot FROM c GROUP BY 1), """ +
+       """o AS (SELECT c.*, SUM(n_tokens) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id """ +
+       """ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_mass, """ +
+       """row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)::BIGINT AS sel_rank FROM c) """ +
+       """SELECT o.doc_id, o.source, o.n_chars, o.n_tokens, o.sel_rank, o.cum_mass, """ +
+       """((t.tot::HUGEINT * 600000) // 1000000)::BIGINT AS keep_budget """ +
+       """FROM o JOIN t USING (source) """ +
+       """WHERE o.cum_mass <= (t.tot::HUGEINT * 600000) // 1000000 ORDER BY o.doc_id"""),
 
     // budgeted selection replayed: the same (score desc, id) window's
     // inclusive running sum, prefix-cut at the budget

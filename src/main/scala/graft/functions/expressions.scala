@@ -1959,6 +1959,90 @@ case class ScoreMassThreshold(score: Expression, mass: Expression,
     copy(score = newChildren(0), mass = newChildren(1))
 }
 
+/** [[ScoreMassThreshold]] with the budget as a FRACTION of the group's
+  * own mass (`keepPpm` millionths) instead of a constant — the
+  * per-group quantile cut ("top q% per domain") where every group has
+  * a different absolute budget. Sound for the same structural reason,
+  * plus one fact: [[MassSketch]] compaction moves mass between scores
+  * but PRESERVES total mass exactly, so the group budget
+  * `⌊total·keepPpm/1e6⌋` computed at eval time is the exact one the
+  * caller's exact pass recomputes from `sum(mass)` — the two sides
+  * cannot disagree. Returns NULL when the whole group fits (keepPpm =
+  * 1e6, or every row ties above the cut). */
+case class ScoreMassQuantileThreshold(score: Expression, mass: Expression,
+                                      keepPpm: Long, cap: Int,
+                                      mutableAggBufferOffset: Int = 0,
+                                      inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[MassSketch] {
+  require(keepPpm >= 0L && keepPpm <= 1000000L,
+    s"keepPpm must be in [0, 1e6], got $keepPpm")
+  require(cap >= 16 && cap <= (1 << 20), s"cap must be in [16, 2^20], got $cap")
+  override def children: Seq[Expression] = Seq(score, mass)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "score_mass_quantile_threshold"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (score.dataType, mass.dataType) match {
+      case (DoubleType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"score_mass_quantile_threshold requires (double, bigint), got $other")
+    }
+  override def createAggregationBuffer(): MassSketch = new MassSketch(cap)
+  override def update(b: MassSketch, input: InternalRow): MassSketch = {
+    val s = score.eval(input)
+    val m = mass.eval(input)
+    if (s != null && m != null)
+      b.insert(s.asInstanceOf[Double], m.asInstanceOf[Long])
+    b
+  }
+  override def merge(b: MassSketch, o: MassSketch): MassSketch = {
+    var j = 0
+    while (j < o.n) { b.insert(o.scores(j), o.masses(j)); j += 1 }
+    b
+  }
+  override def eval(b: MassSketch): Any = {
+    // exact: compaction preserves total mass
+    var total = BigInt(0)
+    var j = 0
+    while (j < b.n) { total += b.masses(j); j += 1 }
+    val budget = total * keepPpm / 1000000
+    // budget 0 is fine: threshold's strict walk returns the highest
+    // positive-mass score, which retains exactly the zero-mass prefix
+    // the exact pass can still keep
+    val t = b.threshold(
+      if (budget > BigInt(Long.MaxValue)) Long.MaxValue else budget.toLong)
+    if (t == null) null else t.doubleValue()
+  }
+  override def serialize(b: MassSketch): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(4 + b.n * 16)
+    buf.putInt(b.n)
+    var j = 0
+    while (j < b.n) { buf.putDouble(b.scores(j)); buf.putLong(b.masses(j)); j += 1 }
+    buf.array()
+  }
+  override def deserialize(bytes: Array[Byte]): MassSketch = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val cnt = buf.getInt()
+    val b = new MassSketch(cap)
+    var j = 0
+    while (j < cnt) {
+      val s = buf.getDouble(); val m = buf.getLong()
+      b.insert(s, m)
+      j += 1
+    }
+    b
+  }
+  override def withNewMutableAggBufferOffset(newOffset: Int): ScoreMassQuantileThreshold =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ScoreMassQuantileThreshold =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ScoreMassQuantileThreshold =
+    copy(score = newChildren(0), mass = newChildren(1))
+}
+
 /** First-occurrence line filter over an array of lines (kernel in
   * [[DedupLinesKernel]]) — keeps space-only lines unconditionally and
   * the first occurrence of every other distinct line, dropping null
@@ -2260,6 +2344,10 @@ object native {
                            cap: Int = 4096): Column =
     Bridge.column(ScoreMassThreshold(Bridge.expression(score),
       Bridge.expression(mass), budget, cap).toAggregateExpression())
+  def score_mass_quantile_threshold(score: Column, mass: Column,
+                                    keepPpm: Long, cap: Int = 4096): Column =
+    Bridge.column(ScoreMassQuantileThreshold(Bridge.expression(score),
+      Bridge.expression(mass), keepPpm, cap).toAggregateExpression())
   def bpe_chunk(words: Column, merges: Seq[(String, String)],
                 budget: Long): Column =
     Bridge.column(BpeChunk(Bridge.expression(words),

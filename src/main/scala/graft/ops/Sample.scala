@@ -609,6 +609,83 @@ object Sample {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Per-group QUANTILE selection — "keep the best `keepPpm` millionths
+    * of each group's mass", the FineWeb-style per-domain quality cut
+    * where every domain gets a DIFFERENT absolute budget derived from
+    * its own size: rows rank (`scoreCol` desc, `idCol` asc) within
+    * their group and the kept set is the longest prefix whose running
+    * mass stays within `⌊total_g·keepPpm/1e6⌋` (mass = `tokenCol`, or
+    * row count when None — "top q% of documents"). Keeping a FRACTION
+    * rather than a constant is what makes one dial correct across
+    * domains of wildly different sizes; the budget arithmetic is exact
+    * integer millionths, so a SQL replay agrees row-for-row.
+    *
+    * Output: survivors with `sel_rank` (1-based quality rank),
+    * `cum_mass` (running mass including the row) and `keep_budget`
+    * (the group's derived absolute budget — the audit column a
+    * filtering report wants). NULL scores and NULL/negative token
+    * counts fail loudly per row ([[selectByBudget]]'s rule).
+    *
+    * Scale shape = [[selectByBudget]]'s two passes with one twist: the
+    * per-group budget cannot ride a constant into the sketch, so the
+    * pre-cut uses [[graft.functions.ScoreMassQuantileThreshold]] —
+    * same bounded conservative histogram, budget computed at eval time
+    * from the sketch's EXACTLY-preserved total mass, so the pre-cut
+    * and the exact window derive the same budget from the same
+    * arithmetic and cannot disagree. One narrow aggregation (threshold
+    * + total per group), then the exact window sorts only the
+    * ~fraction-mass survivors. Groups are unbounded-cardinality safe
+    * (nothing collects to the driver). `df` is evaluated twice — cache
+    * upstream if derived. */
+  def selectByFraction(df: DataFrame, groupCol: String, idCol: String,
+                       scoreCol: String, keepPpm: Long,
+                       tokenCol: Option[String] = None): DataFrame = {
+    require(keepPpm >= 0L && keepPpm <= 1000000L,
+      s"keepPpm must be in [0, 1e6] millionths, got $keepPpm")
+    val scoreType = df.schema(scoreCol).dataType
+    require(scoreType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"selectByFraction: score column '$scoreCol' must be numeric (its " +
+        s"order must survive the pre-cut's double cast), got " +
+        s"${scoreType.simpleString} — cast it explicitly upstream")
+    val checkedMass = tokenCol match {
+      case Some(t) => when(
+        col(t).isNotNull && col(t) >= 0 && col(scoreCol).isNotNull,
+        col(t).cast("long")).otherwise(raise_error(concat(
+          lit(s"selectByFraction: needs a non-negative token count ('$t')"),
+          lit(s" and a non-null score ('$scoreCol'), got ("),
+          coalesce(col(t).cast("string"), lit("NULL")), lit(", "),
+          coalesce(col(scoreCol).cast("string"), lit("NULL")),
+          lit(") for id "), coalesce(col(idCol).cast("string"), lit("NULL")))))
+      case None => when(col(scoreCol).isNotNull, lit(1L))
+        .otherwise(raise_error(concat(
+          lit(s"selectByFraction: score ('$scoreCol') must be non-null, " +
+            "got NULL for id "),
+          coalesce(col(idCol).cast("string"), lit("NULL")))))
+    }
+    // pass 1: per-group exact total + conservative fraction threshold
+    // (one narrow aggregation — only (score, mass) sketch entries and
+    // a long cross the shuffle, never rows)
+    val agg = df.groupBy(col(groupCol).as("_sfg"))
+      .agg(sum(checkedMass).as("_tot"),
+        graft.functions.native.score_mass_quantile_threshold(
+          col(scoreCol).cast("double"), checkedMass, keepPpm).as("_thr"))
+      .withColumn("_budget",
+        floor(col("_tot").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * lit(keepPpm) / lit(1000000L)).cast("long"))
+    val survivors = df.join(agg, col(groupCol) <=> col("_sfg"))
+      .filter(col("_thr").isNull || col(scoreCol) >= col("_thr"))
+    // pass 2: the exact window over the ~fraction-mass survivors
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(scoreCol).desc, col(idCol))
+    survivors
+      .withColumn("cum_mass", sum(checkedMass).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .filter(col("cum_mass") <= col("_budget"))
+      .select(df.columns.map(col).toSeq ++ Seq(col("sel_rank"),
+        col("cum_mass"), col("_budget").as("keep_budget")): _*)
+  }
+
   /** The per-row bucket in [0, 1e6). `salt` decorrelates independent
     * decisions over the same corpus — without it, a 10% sample would sit
     * entirely inside the first 10% of every split. NULL stratum = the

@@ -1019,6 +1019,23 @@ object Drive {
     println(s"-> ingested ${ingested.count()} docs via jsonl; " +
       s"${contam.length} (window, bench) contamination pairs at 5-gram/2+")
 
+    println("== r17 drive: per-domain quantile selection (top 25% by score)")
+    val qbase = rawDocs.select(col("doc_id"),
+      coalesce(col("source"), lit("")).as("source"),
+      length(col("text")).cast("long").as("n_chars"))
+    val qsel = graft.ops.Sample.selectByFraction(qbase, "source", "doc_id",
+      "n_chars", keepPpm = 250000L).collect()
+    val perSrc = qbase.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val keptBySrc = qsel.groupBy(_.getString(1)).map { case (src, rs) =>
+      (src, rs.length.toLong) }
+    keptBySrc.foreach { case (src, kept) =>
+      require(kept == perSrc(src) * 250000L / 1000000L,
+        s"source $src kept $kept of ${perSrc(src)} — not the exact 25% floor")
+    }
+    println(s"-> quantile cut kept ${qsel.length} of ${qbase.count()} docs " +
+      s"across ${keptBySrc.size} sources, each exactly floor(count/4)")
+
     spark.stop()
     println("== drive done")
   }

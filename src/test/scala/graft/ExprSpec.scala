@@ -776,4 +776,49 @@ class ExprSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("score_mass_quantile_threshold: conservative under compaction, budget from exact total") {
+    // same adversarial setting as the constant-budget pin (ties,
+    // zero masses, 16 partitions, cap=16 compaction churn) but the
+    // budget derives from each group's OWN total — the invariant adds
+    // that the eval-time total must be exact despite compaction
+    val rows = (0 until 6000).map { i =>
+      val g = i % 7
+      val score =
+        if (i % 13 == 0) 0.5
+        else ((i * 2654435761L) % 997L).toDouble / 10.0
+      (g.toLong, score, i.toLong, (i % 21).toLong)
+    }
+    val df = spark.createDataFrame(rows).repartition(16)
+      .toDF("g", "score", "id", "mass")
+    for (ppm <- Seq(0L, 1000L, 250000L, 999999L, 1000000L)) {
+      val thr = df.groupBy($"g")
+        .agg(native.score_mass_quantile_threshold($"score", $"mass", ppm,
+          cap = 16).as("t"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      rows.groupBy(_._1).foreach { case (g, gs) =>
+        val total = gs.map(_._4).sum
+        val budget = BigInt(total) * ppm / 1000000
+        if (total <= budget)
+          assert(thr(g).isEmpty, s"g=$g ppm=$ppm: expected NULL")
+        else {
+          val t = thr(g).getOrElse(
+            sys.error(s"g=$g ppm=$ppm: expected a threshold"))
+          val massAtT = gs.filter(r =>
+            java.lang.Double.compare(r._2, t) >= 0).map(_._4).sum
+          assert(BigInt(massAtT) > budget,
+            s"g=$g ppm=$ppm t=$t: cut leaves only $massAtT mass")
+          val ordered = gs.sortBy(r => (-r._2, r._3))
+          var cum = 0L
+          val kept = ordered.takeWhile { r =>
+            cum += r._4; BigInt(cum) <= budget }
+          if (kept.nonEmpty)
+            assert(java.lang.Double.compare(t, kept.map(_._2).min) <= 0,
+              s"g=$g ppm=$ppm: t=$t cuts into the prefix " +
+                s"(min kept score ${kept.map(_._2).min})")
+        }
+      }
+    }
+  }
 }

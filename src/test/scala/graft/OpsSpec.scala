@@ -211,6 +211,43 @@ class OpsSpec extends AnyFunSuite {
     assert(selfDesc == direct)
   }
 
+  test("selectByFraction: equals the exact single-window cut across modes; guards") {
+    val rng = new scala.util.Random(42)
+    val rows = (0 until 5).flatMap { g =>
+      (0 until 50 + rng.nextInt(200)).map { i =>
+        (g.toLong * 1000 + i, s"g$g", rng.nextInt(100).toLong,
+          1L + rng.nextInt(50).toLong) } }
+    val df = rows.toDF("id", "grp", "score", "toks")
+    for ((ppm, tokMode) <- Seq((250000L, false), (600000L, true),
+        (0L, true), (1000000L, false), (999999L, true))) {
+      val got = Sample.selectByFraction(df, "grp", "id", "score", ppm,
+          if (tokMode) Some("toks") else None).collect()
+        .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .sortBy(_._1).toSeq
+      val exact = rows.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+        def mass(r: (Long, String, Long, Long)) = if (tokMode) r._4 else 1L
+        val budget = rs.map(mass).sum * ppm / 1000000
+        var cum = 0L
+        rs.sortBy(r => (-r._3, r._1)).zipWithIndex.flatMap { case (r, i) =>
+          cum += mass(r)
+          if (cum <= budget) Some((r._1, (i + 1).toLong, cum, budget))
+          else None
+        }
+      }.sortBy(_._1)
+      assert(got == exact, s"ppm=$ppm tokMode=$tokMode: " +
+        s"${got.size} kept vs exact ${exact.size}")
+    }
+    intercept[IllegalArgumentException] {
+      Sample.selectByFraction(df, "grp", "id", "score", 1000001L) }
+    intercept[IllegalArgumentException] {
+      Sample.selectByFraction(df.withColumn("s", $"score".cast("string")),
+        "grp", "id", "s", 500000L) }
+    val neg = intercept[Exception] {
+      Sample.selectByFraction(df.withColumn("toks", lit(-1L)),
+        "grp", "id", "score", 500000L, Some("toks")).collect() }
+    assert(neg.getMessage.contains("non-negative token count"))
+  }
+
   test("tokenNgramOverlap: id arrays canonicalize by string form, hits match planting") {
     val wins = Seq((0L, Seq(1, 2, 3, 4, 5, 6)), (1L, Seq(9, 9, 9, 9, 9, 9)),
       (2L, Seq(3, 4, 5, 6, 7, 8))).toDF("wid", "toks")
