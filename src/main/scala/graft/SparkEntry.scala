@@ -3482,6 +3482,23 @@ object SparkEntry {
         .orderBy("doc_id", "epoch")
     }),
 
+    // CURRICULUM ordering: the corpus laid out for two-stage training
+    // — the main mix (stage 0) first, the high-quality annealing tail
+    // (stage 1 = every 4th doc) LAST — documents hash-decorrelated
+    // within each stage exactly like the plain shuffle; the oracle
+    // replays the composite (stage, bucket, key, id) rank as one
+    // window. The output is the same dense [0, N) contract the shard
+    // writer and window slicer consume, so an annealed token stream
+    // is this rank fed straight downstream
+    "x_sample_curriculum" -> ((s, d) => {
+      val staged = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, 1L).otherwise(0L).as("stage"))
+      Sample.curriculumRank(staged, "doc_id", "stage", salt = "cu",
+          buckets = 16)
+        .select("doc_id", "stage", "shuffle_pos")
+        .orderBy("doc_id")
+    }),
+
     // the recipe DRY-RUN ("data mixing card") for the same skewed
     // domains at alpha = 0.5: per-domain mass, raw vs temperature-
     // scaled share (exact millionths), the sampler's integer quota,
@@ -6337,6 +6354,14 @@ object SparkEntry {
        """WHEN b < 1000000 THEN 'test' ELSE 'rest' END AS split FROM """ +
        s"""(SELECT doc_id, lang, ${h60sql("'split:' || COALESCE(lang, '') || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 AS b """ +
        """FROM documents) ORDER BY doc_id"""),
+
+    // the staged rank == one global row_number over (stage, key mod B,
+    // key, id)
+    "x_sample_curriculum" ->
+      (s"""SELECT doc_id, stage, (row_number() OVER (ORDER BY stage, k % 16, k, doc_id) - 1)::BIGINT AS shuffle_pos """ +
+       s"""FROM (SELECT doc_id, (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS stage, """ +
+       s"""${h60sql("'curriculum:cu:' || CAST(doc_id AS VARCHAR)")} AS k FROM documents) """ +
+       """ORDER BY doc_id"""),
 
     // the bucketed two-pass global rank == one global row_number over
     // (key mod B, key, id); hash60 is non-negative so % == pmod

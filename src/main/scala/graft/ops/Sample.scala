@@ -848,6 +848,85 @@ object Sample {
       .drop("_sk", "_sb")
   }
 
+  /** CURRICULUM-ordered corpus rank — [[shuffleRank]] with a leading
+    * STAGE key: the annealing / curriculum-learning layout (order the
+    * stream so training stage 0 is consumed first, then stage 1, …
+    * — e.g. the main pretraining mix followed by a high-quality
+    * annealing tail) while documents WITHIN a stage stay
+    * hash-decorrelated exactly like a plain shuffle. Total order:
+    * `(stage, bucket, key, id)` with `key = hash60(curriculum:salt:id)`
+    * and `bucket = key mod buckets` — a SQL oracle replays it as
+    * `row_number() OVER (ORDER BY stage, key % B, key, id) - 1`. The
+    * output `shuffle_pos` is the same dense `[0, N)` contract every
+    * downstream consumer ([[ShardWriter.writeShards]],
+    * [[TokenStream.sliceWindows]]) already requires, so an annealed
+    * window stream is this rank fed straight into the window slicer.
+    *
+    * `stageCol` must be non-null and numeric (try_cast refusal — a
+    * NULL stage has no place in the schedule); stages are curriculum
+    * PHASES (a handful), not domains: the per-(stage, bucket) offset
+    * table rides the plan as a broadcast literal, bounded to 65536
+    * entries like [[shuffleRank]]'s (`stages × buckets` must fit —
+    * lower `buckets` for a many-stage schedule). Scale shape is
+    * [[shuffleRank]]'s verbatim: one tiny count pass, one hash
+    * shuffle + per-(stage, bucket) sort of ~N/(stages·buckets) rows,
+    * no global sort anywhere. `df` evaluates twice; same (salt,
+    * buckets)-dependence caveat. */
+  def curriculumRank(df: DataFrame, idCol: String, stageCol: String,
+                     salt: String = "", buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1 && buckets <= (1 << 16),
+      s"buckets must be in [1, 65536], got $buckets")
+    val stageLong = expr(s"try_cast(`$stageCol` AS BIGINT)")
+    val checkedStage = when(stageLong.isNotNull, stageLong)
+      .otherwise(raise_error(concat(
+        lit(s"curriculumRank: stage column '$stageCol' must be non-null " +
+          "and numeric, got: "),
+        coalesce(col(stageCol).cast("string"), lit("NULL")))))
+    val key = when(col(idCol).isNotNull,
+      native.hash60(concat(lit("curriculum:"), lit(salt), lit(":"),
+        col(idCol).cast("string"))))
+      .otherwise(raise_error(lit(
+        s"curriculumRank: id column '$idCol' must be non-null — a NULL " +
+          "id has no shuffle identity and would shift every later position")))
+    val keyed = df.withColumn("_sk", key)
+      .withColumn("_ss", checkedStage)
+      .withColumn("_sb", pmod(col("_sk"), lit(buckets.toLong)))
+    // pass 1: per-(stage, bucket) counts -> exclusive prefix-sum
+    // offsets in (stage, bucket) order (driver, bounded by the literal
+    // cap below)
+    val counts = keyed.groupBy("_ss", "_sb")
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .sortBy(_._1)
+    require(counts.length <= (1 << 16),
+      s"curriculumRank: ${counts.length} (stage, bucket) cells exceed " +
+        "the 65536 broadcast-offset cap — lower `buckets` or coarsen " +
+        "the stage column (stages are curriculum phases, not domains)")
+    counts.foreach { case ((st, b), c) =>
+      require(c <= Int.MaxValue.toLong,
+        s"curriculumRank: cell (stage=$st, bucket=$b) holds $c rows " +
+          s"(> 2^31 overflows the within-cell rank) — raise `buckets`")
+    }
+    val offsets = counts.scanLeft(((Long.MinValue, Long.MinValue), 0L)) {
+      case ((_, acc), (sb, c)) => (sb, acc + c)
+    }.sliding(2).collect { case Array((_, off), (sb, _)) => (sb, off) }.toMap
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(
+        element_at(typedLit(offsets.map { case ((st, b), o) =>
+          s"$st:$b" -> o }),
+          concat(col("_ss").cast("string"), lit(":"),
+            col("_sb").cast("string"))), lit(0L))
+    // pass 2: within-cell rank + the broadcast offset = the dense
+    // global curriculum position
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_ss", "_sb").orderBy(col("_sk"), col(idCol))
+    keyed
+      .withColumn("shuffle_pos",
+        offCol + row_number().over(w).cast("long") - 1L)
+      .drop("_sk", "_ss", "_sb")
+  }
+
   /** [[bottomK]] within each `groupCol` value — "k docs per source" for
     * stratified eval sets and per-stratum inspection.
     *

@@ -211,6 +211,35 @@ class OpsSpec extends AnyFunSuite {
     assert(selfDesc == direct)
   }
 
+  test("curriculumRank: dense, stage blocks in order, within-stage == hash shuffle; guards") {
+    val df = (0L until 500L).map(i => (i, if (i % 4 == 0) 1L else 0L))
+      .toDF("id", "stage")
+    val got = Sample.curriculumRank(df, "id", "stage", "cu", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._3).sorted == (0L until 500L), "positions must be dense [0, N)")
+    assert(got.filter(_._2 == 0L).map(_._3).max <
+      got.filter(_._2 == 1L).map(_._3).min,
+      "every stage-0 position must precede stage 1")
+    // the exact permutation: (stage, key mod 8, key, id) replayed from
+    // the engine's own hash
+    val keys = df.select($"id", graft.functions.native.hash60(
+        concat(lit("curriculum:cu:"), $"id".cast("string"))).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = got.map(t => (t._1, t._2))
+      .sortBy { case (id, st) => (st, keys(id) % 8, keys(id), id) }
+      .zipWithIndex.map { case ((id, _), p) => (id, p.toLong) }.toMap
+    got.foreach { case (id, _, pos) =>
+      assert(pos == expected(id), s"id $id at $pos, want ${expected(id)}") }
+    // a NULL stage refuses loudly; so does an out-of-cap cell table
+    val bad = intercept[Exception] {
+      Sample.curriculumRank(
+        df.withColumn("stage", when($"id" === 3L, lit(null)).otherwise($"stage")),
+        "id", "stage", "cu", 8).collect() }
+    assert(bad.getMessage.contains("must be non-null and numeric"))
+    intercept[IllegalArgumentException] {
+      Sample.curriculumRank(df, "id", "stage", "cu", 0) }
+  }
+
   test("selectByFraction: equals the exact single-window cut across modes; guards") {
     val rng = new scala.util.Random(42)
     val rows = (0 until 5).flatMap { g =>
