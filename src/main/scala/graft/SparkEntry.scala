@@ -3371,6 +3371,31 @@ object SparkEntry {
         .orderBy("window_id")
     }),
 
+    // the ANNEALED pipeline: per-source quantile selection marks the
+    // top 25% (by quality score) as the annealing TAIL (stage 1),
+    // curriculumRank lays the corpus out main-mix-first /
+    // best-docs-last with hash decorrelation within each stage, and
+    // the window slicer cuts the staged stream — quantile cut, stage
+    // derivation, composite rank, global offsets, and window rollup
+    // all replayed in ONE DuckDB chain
+    "x_pipeline_anneal" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source"),
+        col("n_chars").cast(LongType).as("score"),
+        TextStats.tokens(col("text")).as("ts"))
+      val tail = Sample.selectByFraction(base.drop("ts"), "source",
+          "doc_id", "score", keepPpm = 250000L)
+        .select(col("doc_id"), lit(1L).as("stage"))
+      val staged = base.join(tail, Seq("doc_id"), "left")
+        .withColumn("stage", coalesce(col("stage"), lit(0L)))
+      val pos = Sample.curriculumRank(staged, "doc_id", "stage",
+        salt = "an", buckets = 16)
+      graft.ops.TokenStream.sliceWindows(pos, "shuffle_pos", "ts",
+          ctxLen = 64, blocks = 16, dropPartial = false)
+        .select("window_id", "n_tok", "n_docs", "min_pos", "max_pos")
+        .orderBy("window_id")
+    }),
+
     // trainer RESUME over the tokenized tree: restart at window
     // step*batch = 212 of ~424, served from manifest-pruned files only
     // (the require pins real pruning), each resumed window with its
@@ -6222,6 +6247,26 @@ object SparkEntry {
        """SELECT (tg // 64)::BIGINT AS window_id, count(*)::BIGINT AS n_tok, """ +
        """count(DISTINCT p)::BIGINT AS n_docs, min(p)::BIGINT AS min_pos, """ +
        """max(p)::BIGINT AS max_pos FROM ptok GROUP BY 1 ORDER BY 1"""),
+
+    // the annealed pipeline replayed: per-source rank -> stage flag ->
+    // the composite (stage, bucket, key, id) permutation -> global
+    // token offsets -> the same window rollup
+    "x_pipeline_anneal" ->
+      (s"""WITH abase AS (SELECT doc_id, COALESCE(source, '') AS source, n_chars::BIGINT AS score, """ +
+       s"""$TOK AS ts FROM documents), """ +
+       """acnt AS (SELECT source, count(*)::BIGINT AS tot FROM abase GROUP BY 1), """ +
+       """ark AS (SELECT abase.*, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk FROM abase), """ +
+       """ast AS (SELECT a.doc_id, a.ts, CASE WHEN a.rk <= (t.tot::HUGEINT * 250000) // 1000000 """ +
+       """THEN 1 ELSE 0 END AS stage FROM ark a JOIN acnt t USING (source)), """ +
+       s"""apos AS (SELECT ts, (row_number() OVER (ORDER BY stage, k % 16, k, doc_id) - 1) AS p """ +
+       s"""FROM (SELECT doc_id, ts, stage, ${h60sql("'curriculum:an:' || CAST(doc_id AS VARCHAR)")} AS k FROM ast)), """ +
+       """aoff AS (SELECT p, ts, COALESCE(SUM(len(ts)) OVER (ORDER BY p """ +
+       """ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o FROM apos), """ +
+       """atok AS (SELECT p, o + i - 1 AS tg FROM """ +
+       """(SELECT p, o, unnest(range(1, len(ts) + 1)) AS i FROM aoff)) """ +
+       """SELECT (tg // 64)::BIGINT AS window_id, count(*)::BIGINT AS n_tok, """ +
+       """count(DISTINCT p)::BIGINT AS n_docs, min(p)::BIGINT AS min_pos, """ +
+       """max(p)::BIGINT AS max_pos FROM atok GROUP BY 1 ORDER BY 1"""),
 
     // the tokenized-tree resume: full windows with id >= 212, first
     // payload token via arg_min over the token chain
