@@ -301,8 +301,14 @@ class OpsSpec extends AnyFunSuite {
     // fixed nprobe: every result satisfies the predicate, and the
     // result equals filtering the probed CANDIDATE set (not the
     // unfiltered top-k) by hand
-    val got = Similarity.ivfTopKIndexedFiltered(spark, path, q, 10,
-        nprobe = 2, allowed, "vec_id").collect()
+    val filteredProbe = Similarity.ivfTopKIndexedFiltered(spark, path, q, 10,
+      nprobe = 2, allowed, "vec_id")
+    // the semi-join must not cost the probe its partition pruning: the
+    // list predicate stays a PartitionFilter on the index scan
+    assert(partitionFilters(
+        filteredProbe.queryExecution.executedPlan.toString).contains("list"),
+      "the filtered probe lost the list partition filter")
+    val got = filteredProbe.collect()
     assert(got.nonEmpty && got.forall(_.getLong(0) % 3 == 1))
     val byHand = Similarity.ivfTopKIndexed(spark, path, cb, q, 1000000, nprobe = 2)
       .collect().filter(_.getLong(0) % 3 == 1).take(10)
