@@ -1112,6 +1112,22 @@ object SparkEntry {
       path
     })
 
+  private val wetDumps = new ConcurrentHashMap[String, String]()
+  /** Build-once WET-style crawl dump per sf dir (uri derived from
+    * source + doc id; the gate reads it back through the crawl-record
+    * parser). */
+  private def wetDump(s: SparkSession, d: String): String =
+    wetDumps.computeIfAbsent(d, { _ =>
+      val path = indexPath("wet_", d)
+      graft.sources.CorpusIngest.writeWet(
+        docs(s, d).select(
+          concat(lit("https://"), col("source"), lit(".example/"),
+            col("doc_id").cast("string")).as("uri"),
+          col("text")),
+        "uri", "text", path)
+      path
+    })
+
   private val csvDumps = new ConcurrentHashMap[String, String]()
   /** Build-once CSV dump (RFC-4180 quoting) per sf dir. */
   private def csvDump(s: SparkSession, d: String): String =
@@ -2759,6 +2775,16 @@ object SparkEntry {
       graft.sources.CorpusIngest.readCsv(s, csvDump(s, d),
           idField = Some("doc_id"), sourceField = Some("source"))
         .orderBy("doc_id")),
+
+    // a WET-style CRAWL dump (the Common Crawl text-extract layout:
+    // WARC/1.0-delimited records, headers, blank line, body) read
+    // through the one-scan record parser: uri from the header, source
+    // = its host, doc_id the salted uri hash — the raw-crawl entry
+    // point of the pipeline, round-tripped against the parquet
+    // originals
+    "x_source_wet" -> ((s, d) =>
+      graft.sources.CorpusIngest.readWet(s, wetDump(s, d))
+        .orderBy("uri")),
 
     // an ID-LESS dump: doc_id is the salted content hash —
     // deterministic across re-runs, file splits, and engines; the
@@ -5642,6 +5668,14 @@ object SparkEntry {
     "x_source_jsonl_ids" ->
       (s"""SELECT ${h60sql("'ing:' || text")} AS doc_id, text """ +
        """FROM documents ORDER BY doc_id, text"""),
+
+    // the crawl round trip: host and uri re-derived, doc_id the salted
+    // uri hash
+    "x_source_wet" ->
+      ("""WITH w AS (SELECT 'https://' || source || '.example/' || CAST(doc_id AS VARCHAR) AS uri, """ +
+       """text, source || '.example' AS host FROM documents) """ +
+       s"""SELECT ${h60sql("'wet:' || uri")} AS doc_id, text, host AS source, uri """ +
+       """FROM w ORDER BY uri"""),
 
     "x_sample_bottomk" ->
       (s"""SELECT doc_id, lang, source FROM (SELECT doc_id, lang, source, """ +
