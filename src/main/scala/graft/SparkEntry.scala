@@ -3877,6 +3877,32 @@ object SparkEntry {
     // even docs gates the odd-doc stream — two controlled batches
     // through the production sink, survivors = exactly the docs the
     // model scores positive, replayed end-to-end by the shared oracle
+    // STREAMING crawl ingest: the WET dump's part files arrive one
+    // micro-batch each through the text source (record-delimiter
+    // lineSep) + parseWet into the exactly-once append sink — the
+    // landed table must equal the batch readWet bit-for-bit (shares
+    // x_source_wet's oracle shape, uri-ordered)
+    "x_stream_wet_ingest" -> ((s, d) => {
+      val st = store(s, d)
+      st.synchronized {
+        val dump = wetDump(s, d)
+        val batch = graft.sources.CorpusIngest.readWet(s, dump)
+        if (st.isTable("stream/wet")) st.drop("stream/wet")
+        st.put("stream/wet", batch.limit(0))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("wetckpt").toString
+        val src = s.readStream
+          .option("lineSep", graft.sources.CorpusIngest.WetMagic)
+          .option("maxFilesPerTrigger", 1)
+          .text(dump)
+        graft.streaming.EventStream.appendSink(
+          graft.sources.CorpusIngest.parseWet(src, "value"),
+          st, "stream/wet", ckpt).awaitTermination()
+        localized(s, st.table("stream/wet").df
+          .select("doc_id", "text", "source", "uri").orderBy("uri"))
+      }
+    }),
+
     // DECONTAMINATION AT INGEST: the documents stream through the
     // benchmark-guard sink in two micro-batches; only docs sharing
     // fewer than 2 trigram hashes with every bench doc (suite =
@@ -5904,6 +5930,14 @@ object SparkEntry {
 
     // the classifier-filtered ingest sink stores exactly the docs the
     // trained model scores positive — same CTE chain, filtered final
+    // the streamed crawl ingest == the batch read, replayed from the
+    // originals
+    "x_stream_wet_ingest" ->
+      ("""WITH w AS (SELECT 'https://' || source || '.example/' || CAST(doc_id AS VARCHAR) AS uri, """ +
+       """text, source || '.example' AS host FROM documents) """ +
+       s"""SELECT ${h60sql("'wet:' || uri")} AS doc_id, text, host AS source, uri """ +
+       """FROM w ORDER BY uri"""),
+
     // the decontamination sink's landed set: every doc minus those
     // sharing >= 2 distinct trigram hashes with any bench doc (< 20)
     "x_stream_contamination" ->

@@ -113,8 +113,10 @@ object CorpusIngest {
       .write.mode("overwrite").text(path)
 
   /** The WET record delimiter (every conversion record of a
-    * Common-Crawl-style text extract opens with this version line). */
-  private val WetMagic = "WARC/1.0\r\n"
+    * Common-Crawl-style text extract opens with this version line) —
+    * public so a STREAMING reader can pass it as the text source's
+    * `lineSep` and feed [[parseWet]]. */
+  val WetMagic = "WARC/1.0\r\n"
 
   /** Read a WET-style crawl text extract (the Common Crawl
     * `*.warc.wet` layout: records delimited by a `WARC/1.0` version
@@ -138,9 +140,25 @@ object CorpusIngest {
     * stages). Gzipped dumps read transparently but unsplit — prefer
     * uncompressed or recompressed-by-block storage at 100 TB. */
   def readWet(spark: SparkSession, path: String,
-              idSalt: String = "wet"): DataFrame = {
-    val rec = spark.read.option("lineSep", WetMagic).text(path)
-      .select(col("value").as("rec"))
+              idSalt: String = "wet"): DataFrame =
+    parseWet(spark.read.option("lineSep", WetMagic).text(path),
+      "value", idSalt, s"readWet at $path")
+
+  /** The per-record WET parse over an already-split relation — the
+    * seam that makes the crawl entry point STREAMABLE: feed
+    * `spark.readStream.option("lineSep", "WARC/1.0\r\n").text(dir)`
+    * through this and into any ingest sink
+    * ([[graft.streaming.EventStream.appendSink]] /
+    * `decontaminateSink`), and arriving dump files parse exactly like
+    * the batch read (pure per-row expressions — no state, no
+    * shuffle). `recCol` holds one record's content per row (the text
+    * source's split output); parse rules and refusals are
+    * [[readWet]]'s. */
+  def parseWet(records: DataFrame, recCol: String,
+               idSalt: String = "wet",
+               context: String = "parseWet"): DataFrame = {
+    val rec = records
+      .select(col(recCol).as("rec"))
       .filter(length(trim(col("rec"))) > 0)
     val uri = regexp_extract(col("rec"), "WARC-Target-URI:\\s*(\\S+)", 1)
     // body = everything after the header-terminating blank line, minus
@@ -155,7 +173,7 @@ object CorpusIngest {
       // below (NULL body) — only a uri-carrying record may refuse
       .when(uri === "", lit(null).cast(StringType))
       .otherwise(raise_error(concat(
-        lit(s"readWet at $path: record without a blank header/body " +
+        lit(s"$context: record without a blank header/body " +
           "separator line for URI "), uri)))
     rec.select(uri.as("uri"), body.as("text"))
       .filter(col("uri") =!= "")
