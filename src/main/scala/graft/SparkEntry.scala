@@ -2515,6 +2515,18 @@ object SparkEntry {
       TextStats.corpusReport(docs(s, d).select("source", "text"),
         "source", "text").orderBy("source")),
 
+    // ...extended with CONTAMINATION debt: the docs each source would
+    // lose to a benchmark decontamination sweep (>= 2 shared trigrams
+    // vs the docs < 20 suite — the x_contamination rule verbatim, so
+    // the card's number IS the sweep's drop count)
+    "x_corpus_report_contam" -> ((s, d) =>
+      TextStats.corpusReportContamination(
+          docs(s, d).select("doc_id", "source", "text"), "source",
+          "doc_id", "text",
+          docs(s, d).filter(col("doc_id") < 20).select("doc_id", "text"),
+          "doc_id", "text", n = 3, minShared = 2L)
+        .orderBy("source")),
+
     // ...extended with NEAR-dup debt over the planted corpus: the
     // MinHash-LSH clusters' non-canonical members booked per derived
     // domain (the planted " zzz" variants land in their own stratum,
@@ -5433,6 +5445,34 @@ object SparkEntry {
        // NULLS FIRST pins a NULL-source stratum to Spark's ASC default —
        // DuckDB's NULLS LAST would flip the row order and the hash
        """FROM cmain m JOIN ctop t USING (dom) ORDER BY source NULLS FIRST"""),
+
+    // the contamination-debt report: the x_contamination dirty set
+    // (>= 2 shared trigram hashes vs the docs < 20 suite) counted per
+    // source, left-joined onto the same per-domain feature rollup
+    "x_corpus_report_contam" ->
+      (s"""WITH crep AS (SELECT doc_id, source AS dom, COALESCE(text, '') AS t FROM documents), """ +
+       s"""cfeat AS (SELECT dom, length(t)::BIGINT AS nc, """ +
+       s"""len(string_split_regex(lower(t), '\\s+'))::BIGINT AS nt, md5(t) AS dig, """ +
+       s"""${langVoteColsSql("t")} FROM crep), """ +
+       s"""cguess AS (SELECT dom, nc, nt, dig, $langVoteCaseSql AS lg FROM cfeat), """ +
+       """cmain AS (SELECT dom, count(*)::BIGINT AS n_docs, SUM(nt)::BIGINT AS n_tokens, """ +
+       """SUM(nc)::BIGINT AS n_chars, (count(*) - count(DISTINCT dig))::BIGINT AS n_dup_docs, """ +
+       """count(DISTINCT lg)::BIGINT AS n_langs FROM cguess GROUP BY dom), """ +
+       """clc AS (SELECT dom, lg, count(*)::BIGINT AS c FROM cguess GROUP BY 1, 2), """ +
+       """ctop AS (SELECT dom, lg AS top_lang, c AS top_lang_docs FROM """ +
+       """(SELECT *, row_number() OVER (PARTITION BY dom ORDER BY c DESC, lg) AS rn FROM clc) WHERE rn = 1), """ +
+       s"""ktoks AS (SELECT doc_id, $TOK AS l FROM documents), """ +
+       """kshr AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)), """ +
+       """i -> array_to_string(l[i:i+2], ' '))) AS g FROM ktoks), """ +
+       s"""ksh AS (SELECT DISTINCT doc_id, ${h60sql("g")} AS h FROM kshr), """ +
+       """kb AS (SELECT doc_id AS bench_id, h FROM ksh WHERE doc_id < 20), """ +
+       """kj AS (SELECT s.doc_id, kb.bench_id, count(*) AS shared FROM ksh s JOIN kb ON s.h = kb.h GROUP BY 1, 2), """ +
+       """kdirty AS (SELECT DISTINCT doc_id FROM kj WHERE shared >= 2), """ +
+       """ccd AS (SELECT c.dom, count(*)::BIGINT AS ncd FROM kdirty d JOIN crep c USING (doc_id) GROUP BY 1) """ +
+       """SELECT m.dom AS source, m.n_docs, m.n_tokens, m.n_chars, m.n_dup_docs, """ +
+       """m.n_langs, t.top_lang, t.top_lang_docs, COALESCE(cc.ncd, 0)::BIGINT AS n_contaminated_docs """ +
+       """FROM cmain m JOIN ctop t USING (dom) LEFT JOIN ccd cc ON cc.dom = m.dom """ +
+       """ORDER BY source NULLS FIRST"""),
 
     // the near-dup-debt report: the x_neardup_groups reachability
     // labels feed a per-domain count of non-kept docs (cluster <> id),

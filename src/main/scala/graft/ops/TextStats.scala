@@ -542,4 +542,38 @@ object TextStats {
       .withColumn("n_neardup_docs",
         coalesce(col("n_neardup_docs"), lit(0L)))
   }
+
+  /** [[corpusReport]] + CONTAMINATION debt — the third debt column a
+    * dataset card wants beside exact-dup and near-dup mass:
+    * `n_contaminated_docs` counts the documents of each domain a
+    * benchmark decontamination pass would drop (≥ `minShared` distinct
+    * word `n`-grams shared with ANY document of `bench` — the
+    * [[Contamination.ngramOverlap]] rule verbatim, so the card's
+    * number is exactly the sweep's drop count, not an estimate).
+    *
+    * Scale shape: the report's narrow shuffles plus the
+    * broadcast-bench n-gram join (the corpus never shuffles for it);
+    * the debt rollup joins IDS only. */
+  def corpusReportContamination(df: DataFrame, domainCol: String,
+                                idCol: String, textCol: String,
+                                bench: DataFrame, benchIdCol: String,
+                                benchTextCol: String, n: Int = 3,
+                                minShared: Long = 2L): DataFrame = {
+    require(domainCol != "n_contaminated_docs",
+      "corpusReportContamination: domain column collides with the " +
+        "report's n_contaminated_docs column — rename it first")
+    val dirty = Contamination.ngramOverlap(
+        df.select(col(idCol), col(textCol)), idCol, textCol,
+        bench, benchIdCol, benchTextCol, n, minShared)
+      .select(col("doc_id")).distinct()
+    val cd = df.select(col(domainCol).as("_crc"),
+        col(idCol).cast(LongType).as("doc_id"))
+      .join(dirty, Seq("doc_id"), "left_semi")
+      .groupBy(col("_crc")).agg(count(lit(1)).as("n_contaminated_docs"))
+    corpusReport(df, domainCol, textCol)
+      .join(cd, col(domainCol) <=> col("_crc"), "left")
+      .drop("_crc")
+      .withColumn("n_contaminated_docs",
+        coalesce(col("n_contaminated_docs"), lit(0L)))
+  }
 }

@@ -4138,6 +4138,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusReportContamination counts exactly the sweep's drop set per domain") {
+    val df = Seq(
+      (0L, "a", "alpha beta gamma delta epsilon zeta eta theta"),
+      // shares >= 2 trigrams with the benchmark doc -> contaminated
+      (1L, "b", "xx alpha beta gamma delta epsilon yy"),
+      (2L, "a", "completely unrelated content about catalyst plan shapes")
+    ).toDF("id", "dom", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("bid", "btext")
+    val rep = TextStats.corpusReportContamination(df, "dom", "id", "text",
+        bench, "bid", "btext", n = 3, minShared = 2L)
+      .collect().map(r => (r.getString(0),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_contaminated_docs")))).toMap
+    // doc 0 shares 4 trigrams, doc 1 shares 3, doc 2 none
+    assert(rep("a") == ((2L, 1L)), rep)
+    assert(rep("b") == ((1L, 1L)), rep)
+    intercept[IllegalArgumentException] {
+      TextStats.corpusReportContamination(
+        df.withColumnRenamed("dom", "n_contaminated_docs"),
+        "n_contaminated_docs", "id", "text", bench, "bid", "btext")
+    }
+  }
+
   // ---- temperature-scaled mixing ----------------------------------
 
   test("sampleByTemperature derives the exact integer quotas (alpha=0.5 hand case)") {
