@@ -2394,6 +2394,23 @@ object SparkEntry {
           col("list"))
     }),
 
+    // FILTERED search at the COMPRESSED tier: the same composed probe
+    // with the allowed-id semi-join (vec_id % 3 == 1) between
+    // candidate generation and ADC scoring — codes only, the filter
+    // never touches vectors; the oracle carries the predicate in the
+    // candidate CTE of the full quantizer chain
+    "x_knn_ivfpq_filtered" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      graft.ops.Quantize.ivfPqTopKIndexedFiltered(s, ivfPqIndex(s, d), q,
+          10, nprobe = 4,
+          allowed = embs(s, d).filter(col("vec_id") % 3 === 1),
+          allowedIdCol = "vec_id",
+          verifyAgainst = Some((embs(s, d), "vec_id")))
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"),
+          col("list"))
+    }),
+
     // IVFADC refinement: the composed probe's top-30 codes-only
     // candidates re-scored by EXACT cosine against their raw vectors,
     // top-10 of the re-ranking returned — the standard two-stage
@@ -4509,7 +4526,12 @@ object SparkEntry {
     * quantizer, ADC scoring over the probed candidates — everything up
     * to (and including) `scored`, ready for a final SELECT or more
     * CTEs. */
-  private def ivfPqChain: String =
+  private def ivfPqChain: String = ivfPqChainWhere("")
+
+  /** [[ivfPqChain]] with an optional predicate over the candidate set
+    * — the FILTERED compressed-tier search places its allowed-id
+    * semi-join exactly between candidate generation and ADC scoring. */
+  private def ivfPqChainWhere(candWhere: String): String =
     ("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x FROM embeddings), """ +
      """norms AS (SELECT vec_id, SUM(CAST(round((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 1e15) AS BIGINT))::BIGINT AS dxx FROM el GROUP BY vec_id), """ +
      """cl AS (SELECT vec_id AS cid, i, x AS cx FROM el WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)), """ +
@@ -4521,7 +4543,8 @@ object SparkEntry {
      """assign AS (SELECT vec_id, cid AS list FROM (SELECT vec_id, cid, """ +
      """row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM ascore) WHERE rn = 1), """ +
      """probes AS (SELECT cid AS list FROM ascore WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 4), """ +
-     """cand AS (SELECT a.vec_id, a.list FROM assign a JOIN probes USING (list)), """ +
+     """cand AS (SELECT a.vec_id, a.list FROM assign a JOIN probes USING (list)""" +
+     (if (candWhere.isEmpty) "" else s" WHERE $candWhere") + """), """ +
      """els AS (SELECT vec_id, CAST((i-1)//8 AS INT) AS s, CAST((i-1)%8 AS INT) AS w, CAST(x AS DOUBLE) AS x FROM el), """ +
      """cb AS (SELECT s, vec_id AS c, w, x AS cx FROM els WHERE vec_id < 16), """ +
      """cc AS (SELECT s, c, SUM(CAST(round((cx*cx)*1e15) AS BIGINT))::BIGINT AS cc FROM cb GROUP BY 1, 2), """ +
@@ -5262,6 +5285,11 @@ object SparkEntry {
     // IVF+PQ composed: candidates from the 4 probed seed lists, plain
     // ADC scores over their codes
     "x_knn_ivfpq" -> ivfPqOracle,
+
+    "x_knn_ivfpq_filtered" ->
+      (ivfPqChainWhere("a.vec_id % 3 = 1") +
+       """SELECT c.vec_id, round(sc, 6) AS score, c.list FROM scored JOIN cand c ON c.vec_id = scored.vec_id """ +
+       """ORDER BY sc DESC, c.vec_id LIMIT 10"""),
 
     // IVFADC refinement: ADC top-30 cut + exact-cosine re-rank tail
     "x_knn_ivfpq_rerank" -> ivfPqRerankOracle,

@@ -469,6 +469,62 @@ object Quantize {
       .limit(k)
   }
 
+  /** [[ivfPqTopKIndexed]] restricted to an ALLOWED id set — filtered
+    * search at the COMPRESSED tier
+    * ([[Similarity.ivfTopKIndexedFiltered]]'s contract on the PQ code
+    * tree): the allowed relation semi-joins the probed code rows
+    * id-only BETWEEN candidate generation and ADC scoring, so the
+    * filter never touches vectors OR codes beyond the survivors, and
+    * the result is the true filtered ADC top-k of the probed lists.
+    * `minSurvivors` adds the same deterministic probe-doubling
+    * escalation along the fixed coarse-affinity ranking (each round
+    * one id-only count; degrades to the full filtered ADC scan). At
+    * scale this is the shape a billion-vector metadata-filtered
+    * retrieval runs: codes-only scan of the probed partitions, one
+    * id hash semi-join, per-row LUT scoring, TakeOrdered. */
+  def ivfPqTopKIndexedFiltered(spark: org.apache.spark.sql.SparkSession,
+                               path: String, query: Seq[Float], k: Int,
+                               nprobe: Int, allowed: DataFrame,
+                               allowedIdCol: String, minSurvivors: Int = 0,
+                               verifyAgainst: Option[(DataFrame, String)] = None)
+      : DataFrame = {
+    require(k >= 1 && nprobe >= 1,
+      s"k and nprobe must be >= 1, got ($k, $nprobe)")
+    verifyAgainst.foreach { case (df, idCol) =>
+      requireIvfPqFresh(spark, path, df, idCol) }
+    val coarseCb = loadIvfPqCoarse(spark, path)
+    val cbs = loadIvfPqCodebooks(spark, path)
+    val dyy = Similarity.centroidNorms(spark, coarseCb)
+    val qd = query.map(_.toDouble)
+    val ranked: Seq[Long] = coarseCb.indices
+      .map { j =>
+        val dxy = graft.functions.CodebookKernels.fixedDotDriver(qd, coarseCb(j))
+        (dxy.toDouble / math.sqrt(dyy(j).toDouble), j.toLong)
+      }
+      .sortBy { case (s, cid) => (-s, cid) }.map(_._2)
+    val allowedIds = allowed.select(
+      Similarity.checkedLongId(allowedIdCol, "ivfPqTopKIndexedFiltered")
+        .as("id")).distinct()
+    def survivors(p: Int): DataFrame =
+      IndexMaintenance.minusTombstones(spark, path,
+          spark.read.parquet(path)
+            .filter(col("list").isin(ranked.take(p): _*)), "id")
+        .join(allowedIds, Seq("id"), "left_semi")
+    var p = math.min(nprobe, ranked.size)
+    if (minSurvivors > 0) {
+      val need = math.max(k, minSurvivors).toLong
+      while (p < ranked.size && survivors(p).count() < need)
+        p = math.min(p * 2, ranked.size)
+    }
+    val cc = codewordNorms(spark, cbs)
+    val (lut, qq) = adcTables(spark, query, cbs)
+    survivors(p)
+      .select(col("id"), adcScore(col("codes"), lut, cc, qq).as("score"),
+        col("list").cast(LongType).as("list"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** IVFADC with the standard exact REFINEMENT stage: the ADC top-`r`
     * candidates are re-scored by EXACT cosine against their raw
     * vectors, and the top-`k` of that re-ranking is returned. ADC

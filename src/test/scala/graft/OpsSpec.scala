@@ -3228,6 +3228,18 @@ class OpsSpec extends AnyFunSuite {
     val flatTop = Quantize.pqTopK(embsDf, "vec_id", "embedding", q, 10, cbs)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(allProbe == flatTop)
+    // FILTERED compressed-tier probe: escalated to every list it must
+    // equal the flat ADC ranking restricted to the allowed subset
+    val filteredAll = Quantize.ivfPqTopKIndexedFiltered(spark, oneShot, q,
+        10, nprobe = 1, allowed = embsDf.filter($"vec_id" % 3 === 1),
+        allowedIdCol = "vec_id", minSurvivors = 1000000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val flatFiltered = Quantize.pqTopK(embsDf, "vec_id", "embedding", q,
+        embsDf.count().toInt, cbs)
+      .collect().filter(_.getLong(0) % 3 == 1).take(10)
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(filteredAll == flatFiltered,
+      s"filtered PQ escalation must reach the flat filtered ranking")
     // delete/compact lifecycle on the composed tree
     import graft.ops.IndexMaintenance
     val before = probe(grown)
