@@ -3594,6 +3594,19 @@ object SparkEntry {
         alpha = 0.5, budgetDocs = 1000L)
     }),
 
+    // ...and the TOKEN-mass card (the dry-run of
+    // sampleByTemperatureTokens): domain mass = Σ whitespace tokens,
+    // budget in tokens, every column re-derived from the token sums
+    "x_sample_plan_tok" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") < 20, lit("small"))
+          .when(col("doc_id") < 120, lit("mid"))
+          .otherwise(lit("big")).as("dom"),
+        size(TextStats.tokens(col("text"))).cast(LongType).as("n_tok"))
+      Sample.temperaturePlanTokens(base, "dom", "doc_id", "n_tok",
+        alpha = 0.5, budgetTokens = 30000L)
+    }),
+
     // per-source QUANTILE selection: the top 25% of documents by
     // quality score (n_chars) within each source — every source gets
     // its own absolute budget floor(count·0.25), so one dial is
@@ -6486,6 +6499,28 @@ object SparkEntry {
        """((md::HUGEINT * 1000000) // mt)::BIGINT AS target_share_ppm, """ +
        """((1000::HUGEINT * md) // (mt * c))::BIGINT AS f, """ +
        """((((1000::HUGEINT * md) % (mt * c)) * 1000000) // (mt * c))::BIGINT AS thr """ +
+       """FROM tm, tt) """ +
+       """SELECT dom AS domain, c AS mass, raw_share_ppm, target_share_ppm, """ +
+       """f AS quota_floor, thr AS quota_coin_ppm, """ +
+       """(f * 1000000 + thr)::BIGINT AS epochs_ppm, """ +
+       """((c::HUGEINT * (f::HUGEINT * 1000000 + thr)) // 1000000)::BIGINT AS expected_out, """ +
+       """(CASE WHEN f < 100 OR (f = 100 AND thr = 0) THEN 0 ELSE 1 END)::BIGINT AS over_cap """ +
+       """FROM q ORDER BY domain NULLS FIRST"""),
+
+    // the token-mass card: the identical chain from SUM(token) masses
+    "x_sample_plan_tok" ->
+      (s"""WITH tbase AS (SELECT doc_id, CASE WHEN doc_id < 20 THEN 'small' """ +
+       """WHEN doc_id < 120 THEN 'mid' ELSE 'big' END AS dom, """ +
+       s"""len($TOK)::BIGINT AS nt """ +
+       """FROM documents WHERE doc_id IS NOT NULL), """ +
+       """tcnt AS (SELECT dom, SUM(nt)::BIGINT AS c FROM tbase GROUP BY dom), """ +
+       """tm AS (SELECT dom, c, CAST(round(sqrt(c) * 1000000) AS BIGINT) AS md FROM tcnt), """ +
+       """tt AS (SELECT SUM(md)::HUGEINT AS mt, SUM(c)::HUGEINT AS ct FROM tm), """ +
+       """q AS (SELECT dom, c, md, """ +
+       """((c::HUGEINT * 1000000) // ct)::BIGINT AS raw_share_ppm, """ +
+       """((md::HUGEINT * 1000000) // mt)::BIGINT AS target_share_ppm, """ +
+       """((30000::HUGEINT * md) // (mt * c))::BIGINT AS f, """ +
+       """((((30000::HUGEINT * md) % (mt * c)) * 1000000) // (mt * c))::BIGINT AS thr """ +
        """FROM tm, tt) """ +
        """SELECT dom AS domain, c AS mass, raw_share_ppm, target_share_ppm, """ +
        """f AS quota_floor, thr AS quota_coin_ppm, """ +
