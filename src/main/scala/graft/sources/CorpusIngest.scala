@@ -134,15 +134,18 @@ object CorpusIngest {
     * shuffle. Records without a `WARC-Target-URI` header (the
     * `warcinfo` preamble every dump opens with) are dropped — they
     * carry no document. KNOWN BOUND, documented not guessed: a body
-    * that itself contains the delimiter string mis-splits (real WET
-    * consumers use `Content-Length` framing; at the corpus level the
-    * collision is vanishingly rare and lands in the dedup/quality
-    * stages). Gzipped dumps read transparently but unsplit — prefer
-    * uncompressed or recompressed-by-block storage at 100 TB. */
+    * that itself contains the delimiter string mis-splits; pass
+    * `verifyLength = true` to catch it LOUDLY — the truncated record's
+    * body no longer matches its `Content-Length` header and the read
+    * refuses (the dump's own framing, checked per row; costs one
+    * UTF-8 encode per record). Gzipped dumps read transparently but
+    * unsplit — prefer uncompressed or recompressed-by-block storage
+    * at 100 TB. */
   def readWet(spark: SparkSession, path: String,
-              idSalt: String = "wet"): DataFrame =
+              idSalt: String = "wet",
+              verifyLength: Boolean = false): DataFrame =
     parseWet(spark.read.option("lineSep", WetMagic).text(path),
-      "value", idSalt, s"readWet at $path")
+      "value", idSalt, s"readWet at $path", verifyLength)
 
   /** The per-record WET parse over an already-split relation — the
     * seam that makes the crawl entry point STREAMABLE: feed
@@ -156,7 +159,8 @@ object CorpusIngest {
     * [[readWet]]'s. */
   def parseWet(records: DataFrame, recCol: String,
                idSalt: String = "wet",
-               context: String = "parseWet"): DataFrame = {
+               context: String = "parseWet",
+               verifyLength: Boolean = false): DataFrame = {
     val rec = records
       .select(col(recCol).as("rec"))
       .filter(length(trim(col("rec"))) > 0)
@@ -175,8 +179,27 @@ object CorpusIngest {
       .otherwise(raise_error(concat(
         lit(s"$context: record without a blank header/body " +
           "separator line for URI "), uri)))
-    rec.select(uri.as("uri"), body.as("text"))
+    val parsed = rec.select(uri.as("uri"), body.as("text"),
+        regexp_extract(col("rec"), "Content-Length:\\s*(\\d+)", 1).as("_cl"))
       .filter(col("uri") =!= "")
+    // verifyLength closes the documented delimiter-collision bound
+    // LOUDLY: a mis-split truncates the preceding record's body, so
+    // its byte length no longer matches the Content-Length the dump
+    // committed — refuse instead of silently training on a truncated
+    // document. Records without the header pass (the header is the
+    // dump's claim; absent claim, nothing to verify).
+    val verified = if (!verifyLength) parsed else
+      parsed.withColumn("text",
+        when(col("_cl") === "" ||
+            col("_cl").cast("long") ===
+              length(encode(col("text"), "UTF-8")),
+          col("text"))
+        .otherwise(raise_error(concat(
+          lit(s"$context: Content-Length mismatch for "), col("uri"),
+          lit(" — header claims "), col("_cl"), lit(" bytes, body has "),
+          length(encode(col("text"), "UTF-8")).cast(StringType),
+          lit(" (truncated record or a delimiter collision)")))))
+    verified
       .select(
         native.hash60(concat(lit(s"$idSalt:"), col("uri"))).as("doc_id"),
         col("text"),

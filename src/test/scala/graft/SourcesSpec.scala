@@ -113,6 +113,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("without a blank header/body"))
   }
 
+  test("wet verifyLength: clean dumps pass, a delimiter collision refuses loudly") {
+    // clean round trip under verification: every Content-Length the
+    // writer committed matches the parsed body
+    val docs = Seq(
+      ("https://c.example/x", "plain ascii"),
+      ("https://c.example/y", "unicode éß中文 and\nnewlines\r\n")
+    ).toDF("uri", "text")
+    val out = TestSpark.tmpDir("wet-vl")
+    CorpusIngest.writeWet(docs, "uri", "text", out)
+    assert(CorpusIngest.readWet(spark, out, verifyLength = true)
+      .count() == 2L)
+    // a body containing the record delimiter mis-splits — WITHOUT
+    // verification the truncated document would train silently; WITH
+    // it the Content-Length mismatch refuses
+    val poison = Seq(
+      ("https://evil.example/p", "prefix WARC/1.0\r\nsuffix after magic")
+    ).toDF("uri", "text")
+    val out2 = TestSpark.tmpDir("wet-poison")
+    CorpusIngest.writeWet(poison, "uri", "text", out2)
+    val silent = CorpusIngest.readWet(spark, out2).collect()
+    assert(silent.forall(_.getString(1) != poison.collect()(0).getString(1)),
+      "the mis-split is real: no parsed body equals the original")
+    val caught = intercept[Exception] {
+      CorpusIngest.readWet(spark, out2, verifyLength = true).collect() }
+    assert(caught.getMessage.contains("Content-Length mismatch"))
+  }
+
   test("refusals: missing field, NULL text, malformed id") {
     val path = TestSpark.tmpDir("jsonl-bad")
     CorpusIngest.writeJsonl(nasty, path)
