@@ -329,6 +329,94 @@ object RecallDrive {
     *     — calibration sweep at small N, floors off.
     * ScaleDrive additionally runs a 100k canary with the same floors
     * inside its local[8] budget. */
+  /** FILTERED-search quality canary: recall@k of the metadata-filtered
+    * probe against the exact FILTERED ground truth (brute force over
+    * the allowed subset — what the caller actually asked for). The
+    * filter keeps 1/3 of the corpus, thinning every probed list, so
+    * this pins the two claims the operator makes: (1) the batch
+    * filtered join at a fixed production nprobe must not collapse
+    * (floor), and (2) the single-query ESCALATING probe
+    * (`minSurvivors ≈ 10k`) must do at least as well as the fixed
+    * probe on the same queries — widening can only add candidates. */
+  def filteredCanary(spark: SparkSession, n: Long, nQueries: Int,
+                     nTopics: Int, nlist: Int, tau: Double, k: Int,
+                     nprobe: Int, floorFixed: Double,
+                     kmIters: Int = 1): Unit = {
+    println(s"== filtered-search canary: N=$n nlist=$nlist " +
+      s"nTopics=$nTopics nprobe=$nprobe k=$k (allowed = id % 3 == 1)")
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val a = f
+      println(f"  $tag%-52s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); a
+    }
+    val corpus = synthVecs(spark.range(n).toDF("id"), nTopics, tau)
+      .localCheckpoint(true)
+    val allowed = corpus.filter(pmod(col("id"), lit(3L)) === 1L)
+    val qBase = 20000000L - (20000000L % nTopics.toLong)
+    val queries = synthVecs(
+        spark.range(nQueries).select((col("id") + qBase).as("id")),
+        nTopics, tau)
+      .localCheckpoint(true)
+    import graft.ops.Similarity.dotFixed
+    val cn = allowed.select(col("id").as("nid"), col("embedding").as("nv"),
+      sqrt(dotFixed(col("embedding"), col("embedding")).cast(DoubleType)).as("nn"))
+    val qn = queries.select(col("id").as("qid"), col("embedding").as("qv"),
+      sqrt(dotFixed(col("embedding"), col("embedding")).cast(DoubleType)).as("qq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    // ground truth over the ALLOWED subset only — the filtered answer
+    val gtF = time(s"exact FILTERED ground truth ($nQueries x ~${n / 3})") {
+      cn.crossJoin(broadcast(qn))
+        .select(col("qid"), col("nid"),
+          (dotFixed(col("qv"), col("nv")).cast(DoubleType) /
+            (col("qq") * col("nn"))).as("score"))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+        .select("qid", "nid")
+        .localCheckpoint(true)
+    }
+    val cb = time(s"kmeansCodebook (k=$nlist)") {
+      graft.ops.Similarity.kmeansCodebook(corpus, "id", "embedding", nlist,
+        kmIters)
+    }
+    val path = java.nio.file.Files.createTempDirectory("recall-filt").toString
+    time(s"buildIvfIndex ($nlist lists)") {
+      graft.ops.Similarity.buildIvfIndex(corpus, "id", "embedding", cb, path)
+    }
+    def recallF(res: DataFrame): Double =
+      res.select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+        .join(gtF, Seq("qid", "nid"), "left_semi").count().toDouble /
+        (nQueries.toDouble * k)
+    val rFixed = time(s"batch filtered join (nprobe=$nprobe)") {
+      recallF(graft.ops.Similarity.knnJoinIndexedFiltered(spark, path,
+        queries, "id", "embedding", k, nprobe, allowed, "id"))
+    }
+    // escalating single-query probes over a bounded panel
+    val panel = queries.limit(10).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val gtMap = gtF.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    var fixedHits = 0; var escHits = 0
+    time(s"10 escalating single-query probes (minSurvivors=${10 * k})") {
+      panel.foreach { case (qid, qv) =>
+        val fixed = graft.ops.Similarity.ivfTopKIndexedFiltered(spark, path,
+            qv, k, nprobe, allowed, "id").collect().map(_.getLong(0)).toSet
+        val esc = graft.ops.Similarity.ivfTopKIndexedFiltered(spark, path,
+            qv, k, nprobe, allowed, "id", minSurvivors = 10 * k)
+          .collect().map(_.getLong(0)).toSet
+        fixedHits += fixed.count(gtMap(qid))
+        escHits += esc.count(gtMap(qid))
+      }
+    }
+    val rEscPanel = escHits.toDouble / (panel.length * k)
+    val rFixedPanel = fixedHits.toDouble / (panel.length * k)
+    println(f"  recall@$k: batch fixed $rFixed%.3f; panel fixed " +
+      f"$rFixedPanel%.3f -> escalated $rEscPanel%.3f")
+    assert(rFixed >= floorFixed,
+      f"filtered batch recall $rFixed%.3f under floor $floorFixed at nprobe=$nprobe")
+    assert(escHits >= fixedHits,
+      s"escalation lost recall: $escHits < $fixedHits hits")
+    println(s"  filtered canary OK: fixed >= $floorFixed, escalation >= fixed")
+  }
+
   def main(args: Array[String]): Unit = {
     val cores = sys.env.getOrElse("RECALL_CORES", "8")
     val spark = SparkSession.builder().master(s"local[$cores]")
@@ -345,6 +433,11 @@ object RecallDrive {
       // init exists for; ScaleDrive runs the same shape
       initCanary(spark, n = 200000L, nQueries = 50, nTopics = 100,
         nlist = 256, tau = 1.5, k = 10, nprobe = 16)
+    } else if (args.headOption.contains("filtered")) {
+      // the filtered-search quality canary at the production shape:
+      // 1/3 selectivity, nprobe=14 (~√nlist), escalation ≥ fixed
+      filteredCanary(spark, n = 100000L, nQueries = 50, nTopics = 100,
+        nlist = 200, tau = 1.5, k = 10, nprobe = 14, floorFixed = 0.85)
     } else if (args.headOption.contains("frontier")) {
       // the DESIGN.md sweep: production shape, m ∈ {8, 16, 32}, the
       // operating point and its neighbors
