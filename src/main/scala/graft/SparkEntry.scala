@@ -2093,6 +2093,29 @@ object SparkEntry {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // PER-STRATUM filtered batch probe (multi-tenant retrieval): even
+    // queries see only even corpus ids, odd queries only vec_id % 3
+    // == 1 — each query's rows are the true filtered top-k of its OWN
+    // allowed set, via one (stratum, id) semi-join between candidate
+    // generation and scoring; the oracle carries the per-qid predicate
+    // in the candidate CTE
+    "x_knn_join_stratified" -> ((s, d) => {
+      val emb = embs(s, d)
+      val allow = emb.filter(col("vec_id") % 2 === 0)
+        .select(lit("even").as("str"), col("vec_id"))
+        .unionByName(emb.filter(col("vec_id") % 3 === 1)
+          .select(lit("odd").as("str"), col("vec_id")))
+      Similarity.knnJoinIndexedStratified(s, ivfIndexSeeded(s, d),
+          emb.filter(col("vec_id") < 5).withColumn("str",
+            when(col("vec_id") % 2 === 0, lit("even")).otherwise(lit("odd"))),
+          "vec_id", "embedding", "str", k = 5, nprobe = 4,
+          allowedByStratum = allow, stratumCol = "str", idCol = "vec_id",
+          verifyAgainst = Some((emb, "vec_id")))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 6).as("score"), col("list"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // spherical k-means (1 Lloyd iteration, fixed-point determinism):
     // every vector labeled with its trained-codebook list
     "x_kmeans_assign" -> ((s, d) =>
@@ -5195,6 +5218,10 @@ object SparkEntry {
     "x_knn_join_indexed" -> knnJoinOracle,
 
     "x_knn_join_filtered" -> knnJoinProbeOracle("a.vec_id % 3 = 1"),
+
+    "x_knn_join_stratified" -> knnJoinProbeOracle(
+      "(p.qid % 2 = 0 AND a.vec_id % 2 = 0) OR " +
+        "(p.qid % 2 = 1 AND a.vec_id % 3 = 1)"),
 
     // embedding cross-dedup: the knn-join chain over a split corpus —
     // codebook list ids are row_number-1 in vec_id order over the

@@ -678,9 +678,9 @@ object Similarity {
 
   /** [[knnJoinIndexed]] restricted to an ALLOWED id set — the batch
     * form of [[ivfTopKIndexedFiltered]] (every query shares one
-    * metadata filter; per-query filters are a different contract —
-    * partition the query batch by filter and run one join per
-    * stratum). The allowed relation semi-joins the probed corpus rows
+    * metadata filter; for per-query filters keyed by a stratum use
+    * [[knnJoinIndexedStratified]]). The allowed relation semi-joins
+    * the probed corpus rows
     * id-only BEFORE scoring and the per-query top-k cut, so each
     * query's result is the true filtered top-k of its probed lists.
     * No probe escalation here: a batch join has no single survivor
@@ -698,13 +698,60 @@ object Similarity {
     knnJoinIndexedCore(spark, path, queries, qIdCol, qVecCol, k, nprobe,
       Some((allowed, allowedIdCol)), verifyAgainst, pruneLists)
 
+  /** [[knnJoinIndexedFiltered]] with PER-QUERY filters, keyed by a
+    * STRATUM — the multi-tenant retrieval shape (each tenant/language/
+    * split sees its own allowed subset) that a single global allowed
+    * set cannot express. Every query row carries `qStratumCol`;
+    * `allowedByStratum` holds `(stratumCol, idCol)` rows — the union
+    * of the per-stratum allowed sets, id-typed like the index. A
+    * candidate survives iff `(query's stratum, candidate id)` is in
+    * that relation, applied BETWEEN candidate generation and scoring
+    * (one hash semi-join on the two columns; vectors move only for
+    * survivors). A query whose stratum has no rows returns nothing —
+    * an empty allowed set means nothing is allowed, not everything
+    * (refusing the silent fall-open default).
+    *
+    * Scale shape: identical to [[knnJoinIndexed]] plus one (stratum,
+    * id) semi-join; strata ride the probe explode as a small extra
+    * column. NULL strata refuse loudly on either side (a NULL never
+    * matches a NULL under SQL join semantics — fail fast instead of
+    * silently emptying those queries). */
+  def knnJoinIndexedStratified(spark: org.apache.spark.sql.SparkSession,
+                               path: String, queries: DataFrame,
+                               qIdCol: String, qVecCol: String,
+                               qStratumCol: String, k: Int, nprobe: Int,
+                               allowedByStratum: DataFrame,
+                               stratumCol: String, idCol: String,
+                               verifyAgainst: Option[(DataFrame, String)] = None,
+                               pruneLists: Boolean = true): DataFrame = {
+    require(!queries.columns.contains("_qstr"),
+      "knnJoinIndexedStratified: query column '_qstr' collides with the " +
+        "operator's internal namespace — rename it first")
+    def checkedStr(df: DataFrame, c: String, side: String) =
+      when(col(c).isNotNull, col(c).cast(StringType))
+        .otherwise(raise_error(lit(
+          s"knnJoinIndexedStratified: NULL $side stratum ('$c') — a NULL " +
+            "never matches under join semantics and would silently empty " +
+            "those queries; fix or filter upstream")))
+    val qs = queries.withColumn("_qstr",
+      checkedStr(queries, qStratumCol, "query"))
+    val allowedPairs = allowedByStratum.select(
+        checkedStr(allowedByStratum, stratumCol, "allowed").as("_qstr"),
+        checkedLongId(idCol, "knnJoinIndexedStratified").as("id"))
+      .distinct()
+    knnJoinIndexedCore(spark, path, qs, qIdCol, qVecCol, k, nprobe,
+      None, verifyAgainst, pruneLists,
+      stratified = Some(allowedPairs))
+  }
+
   private def knnJoinIndexedCore(spark: org.apache.spark.sql.SparkSession,
                                  path: String, queries: DataFrame,
                                  qIdCol: String, qVecCol: String,
                                  k: Int, nprobe: Int,
                                  allowed: Option[(DataFrame, String)],
                                  verifyAgainst: Option[(DataFrame, String)],
-                                 pruneLists: Boolean): DataFrame = {
+                                 pruneLists: Boolean,
+                                 stratified: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     verifyAgainst.foreach { case (df, idc) => requireIvfFresh(spark, path, df, idc) }
     val codebook = loadIvfCodebook(spark, path)
@@ -716,10 +763,11 @@ object Similarity {
     // nlist; ordering parity pinned in ExprSpec)
     val probeArr = graft.functions.native.top_lists(
       col(qVecCol), codebook, codebook.indices.map(_.toLong), dyy, nprobe)
-    val querySide = queries.select(col(qIdCol).as("_qid"),
-      col(qVecCol).as("_qvec"),
-      dotFixed(col(qVecCol), col(qVecCol)).as("_qq"),
-      explode(probeArr).as("_list"))
+    val querySide = queries.select(
+      (Seq(col(qIdCol).as("_qid"), col(qVecCol).as("_qvec"),
+        dotFixed(col(qVecCol), col(qVecCol)).as("_qq"),
+        explode(probeArr).as("_list")) ++
+        (if (stratified.isDefined) Seq(col("_qstr")) else Nil)): _*)
     // file-listing pruning costs one extra query-side pass (the distinct
     // re-evaluates the per-row probe ranking) — a win for small or
     // clustered batches; a batch probing most lists anyway should pass
@@ -742,7 +790,15 @@ object Similarity {
       .select(col("id").as("_nid"), col("vec").as("_nvec"),
         dotFixed(col("vec"), col("vec")).as("_nn"),
         col("list").cast(LongType).as("_list"))
-    val scored = querySide.join(corpusSide, "_list")
+    val joined = querySide.join(corpusSide, "_list")
+    // the PER-STRATUM filter: a candidate survives iff (query's
+    // stratum, candidate id) is allowed — one hash semi-join on the
+    // pair, between candidate generation and scoring like every other
+    // filtered-search placement
+    val kept = stratified.fold(joined)(pairs =>
+      joined.join(pairs.withColumnRenamed("id", "_nid"),
+        Seq("_qstr", "_nid"), "left_semi"))
+    val scored = kept
       .select(col("_qid"), col("_nid"), col("_list"),
         (dotFixed(col("_qvec"), col("_nvec")).cast(DoubleType) /
           (sqrt(col("_qq").cast(DoubleType)) *

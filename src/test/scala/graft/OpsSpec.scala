@@ -345,6 +345,44 @@ class OpsSpec extends AnyFunSuite {
       codebook = Some(cb))
     assert(rows(viaIndex) == rows(direct),
       "index probe must serve the identical per-query top-k")
+    // the PER-STRATUM filtered probe at nprobe = nlist: each query is
+    // the brute force over ITS OWN allowed set; an empty-stratum query
+    // returns nothing (allowed means allowed, not fall-open)
+    val strAllow = emb.filter($"vec_id" % 2 === 0)
+      .select(lit("a").as("st"), $"vec_id")
+      .unionByName(emb.filter($"vec_id" % 5 === 1)
+        .select(lit("b").as("st"), $"vec_id"))
+    val strQueries = emb.filter($"vec_id".isin(3L, 17L, 42L))
+      .withColumn("st", when($"vec_id" === 3L, lit("a"))
+        .when($"vec_id" === 17L, lit("b")).otherwise(lit("ghost")))
+    val strRes = Similarity.knnJoinIndexedStratified(spark, path,
+        strQueries, "vec_id", "embedding", "st", k = 4, nprobe = 8,
+        allowedByStratum = strAllow, stratumCol = "st", idCol = "vec_id")
+      .collect().groupBy(_.getLong(0))
+    assert(!strRes.contains(42L), "a stratum with no allowed rows must return nothing")
+    Seq((3L, emb.filter($"vec_id" % 2 === 0)),
+        (17L, emb.filter($"vec_id" % 5 === 1)))
+      .foreach { case (qid, allowedSub) =>
+        val q = emb.filter($"vec_id" === qid).select("embedding")
+          .collect()(0).getSeq[Float](0)
+        val brute = Similarity.topK(allowedSub, "vec_id", "embedding", q, 4,
+          exactDecimal = true).collect().map(_.getLong(0)).toSeq
+        val got = strRes(qid).sortBy(r => (-r.getDouble(2), r.getLong(1)))
+          .map(_.getLong(1)).toSeq
+        assert(got == brute, s"stratified query $qid must equal its own " +
+          s"filtered brute force: $got vs $brute")
+      }
+    intercept[IllegalArgumentException] {
+      Similarity.knnJoinIndexedStratified(spark, path,
+        strQueries.withColumn("_qstr", lit("x")), "vec_id", "embedding",
+        "st", 4, 2, strAllow, "st", "vec_id") }
+    val nulStr = intercept[Exception] {
+      Similarity.knnJoinIndexedStratified(spark, path,
+        strQueries.withColumn("st", lit(null).cast("string")),
+        "vec_id", "embedding", "st", 4, 2, strAllow, "st", "vec_id")
+        .collect() }
+    assert(nulStr.getMessage.contains("NULL query stratum"))
+
     // the FILTERED batch probe at nprobe = nlist is the per-query brute
     // force over the allowed subset
     val allowedJ = emb.filter($"vec_id" % 3 === 1)
