@@ -2555,6 +2555,15 @@ object SparkEntry {
       TextStats.corpusReport(docs(s, d).select("source", "text"),
         "source", "text").orderBy("source")),
 
+    // the DATASET CARD: the governance report joined with the
+    // temperature-mix dry-run on the domain — what the corpus IS next
+    // to what the recipe would DO with it, one relation; the oracle
+    // joins both already-gated chains
+    "x_dataset_card" -> ((s, d) =>
+      TextStats.datasetCard(docs(s, d).select("doc_id", "source", "text"),
+          "source", "doc_id", "text", alpha = 0.5, budgetDocs = 1000L)
+        .orderBy("source")),
+
     // ...extended with CONTAMINATION debt: the docs each source would
     // lose to a benchmark decontamination sweep (>= 2 shared trigrams
     // vs the docs < 20 suite — the x_contamination rule verbatim, so
@@ -5513,6 +5522,38 @@ object SparkEntry {
        // NULLS FIRST pins a NULL-source stratum to Spark's ASC default —
        // DuckDB's NULLS LAST would flip the row order and the hash
        """FROM cmain m JOIN ctop t USING (dom) ORDER BY source NULLS FIRST"""),
+
+    // the dataset card: the report rollup LEFT JOIN the quota chain
+    "x_dataset_card" ->
+      (s"""WITH crep AS (SELECT source AS dom, COALESCE(text, '') AS t FROM documents), """ +
+       s"""cfeat AS (SELECT dom, length(t)::BIGINT AS nc, """ +
+       s"""len(string_split_regex(lower(t), '\\s+'))::BIGINT AS nt, md5(t) AS dig, """ +
+       s"""${langVoteColsSql("t")} FROM crep), """ +
+       s"""cguess AS (SELECT dom, nc, nt, dig, $langVoteCaseSql AS lg FROM cfeat), """ +
+       """cmain AS (SELECT dom, count(*)::BIGINT AS n_docs, SUM(nt)::BIGINT AS n_tokens, """ +
+       """SUM(nc)::BIGINT AS n_chars, (count(*) - count(DISTINCT dig))::BIGINT AS n_dup_docs, """ +
+       """count(DISTINCT lg)::BIGINT AS n_langs FROM cguess GROUP BY dom), """ +
+       """clc AS (SELECT dom, lg, count(*)::BIGINT AS c FROM cguess GROUP BY 1, 2), """ +
+       """ctop AS (SELECT dom, lg AS top_lang, c AS top_lang_docs FROM """ +
+       """(SELECT *, row_number() OVER (PARTITION BY dom ORDER BY c DESC, lg) AS rn FROM clc) WHERE rn = 1), """ +
+       """pcnt AS (SELECT source AS dom, count(*)::BIGINT AS c FROM documents WHERE doc_id IS NOT NULL GROUP BY 1), """ +
+       """pm AS (SELECT dom, c, CAST(round(sqrt(c) * 1000000) AS BIGINT) AS md FROM pcnt), """ +
+       """pt AS (SELECT SUM(md)::HUGEINT AS mt, SUM(c)::HUGEINT AS ct FROM pm), """ +
+       """pq AS (SELECT dom, c, """ +
+       """((c::HUGEINT * 1000000) // ct)::BIGINT AS raw_share_ppm, """ +
+       """((md::HUGEINT * 1000000) // mt)::BIGINT AS target_share_ppm, """ +
+       """((1000::HUGEINT * md) // (mt * c))::BIGINT AS f, """ +
+       """((((1000::HUGEINT * md) % (mt * c)) * 1000000) // (mt * c))::BIGINT AS thr """ +
+       """FROM pm, pt) """ +
+       """SELECT m.dom AS source, m.n_docs, m.n_tokens, m.n_chars, m.n_dup_docs, """ +
+       """m.n_langs, t.top_lang, t.top_lang_docs, """ +
+       """p.c AS mass, p.raw_share_ppm, p.target_share_ppm, """ +
+       """p.f AS quota_floor, p.thr AS quota_coin_ppm, """ +
+       """(p.f * 1000000 + p.thr)::BIGINT AS epochs_ppm, """ +
+       """((p.c::HUGEINT * (p.f::HUGEINT * 1000000 + p.thr)) // 1000000)::BIGINT AS expected_out, """ +
+       """(CASE WHEN p.f < 100 OR (p.f = 100 AND p.thr = 0) THEN 0 ELSE 1 END)::BIGINT AS over_cap """ +
+       """FROM cmain m JOIN ctop t USING (dom) LEFT JOIN pq p ON p.dom = m.dom """ +
+       """ORDER BY source NULLS FIRST"""),
 
     // the contamination-debt report: the x_contamination dirty set
     // (>= 2 shared trigram hashes vs the docs < 20 suite) counted per

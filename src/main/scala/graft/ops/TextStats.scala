@@ -576,4 +576,28 @@ object TextStats {
       .withColumn("n_contaminated_docs",
         coalesce(col("n_contaminated_docs"), lit(0L)))
   }
+
+  /** The DATASET CARD relation — [[corpusReport]] joined with
+    * [[Sample.temperaturePlan]] on the domain: one row per domain
+    * holding what a dataset card publishes (doc/token/char mass,
+    * exact-dup debt, language spread) NEXT TO what the training recipe
+    * would do with it (raw vs scaled share, the exact quota, effective
+    * epochs, expected output, cap flag). `mass` is the PLAN's count —
+    * sampler-eligible rows (non-NULL ids) — and can differ from the
+    * report's `n_docs` where NULL-id rows exist; both ride the card
+    * because both are true. A domain with zero eligible rows carries
+    * NULL plan columns (there is no recipe for it — honest, not
+    * zero-filled). NULL domains join null-safely (their own stratum
+    * on both sides). Cost: the report's narrow shuffles + the plan's
+    * driver-bounded count. */
+  def datasetCard(df: DataFrame, domainCol: String, idCol: String,
+                  textCol: String, alpha: Double,
+                  budgetDocs: Long): DataFrame = {
+    val plan = Sample.temperaturePlan(df, domainCol, idCol, alpha,
+        budgetDocs)
+      .withColumnRenamed("domain", "_dcd")
+    corpusReport(df, domainCol, textCol)
+      .join(plan, col(domainCol) <=> col("_dcd"), "left")
+      .drop("_dcd")
+  }
 }
