@@ -164,12 +164,19 @@ object CorpusIngest {
     val rec = records
       .select(col(recCol).as("rec"))
       .filter(length(trim(col("rec"))) > 0)
-    val uri = regexp_extract(col("rec"), "WARC-Target-URI:\\s*(\\S+)", 1)
+    val headerEnd = instr(col("rec"), "\r\n\r\n")
+    // header fields parse from the HEADER ZONE only (before the blank
+    // line) — a body containing header-LOOKING text ("WARC-Target-URI:"
+    // or "Content-Length:" quoted in a crawled page about WARC) must
+    // not spoof the record's identity or framing. A record with no
+    // blank line is all headers; the zone is the whole record there.
+    val headerZone = when(headerEnd > 0,
+      col("rec").substr(lit(1), headerEnd - 1)).otherwise(col("rec"))
+    val uri = regexp_extract(headerZone, "WARC-Target-URI:\\s*(\\S+)", 1)
     // body = everything after the header-terminating blank line, minus
     // exactly the record-separating double CRLF (a body's OWN trailing
     // newlines survive the round trip); a uri-carrying record with no
     // blank line is malformed — refuse loudly, don't emit garbage
-    val headerEnd = instr(col("rec"), "\r\n\r\n")
     val body = when(headerEnd > 0, regexp_replace(
         col("rec").substr(headerEnd + lit(4), length(col("rec"))),
         "(\\r\\n){2}$", ""))
@@ -180,7 +187,7 @@ object CorpusIngest {
         lit(s"$context: record without a blank header/body " +
           "separator line for URI "), uri)))
     val parsed = rec.select(uri.as("uri"), body.as("text"),
-        regexp_extract(col("rec"), "Content-Length:\\s*(\\d+)", 1).as("_cl"))
+        regexp_extract(headerZone, "Content-Length:\\s*(\\d+)", 1).as("_cl"))
       .filter(col("uri") =!= "")
     // verifyLength closes the documented delimiter-collision bound
     // LOUDLY: a mis-split truncates the preceding record's body, so

@@ -138,6 +138,21 @@ class SourcesSpec extends AnyFunSuite {
     val caught = intercept[Exception] {
       CorpusIngest.readWet(spark, out2, verifyLength = true).collect() }
     assert(caught.getMessage.contains("Content-Length mismatch"))
+    // header-LOOKING text inside a body (a crawled page ABOUT WARC)
+    // must not spoof identity or framing: fields parse from the header
+    // zone only, so the record keeps its real URI and passes
+    // verification with its body intact
+    val meta = Seq(("https://docs.example/warc",
+      "the header line WARC-Target-URI: https://spoof.example/ and\n" +
+        "Content-Length: 9999 are part of THIS page's text"))
+      .toDF("uri", "text")
+    val out3 = TestSpark.tmpDir("wet-meta")
+    CorpusIngest.writeWet(meta, "uri", "text", out3)
+    val kept = CorpusIngest.readWet(spark, out3, verifyLength = true)
+      .collect().map(r => (r.getString(3), r.getString(1))).toSeq
+    assert(kept == meta.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq,
+      s"header-looking body text leaked into parsing: $kept")
   }
 
   test("refusals: missing field, NULL text, malformed id") {
