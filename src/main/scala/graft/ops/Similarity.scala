@@ -715,7 +715,12 @@ object Similarity {
     * id) semi-join; strata ride the probe explode as a small extra
     * column. NULL strata refuse loudly on either side (a NULL never
     * matches a NULL under SQL join semantics — fail fast instead of
-    * silently emptying those queries). */
+    * silently emptying those queries). `requireFullK` adds batch
+    * PROBE ESCALATION: nprobe doubles while any query returns fewer
+    * than `k` rows and unread lists remain (≤ log2(nlist) bounded
+    * rounds) — note a query whose stratum is empty or holds < k
+    * allowed rows corpus-wide drives the loop to the full scan, which
+    * is then its exact (short) answer. */
   def knnJoinIndexedStratified(spark: org.apache.spark.sql.SparkSession,
                                path: String, queries: DataFrame,
                                qIdCol: String, qVecCol: String,
@@ -723,7 +728,8 @@ object Similarity {
                                allowedByStratum: DataFrame,
                                stratumCol: String, idCol: String,
                                verifyAgainst: Option[(DataFrame, String)] = None,
-                               pruneLists: Boolean = true): DataFrame = {
+                               pruneLists: Boolean = true,
+                               requireFullK: Boolean = false): DataFrame = {
     require(!queries.columns.contains("_qstr"),
       "knnJoinIndexedStratified: query column '_qstr' collides with the " +
         "operator's internal namespace — rename it first")
@@ -739,9 +745,29 @@ object Similarity {
         checkedStr(allowedByStratum, stratumCol, "allowed").as("_qstr"),
         checkedLongId(idCol, "knnJoinIndexedStratified").as("id"))
       .distinct()
-    knnJoinIndexedCore(spark, path, qs, qIdCol, qVecCol, k, nprobe,
-      None, verifyAgainst, pruneLists,
-      stratified = Some(allowedPairs))
+    def at(p: Int) = knnJoinIndexedCore(spark, path, qs, qIdCol, qVecCol,
+      k, p, None, verifyAgainst, pruneLists, stratified = Some(allowedPairs))
+    if (!requireFullK) at(nprobe)
+    else {
+      // PROBE ESCALATION for the batch: while any query returns fewer
+      // than k rows (its probed lists hold < k allowed survivors) and
+      // unread lists remain, DOUBLE nprobe — per-query probe sets are
+      // affinity-ranked prefixes, so each round is a strict per-query
+      // superset and results only grow. A query whose stratum holds
+      // < k allowed rows CORPUS-WIDE stops the loop at the full scan
+      // (there is nothing more to find). ≤ log2(nlist) rounds, each
+      // one bounded join + one count — the opt-in straggler cure the
+      // fixed-nprobe form documents.
+      val nlist = loadIvfCodebook(spark, path).size
+      val nq = qs.count()
+      var p = math.min(math.max(nprobe, 1), nlist)
+      var res = at(p)
+      while (res.count() < nq * k && p < nlist) {
+        p = math.min(p * 2, nlist)
+        res = at(p)
+      }
+      res
+    }
   }
 
   private def knnJoinIndexedCore(spark: org.apache.spark.sql.SparkSession,

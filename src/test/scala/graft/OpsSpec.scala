@@ -372,6 +372,30 @@ class OpsSpec extends AnyFunSuite {
         assert(got == brute, s"stratified query $qid must equal its own " +
           s"filtered brute force: $got vs $brute")
       }
+    // requireFullK escalation from nprobe = 1: stratum "b" holds only
+    // 3 allowed ids (< k = 4), so its query can never fill k and the
+    // loop provably widens to the FULL scan — every query's answer is
+    // then its exact filtered brute force (q17's being all 3 ranked)
+    val tinyAllow = emb.filter($"vec_id" % 2 === 0)
+      .select(lit("a").as("st"), $"vec_id")
+      .unionByName(emb.filter($"vec_id".isin(1L, 11L, 21L))
+        .select(lit("b").as("st"), $"vec_id"))
+    val escStrat = Similarity.knnJoinIndexedStratified(spark, path,
+        strQueries.filter($"vec_id" =!= 42L), "vec_id", "embedding", "st",
+        k = 4, nprobe = 1, allowedByStratum = tinyAllow, stratumCol = "st",
+        idCol = "vec_id", requireFullK = true)
+      .collect().groupBy(_.getLong(0))
+    Seq((3L, emb.filter($"vec_id" % 2 === 0)),
+        (17L, emb.filter($"vec_id".isin(1L, 11L, 21L))))
+      .foreach { case (qid, allowedSub) =>
+        val q = emb.filter($"vec_id" === qid).select("embedding")
+          .collect()(0).getSeq[Float](0)
+        val brute = Similarity.topK(allowedSub, "vec_id", "embedding", q, 4,
+          exactDecimal = true).collect().map(_.getLong(0)).toSeq
+        val got = escStrat(qid).sortBy(r => (-r.getDouble(2), r.getLong(1)))
+          .map(_.getLong(1)).toSeq
+        assert(got == brute, s"escalated stratified query $qid: $got vs $brute")
+      }
     intercept[IllegalArgumentException] {
       Similarity.knnJoinIndexedStratified(spark, path,
         strQueries.withColumn("_qstr", lit("x")), "vec_id", "embedding",
