@@ -170,6 +170,12 @@ object CorpusIngest {
     // or "Content-Length:" quoted in a crawled page about WARC) must
     // not spoof the record's identity or framing. A record with no
     // blank line is all headers; the zone is the whole record there.
+    // Residual corner, documented not guessed: a delimiter-collision
+    // FRAGMENT (the tail of a mis-split body) usually carries no URI
+    // and drops silently; one that QUOTES a URI line before its first
+    // blank line parses as a record — but the truncated HEAD of that
+    // same split is what verifyLength catches (its Content-Length no
+    // longer matches), so the collision never passes fully silent.
     val headerZone = when(headerEnd > 0,
       col("rec").substr(lit(1), headerEnd - 1)).otherwise(col("rec"))
     val uri = regexp_extract(headerZone, "WARC-Target-URI:\\s*(\\S+)", 1)
