@@ -529,18 +529,22 @@ object Bpe {
     * card are first-class queryable tables (join a token column, or
     * audit the fingerprint, in ANY engine). */
   def saveBpeModel(spark: SparkSession, model: BpeModel, path: String): Unit = {
-    import spark.implicits._
-    ((-1L, null: String, null: String) +: model.merges.zipWithIndex
-      .map { case ((l, r), i) => (i.toLong, l, r) })
-      .toDF("rank", "l", "r")
-      .withColumn("covered_mass", lit(model.coveredMass))
-      .withColumn("total_mass", lit(model.totalMass))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
-    model.vocab.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-      .toDF("token_id", "token")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
-    modelCard(spark, model)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/card")
+    // driver-direct writes (MetaIO): merges/vocab/card are driver-local
+    // Seqs already — the old coalesce(1) writes paid three Spark jobs to
+    // serialize rows the driver was holding
+    val conf = spark.sparkContext.hadoopConfiguration
+    graft.store.MetaIO.writeRows(conf, s"$path/merges",
+      Seq("rank" -> 0L, "l" -> "", "r" -> "",
+        "covered_mass" -> 0L, "total_mass" -> 0L),
+      (Seq[Seq[Any]](Seq(-1L, null, null, model.coveredMass, model.totalMass)) ++
+        model.merges.zipWithIndex.map { case ((l, r), i) =>
+          Seq[Any](i.toLong, l, r, model.coveredMass, model.totalMass) }).iterator)
+    graft.store.MetaIO.writeRows(conf, s"$path/vocab",
+      Seq("token_id" -> 0L, "token" -> ""),
+      model.vocab.zipWithIndex.iterator.map { case (t, i) => Seq[Any](i.toLong, t) })
+    val card = modelCard(spark, model).collect().head
+    graft.store.MetaIO.writeRow(conf, s"$path/card",
+      card.schema.fields.map(_.name).zip(card.toSeq).toSeq)
   }
 
   /** Read a persisted model back, merges in rank order, vocab in id
@@ -555,29 +559,36 @@ object Bpe {
   def loadBpeModel(spark: SparkSession, path: String): BpeModel = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
     val v2 = fs.exists(new org.apache.hadoop.fs.Path(s"$path/merges"))
-    val rows = spark.read.parquet(if (v2) s"$path/merges" else path)
-      .select("rank", "l", "r", "covered_mass", "total_mass")
-      .orderBy("rank").collect()
-    require(rows.nonEmpty && rows.head.getLong(0) == -1L,
+    // driver-direct reads (MetaIO): the model is collected whole anyway
+    val rows = graft.store.MetaIO
+      .readRows(conf, if (v2) s"$path/merges" else path)
+      .sortBy(m => m("rank").asInstanceOf[Long])
+    require(rows.nonEmpty && rows.head("rank") == -1L,
       s"loadBpeModel: $path is not a saved BPE model (no sentinel row)")
     val vocab =
-      if (v2) spark.read.parquet(s"$path/vocab").orderBy("token_id")
-        .collect().map(_.getString(1)).toSeq
+      if (v2) graft.store.MetaIO.readRows(conf, s"$path/vocab")
+        .sortBy(m => m("token_id").asInstanceOf[Long])
+        .map(m => m("token").asInstanceOf[String])
       else Seq.empty[String]
     val hasCard =
       v2 && fs.exists(new org.apache.hadoop.fs.Path(s"$path/card"))
     val (fb, nSpecials, bpt, cardFp) =
       if (hasCard) {
-        val c = spark.read.parquet(s"$path/card")
-          .select("byte_fallback", "n_specials", "bytes_per_token_covered",
-            "fingerprint").head()
-        (c.getBoolean(0), c.getLong(1).toInt, c.getDouble(2),
-          Some(c.getString(3)))
+        val c = graft.store.MetaIO.readRow(conf, s"$path/card")
+          .getOrElse(throw new IllegalStateException(
+            s"loadBpeModel: unreadable card at $path/card"))
+        (c("byte_fallback").asInstanceOf[Boolean],
+          c("n_specials").asInstanceOf[Long].toInt,
+          c("bytes_per_token_covered").asInstanceOf[Double],
+          Some(c("fingerprint").asInstanceOf[String]))
       } else (false, 0, -1.0, None)
     val model = BpeModel(
-      rows.tail.map(r => (r.getString(1), r.getString(2))).toSeq,
-      rows.head.getLong(3), rows.head.getLong(4), vocab,
+      rows.tail.map(m => (m("l").asInstanceOf[String],
+        m("r").asInstanceOf[String])).toSeq,
+      rows.head("covered_mass").asInstanceOf[Long],
+      rows.head("total_mass").asInstanceOf[Long], vocab,
       fb, vocab.take(nSpecials), bpt)
     // a card stamped under the PRE-r14 fingerprint scheme is a sound
     // save, not a torn one — accept it (content still verifies, just

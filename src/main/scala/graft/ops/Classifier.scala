@@ -85,11 +85,20 @@ object Classifier {
     * discipline). */
   def saveModel(spark: org.apache.spark.sql.SparkSession, model: NbModel,
                 path: String): Unit = {
-    spark.createDataFrame(model.llr.toSeq).toDF("b", "lr")
-      .coalesce(1).write.mode("overwrite").parquet(path)
-    spark.createDataFrame(Seq((model.nBuckets, model.logPrior, model.defaultLlr)))
-      .toDF("n_buckets", "log_prior", "default_llr")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    // driver-direct writes (MetaIO): the ratio table is a driver-local
+    // map by construction — no Spark job needed to serialize it
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(conf).delete(hp, true)
+    graft.store.MetaIO.writeRows(conf, path, Seq("b" -> 0L, "lr" -> 0.0),
+      model.llr.toSeq.sortBy(_._1).iterator
+        // Seq[Any] ascription matters: a bare Seq(b, lr) would let Scala
+        // numeric widening unify (Long, Double) to Seq[Double], silently
+        // turning the bucket ids into doubles
+        .map { case (b, lr) => Seq[Any](b, lr) })
+    graft.store.MetaIO.writeRow(conf, s"$path/_meta", Seq(
+      "n_buckets" -> model.nBuckets, "log_prior" -> model.logPrior,
+      "default_llr" -> model.defaultLlr))
   }
 
   /** Load a [[saveModel]] tree back through the SAME validation a fresh
@@ -100,17 +109,20 @@ object Classifier {
     * (≤ nBuckets ≤ 2^20 rows). */
   def loadModel(spark: org.apache.spark.sql.SparkSession,
                 path: String): NbModel = {
-    val m = spark.read.parquet(s"$path/_meta")
-      .select("n_buckets", "log_prior", "default_llr").head()
-    val (nb, lp, dl) = (m.getInt(0), m.getDouble(1), m.getDouble(2))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = graft.store.MetaIO.readRow(conf, s"$path/_meta")
+      .getOrElse(throw new IllegalStateException(
+        s"model at $path has no readable _meta"))
+    val (nb, lp, dl) = (m("n_buckets").asInstanceOf[Int],
+      m("log_prior").asInstanceOf[Double], m("default_llr").asInstanceOf[Double])
     require(nb >= 2 && nb <= (1 << 20),
       s"corrupt model at $path: nBuckets=$nb outside [2, 2^20]")
     require(java.lang.Double.isFinite(lp) && java.lang.Double.isFinite(dl),
       s"corrupt model at $path: non-finite prior/default ratio")
-    val rows = spark.read.parquet(path).select("b", "lr").collect()
+    val rows = graft.store.MetaIO.readRows(conf, path)
     val seen = scala.collection.mutable.HashSet.empty[Long]
     val llr = rows.map { r =>
-      val (b, lr) = (r.getLong(0), r.getDouble(1))
+      val (b, lr) = (r("b").asInstanceOf[Long], r("lr").asInstanceOf[Double])
       require(b >= 0 && b < nb && java.lang.Double.isFinite(lr),
         s"corrupt model at $path: bucket $b (lr=$lr) outside the declared grid")
       require(seen.add(b), s"corrupt model at $path: duplicate bucket $b")

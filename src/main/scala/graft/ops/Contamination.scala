@@ -232,14 +232,16 @@ object Contamination {
     val bfBytes = spark.read.parquet(s"$path/postings")
       .agg(bloomAgg(col("h"), expectedGrams, numBits).as("bf"))
       .collect()(0).getAs[Array[Byte]](0)
-    spark.range(1).select(
-        lit(n).as("n"),
-        lit(numBits).as("num_bits"),
-        lit(expectedGrams).as("expected_grams"),
-        lit(bfBytes).as("bloom"),
-        lit(stamp.nRows).as("n_rows"),
-        lit(stamp.idHashSum).cast(DecimalType(38, 0)).as("id_hash_sum"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    // driver-direct metadata write (MetaIO); writeRows form because the
+    // bloom is legitimately NULL for an empty suite (zero postings) and
+    // the template supplies its type
+    graft.store.MetaIO.writeRows(spark.sparkContext.hadoopConfiguration,
+      s"$path/_meta",
+      Seq("n" -> 0, "num_bits" -> 0L, "expected_grams" -> 0L,
+        "bloom" -> Array.empty[Byte], "n_rows" -> 0L,
+        "id_hash_sum" -> java.math.BigDecimal.ZERO),
+      Iterator.single(Seq[Any](n, numBits, expectedGrams, bfBytes,
+        stamp.nRows, stamp.idHashSum.setScale(0))))
   }
 
   private final case class BenchMeta(n: Int, bloom: Array[Byte],
@@ -247,11 +249,14 @@ object Contamination {
 
   private def loadBenchMeta(spark: org.apache.spark.sql.SparkSession,
                             path: String): BenchMeta = {
-    val r = spark.read.parquet(s"$path/_meta")
-      .select("n", "bloom", "n_rows", "id_hash_sum").head()
-    BenchMeta(r.getInt(0),
-      if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1),
-      Similarity.IvfStamp(r.getLong(2), r.getDecimal(3)))
+    val m = graft.store.MetaIO.readRow(
+        spark.sparkContext.hadoopConfiguration, s"$path/_meta")
+      .getOrElse(throw new IllegalStateException(
+        s"bench index at $path has no readable _meta"))
+    BenchMeta(m("n").asInstanceOf[Int],
+      m("bloom").asInstanceOf[Array[Byte]], // null for an empty suite
+      Similarity.IvfStamp(m("n_rows").asInstanceOf[Long],
+        m("id_hash_sum").asInstanceOf[java.math.BigDecimal]))
   }
 
   /** Freshness contract: the index's build stamp vs the live benchmark

@@ -80,13 +80,11 @@ object DedupIndex {
       .repartition(col("band"), col("bh"))
       .sortWithinPartitions("band", "bh", "id")
       .write.mode("overwrite").parquet(s"$path/bands")
-    spark.range(1).select(
-        lit(n).as("n"),
-        lit(numHashes).as("num_hashes"),
-        lit(bands).as("bands"),
-        lit(stamp.nRows).as("n_rows"),
-        lit(stamp.idHashSum).cast(DecimalType(38, 0)).as("id_hash_sum"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    graft.store.MetaIO.writeRow(spark.sparkContext.hadoopConfiguration,
+      s"$path/_meta", Seq(
+        "n" -> n, "num_hashes" -> numHashes, "bands" -> bands,
+        "n_rows" -> stamp.nRows,
+        "id_hash_sum" -> stamp.idHashSum.setScale(0)))
     // id-membership Bloom sidecar: makes appendDedupIndex's novelty
     // guard O(delta) instead of an O(index) sigs-id scan
     IndexIds.writeFresh(spark, path,
@@ -147,14 +145,13 @@ object DedupIndex {
       .repartition(col("band"), col("bh"))
       .sortWithinPartitions("band", "bh", "id")
       .write.mode("append").parquet(s"$path/bands")
-    spark.range(1).select(
-        lit(meta.n).as("n"),
-        lit(meta.numHashes).as("num_hashes"),
-        lit(meta.bands).as("bands"),
-        lit(meta.stamp.nRows + delta.nRows).as("n_rows"),
-        lit(meta.stamp.idHashSum.add(delta.idHashSum))
-          .cast(DecimalType(38, 0)).as("id_hash_sum"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    graft.store.MetaIO.writeRow(spark.sparkContext.hadoopConfiguration,
+      s"$path/_meta", Seq(
+        "n" -> meta.n, "num_hashes" -> meta.numHashes,
+        "bands" -> meta.bands,
+        "n_rows" -> (meta.stamp.nRows + delta.nRows),
+        "id_hash_sum" -> meta.stamp.idHashSum.add(delta.idHashSum)
+          .setScale(0)))
     // staging cleanup is best-effort: an underscore dir is invisible to
     // parquet listings, so a leftover can never corrupt a probe
     try {
@@ -168,10 +165,14 @@ object DedupIndex {
                                   stamp: Similarity.IvfStamp)
 
   private[ops] def loadMeta(spark: SparkSession, path: String): DiMeta = {
-    val r = spark.read.parquet(s"$path/_meta")
-      .select("n", "num_hashes", "bands", "n_rows", "id_hash_sum").head()
-    DiMeta(r.getInt(0), r.getInt(1), r.getInt(2),
-      Similarity.IvfStamp(r.getLong(3), r.getDecimal(4)))
+    val m = graft.store.MetaIO.readRow(
+        spark.sparkContext.hadoopConfiguration, s"$path/_meta")
+      .getOrElse(throw new IllegalStateException(
+        s"dedup index at $path has no readable _meta"))
+    DiMeta(m("n").asInstanceOf[Int], m("num_hashes").asInstanceOf[Int],
+      m("bands").asInstanceOf[Int],
+      Similarity.IvfStamp(m("n_rows").asInstanceOf[Long],
+        m("id_hash_sum").asInstanceOf[java.math.BigDecimal]))
   }
 
   /** Freshness contract: the index's build stamp vs the live reference

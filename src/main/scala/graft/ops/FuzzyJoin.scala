@@ -90,6 +90,16 @@ object FuzzyJoin {
     require(leftId != rightId,
       s"leftId and rightId must differ in the output (both '$leftId'): " +
         "rename one side before joining")
+    // candidate generation shuffles a 16-byte PROXY per variant — (id,
+    // variant hash) — never the key text (guide-§8 discipline: decide on
+    // lightweight rows, move the payload once). The neighborhood factor
+    // (~len at k=1, ~len²/2 at k=2) multiplies every byte that rides the
+    // explode, so a 25-char key that used to widen each exploded row by
+    // 25+ bytes now costs 8: ~3× less shuffle for typical name keys, and
+    // the ratio grows with key length exactly when the explosion is at
+    // its worst. Keys re-attach AFTER the (lid, rid) pair dedup via two
+    // id-keyed joins against the (tiny by comparison) key projections —
+    // one (id, key) row per input row, no explode factor.
     def side(df: DataFrame, id: String, key: String,
              idOut: String, keyOut: String): DataFrame = {
       val guarded = when(length(col(key)) > maxKeyLen, raise_error(concat(
@@ -98,13 +108,16 @@ object FuzzyJoin {
         .otherwise(col(key))
       df.filter(col(key).isNotNull)
         .select(col(id).as(idOut), guarded.as(keyOut))
-        .select(col(idOut), col(keyOut),
-          explode(neighborhood(col(keyOut), maxDist)).as("_v"))
-        .withColumn("_vh", xxhash64(col("_v")))
-        .drop("_v")
     }
-    val l = side(left, leftId, leftKey, "_fz_lid", "_fz_lkey")
-    val r = side(right, rightId, rightKey, "_fz_rid", "_fz_rkey")
+    def variants(keys: DataFrame, idOut: String, keyOut: String): DataFrame =
+      keys
+        .select(col(idOut),
+          explode(neighborhood(col(keyOut), maxDist)).as("_v"))
+        .select(col(idOut), xxhash64(col("_v")).as("_vh"))
+    val lk = side(left, leftId, leftKey, "_fz_lid", "_fz_lkey")
+    val rk = side(right, rightId, rightKey, "_fz_rid", "_fz_rkey")
+    val l = variants(lk, "_fz_lid", "_fz_lkey")
+    val r = variants(rk, "_fz_rid", "_fz_rkey")
     // pin the sort-MERGE join: the planner's size estimate for a
     // Generate keeps the child's stats — it cannot see the ~len (k=1) /
     // ~len² (k=2) explode factor — so a modest key table can look
@@ -116,8 +129,14 @@ object FuzzyJoin {
     // wants the whole hash relation in task memory and dies where the
     // sort spills to disk and finishes (observed at 1M keys, k=1).
     l.hint("merge").join(r.hint("merge"), "_vh")
-      .select(col("_fz_lid"), col("_fz_lkey"), col("_fz_rid"), col("_fz_rkey"))
+      .select(col("_fz_lid"), col("_fz_rid"))
       .dropDuplicates("_fz_lid", "_fz_rid")
+      // re-attach the keys to the DEDUPED pairs (collision-bounded, no
+      // neighborhood factor); ids are assumed unique per side — the same
+      // assumption the old keys-ride-the-explode form leaned on, where a
+      // duplicate id's pair kept an arbitrary key copy after the dedup
+      .join(lk, "_fz_lid")
+      .join(rk, "_fz_rid")
       // ONE levenshtein per surviving pair: computed in this projection,
       // then filtered on — a filter-side copy of the expression would be
       // a second evaluation (filter and project are separate operators)

@@ -65,28 +65,32 @@ private[graft] object IndexIds {
   final case class IdBloom(bloom: BloomFilter, expected: Long, fpp: Double,
                            nIds: Long)
 
-  /** Serialize + write the sidecar (one binary row). */
+  /** Serialize + write the sidecar (one binary row) — driver-direct
+    * ([[graft.store.MetaIO]]): the old `coalesce(1).write` Spark job
+    * cost ~100 ms of scheduling per append for one row of metadata. */
   private def write(spark: SparkSession, indexPath: String, bloom: BloomFilter,
                     expected: Long, fpp: Double, nIds: Long): Unit = {
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
-    import spark.implicits._
-    Seq((bos.toByteArray, expected, fpp, nIds))
-      .toDF("bloom", "expected", "fpp", "n_ids")
-      .coalesce(1).write.mode("overwrite").parquet(sidecar(indexPath))
+    graft.store.MetaIO.writeRow(spark.sparkContext.hadoopConfiguration,
+      sidecar(indexPath), Seq("bloom" -> bos.toByteArray,
+        "expected" -> expected, "fpp" -> fpp, "n_ids" -> nIds))
   }
 
   /** Load the sidecar; `None` when missing OR unreadable — an
     * unreadable Bloom (e.g. a crash mid-overwrite) degrades the guard
-    * to the precise full scan, never to a wrong answer. */
+    * to the precise full scan, never to a wrong answer. Driver-direct
+    * read: no Spark job for one row of metadata. */
   def load(spark: SparkSession, indexPath: String): Option[IdBloom] =
     try {
-      val r = spark.read.parquet(sidecar(indexPath))
-        .select("bloom", "expected", "fpp", "n_ids").head()
-      Some(IdBloom(
-        BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))),
-        r.getLong(1), r.getDouble(2), r.getLong(3)))
+      graft.store.MetaIO.readRow(spark.sparkContext.hadoopConfiguration,
+          sidecar(indexPath)).map { m =>
+        IdBloom(
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+            m("bloom").asInstanceOf[Array[Byte]])),
+          m("expected").asInstanceOf[Long], m("fpp").asInstanceOf[Double],
+          m("n_ids").asInstanceOf[Long])
+      }
     } catch { case _: Exception => None }
 
   /** The sidecar's SCALAR columns without deserializing the Bloom
@@ -98,9 +102,15 @@ private[graft] object IndexIds {
   def loadStats(spark: SparkSession,
                 indexPath: String): Option[IdBloomStats] =
     try {
-      val r = spark.read.parquet(sidecar(indexPath))
-        .select("expected", "fpp", "n_ids").head()
-      Some(IdBloomStats(r.getLong(0), r.getDouble(1), r.getLong(2)))
+      // driver-direct column-pruned read: the parquet reader only
+      // materializes the requested columns, so the (possibly GBs) bloom
+      // binary is never read — same property the Spark path had
+      graft.store.MetaIO.readRowColumns(
+          spark.sparkContext.hadoopConfiguration, sidecar(indexPath),
+          Seq("expected", "fpp", "n_ids")).map { m =>
+        IdBloomStats(m("expected").asInstanceOf[Long],
+          m("fpp").asInstanceOf[Double], m("n_ids").asInstanceOf[Long])
+      }
     } catch { case _: Exception => None }
 
   /** Distributed Bloom build over `ids` (a single LongType `id`
@@ -249,16 +259,36 @@ private[graft] object IndexIds {
       case None => false
     }
 
+  /** Small-delta cutoff for [[mergeAppend]]: up to this many ids are
+    * collected and folded into the loaded Bloom on the driver (≤ 800 KB
+    * of longs). Above it, the distributed build runs. The distributed
+    * path allocates one FULL-SIZE bitset per input partition and merges
+    * them (`BloomFilterAggregate` partials — ~5 MB each at the default
+    * sizing), so for the streaming-append common case (a micro-batch of
+    * thousands of ids) the driver fold is strictly cheaper: one
+    * limit-collect job instead of a bitset-per-partition aggregate. */
+  private val MaxLocalMergeIds = 100000
+
   /** Fold a delta's ids into the sidecar (call BEFORE the data append —
     * see the crash-ordering note in the class doc). A missing sidecar
     * stays missing: without one the guard's legacy scan is still
     * correct, and [[guardAppend]]'s self-heal (or the next rebuild)
-    * creates it with the index's full id set. */
+    * creates it with the index's full id set.
+    *
+    * Bit-identical either way: `putLong` into the loaded filter sets
+    * exactly the bits a same-sized delta filter's `mergeInPlace` would
+    * OR in (same `expected`/`fpp` ⇒ same bit count and hash family). */
   def mergeAppend(spark: SparkSession, indexPath: String,
                   deltaIds: DataFrame, deltaCount: Long): Unit =
     load(spark, indexPath).foreach { ib =>
-      val add = bloomOf(deltaIds, ib.expected, ib.fpp)
-      ib.bloom.mergeInPlace(add)
+      val nn = deltaIds.filter(col("id").isNotNull)
+      val local = nn.limit(MaxLocalMergeIds + 1).collect()
+      if (local.length <= MaxLocalMergeIds) {
+        local.foreach(r => ib.bloom.putLong(r.getLong(0)))
+      } else {
+        val add = bloomOf(nn, ib.expected, ib.fpp)
+        ib.bloom.mergeInPlace(add)
+      }
       write(spark, indexPath, ib.bloom, ib.expected, ib.fpp,
         ib.nIds + deltaCount)
     }

@@ -261,9 +261,15 @@ object Quantize {
   /** The stamp a [[buildPqIndex]] index was built with. */
   def loadPqStamp(spark: org.apache.spark.sql.SparkSession,
                   path: String): Similarity.IvfStamp = {
-    val r = spark.read.parquet(s"$path/_codebook")
-      .select(col("n_rows"), col("id_hash_sum")).head()
-    Similarity.IvfStamp(r.getLong(0), r.getDecimal(1))
+    // driver-direct projected read — the stamp scalars ride every
+    // codebook row; the codeword arrays are never materialized
+    val m = graft.store.MetaIO.readRowColumns(
+        spark.sparkContext.hadoopConfiguration, s"$path/_codebook",
+        Seq("n_rows", "id_hash_sum"))
+      .getOrElse(throw new IllegalStateException(
+        s"PQ index at $path has no readable _codebook"))
+    Similarity.IvfStamp(m("n_rows").asInstanceOf[Long],
+      m("id_hash_sum").asInstanceOf[java.math.BigDecimal])
   }
 
   /** Freshness contract ([[Similarity.requireIvfFresh]] shape): the
@@ -388,9 +394,13 @@ object Quantize {
   /** The stamp an IVF+PQ index was built with (rides `_coarse`). */
   def loadIvfPqStamp(spark: org.apache.spark.sql.SparkSession,
                      path: String): Similarity.IvfStamp = {
-    val r = spark.read.parquet(s"$path/_coarse")
-      .select(col("n_rows"), col("id_hash_sum")).head()
-    Similarity.IvfStamp(r.getLong(0), r.getDecimal(1))
+    val m = graft.store.MetaIO.readRowColumns(
+        spark.sparkContext.hadoopConfiguration, s"$path/_coarse",
+        Seq("n_rows", "id_hash_sum"))
+      .getOrElse(throw new IllegalStateException(
+        s"IVF+PQ index at $path has no readable _coarse"))
+    Similarity.IvfStamp(m("n_rows").asInstanceOf[Long],
+      m("id_hash_sum").asInstanceOf[java.math.BigDecimal])
   }
 
   /** Freshness contract for the composed index. */

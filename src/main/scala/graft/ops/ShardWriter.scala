@@ -307,9 +307,15 @@ object ShardWriter {
     * was published under. */
   def loadIdentity(spark: SparkSession,
                    path: String): (String, Int, Int, Long) = {
-    val r = spark.read.parquet(manifestPath(path))
-      .select("salt", "buckets", "num_shards", "budget").head()
-    (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))
+    // driver-direct projected read (the identity is constant across
+    // manifest rows); no Spark job for four scalars
+    val m = graft.store.MetaIO.readRowColumns(
+        spark.sparkContext.hadoopConfiguration, manifestPath(path),
+        Seq("salt", "buckets", "num_shards", "budget"))
+      .getOrElse(throw new IllegalStateException(
+        s"shard tree at $path has no readable _manifest"))
+    (m("salt").asInstanceOf[String], m("buckets").asInstanceOf[Int],
+      m("num_shards").asInstanceOf[Int], m("budget").asInstanceOf[Long])
   }
 
   /** The committed per-file manifest of a shard tree. */

@@ -1021,17 +1021,27 @@ object Similarity {
   /** The stamp a [[buildIvfIndex]] index was built with. */
   def loadIvfStamp(spark: org.apache.spark.sql.SparkSession,
                    path: String): IvfStamp = {
-    val cb = spark.read.parquet(s"$path/_codebook")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cols = graft.store.MetaIO.columnsOf(conf, s"$path/_codebook")
+      .getOrElse(throw new IllegalStateException(
+        s"IVF index at $path has no readable _codebook"))
     // a pre-hashed-stamp index (raw `id_sum` column) is INCOMPATIBLE,
     // not unresolvable: the probe-many contract spans jobs, so on-disk
     // indexes outlive code — name the remedy instead of erroring on a
     // missing column
-    if (!cb.columns.contains("id_hash_sum"))
+    if (!cols.contains("id_hash_sum"))
       throw new IllegalStateException(
         s"IVF index at $path predates the hashed freshness stamp " +
-          s"(columns: ${cb.columns.mkString(", ")}); rebuild with buildIvfIndex")
-    val r = cb.select(col("n_rows"), col("id_hash_sum")).head()
-    IvfStamp(r.getLong(0), r.getDecimal(1))
+          s"(columns: ${cols.mkString(", ")}); rebuild with buildIvfIndex")
+    // driver-direct projected read: the stamp scalars ride every
+    // codebook row (constant), so the first row suffices and the
+    // centroid arrays are never materialized
+    val m = graft.store.MetaIO.readRowColumns(conf, s"$path/_codebook",
+        Seq("n_rows", "id_hash_sum"))
+      .getOrElse(throw new IllegalStateException(
+        s"IVF index at $path has no readable _codebook"))
+    IvfStamp(m("n_rows").asInstanceOf[Long],
+      m("id_hash_sum").asInstanceOf[java.math.BigDecimal])
   }
 
   /** The (row count, id-hash-sum) stamp of a live source table — the

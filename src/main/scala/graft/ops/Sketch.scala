@@ -211,12 +211,20 @@ object Sketch {
     * one small file, not a distributed job worth parallelizing. */
   def saveCountMin(sketch: CMSketch, path: String): Unit = {
     val spark = sketch.table.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
     // table first, then the sidecar: overwrite of `path` wipes the tree,
-    // so the reverse order would delete the fresh _meta
-    sketch.table.coalesce(1).write.mode("overwrite").parquet(path)
-    import spark.implicits._
-    Seq((sketch.depth, sketch.width)).toDF("depth", "width")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    // so the reverse order would delete the fresh _meta. Both writes are
+    // driver-direct (MetaIO): the table is local by invariant (≤
+    // depth×width rows), so the old coalesce(1) Spark write serialized
+    // rows the driver already held.
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(conf).delete(hp, true)
+    graft.store.MetaIO.writeRows(conf, path,
+      Seq("i" -> 0L, "bucket" -> 0L, "cnt" -> 0L),
+      sketch.table.collect().iterator
+        .map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2))))
+    graft.store.MetaIO.writeRow(conf, s"$path/_meta",
+      Seq("depth" -> sketch.depth, "width" -> sketch.width))
   }
 
   /** Load a [[saveCountMin]] sketch back through the SAME validation a
@@ -229,11 +237,18 @@ object Sketch {
     * localized on load, preserving the actions-never-rescan invariant. */
   def loadCountMin(spark: org.apache.spark.sql.SparkSession,
                    path: String): CMSketch = {
-    val m = spark.read.parquet(s"$path/_meta").select("depth", "width").head()
-    val (depth, width) = (m.getInt(0), m.getInt(1))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = graft.store.MetaIO.readRow(conf, s"$path/_meta")
+      .getOrElse(throw new IllegalStateException(
+        s"CM sketch at $path has no readable _meta"))
+    val (depth, width) = (m("depth").asInstanceOf[Int], m("width").asInstanceOf[Int])
     validateCmShape(depth, width) // fail BEFORE reading the table
-    val tbl = spark.read.parquet(path).select("i", "bucket", "cnt")
-    val rows = tbl.collect() // bounded: ≤ depth×width ≤ 2^20 rows
+    // driver-direct read: the table is ≤ depth×width rows by invariant
+    // and was collect()ed right after the old Spark read anyway
+    val rows = graft.store.MetaIO.readRows(conf, path).map { r =>
+      org.apache.spark.sql.Row(r("i").asInstanceOf[Long],
+        r("bucket").asInstanceOf[Long], r("cnt").asInstanceOf[Long])
+    }
     val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
     rows.foreach { r =>
       val (i, bkt, cnt) = (r.getLong(0), r.getLong(1), r.getLong(2))
@@ -243,8 +258,12 @@ object Sketch {
       require(seen.add((i, bkt)),
         s"corrupt CM table at $path: duplicate cell ($i, $bkt)")
     }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType)))
     CMSketch(spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), tbl.schema), depth, width)
+      java.util.Arrays.asList(rows: _*), schema), depth, width)
   }
 
   /** EXACT heavy hitters — every token with frequency `>= minCount`,
@@ -358,17 +377,19 @@ object Sketch {
     restoreCountMinAfterCrash(spark, path)
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sparkContext.hadoopConfiguration
     val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$path/_meta"))
     val done: Long = if (!exists) -1L else {
-      val m = spark.read.parquet(s"$path/_meta")
-      require(m.columns.contains("guard_key"),
+      val m = graft.store.MetaIO.readRow(conf, s"$path/_meta")
+        .getOrElse(throw new IllegalStateException(
+          s"sketch at $path has no readable _meta"))
+      require(m.contains("guard_key"),
         s"sketch at $path was not written by the ingest sink (no batch " +
           "guard): merging a stream into it cannot be made exactly-once")
-      val r = m.select("guard_key", "last_batch").head()
-      require(r.getString(0) == guardKey,
+      require(m("guard_key") == guardKey,
         s"sketch at $path is maintained under a different checkpoint " +
           "(guard mismatch): each sink needs its own tree")
-      r.getLong(1)
+      m("last_batch").asInstanceOf[Long]
     }
     if (batchId <= done) return false
     val bs = countMin(batch, tokenCol, depth, width)
@@ -377,12 +398,16 @@ object Sketch {
     val tmp = new org.apache.hadoop.fs.Path(path + ".graft-cm-tmp")
     val old = new org.apache.hadoop.fs.Path(path + ".graft-cm-old")
     fs.delete(tmp, true); fs.delete(old, true)
-    // both sketch tables are local by invariant, so these writes read
-    // nothing from the live tree — safe to swap immediately after
-    merged.table.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    spark.createDataFrame(Seq((merged.depth, merged.width, guardKey, batchId)))
-      .toDF("depth", "width", "guard_key", "last_batch")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_meta")
+    // both sketch tables are local by invariant, so these writes are
+    // driver-direct (MetaIO) and read nothing from the live tree —
+    // safe to swap immediately after
+    graft.store.MetaIO.writeRows(conf, tmp.toString,
+      Seq("i" -> 0L, "bucket" -> 0L, "cnt" -> 0L),
+      merged.table.collect().iterator
+        .map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2))))
+    graft.store.MetaIO.writeRow(conf, s"$tmp/_meta", Seq(
+      "depth" -> merged.depth, "width" -> merged.width,
+      "guard_key" -> guardKey, "last_batch" -> batchId))
     if (fs.exists(hp))
       require(fs.rename(hp, old), s"countMinMergeInto: rename $path aside failed")
     require(fs.rename(tmp, hp),

@@ -173,13 +173,14 @@ object TextIndex {
         .parquet(tokenFreePath(path))
     // _meta INSIDE the tree (underscore paths are invisible to parquet
     // listing) — the index is self-describing at one path, the
-    // _codebook discipline of the IVF index
-    spark.range(1).select(
-        lit(nBuckets).as("n_buckets"),
-        lit(stamp.nRows).as("n_rows"),
-        lit(stamp.idHashSum).cast(DecimalType(38, 0)).as("id_hash_sum"),
-        lit(totalTokens).as("total_tokens"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    // _codebook discipline of the IVF index; driver-direct write
+    // (MetaIO): one metadata row never needed a Spark job
+    graft.store.MetaIO.writeRow(spark.sparkContext.hadoopConfiguration,
+      s"$path/_meta", Seq(
+        "n_buckets" -> nBuckets,
+        "n_rows" -> stamp.nRows,
+        "id_hash_sum" -> stamp.idHashSum.setScale(0),
+        "total_tokens" -> totalTokens))
     // id-membership Bloom sidecar: makes appendTextIndex's novelty
     // guard O(delta) instead of an O(index) posting-id scan
     IndexIds.writeFresh(spark, path,
@@ -285,13 +286,12 @@ object TextIndex {
     // getOrElse: see the stampObserved note — an empty postings write
     // can lose the metrics node; zero delta tokens is then correct
     val deltaTokens = tokObs.get.getOrElse("total_tokens", 0L).asInstanceOf[Long]
-    spark.range(1).select(
-        lit(meta.nBuckets).as("n_buckets"),
-        lit(meta.stamp.nRows + delta.nRows).as("n_rows"),
-        lit(meta.stamp.idHashSum.add(delta.idHashSum))
-          .cast(DecimalType(38, 0)).as("id_hash_sum"),
-        lit(totalTokens0 + deltaTokens).as("total_tokens"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    graft.store.MetaIO.writeRow(spark.sparkContext.hadoopConfiguration,
+      s"$path/_meta", Seq(
+        "n_buckets" -> meta.nBuckets,
+        "n_rows" -> (meta.stamp.nRows + delta.nRows),
+        "id_hash_sum" -> meta.stamp.idHashSum.add(delta.idHashSum).setScale(0),
+        "total_tokens" -> (totalTokens0 + deltaTokens)))
   }
 
   /** Query tokens, mirroring [[TextStats.tokens]] + the build's
@@ -315,13 +315,14 @@ object TextIndex {
     * (on-disk indexes outlive code). */
   private[ops] def loadMeta(spark: org.apache.spark.sql.SparkSession,
                        path: String): TiMeta = {
-    val meta = spark.read.parquet(s"$path/_meta")
-    val hasTok = meta.columns.contains("total_tokens")
-    val cols = Seq("n_buckets", "n_rows", "id_hash_sum") ++
-      (if (hasTok) Seq("total_tokens") else Nil)
-    val r = meta.select(cols.head, cols.tail: _*).head()
-    TiMeta(r.getInt(0), Similarity.IvfStamp(r.getLong(1), r.getDecimal(2)),
-      if (hasTok) Some(r.getLong(3)) else None)
+    val m = graft.store.MetaIO.readRow(
+        spark.sparkContext.hadoopConfiguration, s"$path/_meta")
+      .getOrElse(throw new IllegalStateException(
+        s"text index at $path has no readable _meta"))
+    TiMeta(m("n_buckets").asInstanceOf[Int],
+      Similarity.IvfStamp(m("n_rows").asInstanceOf[Long],
+        m("id_hash_sum").asInstanceOf[java.math.BigDecimal]),
+      m.get("total_tokens").map(_.asInstanceOf[Long]))
   }
 
   /** Probe: top-`k` documents by distinct-query-token overlap,

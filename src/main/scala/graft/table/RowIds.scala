@@ -1,8 +1,7 @@
 package graft.table
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /**
  * Dense, deterministic 0-based row-id assignment — the load-bearing design
@@ -12,7 +11,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
  *
  * Scale notes (100 TB): ids are assigned with the per-partition
  * count + prefix-sum idiom (`RDD.zipWithIndex`) — ONE lightweight count
- * job over partition sizes, NO global sort, NO single-partition window.
+ * job over partition sizes, NO global sort, NO single-partition window —
+ * over the INTERNAL row format ([[org.apache.spark.sql.graftx.Bridge
+ * .zipWithRowIds]]): the old `df.rdd` form deserialized every row to an
+ * external `Row` and re-imported through `CatalystTypeConverters`,
+ * a per-field boxing round trip of the whole table on every write path.
  * `row_number().over(Window.orderBy(...))` would funnel the table through
  * one task and is exactly what this module exists to avoid. Data is then
  * written ordered by `_rowid`, so parquet row-group min/max stats prune
@@ -24,13 +27,8 @@ object RowIds {
   /** Attach `_rowid` following the DataFrame's existing deterministic
     * partition order (e.g. a `createDataset(seq)` keeps seq order; a
     * parquet read keeps sorted-file order). */
-  def attach(df: DataFrame, startAt: Long = 0L): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField(Col, LongType, nullable = false))
-    val rdd = df.rdd.zipWithIndex.map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (i + startAt))
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+  def attach(df: DataFrame, startAt: Long = 0L): DataFrame =
+    org.apache.spark.sql.graftx.Bridge.zipWithRowIds(df, Col, startAt)
 
   /** Attach `_rowid` by a user-chosen total order: range-partition on the
     * sort key (shuffle proportional to data, balanced ranges via sampling),
