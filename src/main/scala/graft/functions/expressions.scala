@@ -2086,6 +2086,117 @@ case class Hash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Single-pass character-class counts over a string — the quality-stat
+  * kernel. `length(regexp_replace(text, CLASS, ""))` builds a whole new
+  * string per class just to measure what was removed; three classes
+  * meant three regex passes and three allocations per document. This
+  * counts all three in ONE pass with zero allocation, value-identical:
+  * `n_ws` counts Java-regex `\s` (exactly ' ', \t, \n, \u000B, \f, \r
+  * without UNICODE_CHARACTER_CLASS — what Spark's regexp_replace ran),
+  * `n_punct` counts [.,!?;:], `n_digit` counts [0-9]; all three classes
+  * are single-code-unit ASCII, so code-point and code-unit counting
+  * agree and `numChars - n_ws` equals the old no-space length. */
+object CharClassCountsKernel {
+  def compute(s: UTF8String): InternalRow = {
+    val str = s.toString
+    var ws = 0L; var punct = 0L; var digit = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val c = str.charAt(i)
+      c match {
+        case ' ' | '\t' | '\n' | '\u000B' | '\f' | '\r' => ws += 1
+        case '.' | ',' | '!' | '?' | ';' | ':' => punct += 1
+        case _ => if (c >= '0' && c <= '9') digit += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](ws, punct, digit))
+  }
+}
+
+case class CharClassCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ws", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_digit", LongType, nullable = false)))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_class_counts requires a string argument, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    CharClassCountsKernel.compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharClassCountsKernel.compute($c);")
+  override protected def withNewChildInternal(newChild: Expression): CharClassCounts =
+    copy(child = newChild)
+}
+
+/** Per-language stopword votes in ONE token-array pass — the langId
+  * kernel. The declarative form built five `size(filter(toks,
+  * array_contains(...)))` counts whose expressions were then each
+  * duplicated across every argmax branch of the when-chain (conditional
+  * branches defeat common-subexpression elimination), so a document's
+  * tokens were re-scanned up to ~25×. One pass, one hash probe per
+  * token, counts exactly equal to the per-language filter counts
+  * (tokens with multiplicity; null tokens dropped like `array_contains`
+  * dropping them through the filter). Language order is pinned by
+  * [[LangVotesKernel.Langs]]; the stopword lists are the fixed
+  * [[graft.ops.TextStats.Stopwords]] (duplicated here as the kernel's
+  * own constant so `functions` stays independent of `ops`; a spec pins
+  * the two in sync). */
+object LangVotesKernel {
+  val Langs: Array[String] = Array("en", "de", "es", "fr", "zh")
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "es" -> Seq("el", "los", "y", "que", "es", "una", "por"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "pas", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+  private val lookup: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    Langs.zipWithIndex.foreach { case (l, i) =>
+      Stopwords(l).foreach(w => m.put(UTF8String.fromString(w), Integer.valueOf(i)))
+    }
+    m
+  }
+  def compute(arr: ArrayData): InternalRow = {
+    val counts = new Array[Long](Langs.length)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val li = lookup.get(arr.getUTF8String(i))
+        if (li != null) counts(li.intValue()) += 1L
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(counts.map(c => c: Any))
+  }
+}
+
+case class LangVotes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(
+    LangVotesKernel.Langs.map(l => StructField(l, LongType, nullable = false)))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lang_votes requires array<string>, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    LangVotesKernel.compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LangVotesKernel.compute($c);")
+  override protected def withNewChildInternal(newChild: Expression): LangVotes =
+    copy(child = newChild)
+}
+
 /** Static MinHash kernel shared by the interpreted eval AND generated
   * code — whole-stage codegen emits a direct static call, so the hot
   * dedup loop stays inside the generated stage (no per-row virtual
@@ -2300,6 +2411,10 @@ object native {
     Bridge.column(MinHashSigTokens(Bridge.expression(tokens), n, numHashes))
   def dedup_lines_first(lines: Column): Column =
     Bridge.column(DedupLinesFirst(Bridge.expression(lines)))
+  def char_class_counts(text: Column): Column =
+    Bridge.column(CharClassCounts(Bridge.expression(text)))
+  def lang_votes(tokens: Column): Column =
+    Bridge.column(LangVotes(Bridge.expression(tokens)))
   def bloom_contains_any(hashes: Column, bloomBytes: Array[Byte]): Column =
     Bridge.column(BloomContainsAny(Bridge.expression(hashes), bloomBytes))
   def pq_codes(vec: Column, cbs: Seq[Seq[Seq[Double]]],

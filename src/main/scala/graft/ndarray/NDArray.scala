@@ -42,6 +42,15 @@ final class NDArray private[ndarray] (
   private def strides: Vector[Long] =
     shape.scanRight(1L)(_ * _).tail
 
+  /** Size-adaptive partition count for an n-element relation: ~64k
+    * elements per task up to the session's parallelism — a tiny write
+    * must not fan out into one near-empty task per core, a huge one
+    * keeps every core busy. */
+  private def adaptiveParts(n: Long): Int =
+    math.max(1L, math.min(
+      store.spark.sparkContext.defaultParallelism.toLong,
+      n / 65536L + 1L)).toInt
+
   def df: DataFrame = table.df
 
   /** Whole-dataset read ≙ `dset[T]` (`datasets.nim:973-1021`). */
@@ -99,8 +108,10 @@ final class NDArray private[ndarray] (
     val total = selSizes.product
     // Pin the input so validation and the update read the SAME evaluation:
     // a non-deterministic `values` could otherwise pass the count check yet
-    // write different (pos, value) rows in the update pass.
-    val pinned = values.cache()
+    // write different (pos, value) rows in the update pass. Parallelism is
+    // size-adaptive (the selection size is exact) — see adaptiveParts.
+    val pinned =
+      (if (adaptiveParts(total) == 1) values.coalesce(1) else values).cache()
     try {
       require(pinned.count() == total,
         s"writeHyperslab: selection has $total elements")
@@ -128,7 +139,7 @@ final class NDArray private[ndarray] (
       store.spark.sparkContext.parallelize(
         values.zipWithIndex.map { case (v, p) =>
           org.apache.spark.sql.Row(p.toLong, v)
-        }.toList),
+        }.toList, adaptiveParts(values.size.toLong)),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("pos",
           org.apache.spark.sql.types.LongType, false),
@@ -163,10 +174,19 @@ final class NDArray private[ndarray] (
         col("value"))
     val coords = (0 until rank).map(d =>
       expr(s"(nid div ${newStrides(d)}) % ${newShape(d)}").as(s"i$d"))
-    val out = spark.range(total).toDF("nid")
+    // partitioning is SIZE-adaptive (guide-§2 discipline): `total` is
+    // known exactly, so a 400-cell relayout runs as one task while a
+    // 10^9-cell one keeps full parallelism; the small case also swaps
+    // the global sort (range-sampling pass + exchange) for an in-task
+    // sort — same total order either way
+    val parts = adaptiveParts(total)
+    val joined = spark.range(0L, total, 1L, parts).toDF("nid")
       .join(keep, Seq("nid"), "left")
       .select(coords :+ coalesce(col("value"), lit(0).cast(valueType)).as("value"): _*)
-      .sort((0 until rank).map(d => col(s"i$d")): _*)
+    val sortCols = (0 until rank).map(d => col(s"i$d"))
+    val out =
+      if (parts == 1) joined.coalesce(1).sortWithinPartitions(sortCols: _*)
+      else joined.sort(sortCols: _*)
     // In-place mutation of the SHARED base (HDF5 hardlink semantics: every
     // name sees the new extents), like all other mutation paths — put()
     // here would re-create under the OPENED name and strand any alias.
@@ -210,7 +230,8 @@ final class NDArray private[ndarray] (
       table.schema.fields :+ org.apache.spark.sql.types.StructField(
         RowIds.Col, org.apache.spark.sql.types.LongType, false))
     val updates = store.spark.createDataFrame(
-      store.spark.sparkContext.parallelize(rows.toList), schema)
+      store.spark.sparkContext.parallelize(rows.toList,
+        adaptiveParts(rows.size.toLong)), schema)
     table.applyUpdates(updates)
   }
 
@@ -227,7 +248,7 @@ final class NDArray private[ndarray] (
     val st = strides
     val free = 1 - dim
     val spark = store.spark
-    val ids = spark.range(shape(free))
+    val ids = spark.range(0L, shape(free), 1L, adaptiveParts(shape(free)))
     val (i0, i1) =
       if (dim == 0) (lit(index), col("id"))
       else (col("id"), lit(index))

@@ -51,9 +51,15 @@ object Cluster {
 
     // lazy localCheckpoint: truncates lineage (the per-round plan stays
     // constant-size across arbitrarily many rounds) and is materialized by
-    // the checksum aggregate — ONE job per round
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint(false)
+    // the checksum aggregate — ONE job per round. The init FUSES the
+    // first hash-min step (label = min(own id, min neighbor) — one agg
+    // over the edge list, same cost as the old identity-init distinct):
+    // dense near-dup cliques converge in this step alone, so the loop
+    // then runs ONE confirming round instead of two.
+    var labels = sym.groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("cluster"))
+      .select(col("src").as("id"), col("cluster"))
+      .localCheckpoint(false)
     // sum(cluster) strictly decreases while any label changes (labels are
     // min-monotone); decimal(38,0) so huge id sums can't overflow
     def checksum(df: DataFrame): java.math.BigDecimal =
@@ -74,18 +80,17 @@ object Cluster {
       // and the big side); cache it so the edge-join + min-aggregate above
       // runs once per round, not twice (ReuseExchange dedupes only the
       // shuffle writes, not the post-shuffle operators). Freed below.
-      val stepped = if (iter == 0) stepped0 else stepped0.cache()
+      val stepped = stepped0.cache()
       // pointer jumping: also take the label OF the current label (every
       // label is a vertex id, so the lookup always lands). cluster(v) and
       // label-of-label are both ids within v's component and
       // min-monotone, so correctness is unchanged — but label chains now
       // halve per round: O(log diameter) rounds instead of O(diameter)
       // (a 50-chain converges in 7 rounds incl. the detection round, not
-      // 50). Skipped on round 1, where prev is the identity labeling and
-      // the jump is provably a no-op — the clique-shaped common case
-      // (2-3 rounds total) keeps its cheap first round.
+      // 50). Runs from the first loop round: the init is already one
+      // hash-min step, so prev is never the identity labeling.
       val prev = labels
-      val next = (if (iter == 0) stepped else {
+      val next = (locally {
         // dedupe the lookup to ONE row per distinct label before joining:
         // as components collapse their labels converge (exactly when a
         // label-keyed join would skew), so the deduped side shrinks
@@ -106,7 +111,7 @@ object Cluster {
       val curSum = checksum(next) // materializes `next`'s checkpoint
       // free the superseded round's blocks NOW — the ContextCleaner only
       // reclaims them at some future GC, which may be never mid-loop
-      if (iter > 0) stepped.unpersist(blocking = false)
+      stepped.unpersist(blocking = false)
       org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint(prev)
       labels = next
       converged = curSum.compareTo(prevSum) == 0

@@ -48,8 +48,16 @@ object TextStats {
   /** n-gram-free heuristic language-ID: per-language stopword votes,
     * argmax with fixed precedence (en, de, es, fr, zh) on ties. */
   def langId(text: Column): Column = {
-    val t = tokens(text)
-    val c = Seq("en", "de", "es", "fr", "zh").map(l => l -> stopCount(t, Stopwords(l))).toMap
+    // one token-array pass for all five vote counts (native kernel);
+    // the old per-language size(filter(...)) counts were duplicated
+    // across every argmax branch (when-chains defeat subexpression
+    // elimination), re-scanning the tokens up to ~25× per document.
+    // LangVotesSpec pins the kernel's lists == Stopwords and the votes
+    // == the filter counts.
+    val c: Map[String, Column] = {
+      val votes = graft.functions.native.lang_votes(tokens(text))
+      Seq("en", "de", "es", "fr", "zh").map(l => l -> votes.getField(l)).toMap
+    }
     val order = Seq("en", "de", "es", "fr", "zh")
     order.foldRight(lit("unk")) { (l, alt) =>
       val ge = order.filter(_ != l).map(o => c(l) >= c(o)).reduce(_ && _)
@@ -63,9 +71,14 @@ object TextStats {
     val toks = tokens(text)
     val nChars = length(text).cast(LongType)
     val nTokens = size(toks).cast(LongType)
-    val nNoSpace = length(regexp_replace(text, "\\s", "")).cast(LongType)
-    val punct = length(regexp_replace(text, "[^.,!?;:]", "")).cast(LongType)
-    val digits = length(regexp_replace(text, "[^0-9]", "")).cast(LongType)
+    // one zero-allocation pass for all three class counts (native
+    // kernel; the common subexpression is eliminated in codegen) —
+    // value-identical to the three length(regexp_replace(...)) passes,
+    // which each built a stripped copy of the document per class
+    val cc = graft.functions.native.char_class_counts(text)
+    val nNoSpace = nChars - cc.getField("n_ws")
+    val punct = cc.getField("n_punct")
+    val digits = cc.getField("n_digit")
     val stops = stopCount(toks, Stopwords("en"))
     df.withColumn("n_chars", nChars)
       .withColumn("n_tokens", nTokens)

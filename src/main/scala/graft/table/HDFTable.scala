@@ -236,7 +236,12 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
     val last = offset + (count - 1) * stride + block - 1
     checkBounds(offset, last)
     val total = count * block
-    val pinned = values.cache()
+    // size-adaptive parallelism: the selection size is known exactly, so
+    // a 20-row slab write must not fan its validation count + update
+    // passes into one near-empty task per core
+    val sized =
+      if (total <= 65536L) values.coalesce(1) else values
+    val pinned = sized.cache()
     try {
       require(pinned.count() == total, s"writeHyperslab: selection has $total rows")
       val dataCols = schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name))
@@ -293,7 +298,16 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
 
   private def writeSorted(d: DataFrame): SegmentMeta = {
     val m = meta
-    store.writeSegment(baseName, d.sort(Col), m.chunkSize, m.codec)
+    // every caller rewrites ONE refined file-run (file-granular mutation
+    // contract), so the total order by _rowid comes from an in-task sort
+    // of that run: coalesce(1) + sortWithinPartitions writes the same
+    // rows in the same order as the old global .sort(Col) but skips its
+    // range-partitioner SAMPLING pass and the range exchange — two jobs
+    // and a shuffle per rewritten run, at parallelism the single output
+    // run could not use anyway (maxRecordsPerFile still splits oversize
+    // runs into chunk files sequentially, order preserved).
+    store.writeSegment(baseName, d.coalesce(1).sortWithinPartitions(Col),
+      m.chunkSize, m.codec)
   }
 
   /** Append ≙ `append` (`nimtables.nim:173-175`): one new segment, nothing
