@@ -198,12 +198,15 @@ object IndexMaintenance {
   private[graft] def indexFamily(spark: SparkSession, path: String): String = {
     val fs = fsOf(spark, path)
     def has(p: String) = fs.exists(new Path(s"$path/$p"))
+    val conf = spark.sparkContext.hadoopConfiguration
     if (has("_coarse")) "ivfpq"
     else if (has("sigs")) "dedup"
-    else if (has("_meta") &&
-      spark.read.parquet(s"$path/_meta").columns.contains("n_buckets")) "text"
+    else if (has("_meta") && graft.store.MetaIO.columnsOf(conf, s"$path/_meta")
+      .exists(_.contains("n_buckets"))) "text"
     else if (has("_codebook")) {
-      val cols = spark.read.parquet(s"$path/_codebook").columns.toSet
+      val cols = graft.store.MetaIO.columnsOf(conf, s"$path/_codebook")
+        .getOrElse(throw new IllegalArgumentException(
+          s"indexFamily: $path/_codebook is unreadable")).toSet
       if (cols.contains("s")) "pq"
       else if (cols.contains("centroid")) "ivf"
       else throw new IllegalArgumentException(

@@ -252,10 +252,14 @@ object Quantize {
   /** The codebooks a [[buildPqIndex]] index was built with. */
   def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
                       path: String): Seq[Seq[Seq[Double]]] = {
-    val rows = spark.read.parquet(s"$path/_codebook")
-      .select("s", "j", "codeword").orderBy("s", "j").collect()
-    rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
-      rs.sortBy(_.getLong(1)).map(_.getSeq[Double](2).toSeq).toSeq }
+    // driver-direct read (MetaIO): m×k small rows, collected whole anyway
+    val rows = graft.store.MetaIO.readRows(
+      spark.sparkContext.hadoopConfiguration, s"$path/_codebook")
+    rows.groupBy(_("s").asInstanceOf[Long]).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_("j").asInstanceOf[Long])
+          .map(_("codeword").asInstanceOf[Seq[Any]]
+            .map(_.asInstanceOf[Double]).toSeq).toSeq }
   }
 
   /** The stamp a [[buildPqIndex]] index was built with. */
@@ -379,16 +383,22 @@ object Quantize {
   /** The coarse codebook an IVF+PQ index was built with, in list order. */
   def loadIvfPqCoarse(spark: org.apache.spark.sql.SparkSession,
                       path: String): Seq[Seq[Double]] =
-    spark.read.parquet(s"$path/_coarse").orderBy("j")
-      .collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq
+    graft.store.MetaIO.readRows(
+        spark.sparkContext.hadoopConfiguration, s"$path/_coarse")
+      .sortBy(m => m("j").asInstanceOf[Long])
+      .map(m => m("centroid").asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[Double]))
 
   /** The PQ codebooks an IVF+PQ index was built with. */
   def loadIvfPqCodebooks(spark: org.apache.spark.sql.SparkSession,
                          path: String): Seq[Seq[Seq[Double]]] = {
-    val rows = spark.read.parquet(s"$path/_pqcb")
-      .select("s", "j", "codeword").orderBy("s", "j").collect()
-    rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
-      rs.sortBy(_.getLong(1)).map(_.getSeq[Double](2).toSeq).toSeq }
+    val rows = graft.store.MetaIO.readRows(
+      spark.sparkContext.hadoopConfiguration, s"$path/_pqcb")
+    rows.groupBy(_("s").asInstanceOf[Long]).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_("j").asInstanceOf[Long])
+          .map(_("codeword").asInstanceOf[Seq[Any]]
+            .map(_.asInstanceOf[Double]).toSeq).toSeq }
   }
 
   /** The stamp an IVF+PQ index was built with (rides `_coarse`). */

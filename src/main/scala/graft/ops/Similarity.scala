@@ -238,24 +238,32 @@ object Similarity {
       // while DuckDB's SUM(BIGINT) has already promoted to HUGEINT.
       // Decimal sums are exact at any member count; BigDecimal→double is
       // correctly rounded, matching the oracle's integer→double cast.
-      val perDim = (0 until dim).map(i =>
-        sum(round(element_at(col("v"), i + 1).cast(DoubleType) * lit(1e15))
-          .cast(DecimalType(38, 0))).as(s"sf_$i"))
+      //
+      // Shape: (list, pos)-keyed sums over the EXPLODED vector instead
+      // of one sum column per dimension — the same decimal terms land in
+      // the same per-(list, dim) sums (dim-consistent vectors emit
+      // exactly one row per pos, null elements included, so `cnt` is the
+      // member count either way), but the plan carries 2 aggregate
+      // expressions instead of dim+1: at dim 64 the old 65-column
+      // aggregate spent ~0.5 s PER ITERATION in analysis/optimization
+      // alone. Map-side partial aggregation bounds the shuffle at
+      // k·dim rows per partition, same as the column form.
       val stats = df
         .select(nearestCentroid(col(vecCol), cents, dyy).as("list"),
-          col(vecCol).as("v"))
-        .groupBy("list")
-        .agg(count(lit(1)).as("cnt"), perDim: _*)
+          posexplode(col(vecCol)))
+        .select(col("list"), col("pos"),
+          round(col("col").cast(DoubleType) * lit(1e15))
+            .cast(DecimalType(38, 0)).as("sf"))
+        .groupBy("list", "pos")
+        .agg(count(lit(1)).as("cnt"), sum(col("sf")).as("s"))
         .collect()
       val next = cents.map(_.toArray).toArray
       stats.foreach { r =>
         val l = r.getLong(0).toInt
-        val cnt = r.getLong(1)
-        var i = 0
-        while (i < dim) {
-          next(l)(i) = r.getDecimal(2 + i).doubleValue() / (cnt * 1e15)
-          i += 1
-        }
+        val i = r.getInt(1)
+        val cnt = r.getLong(2)
+        if (i < dim)
+          next(l)(i) = r.getDecimal(3).doubleValue() / (cnt * 1e15)
       }
       cents = next.map(_.toSeq).toSeq
     }
@@ -1081,8 +1089,12 @@ object Similarity {
     * order. */
   def loadIvfCodebook(spark: org.apache.spark.sql.SparkSession,
                       path: String): Seq[Seq[Double]] =
-    spark.read.parquet(s"$path/_codebook").orderBy("j")
-      .collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq
+    // driver-direct read (MetaIO): k small rows, collected whole anyway
+    graft.store.MetaIO.readRows(
+        spark.sparkContext.hadoopConfiguration, s"$path/_codebook")
+      .sortBy(m => m("j").asInstanceOf[Long])
+      .map(m => m("centroid").asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[Double]))
 
   /** [[ivfTopKIndexed]] against a self-describing index — the codebook
     * is read from the index tree. */

@@ -273,6 +273,36 @@ object MetaIO {
         val name = f.getName
         val v: Any =
           if (g.getFieldRepetitionCount(i) == 0) null
+          else if (!f.isPrimitive) {
+            // Spark's 3-level LIST encoding: optional group f (LIST)
+            // { repeated group list { optional <prim> element } } —
+            // read back as Seq[Any] of the element values (null
+            // elements preserved). Only scalar elements supported.
+            val lst = g.getGroup(i, 0)
+            val n = lst.getFieldRepetitionCount(0)
+            val out: Seq[Any] = (0 until n).map { j =>
+              val el = lst.getGroup(0, j)
+              if (el.getFieldRepetitionCount(0) == 0) null
+              else {
+                val ept = el.getType.getType(0).asPrimitiveType()
+                ept.getPrimitiveTypeName match {
+                  case INT64   => el.getLong(0, 0)
+                  case INT32   => el.getInteger(0, 0)
+                  case DOUBLE  => el.getDouble(0, 0)
+                  case FLOAT   => el.getFloat(0, 0)
+                  case BOOLEAN => el.getBoolean(0, 0)
+                  case _ =>
+                    val bin = el.getBinary(0, 0)
+                    ept.getLogicalTypeAnnotation match {
+                      case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+                        bin.toStringUsingUTF8
+                      case _ => bin.getBytes
+                    }
+                }
+              }
+            }
+            out
+          }
           else {
             val pt = f.asPrimitiveType()
             pt.getPrimitiveTypeName match {

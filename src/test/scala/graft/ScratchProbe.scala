@@ -20,44 +20,99 @@ object ScratchProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"PHASE $tag%-38s ${(System.nanoTime() - t0) / 1e9}%7.3f s"); r
     }
-    import graft.ops.{Dedup, TextStats}
-    val q = SparkEntry.queries("x_pipeline_clean")
-    q(spark, sfDir).count() // warm
-    (1 to 2).foreach { p => t(s"full x_pipeline_clean $p")(q(spark, sfDir).count()) }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    (1 to 2).foreach { pass =>
-      println(s"--- pass $pass")
-      val canon = docs.select(col("doc_id"), col("source"),
-        TextStats.normalizeWhitespace(col("text")).as("text"))
-      t("canon.count")(canon.count())
-      val deduped = Dedup.exact(canon, "doc_id", "text")
-        .select(col("keep_id").as("doc_id"))
-        .join(canon, "doc_id")
-      t("deduped.count")(deduped.count())
-      val scored = TextStats.quality(deduped, "text")
-        .withColumn("lang_guess", TextStats.langId(col("text")))
-      val clean = scored
-        .filter(col("n_tokens") >= 10 && col("stopword_ratio") >= 0.05)
-        .select("doc_id", "source", "lang_guess", "n_tokens", "quality_score")
-        .orderBy("doc_id")
-      t("clean.count (quality+langId)")(clean.count())
-      t("clean.noop-write") {
-        clean.write.format("noop").mode("overwrite").save()
+    // --- appendTextIndex remaining decomposition
+    locally {
+      val base = {
+        val p = "/tmp/graft-scratch-ti-base2"
+        if (!new java.io.File(p).exists())
+          graft.ops.TextIndex.buildTextIndex(
+            docs.filter(col("doc_id") < 200).select("doc_id", "text"),
+            "doc_id", "text", p, nBuckets = 64)
+        p
       }
-      t("quality-only noop") {
-        TextStats.quality(deduped, "text")
-          .write.format("noop").mode("overwrite").save()
+      (1 to 2).foreach { pass =>
+        val dst = s"/tmp/graft-scratch-ti2-$pass"
+        val conf = spark.sparkContext.hadoopConfiguration
+        org.apache.hadoop.fs.FileUtil.copy(
+          new org.apache.hadoop.fs.Path(base).getFileSystem(conf),
+          new org.apache.hadoop.fs.Path(base),
+          new org.apache.hadoop.fs.Path(dst).getFileSystem(conf),
+          new org.apache.hadoop.fs.Path(dst), false, conf)
+        val b1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 250)
+          .select("doc_id", "text")
+        t(s"appendTextIndex (pass $pass)")(
+          graft.ops.TextIndex.appendTextIndex(b1, "doc_id", "text", dst))
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(dst))
       }
-      t("langId-only noop") {
-        deduped.withColumn("lang_guess", TextStats.langId(col("text")))
-          .write.format("noop").mode("overwrite").save()
-      }
-      t("tokens-only noop") {
-        deduped.select(size(TextStats.tokens(col("text"))).as("n"))
-          .write.format("noop").mode("overwrite").save()
-      }
-      t("deduped-only noop") {
-        deduped.write.format("noop").mode("overwrite").save()
+    }
+    // --- kmeans-trained decomposition
+    locally {
+      val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      import graft.ops.Similarity
+      (1 to 2).foreach { pass =>
+        println(s"--- kmeans pass $pass")
+        val seed = t("seed collect")(
+          embs.select(col("vec_id").cast(LongType), col("embedding"))
+            .orderBy(col("vec_id")).limit(8)
+            .collect().toSeq.map(_.getSeq[Float](1).map(_.toDouble)))
+        t("lloyd 1 iter")(
+          Similarity.kmeansCodebook(embs, "embedding", seed, 1))
+        t("lloyd 2 iters")(
+          Similarity.kmeansCodebook(embs, "embedding", seed, 2))
+        t("semanticDedup full")(
+          graft.ops.Dedup.semanticDedup(embs, "vec_id", "embedding",
+            k = 8, iters = 1, minCosine = 0.4).count())
+        // hypothesis tests: what makes one Lloyd aggregate cost ~0.7s?
+        val dyy = seed.map(c =>
+          graft.functions.CodebookKernels.fixedDotDriver(c, c))
+        val assigned = embs.select(
+          graft.functions.native.nearest_centroid(col("embedding"), seed, dyy)
+            .as("list"),
+          col("embedding").as("v"))
+        t("assign-only noop")(
+          assigned.write.format("noop").mode("overwrite").save())
+        val perDimDec = (0 until 64).map(i =>
+          sum(round(element_at(col("v"), i + 1).cast(DoubleType) * lit(1e15))
+            .cast(DecimalType(38, 0))).as(s"sf_$i"))
+        t("agg 64 decimal sums")(
+          assigned.groupBy("list").agg(count(lit(1)).as("cnt"), perDimDec: _*)
+            .collect())
+        val perDimDbl = (0 until 64).map(i =>
+          sum(element_at(col("v"), i + 1).cast(DoubleType)).as(s"sf_$i"))
+        t("agg 64 double sums")(
+          assigned.groupBy("list").agg(count(lit(1)).as("cnt"), perDimDbl: _*)
+            .collect())
+        val perDimLong = (0 until 64).map(i =>
+          sum(round(element_at(col("v"), i + 1).cast(DoubleType) * lit(1e15))
+            .cast(LongType)).as(s"sf_$i"))
+        t("agg 64 long sums")(
+          assigned.groupBy("list").agg(count(lit(1)).as("cnt"), perDimLong: _*)
+            .collect())
+        t("agg exploded decimal")(
+          assigned.select(col("list"), posexplode(col("v")))
+            .select(col("list"), col("pos"),
+              round(col("col").cast(DoubleType) * lit(1e15))
+                .cast(DecimalType(38, 0)).as("sf"))
+            .groupBy("list", "pos")
+            .agg(count(lit(1)).as("cnt"), sum(col("sf")).as("s"))
+            .collect())
+        t("agg exploded decimal 2nd")(
+          assigned.select(col("list"), posexplode(col("v")))
+            .select(col("list"), col("pos"),
+              round(col("col").cast(DoubleType) * lit(1e15))
+                .cast(DecimalType(38, 0)).as("sf"))
+            .groupBy("list", "pos")
+            .agg(count(lit(1)).as("cnt"), sum(col("sf")).as("s"))
+            .collect())
+        t("trivial agg reference")(
+          spark.range(0, 128000, 1, 1).groupBy(col("id") % 8)
+            .agg(count(lit(1))).collect())
+        t("assign agg only (count)")(
+          assigned.groupBy("list").agg(count(lit(1))).collect())
       }
     }
     spark.stop()
