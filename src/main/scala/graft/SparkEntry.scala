@@ -3450,10 +3450,14 @@ object SparkEntry {
       val keyed = mixed.withColumn("mix_id",
         concat(col("doc_id").cast("string"), lit(":"),
           col("epoch").cast("string")))
-      val pos = Sample.shuffleRank(keyed, "mix_id", salt = "pt",
+      // the rank's pass-1 counts already fix N, so the slicer skips its
+      // own counting pass — which would re-evaluate the whole tokenize +
+      // select + rank pipeline (df evaluates 2x here, not 3x)
+      val (pos, nPos) = Sample.shuffleRankN(keyed, "mix_id", salt = "pt",
         buckets = 32)
-      graft.ops.TokenStream.sliceWindows(pos, "shuffle_pos", "ts",
-          ctxLen = 64, blocks = 16, dropPartial = false)
+      graft.ops.TokenStream.sliceWindowsN(pos, "shuffle_pos", "ts",
+          ctxLen = 64, blocks = 16, dropPartial = false,
+          knownN = Some(nPos))
         .select("window_id", "n_tok", "n_docs", "min_pos", "max_pos")
         .orderBy("window_id")
     }),
@@ -3475,10 +3479,12 @@ object SparkEntry {
         .select(col("doc_id"), lit(1L).as("stage"))
       val staged = base.join(tail, Seq("doc_id"), "left")
         .withColumn("stage", coalesce(col("stage"), lit(0L)))
-      val pos = Sample.curriculumRank(staged, "doc_id", "stage",
+      // knownN: same one-fewer-full-pipeline-pass as x_pipeline_tokens
+      val (pos, nPos) = Sample.curriculumRankN(staged, "doc_id", "stage",
         salt = "an", buckets = 16)
-      graft.ops.TokenStream.sliceWindows(pos, "shuffle_pos", "ts",
-          ctxLen = 64, blocks = 16, dropPartial = false)
+      graft.ops.TokenStream.sliceWindowsN(pos, "shuffle_pos", "ts",
+          ctxLen = 64, blocks = 16, dropPartial = false,
+          knownN = Some(nPos))
         .select("window_id", "n_tok", "n_docs", "min_pos", "max_pos")
         .orderBy("window_id")
     }),

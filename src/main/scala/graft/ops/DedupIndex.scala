@@ -117,12 +117,8 @@ object DedupIndex {
     val spark = df.sparkSession
     val meta = loadMeta(spark, path)
     val deltaIds = df.select(col(idCol).cast(LongType).as("id"))
-    val deltaCount =
-      if (!skipIdCheck)
-        IndexIds.guardAppend(spark, path, "appendDedupIndex",
-          spark.read.parquet(s"$path/sigs").select("id"), deltaIds)
-      else deltaIds.filter(col("id").isNotNull).distinct().count()
-    IndexIds.mergeAppend(spark, path, deltaIds, deltaCount)
+    val deltaCount = IndexIds.guardAndMerge(spark, path, "appendDedupIndex",
+      spark.read.parquet(s"$path/sigs").select("id"), deltaIds, skipIdCheck)
     val idL = when(col(idCol).cast(LongType).isNotNull, col(idCol).cast(LongType))
       .otherwise(raise_error(concat(
         lit(s"appendDedupIndex: id column '$idCol' must be non-null and numeric, got: "),
@@ -194,9 +190,18 @@ object DedupIndex {
     *                      the freshness contract runs before the probe —
     *                      the build-once/probe-many API shape a pipeline
     *                      should call. */
-  def pairsAgainstIndex(spark: SparkSession, path: String,
-                        dfNew: DataFrame, idCol: String, textCol: String,
-                        verifyAgainst: Option[(DataFrame, String)] = None)
+  /** Colliding (id_new, id_ref, est_jaccard) rows, possibly REPEATED
+    * per shared band — the raw collision stream both probe surfaces
+    * derive from. est_jaccard is a pure function of the signature pair,
+    * so every copy of a pair carries the same estimate; [[pairsAgainstIndex]]
+    * dedups to the one-row-per-pair contract, while [[dedupAgainstIndex]]
+    * skips that exchange entirely (an anti-join needs no distinct right
+    * side). Deduping AFTER the sigs join also shuffles (id, id, double)
+    * rows instead of rows carrying the numHashes-long `sig_new`. */
+  private def collisionPairs(spark: SparkSession, path: String,
+                             dfNew: DataFrame, idCol: String,
+                             textCol: String,
+                             verifyAgainst: Option[(DataFrame, String)])
       : DataFrame = {
     val meta = loadMeta(spark, path)
     verifyAgainst.foreach { case (ref, refId) =>
@@ -211,7 +216,6 @@ object DedupIndex {
       .select(col("band"), col("bh"), col("id").as("id_ref"))
     val cand = newBanded.join(idx, Seq("band", "bh"))
       .select(col("id_new"), col("id_ref"), col("sig_new"))
-      .dropDuplicates("id_new", "id_ref")
     val sigs = spark.read.parquet(s"$path/sigs")
       .select(col("id").as("id_ref"), col("sig").as("sig_ref"))
     cand.join(sigs, "id_ref")
@@ -219,19 +223,28 @@ object DedupIndex {
         Dedup.estJaccard(col("sig_new"), col("sig_ref")).as("est_jaccard"))
   }
 
+  def pairsAgainstIndex(spark: SparkSession, path: String,
+                        dfNew: DataFrame, idCol: String, textCol: String,
+                        verifyAgainst: Option[(DataFrame, String)] = None)
+      : DataFrame =
+    collisionPairs(spark, path, dfNew, idCol, textCol, verifyAgainst)
+      .dropDuplicates("id_new", "id_ref")
+
   /** Remove from `dfNew` every document whose estimated Jaccard against
     * ANY indexed document reaches `minEstJaccard` — the incremental
     * [[Dedup.dedupAgainst]]. The matched id set holds only colliding
-    * ids (small), so AQE broadcasts the anti-join. */
+    * ids (small), so AQE broadcasts the anti-join; repeated collision
+    * rows change nothing (anti-join semantics), so neither the pair
+    * dedup nor a distinct on the matched ids is paid here. */
   def dedupAgainstIndex(spark: SparkSession, path: String,
                         dfNew: DataFrame, idCol: String, textCol: String,
                         minEstJaccard: Double = 0.5,
                         verifyAgainst: Option[(DataFrame, String)] = None)
       : DataFrame = {
-    val matched = pairsAgainstIndex(spark, path, dfNew, idCol, textCol,
+    val matched = collisionPairs(spark, path, dfNew, idCol, textCol,
         verifyAgainst)
       .filter(col("est_jaccard") >= minEstJaccard)
-      .select(col("id_new").as(idCol)).distinct()
+      .select(col("id_new").as(idCol))
     dfNew.join(matched, Seq(idCol), "left_anti")
   }
 }

@@ -100,11 +100,20 @@ object FuzzyJoin {
     // its worst. Keys re-attach AFTER the (lid, rid) pair dedup via two
     // id-keyed joins against the (tiny by comparison) key projections —
     // one (id, key) row per input row, no explode factor.
+    // ONE guard message for both sides — byte-identical literals keep
+    // the two exploded subtrees CANONICALLY EQUAL for a self-join (same
+    // source, same filters), so Spark plans the second proxy exchange
+    // as a ReusedExchange of the first: the scan + neighborhood explode
+    // + hash + shuffle write run ONCE instead of twice. A per-side
+    // message ("key 'lname'" vs "key 'rname'") was the only literal
+    // difference breaking that equality; the offending VALUE prefix in
+    // the error still identifies the row.
+    val guardMsg = s"editDistancePairs: key ('$leftKey' left / " +
+      s"'$rightKey' right) longer than maxKeyLen=$maxKeyLen: "
     def side(df: DataFrame, id: String, key: String,
              idOut: String, keyOut: String): DataFrame = {
       val guarded = when(length(col(key)) > maxKeyLen, raise_error(concat(
-          lit(s"editDistancePairs: key '$key' longer than maxKeyLen=$maxKeyLen: "),
-          substring(col(key), 1, 64), lit("…"))))
+          lit(guardMsg), substring(col(key), 1, 64), lit("…"))))
         .otherwise(col(key))
       df.filter(col(key).isNotNull)
         .select(col(id).as(idOut), guarded.as(keyOut))
@@ -132,11 +141,14 @@ object FuzzyJoin {
       .select(col("_fz_lid"), col("_fz_rid"))
       .dropDuplicates("_fz_lid", "_fz_rid")
       // re-attach the keys to the DEDUPED pairs (collision-bounded, no
-      // neighborhood factor); ids are assumed unique per side — the same
-      // assumption the old keys-ride-the-explode form leaned on, where a
-      // duplicate id's pair kept an arbitrary key copy after the dedup
-      .join(lk, "_fz_lid")
-      .join(rk, "_fz_rid")
+      // neighborhood factor) via id-DEDUPED key projections: a duplicate
+      // id keeps ONE (arbitrary) key copy, so the output stays exactly
+      // one row per (lid, rid) pair — the documented arbitrary-key
+      // semantics — instead of re-expanding each pair by the duplicate
+      // multiplicity. Unique-id inputs are unchanged; the dedup rides
+      // the (small) re-attach side, not the exploded relation.
+      .join(lk.dropDuplicates("_fz_lid"), "_fz_lid")
+      .join(rk.dropDuplicates("_fz_rid"), "_fz_rid")
       // ONE levenshtein per surviving pair: computed in this projection,
       // then filtered on — a filter-side copy of the expression would be
       // a second evaluation (filter and project are separate operators)

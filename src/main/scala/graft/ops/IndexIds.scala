@@ -275,6 +275,14 @@ private[graft] object IndexIds {
     * correct, and [[guardAppend]]'s self-heal (or the next rebuild)
     * creates it with the index's full id set.
     *
+    * The small/large split gates on `deltaCount` — already measured by
+    * every caller ([[guardAppend]]'s return) — so the delta's lineage is
+    * never evaluated twice (the old limit-probe collect was discarded
+    * and recomputed inside the distributed build just past the
+    * threshold). Duplicate ids (possible only under a violated
+    * `skipIdCheck` contract) merely inflate the small path's collect;
+    * folding an id twice sets the same bits.
+    *
     * Bit-identical either way: `putLong` into the loaded filter sets
     * exactly the bits a same-sized delta filter's `mergeInPlace` would
     * OR in (same `expected`/`fpp` ⇒ same bit count and hash family). */
@@ -282,9 +290,8 @@ private[graft] object IndexIds {
                   deltaIds: DataFrame, deltaCount: Long): Unit =
     load(spark, indexPath).foreach { ib =>
       val nn = deltaIds.filter(col("id").isNotNull)
-      val local = nn.limit(MaxLocalMergeIds + 1).collect()
-      if (local.length <= MaxLocalMergeIds) {
-        local.foreach(r => ib.bloom.putLong(r.getLong(0)))
+      if (deltaCount <= MaxLocalMergeIds) {
+        nn.collect().foreach(r => ib.bloom.putLong(r.getLong(0)))
       } else {
         val add = bloomOf(nn, ib.expected, ib.fpp)
         ib.bloom.mergeInPlace(add)
@@ -292,4 +299,69 @@ private[graft] object IndexIds {
       write(spark, indexPath, ib.bloom, ib.expected, ib.fpp,
         ib.nIds + deltaCount)
     }
+
+  /** [[guardAppend]] + [[mergeAppend]] FUSED for the append hot path:
+    * the unfused pair costs three delta-sized jobs per append (the
+    * dup-check aggregate, the Bloom suspect probe, the merge collect) —
+    * a streaming micro-batch pays all three per batch for a few
+    * thousand ids. Here one bounded collect serves every check: the
+    * within-batch duplicate test, the Bloom membership probe (same
+    * filter, same `mightContainLong` bits), and the merge fold, all
+    * driver-side. Semantics are [[guardAppend]]'s exactly — same
+    * refusal messages, same precise fallback verify against `indexIds`
+    * on Bloom hits, same self-heal for sidecar-less legacy trees (which
+    * takes the unfused path, as does any delta past the local-merge
+    * bound). Returns the delta's (non-null) distinct id count.
+    *
+    * `skipIdCheck` skips the duplicate/membership checks but never the
+    * Bloom bookkeeping — identical to the unfused contract. */
+  def guardAndMerge(spark: SparkSession, indexPath: String, op: String,
+                    indexIds: => DataFrame, deltaIds: DataFrame,
+                    skipIdCheck: Boolean): Long = {
+    def unfused(): Long = {
+      val nd =
+        if (!skipIdCheck) guardAppend(spark, indexPath, op, indexIds, deltaIds)
+        else deltaIds.filter(col("id").isNotNull).distinct().count()
+      mergeAppend(spark, indexPath, deltaIds, nd)
+      nd
+    }
+    load(spark, indexPath) match {
+      case None => unfused() // legacy tree: full-scan guard + self-heal
+      case Some(ib) =>
+        val local = deltaIds.filter(col("id").isNotNull)
+          .limit(MaxLocalMergeIds + 1).collect()
+        if (local.length > MaxLocalMergeIds) unfused()
+        else {
+          val ids = local.map(_.getLong(0))
+          val distinctIds = ids.distinct
+          if (!skipIdCheck) {
+            require(ids.length == distinctIds.length,
+              s"$op: the batch itself contains duplicate ids " +
+                s"(${ids.length} rows, ${distinctIds.length} distinct) — " +
+                "appending it would double their entries exactly like a " +
+                "re-append of already-indexed ids; de-duplicate the batch " +
+                "first")
+            val suspects = distinctIds.filter(ib.bloom.mightContainLong)
+            if (suspects.nonEmpty) {
+              // precise verify, only for the suspect ids (real dups about
+              // to be refused, or the ~fpp false-positive fraction)
+              import spark.implicits._
+              val dup = indexIds
+                .join(broadcast(suspects.toSeq.toDF("id")), Seq("id"),
+                  "left_semi")
+                .limit(1).collect()
+              if (dup.nonEmpty) throw new IllegalArgumentException(
+                s"$op: id ${dup(0).getLong(0)} is already indexed at " +
+                  s"$indexPath — re-appending would double its entries; " +
+                  "rebuild the index (or pass skipIdCheck only when ids " +
+                  "are guaranteed new)")
+            }
+          }
+          ids.foreach(ib.bloom.putLong)
+          write(spark, indexPath, ib.bloom, ib.expected, ib.fpp,
+            ib.nIds + distinctIds.length)
+          distinctIds.length.toLong
+        }
+    }
+  }
 }

@@ -126,27 +126,50 @@ object IndexMaintenance {
     * overdue ([[indexHealth]] says so). */
   private[ops] val TombstoneBroadcastBytes: Long = 64L << 20
 
-  /** Probe-side tombstone filter: anti-join `df` (column `idCol`)
-    * against the sidecar when it exists — broadcast while the sidecar
-    * is takedown-sized, plain (shuffle) anti-join past
-    * `maxBroadcastBytes` (the size check is one namenode summary call,
-    * no data read). Zero cost (no filesystem data read, no join) when
-    * no delete has ever run. */
+  /** Bytes under which the tombstone sidecar is read DRIVER-DIRECT and
+    * applied as a codegen'd set-membership FILTER instead of a join:
+    * a probe against an index with a takedown-sized delete list paid a
+    * Spark read job + a broadcast build job per probe for a few
+    * thousand longs. 4 MB of parquet'd ids ≈ several hundred thousand
+    * tombstones — far past takedown-sized, trivially driver-held. */
+  private[ops] val TombstoneLocalBytes: Long = 4L << 20
+
+  /** Probe-side tombstone filter. Takedown-sized sidecars (the common
+    * case) are read once on the driver and become a `NOT IN <set>`
+    * filter — no scan job, no broadcast, no join in the probe's plan;
+    * mid-sized sets keep the broadcast anti-join, and sets past
+    * `maxBroadcastBytes` fall back to the shuffle anti-join (the size
+    * check is one namenode summary call, no data read). Zero cost when
+    * no delete has ever run. NULL ids are kept on every path (an
+    * anti-join never matches NULL — the filter preserves that). */
   private[graft] def minusTombstones(spark: SparkSession, indexPath: String,
                                      df: DataFrame, idCol: String,
                                      maxBroadcastBytes: Long =
-                                       TombstoneBroadcastBytes): DataFrame = {
+                                       TombstoneBroadcastBytes,
+                                     maxLocalBytes: Long =
+                                       TombstoneLocalBytes): DataFrame = {
     val fs = fsOf(spark, indexPath)
     val p = new Path(tombstones(indexPath))
     if (!fs.exists(p)) df
     else {
-      val ts = spark.read.parquet(tombstones(indexPath))
-        .select(col("id").as(idCol))
-      val side =
-        if (fs.getContentSummary(p).getLength <= maxBroadcastBytes)
-          broadcast(ts)
-        else ts
-      df.join(side, Seq(idCol), "left_anti")
+      val bytes = fs.getContentSummary(p).getLength
+      if (bytes <= maxLocalBytes) {
+        val ids = graft.store.MetaIO.readRows(
+            spark.sparkContext.hadoopConfiguration, tombstones(indexPath))
+          .iterator.flatMap(m => Option(m("id")))
+          .map(_.asInstanceOf[Long]).toSeq
+        if (ids.isEmpty) df
+        // coalesce(..., true): InSet(NULL) is NULL, and a bare NOT NULL
+        // filter would drop null-id rows the anti-join keeps
+        else df.filter(coalesce(!col(idCol).isInCollection(ids), lit(true)))
+      } else {
+        val ts = spark.read.parquet(tombstones(indexPath))
+          .select(col("id").as(idCol))
+        val side =
+          if (bytes <= maxBroadcastBytes) broadcast(ts)
+          else ts
+        df.join(side, Seq(idCol), "left_anti")
+      }
     }
   }
 
@@ -352,13 +375,13 @@ object IndexMaintenance {
     val delTokens = postings.join(del, Seq("id"), "left_semi")
       .agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
     writeTombstones(spark, path, del)
-    spark.range(1).select(
-        lit(meta.nBuckets).as("n_buckets"),
-        lit(meta.stamp.nRows - n).as("n_rows"),
-        lit(meta.stamp.idHashSum.subtract(h))
-          .cast(DecimalType(38, 0)).as("id_hash_sum"),
-        lit(totalTokens0 - delTokens).as("total_tokens"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    // driver-direct subtractive stamp (the append path's MetaIO template)
+    graft.store.MetaIO.writeRow(spark.sparkContext.hadoopConfiguration,
+      s"$path/_meta", Seq(
+        "n_buckets" -> meta.nBuckets,
+        "n_rows" -> (meta.stamp.nRows - n),
+        "id_hash_sum" -> meta.stamp.idHashSum.subtract(h).setScale(0),
+        "total_tokens" -> (totalTokens0 - delTokens)))
   }
 
   /** Convenience overload: delete by literal id list. */
@@ -378,13 +401,8 @@ object IndexMaintenance {
     val (del, n, h) = validatedDeleteIds(spark, path, "deleteFromIvfIndex",
       ids, spark.read.parquet(path).select("id"))
     writeTombstones(spark, path, del)
-    import spark.implicits._
-    codebook.zipWithIndex.map { case (c, j) => (j.toLong, c) }
-      .toDF("j", "centroid")
-      .withColumn("n_rows", lit(stamp0.nRows - n))
-      .withColumn("id_hash_sum",
-        lit(stamp0.idHashSum.subtract(h)).cast(DecimalType(38, 0)))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
+    Similarity.writeIvfCodebook(spark, s"$path/_codebook", codebook,
+      Similarity.IvfStamp(stamp0.nRows - n, stamp0.idHashSum.subtract(h)))
   }
 
   def deleteFromIvfIndex(spark: SparkSession, path: String,
@@ -402,14 +420,12 @@ object IndexMaintenance {
     val (del, n, h) = validatedDeleteIds(spark, path, "deleteFromDedupIndex",
       ids, spark.read.parquet(s"$path/sigs").select("id"))
     writeTombstones(spark, path, del)
-    spark.range(1).select(
-        lit(meta.n).as("n"),
-        lit(meta.numHashes).as("num_hashes"),
-        lit(meta.bands).as("bands"),
-        lit(meta.stamp.nRows - n).as("n_rows"),
-        lit(meta.stamp.idHashSum.subtract(h))
-          .cast(DecimalType(38, 0)).as("id_hash_sum"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    graft.store.MetaIO.writeRow(spark.sparkContext.hadoopConfiguration,
+      s"$path/_meta", Seq(
+        "n" -> meta.n, "num_hashes" -> meta.numHashes,
+        "bands" -> meta.bands,
+        "n_rows" -> (meta.stamp.nRows - n),
+        "id_hash_sum" -> meta.stamp.idHashSum.subtract(h).setScale(0)))
   }
 
   def deleteFromDedupIndex(spark: SparkSession, path: String,

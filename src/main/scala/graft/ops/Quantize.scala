@@ -239,15 +239,17 @@ object Quantize {
 
   private[ops] def writeCodebook(spark: org.apache.spark.sql.SparkSession,
                                  path: String, cbs: Seq[Seq[Seq[Double]]],
-                                 stamp: Similarity.IvfStamp): Unit = {
-    import spark.implicits._
-    (for { (cb, s) <- cbs.zipWithIndex; (c, j) <- cb.zipWithIndex }
-      yield (s.toLong, j.toLong, c))
-      .toDF("s", "j", "codeword")
-      .withColumn("n_rows", lit(stamp.nRows))
-      .withColumn("id_hash_sum", lit(stamp.idHashSum).cast(DecimalType(38, 0)))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
-  }
+                                 stamp: Similarity.IvfStamp): Unit =
+    // driver-direct (MetaIO): m×k driver-held rows — the old coalesce(1)
+    // Spark write paid a full job per (re)write, once per PQ append batch
+    graft.store.MetaIO.writeRows(spark.sparkContext.hadoopConfiguration,
+      s"$path/_codebook",
+      Seq("s" -> (0L: Any), "j" -> (0L: Any),
+        "codeword" -> (Seq(0.0d): Any), "n_rows" -> (0L: Any),
+        "id_hash_sum" -> (java.math.BigDecimal.ZERO: Any)),
+      (for { (cb, s) <- cbs.iterator.zipWithIndex; (c, j) <- cb.iterator.zipWithIndex }
+        yield Seq[Any](s.toLong, j.toLong, c, stamp.nRows,
+          stamp.idHashSum.setScale(0))))
 
   /** The codebooks a [[buildPqIndex]] index was built with. */
   def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
@@ -298,12 +300,8 @@ object Quantize {
     val cbs = loadPqCodebooks(spark, path)
     val stamp0 = loadPqStamp(spark, path)
     val deltaIds = df.select(col(idCol).cast(LongType).as("id"))
-    val deltaCount =
-      if (!skipIdCheck)
-        IndexIds.guardAppend(spark, path, "appendPqIndex",
-          spark.read.parquet(path).select("id"), deltaIds)
-      else deltaIds.filter(col("id").isNotNull).distinct().count()
-    IndexIds.mergeAppend(spark, path, deltaIds, deltaCount)
+    val deltaCount = IndexIds.guardAndMerge(spark, path, "appendPqIndex",
+      spark.read.parquet(path).select("id"), deltaIds, skipIdCheck)
     val obs = org.apache.spark.sql.Observation()
     pqEncode(df, idCol, vecCol, cbs)
       .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
@@ -362,23 +360,18 @@ object Quantize {
 
   private[ops] def writeCoarse(spark: org.apache.spark.sql.SparkSession,
                                path: String, coarseCb: Seq[Seq[Double]],
-                               stamp: Similarity.IvfStamp): Unit = {
-    import spark.implicits._
-    coarseCb.zipWithIndex.map { case (c, j) => (j.toLong, c) }
-      .toDF("j", "centroid")
-      .withColumn("n_rows", lit(stamp.nRows))
-      .withColumn("id_hash_sum", lit(stamp.idHashSum).cast(DecimalType(38, 0)))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_coarse")
-  }
+                               stamp: Similarity.IvfStamp): Unit =
+    // driver-direct — the IVF codebook writer's rationale verbatim
+    Similarity.writeIvfCodebook(spark, s"$path/_coarse", coarseCb, stamp)
 
   private def writePqcb(spark: org.apache.spark.sql.SparkSession,
-                        path: String, cbs: Seq[Seq[Seq[Double]]]): Unit = {
-    import spark.implicits._
-    (for { (cb, s) <- cbs.zipWithIndex; (c, j) <- cb.zipWithIndex }
-      yield (s.toLong, j.toLong, c))
-      .toDF("s", "j", "codeword")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_pqcb")
-  }
+                        path: String, cbs: Seq[Seq[Seq[Double]]]): Unit =
+    graft.store.MetaIO.writeRows(spark.sparkContext.hadoopConfiguration,
+      s"$path/_pqcb",
+      Seq("s" -> (0L: Any), "j" -> (0L: Any),
+        "codeword" -> (Seq(0.0d): Any)),
+      (for { (cb, s) <- cbs.iterator.zipWithIndex; (c, j) <- cb.iterator.zipWithIndex }
+        yield Seq[Any](s.toLong, j.toLong, c)))
 
   /** The coarse codebook an IVF+PQ index was built with, in list order. */
   def loadIvfPqCoarse(spark: org.apache.spark.sql.SparkSession,
@@ -432,12 +425,8 @@ object Quantize {
     val cbs = loadIvfPqCodebooks(spark, path)
     val stamp0 = loadIvfPqStamp(spark, path)
     val deltaIds = df.select(col(idCol).cast(LongType).as("id"))
-    val deltaCount =
-      if (!skipIdCheck)
-        IndexIds.guardAppend(spark, path, "appendIvfPqIndex",
-          spark.read.parquet(path).select("id"), deltaIds)
-      else deltaIds.filter(col("id").isNotNull).distinct().count()
-    IndexIds.mergeAppend(spark, path, deltaIds, deltaCount)
+    val deltaCount = IndexIds.guardAndMerge(spark, path, "appendIvfPqIndex",
+      spark.read.parquet(path).select("id"), deltaIds, skipIdCheck)
     val dyy = Similarity.centroidNorms(spark, coarseCb)
     val cc = codewordNorms(spark, cbs)
     val obs = org.apache.spark.sql.Observation()

@@ -803,7 +803,17 @@ object Sample {
     * form hashes identically everywhere and keeps copies of one
     * document decorrelated, which is the point of shuffling them). */
   def shuffleRank(df: DataFrame, idCol: String, salt: String = "",
-                  buckets: Int = 1024): DataFrame = {
+                  buckets: Int = 1024): DataFrame =
+    shuffleRankN(df, idCol, salt, buckets)._1
+
+  /** [[shuffleRank]] also returning the TOTAL row count its pass-1
+    * bucket counts already measured — a downstream
+    * [[TokenStream.sliceWindows]] (whose N is this rank's N by the
+    * density contract) then skips its own counting pass, which would
+    * otherwise re-evaluate the whole rank pipeline. */
+  private[graft] def shuffleRankN(df: DataFrame, idCol: String,
+                                  salt: String = "",
+                                  buckets: Int = 1024): (DataFrame, Long) = {
     // upper bound because the per-bucket offsets ride the plan as a
     // broadcast map literal (~20 B/entry — 64k ≈ 1.3 MB is fine, an
     // unbounded count would bloat every task's plan); 64k buckets
@@ -842,10 +852,10 @@ object Sample {
     // the broadcast offset = the dense global position
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_sb").orderBy(col("_sk"), col(idCol))
-    keyed
+    (keyed
       .withColumn("shuffle_pos",
         offCol + row_number().over(w).cast("long") - 1L)
-      .drop("_sk", "_sb")
+      .drop("_sk", "_sb"), counts.map(_._2).sum)
   }
 
   /** CURRICULUM-ordered corpus rank — [[shuffleRank]] with a leading
@@ -873,7 +883,14 @@ object Sample {
     * no global sort anywhere. `df` evaluates twice; same (salt,
     * buckets)-dependence caveat. */
   def curriculumRank(df: DataFrame, idCol: String, stageCol: String,
-                     salt: String = "", buckets: Int = 1024): DataFrame = {
+                     salt: String = "", buckets: Int = 1024): DataFrame =
+    curriculumRankN(df, idCol, stageCol, salt, buckets)._1
+
+  /** [[curriculumRank]] also returning the total row count — the
+    * [[shuffleRankN]] rationale verbatim. */
+  private[graft] def curriculumRankN(df: DataFrame, idCol: String,
+                                     stageCol: String, salt: String = "",
+                                     buckets: Int = 1024): (DataFrame, Long) = {
     require(buckets >= 1 && buckets <= (1 << 16),
       s"buckets must be in [1, 65536], got $buckets")
     val stageLong = expr(s"try_cast(`$stageCol` AS BIGINT)")
@@ -921,10 +938,10 @@ object Sample {
     // global curriculum position
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_ss", "_sb").orderBy(col("_sk"), col(idCol))
-    keyed
+    (keyed
       .withColumn("shuffle_pos",
         offCol + row_number().over(w).cast("long") - 1L)
-      .drop("_sk", "_ss", "_sb")
+      .drop("_sk", "_ss", "_sb"), counts.map(_._2).sum)
   }
 
   /** [[bottomK]] within each `groupCol` value — "k docs per source" for

@@ -187,7 +187,11 @@ object ShardWriter {
     val perFile = staged.select(
         col("shard").cast(LongType).as("shard"),
         col("_metadata.file_name").as("file"),
-        col("shuffle_pos"),
+        // normalized to LONG whatever integral type the input carried:
+        // min_pos/max_pos flow into getAs[Long] law checks and the
+        // MetaIO manifest template's Long exemplar — an IntegerType
+        // shuffle_pos would otherwise throw at publish time
+        col("shuffle_pos").cast(LongType).as("shuffle_pos"),
         col(idCol).as("_id"),
         col(tokenCol).cast(LongType).as("_tok"),
         (pmod(col("shuffle_pos"), lit(numShards.toLong)) =!=
@@ -349,6 +353,25 @@ object ShardWriter {
   def loadManifest(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(manifestPath(path))
 
+  /** The manifest rows driver-direct ([[graft.store.MetaIO.readRows]]) —
+    * the collect-right-after-read sites ([[shardFilesInOrder]],
+    * [[readShardSlice]]) paid a full Spark job (listing, schema
+    * inference, scheduling) for a shards × files table that is bounded
+    * and driver-bound anyway; a file resume probe should cost one local
+    * parquet read. Integral columns normalize to Long (legacy manifests
+    * may carry int32). */
+  private def manifestRows(spark: SparkSession,
+                           path: String): Vector[Map[String, Any]] =
+    graft.store.MetaIO.readRows(spark.sparkContext.hadoopConfiguration,
+      manifestPath(path))
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int  => i.toLong
+    case other => throw new IllegalStateException(
+      s"shard manifest: expected an integral value, got $other")
+  }
+
   /** Read a shard tree's data back (the `shard` partition column rides
     * along; `_manifest` is invisible to the scan). Within-file row
     * order is the position order by construction, but Spark's scan
@@ -375,11 +398,10 @@ object ShardWriter {
     * point — a reader outside Spark walks exactly this list. */
   def shardFilesInOrder(spark: SparkSession, path: String,
                         shard: Long): Seq[String] = {
-    val files = loadManifest(spark, path)
-      .filter(col("shard") === shard)
-      .select("file", "min_pos").collect()
-      .sortBy(_.getAs[Long]("min_pos"))
-      .map(_.getAs[String]("file")).toSeq
+    val files = manifestRows(spark, path)
+      .filter(r => asLong(r("shard")) == shard)
+      .sortBy(r => asLong(r("min_pos")))
+      .map(r => r("file").asInstanceOf[String])
     require(files.nonEmpty,
       s"shardFilesInOrder: no manifest entries for shard $shard at $path")
     files.map(f => s"$path/shard=$shard/$f")
@@ -400,11 +422,11 @@ object ShardWriter {
     require(fromPos >= 0L && untilPos > fromPos,
       s"readShardSlice: need 0 <= fromPos < untilPos, got " +
         s"[$fromPos, $untilPos)")
-    val files = loadManifest(spark, path)
-      .filter(col("max_pos") >= fromPos && col("min_pos") < untilPos)
-      .select("shard", "file").collect()
-      .map(r => s"$path/shard=${r.getAs[Long]("shard")}/" +
-        r.getAs[String]("file"))
+    val files = manifestRows(spark, path)
+      .filter(r => asLong(r("max_pos")) >= fromPos &&
+        asLong(r("min_pos")) < untilPos)
+      .map(r => s"$path/shard=${asLong(r("shard"))}/" +
+        r("file").asInstanceOf[String])
     val inRange =
       col("shuffle_pos") >= fromPos && col("shuffle_pos") < untilPos
     if (files.isEmpty) readShards(spark, path).filter(lit(false))
@@ -655,9 +677,13 @@ object ShardWriter {
       s"$op: need two distinct published epochs, got ($eA, $eB) of " +
         eps.mkString(", "))
     def cols(e: Int): (String, String) = {
-      val h = loadManifest(spark, epochPath(root, e))
-        .select("id_col", "token_col").head()
-      (h.getString(0), h.getString(1))
+      // driver-direct projected read — two constant scalars, no job
+      val m = graft.store.MetaIO.readRowColumns(
+          spark.sparkContext.hadoopConfiguration,
+          manifestPath(epochPath(root, e)), Seq("id_col", "token_col"))
+        .getOrElse(throw new IllegalStateException(
+          s"$op: epoch $e at $root has no readable _manifest"))
+      (m("id_col").asInstanceOf[String], m("token_col").asInstanceOf[String])
     }
     val c = cols(eA)
     require(cols(eB) == c,
@@ -728,7 +754,12 @@ object ShardWriter {
     require(step >= 0L && batchSize >= 1L,
       s"resumeFrom: need step >= 0 and batchSize >= 1, got " +
         s"($step, $batchSize)")
-    val n = loadManifest(spark, path).select("n_total").head().getLong(0)
+    // driver-direct projected read (n_total is constant across rows)
+    val n = asLong(graft.store.MetaIO.readRowColumns(
+        spark.sparkContext.hadoopConfiguration, manifestPath(path),
+        Seq("n_total"))
+      .getOrElse(throw new IllegalStateException(
+        s"resumeFrom: no readable _manifest at $path"))("n_total"))
     val from = step * batchSize
     require(from < n,
       s"resumeFrom: step $step x batch $batchSize = position $from is " +

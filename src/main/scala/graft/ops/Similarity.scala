@@ -222,7 +222,16 @@ object Similarity {
     * refinement alone, for callers that seed differently (the
     * [[kmeansParallelInit]] oversampled init, a codebook carried over
     * from a previous corpus snapshot, ...). Same per-round shape and
-    * numerics as the seeded form. */
+    * numerics as the seeded form.
+    *
+    * PRECONDITION: `vecCol` must be non-null and dim-consistent (every
+    * vector exactly the codebook's dim, no NULL elements) — the
+    * (list, pos)-keyed update sums assume one row per (vector, pos).
+    * A NULL vector would silently not contribute to any count, and a
+    * ragged vector would average its missing tail over a smaller
+    * divisor. [[graft.ops.Dedup.semanticDedup]] filters malformed
+    * vectors before training (its wellFormed filter); callers training
+    * on unvalidated frames must do the same. */
   def kmeansCodebook(df: DataFrame, vecCol: String,
                      init: Seq[Seq[Double]], iters: Int): Seq[Seq[Double]] = {
     val spark = df.sparkSession
@@ -905,12 +914,7 @@ object Similarity {
     // inside the index tree (an underscore-prefixed subdir is invisible
     // to parquet file listing, so scans of `path` never see it) —
     // probe-time callers need only the path
-    import spark.implicits._
-    codebook.zipWithIndex.map { case (c, j) => (j.toLong, c) }
-      .toDF("j", "centroid")
-      .withColumn("n_rows", lit(stamp.nRows))
-      .withColumn("id_hash_sum", lit(stamp.idHashSum).cast(DecimalType(38, 0)))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
+    writeIvfCodebook(spark, s"$path/_codebook", codebook, stamp)
     // id-membership Bloom sidecar: makes appendIvfIndex's novelty
     // guard O(delta) instead of an O(index) id scan
     IndexIds.writeFresh(spark, path,
@@ -945,12 +949,8 @@ object Similarity {
     val codebook = loadIvfCodebook(spark, path)
     val stamp0 = loadIvfStamp(spark, path)
     val deltaIds = df.select(col(idCol).cast(LongType).as("id"))
-    val deltaCount =
-      if (!skipIdCheck)
-        IndexIds.guardAppend(spark, path, "appendIvfIndex",
-          spark.read.parquet(path).select("id"), deltaIds)
-      else deltaIds.filter(col("id").isNotNull).distinct().count()
-    IndexIds.mergeAppend(spark, path, deltaIds, deltaCount)
+    val deltaCount = IndexIds.guardAndMerge(spark, path, "appendIvfIndex",
+      spark.read.parquet(path).select("id"), deltaIds, skipIdCheck)
     val dyy = centroidNorms(spark, codebook)
     val obs = org.apache.spark.sql.Observation()
     df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"),
@@ -960,14 +960,28 @@ object Similarity {
       .sortWithinPartitions(col("list"), col("id"))
       .write.partitionBy("list").mode("append").parquet(path)
     val delta = stampObserved(obs.get, df, idCol)
-    import spark.implicits._
-    codebook.zipWithIndex.map { case (c, j) => (j.toLong, c) }
-      .toDF("j", "centroid")
-      .withColumn("n_rows", lit(stamp0.nRows + delta.nRows))
-      .withColumn("id_hash_sum",
-        lit(stamp0.idHashSum.add(delta.idHashSum)).cast(DecimalType(38, 0)))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
+    writeIvfCodebook(spark, s"$path/_codebook", codebook,
+      IvfStamp(stamp0.nRows + delta.nRows,
+        stamp0.idHashSum.add(delta.idHashSum)))
   }
+
+  /** The `_codebook` sidecar (k centroid rows + the constant stamp
+    * columns) written DRIVER-DIRECT: the codebook is driver-held at
+    * every call site and k is small, so the old `toDF.coalesce(1)
+    * .write` paid a full Spark job per (re)write — once per streaming
+    * embed micro-batch on the append path. Same columns, Spark/DuckDB-
+    * readable 3-level LIST layout; every reader is already
+    * [[graft.store.MetaIO]]-direct or schema-agnostic `spark.read`. */
+  private[ops] def writeIvfCodebook(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String,
+                                    codebook: Seq[Seq[Double]],
+                                    stamp: IvfStamp): Unit =
+    graft.store.MetaIO.writeRows(spark.sparkContext.hadoopConfiguration, dir,
+      Seq("j" -> (0L: Any), "centroid" -> (Seq(0.0d): Any),
+        "n_rows" -> (0L: Any),
+        "id_hash_sum" -> (java.math.BigDecimal.ZERO: Any)),
+      codebook.iterator.zipWithIndex.map { case (c, j) =>
+        Seq[Any](j.toLong, c, stamp.nRows, stamp.idHashSum.setScale(0)) })
 
   /** Build stamp of a persisted IVF index: the source's row count and
     * the exact-decimal sum of `hash60(id)` over its (Long-cast) ids.

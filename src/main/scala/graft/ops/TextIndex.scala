@@ -225,15 +225,12 @@ object TextIndex {
       s"text index at $path predates the BM25 posting columns " +
         "(no total_tokens in _meta); rebuild with buildTextIndex"))
     val deltaIds = df.select(col(idCol).cast(LongType).as("id"))
-    val deltaCount =
-      if (!skipIdCheck)
-        // precise verify against posting ids PLUS the token-free
-        // sidecar: posting membership alone would re-admit a token-free
-        // id and double-count it in `_meta`
-        IndexIds.guardAppend(spark, path, "appendTextIndex",
-          indexedIds(spark, path), deltaIds)
-      else deltaIds.filter(col("id").isNotNull).distinct().count()
-    IndexIds.mergeAppend(spark, path, deltaIds, deltaCount)
+    // fused guard + Bloom merge (one delta-sized job, not three); the
+    // precise fallback verifies against posting ids PLUS the token-free
+    // sidecar: posting membership alone would re-admit a token-free id
+    // and double-count it in `_meta`
+    val deltaCount = IndexIds.guardAndMerge(spark, path, "appendTextIndex",
+      indexedIds(spark, path), deltaIds, skipIdCheck)
     val obs = org.apache.spark.sql.Observation()
     val tokObs = org.apache.spark.sql.Observation()
     val tfObs = org.apache.spark.sql.Observation()

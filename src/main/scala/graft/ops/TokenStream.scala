@@ -89,7 +89,19 @@ object TokenStream {
     * expensive derived pipeline. */
   def sliceWindows(df: DataFrame, posCol: String, tokensCol: String,
                    ctxLen: Int, blocks: Int = 1024,
-                   dropPartial: Boolean = true): DataFrame = {
+                   dropPartial: Boolean = true): DataFrame =
+    sliceWindowsN(df, posCol, tokensCol, ctxLen, blocks, dropPartial,
+      knownN = None)
+
+  /** [[sliceWindows]] with the input row count already measured by the
+    * caller (a streaming sink counts its batch anyway) — skips pass 1,
+    * one fewer narrow job per call. The density law (pass 2) still
+    * validates the full `[0, N)` permutation against `knownN`, so a
+    * wrong hint refuses exactly like a corrupt position column. */
+  private[graft] def sliceWindowsN(df: DataFrame, posCol: String,
+                                   tokensCol: String, ctxLen: Int,
+                                   blocks: Int, dropPartial: Boolean,
+                                   knownN: Option[Long]): DataFrame = {
     require(ctxLen >= 1, s"ctxLen must be >= 1, got $ctxLen")
     // same bound and rationale as shuffleRank's buckets: the per-block
     // token offsets ride the plan as a broadcast map literal
@@ -118,7 +130,7 @@ object TokenStream {
         coalesce(posL.cast("string"), lit("NULL")))))
 
     // pass 1 (narrow): N fixes the block width
-    val n = df.agg(count(lit(1))).head().getLong(0)
+    val n = knownN.getOrElse(df.agg(count(lit(1))).head().getLong(0))
     if (n == 0L) {
       // empty selection -> empty window stream (the WRITER refuses
       // empties; a transform composes)
@@ -339,10 +351,12 @@ object TokenStream {
           fresh.join(consumed, Seq(idCol), "left_anti")
         }
       }
-    val densified = densifyPositions(remaining, "shuffle_pos", "_rs_pos",
-      blocks)
-    sliceWindows(densified.drop("shuffle_pos"), "_rs_pos", tokensCol,
-      ctxLen, blocks, dropPartial)
+    // the densify pass already counts every block — its total IS the
+    // continuation's N, so the slice skips its own count job
+    val (densified, nRemaining) = densifyPositionsN(remaining,
+      "shuffle_pos", "_rs_pos", blocks)
+    sliceWindowsN(densified.drop("shuffle_pos"), "_rs_pos", tokensCol,
+      ctxLen, blocks, dropPartial, knownN = Some(nRemaining))
   }
 
   /** Rank `posCol`'s (unique, non-null) values into a DENSE `[0, N)`
@@ -352,12 +366,28 @@ object TokenStream {
     * a per-block row_number — the [[Sample.shuffleRank]] discipline,
     * never a global sort. */
   private[graft] def densifyPositions(df: DataFrame, posCol: String,
-                                    out: String, blocks: Int): DataFrame = {
+                                    out: String, blocks: Int,
+                                    knownMax: Option[Long] = None): DataFrame =
+    densifyPositionsN(df, posCol, out, blocks, knownMax)._1
+
+  /** [[densifyPositions]] also returning the TOTAL row count, which its
+    * per-block counting pass measures anyway — callers that need N next
+    * (re-slicing the densified stream) skip their own count job. */
+  private[graft] def densifyPositionsN(df: DataFrame, posCol: String,
+                                    out: String, blocks: Int,
+                                    knownMax: Option[Long] = None)
+      : (DataFrame, Long) = {
     require(blocks >= 1 && blocks <= (1 << 16),
       s"blocks must be in [1, 65536], got $blocks")
-    val mx = df.agg(max(col(posCol).cast(LongType))).head()
-    if (mx.isNullAt(0)) return df.withColumn(out, lit(0L)).limit(0)
-    val blockSize = (mx.getLong(0) + blocks) / blocks
+    // knownMax: the caller already aggregated the position column (a
+    // streaming sink's batch check) — skip the max job, one fewer
+    // narrow pass; None keeps the self-measuring form
+    val mxOpt = knownMax.orElse {
+      val r = df.agg(max(col(posCol).cast(LongType))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    if (mxOpt.isEmpty) return (df.withColumn(out, lit(0L)).limit(0), 0L)
+    val blockSize = (mxOpt.get + blocks) / blocks
     val keyed = df.withColumn("_dpb",
       expr(s"CAST($posCol AS BIGINT) div ${blockSize}L"))
     val cnts = keyed.groupBy(col("_dpb")).agg(count(lit(1)).as("c"))
@@ -370,8 +400,8 @@ object TokenStream {
         col("_dpb").cast("string")), lit(0L))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_dpb")).orderBy(col(posCol))
-    keyed.withColumn(out, offCol + row_number().over(w).cast(LongType) - 1L)
-      .drop("_dpb")
+    (keyed.withColumn(out, offCol + row_number().over(w).cast(LongType) - 1L)
+      .drop("_dpb"), cnts.map(_._2).sum)
   }
 
   /** Window-stream ROLLUP — total windows, tokens, and the partial-tail

@@ -61,6 +61,23 @@ object MetaIO {
         case d: java.math.BigDecimal => Types.optional(FIXED_LEN_BYTE_ARRAY)
           .length(16)
           .as(LogicalTypeAnnotation.decimalType(d.scale, 38)).named(name)
+        case s: Seq[_] =>
+          // Spark's 3-level LIST layout (the shape [[readRows]] already
+          // decodes): optional group (LIST) { repeated group list
+          // { optional <element> } } — scalar elements only, the
+          // template exemplar's first element fixes the type
+          val el = s.headOption.getOrElse(throw new IllegalArgumentException(
+            s"MetaIO: Seq exemplar for '$name' needs one element to fix " +
+              "the element type"))
+          val lb = Types.optionalList()
+          (el match {
+            case _: Double => lb.optionalElement(DOUBLE)
+            case _: Long   => lb.optionalElement(INT64)
+            case _: Int    => lb.optionalElement(INT32)
+            case _: Float  => lb.optionalElement(FLOAT)
+            case other => throw new IllegalArgumentException(
+              s"MetaIO: unsupported list element ${other.getClass} for '$name'")
+          }).named(name)
         case other => throw new IllegalArgumentException(
           s"MetaIO.writeRow: unsupported type ${other.getClass} for '$name'")
       }
@@ -124,8 +141,12 @@ object MetaIO {
         names.lazyZip(values).lazyZip(fields.map(_._2)).foreach { (n, v, ex) =>
           // guard against Scala numeric widening at call sites (a bare
           // Seq(longVal, doubleVal) unifies to Seq[Double]): every value
-          // must match its template exemplar's runtime class, or be null
-          if (v != null && v.getClass != ex.getClass)
+          // must match its template exemplar's runtime class, or be null.
+          // Seq values are exempt from the exact-class check (List vs
+          // Vector vs ArraySeq are all the same LIST column); their
+          // elements are type-checked in the write below.
+          if (v != null && !(v.isInstanceOf[Seq[_]] && ex.isInstanceOf[Seq[_]])
+              && v.getClass != ex.getClass)
             throw new IllegalArgumentException(
               s"MetaIO.writeRows: column '$n' declared ${ex.getClass.getSimpleName} " +
                 s"but row holds ${v.getClass.getSimpleName} ($v) — ascribe the " +
@@ -140,6 +161,24 @@ object MetaIO {
             case v: Array[Byte] => g.add(n, Binary.fromConstantByteArray(v))
             case v: java.math.BigDecimal =>
               g.add(n, Binary.fromConstantByteArray(decimalBytes(v)))
+            case v: Seq[_] =>
+              // 3-level LIST: one repeated "list" group per element, a
+              // NULL element = an empty element group (what readRows
+              // maps back to null)
+              val lg = g.addGroup(n)
+              v.foreach { el =>
+                val e = lg.addGroup(0)
+                el match {
+                  case null       => ()
+                  case d: Double  => e.add(0, d)
+                  case l: Long    => e.add(0, l)
+                  case i: Int     => e.add(0, i)
+                  case f: Float   => e.add(0, f)
+                  case other => throw new IllegalArgumentException(
+                    s"MetaIO.writeRows: unsupported list element " +
+                      s"${other.getClass} for '$n'")
+                }
+              }
             case v => throw new IllegalArgumentException(
               s"MetaIO.writeRows: unsupported type ${v.getClass} for '$n'")
           }
@@ -147,21 +186,32 @@ object MetaIO {
         writer.write(g)
       }
     } finally writer.close()
-    // swap in: rename the finished file, then drop every OTHER data file
-    // (the overwritten row, whoever wrote it). Readers racing the swap
-    // see old row, new row, or (between rename and delete) both — the
-    // "both" window only matters to multi-file readers, and every
-    // sidecar reader takes the first row of a one-file dir in practice;
-    // a crash leaves at worst the old and new rows side by side, which
+    // swap in: move the CURRENT row aside (never delete it before the
+    // new row is in place — a failed swap must leave the previous row
+    // readable), rename the finished file in, then drop the backup and
+    // every other stale data file. Both renames are REQUIRED to succeed
+    // (Hadoop FileSystems signal failure by returning false; proceeding
+    // past a failed swap would delete the only readable row). Readers
+    // racing the swap see old row, new row, or (between rename and
+    // delete) both — resolveFile takes the name-FIRST file, and the
+    // backup name sorts after `fin`, so the new row wins in the "both"
+    // window; a crash leaves at worst old and new side by side, which
     // the next writeRow cleans.
     val fin = new Path(dp, "part-00000-meta.parquet")
     val existing = fs.listStatus(dp).filter { s =>
       val n = s.getPath.getName
       s.isFile && !n.startsWith(".") && !n.startsWith("_")
     }.map(_.getPath)
-    if (fs.exists(fin)) fs.delete(fin, false)
-    fs.rename(tmp, fin)
-    existing.filter(_.getName != fin.getName).foreach(p => fs.delete(p, false))
+    val bak = new Path(dp,
+      s"part-00001-meta-old-${java.util.UUID.randomUUID()}.parquet")
+    if (fs.exists(fin))
+      require(fs.rename(fin, bak),
+        s"MetaIO: rename $fin -> $bak failed; previous row left intact")
+    require(fs.rename(tmp, fin),
+      s"MetaIO: rename $tmp -> $fin failed; previous row preserved at " +
+        s"${if (fs.exists(bak)) bak else "(no previous row)"}")
+    (existing.filter(_.getName != fin.getName) :+ bak)
+      .foreach(p => fs.delete(p, false))
   }
 
   /** Top-level column names of the parquet file/dir at `dir` (footer

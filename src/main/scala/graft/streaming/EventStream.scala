@@ -59,7 +59,12 @@ object EventStream {
           // The transform runs INSIDE the replayed region: a replayed
           // batch re-transforms and is then dropped by the guard, so a
           // non-deterministic transform still cannot double-append.
-          store.table(table).appendWithAttr(transform(batch), Some(guardKey -> batchId))
+          val transformed = transform(batch)
+          graft.Labels.labeled(batch.sparkSession,
+            s"$table batch $batchId: store append") {
+            store.table(table).appendWithAttr(transformed,
+              Some(guardKey -> batchId))
+          }
         }
         // post-commit hook (index maintenance): runs AFTER the batch
         // landed — and deliberately OUTSIDE the freshness guard, so a
@@ -167,23 +172,32 @@ object EventStream {
         val spark = batch.sparkSession
         import org.apache.spark.sql.types.LongType
         val ids = batch.select(col(idCol).cast(LongType).as("id"))
-        val present = graft.ops.IndexIds.presentIds(spark, indexPath, ids,
-          spark.read.parquet(s"$indexPath/sigs").select("id"))
-        if (present.limit(1).collect().nonEmpty) {
-          // replayed batch: its survivors already live in the index —
-          // recover them from membership instead of re-deduping
-          batch.join(present.select(col("id").cast(LongType).as(idCol)),
-            Seq(idCol), "left_semi")
-        } else {
-          // localCheckpoint pins the survivor set: it feeds two jobs
-          // (index append, store append) and must not be recomputed
-          // after the index append changes what a recompute would see
-          val survivors = graft.ops.DedupIndex.dedupAgainstIndex(
-            spark, indexPath, batch, idCol, textCol, minEstJaccard)
-            .localCheckpoint(true)
-          graft.ops.DedupIndex.appendDedupIndex(survivors, idCol, textCol,
-            indexPath)
-          survivors
+        val replayed = graft.Labels.labeled(spark, "ingest: replay probe") {
+          val present = graft.ops.IndexIds.presentIds(spark, indexPath, ids,
+            spark.read.parquet(s"$indexPath/sigs").select("id"))
+          if (present.limit(1).collect().nonEmpty) Some(present) else None
+        }
+        replayed match {
+          case Some(present) =>
+            // replayed batch: its survivors already live in the index —
+            // recover them from membership instead of re-deduping
+            batch.join(present.select(col("id").cast(LongType).as(idCol)),
+              Seq(idCol), "left_semi")
+          case None =>
+            // localCheckpoint pins the survivor set: it feeds two jobs
+            // (index append, store append) and must not be recomputed
+            // after the index append changes what a recompute would see
+            val survivors = graft.Labels.labeled(spark,
+              "ingest: dedup probe") {
+              graft.ops.DedupIndex.dedupAgainstIndex(
+                spark, indexPath, batch, idCol, textCol, minEstJaccard)
+                .localCheckpoint(true)
+            }
+            graft.Labels.labeled(spark, "ingest: index append") {
+              graft.ops.DedupIndex.appendDedupIndex(survivors, idCol,
+                textCol, indexPath)
+            }
+            survivors
         }
       })
 
@@ -224,18 +238,27 @@ object EventStream {
         val spark = batch.sparkSession
         import org.apache.spark.sql.types.LongType
         val ids = batch.select(col(idCol).cast(LongType).as("id"))
-        val present = graft.ops.IndexIds.presentIds(spark, indexPath, ids,
-          spark.read.parquet(indexPath).select("id"))
-        if (present.limit(1).collect().nonEmpty) {
-          batch.join(present.select(col("id").cast(LongType).as(idCol)),
-            Seq(idCol), "left_semi")
-        } else {
-          val survivors = graft.ops.Similarity.embeddingDedupAgainstIndex(
-            spark, indexPath, batch, idCol, vecCol, minCosine, nprobe)
-            .localCheckpoint(true)
-          graft.ops.Similarity.appendIvfIndex(survivors, idCol, vecCol,
-            indexPath)
-          survivors
+        val replayed = graft.Labels.labeled(spark, "ingest: replay probe") {
+          val present = graft.ops.IndexIds.presentIds(spark, indexPath, ids,
+            spark.read.parquet(indexPath).select("id"))
+          if (present.limit(1).collect().nonEmpty) Some(present) else None
+        }
+        replayed match {
+          case Some(present) =>
+            batch.join(present.select(col("id").cast(LongType).as(idCol)),
+              Seq(idCol), "left_semi")
+          case None =>
+            val survivors = graft.Labels.labeled(spark,
+              "ingest: embed dedup probe") {
+              graft.ops.Similarity.embeddingDedupAgainstIndex(
+                spark, indexPath, batch, idCol, vecCol, minCosine, nprobe)
+                .localCheckpoint(true)
+            }
+            graft.Labels.labeled(spark, "ingest: index append") {
+              graft.ops.Similarity.appendIvfIndex(survivors, idCol, vecCol,
+                indexPath)
+            }
+            survivors
         }
       })
 
@@ -320,10 +343,15 @@ object EventStream {
       transform = batch => {
         bpe.foreach { case (p, _, fp, legacyFp) =>
           stampBpeModel(store, table, p, fp, legacyFp) }
-        if (!textBatchReplayed(batch.sparkSession, indexPath, batch,
-            idCol, textCol))
-          graft.ops.TextIndex.appendTextIndex(batch, idCol, textCol,
-            indexPath)
+        val spark = batch.sparkSession
+        val fresh = graft.Labels.labeled(spark, "ingest: replay probe") {
+          !textBatchReplayed(spark, indexPath, batch, idCol, textCol)
+        }
+        if (fresh)
+          graft.Labels.labeled(spark, "ingest: index append") {
+            graft.ops.TextIndex.appendTextIndex(batch, idCol, textCol,
+              indexPath)
+          }
         bpe.fold(batch) { case (_, model, _, _) =>
           batch.withColumn("token_ids",
             graft.ops.Bpe.encodeIdsCol(col(textCol), model))
@@ -399,15 +427,50 @@ object EventStream {
     // Bloom fallback below only ever decides for trees with no sidecar
     // (legacy, or the bounded crash window between the Bloom merge and
     // the sidecar write)
-    val present = graft.ops.IndexIds.presentIds(spark, indexPath, ids,
-      graft.ops.TextIndex.indexedIds(spark, indexPath))
-    if (present.limit(1).collect().nonEmpty) true
-    else {
-      val tokenFree = batch
-        .select(explode(graft.ops.TextIndex.postingTokens(col(textCol)))
-          .as("_t"))
-        .limit(1).collect().isEmpty
-      tokenFree && graft.ops.IndexIds.allPresentInBloom(spark, indexPath, ids)
+    graft.ops.IndexIds.load(spark, indexPath) match {
+      case Some(ib) =>
+        // ONE batch-sized aggregate answers every per-batch question the
+        // old form paid a separate job for (Bloom suspect probe +
+        // token-free probe — two jobs per FRESH batch, the common case):
+        // any Bloom hit, every-id-in-Bloom, any token in the batch. The
+        // precise verify against the index runs only on a Bloom hit
+        // (replays and the ~fpp false-positive fraction).
+        val bc = spark.sparkContext.broadcast(ib.bloom)
+        try {
+          val hit = col("_ib_id").isNotNull &&
+            graft.functions.native.bloom_might_contain(col("_ib_id"), bc)
+          val r = batch.select(col(idCol).cast(LongType).as("_ib_id"),
+              col(textCol).as("_ib_t"))
+            .agg(
+              coalesce(max(when(hit, lit(1L))), lit(0L)).as("anyHit"),
+              coalesce(max(when(col("_ib_id").isNotNull && !hit, lit(1L))),
+                lit(0L)).as("anyMiss"),
+              coalesce(max(when(
+                size(graft.ops.TextIndex.postingTokens(col("_ib_t"))) > 0,
+                lit(1L))), lit(0L)).as("anyTok"))
+            .head()
+          val (anyHit, allInBloom, tokenFree) =
+            (r.getLong(0) == 1L, r.getLong(1) == 0L, r.getLong(2) == 0L)
+          if (anyHit) {
+            val present = graft.ops.IndexIds.presentIds(spark, indexPath, ids,
+              graft.ops.TextIndex.indexedIds(spark, indexPath))
+            if (present.limit(1).collect().nonEmpty) true
+            else tokenFree && allInBloom
+          } else tokenFree && allInBloom // no hit ⇒ allInBloom only vacuously
+        } finally bc.destroy()
+      case None =>
+        // sidecar-less legacy tree: the unfused precise path
+        val present = graft.ops.IndexIds.presentIds(spark, indexPath, ids,
+          graft.ops.TextIndex.indexedIds(spark, indexPath))
+        if (present.limit(1).collect().nonEmpty) true
+        else {
+          val tokenFree = batch
+            .select(explode(graft.ops.TextIndex.postingTokens(col(textCol)))
+              .as("_t"))
+            .limit(1).collect().isEmpty
+          tokenFree && graft.ops.IndexIds.allPresentInBloom(spark, indexPath,
+            ids)
+        }
     }
   }
 
@@ -463,9 +526,11 @@ object EventStream {
         stream.sparkSession, indexPath, bench, benchId) }
     appendSink(stream, store, table, checkpoint, trigger,
       transform = batch => {
+        // no distinct on the dirty side: a left-anti join ignores
+        // right-side duplicates, so the dedup exchange was pure cost
         val dirty = graft.ops.Contamination.ngramOverlapIndexed(
             batch.sparkSession, indexPath, batch, idCol, textCol, minShared)
-          .select(col("doc_id").as(idCol)).distinct()
+          .select(col("doc_id").as(idCol))
         batch.join(dirty, Seq(idCol), "left_anti")
       })
   }
@@ -540,17 +605,25 @@ object EventStream {
             col(tokensCol).as("_cw_ts"))
           // one narrow agg checks the arrival-order contract AND fixes
           // the batch size (countDistinct skips NULLs, so equality
-          // implies both uniqueness and no NULL id)
-          val chk = ids.agg(count(lit(1)), countDistinct(col("_id"))).head()
+          // implies both uniqueness and no NULL id) AND measures the
+          // max id + token total — feeding densify's block width, the
+          // slice's N, and the window arithmetic below, so none of them
+          // pays its own counting job (4 narrow jobs fused into 1)
+          val chk = ids.agg(count(lit(1)), countDistinct(col("_id")),
+            max(col("_id")),
+            coalesce(sum(greatest(size(col("_cw_ts")), lit(0))
+              .cast(LongType)), lit(0L))).head()
           val nBatch = chk.getLong(0)
           require(nBatch == chk.getLong(1),
             s"contextWindowIngestSink: '$idCol' must be unique and " +
               s"non-null per batch ($nBatch rows, ${chk.getLong(1)} " +
               "distinct non-null ids)")
+          val batchTokens = chk.getLong(3)
           // the batch takes stream positions nextPos + rank(id) —
           // per-block rank, never a global sort
           val ranked = graft.ops.TokenStream.densifyPositions(
-            ids, "_id", "_bp", blocks)
+            ids, "_id", "_bp", blocks,
+            knownMax = if (chk.isNullAt(2)) None else Some(chk.getLong(2)))
           val k = st.tail.size.toLong
           // the carried tail rides ahead at local positions [0, k)
           val tailRows = st.tail.zipWithIndex.map { case ((p, toks), i) =>
@@ -577,8 +650,9 @@ object EventStream {
             else when(c < lit(k),
               element_at(typedLit(tailMap), c.cast("string")))
               .otherwise(c - lit(k) + lit(st.nextPos))
-          val wins = graft.ops.TokenStream.sliceWindows(local, "_lp",
-              "_cw_ts", ctxLen, blocks, dropPartial = false)
+          val wins = graft.ops.TokenStream.sliceWindowsN(local, "_lp",
+              "_cw_ts", ctxLen, blocks, dropPartial = false,
+              knownN = Some(k + nBatch))
             .select((col("window_id") + st.nextWindow).as("window_id"),
               col("tokens"),
               transform(col("doc_spans"), x => struct(
@@ -606,9 +680,18 @@ object EventStream {
                       .map(String.valueOf).toSeq)
                   }.toSeq
               }.getOrElse(Seq.empty)
-            val nWins = wins.count()
+            // full-window count is ARITHMETIC, not a count job: the
+            // stream holds tailTokens + batchTokens tokens, full windows
+            // = floor(T / ctxLen); the collected partial row must agree
+            // (the cross-check refuses a drifted accounting loudly)
+            val totalTok = st.tail.iterator.map(_._2.size.toLong).sum +
+              batchTokens
+            require((totalTok % ctxLen != 0L) == (partial.length == 1),
+              s"contextWindowIngestSink: token accounting drift — " +
+                s"$totalTok tokens mod $ctxLen vs ${partial.length} " +
+                "partial window(s)")
             val newState = CtxState(batchId,
-              st.nextWindow + nWins - partial.length,
+              st.nextWindow + totalTok / ctxLen,
               st.nextPos + nBatch, newTail)
             store.table(table).appendWithAttr(
               wins.filter(col("n_tok") === ctxLen.toLong),

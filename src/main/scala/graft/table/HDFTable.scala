@@ -296,18 +296,31 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
     store.commit()
   }
 
-  private def writeSorted(d: DataFrame): SegmentMeta = {
+  /** Rewrite `rows` rows as one sorted segment. The mutation callers
+    * rewrite ONE refined file-run (file-granular mutation contract), so
+    * the total order by _rowid comes from an in-task sort of that run:
+    * coalesce(1) + sortWithinPartitions writes the same rows in the same
+    * order as a global .sort(Col) but skips its range-partitioner
+    * SAMPLING pass and the range exchange — two jobs and a shuffle per
+    * rewritten run, at parallelism the single output run could not use
+    * anyway (maxRecordsPerFile still splits oversize runs into chunk
+    * files sequentially, order preserved).
+    *
+    * SIZE-ADAPTIVE: the in-task sort is only taken while the rewrite
+    * stays a few chunk files' worth of rows — [[compactSmallRuns]] can
+    * merge a whole segment GROUP (the 1000-micro-append shape), and at
+    * scale funneling that through ONE task would serialize compaction;
+    * past the bound the global range sort keeps its full parallelism.
+    * Every caller knows `rows` exactly from the manifest (SegmentMeta
+    * row counts), so the guard costs no counting job. */
+  private def writeSorted(d: DataFrame, rows: Long): SegmentMeta = {
     val m = meta
-    // every caller rewrites ONE refined file-run (file-granular mutation
-    // contract), so the total order by _rowid comes from an in-task sort
-    // of that run: coalesce(1) + sortWithinPartitions writes the same
-    // rows in the same order as the old global .sort(Col) but skips its
-    // range-partitioner SAMPLING pass and the range exchange — two jobs
-    // and a shuffle per rewritten run, at parallelism the single output
-    // run could not use anyway (maxRecordsPerFile still splits oversize
-    // runs into chunk files sequentially, order preserved).
-    store.writeSegment(baseName, d.coalesce(1).sortWithinPartitions(Col),
-      m.chunkSize, m.codec)
+    val chunk = m.chunkSize.orElse(store.defaultChunkSize)
+      .getOrElse(1L << 20)
+    val sorted =
+      if (rows <= 4L * chunk) d.coalesce(1).sortWithinPartitions(Col)
+      else d.sort(Col)
+    store.writeSegment(baseName, sorted, m.chunkSize, m.codec)
   }
 
   /** Append ≙ `append` (`nimtables.nim:173-175`): one new segment, nothing
@@ -370,7 +383,7 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
           .withColumn(Col, col(Col) - lit(seg.idBase))
         val incoming = repl.filter(col(Col).between(off + la, off + lb))
           .withColumn(Col, col(Col) - lit(off))
-        writeSorted(kept.unionByName(incoming))
+        writeSorted(kept.unionByName(incoming), seg.rows)
       }
     }.toVector
     repl.unpersist()
@@ -415,7 +428,8 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
             .withColumn(Col, col(Col) - lit(off))
           val base = segDf(seg).withColumn(Col, col(Col) - lit(seg.idBase))
           val kept = base.join(local.select(Col), Seq(Col), "left_anti")
-          val rewritten = writeSorted(kept.unionByName(local.select(base.columns.map(col): _*)))
+          val rewritten = writeSorted(
+            kept.unionByName(local.select(base.columns.map(col): _*)), seg.rows)
           if (rewritten.rows != seg.rows)
             throw new IllegalStateException(
               s"coordinate update changed segment row count ${seg.rows} -> ${rewritten.rows} (duplicate or out-of-range ids?)")
@@ -445,7 +459,7 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
         val kept = segDf(seg).filter(!col(Col).between(la, lb))
           .withColumn(Col,
             when(col(Col) > lb, col(Col) - removed).otherwise(col(Col)) - lit(seg.idBase))
-        Some(writeSorted(kept))
+        Some(writeSorted(kept, seg.rows - removed))
       }
     }.toVector
     swapSegments(newSegs)
@@ -481,7 +495,8 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
         val shifted = segDf(seg).withColumn(Col,
           when(col(Col) >= local + seg.idBase, col(Col) + k).otherwise(col(Col)) - lit(seg.idBase))
         val incoming = segDf(newSeg).withColumn(Col, col(Col) + lit(local))
-        val rewritten = writeSorted(shifted.unionByName(incoming))
+        val rewritten = writeSorted(shifted.unionByName(incoming),
+          seg.rows + newSeg.rows)
         swapSegments((segs.take(i) :+ rewritten) ++ segs.drop(i + 1))
     }
   }
@@ -556,7 +571,7 @@ final class HDFTable private[graft] (val store: HDFStore, val name: String) {
             segDf(seg).withColumn(Col, col(Col) + lit(off - seg.idBase))
           }.reduce(_ unionByName _)
         }
-        writeSorted(merged)
+        writeSorted(merged, g.map(_.rows).sum)
       }
     }
     swapSegments(newSegs)

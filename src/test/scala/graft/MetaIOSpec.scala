@@ -65,6 +65,32 @@ class MetaIOSpec extends AnyFunSuite {
     assert(files.length == 1)
   }
 
+  test("swap safety: a crash-window backup loses to the fresh row and is cleaned") {
+    // simulate the crash window between the swap's two renames: the old
+    // row sits under the backup name beside a fresh part-00000-meta —
+    // the reader must pick the FRESH row (backup name sorts after), and
+    // the next write must clean the leftover
+    val dir = tmpDir("swap")
+    MetaIO.writeRow(conf, dir, Seq("v" -> 1L))
+    val d = new java.io.File(dir)
+    val fin = new java.io.File(d, "part-00000-meta.parquet")
+    val bak = new java.io.File(d, "part-00001-meta-old-deadbeef.parquet")
+    java.nio.file.Files.copy(fin.toPath, bak.toPath)
+    MetaIO.writeRow(conf, dir, Seq("v" -> 2L)) // fin now holds 2, bak holds 1
+    // plant the window again: bak beside the new fin
+    java.nio.file.Files.copy(fin.toPath, new java.io.File(d,
+      "part-00001-meta-old-cafebabe.parquet").toPath)
+    val older = new java.io.File(d, "part-00001-meta-old-cafebabe.parquet")
+    assert(older.exists())
+    assert(MetaIO.readRow(conf, dir).get("v") == 2L) // fresh row wins
+    MetaIO.writeRow(conf, dir, Seq("v" -> 3L))
+    val files = d.listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(files.map(_.getName).toSeq == Seq("part-00000-meta.parquet"),
+      files.map(_.getName).toSeq)
+    assert(MetaIO.readRow(conf, dir).get("v") == 3L)
+  }
+
   test("readRow: missing dir / empty dir → None") {
     assert(MetaIO.readRow(conf, "/tmp/metaio-definitely-missing-xyz").isEmpty)
     val dir = tmpDir("empty")

@@ -3675,22 +3675,31 @@ class OpsSpec extends AnyFunSuite {
     TextIndex.buildTextIndex(docsDf, "doc_id", "text", path, nBuckets = 4,
       expectedIds = 64, idFpp = 0.1)
     IndexMaintenance.deleteFromTextIndex(spark, path, Seq(3L))
-    // valve: the forced broadcast hint is dropped past maxBroadcastBytes
-    // (threshold 0 here) — with auto-broadcast off the plan must fall
-    // back to a shuffle anti-join, with identical results
+    // takedown-sized sidecars (the common case) plan as a driver-read
+    // set-membership FILTER — no tombstone scan job, no broadcast, no
+    // join; past maxLocalBytes the broadcast anti-join returns, and
+    // past maxBroadcastBytes too (threshold 0 here, auto-broadcast off)
+    // the plan falls back to a shuffle anti-join — identical results on
+    // all three paths
     val postings = spark.read.parquet(path)
-    val bcPlan = IndexMaintenance.minusTombstones(spark, path, postings, "id")
+    val filterPlan = IndexMaintenance.minusTombstones(spark, path, postings,
+      "id")
+    val bcPlan = IndexMaintenance.minusTombstones(spark, path, postings,
+      "id", maxLocalBytes = 0)
     val autoBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
     try {
       val nbPlan = IndexMaintenance.minusTombstones(spark, path, postings,
-        "id", maxBroadcastBytes = 0)
+        "id", maxBroadcastBytes = 0, maxLocalBytes = 0)
+      val fStr = filterPlan.queryExecution.executedPlan.toString
+      assert(fStr.contains("Filter") && !fStr.contains("Join"), fStr)
       assert(bcPlan.queryExecution.executedPlan.toString
         .contains("BroadcastHashJoin"))
       assert(!nbPlan.queryExecution.executedPlan.toString
         .contains("BroadcastHashJoin"))
-      assert(bcPlan.collect().map(_.getLong(0)).sorted.toSeq ==
-        nbPlan.collect().map(_.getLong(0)).sorted.toSeq)
+      val expect = bcPlan.collect().map(_.getLong(0)).sorted.toSeq
+      assert(filterPlan.collect().map(_.getLong(0)).sorted.toSeq == expect)
+      assert(nbPlan.collect().map(_.getLong(0)).sorted.toSeq == expect)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", autoBc)
     // health: tombstones visible, small set not overdue, Bloom fill sane
     val h = IndexMaintenance.indexHealth(spark, path).collect()(0)

@@ -48,6 +48,65 @@ object ScaleDrive {
     time("compactSmallRuns(1M)") { t.compactSmallRuns(1000000) }
     println(s"  final segments=${st.segmentCount("big")} nrows=${t.nrows}")
 
+    // ---- writeSorted scale guard (r18): a small rewrite/compaction
+    // group sorts IN-TASK (coalesce(1) — zero shuffle), while a group
+    // past 4x chunkSize falls back to the PARALLEL global range sort
+    // (its exchange is visible as shuffle-write bytes). The guard is
+    // what keeps large segment-group compactions off the one-task
+    // scale-killer path.
+    println("== writeSorted size guard (in-task vs parallel sort)")
+    locally {
+      val shufW = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = e.taskMetrics
+            if (m != null) {
+              shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten); ()
+            }
+          }
+        })
+      def drained(): Long = {
+        var last = shufW.get; var quiet = 0
+        while (quiet < 3) {
+          Thread.sleep(50)
+          val now = shufW.get
+          if (now == last) quiet += 1 else { quiet = 0; last = now }
+        }
+        last
+      }
+      // chunkSize 100k: guard bound = 400k rows
+      st.put("cguard", spark.range(200000).select(col("id").as("k")),
+        Some(100000L), None)
+      val tg = st.table("cguard")
+      (1 to 8).foreach(i => tg.append(
+        spark.range(200000).select((col("id") + 1000000L * i).as("k"))))
+      val smallBase = drained()
+      time("small-run point update (in-task sort)") {
+        // plain 1-row frame (no _rowid): the replacement path itself is
+        // shuffle-free, so any shuffle here would be writeSorted's
+        tg.update(50L, spark.range(1).select(lit(999999999L).as("k")))
+      }
+      val smallShuf = drained() - smallBase
+      // the replacement-count aggregate shuffles a few hundred bytes;
+      // a sort of the 100k-row file-run would shuffle ~MBs — the bound
+      // separates the paths by orders of magnitude
+      println(s"  small rewrite shuffle bytes = $smallShuf (want ~0: in-task sort)")
+      assert(smallShuf < 10240L,
+        s"small file-run rewrite should sort in-task, shuffled $smallShuf B")
+      val bigBase = drained()
+      time("compact 8x200k group past 4x chunk (parallel sort)") {
+        tg.compactSmallRuns(1600000L)
+      }
+      val bigShuf = drained() - bigBase
+      println(s"  big-group compaction shuffle bytes = $bigShuf (want MBs: parallel sort)")
+      assert(bigShuf > (1L << 20),
+        "a compaction group past 4x chunkSize should keep the parallel " +
+          s"global sort (expected a range exchange of ~1.6M rows, saw $bigShuf B)")
+      assert(tg.nrows == 1800000L && tg.df.count() == 1800000L)
+    }
+
     // segment-count scaling: heavy micro-append ingest (the streaming-sink
     // shape) then read-plan latency vs segment count — covered by the
     // multi-path df above MultiPathSegments, and compaction below it

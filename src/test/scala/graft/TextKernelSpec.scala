@@ -77,6 +77,21 @@ class TextKernelSpec extends AnyFunSuite {
       assert(graft.functions.LangVotesKernel.Stopwords(l) ==
         TextStats.Stopwords(l), s"stopwords diverge for $l")
     }
+    // the kernel's one-HashMap-per-word probe silently assumes the
+    // language lists are pairwise DISJOINT (a shared word would keep
+    // only the last language's vote slot) — pin the assumption, not
+    // just list equality, so an added stopword that overlaps refuses
+    // here instead of skewing votes at runtime
+    val langs = graft.functions.LangVotesKernel.Langs.toSeq
+    for {
+      i <- langs.indices; j <- (i + 1) until langs.size
+    } {
+      val shared = graft.functions.LangVotesKernel.Stopwords(langs(i)).toSet
+        .intersect(graft.functions.LangVotesKernel.Stopwords(langs(j)).toSet)
+      assert(shared.isEmpty,
+        s"stopword lists for ${langs(i)} and ${langs(j)} overlap on " +
+          s"$shared — the kernel's hash probe would drop one side's vote")
+    }
   }
 
   test("quality/langId outputs unchanged on the corpus sample (golden)") {
