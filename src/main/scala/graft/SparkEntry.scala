@@ -1156,11 +1156,40 @@ object SparkEntry {
     * distributed rebuild. Oracle-safe by construction (identical
     * bytes). */
   private def cloneTree(s: SparkSession, src: String, dst: String): String = {
-    val conf = s.sparkContext.hadoopConfiguration
-    val sp = new org.apache.hadoop.fs.Path(src)
-    val dp = new org.apache.hadoop.fs.Path(dst)
-    org.apache.hadoop.fs.FileUtil.copy(
-      sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp, false, conf)
+    val sp = java.nio.file.Paths.get(src)
+    if (java.nio.file.Files.exists(sp)) {
+      // local tree: HARD-LINK clone (metadata-only, byte-identical) —
+      // safe because every file in an index tree is immutable by
+      // construction (parquet part files are never modified in place;
+      // MetaIO sidecars write a fresh tmp file and rename over, never
+      // rewrite content; deletes only unlink). The old recursive
+      // FileUtil byte copy walked a 64-bucket text index file by file
+      // on the driver. Cross-device/link-refusing filesystems fall
+      // back to a per-file copy.
+      val dp = java.nio.file.Paths.get(dst)
+      val walk = java.nio.file.Files.walk(sp)
+      try walk.parallel().forEach { p =>
+        val t = dp.resolve(sp.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else {
+          java.nio.file.Files.createDirectories(t.getParent)
+          try { java.nio.file.Files.createLink(t, p); () }
+          catch {
+            case _: Exception =>
+              java.nio.file.Files.copy(p, t,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+          }
+        }
+      } finally walk.close()
+    } else {
+      val conf = s.sparkContext.hadoopConfiguration
+      val hsp = new org.apache.hadoop.fs.Path(src)
+      val hdp = new org.apache.hadoop.fs.Path(dst)
+      org.apache.hadoop.fs.FileUtil.copy(
+        hsp.getFileSystem(conf), hsp, hdp.getFileSystem(conf), hdp, false,
+        conf)
+    }
     dst
   }
 

@@ -114,20 +114,30 @@ object TextIndex {
     val postings = df
       .select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
       .observe(obs, Similarity.stampExprs.head, Similarity.stampExprs.tail: _*)
-      .select(col("id"), posexplode(postingTokens(col("text"))))
+      // doc_len = the token ARRAY's size, attached BEFORE the explode:
+      // identical to the old sum(tf)-over-id window (both count every
+      // occurrence of every non-empty token) but without the window's
+      // id-keyed exchange + sort over the full posting set — one fewer
+      // shuffle in every build and append. The array is materialized in
+      // its own projection so the tokenizer runs once per document
+      // (size() then reads the array header per generated row, O(1)).
+      .select(col("id"), postingTokens(col("text")).as("_tt"))
+      .select(col("id"), size(col("_tt")).cast(LongType).as("doc_len"),
+        posexplode(col("_tt")))
       .withColumnRenamed("col", "token")
       // positions are indexes into the doc's NON-EMPTY token sequence
       // (the sequence queryTokens/phraseTokens see), collected per
       // posting so [[searchPhrase]] can verify adjacency without ever
       // touching the corpus; tf stays a plain column (cheap, and the
-      // overlap/BM25 probes keep pruning positions out of their scans)
-      .groupBy("id", "token").agg(count(lit(1)).as("tf"),
-        sort_array(collect_list(col("pos"))).as("positions"))
-      // doc_len denormalized onto every posting: redundant per token but
+      // overlap/BM25 probes keep pruning positions out of their scans).
+      // doc_len joins the grouping keys (functionally dependent on id —
+      // the group set is unchanged) so it survives the aggregate and
+      // stays denormalized onto every posting: redundant per token but
       // columnar-compressed on disk, and it is what makes a BM25 probe
       // self-contained under partition pruning (no join back to the
       // corpus for lengths)
-      .withColumn("doc_len", sum(col("tf")).over(Window.partitionBy("id")))
+      .groupBy("id", "doc_len", "token").agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       // total corpus tokens for avgdl — observed on the posting rows of
       // the same write job (sum(tf) == token count), not a second scan
       .observe(tokObs, coalesce(sum(col("tf")), lit(0L)).as("total_tokens"))
@@ -243,15 +253,21 @@ object TextIndex {
       // size(null) is -1, so <= 0 covers NULL text, and the id-notnull
       // guard makes this the EXACT predicate of the sidecar frame (a
       // null-id token-free row must not trigger a pointless write)
+      // pre-explode doc_len — the buildTextIndex rewrite's rationale:
+      // identical value (size of the non-empty token array == sum(tf)),
+      // one fewer exchange+sort per append. The token-free observation
+      // moves onto the materialized array (size(null) is -1, so <= 0
+      // still covers NULL text) — the tokenizer now runs once per row,
+      // not once for the metric and again for the explode.
+      .select(col("id"), postingTokens(col("text")).as("_tt"))
       .observe(tfObs, coalesce(sum(
-          when(col("id").isNotNull &&
-              size(postingTokens(col("text"))) <= 0, lit(1L))
+          when(col("id").isNotNull && size(col("_tt")) <= 0, lit(1L))
             .otherwise(lit(0L))), lit(0L)).as("n_tokenfree"))
-      .select(col("id"), posexplode(postingTokens(col("text"))))
+      .select(col("id"), size(col("_tt")).cast(LongType).as("doc_len"),
+        posexplode(col("_tt")))
       .withColumnRenamed("col", "token")
-      .groupBy("id", "token").agg(count(lit(1)).as("tf"),
+      .groupBy("id", "doc_len", "token").agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
-      .withColumn("doc_len", sum(col("tf")).over(Window.partitionBy("id")))
       .observe(tokObs, coalesce(sum(col("tf")), lit(0L)).as("total_tokens"))
       .withColumn("bucket",
         pmod(TextStats.hash60(col("token")), lit(meta.nBuckets.toLong)))
