@@ -3479,11 +3479,15 @@ object SparkEntry {
       val keyed = mixed.withColumn("mix_id",
         concat(col("doc_id").cast("string"), lit(":"),
           col("epoch").cast("string")))
-      // the rank's pass-1 counts already fix N, so the slicer skips its
-      // own counting pass — which would re-evaluate the whole tokenize +
-      // select + rank pipeline (df evaluates 2x here, not 3x)
-      val (pos, nPos) = Sample.shuffleRankN(keyed, "mix_id", salt = "pt",
+      // the rank's pass-1 counts already fix N (the slicer skips its own
+      // counting pass), and the ranked stream is CHECKPOINTED — exactly
+      // the "cache upstream if it is an expensive derived pipeline"
+      // guidance on sliceWindows (writeContextShards does the same):
+      // the tokenize + select + temperature-mix + rank subtree runs
+      // once, not once per remaining slicer pass
+      val (pos0, nPos) = Sample.shuffleRankN(keyed, "mix_id", salt = "pt",
         buckets = 32)
+      val pos = pos0.localCheckpoint(true)
       graft.ops.TokenStream.sliceWindowsN(pos, "shuffle_pos", "ts",
           ctxLen = 64, blocks = 16, dropPartial = false,
           knownN = Some(nPos))
@@ -3508,9 +3512,11 @@ object SparkEntry {
         .select(col("doc_id"), lit(1L).as("stage"))
       val staged = base.join(tail, Seq("doc_id"), "left")
         .withColumn("stage", coalesce(col("stage"), lit(0L)))
-      // knownN: same one-fewer-full-pipeline-pass as x_pipeline_tokens
-      val (pos, nPos) = Sample.curriculumRankN(staged, "doc_id", "stage",
+      // knownN + upstream checkpoint: x_pipeline_tokens' discipline — the
+      // tokenize + quantile-tail + rank subtree runs once, not per pass
+      val (pos0, nPos) = Sample.curriculumRankN(staged, "doc_id", "stage",
         salt = "an", buckets = 16)
+      val pos = pos0.localCheckpoint(true)
       graft.ops.TokenStream.sliceWindowsN(pos, "shuffle_pos", "ts",
           ctxLen = 64, blocks = 16, dropPartial = false,
           knownN = Some(nPos))
